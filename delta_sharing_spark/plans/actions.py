@@ -1,0 +1,166 @@
+"""Log action model.
+
+Mirrors the reference wire model (PROTOCOL.md:3537-3734 — ``protocol`` /
+``metaData`` / ``file``(add) / ``cdf`` / ``remove`` single-key wrapper lines;
+Scala twin server/src/main/scala/io/delta/sharing/server/model.scala:1-303,
+Python twin python/delta_sharing/protocol.py:194-376) but is a fresh design:
+actions live in newline-delimited JSON commit files, one file per table
+version, and carry repo-relative paths instead of pre-signed URLs (no expiring
+URLs inside one engine — SURVEY.md §2.3 "URL signing: N/A").
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+PROTOCOL_READER_VERSION = 1
+
+
+@dataclass
+class Protocol:
+    """Reader-version gate (PROTOCOL.md:3549-3568)."""
+
+    minReaderVersion: int = PROTOCOL_READER_VERSION
+
+    def wrap(self) -> dict[str, Any]:
+        return {"protocol": asdict(self)}
+
+
+@dataclass
+class Metadata:
+    """Table metadata (PROTOCOL.md:3569-3613).
+
+    ``schemaString`` is a serialized Spark SQL JSON StructType — the protocol
+    explicitly defers to Catalyst's format (PROTOCOL.md:3741-3744), so on the
+    Spark side it round-trips through ``StructType.fromJson`` with zero
+    translation.
+    """
+
+    id: str
+    name: str | None = None
+    description: str | None = None
+    format: dict[str, str] = field(default_factory=lambda: {"provider": "parquet"})
+    schemaString: str = ""
+    partitionColumns: list[str] = field(default_factory=list)
+    configuration: dict[str, str] = field(default_factory=dict)
+    createdTime: int | None = None
+
+    def wrap(self) -> dict[str, Any]:
+        return {"metaData": asdict(self)}
+
+    @property
+    def cdf_enabled(self) -> bool:
+        """ref: delta.enableChangeDataFeed check,
+        server/.../DeltaSharingCDCReader.scala:327-329."""
+        return self.configuration.get("enableChangeDataFeed", "").lower() == "true"
+
+
+@dataclass
+class AddFile:
+    """A data file added at some version (PROTOCOL.md:3614-3676).
+
+    ``partitionValues`` keeps the reference's string serialization (empty
+    string = null, PROTOCOL.md:3896-3906) even though files also live under
+    Hive-style partition directories — the map is what predicate pruning
+    evaluates against, exactly like the reference evaluates
+    ``Cast(partitionValues[name], dt)`` (client/.../RemoteDeltaFileIndex.scala:96-101).
+
+    ``stats`` is a JSON string with numRecords / minValues / maxValues /
+    nullCount mirroring the data schema (PROTOCOL.md:3908-4013).
+    """
+
+    path: str
+    partitionValues: dict[str, str] = field(default_factory=dict)
+    size: int = 0
+    stats: str | None = None
+    dataChange: bool = True
+    version: int | None = None
+    timestamp: int | None = None
+
+    def wrap(self) -> dict[str, Any]:
+        return {"add": asdict(self)}
+
+    def stats_dict(self) -> dict[str, Any]:
+        if not self.stats:
+            return {}
+        try:
+            return json.loads(self.stats)
+        except (ValueError, TypeError):
+            return {}
+
+    @property
+    def num_records(self) -> int | None:
+        n = self.stats_dict().get("numRecords")
+        return int(n) if n is not None else None
+
+
+@dataclass
+class RemoveFile:
+    """A data file removed at some version (PROTOCOL.md:3706-3734)."""
+
+    path: str
+    partitionValues: dict[str, str] = field(default_factory=dict)
+    size: int = 0
+    dataChange: bool = True
+    version: int | None = None
+    timestamp: int | None = None
+
+    def wrap(self) -> dict[str, Any]:
+        return {"remove": asdict(self)}
+
+
+@dataclass
+class AddCDCFile:
+    """A change-data file (PROTOCOL.md:3677-3705) — rows carry their own
+    ``_change_type`` column including update_preimage/update_postimage."""
+
+    path: str
+    partitionValues: dict[str, str] = field(default_factory=dict)
+    size: int = 0
+    version: int | None = None
+    timestamp: int | None = None
+
+    def wrap(self) -> dict[str, Any]:
+        return {"cdc": asdict(self)}
+
+
+@dataclass
+class CommitInfo:
+    """Operation provenance per version (used for timestamp->version maps,
+    ref server/.../DeltaSharingHistoryManager.scala:47-115)."""
+
+    version: int
+    timestamp: int
+    operation: str
+    operationParameters: dict[str, str] = field(default_factory=dict)
+    operationMetrics: dict[str, str] = field(default_factory=dict)
+
+    def wrap(self) -> dict[str, Any]:
+        return {"commitInfo": asdict(self)}
+
+
+_ACTION_TYPES = {
+    "protocol": Protocol,
+    "metaData": Metadata,
+    "add": AddFile,
+    "remove": RemoveFile,
+    "cdc": AddCDCFile,
+    "commitInfo": CommitInfo,
+}
+
+Action = Protocol | Metadata | AddFile | RemoveFile | AddCDCFile | CommitInfo
+
+
+def parse_action(line: str) -> Action | None:
+    """Parse one NDJSON action line (single-key wrapper, PROTOCOL.md:3537-3548)."""
+    obj = json.loads(line)
+    for key, cls in _ACTION_TYPES.items():
+        if key in obj:
+            return cls(**obj[key])
+    return None
+
+
+def dumps_action(action: Action) -> str:
+    return json.dumps(action.wrap(), separators=(",", ":"), default=str)

@@ -1,0 +1,572 @@
+"""TableLog — a versioned commit log over Parquet, Spark-first.
+
+Re-implements the reference's table model (a Delta log of add/remove/cdc
+actions, SURVEY.md §1.2) as a minimal native log:
+
+    table_dir/
+      _dsl_log/00000000000000000000.json   # NDJSON actions, one file/version
+      data/<hive partition dirs>/part-*.parquet
+      _change_data/cdc-*.parquet           # CDF files (update pre/post images)
+
+Design decisions vs the reference:
+
+- Data files live under **Hive-style partition directories** written by
+  ``df.write.partitionBy(...)`` so Spark's native partition discovery and
+  pruning apply; the log additionally records the reference's string-
+  serialized ``partitionValues`` map (PROTOCOL.md:3896-3906) for the
+  metadata-plane pruning path.
+- Per-file stats come from Parquet footers (plans/stats.py), not a re-scan.
+- Commit = write one NDJSON file at the next version (atomic rename); commit
+  timestamps are monotonized like the reference's history manager
+  (server/.../DeltaSharingHistoryManager.scala:93-104: equal/backward clocks
+  get +1ms) so timestamp->version resolution is well-defined.
+
+Write operations (create/append/overwrite/delete/update) exist so tests can
+build versioned/CDF/streaming fixtures; they are driver-light — all row work
+happens in Spark jobs, only file manifests touch the driver. The manifest
+itself is exposed as a DataFrame (``files_df``) so file-level pruning also
+scales out on a cluster with millions of files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_sharing_spark.plans.actions import (
+    Action,
+    AddCDCFile,
+    AddFile,
+    CommitInfo,
+    Metadata,
+    Protocol,
+    RemoveFile,
+    dumps_action,
+    parse_action,
+)
+from delta_sharing_spark.plans.stats import collect_file_stats
+
+LOG_DIR = "_dsl_log"
+DATA_DIR = "data"
+CDC_DIR = "_change_data"
+
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+COMMIT_TIMESTAMP_COL = "_commit_timestamp"
+
+
+class TableNotFoundError(Exception):
+    pass
+
+
+class VersionNotFoundError(Exception):
+    pass
+
+
+def _fmt_version(v: int) -> str:
+    return f"{v:020d}.json"
+
+
+def serialize_partition_value(value) -> str:
+    """String-serialize a partition value; empty string = null
+    (PROTOCOL.md:3896-3906)."""
+    if value is None:
+        return ""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
+@dataclass
+class Commit:
+    version: int
+    timestamp: int
+    metadata: Metadata | None
+    adds: list[AddFile]
+    removes: list[RemoveFile]
+    cdc: list[AddCDCFile]
+    info: CommitInfo | None
+
+
+class Snapshot:
+    """Resolved state of the table at one version: metadata + active files."""
+
+    def __init__(self, version: int, timestamp: int, metadata: Metadata,
+                 files: list[AddFile]):
+        self.version = version
+        self.timestamp = timestamp
+        self.metadata = metadata
+        self.files = files
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.metadata.schemaString))
+
+    @property
+    def partition_columns(self) -> list[str]:
+        return list(self.metadata.partitionColumns)
+
+
+class TableLog:
+    """The commit log for one table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.log_path = os.path.join(self.path, LOG_DIR)
+        self.data_path = os.path.join(self.path, DATA_DIR)
+        self.cdc_path = os.path.join(self.path, CDC_DIR)
+
+    # ------------------------------------------------------------------ read
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_path) and bool(self._list_versions())
+
+    def _list_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_path):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.log_path)
+            if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        versions = self._list_versions()
+        if not versions:
+            raise TableNotFoundError(f"no log at {self.log_path}")
+        return versions[-1]
+
+    def read_commit(self, version: int) -> Commit:
+        fp = os.path.join(self.log_path, _fmt_version(version))
+        if not os.path.isfile(fp):
+            raise VersionNotFoundError(f"version {version} not in {self.log_path}")
+        metadata, adds, removes, cdc, info = None, [], [], [], None
+        with open(fp) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = parse_action(line)
+                if isinstance(action, Metadata):
+                    metadata = action
+                elif isinstance(action, AddFile):
+                    adds.append(action)
+                elif isinstance(action, RemoveFile):
+                    removes.append(action)
+                elif isinstance(action, AddCDCFile):
+                    cdc.append(action)
+                elif isinstance(action, CommitInfo):
+                    info = action
+        ts = info.timestamp if info else 0
+        return Commit(version, ts, metadata, adds, removes, cdc, info)
+
+    def commits(self, start: int = 0, end: int | None = None) -> list[Commit]:
+        versions = self._list_versions()
+        if end is not None:
+            versions = [v for v in versions if v <= end]
+        return [self.read_commit(v) for v in versions if v >= start]
+
+    def snapshot(self, version: int | None = None,
+                 timestamp: str | int | None = None) -> Snapshot:
+        """Snapshot resolution. Precedence and semantics follow the reference
+        (server/.../DeltaSharedTable.scala:383-414): explicit version wins;
+        a timestamp resolves to the **latest version with commit ts <= t**
+        (Delta ``timestampAsOf``); default = latest."""
+        if version is not None and timestamp is not None:
+            raise ValueError("specify at most one of version/timestamp")
+        if version is None:
+            if timestamp is not None:
+                version = self.version_at_timestamp(timestamp)
+            else:
+                version = self.latest_version()
+        elif version < 0 or version > self.latest_version():
+            raise VersionNotFoundError(
+                f"version {version} not in [0, {self.latest_version()}]"
+            )
+        metadata: Metadata | None = None
+        active: dict[str, AddFile] = {}
+        ts = 0
+        for commit in self.commits(0, version):
+            if commit.metadata is not None:
+                metadata = commit.metadata
+            for rm in commit.removes:
+                active.pop(rm.path, None)
+            for add in commit.adds:
+                add.version = commit.version
+                add.timestamp = commit.timestamp
+                active[add.path] = add
+            ts = commit.timestamp
+        if metadata is None:
+            raise TableNotFoundError(f"no metadata through version {version}")
+        files = sorted(active.values(), key=lambda a: a.path)
+        return Snapshot(version, ts, metadata, files)
+
+    # --------------------------------------------------- timestamp resolution
+
+    def _version_timestamps(self) -> list[tuple[int, int]]:
+        return [(c.version, c.timestamp) for c in self.commits()]
+
+    @staticmethod
+    def _parse_ts_millis(timestamp: str | int) -> int:
+        if isinstance(timestamp, (int, float)):
+            return int(timestamp)
+        import datetime as _dt
+
+        s = str(timestamp).replace("T", " ")
+        dt = _dt.datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        return int(dt.timestamp() * 1000)
+
+    def version_at_timestamp(self, timestamp: str | int) -> int:
+        """Latest version whose commit timestamp <= t (snapshot time travel)."""
+        t = self._parse_ts_millis(timestamp)
+        best = None
+        for v, ts in self._version_timestamps():
+            if ts <= t:
+                best = v
+        if best is None:
+            raise VersionNotFoundError(
+                f"timestamp {timestamp} is before the table's first commit"
+            )
+        return best
+
+    def earliest_version_at_or_after(self, timestamp: str | int) -> int:
+        """Exact-match commit, else earliest commit after t — the reference's
+        CDF / startingTimestamp rule (server/.../DeltaSharingCDCReader.scala:96-137,
+        DeltaSharedTable.scala:143-166)."""
+        t = self._parse_ts_millis(timestamp)
+        for v, ts in self._version_timestamps():
+            if ts >= t:
+                return v
+        raise VersionNotFoundError(f"no version at or after timestamp {timestamp}")
+
+    # ------------------------------------------------------------- manifests
+
+    def files_df(self, snapshot: Snapshot) -> DataFrame:
+        """The file manifest as a DataFrame — the engine's scale path for
+        file-level pruning: at millions of files the prune itself must be a
+        Spark job, not a driver loop (the reference caps pages at 10k files
+        for the same reason, ServerConfig.scala:93)."""
+        rows = []
+        for add in snapshot.files:
+            st = add.stats_dict()
+            rows.append(
+                (
+                    add.path,
+                    add.partitionValues,
+                    add.size,
+                    st.get("numRecords"),
+                    json.dumps(st.get("minValues", {}), default=str),
+                    json.dumps(st.get("maxValues", {}), default=str),
+                    json.dumps(st.get("nullCount", {}), default=str),
+                    add.version,
+                    add.timestamp,
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
+                T.StructField("size", T.LongType()),
+                T.StructField("numRecords", T.LongType()),
+                T.StructField("minValues", T.StringType()),
+                T.StructField("maxValues", T.StringType()),
+                T.StructField("nullCount", T.StringType()),
+                T.StructField("version", T.LongType()),
+                T.StructField("timestamp", T.LongType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def abs_path(self, rel: str) -> str:
+        return os.path.join(self.path, rel)
+
+    # ------------------------------------------------------------------ write
+
+    def _next_commit_timestamp(self) -> int:
+        """Monotonized commit timestamps: never <= the previous commit's
+        (ref DeltaSharingHistoryManager monotonization of commit timestamps)."""
+        now = int(time.time() * 1000)
+        versions = self._list_versions()
+        if versions:
+            prev = self.read_commit(versions[-1]).timestamp
+            if now <= prev:
+                now = prev + 1
+        return now
+
+    def _write_commit(self, version: int, actions: list[Action]) -> None:
+        os.makedirs(self.log_path, exist_ok=True)
+        final = os.path.join(self.log_path, _fmt_version(version))
+        if os.path.exists(final):
+            raise ValueError(f"version {version} already committed")
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            for action in actions:
+                f.write(dumps_action(action) + "\n")
+        os.rename(tmp, final)
+
+    def _stage_dataframe(
+        self, df: DataFrame, partition_columns: list[str], target_dir: str,
+        prefix: str = "",
+    ) -> list[tuple[str, dict[str, str], int, str]]:
+        """Write ``df`` into ``target_dir`` via a staging dir; return
+        ``(rel_path, partitionValues, size, stats_json)`` per new file.
+
+        Spark writes globally-unique part file names, so moving staged files
+        into the shared data dir is collision-free — the same
+        write-then-commit pattern Delta uses for ACID appends.
+        """
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_columns:
+            writer = writer.partitionBy(*partition_columns)
+        writer.parquet(staging)
+
+        out: list[tuple[str, dict[str, str], int, str]] = []
+        base_rel = os.path.relpath(target_dir, self.path)
+        for root, _dirs, files in os.walk(staging):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, fn)
+                rel_under = os.path.relpath(src, staging)
+                part_values: dict[str, str] = {}
+                for comp in rel_under.split(os.sep)[:-1]:
+                    if "=" in comp:
+                        k, v = comp.split("=", 1)
+                        part_values[k] = (
+                            "" if v == "__HIVE_DEFAULT_PARTITION__" else v
+                        )
+                dest_name = prefix + fn if prefix else fn
+                dest_rel_under = os.path.join(
+                    os.path.dirname(rel_under), dest_name
+                )
+                dest = os.path.join(target_dir, dest_rel_under)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                shutil.move(src, dest)
+                _n, stats_json = collect_file_stats(dest)
+                size = os.path.getsize(dest)
+                out.append(
+                    (os.path.join(base_rel, dest_rel_under), part_values, size,
+                     stats_json)
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        return sorted(out)
+
+    def create(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        name: str | None = None,
+        description: str | None = None,
+        configuration: dict[str, str] | None = None,
+    ) -> int:
+        if self.exists():
+            raise ValueError(f"table already exists at {self.path}")
+        partition_by = partition_by or []
+        ts = self._next_commit_timestamp()
+        metadata = Metadata(
+            id=uuid.uuid4().hex,
+            name=name,
+            description=description,
+            schemaString=df.schema.json(),
+            partitionColumns=partition_by,
+            configuration=configuration or {},
+            createdTime=ts,
+        )
+        staged = self._stage_dataframe(df, partition_by, self.data_path)
+        actions: list[Action] = [Protocol(), metadata]
+        actions += [
+            AddFile(path=p, partitionValues=pv, size=sz, stats=st)
+            for p, pv, sz, st in staged
+        ]
+        actions.append(
+            CommitInfo(version=0, timestamp=ts, operation="CREATE TABLE",
+                       operationMetrics={"numFiles": str(len(staged))})
+        )
+        self._write_commit(0, actions)
+        return 0
+
+    def append(self, df: DataFrame, max_files: int | None = None) -> int:
+        snap = self.snapshot()
+        version = snap.version + 1
+        ts = self._next_commit_timestamp()
+        data = df
+        if max_files:
+            data = df.repartition(max_files)
+        staged = self._stage_dataframe(data, snap.partition_columns, self.data_path)
+        actions: list[Action] = [
+            AddFile(path=p, partitionValues=pv, size=sz, stats=st)
+            for p, pv, sz, st in staged
+        ]
+        actions.append(
+            CommitInfo(version=version, timestamp=ts, operation="WRITE",
+                       operationMetrics={"numFiles": str(len(staged))})
+        )
+        self._write_commit(version, actions)
+        return version
+
+    def update_metadata(self, schema: T.StructType | None = None,
+                        configuration: dict[str, str] | None = None) -> int:
+        """Commit a metadata-only change (schema evolution / config change) —
+        streaming reads gate on read-compatibility of these
+        (client/.../spark/util/SchemaUtils.scala:37-90)."""
+        snap = self.snapshot()
+        version = snap.version + 1
+        ts = self._next_commit_timestamp()
+        meta = snap.metadata
+        new_meta = Metadata(
+            id=meta.id,
+            name=meta.name,
+            description=meta.description,
+            format=meta.format,
+            schemaString=schema.json() if schema is not None else meta.schemaString,
+            partitionColumns=meta.partitionColumns,
+            configuration=configuration if configuration is not None
+            else meta.configuration,
+            createdTime=meta.createdTime,
+        )
+        actions: list[Action] = [
+            new_meta,
+            CommitInfo(version=version, timestamp=ts, operation="SET METADATA"),
+        ]
+        self._write_commit(version, actions)
+        return version
+
+    # ------------------------------------------------- row-mutating commits
+
+    def _read_files(self, snapshot: Snapshot, files: list[AddFile]) -> DataFrame:
+        paths = [self.abs_path(a.path) for a in files]
+        reader = self.spark.read.option("basePath", self.data_path)
+        return reader.parquet(*paths)
+
+    def delete(self, condition: Column | str) -> int:
+        """DELETE WHERE: rewrite files containing matches; emit remove+add
+        actions and (if CDF enabled) a cdc file of deleted rows — the
+        reference *infers* delete change-type from remove actions when no cdc
+        file exists (python/delta_sharing/protocol.py:289-368); we write real
+        cdc files like Delta does for DELETE."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        snap = self.snapshot()
+        version = snap.version + 1
+        ts = self._next_commit_timestamp()
+
+        touched: list[AddFile] = []
+        full = self._read_files(snap, snap.files).withColumn(
+            "__file", F.input_file_name()
+        )
+        hit_files = {
+            os.path.relpath(r["f"], self.path)
+            for r in full.filter(cond).select(
+                F.regexp_replace(F.col("__file"), "^file:", "").alias("f")
+            ).distinct().collect()
+        }
+        touched = [a for a in snap.files if a.path in hit_files]
+        actions: list[Action] = []
+        n_deleted = 0
+        if touched:
+            touched_df = self._read_files(snap, touched)
+            keep = touched_df.filter(~cond | cond.isNull())
+            deleted = touched_df.filter(cond)
+            n_deleted = deleted.count()
+            staged = self._stage_dataframe(keep, snap.partition_columns,
+                                           self.data_path)
+            actions += [
+                AddFile(path=p, partitionValues=pv, size=sz, stats=st)
+                for p, pv, sz, st in staged
+            ]
+            actions += [
+                RemoveFile(path=a.path, partitionValues=a.partitionValues,
+                           size=a.size)
+                for a in touched
+            ]
+            if snap.metadata.cdf_enabled and n_deleted:
+                cdc_rows = deleted.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+                staged_cdc = self._stage_dataframe(
+                    cdc_rows, [], self.cdc_path, prefix="cdc-"
+                )
+                actions += [
+                    AddCDCFile(path=p, partitionValues=pv, size=sz)
+                    for p, pv, sz, _st in staged_cdc
+                ]
+        actions.append(
+            CommitInfo(version=version, timestamp=ts, operation="DELETE",
+                       operationMetrics={"numDeletedRows": str(n_deleted)})
+        )
+        self._write_commit(version, actions)
+        return version
+
+    def update(self, set_exprs: dict[str, Column | str],
+               condition: Column | str) -> int:
+        """UPDATE SET ... WHERE: rewrite matched files; CDF gets
+        update_preimage/update_postimage rows (PROTOCOL.md CDF columns;
+        golden shape python/delta_sharing/tests/test_delta_sharing.py:1380-1400)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        sets = {
+            k: (F.expr(v) if isinstance(v, str) else v)
+            for k, v in set_exprs.items()
+        }
+        snap = self.snapshot()
+        version = snap.version + 1
+        ts = self._next_commit_timestamp()
+
+        full = self._read_files(snap, snap.files).withColumn(
+            "__file", F.input_file_name()
+        )
+        hit_files = {
+            os.path.relpath(r["f"], self.path)
+            for r in full.filter(cond).select(
+                F.regexp_replace(F.col("__file"), "^file:", "").alias("f")
+            ).distinct().collect()
+        }
+        touched = [a for a in snap.files if a.path in hit_files]
+        actions: list[Action] = []
+        n_updated = 0
+        if touched:
+            touched_df = self._read_files(snap, touched)
+            pre = touched_df.filter(cond)
+            n_updated = pre.count()
+            post = pre
+            for col_name, expr in sets.items():
+                post = post.withColumn(col_name, expr)
+            rewritten = touched_df.filter(~cond | cond.isNull()).unionByName(post)
+            staged = self._stage_dataframe(rewritten, snap.partition_columns,
+                                           self.data_path)
+            actions += [
+                AddFile(path=p, partitionValues=pv, size=sz, stats=st)
+                for p, pv, sz, st in staged
+            ]
+            actions += [
+                RemoveFile(path=a.path, partitionValues=a.partitionValues,
+                           size=a.size)
+                for a in touched
+            ]
+            if snap.metadata.cdf_enabled and n_updated:
+                cdc_rows = pre.withColumn(
+                    CHANGE_TYPE_COL, F.lit("update_preimage")
+                ).unionByName(
+                    post.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+                )
+                staged_cdc = self._stage_dataframe(
+                    cdc_rows, [], self.cdc_path, prefix="cdc-"
+                )
+                actions += [
+                    AddCDCFile(path=p, partitionValues=pv, size=sz)
+                    for p, pv, sz, _st in staged_cdc
+                ]
+        actions.append(
+            CommitInfo(version=version, timestamp=ts, operation="UPDATE",
+                       operationMetrics={"numUpdatedRows": str(n_updated)})
+        )
+        self._write_commit(version, actions)
+        return version

@@ -1,0 +1,302 @@
+"""JSON predicate trees -> Catalyst Columns, and stats-based file skipping.
+
+The reference evaluates predicates over file metadata in three ways
+(SURVEY.md §2.3):
+
+1. SQL ``predicateHints`` parsed with SparkSqlParser and interpreted over
+   each AddFile's partitionValues (server/.../PartitionFilterUtils.scala:37-142);
+2. ``jsonPredicateHints`` V1 — a JSON op tree over partition columns
+   (server/.../common/JsonPredicates.scala:203-363);
+3. ``jsonPredicateHints`` V2 — adds min/max-stats skipping for data columns
+   with **three-valued logic** so missing stats or eval errors never wrongly
+   skip a file (server/.../JsonPredicateEvaluatorV2.scala:88-464,
+   ColumnRange.scala:70-174).
+
+Our Spark-first take: translate the op tree 1:1 into Catalyst ``Column``s and
+run the prune as a DataFrame filter over the file manifest. SQL NULL already
+IS the reference's Unknown — ``keep = NOT (pred <=> FALSE)`` reproduces the
+V2 truth tables with zero custom logic, and the whole prune scales out as a
+Spark job instead of a driver loop.
+
+Op vocabulary (PROTOCOL.md:4157-4258): leaves ``column``/``literal``; unary
+``isNull``/``not``; binary ``equal``/``lessThan``/``lessThanOrEqual``/
+``greaterThan``/``greaterThanOrEqual``; n-ary ``and``/``or``. Value types:
+bool, int, long, string, date (+ float, double, timestamp in V2).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# hardcoded limits, ref server/.../JsonPredicateFilterUtils.scala:33-34
+MAX_PREDICATE_BYTES = 1024 * 1024
+MAX_PREDICATE_DEPTH = 100
+
+VALID_TYPES = {"bool", "int", "long", "string", "date", "float", "double",
+               "timestamp"}
+
+_SPARK_CAST = {
+    "bool": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "string": "string",
+    "date": "date",
+    "float": "float",
+    "double": "double",
+    "timestamp": "timestamp",
+}
+
+_BINARY_OPS = {
+    "equal": lambda a, b: a == b,
+    "lessThan": lambda a, b: a < b,
+    "lessThanOrEqual": lambda a, b: a <= b,
+    "greaterThan": lambda a, b: a > b,
+    "greaterThanOrEqual": lambda a, b: a >= b,
+}
+
+
+class PredicateError(ValueError):
+    pass
+
+
+def validate_tree(op: dict[str, Any], depth: int = 0) -> None:
+    """Structural validation, ref JsonPredicates.scala:40-61 (op validation)
+    and the size/depth caps in JsonPredicateFilterUtils.scala:33-34."""
+    if depth > MAX_PREDICATE_DEPTH:
+        raise PredicateError(f"predicate tree deeper than {MAX_PREDICATE_DEPTH}")
+    if not isinstance(op, dict) or "op" not in op:
+        raise PredicateError(f"malformed op node: {op!r}")
+    kind = op["op"]
+    children = op.get("children", [])
+    if kind == "column":
+        if not op.get("name") or op.get("valueType") not in VALID_TYPES:
+            raise PredicateError(f"bad column op: {op!r}")
+    elif kind == "literal":
+        if "value" not in op or op.get("valueType") not in VALID_TYPES:
+            raise PredicateError(f"bad literal op: {op!r}")
+    elif kind in ("isNull", "not"):
+        if len(children) != 1:
+            raise PredicateError(f"{kind} takes exactly 1 child")
+    elif kind in _BINARY_OPS:
+        if len(children) != 2:
+            raise PredicateError(f"{kind} takes exactly 2 children")
+    elif kind in ("and", "or"):
+        if len(children) < 2:
+            raise PredicateError(f"{kind} takes >=2 children")
+    else:
+        raise PredicateError(f"unknown op {kind!r}")
+    for child in children:
+        validate_tree(child, depth + 1)
+
+
+def parse_predicate(hints: str | dict[str, Any]) -> dict[str, Any]:
+    if isinstance(hints, str):
+        if len(hints.encode()) > MAX_PREDICATE_BYTES:
+            raise PredicateError("predicate exceeds 1MB limit")
+        hints = json.loads(hints)
+    validate_tree(hints)
+    return hints
+
+
+def _leaf_column(op: dict[str, Any], partition_columns: set[str],
+                 data_accessor) -> Column | None:
+    """Resolve a column leaf to a Column, or None when unresolvable
+    (non-partition column in a V1/partition-only context)."""
+    name, vtype = op["name"], op["valueType"]
+    if name in partition_columns:
+        # string-serialized partition value, "" == null (PROTOCOL.md:3896-3906)
+        raw = F.col("partitionValues").getItem(name)
+        raw = F.when(raw == "", F.lit(None)).otherwise(raw)
+        return raw.cast(_SPARK_CAST[vtype])
+    if data_accessor is not None:
+        return data_accessor(name, vtype)
+    return None
+
+
+def to_column(op: dict[str, Any], partition_columns: set[str],
+              data_accessor=None) -> Column | None:
+    """Translate an op tree to a Catalyst Column over the file manifest.
+
+    Returns None for subtrees that reference unresolvable columns — callers
+    treat None as "cannot prune on this subtree" which reproduces the
+    reference's safe partial-pruning (client/.../filters/UnsupportedOpPruner.scala:
+    AND may drop a child; OR/NOT with an unsupported child is poisoned).
+    """
+    kind = op["op"]
+    if kind == "column":
+        return _leaf_column(op, partition_columns, data_accessor)
+    if kind == "literal":
+        return F.lit(op["value"]).cast(_SPARK_CAST[op["valueType"]])
+    children = op.get("children", [])
+    if kind == "and":
+        cols = [to_column(c, partition_columns, data_accessor) for c in children]
+        cols = [c for c in cols if c is not None]  # drop unsupported conjuncts
+        if not cols:
+            return None
+        out = cols[0]
+        for c in cols[1:]:
+            out = out & c
+        return out
+    if kind == "or":
+        cols = [to_column(c, partition_columns, data_accessor) for c in children]
+        if any(c is None for c in cols):  # OR poisoned by unsupported child
+            return None
+        out = cols[0]
+        for c in cols[1:]:
+            out = out | c
+        return out
+    if kind == "not":
+        inner = to_column(children[0], partition_columns, data_accessor)
+        return None if inner is None else ~inner
+    if kind == "isNull":
+        inner = to_column(children[0], partition_columns, data_accessor)
+        return None if inner is None else inner.isNull()
+    if kind in _BINARY_OPS:
+        left = to_column(children[0], partition_columns, data_accessor)
+        right = to_column(children[1], partition_columns, data_accessor)
+        if left is None or right is None:
+            return None
+        return _BINARY_OPS[kind](left, right)
+    raise PredicateError(f"unknown op {kind!r}")
+
+
+def _json_stat(col: str, name: str, vtype: str) -> Column:
+    """Extract a typed stat from the minValues/maxValues JSON strings in the
+    manifest DataFrame; absent key -> NULL (Unknown)."""
+    raw = F.get_json_object(F.col(col), f"$['{name}']")
+    return raw.cast(_SPARK_CAST[vtype])
+
+
+def _rewrite_for_stats(op: dict[str, Any], partition_columns: set[str]) -> Column | None:
+    """Rewrite one op tree into a 'file may contain matching rows' Column
+    using partition values exactly and data columns via min/max ranges.
+
+    Three-valued logic comes free: any NULL stat propagates to NULL, and the
+    caller keeps NULL files (never skip on Unknown —
+    JsonPredicateEvaluatorV2.scala:20-52).
+    """
+    kind = op["op"]
+    children = op.get("children", [])
+
+    def col_of(node):
+        return to_column(node, partition_columns)
+
+    if kind in _BINARY_OPS:
+        left, right = children
+        # only column-vs-literal / literal-vs-column rewrites are safe
+        if left.get("op") == "column" and right.get("op") == "literal":
+            colname, vtype = left["name"], left["valueType"]
+            lit = F.lit(right["value"]).cast(_SPARK_CAST[right["valueType"]])
+        elif left.get("op") == "literal" and right.get("op") == "column":
+            # normalize literal-op-column to column-op'-literal
+            flip = {"lessThan": "greaterThan", "greaterThan": "lessThan",
+                    "lessThanOrEqual": "greaterThanOrEqual",
+                    "greaterThanOrEqual": "lessThanOrEqual", "equal": "equal"}
+            return _rewrite_for_stats(
+                {"op": flip[kind], "children": [right, left]}, partition_columns
+            )
+        else:
+            return None
+        if colname in partition_columns:
+            pcol = col_of(left)
+            return _BINARY_OPS[kind](pcol, lit)
+        mn = _json_stat("minValues", colname, vtype)
+        mx = _json_stat("maxValues", colname, vtype)
+        if kind == "equal":
+            return (mn <= lit) & (mx >= lit)
+        if kind == "lessThan":
+            return mn < lit
+        if kind == "lessThanOrEqual":
+            return mn <= lit
+        if kind == "greaterThan":
+            return mx > lit
+        if kind == "greaterThanOrEqual":
+            return mx >= lit
+    if kind == "isNull":
+        child = children[0]
+        if child.get("op") != "column":
+            return None
+        name = child["name"]
+        if name in partition_columns:
+            inner = col_of(child)
+            return inner.isNull()
+        return F.get_json_object(F.col("nullCount"), f"$['{name}']").cast("long") > 0
+    if kind == "and":
+        cols = [_rewrite_for_stats(c, partition_columns) for c in children]
+        cols = [c for c in cols if c is not None]
+        if not cols:
+            return None
+        out = cols[0]
+        for c in cols[1:]:
+            # Unknown AND False must be False: SQL NULL AND FALSE = FALSE. ✔
+            out = out & c
+        return out
+    if kind == "or":
+        cols = [_rewrite_for_stats(c, partition_columns) for c in children]
+        if any(c is None for c in cols):
+            return None  # poisoned (UnsupportedOpPruner semantics)
+        out = cols[0]
+        for c in cols[1:]:
+            out = out | c
+        return out
+    if kind == "not":
+        # NOT over a range rewrite is NOT sound (rewrite is an over-approx);
+        # only safe over partition-exact subtrees.
+        inner = to_column(children[0], partition_columns)
+        return None if inner is None else ~inner
+    if kind in ("column", "literal"):
+        return col_of(op)
+    return None
+
+
+def file_keep_condition(hints: str | dict[str, Any],
+                        partition_columns: list[str]) -> Column:
+    """Return a Column over the manifest DataFrame that is FALSE only for
+    files that provably contain no matching rows.
+
+    ``NOT (pred <=> FALSE)`` keeps files whose predicate evaluates TRUE or
+    NULL/Unknown — the reference's "never wrongly skip" contract. If the
+    whole tree is unsupported, keep everything (best-effort, like the
+    reference skipping non-parsable hints, PartitionFilterUtils.scala:131-140).
+    """
+    tree = parse_predicate(hints)
+    cond = _rewrite_for_stats(tree, set(partition_columns))
+    if cond is None:
+        return F.lit(True)
+    return ~cond.eqNullSafe(F.lit(False))
+
+
+def sql_hint_keep_condition(hint: str, partition_columns: list[str],
+                            schema) -> Column | None:
+    """SQL predicateHints path (ref PartitionFilterUtils.scala:37-142): accept
+    a restricted SQL expression over **partition columns only** and evaluate
+    it against partitionValues with declared-type casts. Non-parsable or
+    non-partition references -> None (hint skipped, best-effort)."""
+    try:
+        expr = F.expr(hint)
+    except Exception:
+        return None
+    # resolve attribute references: rewrite c -> cast(partitionValues[c], dt)
+    import re
+
+    type_of = {f.name: f.dataType.simpleString() for f in schema.fields}
+    cols = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", hint))
+    refs = [c for c in cols if c in type_of]
+    if not refs or any(c not in partition_columns for c in refs):
+        return None
+    rewritten = hint
+    for c in sorted(refs, key=len, reverse=True):
+        rewritten = re.sub(
+            rf"\b{re.escape(c)}\b",
+            f"cast(nullif(partitionValues['{c}'], '') as {type_of[c]})",
+            rewritten,
+        )
+    try:
+        cond = F.expr(rewritten)
+    except Exception:
+        return None
+    return ~cond.eqNullSafe(F.lit(False))

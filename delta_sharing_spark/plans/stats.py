@@ -1,0 +1,76 @@
+"""Per-file statistics from Parquet footers.
+
+The reference ships per-file ``stats`` JSON (numRecords / minValues /
+maxValues / nullCount, PROTOCOL.md:3908-4013) that powers V2 stats-based file
+skipping (server/.../JsonPredicateEvaluatorV2.scala). We derive the same
+stats from Parquet footer metadata — no second data scan, which is the only
+approach that holds at 100 TB: footers are O(KB) per file regardless of file
+size, and collection parallelizes per file.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import math
+from typing import Any
+
+import pyarrow.parquet as pq
+
+
+def _to_jsonable(value: Any) -> Any:
+    """Serialize a stats value the way the reference serializes partition
+    values / stats: ISO strings for dates and timestamps (PROTOCOL.md:3896-3906)."""
+    if isinstance(value, _dt.datetime):
+        return value.isoformat(sep=" ")
+    if isinstance(value, _dt.date):
+        return value.isoformat()
+    if isinstance(value, bytes):
+        try:
+            return value.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(value, float) and (math.isnan(value) or math.isinf(value)):
+        return None
+    return value
+
+
+def collect_file_stats(file_path: str) -> tuple[int, str]:
+    """Return ``(size_hint_rows, stats_json)`` for one parquet file.
+
+    min/max are aggregated across row groups; columns whose footer lacks
+    statistics simply do not appear in minValues/maxValues — the pruning layer
+    treats missing stats as Unknown and never skips on them
+    (ref JsonPredicateEvaluatorV2.scala:20-52 three-valued logic).
+    """
+    meta = pq.ParquetFile(file_path).metadata
+    num_records = meta.num_rows
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    nulls: dict[str, int] = {}
+    ncols = meta.num_columns
+    for rg_idx in range(meta.num_row_groups):
+        rg = meta.row_group(rg_idx)
+        for c_idx in range(ncols):
+            col = rg.column(c_idx)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: skip (pruning on top-level only)
+                continue
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if st.has_min_max:
+                mn, mx = _to_jsonable(st.min), _to_jsonable(st.max)
+                if mn is not None:
+                    mins[name] = mn if name not in mins else min(mins[name], mn)
+                if mx is not None:
+                    maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    stats = {
+        "numRecords": num_records,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
+    return num_records, json.dumps(stats, separators=(",", ":"), default=str)

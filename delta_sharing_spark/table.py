@@ -1,0 +1,227 @@
+"""SharedTable — snapshot reads with pruning, stats skipping and limit hints.
+
+Re-expresses the reference's QueryTable pipeline
+(server/.../DeltaSharedTable.scala:338-556: snapshot resolve -> json predicate
+filter -> SQL hint filter -> limit -> page) as DataFrame operations:
+
+- snapshot resolution / time travel  -> TableLog.snapshot(version|timestamp)
+- jsonPredicateHints (V1+V2 stats)   -> manifest filter (plans/predicates.py)
+- predicateHints (SQL, partitions)   -> manifest filter
+- limitHint                          -> running-sum cutoff over numRecords
+                                        (ref DeltaSharedTableKernel.scala:446-449)
+- file list -> DataFrame             -> spark.read.parquet(files, basePath=...)
+                                        with Hive partition discovery, then
+                                        projection normalization (cast to the
+                                        declared schema, null-fill missing
+                                        columns, schema column order — ref
+                                        python/delta_sharing/reader.py:630-674)
+
+Scale notes (100 TB): the manifest prune is itself a DataFrame job, so a
+table with millions of files prunes in parallel; the data scan is a plain
+parquet scan, so Catalyst pushes row-level filters/projections into the
+vectorized reader on top of our file-level prune.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_sharing_spark.plans.log import Snapshot, TableLog
+from delta_sharing_spark.plans.predicates import (
+    file_keep_condition,
+    sql_hint_keep_condition,
+)
+
+
+class SharedTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.log = TableLog(spark, path)
+
+    # ----------------------------------------------------------- metadata API
+
+    def version(self, starting_timestamp: str | None = None) -> int:
+        """QueryTableVersion (ref DeltaSharedTable.scala:143-166): latest
+        version, or the earliest version at/after ``starting_timestamp``."""
+        if starting_timestamp is None:
+            return self.log.latest_version()
+        return self.log.earliest_version_at_or_after(starting_timestamp)
+
+    def metadata(self, version: int | None = None,
+                 timestamp: str | None = None) -> dict[str, Any]:
+        """QueryTableMetadata (ref DeltaSharedTable.scala:316-366 service path,
+        query with includeFiles=false)."""
+        snap = self.log.snapshot(version=version, timestamp=timestamp)
+        meta = snap.metadata
+        return {
+            "id": meta.id,
+            "name": meta.name,
+            "format": meta.format,
+            "schemaString": meta.schemaString,
+            "partitionColumns": meta.partitionColumns,
+            "configuration": meta.configuration,
+            "version": snap.version,
+            "numFiles": len(snap.files),
+            "size": sum(f.size for f in snap.files),
+        }
+
+    # ---------------------------------------------------------------- pruning
+
+    def pruned_files(
+        self,
+        snapshot: Snapshot,
+        json_predicate_hints: str | dict | None = None,
+        predicate_hints: list[str] | None = None,
+        limit_hint: int | None = None,
+    ) -> list[str]:
+        """Run the metadata-plane prune; returns kept file paths (relative).
+
+        Order mirrors the reference: json predicates (stats + partitions,
+        Unknown keeps) -> SQL hints (partitions only, best-effort) -> limit
+        cutoff on cumulative numRecords. The prune runs as a DataFrame job
+        over the manifest — driver never loops over files.
+        """
+        manifest = self.log.files_df(snapshot)
+        pcols = snapshot.partition_columns
+        if json_predicate_hints:
+            manifest = manifest.filter(
+                file_keep_condition(json_predicate_hints, pcols)
+            )
+        for hint in predicate_hints or []:
+            cond = sql_hint_keep_condition(hint, pcols, snapshot.schema)
+            if cond is not None:
+                manifest = manifest.filter(cond)
+        if limit_hint is not None:
+            # keep files while the running row count of *previous* files is
+            # below the limit (kernel early-termination semantics:
+            # DeltaSharedTableKernel.scala:446-449,723-733)
+            from pyspark.sql import Window
+
+            w = Window.orderBy("path").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            manifest = (
+                manifest.withColumn(
+                    "_prev_rows",
+                    F.coalesce(F.sum("numRecords").over(w), F.lit(0)),
+                )
+                .filter(F.col("_prev_rows") < limit_hint)
+                .drop("_prev_rows")
+            )
+        return [r["path"] for r in manifest.select("path").collect()]
+
+    # ------------------------------------------------------------------ reads
+
+    def _normalize(self, df: DataFrame, snapshot: Snapshot) -> DataFrame:
+        """Projection normalization (ref python/delta_sharing/reader.py:630-674):
+        case-insensitive resolve, cast to declared types, null-fill columns
+        missing from older files, order columns per the declared schema."""
+        lower = {c.lower(): c for c in df.columns}
+        cols = []
+        for field in snapshot.schema.fields:
+            src = lower.get(field.name.lower())
+            if src is None:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+            else:
+                cols.append(F.col(src).cast(field.dataType).alias(field.name))
+        return df.select(*cols)
+
+    def to_df(
+        self,
+        version: int | None = None,
+        timestamp: str | None = None,
+        json_predicate_hints: str | dict | None = None,
+        predicate_hints: list[str] | None = None,
+        limit_hint: int | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """QueryTable -> DataFrame.
+
+        ``limit_hint`` is the best-effort file cutoff; ``limit`` additionally
+        applies an exact ``df.limit`` (the reference's client does the exact
+        cut, python/delta_sharing/reader.py:201-224). Passing ``limit`` alone
+        implies ``limit_hint=limit``.
+        """
+        snap = self.log.snapshot(version=version, timestamp=timestamp)
+        if limit is not None and limit_hint is None:
+            limit_hint = limit
+        paths = self.pruned_files(
+            snap,
+            json_predicate_hints=json_predicate_hints,
+            predicate_hints=predicate_hints,
+            limit_hint=limit_hint,
+        )
+        if not paths:
+            return self.spark.createDataFrame([], snap.schema)
+        reader = self.spark.read.option("basePath", self.log.data_path)
+        df = reader.parquet(*[self.log.abs_path(p) for p in paths])
+        df = self._normalize(df, snap)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    # -------------------------------------------------------------- wire model
+
+    def query_actions(
+        self,
+        version: int | None = None,
+        timestamp: str | None = None,
+        json_predicate_hints: str | dict | None = None,
+        predicate_hints: list[str] | None = None,
+        limit_hint: int | None = None,
+        max_files: int | None = None,
+        page_token: str | None = None,
+    ) -> dict[str, Any]:
+        """Protocol-parity surface: the NDJSON-shaped action stream a sharing
+        server would emit for this query (PROTOCOL.md:3537-3643), with offset
+        page tokens (ref DeltaSharedTable.scala:363-380,499-517)."""
+        import base64
+
+        snap = self.log.snapshot(version=version, timestamp=timestamp)
+        paths = set(
+            self.pruned_files(snap, json_predicate_hints, predicate_hints,
+                              limit_hint)
+        )
+        files = [f for f in snap.files if f.path in paths]
+        start = 0
+        if page_token:
+            decoded = json.loads(base64.urlsafe_b64decode(page_token))
+            if decoded.get("version") != snap.version:
+                raise ValueError("page token bound to a different version")
+            start = int(decoded.get("start", 0))
+        end = len(files) if max_files is None else min(start + max_files, len(files))
+        next_token = None
+        if end < len(files):
+            next_token = base64.urlsafe_b64encode(
+                json.dumps({"version": snap.version, "start": end}).encode()
+            ).decode()
+        lines: list[dict[str, Any]] = [
+            {"protocol": {"minReaderVersion": 1}},
+            {
+                "metaData": {
+                    **self.metadata(version=snap.version),
+                }
+            },
+        ]
+        for add in files[start:end]:
+            lines.append(
+                {
+                    "file": {
+                        "url": self.log.abs_path(add.path),
+                        "id": add.path,
+                        "partitionValues": add.partitionValues,
+                        "size": add.size,
+                        "stats": add.stats,
+                        "version": add.version,
+                        "timestamp": add.timestamp,
+                    }
+                }
+            )
+        if next_token:
+            lines.append({"endStreamAction": {"nextPageToken": next_token}})
+        return {"version": snap.version, "actions": lines,
+                "nextPageToken": next_token}
