@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+All hashes are md5-based (a public, engine-independent hash), so results are
+deterministic and reproducible across engines — unlike ``F.hash`` (Murmur3,
+Spark-specific). All shingling/minhashing is done with higher-order array
+functions (JVM-side, whole-stage codegen); the only shuffles are the
+candidate-pair joins, which are equi-joins on hash buckets — the standard
+scale-out shape for near-dup detection on ~billions of documents:
+
+- shingle/signature computation: map-side, linear in corpus size;
+- LSH banding: each doc emits B band keys; the join on (band, hash) only
+  pairs up documents sharing a bucket (no quadratic blow-up);
+- verification (exact Jaccard / hamming) runs only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_shingles(text_col: str, k: int) -> F.Column:
+    """Distinct word k-gram shingles of a whitespace-tokenized text column."""
+    return F.array_distinct(
+        F.expr(
+            f"""
+            transform(
+              sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)),
+              i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k}))
+            )
+            """
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str,
+                normalize: bool = True) -> DataFrame:
+    """Exact dedup via content-hash group-by: one shuffle on the md5 key.
+    Returns one survivor (min id) per distinct content + duplicate count."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), " +", " ") if normalize \
+        else F.col(text_col)
+    return (
+        df.select(F.col(id_col), F.md5(norm.cast("binary")).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 8, shingle_k: int = 3) -> DataFrame:
+    """MinHash signatures: sig_i = min over shingles of md5(i || ':' || s).
+
+    Seeded-md5 minima are a valid MinHash family (min over a uniformly
+    distributed keyed hash); string minima keep everything engine-portable.
+    Map-side only.
+    """
+    cols = [F.col(id_col)]
+    for i in range(num_hashes):
+        cols.append(
+            F.array_min(
+                F.expr(
+                    f"""
+                    transform(
+                      array_distinct(transform(
+                        sequence(1, greatest(size(split({text_col}, ' ')) - {shingle_k - 1}, 1)),
+                        i -> concat_ws(' ', slice(split({text_col}, ' '), i, {shingle_k}))
+                      )),
+                      s -> md5(cast(concat('{i}:', s) AS BINARY))
+                    )
+                    """
+                )
+            ).alias(f"sig_{i}")
+        )
+    return df.select(*cols)
+
+
+def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
+                           num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """LSH banding: hash each band of the signature; equi-join docs sharing a
+    (band_idx, band_hash) bucket. Returns distinct candidate pairs (a < b).
+
+    At scale this is the whole trick: the join key is the band hash, so
+    Spark shuffles each doc B times instead of comparing all pairs.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws("|", *parts).cast("binary")).alias(f"band_{b}")
+        )
+    banded = signatures.select(F.col(id_col), *band_cols)
+    buckets = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("h"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band_idx", "bk.h")
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.h") == F.col("r.h"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the inverted-index join:
+    explode distinct shingles, self-join on shingle, count common shingles,
+    Jaccard = common / (|A| + |B| - common).
+
+    The shingle join IS the scalable candidate generator (only docs sharing
+    a shingle ever meet); hot shingles can be frequency-capped upstream.
+    """
+    sh = _word_shingles(text_col, shingle_k)
+    toks = df.select(F.col(id_col), F.size(sh).alias("n_sh"),
+                     F.explode(sh).alias("sh"))
+    a, b = toks.alias("a"), toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                         bits: int = 64) -> DataFrame:
+    """SimHash: per token, md5 gives ``bits`` pseudo-random bits; each bit
+    position accumulates +1/-1 per token; fingerprint bit = sign of the sum.
+    Returned as a '0'/'1' string of length ``bits`` (engine-portable).
+
+    Implemented as explode(token) x explode(bit position) -> two-level
+    aggregation — shuffles on (id, pos) then (id), both well-distributed.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok").cast("binary")))
+    pos = toks.select(
+        F.col(id_col), "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("pos"),
+    )
+    bit = F.expr(
+        """
+        shiftright(
+          instr('0123456789abcdef', substring(h, cast(pos / 4 as int) + 1, 1)) - 1,
+          cast(3 - pos % 4 as int)
+        ) % 2
+        """
+    )
+    weighted = pos.withColumn("w", F.when(bit == 1, 1).otherwise(-1))
+    sums = weighted.groupBy(id_col, "pos").agg(F.sum("w").alias("s"))
+    return (
+        sums.withColumn("c", F.when(F.col("s") > 0, "1").otherwise("0"))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"),
+                "",
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(fingerprints: DataFrame, id_col: str,
+                       bits: int = 64, bands: int = 4,
+                       max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: LSH on fingerprint substrings (a pair
+    within hamming distance d matches at least one of ``bands`` bands when
+    d < bands), then exact hamming verification on candidates only."""
+    w = bits // bands
+    buckets = fingerprints.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.substring("simhash", b * w + 1, w).alias("h"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band_idx", "bk.h")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.h") == F.col("b.h"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        f"size(filter(sequence(1, {bits}), i -> substr(sh_a, i, 1) != substr(sh_b, i, 1)))"
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

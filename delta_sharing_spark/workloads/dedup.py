@@ -1,0 +1,167 @@
+"""Deduplication workloads over ``documents``: exact, n-gram Jaccard,
+MinHash-LSH, SimHash — each bound to a DuckDB oracle that mirrors the exact
+same md5-based math, so results hash-match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from delta_sharing_spark.io import read_table
+from delta_sharing_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from delta_sharing_spark.workloads import workload
+
+# shared oracle fragments -------------------------------------------------
+
+_DUCK_SHINGLES = """
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+      i -> array_to_string(list_slice(string_split(text, ' '), i::INT, i::INT + 2), ' ')
+    ))
+"""
+
+
+@workload(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(trim(text), ' +', ' ', 'g')) AS content_md5,
+           MIN(doc_id) AS survivor_id,
+           COUNT(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-of-normalized-content group-by (one shuffle)."""
+    return exact_dedup(read_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@workload(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS common
+      FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, common,
+           CAST(common AS DOUBLE) / (n_a + n_b - common) AS jaccard
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5 via the
+    inverted-index self-join (the scalable candidate generator)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3,
+                               threshold=0.5)
+
+
+_DUCK_MINHASH_SIGS = ",\n".join(
+    f"""list_min(list_transform({{sh}}, s -> md5('{i}:' || s))) AS sig_{i}"""
+    for i in range(8)
+).replace("{sh}", "shingles")
+
+
+@workload(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {_DUCK_MINHASH_SIGS} FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx, md5(sig_0 || '|' || sig_1) AS h FROM sigs
+      UNION ALL
+      SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sigs
+      UNION ALL
+      SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sigs
+      UNION ALL
+      SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 seeded-md5 minima) banded 4x2 into LSH buckets; candidate
+    pairs = docs sharing any band bucket. Shuffle cost: B keys per doc, no
+    quadratic comparison."""
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_k=3)
+    return minhash_lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4)
+
+
+@workload(
+    "q_dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, md5(tok) AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, h, unnest(generate_series(0, 63)) AS pos FROM hashed
+    ),
+    weighted AS (
+      SELECT doc_id, pos,
+             CASE WHEN (
+               (strpos('0123456789abcdef', substr(h, (pos // 4)::INT + 1, 1)) - 1)
+               // CASE pos % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END
+             ) % 2 = 1 THEN 1 ELSE -1 END AS w
+      FROM bits
+    ),
+    sums AS (
+      SELECT doc_id, pos, SUM(w) AS s FROM weighted GROUP BY 1, 2
+    ),
+    fps AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos)
+               AS simhash
+      FROM sums GROUP BY doc_id
+    ),
+    buckets AS (
+      SELECT doc_id, simhash, b.band_idx,
+             substr(simhash, b.band_idx * 16 + 1, 16) AS h
+      FROM fps, (SELECT unnest(generate_series(0, 3)) AS band_idx) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM buckets a JOIN buckets b
+        ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_filter(generate_series(1, 64),
+               i -> substr(sh_a, i::INT, 1) <> substr(sh_b, i::INT, 1)))
+             AS hamming
+    FROM cand
+    WHERE len(list_filter(generate_series(1, 64),
+              i -> substr(sh_a, i::INT, 1) <> substr(sh_b, i::INT, 1))) <= 8
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit md5-derived fingerprints, 4-band LSH,
+    exact hamming <= 8 verification on candidates only."""
+    docs = read_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs, "doc_id", "text", bits=64)
+    return simhash_near_pairs(fps, "doc_id", bits=64, bands=4, max_hamming=8)

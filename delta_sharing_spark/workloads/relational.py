@@ -1,0 +1,456 @@
+"""Relational workloads — the compute the reference inherits from its host
+engine (SURVEY.md §2.6: joins, aggregation, windows, sorts, set ops, scalar
+functions all run in Spark/pandas *after* load_as_spark/load_as_pandas).
+
+Style: DataFrame API with Catalyst-friendly shapes — filters early (pushed to
+the parquet scan), broadcast hints on dimension tables, decimal-exact money
+arithmetic shared verbatim with the DuckDB oracles.
+
+Scale notes (100 TB): every join here either broadcasts a dimension (nation/
+region/customer-sized) or equi-joins on a high-cardinality key that AQE can
+shuffle-balance; aggregations are partial-aggregated map-side by Catalyst;
+no query collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_sharing_spark.io import read_table
+from delta_sharing_spark.workloads import workload
+
+# Exact-money building blocks: identical text evaluates identically in Spark
+# and DuckDB (all inputs are 2-decimal values stored as doubles).
+QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+PRICE = "CAST(l_extendedprice AS DECIMAL(14,2))"
+DISC_1 = "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+TAX_1 = "(CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+DISC_PRICE = f"({PRICE} * {DISC_1})"
+CHARGE = f"({DISC_PRICE} * {TAX_1})"
+
+
+# --------------------------------------------------------------------- q01
+
+@workload(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({QTY}) AS DOUBLE)                    AS sum_qty,
+           CAST(SUM({PRICE}) AS DOUBLE)                  AS sum_base_price,
+           CAST(SUM({DISC_PRICE}) AS DOUBLE)             AS sum_disc_price,
+           CAST(SUM({CHARGE}) AS DOUBLE)                 AS sum_charge,
+           CAST(SUM({QTY}) AS DOUBLE) / COUNT(*)         AS avg_qty,
+           CAST(SUM({PRICE}) AS DOUBLE) / COUNT(*)       AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*)
+                                                         AS avg_disc,
+           COUNT(*)                                      AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy group-by with 8 aggregates. Catalyst pushes
+    the shipdate filter into the parquet scan and partial-aggregates map-side;
+    at 100 TB this is a single shuffle of ~6 tiny groups."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr(QTY)).cast("double").alias("sum_qty"),
+            F.sum(F.expr(PRICE)).cast("double").alias("sum_base_price"),
+            F.sum(F.expr(DISC_PRICE)).cast("double").alias("sum_disc_price"),
+            F.sum(F.expr(CHARGE)).cast("double").alias("sum_charge"),
+            (F.sum(F.expr(QTY)).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.expr(PRICE)).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(F.expr("CAST(l_discount AS DECIMAL(3,2))")).cast("double")
+             / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- q03
+
+@workload(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS VARCHAR)      AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> top-k.
+    ``customer`` is broadcast (small side), lineitem↔orders is the one real
+    shuffle; the final top-10 is a TakeOrdered, not a full sort."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.expr(DISC_PRICE)).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------- q05
+
+@workload(
+    "q05_region_nation_revenue",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q05_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with three broadcast dims. The
+    region->nation->supplier chain collapses to broadcasts; only
+    lineitem↔orders shuffles."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.expr(DISC_PRICE)).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------- q06
+
+@workload(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                   * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective predicate, no join — tests that the
+    conjunction is pushed into the scan (PushedFilters) so at 100 TB this
+    reads a fraction of the row groups."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_discount AS DECIMAL(3,2))"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ------------------------------------------------------------------ window
+
+@workload(
+    "q_top3_orders_per_customer",
+    oracle="""
+    SELECT c_name, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice, rn
+    FROM (
+      SELECT c_name, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group: the canonical window pattern (row_number with a
+    deterministic tiebreak). At scale the window shuffles once on the
+    partition key — no self-join."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+# ---------------------------------------------------------------- semi/anti
+
+@workload(
+    "q_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS == left-semi join (TPC-H Q4 shape)."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@workload(
+    "q_customers_without_big_orders",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+    GROUP BY n_name
+    """,
+)
+def q_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS == left-anti join."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 350000
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# ------------------------------------------------------------------- rollup
+
+@workload(
+    "q_rollup_returns",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM({QTY}) AS DOUBLE)    AS sum_qty,
+           COUNT(*)                      AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr(QTY)).cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+# ------------------------------------------------------------------ set ops
+
+@workload(
+    "q_setops_segments",
+    oracle="""
+    WITH building AS (SELECT DISTINCT o_custkey AS k FROM orders
+                      JOIN customer ON o_custkey = c_custkey
+                      WHERE c_mktsegment = 'BUILDING'),
+         bigspend AS (SELECT DISTINCT o_custkey AS k FROM orders
+                      WHERE o_totalprice > 300000)
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT k FROM building INTERSECT SELECT k FROM bigspend)
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT k FROM building EXCEPT SELECT k FROM bigspend)
+    UNION ALL
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT k FROM building UNION SELECT k FROM bigspend)
+    """,
+)
+def q_setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION DISTINCT over customer key sets."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    building = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bigspend = (
+        orders.filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    spark_rows = [
+        ("intersect", building.intersect(bigspend).count()),
+        ("except", building.exceptAll(bigspend).distinct().count()),
+        ("union", building.union(bigspend).distinct().count()),
+    ]
+    return spark.createDataFrame(spark_rows, "op string, n long")
+
+
+# ------------------------------------------------------------ scalar funcs
+
+@workload(
+    "q_part_scalar_functions",
+    oracle="""
+    SELECT p_brand,
+           COUNT(DISTINCT p_type)                        AS n_types,
+           COUNT(DISTINCT upper(substr(p_name, 1, 4)))   AS n_prefixes,
+           MAX(length(p_name))                           AS max_name_len,
+           CAST(SUM(CAST(round(p_retailprice, 0) AS DECIMAL(12,0))) AS BIGINT)
+                                                         AS sum_rounded_price,
+           MAX(CASE WHEN p_size >= 25 THEN 'L' WHEN p_size >= 10 THEN 'M'
+                    ELSE 'S' END)                        AS max_size_class
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def q_part_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar expression coverage: string ops, rounding, CASE — all JVM-side
+    builtins (whole-stage codegen; no Python in the hot path)."""
+    part = read_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.countDistinct("p_type").alias("n_types"),
+        F.countDistinct(F.upper(F.substring("p_name", 1, 4))).alias("n_prefixes"),
+        F.max(F.length("p_name")).alias("max_name_len"),
+        F.sum(F.round("p_retailprice", 0).cast("decimal(12,0)"))
+        .cast("long")
+        .alias("sum_rounded_price"),
+        F.max(
+            F.when(F.col("p_size") >= 25, "L")
+            .when(F.col("p_size") >= 10, "M")
+            .otherwise("S")
+        ).alias("max_size_class"),
+    )
+
+
+# -------------------------------------------------------------- time series
+
+@workload(
+    "q_events_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming windowed
+    agg): date_trunc buckets shuffle once on (hour, type)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(value AS DECIMAL(12,2))")).cast("double").alias("total_value"),
+    )
+
+
+@workload(
+    "q_events_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + running sum over a per-user window — one shuffle
+    on user_id, linear within partition. (Streaming twin: session_window.)"""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    return (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -1,0 +1,108 @@
+"""Similarity-search workloads over ``embeddings`` (64-dim float vectors,
+10 labeled clusters). Oracles recompute the identical left-to-right double
+folds in DuckDB — verified bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_sharing_spark.io import read_table
+from delta_sharing_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_centroids,
+    near_dup_pairs,
+)
+from delta_sharing_spark.workloads import workload
+
+# DuckDB fragments: cosine over FLOAT[] in explicit double, left-to-right
+_DOT = ("list_reduce(list_transform(generate_series(1, 64), "
+        "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)")
+_NORM = ("sqrt(list_reduce(list_transform(generate_series(1, 64), "
+         "i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (x, y) -> x + y))")
+_COS = (f"({_DOT} / ({_NORM.replace('{a}', '{a}')} * "
+        f"{_NORM.replace('{a}', '{b}')}))")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return _COS.replace("{a}", a).replace("{b}", b)
+
+
+@workload(
+    "q_ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_cos_sql('q.qv', 'c.embedding')} AS cos
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-5 for 8 query vectors.
+    Broadcast queries -> one pass over candidates -> one shuffle on
+    query_id; the scale path (IVF) is q_ann_ivf_topk."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb.filter(F.col("vec_id") < 8), emb, k=5
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@workload(
+    "q_embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql('a.embedding', 'b.embedding')} AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.42
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold tuned to the data's
+    similarity mass). At scale the same verifier runs on LSH/IVF candidates
+    instead of the cross product."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs(emb, threshold=0.42)
+
+
+@workload(
+    "q_embedding_centroids",
+    oracle="""
+    WITH vs AS (
+      SELECT label,
+             list(list_transform(embedding, x -> x::DOUBLE) ORDER BY vec_id)
+               AS vecs,
+             COUNT(*) AS n
+      FROM embeddings GROUP BY label
+    ),
+    cents AS (
+      SELECT label, n,
+             list_reduce(vecs, (a, b) -> list_transform(
+                 generate_series(1, 64), i -> a[i] + b[i])) AS vec_sum
+      FROM vs
+    )
+    SELECT label, dim.i::INT - 1 AS dim, vec_sum[dim.i] / n AS value, n
+    FROM cents, generate_series(1, 64) dim(i)
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse structure: per-cluster centroids via deterministic ordered
+    fold (no float nondeterminism), exploded to (label, dim, value) rows."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, "label", dim=64)
+    return cents.select(
+        "label",
+        F.posexplode("centroid").alias("dim", "value"),
+        "n",
+    ).select("label", "dim", "value", "n")

@@ -1,0 +1,272 @@
+"""Text-analysis workloads over the ``documents`` table: token statistics,
+quality scoring, language identification, fingerprinting.
+
+These are the training-data-pipeline operators (BASELINE.json north_star)
+layered on DataFrame primitives. Implementation style: higher-order array
+functions (``transform``/``filter``/``aggregate`` over ``split``) — all
+JVM-side with whole-stage codegen, no Python UDFs, no explode shuffle for
+per-document metrics. At 100 TB each of these is a single map-side pass
+followed by one small aggregation shuffle.
+
+DuckDB oracles use the mirror lambdas (``list_transform``/``list_filter``);
+ratios are integer/integer divisions in double, bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_sharing_spark.io import read_table
+from delta_sharing_spark.workloads import workload
+
+# small stopword lexicons for the language-ID heuristic (public-knowledge
+# function words; the heuristic is hit-count argmax with deterministic ties)
+LEXICONS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "en": ["the", "a", "of", "and", "is", "to"],
+    "es": ["el", "la", "de", "y", "es", "un"],
+    "fr": ["le", "la", "de", "et", "est", "un"],
+    "zh": ["de", "shi", "he", "zai", "le", "you"],
+}
+
+STOPWORDS = ["a", "the", "of", "and", "is", "to", "in", "it"]
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _spark_array(words: list[str]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+# ------------------------------------------------------------- token stats
+
+@workload(
+    "q_text_token_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS tokens FROM documents
+    )
+    SELECT source,
+           COUNT(*)                                    AS n_docs,
+           CAST(SUM(len(tokens)) AS BIGINT)            AS total_tokens,
+           CAST(SUM(len(list_distinct(tokens))) AS BIGINT) AS total_distinct_tokens,
+           CAST(SUM(list_aggregate(list_transform(tokens, t -> length(t)),
+                                   'sum')) AS BIGINT)  AS total_token_chars,
+           MAX(len(tokens))                            AS max_doc_tokens
+    FROM toks
+    GROUP BY source
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + per-source token statistics, entirely via
+    higher-order functions (one scan, one tiny shuffle)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    token_chars = F.expr(
+        "aggregate(transform(split(text, ' '), t -> length(t)), 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        docs.select(
+            "source",
+            F.size(tokens).alias("n_tok"),
+            F.size(F.array_distinct(tokens)).alias("n_dist"),
+            token_chars.alias("n_chars_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_dist").alias("total_distinct_tokens"),
+            F.sum("n_chars_tok").alias("total_token_chars"),
+            F.max("n_tok").alias("max_doc_tokens"),
+        )
+    )
+
+
+# ----------------------------------------------------------- quality score
+
+@workload(
+    "q_text_quality",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS tokens,
+             length(text)            AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           len(tokens) AS n_tokens,
+           CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) AS ttr,
+           CAST(len(list_filter(tokens,
+                t -> list_contains({_sql_list(STOPWORDS)}, t))) AS DOUBLE)
+               / len(tokens)                                        AS stopword_ratio,
+           CAST(n_chars AS DOUBLE) / len(tokens)                    AS avg_token_span,
+           CASE WHEN len(tokens) >= 20
+                 AND CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) > 0.3
+                THEN 1 ELSE 0 END                                   AS keep
+    FROM m
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (length, type-token ratio, stopword
+    ratio) + a keep/drop gate — the standard pretraining-corpus filter shape
+    (Gopher/C4-style heuristics on public record). Pure map-side at scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tok = F.size(tokens)
+    ttr = F.size(F.array_distinct(tokens)).cast("double") / n_tok
+    stop_hits = F.expr(
+        f"size(filter(split(text, ' '), t -> array_contains({_spark_array(STOPWORDS)}, t)))"
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        ttr.alias("ttr"),
+        (stop_hits.cast("double") / n_tok).alias("stopword_ratio"),
+        (F.length("text").cast("double") / n_tok).alias("avg_token_span"),
+        F.when((n_tok >= 20) & (ttr > 0.3), 1).otherwise(0).alias("keep"),
+    )
+
+
+# -------------------------------------------------------------- language id
+
+_LANG_HIT_SQL_DUCK = ",\n".join(
+    f"len(list_filter(tokens, t -> list_contains({_sql_list(words)}, t))) AS hits_{lang}"
+    for lang, words in LEXICONS.items()
+)
+_LANG_HIT_SPARK = {
+    lang: f"size(filter(split(text, ' '), t -> array_contains({_spark_array(words)}, t)))"
+    for lang, words in LEXICONS.items()
+}
+
+
+@workload(
+    "q_text_langid",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, {_LANG_HIT_SQL_DUCK}
+      FROM toks
+    ),
+    unp AS (
+      SELECT doc_id, lang, hits FROM hits
+      UNPIVOT (hits FOR lang IN (hits_de AS 'de', hits_en AS 'en',
+                                 hits_es AS 'es', hits_fr AS 'fr',
+                                 hits_zh AS 'zh'))
+    ),
+    ranked AS (
+      SELECT doc_id, lang, hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, lang) AS rn
+      FROM unp
+    )
+    SELECT doc_id,
+           CASE WHEN hits = 0 THEN 'und' ELSE lang END AS pred_lang,
+           CAST(hits AS BIGINT) AS hits
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic: hit-count argmax over five
+    small lexicons with a deterministic (hits desc, lang asc) tiebreak.
+    The lexicons travel inside the expression (broadcast-free literal
+    arrays); the whole operator is map-side."""
+    docs = read_table(spark, sf_dir, "documents")
+    hit_cols = [
+        F.expr(expr).cast("long").alias(f"hits_{lang}")
+        for lang, expr in _LANG_HIT_SPARK.items()
+    ]
+    with_hits = docs.select("doc_id", *hit_cols)
+    # argmax via greatest + chained CASE with asc-lang tiebreak
+    langs = sorted(LEXICONS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = None
+    for lang in langs:  # first lang (asc) reaching the max wins
+        cond = F.col(f"hits_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return with_hits.select(
+        "doc_id",
+        F.when(best == 0, "und").otherwise(pred).alias("pred_lang"),
+        best.alias("hits"),
+    )
+
+
+# ------------------------------------------------------------ fingerprints
+
+@workload(
+    "q_text_fingerprint",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(trim(text), ' +', ' ', 'g') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(t) AS content_md5,
+           list_min(list_transform(
+               generate_series(1, greatest(length(t) - 15, 1)),
+               i -> md5(substr(t, i::INT, 16)))) AS min_shingle_hash
+    FROM norm
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content hash (md5 of normalized text)
+    plus a winnowing-style robust fingerprint (minimum hash over all 16-char
+    shingles). md5 is computed identically everywhere, so the oracle is
+    cross-engine stable; the shingle scan is a higher-order sequence
+    expression — no explode, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.col("text")), " +", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("content_md5"),
+        F.expr(
+            """
+            array_min(transform(
+                sequence(1, greatest(length(regexp_replace(trim(text), ' +', ' ')) - 15, 1)),
+                i -> md5(cast(substr(regexp_replace(trim(text), ' +', ' '), i, 16) AS BINARY))
+            ))
+            """
+        ).alias("min_shingle_hash"),
+    )
+
+
+# ------------------------------------------------------- token counting
+
+@workload(
+    "q_text_token_count",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS tokens FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(len(tokens)) AS BIGINT) AS whitespace_tokens,
+           CAST(SUM(list_aggregate(list_transform(tokens,
+                    t -> (length(t) + 3) // 4), 'sum')) AS BIGINT)
+                                            AS bpe_ish_tokens,
+           COUNT(*)                         AS n_docs
+    FROM toks GROUP BY lang
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish estimate
+    (ceil(len/4) subword units per token — the classic ~4-chars-per-token
+    rule). Sum per language partition."""
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    bpe = F.expr(
+        "aggregate(transform(split(text, ' '), t -> (length(t) + 3) div 4), 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        docs.select("lang", F.size(tokens).alias("n_tok"), bpe.alias("n_bpe"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tok").alias("whitespace_tokens"),
+            F.sum("n_bpe").alias("bpe_ish_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
