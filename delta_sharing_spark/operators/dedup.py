@@ -55,26 +55,24 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
     Seeded-md5 minima are a valid MinHash family (min over a uniformly
     distributed keyed hash); string minima keep everything engine-portable.
-    Map-side only.
+
+    Shape: shingles are built ONCE per document (no per-seed recompute),
+    exploded, and all ``num_hashes`` minima come out of a single aggregation
+    — one shuffle on the document id, partial min computed map-side. (min
+    over the shingle multiset == min over distinct shingles, so no distinct
+    pass is needed.)
     """
-    cols = [F.col(id_col)]
-    for i in range(num_hashes):
-        cols.append(
-            F.array_min(
-                F.expr(
-                    f"""
-                    transform(
-                      array_distinct(transform(
-                        sequence(1, greatest(size(split({text_col}, ' ')) - {shingle_k - 1}, 1)),
-                        i -> concat_ws(' ', slice(split({text_col}, ' '), i, {shingle_k}))
-                      )),
-                      s -> md5(cast(concat('{i}:', s) AS BINARY))
-                    )
-                    """
-                )
-            ).alias(f"sig_{i}")
-        )
-    return df.select(*cols)
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(_word_shingles(text_col, shingle_k)).alias("s"),
+    )
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("s")).cast("binary"))
+        ).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
@@ -159,58 +157,77 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
     position accumulates +1/-1 per token; fingerprint bit = sign of the sum.
     Returned as a '0'/'1' string of length ``bits`` (engine-portable).
 
-    Implemented as explode(token) x explode(bit position) -> two-level
-    aggregation — shuffles on (id, pos) then (id), both well-distributed.
+    Shape: explode tokens once, then compute all ``bits`` bit-position sums
+    as separate aggregate expressions in a SINGLE aggregation — one shuffle
+    on the document id with map-side partial sums, no (id, pos) blow-up.
+
+    Output carries two equivalent encodings: ``simhash`` ('0'/'1' string,
+    engine-portable and human-readable) and ``fp_0..fp_{bits/16-1}``
+    (16-bit integer chunks) so downstream hamming tests are cheap
+    ``bit_count(xor)`` instead of per-character comparison.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.md5(F.col("tok").cast("binary")))
-    pos = toks.select(
-        F.col(id_col), "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("pos"),
-    )
-    bit = F.expr(
-        """
-        shiftright(
-          instr('0123456789abcdef', substring(h, cast(pos / 4 as int) + 1, 1)) - 1,
-          cast(3 - pos % 4 as int)
-        ) % 2
-        """
-    )
-    weighted = pos.withColumn("w", F.when(bit == 1, 1).otherwise(-1))
-    sums = weighted.groupBy(id_col, "pos").agg(F.sum("w").alias("s"))
-    return (
-        sums.withColumn("c", F.when(F.col("s") > 0, "1").otherwise("0"))
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)"),
-                "",
-            ).alias("simhash")
+
+    def bit_weight(pos: int) -> F.Column:
+        hex_idx = pos // 4 + 1
+        shift = 3 - pos % 4
+        bit = F.expr(
+            f"shiftright(instr('0123456789abcdef', substring(h, {hex_idx}, 1)) - 1, {shift}) % 2"
         )
+        return F.when(bit == 1, 1).otherwise(-1)
+
+    sums = toks.groupBy(id_col).agg(
+        *[F.sum(bit_weight(p)).alias(f"s_{p}") for p in range(bits)]
     )
+    fingerprint = F.concat(
+        *[F.when(F.col(f"s_{p}") > 0, "1").otherwise("0") for p in range(bits)]
+    )
+    chunks = []
+    for c in range(bits // 16):
+        chunk = None
+        for j in range(16):
+            term = F.when(
+                F.col(f"s_{16 * c + j}") > 0, F.lit(1 << (15 - j))
+            ).otherwise(0)
+            chunk = term if chunk is None else chunk + term
+        chunks.append(chunk.cast("int").alias(f"fp_{c}"))
+    return sums.select(F.col(id_col), fingerprint.alias("simhash"), *chunks)
 
 
 def simhash_near_pairs(fingerprints: DataFrame, id_col: str,
                        bits: int = 64, bands: int = 4,
                        max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash: LSH on fingerprint substrings (a pair
+    """Near-dup pairs by SimHash: LSH on 16-bit fingerprint chunks (a pair
     within hamming distance d matches at least one of ``bands`` bands when
-    d < bands), then exact hamming verification on candidates only."""
-    w = bits // bands
+    d < bands), then exact hamming verification on candidates only —
+    ``bit_count(xor)`` over the integer chunks, a handful of ALU ops per
+    candidate instead of per-character string compares.
+
+    At extreme corpus sizes hot buckets (very common fingerprint chunks)
+    should be frequency-capped before the self-join; AQE's skew-join split
+    handles moderate skew here.
+    """
+    n_chunks = bits // 16
+    assert bands == n_chunks, "banding uses the 16-bit chunks directly"
     buckets = fingerprints.select(
-        F.col(id_col), F.col("simhash"),
+        F.col(id_col), *[F.col(f"fp_{c}") for c in range(n_chunks)],
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.substring("simhash", b * w + 1, w).alias("h"),
-                )
-                for b in range(bands)
+                F.struct(F.lit(c).alias("band_idx"), F.col(f"fp_{c}").alias("h"))
+                for c in range(n_chunks)
             ])
         ).alias("bk"),
-    ).select(id_col, "simhash", "bk.band_idx", "bk.h")
+    ).select(id_col, *[f"fp_{c}" for c in range(n_chunks)],
+             "bk.band_idx", "bk.h")
     a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = None
+    for c in range(n_chunks):
+        term = F.bit_count(
+            F.col(f"a.fp_{c}").bitwiseXOR(F.col(f"b.fp_{c}"))
+        )
+        hamming = term if hamming is None else hamming + term
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.h") == F.col("b.h"))
@@ -218,16 +235,8 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str,
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
         .distinct()
     )
-    hamming = F.expr(
-        f"size(filter(sequence(1, {bits}), i -> substr(sh_a, i, 1) != substr(sh_b, i, 1)))"
-    )
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return cand.filter(F.col("hamming") <= max_hamming)

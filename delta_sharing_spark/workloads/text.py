@@ -220,15 +220,20 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine stable; the shingle scan is a higher-order sequence
     expression — no explode, no shuffle."""
     docs = read_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.col("text")), " +", " ")
-    return docs.select(
+    # normalize ONCE into a column; the shingle lambda then substr's a plain
+    # attribute instead of re-running the regexp per shingle position
+    normed = docs.select(
         "doc_id",
-        F.md5(norm.cast("binary")).alias("content_md5"),
+        F.regexp_replace(F.trim(F.col("text")), " +", " ").alias("t"),
+    )
+    return normed.select(
+        "doc_id",
+        F.md5(F.col("t").cast("binary")).alias("content_md5"),
         F.expr(
             """
             array_min(transform(
-                sequence(1, greatest(length(regexp_replace(trim(text), ' +', ' ')) - 15, 1)),
-                i -> md5(cast(substr(regexp_replace(trim(text), ' +', ' '), i, 16) AS BINARY))
+                sequence(1, greatest(length(t) - 15, 1)),
+                i -> md5(cast(substr(t, i, 16) AS BINARY))
             ))
             """
         ).alias("min_shingle_hash"),
