@@ -1,0 +1,175 @@
+"""Change Data Feed: reconstruct row-level changes from the commit log.
+
+Reference semantics (server/.../DeltaSharingCDCReader.scala:191-330 +
+PROTOCOL.md:2352-2430):
+
+- range is inclusive [start, end]; start required, end defaults to latest;
+- per version: if the commit wrote cdc files, they are the change record
+  (they carry their own ``_change_type`` including update_preimage /
+  update_postimage); otherwise dataChange add files imply ``insert`` and
+  remove files imply ``delete``;
+- three virtual columns: ``_change_type`` (string), ``_commit_version``
+  (long), ``_commit_timestamp`` (long, epoch millis);
+- error if CDF is not enabled on the table, or start > latest version;
+- timestamp bounds: start resolves to the exact-match commit else the
+  earliest commit after it; end resolves to the latest commit at/before it
+  (DeltaSharingHistoryManager semantics).
+
+Spark-first assembly (mirrors client/.../RemoteDeltaCDFRelation.scala:85-140,
+which unions three HadoopFsRelation scans): ONE parquet scan per action kind
+regardless of version count, with per-file commit version/timestamp attached
+by a broadcast join on the file path — no per-version plan blow-up, scales to
+arbitrarily long histories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_sharing_spark.plans.log import (
+    CHANGE_TYPE_COL,
+    COMMIT_TIMESTAMP_COL,
+    COMMIT_VERSION_COL,
+    TableLog,
+)
+
+
+class CDFError(Exception):
+    pass
+
+
+def _resolve_range(
+    log: TableLog,
+    starting_version: int | None,
+    ending_version: int | None,
+    starting_timestamp: str | None,
+    ending_timestamp: str | None,
+) -> tuple[int, int]:
+    latest = log.latest_version()
+    if starting_version is not None:
+        start = starting_version
+    elif starting_timestamp is not None:
+        start = log.earliest_version_at_or_after(starting_timestamp)
+    else:
+        raise CDFError("CDF requires a starting version or timestamp")
+    if ending_version is not None:
+        end = ending_version
+    elif ending_timestamp is not None:
+        end = log.version_at_timestamp(ending_timestamp)
+    else:
+        end = latest
+    if start > latest:
+        raise CDFError(
+            f"startingVersion {start} is after the latest version {latest}")
+    if end < start:
+        raise CDFError(f"CDF range [{start}, {end}] is empty")
+    return start, min(end, latest)
+
+
+def _attach_commit_columns(
+    spark: SparkSession,
+    df: DataFrame,
+    file_meta: list[tuple[str, int, int]],
+    change_type: str | None,
+) -> DataFrame:
+    """Join per-file (version, timestamp) onto rows via input_file_name —
+    one broadcast hash join against a tiny path->commit map."""
+    meta_schema = T.StructType([
+        T.StructField("__path", T.StringType()),
+        T.StructField(COMMIT_VERSION_COL, T.LongType()),
+        T.StructField(COMMIT_TIMESTAMP_COL, T.LongType()),
+    ])
+    meta_df = spark.createDataFrame(file_meta, meta_schema)
+    out = (
+        df.withColumn(
+            "__path", F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+        )
+        .join(F.broadcast(meta_df), "__path")
+        .drop("__path")
+    )
+    if change_type is not None:
+        out = out.withColumn(CHANGE_TYPE_COL, F.lit(change_type))
+    return out
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    starting_version: int | None = None,
+    ending_version: int | None = None,
+    starting_timestamp: str | None = None,
+    ending_timestamp: str | None = None,
+) -> DataFrame:
+    """Changes in [start, end] as a DataFrame with the three CDF columns.
+
+    Column order: table schema columns, then _change_type, _commit_version,
+    _commit_timestamp (ref python/delta_sharing/reader.py:676-688).
+    """
+    log = TableLog(spark, path)
+    snap = log.snapshot()
+    if not snap.metadata.cdf_enabled:
+        raise CDFError(
+            "change data feed is not enabled on this table "
+            "(configuration enableChangeDataFeed != true)")
+    start, end = _resolve_range(
+        log, starting_version, ending_version,
+        starting_timestamp, ending_timestamp,
+    )
+
+    cdc_meta: list[tuple[str, int, int]] = []
+    add_meta: list[tuple[str, int, int]] = []
+    remove_meta: list[tuple[str, int, int]] = []
+    for commit in log.commits(start, end):
+        if commit.cdc:
+            # cdc files are the authoritative change record for the commit
+            cdc_meta += [
+                (log.abs_path(c.path), commit.version, commit.timestamp)
+                for c in commit.cdc
+            ]
+        else:
+            add_meta += [
+                (log.abs_path(a.path), commit.version, commit.timestamp)
+                for a in commit.adds if a.dataChange
+            ]
+            remove_meta += [
+                (log.abs_path(r.path), commit.version, commit.timestamp)
+                for r in commit.removes if r.dataChange
+            ]
+
+    schema_cols = [f.name for f in snap.schema.fields]
+    out_cols = schema_cols + [
+        CHANGE_TYPE_COL, COMMIT_VERSION_COL, COMMIT_TIMESTAMP_COL
+    ]
+    parts: list[DataFrame] = []
+    if cdc_meta:
+        cdc_df = spark.read.parquet(*[p for p, _, _ in cdc_meta])
+        parts.append(
+            _attach_commit_columns(spark, cdc_df, cdc_meta, None)
+        )
+    if add_meta:
+        add_df = spark.read.option("basePath", log.data_path).parquet(
+            *[p for p, _, _ in add_meta]
+        )
+        parts.append(
+            _attach_commit_columns(spark, add_df, add_meta, "insert")
+        )
+    if remove_meta:
+        rem_df = spark.read.option("basePath", log.data_path).parquet(
+            *[p for p, _, _ in remove_meta]
+        )
+        parts.append(
+            _attach_commit_columns(spark, rem_df, remove_meta, "delete")
+        )
+    if not parts:
+        fields = snap.schema.fields + [
+            T.StructField(CHANGE_TYPE_COL, T.StringType()),
+            T.StructField(COMMIT_VERSION_COL, T.LongType()),
+            T.StructField(COMMIT_TIMESTAMP_COL, T.LongType()),
+        ]
+        return spark.createDataFrame([], T.StructType(fields))
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.select(*out_cols)

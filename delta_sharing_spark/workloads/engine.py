@@ -1,1 +1,255 @@
-"""Engine-semantics workloads: snapshot, time travel, pruning, limit, CDF."""
+"""Engine-semantics workloads: the reference's own query surface — snapshot
+reads with pruning, exact limit, time travel, history, and CDF — exercised
+through ``SharedTable``/``TableLog``/``table_changes`` against DuckDB oracles
+computed from the *source* tables.
+
+Fixtures: each workload builds (once, cached in /tmp/dss_fixtures) a
+deterministic versioned table from the driver's parquet:
+
+- ``lineitem_shared``: v0 = full lineitem partitioned by l_returnflag;
+  v1 = append of the l_orderkey < 100 subset. Time travel to v0 must equal
+  the original table exactly.
+- ``events_cdf`` (CDF enabled, partitioned by event_type):
+  v0 create from events; v1 DELETE WHERE value < 5;
+  v2 UPDATE value = value * 2 WHERE event_type = 'click'.
+  Every change row is derivable from the source ``events`` table in SQL,
+  so even CDF gets a full value-level oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_sharing_spark.cdf import table_changes
+from delta_sharing_spark.io import read_table
+from delta_sharing_spark.plans.log import TableLog
+from delta_sharing_spark.table import SharedTable
+from delta_sharing_spark.workloads import workload
+
+_FIXTURE_ROOT = "/tmp/dss_fixtures"
+_FIXTURE_SCHEMA_VERSION = "v1"
+
+
+def _fixture(spark: SparkSession, sf_dir: str, name: str, builder) -> str:
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{name}|{_FIXTURE_SCHEMA_VERSION}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_FIXTURE_ROOT, f"{name}-{key}")
+    marker = os.path.join(path, "_READY")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        builder(spark, path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def _lineitem_shared(spark: SparkSession, sf_dir: str) -> str:
+    def build(spark: SparkSession, path: str) -> None:
+        li = read_table(spark, sf_dir, "lineitem")
+        log = TableLog(spark, path)
+        log.create(li, partition_by=["l_returnflag"], name="lineitem_shared")
+        log.append(li.filter(F.col("l_orderkey") < 100))
+
+    return _fixture(spark, sf_dir, "lineitem_shared", build)
+
+
+def _events_cdf(spark: SparkSession, sf_dir: str) -> str:
+    def build(spark: SparkSession, path: str) -> None:
+        ev = read_table(spark, sf_dir, "events")
+        log = TableLog(spark, path)
+        log.create(
+            ev, partition_by=["event_type"], name="events_cdf",
+            configuration={"enableChangeDataFeed": "true"},
+        )
+        log.delete("value < 5")
+        log.update({"value": "value * 2"}, "event_type = 'click'")
+
+    return _fixture(spark, sf_dir, "events_cdf", build)
+
+
+# ----------------------------------------------------------------- snapshot
+
+@workload(
+    "eng_snapshot_prune_filter",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 45
+    """,
+)
+def eng_snapshot_prune_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryTable path: JSON-predicate file prune (partition column + stats
+    range) THEN exact row filter — the reference's best-effort-server /
+    exact-client contract (PROTOCOL.md:2124-2137, RemoteDeltaLog.scala:355-359).
+    """
+    t = SharedTable(spark, _lineitem_shared(spark, sf_dir))
+    hints = {
+        "op": "and",
+        "children": [
+            {"op": "equal", "children": [
+                {"op": "column", "name": "l_returnflag", "valueType": "string"},
+                {"op": "literal", "value": "R", "valueType": "string"},
+            ]},
+            {"op": "greaterThanOrEqual", "children": [
+                {"op": "column", "name": "l_quantity", "valueType": "double"},
+                {"op": "literal", "value": "45", "valueType": "double"},
+            ]},
+        ],
+    }
+    df = t.to_df(version=0, json_predicate_hints=hints)
+    return df.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45)
+    ).select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+
+
+@workload(
+    "eng_time_travel_v0",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    """,
+)
+def eng_time_travel_v0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: version 0 of the shared table must equal the original
+    table even after later appends (Delta versionAsOf semantics,
+    ref DeltaSharedTable.scala:383-414 snapshot precedence)."""
+    t = SharedTable(spark, _lineitem_shared(spark, sf_dir))
+    return t.to_df(version=0).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@workload(
+    "eng_snapshot_latest_append",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM (SELECT * FROM lineitem
+          UNION ALL
+          SELECT * FROM lineitem WHERE l_orderkey < 100)
+    """,
+)
+def eng_snapshot_latest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest snapshot reflects the append commit."""
+    t = SharedTable(spark, _lineitem_shared(spark, sf_dir))
+    return t.to_df().agg(F.count("*").alias("n_rows"))
+
+
+@workload(
+    "eng_limit_exact",
+    oracle="SELECT CAST(1234 AS BIGINT) AS n",
+)
+def eng_limit_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact limit: limit-hint prunes the file list by cumulative
+    numRecords (kernel early termination, DeltaSharedTableKernel.scala:446-449)
+    and df.limit makes it exact (reader.py:201-224)."""
+    t = SharedTable(spark, _lineitem_shared(spark, sf_dir))
+    df = t.to_df(version=0, limit=1234)
+    return df.agg(F.count("*").alias("n"))
+
+
+@workload(
+    "eng_history",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'CREATE TABLE'),
+      (CAST(1 AS BIGINT), 'WRITE')
+    ) AS t(version, operation)
+    """,
+)
+def eng_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table history (DESCRIBE HISTORY equivalent): commitInfo per version
+    (ref DeltaSharingHistoryManager commit enumeration)."""
+    t = SharedTable(spark, _lineitem_shared(spark, sf_dir))
+    rows = [
+        (c.version, c.info.operation if c.info else None)
+        for c in t.log.commits()
+    ]
+    return spark.createDataFrame(rows, "version long, operation string")
+
+
+# ---------------------------------------------------------------------- CDF
+
+@workload(
+    "eng_cdf_change_counts",
+    oracle="""
+    WITH after_delete AS (SELECT * FROM events WHERE NOT (value < 5))
+    SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    UNION ALL
+    SELECT 'delete', CAST(COUNT(*) AS BIGINT) FROM events WHERE value < 5
+    UNION ALL
+    SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT)
+    FROM after_delete WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT)
+    FROM after_delete WHERE event_type = 'click'
+    """,
+)
+def eng_cdf_change_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-history CDF replay: change-type row counts across
+    create/delete/update commits match counts derived from the source table.
+    """
+    path = _events_cdf(spark, sf_dir)
+    ch = table_changes(spark, path, starting_version=0)
+    return (
+        ch.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@workload(
+    "eng_cdf_update_window",
+    oracle="""
+    WITH after_delete AS (SELECT * FROM events WHERE NOT (value < 5))
+    SELECT event_id,
+           CAST(value AS DOUBLE) AS value,
+           'update_preimage' AS change_type,
+           CAST(2 AS BIGINT) AS commit_version
+    FROM after_delete WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, CAST(value * 2 AS DOUBLE), 'update_postimage',
+           CAST(2 AS BIGINT)
+    FROM after_delete WHERE event_type = 'click'
+    """,
+)
+def eng_cdf_update_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-window CDF: only the UPDATE commit's pre/post images, with
+    exact row values (value doubled in the postimage)."""
+    path = _events_cdf(spark, sf_dir)
+    ch = table_changes(spark, path, starting_version=2, ending_version=2)
+    return ch.select(
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    )
+
+
+@workload(
+    "eng_cdf_delete_window",
+    oracle="""
+    SELECT event_id, event_type, 'delete' AS change_type
+    FROM events WHERE value < 5
+    """,
+)
+def eng_cdf_delete_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-window CDF: the DELETE commit's change rows (cdc files win
+    over add/remove inference when present —
+    DeltaSharingCDCReader.scala:191-330)."""
+    path = _events_cdf(spark, sf_dir)
+    ch = table_changes(spark, path, starting_version=1, ending_version=1)
+    return ch.select(
+        "event_id", "event_type", F.col("_change_type").alias("change_type")
+    )
