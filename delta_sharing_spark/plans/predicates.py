@@ -300,3 +300,142 @@ def sql_hint_keep_condition(hint: str, partition_columns: list[str],
     except Exception:
         return None
     return ~cond.eqNullSafe(F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# Sessionless evaluator — for contexts without a SparkSession (the Python
+# Data Source planner runs in a worker process). Mirrors the reference's
+# in-process evaluation over AddFiles (server/.../JsonPredicateEvaluatorV2):
+# partition values exactly, data columns via min/max ranges, three-valued
+# logic where None = Unknown and Unknown never skips a file.
+# ---------------------------------------------------------------------------
+
+def _py_cast(value, vtype: str):
+    import datetime as _dt
+
+    if value is None:
+        return None
+    try:
+        if vtype in ("int", "long"):
+            return int(value)
+        if vtype in ("float", "double"):
+            return float(value)
+        if vtype == "bool":
+            return str(value).lower() == "true"
+        if vtype == "date":
+            return _dt.date.fromisoformat(str(value))
+        if vtype == "timestamp":
+            return _dt.datetime.fromisoformat(str(value).replace("T", " "))
+        return str(value)
+    except (ValueError, TypeError):
+        return None
+
+
+def _tri_and(values):
+    if any(v is False for v in values):
+        return False
+    if any(v is None for v in values):
+        return None
+    return True
+
+
+def _tri_or(values):
+    if any(v is True for v in values):
+        return True
+    if any(v is None for v in values):
+        return None
+    return False
+
+
+def _eval_file(op: dict, partition_values: dict, stats: dict,
+               partition_columns: set) -> bool | None:
+    """Evaluate 'file may contain matching rows' -> True/False/None."""
+    kind = op["op"]
+    children = op.get("children", [])
+    if kind == "and":
+        return _tri_and([_eval_file(c, partition_values, stats,
+                                    partition_columns) for c in children])
+    if kind == "or":
+        return _tri_or([_eval_file(c, partition_values, stats,
+                                   partition_columns) for c in children])
+    if kind == "not":
+        v = _eval_file(children[0], partition_values, stats, partition_columns)
+        # NOT over a range over-approximation is unsound -> only negate
+        # definite partition-exact answers; Unknown stays Unknown
+        child = children[0]
+        refs = _referenced_columns(child)
+        if not refs <= partition_columns:
+            return None
+        return None if v is None else not v
+    if kind == "isNull":
+        child = children[0]
+        if child.get("op") != "column":
+            return None
+        name = child["name"]
+        if name in partition_columns:
+            return partition_values.get(name, "") == ""
+        nc = (stats.get("nullCount") or {}).get(name)
+        return None if nc is None else nc > 0
+    if kind in ("equal", "lessThan", "lessThanOrEqual", "greaterThan",
+                "greaterThanOrEqual"):
+        left, right = children
+        if left.get("op") == "literal" and right.get("op") == "column":
+            flip = {"lessThan": "greaterThan", "greaterThan": "lessThan",
+                    "lessThanOrEqual": "greaterThanOrEqual",
+                    "greaterThanOrEqual": "lessThanOrEqual", "equal": "equal"}
+            return _eval_file({"op": flip[kind], "children": [right, left]},
+                              partition_values, stats, partition_columns)
+        if left.get("op") != "column" or right.get("op") != "literal":
+            return None
+        name, vtype = left["name"], left["valueType"]
+        lit = _py_cast(right["value"], right["valueType"])
+        if lit is None:
+            return None
+        if name in partition_columns:
+            raw = partition_values.get(name)
+            val = _py_cast(None if raw == "" else raw, vtype)
+            if val is None:
+                return None
+            return {
+                "equal": val == lit,
+                "lessThan": val < lit,
+                "lessThanOrEqual": val <= lit,
+                "greaterThan": val > lit,
+                "greaterThanOrEqual": val >= lit,
+            }[kind]
+        mn = _py_cast((stats.get("minValues") or {}).get(name), vtype)
+        mx = _py_cast((stats.get("maxValues") or {}).get(name), vtype)
+        if kind == "equal":
+            if mn is None or mx is None:
+                return None
+            return _tri_and([mn <= lit, mx >= lit])
+        if kind == "lessThan":
+            return None if mn is None else mn < lit
+        if kind == "lessThanOrEqual":
+            return None if mn is None else mn <= lit
+        if kind == "greaterThan":
+            return None if mx is None else mx > lit
+        if kind == "greaterThanOrEqual":
+            return None if mx is None else mx >= lit
+    return None
+
+
+def _referenced_columns(op: dict) -> set:
+    if op.get("op") == "column":
+        return {op["name"]}
+    out: set = set()
+    for c in op.get("children", []):
+        out |= _referenced_columns(c)
+    return out
+
+
+def keep_file(hints: str | dict | None, partition_values: dict,
+              stats: dict, partition_columns: list) -> bool:
+    """Sessionless twin of ``file_keep_condition``: keep unless provably no
+    matching rows (False). Unknown (None) keeps."""
+    if not hints:
+        return True
+    tree = parse_predicate(hints)
+    verdict = _eval_file(tree, partition_values or {}, stats or {},
+                         set(partition_columns))
+    return verdict is not False

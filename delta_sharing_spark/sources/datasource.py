@@ -1,0 +1,350 @@
+"""``deltashare`` — a PySpark (4.x) Python Data Source over the commit log.
+
+The reference integrates with Spark through a DSv1 relation + streaming
+Source pair (spark/.../DeltaSharingDataSource.scala:38-112,
+client/.../spark/DeltaSharingSource.scala:93-1208). The idiomatic PySpark-4
+equivalent is the Python Data Source API: one ``DataSource`` exposing
+
+- a batch reader with version/timestamp time travel and partition-filter
+  pushdown (file-level pruning at plan time; Spark still applies every
+  filter exactly afterwards — the reference's best-effort-server /
+  exact-client contract, PROTOCOL.md:2124-2137);
+- a micro-batch stream reader with the reference's admission control
+  (``maxFilesPerTrigger``, default 1000 — DeltaSharingOptions.scala:193-194),
+  (version, index) offsets (DeltaSharingSourceOffset.scala:40-120), and
+  change-commit handling (``ignoreDeletes`` / ``ignoreChanges`` /
+  ``skipChangeCommits`` — DeltaSharingSource.scala:994-1035).
+
+Scale notes: one InputPartition per data file — Spark schedules them across
+executors; each executor reads its parquet file directly (no driver data
+path). The driver only replays the (small) commit log.
+
+Usage::
+
+    spark.dataSource.register(SharedTableDataSource)
+    spark.read.format("deltashare").option("path", p).load()
+    spark.readStream.format("deltashare").option("path", p)
+         .option("maxFilesPerTrigger", "10").load()
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql import types as T
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, partition_values: dict[str, str],
+                 schema_json: str):
+        self.path = path
+        self.partition_values = partition_values
+        self.schema_json = schema_json
+
+
+def _parse_partition_value(value: str, dtype: T.DataType):
+    """Partition-value string -> python value (empty string = null,
+    PROTOCOL.md:3896-3906; per-type converters mirror
+    python/delta_sharing/converter.py:85-120)."""
+    if value == "" or value is None:
+        return None
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(value)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(value)
+    if isinstance(dtype, T.BooleanType):
+        return value.lower() == "true"
+    if isinstance(dtype, T.DateType):
+        return _dt.date.fromisoformat(value)
+    if isinstance(dtype, T.TimestampType):
+        return _dt.datetime.fromisoformat(value)
+    return value
+
+
+def _read_file_batches(partition: _FilePartition) -> Iterator:
+    """Executor-side: read one parquet file as Arrow batches, attach typed
+    partition-value columns, project to the declared schema order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = T.StructType.fromJson(json.loads(partition.schema_json))
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    target_fields = [
+        (f.name, to_arrow_type(f.dataType), f.dataType) for f in schema.fields
+    ]
+    pf = pq.ParquetFile(partition.path)
+    for batch in pf.iter_batches(batch_size=65536):
+        n = batch.num_rows
+        cols = []
+        names_lower = {c.lower(): i for i, c in enumerate(batch.schema.names)}
+        for name, arrow_type, spark_type in target_fields:
+            if name in partition.partition_values:
+                value = _parse_partition_value(
+                    partition.partition_values[name], spark_type
+                )
+                cols.append(pa.array([value] * n, type=arrow_type))
+            elif name.lower() in names_lower:
+                col = batch.column(names_lower[name.lower()])
+                cols.append(col.cast(arrow_type))
+            else:
+                cols.append(pa.nulls(n, type=arrow_type))
+        yield pa.RecordBatch.from_arrays(
+            cols, names=[f.name for f in schema.fields]
+        )
+
+
+class SharedTableBatchReader(DataSourceReader):
+    """Snapshot reader with time travel + partition-filter pushdown."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self.options = options
+        self.path = options["path"]
+        self.version = (
+            int(options["version"]) if options.get("version") else None
+        )
+        self.timestamp = options.get("timestamp")
+        self._schema = schema
+        self._pushed: list = []
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        """File-level pruning from pushed filters. Everything is reported
+        back as unsupported so Spark re-applies filters exactly — pruning
+        here only shrinks the file list (never wrongly skips: stats-missing
+        files are kept, Unknown semantics)."""
+        self._pushed = list(filters)
+        return filters
+
+    def partitions(self):
+        # Planner-side (runs in a Python worker — no SparkSession): replay
+        # the log and prune with the sessionless three-valued evaluator, the
+        # same in-process shape as the reference server's AddFile filtering
+        # (PartitionFilterUtils.scala / JsonPredicateEvaluatorV2.scala).
+        from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.plans.predicates import keep_file
+
+        log = TableLog(None, self.path)
+        snap = log.snapshot(version=self.version, timestamp=self.timestamp)
+        hints = _filters_to_json_predicate(self._pushed, snap)
+        schema_json = snap.metadata.schemaString
+        pcols = snap.partition_columns
+        return [
+            _FilePartition(log.abs_path(f.path), f.partitionValues, schema_json)
+            for f in snap.files
+            if keep_file(hints, f.partitionValues, f.stats_dict(), pcols)
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        return _read_file_batches(partition)
+
+
+def _filters_to_json_predicate(filters, snap):
+    """Translate pushed v2 Filters on partition/stats columns into the JSON
+    predicate tree (the engine's native pruning input). Unsupported filters
+    are simply not translated (kept exact by Spark)."""
+    from pyspark.sql.datasource import (
+        EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+    )
+
+    type_names = {f.name: f.dataType for f in snap.schema.fields}
+
+    def vtype(dt: T.DataType) -> str | None:
+        return {
+            T.BooleanType: "bool", T.IntegerType: "int", T.LongType: "long",
+            T.StringType: "string", T.DateType: "date", T.FloatType: "float",
+            T.DoubleType: "double", T.TimestampType: "timestamp",
+        }.get(type(dt))
+
+    ops = {EqualTo: "equal", LessThan: "lessThan",
+           LessThanOrEqual: "lessThanOrEqual", GreaterThan: "greaterThan",
+           GreaterThanOrEqual: "greaterThanOrEqual"}
+    children = []
+    for f in filters or []:
+        op = ops.get(type(f))
+        if op is None or len(f.attribute) != 1:
+            continue
+        col = f.attribute[0]
+        dt = type_names.get(col)
+        vt = vtype(dt) if dt is not None else None
+        if vt is None:
+            continue
+        children.append({
+            "op": op,
+            "children": [
+                {"op": "column", "name": col, "valueType": vt},
+                {"op": "literal", "value": str(f.value), "valueType": vt},
+            ],
+        })
+    if not children:
+        return None
+    if len(children) == 1:
+        return children[0]
+    return {"op": "and", "children": children}
+
+
+class SharedTableStreamReader(DataSourceStreamReader):
+    """Micro-batch source over the commit log with admission control.
+
+    Offsets are ``{"version": v, "index": i}`` — files of version v consumed
+    up to (exclusive) index i, files within a version ordered by path
+    (deterministic, ref DeltaSharingSource.scala:239-276 sort-by-id).
+    """
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self.options = options
+        self.path = options["path"]
+        self.max_files = int(options.get("maxfilespertrigger", "1000"))
+        self.starting_version = options.get("startingversion")
+        self.ignore_deletes = options.get("ignoredeletes", "false") == "true"
+        self.ignore_changes = options.get("ignorechanges", "false") == "true"
+        self.skip_change_commits = (
+            options.get("skipchangecommits", "false") == "true"
+        )
+        self._schema = schema
+        self._last_planned: dict | None = None
+
+    # ----------------------------------------------------------- log access
+
+    def _log(self):
+        from delta_sharing_spark.plans.log import TableLog
+
+        return TableLog(None, self.path)
+
+    def _file_sequence(self, from_version: int) -> list[tuple[int, int, object]]:
+        """Ordered (version, index, AddFile) from ``from_version`` onward,
+        applying change-commit validation per commit."""
+        log = self._log()
+        out = []
+        for commit in log.commits(from_version):
+            if commit.removes and not commit.cdc:
+                if self.skip_change_commits:
+                    continue  # drop the whole commit's files
+                if not (self.ignore_changes or self.ignore_deletes):
+                    raise ValueError(
+                        f"Detected deleted or updated data at version "
+                        f"{commit.version}. Set ignoreDeletes/ignoreChanges "
+                        f"to proceed, or skipChangeCommits to skip such "
+                        f"commits.")
+            adds = sorted(
+                (a for a in commit.adds if a.dataChange),
+                key=lambda a: a.path,
+            )
+            for i, add in enumerate(adds):
+                out.append((commit.version, i, add))
+        return out
+
+    def _snapshot_sequence(self, at_version: int | None = None
+                           ) -> tuple[int, list[tuple[int, int, object]]]:
+        """Initial-snapshot mode: all active files of the snapshot presented
+        at its version (ref getTableFileChanges isStartingVersion=true,
+        DeltaSharingSource.scala:450-533), followed by incremental changes
+        from the next version onward."""
+        log = self._log()
+        snap = log.snapshot(version=at_version)
+        files = sorted(snap.files, key=lambda a: a.path)
+        seq = [(snap.version, i, a) for i, a in enumerate(files)]
+        seq += self._file_sequence(snap.version + 1)
+        return snap.version, seq
+
+    # ------------------------------------------------------------- offsets
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        if self.starting_version is not None:
+            return {"version": int(self.starting_version), "index": 0,
+                    "isStartingVersion": False}
+        version, _files = self._snapshot_sequence()
+        return {"version": version, "index": 0, "isStartingVersion": True}
+
+    def _sequence_for(self, offset: dict) -> list[tuple[int, int, object]]:
+        if offset.get("isStartingVersion"):
+            # the snapshot is pinned at the offset's version so capped
+            # draining stays stable across multiple micro-batches
+            _v, seq = self._snapshot_sequence(int(offset["version"]))
+            return seq
+        return self._file_sequence(int(offset["version"]))
+
+    @staticmethod
+    def _after(seq, offset: dict):
+        v, i = int(offset["version"]), int(offset["index"])
+        return [x for x in seq if (x[0], x[1]) >= (v, i)]
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        start = self._last_planned or self.initialOffset()
+        seq = self._after(self._sequence_for(start), start)
+        admitted = seq[: self.max_files]  # maxFilesPerTrigger soft cap
+        if not admitted:
+            end = dict(start)
+        else:
+            lv, li, _ = admitted[-1]
+            # snapshot mode persists until the batch end crosses past the
+            # snapshot's own version (then we are in change-tracking mode)
+            still_snapshot = (
+                bool(start.get("isStartingVersion"))
+                and lv <= int(start["version"])
+            )
+            end = {"version": lv, "index": li + 1,
+                   "isStartingVersion": still_snapshot}
+        self._last_planned = end
+        return end
+
+    def partitions(self, start: dict, end: dict):  # noqa: N802
+        seq = self._after(self._sequence_for(start), start)
+        ev, ei = int(end["version"]), int(end["index"])
+        batch = [x for x in seq if (x[0], x[1]) < (ev, ei)]
+        log = self._log()
+        schema_json = log.snapshot().metadata.schemaString
+        return [
+            _FilePartition(log.abs_path(a.path), a.partitionValues, schema_json)
+            for _v, _i, a in batch
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        return _read_file_batches(partition)
+
+    def commit(self, end: dict) -> None:  # noqa: N802
+        pass
+
+
+class SharedTableDataSource(DataSource):
+    """Register with ``spark.dataSource.register(SharedTableDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "deltashare"
+
+    def schema(self) -> T.StructType:
+        from delta_sharing_spark.plans.actions import Metadata
+        import os
+
+        # read the latest metadata straight from the log files (no Spark
+        # session needed at schema-inference time)
+        from delta_sharing_spark.plans.log import LOG_DIR
+        from delta_sharing_spark.plans.actions import parse_action
+
+        log_dir = os.path.join(self.options["path"], LOG_DIR)
+        meta: Metadata | None = None
+        for fn in sorted(os.listdir(log_dir)):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(log_dir, fn)) as f:
+                for line in f:
+                    action = parse_action(line)
+                    if isinstance(action, Metadata):
+                        meta = action
+        if meta is None:
+            raise ValueError(f"no table metadata under {log_dir}")
+        return T.StructType.fromJson(json.loads(meta.schemaString))
+
+    def reader(self, schema: T.StructType) -> DataSourceReader:
+        return SharedTableBatchReader(dict(self.options), schema)
+
+    def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:  # noqa: N802
+        return SharedTableStreamReader(dict(self.options), schema)

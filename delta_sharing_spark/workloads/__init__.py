@@ -41,5 +41,6 @@ def load_all() -> None:
         engine,
         relational,
         similarity,
+        streaming,
         text,
     )

@@ -1,0 +1,95 @@
+"""Streaming workloads: drive the ``deltashare`` Structured Streaming source
+to completion and verify the drained result against SQL oracles.
+
+Each workload starts a real micro-batch query (memory sink, processing-time
+trigger), drains it with ``processAllAvailable`` — exercising admission
+control, offset tracking, and the executor-side Arrow reader — then returns
+the materialized result as a DataFrame.
+
+Note: with ``Trigger.AvailableNow`` the Python data source API plans a
+single batch to the first latestOffset, so capped streams truncate; use a
+processing-time trigger + processAllAvailable (as here) to drain fully under
+admission caps.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_sharing_spark.sources.datasource import SharedTableDataSource
+from delta_sharing_spark.workloads import workload
+from delta_sharing_spark.workloads.engine import _events_cdf, _lineitem_shared
+
+
+def _drain(spark: SparkSession, path: str, options: dict[str, str]) -> tuple[DataFrame, int]:
+    """Run a deltashare stream to completion; return (result_df, n_batches)."""
+    spark.dataSource.register(SharedTableDataSource)
+    try:  # needed for batch-side pushFilters; harmless if already set
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    name = f"dss_stream_{uuid.uuid4().hex[:8]}"
+    reader = spark.readStream.format("deltashare").option("path", path)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    return spark.table(name), n_batches
+
+
+@workload(
+    "stream_snapshot_drain",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_click
+    FROM events WHERE NOT (value < 5)
+    """,
+)
+def stream_snapshot_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-snapshot streaming (no startingVersion -> full snapshot at
+    latest version, ref DeltaSharingSource.scala:450-533) over the
+    events_cdf fixture after its DELETE and UPDATE commits: the drained
+    stream must equal the latest snapshot exactly."""
+    path = _events_cdf(spark, sf_dir)
+    out, _ = _drain(spark, path, {"maxFilesPerTrigger": "4"})
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("n_click"),
+    )
+
+
+@workload(
+    "stream_incremental_appends",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def stream_incremental_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming from startingVersion=1: only the append
+    commit's files are emitted (change-tracking mode, not snapshot mode)."""
+    path = _lineitem_shared(spark, sf_dir)
+    out, _ = _drain(
+        spark, path, {"startingVersion": "1", "maxFilesPerTrigger": "2"}
+    )
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
