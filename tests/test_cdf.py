@@ -1,0 +1,81 @@
+"""CDF semantics against a scripted history — the reference's F6 golden
+shape (cdf_table_cdf_enabled: inserts, delete, update ->
+insert/delete/update_preimage/update_postimage rows;
+test_delta_sharing.py:1380-1440)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_sharing_spark.cdf import CDFError, table_changes
+from delta_sharing_spark.plans.log import TableLog
+
+
+@pytest.fixture()
+def cdf_table(spark, table_dir):
+    rows = [("1", 1, "2020-01-01"), ("2", 2, "2020-01-01"),
+            ("3", 3, "2020-01-01")]
+    df = spark.createDataFrame(rows, "name string, age int, birthday string") \
+        .withColumn("birthday", F.col("birthday").cast("date"))
+    log = TableLog(spark, table_dir)
+    log.create(df, name="cdf_table",
+               configuration={"enableChangeDataFeed": "true"})
+    log.delete("name = '3'")
+    log.update({"birthday": "cast('2020-02-02' as date)"}, "name = '2'")
+    return table_dir
+
+
+class TestCDF:
+    def test_golden_change_rows(self, spark, cdf_table):
+        ch = table_changes(spark, cdf_table, starting_version=0)
+        got = sorted(
+            (r["name"], r["_change_type"], r["_commit_version"],
+             str(r["birthday"]))
+            for r in ch.collect()
+        )
+        assert got == sorted([
+            ("1", "insert", 0, "2020-01-01"),
+            ("2", "insert", 0, "2020-01-01"),
+            ("3", "insert", 0, "2020-01-01"),
+            ("3", "delete", 1, "2020-01-01"),
+            ("2", "update_preimage", 2, "2020-01-01"),
+            ("2", "update_postimage", 2, "2020-02-02"),
+        ])
+
+    def test_range_windows(self, spark, cdf_table):
+        ch01 = table_changes(spark, cdf_table, starting_version=0,
+                             ending_version=1)
+        assert ch01.count() == 4  # 3 inserts + 1 delete
+        ch22 = table_changes(spark, cdf_table, starting_version=2)
+        assert set(r["_change_type"] for r in ch22.collect()) == {
+            "update_preimage", "update_postimage"}
+
+    def test_start_after_latest_errors(self, spark, cdf_table):
+        with pytest.raises(CDFError):
+            table_changes(spark, cdf_table, starting_version=9)
+
+    def test_empty_range_errors(self, spark, cdf_table):
+        with pytest.raises(CDFError):
+            table_changes(spark, cdf_table, starting_version=2,
+                          ending_version=1)
+
+    def test_cdf_disabled_errors(self, spark, events, tmp_path):
+        d = str(tmp_path / "nocdf")
+        TableLog(spark, d).create(events.limit(10))
+        with pytest.raises(CDFError):
+            table_changes(spark, d, starting_version=0)
+
+    def test_timestamp_range(self, spark, cdf_table):
+        log = TableLog(spark, cdf_table)
+        t1 = log.read_commit(1).timestamp
+        # exact-match start resolves to that commit (else earliest after)
+        ch = table_changes(spark, cdf_table, starting_timestamp=t1)
+        assert set(r["_commit_version"] for r in ch.collect()) == {1, 2}
+
+    def test_commit_timestamp_column(self, spark, cdf_table):
+        log = TableLog(spark, cdf_table)
+        ch = table_changes(spark, cdf_table, starting_version=1,
+                           ending_version=1)
+        assert ch.select("_commit_timestamp").distinct().collect()[0][0] \
+            == log.read_commit(1).timestamp

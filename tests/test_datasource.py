@@ -1,0 +1,108 @@
+"""deltashare data source: batch pushdown pruning + streaming admission,
+change-commit validation (ref DeltaSharingSourceSuite intent)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_sharing_spark.plans.log import TableLog
+from delta_sharing_spark.sources.datasource import (
+    SharedTableDataSource,
+    SharedTableStreamReader,
+)
+
+
+@pytest.fixture()
+def stream_table(spark, events, table_dir):
+    log = TableLog(spark, table_dir)
+    log.create(events, partition_by=["event_type"], name="t")
+    log.append(events.filter("event_id < 30"))
+    spark.dataSource.register(SharedTableDataSource)
+    return table_dir
+
+
+class TestBatch:
+    def test_read_and_time_travel(self, spark, events, stream_table):
+        n = events.count()
+        extra = events.filter("event_id < 30").count()
+        df = spark.read.format("deltashare").option("path", stream_table).load()
+        assert df.count() == n + extra
+        v0 = (spark.read.format("deltashare").option("path", stream_table)
+              .option("version", "0").load())
+        assert v0.count() == n
+
+    def test_filter_pushdown_correct(self, spark, events, stream_table):
+        df = spark.read.format("deltashare").option("path", stream_table).load()
+        got = df.filter(F.col("event_type") == "click").count()
+        want = (events.filter("event_type = 'click'").count()
+                + events.filter("event_id < 30 AND event_type = 'click'").count())
+        assert got == want
+
+    def test_planner_prunes_files(self, spark, stream_table):
+        from pyspark.sql.datasource import EqualTo
+
+        from delta_sharing_spark.sources.datasource import SharedTableBatchReader
+
+        reader = SharedTableBatchReader({"path": stream_table}, None)
+        all_parts = reader.partitions()
+        reader.pushFilters([EqualTo(("event_type",), "click")])
+        pruned = reader.partitions()
+        assert 0 < len(pruned) < len(all_parts)
+
+
+class TestStreaming:
+    def _drain(self, spark, path, name, **options):
+        reader = spark.readStream.format("deltashare").option("path", path)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        q = (reader.load().writeStream.format("memory").queryName(name)
+             .trigger(processingTime="200 milliseconds").start())
+        q.processAllAvailable()
+        q.stop()
+        batches = [p["numInputRows"] for p in q.recentProgress
+                   if p["numInputRows"] > 0]
+        return spark.table(name), batches
+
+    def test_admission_cap_batches(self, spark, events, stream_table):
+        out, batches = self._drain(spark, stream_table, "adm",
+                                   startingVersion="0", maxFilesPerTrigger="2")
+        n_files = len(TableLog(spark, stream_table).snapshot().files)
+        import math
+        assert len(batches) >= math.ceil(n_files / 2) - 1
+        total = events.count() + events.filter("event_id < 30").count()
+        assert out.count() == total
+
+    def test_delete_commit_errors_without_flag(self, spark, events, tmp_path):
+        d = str(tmp_path / "del")
+        log = TableLog(spark, d)
+        log.create(events.limit(100), name="t")
+        log.delete("event_id < 10")
+        reader = SharedTableStreamReader({"path": d, "startingversion": "0"},
+                                         None)
+        with pytest.raises(ValueError, match="ignoreDeletes"):
+            reader._file_sequence(0)
+
+    def test_skip_change_commits(self, spark, events, tmp_path):
+        d = str(tmp_path / "skip")
+        log = TableLog(spark, d)
+        log.create(events.limit(100), name="t")
+        log.delete("event_id < 10")
+        log.append(events.filter("event_id >= 900"))
+        reader = SharedTableStreamReader(
+            {"path": d, "startingversion": "1", "skipchangecommits": "true"},
+            None)
+        seq = reader._file_sequence(1)
+        versions = {v for v, _i, _a in seq}
+        assert versions == {2}  # delete commit skipped entirely
+
+    def test_ignore_deletes_keeps_adds(self, spark, events, tmp_path):
+        d = str(tmp_path / "ign")
+        log = TableLog(spark, d)
+        log.create(events.limit(100), name="t")
+        log.delete("event_id < 10")  # rewrite commit: remove + add
+        reader = SharedTableStreamReader(
+            {"path": d, "startingversion": "1", "ignoredeletes": "true"}, None)
+        seq = reader._file_sequence(1)
+        assert all(v == 1 for v, _i, _a in seq)
+        assert len(seq) >= 1  # the rewritten file is admitted

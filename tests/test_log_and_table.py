@@ -1,0 +1,158 @@
+"""Commit log + SharedTable semantics: versioning, time travel, pruning,
+limit, projection normalization — the reference's DeltaSharedTable suites
+(DeltaSharedTableVersionRangeSuite, RemoteDeltaLogSuite intent)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_sharing_spark.plans.log import TableLog, VersionNotFoundError
+from delta_sharing_spark.table import SharedTable
+
+
+@pytest.fixture()
+def versioned_table(spark, events, table_dir):
+    log = TableLog(spark, table_dir)
+    log.create(events, partition_by=["event_type"], name="t")
+    log.append(events.filter("event_id < 50"))
+    return table_dir
+
+
+class TestSnapshots:
+    def test_versions(self, spark, events, versioned_table):
+        t = SharedTable(spark, versioned_table)
+        assert t.version() == 1
+        n = events.count()
+        extra = events.filter("event_id < 50").count()
+        assert t.to_df(version=0).count() == n
+        assert t.to_df().count() == n + extra
+
+    def test_bad_version(self, spark, versioned_table):
+        t = SharedTable(spark, versioned_table)
+        with pytest.raises(VersionNotFoundError):
+            t.to_df(version=7)
+
+    def test_timestamp_travel(self, spark, versioned_table):
+        log = TableLog(spark, versioned_table)
+        c0, c1 = log.read_commit(0), log.read_commit(1)
+        assert c1.timestamp > c0.timestamp  # monotonized
+        assert log.version_at_timestamp(c0.timestamp) == 0
+        assert log.version_at_timestamp(c1.timestamp) == 1
+        assert log.version_at_timestamp(c1.timestamp + 10_000) == 1
+        assert log.earliest_version_at_or_after(c0.timestamp) == 0
+        assert log.earliest_version_at_or_after(c0.timestamp + 1) == 1
+
+    def test_metadata_endpoint(self, spark, versioned_table):
+        t = SharedTable(spark, versioned_table)
+        meta = t.metadata()
+        assert meta["partitionColumns"] == ["event_type"]
+        assert meta["numFiles"] == len(t.log.snapshot().files)
+        assert meta["version"] == 1
+
+
+class TestPruning:
+    def test_partition_prune_reads_fewer_files(self, spark, versioned_table):
+        t = SharedTable(spark, versioned_table)
+        snap = t.log.snapshot()
+        hints = {"op": "equal", "children": [
+            {"op": "column", "name": "event_type", "valueType": "string"},
+            {"op": "literal", "value": "click", "valueType": "string"}]}
+        kept = t.pruned_files(snap, json_predicate_hints=hints)
+        assert 0 < len(kept) < len(snap.files)
+        # result still correct (prune is a superset of matching rows)
+        full_clicks = t.to_df().filter("event_type = 'click'").count()
+        pruned_clicks = (
+            t.to_df(json_predicate_hints=hints)
+            .filter("event_type = 'click'").count()
+        )
+        assert pruned_clicks == full_clicks
+
+    def test_stats_prune(self, spark, versioned_table):
+        t = SharedTable(spark, versioned_table)
+        snap = t.log.snapshot()
+        # event_id ranges differ between v0 files (full) and v1 files (<50)
+        hints = {"op": "greaterThan", "children": [
+            {"op": "column", "name": "event_id", "valueType": "long"},
+            {"op": "literal", "value": "100", "valueType": "long"}]}
+        kept = t.pruned_files(snap, json_predicate_hints=hints)
+        assert len(kept) < len(snap.files)  # v1 files skipped via max stats
+
+    def test_sql_hint_prune(self, spark, versioned_table):
+        t = SharedTable(spark, versioned_table)
+        snap = t.log.snapshot()
+        kept = t.pruned_files(snap, predicate_hints=["event_type = 'click'"])
+        assert 0 < len(kept) < len(snap.files)
+        # non-parsable / non-partition hints are skipped best-effort
+        kept2 = t.pruned_files(snap, predicate_hints=["value > 1"])
+        assert len(kept2) == len(snap.files)
+        kept3 = t.pruned_files(snap, predicate_hints=["garbage ==== "])
+        assert len(kept3) == len(snap.files)
+
+    def test_limit_hint_cuts_files(self, spark, versioned_table):
+        t = SharedTable(spark, versioned_table)
+        snap = t.log.snapshot()
+        kept = t.pruned_files(snap, limit_hint=10)
+        # expected: minimal path-ordered prefix whose cumulative numRecords
+        # reaches the limit (kernel early-termination semantics)
+        ordered = sorted(snap.files, key=lambda a: a.path)
+        expect, acc = 0, 0
+        for f in ordered:
+            expect += 1
+            acc += f.num_records or 0
+            if acc >= 10:
+                break
+        assert len(kept) == expect < len(snap.files)
+        assert t.to_df(limit=10).count() == 10
+
+    def test_limit_larger_than_table(self, spark, events, versioned_table):
+        t = SharedTable(spark, versioned_table)
+        total = t.to_df().count()
+        assert t.to_df(limit=10_000_000).count() == total
+
+
+class TestProjectionNormalization:
+    def test_schema_evolution_null_fill(self, spark, events, table_dir):
+        """F3 fixture semantics: older files lack a later column -> null-fill
+        and reorder (python/delta_sharing/reader.py:630-674)."""
+        log = TableLog(spark, table_dir)
+        log.create(events.select("event_id", "ts", "user_id"), name="t")
+        evolved = T.StructType(
+            [f for f in events.select("event_id", "ts", "user_id").schema]
+            + [T.StructField("note", T.StringType(), True)]
+        )
+        log.update_metadata(schema=evolved)
+        log.append(
+            events.select("event_id", "ts", "user_id")
+            .limit(10).withColumn("note", F.lit("x"))
+        )
+        t = SharedTable(spark, table_dir)
+        df = t.to_df()
+        assert df.columns == ["event_id", "ts", "user_id", "note"]
+        assert df.filter("note IS NULL").count() == events.count()
+        assert df.filter("note = 'x'").count() == 10
+
+
+class TestActionStream:
+    def test_pagination_and_token_binding(self, spark, versioned_table):
+        t = SharedTable(spark, versioned_table)
+        page1 = t.query_actions(max_files=2)
+        assert page1["nextPageToken"] is not None
+        files1 = [a for a in page1["actions"] if "file" in a]
+        assert len(files1) == 2
+        page2 = t.query_actions(max_files=100,
+                                page_token=page1["nextPageToken"])
+        files2 = [a for a in page2["actions"] if "file" in a]
+        total = len(t.log.snapshot().files)
+        assert len(files1) + len(files2) == total
+        ids = {a["file"]["id"] for a in files1 + files2}
+        assert len(ids) == total  # no overlap, no gap
+
+    def test_action_stream_shape(self, spark, versioned_table):
+        t = SharedTable(spark, versioned_table)
+        out = t.query_actions()
+        assert "protocol" in out["actions"][0]
+        assert "metaData" in out["actions"][1]
+        f = out["actions"][2]["file"]
+        assert {"url", "id", "partitionValues", "size", "stats"} <= set(f)
