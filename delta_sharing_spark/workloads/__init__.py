@@ -37,6 +37,7 @@ def workload(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import all workload modules so their registrations run."""
     from delta_sharing_spark.workloads import (  # noqa: F401
+        advanced,
         dedup,
         engine,
         relational,

@@ -1,0 +1,131 @@
+"""Advanced operator workloads: as-of join, pivot, multimodal plumbing —
+each oracle-checked in DuckDB (ASOF JOIN, FILTER aggregation, md5 math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_sharing_spark.io import read_table
+from delta_sharing_spark.operators.joins import asof_join
+from delta_sharing_spark.operators.multimodal import (
+    fake_decode_media,
+    sample_frames,
+    with_media_column,
+)
+from delta_sharing_spark.workloads import workload
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@workload(
+    "q_asof_click_purchase",
+    oracle="""
+    SELECT c.event_id,
+           p.event_id AS purchase_event_id,
+           CAST(p.value AS DOUBLE) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the user's most recent purchase at or
+    before it. Union + running-last-value: one shuffle on user_id, linear
+    per-partition scan (see operators/joins.py; DuckDB's native ASOF JOIN
+    is the oracle)."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks, purchases, on="user_id", left_time="ts", right_time="ts",
+        right_payload=["event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        F.col("event_id_right").alias("purchase_event_id"),
+        F.col("value_right").cast("double").alias("purchase_value"),
+    )
+
+
+@workload(
+    "q_events_pivot",
+    oracle=f"""
+    SELECT user_id % 10 AS user_bucket,
+           {", ".join(
+               f"CAST(SUM(CAST(value AS DECIMAL(12,2))) "
+               f"FILTER (event_type = '{t}') AS DOUBLE) AS {t}"
+               for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event-type columns per user bucket (conditional aggregation
+    under the hood — one shuffle, no per-value scans)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(F.expr("CAST(value AS DECIMAL(12,2))")).cast("double"))
+    )
+
+
+_HEXVAL = "(strpos('0123456789abcdef', substr(d, {i}, 1)) - 1)"
+
+
+def _hex_byte(i: int) -> str:
+    return f"({_HEXVAL.format(i=i)} * 16 + {_HEXVAL.format(i=i + 1)})"
+
+
+@workload(
+    "q_multimodal_decode",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, length(text) AS n_bytes, md5(text) AS d
+               FROM documents)
+    SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes,
+           CAST(1 + {_hex_byte(1)} AS INT)                AS width,
+           CAST(1 + {_hex_byte(3)} AS INT)                AS height,
+           CAST(1 + {_HEXVAL.format(i=5)} % 4 AS INT)     AS channels,
+           'fake/' || substr(d, 6, 1)                     AS format
+    FROM h
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: pack text into the opaque binary
+    media struct, run the Arrow-batched mapInPandas decoder (deterministic
+    md5-derived fake — the real codec is a drop-in), verify every metadata
+    field against the oracle recomputing the same math in SQL."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = with_media_column(docs, "text")
+    return fake_decode_media(media, "media", "doc_id")
+
+
+@workload(
+    "q_multimodal_frames",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(
+               1, least(ceil(length(text) / 64.0), 8)::BIGINT)) AS i
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS frame_idx,
+           md5(substr(text, ((i - 1) * 64 + 1)::INT, 64)) AS frame_md5
+    FROM idx
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: fixed-size chunking of the opaque payload
+    with frame indices, all JVM-side."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = with_media_column(docs, "text")
+    frames = sample_frames(media, "media", "doc_id", frame_bytes=64,
+                           max_frames=8)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )

@@ -96,3 +96,79 @@ class TestSimilarity:
         pairs = near_dup_pairs(vectors, threshold=0.99)
         for r in pairs.collect():
             assert r["cos"] >= 0.99
+
+
+class TestJoins:
+    def test_asof_backward(self, spark):
+        from delta_sharing_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")],
+            "k long, t long, name string")
+        right = spark.createDataFrame(
+            [(1, 5, 100.0), (1, 12, 200.0), (1, 20, 300.0), (3, 1, 400.0)],
+            "k long, t long, v double")
+        out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                        right_payload=["v"])
+        got = {r["name"]: r["v_right"] for r in out.collect()}
+        assert got == {"a": 100.0, "b": 300.0, "c": None}  # ties inclusive
+
+    def test_asof_forward(self, spark):
+        from delta_sharing_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame([(1, 10, "a")], "k long, t long, name string")
+        right = spark.createDataFrame(
+            [(1, 8, 1.0), (1, 11, 2.0), (1, 15, 3.0)], "k long, t long, v double")
+        out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                        right_payload=["v"], direction="forward")
+        assert out.collect()[0]["v_right"] == 2.0
+
+    def test_range_join_bucketed(self, spark):
+        from delta_sharing_spark.operators.joins import range_join_bucketed
+
+        points = spark.createDataFrame([(1, 5.0), (2, 25.0), (3, 99.0)],
+                                       "pid long, x double")
+        intervals = spark.createDataFrame(
+            [(10, 0.0, 10.0), (20, 20.0, 30.0), (30, 24.0, 26.0)],
+            "iid long, lo double, hi double")
+        out = range_join_bucketed(points, intervals, "x", "lo", "hi",
+                                  bucket_width=8.0)
+        got = sorted((r["pid"], r["iid"]) for r in out.collect())
+        assert got == [(1, 10), (2, 20), (2, 30)]
+
+
+class TestMultimodal:
+    def test_fake_decode_deterministic(self, spark):
+        import hashlib
+
+        from delta_sharing_spark.operators.multimodal import (
+            fake_decode_media, with_media_column)
+
+        df = spark.createDataFrame([(1, "hello"), (2, "world")],
+                                   "doc_id long, text string")
+        media = with_media_column(df, "text")
+        out = {r["doc_id"]: r for r in
+               fake_decode_media(media, "media", "doc_id").collect()}
+        d = hashlib.md5(b"hello").hexdigest()
+        assert out[1]["n_bytes"] == 5
+        assert out[1]["width"] == 1 + int(d[0:2], 16)
+        assert out[1]["height"] == 1 + int(d[2:4], 16)
+        assert out[1]["format"] == "fake/" + d[5]
+
+    def test_decode_stub_raises(self, spark):
+        from delta_sharing_spark.operators.multimodal import decode_media
+
+        with pytest.raises(NotImplementedError):
+            decode_media(None, "media", "doc_id")
+
+    def test_sample_frames(self, spark):
+        from delta_sharing_spark.operators.multimodal import (
+            sample_frames, with_media_column)
+
+        text = "x" * 200
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        media = with_media_column(df, "text")
+        rows = sample_frames(media, "media", "doc_id", frame_bytes=64,
+                             max_frames=8).collect()
+        assert len(rows) == 4  # ceil(200/64)
+        assert sum(len(r["frame_bytes"]) for r in rows) == 200
