@@ -1,0 +1,152 @@
+"""Client-surface parity: profile files and load_as_* entry points.
+
+Mirrors the reference's Python connector surface
+(python/delta_sharing/delta_sharing.py):
+
+- profile file: JSON with shareCredentialsVersion and an engine endpoint
+  (PROTOCOL.md:4278-4298). In-engine there is no REST endpoint or bearer
+  token; the profile's ``endpoint`` is the path of a catalog config JSON
+  (catalog.ShareCatalog.from_config shape).
+- table URL: ``<profile-path>#<share>.<schema>.<table>``
+  (delta_sharing.py:37-52 ``_parse_url``).
+- ``load_as_spark(url)`` -> DataFrame (delta_sharing.py:455-500);
+- ``load_as_pandas(url, limit=...)`` -> pandas DataFrame with the exact
+  client-side limit cut (delta_sharing.py:118-157, reader.py:201-224);
+- ``SharingClient``: list_shares/list_schemas/list_tables/list_all_tables
+  (delta_sharing.py:627-688).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from delta_sharing_spark.catalog import Schema, Share, ShareCatalog, Table
+from delta_sharing_spark.table import SharedTable
+
+
+@dataclass(frozen=True)
+class DeltaSharingProfile:
+    share_credentials_version: int
+    endpoint: str  # catalog config path (no REST in-engine)
+
+    @classmethod
+    def read_from_file(cls, path: str) -> DeltaSharingProfile:
+        with open(path) as f:
+            cfg = json.load(f)
+        version = int(cfg.get("shareCredentialsVersion", 1))
+        if version > 1:
+            raise ValueError(
+                f"shareCredentialsVersion {version} is not supported (max 1)")
+        return cls(share_credentials_version=version,
+                   endpoint=cfg["endpoint"])
+
+
+def _parse_url(url: str) -> tuple[str, str, str, str]:
+    """``profile#share.schema.table`` -> (profile, share, schema, table)."""
+    shard = url.rsplit("#", 1)
+    if len(shard) != 2:
+        raise ValueError(f"invalid url: {url!r} (expected profile#s.s.t)")
+    fragments = shard[1].split(".")
+    if len(fragments) != 3:
+        raise ValueError(f"invalid table fragment in {url!r}")
+    return (shard[0], *fragments)
+
+
+def _resolve(spark: SparkSession, url: str) -> SharedTable:
+    profile_path, share, schema, table = _parse_url(url)
+    profile = DeltaSharingProfile.read_from_file(profile_path)
+    catalog = ShareCatalog.from_config(spark, profile.endpoint)
+    return catalog.load_table(f"{share}.{schema}.{table}")
+
+
+def load_as_spark(url: str, version: int | None = None,
+                  timestamp: str | None = None,
+                  spark: SparkSession | None = None) -> DataFrame:
+    """Load a shared table as a Spark DataFrame (optionally time-traveled)."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession")
+    return _resolve(spark, url).to_df(version=version, timestamp=timestamp)
+
+
+def load_as_pandas(url: str, limit: int | None = None,
+                   version: int | None = None, timestamp: str | None = None,
+                   spark: SparkSession | None = None) -> pd.DataFrame:
+    """Load a shared table as pandas; ``limit`` is exact (file-cutoff hint +
+    client-side cut, ref reader.py:201-224)."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession")
+    df = _resolve(spark, url).to_df(version=version, timestamp=timestamp,
+                                    limit=limit)
+    return df.toPandas()
+
+
+def load_table_changes_as_spark(
+    url: str,
+    starting_version: int | None = None,
+    ending_version: int | None = None,
+    starting_timestamp: str | None = None,
+    ending_timestamp: str | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """CDF twin of load_as_spark (delta_sharing.py load_table_changes_as_spark)."""
+    from delta_sharing_spark.cdf import table_changes
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession")
+    table = _resolve(spark, url)
+    return table_changes(
+        spark, table.log.path,
+        starting_version=starting_version, ending_version=ending_version,
+        starting_timestamp=starting_timestamp,
+        ending_timestamp=ending_timestamp,
+    )
+
+
+class SharingClient:
+    """Catalog listing client over a profile file."""
+
+    def __init__(self, spark: SparkSession, profile_path: str):
+        profile = DeltaSharingProfile.read_from_file(profile_path)
+        self._catalog = ShareCatalog.from_config(spark, profile.endpoint)
+
+    def list_shares(self) -> list[Share]:
+        out, token = [], None
+        while True:
+            page, token = self._catalog.list_shares(page_token=token)
+            out += page
+            if token is None:
+                return out
+
+    def list_schemas(self, share: Share | str) -> list[Schema]:
+        name = share.name if isinstance(share, Share) else share
+        out, token = [], None
+        while True:
+            page, token = self._catalog.list_schemas(name, page_token=token)
+            out += page
+            if token is None:
+                return out
+
+    def list_tables(self, schema: Schema) -> list[Table]:
+        out, token = [], None
+        while True:
+            page, token = self._catalog.list_tables(
+                schema.share, schema.name, page_token=token)
+            out += page
+            if token is None:
+                return out
+
+    def list_all_tables(self, share: Share | str) -> list[Table]:
+        name = share.name if isinstance(share, Share) else share
+        out, token = [], None
+        while True:
+            page, token = self._catalog.list_all_tables(name, page_token=token)
+            out += page
+            if token is None:
+                return out

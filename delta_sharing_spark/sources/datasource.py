@@ -201,7 +201,11 @@ class SharedTableStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema: T.StructType):
         self.options = options
         self.path = options["path"]
+        # soft caps, ref DeltaSharingOptions.scala:193-195 (maxFilesPerTrigger
+        # default 1000; maxBytesPerTrigger admits at least one file)
         self.max_files = int(options.get("maxfilespertrigger", "1000"))
+        mb = options.get("maxbytespertrigger")
+        self.max_bytes = int(mb) if mb else None
         self.starting_version = options.get("startingversion")
         self.ignore_deletes = options.get("ignoredeletes", "false") == "true"
         self.ignore_changes = options.get("ignorechanges", "false") == "true"
@@ -224,6 +228,20 @@ class SharedTableStreamReader(DataSourceStreamReader):
         log = self._log()
         out = []
         for commit in log.commits(from_version):
+            if commit.metadata is not None and self._schema is not None:
+                # schema-compat gate on interleaved metadata commits
+                # (ref SchemaUtils.scala:37-90 via DeltaSharingSource:996-1001)
+                import json as _json
+
+                from delta_sharing_spark.streaming.schema import (
+                    check_read_compatible,
+                )
+
+                new_schema = T.StructType.fromJson(
+                    _json.loads(commit.metadata.schemaString)
+                )
+                check_read_compatible(self._schema, new_schema,
+                                      version=commit.version)
             if commit.removes and not commit.cdc:
                 if self.skip_change_commits:
                     continue  # drop the whole commit's files
@@ -280,6 +298,16 @@ class SharedTableStreamReader(DataSourceStreamReader):
         start = self._last_planned or self.initialOffset()
         seq = self._after(self._sequence_for(start), start)
         admitted = seq[: self.max_files]  # maxFilesPerTrigger soft cap
+        if self.max_bytes is not None:
+            # byte cap: admit files until the budget is spent, always at
+            # least one (soft-cap semantics, ref AdmissionLimits ReadMaxBytes)
+            budget, cut = self.max_bytes, 0
+            for _v, _i, add in admitted:
+                if cut > 0 and budget - add.size < 0:
+                    break
+                budget -= add.size
+                cut += 1
+            admitted = admitted[:cut]
         if not admitted:
             end = dict(start)
         else:

@@ -175,13 +175,31 @@ class SharedTable:
         limit_hint: int | None = None,
         max_files: int | None = None,
         page_token: str | None = None,
+        include_refresh_token: bool = False,
+        refresh_token: str | None = None,
     ) -> dict[str, Any]:
         """Protocol-parity surface: the NDJSON-shaped action stream a sharing
         server would emit for this query (PROTOCOL.md:3537-3643), with offset
-        page tokens (ref DeltaSharedTable.scala:363-380,499-517)."""
+        page tokens (ref DeltaSharedTable.scala:363-380,499-517) and refresh
+        tokens pinning latest-snapshot queries to their resolved version
+        (ref DeltaSharedTable.scala:518-532, TTL 1h ServerConfig.scala:95)."""
         import base64
+        import time as _time
 
+        if refresh_token:
+            decoded_rt = json.loads(base64.urlsafe_b64decode(refresh_token))
+            if decoded_rt.get("expiration", 0) < _time.time() * 1000:
+                raise ValueError("refresh token expired")
+            if version is None and timestamp is None:
+                version = int(decoded_rt["version"])
+        was_latest = version is None and timestamp is None
         snap = self.log.snapshot(version=version, timestamp=timestamp)
+        new_refresh_token = None
+        if include_refresh_token and was_latest:
+            new_refresh_token = base64.urlsafe_b64encode(json.dumps({
+                "version": snap.version,
+                "expiration": int(_time.time() * 1000) + 3_600_000,
+            }).encode()).decode()
         paths = set(
             self.pruned_files(snap, json_predicate_hints, predicate_hints,
                               limit_hint)
@@ -221,7 +239,41 @@ class SharedTable:
                     }
                 }
             )
-        if next_token:
-            lines.append({"endStreamAction": {"nextPageToken": next_token}})
+        if next_token or new_refresh_token:
+            end: dict[str, Any] = {}
+            if next_token:
+                end["nextPageToken"] = next_token
+            if new_refresh_token:
+                end["refreshToken"] = new_refresh_token
+            lines.append({"endStreamAction": end})
         return {"version": snap.version, "actions": lines,
-                "nextPageToken": next_token}
+                "nextPageToken": next_token,
+                "refreshToken": new_refresh_token}
+
+
+_TABLE_CACHE: dict[str, tuple[float, SharedTable]] = {}
+_TABLE_CACHE_SIZE = 10        # ref deltaTableCacheSize, ServerConfig.scala:87
+_TABLE_CACHE_TTL_S = 3600.0   # ref 60-min expiry, DeltaSharedTableLoader.scala:34-36
+
+
+def load_shared_table(spark: SparkSession, path: str) -> SharedTable:
+    """LRU+TTL table loader cache (ref DeltaSharedTableLoader.scala:32-56).
+
+    The SharedTable object itself is cheap; the cache's value is keeping a
+    stable handle per table path so repeated queries share any session-level
+    state (and mirrors the reference's loader surface)."""
+    import os as _os
+    import time as _time
+
+    key = _os.path.abspath(path)
+    now = _time.monotonic()
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and now - hit[0] < _TABLE_CACHE_TTL_S:
+        _TABLE_CACHE[key] = (now, hit[1])
+        return hit[1]
+    table = SharedTable(spark, key)
+    _TABLE_CACHE[key] = (now, table)
+    while len(_TABLE_CACHE) > _TABLE_CACHE_SIZE:
+        oldest = min(_TABLE_CACHE, key=lambda k: _TABLE_CACHE[k][0])
+        del _TABLE_CACHE[oldest]
+    return table

@@ -1,0 +1,211 @@
+"""Client surface (profiles, load_as_*), schema compatibility gate, refresh
+tokens, byte-based admission."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_sharing_spark.client import (
+    DeltaSharingProfile,
+    SharingClient,
+    load_as_pandas,
+    load_as_spark,
+    load_table_changes_as_spark,
+)
+from delta_sharing_spark.plans.log import TableLog
+from delta_sharing_spark.streaming.schema import (
+    SchemaCompatError,
+    check_read_compatible,
+    is_read_compatible,
+)
+from delta_sharing_spark.table import SharedTable
+
+
+@pytest.fixture()
+def profile_env(spark, events, tmp_path):
+    table_dir = str(tmp_path / "events_table")
+    log = TableLog(spark, table_dir)
+    log.create(events, name="events",
+               configuration={"enableChangeDataFeed": "true"})
+    log.delete("event_id < 5")
+    config = {
+        "shares": [{
+            "name": "share1",
+            "schemas": [{
+                "name": "default",
+                "tables": [{"name": "events", "location": table_dir,
+                            "cdfEnabled": True}],
+            }],
+        }]
+    }
+    config_path = str(tmp_path / "catalog.json")
+    with open(config_path, "w") as f:
+        json.dump(config, f)
+    profile_path = str(tmp_path / "profile.json")
+    with open(profile_path, "w") as f:
+        json.dump({"shareCredentialsVersion": 1, "endpoint": config_path}, f)
+    return profile_path
+
+
+class TestClient:
+    def test_profile_parse(self, profile_env):
+        p = DeltaSharingProfile.read_from_file(profile_env)
+        assert p.share_credentials_version == 1
+
+    def test_unsupported_profile_version(self, tmp_path):
+        bad = str(tmp_path / "bad.json")
+        with open(bad, "w") as f:
+            json.dump({"shareCredentialsVersion": 99, "endpoint": "x"}, f)
+        with pytest.raises(ValueError, match="not supported"):
+            DeltaSharingProfile.read_from_file(bad)
+
+    def test_load_as_spark(self, spark, events, profile_env):
+        url = f"{profile_env}#share1.default.events"
+        df = load_as_spark(url, spark=spark)
+        assert df.count() == events.count() - 5
+        v0 = load_as_spark(url, version=0, spark=spark)
+        assert v0.count() == events.count()
+
+    def test_load_as_pandas_limit(self, spark, profile_env):
+        url = f"{profile_env}#share1.default.events"
+        pdf = load_as_pandas(url, limit=7, spark=spark)
+        assert len(pdf) == 7
+
+    def test_load_table_changes(self, spark, profile_env):
+        url = f"{profile_env}#share1.default.events"
+        ch = load_table_changes_as_spark(url, starting_version=1, spark=spark)
+        assert set(r["_change_type"] for r in ch.collect()) == {"delete"}
+
+    def test_bad_urls(self, spark, profile_env):
+        with pytest.raises(ValueError):
+            load_as_spark("no-fragment", spark=spark)
+        with pytest.raises(ValueError):
+            load_as_spark(f"{profile_env}#only.two", spark=spark)
+
+    def test_sharing_client_listing(self, spark, profile_env):
+        client = SharingClient(spark, profile_env)
+        shares = client.list_shares()
+        assert [s.name for s in shares] == ["share1"]
+        schemas = client.list_schemas(shares[0])
+        assert [s.name for s in schemas] == ["default"]
+        tables = client.list_tables(schemas[0])
+        assert [t.name for t in tables] == ["events"]
+        assert len(client.list_all_tables("share1")) == 1
+
+
+class TestSchemaCompat:
+    BASE = T.StructType([
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.StringType(), True),
+    ])
+
+    def test_identical_ok(self):
+        assert is_read_compatible(self.BASE, self.BASE)
+
+    def test_new_nullable_column_ok(self):
+        new = T.StructType(list(self.BASE.fields)
+                           + [T.StructField("c", T.IntegerType(), True)])
+        assert is_read_compatible(self.BASE, new)
+
+    def test_new_nonnull_column_fails(self):
+        new = T.StructType(list(self.BASE.fields)
+                           + [T.StructField("c", T.IntegerType(), False)])
+        assert not is_read_compatible(self.BASE, new)
+
+    def test_dropped_column_fails(self):
+        new = T.StructType([self.BASE.fields[0]])
+        assert not is_read_compatible(self.BASE, new)
+
+    def test_type_change_fails(self):
+        new = T.StructType([
+            T.StructField("a", T.IntegerType(), False),
+            T.StructField("b", T.StringType(), True),
+        ])
+        assert not is_read_compatible(self.BASE, new)
+
+    def test_nullability_relax_ok_tighten_fails(self):
+        relaxed = T.StructType([
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), True),
+        ])
+        assert is_read_compatible(self.BASE, relaxed)
+        assert not is_read_compatible(relaxed, self.BASE)
+
+    def test_check_raises(self):
+        with pytest.raises(SchemaCompatError, match="version 3"):
+            check_read_compatible(self.BASE, T.StructType([]), version=3)
+
+    def test_stream_stops_on_incompatible_metadata(self, spark, events,
+                                                   tmp_path):
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableStreamReader,
+        )
+
+        d = str(tmp_path / "evolve")
+        log = TableLog(spark, d)
+        base = events.select("event_id", "user_id")
+        log.create(base, name="t")
+        evolved = T.StructType([
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("user_id", T.StringType(), True),  # type change!
+        ])
+        log.update_metadata(schema=evolved)
+        reader = SharedTableStreamReader(
+            {"path": d, "startingversion": "0"}, base.schema)
+        with pytest.raises(SchemaCompatError):
+            reader._file_sequence(0)
+
+
+class TestRefreshToken:
+    def test_refresh_pins_version(self, spark, events, tmp_path):
+        d = str(tmp_path / "rt")
+        log = TableLog(spark, d)
+        log.create(events.limit(50), name="t")
+        t = SharedTable(spark, d)
+        out = t.query_actions(include_refresh_token=True)
+        token = out["refreshToken"]
+        assert token is not None and out["version"] == 0
+        log.append(events.filter("event_id >= 990"))
+        # refresh re-queries the SAME version despite the new commit
+        again = t.query_actions(refresh_token=token)
+        assert again["version"] == 0
+        fresh = t.query_actions()
+        assert fresh["version"] == 1
+
+    def test_explicit_version_no_token(self, spark, events, tmp_path):
+        d = str(tmp_path / "rt2")
+        TableLog(spark, d).create(events.limit(10), name="t")
+        t = SharedTable(spark, d)
+        out = t.query_actions(version=0, include_refresh_token=True)
+        assert out["refreshToken"] is None
+
+
+class TestByteAdmission:
+    def test_max_bytes_per_trigger(self, spark, events, tmp_path):
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableStreamReader,
+        )
+
+        d = str(tmp_path / "bytes")
+        log = TableLog(spark, d)
+        log.create(events, partition_by=["event_type"], name="t")
+        sizes = [a.size for a in TableLog(spark, d).snapshot().files]
+        reader = SharedTableStreamReader(
+            {"path": d, "startingversion": "0",
+             "maxbytespertrigger": str(min(sizes) + 1)}, None)
+        off0 = reader.initialOffset()
+        reader._last_planned = off0
+        end = reader.latestOffset()
+        parts = reader.partitions(off0, end)
+        assert len(parts) == 1  # byte budget admits exactly one file
+        # and a tiny budget still admits at least one (soft cap)
+        reader2 = SharedTableStreamReader(
+            {"path": d, "startingversion": "0", "maxbytespertrigger": "1"},
+            None)
+        reader2._last_planned = reader2.initialOffset()
+        end2 = reader2.latestOffset()
+        assert len(reader2.partitions(off0, end2)) == 1
