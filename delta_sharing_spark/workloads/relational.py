@@ -454,3 +454,174 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------- correlated subqueries
+
+@workload(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({PRICE}) AS DOUBLE) / 7.0 AS avg_yearly, COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average) —
+    expressed as SQL so Catalyst's subquery decorrelation rewrites it into
+    an aggregate + join (no per-row subquery execution at scale)."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    read_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(f"""
+        SELECT CAST(SUM({PRICE}) AS DOUBLE) / 7.0 AS avg_yearly, COUNT(*) AS n
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey)
+    """)
+
+
+@workload(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_name, o_orderkey,
+           CAST(SUM({QTY}) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_name, o_orderkey
+    HAVING SUM({QTY}) > CAST(300 AS DECIMAL(12,2))
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: join + GROUP BY + HAVING over an aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey")
+        .agg(F.sum(F.expr(QTY)).alias("__total"))
+        .filter(F.col("__total") > F.expr("CAST(300 AS DECIMAL(12,2))"))
+        .select("c_name", "o_orderkey",
+                F.col("__total").cast("double").alias("total_qty"))
+    )
+
+
+@workload(
+    "q_cube_orders",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of subtotals)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))"))
+            .cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n", "total",
+        )
+    )
+
+
+@workload(
+    "q_window_functions",
+    oracle="""
+    SELECT o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           CAST(LAG(o_totalprice, 1) OVER w AS DOUBLE) AS prev_price,
+           CAST(LEAD(o_totalprice, 1) OVER w AS DOUBLE) AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: rank/dense_rank/ntile/lag/lead + a running
+    decimal sum — one shuffle on the partition key for all seven."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wrun = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_totalprice", 1).over(w).cast("double").alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).cast("double").alias("next_price"),
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))")).over(wrun)
+        .cast("double").alias("running_total"),
+    )
+
+
+@workload(
+    "q_events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS distinct_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column extraction (get_json_object — JVM-side
+    JSON path, no Python)."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("sum_k"),
+        F.countDistinct(k).alias("distinct_k"),
+    )
+
+
+@workload(
+    "q_part_regexp",
+    oracle="""
+    SELECT regexp_extract(p_type, '^([a-z]+)', 1) AS type_head,
+           COUNT(*) AS n,
+           CAST(MIN(p_retailprice) AS DOUBLE) AS min_price,
+           CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+    FROM part
+    GROUP BY 1
+    """,
+)
+def q_part_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp extraction as a grouping key (simple character-class pattern,
+    identical semantics in Java regex and RE2)."""
+    part = read_table(spark, sf_dir, "part")
+    return (
+        part.groupBy(
+            F.regexp_extract("p_type", "^([a-z]+)", 1).alias("type_head"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("p_retailprice").cast("double").alias("min_price"),
+            F.max("p_retailprice").cast("double").alias("max_price"),
+        )
+    )
