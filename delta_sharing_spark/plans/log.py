@@ -570,3 +570,103 @@ class TableLog:
         )
         self._write_commit(version, actions)
         return version
+
+    # ------------------------------------------------------- maintenance ops
+
+    def overwrite(self, df: DataFrame) -> int:
+        """INSERT OVERWRITE: replace the table's full contents in one
+        commit (removes every active file, adds the new set)."""
+        snap = self.snapshot()
+        version = snap.version + 1
+        ts = self._next_commit_timestamp()
+        staged = self._stage_dataframe(df, snap.partition_columns,
+                                       self.data_path)
+        actions: list[Action] = [
+            AddFile(path=p, partitionValues=pv, size=sz, stats=st)
+            for p, pv, sz, st in staged
+        ]
+        actions += [
+            RemoveFile(path=a.path, partitionValues=a.partitionValues,
+                       size=a.size)
+            for a in snap.files
+        ]
+        actions.append(
+            CommitInfo(version=version, timestamp=ts, operation="OVERWRITE",
+                       operationMetrics={"numFiles": str(len(staged))})
+        )
+        self._write_commit(version, actions)
+        return version
+
+    def optimize(self, target_file_rows: int = 1_000_000) -> int:
+        """OPTIMIZE (compaction): bin-pack small files into larger ones,
+        partition by partition. The rewrite is dataChange=false on both
+        sides, so streams reading the log skip it (no change-commit error —
+        the reference's source only admits dataChange files,
+        DeltaSharingSource file filtering).
+
+        At 100 TB this is the small-files cure: read-side task count drops
+        from O(commits x partitions) to O(data size / target file size).
+        """
+        snap = self.snapshot()
+        version = snap.version + 1
+        ts = self._next_commit_timestamp()
+        # group active files by partition values; compact groups with >1 file
+        groups: dict[tuple, list[AddFile]] = {}
+        for add in snap.files:
+            key = tuple(sorted(add.partitionValues.items()))
+            groups.setdefault(key, []).append(add)
+        actions: list[Action] = []
+        n_compacted = 0
+        for _key, files in sorted(groups.items()):
+            if len(files) < 2:
+                continue
+            df = self._read_files(snap, files)
+            n_rows = sum(a.num_records or 0 for a in files)
+            n_out = max(1, -(-n_rows // target_file_rows))
+            staged = self._stage_dataframe(
+                df.repartition(n_out), snap.partition_columns, self.data_path
+            )
+            actions += [
+                AddFile(path=p, partitionValues=pv, size=sz, stats=st,
+                        dataChange=False)
+                for p, pv, sz, st in staged
+            ]
+            actions += [
+                RemoveFile(path=a.path, partitionValues=a.partitionValues,
+                           size=a.size, dataChange=False)
+                for a in files
+            ]
+            n_compacted += len(files)
+        actions.append(
+            CommitInfo(version=version, timestamp=ts, operation="OPTIMIZE",
+                       operationMetrics={"numCompacted": str(n_compacted)})
+        )
+        self._write_commit(version, actions)
+        return version
+
+    def vacuum(self, dry_run: bool = False) -> list[str]:
+        """VACUUM: delete data files no longer referenced by ANY version of
+        the log (files removed and never re-added). Conservative: a file
+        referenced by any historical snapshot stays, so time travel keeps
+        working for every version still in the log."""
+        referenced: set[str] = set()
+        for commit in self.commits():
+            for add in commit.adds:
+                referenced.add(add.path)
+            for c in commit.cdc:
+                referenced.add(c.path)
+        removable: list[str] = []
+        for base in (self.data_path, self.cdc_path):
+            if not os.path.isdir(base):
+                continue
+            for root, _dirs, files in os.walk(base):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(os.path.join(root, fn), self.path)
+                    if rel not in referenced:
+                        removable.append(rel)
+        if not dry_run:
+            for rel in removable:
+                os.remove(self.abs_path(rel))
+        return sorted(removable)

@@ -44,10 +44,17 @@ from pyspark.sql import types as T
 
 class _FilePartition(InputPartition):
     def __init__(self, path: str, partition_values: dict[str, str],
-                 schema_json: str):
+                 schema_json: str, change_type: str | None = None,
+                 commit_version: int | None = None,
+                 commit_timestamp: int | None = None):
         self.path = path
         self.partition_values = partition_values
         self.schema_json = schema_json
+        # CDF mode: commit_version set; change_type None means the file is a
+        # cdc file carrying its own _change_type column
+        self.change_type = change_type
+        self.commit_version = commit_version
+        self.commit_timestamp = commit_timestamp
 
 
 def _parse_partition_value(value: str, dtype: T.DataType):
@@ -81,12 +88,15 @@ def _read_file_batches(partition: _FilePartition) -> Iterator:
     target_fields = [
         (f.name, to_arrow_type(f.dataType), f.dataType) for f in schema.fields
     ]
+    cdf_mode = partition.commit_version is not None
     pf = pq.ParquetFile(partition.path)
     for batch in pf.iter_batches(batch_size=65536):
         n = batch.num_rows
         cols = []
+        names = []
         names_lower = {c.lower(): i for i, c in enumerate(batch.schema.names)}
         for name, arrow_type, spark_type in target_fields:
+            names.append(name)
             if name in partition.partition_values:
                 value = _parse_partition_value(
                     partition.partition_values[name], spark_type
@@ -97,9 +107,21 @@ def _read_file_batches(partition: _FilePartition) -> Iterator:
                 cols.append(col.cast(arrow_type))
             else:
                 cols.append(pa.nulls(n, type=arrow_type))
-        yield pa.RecordBatch.from_arrays(
-            cols, names=[f.name for f in schema.fields]
-        )
+        if cdf_mode:
+            # the three CDF virtual columns (PROTOCOL.md:2359-2362); cdc
+            # files carry their own _change_type, add/remove files get the
+            # inferred constant (insert/delete)
+            if partition.change_type is not None:
+                ct = pa.array([partition.change_type] * n, type=pa.string())
+            else:
+                ct = batch.column(names_lower["_change_type"]).cast(pa.string())
+            cols += [
+                ct,
+                pa.array([partition.commit_version] * n, type=pa.int64()),
+                pa.array([partition.commit_timestamp] * n, type=pa.int64()),
+            ]
+            names += ["_change_type", "_commit_version", "_commit_timestamp"]
+        yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
 class SharedTableBatchReader(DataSourceReader):
@@ -212,6 +234,9 @@ class SharedTableStreamReader(DataSourceStreamReader):
         self.skip_change_commits = (
             options.get("skipchangecommits", "false") == "true"
         )
+        self.read_change_feed = (
+            options.get("readchangefeed", "false") == "true"
+        )
         self._schema = schema
         self._last_planned: dict | None = None
 
@@ -222,9 +247,13 @@ class SharedTableStreamReader(DataSourceStreamReader):
 
         return TableLog(None, self.path)
 
-    def _file_sequence(self, from_version: int) -> list[tuple[int, int, object]]:
-        """Ordered (version, index, AddFile) from ``from_version`` onward,
-        applying change-commit validation per commit."""
+    def _file_sequence(self, from_version: int) -> list[tuple]:
+        """Ordered (version, index, file, change_type, commit_ts) from
+        ``from_version`` onward, applying change-commit validation per
+        commit. ``change_type`` is None outside CDF mode and for cdc files
+        (which carry their own _change_type column)."""
+        if self.read_change_feed:
+            return self._cdf_sequence(from_version)
         log = self._log()
         out = []
         for commit in log.commits(from_version):
@@ -242,7 +271,8 @@ class SharedTableStreamReader(DataSourceStreamReader):
                 )
                 check_read_compatible(self._schema, new_schema,
                                       version=commit.version)
-            if commit.removes and not commit.cdc:
+            data_removes = [r for r in commit.removes if r.dataChange]
+            if data_removes and not commit.cdc:
                 if self.skip_change_commits:
                     continue  # drop the whole commit's files
                 if not (self.ignore_changes or self.ignore_deletes):
@@ -256,7 +286,32 @@ class SharedTableStreamReader(DataSourceStreamReader):
                 key=lambda a: a.path,
             )
             for i, add in enumerate(adds):
-                out.append((commit.version, i, add))
+                out.append((commit.version, i, add, None, commit.timestamp))
+        return out
+
+    def _cdf_sequence(self, from_version: int) -> list[tuple]:
+        """Streaming CDF (ref DeltaSharingSource.scala:603-728): per commit,
+        cdc files win; otherwise dataChange adds imply insert and removes
+        imply delete. No change-commit errors — changes ARE the stream."""
+        log = self._log()
+        out = []
+        for commit in log.commits(from_version):
+            entries: list[tuple[object, str | None]] = []
+            if commit.cdc:
+                entries = [(c, None) for c in
+                           sorted(commit.cdc, key=lambda c: c.path)]
+            else:
+                entries = [
+                    (a, "insert") for a in
+                    sorted((x for x in commit.adds if x.dataChange),
+                           key=lambda x: x.path)
+                ] + [
+                    (r, "delete") for r in
+                    sorted((x for x in commit.removes if x.dataChange),
+                           key=lambda x: x.path)
+                ]
+            for i, (f, ct) in enumerate(entries):
+                out.append((commit.version, i, f, ct, commit.timestamp))
         return out
 
     def _snapshot_sequence(self, at_version: int | None = None
@@ -268,7 +323,9 @@ class SharedTableStreamReader(DataSourceStreamReader):
         log = self._log()
         snap = log.snapshot(version=at_version)
         files = sorted(snap.files, key=lambda a: a.path)
-        seq = [(snap.version, i, a) for i, a in enumerate(files)]
+        ct = "insert" if self.read_change_feed else None
+        seq = [(snap.version, i, a, ct, snap.timestamp)
+               for i, a in enumerate(files)]
         seq += self._file_sequence(snap.version + 1)
         return snap.version, seq
 
@@ -302,7 +359,7 @@ class SharedTableStreamReader(DataSourceStreamReader):
             # byte cap: admit files until the budget is spent, always at
             # least one (soft-cap semantics, ref AdmissionLimits ReadMaxBytes)
             budget, cut = self.max_bytes, 0
-            for _v, _i, add in admitted:
+            for _v, _i, add, _ct, _ts in admitted:
                 if cut > 0 and budget - add.size < 0:
                     break
                 budget -= add.size
@@ -311,7 +368,7 @@ class SharedTableStreamReader(DataSourceStreamReader):
         if not admitted:
             end = dict(start)
         else:
-            lv, li, _ = admitted[-1]
+            lv, li = admitted[-1][0], admitted[-1][1]
             # snapshot mode persists until the batch end crosses past the
             # snapshot's own version (then we are in change-tracking mode)
             still_snapshot = (
@@ -329,9 +386,17 @@ class SharedTableStreamReader(DataSourceStreamReader):
         batch = [x for x in seq if (x[0], x[1]) < (ev, ei)]
         log = self._log()
         schema_json = log.snapshot().metadata.schemaString
+        if not self.read_change_feed:
+            return [
+                _FilePartition(log.abs_path(f.path), f.partitionValues,
+                               schema_json)
+                for _v, _i, f, _ct, _ts in batch
+            ]
         return [
-            _FilePartition(log.abs_path(a.path), a.partitionValues, schema_json)
-            for _v, _i, a in batch
+            _FilePartition(log.abs_path(f.path), f.partitionValues,
+                           schema_json, change_type=ct, commit_version=v,
+                           commit_timestamp=ts)
+            for v, _i, f, ct, ts in batch
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -369,7 +434,17 @@ class SharedTableDataSource(DataSource):
                         meta = action
         if meta is None:
             raise ValueError(f"no table metadata under {log_dir}")
-        return T.StructType.fromJson(json.loads(meta.schemaString))
+        schema = T.StructType.fromJson(json.loads(meta.schemaString))
+        if self.options.get("readchangefeed", "false") == "true":
+            # CDF virtual columns (PROTOCOL.md:2359-2362)
+            schema = T.StructType(
+                list(schema.fields) + [
+                    T.StructField("_change_type", T.StringType(), True),
+                    T.StructField("_commit_version", T.LongType(), True),
+                    T.StructField("_commit_timestamp", T.LongType(), True),
+                ]
+            )
+        return schema
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         return SharedTableBatchReader(dict(self.options), schema)

@@ -157,7 +157,11 @@ class SharedTable:
         )
         if not paths:
             return self.spark.createDataFrame([], snap.schema)
-        reader = self.spark.read.option("basePath", self.log.data_path)
+        # explicit declared schema (schema-on-read): files written before a
+        # schema evolution lack newer columns and must null-fill them
+        # deterministically — never depend on which file Spark samples
+        reader = self.spark.read.schema(snap.schema).option(
+            "basePath", self.log.data_path)
         df = reader.parquet(*[self.log.abs_path(p) for p in paths])
         df = self._normalize(df, snap)
         if limit is not None:

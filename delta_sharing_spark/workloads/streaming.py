@@ -93,3 +93,33 @@ def stream_incremental_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+@workload(
+    "stream_cdf_drain",
+    oracle="""
+    WITH after_delete AS (SELECT * FROM events WHERE NOT (value < 5))
+    SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+    UNION ALL
+    SELECT 'delete', CAST(COUNT(*) AS BIGINT) FROM events WHERE value < 5
+    UNION ALL
+    SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT)
+    FROM after_delete WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT)
+    FROM after_delete WHERE event_type = 'click'
+    """,
+)
+def stream_cdf_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDF: drain the change feed from version 0 through capped
+    micro-batches; per-change-type counts must equal the batch CDF oracle
+    (ref DeltaSharingSource.scala:603-728 streaming CDF)."""
+    path = _events_cdf(spark, sf_dir)
+    out, _ = _drain(spark, path, {
+        "startingVersion": "0", "readChangeFeed": "true",
+        "maxFilesPerTrigger": "4",
+    })
+    return (
+        out.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(F.count("*").alias("n"))
+    )

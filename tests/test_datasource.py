@@ -93,7 +93,7 @@ class TestStreaming:
             {"path": d, "startingversion": "1", "skipchangecommits": "true"},
             None)
         seq = reader._file_sequence(1)
-        versions = {v for v, _i, _a in seq}
+        versions = {e[0] for e in seq}
         assert versions == {2}  # delete commit skipped entirely
 
     def test_ignore_deletes_keeps_adds(self, spark, events, tmp_path):
@@ -104,5 +104,5 @@ class TestStreaming:
         reader = SharedTableStreamReader(
             {"path": d, "startingversion": "1", "ignoredeletes": "true"}, None)
         seq = reader._file_sequence(1)
-        assert all(v == 1 for v, _i, _a in seq)
+        assert all(e[0] == 1 for e in seq)
         assert len(seq) >= 1  # the rewritten file is admitted

@@ -156,3 +156,49 @@ class TestActionStream:
         assert "metaData" in out["actions"][1]
         f = out["actions"][2]["file"]
         assert {"url", "id", "partitionValues", "size", "stats"} <= set(f)
+
+
+class TestMaintenance:
+    def test_overwrite(self, spark, events, table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(events, name="t")
+        log.overwrite(events.filter("event_id < 20"))
+        t = SharedTable(spark, table_dir)
+        assert t.to_df().count() == 20
+        assert t.to_df(version=0).count() == events.count()
+
+    def test_optimize_compacts_and_streams_skip_it(self, spark, events,
+                                                   table_dir):
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableStreamReader,
+        )
+
+        log = TableLog(spark, table_dir)
+        log.create(events, partition_by=["event_type"], name="t")
+        for lo in range(0, 40, 10):
+            log.append(events.filter(f"event_id >= {lo} and event_id < {lo+10}"))
+        before = len(log.snapshot().files)
+        v = log.optimize()
+        after = len(log.snapshot().files)
+        assert after < before
+        t = SharedTable(spark, table_dir)
+        assert t.to_df().count() == events.count() + 40
+        # dataChange=false: streams neither error nor re-emit the rewrite
+        reader = SharedTableStreamReader({"path": table_dir,
+                                          "startingversion": str(v)}, None)
+        assert reader._file_sequence(v) == []
+
+    def test_vacuum_removes_unreferenced_only(self, spark, events, table_dir):
+        import os
+
+        log = TableLog(spark, table_dir)
+        log.create(events, name="t")
+        # plant an orphan file (e.g. failed write leftover)
+        orphan = os.path.join(log.data_path, "orphan.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"junk")
+        removed = log.vacuum()
+        assert removed == ["data/orphan.parquet"]
+        assert not os.path.exists(orphan)
+        t = SharedTable(spark, table_dir)
+        assert t.to_df().count() == events.count()
