@@ -169,13 +169,22 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.md5(F.col("tok").cast("binary")))
+    # decode the md5 hex into 16-bit integer chunks ONCE per token; each of
+    # the 64 bit-position aggregates is then a cheap shift/mask on an int
+    # instead of a substring+instr pair (4 conv calls vs 64 string ops/row)
+    n_chunks16 = bits // 16
+    toks = toks.select(
+        id_col,
+        *[
+            F.conv(F.substring("h", 4 * c + 1, 4), 16, 10)
+            .cast("int").alias(f"c_{c}")
+            for c in range(n_chunks16)
+        ],
+    )
 
     def bit_weight(pos: int) -> F.Column:
-        hex_idx = pos // 4 + 1
-        shift = 3 - pos % 4
-        bit = F.expr(
-            f"shiftright(instr('0123456789abcdef', substring(h, {hex_idx}, 1)) - 1, {shift}) % 2"
-        )
+        chunk, shift = pos // 16, 15 - pos % 16
+        bit = F.expr(f"shiftright(c_{chunk}, {shift}) % 2")
         return F.when(bit == 1, 1).otherwise(-1)
 
     sums = toks.groupBy(id_col).agg(
