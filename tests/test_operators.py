@@ -172,3 +172,51 @@ class TestMultimodal:
                              max_frames=8).collect()
         assert len(rows) == 4  # ceil(200/64)
         assert sum(len(r["frame_bytes"]) for r in rows) == 200
+
+
+class TestPartitioning:
+    def test_bucketed_join_no_shuffle(self, spark, events):
+        from delta_sharing_spark.operators.partitioning import (
+            assert_no_shuffle_join, write_bucketed)
+
+        a = events.select("event_id", "user_id", "value")
+        b = events.select("event_id", "event_type")
+        write_bucketed(a, "bk_a", 4, ["event_id"], sort_cols=["event_id"])
+        write_bucketed(b, "bk_b", 4, ["event_id"], sort_cols=["event_id"])
+        ok, plan = assert_no_shuffle_join(spark, "bk_a", "bk_b", ["event_id"])
+        assert ok, plan
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "event_id")
+        assert joined.count() == events.count()
+
+    def test_salted_join_equivalence(self, spark, events):
+        from delta_sharing_spark.operators.partitioning import salted_join
+
+        left = events.select("event_id", "user_id")
+        right = events.select("user_id").distinct() \
+            .withColumn("tag", F.col("user_id") * 2)
+        plain = left.join(right, "user_id").select("event_id", "tag")
+        salted = salted_join(left, right, "user_id", salts=4) \
+            .select("event_id", "tag")
+        assert sorted(map(tuple, plain.collect())) == \
+            sorted(map(tuple, salted.collect()))
+
+    def test_rp_lsh_candidates_recall(self, spark, vectors):
+        from delta_sharing_spark.operators.partitioning import rp_lsh_near_dup
+        from delta_sharing_spark.operators.similarity import near_dup_pairs
+
+        exact = {(r["id_a"], r["id_b"])
+                 for r in near_dup_pairs(vectors, threshold=0.95).collect()}
+        lsh = {(r["id_a"], r["id_b"])
+               for r in rp_lsh_near_dup(vectors, threshold=0.95,
+                                        num_planes=4, dim=8).collect()}
+        # LSH returns a subset of the exact pairs (never false positives
+        # after verification), and near-identical vectors are found
+        assert lsh <= exact
+        if exact:
+            assert len(lsh) > 0
+
+    def test_hyperplanes_deterministic(self):
+        from delta_sharing_spark.operators.partitioning import hyperplanes
+
+        assert hyperplanes("s", 2, 4) == hyperplanes("s", 2, 4)
+        assert hyperplanes("s", 2, 4) != hyperplanes("t", 2, 4)
