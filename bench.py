@@ -29,6 +29,9 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_ann_cosine_topk",
+    "q_asof_click_purchase",
+    "q_embedding_near_dup_blocked",
+    "q_multimodal_decode",
 ]
 
 

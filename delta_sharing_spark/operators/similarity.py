@@ -123,12 +123,87 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, cell_col: str,
 def near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    threshold: float = 0.9) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b) above a threshold."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    """Embedding-cosine near-duplicate pairs (a < b) above a threshold.
+
+    Norms are computed ONCE per row before the pair join (the naive
+    ``cosine(va, vb)`` per pair re-folds both norms for every pair — 3x the
+    interpreted higher-order-function work). The per-pair fold is exactly
+    ``dot/(na*nb)`` with the same operation order as the naive form, so
+    results stay bit-identical.
+    """
+    from delta_sharing_spark.functions.vectors import dot, norm
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")) \
+        .withColumn("na", norm("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")) \
+        .withColumn("nb", norm("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine("va", "vb"))
+        .withColumn("cos", dot("va", "vb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def near_dup_pairs_blocked(df: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.9, block_size: int = 1024,
+                           round_to: int = 9) -> DataFrame:
+    """Scale-path near-dup: block-nested-loop with vectorized numpy GEMM.
+
+    Rows are grouped into blocks of ``block_size``; each block PAIR becomes
+    one task that computes a (block x block) similarity matrix with a single
+    float64 matrix multiply (Arrow transfer, no per-pair Python). With B
+    blocks the shuffle replicates each block B times — the standard
+    distributed all-pairs shape; at 100 TB feed this LSH/IVF candidates
+    instead of all block pairs.
+
+    Similarities are rounded to ``round_to`` decimals (GEMM accumulation
+    order differs from a sequential fold in the last ~1-2 ulps; rounding
+    makes results reproducible across BLAS implementations).
+    """
+    import pandas as pd
+
+    bid = F.floor(F.col(id_col) / block_size)
+    blocks = df.groupBy(bid.alias("bid")).agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        ).alias("rows")
+    )
+    pairs = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), F.col("a.bid") <= F.col("b.bid"))
+        .select(
+            F.col("a.rows").alias("rows_a"),
+            F.col("b.rows").alias("rows_b"),
+        )
+    )
+
+    def compute(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids_a_out, ids_b_out, cos_out = [], [], []
+            for _i, row in pdf.iterrows():
+                ia = np.array([r["id"] for r in row["rows_a"]], dtype=np.int64)
+                va = np.array([list(r["v"]) for r in row["rows_a"]],
+                              dtype=np.float64)
+                ib = np.array([r["id"] for r in row["rows_b"]], dtype=np.int64)
+                vb = np.array([list(r["v"]) for r in row["rows_b"]],
+                              dtype=np.float64)
+                va /= np.linalg.norm(va, axis=1, keepdims=True)
+                vb /= np.linalg.norm(vb, axis=1, keepdims=True)
+                sims = np.round(va @ vb.T, round_to)
+                keep = (sims >= threshold) & (ia[:, None] < ib[None, :])
+                xs, ys = np.nonzero(keep)
+                ids_a_out.append(ia[xs])
+                ids_b_out.append(ib[ys])
+                cos_out.append(sims[xs, ys])
+            if ids_a_out:
+                yield pd.DataFrame({
+                    "id_a": np.concatenate(ids_a_out),
+                    "id_b": np.concatenate(ids_b_out),
+                    "cos": np.concatenate(cos_out),
+                })
+
+    return pairs.mapInPandas(compute, schema="id_a long, id_b long, cos double")

@@ -106,3 +106,36 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("centroid").alias("dim", "value"),
         "n",
     ).select("label", "dim", "value", "n")
+
+
+_UNIT_DOT = """
+    round(list_reduce(list_transform(generate_series(1, 64),
+        i -> (a.embedding[i]::DOUBLE / a.nrm) * (b.embedding[i]::DOUBLE / b.nrm)),
+        (x, y) -> x + y), 9)
+"""
+
+
+@workload(
+    "q_embedding_near_dup_blocked",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(generate_series(1, 64),
+                 i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE),
+                 (x, y) -> x + y)) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_UNIT_DOT} AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_UNIT_DOT} >= 0.42
+    """,
+)
+def q_embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: block-nested-loop + vectorized numpy GEMM over
+    Arrow batches (one float64 matmul per block pair, no per-pair Python).
+    Similarities rounded to 9 decimals on both sides so GEMM accumulation
+    order and the oracle's sequential fold agree exactly."""
+    from delta_sharing_spark.operators.similarity import near_dup_pairs_blocked
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs_blocked(emb, threshold=0.42, block_size=512)

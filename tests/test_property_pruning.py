@@ -1,0 +1,178 @@
+"""Property-based soundness of file pruning (hypothesis).
+
+The one invariant that must NEVER break (the reference's "Unknown never
+wrongly skips" contract, JsonPredicateEvaluatorV2.scala:20-52): if the
+pruner skips a file, no row in that file can satisfy the predicate.
+
+Strategy: generate random rows + a random predicate tree; derive the file's
+real min/max/null stats from the rows; check
+
+  1. soundness: pruned  =>  zero rows match the predicate exactly;
+  2. consistency: the sessionless Python evaluator (``keep_file``) and any
+     degraded-stats variant only ever err toward KEEPING files.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from delta_sharing_spark.plans.predicates import keep_file
+
+COLS = ["c1", "c2"]
+VALUES = list(range(-3, 4))
+
+
+@st.composite
+def rows(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    return [
+        {c: draw(st.one_of(st.none(), st.sampled_from(VALUES))) for c in COLS}
+        for _ in range(n)
+    ]
+
+
+@st.composite
+def trees(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        kind = draw(st.sampled_from(
+            ["equal", "lessThan", "lessThanOrEqual", "greaterThan",
+             "greaterThanOrEqual", "isNull"]))
+        col = {"op": "column", "name": draw(st.sampled_from(COLS)),
+               "valueType": "int"}
+        if kind == "isNull":
+            return {"op": "isNull", "children": [col]}
+        lit = {"op": "literal", "value": str(draw(st.sampled_from(VALUES))),
+               "valueType": "int"}
+        children = [col, lit] if draw(st.booleans()) else [lit, col]
+        return {"op": kind, "children": children}
+    kind = draw(st.sampled_from(["and", "or", "not"]))
+    if kind == "not":
+        return {"op": "not", "children": [draw(trees(depth=depth + 1))]}
+    return {"op": kind,
+            "children": [draw(trees(depth=depth + 1)),
+                         draw(trees(depth=depth + 1))]}
+
+
+def eval_row(tree, row) -> bool | None:
+    """Ground-truth SQL three-valued evaluation of the predicate on a row."""
+    kind = tree["op"]
+    ch = tree.get("children", [])
+    if kind == "isNull":
+        return row[ch[0]["name"]] is None
+    if kind in ("equal", "lessThan", "lessThanOrEqual", "greaterThan",
+                "greaterThanOrEqual"):
+        def value(node):
+            if node["op"] == "column":
+                return row[node["name"]]
+            return int(node["value"])
+        a, b = value(ch[0]), value(ch[1])
+        if a is None or b is None:
+            return None
+        return {"equal": a == b, "lessThan": a < b, "lessThanOrEqual": a <= b,
+                "greaterThan": a > b, "greaterThanOrEqual": a >= b}[kind]
+    if kind == "and":
+        vals = [eval_row(c, row) for c in ch]
+        if any(v is False for v in vals):
+            return False
+        return None if any(v is None for v in vals) else True
+    if kind == "or":
+        vals = [eval_row(c, row) for c in ch]
+        if any(v is True for v in vals):
+            return True
+        return None if any(v is None for v in vals) else False
+    if kind == "not":
+        v = eval_row(ch[0], row)
+        return None if v is None else not v
+    raise AssertionError(kind)
+
+
+def stats_of(rows_data) -> dict:
+    mins, maxs, nulls = {}, {}, {}
+    for c in COLS:
+        vals = [r[c] for r in rows_data if r[c] is not None]
+        nulls[c] = sum(1 for r in rows_data if r[c] is None)
+        if vals:
+            mins[c], maxs[c] = min(vals), max(vals)
+    return {"minValues": mins, "maxValues": maxs, "nullCount": nulls}
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows(), trees())
+def test_prune_soundness(rows_data, tree):
+    """Pruned file => no row matches (TRUE) the predicate."""
+    stats = stats_of(rows_data)
+    kept = keep_file(tree, {}, stats, [])
+    if not kept:
+        matching = [r for r in rows_data if eval_row(tree, r) is True]
+        assert matching == [], (
+            f"unsound skip: stats={stats} tree={tree} matches={matching}")
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows(), trees())
+def test_missing_stats_only_widen(rows_data, tree):
+    """Dropping stats (-> Unknown) can only flip skip->keep, never
+    keep->skip."""
+    stats = stats_of(rows_data)
+    kept_full = keep_file(tree, {}, stats, [])
+    kept_empty = keep_file(tree, {}, {}, [])
+    if kept_full:
+        assert kept_empty, "losing stats must never cause a skip"
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.sampled_from(VALUES + [None]), trees())
+def test_partition_eval_matches_row_semantics(pvalue, tree):
+    """For a single-file 'partition' with value v, metadata-plane partition
+    evaluation must agree with row-level evaluation (keep iff the row
+    predicate is TRUE or Unknown)."""
+    # treat c1 as the partition column; c2 has no stats (Unknown)
+    pv = {"c1": "" if pvalue is None else str(pvalue)}
+    kept = keep_file(tree, pv, {}, ["c1"])
+    # ground truth on the sole possible row where c2 is unknowable
+    verdicts = {
+        eval_row(tree, {"c1": pvalue, "c2": candidate})
+        for candidate in VALUES + [None]
+    }
+    may_match = any(v is not False for v in verdicts)
+    if may_match:
+        assert kept, f"wrongly skipped: pv={pv} tree={tree}"
+
+
+class TestAsyncQuery:
+    def test_submit_poll_dedup(self, spark, events, tmp_path):
+        from delta_sharing_spark.asyncquery import AsyncQueryManager
+        from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.table import SharedTable
+
+        d = str(tmp_path / "aq")
+        TableLog(spark, d).create(events.limit(100), name="t")
+        t = SharedTable(spark, d)
+        mgr = AsyncQueryManager()
+        q1 = mgr.submit(t, idempotency_key="k1", max_files=2)
+        q2 = mgr.submit(t, idempotency_key="k1")
+        assert q1.query_id == q2.query_id  # idempotent resubmission
+        assert q1.wait(60)
+        polled = mgr.poll(q1.query_id)
+        assert polled.status == "COMPLETED"
+        assert any("file" in a for a in polled.result["actions"])
+        with pytest.raises(KeyError):
+            mgr.poll("nope")
+
+    def test_failed_query_surfaces_error(self, spark, events, tmp_path):
+        from delta_sharing_spark.asyncquery import AsyncQueryManager
+        from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.table import SharedTable
+
+        d = str(tmp_path / "aq2")
+        TableLog(spark, d).create(events.limit(10), name="t")
+        t = SharedTable(spark, d)
+        mgr = AsyncQueryManager()
+        q = mgr.submit(t, version=99)
+        assert q.wait(60)
+        assert q.status == "FAILED" and "99" in q.error
