@@ -625,3 +625,79 @@ def q_part_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_retailprice").cast("double").alias("max_price"),
         )
     )
+
+
+@workload(
+    "q_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, verified bit-exact)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+
+
+@workload(
+    "q_datetime_functions",
+    oracle="""
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           COUNT(*) AS n,
+           CAST(MIN(date_diff('day', DATE '1995-01-01',
+                              o_orderdate::DATE)) AS INT) AS min_days_since,
+           CAST(MAX(day(o_orderdate)) AS INT) AS max_dom
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function coverage: year/month/day extraction and day
+    arithmetic (grouping by calendar month)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min(F.datediff(F.col("o_orderdate").cast("date"),
+                         F.lit("1995-01-01").cast("date")))
+        .cast("int").alias("min_days_since"),
+        F.max(F.dayofmonth("o_orderdate")).cast("int").alias("max_dom"),
+    )
+
+
+@workload(
+    "q_array_functions",
+    oracle="""
+    SELECT label,
+           CAST(SUM(len(embedding)) AS BIGINT) AS total_dims,
+           CAST(SUM(list_reduce(list_transform(list_slice(embedding, 1, 8),
+                x -> x::DOUBLE), (a, b) -> a + b)) AS DOUBLE) AS sum_head8,
+           CAST(SUM(CASE WHEN embedding[1]::DOUBLE > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pos_first
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function coverage: size, slice, element access, higher-order
+    fold — all JVM-side."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    head8 = F.expr(
+        "aggregate(transform(slice(embedding, 1, 8), x -> cast(x as double)), "
+        "cast(0 as double), (a, b) -> a + b)")
+    return emb.groupBy("label").agg(
+        F.sum(F.size("embedding")).alias("total_dims"),
+        F.sum(head8).cast("double").alias("sum_head8"),
+        F.sum(F.when(F.element_at("embedding", 1).cast("double") > 0, 1)
+              .otherwise(0)).cast("long").alias("n_pos_first"),
+    )
