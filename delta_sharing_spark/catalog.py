@@ -199,3 +199,19 @@ class ShareCatalog:
                 f"expected share.schema.table, got {qualified!r}")
         t = self.get_table(*parts)
         return SharedTable(self.spark, t.location)
+
+
+def register_share_views(catalog: ShareCatalog, share: str,
+                         prefix: str | None = None) -> list[str]:
+    """Register every table of a share as Spark temp views named
+    ``<share>_<schema>_<table>`` (or ``<prefix>_<schema>_<table>``) so the
+    whole share is queryable with plain ``spark.sql``."""
+    names = []
+    tables, token = catalog.list_all_tables(share), None
+    for t in tables[0]:
+        view = f"{prefix or t.share}_{t.schema}_{t.name}".replace(".", "_")
+        catalog.load_table(f"{t.share}.{t.schema}.{t.name}") \
+            .to_df().createOrReplaceTempView(view)
+        names.append(view)
+    _ = token
+    return names

@@ -173,3 +173,62 @@ def table_changes(
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
     return unioned.select(*out_cols)
+
+
+def table_changes_actions(
+    spark: SparkSession,
+    path: str,
+    starting_version: int | None = None,
+    ending_version: int | None = None,
+    starting_timestamp: str | None = None,
+    ending_timestamp: str | None = None,
+    include_historical_metadata: bool = False,
+) -> dict:
+    """Wire-parity surface for the CDF endpoint (PROTOCOL.md:2352-2430):
+    the NDJSON-shaped action stream with add/cdc/remove lines carrying
+    version + timestamp, optionally interleaving historical ``metaData``
+    actions (``includeHistoricalMetadata``)."""
+    log = TableLog(spark, path)
+    snap = log.snapshot()
+    if not snap.metadata.cdf_enabled:
+        raise CDFError("change data feed is not enabled on this table")
+    start, end = _resolve_range(
+        log, starting_version, ending_version,
+        starting_timestamp, ending_timestamp,
+    )
+    from dataclasses import asdict
+
+    lines: list[dict] = [
+        {"protocol": {"minReaderVersion": 1}},
+        {"metaData": {**asdict(snap.metadata), "version": snap.version}},
+    ]
+    for commit in log.commits(start, end):
+        if include_historical_metadata and commit.metadata is not None:
+            lines.append(
+                {"metaData": {**asdict(commit.metadata),
+                              "version": commit.version}})
+        if commit.cdc:
+            for c in commit.cdc:
+                lines.append({"cdf": {
+                    "url": log.abs_path(c.path), "id": c.path,
+                    "partitionValues": c.partitionValues, "size": c.size,
+                    "timestamp": commit.timestamp,
+                    "version": commit.version}})
+        else:
+            for a in commit.adds:
+                if not a.dataChange:
+                    continue
+                lines.append({"add": {
+                    "url": log.abs_path(a.path), "id": a.path,
+                    "partitionValues": a.partitionValues, "size": a.size,
+                    "stats": a.stats, "timestamp": commit.timestamp,
+                    "version": commit.version}})
+            for r in commit.removes:
+                if not r.dataChange:
+                    continue
+                lines.append({"remove": {
+                    "url": log.abs_path(r.path), "id": r.path,
+                    "partitionValues": r.partitionValues, "size": r.size,
+                    "timestamp": commit.timestamp,
+                    "version": commit.version}})
+    return {"version": snap.version, "actions": lines}

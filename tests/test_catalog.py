@@ -54,3 +54,18 @@ class TestListing:
             catalog.add_table("s", "sch.bad", "t", "/tmp/x")
         with pytest.raises(CatalogError):
             catalog.add_table("s", "sch", "bad name", "/tmp/x")
+
+
+class TestShareViews:
+    def test_register_share_views(self, spark, events, tmp_path):
+        from delta_sharing_spark.catalog import register_share_views
+        from delta_sharing_spark.plans.log import TableLog
+
+        d = str(tmp_path / "ev")
+        TableLog(spark, d).create(events.limit(50), name="events")
+        cat = ShareCatalog(spark)
+        cat.add_table("s1", "default", "events", d)
+        views = register_share_views(cat, "s1")
+        assert views == ["s1_default_events"]
+        assert spark.sql("SELECT count(*) FROM s1_default_events") \
+            .collect()[0][0] == 50

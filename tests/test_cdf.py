@@ -79,3 +79,25 @@ class TestCDF:
                            ending_version=1)
         assert ch.select("_commit_timestamp").distinct().collect()[0][0] \
             == log.read_commit(1).timestamp
+
+
+class TestCDFActions:
+    def test_action_stream(self, spark, cdf_table):
+        from delta_sharing_spark.cdf import table_changes_actions
+
+        out = table_changes_actions(spark, cdf_table, starting_version=0)
+        kinds = [next(iter(line)) for line in out["actions"]]
+        assert kinds[0] == "protocol" and kinds[1] == "metaData"
+        assert "add" in kinds and "cdf" in kinds
+        cdfs = [line["cdf"] for line in out["actions"] if "cdf" in line]
+        assert {c["version"] for c in cdfs} == {1, 2}
+
+    def test_historical_metadata(self, spark, cdf_table):
+        from delta_sharing_spark.cdf import table_changes_actions
+
+        out = table_changes_actions(spark, cdf_table, starting_version=0,
+                                    include_historical_metadata=True)
+        metas = [line["metaData"] for line in out["actions"]
+                 if "metaData" in line]
+        assert len(metas) == 2  # current + v0 historical
+        assert metas[1]["version"] == 0

@@ -202,3 +202,36 @@ class TestMaintenance:
         assert not os.path.exists(orphan)
         t = SharedTable(spark, table_dir)
         assert t.to_df().count() == events.count()
+
+
+class TestZOrder:
+    def test_zorder_improves_two_column_skipping(self, spark, lineitem,
+                                                 table_dir):
+        log = TableLog(spark, table_dir)
+        # create with row-order files: orderkey is clustered, partkey is not
+        log.create(lineitem.repartitionByRange(8, "l_orderkey"), name="t")
+        t = SharedTable(spark, table_dir)
+
+        def kept(col, value):
+            hints = {"op": "equal", "children": [
+                {"op": "column", "name": col, "valueType": "long"},
+                {"op": "literal", "value": str(value), "valueType": "long"}]}
+            snap = t.log.snapshot()
+            return len(t.pruned_files(snap, json_predicate_hints=hints)), \
+                len(snap.files)
+
+    # before: partkey predicate prunes nothing (every file spans all values)
+        k_before, n_before = kept("l_partkey", 10)
+        assert k_before == n_before
+        log.zorder_by(["l_orderkey", "l_partkey"], bits_per_col=8,
+                      target_file_rows=800)
+        k_ok, n_after = kept("l_orderkey", 100)
+        k_pk, _ = kept("l_partkey", 10)
+        assert n_after > 1
+        assert k_pk < n_after      # partkey now skips files
+        assert k_ok < n_after      # orderkey still skips files
+        # data unchanged
+        assert t.to_df().count() == lineitem.count()
+        # rewrite is dataChange=false -> CDF/streams unaffected
+        c = t.log.read_commit(t.log.latest_version())
+        assert all(not a.dataChange for a in c.adds)
