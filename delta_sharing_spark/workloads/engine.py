@@ -253,3 +253,39 @@ def eng_cdf_delete_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ch.select(
         "event_id", "event_type", F.col("_change_type").alias("change_type")
     )
+
+
+@workload(
+    "eng_datasource_batch",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag
+    """,
+)
+def eng_datasource_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read through the ``deltashare`` Python Data Source (v2 filter
+    pushdown prunes files via the sessionless evaluator; Spark re-applies
+    filters exactly)."""
+    from delta_sharing_spark.sources.datasource import SharedTableDataSource
+
+    path = _lineitem_shared(spark, sf_dir)
+    spark.dataSource.register(SharedTableDataSource)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    df = (spark.read.format("deltashare").option("path", path)
+          .option("version", "0").load())
+    return (
+        df.filter(F.col("l_quantity") >= 30)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))"))
+            .cast("double").alias("sum_qty"),
+        )
+    )

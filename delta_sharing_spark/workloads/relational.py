@@ -701,3 +701,45 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.element_at("embedding", 1).cast("double") > 0, 1)
               .otherwise(0)).cast("long").alias("n_pos_first"),
     )
+
+
+@workload(
+    "q_outer_joins",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-aware counting (COUNT(col) vs COUNT(*))."""
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        nation.join(cust, cust.c_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@workload(
+    "q_string_agg",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (sorted collect_list + array_join — the
+    deterministic form of LISTAGG)."""
+    nation = read_table(spark, sf_dir, "nation")
+    return nation.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",")
+        .alias("nations")
+    )
