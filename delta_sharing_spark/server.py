@@ -1,0 +1,245 @@
+"""REST façade — the Delta Sharing protocol surface over the engine.
+
+Pure serialization over the catalog/table/CDF layers (SURVEY.md §7 step 7):
+stdlib ``ThreadingHTTPServer`` exposing the reference's endpoints
+(PROTOCOL.md; service twin server/.../DeltaSharingService.scala):
+
+    GET  /shares                                     (paged)
+    GET  /shares/{share}
+    GET  /shares/{share}/schemas                     (paged)
+    GET  /shares/{share}/schemas/{schema}/tables     (paged)
+    GET  /shares/{share}/all-tables                  (paged)
+    GET  .../tables/{table}/version?startingTimestamp=
+    GET  .../tables/{table}/metadata
+    POST .../tables/{table}/query    {predicateHints, jsonPredicateHints,
+                                      limitHint, version, timestamp,
+                                      maxFiles, pageToken,
+                                      includeRefreshToken, refreshToken}
+    GET  .../tables/{table}/changes?startingVersion=&endingVersion=...
+
+Query/metadata/changes responses are NDJSON action streams
+(``application/x-ndjson``; wrapper-object lines per PROTOCOL.md:3537-3548);
+listings are JSON with ``nextPageToken``. Bearer-token auth matches the
+profile file's token when one is configured.
+
+This façade exists for protocol parity and integration testing — in-engine
+consumers use the DataFrame APIs directly and skip HTTP entirely.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from dataclasses import asdict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from delta_sharing_spark.catalog import CatalogError, ShareCatalog
+from delta_sharing_spark.cdf import CDFError, table_changes_actions
+from delta_sharing_spark.plans.log import TableNotFoundError, VersionNotFoundError
+from delta_sharing_spark.table import SharedTable
+
+NDJSON = "application/x-ndjson; charset=utf-8"
+JSON_CT = "application/json; charset=utf-8"
+
+_ROUTES = [
+    ("GET", re.compile(r"^/shares$"), "list_shares"),
+    ("GET", re.compile(r"^/shares/([^/]+)$"), "get_share"),
+    ("GET", re.compile(r"^/shares/([^/]+)/schemas$"), "list_schemas"),
+    ("GET", re.compile(r"^/shares/([^/]+)/schemas/([^/]+)/tables$"),
+     "list_tables"),
+    ("GET", re.compile(r"^/shares/([^/]+)/all-tables$"), "list_all_tables"),
+    ("GET",
+     re.compile(r"^/shares/([^/]+)/schemas/([^/]+)/tables/([^/]+)/version$"),
+     "table_version"),
+    ("GET",
+     re.compile(r"^/shares/([^/]+)/schemas/([^/]+)/tables/([^/]+)/metadata$"),
+     "table_metadata"),
+    ("POST",
+     re.compile(r"^/shares/([^/]+)/schemas/([^/]+)/tables/([^/]+)/query$"),
+     "table_query"),
+    ("GET",
+     re.compile(r"^/shares/([^/]+)/schemas/([^/]+)/tables/([^/]+)/changes$"),
+     "table_changes"),
+]
+
+
+class SharingServer:
+    """Serve a ShareCatalog over HTTP. Start with ``serve_background()``."""
+
+    def __init__(self, catalog: ShareCatalog, host: str = "127.0.0.1",
+                 port: int = 0, bearer_token: str | None = None):
+        self.catalog = catalog
+        self.bearer_token = bearer_token
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _deny(self, code: int, message: str) -> None:
+                body = json.dumps(
+                    {"errorCode": str(code), "message": message}).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", JSON_CT)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _respond(self, payload: bytes, content_type: str,
+                         version: int | None = None) -> None:
+                self.send_response(200)
+                self.send_header("Content-Type", content_type)
+                if version is not None:
+                    # ref Delta-Table-Version response header
+                    self.send_header("Delta-Table-Version", str(version))
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def _authorized(self) -> bool:
+                if server.bearer_token is None:
+                    return True
+                auth = self.headers.get("Authorization", "")
+                return auth == f"Bearer {server.bearer_token}"
+
+            def _dispatch(self, method: str) -> None:
+                if not self._authorized():
+                    return self._deny(401, "unauthorized")
+                url = urlparse(self.path)
+                params = {k: v[0] for k, v in parse_qs(url.query).items()}
+                body = {}
+                if method == "POST":
+                    n = int(self.headers.get("Content-Length") or 0)
+                    if n:
+                        body = json.loads(self.rfile.read(n))
+                for verb, pattern, name in _ROUTES:
+                    if verb != method:
+                        continue
+                    m = pattern.match(url.path)
+                    if m:
+                        try:
+                            return getattr(server, name)(
+                                self, *m.groups(), params=params, body=body)
+                        except (CatalogError, TableNotFoundError) as exc:
+                            return self._deny(404, str(exc))
+                        except (VersionNotFoundError, CDFError,
+                                ValueError) as exc:
+                            return self._deny(400, str(exc))
+                return self._deny(404, f"no route for {url.path}")
+
+            def do_GET(self):  # noqa: N802
+                self._dispatch("GET")
+
+            def do_POST(self):  # noqa: N802
+                self._dispatch("POST")
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------ lifecycle
+
+    def serve_background(self) -> str:
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return f"http://127.0.0.1:{self.port}"
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+
+    # ------------------------------------------------------------- handlers
+
+    @staticmethod
+    def _paging(params: dict):
+        max_results = (int(params["maxResults"])
+                       if "maxResults" in params else None)
+        return max_results, params.get("pageToken")
+
+    def list_shares(self, h, params, body) -> None:
+        items, token = self.catalog.list_shares(*self._paging(params))
+        out = {"items": [asdict(s) for s in items]}
+        if token:
+            out["nextPageToken"] = token
+        h._respond(json.dumps(out).encode(), JSON_CT)
+
+    def get_share(self, h, share, params, body) -> None:
+        s = self.catalog.get_share(share)
+        h._respond(json.dumps({"share": asdict(s)}).encode(), JSON_CT)
+
+    def list_schemas(self, h, share, params, body) -> None:
+        items, token = self.catalog.list_schemas(share, *self._paging(params))
+        out = {"items": [asdict(s) for s in items]}
+        if token:
+            out["nextPageToken"] = token
+        h._respond(json.dumps(out).encode(), JSON_CT)
+
+    def list_tables(self, h, share, schema, params, body) -> None:
+        items, token = self.catalog.list_tables(share, schema,
+                                                *self._paging(params))
+        out = {"items": [asdict(t) for t in items]}
+        if token:
+            out["nextPageToken"] = token
+        h._respond(json.dumps(out).encode(), JSON_CT)
+
+    def list_all_tables(self, h, share, params, body) -> None:
+        items, token = self.catalog.list_all_tables(share,
+                                                    *self._paging(params))
+        out = {"items": [asdict(t) for t in items]}
+        if token:
+            out["nextPageToken"] = token
+        h._respond(json.dumps(out).encode(), JSON_CT)
+
+    def _table(self, share: str, schema: str, table: str) -> SharedTable:
+        return self.catalog.load_table(f"{share}.{schema}.{table}")
+
+    def table_version(self, h, share, schema, table, params, body) -> None:
+        t = self._table(share, schema, table)
+        version = t.version(params.get("startingTimestamp"))
+        h._respond(b"", JSON_CT, version=version)
+
+    def table_metadata(self, h, share, schema, table, params, body) -> None:
+        t = self._table(share, schema, table)
+        out = t.query_actions(
+            version=int(params["version"]) if "version" in params else None,
+            timestamp=params.get("timestamp"),
+            max_files=0,
+        )
+        lines = [line for line in out["actions"]
+                 if "protocol" in line or "metaData" in line]
+        payload = "".join(json.dumps(line) + "\n" for line in lines)
+        h._respond(payload.encode(), NDJSON, version=out["version"])
+
+    def table_query(self, h, share, schema, table, params, body) -> None:
+        t = self._table(share, schema, table)
+        out = t.query_actions(
+            version=body.get("version"),
+            timestamp=body.get("timestamp"),
+            json_predicate_hints=body.get("jsonPredicateHints"),
+            predicate_hints=body.get("predicateHints"),
+            limit_hint=body.get("limitHint"),
+            max_files=body.get("maxFiles"),
+            page_token=body.get("pageToken"),
+            include_refresh_token=bool(body.get("includeRefreshToken")),
+            refresh_token=body.get("refreshToken"),
+        )
+        payload = "".join(json.dumps(line) + "\n" for line in out["actions"])
+        h._respond(payload.encode(), NDJSON, version=out["version"])
+
+    def table_changes(self, h, share, schema, table, params, body) -> None:
+        t = self._table(share, schema, table)
+        out = table_changes_actions(
+            t.spark, t.log.path,
+            starting_version=(int(params["startingVersion"])
+                              if "startingVersion" in params else None),
+            ending_version=(int(params["endingVersion"])
+                            if "endingVersion" in params else None),
+            starting_timestamp=params.get("startingTimestamp"),
+            ending_timestamp=params.get("endingTimestamp"),
+            include_historical_metadata=(
+                params.get("includeHistoricalMetadata", "false") == "true"),
+        )
+        payload = "".join(json.dumps(line) + "\n" for line in out["actions"])
+        h._respond(payload.encode(), NDJSON, version=out["version"])
