@@ -275,3 +275,51 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
         )
     )
+
+
+@workload(
+    "q_text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 20
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents) GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+           CAST(df.df AS BIGINT) AS df,
+           round(tf.tf * ln(n.n::DOUBLE / df.df::DOUBLE), 6) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting: corpus-wide document frequency joined onto
+    per-document term frequency — two aggregations and one broadcast join
+    (df table is vocabulary-sized). tfidf rounded to 6 decimals because
+    ln() differs by ~1 ulp between the JVM and libm."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf = (toks.filter(F.col("doc_id") < 20)
+          .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    df_tbl = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n = docs.count()
+    return (
+        tf.join(F.broadcast(df_tbl), "token")
+        .select(
+            "doc_id", "token", F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n)) / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
