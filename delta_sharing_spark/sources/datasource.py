@@ -380,7 +380,18 @@ class SharedTableStreamReader(DataSourceStreamReader):
         self._last_planned = end
         return end
 
+    @staticmethod
+    def _offset_key(o: dict) -> tuple[int, int]:
+        return (int(o["version"]), int(o["index"]))
+
     def partitions(self, start: dict, end: dict):  # noqa: N802
+        # checkpoint restart: Spark replays the last planned batch through
+        # partitions() without calling initialOffset; adopt the replayed end
+        # as our planning floor so the next latestOffset continues FORWARD
+        # from the checkpoint instead of re-planning from scratch
+        if (self._last_planned is None
+                or self._offset_key(end) > self._offset_key(self._last_planned)):
+            self._last_planned = dict(end)
         seq = self._after(self._sequence_for(start), start)
         ev, ei = int(end["version"]), int(end["index"])
         batch = [x for x in seq if (x[0], x[1]) < (ev, ei)]

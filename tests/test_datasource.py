@@ -106,3 +106,45 @@ class TestStreaming:
         seq = reader._file_sequence(1)
         assert all(e[0] == 1 for e in seq)
         assert len(seq) >= 1  # the rewritten file is admitted
+
+
+class TestCheckpointRestart:
+    def test_restart_continues_from_checkpoint(self, spark, events, tmp_path):
+        """Stop a checkpointed stream, append new commits, restart with the
+        same checkpoint: the sink must end up with exactly one copy of every
+        row (no reprocessing, no gaps)."""
+        import uuid
+
+        d = str(tmp_path / "cp_table")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 400"), name="t")
+        spark.dataSource.register(SharedTableDataSource)
+
+        ckpt = str(tmp_path / "ckpt")
+        out_dir = str(tmp_path / "out")
+
+        def run_stream():
+            q = (spark.readStream.format("deltashare").option("path", d)
+                 .option("startingVersion", "0")
+                 .option("maxFilesPerTrigger", "2")
+                 .load()
+                 .writeStream.format("parquet")
+                 .option("path", out_dir)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(processingTime="200 milliseconds")
+                 .queryName(f"cp_{uuid.uuid4().hex[:6]}")
+                 .start())
+            q.processAllAvailable()
+            q.stop()
+
+        run_stream()
+        first = spark.read.parquet(out_dir).count()
+        assert first == 400
+        # new data arrives while the stream is down
+        log.append(events.filter("event_id >= 400 and event_id < 500"))
+        log.append(events.filter("event_id >= 900"))
+        run_stream()
+        final = spark.read.parquet(out_dir)
+        assert final.count() == 400 + 100 + 100
+        # exactly-once: no duplicated event_ids
+        assert final.select("event_id").distinct().count() == 600

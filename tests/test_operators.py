@@ -220,3 +220,51 @@ class TestPartitioning:
 
         assert hyperplanes("s", 2, 4) == hyperplanes("s", 2, 4)
         assert hyperplanes("s", 2, 4) != hyperplanes("t", 2, 4)
+
+
+class TestApproxSketches:
+    def test_approx_count_distinct_error_bound(self, spark, lineitem):
+        exact = lineitem.select("l_partkey").distinct().count()
+        approx = lineitem.agg(
+            F.approx_count_distinct("l_partkey").alias("a")).collect()[0]["a"]
+        assert abs(approx - exact) / exact < 0.05
+
+    def test_approx_percentile_brackets_exact(self, spark, lineitem):
+        exact = lineitem.agg(
+            F.expr("percentile(l_extendedprice, 0.5)")).collect()[0][0]
+        approx = lineitem.agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000)).collect()[0][0]
+        assert abs(approx - exact) / exact < 0.01
+
+
+class TestStreamingWindowAgg:
+    def test_event_time_window_over_deltashare(self, spark, events, tmp_path):
+        """Streaming tumbling-window aggregation with watermark over the
+        deltashare source equals the batch date_trunc aggregation."""
+        from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableDataSource,
+        )
+
+        d = str(tmp_path / "win_table")
+        TableLog(spark, d).create(events.limit(500), name="t")
+        spark.dataSource.register(SharedTableDataSource)
+        agg = (
+            spark.readStream.format("deltashare").option("path", d).load()
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+        )
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName("winagg").trigger(processingTime="200 milliseconds")
+             .start())
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql(
+            "SELECT CAST(window.start AS STRING) h, event_type, n "
+            "FROM winagg").collect()
+        want = (events.limit(500)
+                .groupBy(F.date_trunc("hour", "ts").cast("string")
+                         .alias("h"), "event_type")
+                .agg(F.count("*").alias("n"))).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
