@@ -249,3 +249,53 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str,
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, component) where
+    component = min id in the component (docs in no pair are singletons).
+    This is the step that turns pairwise near-dup evidence into "keep one
+    representative per duplicate cluster".
+
+    Algorithm: min-label propagation (the standard large-graph CC shape, cf.
+    GraphX/Pregel): every node starts labeled with itself; each round every
+    node takes the min of its own and its neighbors' labels; converges in
+    O(component diameter) rounds. Each round is one join + one aggregation —
+    all shuffles on the id key, no driver data path (the driver only checks
+    the per-round convergence counter). Near-dup components are tiny in
+    practice (diameter < 10), so rounds stay in single digits at any corpus
+    size.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"),
+                            F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("node"),
+                        F.col(id_col).alias("label"))
+    for _i in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", "label"))
+                .alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("label").alias("component"))

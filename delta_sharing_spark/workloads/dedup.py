@@ -165,3 +165,46 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     fps = simhash_fingerprints(docs, "doc_id", "text", bits=64)
     return simhash_near_pairs(fps, "doc_id", bits=64, bands=4, max_hamming=8)
+
+
+@workload(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, a.n_sh, b.n_sh
+      HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT d.doc_id,
+           LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+    FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: Jaccard >= 0.5 pairs -> connected components via
+    min-label propagation (component id = min doc id; singletons map to
+    themselves). The oracle computes the same components with a recursive
+    transitive-closure CTE."""
+    from delta_sharing_spark.operators.dedup import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3,
+                                threshold=0.5)
+    return dedup_clusters(docs.select("doc_id"), pairs)

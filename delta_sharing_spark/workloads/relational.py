@@ -743,3 +743,72 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("n_name")), ",")
         .alias("nations")
     )
+
+
+@workload(
+    "q_in_subquery",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+    GROUP BY p_brand
+    """,
+)
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (Catalyst rewrites to a left-semi join)."""
+    read_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT p_brand, COUNT(*) AS n
+        FROM part
+        WHERE p_partkey IN (SELECT l_partkey FROM lineitem
+                            WHERE l_quantity >= 49)
+        GROUP BY p_brand
+    """)
+
+
+@workload(
+    "q_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not expressible as rollup or cube alone)."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+    """)
+
+
+@workload(
+    "q_conditional_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT CASE WHEN o_totalprice > 300000
+                                    THEN o_custkey END) AS BIGINT)
+             AS big_spenders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS all_customers
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional distinct aggregation (distinct over a CASE projection)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct(
+            F.when(F.col("o_totalprice") > 300000, F.col("o_custkey"))
+        ).alias("big_spenders"),
+        F.countDistinct("o_custkey").alias("all_customers"),
+    )
