@@ -1,0 +1,85 @@
+"""Streaming sink into a TableLog via foreachBatch.
+
+Structured Streaming's exactly-once contract for foreachBatch sinks rests on
+idempotent writes per (queryId, epochId); the commit log records the epoch
+in commitInfo so replayed batches after a failure are detected and skipped —
+the same dedup Delta's streaming sink performs via transaction versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+
+from delta_sharing_spark.plans.log import TableLog
+
+
+def _last_committed_epoch(log: TableLog, query_id: str) -> int:
+    last = -1
+    for commit in log.commits():
+        if commit.info is None:
+            continue
+        params = commit.info.operationParameters or {}
+        if params.get("queryId") == query_id:
+            try:
+                last = max(last, int(params.get("epochId", -1)))
+            except (TypeError, ValueError):
+                pass
+    return last
+
+
+def write_stream_to_table(stream_df: DataFrame, path: str,
+                          checkpoint_location: str,
+                          query_name: str | None = None,
+                          trigger: dict | None = None,
+                          txn_app_id: str | None = None) -> StreamingQuery:
+    """``writeStream`` into the commit log: each micro-batch becomes one
+    append commit tagged with (txnAppId, epochId) — Delta's streaming-sink
+    transaction identity; replayed epochs are skipped (idempotent restart).
+    ``txn_app_id`` defaults to the checkpoint location (one writer per
+    checkpoint)."""
+    spark = stream_df.sparkSession
+    app_id = txn_app_id or checkpoint_location
+
+    def _stamp(log: TableLog, version: int, epoch_id: int) -> None:
+        """Record (txnAppId, epochId) in the version's commitInfo."""
+        import json as _json
+        import os as _os
+
+        fp = _os.path.join(log.log_path, f"{version:020d}.json")
+        lines = open(fp).read().splitlines()
+        out = []
+        for line in lines:
+            obj = _json.loads(line)
+            if "commitInfo" in obj:
+                obj["commitInfo"]["operationParameters"] = {
+                    "queryId": app_id, "epochId": str(epoch_id),
+                }
+            out.append(_json.dumps(obj, separators=(",", ":")))
+        with open(fp, "w") as f:
+            f.write("\n".join(out) + "\n")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        log = TableLog(spark, path)
+        if not log.exists():
+            if batch_df.isEmpty():
+                return
+            version = log.create(batch_df, name="stream_sink")
+            _stamp(log, version, epoch_id)
+            return
+        if epoch_id <= _last_committed_epoch(log, app_id):
+            return  # replayed batch after restart — already committed
+        if batch_df.isEmpty():
+            return
+        version = log.append(batch_df)
+        _stamp(log, version, epoch_id)
+
+    writer: DataStreamWriter = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

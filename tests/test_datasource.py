@@ -148,3 +148,36 @@ class TestCheckpointRestart:
         assert final.count() == 400 + 100 + 100
         # exactly-once: no duplicated event_ids
         assert final.select("event_id").distinct().count() == 600
+
+
+class TestStreamSink:
+    def test_stream_into_table_log(self, spark, events, tmp_path):
+        """deltashare source -> TableLog sink: the sink table converges to
+        the source snapshot, one append commit per non-empty batch."""
+        from delta_sharing_spark.streaming.sink import write_stream_to_table
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        ckpt = str(tmp_path / "ck")
+        TableLog(spark, src).create(events.filter("event_id < 300"),
+                                    partition_by=["event_type"], name="src")
+        spark.dataSource.register(SharedTableDataSource)
+        stream = (spark.readStream.format("deltashare").option("path", src)
+                  .option("startingVersion", "0")
+                  .option("maxFilesPerTrigger", "2").load())
+        q = write_stream_to_table(
+            stream, dst, ckpt, trigger={"processingTime": "200 milliseconds"})
+        q.processAllAvailable()
+        q.stop()
+        sink_log = TableLog(spark, dst)
+        from delta_sharing_spark.table import SharedTable
+        assert SharedTable(spark, dst).to_df().count() == 300
+        # restart against the same checkpoint: no duplicate commits
+        stream2 = (spark.readStream.format("deltashare").option("path", src)
+                   .option("startingVersion", "0")
+                   .option("maxFilesPerTrigger", "2").load())
+        q2 = write_stream_to_table(
+            stream2, dst, ckpt, trigger={"processingTime": "200 milliseconds"})
+        q2.processAllAvailable()
+        q2.stop()
+        assert SharedTable(spark, dst).to_df().count() == 300
