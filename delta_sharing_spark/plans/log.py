@@ -71,6 +71,10 @@ class VersionNotFoundError(Exception):
     pass
 
 
+class ConcurrentCommitError(Exception):
+    """Another writer committed this version first — re-resolve and retry."""
+
+
 def _fmt_version(v: int) -> str:
     return f"{v:020d}.json"
 
@@ -305,15 +309,25 @@ class TableLog:
         return now
 
     def _write_commit(self, version: int, actions: list[Action]) -> None:
+        """Atomic no-clobber commit: write to a temp file, then hard-link to
+        the final name. ``os.link`` fails with EEXIST if another writer won
+        the race (unlike rename, which silently replaces) — the same
+        put-if-absent primitive Delta's commit protocol relies on. Losers
+        get ConcurrentCommitError and can re-resolve + retry."""
         os.makedirs(self.log_path, exist_ok=True)
         final = os.path.join(self.log_path, _fmt_version(version))
-        if os.path.exists(final):
-            raise ValueError(f"version {version} already committed")
         tmp = final + f".{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
             for action in actions:
                 f.write(dumps_action(action) + "\n")
-        os.rename(tmp, final)
+        try:
+            os.link(tmp, final)
+        except FileExistsError as exc:
+            raise ConcurrentCommitError(
+                f"version {version} was committed concurrently"
+            ) from exc
+        finally:
+            os.unlink(tmp)
 
     def _stage_dataframe(
         self, df: DataFrame, partition_columns: list[str], target_dir: str,

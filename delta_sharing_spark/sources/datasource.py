@@ -296,6 +296,24 @@ class SharedTableStreamReader(DataSourceStreamReader):
         log = self._log()
         out = []
         for commit in log.commits(from_version):
+            if commit.metadata is not None and self._schema is not None:
+                import json as _json
+
+                from delta_sharing_spark.streaming.schema import (
+                    check_read_compatible,
+                )
+
+                data_fields = [
+                    f for f in self._schema.fields
+                    if f.name not in
+                    ("_change_type", "_commit_version", "_commit_timestamp")
+                ]
+                check_read_compatible(
+                    T.StructType(data_fields),
+                    T.StructType.fromJson(
+                        _json.loads(commit.metadata.schemaString)),
+                    version=commit.version,
+                )
             entries: list[tuple[object, str | None]] = []
             if commit.cdc:
                 entries = [(c, None) for c in

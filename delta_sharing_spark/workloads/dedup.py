@@ -208,3 +208,88 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3,
                                 threshold=0.5)
     return dedup_clusters(docs.select("doc_id"), pairs)
+
+
+@workload(
+    "q_pipeline_corpus_prep",
+    oracle=f"""
+    WITH RECURSIVE quality AS (
+      SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, text FROM quality
+      WHERE len(tokens) >= 20
+        AND CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) > 0.3
+    ),
+    sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM kept
+    ),
+    toks AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, a.n_sh, b.n_sh
+      HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comps AS (
+      SELECT k.doc_id,
+             LEAST(k.doc_id, COALESCE(MIN(r.dst), k.doc_id)) AS component
+      FROM kept k LEFT JOIN reach r ON r.src = k.doc_id
+      GROUP BY k.doc_id
+    ),
+    reps AS (
+      SELECT component FROM comps WHERE doc_id = component
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
+           CAST((SELECT COUNT(*) FROM kept) AS BIGINT)      AS n_quality,
+           CAST((SELECT COUNT(*) FROM reps) AS BIGINT)      AS n_final,
+           CAST((SELECT SUM(len(string_split(k.text, ' '))) FROM kept k
+                 JOIN comps c ON k.doc_id = c.doc_id
+                 WHERE k.doc_id = c.component) AS BIGINT)   AS final_tokens
+    """,
+)
+def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation: quality gate (length +
+    type-token ratio) -> near-dup clustering -> keep one representative per
+    cluster -> corpus summary. Composes the quality, Jaccard, and
+    connected-components operators in one lazy plan; the oracle recomputes
+    the whole pipeline in SQL."""
+    from pyspark.sql import functions as F
+
+    from delta_sharing_spark.operators.dedup import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    kept = docs.filter(
+        (F.size(tokens) >= 20)
+        & (F.size(F.array_distinct(tokens)).cast("double") / F.size(tokens)
+           > 0.3)
+    ).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(kept, "doc_id", "text", shingle_k=3,
+                                threshold=0.5)
+    comps = dedup_clusters(kept.select("doc_id"), pairs)
+    reps = comps.filter(F.col("doc_id") == F.col("component"))
+    final = kept.join(reps.select("doc_id"), "doc_id")
+    n_input = docs.count()
+    n_quality = kept.count()
+    summary = final.agg(
+        F.count("*").alias("n_final"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("final_tokens"),
+    ).select(
+        F.lit(n_input).cast("long").alias("n_input"),
+        F.lit(n_quality).cast("long").alias("n_quality"),
+        F.col("n_final").cast("long"),
+        F.col("final_tokens").cast("long"),
+    )
+    return summary

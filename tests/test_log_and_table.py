@@ -235,3 +235,19 @@ class TestZOrder:
         # rewrite is dataChange=false -> CDF/streams unaffected
         c = t.log.read_commit(t.log.latest_version())
         assert all(not a.dataChange for a in c.adds)
+
+
+class TestConcurrentCommit:
+    def test_commit_collision_raises(self, spark, events, table_dir):
+        from delta_sharing_spark.plans.actions import CommitInfo
+        from delta_sharing_spark.plans.log import ConcurrentCommitError
+
+        log = TableLog(spark, table_dir)
+        log.create(events.limit(10), name="t")
+        # simulate a concurrent writer landing version 1 first
+        log._write_commit(1, [CommitInfo(version=1, timestamp=1, operation="X")])
+        with pytest.raises(ConcurrentCommitError):
+            log._write_commit(1, [CommitInfo(version=1, timestamp=2,
+                                             operation="Y")])
+        # the winner's commit is intact
+        assert log.read_commit(1).info.operation == "X"
