@@ -812,3 +812,48 @@ def q_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("big_spenders"),
         F.countDistinct("o_custkey").alias("all_customers"),
     )
+
+
+@workload(
+    "q_events_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_click_after,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_after
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel (signup -> later click -> later purchase): each
+    stage is first-event-after-previous-stage via join + min — three
+    shuffles on user_id, no window over the full event stream."""
+    ev = read_table(spark, sf_dir, "events")
+    s1 = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("t_signup")))
+    s2 = (ev.filter(F.col("event_type") == "click").alias("e")
+          .join(s1, "user_id")
+          .filter(F.col("e.ts") > F.col("t_signup"))
+          .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    s3 = (ev.filter(F.col("event_type") == "purchase").alias("e")
+          .join(s2, "user_id")
+          .filter(F.col("e.ts") > F.col("t_click"))
+          .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    return spark.createDataFrame(
+        [(s1.count(), s2.count(), s3.count())],
+        "n_signup long, n_click_after long, n_purchase_after long",
+    )
