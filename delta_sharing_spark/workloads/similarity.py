@@ -139,3 +139,71 @@ def q_embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return near_dup_pairs_blocked(emb, threshold=0.42, block_size=512)
+
+
+@workload(
+    "q_ann_ivf_topk",
+    oracle=f"""
+    WITH vs AS (
+      SELECT label,
+             list(list_transform(embedding, x -> x::DOUBLE) ORDER BY vec_id)
+               AS vecs,
+             COUNT(*) AS n
+      FROM embeddings GROUP BY label
+    ),
+    cents AS (
+      SELECT label, n,
+             list_transform(
+               list_reduce(vecs, (a, b) -> list_transform(
+                   generate_series(1, 64), i -> a[i] + b[i])),
+               x -> x / n) AS centroid
+      FROM vs
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 6),
+    cell_scores AS (
+      SELECT q.query_id, q.qv, c.label,
+             list_reduce(list_transform(generate_series(1, 64),
+                 i -> q.qv[i]::DOUBLE * c.centroid[i]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                   i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                   i -> c.centroid[i] * c.centroid[i]), (x, y) -> x + y)))
+               AS cell_cos
+      FROM q CROSS JOIN cents c
+    ),
+    probed AS (
+      SELECT query_id, qv, label FROM (
+        SELECT query_id, qv, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cell_cos DESC, label) AS cr
+        FROM cell_scores
+      ) WHERE cr <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {{COS}} AS cos
+      FROM probed p JOIN embeddings c ON c.label = p.label
+                                     AND c.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+    FROM ranked WHERE rank <= 5
+    """.replace("{COS}", _cos_sql("p.qv", "c.embedding")),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search end-to-end with a full-fidelity oracle: deterministic
+    ordered-fold centroids, nprobe=2 coarse probe, exact re-ranking within
+    probed cells — the oracle replays the identical probe in SQL, so even
+    the approximation is value-checked."""
+    from delta_sharing_spark.operators.similarity import ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb.filter(F.col("vec_id") < 6), emb, "label",
+                   k=5, nprobe=2, dim=64)
+    return out.withColumn("rank", F.col("rank").cast("int"))
