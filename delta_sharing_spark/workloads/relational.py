@@ -857,3 +857,56 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s1.count(), s2.count(), s3.count())],
         "n_signup long, n_click_after long, n_purchase_after long",
     )
+
+
+@workload(
+    "q_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25) + 1 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (25-wide buckets; identical floor expression in
+    both engines — one shuffle on bucket id)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.floor(F.col("value") / 25) + 1).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+    )
+
+
+@workload(
+    "q_null_handling",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN NULLIF(o_orderpriority, '3-MEDIUM') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+           COALESCE(MIN(NULLIF(o_orderpriority, '1-URGENT')), 'none')
+             AS min_non_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics functions: NULLIF / COALESCE through aggregation."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+                   .isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_medium"),
+        F.coalesce(
+            F.min(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))),
+            F.lit("none"),
+        ).alias("min_non_urgent"),
+    )
