@@ -150,9 +150,23 @@ def to_column(op: dict[str, Any], partition_columns: set[str],
             out = out | c
         return out
     if kind == "not":
+        # Negation is only sound when the child translated EXACTLY: the 'and'
+        # branch silently drops unsupported conjuncts (a sound weakening for a
+        # keep-condition), but NOT of a weakened predicate is a *strengthened*
+        # predicate — it would wrongly prune files. Mirror the reference
+        # (client/.../filters/UnsupportedOpPruner.scala:30): poison NOT when
+        # any descendant references an unresolvable column.
+        if data_accessor is None and \
+                not _referenced_columns(children[0]) <= set(partition_columns):
+            return None
         inner = to_column(children[0], partition_columns, data_accessor)
         return None if inner is None else ~inner
     if kind == "isNull":
+        # same exactness requirement: isNull over a partially-dropped child
+        # would test a different expression than the one requested
+        if data_accessor is None and \
+                not _referenced_columns(children[0]) <= set(partition_columns):
+            return None
         inner = to_column(children[0], partition_columns, data_accessor)
         return None if inner is None else inner.isNull()
     if kind in _BINARY_OPS:
@@ -245,7 +259,12 @@ def _rewrite_for_stats(op: dict[str, Any], partition_columns: set[str]) -> Colum
         return out
     if kind == "not":
         # NOT over a range rewrite is NOT sound (rewrite is an over-approx);
-        # only safe over partition-exact subtrees.
+        # only safe over partition-exact subtrees — and only when the child
+        # translates exactly (to_column's 'and' drops unsupported conjuncts,
+        # and negating a weakened child over-prunes; ref UnsupportedOpPruner
+        # poisons the whole NotOp on any unsupported descendant).
+        if not _referenced_columns(children[0]) <= set(partition_columns):
+            return None
         inner = to_column(children[0], partition_columns)
         return None if inner is None else ~inner
     if kind in ("column", "literal"):

@@ -1,12 +1,28 @@
 """Schema read-compatibility for streaming reads.
 
-Mirrors the reference's gate (client/.../spark/util/SchemaUtils.scala:37-90
-``isReadCompatible``): a metadata (schema) change observed mid-stream is
-readable iff
+Mirrors the reference's gate as *executed* at the streaming call sites
+(client/.../spark/DeltaSharingSource.scala:641,998 →
+``SchemaUtils.isReadCompatible(schemaToCheck = newly-observed metadata
+schema, readSchema = planned schema)``, SchemaUtils.scala:37-94). A
+metadata (schema) change observed mid-stream is readable iff
 
-- every existing column still exists with an equal data type;
-- nullability may only relax (non-null -> nullable), never tighten;
-- columns added to the new schema must be nullable.
+- every column of the NEW schema still exists in the planned schema with a
+  case-exact name (columns added or renamed mid-stream stop the stream —
+  the reader would otherwise silently drop shared data);
+- for columns present in both, the data type matches recursively, where
+  nested element/value nullability may only tighten relative to the plan
+  (SchemaUtils.scala:43-59);
+- a column may NOT go nullable when the plan has it non-nullable (a reader
+  planned on a non-null slot would observe nulls); going non-nullable
+  (tightening) is fine (SchemaUtils.scala:86);
+- columns dropped from the new schema are read-compatible — the planned
+  reader simply sees nulls for them (SchemaUtils.scala:80-82, "new fields
+  are fine, they just won't be returned").
+
+Note the reference's doc comment (SchemaUtils.scala:32-35) describes the
+*opposite* argument order used by RemoteDeltaLog.scala:254 for batch
+snapshot refresh; we implement the code's behavior at the streaming call
+site, which is the gate this module serves.
 
 A violation stops the stream with a clear error instead of silently
 mis-reading files written under the old schema.
@@ -25,21 +41,46 @@ def _field_map(schema: T.StructType) -> dict[str, T.StructField]:
     return {f.name.lower(): f for f in schema.fields}
 
 
+def _datatype_read_compatible(new_type: T.DataType,
+                              planned_type: T.DataType) -> bool:
+    """Recursive type check, ref SchemaUtils.scala:43-59: nested
+    element/value nullability in the new data must not loosen past the
+    planned type."""
+    if isinstance(new_type, T.StructType) and \
+            isinstance(planned_type, T.StructType):
+        return is_read_compatible(planned_type, new_type)
+    if isinstance(new_type, T.ArrayType) and \
+            isinstance(planned_type, T.ArrayType):
+        if new_type.containsNull and not planned_type.containsNull:
+            return False
+        return _datatype_read_compatible(new_type.elementType,
+                                         planned_type.elementType)
+    if isinstance(new_type, T.MapType) and isinstance(planned_type, T.MapType):
+        if new_type.valueContainsNull and not planned_type.valueContainsNull:
+            return False
+        return (_datatype_read_compatible(new_type.keyType,
+                                          planned_type.keyType)
+                and _datatype_read_compatible(new_type.valueType,
+                                              planned_type.valueType))
+    return new_type == planned_type
+
+
 def is_read_compatible(existing: T.StructType, new: T.StructType) -> bool:
     """Can a reader planned on ``existing`` consume data under ``new``?"""
     existing_map = _field_map(existing)
     new_map = _field_map(new)
-    for name, old_field in existing_map.items():
-        new_field = new_map.get(name)
-        if new_field is None:
-            return False
-        if new_field.dataType != old_field.dataType:
-            return False
-        if old_field.nullable and not new_field.nullable:
-            return False  # nullability tightened
     for name, new_field in new_map.items():
-        if name not in existing_map and not new_field.nullable:
-            return False  # new non-nullable column
+        old_field = existing_map.get(name)
+        if old_field is None:
+            return False  # column added/renamed mid-stream
+        if old_field.name != new_field.name:
+            return False  # case change == rename (SchemaUtils.scala:84)
+        if not _datatype_read_compatible(new_field.dataType,
+                                         old_field.dataType):
+            return False
+        if new_field.nullable and not old_field.nullable:
+            return False  # planned non-null slot could now observe nulls
+    # planned columns absent from `new` are fine: read as nulls
     return True
 
 

@@ -106,19 +106,21 @@ class TestSchemaCompat:
     def test_identical_ok(self):
         assert is_read_compatible(self.BASE, self.BASE)
 
-    def test_new_nullable_column_ok(self):
-        new = T.StructType(list(self.BASE.fields)
-                           + [T.StructField("c", T.IntegerType(), True)])
-        assert is_read_compatible(self.BASE, new)
+    def test_added_column_stops_stream(self):
+        # any mid-stream addition (nullable or not) is incompatible: the
+        # planned reader would silently drop the new data
+        # (SchemaUtils.scala:76-79 via DeltaSharingSource.scala:641)
+        for nullable in (True, False):
+            new = T.StructType(list(self.BASE.fields)
+                               + [T.StructField("c", T.IntegerType(),
+                                                nullable)])
+            assert not is_read_compatible(self.BASE, new)
 
-    def test_new_nonnull_column_fails(self):
-        new = T.StructType(list(self.BASE.fields)
-                           + [T.StructField("c", T.IntegerType(), False)])
-        assert not is_read_compatible(self.BASE, new)
-
-    def test_dropped_column_fails(self):
+    def test_dropped_column_reads_as_null(self):
+        # planned columns missing from new data are fine — the reader just
+        # sees nulls (SchemaUtils.scala:80-82)
         new = T.StructType([self.BASE.fields[0]])
-        assert not is_read_compatible(self.BASE, new)
+        assert is_read_compatible(self.BASE, new)
 
     def test_type_change_fails(self):
         new = T.StructType([
@@ -127,17 +129,37 @@ class TestSchemaCompat:
         ])
         assert not is_read_compatible(self.BASE, new)
 
-    def test_nullability_relax_ok_tighten_fails(self):
-        relaxed = T.StructType([
+    def test_nullability_loosen_fails_tighten_ok(self):
+        # planned non-null 'a' observed nullable mid-stream -> reader could
+        # see nulls in a non-null slot -> stop (SchemaUtils.scala:86);
+        # tightening the other way is read-compatible
+        loosened = T.StructType([
             T.StructField("a", T.LongType(), True),
             T.StructField("b", T.StringType(), True),
         ])
-        assert is_read_compatible(self.BASE, relaxed)
-        assert not is_read_compatible(relaxed, self.BASE)
+        assert not is_read_compatible(self.BASE, loosened)
+        assert is_read_compatible(loosened, self.BASE)
+
+    def test_case_rename_fails(self):
+        new = T.StructType([
+            T.StructField("A", T.LongType(), False),
+            T.StructField("b", T.StringType(), True),
+        ])
+        assert not is_read_compatible(self.BASE, new)
+
+    def test_nested_array_nullability(self):
+        planned = T.StructType([
+            T.StructField("v", T.ArrayType(T.LongType(), False), True)])
+        loosened = T.StructType([
+            T.StructField("v", T.ArrayType(T.LongType(), True), True)])
+        assert not is_read_compatible(planned, loosened)
+        assert is_read_compatible(loosened, planned)
 
     def test_check_raises(self):
+        added = T.StructType(list(self.BASE.fields)
+                             + [T.StructField("c", T.IntegerType(), True)])
         with pytest.raises(SchemaCompatError, match="version 3"):
-            check_read_compatible(self.BASE, T.StructType([]), version=3)
+            check_read_compatible(self.BASE, added, version=3)
 
     def test_stream_stops_on_incompatible_metadata(self, spark, events,
                                                    tmp_path):

@@ -153,3 +153,51 @@ class TestStatsEval:
         assert not self.keep(t)  # nullCount 0 -> no nulls
         assert self.keep(t, stats={"nullCount": {"c": 3}})
         assert self.keep(t, stats={})  # unknown nullCount -> keep
+
+
+class TestNotPoisoning:
+    """NOT whose child mixes partition + data columns must be poisoned, not
+    negated over a silently-weakened child (ref UnsupportedOpPruner.scala:30:
+    any unsupported descendant drops the whole NotOp).
+
+    Regression: not(and(p='x', d=1)) used to translate the child as just
+    p='x' (the data conjunct dropped) and negate it, wrongly pruning every
+    file with p='x' even though such files can hold rows with d != 1 that
+    satisfy the NOT."""
+
+    TREE = op("not", op("and",
+                        op("equal", col("p", "string"), lit("x", "string")),
+                        op("equal", col("d"), lit(1))))
+
+    def test_sessionless_keeps(self):
+        assert keep_file(self.TREE, {"p": "x"}, {}, ["p"])
+
+    def test_column_path_keeps(self, spark):
+        from delta_sharing_spark.plans.predicates import file_keep_condition
+
+        manifest = spark.createDataFrame(
+            [("f1", {"p": "x"}, "{}", "{}", "{}"),
+             ("f2", {"p": "y"}, "{}", "{}", "{}")],
+            "path string, partitionValues map<string,string>, "
+            "minValues string, maxValues string, nullCount string")
+        kept = manifest.filter(file_keep_condition(self.TREE, ["p"]))
+        assert {r.path for r in kept.collect()} == {"f1", "f2"}
+
+    def test_exact_partition_not_still_prunes(self, spark):
+        # fully partition-supported NOT must still negate exactly
+        from delta_sharing_spark.plans.predicates import file_keep_condition
+
+        tree = op("not", op("equal", col("p", "string"), lit("x", "string")))
+        manifest = spark.createDataFrame(
+            [("f1", {"p": "x"}, "{}", "{}", "{}"),
+             ("f2", {"p": "y"}, "{}", "{}", "{}")],
+            "path string, partitionValues map<string,string>, "
+            "minValues string, maxValues string, nullCount string")
+        kept = manifest.filter(file_keep_condition(tree, ["p"]))
+        assert {r.path for r in kept.collect()} == {"f2"}
+
+    def test_isnull_over_weakened_child_keeps(self):
+        t = op("isNull", op("and",
+                            op("equal", col("p", "string"), lit("x", "string")),
+                            op("equal", col("d"), lit(1))))
+        assert keep_file(t, {"p": "x"}, {}, ["p"])
