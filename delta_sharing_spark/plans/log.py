@@ -384,6 +384,7 @@ class TableLog:
         name: str | None = None,
         description: str | None = None,
         configuration: dict[str, str] | None = None,
+        operation_parameters: dict[str, str] | None = None,
     ) -> int:
         if self.exists():
             raise ValueError(f"table already exists at {self.path}")
@@ -406,12 +407,14 @@ class TableLog:
         ]
         actions.append(
             CommitInfo(version=0, timestamp=ts, operation="CREATE TABLE",
-                       operationMetrics={"numFiles": str(len(staged))})
+                       operationMetrics={"numFiles": str(len(staged))},
+                       operationParameters=operation_parameters or {})
         )
         self._write_commit(0, actions)
         return 0
 
-    def append(self, df: DataFrame, max_files: int | None = None) -> int:
+    def append(self, df: DataFrame, max_files: int | None = None,
+               operation_parameters: dict[str, str] | None = None) -> int:
         snap = self.snapshot()
         version = snap.version + 1
         ts = self._next_commit_timestamp()
@@ -425,7 +428,8 @@ class TableLog:
         ]
         actions.append(
             CommitInfo(version=version, timestamp=ts, operation="WRITE",
-                       operationMetrics={"numFiles": str(len(staged))})
+                       operationMetrics={"numFiles": str(len(staged))},
+                       operationParameters=operation_parameters or {})
         )
         self._write_commit(version, actions)
         return version

@@ -300,20 +300,35 @@ def sql_hint_keep_condition(hint: str, partition_columns: list[str],
     except Exception:
         return None
     # resolve attribute references: rewrite c -> cast(partitionValues[c], dt)
+    # — but only OUTSIDE string literals: a column name occurring inside
+    # quotes (e.g. category = 'date' with partition column `date`) must not
+    # be substituted. Split on single-quoted SQL literals ('' = escaped
+    # quote); odd segments are literal bodies and pass through untouched.
     import re
 
+    segments = re.split(r"('(?:[^']|'')*')", hint)
+    if any("'" in seg for seg in segments[::2]):
+        return None  # unterminated/ambiguous quoting — skip the hint
     type_of = {f.name: f.dataType.simpleString() for f in schema.fields}
-    cols = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", hint))
+    cols = {
+        m for seg in segments[::2]
+        for m in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", seg)
+    }
     refs = [c for c in cols if c in type_of]
     if not refs or any(c not in partition_columns for c in refs):
         return None
-    rewritten = hint
-    for c in sorted(refs, key=len, reverse=True):
-        rewritten = re.sub(
-            rf"\b{re.escape(c)}\b",
-            f"cast(nullif(partitionValues['{c}'], '') as {type_of[c]})",
-            rewritten,
-        )
+    # single-pass alternation so inserted replacement text (which contains
+    # identifiers like type names) is never itself rewritten
+    pattern = re.compile("|".join(
+        rf"\b{re.escape(c)}\b" for c in sorted(refs, key=len, reverse=True)))
+
+    def _subst(m: re.Match) -> str:
+        c = m.group(0)
+        return f"cast(nullif(partitionValues['{c}'], '') as {type_of[c]})"
+
+    for i in range(0, len(segments), 2):
+        segments[i] = pattern.sub(_subst, segments[i])
+    rewritten = "".join(segments)
     try:
         cond = F.expr(rewritten)
     except Exception:

@@ -239,6 +239,17 @@ class SharedTableStreamReader(DataSourceStreamReader):
         )
         self._schema = schema
         self._last_planned: dict | None = None
+        # test instrumentation: when set, append one JSON line per reader
+        # API call (the reader lives in a separate Python worker process, so
+        # tests can only observe it through a side-channel file)
+        self._calllog = options.get("_calllog")
+
+    def _trace(self, method: str, **payload) -> None:
+        if self._calllog:
+            import json as _json
+
+            with open(self._calllog, "a") as fh:
+                fh.write(_json.dumps({"method": method, **payload}) + "\n")
 
     # ----------------------------------------------------------- log access
 
@@ -350,11 +361,18 @@ class SharedTableStreamReader(DataSourceStreamReader):
     # ------------------------------------------------------------- offsets
 
     def initialOffset(self) -> dict:  # noqa: N802
+        self._trace("initialOffset")
         if self.starting_version is not None:
-            return {"version": int(self.starting_version), "index": 0,
-                    "isStartingVersion": False}
-        version, _files = self._snapshot_sequence()
-        return {"version": version, "index": 0, "isStartingVersion": True}
+            offset = {"version": int(self.starting_version), "index": 0,
+                      "isStartingVersion": False}
+        else:
+            version, _files = self._snapshot_sequence()
+            offset = {"version": version, "index": 0,
+                      "isStartingVersion": True}
+        # initialOffset is only called on a fresh stream (no checkpoint) —
+        # it doubles as the planning floor for the first latestOffset()
+        self._last_planned = dict(offset)
+        return offset
 
     def _sequence_for(self, offset: dict) -> list[tuple[int, int, object]]:
         if offset.get("isStartingVersion"):
@@ -370,6 +388,19 @@ class SharedTableStreamReader(DataSourceStreamReader):
         return [x for x in seq if (x[0], x[1]) >= (v, i)]
 
     def latestOffset(self) -> dict:  # noqa: N802
+        self._trace("latestOffset", floor=self._last_planned)
+        # Planning-floor protocol (verified empirically against the pyspark
+        # 4.1 runner, see tests/test_datasource.py::TestRestartProtocol):
+        # - fresh stream: Spark's FIRST call into the execution-phase reader
+        #   is latestOffset() (before even initialOffset), floor=None ->
+        #   plan from initialOffset();
+        # - restart (committed or not): Spark always replays the last logged
+        #   batch through partitions(start, end) BEFORE latestOffset(), so
+        #   the floor is restored there (and commit() re-raises it too) and
+        #   we never fall back to a freshly-computed initial offset, whose
+        #   (version, index) sequence space — snapshot-pinned at the current
+        #   latest vs the checkpoint's space — would bound the next batch
+        #   incorrectly (duplicate/skipped files).
         start = self._last_planned or self.initialOffset()
         seq = self._after(self._sequence_for(start), start)
         admitted = seq[: self.max_files]  # maxFilesPerTrigger soft cap
@@ -403,6 +434,7 @@ class SharedTableStreamReader(DataSourceStreamReader):
         return (int(o["version"]), int(o["index"]))
 
     def partitions(self, start: dict, end: dict):  # noqa: N802
+        self._trace("partitions", start=start, end=end)
         # checkpoint restart: Spark replays the last planned batch through
         # partitions() without calling initialOffset; adopt the replayed end
         # as our planning floor so the next latestOffset continues FORWARD
@@ -432,7 +464,12 @@ class SharedTableStreamReader(DataSourceStreamReader):
         return _read_file_batches(partition)
 
     def commit(self, end: dict) -> None:  # noqa: N802
-        pass
+        self._trace("commit", end=end)
+        # keep the planning floor at least at the last committed offset so
+        # latestOffset never plans behind what Spark already recorded
+        if (self._last_planned is None
+                or self._offset_key(end) > self._offset_key(self._last_planned)):
+            self._last_planned = dict(end)
 
 
 class SharedTableDataSource(DataSource):

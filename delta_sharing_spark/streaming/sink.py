@@ -41,38 +41,25 @@ def write_stream_to_table(stream_df: DataFrame, path: str,
     spark = stream_df.sparkSession
     app_id = txn_app_id or checkpoint_location
 
-    def _stamp(log: TableLog, version: int, epoch_id: int) -> None:
-        """Record (txnAppId, epochId) in the version's commitInfo."""
-        import json as _json
-        import os as _os
-
-        fp = _os.path.join(log.log_path, f"{version:020d}.json")
-        lines = open(fp).read().splitlines()
-        out = []
-        for line in lines:
-            obj = _json.loads(line)
-            if "commitInfo" in obj:
-                obj["commitInfo"]["operationParameters"] = {
-                    "queryId": app_id, "epochId": str(epoch_id),
-                }
-            out.append(_json.dumps(obj, separators=(",", ":")))
-        with open(fp, "w") as f:
-            f.write("\n".join(out) + "\n")
-
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # The (txnAppId, epochId) stamp rides inside the SAME atomic
+        # no-clobber commit as the data (CommitInfo.operationParameters) —
+        # Delta's SetTransaction pattern. There is no window where the data
+        # is committed but the epoch stamp is not: a crash before
+        # _write_commit leaves nothing; a crash after leaves both. A
+        # replayed epoch is detected from the committed log and skipped.
+        txn = {"queryId": app_id, "epochId": str(epoch_id)}
         log = TableLog(spark, path)
         if not log.exists():
             if batch_df.isEmpty():
                 return
-            version = log.create(batch_df, name="stream_sink")
-            _stamp(log, version, epoch_id)
+            log.create(batch_df, name="stream_sink", operation_parameters=txn)
             return
         if epoch_id <= _last_committed_epoch(log, app_id):
             return  # replayed batch after restart — already committed
         if batch_df.isEmpty():
             return
-        version = log.append(batch_df)
-        _stamp(log, version, epoch_id)
+        log.append(batch_df, operation_parameters=txn)
 
     writer: DataStreamWriter = (
         stream_df.writeStream.foreachBatch(write_batch)

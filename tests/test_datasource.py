@@ -150,6 +150,88 @@ class TestCheckpointRestart:
         assert final.select("event_id").distinct().count() == 600
 
 
+class TestRestartProtocol:
+    """Protocol-level restart determinism. The pyspark 4.1 runner's verified
+    call sequences (traced via the ``_calllog`` option):
+
+    - fresh stream: latestOffset() arrives FIRST (floor=None), then
+      initialOffset(), then partitions(initial, end);
+    - restart (committed or uncommitted last batch): Spark always replays
+      the last logged batch via partitions(start, end) BEFORE the first
+      latestOffset(), restoring the planning floor.
+
+    The regression risk (ADVICE r01): planning a batch end in a different
+    (version, index) sequence space — a fresh snapshot at the current
+    latest — than the checkpointed start, duplicating or skipping files."""
+
+    def _reader(self, path, max_files=2):
+        return SharedTableStreamReader(
+            {"path": path, "maxfilespertrigger": str(max_files)}, None)
+
+    def _paths(self, parts):
+        return {p.path for p in parts}
+
+    def test_snapshot_mode_restart_no_dup_no_skip(self, spark, events,
+                                                  tmp_path):
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 300").repartition(4), name="t")
+        log.append(events.filter("event_id >= 300 and event_id < 400"))
+        log.append(events.filter("event_id >= 400 and event_id < 500"))
+
+        # run 1 (fresh): latestOffset first, snapshot-mode, one capped batch,
+        # committed; then the query stops
+        r1 = self._reader(d)
+        e1 = r1.latestOffset()
+        start = r1.initialOffset()
+        assert start["isStartingVersion"]
+        batch1 = self._paths(r1.partitions(start, e1))
+        assert len(batch1) == 2  # capped
+        r1.commit(e1)
+
+        # everything the stream must eventually deliver, in start's space
+        full = self._paths(r1.partitions(start, {"version": 10 ** 6,
+                                                 "index": 0}))
+
+        # run 2 (restart): fresh reader; Spark replays the last logged batch
+        # through partitions() BEFORE latestOffset — floor restored there
+        r2 = self._reader(d)
+        replay = self._paths(r2.partitions(start, e1))
+        assert replay == batch1  # deterministic replay
+        e2 = r2.latestOffset()
+        assert e2["version"] >= e1["version"]  # never regresses
+        batch2 = self._paths(r2.partitions(e1, e2))
+        assert len(batch2) == 2               # still capped after restart
+        assert batch1 & batch2 == set()       # no duplicates
+
+        # drain to the end: union covers everything exactly once
+        seen = batch1 | batch2
+        r2.commit(e2)
+        prev = e2
+        for _ in range(50):
+            nxt = r2.latestOffset()
+            if nxt == prev:
+                break
+            b = self._paths(r2.partitions(prev, nxt))
+            assert b & seen == set()
+            seen |= b
+            r2.commit(nxt)
+            prev = nxt
+        assert seen == full
+
+    def test_commit_restores_floor_monotonic(self, spark, events, tmp_path):
+        d = str(tmp_path / "t2")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"), name="t")
+        r = self._reader(d, max_files=100)
+        start = r.initialOffset()
+        end = r.latestOffset()
+        r.commit(end)
+        # a stale commit replay must never move the floor backwards
+        r.commit(start)
+        assert r._last_planned == end
+
+
 class TestStreamSink:
     def test_stream_into_table_log(self, spark, events, tmp_path):
         """deltashare source -> TableLog sink: the sink table converges to
@@ -181,3 +263,28 @@ class TestStreamSink:
         q2.processAllAvailable()
         q2.stop()
         assert SharedTable(spark, dst).to_df().count() == 300
+
+    def test_epoch_stamp_is_atomic_with_commit(self, spark, events, tmp_path):
+        """The (queryId, epochId) stamp must land in the SAME commit file as
+        the data actions (CommitInfo.operationParameters), not via a
+        post-commit rewrite — otherwise a crash between append and stamp
+        makes the replayed epoch undetectable (double-append)."""
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        ckpt = str(tmp_path / "ck")
+        TableLog(spark, src).create(events.filter("event_id < 100"),
+                                    name="src")
+        spark.dataSource.register(SharedTableDataSource)
+        stream = (spark.readStream.format("deltashare").option("path", src)
+                  .option("startingVersion", "0").load())
+        from delta_sharing_spark.streaming.sink import write_stream_to_table
+        q = write_stream_to_table(
+            stream, dst, ckpt, trigger={"processingTime": "200 milliseconds"})
+        q.processAllAvailable()
+        q.stop()
+        sink_log = TableLog(spark, dst)
+        for commit in sink_log.commits():
+            if commit.adds:  # every data commit carries its txn identity
+                params = commit.info.operationParameters or {}
+                assert params.get("queryId") == ckpt
+                assert params.get("epochId") is not None

@@ -90,6 +90,25 @@ class TestPruning:
         kept3 = t.pruned_files(snap, predicate_hints=["garbage ==== "])
         assert len(kept3) == len(snap.files)
 
+    def test_sql_hint_column_name_inside_literal(self, spark, versioned_table):
+        """A partition-column name occurring INSIDE a string literal must not
+        be substituted (ADVICE r01): the rewrite applies outside quotes only,
+        so the hint stays a valid, correctly-scoped filter."""
+        t = SharedTable(spark, versioned_table)
+        snap = t.log.snapshot()
+        # literal body == the partition column's own name; no partition value
+        # equals the string "event_type", so a correct rewrite keeps nothing
+        kept = t.pruned_files(
+            snap, predicate_hints=["event_type = 'event_type'"])
+        assert len(kept) == 0
+        # sanity: a correctly-quoted ordinary value still prunes
+        kept2 = t.pruned_files(snap, predicate_hints=["event_type = 'click'"])
+        assert 0 < len(kept2) < len(snap.files)
+        # escaped-quote literal ('' = one quote) parses and is not mangled
+        kept3 = t.pruned_files(
+            snap, predicate_hints=["event_type = 'it''s event_type'"])
+        assert len(kept3) == 0
+
     def test_limit_hint_cuts_files(self, spark, versioned_table):
         t = SharedTable(spark, versioned_table)
         snap = t.log.snapshot()
