@@ -17,6 +17,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "eng_snapshot_full",
+    "eng_snapshot_pruned",
+    "plain_snapshot_full",
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_region_nation_revenue",
@@ -57,6 +60,16 @@ def main() -> None:
         for name in HEADLINE:
             try:
                 qs[name](spark, warm_dir).write.mode("overwrite") \
+                    .format("noop").save()
+            except Exception:
+                pass
+    # engine-path queries read a versioned-table fixture built (once) from
+    # the target SF's parquet; build it outside the measurement so the
+    # timings below are the steady-state read path, not fixture writes
+    for name in HEADLINE:
+        if name.startswith(("eng_", "plain_")):
+            try:
+                qs[name](spark, sf_dir).write.mode("overwrite") \
                     .format("noop").save()
             except Exception:
                 pass

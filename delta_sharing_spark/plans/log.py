@@ -122,12 +122,20 @@ class Snapshot:
 class TableLog:
     """The commit log for one table rooted at ``path``."""
 
+    # snapshots per instance kept for incremental tail replay + reuse
+    _SNAP_CACHE_SIZE = 32
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
         self.log_path = os.path.join(self.path, LOG_DIR)
         self.data_path = os.path.join(self.path, DATA_DIR)
         self.cdc_path = os.path.join(self.path, CDC_DIR)
+        # version -> Snapshot. Committed log files are immutable (append-only
+        # versions, atomic no-clobber commits), so a resolved snapshot never
+        # goes stale; only "latest" resolution re-lists the directory.
+        self._snap_cache: dict[int, Snapshot] = {}
+        self._files_df_cache: dict[int, DataFrame] = {}
 
     # ------------------------------------------------------------------ read
 
@@ -196,10 +204,26 @@ class TableLog:
             raise VersionNotFoundError(
                 f"version {version} not in [0, {self.latest_version()}]"
             )
+        cached = self._snap_cache.get(version)
+        if cached is not None:
+            return cached
+        # incremental replay: start from the nearest cached earlier snapshot
+        # and apply only the commit tail — repeated latest-snapshot reads
+        # after appends cost O(new commits), not O(all commits)
         metadata: Metadata | None = None
         active: dict[str, AddFile] = {}
         ts = 0
-        for commit in self.commits(0, version):
+        start = 0
+        base_version = max(
+            (v for v in self._snap_cache if v < version), default=None
+        )
+        if base_version is not None:
+            base = self._snap_cache[base_version]
+            metadata = base.metadata
+            ts = base.timestamp
+            active = {f.path: f for f in base.files}
+            start = base_version + 1
+        for commit in self.commits(start, version):
             if commit.metadata is not None:
                 metadata = commit.metadata
             for rm in commit.removes:
@@ -212,7 +236,11 @@ class TableLog:
         if metadata is None:
             raise TableNotFoundError(f"no metadata through version {version}")
         files = sorted(active.values(), key=lambda a: a.path)
-        return Snapshot(version, ts, metadata, files)
+        snap = Snapshot(version, ts, metadata, files)
+        self._snap_cache[version] = snap
+        while len(self._snap_cache) > self._SNAP_CACHE_SIZE:
+            self._snap_cache.pop(next(iter(self._snap_cache)))
+        return snap
 
     # --------------------------------------------------- timestamp resolution
 
@@ -261,6 +289,9 @@ class TableLog:
         file-level pruning: at millions of files the prune itself must be a
         Spark job, not a driver loop (the reference caps pages at 10k files
         for the same reason, ServerConfig.scala:93)."""
+        cached = self._files_df_cache.get(snapshot.version)
+        if cached is not None:
+            return cached
         rows = []
         for add in snapshot.files:
             st = add.stats_dict()
@@ -290,7 +321,11 @@ class TableLog:
                 T.StructField("timestamp", T.LongType()),
             ]
         )
-        return self.spark.createDataFrame(rows, schema)
+        df = self.spark.createDataFrame(rows, schema)
+        self._files_df_cache[snapshot.version] = df
+        while len(self._files_df_cache) > 8:
+            self._files_df_cache.pop(next(iter(self._files_df_cache)))
+        return df
 
     def abs_path(self, rel: str) -> str:
         return os.path.join(self.path, rel)

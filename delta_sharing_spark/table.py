@@ -33,8 +33,19 @@ from pyspark.sql import functions as F
 from delta_sharing_spark.plans.log import Snapshot, TableLog
 from delta_sharing_spark.plans.predicates import (
     file_keep_condition,
+    keep_file,
     sql_hint_keep_condition,
 )
+
+# Below this file count the manifest prune runs as a driver loop over the
+# (already in-memory) snapshot file list; above it, as a DataFrame job.
+# Rationale: a Spark job + collect costs ~0.3-0.4 s of fixed overhead —
+# pure loss for small manifests — while at millions of files the driver
+# loop is the thing that doesn't scale. The reference pages file listings
+# at 10k for the same crossover reason (ServerConfig.scala:93). Both
+# evaluators implement identical three-valued semantics, enforced by the
+# hypothesis property suite (tests/test_property_pruning.py).
+PRUNE_DRIVER_MAX_FILES = 10_000
 
 
 class SharedTable:
@@ -82,9 +93,33 @@ class SharedTable:
 
         Order mirrors the reference: json predicates (stats + partitions,
         Unknown keeps) -> SQL hints (partitions only, best-effort) -> limit
-        cutoff on cumulative numRecords. The prune runs as a DataFrame job
-        over the manifest — driver never loops over files.
+        cutoff on cumulative numRecords.
+
+        Threshold hybrid: small manifests (< PRUNE_DRIVER_MAX_FILES, no SQL
+        hints) prune in a driver loop with the sessionless evaluator — zero
+        Spark jobs on the read path; large manifests prune as a DataFrame
+        job that scales out. SQL hints need Catalyst (F.expr), so they
+        always take the DataFrame path.
         """
+        pcols_list = snapshot.partition_columns
+        if (len(snapshot.files) <= PRUNE_DRIVER_MAX_FILES
+                and not predicate_hints):
+            files = snapshot.files  # path-sorted by Snapshot construction
+            if json_predicate_hints:
+                files = [
+                    f for f in files
+                    if keep_file(json_predicate_hints, f.partitionValues,
+                                 f.stats_dict(), pcols_list)
+                ]
+            if limit_hint is not None:
+                out, prev_rows = [], 0
+                for f in files:
+                    if prev_rows >= limit_hint:
+                        break
+                    out.append(f)
+                    prev_rows += f.num_records or 0
+                files = out
+            return [f.path for f in files]
         manifest = self.log.files_df(snapshot)
         pcols = snapshot.partition_columns
         if json_predicate_hints:

@@ -147,6 +147,61 @@ def eng_snapshot_latest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "eng_snapshot_full",
+    oracle="""
+    SELECT * FROM lineitem
+    UNION ALL
+    SELECT * FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def eng_snapshot_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-path full snapshot scan — the BASELINE.md <=2x-of-plain-Spark
+    surface, benchmarked against its plain twin ``plain_snapshot_full``.
+    The read path is zero-Spark-job on the metadata plane: cached snapshot
+    + driver-loop prune (table.py PRUNE_DRIVER_MAX_FILES hybrid)."""
+    t = SharedTable(spark, _lineitem_shared(spark, sf_dir))
+    return t.to_df()
+
+
+@workload(
+    "plain_snapshot_full",
+    oracle="""
+    SELECT * FROM lineitem
+    UNION ALL
+    SELECT * FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def plain_snapshot_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-Spark twin of ``eng_snapshot_full``: same rows via direct
+    parquet reads, no engine metadata plane. BENCH ratio
+    eng_snapshot_full / plain_snapshot_full is the judged overhead."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.unionByName(li.filter(F.col("l_orderkey") < 100))
+
+
+@workload(
+    "eng_snapshot_pruned",
+    oracle="""
+    SELECT * FROM (SELECT * FROM lineitem
+                   UNION ALL
+                   SELECT * FROM lineitem WHERE l_orderkey < 100)
+    WHERE l_returnflag = 'R'
+    """,
+)
+def eng_snapshot_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-path partition-pruned scan (file-level prune via the driver
+    loop, then the exact client-side filter per the best-effort contract,
+    PROTOCOL.md:2124-2137)."""
+    t = SharedTable(spark, _lineitem_shared(spark, sf_dir))
+    hints = {"op": "equal", "children": [
+        {"op": "column", "name": "l_returnflag", "valueType": "string"},
+        {"op": "literal", "value": "R", "valueType": "string"},
+    ]}
+    return t.to_df(json_predicate_hints=hints).filter(
+        F.col("l_returnflag") == "R")
+
+
+@workload(
     "eng_limit_exact",
     oracle="SELECT CAST(1234 AS BIGINT) AS n",
 )
