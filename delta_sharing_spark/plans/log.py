@@ -58,6 +58,13 @@ LOG_DIR = "_dsl_log"
 DATA_DIR = "data"
 CDC_DIR = "_change_data"
 
+# Write a parquet checkpoint of the active snapshot every N commits (Delta's
+# default cadence). Without checkpoints, snapshot resolution replays every
+# commit JSON — O(versions) driver work per query, the metadata-plane killer
+# at thousands of commits. The reference's Python client synthesizes a
+# checkpoint for the same reason (python/delta_sharing/fake_checkpoint.py:1-204).
+CHECKPOINT_INTERVAL_DEFAULT = 10
+
 CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
 COMMIT_TIMESTAMP_COL = "_commit_timestamp"
@@ -77,6 +84,10 @@ class ConcurrentCommitError(Exception):
 
 def _fmt_version(v: int) -> str:
     return f"{v:020d}.json"
+
+
+def _fmt_checkpoint(v: int) -> str:
+    return f"{v:020d}.checkpoint.parquet"
 
 
 def serialize_partition_value(value) -> str:
@@ -207,9 +218,10 @@ class TableLog:
         cached = self._snap_cache.get(version)
         if cached is not None:
             return cached
-        # incremental replay: start from the nearest cached earlier snapshot
-        # and apply only the commit tail — repeated latest-snapshot reads
-        # after appends cost O(new commits), not O(all commits)
+        # incremental replay: seed from the nearest cached earlier snapshot
+        # or the newest on-disk checkpoint, whichever is later, and apply
+        # only the commit tail — resolution costs O(commits since
+        # checkpoint), not O(all commits)
         metadata: Metadata | None = None
         active: dict[str, AddFile] = {}
         ts = 0
@@ -217,7 +229,12 @@ class TableLog:
         base_version = max(
             (v for v in self._snap_cache if v < version), default=None
         )
-        if base_version is not None:
+        cp_version = self._latest_checkpoint(at_or_before=version)
+        if cp_version is not None and (base_version is None
+                                       or cp_version > base_version):
+            metadata, active, ts = self._read_checkpoint(cp_version)
+            start = cp_version + 1
+        elif base_version is not None:
             base = self._snap_cache[base_version]
             metadata = base.metadata
             ts = base.timestamp
@@ -241,6 +258,110 @@ class TableLog:
         while len(self._snap_cache) > self._SNAP_CACHE_SIZE:
             self._snap_cache.pop(next(iter(self._snap_cache)))
         return snap
+
+    # ------------------------------------------------------------ checkpoints
+
+    def _list_checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.log_path):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.log_path)
+            if f.endswith(".checkpoint.parquet")
+        )
+
+    def _latest_checkpoint(self, at_or_before: int) -> int | None:
+        cps = [v for v in self._list_checkpoints() if v <= at_or_before]
+        return cps[-1] if cps else None
+
+    def write_checkpoint(self, version: int | None = None) -> str:
+        """Materialize the active snapshot at ``version`` as one parquet file
+        next to the commit JSONs. Rows carry the wrapped action JSON (exact
+        log round-trip incl. the add's version/timestamp) plus typed manifest
+        columns so ``files_df`` can scan the checkpoint directly as a
+        DataFrame. Written via pyarrow — works in sessionless contexts (the
+        Python Data Source planner) too."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot(version=version)
+        kinds = ["metaData", "protocol"]
+        jsons = [dumps_action(snap.metadata), dumps_action(Protocol())]
+        paths, pvs, sizes = [None, None], [None, None], [None, None]
+        nrecs, mins, maxs = [None, None], [None, None], [None, None]
+        nulls, vers, tss = [None, None], [None, None], [None, None]
+        for add in snap.files:
+            st = add.stats_dict()
+            kinds.append("add")
+            jsons.append(dumps_action(add))
+            paths.append(add.path)
+            pvs.append(list(add.partitionValues.items()))
+            sizes.append(add.size)
+            nr = st.get("numRecords")
+            nrecs.append(int(nr) if nr is not None else None)
+            mins.append(json.dumps(st.get("minValues", {}), default=str))
+            maxs.append(json.dumps(st.get("maxValues", {}), default=str))
+            nulls.append(json.dumps(st.get("nullCount", {}), default=str))
+            vers.append(add.version)
+            tss.append(add.timestamp)
+        table = pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "action_json": pa.array(jsons, pa.string()),
+                "path": pa.array(paths, pa.string()),
+                "partitionValues": pa.array(
+                    pvs, pa.map_(pa.string(), pa.string())),
+                "size": pa.array(sizes, pa.int64()),
+                "numRecords": pa.array(nrecs, pa.int64()),
+                "minValues": pa.array(mins, pa.string()),
+                "maxValues": pa.array(maxs, pa.string()),
+                "nullCount": pa.array(nulls, pa.string()),
+                "version": pa.array(vers, pa.int64()),
+                "timestamp": pa.array(tss, pa.int64()),
+            }
+        )
+        final = os.path.join(self.log_path, _fmt_checkpoint(snap.version))
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)  # checkpoint content is deterministic per
+        return final            # version, so last-writer-wins is safe
+
+    def _read_checkpoint(
+        self, version: int
+    ) -> tuple[Metadata, dict[str, AddFile], int]:
+        import pyarrow.parquet as pq
+
+        fp = os.path.join(self.log_path, _fmt_checkpoint(version))
+        cols = pq.read_table(fp, columns=["kind", "action_json"])
+        metadata: Metadata | None = None
+        active: dict[str, AddFile] = {}
+        ts = 0
+        for kind, line in zip(cols.column("kind").to_pylist(),
+                              cols.column("action_json").to_pylist()):
+            if kind == "metaData":
+                metadata = parse_action(line)
+            elif kind == "add":
+                add = parse_action(line)
+                active[add.path] = add
+                if add.timestamp:
+                    ts = max(ts, add.timestamp)
+        if metadata is None:
+            raise TableNotFoundError(f"checkpoint {fp} lacks metadata")
+        # the checkpoint version's own commit timestamp wins over file ts
+        ts = max(ts, self.read_commit(version).timestamp)
+        return metadata, active, ts
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Auto-checkpoint after a write when the version hits the interval
+        (``checkpointInterval`` table config, default 10)."""
+        try:
+            snap = self.snapshot(version=version)
+            interval = int(snap.metadata.configuration.get(
+                "checkpointInterval", CHECKPOINT_INTERVAL_DEFAULT))
+            if interval > 0 and version > 0 and version % interval == 0:
+                self.write_checkpoint(version)
+        except Exception:
+            pass  # checkpointing is an optimization; never fail the commit
 
     # --------------------------------------------------- timestamp resolution
 
@@ -284,16 +405,24 @@ class TableLog:
 
     # ------------------------------------------------------------- manifests
 
-    def files_df(self, snapshot: Snapshot) -> DataFrame:
-        """The file manifest as a DataFrame — the engine's scale path for
-        file-level pruning: at millions of files the prune itself must be a
-        Spark job, not a driver loop (the reference caps pages at 10k files
-        for the same reason, ServerConfig.scala:93)."""
-        cached = self._files_df_cache.get(snapshot.version)
-        if cached is not None:
-            return cached
+    _MANIFEST_SCHEMA = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("size", T.LongType()),
+            T.StructField("numRecords", T.LongType()),
+            T.StructField("minValues", T.StringType()),
+            T.StructField("maxValues", T.StringType()),
+            T.StructField("nullCount", T.StringType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("timestamp", T.LongType()),
+        ]
+    )
+
+    @staticmethod
+    def _manifest_rows(files) -> list[tuple]:
         rows = []
-        for add in snapshot.files:
+        for add in files:
             st = add.stats_dict()
             rows.append(
                 (
@@ -308,20 +437,53 @@ class TableLog:
                     add.timestamp,
                 )
             )
-        schema = T.StructType(
-            [
-                T.StructField("path", T.StringType()),
-                T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
-                T.StructField("size", T.LongType()),
-                T.StructField("numRecords", T.LongType()),
-                T.StructField("minValues", T.StringType()),
-                T.StructField("maxValues", T.StringType()),
-                T.StructField("nullCount", T.StringType()),
-                T.StructField("version", T.LongType()),
-                T.StructField("timestamp", T.LongType()),
-            ]
+        return rows
+
+    def _checkpoint_manifest_df(self, cp_version: int) -> DataFrame:
+        cp = os.path.join(self.log_path, _fmt_checkpoint(cp_version))
+        return (
+            self.spark.read.parquet(cp)
+            .filter(F.col("kind") == "add")
+            .select(*[f.name for f in self._MANIFEST_SCHEMA.fields])
         )
-        df = self.spark.createDataFrame(rows, schema)
+
+    def files_df(self, snapshot: Snapshot) -> DataFrame:
+        """The file manifest as a DataFrame — the engine's scale path for
+        file-level pruning: at millions of files the prune itself must be a
+        Spark job, not a driver loop (the reference caps pages at 10k files
+        for the same reason, ServerConfig.scala:93).
+
+        Served from the newest parquet checkpoint when one exists: exact hit
+        scans it directly; otherwise checkpoint minus tail-changed paths,
+        union the (small) tail adds — the manifest never materializes as
+        O(total files) driver rows."""
+        cached = self._files_df_cache.get(snapshot.version)
+        if cached is not None:
+            return cached
+        cp_version = self._latest_checkpoint(at_or_before=snapshot.version)
+        if cp_version is not None and cp_version == snapshot.version:
+            df = self._checkpoint_manifest_df(cp_version)
+        elif cp_version is not None:
+            # paths touched (added/removed/re-added) after the checkpoint;
+            # the tail between checkpoints is bounded by the interval so
+            # this set stays small relative to the checkpoint
+            changed: set[str] = set()
+            for v in range(cp_version + 1, snapshot.version + 1):
+                commit = self.read_commit(v)
+                changed.update(a.path for a in commit.adds)
+                changed.update(r.path for r in commit.removes)
+            base = self._checkpoint_manifest_df(cp_version)
+            if changed:
+                base = base.filter(~F.col("path").isin(*changed))
+            tail = [f for f in snapshot.files if f.path in changed]
+            df = base
+            if tail:
+                df = base.unionByName(
+                    self.spark.createDataFrame(
+                        self._manifest_rows(tail), self._MANIFEST_SCHEMA))
+        else:
+            df = self.spark.createDataFrame(
+                self._manifest_rows(snapshot.files), self._MANIFEST_SCHEMA)
         self._files_df_cache[snapshot.version] = df
         while len(self._files_df_cache) > 8:
             self._files_df_cache.pop(next(iter(self._files_df_cache)))
@@ -363,6 +525,7 @@ class TableLog:
             ) from exc
         finally:
             os.unlink(tmp)
+        self._maybe_checkpoint(version)
 
     def _stage_dataframe(
         self, df: DataFrame, partition_columns: list[str], target_dir: str,

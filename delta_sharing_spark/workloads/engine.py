@@ -60,6 +60,22 @@ def _lineitem_shared(spark: SparkSession, sf_dir: str) -> str:
     return _fixture(spark, sf_dir, "lineitem_shared", build)
 
 
+def _lineitem_manyv(spark: SparkSession, sf_dir: str) -> str:
+    """25-version table (create + 24 appends, checkpoints every 10): the
+    checkpoint-resolution fixture. Appends are disjoint l_orderkey slices so
+    the latest snapshot has an exact SQL oracle."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        li = read_table(spark, sf_dir, "lineitem")
+        log = TableLog(spark, path)
+        log.create(li, name="lineitem_manyv",
+                   configuration={"checkpointInterval": "10"})
+        for k in range(24):
+            log.append(li.filter(F.col("l_orderkey") % 997 == k))
+
+    return _fixture(spark, sf_dir, "lineitem_manyv", build)
+
+
 def _events_cdf(spark: SparkSession, sf_dir: str) -> str:
     def build(spark: SparkSession, path: str) -> None:
         ev = read_table(spark, sf_dir, "events")
@@ -199,6 +215,30 @@ def eng_snapshot_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]}
     return t.to_df(json_predicate_hints=hints).filter(
         F.col("l_returnflag") == "R")
+
+
+@workload(
+    "eng_checkpoint_snapshot",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM (SELECT * FROM lineitem
+          UNION ALL
+          SELECT * FROM lineitem WHERE l_orderkey % 997 < 24)
+    """,
+)
+def eng_checkpoint_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot of a 25-commit table resolved through parquet log
+    checkpoints (every 10 commits) + tail replay — the O(versions)
+    metadata-plane fix (ref fake_checkpoint.py:1-204 precedent). The value
+    oracle proves checkpoint + tail replay reconstructs the exact state."""
+    t = SharedTable(spark, _lineitem_manyv(spark, sf_dir))
+    assert t.log._list_checkpoints() == [10, 20]
+    return t.to_df().agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double")
+        .alias("sum_qty"),
+    )
 
 
 @workload(

@@ -52,6 +52,134 @@ class TestSnapshots:
         assert meta["version"] == 1
 
 
+class TestCheckpoints:
+    """Log checkpointing: snapshot = newest checkpoint + tail replay, never
+    a full O(versions) commit scan (the metadata-plane bottleneck at
+    thousands of commits; ref python/delta_sharing/fake_checkpoint.py)."""
+
+    @pytest.fixture()
+    def many_version_table(self, spark, events, tmp_path):
+        d = str(tmp_path / "mv")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 200"), name="t",
+                   configuration={"checkpointInterval": "5"})
+        for k in range(12):  # versions 1..12; checkpoints at 5 and 10
+            log.append(events.filter(f"event_id >= {200 + 10 * k} "
+                                     f"and event_id < {210 + 10 * k}"))
+        return d
+
+    def test_checkpoints_written_at_interval(self, spark, many_version_table):
+        log = TableLog(spark, many_version_table)
+        assert log._list_checkpoints() == [5, 10]
+
+    def test_snapshot_reads_only_checkpoint_plus_tail(self, spark,
+                                                      many_version_table):
+        log = TableLog(spark, many_version_table)  # fresh: empty snap cache
+        opened: list[int] = []
+        orig = TableLog.read_commit
+
+        def spy(self_, version):
+            opened.append(version)
+            return orig(self_, version)
+
+        log.read_commit = spy.__get__(log)
+        snap = log.snapshot()
+        assert snap.version == 12
+        assert min(opened) >= 10, f"replayed before checkpoint 10: {opened}"
+
+    def test_checkpoint_snapshot_matches_full_replay(self, spark,
+                                                     many_version_table):
+        log_cp = TableLog(spark, many_version_table)
+        log_full = TableLog(spark, many_version_table)
+        log_full._latest_checkpoint = lambda at_or_before: None  # force replay
+        for v in (3, 5, 7, 12):
+            a = log_cp.snapshot(version=v)
+            b = log_full.snapshot(version=v)
+            assert [f.path for f in a.files] == [f.path for f in b.files]
+            assert a.metadata.schemaString == b.metadata.schemaString
+            assert a.timestamp == b.timestamp
+
+    def test_time_travel_before_checkpoint(self, spark, events,
+                                           many_version_table):
+        t = SharedTable(spark, many_version_table)
+        assert t.to_df(version=0).count() == \
+            events.filter("event_id < 200").count()
+
+    def test_checkpoint_respects_removes(self, spark, events, tmp_path):
+        d = str(tmp_path / "rm")
+        log = TableLog(spark, d)
+        log.create(events, name="t", partition_by=["event_type"],
+                   configuration={"checkpointInterval": "2"})
+        log.delete("event_type = 'click'")
+        log.append(events.filter("event_id < 10"))  # v2 -> checkpoint
+        assert log._list_checkpoints() == [2]
+        fresh = TableLog(spark, d)
+        got = SharedTable(spark, d).to_df().count()
+        want = (events.filter("event_type <> 'click'").count()
+                + events.filter("event_id < 10").count())
+        assert got == want
+        assert fresh._latest_checkpoint(at_or_before=2) == 2
+
+    def test_hundred_commit_snapshot_reads_tail_only(self, spark, events,
+                                                     tmp_path):
+        d = str(tmp_path / "hundred")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 50"), name="t")
+        for _ in range(110):  # driver-only commits; default interval 10
+            log.update_metadata(configuration={"k": "v"})
+        fresh = TableLog(spark, d)
+        opened: list[int] = []
+        orig = TableLog.read_commit
+
+        def spy(self_, version):
+            opened.append(version)
+            return orig(self_, version)
+
+        fresh.read_commit = spy.__get__(fresh)
+        snap = fresh.snapshot()
+        assert snap.version == 110
+        assert min(opened) >= 110  # checkpoint at 110: zero tail commits
+        assert len(snap.files) == len(log.snapshot(version=0).files)
+
+    def test_files_df_scans_checkpoint(self, spark, many_version_table):
+        log = TableLog(spark, many_version_table)
+        snap = log.snapshot(version=10)
+        df = log.files_df(snap)
+        # served from the checkpoint parquet, not createDataFrame rows
+        assert "parquet" in df._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert df.count() == len(snap.files)
+        paths = {r.path for r in df.select("path").collect()}
+        assert paths == {f.path for f in snap.files}
+
+    def test_files_df_checkpoint_plus_tail(self, spark, many_version_table):
+        # latest (v12) has no exact checkpoint: manifest = checkpoint(10)
+        # scan + the two tail adds, never O(total files) driver rows
+        log = TableLog(spark, many_version_table)
+        snap = log.snapshot()  # version 12
+        df = log.files_df(snap)
+        plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "parquet" in plan
+        paths = {r.path for r in df.select("path").collect()}
+        assert paths == {f.path for f in snap.files}
+
+    def test_files_df_tail_with_removes(self, spark, events, tmp_path):
+        d = str(tmp_path / "tailrm")
+        log = TableLog(spark, d)
+        log.create(events, name="t", partition_by=["event_type"],
+                   configuration={"checkpointInterval": "1"})
+        log.append(events.filter("event_id < 10"))      # v1 -> checkpoint
+        log.delete("event_type = 'click'")              # v2 -> checkpoint
+        log.append(events.filter("event_id < 5"))       # v3 -> checkpoint
+        fresh = TableLog(spark, d)
+        # force the tail path: pretend only checkpoint 1 exists
+        fresh._latest_checkpoint = (
+            lambda at_or_before: 1 if at_or_before >= 1 else None)
+        snap = fresh.snapshot()
+        df = fresh.files_df(snap)
+        paths = {r.path for r in df.select("path").collect()}
+        assert paths == {f.path for f in snap.files}
+
+
 class TestPruning:
     def test_partition_prune_reads_fewer_files(self, spark, versioned_table):
         t = SharedTable(spark, versioned_table)
