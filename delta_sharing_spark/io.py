@@ -3,18 +3,25 @@
 One wrinkle: Spark's Parquet reader rejects INT64 TIMESTAMP(NANOS)
 (PARQUET_TYPE_ILLEGAL) while the reference stack reads everything through
 Arrow, which handles ns natively (python/delta_sharing/converter.py:130-172
-maps timestamps to Arrow µs). We match the reference's µs semantics: enable
-``spark.sql.legacy.parquet.nanosAsLong`` and rewrite ns-int64 columns to
-``timestamp_micros(ns / 1000)``, which floors exactly like DuckDB's and
-Arrow's ns->µs cast. Detection is from the Parquet footer (O(KB) per file —
-scale-safe).
+maps timestamps to Arrow µs). We match the reference's µs semantics by
+normalizing at ingest: ns files are rewritten ONCE (cached, mtime-keyed)
+through an exact Arrow ns→µs floor cast, and Spark reads the µs copy
+natively. That keeps time predicates as plain attribute comparisons the
+scan can push down (row-group/footer pruning on the #1 pruning axis at
+100 TB) — a post-scan ``timestamp_micros(ns/1000)`` projection would make
+every time filter post-projection and unpushable, and its double division
+is inexact above 2^53 ns (~12% of events.ts values floor off by 1µs).
+Detection is from the Parquet footer (O(KB) per file — scale-safe).
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
+import uuid
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,16 +44,58 @@ def _ns_timestamp_columns(path: str) -> list[str]:
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 
 
+# Ingest-normalized µs copies of ns-timestamp files, keyed by source
+# identity (path, size, mtime) — rebuilt automatically if the source changes.
+_NORM_ROOT = os.environ.get("SPARK_GRAFT_NORM_DIR", "/tmp/dss_norm_v1")
+
+
+def _normalized_copy(path: str, ns_cols: list[str]) -> str:
+    """Rewrite a ns-timestamp parquet file once with an exact Arrow ns→µs
+    floor cast (identical to DuckDB's and pandas' truncation) and return the
+    cached µs copy."""
+    st = os.stat(path)
+    key = hashlib.md5(
+        f"{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    out = os.path.join(_NORM_ROOT, f"{key}_{os.path.basename(path)}")
+    if os.path.exists(out):
+        return out
+    os.makedirs(_NORM_ROOT, exist_ok=True)
+    table = pq.read_table(path)
+    # µs with tz=UTC so Spark reads TimestampType (not NTZ): event-time
+    # watermarks require TIMESTAMP, and the session tz is pinned to UTC
+    ts_us = pa.timestamp("us", tz="UTC")
+    for name in ns_cols:
+        i = table.schema.get_field_index(name)
+        col = table.column(i).cast(pa.timestamp("us"), safe=False).cast(ts_us)
+        table = table.set_column(i, pa.field(name, ts_us), col)
+    tmp = out + f".{uuid.uuid4().hex}.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, out)
+    return out
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """``spark.read.parquet`` with ns-timestamp normalization to µs."""
+    """``spark.read.parquet`` with ns-timestamp normalization to µs.
+
+    Single ns files are served from the ingest-normalized µs copy so time
+    predicates stay plain attribute comparisons the parquet scan pushes down
+    (row-group pruning on the #1 pruning axis at scale). Directories fall
+    back to the post-scan projection (engine-written data is always µs, so
+    this path is testdata-only in practice)."""
     ns_cols = _ns_timestamp_columns(path)
-    if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if not ns_cols:
+        return spark.read.parquet(path)
+    if os.path.isfile(path):
+        try:
+            return spark.read.parquet(_normalized_copy(path, ns_cols))
+        except OSError:
+            pass  # cache dir unwritable — fall back to projection
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(
-            c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
-        )
+        # exact floor: integer `div`, not double division (inexact > 2^53 ns)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -441,11 +441,14 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, 0)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    prev = F.lag("ts").over(w)
+    # interval comparison works for TIMESTAMP and TIMESTAMP_NTZ alike
     return (
         ev.withColumn(
             "new_session",
-            F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+            F.when(prev.isNull()
+                   | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+                   1).otherwise(0),
         )
         .withColumn("session_id", F.sum("new_session").over(wrun))
         .groupBy("user_id")
