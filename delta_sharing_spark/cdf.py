@@ -33,6 +33,7 @@ from delta_sharing_spark.plans.log import (
     COMMIT_TIMESTAMP_COL,
     COMMIT_VERSION_COL,
     TableLog,
+    is_noop_merge,
 )
 
 
@@ -122,6 +123,10 @@ def table_changes(
     add_meta: list[tuple[str, int, int]] = []
     remove_meta: list[tuple[str, int, int]] = []
     for commit in log.commits(start, end):
+        if is_noop_merge(commit.info):
+            # MERGE that rewrote files but changed no rows: its file
+            # actions are not changes (ref DeltaSharingCDCReader.scala:301-323)
+            continue
         if commit.cdc:
             # cdc files are the authoritative change record for the commit
             cdc_meta += [
@@ -203,6 +208,8 @@ def table_changes_actions(
         {"metaData": {**asdict(snap.metadata), "version": snap.version}},
     ]
     for commit in log.commits(start, end):
+        if is_noop_merge(commit.info):
+            continue
         if include_historical_metadata and commit.metadata is not None:
             lines.append(
                 {"metaData": {**asdict(commit.metadata),

@@ -52,29 +52,35 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame,
 def ivf_centroids(candidates: DataFrame, cell_col: str,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   dim: int = 64) -> DataFrame:
-    """Per-cell centroids with a deterministic ordered fold (sorted by id,
-    left-to-right double accumulation) — reproducible across engines and
-    runs, unlike a naive float ``avg`` whose partial-aggregation order
-    varies."""
-    sum_expr = f"""
-        aggregate(
-          transform(array_sort(collect_list(struct({id_col}, {vec_col}))),
-                    s -> s.{vec_col}),
-          array_repeat(cast(0 as double), {dim}),
-          (acc, v) -> zip_with(acc, v, (x, y) -> x + cast(y as double))
-        )
-    """
-    return (
-        candidates.groupBy(cell_col)
-        .agg(
-            F.expr(sum_expr).alias("vec_sum"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            cell_col,
-            F.expr("transform(vec_sum, x -> x / n)").alias("centroid"),
-            "n",
-        )
+    """Per-cell centroids, deterministic AND scale-safe.
+
+    posexplode to (cell, dim, x), then one shuffled aggregation per
+    (cell, dim) summing ``FLOOR(x * 1e12)`` as DECIMAL(38,0): integer sums
+    are exact and order-independent (reproducible across engines and
+    partial-agg orders, unlike float sums), the quantization (1e-12) is far
+    below any coarse-quantizer signal, and no aggregation buffer ever holds
+    more than a counter — a cell of millions of vectors costs millions of
+    tiny rows, not one collect_list row (the 100 TB OOM shape). The final
+    64-element array rebuild groups 64 scalars per cell — bounded."""
+    ex = candidates.select(
+        F.col(cell_col), F.posexplode(vec_col).alias("dim", "x")
+    )
+    sums = ex.groupBy(cell_col, "dim").agg(
+        F.expr(
+            "SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e12) AS DECIMAL(38,0)))"
+        ).alias("s_fx"),
+        F.count("*").alias("n"),
+    )
+    per_dim = sums.select(
+        cell_col, "dim",
+        F.expr("CAST(s_fx AS DOUBLE) / 1e12 / n").alias("value"), "n",
+    )
+    return per_dim.groupBy(cell_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, value))),"
+            " s -> s.value)"
+        ).alias("centroid"),
+        F.max("n").alias("n"),
     )
 
 

@@ -111,6 +111,23 @@ class Commit:
     info: CommitInfo | None
 
 
+def is_noop_merge(info: CommitInfo | None) -> bool:
+    """True when a commit is a MERGE that rewrote files without changing any
+    rows — its file actions must NOT be served as CDF changes (they would
+    read as false inserts/deletes). Mirrors the reference exactly: skip only
+    when the operation is MERGE and numTargetRowsInserted/Updated/Deleted
+    are all present and "0"; any missing metric means don't skip
+    (server/.../DeltaSharingCDCReader.scala:301-323)."""
+    if info is None or info.operation != "MERGE":
+        return False
+    metrics = info.operationMetrics or {}
+    return all(
+        metrics.get(k) == "0"
+        for k in ("numTargetRowsInserted", "numTargetRowsUpdated",
+                  "numTargetRowsDeleted")
+    )
+
+
 class Snapshot:
     """Resolved state of the table at one version: metadata + active files."""
 
@@ -783,6 +800,119 @@ class TableLog:
         actions.append(
             CommitInfo(version=version, timestamp=ts, operation="UPDATE",
                        operationMetrics={"numUpdatedRows": str(n_updated)})
+        )
+        self._write_commit(version, actions)
+        return version
+
+    def merge(self, source: DataFrame, keys: list[str],
+              when_matched: str | None = "update",
+              when_not_matched: str | None = "insert") -> int:
+        """MERGE INTO (upsert) on equality ``keys``.
+
+        ``when_matched``: ``"update"`` replaces each matched target row with
+        its source row (full-row update), ``"delete"`` deletes matched rows,
+        ``None`` leaves them. ``when_not_matched="insert"`` appends source
+        rows with no target match. The source must have at most one row per
+        key (standard MERGE precondition).
+
+        Commit shape: rewrites only touched files (source keys semi-join —
+        at scale the small source broadcasts and untouched files are never
+        read), emits authoritative cdc files (update pre/post images,
+        deletes, inserts) when CDF is enabled, and always reports all three
+        numTargetRows* metrics so readers can detect the no-op-MERGE case
+        (ref DeltaSharingCDCReader.scala:301-323)."""
+        snap = self.snapshot()
+        version = snap.version + 1
+        ts = self._next_commit_timestamp()
+        schema_cols = [f.name for f in snap.schema.fields]
+        src = source.select(*schema_cols)
+        src_keys = src.select(*keys).distinct()
+
+        full = self._read_files(snap, snap.files).withColumn(
+            "__file", F.input_file_name()
+        )
+        hit_files = {
+            os.path.relpath(r["f"], self.path)
+            for r in full.join(F.broadcast(src_keys), keys, "left_semi")
+            .select(
+                F.regexp_replace(F.col("__file"), "^file:", "").alias("f")
+            ).distinct().collect()
+        }
+        touched = [a for a in snap.files if a.path in hit_files]
+
+        actions: list[Action] = []
+        cdc_parts: list[DataFrame] = []
+        n_updated = n_deleted = n_inserted = 0
+        if touched and when_matched is not None:
+            touched_df = self._read_files(snap, touched)
+            pre = touched_df.join(F.broadcast(src_keys), keys, "left_semi")
+            n_matched = pre.count()
+            keep = touched_df.join(F.broadcast(src_keys), keys, "left_anti")
+            if when_matched == "update":
+                # one source row per matched target row (full-row replace)
+                post = pre.select(*keys).join(F.broadcast(src), keys) \
+                    .select(*schema_cols)
+                rewritten = keep.unionByName(post).select(*schema_cols)
+                n_updated = n_matched
+            elif when_matched == "delete":
+                post = None
+                rewritten = keep.select(*schema_cols)
+                n_deleted = n_matched
+            else:
+                raise ValueError(f"unknown when_matched: {when_matched!r}")
+            staged = self._stage_dataframe(rewritten, snap.partition_columns,
+                                           self.data_path)
+            actions += [
+                AddFile(path=p, partitionValues=pv, size=sz, stats=st)
+                for p, pv, sz, st in staged
+            ]
+            actions += [
+                RemoveFile(path=a.path, partitionValues=a.partitionValues,
+                           size=a.size)
+                for a in touched
+            ]
+            if snap.metadata.cdf_enabled and n_matched:
+                if when_matched == "update":
+                    cdc_parts.append(
+                        pre.withColumn(CHANGE_TYPE_COL,
+                                       F.lit("update_preimage"))
+                        .unionByName(post.withColumn(
+                            CHANGE_TYPE_COL, F.lit("update_postimage"))))
+                else:
+                    cdc_parts.append(
+                        pre.withColumn(CHANGE_TYPE_COL, F.lit("delete")))
+        if when_not_matched == "insert":
+            target_keys = full.select(*keys).distinct()
+            ins = src.join(target_keys, keys, "left_anti")
+            n_inserted = ins.count()
+            if n_inserted:
+                staged = self._stage_dataframe(
+                    ins.select(*schema_cols), snap.partition_columns,
+                    self.data_path)
+                actions += [
+                    AddFile(path=p, partitionValues=pv, size=sz, stats=st)
+                    for p, pv, sz, st in staged
+                ]
+                if snap.metadata.cdf_enabled:
+                    cdc_parts.append(
+                        ins.withColumn(CHANGE_TYPE_COL, F.lit("insert")))
+        if cdc_parts:
+            cdc_rows = cdc_parts[0]
+            for p in cdc_parts[1:]:
+                cdc_rows = cdc_rows.unionByName(p)
+            staged_cdc = self._stage_dataframe(cdc_rows, [], self.cdc_path,
+                                               prefix="cdc-")
+            actions += [
+                AddCDCFile(path=p, partitionValues=pv, size=sz)
+                for p, pv, sz, _st in staged_cdc
+            ]
+        actions.append(
+            CommitInfo(version=version, timestamp=ts, operation="MERGE",
+                       operationMetrics={
+                           "numTargetRowsInserted": str(n_inserted),
+                           "numTargetRowsUpdated": str(n_updated),
+                           "numTargetRowsDeleted": str(n_deleted),
+                       })
         )
         self._write_commit(version, actions)
         return version

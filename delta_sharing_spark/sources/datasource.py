@@ -237,6 +237,18 @@ class SharedTableStreamReader(DataSourceStreamReader):
         self.read_change_feed = (
             options.get("readchangefeed", "false") == "true"
         )
+        # Trigger.AvailableNow support. The Python DS API has no
+        # prepareForTriggerAvailableNow hook: Spark wraps the source in
+        # AvailableNowDataStreamWrapper, which calls latestOffset() ONCE and
+        # freezes that as the run's end — so an admission-capped stream
+        # would silently truncate to one capped batch (verified empirically;
+        # ref semantics DeltaSharingSource.scala:169-199 freeze-and-drain).
+        # With availableNow=true the caps are lifted and latestOffset plans
+        # to the true frozen end: the run drains completely in one
+        # (distributed) batch — Trigger.Once semantics. For capped
+        # multi-batch draining use a processing-time trigger +
+        # processAllAvailable instead (workloads/streaming.py:_drain).
+        self.available_now = options.get("availablenow", "false") == "true"
         self._schema = schema
         self._last_planned: dict | None = None
         # test instrumentation: when set, append one JSON line per reader
@@ -304,9 +316,13 @@ class SharedTableStreamReader(DataSourceStreamReader):
         """Streaming CDF (ref DeltaSharingSource.scala:603-728): per commit,
         cdc files win; otherwise dataChange adds imply insert and removes
         imply delete. No change-commit errors — changes ARE the stream."""
+        from delta_sharing_spark.plans.log import is_noop_merge
+
         log = self._log()
         out = []
         for commit in log.commits(from_version):
+            if is_noop_merge(commit.info):
+                continue  # ref DeltaSharingCDCReader.scala:301-323
             if commit.metadata is not None and self._schema is not None:
                 import json as _json
 
@@ -403,8 +419,11 @@ class SharedTableStreamReader(DataSourceStreamReader):
         #   incorrectly (duplicate/skipped files).
         start = self._last_planned or self.initialOffset()
         seq = self._after(self._sequence_for(start), start)
-        admitted = seq[: self.max_files]  # maxFilesPerTrigger soft cap
-        if self.max_bytes is not None:
+        if self.available_now:
+            admitted = seq  # drain to the frozen end, ignoring caps
+        else:
+            admitted = seq[: self.max_files]  # maxFilesPerTrigger soft cap
+        if not self.available_now and self.max_bytes is not None:
             # byte cap: admit files until the budget is spent, always at
             # least one (soft-cap semantics, ref AdmissionLimits ReadMaxBytes)
             budget, cut = self.max_bytes, 0

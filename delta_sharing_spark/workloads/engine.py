@@ -32,7 +32,9 @@ from delta_sharing_spark.table import SharedTable
 from delta_sharing_spark.workloads import workload
 
 _FIXTURE_ROOT = "/tmp/dss_fixtures"
-_FIXTURE_SCHEMA_VERSION = "v1"
+# v2: events.ts values changed — ns→µs is now an exact Arrow floor cast at
+# ingest (io._normalized_copy), not the old inexact double division
+_FIXTURE_SCHEMA_VERSION = "v2"
 
 
 def _fixture(spark: SparkSession, sf_dir: str, name: str, builder) -> str:
@@ -88,6 +90,26 @@ def _events_cdf(spark: SparkSession, sf_dir: str) -> str:
         log.update({"value": "value * 2"}, "event_type = 'click'")
 
     return _fixture(spark, sf_dir, "events_cdf", build)
+
+
+def _orders_merge(spark: SparkSession, sf_dir: str) -> str:
+    """CDF-enabled orders subset upserted with MERGE: v0 = orders with
+    o_orderkey < 4000; v1 = merge of source keys [2000, 6000) with doubled
+    o_totalprice — existing keys update, new keys insert. Every change row
+    is derivable from the source ``orders`` table in SQL."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        o = read_table(spark, sf_dir, "orders")
+        log = TableLog(spark, path)
+        log.create(o.filter("o_orderkey < 4000"), name="orders_merge",
+                   configuration={"enableChangeDataFeed": "true"})
+        src = (
+            o.filter("o_orderkey >= 2000 AND o_orderkey < 6000")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        log.merge(src, ["o_orderkey"])
+
+    return _fixture(spark, sf_dir, "orders_merge", build)
 
 
 # ----------------------------------------------------------------- snapshot
@@ -347,6 +369,36 @@ def eng_cdf_delete_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = table_changes(spark, path, starting_version=1, ending_version=1)
     return ch.select(
         "event_id", "event_type", F.col("_change_type").alias("change_type")
+    )
+
+
+@workload(
+    "eng_cdf_merge",
+    oracle="""
+    SELECT 'update_preimage' AS change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+    UNION ALL
+    SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE)
+    FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+    UNION ALL
+    SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE)
+    FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 6000
+    """,
+)
+def eng_cdf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert CDF: the merge commit's cdc files carry update pre/post
+    images for matched keys and inserts for new keys — value-level oracle
+    derived from the source orders table (ref change-type derivation
+    DeltaSharingCDCReader.scala:191-330)."""
+    path = _orders_merge(spark, sf_dir)
+    ch = table_changes(spark, path, starting_version=1, ending_version=1)
+    return ch.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(o_totalprice AS DECIMAL(18,2))")).cast("double")
+        .alias("sum_price"),
     )
 
 

@@ -79,26 +79,21 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "q_embedding_centroids",
     oracle="""
-    WITH vs AS (
-      SELECT label,
-             list(list_transform(embedding, x -> x::DOUBLE) ORDER BY vec_id)
-               AS vecs,
-             COUNT(*) AS n
-      FROM embeddings GROUP BY label
-    ),
-    cents AS (
-      SELECT label, n,
-             list_reduce(vecs, (a, b) -> list_transform(
-                 generate_series(1, 64), i -> a[i] + b[i])) AS vec_sum
-      FROM vs
+    WITH ex AS (
+      SELECT label, CAST(u.i - 1 AS INT) AS dim, embedding[u.i] AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) u
     )
-    SELECT label, dim.i::INT - 1 AS dim, vec_sum[dim.i] / n AS value, n
-    FROM cents, generate_series(1, 64) dim(i)
+    SELECT label, dim,
+           CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e12) AS DECIMAL(38,0)))
+                AS DOUBLE) / 1e12 / COUNT(*) AS value,
+           COUNT(*) AS n
+    FROM ex GROUP BY label, dim
     """,
 )
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse structure: per-cluster centroids via deterministic ordered
-    fold (no float nondeterminism), exploded to (label, dim, value) rows."""
+    """IVF coarse structure: per-cluster centroids via exact fixed-point
+    per-(cell, dim) sums — deterministic across engines/partial-agg orders
+    and scale-safe (no whole-cell collect_list row)."""
     emb = read_table(spark, sf_dir, "embeddings")
     cents = ivf_centroids(emb, "label", dim=64)
     return cents.select(
@@ -144,20 +139,19 @@ def q_embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "q_ann_ivf_topk",
     oracle=f"""
-    WITH vs AS (
-      SELECT label,
-             list(list_transform(embedding, x -> x::DOUBLE) ORDER BY vec_id)
-               AS vecs,
-             COUNT(*) AS n
-      FROM embeddings GROUP BY label
+    WITH ex AS (
+      SELECT label, u.i AS i, embedding[u.i] AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) u
+    ),
+    sums AS (
+      SELECT label, i,
+             CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e12) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1e12 / COUNT(*) AS v
+      FROM ex GROUP BY label, i
     ),
     cents AS (
-      SELECT label, n,
-             list_transform(
-               list_reduce(vecs, (a, b) -> list_transform(
-                   generate_series(1, 64), i -> a[i] + b[i])),
-               x -> x / n) AS centroid
-      FROM vs
+      SELECT label, list(v ORDER BY i) AS centroid
+      FROM sums GROUP BY label
     ),
     q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
           WHERE vec_id < 6),
@@ -198,7 +192,7 @@ def q_embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search end-to-end with a full-fidelity oracle: deterministic
-    ordered-fold centroids, nprobe=2 coarse probe, exact re-ranking within
+    fixed-point centroids, nprobe=2 coarse probe, exact re-ranking within
     probed cells — the oracle replays the identical probe in SQL, so even
     the approximation is value-checked."""
     from delta_sharing_spark.operators.similarity import ivf_topk

@@ -6,10 +6,12 @@ trigger), drains it with ``processAllAvailable`` — exercising admission
 control, offset tracking, and the executor-side Arrow reader — then returns
 the materialized result as a DataFrame.
 
-Note: with ``Trigger.AvailableNow`` the Python data source API plans a
-single batch to the first latestOffset, so capped streams truncate; use a
-processing-time trigger + processAllAvailable (as here) to drain fully under
-admission caps.
+Note on ``Trigger.AvailableNow``: the Python data source API has no
+prepareForTriggerAvailableNow hook, so Spark freezes the FIRST
+latestOffset() as the run's end. Pass ``.option("availableNow", "true")``
+to the source so that frozen end is the true end (full one-batch drain —
+see sources/datasource.py); for capped multi-batch draining use a
+processing-time trigger + processAllAvailable (as in ``_drain`` here).
 """
 
 from __future__ import annotations
@@ -72,6 +74,43 @@ def stream_snapshot_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_click"),
     )
+
+
+@workload(
+    "stream_availablenow_drain",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE NOT (value < 5)
+    """,
+)
+def stream_availablenow_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow drain (ref DeltaSharingSource.scala:169-199
+    freeze-and-drain): a real .trigger(availableNow=True) run with
+    maxFilesPerTrigger=1 + the availableNow source option must produce the
+    complete latest snapshot, not one capped batch."""
+    import tempfile
+
+    path = _events_cdf(spark, sf_dir)
+    spark.dataSource.register(SharedTableDataSource)
+    with tempfile.TemporaryDirectory() as tmp:
+        out_dir, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+        q = (spark.readStream.format("deltashare").option("path", path)
+             .option("maxFilesPerTrigger", "1")
+             .option("availableNow", "true")
+             .load()
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        out = spark.read.parquet(out_dir)
+        result = out.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        # materialize before the tempdir vanishes
+        rows = result.collect()
+    return spark.createDataFrame(rows, result.schema)
 
 
 @workload(

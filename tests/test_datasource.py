@@ -108,6 +108,45 @@ class TestStreaming:
         assert len(seq) >= 1  # the rewritten file is admitted
 
 
+class TestAvailableNow:
+    """Trigger.AvailableNow: the Python DS API has no
+    prepareForTriggerAvailableNow hook — Spark's wrapper freezes the FIRST
+    latestOffset() as the run's end, so a capped stream silently truncates
+    to one capped batch. The availableNow=true source option lifts the caps
+    so that frozen end is the true end (Trigger.Once-style full drain,
+    ref DeltaSharingSource.scala:169-199 freeze-and-drain semantics)."""
+
+    def _run(self, spark, path, out_dir, ckpt):
+        q = (spark.readStream.format("deltashare").option("path", path)
+             .option("maxFilesPerTrigger", "1")
+             .option("availableNow", "true")
+             .load()
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    def test_available_now_drains_fully(self, spark, events, tmp_path):
+        d = str(tmp_path / "an_table")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"), name="t")
+        for k in range(5):
+            log.append(events.filter(
+                f"event_id >= {100 + 100 * k} and event_id < {200 + 100 * k}"))
+        spark.dataSource.register(SharedTableDataSource)
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        self._run(spark, d, out_dir, ckpt)
+        got = spark.read.parquet(out_dir)
+        want = events.filter("event_id < 600").count()
+        assert got.count() == want  # capped stream must NOT truncate
+        # incremental second run from the same checkpoint: exactly-once
+        log.append(events.filter("event_id >= 600 and event_id < 700"))
+        self._run(spark, d, out_dir, ckpt)
+        final = spark.read.parquet(out_dir)
+        assert final.count() == want + 100
+        assert final.select("event_id").distinct().count() == want + 100
+
+
 class TestCheckpointRestart:
     def test_restart_continues_from_checkpoint(self, spark, events, tmp_path):
         """Stop a checkpointed stream, append new commits, restart with the

@@ -52,6 +52,102 @@ class TestSnapshots:
         assert meta["version"] == 1
 
 
+class TestMerge:
+    """MERGE INTO (upsert) + the reference's no-op-MERGE CDF skip
+    (DeltaSharingCDCReader.scala:301-323)."""
+
+    @pytest.fixture()
+    def merged_table(self, spark, events, tmp_path):
+        d = str(tmp_path / "mrg")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 400"), name="t",
+                   configuration={"enableChangeDataFeed": "true"})
+        src = (events.filter("event_id >= 200 and event_id < 600")
+               .withColumn("value", F.col("value") + 1000))
+        log.merge(src, ["event_id"])
+        return d
+
+    def test_merge_upsert_values(self, spark, events, merged_table):
+        got = SharedTable(spark, merged_table).to_df()
+        assert got.count() == events.filter("event_id < 600").count()
+        # untouched rows keep original values
+        a = got.filter("event_id < 200").agg(F.sum("value")).collect()[0][0]
+        b = events.filter("event_id < 200").agg(F.sum("value")).collect()[0][0]
+        assert abs(a - b) < 1e-6
+        # matched + inserted rows carry source values (+1000 each)
+        n_src = events.filter(
+            "event_id >= 200 and event_id < 600").count()
+        c = got.filter("event_id >= 200").agg(F.sum("value")).collect()[0][0]
+        d = events.filter("event_id >= 200 and event_id < 600") \
+            .agg(F.sum("value")).collect()[0][0]
+        assert abs(c - (d + 1000 * n_src)) < 1e-3
+
+    def test_merge_metrics(self, spark, merged_table):
+        info = TableLog(spark, merged_table).read_commit(1).info
+        assert info.operation == "MERGE"
+        m = info.operationMetrics
+        assert int(m["numTargetRowsUpdated"]) == 200
+        assert int(m["numTargetRowsInserted"]) == 200
+        assert m["numTargetRowsDeleted"] == "0"
+
+    def test_merge_cdf_changes(self, spark, events, merged_table):
+        from delta_sharing_spark.cdf import table_changes
+
+        ch = table_changes(spark, merged_table, starting_version=1)
+        counts = {r["_change_type"]: r["n"] for r in
+                  ch.groupBy("_change_type").agg(
+                      F.count("*").alias("n")).collect()}
+        assert counts == {"update_preimage": 200, "update_postimage": 200,
+                          "insert": 200}
+
+    def test_merge_delete_clause(self, spark, events, tmp_path):
+        d = str(tmp_path / "mrgdel")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 300"), name="t")
+        log.merge(events.filter("event_id >= 100 and event_id < 200"),
+                  ["event_id"], when_matched="delete",
+                  when_not_matched=None)
+        got = SharedTable(spark, d).to_df()
+        assert got.count() == 200
+        assert got.filter("event_id >= 100 and event_id < 200").count() == 0
+
+    def test_noop_merge_cdf_skip(self, spark, events, tmp_path):
+        """A MERGE commit with dataChange file rewrites but all-zero target
+        metrics must contribute NO CDF changes (and no stream files)."""
+        from delta_sharing_spark.cdf import table_changes
+        from delta_sharing_spark.plans.actions import AddFile, CommitInfo
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableStreamReader,
+        )
+
+        d = str(tmp_path / "noop")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"), name="t",
+                   configuration={"enableChangeDataFeed": "true"})
+        # handcraft the reference's hazard: MERGE rewrote a file (dataChange
+        # add) but reported zero changed rows
+        snap = log.snapshot()
+        add = snap.files[0]
+        log._write_commit(1, [
+            AddFile(path=add.path, partitionValues=add.partitionValues,
+                    size=add.size, stats=add.stats),
+            CommitInfo(version=1, timestamp=log._next_commit_timestamp(),
+                       operation="MERGE",
+                       operationMetrics={"numTargetRowsInserted": "0",
+                                         "numTargetRowsUpdated": "0",
+                                         "numTargetRowsDeleted": "0"}),
+        ])
+        ch = table_changes(spark, d, starting_version=1)
+        assert ch.count() == 0
+        reader = SharedTableStreamReader(
+            {"path": d, "startingversion": "1", "readchangefeed": "true"},
+            None)
+        assert reader._cdf_sequence(1) == []
+        # a real MERGE with nonzero metrics is NOT skipped
+        ch_all = table_changes(spark, d, starting_version=0)
+        assert ch_all.count() == 100  # the create's inserts still flow
+
+
 class TestCheckpoints:
     """Log checkpointing: snapshot = newest checkpoint + tail replay, never
     a full O(versions) commit scan (the metadata-plane bottleneck at

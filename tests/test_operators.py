@@ -97,6 +97,33 @@ class TestSimilarity:
         for r in pairs.collect():
             assert r["cos"] >= 0.99
 
+    def test_ivf_centroids_scale_safe_plan(self, spark, vectors):
+        """The centroid aggregation must never fold a whole cell into one
+        buffer: the only collect_list allowed is the bounded 64-element
+        array rebuild AFTER the per-(cell, dim) sum — i.e. downstream of a
+        posexplode + sum aggregate, never over the raw vector column."""
+        from delta_sharing_spark.operators.similarity import ivf_centroids
+
+        cents = ivf_centroids(vectors, "label", dim=8)
+        plan = cents._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.lower().count("collect_list") == 1
+        assert "posexplode" in plan.lower() or "explode" in plan.lower()
+        # the collect_list operates on (dim, value) structs, not embeddings
+        assert "collect_list(struct(dim" in plan.replace(" ", "") \
+            or "embedding" not in plan.split("collect_list")[1].split("]")[0]
+
+    def test_ivf_centroids_values(self, spark, vectors):
+        from delta_sharing_spark.operators.similarity import ivf_centroids
+
+        rows = {r["label"]: r for r in
+                ivf_centroids(vectors, "label", dim=8).collect()}
+        assert set(rows) == {0, 1, 2}
+        for lbl, r in rows.items():
+            assert r["n"] == 3
+            assert len(r["centroid"]) == 8
+            # cluster axis ~1.0, quantized at 1e-12
+            assert abs(r["centroid"][lbl] - 1.0) < 1e-9
+
 
 class TestJoins:
     def test_asof_backward(self, spark):
