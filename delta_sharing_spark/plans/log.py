@@ -164,6 +164,10 @@ class TableLog:
         # goes stale; only "latest" resolution re-lists the directory.
         self._snap_cache: dict[int, Snapshot] = {}
         self._files_df_cache: dict[int, DataFrame] = {}
+        # committed log files are immutable → parsed commits cache cleanly;
+        # callers that poll (streaming latestOffset every trigger) pay
+        # O(new commits) parsing instead of O(all commits) per call
+        self._commit_cache: dict[int, Commit] = {}
 
     # ------------------------------------------------------------------ read
 
@@ -186,6 +190,16 @@ class TableLog:
         return versions[-1]
 
     def read_commit(self, version: int) -> Commit:
+        cached = self._commit_cache.get(version)
+        if cached is not None:
+            return cached
+        commit = self._read_commit_uncached(version)
+        self._commit_cache[version] = commit
+        while len(self._commit_cache) > 512:
+            self._commit_cache.pop(next(iter(self._commit_cache)))
+        return commit
+
+    def _read_commit_uncached(self, version: int) -> Commit:
         fp = os.path.join(self.log_path, _fmt_version(version))
         if not os.path.isfile(fp):
             raise VersionNotFoundError(f"version {version} not in {self.log_path}")

@@ -266,9 +266,13 @@ class SharedTableStreamReader(DataSourceStreamReader):
     # ----------------------------------------------------------- log access
 
     def _log(self):
-        from delta_sharing_spark.plans.log import TableLog
+        # one TableLog per reader: its commit/snapshot caches make repeated
+        # latestOffset() polling cost O(new commits), not O(all commits)
+        if getattr(self, "_log_inst", None) is None:
+            from delta_sharing_spark.plans.log import TableLog
 
-        return TableLog(None, self.path)
+            self._log_inst = TableLog(None, self.path)
+        return self._log_inst
 
     def _file_sequence(self, from_version: int) -> list[tuple]:
         """Ordered (version, index, file, change_type, commit_ts) from

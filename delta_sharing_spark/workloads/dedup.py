@@ -281,15 +281,14 @@ def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = dedup_clusters(kept.select("doc_id"), pairs)
     reps = comps.filter(F.col("doc_id") == F.col("component"))
     final = kept.join(reps.select("doc_id"), "doc_id")
-    n_input = docs.count()
-    n_quality = kept.count()
-    summary = final.agg(
-        F.count("*").alias("n_final"),
-        F.sum(F.size(F.split(F.col("text"), " "))).alias("final_tokens"),
-    ).select(
-        F.lit(n_input).cast("long").alias("n_input"),
-        F.lit(n_quality).cast("long").alias("n_quality"),
-        F.col("n_final").cast("long"),
-        F.col("final_tokens").cast("long"),
+    # one distributed job: single-row aggregates cross-joined, no driver
+    # count() round-trips
+    return (
+        docs.agg(F.count("*").cast("long").alias("n_input"))
+        .crossJoin(kept.agg(F.count("*").cast("long").alias("n_quality")))
+        .crossJoin(final.agg(
+            F.count("*").cast("long").alias("n_final"),
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("long")
+            .alias("final_tokens"),
+        ))
     )
-    return summary

@@ -311,14 +311,17 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
     df_tbl = toks.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df"))
-    n = docs.count()
+    # corpus size as a broadcast single-row aggregate (scalar-subquery
+    # shape) — one distributed job, no driver count() round-trip
+    n_df = docs.agg(F.count("*").cast("double").alias("__n"))
     return (
         tf.join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n_df))
         .select(
             "doc_id", "token", F.col("tf").cast("long").alias("tf"),
             F.col("df").cast("long").alias("df"),
             F.round(
-                F.col("tf") * F.log(F.lit(float(n)) / F.col("df").cast("double")),
+                F.col("tf") * F.log(F.col("__n") / F.col("df").cast("double")),
                 6,
             ).alias("tfidf"),
         )

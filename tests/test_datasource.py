@@ -108,6 +108,43 @@ class TestStreaming:
         assert len(seq) >= 1  # the rewritten file is admitted
 
 
+class TestLogReplayAmortized:
+    def test_latest_offset_polls_parse_only_new_commits(self, spark, events,
+                                                        tmp_path):
+        """Repeated latestOffset() polling must parse each commit JSON once
+        per reader lifetime (immutable-commit cache), not re-read the whole
+        log every micro-batch."""
+        d = str(tmp_path / "amort")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"), name="t")
+        for k in range(5):
+            log.append(events.filter(
+                f"event_id >= {100 + 10 * k} and event_id < {110 + 10 * k}"))
+
+        reader = SharedTableStreamReader(
+            {"path": d, "startingversion": "0"}, None)
+        parsed: list[int] = []
+        inner = reader._log()
+        orig = type(inner)._read_commit_uncached
+
+        def spy(self_, version):
+            parsed.append(version)
+            return orig(self_, version)
+
+        inner._read_commit_uncached = spy.__get__(inner)
+        reader.initialOffset()
+        for _ in range(5):
+            reader.latestOffset()
+        first_wave = len(parsed)
+        assert sorted(set(parsed)) == [0, 1, 2, 3, 4, 5]
+        assert first_wave == 6, f"re-parsed commits: {parsed}"
+        # a new commit arrives: only IT is parsed on the next polls
+        log.append(events.filter("event_id >= 150 and event_id < 160"))
+        for _ in range(3):
+            reader.latestOffset()
+        assert parsed[first_wave:] == [6]
+
+
 class TestAvailableNow:
     """Trigger.AvailableNow: the Python DS API has no
     prepareForTriggerAvailableNow hook — Spark's wrapper freezes the FIRST
