@@ -25,6 +25,12 @@ class AsyncQuery:
     status: str = "PENDING"  # PENDING -> COMPLETED | FAILED
     result: dict[str, Any] | None = None
     error: str | None = None
+    # retained for result re-paging: a completed query's pages are served by
+    # re-running query_actions pinned at the result's version with the
+    # poll's maxFiles/pageToken (tokens bind the snapshot version, so pages
+    # stay consistent)
+    table: SharedTable | None = None
+    kwargs: dict[str, Any] = field(default_factory=dict)
     _done: threading.Event = field(default_factory=threading.Event)
 
     def wait(self, timeout: float | None = None) -> bool:
@@ -36,20 +42,32 @@ class AsyncQueryManager:
 
     def __init__(self) -> None:
         self._queries: dict[str, AsyncQuery] = {}
-        self._by_idempotency: dict[str, str] = {}
+        self._by_idempotency: dict[str, tuple[str, str]] = {}
         self._lock = threading.Lock()
+
+    @staticmethod
+    def _fingerprint(table: SharedTable, kwargs: dict) -> str:
+        import json
+
+        return json.dumps([table.log.path, kwargs], sort_keys=True,
+                          default=str)
 
     def submit(self, table: SharedTable, idempotency_key: str | None = None,
                **query_kwargs: Any) -> AsyncQuery:
+        fp = self._fingerprint(table, query_kwargs)
         with self._lock:
             if idempotency_key is not None:
                 existing = self._by_idempotency.get(idempotency_key)
-                if existing is not None:
-                    return self._queries[existing]  # dedup resubmission
-            q = AsyncQuery(query_id=uuid.uuid4().hex)
+                # dedup only same-table same-params resubmissions
+                # (PROTOCOL.md:2154-2156; different params under a reused
+                # key is undefined — we start a fresh query)
+                if existing is not None and existing[1] == fp:
+                    return self._queries[existing[0]]
+            q = AsyncQuery(query_id=uuid.uuid4().hex, table=table,
+                           kwargs=dict(query_kwargs))
             self._queries[q.query_id] = q
             if idempotency_key is not None:
-                self._by_idempotency[idempotency_key] = q.query_id
+                self._by_idempotency[idempotency_key] = (q.query_id, fp)
 
         def run() -> None:
             try:

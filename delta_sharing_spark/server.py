@@ -14,7 +14,11 @@ stdlib ``ThreadingHTTPServer`` exposing the reference's endpoints
     POST .../tables/{table}/query    {predicateHints, jsonPredicateHints,
                                       limitHint, version, timestamp,
                                       maxFiles, pageToken,
-                                      includeRefreshToken, refreshToken}
+                                      includeRefreshToken, refreshToken,
+                                      idempotencyKey}
+         (header delta-sharing-capabilities: asyncquery=true -> async
+          submission returning {queryStatus:{queryId}})
+    POST .../tables/{table}/queries/{queryId}   (async poll, re-pageable)
     GET  .../tables/{table}/changes?startingVersion=&endingVersion=...
 
 Query/metadata/changes responses are NDJSON action streams
@@ -59,6 +63,10 @@ _ROUTES = [
     ("POST",
      re.compile(r"^/shares/([^/]+)/schemas/([^/]+)/tables/([^/]+)/query$"),
      "table_query"),
+    ("POST",
+     re.compile(
+         r"^/shares/([^/]+)/schemas/([^/]+)/tables/([^/]+)/queries/([^/]+)$"),
+     "get_query_info"),
     ("GET",
      re.compile(r"^/shares/([^/]+)/schemas/([^/]+)/tables/([^/]+)/changes$"),
      "table_changes"),
@@ -70,8 +78,11 @@ class SharingServer:
 
     def __init__(self, catalog: ShareCatalog, host: str = "127.0.0.1",
                  port: int = 0, bearer_token: str | None = None):
+        from delta_sharing_spark.asyncquery import AsyncQueryManager
+
         self.catalog = catalog
         self.bearer_token = bearer_token
+        self.async_queries = AsyncQueryManager()
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -88,12 +99,15 @@ class SharingServer:
                 self.wfile.write(body)
 
             def _respond(self, payload: bytes, content_type: str,
-                         version: int | None = None) -> None:
+                         version: int | None = None,
+                         extra_headers: dict | None = None) -> None:
                 self.send_response(200)
                 self.send_header("Content-Type", content_type)
                 if version is not None:
                     # ref Delta-Table-Version response header
                     self.send_header("Delta-Table-Version", str(version))
+                for k, v in (extra_headers or {}).items():
+                    self.send_header(k, v)
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)
@@ -214,7 +228,7 @@ class SharingServer:
 
     def table_query(self, h, share, schema, table, params, body) -> None:
         t = self._table(share, schema, table)
-        out = t.query_actions(
+        kwargs = dict(
             version=body.get("version"),
             timestamp=body.get("timestamp"),
             json_predicate_hints=body.get("jsonPredicateHints"),
@@ -225,6 +239,50 @@ class SharingServer:
             include_refresh_token=bool(body.get("includeRefreshToken")),
             refresh_token=body.get("refreshToken"),
         )
+        caps = (h.headers.get("delta-sharing-capabilities") or "") \
+            .replace(" ", "").lower()
+        if "asyncquery=true" in caps:
+            # async submission (PROTOCOL.md:2313-2350): respond immediately
+            # with a queryStatus line; client polls Get Query Info
+            q = self.async_queries.submit(
+                t, idempotency_key=body.get("idempotencyKey"), **kwargs)
+            line = json.dumps(
+                {"queryStatus": {"queryId": q.query_id}}) + "\n"
+            return h._respond(
+                line.encode(), NDJSON,
+                extra_headers={
+                    "delta-sharing-capabilities": "asyncquery=true"})
+        out = t.query_actions(**kwargs)
+        payload = "".join(json.dumps(line) + "\n" for line in out["actions"])
+        h._respond(payload.encode(), NDJSON, version=out["version"])
+
+    def get_query_info(self, h, share, schema, table, query_id, params,
+                       body) -> None:
+        """Poll an async query (PROTOCOL.md:2692-2812): pending/failed →
+        one queryStatus line; succeeded → exactly the synchronous Query
+        Table response, re-paged by the poll's maxFiles/pageToken against
+        the version pinned at completion."""
+        try:
+            q = self.async_queries.poll(query_id)
+        except KeyError as exc:
+            return h._deny(400, str(exc))
+        if q.status == "PENDING":
+            line = json.dumps({"queryStatus": {
+                "queryId": q.query_id, "status": "pending"}}) + "\n"
+            return h._respond(line.encode(), NDJSON)
+        if q.status == "FAILED":
+            line = json.dumps({"queryStatus": {
+                "queryId": q.query_id, "status": "failed",
+                "errorMessage": q.error}}) + "\n"
+            return h._respond(line.encode(), NDJSON)
+        out = q.result
+        if body.get("maxFiles") is not None or body.get("pageToken"):
+            kwargs = dict(q.kwargs)
+            kwargs["version"] = out["version"]  # pin the completed snapshot
+            kwargs["timestamp"] = None
+            kwargs["max_files"] = body.get("maxFiles")
+            kwargs["page_token"] = body.get("pageToken")
+            out = q.table.query_actions(**kwargs)
         payload = "".join(json.dumps(line) + "\n" for line in out["actions"])
         h._respond(payload.encode(), NDJSON, version=out["version"])
 

@@ -38,12 +38,15 @@ def _get(url: str, token: str | None = "secret-token"):
         return resp.status, dict(resp.headers), resp.read().decode()
 
 
-def _post(url: str, body: dict, token: str | None = "secret-token"):
+def _post(url: str, body: dict, token: str | None = "secret-token",
+          headers: dict | None = None):
     req = urllib.request.Request(url, data=json.dumps(body).encode(),
                                  method="POST")
     req.add_header("Content-Type", "application/json")
     if token:
         req.add_header("Authorization", f"Bearer {token}")
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
     with urllib.request.urlopen(req) as resp:
         return resp.status, dict(resp.headers), resp.read().decode()
 
@@ -114,6 +117,62 @@ class TestEndpoints:
         lines = _ndjson(body)
         cdfs = [line["cdf"] for line in lines if "cdf" in line]
         assert cdfs and all(c["version"] == 1 for c in cdfs)
+
+    def test_async_query_round_trip(self, server):
+        """asyncquery=true submission -> queryStatus line -> poll Get Query
+        Info until the full sync-shaped response streams
+        (PROTOCOL.md:2313-2350, 2692-2812; ref
+        DeltaSharingService.scala:368-450)."""
+        import time
+
+        url = f"{server}/shares/share1/schemas/default/tables/events/query"
+        caps = {"delta-sharing-capabilities": "asyncquery=true"}
+        _s, headers, body = _post(url, {"idempotencyKey": "key-1"},
+                                  headers=caps)
+        assert headers["delta-sharing-capabilities"] == "asyncquery=true"
+        lines = _ndjson(body)
+        assert len(lines) == 1
+        qid = lines[0]["queryStatus"]["queryId"]
+        # idempotent resubmission (same params) -> same queryId
+        _s, _h, body2 = _post(url, {"idempotencyKey": "key-1"}, headers=caps)
+        assert _ndjson(body2)[0]["queryStatus"]["queryId"] == qid
+        # same key, different params -> fresh query (undefined per protocol;
+        # we start a new one rather than serving wrong results)
+        _s, _h, body3 = _post(url, {"idempotencyKey": "key-1",
+                                    "limitHint": 3}, headers=caps)
+        assert _ndjson(body3)[0]["queryStatus"]["queryId"] != qid
+
+        poll = (f"{server}/shares/share1/schemas/default/tables/events"
+                f"/queries/{qid}")
+        for _ in range(200):
+            _s, headers, body = _post(poll, {})
+            lines = _ndjson(body)
+            if not (len(lines) == 1 and "queryStatus" in lines[0]):
+                break
+            assert lines[0]["queryStatus"]["status"] == "pending"
+            time.sleep(0.05)
+        assert "protocol" in lines[0]
+        assert "metaData" in lines[1]
+        full_files = [line for line in lines if "file" in line]
+        assert full_files
+        assert "Delta-Table-Version" in headers
+
+        # completed result re-pages with the poll body's maxFiles/pageToken
+        _s, _h, body = _post(poll, {"maxFiles": 1})
+        lines = _ndjson(body)
+        page1 = [line for line in lines if "file" in line]
+        assert len(page1) == 1
+        end = [line for line in lines if "endStreamAction" in line]
+        token = end[0]["endStreamAction"]["nextPageToken"]
+        _s, _h, body = _post(poll, {"maxFiles": 100, "pageToken": token})
+        rest = [line for line in _ndjson(body) if "file" in line]
+        assert len(page1) + len(rest) == len(full_files)
+
+        # unknown queryId -> 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{server}/shares/share1/schemas/default/tables/events"
+                  f"/queries/doesnotexist", {})
+        assert e.value.code == 400
 
     def test_errors(self, server):
         with pytest.raises(urllib.error.HTTPError) as e:
