@@ -84,6 +84,56 @@ def ivf_centroids(candidates: DataFrame, cell_col: str,
     )
 
 
+def kmeans_assign(vectors: DataFrame, cents: DataFrame,
+                  id_col: str = "vec_id", vec_col: str = "embedding"
+                  ) -> DataFrame:
+    """Assign each vector to its nearest centroid by squared L2 (per-row
+    left-to-right double fold — deterministic, replayable in SQL; ties break
+    to the lowest cell id). One broadcast of the k centroids, no shuffle."""
+    d = vectors.crossJoin(F.broadcast(cents.select("cell", "centroid")))
+    dist = F.expr(
+        f"aggregate(zip_with({vec_col}, centroid,"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "cell")
+    return (
+        d.withColumn("dist", dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "centroid", "dist")
+    )
+
+
+def kmeans_fit(candidates: DataFrame, k: int = 8, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               dim: int = 64) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame ops — the learned-centroid coarse
+    quantizer for IVF. Deterministic end to end: init = the k vectors with
+    the smallest ids (cast to double), assignment = per-row double fold with
+    id-ordered tie-break, update = the exact fixed-point per-(cell, dim)
+    sums of :func:`ivf_centroids`. Per iteration: one broadcast of k
+    centroids + one shuffle for the sums — no driver-side vectors, no
+    collect of row data. Returns (cell, centroid, n); cells that lose all
+    members drop out (standard Lloyd behavior, replayed identically by the
+    SQL oracle)."""
+    init_w = Window.orderBy(id_col)
+    cents = (
+        candidates.orderBy(id_col).limit(k)
+        .withColumn("cell", F.row_number().over(init_w) - 1)
+        .select(
+            "cell",
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+            .alias("centroid"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    for _ in range(iters):
+        assigned = kmeans_assign(candidates, cents, id_col, vec_col)
+        cents = ivf_centroids(assigned, "cell", id_col, vec_col, dim)
+    return cents
+
+
 def ivf_topk(queries: DataFrame, candidates: DataFrame, cell_col: str,
              id_col: str = "vec_id", vec_col: str = "embedding",
              k: int = 5, nprobe: int = 2, dim: int = 64) -> DataFrame:
@@ -95,6 +145,19 @@ def ivf_topk(queries: DataFrame, candidates: DataFrame, cell_col: str,
     is independent of total data size.
     """
     cents = ivf_centroids(candidates, cell_col, id_col, vec_col, dim)
+    return ivf_search(queries, candidates, cents, cell_col,
+                      id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe)
+
+
+def ivf_search(queries: DataFrame, candidates: DataFrame, cents: DataFrame,
+               cell_col: str, id_col: str = "vec_id",
+               vec_col: str = "embedding", k: int = 5, nprobe: int = 2
+               ) -> DataFrame:
+    """IVF search against precomputed centroids (label-derived via
+    :func:`ivf_centroids` or learned via :func:`kmeans_fit`): probe the
+    ``nprobe`` closest cells per query, brute-force only within them."""
+    if cell_col not in cents.columns and "cell" in cents.columns:
+        cents = cents.withColumnRenamed("cell", cell_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )

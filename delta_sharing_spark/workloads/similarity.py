@@ -103,6 +103,142 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", "dim", "value", "n")
 
 
+def _kmeans_ctes(k: int, iters: int, dim: int = 64) -> str:
+    """DuckDB CTE chain replaying kmeans_fit exactly: init = k smallest ids
+    (double-cast), per iteration an assignment CTE (same fold, same
+    tie-break) and a fixed-point centroid-update CTE. Ends with CTEs
+    ``a{iters}`` (final assignment used for the update) and ``c{iters}``
+    (final centroids as (cell, i, v, n) rows)."""
+    parts = [f"""
+    init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             list_transform(embedding, x -> x::DOUBLE) AS centroid
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""]
+    prev = "init"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+    a{t} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT v.vec_id, v.embedding, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_reduce(list_transform(generate_series(1, {dim}),
+                   i -> (v.embedding[i]::DOUBLE - c.centroid[i])
+                      * (v.embedding[i]::DOUBLE - c.centroid[i])),
+                   (x, y) -> x + y), c.cell) AS rn
+        FROM embeddings v CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ),
+    s{t} AS (
+      SELECT cell, i,
+             CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e12) AS DECIMAL(38,0)))
+                  AS DOUBLE) / 1e12 / COUNT(*) AS v,
+             COUNT(*) AS n
+      FROM (SELECT a.cell, u.i AS i, a.embedding[u.i] AS x
+            FROM a{t} a, (SELECT unnest(generate_series(1, {dim})) AS i) u)
+      GROUP BY cell, i
+    ),
+    c{t} AS (
+      SELECT cell, list(v ORDER BY i) AS centroid, MAX(n) AS n
+      FROM s{t} GROUP BY cell
+    )""")
+        prev = f"c{t}"
+    return ",".join(parts)
+
+
+@workload(
+    "q_ann_kmeans_centroids",
+    oracle=f"""
+    WITH {_kmeans_ctes(8, 2)}
+    SELECT cell, CAST(i - 1 AS INT) AS dim, v AS value, n
+    FROM s2
+    """,
+)
+def q_ann_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned coarse quantizer: 2 Lloyd iterations as pure DataFrame ops
+    (broadcast assign + exact fixed-point update per iteration), fully
+    replayed by the SQL oracle — even the iterative algorithm is
+    value-checked bit-exactly."""
+    from delta_sharing_spark.operators.similarity import kmeans_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=2, dim=64)
+    return cents.select(
+        "cell", F.posexplode("centroid").alias("dim", "value"), "n"
+    ).select("cell", "dim", "value", "n")
+
+
+@workload(
+    "q_ann_ivf_learned",
+    oracle=f"""
+    WITH {_kmeans_ctes(8, 2)},
+    a3 AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT v.vec_id, v.embedding, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_reduce(list_transform(generate_series(1, 64),
+                   i -> (v.embedding[i]::DOUBLE - c.centroid[i])
+                      * (v.embedding[i]::DOUBLE - c.centroid[i])),
+                   (x, y) -> x + y), c.cell) AS rn
+        FROM embeddings v CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 6),
+    cell_scores AS (
+      SELECT q.query_id, q.qv, c.cell,
+             list_reduce(list_transform(generate_series(1, 64),
+                 i -> q.qv[i]::DOUBLE * c.centroid[i]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                   i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE), (x, y) -> x + y))
+              * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                   i -> c.centroid[i] * c.centroid[i]), (x, y) -> x + y)))
+               AS cell_cos
+      FROM q CROSS JOIN c2 c
+    ),
+    probed AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT query_id, qv, cell,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cell_cos DESC, cell) AS cr
+        FROM cell_scores
+      ) WHERE cr <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {{COS}} AS cos
+      FROM probed p JOIN a3 c ON c.cell = p.cell
+                             AND c.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+    FROM ranked WHERE rank <= 5
+    """.replace("{COS}", _cos_sql("p.qv", "c.embedding")),
+)
+def q_ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search over LEARNED cells: k-means (2 Lloyd iterations) for
+    the coarse quantizer, a final assignment for the inverted file, nprobe=2
+    probe, exact cosine re-rank within probed cells — the oracle replays the
+    entire iterative pipeline in SQL."""
+    from delta_sharing_spark.operators.similarity import (
+        ivf_search,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=2, dim=64)
+    assigned = kmeans_assign(emb, cents)
+    out = ivf_search(emb.filter(F.col("vec_id") < 6), assigned, cents,
+                     "cell", k=5, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
 _UNIT_DOT = """
     round(list_reduce(list_transform(generate_series(1, 64),
         i -> (a.embedding[i]::DOUBLE / a.nrm) * (b.embedding[i]::DOUBLE / b.nrm)),

@@ -112,6 +112,21 @@ class TestSimilarity:
         assert "collect_list(struct(dim" in plan.replace(" ", "") \
             or "embedding" not in plan.split("collect_list")[1].split("]")[0]
 
+    def test_kmeans_fit_deterministic(self, spark, vectors):
+        from delta_sharing_spark.operators.similarity import (
+            kmeans_assign,
+            kmeans_fit,
+        )
+
+        a = kmeans_fit(vectors, k=3, iters=2, dim=8).collect()
+        b = kmeans_fit(vectors, k=3, iters=2, dim=8).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert sum(r["n"] for r in a) == 9  # every vector assigned
+        cents = kmeans_fit(vectors, k=3, iters=2, dim=8)
+        assigned = kmeans_assign(vectors, cents)
+        assert assigned.count() == 9
+        assert assigned.select("cell").distinct().count() <= 3
+
     def test_ivf_centroids_values(self, spark, vectors):
         from delta_sharing_spark.operators.similarity import ivf_centroids
 
