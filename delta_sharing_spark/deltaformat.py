@@ -1,0 +1,134 @@
+"""Delta response format (``responseformat=delta``) — PROTOCOL.md:4014-4137.
+
+When a client sets ``delta-sharing-capabilities: responseformat=delta``, the
+server wraps each action as a *delta* action instead of the parquet-profile
+shape: ``{"protocol": {"deltaProtocol": {...}}}``,
+``{"metaData": {"deltaMetadata": {...}, "version", "size", "numFiles"}}``,
+and ``{"file": {"id", "version", "timestamp", "deltaSingleAction":
+{"add"|"remove"|"cdc": {...}}}}`` — lines a recipient can drop into a local
+delta log and read with a delta library (reference client reconstruction:
+python/delta_sharing/reader.py:303-336; wire shape
+PROTOCOL.md:4014-4137).
+
+Two pure functions: :func:`actions_to_delta_format` converts the engine's
+parquet-profile action stream, and :func:`delta_lines_to_spark` is the
+client-side reconstruction back to a DataFrame (the in-engine twin of the
+reference's delta-log rebuild).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def actions_to_delta_format(lines: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Rewrap a parquet-profile action stream as delta-format lines.
+
+    Wrapper contract (PROTOCOL.md:4021-4035): each line carries exactly one
+    of protocol/metaData/file; sharing-level fields (id, version, timestamp)
+    stay on the wrapper, the delta action itself goes verbatim under
+    deltaProtocol/deltaMetadata/deltaSingleAction. endStreamAction lines
+    pass through unchanged (pagination is format-independent)."""
+    out: list[dict[str, Any]] = []
+    for line in lines:
+        if "protocol" in line:
+            p = line["protocol"]
+            out.append({"protocol": {"deltaProtocol": {
+                "minReaderVersion": p.get("minReaderVersion", 1),
+                "minWriterVersion": p.get("minWriterVersion", 2),
+            }}})
+        elif "metaData" in line:
+            m = dict(line["metaData"])
+            wrapper: dict[str, Any] = {}
+            for k in ("version", "size", "numFiles"):
+                if m.get(k) is not None:
+                    wrapper[k] = m.pop(k)
+            m.setdefault("format", {"provider": "parquet"})
+            wrapper["deltaMetadata"] = m
+            out.append({"metaData": wrapper})
+        elif "file" in line:
+            f = line["file"]
+            add = {
+                "path": f.get("url", f.get("id")),
+                "partitionValues": f.get("partitionValues", {}),
+                "size": f.get("size"),
+                "modificationTime": f.get("timestamp"),
+                "dataChange": True,
+            }
+            if f.get("stats") is not None:
+                add["stats"] = f["stats"]
+            wrapper = {"id": f["id"], "deltaSingleAction": {"add": add}}
+            for k in ("version", "timestamp", "expirationTimestamp"):
+                if f.get(k) is not None:
+                    wrapper[k] = f[k]
+            out.append({"file": wrapper})
+        elif "add" in line or "cdf" in line or "remove" in line:
+            # CDF parquet-profile lines (cdf.table_changes_actions shape)
+            kind = "add" if "add" in line else (
+                "cdc" if "cdf" in line else "remove")
+            src = line["add"] if "add" in line else (
+                line["cdf"] if "cdf" in line else line["remove"])
+            action: dict[str, Any] = {
+                "path": src.get("url", src.get("id")),
+                "partitionValues": src.get("partitionValues", {}),
+                "size": src.get("size"),
+            }
+            if kind == "add":
+                action["dataChange"] = True
+                if src.get("stats") is not None:
+                    action["stats"] = src["stats"]
+            if kind == "remove":
+                action["dataChange"] = True
+            wrapper = {"id": src["id"],
+                       "deltaSingleAction": {kind: action}}
+            for k in ("version", "timestamp"):
+                if src.get(k) is not None:
+                    wrapper[k] = src[k]
+            out.append({"file": wrapper})
+        else:
+            out.append(line)  # endStreamAction etc.
+    return out
+
+
+def delta_lines_to_spark(spark: SparkSession,
+                         lines: list[dict[str, Any]]) -> DataFrame:
+    """Client-side reconstruction: delta-format query response → DataFrame.
+
+    Reads every deltaSingleAction.add parquet path and attaches typed
+    partition-value columns per the shared schema — the in-engine twin of
+    the reference client's local-delta-log rebuild
+    (python/delta_sharing/reader.py:303-336)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema: T.StructType | None = None
+    adds: list[dict[str, Any]] = []
+    for line in lines:
+        if "metaData" in line:
+            meta = line["metaData"]["deltaMetadata"]
+            schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        elif "file" in line:
+            single = line["file"]["deltaSingleAction"]
+            if "add" in single:
+                adds.append(single["add"])
+    if schema is None:
+        raise ValueError("delta-format response lacks a metaData line")
+    if not adds:
+        return spark.createDataFrame([], schema)
+    type_of = {f.name: f.dataType for f in schema.fields}
+    parts: list[DataFrame] = []
+    for add in adds:
+        df = spark.read.parquet(add["path"])
+        for name, value in (add.get("partitionValues") or {}).items():
+            col = (F.lit(None) if value == "" or value is None
+                   else F.lit(value))
+            df = df.withColumn(name, col.cast(type_of[name]))
+        parts.append(df.select(*[f.name for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -214,6 +214,24 @@ class SharingServer:
         version = t.version(params.get("startingTimestamp"))
         h._respond(b"", JSON_CT, version=version)
 
+    @staticmethod
+    def _delta_format(h) -> bool:
+        caps = (h.headers.get("delta-sharing-capabilities") or "") \
+            .replace(" ", "").lower()
+        return "responseformat=delta" in caps
+
+    @staticmethod
+    def _ndjson_payload(lines, delta: bool) -> tuple[bytes, dict]:
+        if delta:
+            from delta_sharing_spark.deltaformat import actions_to_delta_format
+
+            lines = actions_to_delta_format(lines)
+            headers = {"delta-sharing-capabilities": "responseformat=delta"}
+        else:
+            headers = {}
+        return ("".join(json.dumps(line) + "\n" for line in lines).encode(),
+                headers)
+
     def table_metadata(self, h, share, schema, table, params, body) -> None:
         t = self._table(share, schema, table)
         out = t.query_actions(
@@ -223,8 +241,9 @@ class SharingServer:
         )
         lines = [line for line in out["actions"]
                  if "protocol" in line or "metaData" in line]
-        payload = "".join(json.dumps(line) + "\n" for line in lines)
-        h._respond(payload.encode(), NDJSON, version=out["version"])
+        payload, extra = self._ndjson_payload(lines, self._delta_format(h))
+        h._respond(payload, NDJSON, version=out["version"],
+                   extra_headers=extra)
 
     def table_query(self, h, share, schema, table, params, body) -> None:
         t = self._table(share, schema, table)
@@ -253,8 +272,10 @@ class SharingServer:
                 extra_headers={
                     "delta-sharing-capabilities": "asyncquery=true"})
         out = t.query_actions(**kwargs)
-        payload = "".join(json.dumps(line) + "\n" for line in out["actions"])
-        h._respond(payload.encode(), NDJSON, version=out["version"])
+        payload, extra = self._ndjson_payload(out["actions"],
+                                              self._delta_format(h))
+        h._respond(payload, NDJSON, version=out["version"],
+                   extra_headers=extra)
 
     def get_query_info(self, h, share, schema, table, query_id, params,
                        body) -> None:
@@ -299,5 +320,7 @@ class SharingServer:
             include_historical_metadata=(
                 params.get("includeHistoricalMetadata", "false") == "true"),
         )
-        payload = "".join(json.dumps(line) + "\n" for line in out["actions"])
-        h._respond(payload.encode(), NDJSON, version=out["version"])
+        payload, extra = self._ndjson_payload(out["actions"],
+                                              self._delta_format(h))
+        h._respond(payload, NDJSON, version=out["version"],
+                   extra_headers=extra)

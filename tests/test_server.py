@@ -118,6 +118,43 @@ class TestEndpoints:
         cdfs = [line["cdf"] for line in lines if "cdf" in line]
         assert cdfs and all(c["version"] == 1 for c in cdfs)
 
+    def test_delta_response_format(self, server, spark, events):
+        """responseformat=delta (PROTOCOL.md:4014-4137): delta-action
+        wrappers on query/metadata/changes + client-side reconstruction."""
+        from delta_sharing_spark.deltaformat import delta_lines_to_spark
+
+        caps = {"delta-sharing-capabilities": "responseformat=delta"}
+        url = f"{server}/shares/share1/schemas/default/tables/events/query"
+        _s, headers, body = _post(url, {}, headers=caps)
+        assert headers["delta-sharing-capabilities"] == "responseformat=delta"
+        lines = _ndjson(body)
+        assert "deltaProtocol" in lines[0]["protocol"]
+        meta = lines[1]["metaData"]
+        assert "deltaMetadata" in meta and "schemaString" in meta["deltaMetadata"]
+        assert meta["numFiles"] >= 1
+        files = [line["file"] for line in lines if "file" in line]
+        assert files
+        for f in files:
+            assert "id" in f
+            add = f["deltaSingleAction"]["add"]
+            assert add["path"].startswith("/") and "partitionValues" in add
+        # reconstruction equals the table contents served in parquet format
+        df = delta_lines_to_spark(spark, lines)
+        want = events.count() - events.filter("event_id < 5").count()
+        assert df.count() == want
+        assert "event_type" in df.columns  # partition column restored
+        # changes endpoint in delta format: cdc wrapped as deltaSingleAction
+        ch_url = (f"{server}/shares/share1/schemas/default/tables/events/"
+                  f"changes?startingVersion=1")
+        req = urllib.request.Request(ch_url)
+        req.add_header("Authorization", "Bearer secret-token")
+        req.add_header("delta-sharing-capabilities", "responseformat=delta")
+        with urllib.request.urlopen(req) as resp:
+            ch_lines = _ndjson(resp.read().decode())
+        kinds = [next(iter(line["file"]["deltaSingleAction"]))
+                 for line in ch_lines if "file" in line]
+        assert "cdc" in kinds
+
     def test_async_query_round_trip(self, server):
         """asyncquery=true submission -> queryStatus line -> poll Get Query
         Info until the full sync-shaped response streams
