@@ -78,6 +78,32 @@ class VersionNotFoundError(Exception):
     pass
 
 
+class MetadataChangedError(Exception):
+    """A concurrent commit changed the table's metadata (schema/partitioning/
+    config) between a writer's snapshot and its commit — the staged write may
+    no longer be valid, so it must not be blindly retried (Delta's
+    MetadataChangedException taxonomy)."""
+
+
+def retry_on_conflict(fn, retries: int = 2):
+    """Optimistic-concurrency wrapper for read-dependent write ops (DELETE /
+    UPDATE / MERGE / OVERWRITE / OPTIMIZE): on ``ConcurrentCommitError`` the
+    whole operation re-runs against the fresh snapshot — the safe general
+    conflict rule, since those ops' staged rewrites depend on the files they
+    read (Delta's OptimisticTransaction re-execution fallback). Files staged
+    by a losing attempt become unreferenced and are reclaimed by vacuum().
+
+    Plain appends don't need this: :meth:`TableLog.append` retries its own
+    commit in place (blind append — no read dependency)."""
+    last: Exception | None = None
+    for _ in range(retries + 1):
+        try:
+            return fn()
+        except ConcurrentCommitError as exc:
+            last = exc
+    raise last
+
+
 class ConcurrentCommitError(Exception):
     """Another writer committed this version first — re-resolve and retry."""
 
@@ -643,25 +669,45 @@ class TableLog:
         return 0
 
     def append(self, df: DataFrame, max_files: int | None = None,
-               operation_parameters: dict[str, str] | None = None) -> int:
+               operation_parameters: dict[str, str] | None = None,
+               retries: int = 10) -> int:
+        """Blind append with optimistic in-place retry: the staged files are
+        snapshot-independent, so a commit lost to a concurrent writer simply
+        re-targets the next version — UNLESS an interleaved commit changed
+        the table metadata (schema/partitioning/config), which raises
+        ``MetadataChangedError`` (the staged layout may no longer conform;
+        Delta's MetadataChangedException rule)."""
         snap = self.snapshot()
-        version = snap.version + 1
-        ts = self._next_commit_timestamp()
         data = df
         if max_files:
             data = df.repartition(max_files)
         staged = self._stage_dataframe(data, snap.partition_columns, self.data_path)
-        actions: list[Action] = [
+        adds: list[Action] = [
             AddFile(path=p, partitionValues=pv, size=sz, stats=st)
             for p, pv, sz, st in staged
         ]
-        actions.append(
-            CommitInfo(version=version, timestamp=ts, operation="WRITE",
-                       operationMetrics={"numFiles": str(len(staged))},
-                       operationParameters=operation_parameters or {})
-        )
-        self._write_commit(version, actions)
-        return version
+        version = snap.version + 1
+        last: Exception | None = None
+        for _ in range(retries + 1):
+            ts = self._next_commit_timestamp()
+            actions = adds + [
+                CommitInfo(version=version, timestamp=ts, operation="WRITE",
+                           operationMetrics={"numFiles": str(len(staged))},
+                           operationParameters=operation_parameters or {})
+            ]
+            try:
+                self._write_commit(version, actions)
+                return version
+            except ConcurrentCommitError as exc:
+                last = exc
+                latest = self.latest_version()
+                for v in range(version, latest + 1):
+                    if self.read_commit(v).metadata is not None:
+                        raise MetadataChangedError(
+                            f"table metadata changed concurrently at "
+                            f"version {v}; aborting append") from exc
+                version = latest + 1
+        raise last
 
     def update_metadata(self, schema: T.StructType | None = None,
                         configuration: dict[str, str] | None = None) -> int:

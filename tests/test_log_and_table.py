@@ -52,6 +52,89 @@ class TestSnapshots:
         assert meta["version"] == 1
 
 
+class TestConcurrentWriters:
+    """Optimistic concurrency: blind appends retry in place; read-dependent
+    ops re-run via retry_on_conflict; metadata conflicts abort (Delta's
+    OptimisticTransaction / MetadataChangedException rules)."""
+
+    def test_racing_appends_all_land(self, spark, events, tmp_path):
+        import threading
+
+        d = str(tmp_path / "race")
+        TableLog(spark, d).create(events.filter("event_id < 10"), name="t")
+        errors: list[Exception] = []
+
+        def writer(lo: int):
+            try:
+                log = TableLog(spark, d)
+                for k in range(3):
+                    log.append(events.filter(
+                        f"event_id >= {lo + 10 * k} and "
+                        f"event_id < {lo + 10 * k + 10}"))
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        t1 = threading.Thread(target=writer, args=(100,))
+        t2 = threading.Thread(target=writer, args=(200,))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert not errors
+        log = TableLog(spark, d)
+        assert log.latest_version() == 6  # every commit landed, no gaps
+        want = (events.filter("event_id < 10").count()
+                + events.filter(
+                    "event_id >= 100 and event_id < 130").count()
+                + events.filter(
+                    "event_id >= 200 and event_id < 230").count())
+        assert SharedTable(spark, d).to_df().count() == want
+
+    def test_append_aborts_on_metadata_conflict(self, spark, events,
+                                                tmp_path):
+        from delta_sharing_spark.plans.log import MetadataChangedError
+
+        d = str(tmp_path / "metaconflict")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 10"), name="t")
+        other = TableLog(spark, d)
+        orig = TableLog._write_commit
+        fired = []
+
+        def racy(self_, version, actions):
+            if not fired:
+                fired.append(1)
+                other.update_metadata(configuration={"k": "v"})  # steals v1
+            return orig(self_, version, actions)
+
+        log._write_commit = racy.__get__(log)
+        with pytest.raises(MetadataChangedError):
+            log.append(events.filter("event_id < 5"))
+
+    def test_retry_on_conflict_reruns_delete(self, spark, events, tmp_path):
+        from delta_sharing_spark.plans.log import retry_on_conflict
+
+        d = str(tmp_path / "delconflict")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"), name="t")
+        other = TableLog(spark, d)
+        orig = TableLog._write_commit
+        fired = []
+
+        def racy(self_, version, actions):
+            if not fired:
+                fired.append(1)
+                other.append(events.filter(
+                    "event_id >= 100 and event_id < 110"))  # steals v1
+            return orig(self_, version, actions)
+
+        log._write_commit = racy.__get__(log)
+        v = retry_on_conflict(lambda: log.delete("event_id < 50"))
+        assert v == 2  # re-ran against the fresh snapshot
+        got = SharedTable(spark, d).to_df()
+        # delete applied AND the interleaved append's rows survive
+        assert got.filter("event_id < 50").count() == 0
+        assert got.count() == events.filter(
+            "event_id >= 50 and event_id < 110").count()
+
+
 class TestMerge:
     """MERGE INTO (upsert) + the reference's no-op-MERGE CDF skip
     (DeltaSharingCDCReader.scala:301-323)."""

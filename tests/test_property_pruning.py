@@ -155,8 +155,12 @@ class TestAsyncQuery:
         t = SharedTable(spark, d)
         mgr = AsyncQueryManager()
         q1 = mgr.submit(t, idempotency_key="k1", max_files=2)
-        q2 = mgr.submit(t, idempotency_key="k1")
+        q2 = mgr.submit(t, idempotency_key="k1", max_files=2)
         assert q1.query_id == q2.query_id  # idempotent resubmission
+        # same key, different params: undefined per PROTOCOL.md:2154-2156 —
+        # we start a fresh query rather than serving mismatched results
+        q3 = mgr.submit(t, idempotency_key="k1")
+        assert q3.query_id != q1.query_id
         assert q1.wait(60)
         polled = mgr.poll(q1.query_id)
         assert polled.status == "COMPLETED"
