@@ -305,7 +305,7 @@ def q_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFram
     oracle=f"""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           CAST(SUM({QTY}) AS DOUBLE)    AS sum_qty,
+           CAST(SUM({QTY_I}) AS DOUBLE)  AS sum_qty,
            COUNT(*)                      AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -317,7 +317,7 @@ def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.expr(QTY)).cast("double").alias("sum_qty"),
+            F.sum(F.expr(QTY_I)).cast("double").alias("sum_qty"),
             F.count("*").alias("n"),
         )
         .select(
@@ -481,7 +481,8 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "q17_small_quantity_revenue",
     oracle=f"""
-    SELECT CAST(SUM({PRICE}) AS DOUBLE) / 7.0 AS avg_yearly, COUNT(*) AS n
+    SELECT CAST(SUM({PRICE_C}) AS DOUBLE) / 100 / 7.0 AS avg_yearly,
+           COUNT(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
       AND l_quantity < (
@@ -496,7 +497,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     read_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(f"""
-        SELECT CAST(SUM({PRICE}) AS DOUBLE) / 7.0 AS avg_yearly, COUNT(*) AS n
+        SELECT CAST(SUM({PRICE_C}) AS DOUBLE) / 100 / 7.0 AS avg_yearly,
+               COUNT(*) AS n
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#1'
           AND l_quantity < (
@@ -509,11 +511,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle=f"""
     SELECT c_name, o_orderkey,
-           CAST(SUM({QTY}) AS DOUBLE) AS total_qty
+           CAST(SUM({QTY_I}) AS DOUBLE) AS total_qty
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
                 JOIN customer ON c_custkey = o_custkey
     GROUP BY c_name, o_orderkey
-    HAVING SUM({QTY}) > CAST(300 AS DECIMAL(12,2))
+    HAVING SUM({QTY_I}) > 300
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,8 +527,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "o_orderkey")
-        .agg(F.sum(F.expr(QTY)).alias("__total"))
-        .filter(F.col("__total") > F.expr("CAST(300 AS DECIMAL(12,2))"))
+        .agg(F.sum(F.expr(QTY_I)).alias("__total"))
+        .filter(F.col("__total") > 300)
         .select("c_name", "o_orderkey",
                 F.col("__total").cast("double").alias("total_qty"))
     )
@@ -538,7 +540,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
            COALESCE(o_orderpriority, 'ALL') AS orderpriority,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -550,8 +553,8 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.expr("CAST(o_totalprice AS DECIMAL(14,2))"))
-            .cast("double").alias("total"),
+            (F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+             .cast("double") / 100).alias("total"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
