@@ -109,6 +109,90 @@ def load_table_changes_as_spark(
     )
 
 
+def _partition_value(raw: str | None, type_name: str):
+    """Convert a partition-directory string to the column's type (ref
+    python/delta_sharing/converter.py to_converters semantics: empty string
+    / missing -> null)."""
+    if raw is None or raw == "":
+        return None
+    if type_name in ("byte", "short", "integer", "long"):
+        return int(raw)
+    if type_name in ("float", "double") or type_name.startswith("decimal"):
+        return float(raw)
+    if type_name == "boolean":
+        return raw == "true"
+    if type_name == "date":
+        return pd.Timestamp(raw).date()
+    if type_name == "timestamp":
+        return pd.Timestamp(raw)
+    return raw  # string and anything lexical
+
+
+def load_table_changes_as_pandas(
+    url: str,
+    starting_version: int | None = None,
+    ending_version: int | None = None,
+    starting_timestamp: str | None = None,
+    ending_timestamp: str | None = None,
+    spark: SparkSession | None = None,
+) -> pd.DataFrame:
+    """CDF as a pandas DataFrame built driver-side from the wire-shaped
+    action stream — no Spark scan, mirroring the reference's direct pandas
+    path (python/delta_sharing/reader.py table_changes_to_pandas,
+    reader.py:640-688): each add/cdf/remove file is read with pyarrow,
+    partition columns are filled from partitionValues, and the three
+    virtual columns (_change_type, _commit_version, _commit_timestamp) are
+    attached per action."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from delta_sharing_spark.cdf import table_changes_actions
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession")
+    table = _resolve(spark, url)
+    payload = table_changes_actions(
+        spark, table.log.path,
+        starting_version=starting_version, ending_version=ending_version,
+        starting_timestamp=starting_timestamp,
+        ending_timestamp=ending_timestamp,
+    )
+    schema_fields: list[tuple[str, str]] = []
+    for line in payload["actions"]:
+        if "metaData" in line:
+            parsed = _json.loads(line["metaData"]["schemaString"])
+            schema_fields = [
+                (f["name"],
+                 f["type"] if isinstance(f["type"], str) else "struct")
+                for f in parsed["fields"]
+            ]
+            break
+    col_order = [n for n, _ in schema_fields] + [
+        "_change_type", "_commit_version", "_commit_timestamp"]
+
+    frames: list[pd.DataFrame] = []
+    for line in payload["actions"]:
+        kind = next(iter(line))
+        if kind not in ("add", "cdf", "remove"):
+            continue
+        action = line[kind]
+        pdf = pq.read_table(action["url"]).to_pandas()
+        for name, type_name in schema_fields:
+            if name not in pdf.columns:
+                pdf[name] = _partition_value(
+                    action.get("partitionValues", {}).get(name), type_name)
+        if kind != "cdf":  # cdc files carry their own _change_type column
+            pdf["_change_type"] = "insert" if kind == "add" else "delete"
+        pdf["_commit_version"] = int(action["version"])
+        pdf["_commit_timestamp"] = int(action["timestamp"])
+        frames.append(pdf[col_order])
+    if not frames:
+        return pd.DataFrame(columns=col_order)
+    return pd.concat(frames, ignore_index=True)
+
+
 class SharingClient:
     """Catalog listing client over a profile file."""
 

@@ -370,13 +370,24 @@ class SharedTableStreamReader(DataSourceStreamReader):
         DeltaSharingSource.scala:450-533), followed by incremental changes
         from the next version onward."""
         log = self._log()
-        snap = log.snapshot(version=at_version)
-        files = sorted(snap.files, key=lambda a: a.path)
-        ct = "insert" if self.read_change_feed else None
-        seq = [(snap.version, i, a, ct, snap.timestamp)
-               for i, a in enumerate(files)]
-        seq += self._file_sequence(snap.version + 1)
-        return snap.version, seq
+        # The sorted snapshot prefix is immutable once the version is pinned;
+        # cache it so each latestOffset()/partitions() poll pays only the
+        # incremental tail (itself O(new) via the commit parse cache).
+        cache = getattr(self, "_snap_seq_cache", None)
+        if cache is None:
+            cache = self._snap_seq_cache = {}
+        key = at_version
+        if key is not None and key in cache:
+            version, prefix = cache[key]
+        else:
+            snap = log.snapshot(version=at_version)
+            files = sorted(snap.files, key=lambda a: a.path)
+            ct = "insert" if self.read_change_feed else None
+            prefix = [(snap.version, i, a, ct, snap.timestamp)
+                      for i, a in enumerate(files)]
+            version = snap.version
+            cache[version] = (version, prefix)
+        return version, prefix + self._file_sequence(version + 1)
 
     # ------------------------------------------------------------- offsets
 

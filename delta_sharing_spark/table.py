@@ -244,17 +244,33 @@ class SharedTable:
                               limit_hint)
         )
         files = [f for f in snap.files if f.path in paths]
+        # the token additionally checksums every query parameter, so a page
+        # token replayed with different predicates/limit is rejected rather
+        # than silently returning a page of the wrong query
+        # (ref QueryTablePageToken.expectedChecksum, DeltaSharedTable.scala)
+        import hashlib
+
+        checksum = hashlib.md5(json.dumps({
+            "predicateHints": predicate_hints,
+            "jsonPredicateHints": json_predicate_hints,
+            "limitHint": limit_hint,
+            "timestamp": timestamp,
+        }, sort_keys=True, default=str).encode()).hexdigest()[:16]
         start = 0
         if page_token:
             decoded = json.loads(base64.urlsafe_b64decode(page_token))
             if decoded.get("version") != snap.version:
                 raise ValueError("page token bound to a different version")
+            if decoded.get("checksum", checksum) != checksum:
+                raise ValueError(
+                    "page token bound to different query parameters")
             start = int(decoded.get("start", 0))
         end = len(files) if max_files is None else min(start + max_files, len(files))
         next_token = None
         if end < len(files):
             next_token = base64.urlsafe_b64encode(
-                json.dumps({"version": snap.version, "start": end}).encode()
+                json.dumps({"version": snap.version, "start": end,
+                            "checksum": checksum}).encode()
             ).decode()
         lines: list[dict[str, Any]] = [
             {"protocol": {"minReaderVersion": 1}},

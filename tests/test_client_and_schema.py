@@ -80,6 +80,52 @@ class TestClient:
         ch = load_table_changes_as_spark(url, starting_version=1, spark=spark)
         assert set(r["_change_type"] for r in ch.collect()) == {"delete"}
 
+    def test_load_table_changes_as_pandas_matches_spark(
+            self, spark, profile_env):
+        from delta_sharing_spark.client import load_table_changes_as_pandas
+
+        url = f"{profile_env}#share1.default.events"
+        sdf = load_table_changes_as_spark(
+            url, starting_version=0, spark=spark)
+        via_spark = sdf.toPandas().sort_values(
+            list(sdf.columns)).reset_index(drop=True)
+        direct = load_table_changes_as_pandas(
+            url, starting_version=0, spark=spark)
+        assert list(direct.columns) == list(sdf.columns)
+        direct = direct.sort_values(
+            list(direct.columns)).reset_index(drop=True)
+        # same rows, same dtype-insensitive values
+        assert len(direct) == len(via_spark)
+        for col in sdf.columns:
+            assert list(direct[col].astype(str)) == \
+                list(via_spark[col].astype(str)), col
+
+    def test_load_table_changes_as_pandas_empty_range(
+            self, spark, events, tmp_path):
+        # a range covering only a dataChange=false commit (OPTIMIZE) has no
+        # change actions -> empty frame with the full CDF column order
+        from delta_sharing_spark.client import load_table_changes_as_pandas
+
+        table_dir = str(tmp_path / "opt_table")
+        log = TableLog(spark, table_dir)
+        log.create(events, name="events",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.optimize()
+        config_path = str(tmp_path / "cat2.json")
+        with open(config_path, "w") as f:
+            json.dump({"shares": [{"name": "s", "schemas": [{
+                "name": "d", "tables": [{"name": "events",
+                                         "location": table_dir}]}]}]}, f)
+        profile_path = str(tmp_path / "prof2.json")
+        with open(profile_path, "w") as f:
+            json.dump({"shareCredentialsVersion": 1,
+                       "endpoint": config_path}, f)
+        latest = load_table_changes_as_pandas(
+            f"{profile_path}#s.d.events", starting_version=1, spark=spark)
+        assert len(latest) == 0
+        assert latest.columns[-3:].tolist() == [
+            "_change_type", "_commit_version", "_commit_timestamp"]
+
     def test_bad_urls(self, spark, profile_env):
         with pytest.raises(ValueError):
             load_as_spark("no-fragment", spark=spark)

@@ -475,6 +475,20 @@ class TestActionStream:
         ids = {a["file"]["id"] for a in files1 + files2}
         assert len(ids) == total  # no overlap, no gap
 
+    def test_page_token_rejects_changed_params(self, spark, versioned_table):
+        t = SharedTable(spark, versioned_table)
+        page1 = t.query_actions(max_files=2)
+        # same params: accepted
+        t.query_actions(max_files=2, page_token=page1["nextPageToken"])
+        # different predicate/limit params: the checksum no longer matches
+        with pytest.raises(ValueError, match="query parameters"):
+            t.query_actions(max_files=2, page_token=page1["nextPageToken"],
+                            limit_hint=5)
+        with pytest.raises(ValueError, match="query parameters"):
+            t.query_actions(
+                max_files=2, page_token=page1["nextPageToken"],
+                predicate_hints=["event_type = 'click'"])
+
     def test_action_stream_shape(self, spark, versioned_table):
         t = SharedTable(spark, versioned_table)
         out = t.query_actions()
