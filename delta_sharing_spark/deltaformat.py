@@ -59,6 +59,8 @@ def actions_to_delta_format(lines: list[dict[str, Any]]) -> list[dict[str, Any]]
             }
             if f.get("stats") is not None:
                 add["stats"] = f["stats"]
+            if f.get("deletionVector") is not None:
+                add["deletionVector"] = f["deletionVector"]
             wrapper = {"id": f["id"], "deltaSingleAction": {"add": add}}
             for k in ("version", "timestamp", "expirationTimestamp"):
                 if f.get(k) is not None:
@@ -106,7 +108,7 @@ def delta_lines_to_spark(spark: SparkSession,
     from pyspark.sql import types as T
 
     schema: T.StructType | None = None
-    adds: list[dict[str, Any]] = []
+    adds: list[tuple[dict[str, Any], str | None]] = []
     for line in lines:
         if "metaData" in line:
             meta = line["metaData"]["deltaMetadata"]
@@ -114,15 +116,27 @@ def delta_lines_to_spark(spark: SparkSession,
         elif "file" in line:
             single = line["file"]["deltaSingleAction"]
             if "add" in single:
-                adds.append(single["add"])
+                adds.append((single["add"], line["file"].get("id")))
     if schema is None:
         raise ValueError("delta-format response lacks a metaData line")
     if not adds:
         return spark.createDataFrame([], schema)
     type_of = {f.name: f.dataType for f in schema.fields}
     parts: list[DataFrame] = []
-    for add in adds:
+    for add, file_id in adds:
         df = spark.read.parquet(add["path"])
+        dv = add.get("deletionVector")
+        if dv:
+            # apply the deletion vector client-side: each add is a single
+            # file, so _metadata.row_index alone keys the anti-join
+            df = df.select("*", F.col("_metadata.row_index").alias("__ri"))
+            dv_rows = (
+                spark.read.parquet(dv["pathOrInlineDv"])
+                .filter(F.col("path") == file_id)
+                .select(F.col("row_index").alias("__ri"))
+            )
+            df = df.join(F.broadcast(dv_rows), "__ri", "left_anti") \
+                   .drop("__ri")
         for name, value in (add.get("partitionValues") or {}).items():
             col = (F.lit(None) if value == "" or value is None
                    else F.lit(value))

@@ -78,9 +78,20 @@ class AddFile:
     dataChange: bool = True
     version: int | None = None
     timestamp: int | None = None
+    # Deletion-vector descriptor (Delta protocol shape, adapted): the DV is
+    # a parquet file of (path, row_index) rows under ``_dv/`` naming the
+    # physical positions logically deleted from this data file. Packing
+    # several files' DVs into one parquet mirrors Delta's multi-DV files
+    # (offset-based there; keyed by the ``path`` column here).
+    # {"storageType": "u", "pathOrInlineDv": <rel path>, "cardinality": N,
+    #  "sizeInBytes": n}
+    deletionVector: dict[str, Any] | None = None
 
     def wrap(self) -> dict[str, Any]:
-        return {"add": asdict(self)}
+        d = asdict(self)
+        if d.get("deletionVector") is None:
+            d.pop("deletionVector", None)
+        return {"add": d}
 
     def stats_dict(self) -> dict[str, Any]:
         if not self.stats:
@@ -94,6 +105,20 @@ class AddFile:
     def num_records(self) -> int | None:
         n = self.stats_dict().get("numRecords")
         return int(n) if n is not None else None
+
+    @property
+    def dv_cardinality(self) -> int:
+        if not self.deletionVector:
+            return 0
+        return int(self.deletionVector.get("cardinality", 0))
+
+    @property
+    def logical_records(self) -> int | None:
+        """Physical numRecords minus deletion-vector cardinality — what
+        limitHint accounting must use (the reference kernel subtracts DV
+        cardinality the same way, DeltaSharedTableKernel.scala:446-449)."""
+        n = self.num_records
+        return None if n is None else max(0, n - self.dv_cardinality)
 
 
 @dataclass

@@ -57,6 +57,10 @@ from delta_sharing_spark.plans.stats import collect_file_stats
 LOG_DIR = "_dsl_log"
 DATA_DIR = "data"
 CDC_DIR = "_change_data"
+DV_DIR = "_dv"
+# DV sides up to this many deleted rows broadcast for the anti-join; larger
+# vectors fall back to a shuffled anti-join (both scale out)
+DV_BROADCAST_MAX_ROWS = 4_000_000
 
 # Write a parquet checkpoint of the active snapshot every N commits (Delta's
 # default cadence). Without checkpoints, snapshot resolution replays every
@@ -185,6 +189,7 @@ class TableLog:
         self.log_path = os.path.join(self.path, LOG_DIR)
         self.data_path = os.path.join(self.path, DATA_DIR)
         self.cdc_path = os.path.join(self.path, CDC_DIR)
+        self.dv_path = os.path.join(self.path, DV_DIR)
         # version -> Snapshot. Committed log files are immutable (append-only
         # versions, atomic no-clobber commits), so a resolved snapshot never
         # goes stale; only "latest" resolution re-lists the directory.
@@ -354,8 +359,11 @@ class TableLog:
             paths.append(add.path)
             pvs.append(list(add.partitionValues.items()))
             sizes.append(add.size)
-            nr = st.get("numRecords")
-            nrecs.append(int(nr) if nr is not None else None)
+            # manifest numRecords is LOGICAL rows (physical minus DV
+            # cardinality) — what limitHint accounting uses (ref kernel
+            # DeltaSharedTableKernel.scala:446-449); the action_json column
+            # still round-trips the exact physical stats
+            nrecs.append(add.logical_records)
             mins.append(json.dumps(st.get("minValues", {}), default=str))
             maxs.append(json.dumps(st.get("maxValues", {}), default=str))
             nulls.append(json.dumps(st.get("nullCount", {}), default=str))
@@ -486,7 +494,7 @@ class TableLog:
                     add.path,
                     add.partitionValues,
                     add.size,
-                    st.get("numRecords"),
+                    add.logical_records,
                     json.dumps(st.get("minValues", {}), default=str),
                     json.dumps(st.get("maxValues", {}), default=str),
                     json.dumps(st.get("nullCount", {}), default=str),
@@ -738,10 +746,104 @@ class TableLog:
 
     # ------------------------------------------------- row-mutating commits
 
-    def _read_files(self, snapshot: Snapshot, files: list[AddFile]) -> DataFrame:
-        paths = [self.abs_path(a.path) for a in files]
+    # ------------------------------------------------------- deletion vectors
+
+    def _dv_rows_df(self, adds: list[AddFile]) -> DataFrame:
+        """(``__dv_file`` abs path, ``__dv_ri``) pairs logically deleted from
+        ``adds``' files — the right side of the read path's anti-join. One
+        scan over the referenced DV parquets; the ``path`` filter pushes to
+        the scan. Stale duplicates across DV generations are harmless under
+        anti-join semantics (a file's deleted set only grows until the path
+        is removed), so no dedup shuffle is needed."""
+        descs = [a for a in adds if a.deletionVector]
+        dv_files = sorted({
+            self.abs_path(a.deletionVector["pathOrInlineDv"]) for a in descs
+        })
+        df = (
+            self.spark.read.parquet(*dv_files)
+            .filter(F.col("path").isin([a.path for a in descs]))
+            .select(
+                F.concat(F.lit(self.path + os.sep), F.col("path"))
+                .alias("__dv_file"),
+                F.col("row_index").alias("__dv_ri"),
+            )
+        )
+        if sum(a.dv_cardinality for a in descs) <= DV_BROADCAST_MAX_ROWS:
+            df = F.broadcast(df)
+        return df
+
+    def _write_dv_file(self, dv_rows: DataFrame) -> tuple[str, int]:
+        """Write (path, row_index) rows as ONE parquet under ``_dv/``;
+        returns (rel_path, size). One packed file per commit regardless of
+        how many data files it covers — Delta's multi-DV file layout, keyed
+        by the ``path`` column instead of byte offsets."""
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        dv_rows.coalesce(1).write.mode("overwrite").parquet(staging)
+        os.makedirs(self.dv_path, exist_ok=True)
+        rel, size = None, 0
+        for root, _dirs, files in os.walk(staging):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    dest = os.path.join(
+                        self.dv_path, f"dv-{uuid.uuid4().hex}.parquet")
+                    shutil.move(os.path.join(root, fn), dest)
+                    rel = os.path.relpath(dest, self.path)
+                    size = os.path.getsize(dest)
+        shutil.rmtree(staging, ignore_errors=True)
+        return rel, size
+
+    def read_adds(self, adds: list[AddFile],
+                  schema: T.StructType | None = None,
+                  file_col: str | None = None) -> DataFrame:
+        """Scan the given add files as logical rows: files carrying a
+        deletion vector are scanned with ``_metadata.row_index`` and
+        anti-joined against the DV rows (JVM-side, no UDF; broadcast when
+        the DV is small), clean files scan plain.
+
+        ``file_col`` attaches each row's source file (absolute path, no
+        scheme) as a column — captured from ``_metadata`` AT SCAN TIME, so
+        it stays reliable through the DV anti-join and the union (unlike
+        ``input_file_name()``, which is undefined after a join)."""
         reader = self.spark.read.option("basePath", self.data_path)
-        return reader.parquet(*paths)
+        if schema is not None:
+            reader = reader.schema(schema)
+        plain = [a for a in adds if not a.deletionVector]
+        dirty = [a for a in adds if a.deletionVector]
+        parts: list[DataFrame] = []
+        if plain:
+            p = reader.parquet(*[self.abs_path(a.path) for a in plain])
+            if file_col is not None:
+                p = p.withColumn(
+                    file_col,
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""),
+                )
+            parts.append(p)
+        if dirty:
+            d = (
+                reader.parquet(*[self.abs_path(a.path) for a in dirty])
+                .withColumn(
+                    "__dv_file",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""),
+                )
+                .withColumn("__dv_ri", F.col("_metadata.row_index"))
+                .join(self._dv_rows_df(dirty), ["__dv_file", "__dv_ri"],
+                      "left_anti")
+                .drop("__dv_ri")
+            )
+            if file_col is not None:
+                d = d.withColumnRenamed("__dv_file", file_col)
+            else:
+                d = d.drop("__dv_file")
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_files(self, snapshot: Snapshot, files: list[AddFile]) -> DataFrame:
+        return self.read_adds(files)
 
     def delete(self, condition: Column | str) -> int:
         """DELETE WHERE: rewrite files containing matches; emit remove+add
@@ -751,18 +853,18 @@ class TableLog:
         cdc files like Delta does for DELETE."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         snap = self.snapshot()
+        if snap.metadata.configuration.get(
+                "enableDeletionVectors", "").lower() == "true":
+            return self._delete_with_dv(cond, snap)
         version = snap.version + 1
         ts = self._next_commit_timestamp()
 
         touched: list[AddFile] = []
-        full = self._read_files(snap, snap.files).withColumn(
-            "__file", F.input_file_name()
-        )
+        full = self.read_adds(snap.files, file_col="__file")
         hit_files = {
-            os.path.relpath(r["f"], self.path)
-            for r in full.filter(cond).select(
-                F.regexp_replace(F.col("__file"), "^file:", "").alias("f")
-            ).distinct().collect()
+            os.path.relpath(r["__file"], self.path)
+            for r in full.filter(cond)
+            .select("__file").distinct().collect()
         }
         touched = [a for a in snap.files if a.path in hit_files]
         actions: list[Action] = []
@@ -799,6 +901,99 @@ class TableLog:
         self._write_commit(version, actions)
         return version
 
+    def _delete_with_dv(self, cond: Column, snap: Snapshot) -> int:
+        """DELETE via deletion vectors (``enableDeletionVectors=true``):
+        instead of rewriting every touched file, record the matching rows'
+        physical positions in a DV parquet and re-add the untouched data
+        files with the new descriptor — remove + add of the SAME path, the
+        Delta DV commit shape. A file whose deleted set reaches its physical
+        row count is removed outright. No data file is rewritten, so a
+        DELETE touching 1% of rows in every file costs one DV write instead
+        of a full-table rewrite — the 100 TB motivation."""
+        version = snap.version + 1
+        ts = self._next_commit_timestamp()
+        adds_by_path = {a.path: a for a in snap.files}
+        prefix_len = len(self.path + os.sep)
+
+        # logical rows (existing DVs applied) with physical positions
+        reader = self.spark.read.option("basePath", self.data_path)
+        df = (
+            reader.parquet(*[self.abs_path(a.path) for a in snap.files])
+            .withColumn(
+                "__dv_file",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""),
+            )
+            .withColumn("__dv_ri", F.col("_metadata.row_index"))
+        )
+        dirty = [a for a in snap.files if a.deletionVector]
+        if dirty:
+            df = df.join(self._dv_rows_df(dirty), ["__dv_file", "__dv_ri"],
+                         "left_anti")
+        matched = df.filter(cond).localCheckpoint(eager=False)
+
+        counts = {
+            r["f"][prefix_len:]: r["n"]
+            for r in matched.groupBy(F.col("__dv_file").alias("f"))
+            .agg(F.count("*").alias("n")).collect()
+        }
+        actions: list[Action] = []
+        n_deleted = sum(counts.values())
+        if counts:
+            touched = [adds_by_path[p] for p in sorted(counts)]
+            dv_rows = matched.select(
+                F.substring("__dv_file", prefix_len + 1, 1 << 30)
+                .alias("path"),
+                F.col("__dv_ri").alias("row_index"),
+            )
+            carried = [a for a in touched if a.deletionVector]
+            if carried:
+                # the new DV file must carry forward previously deleted
+                # positions of the touched files (descriptors point at one
+                # file each; old and new sets are disjoint by construction)
+                old = (
+                    self.spark.read.parquet(*sorted({
+                        self.abs_path(a.deletionVector["pathOrInlineDv"])
+                        for a in carried
+                    }))
+                    .filter(F.col("path").isin([a.path for a in carried]))
+                    .select("path", "row_index")
+                )
+                dv_rows = dv_rows.unionByName(old)
+            dv_rel, dv_size = self._write_dv_file(dv_rows)
+            for a in touched:
+                total = a.dv_cardinality + counts[a.path]
+                actions.append(
+                    RemoveFile(path=a.path,
+                               partitionValues=a.partitionValues,
+                               size=a.size))
+                if a.num_records is None or total < a.num_records:
+                    actions.append(AddFile(
+                        path=a.path, partitionValues=a.partitionValues,
+                        size=a.size, stats=a.stats,
+                        deletionVector={
+                            "storageType": "u",
+                            "pathOrInlineDv": dv_rel,
+                            "cardinality": total,
+                            "sizeInBytes": dv_size,
+                        }))
+            if snap.metadata.cdf_enabled and n_deleted:
+                cdc_rows = matched.drop("__dv_file", "__dv_ri").withColumn(
+                    CHANGE_TYPE_COL, F.lit("delete"))
+                staged_cdc = self._stage_dataframe(
+                    cdc_rows, [], self.cdc_path, prefix="cdc-")
+                actions += [
+                    AddCDCFile(path=p, partitionValues=pv, size=sz)
+                    for p, pv, sz, _st in staged_cdc
+                ]
+        actions.append(
+            CommitInfo(version=version, timestamp=ts, operation="DELETE",
+                       operationParameters={"deletionVectors": "true"},
+                       operationMetrics={"numDeletedRows": str(n_deleted)})
+        )
+        self._write_commit(version, actions)
+        return version
+
     def update(self, set_exprs: dict[str, Column | str],
                condition: Column | str) -> int:
         """UPDATE SET ... WHERE: rewrite matched files; CDF gets
@@ -813,14 +1008,11 @@ class TableLog:
         version = snap.version + 1
         ts = self._next_commit_timestamp()
 
-        full = self._read_files(snap, snap.files).withColumn(
-            "__file", F.input_file_name()
-        )
+        full = self.read_adds(snap.files, file_col="__file")
         hit_files = {
-            os.path.relpath(r["f"], self.path)
-            for r in full.filter(cond).select(
-                F.regexp_replace(F.col("__file"), "^file:", "").alias("f")
-            ).distinct().collect()
+            os.path.relpath(r["__file"], self.path)
+            for r in full.filter(cond)
+            .select("__file").distinct().collect()
         }
         touched = [a for a in snap.files if a.path in hit_files]
         actions: list[Action] = []
@@ -888,15 +1080,11 @@ class TableLog:
         src = source.select(*schema_cols)
         src_keys = src.select(*keys).distinct()
 
-        full = self._read_files(snap, snap.files).withColumn(
-            "__file", F.input_file_name()
-        )
+        full = self.read_adds(snap.files, file_col="__file")
         hit_files = {
-            os.path.relpath(r["f"], self.path)
+            os.path.relpath(r["__file"], self.path)
             for r in full.join(F.broadcast(src_keys), keys, "left_semi")
-            .select(
-                F.regexp_replace(F.col("__file"), "^file:", "").alias("f")
-            ).distinct().collect()
+            .select("__file").distinct().collect()
         }
         touched = [a for a in snap.files if a.path in hit_files]
 
@@ -1024,10 +1212,13 @@ class TableLog:
         actions: list[Action] = []
         n_compacted = 0
         for _key, files in sorted(groups.items()):
-            if len(files) < 2:
+            # single clean files are already compact; a lone file carrying a
+            # deletion vector still rewrites (OPTIMIZE purges DVs — the read
+            # is DV-aware, so the rewrite materializes logical rows only)
+            if len(files) < 2 and not any(a.deletionVector for a in files):
                 continue
             df = self._read_files(snap, files)
-            n_rows = sum(a.num_records or 0 for a in files)
+            n_rows = sum(a.logical_records or 0 for a in files)
             n_out = max(1, -(-n_rows // target_file_rows))
             staged = self._stage_dataframe(
                 df.repartition(n_out), snap.partition_columns, self.data_path
@@ -1059,10 +1250,12 @@ class TableLog:
         for commit in self.commits():
             for add in commit.adds:
                 referenced.add(add.path)
+                if add.deletionVector:
+                    referenced.add(add.deletionVector["pathOrInlineDv"])
             for c in commit.cdc:
                 referenced.add(c.path)
         removable: list[str] = []
-        for base in (self.data_path, self.cdc_path):
+        for base in (self.data_path, self.cdc_path, self.dv_path):
             if not os.path.isdir(base):
                 continue
             for root, _dirs, files in os.walk(base):

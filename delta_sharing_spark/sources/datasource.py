@@ -46,7 +46,8 @@ class _FilePartition(InputPartition):
     def __init__(self, path: str, partition_values: dict[str, str],
                  schema_json: str, change_type: str | None = None,
                  commit_version: int | None = None,
-                 commit_timestamp: int | None = None):
+                 commit_timestamp: int | None = None,
+                 dv_path: str | None = None, dv_key: str | None = None):
         self.path = path
         self.partition_values = partition_values
         self.schema_json = schema_json
@@ -55,6 +56,10 @@ class _FilePartition(InputPartition):
         self.change_type = change_type
         self.commit_version = commit_version
         self.commit_timestamp = commit_timestamp
+        # deletion vector: abs path of the DV parquet + this file's key (its
+        # log-relative path) within it; positions listed there are skipped
+        self.dv_path = dv_path
+        self.dv_key = dv_key
 
 
 def _parse_partition_value(value: str, dtype: T.DataType):
@@ -89,8 +94,33 @@ def _read_file_batches(partition: _FilePartition) -> Iterator:
         (f.name, to_arrow_type(f.dataType), f.dataType) for f in schema.fields
     ]
     cdf_mode = partition.commit_version is not None
+    deleted = None
+    if partition.dv_path:
+        # positions logically deleted from this file (deletion vector);
+        # the filter pushes down to the DV parquet's row groups
+        import numpy as np
+
+        dv = pq.read_table(
+            partition.dv_path, columns=["path", "row_index"],
+            filters=[("path", "==", partition.dv_key)],
+        )
+        deleted = np.sort(dv.column("row_index").to_numpy())
+    row_offset = 0
     pf = pq.ParquetFile(partition.path)
     for batch in pf.iter_batches(batch_size=65536):
+        if deleted is not None:
+            import numpy as np
+
+            n = batch.num_rows
+            hits = deleted[np.searchsorted(deleted, row_offset):
+                           np.searchsorted(deleted, row_offset + n)]
+            row_offset += n
+            if len(hits):
+                mask = np.ones(n, dtype=bool)
+                mask[hits - (row_offset - n)] = False
+                batch = batch.filter(pa.array(mask))
+            if batch.num_rows == 0:
+                continue
         n = batch.num_rows
         cols = []
         names = []
@@ -159,13 +189,23 @@ class SharedTableBatchReader(DataSourceReader):
         schema_json = snap.metadata.schemaString
         pcols = snap.partition_columns
         return [
-            _FilePartition(log.abs_path(f.path), f.partitionValues, schema_json)
+            _FilePartition(log.abs_path(f.path), f.partitionValues,
+                           schema_json, **_dv_args(log, f))
             for f in snap.files
             if keep_file(hints, f.partitionValues, f.stats_dict(), pcols)
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
         return _read_file_batches(partition)
+
+
+def _dv_args(log, f) -> dict:
+    """Deletion-vector kwargs for a _FilePartition (empty for clean files
+    and cdc files, which never carry DVs)."""
+    dv = getattr(f, "deletionVector", None)
+    if not dv:
+        return {}
+    return {"dv_path": log.abs_path(dv["pathOrInlineDv"]), "dv_key": f.path}
 
 
 def _filters_to_json_predicate(filters, snap):
@@ -484,13 +524,13 @@ class SharedTableStreamReader(DataSourceStreamReader):
         if not self.read_change_feed:
             return [
                 _FilePartition(log.abs_path(f.path), f.partitionValues,
-                               schema_json)
+                               schema_json, **_dv_args(log, f))
                 for _v, _i, f, _ct, _ts in batch
             ]
         return [
             _FilePartition(log.abs_path(f.path), f.partitionValues,
                            schema_json, change_type=ct, commit_version=v,
-                           commit_timestamp=ts)
+                           commit_timestamp=ts, **_dv_args(log, f))
             for v, _i, f, ct, ts in batch
         ]
 

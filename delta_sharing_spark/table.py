@@ -117,7 +117,7 @@ class SharedTable:
                     if prev_rows >= limit_hint:
                         break
                     out.append(f)
-                    prev_rows += f.num_records or 0
+                    prev_rows += f.logical_records or 0
                 files = out
             return [f.path for f in files]
         manifest = self.log.files_df(snapshot)
@@ -194,10 +194,12 @@ class SharedTable:
             return self.spark.createDataFrame([], snap.schema)
         # explicit declared schema (schema-on-read): files written before a
         # schema evolution lack newer columns and must null-fill them
-        # deterministically — never depend on which file Spark samples
-        reader = self.spark.read.schema(snap.schema).option(
-            "basePath", self.log.data_path)
-        df = reader.parquet(*[self.log.abs_path(p) for p in paths])
+        # deterministically — never depend on which file Spark samples.
+        # read_adds applies deletion vectors (anti-join on _metadata
+        # row positions) for files that carry one.
+        kept = set(paths)
+        df = self.log.read_adds(
+            [a for a in snap.files if a.path in kept], schema=snap.schema)
         df = self._normalize(df, snap)
         if limit is not None:
             df = df.limit(limit)
@@ -281,19 +283,24 @@ class SharedTable:
             },
         ]
         for add in files[start:end]:
-            lines.append(
-                {
-                    "file": {
-                        "url": self.log.abs_path(add.path),
-                        "id": add.path,
-                        "partitionValues": add.partitionValues,
-                        "size": add.size,
-                        "stats": add.stats,
-                        "version": add.version,
-                        "timestamp": add.timestamp,
-                    }
+            line = {
+                "file": {
+                    "url": self.log.abs_path(add.path),
+                    "id": add.path,
+                    "partitionValues": add.partitionValues,
+                    "size": add.size,
+                    "stats": add.stats,
+                    "version": add.version,
+                    "timestamp": add.timestamp,
                 }
-            )
+            }
+            if add.deletionVector:
+                line["file"]["deletionVector"] = {
+                    **add.deletionVector,
+                    "pathOrInlineDv": self.log.abs_path(
+                        add.deletionVector["pathOrInlineDv"]),
+                }
+            lines.append(line)
         if next_token or new_refresh_token:
             end: dict[str, Any] = {}
             if next_token:

@@ -112,6 +112,24 @@ def _orders_merge(spark: SparkSession, sf_dir: str) -> str:
     return _fixture(spark, sf_dir, "orders_merge", build)
 
 
+def _lineitem_dv(spark: SparkSession, sf_dir: str) -> str:
+    """Deletion-vector fixture: v0 = lineitem (DVs + CDF enabled,
+    partitioned by l_returnflag); v1 = DV DELETE l_quantity < 10;
+    v2 = DV DELETE l_discount > 0.08 (stacked on v1's vectors). No data
+    file is rewritten — both deletes only write DV parquets."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        li = read_table(spark, sf_dir, "lineitem")
+        log = TableLog(spark, path)
+        log.create(li, partition_by=["l_returnflag"], name="lineitem_dv",
+                   configuration={"enableDeletionVectors": "true",
+                                  "enableChangeDataFeed": "true"})
+        log.delete("l_quantity < 10")
+        log.delete("l_discount > 0.08")
+
+    return _fixture(spark, sf_dir, "lineitem_dv", build)
+
+
 # ----------------------------------------------------------------- snapshot
 
 @workload(
@@ -369,6 +387,52 @@ def eng_cdf_delete_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = table_changes(spark, path, starting_version=1, ending_version=1)
     return ch.select(
         "event_id", "event_type", F.col("_change_type").alias("change_type")
+    )
+
+
+@workload(
+    "eng_dv_delete",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE NOT (l_quantity < 10) AND NOT (l_discount > 0.08)
+    """,
+)
+def eng_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors: two stacked DV DELETEs (no file rewrites — the
+    commits re-add the same data files with grown vectors), read back as
+    logical rows via the _metadata.row_index anti-join (kernel DV read
+    semantics, DeltaSharedTableKernel.scala:446-449,723-733)."""
+    t = SharedTable(spark, _lineitem_dv(spark, sf_dir))
+    return t.to_df().agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@workload(
+    "eng_dv_cdf_window",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE NOT (l_quantity < 10) AND l_discount > 0.08
+    """,
+)
+def eng_dv_cdf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF of the SECOND DV delete: change rows must be exactly the rows
+    logically alive after v1 that v2's predicate matched — verifying the
+    vectors stack (v1's deleted positions are excluded from v2's cdc)."""
+    path = _lineitem_dv(spark, sf_dir)
+    ch = table_changes(spark, path, starting_version=2, ending_version=2)
+    return ch.agg(
+        F.count("*").alias("n_deleted"),
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double")
+        .alias("sum_qty"),
     )
 
 

@@ -498,6 +498,140 @@ class TestActionStream:
         assert {"url", "id", "partitionValues", "size", "stats"} <= set(f)
 
 
+class TestDeletionVectors:
+    @pytest.fixture()
+    def dv_table(self, spark, events, table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(events, partition_by=["event_type"], name="ev",
+                   configuration={"enableDeletionVectors": "true",
+                                  "enableChangeDataFeed": "true"})
+        return log
+
+    def test_dv_delete_no_rewrite(self, spark, events, dv_table):
+        before = {a.path for a in dv_table.snapshot().files}
+        dv_table.delete("event_id % 3 = 0")
+        snap = dv_table.snapshot()
+        after = {a.path for a in snap.files}
+        assert after == before  # same data files, no rewrite
+        dvs = [a for a in snap.files if a.deletionVector]
+        assert dvs and all(
+            a.deletionVector["cardinality"] > 0 for a in dvs)
+        t = SharedTable(spark, dv_table.path)
+        exp = events.filter("NOT (event_id % 3 = 0)")
+        assert t.to_df().count() == exp.count()
+
+    def test_dv_deletes_stack(self, spark, events, dv_table):
+        dv_table.delete("event_id % 3 = 0")
+        dv_table.delete("event_id % 5 = 0")
+        t = SharedTable(spark, dv_table.path)
+        exp = events.filter(
+            "NOT (event_id % 3 = 0) AND NOT (event_id % 5 = 0)")
+        got = {r["event_id"] for r in t.to_df().select("event_id").collect()}
+        want = {r["event_id"] for r in exp.select("event_id").collect()}
+        assert got == want
+        # v1 time travel applies only the first vector
+        assert t.to_df(version=1).count() == \
+            events.filter("NOT (event_id % 3 = 0)").count()
+
+    def test_fully_deleted_file_is_removed(self, spark, events, dv_table):
+        dv_table.delete("event_type = 'click'")
+        snap = dv_table.snapshot()
+        assert all(a.partitionValues.get("event_type") != "click"
+                   for a in snap.files)
+        t = SharedTable(spark, dv_table.path)
+        assert t.to_df().filter("event_type = 'click'").count() == 0
+
+    def test_limit_hint_subtracts_dv_cardinality(self, spark, events,
+                                                 dv_table):
+        dv_table.delete("event_id % 2 = 0")
+        snap = dv_table.snapshot()
+        t = SharedTable(spark, dv_table.path)
+        first = sorted(snap.files, key=lambda a: a.path)[0]
+        # a hint equal to the first file's LOGICAL rows must cut after it
+        paths = t.pruned_files(snap, limit_hint=first.logical_records)
+        assert len(paths) == 1
+
+    def test_optimize_purges_dvs(self, spark, events, dv_table):
+        dv_table.delete("event_id % 3 = 0")
+        n_logical = SharedTable(spark, dv_table.path).to_df().count()
+        dv_table.optimize()
+        snap = dv_table.snapshot()
+        assert not any(a.deletionVector for a in snap.files)
+        assert SharedTable(spark, dv_table.path).to_df().count() == n_logical
+
+    def test_vacuum_keeps_referenced_dvs(self, spark, events, dv_table):
+        dv_table.delete("event_id % 3 = 0")
+        removable = dv_table.vacuum(dry_run=True)
+        assert not [r for r in removable if r.startswith("_dv")]
+        # after optimize, historical DVs are still referenced by old commits
+        dv_table.optimize()
+        removable = dv_table.vacuum(dry_run=True)
+        assert not [r for r in removable if r.startswith("_dv")]
+
+    def test_cdf_of_dv_delete(self, spark, events, dv_table):
+        from delta_sharing_spark.cdf import table_changes
+
+        dv_table.delete("event_id % 3 = 0")
+        ch = table_changes(spark, dv_table.path,
+                           starting_version=1, ending_version=1)
+        exp = events.filter("event_id % 3 = 0")
+        assert ch.count() == exp.count()
+        assert {r["_change_type"] for r in ch.collect()} == {"delete"}
+
+    def test_wire_descriptor_and_checkpoint_roundtrip(self, spark, events,
+                                                      dv_table):
+        dv_table.delete("event_id % 3 = 0")
+        t = SharedTable(spark, dv_table.path)
+        out = t.query_actions()
+        dv_lines = [a["file"]["deletionVector"]
+                    for a in out["actions"]
+                    if "file" in a and "deletionVector" in a["file"]]
+        assert dv_lines and all(
+            d["storageType"] == "u" and d["cardinality"] > 0
+            and d["pathOrInlineDv"].endswith(".parquet") for d in dv_lines)
+        dv_table.write_checkpoint()
+        fresh = TableLog(spark, dv_table.path)
+        snap = fresh.snapshot()
+        assert any(a.deletionVector for a in snap.files)
+        assert SharedTable(spark, dv_table.path).to_df().count() == \
+            events.filter("NOT (event_id % 3 = 0)").count()
+
+    def test_delta_format_roundtrip_applies_dv(self, spark, events,
+                                               dv_table):
+        from delta_sharing_spark.deltaformat import (
+            actions_to_delta_format,
+            delta_lines_to_spark,
+        )
+
+        dv_table.delete("event_id % 3 = 0")
+        t = SharedTable(spark, dv_table.path)
+        lines = actions_to_delta_format(t.query_actions()["actions"])
+        adds = [line["file"]["deltaSingleAction"]["add"]
+                for line in lines if "file" in line]
+        assert any("deletionVector" in a for a in adds)
+        df = delta_lines_to_spark(spark, lines)
+        exp = events.filter("NOT (event_id % 3 = 0)")
+        assert df.count() == exp.count()
+        got = {r["event_id"] for r in df.select("event_id").collect()}
+        want = {r["event_id"] for r in exp.select("event_id").collect()}
+        assert got == want
+
+    def test_datasource_batch_applies_dv(self, spark, events, dv_table):
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableDataSource,
+        )
+
+        dv_table.delete("event_id % 4 = 0")
+        spark.dataSource.register(SharedTableDataSource)
+        df = (spark.read.format("deltashare")
+              .option("path", dv_table.path).load())
+        exp = events.filter("NOT (event_id % 4 = 0)")
+        assert df.count() == exp.count()
+        got = {r["event_id"] for r in df.select("event_id").collect()}
+        want = {r["event_id"] for r in exp.select("event_id").collect()}
+        assert got == want
+
+
 class TestMaintenance:
     def test_overwrite(self, spark, events, table_dir):
         log = TableLog(spark, table_dir)
