@@ -901,21 +901,11 @@ class TableLog:
         self._write_commit(version, actions)
         return version
 
-    def _delete_with_dv(self, cond: Column, snap: Snapshot) -> int:
-        """DELETE via deletion vectors (``enableDeletionVectors=true``):
-        instead of rewriting every touched file, record the matching rows'
-        physical positions in a DV parquet and re-add the untouched data
-        files with the new descriptor — remove + add of the SAME path, the
-        Delta DV commit shape. A file whose deleted set reaches its physical
-        row count is removed outright. No data file is rewritten, so a
-        DELETE touching 1% of rows in every file costs one DV write instead
-        of a full-table rewrite — the 100 TB motivation."""
-        version = snap.version + 1
-        ts = self._next_commit_timestamp()
-        adds_by_path = {a.path: a for a in snap.files}
-        prefix_len = len(self.path + os.sep)
-
-        # logical rows (existing DVs applied) with physical positions
+    def _logical_rows_with_pos(self, snap: Snapshot) -> DataFrame:
+        """Logical rows of the snapshot (existing deletion vectors applied)
+        with each row's physical position exposed as ``__dv_file`` (absolute
+        data-file path, no scheme) and ``__dv_ri`` (row index in that file)
+        — the input every DV-writing commit needs."""
         reader = self.spark.read.option("basePath", self.data_path)
         df = (
             reader.parquet(*[self.abs_path(a.path) for a in snap.files])
@@ -930,62 +920,85 @@ class TableLog:
         if dirty:
             df = df.join(self._dv_rows_df(dirty), ["__dv_file", "__dv_ri"],
                          "left_anti")
-        matched = df.filter(cond).localCheckpoint(eager=False)
+        return df
 
+    def _dv_mark_actions(self, matched: DataFrame,
+                         snap: Snapshot) -> tuple[list[Action], int]:
+        """Record ``matched`` rows (logical rows carrying ``__dv_file`` /
+        ``__dv_ri``) as deleted positions: writes ONE packed DV parquet
+        covering all touched files (carrying forward their previous vectors)
+        and returns (remove + re-add-with-descriptor actions, rows marked).
+        A file whose deleted set reaches its physical row count is removed
+        outright. Triggers one counting job over ``matched``."""
+        prefix_len = len(self.path + os.sep)
         counts = {
             r["f"][prefix_len:]: r["n"]
             for r in matched.groupBy(F.col("__dv_file").alias("f"))
             .agg(F.count("*").alias("n")).collect()
         }
-        actions: list[Action] = []
-        n_deleted = sum(counts.values())
-        if counts:
-            touched = [adds_by_path[p] for p in sorted(counts)]
-            dv_rows = matched.select(
-                F.substring("__dv_file", prefix_len + 1, 1 << 30)
-                .alias("path"),
-                F.col("__dv_ri").alias("row_index"),
+        if not counts:
+            return [], 0
+        adds_by_path = {a.path: a for a in snap.files}
+        touched = [adds_by_path[p] for p in sorted(counts)]
+        dv_rows = matched.select(
+            F.substring("__dv_file", prefix_len + 1, 1 << 30).alias("path"),
+            F.col("__dv_ri").alias("row_index"),
+        )
+        carried = [a for a in touched if a.deletionVector]
+        if carried:
+            # the new DV file must carry forward previously deleted
+            # positions of the touched files (descriptors point at one
+            # file each; old and new sets are disjoint by construction)
+            old = (
+                self.spark.read.parquet(*sorted({
+                    self.abs_path(a.deletionVector["pathOrInlineDv"])
+                    for a in carried
+                }))
+                .filter(F.col("path").isin([a.path for a in carried]))
+                .select("path", "row_index")
             )
-            carried = [a for a in touched if a.deletionVector]
-            if carried:
-                # the new DV file must carry forward previously deleted
-                # positions of the touched files (descriptors point at one
-                # file each; old and new sets are disjoint by construction)
-                old = (
-                    self.spark.read.parquet(*sorted({
-                        self.abs_path(a.deletionVector["pathOrInlineDv"])
-                        for a in carried
+            dv_rows = dv_rows.unionByName(old)
+        dv_rel, dv_size = self._write_dv_file(dv_rows)
+        actions: list[Action] = []
+        for a in touched:
+            total = a.dv_cardinality + counts[a.path]
+            actions.append(
+                RemoveFile(path=a.path, partitionValues=a.partitionValues,
+                           size=a.size))
+            if a.num_records is None or total < a.num_records:
+                actions.append(AddFile(
+                    path=a.path, partitionValues=a.partitionValues,
+                    size=a.size, stats=a.stats,
+                    deletionVector={
+                        "storageType": "u",
+                        "pathOrInlineDv": dv_rel,
+                        "cardinality": total,
+                        "sizeInBytes": dv_size,
                     }))
-                    .filter(F.col("path").isin([a.path for a in carried]))
-                    .select("path", "row_index")
-                )
-                dv_rows = dv_rows.unionByName(old)
-            dv_rel, dv_size = self._write_dv_file(dv_rows)
-            for a in touched:
-                total = a.dv_cardinality + counts[a.path]
-                actions.append(
-                    RemoveFile(path=a.path,
-                               partitionValues=a.partitionValues,
-                               size=a.size))
-                if a.num_records is None or total < a.num_records:
-                    actions.append(AddFile(
-                        path=a.path, partitionValues=a.partitionValues,
-                        size=a.size, stats=a.stats,
-                        deletionVector={
-                            "storageType": "u",
-                            "pathOrInlineDv": dv_rel,
-                            "cardinality": total,
-                            "sizeInBytes": dv_size,
-                        }))
-            if snap.metadata.cdf_enabled and n_deleted:
-                cdc_rows = matched.drop("__dv_file", "__dv_ri").withColumn(
-                    CHANGE_TYPE_COL, F.lit("delete"))
-                staged_cdc = self._stage_dataframe(
-                    cdc_rows, [], self.cdc_path, prefix="cdc-")
-                actions += [
-                    AddCDCFile(path=p, partitionValues=pv, size=sz)
-                    for p, pv, sz, _st in staged_cdc
-                ]
+        return actions, sum(counts.values())
+
+    def _delete_with_dv(self, cond: Column, snap: Snapshot) -> int:
+        """DELETE via deletion vectors (``enableDeletionVectors=true``):
+        instead of rewriting every touched file, record the matching rows'
+        physical positions in a DV parquet and re-add the untouched data
+        files with the new descriptor — remove + add of the SAME path, the
+        Delta DV commit shape. No data file is rewritten, so a DELETE
+        touching 1% of rows in every file costs one DV write instead of a
+        full-table rewrite — the 100 TB motivation."""
+        version = snap.version + 1
+        ts = self._next_commit_timestamp()
+        matched = self._logical_rows_with_pos(snap).filter(cond) \
+            .localCheckpoint(eager=False)
+        actions, n_deleted = self._dv_mark_actions(matched, snap)
+        if snap.metadata.cdf_enabled and n_deleted:
+            cdc_rows = matched.drop("__dv_file", "__dv_ri").withColumn(
+                CHANGE_TYPE_COL, F.lit("delete"))
+            staged_cdc = self._stage_dataframe(
+                cdc_rows, [], self.cdc_path, prefix="cdc-")
+            actions += [
+                AddCDCFile(path=p, partitionValues=pv, size=sz)
+                for p, pv, sz, _st in staged_cdc
+            ]
         actions.append(
             CommitInfo(version=version, timestamp=ts, operation="DELETE",
                        operationParameters={"deletionVectors": "true"},
@@ -994,17 +1007,72 @@ class TableLog:
         self._write_commit(version, actions)
         return version
 
+    def _update_with_dv(self, cond: Column, sets: dict[str, Column],
+                        snap: Snapshot) -> int:
+        """UPDATE via deletion vectors: matched rows' old positions are
+        marked deleted (no data-file rewrite) and their updated images are
+        appended as NEW files — Delta's DV update shape. An UPDATE touching
+        1% of rows costs one DV write plus 1%-sized new files instead of
+        rewriting every touched file."""
+        version = snap.version + 1
+        ts = self._next_commit_timestamp()
+        schema_cols = [f.name for f in snap.schema.fields]
+        matched = self._logical_rows_with_pos(snap).filter(cond) \
+            .localCheckpoint(eager=False)
+        actions, n_updated = self._dv_mark_actions(matched, snap)
+        if n_updated:
+            pre = matched.drop("__dv_file", "__dv_ri")
+            post = pre
+            for col_name, expr in sets.items():
+                post = post.withColumn(col_name, expr)
+            # conform to the declared schema: unlike the rewrite path there
+            # is no union with original-typed rows to coerce a SET expr's
+            # type (e.g. a bare "0.0" literal is DECIMAL(1,1), not DOUBLE)
+            post = post.select([
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in snap.schema.fields
+            ])
+            staged = self._stage_dataframe(post, snap.partition_columns,
+                                           self.data_path)
+            actions += [
+                AddFile(path=p, partitionValues=pv, size=sz, stats=st)
+                for p, pv, sz, st in staged
+            ]
+            if snap.metadata.cdf_enabled:
+                cdc_rows = pre.withColumn(
+                    CHANGE_TYPE_COL, F.lit("update_preimage")
+                ).unionByName(post.withColumn(
+                    CHANGE_TYPE_COL, F.lit("update_postimage")))
+                staged_cdc = self._stage_dataframe(
+                    cdc_rows, [], self.cdc_path, prefix="cdc-")
+                actions += [
+                    AddCDCFile(path=p, partitionValues=pv, size=sz)
+                    for p, pv, sz, _st in staged_cdc
+                ]
+        actions.append(
+            CommitInfo(version=version, timestamp=ts, operation="UPDATE",
+                       operationParameters={"deletionVectors": "true"},
+                       operationMetrics={"numUpdatedRows": str(n_updated)})
+        )
+        self._write_commit(version, actions)
+        return version
+
     def update(self, set_exprs: dict[str, Column | str],
                condition: Column | str) -> int:
         """UPDATE SET ... WHERE: rewrite matched files; CDF gets
         update_preimage/update_postimage rows (PROTOCOL.md CDF columns;
-        golden shape python/delta_sharing/tests/test_delta_sharing.py:1380-1400)."""
+        golden shape python/delta_sharing/tests/test_delta_sharing.py:1380-1400).
+        With ``enableDeletionVectors=true`` no file is rewritten: old
+        positions are DV-marked and updated images append as new files."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         sets = {
             k: (F.expr(v) if isinstance(v, str) else v)
             for k, v in set_exprs.items()
         }
         snap = self.snapshot()
+        if snap.metadata.configuration.get(
+                "enableDeletionVectors", "").lower() == "true":
+            return self._update_with_dv(cond, sets, snap)
         version = snap.version + 1
         ts = self._next_commit_timestamp()
 
@@ -1073,6 +1141,8 @@ class TableLog:
         deletes, inserts) when CDF is enabled, and always reports all three
         numTargetRows* metrics so readers can detect the no-op-MERGE case
         (ref DeltaSharingCDCReader.scala:301-323)."""
+        if when_matched not in (None, "update", "delete"):
+            raise ValueError(f"unknown when_matched: {when_matched!r}")
         snap = self.snapshot()
         version = snap.version + 1
         ts = self._next_commit_timestamp()
@@ -1080,45 +1150,43 @@ class TableLog:
         src = source.select(*schema_cols)
         src_keys = src.select(*keys).distinct()
 
+        dv_mode = snap.metadata.configuration.get(
+            "enableDeletionVectors", "").lower() == "true"
         full = self.read_adds(snap.files, file_col="__file")
-        hit_files = {
-            os.path.relpath(r["__file"], self.path)
-            for r in full.join(F.broadcast(src_keys), keys, "left_semi")
-            .select("__file").distinct().collect()
-        }
-        touched = [a for a in snap.files if a.path in hit_files]
 
         actions: list[Action] = []
         cdc_parts: list[DataFrame] = []
         n_updated = n_deleted = n_inserted = 0
-        if touched and when_matched is not None:
-            touched_df = self._read_files(snap, touched)
-            pre = touched_df.join(F.broadcast(src_keys), keys, "left_semi")
-            n_matched = pre.count()
-            keep = touched_df.join(F.broadcast(src_keys), keys, "left_anti")
+        if dv_mode and when_matched is not None:
+            # DV shape: mark matched rows' positions deleted (no rewrite of
+            # touched files); updated images append as NEW files
+            pre_pos = (
+                self._logical_rows_with_pos(snap)
+                .join(F.broadcast(src_keys), keys, "left_semi")
+                .localCheckpoint(eager=False)
+            )
+            mark_actions, n_matched = self._dv_mark_actions(pre_pos, snap)
+            actions += mark_actions
+            pre = pre_pos.drop("__dv_file", "__dv_ri")
+            post = None
             if when_matched == "update":
-                # one source row per matched target row (full-row replace)
                 post = pre.select(*keys).join(F.broadcast(src), keys) \
-                    .select(*schema_cols)
-                rewritten = keep.unionByName(post).select(*schema_cols)
+                    .select([
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in snap.schema.fields
+                    ])
                 n_updated = n_matched
+                if n_matched:
+                    staged = self._stage_dataframe(
+                        post, snap.partition_columns, self.data_path)
+                    actions += [
+                        AddFile(path=p, partitionValues=pv, size=sz, stats=st)
+                        for p, pv, sz, st in staged
+                    ]
             elif when_matched == "delete":
-                post = None
-                rewritten = keep.select(*schema_cols)
                 n_deleted = n_matched
             else:
                 raise ValueError(f"unknown when_matched: {when_matched!r}")
-            staged = self._stage_dataframe(rewritten, snap.partition_columns,
-                                           self.data_path)
-            actions += [
-                AddFile(path=p, partitionValues=pv, size=sz, stats=st)
-                for p, pv, sz, st in staged
-            ]
-            actions += [
-                RemoveFile(path=a.path, partitionValues=a.partitionValues,
-                           size=a.size)
-                for a in touched
-            ]
             if snap.metadata.cdf_enabled and n_matched:
                 if when_matched == "update":
                     cdc_parts.append(
@@ -1129,6 +1197,58 @@ class TableLog:
                 else:
                     cdc_parts.append(
                         pre.withColumn(CHANGE_TYPE_COL, F.lit("delete")))
+        elif when_matched is not None:
+            hit_files = {
+                os.path.relpath(r["__file"], self.path)
+                for r in full.join(F.broadcast(src_keys), keys, "left_semi")
+                .select("__file").distinct().collect()
+            }
+            touched = [a for a in snap.files if a.path in hit_files]
+            if touched:
+                touched_df = self._read_files(snap, touched)
+                pre = touched_df.join(F.broadcast(src_keys), keys,
+                                      "left_semi")
+                n_matched = pre.count()
+                keep = touched_df.join(F.broadcast(src_keys), keys,
+                                       "left_anti")
+                if when_matched == "update":
+                    # one source row per matched target row (full-row
+                    # replace)
+                    post = pre.select(*keys).join(F.broadcast(src), keys) \
+                        .select(*schema_cols)
+                    rewritten = keep.unionByName(post).select(*schema_cols)
+                    n_updated = n_matched
+                elif when_matched == "delete":
+                    post = None
+                    rewritten = keep.select(*schema_cols)
+                    n_deleted = n_matched
+                else:
+                    raise ValueError(
+                        f"unknown when_matched: {when_matched!r}")
+                staged = self._stage_dataframe(
+                    rewritten, snap.partition_columns, self.data_path)
+                actions += [
+                    AddFile(path=p, partitionValues=pv, size=sz, stats=st)
+                    for p, pv, sz, st in staged
+                ]
+                actions += [
+                    RemoveFile(path=a.path,
+                               partitionValues=a.partitionValues,
+                               size=a.size)
+                    for a in touched
+                ]
+                if snap.metadata.cdf_enabled and n_matched:
+                    if when_matched == "update":
+                        cdc_parts.append(
+                            pre.withColumn(CHANGE_TYPE_COL,
+                                           F.lit("update_preimage"))
+                            .unionByName(post.withColumn(
+                                CHANGE_TYPE_COL,
+                                F.lit("update_postimage"))))
+                    else:
+                        cdc_parts.append(
+                            pre.withColumn(CHANGE_TYPE_COL,
+                                           F.lit("delete")))
         if when_not_matched == "insert":
             target_keys = full.select(*keys).distinct()
             ins = src.join(target_keys, keys, "left_anti")
@@ -1156,6 +1276,8 @@ class TableLog:
             ]
         actions.append(
             CommitInfo(version=version, timestamp=ts, operation="MERGE",
+                       operationParameters=(
+                           {"deletionVectors": "true"} if dv_mode else {}),
                        operationMetrics={
                            "numTargetRowsInserted": str(n_inserted),
                            "numTargetRowsUpdated": str(n_updated),

@@ -112,6 +112,25 @@ def _orders_merge(spark: SparkSession, sf_dir: str) -> str:
     return _fixture(spark, sf_dir, "orders_merge", build)
 
 
+def _lineitem_dv_upd(spark: SparkSession, sf_dir: str) -> str:
+    """DV UPDATE/MERGE fixture: v0 = lineitem (DVs + CDF enabled,
+    partitioned by l_returnflag); v1 = DV UPDATE l_quantity += 100 WHERE
+    l_discount > 0.09 (old positions DV-marked, updated images appended as
+    new files); v2 = DV DELETE l_tax > 0.07 (vectors span original AND
+    update-appended files)."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        li = read_table(spark, sf_dir, "lineitem")
+        log = TableLog(spark, path)
+        log.create(li, partition_by=["l_returnflag"], name="lineitem_dv_upd",
+                   configuration={"enableDeletionVectors": "true",
+                                  "enableChangeDataFeed": "true"})
+        log.update({"l_quantity": "l_quantity + 100"}, "l_discount > 0.09")
+        log.delete("l_tax > 0.07")
+
+    return _fixture(spark, sf_dir, "lineitem_dv_upd", build)
+
+
 def _lineitem_dv(spark: SparkSession, sf_dir: str) -> str:
     """Deletion-vector fixture: v0 = lineitem (DVs + CDF enabled,
     partitioned by l_returnflag); v1 = DV DELETE l_quantity < 10;
@@ -431,6 +450,63 @@ def eng_dv_cdf_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = table_changes(spark, path, starting_version=2, ending_version=2)
     return ch.agg(
         F.count("*").alias("n_deleted"),
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@workload(
+    "eng_dv_update",
+    oracle="""
+    WITH upd AS (
+        SELECT CASE WHEN l_discount > 0.09 THEN l_quantity + 100
+                    ELSE l_quantity END AS q, l_tax, l_orderkey
+        FROM lineitem
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(q AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM upd WHERE NOT (l_tax > 0.07)
+    """,
+)
+def eng_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV UPDATE then DV DELETE: the update marks old positions deleted and
+    appends updated images as new files (no rewrite); the following delete's
+    vectors span both original and update-appended files. Latest snapshot
+    must equal the SQL replay of both operations."""
+    t = SharedTable(spark, _lineitem_dv_upd(spark, sf_dir))
+    return t.to_df().agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@workload(
+    "eng_dv_update_cdf",
+    oracle="""
+    WITH m AS (SELECT * FROM lineitem WHERE l_discount > 0.09)
+    SELECT 'update_preimage' AS _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM m
+    UNION ALL
+    SELECT 'update_postimage' AS _change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity + 100 AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_qty
+    FROM m
+    """,
+)
+def eng_dv_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF of the DV UPDATE commit: pre/postimage row sets must pair up
+    exactly (postimage quantity = preimage + 100) even though the commit
+    rewrote no data file."""
+    path = _lineitem_dv_upd(spark, sf_dir)
+    ch = table_changes(spark, path, starting_version=1, ending_version=1)
+    return ch.groupBy("_change_type").agg(
+        F.count("*").alias("n"),
         F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double")
         .alias("sum_qty"),
     )

@@ -616,6 +616,75 @@ class TestDeletionVectors:
         want = {r["event_id"] for r in exp.select("event_id").collect()}
         assert got == want
 
+    def test_dv_update_no_rewrite(self, spark, events, dv_table):
+        before = {a.path for a in dv_table.snapshot().files}
+        dv_table.update({"value": "value + 100"}, "event_id % 3 = 0")
+        snap = dv_table.snapshot()
+        # original files survive (now DV-marked); updated images are NEW adds
+        assert before.issubset({a.path for a in snap.files})
+        assert any(a.deletionVector for a in snap.files)
+        new_files = {a.path for a in snap.files} - before
+        assert new_files  # updated rows appended as new files
+        t = SharedTable(spark, dv_table.path)
+        got = t.to_df().agg(F.sum("value").alias("s")).collect()[0]["s"]
+        exp = events.selectExpr(
+            "CASE WHEN event_id % 3 = 0 THEN value + 100 ELSE value END v"
+        ).agg(F.sum("v").alias("s")).collect()[0]["s"]
+        assert abs(got - exp) < 1e-6
+        assert t.to_df().count() == events.count()
+
+    def test_dv_update_cdf_images(self, spark, events, dv_table):
+        from delta_sharing_spark.cdf import table_changes
+
+        dv_table.update({"value": "value + 100"}, "event_id % 7 = 0")
+        ch = table_changes(spark, dv_table.path,
+                           starting_version=1, ending_version=1)
+        n_match = events.filter("event_id % 7 = 0").count()
+        pre = ch.filter("_change_type = 'update_preimage'")
+        post = ch.filter("_change_type = 'update_postimage'")
+        assert pre.count() == n_match and post.count() == n_match
+        joined = pre.alias("a").join(post.alias("b"), "event_id") \
+            .selectExpr("a.value av", "b.value bv")
+        assert joined.filter("abs(bv - av - 100) > 1e-9").count() == 0
+
+    def test_dv_update_stacks_on_delete(self, spark, events, dv_table):
+        dv_table.delete("event_id % 2 = 0")
+        dv_table.update({"value": "0.0"}, "event_id % 3 = 0")
+        t = SharedTable(spark, dv_table.path)
+        df = t.to_df()
+        assert df.count() == events.filter("NOT (event_id % 2 = 0)").count()
+        # all surviving multiples of 3 were zeroed, nothing else was
+        assert df.filter("event_id % 3 = 0 AND value <> 0.0").count() == 0
+        assert df.filter("event_id % 2 = 0").count() == 0
+
+    def test_dv_merge_upsert(self, spark, events, dv_table):
+        before = {a.path for a in dv_table.snapshot().files}
+        src = events.filter("event_id % 10 = 0") \
+            .withColumn("value", F.lit(-1.0))
+        new_rows = events.limit(0).unionByName(
+            spark.createDataFrame(
+                [(10_000_001, None, 1, "click", 5.0, "{}")],
+                events.schema))
+        dv_table.merge(src.unionByName(new_rows), keys=["event_id"])
+        snap = dv_table.snapshot()
+        assert before.issubset({a.path for a in snap.files})
+        info = dv_table.commits(snap.version, snap.version)[0].info
+        assert info.operationParameters.get("deletionVectors") == "true"
+        assert int(info.operationMetrics["numTargetRowsInserted"]) == 1
+        t = SharedTable(spark, dv_table.path)
+        df = t.to_df()
+        assert df.count() == events.count() + 1
+        assert df.filter("event_id % 10 = 0 AND value <> -1.0").count() == 0
+        assert df.filter("event_id = 10000001").count() == 1
+
+    def test_dv_merge_delete_matched(self, spark, events, dv_table):
+        src = events.filter("event_type = 'click'")
+        dv_table.merge(src, keys=["event_id"], when_matched="delete",
+                       when_not_matched=None)
+        t = SharedTable(spark, dv_table.path)
+        assert t.to_df().count() == \
+            events.filter("event_type <> 'click'").count()
+
     def test_datasource_batch_applies_dv(self, spark, events, dv_table):
         from delta_sharing_spark.sources.datasource import (
             SharedTableDataSource,
