@@ -1,0 +1,111 @@
+"""Deterministic sampling / splitting / shuffling for training-data
+pipelines.
+
+Everything here is hash-deterministic (seeded md5 — the one hash both Spark
+and DuckDB compute identically, so every operator has a full value-level
+oracle) and shuffle-minimal:
+
+- ``split_assign`` and ``stratified_sample`` are pure projections/filters —
+  ZERO shuffles, they pipeline into whatever scan feeds them and push
+  nothing to the driver. At 100 TB a split assignment costs exactly one
+  pass over the id column.
+- ``shuffle_shards`` does the one shuffle a global deterministic shuffle
+  fundamentally needs (hash-partition into shards), then orders WITHIN each
+  shard via a per-shard window — no global sort, no single-partition
+  bottleneck; shards scale with the cluster.
+
+Reference scope: the reference engine (delta-io/delta-sharing) has no
+sampling surface; these extend the engine for LLM-corpus preparation
+(train/val/test carving, per-language subsampling, epoch shuffling) as
+first-class oracle-checked operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 1e6 buckets: fraction granularity 1e-6 while conv() of 8 hex chars (32
+# bits) stays far below bigint overflow
+HASH_BUCKETS = 1_000_000
+
+
+def hash_bucket(col: Column | str, salt: str = "",
+                buckets: int = HASH_BUCKETS) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from md5(salt || value).
+
+    Uses the first 8 hex chars (32 bits) — DuckDB replays it as
+    ``('0x' || substr(md5(salt || v), 1, 8))::BIGINT % buckets``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt),
+                                          c.cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % F.lit(buckets)
+    )
+
+
+def split_assign(df: DataFrame, id_col: str,
+                 splits: list[tuple[str, float]],
+                 salt: str = "split") -> DataFrame:
+    """Add a ``split`` column assigning each row to a named fraction
+    ("train"/"val"/"test", ...). Assignment depends only on (salt, id), so
+    it is stable across runs, engines, and table growth — a row keeps its
+    split when the corpus is re-processed. Pure projection: no shuffle.
+
+    ``splits``: ordered (name, fraction) pairs summing to ≤ 1.0; any
+    remainder falls into the last split.
+    """
+    total = sum(f for _n, f in splits)
+    if not 0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"split fractions must sum to (0, 1], got {total}")
+    bucket = hash_bucket(id_col, salt=salt)
+    expr = F.lit(splits[-1][0])
+    upper = 0.0
+    # build a CASE chain: bucket < cum_fraction * BUCKETS -> name
+    cases = []
+    for name, frac in splits[:-1]:
+        upper += frac
+        cases.append((int(round(upper * HASH_BUCKETS)), name))
+    for threshold, name in reversed(cases):
+        expr = F.when(bucket < threshold, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0,
+                      salt: str = "sample") -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff its hash bucket
+    falls below its stratum's fraction. Pure filter — no shuffle, no
+    sampling state, reproducible across engines. Strata missing from
+    ``fractions`` use ``default_fraction`` (0.0 = drop)."""
+    bucket = hash_bucket(id_col, salt=salt)
+    expr = F.lit(int(round(default_fraction * HASH_BUCKETS)))
+    for stratum, frac in sorted(fractions.items()):
+        expr = F.when(F.col(strata_col) == stratum,
+                      F.lit(int(round(frac * HASH_BUCKETS)))).otherwise(expr)
+    return df.filter(bucket < expr)
+
+
+def shuffle_shards(df: DataFrame, id_col: str, num_shards: int,
+                   salt: str = "shuffle") -> DataFrame:
+    """Deterministic global shuffle for training epochs: every row gets a
+    ``shard`` in [0, num_shards) and a dense ``pos`` within its shard,
+    both pure functions of (salt, id).
+
+    Plan shape: ONE hash shuffle on ``shard`` + a per-shard window sort —
+    no global ordering step. Reading shards in order [0..N) and rows by
+    ``pos`` within each shard yields the same permutation on any cluster
+    size; a different ``salt`` is a fresh epoch."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    win = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn(
+            "shard",
+            F.conv(F.substring("__h", 1, 8), 16, 10).cast("bigint")
+            % F.lit(num_shards))
+        .withColumn("pos", F.row_number().over(win) - F.lit(1))
+        .drop("__h")
+    )

@@ -41,6 +41,7 @@ def load_all() -> None:
         dedup,
         engine,
         relational,
+        sampling,
         similarity,
         streaming,
         text,

@@ -1,0 +1,123 @@
+"""Training-pipeline sampling workloads: deterministic train/val/test
+splits, stratified subsampling, and epoch shuffling over the ``documents``
+corpus — every operator hash-deterministic (seeded md5) so DuckDB replays
+the exact assignment and the driver gets full value-level oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_sharing_spark.io import read_table
+from delta_sharing_spark.operators.sampling import (
+    shuffle_shards,
+    split_assign,
+    stratified_sample,
+)
+from delta_sharing_spark.workloads import workload
+
+
+@workload(
+    "q_split_train_val_test",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5('split' || doc_id), 1, 8))::BIGINT
+                   % 1000000 AS bucket
+        FROM documents
+    ),
+    s AS (
+        SELECT n_chars,
+               CASE WHEN bucket < 800000 THEN 'train'
+                    WHEN bucket < 900000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY split
+    """,
+)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test carve: a pure projection (zero shuffles
+    before the final 3-group agg); a document keeps its split forever —
+    re-running on a grown corpus never moves old rows across splits."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = split_assign(docs, "doc_id",
+                       [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@workload(
+    "q_stratified_sample_lang",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, lang, n_chars,
+               ('0x' || substr(md5('sample' || doc_id), 1, 8))::BIGINT
+                   % 1000000 AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 250000
+                             WHEN 'de' THEN 500000
+                             ELSE 1000000 END
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing subsample (downsample dominant languages, keep
+    the tail whole): a pure deterministic filter — no shuffle, no sampling
+    state, bit-identical on any cluster."""
+    docs = read_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "lang", "doc_id",
+        fractions={"en": 0.25, "de": 0.5},
+        default_fraction=1.0,
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@workload(
+    "q_shuffle_shards",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, md5('shuffle' || doc_id) AS hh FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               ('0x' || substr(hh, 1, 8))::BIGINT % 16 AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY ('0x' || substr(hh, 1, 8))::BIGINT % 16
+                   ORDER BY hh, doc_id) - 1 AS pos
+        FROM h
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(pos) AS BIGINT) AS max_pos,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS perm_checksum
+    FROM sh GROUP BY shard
+    """,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle into 16 shards: one hash shuffle + a
+    per-shard window (no global sort). ``perm_checksum`` (sum of
+    pos*doc_id per shard) pins the exact permutation, not just the shard
+    sizes — DuckDB replays it identically."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, "doc_id", num_shards=16)
+    return out.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.max("pos").alias("max_pos"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("perm_checksum"),
+    )
