@@ -112,6 +112,22 @@ class ConcurrentCommitError(Exception):
     """Another writer committed this version first — re-resolve and retry."""
 
 
+class ConcurrentAppendError(ConcurrentCommitError):
+    """A concurrent commit appended data the losing operation's read may
+    have depended on (Delta's ConcurrentAppendException under
+    WriteSerializable). Retryable: re-run against the fresh snapshot."""
+
+
+class ConcurrentDeleteReadError(ConcurrentCommitError):
+    """A concurrent commit removed (or DV-rewrote) a file this operation
+    read (Delta's ConcurrentDeleteReadException). Retryable."""
+
+
+class ConcurrentDeleteDeleteError(ConcurrentCommitError):
+    """Both this operation and a concurrent commit removed the same file
+    (Delta's ConcurrentDeleteDeleteException). Retryable."""
+
+
 def _fmt_version(v: int) -> str:
     return f"{v:020d}.json"
 
@@ -592,6 +608,66 @@ class TableLog:
             os.unlink(tmp)
         self._maybe_checkpoint(version)
 
+    def _commit_checked(self, snap: "Snapshot", build_actions,
+                        *, read_paths: set[str],
+                        removed_paths: set[str] = frozenset(),
+                        tolerate_data_appends: bool = False,
+                        retries: int = 10) -> int:
+        """Commit with Delta's logical conflict rules (ConflictChecker
+        taxonomy): try at ``snap.version + 1``; on losing the race, classify
+        every interleaved winner —
+
+        - metadata change → ``MetadataChangedError`` (not retryable as-is);
+        - winner removed a file we also remove →
+          ``ConcurrentDeleteDeleteError``;
+        - winner removed a file we read → ``ConcurrentDeleteReadError``
+          (covers DV re-adds: a deletion-vector commit removes + re-adds
+          the same path, so our stale read of it conflicts);
+        - winner appended data rows and the op's result depends on what it
+          read (``tolerate_data_appends=False``) → ``ConcurrentAppendError``;
+        - otherwise the interleaved commits are logically disjoint
+          (e.g. appends racing an OPTIMIZE of pre-existing files) → REBASE:
+          re-target the same staged actions at the next version, no re-run.
+
+        ``build_actions(version, ts) -> list[Action]`` rebinds only the
+        CommitInfo on rebase — staged files never move. The typed errors
+        subclass ``ConcurrentCommitError`` so ``retry_on_conflict`` re-runs
+        the whole operation against the fresh snapshot."""
+        version = snap.version + 1
+        last: Exception | None = None
+        for _ in range(retries + 1):
+            ts = self._next_commit_timestamp()
+            try:
+                self._write_commit(version, build_actions(version, ts))
+                return version
+            except ConcurrentCommitError as exc:
+                last = exc
+                latest = self.latest_version()
+                for v in range(version, latest + 1):
+                    winner = self.read_commit(v)
+                    if winner.metadata is not None:
+                        raise MetadataChangedError(
+                            f"table metadata changed concurrently at "
+                            f"version {v}") from exc
+                    won_removed = {r.path for r in winner.removes}
+                    dd = won_removed & set(removed_paths)
+                    if dd:
+                        raise ConcurrentDeleteDeleteError(
+                            f"version {v} concurrently removed "
+                            f"{sorted(dd)[:3]}...") from exc
+                    dr = won_removed & set(read_paths)
+                    if dr:
+                        raise ConcurrentDeleteReadError(
+                            f"version {v} concurrently removed files this "
+                            f"operation read: {sorted(dr)[:3]}...") from exc
+                    if (not tolerate_data_appends
+                            and any(a.dataChange for a in winner.adds)):
+                        raise ConcurrentAppendError(
+                            f"version {v} concurrently appended data this "
+                            f"operation's read may depend on") from exc
+                version = latest + 1
+        raise last
+
     def _stage_dataframe(
         self, df: DataFrame, partition_columns: list[str], target_dir: str,
         prefix: str = "",
@@ -694,28 +770,18 @@ class TableLog:
             AddFile(path=p, partitionValues=pv, size=sz, stats=st)
             for p, pv, sz, st in staged
         ]
-        version = snap.version + 1
-        last: Exception | None = None
-        for _ in range(retries + 1):
-            ts = self._next_commit_timestamp()
-            actions = adds + [
-                CommitInfo(version=version, timestamp=ts, operation="WRITE",
-                           operationMetrics={"numFiles": str(len(staged))},
-                           operationParameters=operation_parameters or {})
-            ]
-            try:
-                self._write_commit(version, actions)
-                return version
-            except ConcurrentCommitError as exc:
-                last = exc
-                latest = self.latest_version()
-                for v in range(version, latest + 1):
-                    if self.read_commit(v).metadata is not None:
-                        raise MetadataChangedError(
-                            f"table metadata changed concurrently at "
-                            f"version {v}; aborting append") from exc
-                version = latest + 1
-        raise last
+        # blind append: reads nothing, so it rebases over ANY interleaved
+        # data commit; only a concurrent metadata change aborts
+        return self._commit_checked(
+            snap,
+            lambda v, ts: adds + [CommitInfo(
+                version=v, timestamp=ts, operation="WRITE",
+                operationMetrics={"numFiles": str(len(staged))},
+                operationParameters=operation_parameters or {})],
+            read_paths=set(),
+            tolerate_data_appends=True,
+            retries=retries,
+        )
 
     def update_metadata(self, schema: T.StructType | None = None,
                         configuration: dict[str, str] | None = None) -> int:
@@ -723,8 +789,6 @@ class TableLog:
         streaming reads gate on read-compatibility of these
         (client/.../spark/util/SchemaUtils.scala:37-90)."""
         snap = self.snapshot()
-        version = snap.version + 1
-        ts = self._next_commit_timestamp()
         meta = snap.metadata
         new_meta = Metadata(
             id=meta.id,
@@ -737,12 +801,15 @@ class TableLog:
             else meta.configuration,
             createdTime=meta.createdTime,
         )
-        actions: list[Action] = [
-            new_meta,
-            CommitInfo(version=version, timestamp=ts, operation="SET METADATA"),
-        ]
-        self._write_commit(version, actions)
-        return version
+        # reads only the metadata: rebase over interleaved data commits,
+        # abort only if another writer changed metadata concurrently
+        return self._commit_checked(
+            snap,
+            lambda v, ts: [new_meta, CommitInfo(
+                version=v, timestamp=ts, operation="SET METADATA")],
+            read_paths=set(),
+            tolerate_data_appends=True,
+        )
 
     # ------------------------------------------------- row-mutating commits
 
@@ -856,9 +923,6 @@ class TableLog:
         if snap.metadata.configuration.get(
                 "enableDeletionVectors", "").lower() == "true":
             return self._delete_with_dv(cond, snap)
-        version = snap.version + 1
-        ts = self._next_commit_timestamp()
-
         touched: list[AddFile] = []
         full = self.read_adds(snap.files, file_col="__file")
         hit_files = {
@@ -894,12 +958,14 @@ class TableLog:
                     AddCDCFile(path=p, partitionValues=pv, size=sz)
                     for p, pv, sz, _st in staged_cdc
                 ]
-        actions.append(
-            CommitInfo(version=version, timestamp=ts, operation="DELETE",
-                       operationMetrics={"numDeletedRows": str(n_deleted)})
+        return self._commit_checked(
+            snap,
+            lambda v, ts: actions + [CommitInfo(
+                version=v, timestamp=ts, operation="DELETE",
+                operationMetrics={"numDeletedRows": str(n_deleted)})],
+            read_paths={a.path for a in snap.files},
+            removed_paths={a.path for a in touched},
         )
-        self._write_commit(version, actions)
-        return version
 
     def _logical_rows_with_pos(self, snap: Snapshot) -> DataFrame:
         """Logical rows of the snapshot (existing deletion vectors applied)
@@ -985,8 +1051,6 @@ class TableLog:
         Delta DV commit shape. No data file is rewritten, so a DELETE
         touching 1% of rows in every file costs one DV write instead of a
         full-table rewrite — the 100 TB motivation."""
-        version = snap.version + 1
-        ts = self._next_commit_timestamp()
         matched = self._logical_rows_with_pos(snap).filter(cond) \
             .localCheckpoint(eager=False)
         actions, n_deleted = self._dv_mark_actions(matched, snap)
@@ -999,13 +1063,16 @@ class TableLog:
                 AddCDCFile(path=p, partitionValues=pv, size=sz)
                 for p, pv, sz, _st in staged_cdc
             ]
-        actions.append(
-            CommitInfo(version=version, timestamp=ts, operation="DELETE",
-                       operationParameters={"deletionVectors": "true"},
-                       operationMetrics={"numDeletedRows": str(n_deleted)})
+        return self._commit_checked(
+            snap,
+            lambda v, ts: actions + [CommitInfo(
+                version=v, timestamp=ts, operation="DELETE",
+                operationParameters={"deletionVectors": "true"},
+                operationMetrics={"numDeletedRows": str(n_deleted)})],
+            read_paths={a.path for a in snap.files},
+            removed_paths={x.path for x in actions
+                           if isinstance(x, RemoveFile)},
         )
-        self._write_commit(version, actions)
-        return version
 
     def _update_with_dv(self, cond: Column, sets: dict[str, Column],
                         snap: Snapshot) -> int:
@@ -1014,9 +1081,6 @@ class TableLog:
         appended as NEW files — Delta's DV update shape. An UPDATE touching
         1% of rows costs one DV write plus 1%-sized new files instead of
         rewriting every touched file."""
-        version = snap.version + 1
-        ts = self._next_commit_timestamp()
-        schema_cols = [f.name for f in snap.schema.fields]
         matched = self._logical_rows_with_pos(snap).filter(cond) \
             .localCheckpoint(eager=False)
         actions, n_updated = self._dv_mark_actions(matched, snap)
@@ -1049,13 +1113,16 @@ class TableLog:
                     AddCDCFile(path=p, partitionValues=pv, size=sz)
                     for p, pv, sz, _st in staged_cdc
                 ]
-        actions.append(
-            CommitInfo(version=version, timestamp=ts, operation="UPDATE",
-                       operationParameters={"deletionVectors": "true"},
-                       operationMetrics={"numUpdatedRows": str(n_updated)})
+        return self._commit_checked(
+            snap,
+            lambda v, ts: actions + [CommitInfo(
+                version=v, timestamp=ts, operation="UPDATE",
+                operationParameters={"deletionVectors": "true"},
+                operationMetrics={"numUpdatedRows": str(n_updated)})],
+            read_paths={a.path for a in snap.files},
+            removed_paths={x.path for x in actions
+                           if isinstance(x, RemoveFile)},
         )
-        self._write_commit(version, actions)
-        return version
 
     def update(self, set_exprs: dict[str, Column | str],
                condition: Column | str) -> int:
@@ -1073,8 +1140,6 @@ class TableLog:
         if snap.metadata.configuration.get(
                 "enableDeletionVectors", "").lower() == "true":
             return self._update_with_dv(cond, sets, snap)
-        version = snap.version + 1
-        ts = self._next_commit_timestamp()
 
         full = self.read_adds(snap.files, file_col="__file")
         hit_files = {
@@ -1117,12 +1182,14 @@ class TableLog:
                     AddCDCFile(path=p, partitionValues=pv, size=sz)
                     for p, pv, sz, _st in staged_cdc
                 ]
-        actions.append(
-            CommitInfo(version=version, timestamp=ts, operation="UPDATE",
-                       operationMetrics={"numUpdatedRows": str(n_updated)})
+        return self._commit_checked(
+            snap,
+            lambda v, ts: actions + [CommitInfo(
+                version=v, timestamp=ts, operation="UPDATE",
+                operationMetrics={"numUpdatedRows": str(n_updated)})],
+            read_paths={a.path for a in snap.files},
+            removed_paths={a.path for a in touched},
         )
-        self._write_commit(version, actions)
-        return version
 
     def merge(self, source: DataFrame, keys: list[str],
               when_matched: str | None = "update",
@@ -1144,8 +1211,6 @@ class TableLog:
         if when_matched not in (None, "update", "delete"):
             raise ValueError(f"unknown when_matched: {when_matched!r}")
         snap = self.snapshot()
-        version = snap.version + 1
-        ts = self._next_commit_timestamp()
         schema_cols = [f.name for f in snap.schema.fields]
         src = source.select(*schema_cols)
         src_keys = src.select(*keys).distinct()
@@ -1274,27 +1339,31 @@ class TableLog:
                 AddCDCFile(path=p, partitionValues=pv, size=sz)
                 for p, pv, sz, _st in staged_cdc
             ]
-        actions.append(
-            CommitInfo(version=version, timestamp=ts, operation="MERGE",
-                       operationParameters=(
-                           {"deletionVectors": "true"} if dv_mode else {}),
-                       operationMetrics={
-                           "numTargetRowsInserted": str(n_inserted),
-                           "numTargetRowsUpdated": str(n_updated),
-                           "numTargetRowsDeleted": str(n_deleted),
-                       })
+        return self._commit_checked(
+            snap,
+            lambda v, ts: actions + [CommitInfo(
+                version=v, timestamp=ts, operation="MERGE",
+                operationParameters=(
+                    {"deletionVectors": "true"} if dv_mode else {}),
+                operationMetrics={
+                    "numTargetRowsInserted": str(n_inserted),
+                    "numTargetRowsUpdated": str(n_updated),
+                    "numTargetRowsDeleted": str(n_deleted),
+                })],
+            read_paths={a.path for a in snap.files},
+            removed_paths={x.path for x in actions
+                           if isinstance(x, RemoveFile)},
         )
-        self._write_commit(version, actions)
-        return version
 
     # ------------------------------------------------------- maintenance ops
 
     def overwrite(self, df: DataFrame) -> int:
         """INSERT OVERWRITE: replace the table's full contents in one
-        commit (removes every active file, adds the new set)."""
+        commit (removes every active file, adds the new set). Any
+        interleaved data commit conflicts — "full contents" is defined at
+        the overwrite's snapshot — so concurrent appends raise
+        ``ConcurrentAppendError`` (retry_on_conflict re-runs over them)."""
         snap = self.snapshot()
-        version = snap.version + 1
-        ts = self._next_commit_timestamp()
         staged = self._stage_dataframe(df, snap.partition_columns,
                                        self.data_path)
         actions: list[Action] = [
@@ -1306,12 +1375,14 @@ class TableLog:
                        size=a.size)
             for a in snap.files
         ]
-        actions.append(
-            CommitInfo(version=version, timestamp=ts, operation="OVERWRITE",
-                       operationMetrics={"numFiles": str(len(staged))})
+        return self._commit_checked(
+            snap,
+            lambda v, ts: actions + [CommitInfo(
+                version=v, timestamp=ts, operation="OVERWRITE",
+                operationMetrics={"numFiles": str(len(staged))})],
+            read_paths={a.path for a in snap.files},
+            removed_paths={a.path for a in snap.files},
         )
-        self._write_commit(version, actions)
-        return version
 
     def optimize(self, target_file_rows: int = 1_000_000) -> int:
         """OPTIMIZE (compaction): bin-pack small files into larger ones,
@@ -1322,10 +1393,14 @@ class TableLog:
 
         At 100 TB this is the small-files cure: read-side task count drops
         from O(commits x partitions) to O(data size / target file size).
+
+        Conflict behavior: compaction reads ONLY the files it compacts, so
+        concurrent appends are logically disjoint — the commit REBASES over
+        them instead of aborting (Delta's disjoint-files rule). Only a
+        concurrent remove/DV-rewrite of a compacted input file conflicts.
+        Background compaction must not lose races to ingest.
         """
         snap = self.snapshot()
-        version = snap.version + 1
-        ts = self._next_commit_timestamp()
         # group active files by partition values; compact groups with >1 file
         groups: dict[tuple, list[AddFile]] = {}
         for add in snap.files:
@@ -1356,12 +1431,17 @@ class TableLog:
                 for a in files
             ]
             n_compacted += len(files)
-        actions.append(
-            CommitInfo(version=version, timestamp=ts, operation="OPTIMIZE",
-                       operationMetrics={"numCompacted": str(n_compacted)})
+        compacted_inputs = {x.path for x in actions
+                            if isinstance(x, RemoveFile)}
+        return self._commit_checked(
+            snap,
+            lambda v, ts: actions + [CommitInfo(
+                version=v, timestamp=ts, operation="OPTIMIZE",
+                operationMetrics={"numCompacted": str(n_compacted)})],
+            read_paths=compacted_inputs,
+            removed_paths=compacted_inputs,
+            tolerate_data_appends=True,
         )
-        self._write_commit(version, actions)
-        return version
 
     def vacuum(self, dry_run: bool = False) -> list[str]:
         """VACUUM: delete data files no longer referenced by ANY version of
@@ -1412,8 +1492,6 @@ class TableLog:
         from pyspark.sql import Window
 
         snap = self.snapshot()
-        version = snap.version + 1
-        ts = self._next_commit_timestamp()
         df = self._read_files(snap, snap.files)
         n_buckets = 1 << bits_per_col
         zcols = []
@@ -1452,9 +1530,14 @@ class TableLog:
                        size=a.size, dataChange=False)
             for a in snap.files
         ]
-        actions.append(
-            CommitInfo(version=version, timestamp=ts, operation="ZORDER",
-                       operationParameters={"columns": ",".join(columns)})
+        # like OPTIMIZE, clustering reads only the files it rewrites:
+        # rebase over concurrent appends (they stay unclustered but alive)
+        return self._commit_checked(
+            snap,
+            lambda v, ts: actions + [CommitInfo(
+                version=v, timestamp=ts, operation="ZORDER",
+                operationParameters={"columns": ",".join(columns)})],
+            read_paths={a.path for a in snap.files},
+            removed_paths={a.path for a in snap.files},
+            tolerate_data_appends=True,
         )
-        self._write_commit(version, actions)
-        return version

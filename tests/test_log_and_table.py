@@ -135,6 +135,100 @@ class TestConcurrentWriters:
             "event_id >= 50 and event_id < 110").count()
 
 
+class TestConflictRules:
+    """Delta's logical conflict taxonomy (ConflictChecker): disjoint
+    commits rebase instead of aborting; overlapping ones raise typed,
+    retryable errors."""
+
+    @staticmethod
+    def _race(log, fire):
+        """Patch log._write_commit to run ``fire()`` (a competing commit)
+        before the first attempt, stealing its version."""
+        orig = TableLog._write_commit
+        fired = []
+
+        def racy(self_, version, actions):
+            if not fired:
+                fired.append(1)
+                fire()
+            return orig(self_, version, actions)
+
+        log._write_commit = racy.__get__(log)
+
+    def test_optimize_rebases_over_append(self, spark, events, tmp_path):
+        d = str(tmp_path / "optrace")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 50"), name="t")
+        log.append(events.filter("event_id >= 50 and event_id < 100"))
+        other = TableLog(spark, d)
+        self._race(log, lambda: other.append(
+            events.filter("event_id >= 100 and event_id < 150")))
+        v = log.optimize()
+        # no abort, no re-run: the compaction rebased to the next version
+        assert v == 3
+        info = log.commits(3, 3)[0].info
+        assert info.operation == "OPTIMIZE"
+        got = SharedTable(spark, d).to_df()
+        assert got.count() == events.filter("event_id < 150").count()
+
+    def test_delete_conflicts_with_concurrent_append(self, spark, events,
+                                                     tmp_path):
+        from delta_sharing_spark.plans.log import ConcurrentAppendError
+
+        d = str(tmp_path / "delapp")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"), name="t")
+        other = TableLog(spark, d)
+        self._race(log, lambda: other.append(
+            events.filter("event_id >= 100 and event_id < 110")))
+        with pytest.raises(ConcurrentAppendError):
+            log.delete("event_id < 50")
+
+    def test_concurrent_delete_delete(self, spark, events, tmp_path):
+        from delta_sharing_spark.plans.log import (
+            ConcurrentDeleteDeleteError,
+            ConcurrentDeleteReadError,
+        )
+
+        d = str(tmp_path / "deldel")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"), name="t")
+        other = TableLog(spark, d)
+        self._race(log, lambda: other.delete("event_id < 10"))
+        with pytest.raises((ConcurrentDeleteDeleteError,
+                            ConcurrentDeleteReadError)):
+            log.delete("event_id < 20")
+
+    def test_optimize_conflicts_with_delete_of_input(self, spark, events,
+                                                     tmp_path):
+        from delta_sharing_spark.plans.log import ConcurrentCommitError
+
+        d = str(tmp_path / "optdel")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 50"), name="t")
+        log.append(events.filter("event_id >= 50 and event_id < 100"))
+        other = TableLog(spark, d)
+        # the competing DELETE rewrites (removes) optimize's input files
+        self._race(log, lambda: other.delete("event_id < 25"))
+        with pytest.raises(ConcurrentCommitError):
+            log.optimize()
+
+    def test_update_metadata_rebases_over_append(self, spark, events,
+                                                 tmp_path):
+        d = str(tmp_path / "metarebase")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 10"), name="t")
+        other = TableLog(spark, d)
+        self._race(log, lambda: other.append(
+            events.filter("event_id >= 10 and event_id < 20")))
+        v = log.update_metadata(configuration={"k": "v"})
+        assert v == 2
+        fresh = TableLog(spark, d)
+        assert fresh.snapshot().metadata.configuration.get("k") == "v"
+        assert SharedTable(spark, d).to_df().count() == \
+            events.filter("event_id < 20").count()
+
+
 class TestMerge:
     """MERGE INTO (upsert) + the reference's no-op-MERGE CDF skip
     (DeltaSharingCDCReader.scala:301-323)."""
