@@ -251,6 +251,38 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str,
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
+def decontaminate(train: DataFrame, bench: DataFrame, id_col: str,
+                 text_col: str, shingle_k: int = 13,
+                 min_overlap: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    ``min_overlap`` distinct word ``shingle_k``-grams with any benchmark
+    document (the standard 13-gram contamination test for LLM training
+    corpora).
+
+    Returns (id_col, n_overlap) for contaminated training docs.
+
+    Scale shape: the benchmark side is small by nature (an eval set), so
+    its distinct shingle set BROADCASTS; training shingles stream through
+    the broadcast-hash join with no shuffle of the corpus, and the only
+    shuffle is the per-doc overlap count (map-side partials on the doc id).
+    The 100 TB cost is one pass over the training text."""
+    t_sh = train.select(
+        F.col(id_col),
+        F.explode(_word_shingles(text_col, shingle_k)).alias("s"),
+    )
+    b_sh = (
+        bench.select(F.explode(_word_shingles(text_col, shingle_k))
+                     .alias("s"))
+        .distinct()
+    )
+    return (
+        t_sh.join(F.broadcast(b_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    max_iterations: int = 20) -> DataFrame:
     """Connected components over near-dup pairs -> (id, component) where

@@ -109,3 +109,39 @@ def shuffle_shards(df: DataFrame, id_col: str, num_shards: int,
         .withColumn("pos", F.row_number().over(win) - F.lit(1))
         .drop("__h")
     )
+
+
+def pack_sequences(df: DataFrame, id_col: str, n_tokens_col: str,
+                   max_tokens: int, num_shards: int = 16,
+                   salt: str = "pack") -> DataFrame:
+    """Pack documents into fixed-budget training sequences: each row gets a
+    ``shard``, a ``seq_id`` within the shard, and its token ``offset``
+    inside that sequence, by contiguous fill in deterministic shuffle order
+    (a document landing astride a boundary belongs to the sequence where it
+    started — the greedy contiguous packing used for LLM pretraining
+    batches).
+
+    Plan shape: identical to :func:`shuffle_shards` — one hash shuffle into
+    shards, then a per-shard running-sum window. No global sort; shard
+    count scales with the cluster, and the assignment is a pure function of
+    (salt, ids, token counts), so re-running on any cluster size yields the
+    same sequences."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    win = (
+        Window.partitionBy("shard").orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(n_tokens_col).over(win), F.lit(0))
+    return (
+        df.withColumn("__h", h)
+        .withColumn(
+            "shard",
+            F.conv(F.substring("__h", 1, 8), 16, 10).cast("bigint")
+            % F.lit(num_shards))
+        .withColumn("__cum", cum)
+        .withColumn("seq_id",
+                    F.floor(F.col("__cum") / F.lit(max_tokens)))
+        .withColumn("offset",
+                    (F.col("__cum") % F.lit(max_tokens)).cast("bigint"))
+        .drop("__h", "__cum")
+    )

@@ -12,6 +12,7 @@ from delta_sharing_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
+    decontaminate,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_near_pairs,
@@ -292,3 +293,41 @@ def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("final_tokens"),
         ))
     )
+
+
+@workload(
+    "q_decontaminate",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 12, 1)),
+               i -> array_to_string(
+                 list_slice(string_split(text, ' '), i::INT, i::INT + 12), ' ')
+             ))) AS s
+      FROM documents
+    ),
+    bench_ids AS (
+      SELECT doc_id FROM documents
+      WHERE ('0x' || substr(md5('bench' || doc_id), 1, 8))::BIGINT
+              % 1000000 < 20000
+    ),
+    b_sh AS (
+      SELECT DISTINCT s FROM sh JOIN bench_ids USING (doc_id)
+    )
+    SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM sh JOIN b_sh USING (s)
+    GROUP BY sh.doc_id
+    HAVING COUNT(*) >= 1
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any distinct word
+    13-gram with a (hash-selected 2%) benchmark subset. The benchmark
+    shingle set broadcasts; the corpus streams through the join — one pass
+    over the training text at any scale."""
+    from delta_sharing_spark.operators.sampling import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(hash_bucket("doc_id", salt="bench") < 20_000)
+    return decontaminate(docs, bench, "doc_id", "text", shingle_k=13)

@@ -121,3 +121,48 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("pos").alias("max_pos"),
         F.sum(F.col("pos") * F.col("doc_id")).alias("perm_checksum"),
     )
+
+@workload(
+    "q_pack_sequences",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               md5('pack' || doc_id) AS hh
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, n_tok, hh,
+               ('0x' || substr(hh, 1, 8))::BIGINT % 8 AS shard
+        FROM h
+    ),
+    c AS (
+        SELECT shard, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY shard ORDER BY hh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+        FROM sh
+    )
+    SELECT shard,
+           CAST(cum // 1024 AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM c GROUP BY shard, seq_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing of documents into 1024-token training
+    sequences across 8 shards: one hash shuffle + per-shard running-sum
+    window (no global sort). The oracle replays the exact packing and
+    checks every sequence's document count and token load."""
+    from delta_sharing_spark.operators.sampling import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents") \
+        .withColumn("n_tok", F.size(F.split("text", " ")))
+    packed = pack_sequences(docs, "doc_id", "n_tok",
+                            max_tokens=1024, num_shards=8)
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+    )

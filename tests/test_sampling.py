@@ -94,3 +94,65 @@ class TestShuffleShards:
         out = shuffle_shards(docs, "doc_id", num_shards=8)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestPackSequences:
+    def test_budget_and_contiguity(self, docs, spark):
+        from delta_sharing_spark.operators.sampling import pack_sequences
+
+        d = docs.withColumn("n_tok", F.size(F.split("text", " ")))
+        out = pack_sequences(d, "doc_id", "n_tok",
+                             max_tokens=512, num_shards=4)
+        assert out.count() == docs.count()
+        # a doc STARTS inside its sequence's budget (offset < max_tokens)
+        assert out.filter("offset >= 512").count() == 0
+        # seq ids are dense per shard: max(seq_id)+1 == distinct seq count
+        per = (out.groupBy("shard")
+               .agg(F.max("seq_id").alias("mx"),
+                    F.countDistinct("seq_id").alias("d"))
+               .filter("d <> mx + 1"))
+        assert per.count() == 0
+        # contiguous fill: within a shard ordered by (seq_id, offset), each
+        # doc starts exactly where the previous one's tokens ended
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("shard").orderBy("seq_id", "offset")
+        gaps = (out.withColumn(
+                    "cum", F.col("seq_id") * 512 + F.col("offset"))
+                .withColumn("prev_end",
+                            F.lag(F.col("cum") + F.col("n_tok")).over(w))
+                .filter("prev_end IS NOT NULL AND cum <> prev_end"))
+        assert gaps.count() == 0
+
+    def test_deterministic(self, docs):
+        from delta_sharing_spark.operators.sampling import pack_sequences
+
+        d = docs.withColumn("n_tok", F.size(F.split("text", " ")))
+        a = pack_sequences(d, "doc_id", "n_tok", 512, 4) \
+            .select("doc_id", "shard", "seq_id", "offset")
+        b = pack_sequences(d, "doc_id", "n_tok", 512, 4) \
+            .select("doc_id", "shard", "seq_id", "offset")
+        assert a.exceptAll(b).count() == 0
+
+
+class TestDecontaminate:
+    def test_bench_members_flagged(self, docs, spark):
+        from delta_sharing_spark.operators.dedup import decontaminate
+
+        bench = docs.filter("doc_id % 17 = 0")
+        hits = decontaminate(docs, bench, "doc_id", "text", shingle_k=13)
+        flagged = {r["doc_id"] for r in hits.collect()}
+        # every benchmark doc is trivially contaminated (it IS in train)
+        bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+        assert bench_ids <= flagged
+
+    def test_clean_corpus_not_flagged(self, docs, spark):
+        from delta_sharing_spark.operators.dedup import decontaminate
+
+        bench = docs.filter("doc_id % 17 = 0")
+        train = docs.filter("doc_id % 17 <> 0")
+        hits = decontaminate(train, bench, "doc_id", "text",
+                             shingle_k=13, min_overlap=3)
+        # distinct synthetic docs share few 13-grams: requiring 3 distinct
+        # overlaps keeps the clean corpus (mostly) unflagged
+        assert hits.count() < train.count() * 0.05
