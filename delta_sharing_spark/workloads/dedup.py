@@ -73,8 +73,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                threshold=0.5)
 
 
+# sig_i = min over shingles of the (i % 4)-th 32-bit slice of md5 seeded by
+# i // 4 — mirrors operators.dedup.minhash_signatures' 2-md5 layout exactly
 _DUCK_MINHASH_SIGS = ",\n".join(
-    f"""list_min(list_transform({{sh}}, s -> md5('{i}:' || s))) AS sig_{i}"""
+    f"""list_min(list_transform({{sh}},
+        s -> substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8)))
+        AS sig_{i}"""
     for i in range(8)
 ).replace("{sh}", "shingles")
 
