@@ -361,12 +361,18 @@ def q_setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("k"))
         .distinct()
     )
-    spark_rows = [
-        ("intersect", building.intersect(bigspend).count()),
-        ("except", building.exceptAll(bigspend).distinct().count()),
-        ("union", building.union(bigspend).distinct().count()),
-    ]
-    return spark.createDataFrame(spark_rows, "op string, n long")
+    def tagged_count(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")) \
+            .select(F.lit(op).alias("op"), "n")
+
+    # one unioned single-row-agg plan — ONE job, no driver-side scalars
+    return (
+        tagged_count(building.intersect(bigspend), "intersect")
+        .unionByName(tagged_count(
+            building.exceptAll(bigspend).distinct(), "except"))
+        .unionByName(tagged_count(
+            building.union(bigspend).distinct(), "union"))
+    )
 
 
 # ------------------------------------------------------------ scalar funcs
