@@ -269,6 +269,15 @@ class SharedTableStreamReader(DataSourceStreamReader):
         mb = options.get("maxbytespertrigger")
         self.max_bytes = int(mb) if mb else None
         self.starting_version = options.get("startingversion")
+        # startingTimestamp resolves to the exact-or-earliest-after version
+        # (ref DeltaSharingOptions startingTimestamp -> getVersionByTimestamp;
+        # mutually exclusive with startingVersion like the reference)
+        self.starting_timestamp = options.get("startingtimestamp")
+        if self.starting_version is not None \
+                and self.starting_timestamp is not None:
+            raise ValueError(
+                "startingVersion and startingTimestamp are mutually "
+                "exclusive")
         self.ignore_deletes = options.get("ignoredeletes", "false") == "true"
         self.ignore_changes = options.get("ignorechanges", "false") == "true"
         self.skip_change_commits = (
@@ -436,6 +445,10 @@ class SharedTableStreamReader(DataSourceStreamReader):
         if self.starting_version is not None:
             offset = {"version": int(self.starting_version), "index": 0,
                       "isStartingVersion": False}
+        elif self.starting_timestamp is not None:
+            v = self._log().earliest_version_at_or_after(
+                self.starting_timestamp)
+            offset = {"version": v, "index": 0, "isStartingVersion": False}
         else:
             version, _files = self._snapshot_sequence()
             offset = {"version": version, "index": 0,

@@ -73,6 +73,36 @@ class TestStreaming:
         total = events.count() + events.filter("event_id < 30").count()
         assert out.count() == total
 
+    def test_starting_timestamp(self, spark, events, stream_table):
+        # resolve the exact timestamp of v1 and stream changes from it:
+        # only the append's rows arrive (no initial snapshot)
+        ts = TableLog(spark, stream_table).commits(1, 1)[0].timestamp
+        import datetime as _dt
+
+        iso = _dt.datetime.fromtimestamp(
+            ts / 1000, _dt.timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
+        out, _batches = self._drain(spark, stream_table, "stts",
+                                    startingTimestamp=iso)
+        assert out.count() == events.filter("event_id < 30").count()
+
+    def test_starting_version_and_timestamp_conflict(self, spark,
+                                                     stream_table):
+        import pyspark.errors
+
+        reader = (spark.readStream.format("deltashare")
+                  .option("path", stream_table)
+                  .option("startingVersion", "0")
+                  .option("startingTimestamp", "2020-01-01 00:00:00"))
+        q = None
+        try:
+            with pytest.raises(Exception, match="mutually"):
+                q = (reader.load().writeStream.format("memory")
+                     .queryName("stconf").start())
+                q.processAllAvailable()
+        finally:
+            if q is not None:
+                q.stop()
+
     def test_delete_commit_errors_without_flag(self, spark, events, tmp_path):
         d = str(tmp_path / "del")
         log = TableLog(spark, d)
