@@ -208,12 +208,26 @@ def _dv_args(log, f) -> dict:
     return {"dv_path": log.abs_path(dv["pathOrInlineDv"]), "dv_key": f.path}
 
 
+# In filters expand to OR-of-equals only up to this many entries, like the
+# reference client (OpConverter.scala:58-224)
+_IN_EXPANSION_MAX = 20
+
+
 def _filters_to_json_predicate(filters, snap):
     """Translate pushed v2 Filters on partition/stats columns into the JSON
-    predicate tree (the engine's native pruning input). Unsupported filters
-    are simply not translated (kept exact by Spark)."""
+    predicate tree (the engine's native pruning input) — the OpConverter
+    direction (ref client/.../filters/OpConverter.scala:58-224, incl. the
+    In ≤20 → OR-of-EQ expansion and IsNotNull → not(isNull)). Unsupported
+    filters are simply not translated (kept exact by Spark)."""
     from pyspark.sql.datasource import (
-        EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
     )
 
     type_names = {f.name: f.dataType for f in snap.schema.fields}
@@ -225,26 +239,50 @@ def _filters_to_json_predicate(filters, snap):
             T.DoubleType: "double", T.TimestampType: "timestamp",
         }.get(type(dt))
 
+    def col_node(col: str, vt: str) -> dict:
+        return {"op": "column", "name": col, "valueType": vt}
+
+    def lit_node(value, vt: str) -> dict:
+        return {"op": "literal", "value": str(value), "valueType": vt}
+
     ops = {EqualTo: "equal", LessThan: "lessThan",
            LessThanOrEqual: "lessThanOrEqual", GreaterThan: "greaterThan",
            GreaterThanOrEqual: "greaterThanOrEqual"}
     children = []
     for f in filters or []:
-        op = ops.get(type(f))
-        if op is None or len(f.attribute) != 1:
+        if len(f.attribute) != 1:
             continue
         col = f.attribute[0]
         dt = type_names.get(col)
         vt = vtype(dt) if dt is not None else None
         if vt is None:
             continue
-        children.append({
-            "op": op,
-            "children": [
-                {"op": "column", "name": col, "valueType": vt},
-                {"op": "literal", "value": str(f.value), "valueType": vt},
-            ],
-        })
+        if isinstance(f, IsNull):
+            children.append({"op": "isNull",
+                             "children": [col_node(col, vt)]})
+        elif isinstance(f, IsNotNull):
+            children.append({
+                "op": "not",
+                "children": [{"op": "isNull",
+                              "children": [col_node(col, vt)]}],
+            })
+        elif isinstance(f, In):
+            if not f.value or len(f.value) > _IN_EXPANSION_MAX \
+                    or any(v is None for v in f.value):
+                continue
+            eqs = [{"op": "equal",
+                    "children": [col_node(col, vt), lit_node(v, vt)]}
+                   for v in f.value]
+            children.append(eqs[0] if len(eqs) == 1
+                            else {"op": "or", "children": eqs})
+        else:
+            op = ops.get(type(f))
+            if op is None:
+                continue
+            children.append({
+                "op": op,
+                "children": [col_node(col, vt), lit_node(f.value, vt)],
+            })
     if not children:
         return None
     if len(children) == 1:
@@ -298,6 +336,11 @@ class SharedTableStreamReader(DataSourceStreamReader):
         # multi-batch draining use a processing-time trigger +
         # processAllAvailable instead (workloads/streaming.py:_drain).
         self.available_now = options.get("availablenow", "false") == "true"
+        # throttle log re-listing between latestOffset polls (ref
+        # queryTableVersionIntervalSeconds; 0 = poll every trigger)
+        self.version_poll_interval = float(
+            options.get("querytableversionintervalseconds", "0"))
+        self._last_poll_ts: float | None = None
         self._schema = schema
         self._last_planned: dict | None = None
         # test instrumentation: when set, append one JSON line per reader
@@ -486,6 +529,17 @@ class SharedTableStreamReader(DataSourceStreamReader):
         #   latest vs the checkpoint's space — would bound the next batch
         #   incorrectly (duplicate/skipped files).
         start = self._last_planned or self.initialOffset()
+        if self.version_poll_interval > 0:
+            # version-polling throttle (ref queryTableVersionIntervalSeconds,
+            # DeltaSharingSource.scala:176-238 / ConfUtils default 30s): skip
+            # re-listing the log within the interval — report no progress
+            import time as _time
+
+            now = _time.monotonic()
+            if (self._last_poll_ts is not None
+                    and now - self._last_poll_ts < self.version_poll_interval):
+                return dict(start)
+            self._last_poll_ts = now
         seq = self._after(self._sequence_for(start), start)
         if self.available_now:
             admitted = seq  # drain to the frozen end, ignoring caps

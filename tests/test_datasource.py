@@ -51,6 +51,67 @@ class TestBatch:
         assert 0 < len(pruned) < len(all_parts)
 
 
+class TestFilterConversion:
+    def test_in_and_null_filters(self, spark, stream_table):
+        from pyspark.sql.datasource import In, IsNotNull, IsNull
+
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableBatchReader,
+        )
+
+        reader = SharedTableBatchReader({"path": stream_table}, None)
+        all_parts = reader.partitions()
+        # In over two partition values prunes to exactly those partitions
+        reader.pushFilters([In(("event_type",), ("click", "view"))])
+        pruned = reader.partitions()
+        assert 0 < len(pruned) < len(all_parts)
+        # IsNotNull on a never-null partition column keeps everything
+        reader.pushFilters([IsNotNull(("event_type",))])
+        assert len(reader.partitions()) == len(all_parts)
+        # IsNull on that column prunes everything
+        reader.pushFilters([IsNull(("event_type",))])
+        assert len(reader.partitions()) == 0
+
+    def test_oversize_in_not_translated(self, spark, stream_table):
+        from pyspark.sql.datasource import In
+
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableBatchReader,
+        )
+
+        reader = SharedTableBatchReader({"path": stream_table}, None)
+        all_parts = reader.partitions()
+        big = In(("event_type",), tuple(f"v{i}" for i in range(25)))
+        reader.pushFilters([big])
+        # >20 entries: kept exact by Spark, no pruning
+        assert len(reader.partitions()) == len(all_parts)
+
+
+class TestVersionPollThrottle:
+    def test_latest_offset_cached_within_interval(self, spark, events,
+                                                  stream_table):
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableStreamReader,
+        )
+
+        r = SharedTableStreamReader(
+            {"path": stream_table,
+             "querytableversionintervalseconds": "300"}, None)
+        r.initialOffset()
+        end1 = r.latestOffset()
+        TableLog(spark, stream_table).append(events.filter("event_id < 5"))
+        # within the interval: no re-list, no progress reported
+        assert r.latestOffset() == r._last_planned
+        # force the interval to elapse: the append is picked up
+        r._last_poll_ts -= 301
+        end3 = r.latestOffset()
+        assert self._key(end3) > self._key(end1)
+
+    @staticmethod
+    def _key(o):
+        return (int(o["version"]), int(o["index"]))
+
+
 class TestStreaming:
     def _drain(self, spark, path, name, **options):
         reader = spark.readStream.format("deltashare").option("path", path)
