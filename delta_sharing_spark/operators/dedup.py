@@ -132,17 +132,37 @@ def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        shingle_k: int = 3, threshold: float = 0.5) -> DataFrame:
+                        shingle_k: int = 3, threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via the inverted-index join:
     explode distinct shingles, self-join on shingle, count common shingles,
     Jaccard = common / (|A| + |B| - common).
 
     The shingle join IS the scalable candidate generator (only docs sharing
-    a shingle ever meet); hot shingles can be frequency-capped upstream.
+    a shingle ever meet). ``max_doc_freq`` caps hot shingles: a shingle
+    appearing in more than that many documents is dropped from CANDIDATE
+    GENERATION (both the join and the |A|/|B| set sizes — so the capped
+    Jaccard stays a true Jaccard over the rare-shingle sets). On a web
+    corpus a boilerplate shingle ("all rights reserved ...") otherwise
+    fans out to a quadratic bucket — the classic inverted-index skew killer;
+    capping bounds any shingle's join contribution to max_doc_freq².
     """
     sh = _word_shingles(text_col, shingle_k)
-    toks = df.select(F.col(id_col), F.size(sh).alias("n_sh"),
-                     F.explode(sh).alias("sh"))
+    if max_doc_freq is None:
+        toks = df.select(F.col(id_col), F.size(sh).alias("n_sh"),
+                         F.explode(sh).alias("sh"))
+    else:
+        # doc-frequency per shingle is a small aggregate; the filtered
+        # shingle set rebuilds per-doc sizes so the capped Jaccard is exact
+        # over the rare-shingle sets
+        exploded = df.select(F.col(id_col), F.explode(sh).alias("sh"))
+        freq = (exploded.groupBy("sh")
+                .agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_doc_freq)
+                .select("sh"))
+        kept = exploded.join(freq, "sh")
+        sizes = kept.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        toks = kept.join(sizes, id_col)
     a, b = toks.alias("a"), toks.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))

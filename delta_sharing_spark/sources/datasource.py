@@ -220,6 +220,7 @@ def _filters_to_json_predicate(filters, snap):
     In ≤20 → OR-of-EQ expansion and IsNotNull → not(isNull)). Unsupported
     filters are simply not translated (kept exact by Spark)."""
     from pyspark.sql.datasource import (
+        EqualNullSafe,
         EqualTo,
         GreaterThan,
         GreaterThanOrEqual,
@@ -257,7 +258,20 @@ def _filters_to_json_predicate(filters, snap):
         vt = vtype(dt) if dt is not None else None
         if vt is None:
             continue
-        if isinstance(f, IsNull):
+        if isinstance(f, EqualNullSafe):
+            # null-safe equality (ref OpConverter's expansion): <=> null is
+            # IS NULL; <=> non-null translates as plain equal, which is a
+            # SAFE superset under keep-on-Unknown pruning (null column
+            # values evaluate Unknown -> file kept)
+            if f.value is None:
+                children.append({"op": "isNull",
+                                 "children": [col_node(col, vt)]})
+            else:
+                children.append({
+                    "op": "equal",
+                    "children": [col_node(col, vt), lit_node(f.value, vt)],
+                })
+        elif isinstance(f, IsNull):
             children.append({"op": "isNull",
                              "children": [col_node(col, vt)]})
         elif isinstance(f, IsNotNull):

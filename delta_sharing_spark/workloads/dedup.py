@@ -84,6 +84,49 @@ _DUCK_MINHASH_SIGS = ",\n".join(
 
 
 @workload(
+    "q_dedup_jaccard_capped",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
+    ),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ),
+    rare AS (
+      SELECT s FROM exploded GROUP BY s HAVING COUNT(*) <= 10
+    ),
+    kept AS (
+      SELECT doc_id, s FROM exploded JOIN rare USING (s)
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT k.doc_id, k.s, z.n_sh FROM kept k JOIN sizes z USING (doc_id)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS common
+      FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, common,
+           CAST(common AS DOUBLE) / (n_a + n_b - common) AS jaccard
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.5
+    """,
+)
+def q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup with a hot-shingle frequency cap (doc-freq <= 10):
+    boilerplate shingles are dropped from candidate generation, bounding
+    any shingle's join fan-out — the inverted-index skew fix for web-scale
+    corpora. Jaccard is exact over the rare-shingle sets."""
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3,
+                               threshold=0.5, max_doc_freq=10)
+
+
+@workload(
     "q_dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS (

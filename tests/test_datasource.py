@@ -72,6 +72,23 @@ class TestFilterConversion:
         reader.pushFilters([IsNull(("event_type",))])
         assert len(reader.partitions()) == 0
 
+    def test_equal_null_safe(self, spark, stream_table):
+        from pyspark.sql.datasource import EqualNullSafe, EqualTo
+
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableBatchReader,
+        )
+
+        reader = SharedTableBatchReader({"path": stream_table}, None)
+        # <=> non-null prunes exactly like plain equality
+        reader.pushFilters([EqualTo(("event_type",), "click")])
+        eq_parts = reader.partitions()
+        reader.pushFilters([EqualNullSafe(("event_type",), "click")])
+        assert len(reader.partitions()) == len(eq_parts)
+        # <=> NULL is IS NULL: a never-null partition column prunes all
+        reader.pushFilters([EqualNullSafe(("event_type",), None)])
+        assert len(reader.partitions()) == 0
+
     def test_oversize_in_not_translated(self, spark, stream_table):
         from pyspark.sql.datasource import In
 
