@@ -89,6 +89,29 @@ class MetadataChangedError(Exception):
     MetadataChangedException taxonomy)."""
 
 
+def _file_stats_dict(add) -> dict:
+    """Parse an AddFile's stats JSON for the sessionless predicate
+    evaluator; unparsable/missing stats -> {} (evaluates Unknown -> kept)."""
+    try:
+        return json.loads(add.stats) if add.stats else {}
+    except (TypeError, ValueError):
+        return {}
+
+
+def _file_may_match(add, predicate: dict | str | None,
+                    partition_columns: list[str]) -> bool:
+    """Could ``add`` contain a row matching ``predicate``? True unless the
+    file's partitionValues + stats PROVE no row matches (the same
+    never-wrongly-skip contract as query pruning). No predicate = matches
+    everything (conservative whole-table read scope)."""
+    from delta_sharing_spark.plans.predicates import keep_file
+
+    if predicate is None:
+        return True
+    return keep_file(predicate, add.partitionValues, _file_stats_dict(add),
+                     partition_columns)
+
+
 def retry_on_conflict(fn, retries: int = 2):
     """Optimistic-concurrency wrapper for read-dependent write ops (DELETE /
     UPDATE / MERGE / OVERWRITE / OPTIMIZE): on ``ConcurrentCommitError`` the
@@ -612,6 +635,7 @@ class TableLog:
                         *, read_paths: set[str],
                         removed_paths: set[str] = frozenset(),
                         tolerate_data_appends: bool = False,
+                        read_predicate: dict | str | None = None,
                         retries: int = 10) -> int:
         """Commit with Delta's logical conflict rules (ConflictChecker
         taxonomy): try at ``snap.version + 1``; on losing the race, classify
@@ -627,7 +651,15 @@ class TableLog:
           read (``tolerate_data_appends=False``) → ``ConcurrentAppendError``;
         - otherwise the interleaved commits are logically disjoint
           (e.g. appends racing an OPTIMIZE of pre-existing files) → REBASE:
-          re-target the same staged actions at the next version, no re-run.
+        re-target the same staged actions at the next version, no re-run.
+
+        ``read_predicate`` scopes the append rule the way Delta's
+        ConflictChecker checks ``winningCommitAddedFiles`` against the
+        transaction's recorded readPredicates: a winner-added file whose
+        partitionValues + stats prove it cannot contain a matching row
+        (sessionless ``keep_file`` = False) is logically disjoint and
+        rebases instead of aborting. Files with missing/unparsable stats
+        conservatively count as matches.
 
         ``build_actions(version, ts) -> list[Action]`` rebinds only the
         CommitInfo on rebase — staged files never move. The typed errors
@@ -660,8 +692,10 @@ class TableLog:
                         raise ConcurrentDeleteReadError(
                             f"version {v} concurrently removed files this "
                             f"operation read: {sorted(dr)[:3]}...") from exc
-                    if (not tolerate_data_appends
-                            and any(a.dataChange for a in winner.adds)):
+                    if not tolerate_data_appends and any(
+                            a.dataChange and _file_may_match(
+                                a, read_predicate, snap.partition_columns)
+                            for a in winner.adds):
                         raise ConcurrentAppendError(
                             f"version {v} concurrently appended data this "
                             f"operation's read may depend on") from exc
@@ -912,25 +946,38 @@ class TableLog:
     def _read_files(self, snapshot: Snapshot, files: list[AddFile]) -> DataFrame:
         return self.read_adds(files)
 
-    def delete(self, condition: Column | str) -> int:
+    def delete(self, condition: Column | str,
+               predicate_hints: dict | str | None = None) -> int:
         """DELETE WHERE: rewrite files containing matches; emit remove+add
         actions and (if CDF enabled) a cdc file of deleted rows — the
         reference *infers* delete change-type from remove actions when no cdc
         file exists (python/delta_sharing/protocol.py:289-368); we write real
-        cdc files like Delta does for DELETE."""
+        cdc files like Delta does for DELETE.
+
+        ``predicate_hints`` (JSON predicate op-tree) MUST be implied by
+        ``condition`` (every matching row lives in a file the hints keep —
+        the predicateHints contract). It scopes both the scan (only kept
+        files are read) and the conflict read-set: a concurrent append whose
+        files provably can't match rebases instead of raising
+        ``ConcurrentAppendError`` (Delta ConflictChecker's readPredicates
+        check), so e.g. a DELETE confined to partition P tolerates appends
+        to partition Q."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         snap = self.snapshot()
+        cand = self._pruned_candidates(snap, predicate_hints)
         if snap.metadata.configuration.get(
                 "enableDeletionVectors", "").lower() == "true":
-            return self._delete_with_dv(cond, snap)
+            return self._delete_with_dv(cond, snap, cand, predicate_hints)
         touched: list[AddFile] = []
-        full = self.read_adds(snap.files, file_col="__file")
-        hit_files = {
-            os.path.relpath(r["__file"], self.path)
-            for r in full.filter(cond)
-            .select("__file").distinct().collect()
-        }
-        touched = [a for a in snap.files if a.path in hit_files]
+        hit_files: set[str] = set()
+        if cand:
+            full = self.read_adds(cand, file_col="__file")
+            hit_files = {
+                os.path.relpath(r["__file"], self.path)
+                for r in full.filter(cond)
+                .select("__file").distinct().collect()
+            }
+        touched = [a for a in cand if a.path in hit_files]
         actions: list[Action] = []
         n_deleted = 0
         if touched:
@@ -963,18 +1010,35 @@ class TableLog:
             lambda v, ts: actions + [CommitInfo(
                 version=v, timestamp=ts, operation="DELETE",
                 operationMetrics={"numDeletedRows": str(n_deleted)})],
-            read_paths={a.path for a in snap.files},
+            read_paths={a.path for a in cand},
             removed_paths={a.path for a in touched},
+            read_predicate=predicate_hints,
         )
 
-    def _logical_rows_with_pos(self, snap: Snapshot) -> DataFrame:
+    def _pruned_candidates(self, snap: Snapshot,
+                           predicate_hints: dict | str | None
+                           ) -> list[AddFile]:
+        """Snapshot files that could contain a row matching
+        ``predicate_hints`` (all of them when no hints) — the scan scope
+        for predicate-scoped DELETE/UPDATE."""
+        if predicate_hints is None:
+            return list(snap.files)
+        return [a for a in snap.files
+                if _file_may_match(a, predicate_hints,
+                                   snap.partition_columns)]
+
+    def _logical_rows_with_pos(self, snap: Snapshot,
+                               files: list[AddFile] | None = None
+                               ) -> DataFrame:
         """Logical rows of the snapshot (existing deletion vectors applied)
         with each row's physical position exposed as ``__dv_file`` (absolute
         data-file path, no scheme) and ``__dv_ri`` (row index in that file)
         — the input every DV-writing commit needs."""
+        if files is None:
+            files = snap.files
         reader = self.spark.read.option("basePath", self.data_path)
         df = (
-            reader.parquet(*[self.abs_path(a.path) for a in snap.files])
+            reader.parquet(*[self.abs_path(a.path) for a in files])
             .withColumn(
                 "__dv_file",
                 F.regexp_replace(
@@ -982,7 +1046,7 @@ class TableLog:
             )
             .withColumn("__dv_ri", F.col("_metadata.row_index"))
         )
-        dirty = [a for a in snap.files if a.deletionVector]
+        dirty = [a for a in files if a.deletionVector]
         if dirty:
             df = df.join(self._dv_rows_df(dirty), ["__dv_file", "__dv_ri"],
                          "left_anti")
@@ -1043,7 +1107,9 @@ class TableLog:
                     }))
         return actions, sum(counts.values())
 
-    def _delete_with_dv(self, cond: Column, snap: Snapshot) -> int:
+    def _delete_with_dv(self, cond: Column, snap: Snapshot,
+                        cand: list[AddFile] | None = None,
+                        predicate_hints: dict | str | None = None) -> int:
         """DELETE via deletion vectors (``enableDeletionVectors=true``):
         instead of rewriting every touched file, record the matching rows'
         physical positions in a DV parquet and re-add the untouched data
@@ -1051,7 +1117,9 @@ class TableLog:
         Delta DV commit shape. No data file is rewritten, so a DELETE
         touching 1% of rows in every file costs one DV write instead of a
         full-table rewrite — the 100 TB motivation."""
-        matched = self._logical_rows_with_pos(snap).filter(cond) \
+        if cand is None:
+            cand = snap.files
+        matched = self._logical_rows_with_pos(snap, cand).filter(cond) \
             .localCheckpoint(eager=False)
         actions, n_deleted = self._dv_mark_actions(matched, snap)
         if snap.metadata.cdf_enabled and n_deleted:
@@ -1069,19 +1137,24 @@ class TableLog:
                 version=v, timestamp=ts, operation="DELETE",
                 operationParameters={"deletionVectors": "true"},
                 operationMetrics={"numDeletedRows": str(n_deleted)})],
-            read_paths={a.path for a in snap.files},
+            read_paths={a.path for a in cand},
             removed_paths={x.path for x in actions
                            if isinstance(x, RemoveFile)},
+            read_predicate=predicate_hints,
         )
 
     def _update_with_dv(self, cond: Column, sets: dict[str, Column],
-                        snap: Snapshot) -> int:
+                        snap: Snapshot,
+                        cand: list[AddFile] | None = None,
+                        predicate_hints: dict | str | None = None) -> int:
         """UPDATE via deletion vectors: matched rows' old positions are
         marked deleted (no data-file rewrite) and their updated images are
         appended as NEW files — Delta's DV update shape. An UPDATE touching
         1% of rows costs one DV write plus 1%-sized new files instead of
         rewriting every touched file."""
-        matched = self._logical_rows_with_pos(snap).filter(cond) \
+        if cand is None:
+            cand = snap.files
+        matched = self._logical_rows_with_pos(snap, cand).filter(cond) \
             .localCheckpoint(eager=False)
         actions, n_updated = self._dv_mark_actions(matched, snap)
         if n_updated:
@@ -1119,35 +1192,43 @@ class TableLog:
                 version=v, timestamp=ts, operation="UPDATE",
                 operationParameters={"deletionVectors": "true"},
                 operationMetrics={"numUpdatedRows": str(n_updated)})],
-            read_paths={a.path for a in snap.files},
+            read_paths={a.path for a in cand},
             removed_paths={x.path for x in actions
                            if isinstance(x, RemoveFile)},
+            read_predicate=predicate_hints,
         )
 
     def update(self, set_exprs: dict[str, Column | str],
-               condition: Column | str) -> int:
+               condition: Column | str,
+               predicate_hints: dict | str | None = None) -> int:
         """UPDATE SET ... WHERE: rewrite matched files; CDF gets
         update_preimage/update_postimage rows (PROTOCOL.md CDF columns;
         golden shape python/delta_sharing/tests/test_delta_sharing.py:1380-1400).
         With ``enableDeletionVectors=true`` no file is rewritten: old
-        positions are DV-marked and updated images append as new files."""
+        positions are DV-marked and updated images append as new files.
+        ``predicate_hints`` scopes scan + conflict read-set exactly as in
+        :meth:`delete` (MUST be implied by ``condition``)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         sets = {
             k: (F.expr(v) if isinstance(v, str) else v)
             for k, v in set_exprs.items()
         }
         snap = self.snapshot()
+        cand = self._pruned_candidates(snap, predicate_hints)
         if snap.metadata.configuration.get(
                 "enableDeletionVectors", "").lower() == "true":
-            return self._update_with_dv(cond, sets, snap)
+            return self._update_with_dv(cond, sets, snap, cand,
+                                        predicate_hints)
 
-        full = self.read_adds(snap.files, file_col="__file")
-        hit_files = {
-            os.path.relpath(r["__file"], self.path)
-            for r in full.filter(cond)
-            .select("__file").distinct().collect()
-        }
-        touched = [a for a in snap.files if a.path in hit_files]
+        hit_files: set[str] = set()
+        if cand:
+            full = self.read_adds(cand, file_col="__file")
+            hit_files = {
+                os.path.relpath(r["__file"], self.path)
+                for r in full.filter(cond)
+                .select("__file").distinct().collect()
+            }
+        touched = [a for a in cand if a.path in hit_files]
         actions: list[Action] = []
         n_updated = 0
         if touched:
@@ -1187,8 +1268,9 @@ class TableLog:
             lambda v, ts: actions + [CommitInfo(
                 version=v, timestamp=ts, operation="UPDATE",
                 operationMetrics={"numUpdatedRows": str(n_updated)})],
-            read_paths={a.path for a in snap.files},
+            read_paths={a.path for a in cand},
             removed_paths={a.path for a in touched},
+            read_predicate=predicate_hints,
         )
 
     def merge(self, source: DataFrame, keys: list[str],

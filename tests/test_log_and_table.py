@@ -213,6 +213,78 @@ class TestConflictRules:
         with pytest.raises(ConcurrentCommitError):
             log.optimize()
 
+    _CLICK_PRED = {
+        "op": "equal",
+        "children": [
+            {"op": "column", "name": "event_type", "valueType": "string"},
+            {"op": "literal", "value": "click", "valueType": "string"},
+        ],
+    }
+
+    def test_scoped_delete_rebases_over_disjoint_append(self, spark, events,
+                                                        tmp_path):
+        """predicate_hints scope the conflict read-set: a DELETE confined to
+        partition click rebases over a concurrent append that provably
+        touches only partition view (Delta ConflictChecker readPredicates)."""
+        d = str(tmp_path / "scopedok")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"),
+                   partition_by=["event_type"], name="t")
+        other = TableLog(spark, d)
+        self._race(log, lambda: other.append(
+            events.filter("event_id >= 100 and event_id < 150 "
+                          "and event_type = 'view'")))
+        v = log.delete("event_type = 'click'",
+                       predicate_hints=self._CLICK_PRED)
+        assert v == 2  # rebased past the interleaved append, no abort
+        got = SharedTable(spark, d).to_df()
+        want = events.filter(
+            "(event_id < 100 and event_type <> 'click') or "
+            "(event_id >= 100 and event_id < 150 and event_type = 'view')")
+        assert got.count() == want.count()
+
+    def test_scoped_delete_conflicts_on_matching_append(self, spark, events,
+                                                        tmp_path):
+        from delta_sharing_spark.plans.log import ConcurrentAppendError
+
+        d = str(tmp_path / "scopedhit")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"),
+                   partition_by=["event_type"], name="t")
+        other = TableLog(spark, d)
+        self._race(log, lambda: other.append(
+            events.filter("event_id >= 100 and event_id < 150 "
+                          "and event_type = 'click'")))
+        with pytest.raises(ConcurrentAppendError):
+            log.delete("event_type = 'click'",
+                       predicate_hints=self._CLICK_PRED)
+
+    def test_scoped_update_prunes_scan_and_rebases(self, spark, events,
+                                                   tmp_path):
+        d = str(tmp_path / "scopedupd")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"),
+                   partition_by=["event_type"], name="t")
+        snap = log.snapshot()
+        cand = log._pruned_candidates(snap, self._CLICK_PRED)
+        # the scan scope really is partition-pruned
+        assert 0 < len(cand) < len(snap.files)
+        assert all(a.partitionValues.get("event_type") == "click"
+                   for a in cand)
+        other = TableLog(spark, d)
+        self._race(log, lambda: other.append(
+            events.filter("event_id >= 100 and event_id < 150 "
+                          "and event_type = 'view'")))
+        v = log.update({"value": "value + 1"}, "event_type = 'click'",
+                       predicate_hints=self._CLICK_PRED)
+        assert v == 2
+        got = SharedTable(spark, d).to_df()
+        a = got.filter("event_type = 'click' and event_id < 100") \
+            .agg(F.sum("value")).collect()[0][0]
+        b = events.filter("event_type = 'click' and event_id < 100") \
+            .agg(F.sum("value") + F.count("*")).collect()[0][0]
+        assert abs(a - b) < 1e-6
+
     def test_update_metadata_rebases_over_append(self, spark, events,
                                                  tmp_path):
         d = str(tmp_path / "metarebase")
