@@ -1525,6 +1525,59 @@ class TableLog:
             tolerate_data_appends=True,
         )
 
+    def compact_deletion_vectors(self) -> int | None:
+        """Collapse stacked DV generations into ONE packed DV parquet and
+        re-point every dirty file's descriptor at it (remove + re-add of the
+        same path, ``dataChange=false`` — streams skip it, like OPTIMIZE).
+
+        Each DV-writing commit leaves one generation parquet; a workload
+        stacking many small DELETEs makes the read side open one parquet per
+        surviving generation. This is the descriptor-only cure: logical rows
+        never change, no data file is rewritten, and the read path is back
+        to a single DV scan. Cardinalities are preserved (a file's deleted
+        set is fully carried forward into its latest generation, so the
+        deduped union is exactly the per-file sets). Returns the committed
+        version, or None when ≤1 generation is live (already compact)."""
+        snap = self.snapshot()
+        dirty = [a for a in snap.files if a.deletionVector]
+        gens = sorted({a.deletionVector["pathOrInlineDv"] for a in dirty})
+        if len(gens) <= 1:
+            return None
+        rows = (
+            self.spark.read.parquet(*[self.abs_path(g) for g in gens])
+            .filter(F.col("path").isin([a.path for a in dirty]))
+            .select("path", "row_index")
+            .distinct()
+        )
+        dv_rel, dv_size = self._write_dv_file(rows)
+        actions: list[Action] = []
+        for a in sorted(dirty, key=lambda x: x.path):
+            actions.append(
+                RemoveFile(path=a.path, partitionValues=a.partitionValues,
+                           size=a.size, dataChange=False))
+            actions.append(AddFile(
+                path=a.path, partitionValues=a.partitionValues,
+                size=a.size, stats=a.stats, dataChange=False,
+                deletionVector={
+                    "storageType": "u",
+                    "pathOrInlineDv": dv_rel,
+                    "cardinality": a.dv_cardinality,
+                    "sizeInBytes": dv_size,
+                }))
+        touched = {a.path for a in dirty}
+        return self._commit_checked(
+            snap,
+            lambda v, ts: actions + [CommitInfo(
+                version=v, timestamp=ts, operation="COMPACT DVS",
+                operationMetrics={
+                    "numGenerations": str(len(gens)),
+                    "numFiles": str(len(dirty)),
+                })],
+            read_paths=touched,
+            removed_paths=touched,
+            tolerate_data_appends=True,
+        )
+
     def vacuum(self, dry_run: bool = False) -> list[str]:
         """VACUUM: delete data files no longer referenced by ANY version of
         the log (files removed and never re-added). Conservative: a file

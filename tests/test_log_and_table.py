@@ -867,6 +867,55 @@ class TestDeletionVectors:
         assert got == want
 
 
+class TestDVCompaction:
+    def test_compact_collapses_generations(self, spark, events, table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(events, partition_by=["event_type"], name="ev",
+                   configuration={"enableDeletionVectors": "true"})
+        # DELETEs over disjoint partitions -> one live DV generation each
+        # (carry-forward only merges generations of files touched again)
+        log.delete("event_type = 'click' and event_id < 500")
+        log.delete("event_type = 'view' and event_id < 500")
+        log.delete("event_type = 'error' and event_id < 500")
+        want = SharedTable(spark, table_dir).to_df().count()
+        dirty = [a for a in log.snapshot().files if a.deletionVector]
+        gens = {a.deletionVector["pathOrInlineDv"] for a in dirty}
+        assert len(gens) > 1
+        cards = {a.path: a.dv_cardinality for a in dirty}
+        v = log.compact_deletion_vectors()
+        assert v is not None
+        snap = log.snapshot()
+        dirty2 = [a for a in snap.files if a.deletionVector]
+        gens2 = {a.deletionVector["pathOrInlineDv"] for a in dirty2}
+        # one generation, same files, same cardinalities, same logical rows
+        assert len(gens2) == 1 and not (gens2 & gens)
+        assert {a.path: a.dv_cardinality for a in dirty2} == cards
+        after = SharedTable(spark, table_dir).to_df()
+        assert after.count() == want == events.filter(
+            "event_type not in ('click','view','error') or event_id >= 500"
+        ).count()
+        # idempotent: already compact -> no commit
+        assert log.compact_deletion_vectors() is None
+        assert log.latest_version() == v
+
+    def test_compact_is_invisible_to_streams(self, spark, events, table_dir):
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableStreamReader,
+        )
+
+        log = TableLog(spark, table_dir)
+        log.create(events, partition_by=["event_type"], name="ev",
+                   configuration={"enableDeletionVectors": "true"})
+        log.delete("event_type = 'click' and event_id < 500")
+        log.delete("event_type = 'view' and event_id < 500")
+        v = log.compact_deletion_vectors()
+        assert v is not None
+        reader = SharedTableStreamReader(
+            {"path": table_dir, "startingversion": str(v)}, None)
+        # dataChange=false remove+re-add: nothing to admit at that version
+        assert reader._file_sequence(v) == []
+
+
 class TestMaintenance:
     def test_overwrite(self, spark, events, table_dir):
         log = TableLog(spark, table_dir)
