@@ -88,6 +88,34 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
     return df.filter(bucket < expr)
 
 
+def balance_strata(df: DataFrame, strata_col: str, id_col: str,
+                   salt: str = "mix") -> DataFrame:
+    """Deterministic mixture balancing: downsample every stratum (domain,
+    language, source) to ≈ the size of the smallest stratum, so the output
+    corpus is uniformly mixed. Acceptance threshold per stratum is the
+    INTEGER ``(n_min * BUCKETS) div n`` — exact integer arithmetic, no
+    float rounding, so DuckDB replays the assignment bit-for-bit.
+
+    Plan shape: one small count aggregation (|strata| rows) broadcast back
+    onto the corpus, then a pure hash filter — the corpus itself is never
+    shuffled. At 100 TB the per-stratum counts are a kilobyte-scale
+    broadcast, and the filter pipelines into the scan."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__n_min"))
+    thr = (
+        counts.crossJoin(F.broadcast(n_min))
+        .withColumn("__thr",
+                    F.expr(f"(__n_min * {HASH_BUCKETS}) div __n"))
+        .select(strata_col, "__thr")
+    )
+    bucket = hash_bucket(id_col, salt=salt)
+    return (
+        df.join(F.broadcast(thr), strata_col)
+        .filter(bucket < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def shuffle_shards(df: DataFrame, id_col: str, num_shards: int,
                    salt: str = "shuffle") -> DataFrame:
     """Deterministic global shuffle for training epochs: every row gets a

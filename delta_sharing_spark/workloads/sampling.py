@@ -166,3 +166,47 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("sum_tokens"),
     )
+
+
+@workload(
+    "q_domain_mix",
+    oracle="""
+    WITH c AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    m AS (SELECT MIN(n) AS n_min FROM c),
+    t AS (
+        SELECT lang, n, (n_min * 1000000) // n AS thr FROM c, m
+    ),
+    k AS (
+        SELECT d.lang, d.n_chars
+        FROM documents d JOIN t USING (lang)
+        WHERE ('0x' || substr(md5('mix' || d.doc_id), 1, 8))::BIGINT
+              % 1000000 < t.thr
+    )
+    SELECT t.lang,
+           CAST(t.n AS BIGINT) AS n_orig,
+           CAST(COUNT(k.lang) AS BIGINT) AS n_kept,
+           CAST(SUM(k.n_chars) AS BIGINT) AS sum_chars
+    FROM t LEFT JOIN k ON t.lang = k.lang
+    GROUP BY t.lang, t.n
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: every language downsampled to ≈ the smallest
+    language's share via an exact integer acceptance threshold — the
+    domain-mix step of corpus prep. The corpus is never shuffled (count agg
+    broadcast back + pure hash filter); the oracle replays the acceptance
+    decision for every document."""
+    from delta_sharing_spark.operators.sampling import balance_strata
+
+    docs = read_table(spark, sf_dir, "documents")
+    orig = docs.groupBy("lang").agg(F.count("*").alias("n_orig"))
+    kept = balance_strata(docs, "lang", "doc_id", salt="mix") \
+        .groupBy("lang").agg(F.count("*").alias("n_kept"),
+                             F.sum("n_chars").alias("sum_chars"))
+    return (
+        orig.join(kept, "lang", "left")
+        .select("lang", "n_orig",
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"), "sum_chars")
+    )

@@ -337,3 +337,81 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_topk(emb.filter(F.col("vec_id") < 6), emb, "label",
                    k=5, nprobe=2, dim=64)
     return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@workload(
+    "q_embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, i.i AS pos, embedding[i.i]::DOUBLE AS v
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+      WHERE i.i <= len(embedding)
+    ),
+    s AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM e GROUP BY pos),
+    q AS (
+      SELECT vec_id, pos, v, mn, mx,
+             round(((v - mn) * 255.0) / (mx - mn)) - 128 AS qv
+      FROM e JOIN s USING (pos)
+    ),
+    t AS (
+      SELECT vec_id, pos,
+             (v - (mn + ((qv + 128) * (mx - mn)) / 255.0))
+             * (v - (mn + ((qv + 128) * (mx - mn)) / 255.0)) AS term
+      FROM q
+    ),
+    f AS (
+      SELECT vec_id, list(term ORDER BY pos) AS ts FROM t GROUP BY vec_id
+    )
+    SELECT vec_id,
+           round(list_reduce(ts, (a, b) -> a + b), 9) AS recon_err
+    FROM f
+    ORDER BY recon_err DESC, vec_id
+    LIMIT 20
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding corpus: per-dimension
+    [min, max] ranges -> 8-bit codes -> dequantized reconstruction, scored
+    by per-vector squared reconstruction error (worst 20 reported). The
+    compression step of an embedding-heavy pipeline (4x smaller ANN index).
+
+    Plan shape: posexplode -> tiny per-dimension min/max agg (64 rows,
+    broadcast back) -> quantize/dequantize as JVM expressions -> per-vector
+    ordered fold (sort_array over 64 structs, left-to-right double sum —
+    deterministic cross-engine, no cross-row float accumulation). The only
+    corpus-wide shuffles are the dim-stats agg and the per-vector regroup;
+    both hash aggs with map-side partials."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos0", "vf"))
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"),
+                F.col("vf").cast("double").alias("v"))
+    )
+    stats = e.groupBy("pos").agg(F.min("v").alias("mn"),
+                                 F.max("v").alias("mx"))
+    q = (
+        e.join(F.broadcast(stats), "pos")
+        .withColumn(
+            "qv",
+            F.round(((F.col("v") - F.col("mn")) * F.lit(255.0))
+                    / (F.col("mx") - F.col("mn"))) - 128)
+        .withColumn(
+            "deq",
+            F.col("mn") + ((F.col("qv") + 128)
+                           * (F.col("mx") - F.col("mn"))) / F.lit(255.0))
+        .withColumn("term",
+                    (F.col("v") - F.col("deq")) * (F.col("v") - F.col("deq")))
+    )
+    return (
+        q.groupBy("vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "term")))
+             .alias("ts"))
+        .withColumn(
+            "recon_err",
+            F.round(F.expr(
+                "aggregate(ts, cast(0 as double), (a, x) -> a + x.term)"),
+                9))
+        .select("vec_id", "recon_err")
+        .orderBy(F.desc("recon_err"), "vec_id")
+        .limit(20)
+    )

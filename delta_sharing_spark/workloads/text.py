@@ -326,3 +326,77 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+@workload(
+    "q_text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(tk)),
+                            i -> tk[i] || ' ' || tk[i+1]) AS g2,
+             list_transform(range(1, len(tk) - 1),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                 AS g3
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(g2) AS gg FROM g),
+    c AS (SELECT doc_id, gg, COUNT(*) AS n FROM e GROUP BY doc_id, gg),
+    tp AS (
+      SELECT doc_id, MAX(n) AS top2, SUM(n) AS tot2 FROM c GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(tp.top2 AS DOUBLE) / tp.tot2 AS top2_frac,
+           CASE WHEN len(g3) = 0 THEN NULL
+                ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                     / len(g3) END AS dup3_frac
+    FROM g LEFT JOIN tp USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics per document — the Gopher repetition-rule family
+    adapted to single-line docs: ``top2_frac`` (share of bigrams taken by
+    the single most frequent bigram) and ``dup3_frac`` (share of trigrams
+    that are repeats). ``dup3_frac`` is a pure per-doc array expression (no
+    shuffle); ``top2_frac`` needs the one (doc, bigram) count aggregation a
+    per-doc mode fundamentally requires — both map-side-combining hash
+    aggs, no window, no driver state. Fractions are int/int divisions in
+    double: bit-identical across engines."""
+    docs = read_table(spark, sf_dir, "documents") \
+        .withColumn("tk", F.split("text", " "))
+    d = docs.withColumn(
+        "g2",
+        F.expr("CASE WHEN size(tk) >= 2 THEN transform("
+               "sequence(1, size(tk)-1), "
+               "i -> concat(element_at(tk, i), ' ', element_at(tk, i+1))) "
+               "ELSE cast(array() as array<string>) END"),
+    ).withColumn(
+        "g3",
+        F.expr("CASE WHEN size(tk) >= 3 THEN transform("
+               "sequence(1, size(tk)-2), "
+               "i -> concat(element_at(tk, i), ' ', element_at(tk, i+1), "
+               "' ', element_at(tk, i+2))) "
+               "ELSE cast(array() as array<string>) END"),
+    )
+    tp = (
+        d.select("doc_id", F.explode("g2").alias("gg"))
+        .groupBy("doc_id", "gg").agg(F.count("*").alias("n"))
+        .groupBy("doc_id").agg(F.max("n").alias("top2"),
+                               F.sum("n").alias("tot2"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.when(F.size("g3") == 0, F.lit(None).cast("double"))
+            .otherwise((F.size("g3") - F.size(F.array_distinct("g3")))
+                       .cast("double") / F.size("g3")).alias("dup3_frac"),
+        )
+        .join(tp, "doc_id", "left")
+        .select("doc_id",
+                (F.col("top2").cast("double") / F.col("tot2"))
+                .alias("top2_frac"),
+                "dup3_frac")
+    )

@@ -156,3 +156,34 @@ class TestDecontaminate:
         # distinct synthetic docs share few 13-grams: requiring 3 distinct
         # overlaps keeps the clean corpus (mostly) unflagged
         assert hits.count() < train.count() * 0.05
+
+
+class TestBalanceStrata:
+    def test_balances_to_smallest_stratum(self, docs):
+        from delta_sharing_spark.operators.sampling import balance_strata
+
+        orig = {r["lang"]: r["n"] for r in
+                docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        n_min = min(orig.values())
+        out = balance_strata(docs, "lang", "doc_id")
+        kept = {r["lang"]: r["n"] for r in
+                out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert set(kept) <= set(orig)
+        for lang, n in kept.items():
+            # binomial jitter around n_min, never above the stratum size
+            assert n <= orig[lang]
+            assert abs(n - n_min) <= max(12, n_min // 2)
+
+    def test_deterministic_and_no_driver_rows(self, docs):
+        from delta_sharing_spark.operators.sampling import balance_strata
+
+        a = sorted(r["doc_id"] for r in
+                   balance_strata(docs, "lang", "doc_id").collect())
+        b = sorted(r["doc_id"] for r in
+                   balance_strata(docs, "lang", "doc_id").collect())
+        assert a == b and len(a) > 0
+        # the corpus-side plan is a broadcast join + filter: no sort, no
+        # window, no exchange of the full corpus
+        plan = balance_strata(docs, "lang", "doc_id") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
