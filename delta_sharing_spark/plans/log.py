@@ -197,6 +197,17 @@ def is_noop_merge(info: CommitInfo | None) -> bool:
     )
 
 
+# Column mapping (Delta "name" mode, the columnMapping reader feature):
+# logical column names live only in the schema; data files, partitionValues
+# and stats are keyed by immutable physical names stamped in each field's
+# metadata. Rename/drop become metadata-only commits (PROTOCOL.md:4052-4053
+# lists columnMapping among delta-format readerFeatures).
+CM_MODE_KEY = "delta.columnMapping.mode"
+CM_PHYSICAL_KEY = "delta.columnMapping.physicalName"
+CM_ID_KEY = "delta.columnMapping.id"
+CM_MAX_ID_KEY = "delta.columnMapping.maxColumnId"
+
+
 class Snapshot:
     """Resolved state of the table at one version: metadata + active files."""
 
@@ -214,6 +225,47 @@ class Snapshot:
     @property
     def partition_columns(self) -> list[str]:
         return list(self.metadata.partitionColumns)
+
+    @property
+    def column_mapping(self) -> bool:
+        return self.metadata.configuration.get(CM_MODE_KEY, "none") == "name"
+
+    @property
+    def logical_to_physical(self) -> dict[str, str] | None:
+        """Logical→physical name map (top-level fields), or None when
+        column mapping is off (names ARE physical then)."""
+        if not self.column_mapping:
+            return None
+        return {
+            f.name: (f.metadata or {}).get(CM_PHYSICAL_KEY, f.name)
+            for f in self.schema.fields
+        }
+
+    @property
+    def physical_to_logical(self) -> dict[str, str] | None:
+        m = self.logical_to_physical
+        return None if m is None else {p: l for l, p in m.items()}
+
+    @property
+    def physical_schema(self) -> T.StructType:
+        """The declared schema under physical names — what the parquet
+        scan must be given when column mapping is on."""
+        m = self.logical_to_physical
+        if m is None:
+            return self.schema
+        return T.StructType([
+            T.StructField(m.get(f.name, f.name), f.dataType, f.nullable)
+            for f in self.schema.fields
+        ])
+
+    @property
+    def physical_partition_columns(self) -> list[str]:
+        """Partition columns under the names partitionValues/stats/Hive
+        dirs are keyed by (= logical names when mapping is off)."""
+        m = self.logical_to_physical
+        if m is None:
+            return self.partition_columns
+        return [m.get(c, c) for c in self.partition_columns]
 
 
 class TableLog:
@@ -694,7 +746,8 @@ class TableLog:
                             f"operation read: {sorted(dr)[:3]}...") from exc
                     if not tolerate_data_appends and any(
                             a.dataChange and _file_may_match(
-                                a, read_predicate, snap.partition_columns)
+                                a, read_predicate,
+                                snap.physical_partition_columns)
                             for a in winner.adds):
                         raise ConcurrentAppendError(
                             f"version {v} concurrently appended data this "
@@ -704,7 +757,7 @@ class TableLog:
 
     def _stage_dataframe(
         self, df: DataFrame, partition_columns: list[str], target_dir: str,
-        prefix: str = "",
+        prefix: str = "", snap: "Snapshot | None" = None,
     ) -> list[tuple[str, dict[str, str], int, str]]:
         """Write ``df`` into ``target_dir`` via a staging dir; return
         ``(rel_path, partitionValues, size, stats_json)`` per new file.
@@ -712,7 +765,17 @@ class TableLog:
         Spark writes globally-unique part file names, so moving staged files
         into the shared data dir is collision-free — the same
         write-then-commit pattern Delta uses for ACID appends.
+
+        With column mapping on (``snap`` given), the logical-named ``df``
+        is renamed to physical names before writing, and the Hive layout /
+        partitionValues / collected stats all come out physical-keyed —
+        the Delta invariant that makes rename/drop metadata-only.
         """
+        mapping = snap.logical_to_physical if snap is not None else None
+        if mapping:
+            df = df.withColumnsRenamed(mapping)
+            partition_columns = [mapping.get(c, c)
+                                 for c in partition_columns]
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if partition_columns:
@@ -799,7 +862,8 @@ class TableLog:
         data = df
         if max_files:
             data = df.repartition(max_files)
-        staged = self._stage_dataframe(data, snap.partition_columns, self.data_path)
+        staged = self._stage_dataframe(data, snap.partition_columns,
+                                       self.data_path, snap=snap)
         adds: list[Action] = [
             AddFile(path=p, partitionValues=pv, size=sz, stats=st)
             for p, pv, sz, st in staged
@@ -895,7 +959,8 @@ class TableLog:
 
     def read_adds(self, adds: list[AddFile],
                   schema: T.StructType | None = None,
-                  file_col: str | None = None) -> DataFrame:
+                  file_col: str | None = None,
+                  snap: "Snapshot | None" = None) -> DataFrame:
         """Scan the given add files as logical rows: files carrying a
         deletion vector are scanned with ``_metadata.row_index`` and
         anti-joined against the DV rows (JVM-side, no UDF; broadcast when
@@ -904,7 +969,19 @@ class TableLog:
         ``file_col`` attaches each row's source file (absolute path, no
         scheme) as a column — captured from ``_metadata`` AT SCAN TIME, so
         it stays reliable through the DV anti-join and the union (unlike
-        ``input_file_name()``, which is undefined after a join)."""
+        ``input_file_name()``, which is undefined after a join).
+
+        With column mapping on (``snap`` given), the scan runs under
+        physical names (the declared ``schema`` is translated) and the
+        result is renamed back to logical names, so every caller — DML
+        condition filters included — stays logical-only."""
+        mapping = snap.logical_to_physical if snap is not None else None
+        if mapping and schema is not None:
+            schema = T.StructType([
+                T.StructField(mapping.get(f.name, f.name), f.dataType,
+                              f.nullable)
+                for f in schema.fields
+            ])
         reader = self.spark.read.option("basePath", self.data_path)
         if schema is not None:
             reader = reader.schema(schema)
@@ -941,10 +1018,12 @@ class TableLog:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if mapping:
+            out = out.withColumnsRenamed({p: l for l, p in mapping.items()})
         return out
 
     def _read_files(self, snapshot: Snapshot, files: list[AddFile]) -> DataFrame:
-        return self.read_adds(files)
+        return self.read_adds(files, snap=snapshot)
 
     def delete(self, condition: Column | str,
                predicate_hints: dict | str | None = None) -> int:
@@ -964,6 +1043,7 @@ class TableLog:
         to partition Q."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         snap = self.snapshot()
+        predicate_hints = self._physical_hints(snap, predicate_hints)
         cand = self._pruned_candidates(snap, predicate_hints)
         if snap.metadata.configuration.get(
                 "enableDeletionVectors", "").lower() == "true":
@@ -971,7 +1051,7 @@ class TableLog:
         touched: list[AddFile] = []
         hit_files: set[str] = set()
         if cand:
-            full = self.read_adds(cand, file_col="__file")
+            full = self.read_adds(cand, file_col="__file", snap=snap)
             hit_files = {
                 os.path.relpath(r["__file"], self.path)
                 for r in full.filter(cond)
@@ -986,7 +1066,7 @@ class TableLog:
             deleted = touched_df.filter(cond)
             n_deleted = deleted.count()
             staged = self._stage_dataframe(keep, snap.partition_columns,
-                                           self.data_path)
+                                           self.data_path, snap=snap)
             actions += [
                 AddFile(path=p, partitionValues=pv, size=sz, stats=st)
                 for p, pv, sz, st in staged
@@ -999,7 +1079,7 @@ class TableLog:
             if snap.metadata.cdf_enabled and n_deleted:
                 cdc_rows = deleted.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
                 staged_cdc = self._stage_dataframe(
-                    cdc_rows, [], self.cdc_path, prefix="cdc-"
+                    cdc_rows, [], self.cdc_path, prefix="cdc-", snap=snap
                 )
                 actions += [
                     AddCDCFile(path=p, partitionValues=pv, size=sz)
@@ -1015,17 +1095,28 @@ class TableLog:
             read_predicate=predicate_hints,
         )
 
+    @staticmethod
+    def _physical_hints(snap: Snapshot, predicate_hints: dict | str | None):
+        """Translate logical-name predicate hints into the physical-name
+        space file metadata is keyed by (identity when mapping is off)."""
+        from delta_sharing_spark.plans.predicates import (
+            rewrite_predicate_columns,
+        )
+
+        return rewrite_predicate_columns(predicate_hints,
+                                         snap.logical_to_physical)
+
     def _pruned_candidates(self, snap: Snapshot,
                            predicate_hints: dict | str | None
                            ) -> list[AddFile]:
         """Snapshot files that could contain a row matching
-        ``predicate_hints`` (all of them when no hints) — the scan scope
-        for predicate-scoped DELETE/UPDATE."""
+        ``predicate_hints`` (physical-name tree; all files when no hints)
+        — the scan scope for predicate-scoped DELETE/UPDATE."""
         if predicate_hints is None:
             return list(snap.files)
         return [a for a in snap.files
                 if _file_may_match(a, predicate_hints,
-                                   snap.partition_columns)]
+                                   snap.physical_partition_columns)]
 
     def _logical_rows_with_pos(self, snap: Snapshot,
                                files: list[AddFile] | None = None
@@ -1050,6 +1141,9 @@ class TableLog:
         if dirty:
             df = df.join(self._dv_rows_df(dirty), ["__dv_file", "__dv_ri"],
                          "left_anti")
+        p2l = snap.physical_to_logical
+        if p2l:
+            df = df.withColumnsRenamed(p2l)
         return df
 
     def _dv_mark_actions(self, matched: DataFrame,
@@ -1126,7 +1220,7 @@ class TableLog:
             cdc_rows = matched.drop("__dv_file", "__dv_ri").withColumn(
                 CHANGE_TYPE_COL, F.lit("delete"))
             staged_cdc = self._stage_dataframe(
-                cdc_rows, [], self.cdc_path, prefix="cdc-")
+                cdc_rows, [], self.cdc_path, prefix="cdc-", snap=snap)
             actions += [
                 AddCDCFile(path=p, partitionValues=pv, size=sz)
                 for p, pv, sz, _st in staged_cdc
@@ -1170,7 +1264,7 @@ class TableLog:
                 for f in snap.schema.fields
             ])
             staged = self._stage_dataframe(post, snap.partition_columns,
-                                           self.data_path)
+                                           self.data_path, snap=snap)
             actions += [
                 AddFile(path=p, partitionValues=pv, size=sz, stats=st)
                 for p, pv, sz, st in staged
@@ -1181,7 +1275,7 @@ class TableLog:
                 ).unionByName(post.withColumn(
                     CHANGE_TYPE_COL, F.lit("update_postimage")))
                 staged_cdc = self._stage_dataframe(
-                    cdc_rows, [], self.cdc_path, prefix="cdc-")
+                    cdc_rows, [], self.cdc_path, prefix="cdc-", snap=snap)
                 actions += [
                     AddCDCFile(path=p, partitionValues=pv, size=sz)
                     for p, pv, sz, _st in staged_cdc
@@ -1214,6 +1308,7 @@ class TableLog:
             for k, v in set_exprs.items()
         }
         snap = self.snapshot()
+        predicate_hints = self._physical_hints(snap, predicate_hints)
         cand = self._pruned_candidates(snap, predicate_hints)
         if snap.metadata.configuration.get(
                 "enableDeletionVectors", "").lower() == "true":
@@ -1222,7 +1317,7 @@ class TableLog:
 
         hit_files: set[str] = set()
         if cand:
-            full = self.read_adds(cand, file_col="__file")
+            full = self.read_adds(cand, file_col="__file", snap=snap)
             hit_files = {
                 os.path.relpath(r["__file"], self.path)
                 for r in full.filter(cond)
@@ -1240,7 +1335,7 @@ class TableLog:
                 post = post.withColumn(col_name, expr)
             rewritten = touched_df.filter(~cond | cond.isNull()).unionByName(post)
             staged = self._stage_dataframe(rewritten, snap.partition_columns,
-                                           self.data_path)
+                                           self.data_path, snap=snap)
             actions += [
                 AddFile(path=p, partitionValues=pv, size=sz, stats=st)
                 for p, pv, sz, st in staged
@@ -1257,7 +1352,7 @@ class TableLog:
                     post.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
                 )
                 staged_cdc = self._stage_dataframe(
-                    cdc_rows, [], self.cdc_path, prefix="cdc-"
+                    cdc_rows, [], self.cdc_path, prefix="cdc-", snap=snap
                 )
                 actions += [
                     AddCDCFile(path=p, partitionValues=pv, size=sz)
@@ -1299,7 +1394,7 @@ class TableLog:
 
         dv_mode = snap.metadata.configuration.get(
             "enableDeletionVectors", "").lower() == "true"
-        full = self.read_adds(snap.files, file_col="__file")
+        full = self.read_adds(snap.files, file_col="__file", snap=snap)
 
         actions: list[Action] = []
         cdc_parts: list[DataFrame] = []
@@ -1325,7 +1420,8 @@ class TableLog:
                 n_updated = n_matched
                 if n_matched:
                     staged = self._stage_dataframe(
-                        post, snap.partition_columns, self.data_path)
+                        post, snap.partition_columns, self.data_path,
+                        snap=snap)
                     actions += [
                         AddFile(path=p, partitionValues=pv, size=sz, stats=st)
                         for p, pv, sz, st in staged
@@ -1373,7 +1469,8 @@ class TableLog:
                     raise ValueError(
                         f"unknown when_matched: {when_matched!r}")
                 staged = self._stage_dataframe(
-                    rewritten, snap.partition_columns, self.data_path)
+                    rewritten, snap.partition_columns, self.data_path,
+                    snap=snap)
                 actions += [
                     AddFile(path=p, partitionValues=pv, size=sz, stats=st)
                     for p, pv, sz, st in staged
@@ -1403,7 +1500,7 @@ class TableLog:
             if n_inserted:
                 staged = self._stage_dataframe(
                     ins.select(*schema_cols), snap.partition_columns,
-                    self.data_path)
+                    self.data_path, snap=snap)
                 actions += [
                     AddFile(path=p, partitionValues=pv, size=sz, stats=st)
                     for p, pv, sz, st in staged
@@ -1416,7 +1513,7 @@ class TableLog:
             for p in cdc_parts[1:]:
                 cdc_rows = cdc_rows.unionByName(p)
             staged_cdc = self._stage_dataframe(cdc_rows, [], self.cdc_path,
-                                               prefix="cdc-")
+                                               prefix="cdc-", snap=snap)
             actions += [
                 AddCDCFile(path=p, partitionValues=pv, size=sz)
                 for p, pv, sz, _st in staged_cdc
@@ -1447,7 +1544,7 @@ class TableLog:
         ``ConcurrentAppendError`` (retry_on_conflict re-runs over them)."""
         snap = self.snapshot()
         staged = self._stage_dataframe(df, snap.partition_columns,
-                                       self.data_path)
+                                       self.data_path, snap=snap)
         actions: list[Action] = [
             AddFile(path=p, partitionValues=pv, size=sz, stats=st)
             for p, pv, sz, st in staged
@@ -1500,7 +1597,8 @@ class TableLog:
             n_rows = sum(a.logical_records or 0 for a in files)
             n_out = max(1, -(-n_rows // target_file_rows))
             staged = self._stage_dataframe(
-                df.repartition(n_out), snap.partition_columns, self.data_path
+                df.repartition(n_out), snap.partition_columns,
+                self.data_path, snap=snap
             )
             actions += [
                 AddFile(path=p, partitionValues=pv, size=sz, stats=st,
@@ -1654,7 +1752,7 @@ class TableLog:
             .drop("__z", *[f"__b_{i}" for i in range(len(columns))])
         )
         staged = self._stage_dataframe(clustered, snap.partition_columns,
-                                      self.data_path)
+                                      self.data_path, snap=snap)
         actions: list[Action] = [
             AddFile(path=p, partitionValues=pv, size=sz, stats=st,
                     dataChange=False)

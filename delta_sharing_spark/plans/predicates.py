@@ -463,6 +463,31 @@ def _referenced_columns(op: dict) -> set:
     return out
 
 
+def rewrite_predicate_columns(hints: str | dict | None,
+                              mapping: dict[str, str] | None):
+    """Rewrite every column node's name through ``mapping`` (names absent
+    from the map pass through). Used by column-mapping tables to translate
+    a logical-name predicate into the physical-name space that
+    partitionValues and file stats are keyed by. Returns the same form it
+    was given conceptually (always a dict tree for non-None input)."""
+    if hints is None or not mapping:
+        return hints
+    tree = parse_predicate(hints)
+
+    def walk(op: dict) -> dict:
+        if op.get("op") == "column":
+            out = dict(op)
+            out["name"] = mapping.get(op["name"], op["name"])
+            return out
+        if "children" in op:
+            out = dict(op)
+            out["children"] = [walk(c) for c in op["children"]]
+            return out
+        return dict(op)
+
+    return walk(tree)
+
+
 def keep_file(hints: str | dict | None, partition_values: dict,
               stats: dict, partition_columns: list) -> bool:
     """Sessionless twin of ``file_keep_condition``: keep unless provably no
