@@ -83,6 +83,11 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     (row-group pruning on the #1 pruning axis at scale). Directories fall
     back to the post-scan projection (engine-written data is always µs, so
     this path is testdata-only in practice)."""
+    # no-tz µs timestamps must read as TIMESTAMP (not NTZ): the session tz
+    # is pinned UTC so values are identical, and watermarks/time predicates
+    # need TimestampType. Runtime-settable SQLConf, so this also covers
+    # externally-built sessions (the driver's harness).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _ns_timestamp_columns(path)
     if not ns_cols:
         return spark.read.parquet(path)

@@ -35,6 +35,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata parquet stores timestamp[us] without a timezone; with the
+        # session pinned to UTC, TIMESTAMP (µs, UTC-adjusted — PROTOCOL.md:3779)
+        # and TIMESTAMP_NTZ hold identical values, and only TIMESTAMP supports
+        # event-time watermarks. Read no-tz parquet timestamps as TIMESTAMP.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.aggregatePushdown", "true")

@@ -32,14 +32,29 @@ from delta_sharing_spark.table import SharedTable
 from delta_sharing_spark.workloads import workload
 
 _FIXTURE_ROOT = "/tmp/dss_fixtures"
-# v2: events.ts values changed — ns→µs is now an exact Arrow floor cast at
-# ingest (io._normalized_copy), not the old inexact double division
-_FIXTURE_SCHEMA_VERSION = "v2"
+# v3: testdata timestamps now read as TIMESTAMP (µs, UTC) instead of NTZ
+# (session-level inferTimestampNTZ=false); fixture schemaStrings changed
+_FIXTURE_SCHEMA_VERSION = "v3"
+
+
+def _source_identity(sf_dir: str) -> str:
+    """(size, mtime) of every source parquet — regenerated testdata must
+    auto-invalidate cached fixtures built from the old files."""
+    parts = []
+    try:
+        for fn in sorted(os.listdir(sf_dir)):
+            if fn.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, fn))
+                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        pass
+    return ",".join(parts)
 
 
 def _fixture(spark: SparkSession, sf_dir: str, name: str, builder) -> str:
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{name}|{_FIXTURE_SCHEMA_VERSION}".encode()
+        f"{os.path.abspath(sf_dir)}|{name}|{_FIXTURE_SCHEMA_VERSION}"
+        f"|{_source_identity(sf_dir)}".encode()
     ).hexdigest()[:12]
     path = os.path.join(_FIXTURE_ROOT, f"{name}-{key}")
     marker = os.path.join(path, "_READY")
