@@ -1705,35 +1705,129 @@ class TableLog:
                 os.remove(self.abs_path(rel))
         return sorted(removable)
 
+    def _zorder_cuts(self, df: DataFrame, columns: list[str],
+                     n_buckets: int) -> dict[str, tuple[str, list]]:
+        """Per-column quantile cut-points for z-order bucketing, computed
+        WITHOUT a global sort: numeric/temporal columns use one
+        ``approxQuantile`` pass (Greenwald-Khanna sketch — a distributed
+        aggregate whose state is O(1/err) per column, independent of row
+        count); other orderable types (strings) use a deterministic sample
+        sort (the same technique Spark's RangePartitioner uses to choose
+        range bounds). Returns ``{col: (kind, sorted_cuts)}`` where kind is
+        ``"num"`` (cuts in double space) or ``"raw"``."""
+        numeric_like = (T.NumericType,)
+        out: dict[str, tuple[str, list]] = {}
+        num_cols, raw_cols = [], []
+        for f in df.schema.fields:
+            if f.name not in columns:
+                continue
+            if isinstance(f.dataType, numeric_like):
+                num_cols.append(f.name)
+            elif isinstance(f.dataType, (T.DateType, T.TimestampType,
+                                         T.TimestampNTZType)):
+                num_cols.append(f.name)  # castable to double via timestamp
+            else:
+                raw_cols.append(f.name)
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        if num_cols:
+            as_double = df.select([
+                F.col(c).cast("timestamp").cast("double").alias(c)
+                if isinstance(df.schema[c].dataType,
+                              (T.DateType, T.TimestampNTZType))
+                else F.col(c).cast("double").alias(c)
+                for c in num_cols
+            ])
+            rel_err = 1.0 / (4 * n_buckets)
+            quantiles = as_double.approxQuantile(num_cols, probs, rel_err)
+            for c, cuts in zip(num_cols, quantiles):
+                out[c] = ("num", sorted(cuts))
+        for c in raw_cols:
+            # deterministic sample sort: ~32 samples per bucket bounds the
+            # per-bucket rank error like a range partitioner's bounds
+            target = n_buckets * 32
+            total = df.select(F.count(F.col(c)).alias("n")).first()["n"]
+            frac = min(1.0, (target / max(total, 1)) * 1.2)
+            sample = [
+                r[0] for r in
+                df.select(c).dropna().sample(frac, seed=7).collect()
+            ]
+            sample.sort()
+            cuts = [sample[int(j * len(sample) / n_buckets)]
+                    for j in range(1, n_buckets)] if sample else []
+            out[c] = ("raw", cuts)
+        return out
+
+    def _zorder_df(self, snap: "Snapshot", columns: list[str],
+                   bits_per_col: int) -> DataFrame:
+        """The clustered DataFrame for ``zorder_by`` — bucket each column by
+        broadcast cut-points (vectorized binary search, O(log buckets) per
+        value), bit-interleave into a z-value. No unpartitioned window
+        anywhere in the plan: the only shuffles are the tiny quantile
+        aggregate and the final range repartition."""
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        df = self._read_files(snap, snap.files)
+        n_buckets = 1 << bits_per_col
+        cuts_by_col = self._zorder_cuts(df, columns, n_buckets)
+
+        def make_bucket_udf(cuts: list, is_num: bool):
+            arr = np.array(cuts, dtype="float64" if is_num else object)
+
+            @pandas_udf("int")  # no type hints: postponed-annotations module
+            def bucket(v):
+                idx = np.zeros(len(v), dtype="int64")
+                mask = v.notna().to_numpy()
+                if mask.any() and len(arr):
+                    vals = v.to_numpy()[mask]
+                    if is_num:
+                        vals = vals.astype("float64")
+                    idx[mask] = np.searchsorted(arr, vals, side="right")
+                return pd.Series(np.minimum(idx, n_buckets - 1))
+
+            return bucket
+
+        zcols = []
+        for i, c in enumerate(columns):
+            kind, cuts = cuts_by_col[c]
+            src = F.col(c)
+            if kind == "num":
+                dt = df.schema[c].dataType
+                if isinstance(dt, (T.DateType, T.TimestampNTZType)):
+                    src = src.cast("timestamp").cast("double")
+                else:
+                    src = src.cast("double")
+            zcols.append(
+                make_bucket_udf(cuts, kind == "num")(src).alias(f"__b_{i}")
+            )
+        return df.select("*", *zcols)
+
     def zorder_by(self, columns: list[str], bits_per_col: int = 12,
                   target_file_rows: int = 1_000_000) -> int:
         """Z-ORDER clustering rewrite: re-sort the table's data along the
         interleaved bit order of ``columns`` so per-file min/max ranges
         become tight on EVERY listed column, making stats-based file
         skipping effective for predicates on any of them (the standard
-        multi-dimensional clustering technique for data skipping).
+        multi-dimensional clustering technique for data skipping; pairs
+        with V2 stats pruning, ref JsonPredicateEvaluatorV2.scala:88-464).
 
-        Mechanics: each column is rank-bucketed to ``bits_per_col`` bits via
-        ntile (rank spreads skewed values evenly — no histogram needed),
-        the buckets are bit-interleaved into a z-value, and the data is
-        range-repartitioned and sorted by that z-value. Committed as
-        dataChange=false like OPTIMIZE, so streams skip the rewrite.
+        Mechanics: per-column approx-quantile cut-points (one distributed
+        sketch aggregate — NOT a global-sort ``ntile`` window, which would
+        move every row through a single task) are broadcast into an
+        Arrow-vectorized binary-search bucket assignment; buckets are
+        bit-interleaved into a z-value; data is range-repartitioned and
+        sorted-within-partitions by z. Committed as dataChange=false like
+        OPTIMIZE, so streams skip the rewrite.
 
-        At 100 TB: one full shuffle, amortized over every subsequent
-        selective scan on any clustered column.
+        At 100 TB: one sketch aggregate + one range shuffle, amortized over
+        every subsequent selective scan on any clustered column. Buckets are
+        approximate-rank (quantile err ≤ 1/(4·buckets)), which shifts bucket
+        boundaries slightly vs exact ntile but preserves the clustering
+        property stats skipping needs.
         """
-        from pyspark.sql import Window
-
         snap = self.snapshot()
-        df = self._read_files(snap, snap.files)
-        n_buckets = 1 << bits_per_col
-        zcols = []
-        for i, c in enumerate(columns):
-            w = Window.orderBy(F.col(c))
-            zcols.append(
-                (F.ntile(n_buckets).over(w) - 1).alias(f"__b_{i}")
-            )
-        with_buckets = df.select("*", *zcols)
+        with_buckets = self._zorder_df(snap, columns, bits_per_col)
         # interleave bits: z = sum over bit positions of each column's bit
         z = F.lit(0).cast("long")
         for bit in range(bits_per_col):

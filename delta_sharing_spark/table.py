@@ -131,23 +131,70 @@ class SharedTable:
             if cond is not None:
                 manifest = manifest.filter(cond)
         if limit_hint is not None:
-            # keep files while the running row count of *previous* files is
-            # below the limit (kernel early-termination semantics:
-            # DeltaSharedTableKernel.scala:446-449,723-733)
-            from pyspark.sql import Window
+            manifest = self._limit_prefix_filter(manifest, limit_hint)
+        return [r["path"] for r in manifest.select("path").collect()]
 
-            w = Window.orderBy("path").rowsBetween(
-                Window.unboundedPreceding, -1
+    @staticmethod
+    def _limit_prefix_filter(manifest: DataFrame, limit_hint: int) -> DataFrame:
+        """Keep files while the running row count of *previous* files (in
+        path order) is below the limit (kernel early-termination semantics:
+        DeltaSharedTableKernel.scala:446-449,723-733).
+
+        Distributed two-phase prefix sum — no unpartitioned window: range-
+        partition the manifest by path (persisted, because the range
+        partitioner samples per job — both phases must see the SAME
+        boundaries), collect the P per-partition totals (P rows, not P
+        files), compute each partition's starting offset in the driver, and
+        finish with a window PARTITIONED by partition id. Every WindowExec
+        instance sees one partition's rows, so a million-file manifest
+        never funnels through a single task."""
+        from pyspark.sql import Window
+        from pyspark.storagelevel import StorageLevel
+
+        parts = max(1, manifest.sparkSession.sparkContext.defaultParallelism)
+        m = (
+            manifest.repartitionByRange(parts, "path")
+            .withColumn("_pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            totals = {
+                r["_pid"]: r["t"]
+                for r in m.groupBy("_pid")
+                .agg(F.sum("numRecords").alias("t"))
+                .collect()
+            }
+            offsets, acc = {}, 0
+            for pid in sorted(totals):
+                offsets[pid] = acc
+                acc += totals[pid] or 0
+            offset_col = F.element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in offsets.items() for x in kv]
+                ),
+                F.col("_pid"),
+            ) if offsets else F.lit(0)
+            w = (
+                Window.partitionBy("_pid").orderBy("path")
+                .rowsBetween(Window.unboundedPreceding, -1)
             )
-            manifest = (
-                manifest.withColumn(
+            out = (
+                m.withColumn(
                     "_prev_rows",
-                    F.coalesce(F.sum("numRecords").over(w), F.lit(0)),
+                    offset_col
+                    + F.coalesce(F.sum("numRecords").over(w), F.lit(0)),
                 )
                 .filter(F.col("_prev_rows") < limit_hint)
-                .drop("_prev_rows")
+                .drop("_prev_rows", "_pid")
             )
-        return [r["path"] for r in manifest.select("path").collect()]
+            # materialize before unpersist so the kept set is pinned to the
+            # boundaries the totals were computed from
+            paths = [r["path"] for r in out.select("path").collect()]
+        finally:
+            m.unpersist()
+        keep = manifest.sparkSession.createDataFrame(
+            [(p,) for p in paths] or [], "path string")
+        return manifest.join(F.broadcast(keep), "path", "left_semi")
 
     # ------------------------------------------------------------------ reads
 

@@ -626,6 +626,41 @@ class TestProjectionNormalization:
         assert df.filter("note = 'x'").count() == 10
 
 
+class TestLimitPrefixSum:
+    def test_large_manifest_cutoff_matches_driver_loop(self, spark):
+        # 25k-file synthetic manifest — the >PRUNE_DRIVER_MAX_FILES shape
+        # the DataFrame path exists for. The distributed two-phase prefix
+        # sum must keep exactly the files a sequential scan would.
+        from delta_sharing_spark.table import SharedTable
+
+        n, rows_per = 25_000, 7
+        manifest = spark.range(n).select(
+            F.format_string("data/part-%05d.parquet", F.col("id")).alias("path"),
+            F.lit(rows_per).cast("long").alias("numRecords"),
+        )
+        limit = 40_000  # cuts mid-manifest: ceil(40000/7) = 5715 files
+        out = SharedTable._limit_prefix_filter(manifest, limit)
+        kept = sorted(r["path"] for r in out.collect())
+        expected_n = -(-limit // rows_per)
+        assert len(kept) == expected_n
+        assert kept == sorted(
+            f"data/part-{i:05d}.parquet" for i in range(expected_n)
+        )
+        # scale contract: every window in the plan is partitioned (no
+        # global-order WindowExec pulling the whole manifest into one task)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        import re
+        for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+            assert "_pid" in spec, spec
+
+    def test_limit_zero_and_empty_manifest(self, spark):
+        from delta_sharing_spark.table import SharedTable
+
+        manifest = spark.createDataFrame(
+            [], "path string, numRecords long")
+        assert SharedTable._limit_prefix_filter(manifest, 10).count() == 0
+
+
 class TestActionStream:
     def test_pagination_and_token_binding(self, spark, versioned_table):
         t = SharedTable(spark, versioned_table)
@@ -993,6 +1028,37 @@ class TestZOrder:
         # rewrite is dataChange=false -> CDF/streams unaffected
         c = t.log.read_commit(t.log.latest_version())
         assert all(not a.dataChange for a in c.adds)
+
+    def test_zorder_plan_has_no_unpartitioned_window(self, spark, lineitem,
+                                                     table_dir):
+        # the scale contract: bucket assignment must come from broadcast
+        # quantile cut-points, never a global-sort window (one task owning
+        # every row). Assert no Window operator anywhere in the plan.
+        log = TableLog(spark, table_dir)
+        log.create(lineitem.limit(2000), name="t")
+        snap = log.snapshot()
+        clustered = log._zorder_df(snap, ["l_orderkey", "l_partkey"],
+                                   bits_per_col=8)
+        plan = clustered._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window" not in plan
+        # buckets cover the range and are monotone in the source column
+        row = clustered.select(
+            F.min("__b_0").alias("lo"), F.max("__b_0").alias("hi"),
+            F.corr(F.col("l_orderkey").cast("double"),
+                   F.col("__b_0").cast("double")).alias("corr"),
+        ).first()
+        assert row["lo"] == 0
+        assert row["hi"] > 100
+        assert row["corr"] > 0.99
+
+    def test_zorder_string_column(self, spark, events, table_dir):
+        # string clustering goes through the sample-sort cut path
+        log = TableLog(spark, table_dir)
+        log.create(events, name="t")
+        log.zorder_by(["event_type", "user_id"], bits_per_col=6,
+                      target_file_rows=200)
+        t = SharedTable(spark, table_dir)
+        assert t.to_df().count() == events.count()
 
 
 class TestConcurrentCommit:
