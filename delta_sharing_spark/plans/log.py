@@ -212,11 +212,16 @@ class Snapshot:
     """Resolved state of the table at one version: metadata + active files."""
 
     def __init__(self, version: int, timestamp: int, metadata: Metadata,
-                 files: list[AddFile]):
+                 files: list[AddFile],
+                 transactions: dict[str, int] | None = None):
         self.version = version
         self.timestamp = timestamp
         self.metadata = metadata
         self.files = files
+        # latest streaming-writer epoch per txnAppId (Delta's SetTransaction
+        # state): replayed into the snapshot and persisted in checkpoints so
+        # sink idempotency checks are O(1), not O(commit history)
+        self.transactions = transactions or {}
 
     @property
     def schema(self) -> T.StructType:
@@ -377,6 +382,7 @@ class TableLog:
         # checkpoint), not O(all commits)
         metadata: Metadata | None = None
         active: dict[str, AddFile] = {}
+        txns: dict[str, int] = {}
         ts = 0
         start = 0
         base_version = max(
@@ -385,13 +391,14 @@ class TableLog:
         cp_version = self._latest_checkpoint(at_or_before=version)
         if cp_version is not None and (base_version is None
                                        or cp_version > base_version):
-            metadata, active, ts = self._read_checkpoint(cp_version)
+            metadata, active, ts, txns = self._read_checkpoint(cp_version)
             start = cp_version + 1
         elif base_version is not None:
             base = self._snap_cache[base_version]
             metadata = base.metadata
             ts = base.timestamp
             active = {f.path: f for f in base.files}
+            txns = dict(base.transactions)
             start = base_version + 1
         for commit in self.commits(start, version):
             if commit.metadata is not None:
@@ -402,11 +409,21 @@ class TableLog:
                 add.version = commit.version
                 add.timestamp = commit.timestamp
                 active[add.path] = add
+            params = (commit.info.operationParameters or {}) \
+                if commit.info else {}
+            app_id = params.get("queryId")
+            if app_id is not None and "epochId" in params:
+                try:
+                    epoch = int(params["epochId"])
+                except (TypeError, ValueError):
+                    epoch = None
+                if epoch is not None:
+                    txns[app_id] = max(txns.get(app_id, -1), epoch)
             ts = commit.timestamp
         if metadata is None:
             raise TableNotFoundError(f"no metadata through version {version}")
         files = sorted(active.values(), key=lambda a: a.path)
-        snap = Snapshot(version, ts, metadata, files)
+        snap = Snapshot(version, ts, metadata, files, transactions=txns)
         self._snap_cache[version] = snap
         while len(self._snap_cache) > self._SNAP_CACHE_SIZE:
             self._snap_cache.pop(next(iter(self._snap_cache)))
@@ -460,6 +477,14 @@ class TableLog:
             nulls.append(json.dumps(st.get("nullCount", {}), default=str))
             vers.append(add.version)
             tss.append(add.timestamp)
+        for app_id, epoch in sorted(snap.transactions.items()):
+            # SetTransaction state: lets sink idempotency replay from the
+            # checkpoint instead of the full commit history
+            kinds.append("txn")
+            jsons.append(json.dumps({"appId": app_id, "version": epoch}))
+            for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
+                        vers, tss):
+                lst.append(None)
         table = pa.table(
             {
                 "kind": pa.array(kinds, pa.string()),
@@ -484,13 +509,14 @@ class TableLog:
 
     def _read_checkpoint(
         self, version: int
-    ) -> tuple[Metadata, dict[str, AddFile], int]:
+    ) -> tuple[Metadata, dict[str, AddFile], int, dict[str, int]]:
         import pyarrow.parquet as pq
 
         fp = os.path.join(self.log_path, _fmt_checkpoint(version))
         cols = pq.read_table(fp, columns=["kind", "action_json"])
         metadata: Metadata | None = None
         active: dict[str, AddFile] = {}
+        txns: dict[str, int] = {}
         ts = 0
         for kind, line in zip(cols.column("kind").to_pylist(),
                               cols.column("action_json").to_pylist()):
@@ -501,11 +527,14 @@ class TableLog:
                 active[add.path] = add
                 if add.timestamp:
                     ts = max(ts, add.timestamp)
+            elif kind == "txn":
+                t = json.loads(line)
+                txns[t["appId"]] = int(t["version"])
         if metadata is None:
             raise TableNotFoundError(f"checkpoint {fp} lacks metadata")
         # the checkpoint version's own commit timestamp wins over file ts
         ts = max(ts, self.read_commit(version).timestamp)
-        return metadata, active, ts
+        return metadata, active, ts, txns
 
     def _maybe_checkpoint(self, version: int) -> None:
         """Auto-checkpoint after a write when the version hits the interval

@@ -15,17 +15,10 @@ from delta_sharing_spark.plans.log import TableLog
 
 
 def _last_committed_epoch(log: TableLog, query_id: str) -> int:
-    last = -1
-    for commit in log.commits():
-        if commit.info is None:
-            continue
-        params = commit.info.operationParameters or {}
-        if params.get("queryId") == query_id:
-            try:
-                last = max(last, int(params.get("epochId", -1)))
-            except (TypeError, ValueError):
-                pass
-    return last
+    """Latest committed epoch for this writer, from snapshot transaction
+    state (Delta's SetTransaction): checkpoint + tail replay, so the lookup
+    is O(new commits) per micro-batch — never a scan of the full history."""
+    return log.snapshot().transactions.get(query_id, -1)
 
 
 def write_stream_to_table(stream_df: DataFrame, path: str,

@@ -448,6 +448,41 @@ class TestStreamSink:
         q2.stop()
         assert SharedTable(spark, dst).to_df().count() == 300
 
+    def test_epoch_lookup_is_o_new_commits(self, spark, events, tmp_path):
+        """Sink idempotency state rides the snapshot (SetTransaction
+        pattern): a fresh TableLog resolves the last committed epoch from
+        checkpoint + tail — commit JSONs parsed must be bounded by the
+        checkpoint interval, not the table's history length."""
+        from delta_sharing_spark.streaming.sink import _last_committed_epoch
+
+        path = str(tmp_path / "t")
+        log = TableLog(spark, path)
+        batch = events.limit(5)
+        log.create(batch, name="t",
+                   operation_parameters={"queryId": "qA", "epochId": "0"})
+        for epoch in range(1, 26):
+            log.append(batch, operation_parameters={
+                "queryId": "qA", "epochId": str(epoch)})
+        # snapshot state carries the txn map
+        assert log.snapshot().transactions == {"qA": 25}
+
+        fresh = TableLog(spark, path)
+        parsed = []
+        orig = TableLog._read_commit_uncached
+
+        def counting(self, version):
+            parsed.append(version)
+            return orig(self, version)
+
+        TableLog._read_commit_uncached = counting
+        try:
+            assert _last_committed_epoch(fresh, "qA") == 25
+            assert _last_committed_epoch(fresh, "other") == -1
+        finally:
+            TableLog._read_commit_uncached = orig
+        interval = 10  # CHECKPOINT_INTERVAL_DEFAULT
+        assert len(set(parsed)) <= interval + 2, sorted(set(parsed))
+
     def test_epoch_stamp_is_atomic_with_commit(self, spark, events, tmp_path):
         """The (queryId, epochId) stamp must land in the SAME commit file as
         the data actions (CommitInfo.operationParameters), not via a
