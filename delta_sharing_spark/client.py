@@ -28,21 +28,83 @@ from delta_sharing_spark.catalog import Schema, Share, ShareCatalog, Table
 from delta_sharing_spark.table import SharedTable
 
 
+PROFILE_CURRENT_VERSION = 2
+
+
 @dataclass(frozen=True)
 class DeltaSharingProfile:
+    """Profile file (PROTOCOL.md:4278-4298; Python mirror
+    python/delta_sharing/protocol.py:30-156). V1 = bearer token (+optional
+    ``expirationTime``); V2 adds a ``type`` discriminator —
+    ``bearer_token`` | ``oauth_client_credentials`` (token endpoint +
+    client id/secret, RFC 6749 client-credentials grant). In-engine the
+    ``endpoint`` doubles as the catalog-config path."""
+
     share_credentials_version: int
     endpoint: str  # catalog config path (no REST in-engine)
+    type: str | None = None
+    bearer_token: str | None = None
+    expiration_time: str | None = None
+    token_endpoint: str | None = None
+    client_id: str | None = None
+    client_secret: str | None = None
+    scope: str | None = None
+
+    @classmethod
+    def from_json(cls, cfg: dict | str) -> DeltaSharingProfile:
+        """Mirrors protocol.py:70-155 incl. error texts."""
+        if isinstance(cfg, (str, bytes, bytearray)):
+            cfg = json.loads(cfg)
+        version = int(cfg.get("shareCredentialsVersion", 1))
+        endpoint = cfg.get("endpoint", "")
+        if endpoint.endswith("/"):
+            endpoint = endpoint[:-1]
+        if version == 1:
+            return cls(
+                share_credentials_version=1, endpoint=endpoint,
+                bearer_token=cfg.get("bearerToken"),
+                expiration_time=cfg.get("expirationTime"))
+        if version == 2:
+            ptype = cfg["type"]
+            if ptype == "oauth_client_credentials":
+                token_endpoint = cfg["tokenEndpoint"]
+                if token_endpoint and token_endpoint.endswith("/"):
+                    token_endpoint = token_endpoint[:-1]
+                return cls(
+                    share_credentials_version=2, endpoint=endpoint,
+                    type=ptype, token_endpoint=token_endpoint,
+                    client_id=cfg["clientId"],
+                    client_secret=cfg["clientSecret"],
+                    scope=cfg.get("scope"))
+            if ptype == "bearer_token":
+                return cls(
+                    share_credentials_version=2, endpoint=endpoint,
+                    type=ptype, bearer_token=cfg["bearerToken"],
+                    expiration_time=cfg.get("expirationTime"))
+            raise ValueError(
+                f"The current release does not supports {ptype} type. "
+                "Please check type.")
+        raise ValueError(
+            "'shareCredentialsVersion' in the profile is "
+            f"{version} which is too new. The current release supports "
+            f"version {PROFILE_CURRENT_VERSION} and below. "
+            "Please upgrade to a newer release.")
 
     @classmethod
     def read_from_file(cls, path: str) -> DeltaSharingProfile:
         with open(path) as f:
-            cfg = json.load(f)
-        version = int(cfg.get("shareCredentialsVersion", 1))
-        if version > 1:
+            return cls.from_json(json.load(f))
+
+    def check_not_expired(self) -> None:
+        """Enforce bearer ``expirationTime`` (the reference surfaces this as
+        rest_client.py:110-114's expired-token error)."""
+        from delta_sharing_spark.auth import create_credential_provider
+
+        provider = create_credential_provider(self)
+        if provider.is_expired():
             raise ValueError(
-                f"shareCredentialsVersion {version} is not supported (max 1)")
-        return cls(share_credentials_version=version,
-                   endpoint=cfg["endpoint"])
+                "It may be caused by an expired token as it has expired "
+                f"at {self.expiration_time}")
 
 
 def _parse_url(url: str) -> tuple[str, str, str, str]:
@@ -59,6 +121,7 @@ def _parse_url(url: str) -> tuple[str, str, str, str]:
 def _resolve(spark: SparkSession, url: str) -> SharedTable:
     profile_path, share, schema, table = _parse_url(url)
     profile = DeltaSharingProfile.read_from_file(profile_path)
+    profile.check_not_expired()
     catalog = ShareCatalog.from_config(spark, profile.endpoint)
     return catalog.load_table(f"{share}.{schema}.{table}")
 

@@ -48,6 +48,12 @@ NDJSON = "application/x-ndjson; charset=utf-8"
 JSON_CT = "application/json; charset=utf-8"
 
 _ROUTES = [
+    # RFC 6749 client-credentials token endpoint (unauthenticated route;
+    # credentials ride in the Basic header). The reference delegates this
+    # to an external IdP (client/.../auth/OAuthClient.scala:31-61); the
+    # façade embeds a minimal issuer so shareCredentialsVersion-2 profiles
+    # round-trip end-to-end in one process.
+    ("POST", re.compile(r"^/oauth/token$"), "oauth_token"),
     ("GET", re.compile(r"^/shares$"), "list_shares"),
     ("GET", re.compile(r"^/shares/([^/]+)$"), "get_share"),
     ("GET", re.compile(r"^/shares/([^/]+)/schemas$"), "list_schemas"),
@@ -77,11 +83,18 @@ class SharingServer:
     """Serve a ShareCatalog over HTTP. Start with ``serve_background()``."""
 
     def __init__(self, catalog: ShareCatalog, host: str = "127.0.0.1",
-                 port: int = 0, bearer_token: str | None = None):
+                 port: int = 0, bearer_token: str | None = None,
+                 oauth_clients: dict[str, str] | None = None,
+                 oauth_token_lifetime_seconds: int = 3600):
         from delta_sharing_spark.asyncquery import AsyncQueryManager
 
         self.catalog = catalog
         self.bearer_token = bearer_token
+        # OAuth client-credentials issuer state: registered
+        # client_id -> client_secret, and issued token -> expiry (epoch s)
+        self.oauth_clients = oauth_clients or {}
+        self.oauth_token_lifetime_seconds = oauth_token_lifetime_seconds
+        self._issued_tokens: dict[str, float] = {}
         self.async_queries = AsyncQueryManager()
         server = self
 
@@ -113,21 +126,31 @@ class SharingServer:
                 self.wfile.write(payload)
 
             def _authorized(self) -> bool:
-                if server.bearer_token is None:
+                if server.bearer_token is None and not server.oauth_clients:
                     return True
                 auth = self.headers.get("Authorization", "")
-                return auth == f"Bearer {server.bearer_token}"
+                if server.bearer_token is not None \
+                        and auth == f"Bearer {server.bearer_token}":
+                    return True
+                if auth.startswith("Bearer "):
+                    return server._issued_token_valid(auth[len("Bearer "):])
+                return False
 
             def _dispatch(self, method: str) -> None:
-                if not self._authorized():
-                    return self._deny(401, "unauthorized")
                 url = urlparse(self.path)
+                if url.path != "/oauth/token" and not self._authorized():
+                    return self._deny(401, "unauthorized")
                 params = {k: v[0] for k, v in parse_qs(url.query).items()}
                 body = {}
                 if method == "POST":
                     n = int(self.headers.get("Content-Length") or 0)
-                    if n:
-                        body = json.loads(self.rfile.read(n))
+                    raw = self.rfile.read(n) if n else b""
+                    ctype = self.headers.get("Content-Type", "")
+                    if "x-www-form-urlencoded" in ctype:
+                        body = {k: v[0]
+                                for k, v in parse_qs(raw.decode()).items()}
+                    elif raw:
+                        body = json.loads(raw)
                 for verb, pattern, name in _ROUTES:
                     if verb != method:
                         continue
@@ -165,6 +188,42 @@ class SharingServer:
         self.httpd.shutdown()
 
     # ------------------------------------------------------------- handlers
+
+    def _issued_token_valid(self, token: str) -> bool:
+        import time
+
+        exp = self._issued_tokens.get(token)
+        return exp is not None and exp > time.time()
+
+    def oauth_token(self, h, params, body) -> None:
+        """Minimal RFC 6749 §4.4 issuer: Basic client credentials (or form
+        fields) -> short-lived bearer; expired tokens 401 on data routes."""
+        import base64
+        import secrets
+        import time
+
+        cid = secret = None
+        auth = h.headers.get("Authorization", "")
+        if auth.startswith("Basic "):
+            try:
+                cid, secret = base64.b64decode(
+                    auth[len("Basic "):]).decode().split(":", 1)
+            except (ValueError, UnicodeDecodeError):
+                pass
+        elif body.get("client_id"):
+            cid, secret = body.get("client_id"), body.get("client_secret")
+        if body.get("grant_type") != "client_credentials":
+            return h._deny(400, "unsupported grant_type")
+        if cid is None or self.oauth_clients.get(cid) != secret:
+            return h._deny(401, "invalid_client")
+        token = secrets.token_urlsafe(24)
+        self._issued_tokens[token] = (
+            time.time() + self.oauth_token_lifetime_seconds)
+        h._respond(json.dumps({
+            "access_token": token,
+            "token_type": "bearer",
+            "expires_in": self.oauth_token_lifetime_seconds,
+        }).encode(), JSON_CT)
 
     @staticmethod
     def _paging(params: dict):

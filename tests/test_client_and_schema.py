@@ -60,8 +60,73 @@ class TestClient:
         bad = str(tmp_path / "bad.json")
         with open(bad, "w") as f:
             json.dump({"shareCredentialsVersion": 99, "endpoint": "x"}, f)
-        with pytest.raises(ValueError, match="not supported"):
+        with pytest.raises(ValueError, match="too new"):
             DeltaSharingProfile.read_from_file(bad)
+
+    def test_profile_v2_oauth_parse(self, tmp_path):
+        p = DeltaSharingProfile.from_json({
+            "shareCredentialsVersion": 2,
+            "type": "oauth_client_credentials",
+            "endpoint": "https://sharing.example.com/",
+            "tokenEndpoint": "https://idp.example.com/token/",
+            "clientId": "cid", "clientSecret": "sec", "scope": "read",
+        })
+        assert p.share_credentials_version == 2
+        assert p.type == "oauth_client_credentials"
+        assert p.endpoint == "https://sharing.example.com"  # slash stripped
+        assert p.token_endpoint == "https://idp.example.com/token"
+        assert (p.client_id, p.client_secret, p.scope) == \
+            ("cid", "sec", "read")
+
+    def test_profile_v2_bearer_and_unknown_type(self):
+        p = DeltaSharingProfile.from_json({
+            "shareCredentialsVersion": 2, "type": "bearer_token",
+            "endpoint": "e", "bearerToken": "t",
+            "expirationTime": "2030-01-01T00:00:00Z"})
+        assert p.bearer_token == "t"
+        with pytest.raises(ValueError, match="does not supports"):
+            DeltaSharingProfile.from_json({
+                "shareCredentialsVersion": 2, "type": "oauth_magic",
+                "endpoint": "e"})
+
+    def test_expired_bearer_profile_rejected(self, spark, profile_env,
+                                             tmp_path):
+        with open(profile_env) as f:
+            cfg = json.load(f)
+        cfg["bearerToken"] = "tok"
+        cfg["expirationTime"] = "2020-01-01T00:00:00Z"
+        expired = str(tmp_path / "expired.json")
+        with open(expired, "w") as f:
+            json.dump(cfg, f)
+        from delta_sharing_spark.client import load_as_spark
+        with pytest.raises(ValueError, match="expired at 2020-01-01"):
+            load_as_spark(f"{expired}#share1.default.events", spark=spark)
+        # unexpired profile loads fine
+        cfg["expirationTime"] = "2099-01-01T00:00:00Z"
+        ok = str(tmp_path / "ok.json")
+        with open(ok, "w") as f:
+            json.dump(cfg, f)
+        assert load_as_spark(f"{ok}#share1.default.events",
+                             spark=spark).count() > 0
+
+    def test_provider_factory_dispatch(self):
+        from delta_sharing_spark.auth import (
+            BearerTokenAuthProvider, OAuthClientCredentialsAuthProvider,
+            create_credential_provider)
+
+        bearer = create_credential_provider(DeltaSharingProfile.from_json({
+            "shareCredentialsVersion": 1, "endpoint": "e",
+            "bearerToken": "t"}))
+        assert isinstance(bearer, BearerTokenAuthProvider)
+        headers: dict = {}
+        bearer.add_auth_header(headers)
+        assert headers["Authorization"] == "Bearer t"
+        oauth = create_credential_provider(DeltaSharingProfile.from_json({
+            "shareCredentialsVersion": 2,
+            "type": "oauth_client_credentials", "endpoint": "e",
+            "tokenEndpoint": "http://127.0.0.1:1/token",
+            "clientId": "c", "clientSecret": "s"}))
+        assert isinstance(oauth, OAuthClientCredentialsAuthProvider)
 
     def test_load_as_spark(self, spark, events, profile_env):
         url = f"{profile_env}#share1.default.events"

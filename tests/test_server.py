@@ -219,3 +219,66 @@ class TestEndpoints:
             _post(f"{server}/shares/share1/schemas/default/tables/events/query",
                   {"version": 99})
         assert e.value.code == 400
+
+
+class TestOAuth:
+    @pytest.fixture(scope="class")
+    def oauth_server(self, spark, events, tmp_path_factory):
+        base = tmp_path_factory.mktemp("oauth_srv")
+        d = str(base / "events")
+        TableLog(spark, d).create(events, name="events")
+        cat = ShareCatalog(spark)
+        cat.add_table("share1", "default", "events", d)
+        srv = SharingServer(cat, oauth_clients={"client-a": "secret-a"},
+                            oauth_token_lifetime_seconds=3600)
+        url = srv.serve_background()
+        yield url, srv
+        srv.shutdown()
+
+    def test_client_credentials_round_trip(self, oauth_server):
+        from delta_sharing_spark.auth import (
+            AuthConfig, OAuthClient, OAuthClientCredentialsAuthProvider)
+
+        url, srv = oauth_server
+        provider = OAuthClientCredentialsAuthProvider(
+            oauth_client=OAuthClient(f"{url}/oauth/token",
+                                     "client-a", "secret-a"))
+        headers: dict = {}
+        provider.add_auth_header(headers)
+        token1 = headers["Authorization"].removeprefix("Bearer ")
+        status, _h, body = _get(f"{url}/shares", token=token1)
+        assert status == 200
+        assert json.loads(body)["items"][0]["name"] == "share1"
+
+        # cached token is reused while fresh
+        headers2: dict = {}
+        provider.add_auth_header(headers2)
+        assert headers2["Authorization"].endswith(token1)
+
+        # age the cached token past the renewal threshold -> one refresh
+        provider._current.creation_timestamp -= (3600 - 1) * 1000
+        headers3: dict = {}
+        provider.add_auth_header(headers3)
+        token2 = headers3["Authorization"].removeprefix("Bearer ")
+        assert token2 != token1
+        status, _h, _b = _get(f"{url}/shares", token=token2)
+        assert status == 200
+
+    def test_expired_issued_token_401(self, oauth_server):
+        from delta_sharing_spark.auth import OAuthClient
+
+        url, srv = oauth_server
+        creds = OAuthClient(f"{url}/oauth/token",
+                            "client-a", "secret-a").client_credentials()
+        srv._issued_tokens[creds.access_token] = 1.0  # expire server-side
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(f"{url}/shares", token=creds.access_token)
+        assert e.value.code == 401
+
+    def test_bad_client_and_grant(self, oauth_server):
+        from delta_sharing_spark.auth import OAuthClient, OAuthTokenError
+
+        url, _srv = oauth_server
+        with pytest.raises(OAuthTokenError):
+            OAuthClient(f"{url}/oauth/token", "client-a",
+                        "WRONG").client_credentials()
