@@ -130,11 +130,19 @@ def delta_lines_to_spark(spark: SparkSession,
             # apply the deletion vector client-side: each add is a single
             # file, so _metadata.row_index alone keys the anti-join
             df = df.select("*", F.col("_metadata.row_index").alias("__ri"))
-            dv_rows = (
-                spark.read.parquet(dv["pathOrInlineDv"])
-                .filter(F.col("path") == file_id)
-                .select(F.col("row_index").alias("__ri"))
-            )
+            if dv.get("storageType") == "i":
+                from delta_sharing_spark.plans.log import decode_inline_dv
+
+                dv_rows = spark.createDataFrame(
+                    [(ri,) for ri in
+                     decode_inline_dv(dv["pathOrInlineDv"])],
+                    "__ri long")
+            else:
+                dv_rows = (
+                    spark.read.parquet(dv["pathOrInlineDv"])
+                    .filter(F.col("path") == file_id)
+                    .select(F.col("row_index").alias("__ri"))
+                )
             df = df.join(F.broadcast(dv_rows), "__ri", "left_anti") \
                    .drop("__ri")
         for name, value in (add.get("partitionValues") or {}).items():

@@ -62,6 +62,51 @@ DV_DIR = "_dv"
 # vectors fall back to a shuffled anti-join (both scale out)
 DV_BROADCAST_MAX_ROWS = 4_000_000
 
+# Files whose merged deleted set stays at/below this inline the positions in
+# the descriptor itself (storageType "i", like Delta's inline DVs —
+# PROTOCOL.md:4014-4137 delta-format DV descriptors), saving one file open
+# per tiny DML commit. Larger sets go to the packed parquet (storageType
+# "u"). The global cap bounds driver-side row collection for inlining.
+INLINE_DV_MAX_ROWS = 256
+INLINE_DV_GLOBAL_MAX_ROWS = 100_000
+
+
+def encode_inline_dv(row_indexes) -> str:
+    """Sorted row positions -> delta-varint bytes -> base85 (ASCII-safe for
+    the JSON descriptor), the same shape as Delta's z85-encoded inline DVs."""
+    import base64
+
+    data = bytearray()
+    prev = -1
+    for ri in sorted(row_indexes):
+        delta = ri - prev
+        prev = ri
+        while True:
+            b = delta & 0x7F
+            delta >>= 7
+            data.append(b | (0x80 if delta else 0))
+            if not delta:
+                break
+    return base64.b85encode(bytes(data)).decode()
+
+
+def decode_inline_dv(encoded: str) -> list[int]:
+    import base64
+
+    raw = base64.b85decode(encoded)
+    out: list[int] = []
+    cur = shift = 0
+    prev = -1
+    for b in raw:
+        cur |= (b & 0x7F) << shift
+        if b & 0x80:
+            shift += 7
+        else:
+            prev += cur
+            out.append(prev)
+            cur = shift = 0
+    return out
+
 # Write a parquet checkpoint of the active snapshot every N commits (Delta's
 # default cadence). Without checkpoints, snapshot resolution replays every
 # commit JSON — O(versions) driver work per query, the metadata-plane killer
@@ -950,17 +995,37 @@ class TableLog:
         anti-join semantics (a file's deleted set only grows until the path
         is removed), so no dedup shuffle is needed."""
         descs = [a for a in adds if a.deletionVector]
-        dv_files = sorted({
-            self.abs_path(a.deletionVector["pathOrInlineDv"]) for a in descs
-        })
-        df = (
-            self.spark.read.parquet(*dv_files)
-            .filter(F.col("path").isin([a.path for a in descs]))
-            .select(
-                F.concat(F.lit(self.path + os.sep), F.col("path"))
-                .alias("__dv_file"),
-                F.col("row_index").alias("__dv_ri"),
+        stored = [a for a in descs
+                  if a.deletionVector["storageType"] == "u"]
+        inline = [a for a in descs
+                  if a.deletionVector["storageType"] == "i"]
+        parts: list[DataFrame] = []
+        if stored:
+            dv_files = sorted({
+                self.abs_path(a.deletionVector["pathOrInlineDv"])
+                for a in stored
+            })
+            parts.append(
+                self.spark.read.parquet(*dv_files)
+                .filter(F.col("path").isin([a.path for a in stored]))
+                .select("path", F.col("row_index"))
             )
+        if inline:
+            # inline descriptors decode driver-side — bounded by
+            # INLINE_DV_MAX_ROWS per file by construction
+            rows = [
+                (a.path, ri) for a in inline
+                for ri in decode_inline_dv(a.deletionVector["pathOrInlineDv"])
+            ]
+            parts.append(self.spark.createDataFrame(
+                rows, "path string, row_index long"))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df = df.select(
+            F.concat(F.lit(self.path + os.sep), F.col("path"))
+            .alias("__dv_file"),
+            F.col("row_index").alias("__dv_ri"),
         )
         if sum(a.dv_cardinality for a in descs) <= DV_BROADCAST_MAX_ROWS:
             df = F.broadcast(df)
@@ -1193,41 +1258,89 @@ class TableLog:
             return [], 0
         adds_by_path = {a.path: a for a in snap.files}
         touched = [adds_by_path[p] for p in sorted(counts)]
+
+        # split: files whose merged deleted set stays tiny inline the
+        # positions in the descriptor (no DV file open on read); the rest
+        # share one packed parquet. A global cap bounds the inline collect.
+        def total_for(a: AddFile) -> int:
+            return a.dv_cardinality + counts[a.path]
+
+        inline_set = {a.path for a in touched
+                      if total_for(a) <= INLINE_DV_MAX_ROWS}
+        if sum(total_for(a) for a in touched
+               if a.path in inline_set) > INLINE_DV_GLOBAL_MAX_ROWS:
+            inline_set = set()
+
         dv_rows = matched.select(
             F.substring("__dv_file", prefix_len + 1, 1 << 30).alias("path"),
             F.col("__dv_ri").alias("row_index"),
         )
         carried = [a for a in touched if a.deletionVector]
-        if carried:
+        carried_files = sorted({
+            self.abs_path(a.deletionVector["pathOrInlineDv"])
+            for a in carried if a.deletionVector["storageType"] == "u"
+        })
+        carried_inline_rows = [
+            (a.path, ri) for a in carried
+            if a.deletionVector["storageType"] == "i"
+            for ri in decode_inline_dv(a.deletionVector["pathOrInlineDv"])
+        ]
+        if carried_files:
             # the new DV file must carry forward previously deleted
             # positions of the touched files (descriptors point at one
             # file each; old and new sets are disjoint by construction)
             old = (
-                self.spark.read.parquet(*sorted({
-                    self.abs_path(a.deletionVector["pathOrInlineDv"])
-                    for a in carried
-                }))
+                self.spark.read.parquet(*carried_files)
                 .filter(F.col("path").isin([a.path for a in carried]))
                 .select("path", "row_index")
             )
             dv_rows = dv_rows.unionByName(old)
-        dv_rel, dv_size = self._write_dv_file(dv_rows)
+        if carried_inline_rows:
+            dv_rows = dv_rows.unionByName(self.spark.createDataFrame(
+                carried_inline_rows, "path string, row_index long"))
+
+        inline_positions: dict[str, list[int]] = {}
+        packed_rows = dv_rows
+        if inline_set:
+            # one bounded collect for every inline file's merged positions
+            inline_positions = {
+                r["path"]: r["ris"]
+                for r in dv_rows.filter(F.col("path").isin(list(inline_set)))
+                .groupBy("path").agg(F.collect_list("row_index").alias("ris"))
+                .collect()
+            }
+            packed_rows = dv_rows.filter(
+                ~F.col("path").isin(list(inline_set)))
+        dv_rel, dv_size = None, 0
+        if len(inline_set) < len(touched):
+            dv_rel, dv_size = self._write_dv_file(packed_rows)
+
         actions: list[Action] = []
         for a in touched:
-            total = a.dv_cardinality + counts[a.path]
+            total = total_for(a)
             actions.append(
                 RemoveFile(path=a.path, partitionValues=a.partitionValues,
                            size=a.size))
-            if a.num_records is None or total < a.num_records:
-                actions.append(AddFile(
-                    path=a.path, partitionValues=a.partitionValues,
-                    size=a.size, stats=a.stats,
-                    deletionVector={
-                        "storageType": "u",
-                        "pathOrInlineDv": dv_rel,
-                        "cardinality": total,
-                        "sizeInBytes": dv_size,
-                    }))
+            if a.num_records is not None and total >= a.num_records:
+                continue  # fully deleted file: removed outright
+            if a.path in inline_set:
+                encoded = encode_inline_dv(inline_positions.get(a.path, []))
+                desc = {
+                    "storageType": "i",
+                    "pathOrInlineDv": encoded,
+                    "cardinality": total,
+                    "sizeInBytes": len(encoded),
+                }
+            else:
+                desc = {
+                    "storageType": "u",
+                    "pathOrInlineDv": dv_rel,
+                    "cardinality": total,
+                    "sizeInBytes": dv_size,
+                }
+            actions.append(AddFile(
+                path=a.path, partitionValues=a.partitionValues,
+                size=a.size, stats=a.stats, deletionVector=desc))
         return actions, sum(counts.values())
 
     def _delete_with_dv(self, cond: Column, snap: Snapshot,
@@ -1667,15 +1780,20 @@ class TableLog:
         version, or None when ≤1 generation is live (already compact)."""
         snap = self.snapshot()
         dirty = [a for a in snap.files if a.deletionVector]
-        gens = sorted({a.deletionVector["pathOrInlineDv"] for a in dirty})
+        stored = [a for a in dirty
+                  if a.deletionVector["storageType"] == "u"]
+        gens = sorted({a.deletionVector["pathOrInlineDv"] for a in stored})
         if len(gens) <= 1:
+            # inline descriptors cost no file opens; with at most one
+            # parquet generation the read path is already a single DV scan
             return None
         rows = (
             self.spark.read.parquet(*[self.abs_path(g) for g in gens])
-            .filter(F.col("path").isin([a.path for a in dirty]))
+            .filter(F.col("path").isin([a.path for a in stored]))
             .select("path", "row_index")
             .distinct()
         )
+        dirty = stored  # inline descriptors stay as they are
         dv_rel, dv_size = self._write_dv_file(rows)
         actions: list[Action] = []
         for a in sorted(dirty, key=lambda x: x.path):
@@ -1714,7 +1832,8 @@ class TableLog:
         for commit in self.commits():
             for add in commit.adds:
                 referenced.add(add.path)
-                if add.deletionVector:
+                if add.deletionVector and \
+                        add.deletionVector["storageType"] == "u":
                     referenced.add(add.deletionVector["pathOrInlineDv"])
             for c in commit.cdc:
                 referenced.add(c.path)

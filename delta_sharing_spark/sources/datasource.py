@@ -47,7 +47,8 @@ class _FilePartition(InputPartition):
                  schema_json: str, change_type: str | None = None,
                  commit_version: int | None = None,
                  commit_timestamp: int | None = None,
-                 dv_path: str | None = None, dv_key: str | None = None):
+                 dv_path: str | None = None, dv_key: str | None = None,
+                 dv_inline: str | None = None):
         self.path = path
         self.partition_values = partition_values
         self.schema_json = schema_json
@@ -57,9 +58,12 @@ class _FilePartition(InputPartition):
         self.commit_version = commit_version
         self.commit_timestamp = commit_timestamp
         # deletion vector: abs path of the DV parquet + this file's key (its
-        # log-relative path) within it; positions listed there are skipped
+        # log-relative path) within it; positions listed there are skipped.
+        # dv_inline carries an inline (storageType "i") encoded vector
+        # instead — decoded in the worker, no extra file open.
         self.dv_path = dv_path
         self.dv_key = dv_key
+        self.dv_inline = dv_inline
 
 
 def _parse_partition_value(value: str, dtype: T.DataType):
@@ -95,7 +99,14 @@ def _read_file_batches(partition: _FilePartition) -> Iterator:
     ]
     cdf_mode = partition.commit_version is not None
     deleted = None
-    if partition.dv_path:
+    if partition.dv_inline:
+        import numpy as np
+
+        from delta_sharing_spark.plans.log import decode_inline_dv
+
+        deleted = np.array(decode_inline_dv(partition.dv_inline),
+                           dtype="int64")
+    elif partition.dv_path:
         # positions logically deleted from this file (deletion vector);
         # the filter pushes down to the DV parquet's row groups
         import numpy as np
@@ -205,6 +216,8 @@ def _dv_args(log, f) -> dict:
     dv = getattr(f, "deletionVector", None)
     if not dv:
         return {}
+    if dv.get("storageType") == "i":
+        return {"dv_inline": dv["pathOrInlineDv"], "dv_key": f.path}
     return {"dv_path": log.abs_path(dv["pathOrInlineDv"]), "dv_key": f.path}
 
 

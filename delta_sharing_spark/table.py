@@ -342,11 +342,13 @@ class SharedTable:
                 }
             }
             if add.deletionVector:
-                line["file"]["deletionVector"] = {
-                    **add.deletionVector,
-                    "pathOrInlineDv": self.log.abs_path(
-                        add.deletionVector["pathOrInlineDv"]),
-                }
+                dv = dict(add.deletionVector)
+                if dv.get("storageType") == "u":
+                    # path-based DVs go on the wire absolute (like file
+                    # urls); inline DVs carry the encoded vector itself
+                    dv["pathOrInlineDv"] = self.log.abs_path(
+                        dv["pathOrInlineDv"])
+                line["file"]["deletionVector"] = dv
             lines.append(line)
         if next_token or new_refresh_token:
             end: dict[str, Any] = {}

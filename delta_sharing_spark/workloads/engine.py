@@ -591,3 +591,91 @@ def eng_datasource_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------- inline DVs / z-order
+
+def _events_dv_inline(spark: SparkSession, sf_dir: str) -> str:
+    """Inline-DV fixture: tiny DELETE whose per-file deleted sets all fit
+    the inline threshold — every surviving descriptor must be storageType
+    "i" (positions ride in the commit JSON; no DV parquet written)."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        ev = read_table(spark, sf_dir, "events")
+        log = TableLog(spark, path)
+        log.create(ev, partition_by=["event_type"], name="events_dv_inline",
+                   configuration={"enableDeletionVectors": "true"})
+        log.delete("event_id % 97 = 0")
+        descs = [a.deletionVector for a in log.snapshot().files
+                 if a.deletionVector]
+        if not descs or any(d["storageType"] != "i" for d in descs):
+            raise AssertionError(
+                "inline-DV fixture expected storageType 'i' descriptors")
+
+    return _fixture(spark, sf_dir, "events_dv_inline", build)
+
+
+@workload(
+    "eng_dv_inline",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events
+    WHERE NOT (event_id % 97 = 0)
+    GROUP BY event_type
+    """,
+)
+def eng_dv_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline deletion vectors (storageType "i", Delta DV spec via the
+    sharing delta format, PROTOCOL.md:4014-4137): a tiny DELETE encodes
+    its positions in the descriptor itself — zero extra file opens on
+    read — and the logical rows must match the SQL replay exactly."""
+    t = SharedTable(spark, _events_dv_inline(spark, sf_dir))
+    return (
+        t.to_df().groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum("event_id").cast("long").alias("sum_id"))
+    )
+
+
+def _lineitem_zorder(spark: SparkSession, sf_dir: str) -> str:
+    """Z-ORDER fixture: row-ordered files (l_orderkey clustered, l_partkey
+    scattered), then zorder_by both — the rewrite must preserve every row
+    while making BOTH columns' per-file ranges tight."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        li = read_table(spark, sf_dir, "lineitem")
+        log = TableLog(spark, path)
+        log.create(li.repartitionByRange(8, "l_orderkey"),
+                   name="lineitem_zorder")
+        log.zorder_by(["l_orderkey", "l_partkey"], bits_per_col=8,
+                      target_file_rows=max(li.count() // 8, 1000))
+
+    return _fixture(spark, sf_dir, "lineitem_zorder", build)
+
+
+@workload(
+    "eng_zorder_read",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    WHERE l_partkey <= 200
+    """,
+)
+def eng_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering rewrite (dataChange=false): the clustered table
+    must return byte-identical logical rows for a predicate on the NON-
+    leading clustered column — the rewrite only re-sorts. The bucket
+    assignment comes from broadcast approx-quantile cut-points (no
+    unpartitioned window; see TableLog.zorder_by)."""
+    t = SharedTable(spark, _lineitem_zorder(spark, sf_dir))
+    return t.to_df().filter(F.col("l_partkey") <= 200).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(14,2))"))
+        .cast("double").alias("sum_price"),
+    )

@@ -787,9 +787,12 @@ class TestDeletionVectors:
         dv_lines = [a["file"]["deletionVector"]
                     for a in out["actions"]
                     if "file" in a and "deletionVector" in a["file"]]
-        assert dv_lines and all(
-            d["storageType"] == "u" and d["cardinality"] > 0
-            and d["pathOrInlineDv"].endswith(".parquet") for d in dv_lines)
+        assert dv_lines and all(d["cardinality"] > 0 for d in dv_lines)
+        for d in dv_lines:
+            if d["storageType"] == "u":
+                assert d["pathOrInlineDv"].endswith(".parquet")
+            else:  # tiny per-file sets inline the positions on the wire
+                assert d["storageType"] == "i"
         dv_table.write_checkpoint()
         fresh = TableLog(spark, dv_table.path)
         snap = fresh.snapshot()
@@ -902,7 +905,96 @@ class TestDeletionVectors:
         assert got == want
 
 
+class TestInlineDeletionVectors:
+    def test_encode_decode_round_trip(self):
+        from delta_sharing_spark.plans.log import (
+            decode_inline_dv,
+            encode_inline_dv,
+        )
+
+        for positions in ([], [0], [5], [0, 1, 2], [7, 100, 3, 999_999_999],
+                          list(range(0, 2560, 10))):
+            assert decode_inline_dv(encode_inline_dv(positions)) == \
+                sorted(positions)
+
+    def test_small_delete_inlines_no_dv_file(self, spark, events, table_dir):
+        import os
+
+        log = TableLog(spark, table_dir)
+        log.create(events, name="ev",
+                   configuration={"enableDeletionVectors": "true"})
+        log.delete("event_id < 10")  # tiny: every file's set <= threshold
+        snap = log.snapshot()
+        dvs = [a.deletionVector for a in snap.files if a.deletionVector]
+        assert dvs and all(d["storageType"] == "i" for d in dvs)
+        assert sum(d["cardinality"] for d in dvs) == 10
+        # a purely-inline commit writes NO packed DV parquet
+        assert not os.path.isdir(os.path.join(table_dir, "_dv")) or \
+            not os.listdir(os.path.join(table_dir, "_dv"))
+        t = SharedTable(spark, table_dir)
+        assert t.to_df().count() == events.count() - 10
+        assert t.to_df().filter("event_id < 10").count() == 0
+
+    def test_inline_carries_forward_into_packed(self, spark, lineitem,
+                                                table_dir):
+        # first delete inlines; the second crosses the threshold, so the
+        # merged set must flip to a packed descriptor carrying the inline
+        # positions forward
+        log = TableLog(spark, table_dir)
+        log.create(lineitem.coalesce(1), name="li",
+                   configuration={"enableDeletionVectors": "true"})
+        n = lineitem.count()
+        log.delete("l_orderkey < 5")  # small -> inline
+        snap1 = log.snapshot()
+        d1 = [a.deletionVector for a in snap1.files if a.deletionVector]
+        assert d1 and all(d["storageType"] == "i" for d in d1)
+        small = lineitem.filter("l_orderkey < 5").count()
+        log.delete("l_partkey % 2 = 0")  # large -> packed, carries inline
+        snap2 = log.snapshot()
+        d2 = [a.deletionVector for a in snap2.files if a.deletionVector]
+        assert d2 and all(d["storageType"] == "u" for d in d2)
+        exp = lineitem.filter(
+            "NOT (l_orderkey < 5) AND NOT (l_partkey % 2 = 0)")
+        t = SharedTable(spark, table_dir)
+        assert t.to_df().count() == exp.count()
+        assert sum(d["cardinality"] for d in d2) == n - exp.count()
+
+    def test_inline_checkpoint_and_stream_read(self, spark, events,
+                                               table_dir):
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableDataSource,
+        )
+
+        log = TableLog(spark, table_dir)
+        log.create(events, name="ev",
+                   configuration={"enableDeletionVectors": "true"})
+        log.delete("event_id % 7 = 0")
+        log.write_checkpoint()
+        fresh = TableLog(spark, table_dir)
+        dvs = [a.deletionVector for a in fresh.snapshot().files
+               if a.deletionVector]
+        assert dvs and all(d["storageType"] == "i" for d in dvs)
+        exp = events.filter("NOT (event_id % 7 = 0)")
+        assert SharedTable(spark, table_dir).to_df().count() == exp.count()
+        # executor-side inline decode in the Python data source
+        spark.dataSource.register(SharedTableDataSource)
+        df = (spark.read.format("deltashare")
+              .option("path", table_dir).load())
+        got = {r["event_id"] for r in df.select("event_id").collect()}
+        want = {r["event_id"] for r in exp.select("event_id").collect()}
+        assert got == want
+
+
 class TestDVCompaction:
+    @pytest.fixture(autouse=True)
+    def _force_packed_dvs(self, monkeypatch):
+        # compaction targets stacked parquet generations; tiny test deletes
+        # would otherwise all inline (storageType "i") and leave nothing
+        # to compact
+        import delta_sharing_spark.plans.log as logmod
+
+        monkeypatch.setattr(logmod, "INLINE_DV_MAX_ROWS", 0)
+
     def test_compact_collapses_generations(self, spark, events, table_dir):
         log = TableLog(spark, table_dir)
         log.create(events, partition_by=["event_type"], name="ev",

@@ -197,11 +197,64 @@ class TestMultimodal:
         assert out[1]["height"] == 1 + int(d[2:4], 16)
         assert out[1]["format"] == "fake/" + d[5]
 
-    def test_decode_stub_raises(self, spark):
+    def test_decode_unknown_codec_raises(self, spark):
         from delta_sharing_spark.operators.multimodal import decode_media
 
         with pytest.raises(NotImplementedError):
-            decode_media(None, "media", "doc_id")
+            decode_media(None, "media", "doc_id", codec="no_such_codec")
+
+    def test_codec_registry_resolution(self):
+        from delta_sharing_spark.operators import multimodal as mm
+
+        # container has no codec libs: auto falls back to the fake
+        name, fn = mm.resolve_codec("auto")
+        if not (mm._codec_available("pillow")
+                or mm._codec_available("imageio")):
+            assert name == "fake"
+            assert fn(b"hello")[3].startswith("fake/")
+        # explicit real codecs raise when the library is missing
+        if not mm._codec_available("pillow"):
+            with pytest.raises(NotImplementedError):
+                mm.resolve_codec("pillow")
+
+    def test_registered_codec_runs_distributed(self, spark):
+        from delta_sharing_spark.operators import multimodal as mm
+        from delta_sharing_spark.operators.multimodal import (
+            decode_media, with_media_column)
+
+        # lambda: cloudpickle ships it by value (test modules aren't
+        # importable on executors)
+        mm.register_codec(
+            "len2",
+            lambda content: (len(content or b""), 2 * len(content or b""),
+                             3, "len2"))
+        try:
+            df = spark.createDataFrame([(1, "hello"), (2, "worlds!")],
+                                       "doc_id long, text string")
+            media = with_media_column(df, "text")
+            out = {r["doc_id"]: r for r in
+                   decode_media(media, "media", "doc_id",
+                                codec="len2").collect()}
+            assert out[1]["width"] == 5 and out[1]["format"] == "len2"
+            assert out[2]["width"] == 7 and out[2]["height"] == 14
+        finally:
+            mm._CODEC_REGISTRY.pop("len2", None)
+
+    def test_decode_media_auto_matches_fake_here(self, spark):
+        from delta_sharing_spark.operators import multimodal as mm
+        from delta_sharing_spark.operators.multimodal import (
+            decode_media, fake_decode_media, with_media_column)
+
+        if mm._codec_available("pillow") or mm._codec_available("imageio"):
+            pytest.skip("real codec present; fake-fallback not in play")
+        df = spark.createDataFrame([(1, "abc"), (2, "defg")],
+                                   "doc_id long, text string")
+        media = with_media_column(df, "text")
+        auto = sorted(map(tuple, decode_media(
+            media, "media", "doc_id").collect()))
+        fake = sorted(map(tuple, fake_decode_media(
+            media, "media", "doc_id").collect()))
+        assert auto == fake
 
     def test_sample_frames(self, spark):
         from delta_sharing_spark.operators.multimodal import (
