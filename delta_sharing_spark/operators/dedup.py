@@ -89,14 +89,13 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return exploded.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
-                           num_hashes: int = 8, bands: int = 4) -> DataFrame:
-    """LSH banding: hash each band of the signature; equi-join docs sharing a
-    (band_idx, band_hash) bucket. Returns distinct candidate pairs (a < b).
-
-    At scale this is the whole trick: the join key is the band hash, so
-    Spark shuffles each doc B times instead of comparing all pairs.
-    """
+def minhash_band_index(signatures: DataFrame, id_col: str,
+                       num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """(id, band_idx, h) LSH bucket rows — the persistable corpus dedup
+    index. Write it once per corpus snapshot (e.g. into a TableLog table
+    partitioned/bucketed by ``h``); new batches then dedup against the
+    corpus by joining their bands against this index WITHOUT rescanning
+    corpus text (see ``incremental_dedup_candidates``)."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -105,7 +104,7 @@ def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
             F.md5(F.concat_ws("|", *parts).cast("binary")).alias(f"band_{b}")
         )
     banded = signatures.select(F.col(id_col), *band_cols)
-    buckets = banded.select(
+    return banded.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -114,6 +113,17 @@ def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
             ])
         ).alias("bk"),
     ).select(id_col, "bk.band_idx", "bk.h")
+
+
+def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
+                           num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """LSH banding: hash each band of the signature; equi-join docs sharing a
+    (band_idx, band_hash) bucket. Returns distinct candidate pairs (a < b).
+
+    At scale this is the whole trick: the join key is the band hash, so
+    Spark shuffles each doc B times instead of comparing all pairs.
+    """
+    buckets = minhash_band_index(signatures, id_col, num_hashes, bands)
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -365,3 +375,35 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             break
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("component"))
+
+
+def incremental_dedup_candidates(new_docs: DataFrame, index: DataFrame,
+                                 id_col: str, text_col: str,
+                                 num_hashes: int = 8, bands: int = 4,
+                                 shingle_k: int = 3) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus via its stored band
+    index: signatures are computed for the new docs only, banded, and
+    equi-joined against ``index`` (``minhash_band_index`` output, columns
+    (corpus_id_col, band_idx, h)). Returns distinct (new_id, corpus_id)
+    candidate pairs.
+
+    The incremental shape at 100 TB: the corpus is touched ONLY through its
+    index (a few band rows per historical doc, no text rescans), the join
+    key is the band hash (co-partitionable if the index table is bucketed
+    by ``h``), and the new batch — typically orders of magnitude smaller —
+    broadcasts when it fits.
+    """
+    sigs = minhash_signatures(new_docs, id_col, text_col,
+                              num_hashes=num_hashes, shingle_k=shingle_k)
+    new_buckets = minhash_band_index(sigs, id_col, num_hashes, bands) \
+        .withColumnRenamed(id_col, "new_id")
+    corpus_id = [c for c in index.columns
+                 if c not in ("band_idx", "h")][0]
+    return (
+        new_buckets.join(
+            index.withColumnRenamed(corpus_id, "corpus_id"),
+            ["band_idx", "h"],
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )

@@ -378,3 +378,49 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     bench = docs.filter(hash_bucket("doc_id", salt="bench") < 20_000)
     return decontaminate(docs, bench, "doc_id", "text", shingle_k=13)
+
+
+@workload(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {_DUCK_MINHASH_SIGS} FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx, md5(sig_0 || '|' || sig_1) AS h FROM sigs
+      UNION ALL
+      SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sigs
+      UNION ALL
+      SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sigs
+      UNION ALL
+      SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sigs
+    )
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM bands n JOIN bands c
+      ON n.band_idx = c.band_idx AND n.h = c.h
+    WHERE n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the corpus (doc_id % 7 != 0) is represented ONLY
+    by its stored MinHash band index; the new batch (doc_id % 7 = 0)
+    computes signatures for itself alone and joins its bands against the
+    index — no corpus text rescans, the O(new batch) shape a continuously
+    ingesting 100 TB corpus needs."""
+    from delta_sharing_spark.operators.dedup import (
+        incremental_dedup_candidates,
+        minhash_band_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 7 != 0")
+    new = docs.filter("doc_id % 7 = 0")
+    index = minhash_band_index(
+        minhash_signatures(corpus, "doc_id", "text", num_hashes=8,
+                           shingle_k=3),
+        "doc_id", num_hashes=8, bands=4)
+    return incremental_dedup_candidates(new, index, "doc_id", "text",
+                                        num_hashes=8, bands=4, shingle_k=3)

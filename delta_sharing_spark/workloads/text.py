@@ -400,3 +400,117 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("top2_frac"),
                 "dup3_frac")
     )
+
+
+# ------------------------------------------------------------------- PII
+
+# Deterministic PII augmentation used by the PII workloads: the synthetic
+# documents contain no natural PII, so the query plants per-doc emails /
+# urls / ips / ssn-shaped ids derivable from doc_id — the SAME expression
+# in Spark SQL and the DuckDB oracle — making detection counts non-zero
+# and redaction exactly verifiable.
+_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS {s}) || "
+    "'@mail.example.com see http://site' || CAST(doc_id % 7 AS {s}) || "
+    "'.example.org/p/' || CAST(doc_id AS {s}) || "
+    "' ip 10.' || CAST(doc_id % 200 AS {s}) || "
+    "'.0.1 ssn 123-45-' || lpad(CAST(doc_id % 10000 AS {s}), 4, '0')"
+)
+_AUG_SPARK = _AUG_SQL.format(s="STRING")
+_AUG_DUCK = _AUG_SQL.format(s="VARCHAR")
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[A-Za-z0-9./_-]+"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+@workload(
+    "q_pii_detect",
+    oracle=f"""
+    WITH aug AS (
+      SELECT source, {_AUG_DUCK} AS t FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(t, '{_PII_EMAIL}'))) AS BIGINT)
+               AS emails,
+           CAST(SUM(len(regexp_extract_all(t, '{_PII_URL}'))) AS BIGINT)
+               AS urls,
+           CAST(SUM(len(regexp_extract_all(t, '{_PII_IP}'))) AS BIGINT)
+               AS ips,
+           CAST(SUM(len(regexp_extract_all(t, '{_PII_SSN}'))) AS BIGINT)
+               AS ssns,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(t, '{_PII_EMAIL}'))
+                        + len(regexp_extract_all(t, '{_PII_URL}'))
+                        + len(regexp_extract_all(t, '{_PII_IP}'))
+                        + len(regexp_extract_all(t, '{_PII_SSN}')) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+    FROM aug
+    GROUP BY source
+    """,
+)
+def q_pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection (operators/pii.py): per-category regex match counts as
+    a pure map-side projection — regexp_count inside whole-stage codegen,
+    one aggregation shuffle on source. Patterns live in the Java∩RE2
+    subset so the DuckDB oracle is bit-identical."""
+    from delta_sharing_spark.operators.pii import detect_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    aug = docs.select("source", F.expr(_AUG_SPARK).alias("t"))
+    det = detect_pii(aug, "t")
+    return det.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("email_count").cast("long").alias("emails"),
+        F.sum("url_count").cast("long").alias("urls"),
+        F.sum("ipv4_count").cast("long").alias("ips"),
+        F.sum("ssn_count").cast("long").alias("ssns"),
+        F.sum(F.when(F.col("has_pii"), 1).otherwise(0)).cast("long")
+        .alias("docs_with_pii"),
+    )
+
+
+@workload(
+    "q_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT source, {_AUG_DUCK} AS t FROM documents
+    ), red AS (
+      SELECT source,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_URL}', '<URL>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g'),
+                 '{_PII_SSN}', '<SSN>', 'g') AS r
+      FROM aug
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(r)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(regexp_extract_all(r, '{_PII_EMAIL}'))
+                  + len(regexp_extract_all(r, '{_PII_URL}'))
+                  + len(regexp_extract_all(r, '{_PII_IP}'))
+                  + len(regexp_extract_all(r, '{_PII_SSN}'))) AS BIGINT)
+               AS remaining_pii
+    FROM red
+    GROUP BY source
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: chained regexp_replace in fixed pattern order (one
+    codegen'd projection, no shuffle) — verified by re-running detection on
+    the redacted text (must find nothing) plus exact redacted lengths."""
+    from delta_sharing_spark.operators.pii import pii_counts, redact_pii
+
+    docs = read_table(spark, sf_dir, "documents")
+    aug = docs.select("source", F.expr(_AUG_SPARK).alias("t"))
+    red = redact_pii(aug, "t", out_col="r").select(
+        "source", "r", *pii_counts(F.col("r")))
+    return red.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("r")).cast("long").alias("total_chars"),
+        F.sum(F.col("email_count") + F.col("url_count")
+              + F.col("ipv4_count") + F.col("ssn_count")).cast("long")
+        .alias("remaining_pii"),
+    )

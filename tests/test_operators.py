@@ -363,3 +363,55 @@ class TestStreamingWindowAgg:
                          .alias("h"), "event_type")
                 .agg(F.count("*").alias("n"))).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+class TestPII:
+    def test_detect_and_redact(self, spark):
+        from delta_sharing_spark.operators.pii import detect_pii, redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail me at a.b@example.com or visit https://x.org/p"),
+             (2, "server 192.168.0.1 ssn 123-45-6789"),
+             (3, "nothing sensitive here")],
+            "id long, text string")
+        det = {r["id"]: r for r in detect_pii(df, "text").collect()}
+        assert det[1]["email_count"] == 1 and det[1]["url_count"] == 1
+        assert det[2]["ipv4_count"] == 1 and det[2]["ssn_count"] == 1
+        assert det[3]["has_pii"] is False and det[1]["has_pii"] is True
+
+        red = {r["id"]: r["text"] for r in
+               redact_pii(df, "text").collect()}
+        assert red[1] == "mail me at <EMAIL> or visit <URL>"
+        assert red[2] == "server <IP> ssn <SSN>"
+        assert red[3] == "nothing sensitive here"
+        # redacted text is clean under re-detection
+        clean = detect_pii(redact_pii(df, "text"), "text")
+        assert clean.filter("has_pii").count() == 0
+
+    def test_projection_only_plan(self, spark):
+        # scale contract: detection adds no shuffle — map-side projection
+        from delta_sharing_spark.operators.pii import detect_pii
+
+        df = spark.range(100).selectExpr("id", "'x a@b.io y' AS text")
+        plan = detect_pii(df, "text")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestIncrementalDedup:
+    def test_new_batch_matches_corpus_only_via_index(self, spark, docs):
+        from delta_sharing_spark.operators.dedup import (
+            incremental_dedup_candidates,
+            minhash_band_index,
+            minhash_signatures,
+        )
+
+        corpus = docs.filter("doc_id IN (0, 3)")   # base + far
+        new = docs.filter("doc_id IN (1, 2)")      # dup of 0, near-dup of 0
+        index = minhash_band_index(
+            minhash_signatures(corpus, "doc_id", "text"), "doc_id")
+        got = {(r["new_id"], r["corpus_id"]) for r in
+               incremental_dedup_candidates(new, index, "doc_id",
+                                            "text").collect()}
+        assert (1, 0) in got       # exact dup always shares every band
+        assert (1, 3) not in got and (2, 3) not in got  # unrelated corpus doc
