@@ -1,0 +1,92 @@
+"""Streaming operators over a shared-table stream — Spark-first shapes.
+
+The reference's streaming surface stops at the SOURCE (admission control,
+offsets, CDF streaming — sources/datasource.py); what a training-data
+pipeline runs ON that stream are these operators, built from Structured
+Streaming's native stateful primitives rather than hand-rolled state:
+
+- ``stream_dedup``: exactly-once first-seen filtering via
+  ``dropDuplicates`` — Spark's built-in dedup state store, bounded by a
+  watermark (late duplicates beyond the horizon age out of state).
+- ``stream_sessionize``: per-key session aggregation via
+  ``session_window`` (built-in since Spark 3.2) — gap-based windows that
+  merge as events arrive; the watermark closes sessions and evicts state.
+- ``stream_hourly_counts``: tumbling event-time windows + watermark — the
+  canonical late-data-tolerant rollup.
+
+At 100 TB/day these all scale the same way batch aggregations do (state is
+partitioned by key across executors, RocksDB-backed state stores in
+production), with the watermark bounding state size — the thing a naive
+"keep a dict per key" custom operator gets wrong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_dedup(stream: DataFrame, content_cols: list[str],
+                 event_time_col: str | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """First-seen streaming dedup on a content key (md5 of the given
+    columns): duplicates arriving later — in the same or any subsequent
+    micro-batch inside the watermark horizon — are dropped by Spark's
+    dedup state store. With an event-time column,
+    ``dropDuplicatesWithinWatermark`` dedups on the content key alone and
+    EVICTS key state once the horizon passes (bounded state); without
+    one, state grows with distinct keys (exact global dedup)."""
+    keyed = stream.withColumn(
+        "__content_md5",
+        F.md5(F.concat_ws("", *[F.col(c).cast("string")
+                                      for c in content_cols]).cast("binary")),
+    )
+    if event_time_col is not None:
+        return (
+            keyed.withWatermark(event_time_col, watermark)
+            .dropDuplicatesWithinWatermark(["__content_md5"])
+            .drop("__content_md5")
+        )
+    return keyed.dropDuplicates(["__content_md5"]).drop("__content_md5")
+
+
+def stream_sessionize(stream: DataFrame, key_col: str, ts_col: str,
+                      gap: str = "30 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Gap-based sessionization with the BUILT-IN ``session_window``
+    aggregation: windows of the same key closer than ``gap`` merge; a
+    session closes (and its state evicts) when the watermark passes its
+    end. Emits one row per closed session in append mode."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"),
+                 F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("first_event"),
+            F.max(ts_col).alias("last_event"),
+        )
+        .select(
+            key_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events", "first_event", "last_event",
+        )
+    )
+
+
+def stream_hourly_counts(stream: DataFrame, ts_col: str,
+                         group_col: str | None = None,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event-time windows with late-data tolerance — the
+    watermark admits stragglers up to the horizon, then finalizes the
+    window and evicts its state."""
+    keys = [F.window(F.col(ts_col), "1 hour").alias("w")]
+    if group_col is not None:
+        keys.append(F.col(group_col))
+    out = stream.withWatermark(ts_col, watermark).groupBy(*keys).agg(
+        F.count("*").alias("n"))
+    cols = [F.col("w.start").alias("hour_start"), "n"]
+    if group_col is not None:
+        cols.insert(1, F.col(group_col))
+    return out.select(*cols)

