@@ -90,3 +90,93 @@ def stream_hourly_counts(stream: DataFrame, ts_col: str,
     if group_col is not None:
         cols.insert(1, F.col(group_col))
     return out.select(*cols)
+
+
+def stream_minhash_bands(stream: DataFrame, id_col: str, text_col: str,
+                         num_hashes: int = 8, bands: int = 4,
+                         shingle_k: int = 3) -> DataFrame:
+    """Per-row MinHash band keys for a STREAM: the batch operator's
+    explode+groupBy shape is a stateful aggregation on a stream, so here
+    the whole signature computes inside one Arrow-batched pandas UDF per
+    document (identical md5 math to operators.dedup.minhash_signatures —
+    seeded md5, 8-hex-char slices, min over shingles), then bands hash
+    exactly like minhash_band_index. Pure projection: stream-safe,
+    composable with downstream stateful operators."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n_md5 = -(-num_hashes // 4)
+    rows_per_band = num_hashes // bands
+
+    @pandas_udf("array<string>")  # no hints: postponed-annotations module
+    def band_hashes(texts):
+        out = []
+        for text in texts:
+            words = (text or "").split(" ")
+            n = max(len(words) - (shingle_k - 1), 1)
+            shingles = {" ".join(words[i:i + shingle_k]) for i in range(n)}
+            sigs = []
+            for i in range(num_hashes):
+                j, off = i // 4, (i % 4) * 8
+                sigs.append(min(
+                    hashlib.md5(f"{j}:{s}".encode()).hexdigest()[off:off + 8]
+                    for s in shingles))
+            bh = []
+            for b in range(bands):
+                parts = sigs[b * rows_per_band:(b + 1) * rows_per_band]
+                bh.append(hashlib.md5("|".join(parts).encode()).hexdigest())
+            out.append(bh)
+        return pd.Series(out)
+
+    return (
+        stream.select(F.col(id_col), band_hashes(F.col(text_col)).alias("bh"))
+        .select(id_col, F.posexplode("bh").alias("band_idx", "h"))
+    )
+
+
+def stream_lsh_dedup_candidates(stream: DataFrame, id_col: str,
+                                text_col: str, num_hashes: int = 8,
+                                bands: int = 4, shingle_k: int = 3,
+                                max_bucket: int = 64) -> DataFrame:
+    """Streaming near-dup candidate detection via ``applyInPandasWithState``
+    — the custom-stateful-operator path for semantics built-ins can't
+    express (dropDuplicates keeps ONE row per key; this must emit PAIRS
+    against everything previously seen in the bucket).
+
+    Keyed by (band_idx, band_hash); state = doc ids already seen in the
+    bucket (capped at ``max_bucket`` — a hot boilerplate bucket otherwise
+    emits quadratically, the same skew guard as the batch operator's
+    ``max_doc_freq``). Each arriving doc emits one candidate row per
+    previously seen bucket member. State is per-key and partitioned across
+    executors like any streaming aggregation."""
+    import pandas as pd
+
+    bands_df = stream_minhash_bands(stream, id_col, text_col,
+                                    num_hashes, bands, shingle_k)
+
+    def dedup(key, pdfs, state) -> "pd.DataFrame":
+        seen = list(state.get[0]) if state.exists else []
+        out_new, out_seen = [], []
+        for pdf in pdfs:
+            for doc in pdf[id_col]:
+                doc = int(doc)
+                if doc in seen:
+                    continue
+                for prev in seen:
+                    out_new.append(doc)
+                    out_seen.append(prev)
+                if len(seen) < max_bucket:
+                    seen.append(doc)
+        state.update((seen,))
+        yield pd.DataFrame({"new_id": out_new, "seen_id": out_seen,
+                            "band_idx": [key[0]] * len(out_new)})
+
+    return bands_df.groupBy("band_idx", "h").applyInPandasWithState(
+        dedup,
+        outputStructType="new_id long, seen_id long, band_idx int",
+        stateStructType="seen array<long>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

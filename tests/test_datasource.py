@@ -585,3 +585,46 @@ class TestStreamingOps:
         got = sum(r["n"] for r in out.collect())
         assert 0 < got <= events.count()
         assert out.count() <= batch.count()
+
+    def test_stream_lsh_dedup_matches_batch(self, spark, tmp_path):
+        """applyInPandasWithState streaming LSH dedup: candidates emitted
+        across micro-batches must equal the BATCH LSH candidate set on the
+        same docs (identical md5 math), with pairs crossing batch
+        boundaries only discoverable via bucket state."""
+        from delta_sharing_spark.operators.dedup import (
+            minhash_lsh_candidates,
+            minhash_signatures,
+        )
+        from delta_sharing_spark.streaming.ops import (
+            stream_lsh_dedup_candidates,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        near = "the quick brown fox jumps over the lazy cat again and again"
+        far = "completely different words appear in this sentence here ok"
+        docs = spark.createDataFrame(
+            [(0, base), (1, near), (2, far), (3, base)],
+            "doc_id long, text string")
+        src = str(tmp_path / "lsh_src")
+        log = TableLog(spark, src)
+        # two commits -> multiple micro-batches; pair (0,3) spans batches
+        log.create(docs.filter("doc_id < 2"), name="docs")
+        log.append(docs.filter("doc_id >= 2"))
+        spark.dataSource.register(SharedTableDataSource)
+        stream = (spark.readStream.format("deltashare").option("path", src)
+                  .option("startingVersion", "0")
+                  .option("maxFilesPerTrigger", "1").load())
+        cand = stream_lsh_dedup_candidates(stream, "doc_id", "text")
+        q = (cand.writeStream.format("memory").queryName("lsh_out")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck_lsh"))
+             .trigger(processingTime="200 milliseconds").start())
+        q.processAllAvailable()
+        q.stop()
+        got = {tuple(sorted((r["new_id"], r["seen_id"])))
+               for r in spark.table("lsh_out").collect()}
+        sigs = minhash_signatures(docs, "doc_id", "text")
+        want = {tuple(sorted((r["id_a"], r["id_b"])))
+                for r in minhash_lsh_candidates(sigs, "doc_id").collect()}
+        assert got == want
+        assert (0, 3) in got  # the cross-batch pair came from bucket state
