@@ -21,6 +21,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from delta_sharing_spark.io import read_table
+from delta_sharing_spark.plans.log import TableLog
 from delta_sharing_spark.sources.datasource import SharedTableDataSource
 from delta_sharing_spark.workloads import workload
 from delta_sharing_spark.workloads.engine import _events_cdf, _lineitem_shared
@@ -161,4 +163,135 @@ def stream_cdf_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.groupBy(F.col("_change_type").alias("change_type"))
         .agg(F.count("*").alias("n"))
+    )
+
+
+# ------------------------------------------------------- streaming ops
+
+def _events_duplicated(spark: SparkSession, sf_dir: str) -> str:
+    """Two commits of the SAME events — the streaming-dedup fixture: every
+    row arrives twice, in different micro-batches."""
+    from delta_sharing_spark.workloads.engine import _fixture
+
+    def build(spark: SparkSession, path: str) -> None:
+        ev = read_table(spark, sf_dir, "events")
+        log = TableLog(spark, path)
+        log.create(ev, name="events_dup")
+        log.append(ev)
+
+    return _fixture(spark, sf_dir, "events_dup", build)
+
+
+def _events_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
+    """Events plus one far-future sentinel row per user: the sentinel
+    commit pushes the watermark past every real session so append-mode
+    session output flushes completely when the stream drains."""
+    from delta_sharing_spark.workloads.engine import _fixture
+
+    def build(spark: SparkSession, path: str) -> None:
+        ev = read_table(spark, sf_dir, "events")
+        log = TableLog(spark, path)
+        log.create(ev, name="events_sentinel")
+        sentinel = (
+            ev.groupBy("user_id")
+            .agg(F.max("ts").alias("mts"))
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
+                (F.col("mts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+                "user_id",
+                F.lit("sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+        )
+        log.append(sentinel)
+
+    return _fixture(spark, sf_dir, "events_sentinel", build)
+
+
+@workload(
+    "stream_dedup_drain",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    """,
+)
+def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/ops.py stream_dedup — Spark's
+    dedup state store): every event arrives twice across micro-batches;
+    the drained output must equal the distinct original rows."""
+    from delta_sharing_spark.streaming.ops import stream_dedup
+
+    path = _events_duplicated(spark, sf_dir)
+    spark.dataSource.register(SharedTableDataSource)
+    name = f"dss_dedup_{uuid.uuid4().hex[:8]}"
+    stream = (spark.readStream.format("deltashare").option("path", path)
+              .option("startingVersion", "0")
+              .option("maxFilesPerTrigger", "4").load())
+    q = (stream_dedup(stream, ["event_id", "event_type"])
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .trigger(processingTime="250 milliseconds").start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_id"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@workload(
+    "stream_sessionize_drain",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS first_event,
+           MAX(ts) AS last_event
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization with the built-in session_window: closed
+    sessions drained from the stream must equal the batch islands
+    computation (lag + cumulative break sum) replayed in SQL. A sentinel
+    commit pushes the watermark past every real session; sentinel sessions
+    are excluded by timestamp cutoff."""
+    from delta_sharing_spark.streaming.ops import stream_sessionize
+
+    path = _events_with_sentinel(spark, sf_dir)
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.max("ts")).first()[0]
+    spark.dataSource.register(SharedTableDataSource)
+    name = f"dss_sess_{uuid.uuid4().hex[:8]}"
+    stream = (spark.readStream.format("deltashare").option("path", path)
+              .option("startingVersion", "0").load())
+    sess = stream_sessionize(stream, "user_id", "ts",
+                             gap="30 minutes", watermark="0 seconds")
+    q = (sess.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .trigger(processingTime="250 milliseconds").start())
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("first_event") <= F.lit(cutoff))
+        .select("user_id",
+                F.col("n_events").cast("long").alias("n_events"),
+                "first_event", "last_event")
     )
