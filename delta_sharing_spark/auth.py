@@ -196,6 +196,19 @@ class OAuthClientCredentialsAuthProvider(AuthCredentialProvider):
         return expiration - now_ms < threshold_ms
 
 
+@dataclass
+class BasicAuthProvider(AuthCredentialProvider):
+    """HTTP Basic credentials (reference ``basic`` profile type)."""
+
+    username: str
+    password: str
+
+    def add_auth_header(self, headers: dict) -> None:
+        creds = base64.b64encode(
+            f"{self.username}:{self.password}".encode()).decode()
+        headers["Authorization"] = f"Basic {creds}"
+
+
 def create_credential_provider(profile,
                                auth_config: AuthConfig | None = None
                                ) -> AuthCredentialProvider:
@@ -215,6 +228,14 @@ def create_credential_provider(profile,
         return BearerTokenAuthProvider(
             bearer_token=profile.bearer_token or "",
             expiration_time=getattr(profile, "expiration_time", None))
+    if ptype == "basic":
+        return BasicAuthProvider(username=profile.username or "",
+                                 password=profile.password or "")
+    if ptype == "oauth_jwt_bearer_private_key_jwt":
+        raise NotImplementedError(
+            "oauth_jwt_bearer_private_key_jwt requires a JWT signing "
+            "library (not available in this environment); the profile "
+            "parses, but no credential provider can be constructed")
     raise ValueError(
         f"The current release does not supports {ptype} type. "
         "Please check type.")

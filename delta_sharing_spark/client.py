@@ -49,6 +49,8 @@ class DeltaSharingProfile:
     client_id: str | None = None
     client_secret: str | None = None
     scope: str | None = None
+    username: str | None = None
+    password: str | None = None
 
     @classmethod
     def from_json(cls, cfg: dict | str) -> DeltaSharingProfile:
@@ -81,6 +83,23 @@ class DeltaSharingProfile:
                     share_credentials_version=2, endpoint=endpoint,
                     type=ptype, bearer_token=cfg["bearerToken"],
                     expiration_time=cfg.get("expirationTime"))
+            if ptype == "basic":
+                return cls(
+                    share_credentials_version=2, endpoint=endpoint,
+                    type=ptype, username=cfg["username"],
+                    password=cfg["password"])
+            if ptype == "oauth_jwt_bearer_private_key_jwt":
+                # nested auth object (protocol.py:88-114); signing needs a
+                # JWT/crypto library, so the provider raises at use — but
+                # the profile parses with full reference fidelity
+                auth = cfg["auth"]
+                token_endpoint = auth["tokenEndpoint"]
+                if token_endpoint and token_endpoint.endswith("/"):
+                    token_endpoint = token_endpoint[:-1]
+                return cls(
+                    share_credentials_version=2, endpoint=endpoint,
+                    type=ptype, token_endpoint=token_endpoint,
+                    client_id=auth["clientId"], scope=auth.get("scope"))
             raise ValueError(
                 f"The current release does not supports {ptype} type. "
                 "Please check type.")

@@ -342,3 +342,35 @@ class TestByteAdmission:
         reader2._last_planned = reader2.initialOffset()
         end2 = reader2.latestOffset()
         assert len(reader2.partitions(off0, end2)) == 1
+
+
+class TestProfileTypeParity:
+    def test_basic_profile(self):
+        from delta_sharing_spark.auth import (
+            BasicAuthProvider, create_credential_provider)
+        p = DeltaSharingProfile.from_json({
+            "shareCredentialsVersion": 2, "type": "basic",
+            "endpoint": "e", "username": "u", "password": "pw"})
+        prov = create_credential_provider(p)
+        assert isinstance(prov, BasicAuthProvider)
+        h = {}
+        prov.add_auth_header(h)
+        import base64
+        assert h["Authorization"] == \
+            "Basic " + base64.b64encode(b"u:pw").decode()
+
+    def test_jwt_profile_parses_but_provider_raises(self):
+        from delta_sharing_spark.auth import create_credential_provider
+        p = DeltaSharingProfile.from_json({
+            "shareCredentialsVersion": 2,
+            "type": "oauth_jwt_bearer_private_key_jwt",
+            "endpoint": "e",
+            "auth": {"tokenEndpoint": "https://idp/token/",
+                     "issuer": "iss", "clientId": "cid",
+                     "privateKey": {"privateKeyFile": "/k.pem",
+                                    "keyId": "k1", "algorithm": "RS256"},
+                     "audience": "aud", "scope": "s"}})
+        assert p.token_endpoint == "https://idp/token"
+        assert p.client_id == "cid"
+        with pytest.raises(NotImplementedError, match="JWT signing"):
+            create_credential_provider(p)
