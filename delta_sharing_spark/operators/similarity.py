@@ -214,6 +214,36 @@ def near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def near_dup_pairs_cells(df: DataFrame, cell_col: str,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.9) -> DataFrame:
+    """Cell-scoped near-dup: candidate pairs only WITHIN a cell (an IVF /
+    k-means assignment, an LSH bucket, a language, a domain...). The pair
+    join becomes an EQUI-join on the cell key — one hash shuffle, each
+    cell's pairs computed where its rows land — instead of the all-pairs
+    cross join. This is the standard cluster-then-verify shape for
+    embedding dedup at corpus scale: recall is bounded by the cell
+    assignment (true near-dups in different cells are missed), which is
+    why the cell column should come from the same embedding space
+    (``kmeans_assign`` / ``rp_lsh_buckets``)."""
+    from delta_sharing_spark.functions.vectors import dot, norm
+
+    a = df.select(F.col(cell_col).alias("__cell"),
+                  F.col(id_col).alias("id_a"),
+                  F.col(vec_col).alias("va")).withColumn("na", norm("va"))
+    b = df.select(F.col(cell_col).alias("__cell"),
+                  F.col(id_col).alias("id_b"),
+                  F.col(vec_col).alias("vb")).withColumn("nb", norm("vb"))
+    return (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot("va", "vb") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("__cell").alias(cell_col), "id_a", "id_b", "cos")
+    )
+
+
 def near_dup_pairs_blocked(df: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.9, block_size: int = 1024,

@@ -415,3 +415,25 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("recon_err"), "vec_id")
         .limit(20)
     )
+
+
+@workload(
+    "q_embedding_near_dup_ivf",
+    oracle=f"""
+    SELECT a.label AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql('a.embedding', 'b.embedding')} AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.42
+    """,
+)
+def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-verify embedding dedup: near-dup pairs only WITHIN IVF
+    cells (here the label assignment) — the pair join collapses from an
+    all-pairs cross join to ONE equi-join shuffle on the cell key. The
+    100 TB shape: kmeans_assign cells (or RP-LSH buckets), then this."""
+    from delta_sharing_spark.operators.similarity import near_dup_pairs_cells
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs_cells(emb, "label", threshold=0.42) \
+        .withColumnRenamed("label", "cell")

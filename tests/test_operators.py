@@ -415,3 +415,26 @@ class TestIncrementalDedup:
                                             "text").collect()}
         assert (1, 0) in got       # exact dup always shares every band
         assert (1, 3) not in got and (2, 3) not in got  # unrelated corpus doc
+
+
+class TestCellScopedNearDup:
+    def test_within_cell_only_one_shuffle(self, spark, vectors):
+        from delta_sharing_spark.operators.similarity import (
+            near_dup_pairs, near_dup_pairs_cells)
+
+        # within-cell pairs must be exactly the full pair set restricted
+        # to same-label pairs
+        full = {(r["id_a"], r["id_b"]) for r in
+                near_dup_pairs(vectors, threshold=0.5).collect()}
+        label = {r["vec_id"]: r["label"] for r in vectors.collect()}
+        want = {(a, b) for a, b in full if label[a] == label[b]}
+        got = {(r["id_a"], r["id_b"]) for r in
+               near_dup_pairs_cells(vectors, "label",
+                                    threshold=0.5).collect()}
+        assert got == want
+        # plan shape: equi-join (hash/sort-merge), never a nested-loop
+        # cross product
+        plan = near_dup_pairs_cells(vectors, "label", threshold=0.5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
