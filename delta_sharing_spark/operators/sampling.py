@@ -173,3 +173,40 @@ def pack_sequences(df: DataFrame, id_col: str, n_tokens_col: str,
                     (F.col("__cum") % F.lit(max_tokens)).cast("bigint"))
         .drop("__h", "__cum")
     )
+
+
+def temperature_resample(df: DataFrame, strata_col: str, id_col: str,
+                         salt: str = "temp") -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-corpus
+    standard: sampling probability ∝ n^alpha softens the head/tail
+    imbalance without flattening it). Fixed alpha = 0.5, giving keep rate
+    ``sqrt(n_min / n)`` per stratum — the smallest stratum keeps
+    everything, a stratum 100× larger keeps 10× the smallest's share
+    instead of 1× (flat ``balance_strata``) or 100× (no resampling).
+
+    alpha is pinned to 0.5 because ``sqrt`` is correctly rounded under
+    IEEE-754 in every engine, so the integer acceptance threshold
+    ``floor(BUCKETS * sqrt(n_min/n))`` replays bit-exactly in DuckDB;
+    a general ``pow(x, alpha)`` is not correctly rounded everywhere and
+    could flip a document on the threshold boundary.
+
+    Plan shape: same as ``balance_strata`` — kilobyte count aggregate
+    broadcast back, pure hash filter, corpus never shuffled."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__n_min"))
+    thr = (
+        counts.crossJoin(F.broadcast(n_min))
+        .withColumn(
+            "__thr",
+            F.floor(F.lit(float(HASH_BUCKETS))
+                    * F.sqrt(F.col("__n_min").cast("double")
+                             / F.col("__n").cast("double"))),
+        )
+        .select(strata_col, "__thr")
+    )
+    bucket = hash_bucket(id_col, salt=salt)
+    return (
+        df.join(F.broadcast(thr), strata_col)
+        .filter(bucket < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -210,3 +210,48 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_orig",
                 F.coalesce("n_kept", F.lit(0)).alias("n_kept"), "sum_chars")
     )
+
+
+@workload(
+    "q_temperature_resample",
+    oracle="""
+    WITH c AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    m AS (SELECT MIN(n) AS n_min FROM c),
+    t AS (
+        SELECT lang, n,
+               FLOOR(1000000 * sqrt(n_min::DOUBLE / n::DOUBLE)) AS thr
+        FROM c, m
+    ),
+    k AS (
+        SELECT d.lang, d.n_chars
+        FROM documents d JOIN t USING (lang)
+        WHERE ('0x' || substr(md5('temp' || d.doc_id), 1, 8))::BIGINT
+              % 1000000 < t.thr
+    )
+    SELECT t.lang,
+           CAST(t.n AS BIGINT) AS n_orig,
+           CAST(COUNT(k.lang) AS BIGINT) AS n_kept,
+           CAST(SUM(k.n_chars) AS BIGINT) AS sum_chars
+    FROM t LEFT JOIN k ON t.lang = k.lang
+    GROUP BY t.lang, t.n
+    """,
+)
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture rebalancing: keep rate per language
+    = sqrt(n_min/n) — between natural and flat mixing. sqrt is correctly
+    rounded everywhere, so the oracle replays every per-document
+    acceptance decision exactly."""
+    from delta_sharing_spark.operators.sampling import temperature_resample
+
+    docs = read_table(spark, sf_dir, "documents")
+    orig = docs.groupBy("lang").agg(F.count("*").alias("n_orig"))
+    kept = temperature_resample(docs, "lang", "doc_id", salt="temp") \
+        .groupBy("lang").agg(F.count("*").alias("n_kept"),
+                             F.sum("n_chars").alias("sum_chars"))
+    return (
+        orig.join(kept, "lang", "left")
+        .select("lang", "n_orig",
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"), "sum_chars")
+    )
