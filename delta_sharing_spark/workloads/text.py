@@ -514,3 +514,51 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
               + F.col("ipv4_count") + F.col("ssn_count")).cast("long")
         .alias("remaining_pii"),
     )
+
+
+# -------------------------------------------------------------- profiling
+
+@workload(
+    "q_profile_documents",
+    oracle="""
+    SELECT 'doc_id' AS column,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_str,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_str,
+           AVG(doc_id::DOUBLE) AS mean,
+           quantile_cont(doc_id::DOUBLE, 0.5) AS p50
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR),
+           AVG(n_chars::DOUBLE), quantile_cont(n_chars::DOUBLE, 0.5)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT),
+           MIN(lang), MAX(lang), NULL::DOUBLE, NULL::DOUBLE
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT),
+           MIN(source), MAX(source), NULL::DOUBLE, NULL::DOUBLE
+    FROM documents
+    """,
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/profiling.py): null rates, exact
+    distinct counts, ranges, mean and exact median for every profiled
+    column out of ONE aggregation job (stack-unpivoted) — the audit pass a
+    corpus pipeline runs around each transformation. Integer-valued means
+    keep double sums exact, so the oracle matches bit-for-bit."""
+    from delta_sharing_spark.operators.profiling import profile_columns
+
+    docs = read_table(spark, sf_dir, "documents")
+    return profile_columns(docs, ["doc_id", "n_chars", "lang", "source"])

@@ -438,3 +438,35 @@ class TestCellScopedNearDup:
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestProfiling:
+    def test_profile_exact_and_approx(self, spark):
+        from delta_sharing_spark.operators.profiling import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", None), (3, None, 30.0), (4, "b", 40.0)],
+            "id long, s string, v double")
+        prof = {r["column"]: r for r in profile_columns(df).collect()}
+        assert prof["id"]["n_rows"] == 4 and prof["id"]["n_null"] == 0
+        assert prof["id"]["n_distinct"] == 4
+        assert prof["id"]["min_str"] == "1" and prof["id"]["max_str"] == "4"
+        assert prof["id"]["mean"] == 2.5 and prof["id"]["p50"] == 2.5
+        assert prof["s"]["n_null"] == 1 and prof["s"]["n_distinct"] == 2
+        assert prof["s"]["mean"] is None
+        assert prof["v"]["n_null"] == 1
+        # approx mode: same shape, sketched distinct within HLL error
+        ap = {r["column"]: r for r in
+              profile_columns(df, approx=True).collect()}
+        assert set(ap) == set(prof)
+        assert abs(ap["id"]["n_distinct"] - 4) <= 1
+
+    def test_single_job_shape(self, spark):
+        from delta_sharing_spark.operators.profiling import profile_columns
+
+        df = spark.range(100).selectExpr("id", "CAST(id % 7 AS STRING) s")
+        out = profile_columns(df, approx=True)
+        # approx profile plan: aggregation only, no exactness shuffle per
+        # column (count_distinct would add Expand+extra exchanges)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "Expand" not in plan
