@@ -117,6 +117,8 @@ def kmeans_fit(candidates: DataFrame, k: int = 8, iters: int = 2,
     collect of row data. Returns (cell, centroid, n); cells that lose all
     members drop out (standard Lloyd behavior, replayed identically by the
     SQL oracle)."""
+    # bounded window: it runs over the k-row TakeOrdered result (k ≤ a few
+    # hundred centroids), never the candidate corpus — not a global sort
     init_w = Window.orderBy(id_col)
     cents = (
         candidates.orderBy(id_col).limit(k)
