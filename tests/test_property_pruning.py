@@ -180,3 +180,23 @@ class TestAsyncQuery:
         q = mgr.submit(t, version=99)
         assert q.wait(60)
         assert q.status == "FAILED" and "99" in q.error
+
+
+class TestInlineDVProperty:
+    """Inline-DV codec: encode/decode is a lossless bijection on position
+    sets for any distribution of row indexes."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**40),
+                    max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_round_trip(self, positions):
+        from delta_sharing_spark.plans.log import (
+            decode_inline_dv,
+            encode_inline_dv,
+        )
+
+        assert decode_inline_dv(encode_inline_dv(positions)) == \
+            sorted(positions)
