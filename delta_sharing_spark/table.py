@@ -47,6 +47,10 @@ from delta_sharing_spark.plans.predicates import (
 # hypothesis property suite (tests/test_property_pruning.py).
 PRUNE_DRIVER_MAX_FILES = 10_000
 
+# Page tokens expire after 3 days (ref queryTablePageTokenTtlMs,
+# ServerConfig.scala:94)
+PAGE_TOKEN_TTL_MS = 3 * 24 * 3_600_000
+
 
 class SharedTable:
     def __init__(self, spark: SparkSession, path: str):
@@ -313,13 +317,20 @@ class SharedTable:
             if decoded.get("checksum", checksum) != checksum:
                 raise ValueError(
                     "page token bound to different query parameters")
+            # ref queryTablePageTokenTtlMs = 3 days (ServerConfig.scala:94)
+            if decoded.get("expiration", float("inf")) < _time.time() * 1000:
+                raise ValueError("page token expired")
             start = int(decoded.get("start", 0))
         end = len(files) if max_files is None else min(start + max_files, len(files))
         next_token = None
         if end < len(files):
             next_token = base64.urlsafe_b64encode(
-                json.dumps({"version": snap.version, "start": end,
-                            "checksum": checksum}).encode()
+                json.dumps({
+                    "version": snap.version, "start": end,
+                    "checksum": checksum,
+                    "expiration": int(_time.time() * 1000)
+                    + PAGE_TOKEN_TTL_MS,
+                }).encode()
             ).decode()
         lines: list[dict[str, Any]] = [
             {"protocol": {"minReaderVersion": 1}},

@@ -1167,3 +1167,26 @@ class TestConcurrentCommit:
                                              operation="Y")])
         # the winner's commit is intact
         assert log.read_commit(1).info.operation == "X"
+
+
+class TestPageTokenTTL:
+    def test_expired_page_token_rejected(self, spark, events, table_dir,
+                                         monkeypatch):
+        import base64
+        import json as _json
+
+        log = TableLog(spark, table_dir)
+        log.create(events, partition_by=["event_type"], name="t")
+        t = SharedTable(spark, table_dir)
+        out = t.query_actions(max_files=1)
+        token = out["nextPageToken"]
+        assert token is not None
+        # fresh token pages fine
+        t.query_actions(max_files=1, page_token=token)
+        # age the token past the 3-day TTL
+        decoded = _json.loads(base64.urlsafe_b64decode(token))
+        decoded["expiration"] = 1
+        stale = base64.urlsafe_b64encode(
+            _json.dumps(decoded).encode()).decode()
+        with pytest.raises(ValueError, match="page token expired"):
+            t.query_actions(max_files=1, page_token=stale)
