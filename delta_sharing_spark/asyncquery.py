@@ -38,12 +38,28 @@ class AsyncQuery:
 
 
 class AsyncQueryManager:
-    """Submit/poll async table queries with idempotency-key dedup."""
+    """Submit/poll async table queries with idempotency-key dedup.
 
-    def __init__(self) -> None:
+    Bounded registry: finished (COMPLETED/FAILED) queries evict oldest-
+    first once ``max_finished`` are retained, so a long-lived server's
+    memory tracks in-flight work, not its query history. In-flight queries
+    are never evicted."""
+
+    def __init__(self, max_finished: int = 256) -> None:
         self._queries: dict[str, AsyncQuery] = {}
         self._by_idempotency: dict[str, tuple[str, str]] = {}
+        self._max_finished = max_finished
         self._lock = threading.Lock()
+
+    def _evict_finished(self) -> None:
+        # caller holds the lock; dict preserves insertion order
+        finished = [qid for qid, q in self._queries.items()
+                    if q.status in ("COMPLETED", "FAILED")]
+        for qid in finished[:max(0, len(finished) - self._max_finished)]:
+            q = self._queries.pop(qid)
+            for key, (known_qid, _fp) in list(self._by_idempotency.items()):
+                if known_qid == qid:
+                    self._by_idempotency.pop(key)
 
     @staticmethod
     def _fingerprint(table: SharedTable, kwargs: dict) -> str:
@@ -63,6 +79,7 @@ class AsyncQueryManager:
                 # key is undefined — we start a fresh query)
                 if existing is not None and existing[1] == fp:
                     return self._queries[existing[0]]
+            self._evict_finished()
             q = AsyncQuery(query_id=uuid.uuid4().hex, table=table,
                            kwargs=dict(query_kwargs))
             self._queries[q.query_id] = q

@@ -200,3 +200,26 @@ class TestInlineDVProperty:
 
         assert decode_inline_dv(encode_inline_dv(positions)) == \
             sorted(positions)
+
+
+class TestAsyncQueryEviction:
+    def test_finished_queries_bounded(self, spark, events, tmp_path):
+        from delta_sharing_spark.asyncquery import AsyncQueryManager
+        from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.table import SharedTable
+
+        d = str(tmp_path / "t")
+        TableLog(spark, d).create(events.limit(20), name="t")
+        t = SharedTable(spark, d)
+        mgr = AsyncQueryManager(max_finished=3)
+        qs = [mgr.submit(t, idempotency_key=f"k{i}") for i in range(6)]
+        for q in qs:
+            assert q.wait(60)
+        # a new submit triggers eviction down to max_finished
+        last = mgr.submit(t, idempotency_key="k_last")
+        assert last.wait(60)
+        finished = [q for q in mgr._queries.values()
+                    if q.status in ("COMPLETED", "FAILED")]
+        assert len(finished) <= 4  # 3 retained + the new one
+        # evicted idempotency keys are gone; retained ones still dedup
+        assert mgr.submit(t, idempotency_key="k_last") is last
