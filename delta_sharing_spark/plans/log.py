@@ -1906,7 +1906,8 @@ class TableLog:
         return out
 
     def _zorder_df(self, snap: "Snapshot", columns: list[str],
-                   bits_per_col: int) -> DataFrame:
+                   bits_per_col: int,
+                   files: "list[AddFile] | None" = None) -> DataFrame:
         """The clustered DataFrame for ``zorder_by`` — bucket each column by
         broadcast cut-points (vectorized binary search, O(log buckets) per
         value), bit-interleave into a z-value. No unpartitioned window
@@ -1916,7 +1917,8 @@ class TableLog:
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        df = self._read_files(snap, snap.files)
+        df = self._read_files(snap, files if files is not None
+                              else snap.files)
         n_buckets = 1 << bits_per_col
         cuts_by_col = self._zorder_cuts(df, columns, n_buckets)
 
@@ -1952,7 +1954,8 @@ class TableLog:
         return df.select("*", *zcols)
 
     def zorder_by(self, columns: list[str], bits_per_col: int = 12,
-                  target_file_rows: int = 1_000_000) -> int:
+                  target_file_rows: int = 1_000_000,
+                  files: "list[AddFile] | None" = None) -> int | None:
         """Z-ORDER clustering rewrite: re-sort the table's data along the
         interleaved bit order of ``columns`` so per-file min/max ranges
         become tight on EVERY listed column, making stats-based file
@@ -1975,7 +1978,10 @@ class TableLog:
         property stats skipping needs.
         """
         snap = self.snapshot()
-        with_buckets = self._zorder_df(snap, columns, bits_per_col)
+        files = snap.files if files is None else files
+        if not files:
+            return None
+        with_buckets = self._zorder_df(snap, columns, bits_per_col, files)
         # interleave bits: z = sum over bit positions of each column's bit
         z = F.lit(0).cast("long")
         for bit in range(bits_per_col):
@@ -1985,7 +1991,7 @@ class TableLog:
                     F.shiftright(F.col(f"__b_{i}"), bit).bitwiseAND(1)
                     .cast("long") * F.lit(1 << pos)
                 )
-        total_rows = sum(a.num_records or 0 for a in snap.files)
+        total_rows = sum(a.num_records or 0 for a in files)
         n_files = max(1, -(-total_rows // target_file_rows))
         clustered = (
             with_buckets.withColumn("__z", z)
@@ -2003,7 +2009,7 @@ class TableLog:
         actions += [
             RemoveFile(path=a.path, partitionValues=a.partitionValues,
                        size=a.size, dataChange=False)
-            for a in snap.files
+            for a in files
         ]
         # like OPTIMIZE, clustering reads only the files it rewrites:
         # rebase over concurrent appends (they stay unclustered but alive)
@@ -2012,7 +2018,32 @@ class TableLog:
             lambda v, ts: actions + [CommitInfo(
                 version=v, timestamp=ts, operation="ZORDER",
                 operationParameters={"columns": ",".join(columns)})],
-            read_paths={a.path for a in snap.files},
-            removed_paths={a.path for a in snap.files},
+            read_paths={a.path for a in files},
+            removed_paths={a.path for a in files},
             tolerate_data_appends=True,
         )
+
+    def zorder_incremental(self, columns: list[str],
+                           bits_per_col: int = 12,
+                           target_file_rows: int = 1_000_000) -> int | None:
+        """Incrementally cluster only the files ADDED since the last ZORDER
+        commit (Delta's clustering-maintenance shape): re-clustering a
+        100 TB table wholesale per ingest batch is impractical, but the
+        newly appended slice is small — cluster it, leave the already-
+        clustered bulk untouched. Each file's min/max stays tight on the
+        clustered columns (cut-points come from the new slice's own
+        quantiles), so stats skipping works across old and new files alike.
+        Returns the committed version, or None when nothing new exists."""
+        snap = self.snapshot()
+        last_z = max(
+            (c.version for c in self.commits()
+             if c.info is not None and c.info.operation == "ZORDER"),
+            default=-1,
+        )
+        new_files = [a for a in snap.files
+                     if (a.version or 0) > last_z]
+        if not new_files:
+            return None
+        return self.zorder_by(columns, bits_per_col=bits_per_col,
+                              target_file_rows=target_file_rows,
+                              files=new_files)

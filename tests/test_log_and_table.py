@@ -1190,3 +1190,28 @@ class TestPageTokenTTL:
             _json.dumps(decoded).encode()).decode()
         with pytest.raises(ValueError, match="page token expired"):
             t.query_actions(max_files=1, page_token=stale)
+
+
+class TestZOrderIncremental:
+    def test_only_new_files_rewrite(self, spark, lineitem, table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(lineitem.filter("l_orderkey < 3000")
+                   .repartitionByRange(4, "l_orderkey"), name="t")
+        v1 = log.zorder_by(["l_orderkey", "l_partkey"], bits_per_col=8,
+                           target_file_rows=800)
+        clustered = {a.path for a in log.snapshot().files}
+        # new ingest lands unclustered
+        log.append(lineitem.filter("l_orderkey >= 3000"))
+        v2 = log.zorder_incremental(["l_orderkey", "l_partkey"],
+                                    bits_per_col=8, target_file_rows=800)
+        assert v2 is not None and v2 > v1
+        commit = log.read_commit(v2)
+        # the incremental commit touched ONLY the post-zorder files
+        assert {r.path for r in commit.removes}.isdisjoint(clustered)
+        snap = log.snapshot()
+        assert clustered <= {a.path for a in snap.files}
+        t = SharedTable(spark, table_dir)
+        assert t.to_df().count() == lineitem.count()
+        # idempotent: nothing new -> no commit
+        assert log.zorder_incremental(["l_orderkey", "l_partkey"]) is None
+        assert log.latest_version() == v2
