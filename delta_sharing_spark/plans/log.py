@@ -318,6 +318,19 @@ class Snapshot:
         return [m.get(c, c) for c in self.partition_columns]
 
 
+
+def _check_not_append_only(snap: "Snapshot", operation: str) -> None:
+    """Delta's ``delta.appendOnly`` table property: when true, operations
+    that remove or modify existing rows are rejected (Delta protocol
+    appendOnly writer feature)."""
+    if snap.metadata.configuration.get(
+            "delta.appendOnly", "").lower() == "true":
+        raise ValueError(
+            f"This table is configured to only allow appends "
+            f"(delta.appendOnly=true); operation {operation} is not "
+            "permitted")
+
+
 class TableLog:
     """The commit log for one table rooted at ``path``."""
 
@@ -1137,6 +1150,7 @@ class TableLog:
         to partition Q."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         snap = self.snapshot()
+        _check_not_append_only(snap, "DELETE")
         predicate_hints = self._physical_hints(snap, predicate_hints)
         cand = self._pruned_candidates(snap, predicate_hints)
         if snap.metadata.configuration.get(
@@ -1450,6 +1464,7 @@ class TableLog:
             for k, v in set_exprs.items()
         }
         snap = self.snapshot()
+        _check_not_append_only(snap, "UPDATE")
         predicate_hints = self._physical_hints(snap, predicate_hints)
         cand = self._pruned_candidates(snap, predicate_hints)
         if snap.metadata.configuration.get(
@@ -1530,6 +1545,10 @@ class TableLog:
         if when_matched not in (None, "update", "delete"):
             raise ValueError(f"unknown when_matched: {when_matched!r}")
         snap = self.snapshot()
+        if when_matched is not None:
+            # insert-only MERGE is an append; matched-row update/delete
+            # violates appendOnly
+            _check_not_append_only(snap, "MERGE")
         schema_cols = [f.name for f in snap.schema.fields]
         src = source.select(*schema_cols)
         src_keys = src.select(*keys).distinct()
@@ -1685,6 +1704,7 @@ class TableLog:
         the overwrite's snapshot — so concurrent appends raise
         ``ConcurrentAppendError`` (retry_on_conflict re-runs over them)."""
         snap = self.snapshot()
+        _check_not_append_only(snap, "OVERWRITE")
         staged = self._stage_dataframe(df, snap.partition_columns,
                                        self.data_path, snap=snap)
         actions: list[Action] = [

@@ -1215,3 +1215,25 @@ class TestZOrderIncremental:
         # idempotent: nothing new -> no commit
         assert log.zorder_incremental(["l_orderkey", "l_partkey"]) is None
         assert log.latest_version() == v2
+
+
+class TestAppendOnly:
+    def test_append_only_blocks_mutations(self, spark, events, table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(events.limit(50), name="t",
+                   configuration={"delta.appendOnly": "true",
+                                  "enableChangeDataFeed": "true"})
+        log.append(events.filter("event_id >= 50 and event_id < 60"))
+        with pytest.raises(ValueError, match="only allow appends"):
+            log.delete("event_id < 5")
+        with pytest.raises(ValueError, match="only allow appends"):
+            log.update({"value": "value + 1"}, "event_id < 5")
+        with pytest.raises(ValueError, match="only allow appends"):
+            log.overwrite(events.limit(5))
+        with pytest.raises(ValueError, match="only allow appends"):
+            log.merge(events.limit(5), ["event_id"])
+        # insert-only merge is an append: allowed
+        log.merge(events.filter("event_id >= 60 and event_id < 65"),
+                  ["event_id"], when_matched=None)
+        t = SharedTable(spark, table_dir)
+        assert t.to_df().count() == 65
