@@ -1843,11 +1843,50 @@ class TableLog:
             tolerate_data_appends=True,
         )
 
+    def expire_log(self, keep_last: int = 100,
+                   dry_run: bool = False) -> list[int]:
+        """Metadata-plane retention (Delta's ``delta.logRetentionDuration``
+        shape, by commit count): delete commit JSONs older than the newest
+        ``keep_last`` versions, PROVIDED a checkpoint at/after the cutoff
+        can seed replay — snapshot resolution for retained versions never
+        needs the expired tail. Time travel to expired versions raises
+        ``VersionNotFoundError`` afterwards (the documented Delta
+        trade-off). At 100k commits this is what keeps `_dsl_log` listing
+        and cold-start replay O(retained), not O(table lifetime).
+
+        Returns the expired versions (empty when nothing can be safely
+        expired — e.g. no checkpoint covers the cutoff)."""
+        versions = self._list_versions()
+        if len(versions) <= keep_last:
+            return []
+        cutoff = versions[-keep_last]  # want to keep cutoff..latest
+        cp = self._latest_checkpoint(at_or_before=cutoff)
+        if cp is None:
+            return []  # nothing can seed replay for the retained range
+        # only commits strictly BELOW the seeding checkpoint are expendable:
+        # any retained version v resolves as checkpoint(≤v) + commits
+        # (cp', v], all of which are ≥ cp. The checkpoint's own commit JSON
+        # stays (it anchors _read_checkpoint's timestamp resolution), as do
+        # commits in [cp, cutoff) — retention is "at least keep_last", the
+        # checkpoint cadence sets the granularity.
+        expendable = [v for v in versions if v < cp]
+        if not dry_run:
+            for v in expendable:
+                os.remove(os.path.join(self.log_path, _fmt_version(v)))
+                self._commit_cache.pop(v, None)
+            self._snap_cache.clear()
+        return expendable
+
     def vacuum(self, dry_run: bool = False) -> list[str]:
         """VACUUM: delete data files no longer referenced by ANY version of
         the log (files removed and never re-added). Conservative: a file
         referenced by any historical snapshot stays, so time travel keeps
-        working for every version still in the log."""
+        working for every version still in the log.
+
+        NOTE: walks the full commit history — run BEFORE ``expire_log`` in
+        a maintenance cycle, since expired commits can no longer prove a
+        historical file referenced (vacuum after expiry may delete files
+        that only expired versions referenced — which is the point)."""
         referenced: set[str] = set()
         for commit in self.commits():
             for add in commit.adds:

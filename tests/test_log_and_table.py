@@ -1237,3 +1237,41 @@ class TestAppendOnly:
                   ["event_id"], when_matched=None)
         t = SharedTable(spark, table_dir)
         assert t.to_df().count() == 65
+
+
+class TestLogExpiry:
+    def test_expire_keeps_resolvable_tail(self, spark, events, table_dir):
+        log = TableLog(spark, table_dir)
+        batch = events.limit(5)
+        log.create(batch, name="t",
+                   configuration={"checkpointInterval": "10"})
+        for _ in range(24):
+            log.append(batch)  # versions 1..24, checkpoints at 10, 20
+        total = SharedTable(spark, table_dir).to_df().count()
+        expired = log.expire_log(keep_last=5)
+        assert expired and max(expired) < 20  # seeded by the v20 checkpoint
+        fresh = TableLog(spark, table_dir)
+        assert fresh.latest_version() == 24
+        # latest and all retained versions resolve from checkpoint + tail
+        assert SharedTable(spark, table_dir).to_df().count() == total
+        for v in range(20, 25):
+            assert fresh.snapshot(version=v).version == v
+        # expired versions are gone
+        with pytest.raises(VersionNotFoundError):
+            fresh.read_commit(expired[0])
+        # manifest path still works
+        assert fresh.files_df(fresh.snapshot()).count() == \
+            len(fresh.snapshot().files)
+        # idempotent / nothing more to expire at this retention
+        assert fresh.expire_log(keep_last=5) == []
+
+    def test_expire_without_checkpoint_is_refused(self, spark, events,
+                                                  table_dir):
+        log = TableLog(spark, table_dir)
+        batch = events.limit(5)
+        log.create(batch, name="t",
+                   configuration={"checkpointInterval": "1000000"})
+        for _ in range(6):
+            log.append(batch)
+        assert log.expire_log(keep_last=2) == []  # no checkpoint -> no-op
+        assert log.snapshot(version=0).version == 0
