@@ -407,3 +407,52 @@ def incremental_dedup_candidates(new_docs: DataFrame, index: DataFrame,
         .select("new_id", "corpus_id")
         .distinct()
     )
+
+
+def content_defined_chunks(df: DataFrame, id_col: str, text_col: str,
+                           window: int = 8,
+                           avg_size: int = 256) -> DataFrame:
+    """Content-defined chunking: split each document at positions where the
+    hash of the trailing ``window``-char substring ≡ 0 (mod ``avg_size``)
+    — boundaries move WITH the content (an insertion shifts at most the
+    chunk it lands in, unlike fixed-size splitting where every later chunk
+    changes), which is what makes sub-document dedup and delta-storage
+    work. Expected chunk length ≈ ``avg_size`` chars.
+
+    Entirely higher-order JVM expressions (sequence/transform/filter +
+    md5) — no Python, no shuffle; one md5 per character, the same cost
+    envelope as ``q_text_fingerprint``. Returns (id, chunk_idx,
+    chunk_text, chunk_md5) with one row per non-empty chunk.
+    """
+    w1 = window - 1
+    bounds = f"""
+    CASE WHEN length(__t) >= {window} THEN
+      filter(
+        transform(sequence({window}, length(__t)),
+          i -> IF(CAST(conv(substring(md5(CAST(substring(__t, i-{w1},
+                   {window}) AS BINARY)), 1, 8), 16, 10) AS BIGINT)
+                  % {avg_size} = 0, i, -1)),
+        x -> x > 0)
+    ELSE array() END
+    """
+    chunk_expr = f"""
+    filter(
+      transform(sequence(1, size(concat(array(0), {bounds}))),
+        k -> named_struct(
+          'idx', k,
+          'text', substring(__t,
+            element_at(concat(array(0), {bounds}), k) + 1,
+            element_at(concat({bounds}, array(length(__t))), k)
+              - element_at(concat(array(0), {bounds}), k)))),
+      c -> length(c.text) > 0)
+    """
+    return (
+        df.select(F.col(id_col), F.col(text_col).alias("__t"))
+        .select(id_col, F.explode(F.expr(chunk_expr)).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.idx").alias("chunk_idx"),
+            F.col("__c.text").alias("chunk_text"),
+            F.md5(F.col("__c.text").cast("binary")).alias("chunk_md5"),
+        )
+    )

@@ -6,6 +6,7 @@ same md5-based math, so results hash-match across engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from delta_sharing_spark.io import read_table
 from delta_sharing_spark.operators.dedup import (
@@ -424,3 +425,64 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", num_hashes=8, bands=4)
     return incremental_dedup_candidates(new, index, "doc_id", "text",
                                         num_hashes=8, bands=4, shingle_k=3)
+
+
+_DUCK_CDC_BOUNDS = """
+    CASE WHEN length(t) >= 8 THEN
+      list_filter(
+        list_transform(generate_series(8, length(t)),
+          i -> CASE WHEN ('0x' || substr(md5(substr(t, i::INT - 7, 8)),
+                          1, 8))::BIGINT % 256 = 0 THEN i ELSE -1 END),
+        x -> x > 0)
+    ELSE [] END
+"""
+
+
+@workload(
+    "q_chunk_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, text AS t FROM documents),
+    c AS (
+      SELECT doc_id, source,
+        unnest(list_filter(
+          list_transform(
+            generate_series(1, len(list_concat([0], {_DUCK_CDC_BOUNDS}))),
+            k -> {{'idx': k,
+                  'text': substr(t,
+                    (list_concat([0], {_DUCK_CDC_BOUNDS}))[k::INT] + 1,
+                    (list_concat({_DUCK_CDC_BOUNDS},
+                                 [length(t)]))[k::INT]
+                      - (list_concat([0], {_DUCK_CDC_BOUNDS}))[k::INT])}}),
+          c -> length(c.text) > 0)) AS ch
+      FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT md5(ch.text)) AS BIGINT) AS n_distinct,
+           CAST(SUM(length(ch.text)) AS BIGINT) AS sum_len,
+           CAST(MAX(length(ch.text)) AS BIGINT) AS max_len
+    FROM c GROUP BY source
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + sub-document dedup: documents split at
+    rolling md5-window boundaries (boundaries move with content), chunks
+    deduplicated by hash across the corpus — the granularity at which
+    shared boilerplate dedups even when full documents differ."""
+    from delta_sharing_spark.operators.dedup import content_defined_chunks
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = content_defined_chunks(
+        docs.select("doc_id", "source", "text"), "doc_id", "text",
+        window=8, avg_size=256)
+    src = docs.select("doc_id", "source")
+    return (
+        chunks.join(F.broadcast(src), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("chunk_md5").cast("long").alias("n_distinct"),
+            F.sum(F.length("chunk_text")).cast("long").alias("sum_len"),
+            F.max(F.length("chunk_text")).cast("long").alias("max_len"),
+        )
+    )

@@ -470,3 +470,36 @@ class TestProfiling:
         # column (count_distinct would add Expand+extra exchanges)
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert "Expand" not in plan
+
+
+class TestContentDefinedChunking:
+    def test_boundaries_move_with_content(self, spark):
+        from delta_sharing_spark.operators.dedup import content_defined_chunks
+
+        base = "abcdefgh " * 120
+        shifted = "XYZ " + base  # prefix insertion
+        df = spark.createDataFrame([(1, base), (2, shifted)],
+                                   "doc_id long, text string")
+        chunks = content_defined_chunks(df, "doc_id", "text",
+                                        window=8, avg_size=64)
+        by_doc = {}
+        for r in chunks.collect():
+            by_doc.setdefault(r["doc_id"], []).append(r["chunk_md5"])
+        # chunks reassemble the document
+        text_back = {r["doc_id"]: "".join(
+            c["chunk_text"] for c in sorted(
+                chunks.collect(), key=lambda x: x["chunk_idx"])
+            if c["doc_id"] == r["doc_id"])
+            for r in df.collect()}
+        assert text_back[1] == base and text_back[2] == shifted
+        # content-defined: most chunks of the shifted doc are SHARED with
+        # the original (only the first boundary region differs)
+        shared = set(by_doc[1]) & set(by_doc[2])
+        assert len(shared) >= len(by_doc[1]) - 2
+
+    def test_short_doc_single_chunk(self, spark):
+        from delta_sharing_spark.operators.dedup import content_defined_chunks
+
+        df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+        rows = content_defined_chunks(df, "doc_id", "text").collect()
+        assert len(rows) == 1 and rows[0]["chunk_text"] == "tiny"
