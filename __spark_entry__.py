@@ -27,6 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
     summary through the engine's exact-decimal aggregation path."""
     _loaded()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return workloads.QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
@@ -37,6 +38,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # no-tz testdata timestamps must read as TIMESTAMP (µs, UTC)
+            spark.conf.set(
+                "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
             return fn(spark, sf_dir)
 
         return run
