@@ -1527,7 +1527,8 @@ class TableLog:
 
     def merge(self, source: DataFrame, keys: list[str],
               when_matched: str | None = "update",
-              when_not_matched: str | None = "insert") -> int:
+              when_not_matched: str | None = "insert",
+              operation_parameters: dict[str, str] | None = None) -> int:
         """MERGE INTO (upsert) on equality ``keys``.
 
         ``when_matched``: ``"update"`` replaces each matched target row with
@@ -1683,8 +1684,10 @@ class TableLog:
             snap,
             lambda v, ts: actions + [CommitInfo(
                 version=v, timestamp=ts, operation="MERGE",
-                operationParameters=(
-                    {"deletionVectors": "true"} if dv_mode else {}),
+                operationParameters={
+                    **({"deletionVectors": "true"} if dv_mode else {}),
+                    **(operation_parameters or {}),
+                },
                 operationMetrics={
                     "numTargetRowsInserted": str(n_inserted),
                     "numTargetRowsUpdated": str(n_updated),

@@ -25,12 +25,24 @@ def write_stream_to_table(stream_df: DataFrame, path: str,
                           checkpoint_location: str,
                           query_name: str | None = None,
                           trigger: dict | None = None,
-                          txn_app_id: str | None = None) -> StreamingQuery:
+                          txn_app_id: str | None = None,
+                          mode: str = "append",
+                          merge_keys: list[str] | None = None) -> StreamingQuery:
     """``writeStream`` into the commit log: each micro-batch becomes one
-    append commit tagged with (txnAppId, epochId) — Delta's streaming-sink
+    commit tagged with (txnAppId, epochId) — Delta's streaming-sink
     transaction identity; replayed epochs are skipped (idempotent restart).
     ``txn_app_id`` defaults to the checkpoint location (one writer per
-    checkpoint)."""
+    checkpoint).
+
+    ``mode="append"`` (default) appends each batch; ``mode="merge"``
+    UPSERTS each batch on ``merge_keys`` (the foreachBatch CDC-apply
+    pattern — a streaming source of changes maintains a keyed target
+    table). Exactly-once holds for both: the epoch stamp rides in the
+    same atomic commit as the batch's effect."""
+    if mode not in ("append", "merge"):
+        raise ValueError(f"unknown sink mode {mode!r}")
+    if mode == "merge" and not merge_keys:
+        raise ValueError("mode='merge' requires merge_keys")
     spark = stream_df.sparkSession
     app_id = txn_app_id or checkpoint_location
 
@@ -46,13 +58,21 @@ def write_stream_to_table(stream_df: DataFrame, path: str,
         if not log.exists():
             if batch_df.isEmpty():
                 return
+            if mode == "merge":
+                batch_df = batch_df.dropDuplicates(merge_keys)
             log.create(batch_df, name="stream_sink", operation_parameters=txn)
             return
         if epoch_id <= _last_committed_epoch(log, app_id):
             return  # replayed batch after restart — already committed
         if batch_df.isEmpty():
             return
-        log.append(batch_df, operation_parameters=txn)
+        if mode == "merge":
+            # one row per key per batch (MERGE precondition); the upsert
+            # rewrites only files containing matched keys
+            log.merge(batch_df.dropDuplicates(merge_keys), merge_keys,
+                      operation_parameters=txn)
+        else:
+            log.append(batch_df, operation_parameters=txn)
 
     writer: DataStreamWriter = (
         stream_df.writeStream.foreachBatch(write_batch)

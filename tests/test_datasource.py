@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from delta_sharing_spark.plans.log import TableLog
+from delta_sharing_spark.table import SharedTable
 from delta_sharing_spark.sources.datasource import (
     SharedTableDataSource,
     SharedTableStreamReader,
@@ -628,3 +629,44 @@ class TestStreamingOps:
                 for r in minhash_lsh_candidates(sigs, "doc_id").collect()}
         assert got == want
         assert (0, 3) in got  # the cross-batch pair came from bucket state
+
+
+class TestStreamMergeSink:
+    def test_upsert_sink_converges_to_latest_values(self, spark, events,
+                                                    tmp_path):
+        """mode='merge' sink: a stream of keyed change rows maintains the
+        target by upsert — duplicates across batches collapse to one row
+        per key with the latest value winning within a batch sequence."""
+        from delta_sharing_spark.streaming.sink import write_stream_to_table
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        ck = str(tmp_path / "ck")
+        base = events.limit(100).select("event_id", "user_id", "value")
+        log = TableLog(spark, src)
+        log.create(base, name="src")
+        # second commit re-sends 30 keys with value + 1000 (an update wave)
+        log.append(base.filter("event_id < 30")
+                   .withColumn("value", F.col("value") + 1000))
+        spark.dataSource.register(SharedTableDataSource)
+        stream = (spark.readStream.format("deltashare").option("path", src)
+                  .option("startingVersion", "0")
+                  .option("maxFilesPerTrigger", "1").load())
+        q = write_stream_to_table(
+            stream, dst, ck, mode="merge", merge_keys=["event_id"],
+            trigger={"processingTime": "200 milliseconds"})
+        q.processAllAvailable()
+        q.stop()
+        out = SharedTable(spark, dst).to_df()
+        assert out.count() == 100  # one row per key
+        assert out.filter("value >= 1000").count() == 30  # updates won
+        # restart is a no-op (epochs already committed)
+        stream2 = (spark.readStream.format("deltashare").option("path", src)
+                   .option("startingVersion", "0")
+                   .option("maxFilesPerTrigger", "1").load())
+        q2 = write_stream_to_table(
+            stream2, dst, ck, mode="merge", merge_keys=["event_id"],
+            trigger={"processingTime": "200 milliseconds"})
+        q2.processAllAvailable()
+        q2.stop()
+        assert SharedTable(spark, dst).to_df().count() == 100
