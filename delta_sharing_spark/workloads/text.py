@@ -562,3 +562,95 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return profile_columns(docs, ["doc_id", "n_chars", "lang", "source"])
+
+
+# ------------------------------------------------------ Gopher-style rules
+
+@workload(
+    "q_text_gopher_rules",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, source,
+             string_split(text, ' ') AS toks
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, len(toks) AS n_words,
+        CASE WHEN len(toks) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+            AS ok_word_count,
+        CASE WHEN len(toks) > 0 AND
+             CAST(list_aggregate(list_transform(toks, t -> length(t)),
+                                 'sum') AS DOUBLE) / len(toks)
+             BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS ok_mean_word_len,
+        CASE WHEN len(toks) > 0 AND
+             CAST(len(list_filter(toks,
+                  t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+             / len(toks) > 0.8 THEN 1 ELSE 0 END AS ok_alpha_ratio,
+        CASE WHEN len(list_filter(list_distinct(toks),
+                  t -> list_contains({_sql_list(STOPWORDS)}, t))) >= 2
+             THEN 1 ELSE 0 END AS ok_stopwords,
+        CASE WHEN len(toks) > 0 AND
+             CAST(len(list_filter(toks, t -> t = '#' OR t = '...'))
+                  AS DOUBLE) / len(toks) < 0.1
+             THEN 1 ELSE 0 END AS ok_symbol_ratio
+      FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ok_word_count) AS BIGINT) AS pass_word_count,
+           CAST(SUM(ok_mean_word_len) AS BIGINT) AS pass_mean_word_len,
+           CAST(SUM(ok_alpha_ratio) AS BIGINT) AS pass_alpha_ratio,
+           CAST(SUM(ok_stopwords) AS BIGINT) AS pass_stopwords,
+           CAST(SUM(ok_symbol_ratio) AS BIGINT) AS pass_symbol_ratio,
+           CAST(SUM(ok_word_count * ok_mean_word_len * ok_alpha_ratio
+                    * ok_stopwords * ok_symbol_ratio) AS BIGINT)
+               AS pass_all
+    FROM r GROUP BY source
+    """,
+)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (MassiveText, Rae et al. 2021 — public thresholds)
+    document quality rules: word count in [50, 100k], mean word length in
+    [3, 10], >80% words containing an alphabetic char, ≥2 distinct
+    stop-words, <10% symbol tokens. All higher-order array expressions in
+    ONE map-side pass + one small aggregation — the per-rule pass counts
+    per source, with the conjunction as the keep decision."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_len = (
+        F.expr("CAST(aggregate(transform(split(text, ' '), "
+               "t -> length(t)), 0, (a, x) -> a + x) AS DOUBLE)") / n
+    )
+    alpha_ratio = (
+        F.expr("CAST(size(filter(split(text, ' '), "
+               "t -> t rlike '[A-Za-z]')) AS DOUBLE)") / n
+    )
+    stop_arr = _spark_array(STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(array_distinct(split(text, ' ')), "
+        f"t -> array_contains({stop_arr}, t)))")
+    sym_ratio = (
+        F.expr("CAST(size(filter(split(text, ' '), "
+               "t -> t = '#' OR t = '...')) AS DOUBLE)") / n
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    r = docs.select(
+        "source",
+        flag(n.between(50, 100_000)).alias("ok_wc"),
+        flag((n > 0) & mean_len.between(3, 10)).alias("ok_mwl"),
+        flag((n > 0) & (alpha_ratio > 0.8)).alias("ok_ar"),
+        flag(n_stop >= 2).alias("ok_sw"),
+        flag((n > 0) & (sym_ratio < 0.1)).alias("ok_sym"),
+    )
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ok_wc").cast("long").alias("pass_word_count"),
+        F.sum("ok_mwl").cast("long").alias("pass_mean_word_len"),
+        F.sum("ok_ar").cast("long").alias("pass_alpha_ratio"),
+        F.sum("ok_sw").cast("long").alias("pass_stopwords"),
+        F.sum("ok_sym").cast("long").alias("pass_symbol_ratio"),
+        F.sum(F.col("ok_wc") * F.col("ok_mwl") * F.col("ok_ar")
+              * F.col("ok_sw") * F.col("ok_sym")).cast("long")
+        .alias("pass_all"),
+    )
