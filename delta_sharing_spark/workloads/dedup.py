@@ -486,3 +486,93 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.length("chunk_text")).cast("long").alias("max_len"),
         )
     )
+
+
+@workload(
+    "q_pipeline_corpus_prep_v2",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, text, n_chars,
+             string_split(text, ' ') AS t FROM documents
+    ),
+    quality AS (
+      -- Gopher-style gate: word count, mean word length, alpha ratio
+      SELECT doc_id, lang, text, n_chars FROM toks
+      WHERE len(t) BETWEEN 50 AND 100000
+        AND CAST(list_aggregate(list_transform(t, x -> length(x)),
+                 'sum') AS DOUBLE) / len(t) BETWEEN 3 AND 10
+        AND CAST(len(list_filter(t,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+            / len(t) > 0.8
+    ),
+    dedup AS (
+      -- exact dedup: min-doc_id survivor per normalized content hash
+      SELECT MIN(doc_id) AS doc_id FROM quality
+      GROUP BY md5(regexp_replace(trim(text), ' +', ' ', 'g'))
+    ),
+    d AS (
+      SELECT q.doc_id, q.lang, q.n_chars
+      FROM quality q JOIN dedup USING (doc_id)
+    ),
+    c AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY lang),
+    m AS (SELECT MIN(n) AS n_min FROM c),
+    thr AS (
+      SELECT lang, FLOOR(1000000 * sqrt(n_min::DOUBLE / n::DOUBLE)) AS thr
+      FROM c, m
+    ),
+    resampled AS (
+      SELECT d.doc_id, d.lang, d.n_chars
+      FROM d JOIN thr USING (lang)
+      WHERE ('0x' || substr(md5('temp' || d.doc_id), 1, 8))::BIGINT
+            % 1000000 < thr.thr
+    ),
+    s AS (
+      SELECT lang, n_chars,
+             CASE WHEN ('0x' || substr(md5('split' || doc_id), 1, 8))::BIGINT
+                       % 1000000 < 900000
+                  THEN 'train' ELSE 'val' END AS split
+      FROM resampled
+    )
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY lang, split
+    """,
+)
+def q_pipeline_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus prep v2 — the round-3 operators composed end to end:
+    Gopher-style quality gate -> exact dedup (min-id survivors) ->
+    temperature (alpha=0.5) language rebalancing -> deterministic 90/10
+    split -> per-(lang, split) accounting. Every stage is replayed by the
+    oracle at per-document granularity, so the whole pipeline — not just
+    its pieces — is value-verified."""
+    from delta_sharing_spark.operators.dedup import exact_dedup
+    from delta_sharing_spark.operators.sampling import (
+        split_assign,
+        temperature_resample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    mean_len = (
+        F.expr("CAST(aggregate(transform(split(text, ' '), "
+               "t -> length(t)), 0, (a, x) -> a + x) AS DOUBLE)") / n
+    )
+    alpha_ratio = (
+        F.expr("CAST(size(filter(split(text, ' '), "
+               "t -> t rlike '[A-Za-z]')) AS DOUBLE)") / n
+    )
+    quality = docs.filter(
+        n.between(50, 100_000) & mean_len.between(3, 10)
+        & (alpha_ratio > 0.8))
+    survivors = exact_dedup(quality, "doc_id", "text") \
+        .select(F.col("survivor_id").alias("doc_id"))
+    deduped = quality.join(survivors, "doc_id")
+    resampled = temperature_resample(deduped, "lang", "doc_id", salt="temp")
+    split = split_assign(resampled, "doc_id",
+                         [("train", 0.9), ("val", 0.1)], salt="split")
+    return split.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
