@@ -942,3 +942,53 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("none"),
         ).alias("min_non_urgent"),
     )
+
+
+@workload(
+    "q_events_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT h.hour, t.event_type FROM hours h CROSS JOIN types t),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(g.hour AS VARCHAR) AS hour, g.event_type,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN agg a
+      ON g.hour = a.hour AND g.event_type = a.event_type
+    """,
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense (hour × event_type) grid built with
+    ``sequence`` + explode (no driver loop), left-joined against the
+    hourly aggregate so silent hours appear as explicit zero rows — what
+    downstream anomaly/forecast jobs need. The grid is |hours|·|types|
+    rows (tiny relative to events) and broadcast-joins the aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour"))
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return (
+        grid.join(agg, ["hour", "event_type"], "left")
+        .select(F.col("hour").cast("string").alias("hour"), "event_type",
+                F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+    )
