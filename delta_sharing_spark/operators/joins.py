@@ -32,11 +32,17 @@ def asof_join(
     right_payload: list[str],
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row with
     right_time <= left_time (direction='backward'; 'forward' gives the
     earliest right row with right_time >= left_time). Ties at equal time
     admit the right row (inclusive), matching DuckDB/pandas ASOF semantics.
+
+    ``tolerance`` (pandas ``merge_asof`` parity): a match further than this
+    from the left time is discarded (payload nulls). Units: the time
+    column's numeric value, or SECONDS for timestamp columns (both sides
+    compare as doubles).
     """
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward"):
@@ -46,6 +52,7 @@ def asof_join(
     left_cols = [c for c in left.columns]
     payload_out = [f"{c}{suffix}" for c in right_payload]
 
+    rt_type = dict(right.dtypes)[right_time]
     l_part = left.select(
         *keys,
         F.col(left_time).alias("__t"),
@@ -53,6 +60,7 @@ def asof_join(
         F.struct(*left_cols).alias("__left"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(p)
           for c, p in zip(right_payload, payload_out)],
+        F.lit(None).cast(rt_type).alias("__rt"),
     )
     r_part = right.select(
         *keys,
@@ -62,6 +70,7 @@ def asof_join(
             l_part.schema["__left"].dataType.simpleString()
         ).alias("__left"),
         *[F.col(c).alias(p) for c, p in zip(right_payload, payload_out)],
+        F.col(right_time).alias("__rt"),
     )
     unioned = l_part.unionByName(r_part)
 
@@ -83,10 +92,19 @@ def asof_join(
             F.last(p, ignorenulls=True).over(w).alias(f"__c_{p}")
             for p in payload_out
         ],
+        F.last("__rt", ignorenulls=True).over(w).alias("__c_rt"),
     )
-    out = carried.filter(F.col("__tag") == l_tag).select(
+    rows = carried.filter(F.col("__tag") == l_tag)
+    keep = F.lit(True)
+    if tolerance is not None:
+        keep = (
+            F.abs(F.col("__t").cast("double")
+                  - F.col("__c_rt").cast("double")) <= F.lit(tolerance)
+        )
+    out = rows.select(
         F.col("__left.*"),
-        *[F.col(f"__c_{p}").alias(p) for p in payload_out],
+        *[F.when(keep, F.col(f"__c_{p}")).otherwise(F.lit(None)).alias(p)
+          for p in payload_out],
     )
     return out
 

@@ -503,3 +503,24 @@ class TestContentDefinedChunking:
         df = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
         rows = content_defined_chunks(df, "doc_id", "text").collect()
         assert len(rows) == 1 and rows[0]["chunk_text"] == "tiny"
+
+
+class TestAsofTolerance:
+    def test_tolerance_discards_stale_matches(self, spark):
+        from delta_sharing_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100, "a"), (1, 200, "b")], "k long, t long, name string")
+        right = spark.createDataFrame(
+            [(1, 95, 9.5), (1, 120, 12.0)], "k long, t long, v double")
+        out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                        right_payload=["v"], tolerance=10)
+        got = {r["name"]: r["v_right"] for r in out.collect()}
+        # "a"@100 matches 95 (gap 5 <= 10); "b"@200's latest is 120
+        # (gap 80 > 10) -> discarded
+        assert got == {"a": 9.5, "b": None}
+        # without tolerance both match
+        full = asof_join(left, right, on="k", left_time="t", right_time="t",
+                         right_payload=["v"])
+        assert {r["name"]: r["v_right"] for r in full.collect()} == \
+            {"a": 9.5, "b": 12.0}
