@@ -129,3 +129,41 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.md5("frame_bytes").alias("frame_md5"),
     )
+
+
+@workload(
+    "q_asof_tolerance",
+    oracle="""
+    WITH j AS (
+      SELECT c.event_id, c.ts AS cts, p.ts AS pts,
+             p.event_id AS p_eid, CAST(p.value AS DOUBLE) AS p_val
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+    )
+    SELECT event_id,
+           CASE WHEN pts IS NOT NULL
+                 AND epoch(cts) - epoch(pts) <= 86400
+                THEN p_eid END AS purchase_event_id,
+           CASE WHEN pts IS NOT NULL
+                 AND epoch(cts) - epoch(pts) <= 86400
+                THEN p_val END AS purchase_value
+    FROM j
+    """,
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas merge_asof parity): a
+    purchase more than 24h before the click does not attribute. The oracle
+    replays DuckDB ASOF then voids matches past the bound."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks, purchases, on="user_id", left_time="ts", right_time="ts",
+        right_payload=["event_id", "value"], tolerance=86_400,
+    )
+    return out.select(
+        "event_id",
+        F.col("event_id_right").alias("purchase_event_id"),
+        F.col("value_right").cast("double").alias("purchase_value"),
+    )
