@@ -28,7 +28,7 @@ import urllib.error
 import urllib.parse
 import urllib.request
 from dataclasses import dataclass, field
-from datetime import datetime
+from datetime import datetime, timezone
 
 
 @dataclass(frozen=True)
@@ -154,9 +154,11 @@ class BearerTokenAuthProvider(AuthCredentialProvider):
         try:
             exp = datetime.fromisoformat(
                 self.expiration_time.replace("Z", "+00:00"))
-            now = datetime.now(tz=exp.tzinfo) if exp.tzinfo \
-                else datetime.now()
-            return exp < now
+            if exp.tzinfo is None:
+                # zone-less expirationTime means UTC (protocol timestamps
+                # are UTC-adjusted); never compare against local time
+                exp = exp.replace(tzinfo=timezone.utc)
+            return exp < datetime.now(tz=timezone.utc)
         except ValueError:
             return False
 

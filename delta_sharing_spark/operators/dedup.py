@@ -435,19 +435,27 @@ def content_defined_chunks(df: DataFrame, id_col: str, text_col: str,
         x -> x > 0)
     ELSE array() END
     """
-    chunk_expr = f"""
+    # bounds materialize ONCE per row into a column; the chunk lambda then
+    # only indexes the precomputed arrays — without this, Spark re-evaluates
+    # the whole rolling-hash subexpression per element_at (no subexpression
+    # elimination inside lambdas), turning one-md5-per-char into
+    # one-md5-per-char-per-chunk
+    chunk_expr = """
     filter(
-      transform(sequence(1, size(concat(array(0), {bounds}))),
+      transform(sequence(1, size(__starts)),
         k -> named_struct(
           'idx', k,
           'text', substring(__t,
-            element_at(concat(array(0), {bounds}), k) + 1,
-            element_at(concat({bounds}, array(length(__t))), k)
-              - element_at(concat(array(0), {bounds}), k)))),
+            element_at(__starts, k) + 1,
+            element_at(__ends, k) - element_at(__starts, k)))),
       c -> length(c.text) > 0)
     """
     return (
         df.select(F.col(id_col), F.col(text_col).alias("__t"))
+        .withColumn("__bounds", F.expr(bounds))
+        .withColumn("__starts", F.expr("concat(array(0), __bounds)"))
+        .withColumn("__ends",
+                    F.expr("concat(__bounds, array(length(__t)))"))
         .select(id_col, F.explode(F.expr(chunk_expr)).alias("__c"))
         .select(
             id_col,

@@ -52,15 +52,21 @@ def asof_join(
     left_cols = [c for c in left.columns]
     payload_out = [f"{c}{suffix}" for c in right_payload]
 
+    # the right row's time and payload travel as ONE struct, so the
+    # running last() can never pair one row's payload with another row's
+    # timestamp (null payloads with a newer time would otherwise split)
     rt_type = dict(right.dtypes)[right_time]
+    payload_struct_type = "struct<__rt:{},{}>".format(
+        rt_type,
+        ",".join(f"{p}:{dict(right.dtypes)[c]}"
+                 for c, p in zip(right_payload, payload_out)),
+    )
     l_part = left.select(
         *keys,
         F.col(left_time).alias("__t"),
         F.lit(l_tag).alias("__tag"),
         F.struct(*left_cols).alias("__left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(p)
-          for c, p in zip(right_payload, payload_out)],
-        F.lit(None).cast(rt_type).alias("__rt"),
+        F.lit(None).cast(payload_struct_type).alias("__p"),
     )
     r_part = right.select(
         *keys,
@@ -69,8 +75,10 @@ def asof_join(
         F.lit(None).cast(
             l_part.schema["__left"].dataType.simpleString()
         ).alias("__left"),
-        *[F.col(c).alias(p) for c, p in zip(right_payload, payload_out)],
-        F.col(right_time).alias("__rt"),
+        F.struct(
+            F.col(right_time).alias("__rt"),
+            *[F.col(c).alias(p) for c, p in zip(right_payload, payload_out)],
+        ).alias("__p"),
     )
     unioned = l_part.unionByName(r_part)
 
@@ -88,22 +96,18 @@ def asof_join(
         )
     carried = unioned.select(
         "*",
-        *[
-            F.last(p, ignorenulls=True).over(w).alias(f"__c_{p}")
-            for p in payload_out
-        ],
-        F.last("__rt", ignorenulls=True).over(w).alias("__c_rt"),
+        F.last("__p", ignorenulls=True).over(w).alias("__c"),
     )
     rows = carried.filter(F.col("__tag") == l_tag)
     keep = F.lit(True)
     if tolerance is not None:
         keep = (
             F.abs(F.col("__t").cast("double")
-                  - F.col("__c_rt").cast("double")) <= F.lit(tolerance)
+                  - F.col("__c.__rt").cast("double")) <= F.lit(tolerance)
         )
     out = rows.select(
         F.col("__left.*"),
-        *[F.when(keep, F.col(f"__c_{p}")).otherwise(F.lit(None)).alias(p)
+        *[F.when(keep, F.col(f"__c.{p}")).otherwise(F.lit(None)).alias(p)
           for p in payload_out],
     )
     return out

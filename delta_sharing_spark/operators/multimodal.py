@@ -122,6 +122,11 @@ def resolve_codec(preferred: str = "auto"):
             f"media codec {preferred!r} is not available in this "
             "environment; register one with register_codec() or use "
             "codec='auto' to fall back to the deterministic fake decoder")
+    # documented order: explicitly registered codecs first, then real
+    # libraries, then the deterministic fake
+    for name, fn in _CODEC_REGISTRY.items():
+        if name != "fake":
+            return name, fn
     if _codec_available("pillow"):
         return "pillow", _pillow_decode
     if _codec_available("imageio"):

@@ -34,9 +34,12 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 def pii_counts(text: Column) -> list[Column]:
     """Per-category match-count columns (``<name>_count``) for one text
-    column — a pure projection, pipelined with the scan."""
+    column — a pure projection, pipelined with the scan. NULL text counts
+    as zero matches (so ``has_pii`` stays two-valued and NULL-text rows
+    never vanish from both sides of a has_pii split)."""
     return [
-        F.regexp_count(text, F.lit(pattern)).alias(f"{name}_count")
+        F.coalesce(F.regexp_count(text, F.lit(pattern)), F.lit(0))
+        .alias(f"{name}_count")
         for name, pattern, _mask in PII_PATTERNS
     ]
 

@@ -56,6 +56,11 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None,
     wide = df.agg(*aggs)
     # unpivot the single wide row into one row per column — |cols| rows,
     # driver-free (stack expression)
+    def q(name: str) -> str:
+        # backtick-quote generated identifiers so non-bare column names
+        # ("my col", "n-chars") survive the SQL round-trip
+        return "`" + name.replace("`", "``") + "`"
+
     stacked = wide.select(
         F.col("__n_rows").alias("n_rows"),
         F.expr(
@@ -63,8 +68,9 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None,
             "min_str, max_str, mean, p50)".format(
                 n=len(cols),
                 args=", ".join(
-                    f"'{c}', __null__{c}, __distinct__{c}, __min__{c}, "
-                    f"__max__{c}, __mean__{c}, __p50__{c}"
+                    f"'{c}', {q('__null__' + c)}, {q('__distinct__' + c)}, "
+                    f"{q('__min__' + c)}, {q('__max__' + c)}, "
+                    f"{q('__mean__' + c)}, {q('__p50__' + c)}"
                     for c in cols
                 ),
             )

@@ -591,7 +591,11 @@ class TableLog:
         if metadata is None:
             raise TableNotFoundError(f"checkpoint {fp} lacks metadata")
         # the checkpoint version's own commit timestamp wins over file ts
-        ts = max(ts, self.read_commit(version).timestamp)
+        # (unless that commit JSON was expired — file timestamps stand then)
+        try:
+            ts = max(ts, self.read_commit(version).timestamp)
+        except VersionNotFoundError:
+            pass
         return metadata, active, ts, txns
 
     def _maybe_checkpoint(self, version: int) -> None:
@@ -1891,14 +1895,26 @@ class TableLog:
         historical file referenced (vacuum after expiry may delete files
         that only expired versions referenced — which is the point)."""
         referenced: set[str] = set()
+
+        def note(add: AddFile) -> None:
+            referenced.add(add.path)
+            if add.deletionVector and \
+                    add.deletionVector["storageType"] == "u":
+                referenced.add(add.deletionVector["pathOrInlineDv"])
+
         for commit in self.commits():
             for add in commit.adds:
-                referenced.add(add.path)
-                if add.deletionVector and \
-                        add.deletionVector["storageType"] == "u":
-                    referenced.add(add.deletionVector["pathOrInlineDv"])
+                note(add)
             for c in commit.cdc:
                 referenced.add(c.path)
+        # checkpoints carry the active file set of versions whose commit
+        # JSONs may have been expired (expire_log); without this, a vacuum
+        # after expiry would see e.g. the v0 create's files in no retained
+        # commit and delete data the CURRENT snapshot still serves
+        for cp_version in self._list_checkpoints():
+            _m, active, _ts, _txns = self._read_checkpoint(cp_version)
+            for add in active.values():
+                note(add)
         removable: list[str] = []
         for base in (self.data_path, self.cdc_path, self.dv_path):
             if not os.path.isdir(base):
@@ -2097,11 +2113,18 @@ class TableLog:
         quantiles), so stats skipping works across old and new files alike.
         Returns the committed version, or None when nothing new exists."""
         snap = self.snapshot()
-        last_z = max(
-            (c.version for c in self.commits()
-             if c.info is not None and c.info.operation == "ZORDER"),
-            default=-1,
-        )
+        # newest-first scan, stop at the first ZORDER: O(commits since last
+        # clustering), not O(history). If the log was truncated by
+        # expire_log before any retained ZORDER, treat the truncation point
+        # as the baseline — files that predate retained history are never
+        # silently swept into a full-table rewrite by a maintenance call.
+        versions = self._list_versions()
+        last_z = (versions[0] - 1) if versions and versions[0] > 0 else -1
+        for v in reversed(versions):
+            c = self.read_commit(v)
+            if c.info is not None and c.info.operation == "ZORDER":
+                last_z = v
+                break
         new_files = [a for a in snap.files
                      if (a.version or 0) > last_z]
         if not new_files:

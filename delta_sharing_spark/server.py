@@ -216,9 +216,14 @@ class SharingServer:
             return h._deny(400, "unsupported grant_type")
         if cid is None or self.oauth_clients.get(cid) != secret:
             return h._deny(401, "invalid_client")
+        # prune expired tokens at issue time — the registry tracks LIVE
+        # tokens, not issuance history
+        now = time.time()
+        self._issued_tokens = {t: exp for t, exp
+                               in self._issued_tokens.items() if exp > now}
         token = secrets.token_urlsafe(24)
         self._issued_tokens[token] = (
-            time.time() + self.oauth_token_lifetime_seconds)
+            now + self.oauth_token_lifetime_seconds)
         h._respond(json.dumps({
             "access_token": token,
             "token_type": "bearer",

@@ -36,10 +36,13 @@ def stream_dedup(stream: DataFrame, content_cols: list[str],
     ``dropDuplicatesWithinWatermark`` dedups on the content key alone and
     EVICTS key state once the horizon passes (bounded state); without
     one, state grows with distinct keys (exact global dedup)."""
+    # to_json(struct(...)) keys are unambiguous: values are quoted and
+    # field-delimited, so ("12","3x") can never collide with ("1","23x"),
+    # and nulls stay distinct from empty strings
     keyed = stream.withColumn(
         "__content_md5",
-        F.md5(F.concat_ws("", *[F.col(c).cast("string")
-                                      for c in content_cols]).cast("binary")),
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in content_cols]))
+              .cast("binary")),
     )
     if event_time_col is not None:
         return (

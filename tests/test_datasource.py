@@ -670,3 +670,26 @@ class TestStreamMergeSink:
         q2.processAllAvailable()
         q2.stop()
         assert SharedTable(spark, dst).to_df().count() == 100
+
+
+class TestStreamDedupKeyCollision:
+    def test_concat_collision_rows_both_survive(self, spark, tmp_path):
+        from delta_sharing_spark.streaming.ops import stream_dedup
+
+        src = str(tmp_path / "coll_src")
+        df = spark.createDataFrame(
+            [(12, "3x", 1.0), (1, "23x", 2.0)],
+            "event_id long, event_type string, value double")
+        TableLog(spark, src).create(df, name="src")
+        spark.dataSource.register(SharedTableDataSource)
+        stream = (spark.readStream.format("deltashare").option("path", src)
+                  .option("startingVersion", "0").load())
+        q = (stream_dedup(stream, ["event_id", "event_type"])
+             .writeStream.format("memory").queryName("coll_out")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck_coll"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        # "12"+"3x" and "1"+"23x" concatenate identically; both distinct
+        # rows must survive with the json-struct key
+        assert spark.table("coll_out").count() == 2

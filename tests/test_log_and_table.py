@@ -1275,3 +1275,22 @@ class TestLogExpiry:
             log.append(batch)
         assert log.expire_log(keep_last=2) == []  # no checkpoint -> no-op
         assert log.snapshot(version=0).version == 0
+
+
+class TestVacuumAfterExpiry:
+    def test_vacuum_keeps_checkpoint_active_files(self, spark, events,
+                                                  table_dir):
+        """Regression: vacuum after expire_log must NOT delete files whose
+        only remaining reference is a checkpoint's active set (the create's
+        files after its commit JSON expired)."""
+        log = TableLog(spark, table_dir)
+        batch = events.limit(10)
+        log.create(batch, name="t",
+                   configuration={"checkpointInterval": "10"})
+        for _ in range(24):
+            log.append(batch)
+        total = SharedTable(spark, table_dir).to_df().count()
+        assert log.expire_log(keep_last=5)
+        removed = TableLog(spark, table_dir).vacuum()
+        assert removed == []  # nothing is unreferenced
+        assert SharedTable(spark, table_dir).to_df().count() == total

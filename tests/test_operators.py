@@ -524,3 +524,54 @@ class TestAsofTolerance:
                          right_payload=["v"])
         assert {r["name"]: r["v_right"] for r in full.collect()} == \
             {"a": 9.5, "b": 12.0}
+
+
+class TestReviewRegressions:
+    def test_profile_nonbare_column_names(self, spark):
+        from delta_sharing_spark.operators.profiling import profile_columns
+
+        df = spark.range(10).selectExpr("id AS `my col`",
+                                        "CAST(id AS STRING) AS `n-chars`")
+        prof = {r["column"]: r for r in profile_columns(df).collect()}
+        assert prof["my col"]["n_distinct"] == 10
+        assert prof["n-chars"]["n_null"] == 0
+
+    def test_detect_pii_null_text(self, spark):
+        from delta_sharing_spark.operators.pii import detect_pii
+
+        df = spark.createDataFrame([(1, None), (2, "a@b.io")],
+                                   "id long, text string")
+        det = detect_pii(df, "text")
+        # NULL-text rows land on exactly one side of the split
+        assert det.filter("has_pii").count() == 1
+        assert det.filter("NOT has_pii").count() == 1
+
+    def test_asof_tolerance_null_payload_row(self, spark):
+        from delta_sharing_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame([(1, 200, "x")],
+                                     "k long, t long, name string")
+        right = spark.createDataFrame(
+            [(1, 95, 9.5), (1, 120, None)], "k long, t long, v double")
+        out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                        right_payload=["v"], tolerance=100)
+        # nearest right row is t=120 (within tolerance) with a NULL
+        # payload — NOT the older 9.5 from t=95
+        assert out.collect()[0]["v_right"] is None
+
+    def test_bearer_naive_expiration_is_utc(self):
+        from delta_sharing_spark.auth import BearerTokenAuthProvider
+
+        past = BearerTokenAuthProvider("t", "2020-01-01T00:00:00")
+        future = BearerTokenAuthProvider("t", "2099-01-01T00:00:00")
+        assert past.is_expired() and not future.is_expired()
+
+    def test_registered_codec_wins_auto(self, spark):
+        from delta_sharing_spark.operators import multimodal as mm
+
+        mm.register_codec("custom", lambda b: (1, 2, 3, "custom"))
+        try:
+            name, fn = mm.resolve_codec("auto")
+            assert name == "custom"
+        finally:
+            mm._CODEC_REGISTRY.pop("custom", None)
