@@ -223,3 +223,60 @@ class TestAsyncQueryEviction:
         assert len(finished) <= 4  # 3 retained + the new one
         # evicted idempotency keys are gone; retained ones still dedup
         assert mgr.submit(t, idempotency_key="k_last") is last
+
+
+class TestAsofJoinProperty:
+    """asof_join vs a brute-force per-row reference, both directions,
+    with and without tolerance."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pair = st.tuples(st.integers(0, 2), st.integers(0, 50))
+
+    @given(
+        lefts=st.lists(pair, min_size=1, max_size=12),
+        rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50),
+                                  st.integers(0, 99)), max_size=12),
+        direction=st.sampled_from(["backward", "forward"]),
+        tolerance=st.sampled_from([None, 0, 5, 20]),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_bruteforce(self, spark, lefts, rights, direction,
+                                tolerance):
+        from delta_sharing_spark.operators.joins import asof_join
+
+        ldf = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lefts)],
+            "k long, t long, idx long")
+        rdf = spark.createDataFrame(rights or [(99, 0, 0)],
+                                    "k long, t long, v long")
+        out = {r["idx"]: r["v_right"] for r in asof_join(
+            ldf, rdf, on="k", left_time="t", right_time="t",
+            right_payload=["v"], direction=direction,
+            tolerance=tolerance).collect()}
+
+        for i, (k, t) in enumerate(lefts):
+            if direction == "backward":
+                cand = [(rt, v) for (rk, rt, v) in (rights or [(99, 0, 0)])
+                        if rk == k and rt <= t]
+                best = max(cand, default=None)
+            else:
+                cand = [(rt, v) for (rk, rt, v) in (rights or [(99, 0, 0)])
+                        if rk == k and rt >= t]
+                best = min(cand, default=None)
+            want = None
+            if best is not None and (
+                    tolerance is None or abs(best[0] - t) <= tolerance):
+                # ties: the engine takes the LAST right row in (t, tag)
+                # order, i.e. max v among rows sharing the best time
+                tied = [v for (rt, v) in cand if rt == best[0]]
+                want = tied[-1] if direction == "backward" else tied[-1]
+            got = out[i]
+            # tie order among equal times is input order; accept any tied v
+            if best is not None and (tolerance is None
+                                     or abs(best[0] - t) <= tolerance):
+                tied_vs = {v for (rt, v) in cand if rt == best[0]}
+                assert got in tied_vs, (lefts, rights, direction, tolerance)
+            else:
+                assert got is None, (lefts, rights, direction, tolerance)
