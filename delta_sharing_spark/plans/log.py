@@ -69,6 +69,15 @@ DV_BROADCAST_MAX_ROWS = 4_000_000
 # "u"). The global cap bounds driver-side row collection for inlining.
 INLINE_DV_MAX_ROWS = 256
 INLINE_DV_GLOBAL_MAX_ROWS = 100_000
+# compact_deletion_vectors folds inline descriptors into the packed
+# parquet once more than this many files carry them (each inline desc
+# is a driver-side decode per read — fine in the tens, not thousands)
+INLINE_DV_COMPACT_FILES = 64
+
+# checkpoints persist at most this many (txnAppId -> epoch) entries,
+# most recently active first (Delta's setTransactionRetentionDuration
+# analogue, by count)
+TXN_RETENTION_MAX = 1000
 
 
 def encode_inline_dv(row_indexes) -> str:
@@ -434,6 +443,18 @@ class TableLog:
         cached = self._snap_cache.get(version)
         if cached is not None:
             return cached
+        # truncated-history guard (expire_log): a version is resolvable only
+        # as checkpoint(≤version) + a COMPLETE commit tail (cp, version], or
+        # as a full replay from commit 0. Anything else would silently
+        # serve older state labeled as `version`.
+        all_versions = set(self._list_versions())
+        cp_at = self._latest_checkpoint(at_or_before=version)
+        replay_from = (cp_at + 1) if cp_at is not None else 0
+        if any(v not in all_versions
+               for v in range(replay_from, version + 1)):
+            raise VersionNotFoundError(
+                f"version {version} has been expired from the log "
+                "(no checkpoint + commit tail can replay it)")
         # incremental replay: seed from the nearest cached earlier snapshot
         # or the newest on-disk checkpoint, whichever is later, and apply
         # only the commit tail — resolution costs O(commits since
@@ -476,7 +497,10 @@ class TableLog:
                 except (TypeError, ValueError):
                     epoch = None
                 if epoch is not None:
-                    txns[app_id] = max(txns.get(app_id, -1), epoch)
+                    # pop-then-set keeps dict order = update recency, so
+                    # checkpointing can retain the most recent writers
+                    prev = txns.pop(app_id, -1)
+                    txns[app_id] = max(prev, epoch)
             ts = commit.timestamp
         if metadata is None:
             raise TableNotFoundError(f"no metadata through version {version}")
@@ -535,7 +559,13 @@ class TableLog:
             nulls.append(json.dumps(st.get("nullCount", {}), default=str))
             vers.append(add.version)
             tss.append(add.timestamp)
-        for app_id, epoch in sorted(snap.transactions.items()):
+        # retention cap (Delta's setTransactionRetentionDuration shape, by
+        # count): only the most recently active writers persist — a txn map
+        # otherwise grows one entry per queryId forever and bloats every
+        # checkpoint. An evicted (ancient) writer restarting re-appends its
+        # last batch — the documented Delta retention trade-off.
+        recent = list(snap.transactions.items())[-TXN_RETENTION_MAX:]
+        for app_id, epoch in sorted(recent):
             # SetTransaction state: lets sink idempotency replay from the
             # checkpoint instead of the full commit history
             kinds.append("txn")
@@ -1329,8 +1359,15 @@ class TableLog:
             }
             packed_rows = dv_rows.filter(
                 ~F.col("path").isin(list(inline_set)))
+        packed_survivors = [
+            a for a in touched
+            if a.path not in inline_set
+            and (a.num_records is None or total_for(a) < a.num_records)
+        ]
         dv_rel, dv_size = None, 0
-        if len(inline_set) < len(touched):
+        if packed_survivors:
+            # skipped when every non-inline touched file is fully deleted —
+            # no descriptor would reference the parquet (orphan write)
             dv_rel, dv_size = self._write_dv_file(packed_rows)
 
         actions: list[Action] = []
@@ -1809,18 +1846,34 @@ class TableLog:
         dirty = [a for a in snap.files if a.deletionVector]
         stored = [a for a in dirty
                   if a.deletionVector["storageType"] == "u"]
+        inline = [a for a in dirty
+                  if a.deletionVector["storageType"] == "i"]
         gens = sorted({a.deletionVector["pathOrInlineDv"] for a in stored})
-        if len(gens) <= 1:
-            # inline descriptors cost no file opens; with at most one
-            # parquet generation the read path is already a single DV scan
+        # inline descriptors cost no file opens, but each one decodes
+        # driver-side on every read — past this population they fold into
+        # the packed file too
+        fold_inline = inline \
+            if len(inline) > INLINE_DV_COMPACT_FILES else []
+        if not fold_inline and len(gens) <= 1:
             return None
-        rows = (
-            self.spark.read.parquet(*[self.abs_path(g) for g in gens])
-            .filter(F.col("path").isin([a.path for a in stored]))
-            .select("path", "row_index")
-            .distinct()
-        )
-        dirty = stored  # inline descriptors stay as they are
+        parts = []
+        if gens:
+            parts.append(
+                self.spark.read.parquet(*[self.abs_path(g) for g in gens])
+                .filter(F.col("path").isin([a.path for a in stored]))
+                .select("path", "row_index")
+            )
+        if fold_inline:
+            parts.append(self.spark.createDataFrame(
+                [(a.path, ri) for a in fold_inline
+                 for ri in decode_inline_dv(
+                     a.deletionVector["pathOrInlineDv"])],
+                "path string, row_index long"))
+        rows = parts[0]
+        for p_ in parts[1:]:
+            rows = rows.unionByName(p_)
+        rows = rows.distinct()
+        dirty = stored + fold_inline  # untouched inline descs stay as-is
         dv_rel, dv_size = self._write_dv_file(rows)
         actions: list[Action] = []
         for a in sorted(dirty, key=lambda x: x.path):
@@ -1881,6 +1934,14 @@ class TableLog:
             for v in expendable:
                 os.remove(os.path.join(self.log_path, _fmt_version(v)))
                 self._commit_cache.pop(v, None)
+            # checkpoints below the seeding one go too: an orphaned old
+            # checkpoint would (a) let snapshot(expired_version) silently
+            # serve stale state instead of raising, and (b) pin every data
+            # file it lists on disk forever through vacuum's reference scan
+            for cpv in self._list_checkpoints():
+                if cpv < cp:
+                    os.remove(os.path.join(self.log_path,
+                                           _fmt_checkpoint(cpv)))
             self._snap_cache.clear()
         return expendable
 
@@ -2033,7 +2094,8 @@ class TableLog:
 
     def zorder_by(self, columns: list[str], bits_per_col: int = 12,
                   target_file_rows: int = 1_000_000,
-                  files: "list[AddFile] | None" = None) -> int | None:
+                  files: "list[AddFile] | None" = None,
+                  snap: "Snapshot | None" = None) -> int | None:
         """Z-ORDER clustering rewrite: re-sort the table's data along the
         interleaved bit order of ``columns`` so per-file min/max ranges
         become tight on EVERY listed column, making stats-based file
@@ -2055,7 +2117,16 @@ class TableLog:
         boundaries slightly vs exact ntile but preserves the clustering
         property stats skipping needs.
         """
-        snap = self.snapshot()
+        # callers passing an explicit file subset must pass the snapshot it
+        # came from — re-resolving here would let a commit landing between
+        # the caller's snapshot and ours escape conflict detection (e.g. a
+        # DV DELETE on a chosen file whose rows this rewrite would then
+        # resurrect)
+        if snap is None:
+            if files is not None:
+                raise ValueError("zorder_by(files=...) requires the "
+                                 "snapshot the file list was taken from")
+            snap = self.snapshot()
         files = snap.files if files is None else files
         if not files:
             return None
@@ -2069,7 +2140,7 @@ class TableLog:
                     F.shiftright(F.col(f"__b_{i}"), bit).bitwiseAND(1)
                     .cast("long") * F.lit(1 << pos)
                 )
-        total_rows = sum(a.num_records or 0 for a in files)
+        total_rows = sum(a.logical_records or 0 for a in files)
         n_files = max(1, -(-total_rows // target_file_rows))
         clustered = (
             with_buckets.withColumn("__z", z)
@@ -2131,4 +2202,4 @@ class TableLog:
             return None
         return self.zorder_by(columns, bits_per_col=bits_per_col,
                               target_file_rows=target_file_rows,
-                              files=new_files)
+                              files=new_files, snap=snap)

@@ -1294,3 +1294,74 @@ class TestVacuumAfterExpiry:
         removed = TableLog(spark, table_dir).vacuum()
         assert removed == []  # nothing is unreferenced
         assert SharedTable(spark, table_dir).to_df().count() == total
+
+
+class TestExpiryAndDVRegressions:
+    def test_expired_version_raises_not_stale(self, spark, events,
+                                              table_dir):
+        """Regression: time travel to an expired version must raise, never
+        silently serve an older checkpoint's state labeled as that
+        version."""
+        log = TableLog(spark, table_dir)
+        batch = events.limit(5)
+        log.create(batch, name="t",
+                   configuration={"checkpointInterval": "10"})
+        for _ in range(24):
+            log.append(batch)  # checkpoints at 10 and 20
+        log.expire_log(keep_last=5)
+        fresh = TableLog(spark, table_dir)
+        # pre-cutoff checkpoints were deleted with their tails
+        with pytest.raises(VersionNotFoundError, match="expired"):
+            fresh.snapshot(version=15)
+        with pytest.raises(VersionNotFoundError, match="expired"):
+            fresh.snapshot(version=5)
+        # the seeding checkpoint version and everything after it resolve
+        assert fresh.snapshot(version=20).version == 20
+        assert fresh.snapshot(version=24).version == 24
+
+    def test_zorder_files_requires_snapshot(self, spark, events, table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(events.limit(50), name="t")
+        snap = log.snapshot()
+        with pytest.raises(ValueError, match="requires the"):
+            log.zorder_by(["event_id"], files=snap.files)
+
+    def test_fully_deleted_packed_files_write_no_orphan_dv(self, spark,
+                                                           events,
+                                                           table_dir):
+        """One DELETE that fully deletes a partition's files and inline-
+        deletes a few rows elsewhere must not write a packed DV parquet
+        nothing references."""
+        import os
+
+        log = TableLog(spark, table_dir)
+        log.create(events, partition_by=["event_type"], name="t",
+                   configuration={"enableDeletionVectors": "true"})
+        log.delete("event_type = 'click' OR event_id % 101 = 0")
+        snap = log.snapshot()
+        descs = [a.deletionVector for a in snap.files if a.deletionVector]
+        assert descs and all(d["storageType"] == "i" for d in descs)
+        assert all(a.partitionValues.get("event_type") != "click"
+                   for a in snap.files)
+        dv_dir = os.path.join(table_dir, "_dv")
+        assert not os.path.isdir(dv_dir) or not os.listdir(dv_dir)
+
+    def test_many_inline_descs_fold_on_compaction(self, spark, events,
+                                                  table_dir, monkeypatch):
+        import delta_sharing_spark.plans.log as logmod
+
+        monkeypatch.setattr(logmod, "INLINE_DV_COMPACT_FILES", 3)
+        log = TableLog(spark, table_dir)
+        log.create(events.repartition(6), name="t",
+                   configuration={"enableDeletionVectors": "true"})
+        log.delete("event_id % 3 = 0")  # tiny per-file sets -> inline
+        dirty = [a for a in log.snapshot().files if a.deletionVector]
+        assert len(dirty) > 3
+        assert all(a.deletionVector["storageType"] == "i" for a in dirty)
+        want = SharedTable(spark, table_dir).to_df().count()
+        assert log.compact_deletion_vectors() is not None
+        snap = log.snapshot()
+        dvs = [a.deletionVector for a in snap.files if a.deletionVector]
+        assert dvs and all(d["storageType"] == "u" for d in dvs)
+        assert len({d["pathOrInlineDv"] for d in dvs}) == 1
+        assert SharedTable(spark, table_dir).to_df().count() == want
