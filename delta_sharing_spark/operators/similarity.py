@@ -308,3 +308,37 @@ def near_dup_pairs_blocked(df: DataFrame, id_col: str = "vec_id",
                 })
 
     return pairs.mapInPandas(compute, schema="id_a long, id_b long, cos double")
+
+
+def knn_label_propagation(unlabeled: DataFrame, labeled: DataFrame,
+                          label_col: str, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          k: int = 5) -> DataFrame:
+    """Propagate labels to unlabeled rows by majority vote of their k
+    nearest labeled neighbors (cosine) — the standard semi-supervised
+    labeling pass for training-data curation (weak labels from a labeled
+    seed set). Ties break by (count desc, label asc) — deterministic.
+
+    Scale shape: the same one broadcast + one top-k shuffle as
+    ``brute_force_topk``; the vote is one more small aggregation on
+    (query, label). At corpus scale, run per IVF cell (restrict
+    ``labeled`` to probed cells) — the operator composes unchanged.
+    Returns (id, predicted_label, votes, top_cos)."""
+    nn = brute_force_topk(unlabeled, labeled,
+                          id_col=id_col, vec_col=vec_col, k=k)
+    lbl = labeled.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(label_col).alias("__label"))
+    votes = (
+        nn.join(F.broadcast(lbl), "neighbor_id")
+        .groupBy("query_id", "__label")
+        .agg(F.count("*").alias("votes"), F.max("cos").alias("top_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("__label"))
+    return (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(F.col("query_id").alias(id_col),
+                F.col("__label").alias("predicted_label"),
+                "votes", "top_cos")
+    )

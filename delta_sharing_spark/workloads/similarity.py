@@ -437,3 +437,54 @@ def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return near_dup_pairs_cells(emb, "label", threshold=0.42) \
         .withColumnRenamed("label", "cell")
+
+
+@workload(
+    "q_knn_label_propagation",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id % 11 = 0),
+    c AS (SELECT vec_id, label, embedding FROM embeddings
+          WHERE vec_id % 11 <> 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+             {_cos_sql('q.qv', 'c.embedding')} AS cos
+      FROM q JOIN c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, label, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ),
+    topk AS (SELECT * FROM ranked WHERE rank <= 5),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS votes, MAX(cos) AS top_cos
+      FROM topk GROUP BY query_id, label
+    ),
+    best AS (
+      SELECT query_id, label, votes, top_cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label) AS rk
+      FROM votes
+    )
+    SELECT query_id AS vec_id, label AS predicted_label,
+           CAST(votes AS BIGINT) AS votes, top_cos
+    FROM best WHERE rk = 1
+    """,
+)
+def q_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised labeling: every 11th vector treated as unlabeled and
+    labeled by majority vote of its 5 nearest labeled neighbors — the
+    weak-labeling pass of a curation pipeline, with the full vote replayed
+    in SQL (deterministic (votes desc, label) tie-break)."""
+    from delta_sharing_spark.operators.similarity import (
+        knn_label_propagation,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    unlabeled = emb.filter("vec_id % 11 = 0")
+    labeled = emb.filter("vec_id % 11 != 0")
+    out = knn_label_propagation(unlabeled, labeled, "label", k=5)
+    return out.select("vec_id", "predicted_label",
+                      F.col("votes").cast("long").alias("votes"), "top_cos")

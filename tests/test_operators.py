@@ -575,3 +575,20 @@ class TestReviewRegressions:
             assert name == "custom"
         finally:
             mm._CODEC_REGISTRY.pop("custom", None)
+
+
+class TestKnnLabelPropagation:
+    def test_majority_vote_with_ties(self, spark, vectors):
+        from delta_sharing_spark.operators.similarity import (
+            knn_label_propagation,
+        )
+
+        unlabeled = vectors.filter("vec_id IN (0, 3)").drop("label")
+        labeled = vectors.filter("vec_id NOT IN (0, 3)")
+        out = {r["vec_id"]: r for r in knn_label_propagation(
+            unlabeled, labeled, "label", k=3).collect()}
+        # cluster structure: vec 0's nearest labeled neighbors are its own
+        # cluster (label 0); vec 3 belongs to cluster 1
+        assert out[0]["predicted_label"] == 0
+        assert out[3]["predicted_label"] == 1
+        assert out[0]["votes"] >= 2
