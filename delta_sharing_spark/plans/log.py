@@ -34,6 +34,7 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 import uuid
 from dataclasses import dataclass
 
@@ -915,8 +916,14 @@ class TableLog:
                 for comp in rel_under.split(os.sep)[:-1]:
                     if "=" in comp:
                         k, v = comp.split("=", 1)
+                        # Spark Hive-escapes special chars in dir names
+                        # (':' -> %3A etc.); partitionValues record the
+                        # LOGICAL value like Delta does, so unescape —
+                        # otherwise timestamp/special-char partitions are
+                        # unreadable and pruning compares escaped strings
                         part_values[k] = (
-                            "" if v == "__HIVE_DEFAULT_PARTITION__" else v
+                            "" if v == "__HIVE_DEFAULT_PARTITION__"
+                            else urllib.parse.unquote(v)
                         )
                 dest_name = prefix + fn if prefix else fn
                 dest_rel_under = os.path.join(

@@ -359,7 +359,14 @@ def _py_cast(value, vtype: str):
         if vtype == "date":
             return _dt.date.fromisoformat(str(value))
         if vtype == "timestamp":
-            return _dt.datetime.fromisoformat(str(value).replace("T", " "))
+            # normalize to NAIVE UTC: one side may carry a zone (a pushed
+            # Spark literal) while the other is a zone-less partition/stats
+            # string — naive-vs-aware datetimes don't even compare
+            ts = _dt.datetime.fromisoformat(str(value).replace("T", " ")
+                                            .replace("Z", "+00:00"))
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return ts
         return str(value)
     except (ValueError, TypeError):
         return None

@@ -197,6 +197,16 @@ class SharedTableBatchReader(DataSourceReader):
         log = TableLog(None, self.path)
         snap = log.snapshot(version=self.version, timestamp=self.timestamp)
         hints = _filters_to_json_predicate(self._pushed, snap)
+        if hints is not None and snap.logical_to_physical:
+            # column-mapping tables key partitionValues/stats by PHYSICAL
+            # names; pushed filters carry logical names — translate or the
+            # whole pruning path silently evaluates Unknown
+            from delta_sharing_spark.plans.predicates import (
+                rewrite_predicate_columns,
+            )
+
+            hints = rewrite_predicate_columns(hints,
+                                              snap.logical_to_physical)
         schema_json = snap.metadata.schemaString
         pcols = snap.partition_columns
         return [
@@ -398,9 +408,16 @@ class SharedTableStreamReader(DataSourceStreamReader):
         ``from_version`` onward, applying change-commit validation per
         commit. ``change_type`` is None outside CDF mode and for cdc files
         (which carry their own _change_type column)."""
+        log = self._log()
+        versions = log._list_versions()
+        if versions and from_version < versions[0]:
+            # expire_log truncated the history: silently serving only the
+            # retained tail would be data loss — mirror snapshot()'s guard
+            raise ValueError(
+                f"startingVersion {from_version} has been expired from "
+                f"the log (earliest retained commit is {versions[0]})")
         if self.read_change_feed:
             return self._cdf_sequence(from_version)
-        log = self._log()
         out = []
         for commit in log.commits(from_version):
             if commit.metadata is not None and self._schema is not None:
@@ -421,7 +438,20 @@ class SharedTableStreamReader(DataSourceStreamReader):
             if data_removes and not commit.cdc:
                 if self.skip_change_commits:
                     continue  # drop the whole commit's files
-                if not (self.ignore_changes or self.ignore_deletes):
+                data_adds = [a for a in commit.adds if a.dataChange]
+                if data_adds:
+                    # removes AND adds = an UPDATE commit: only
+                    # ignoreChanges tolerates it (re-emitting rewritten
+                    # files) — ignoreDeletes covers delete-ONLY commits
+                    # (ref DeltaSharingSource.scala:994-1035)
+                    if not self.ignore_changes:
+                        raise ValueError(
+                            f"Detected a data update at version "
+                            f"{commit.version}. Set ignoreChanges to "
+                            f"proceed (rewritten files will be "
+                            f"re-emitted), or skipChangeCommits to skip "
+                            f"such commits.")
+                elif not (self.ignore_changes or self.ignore_deletes):
                     raise ValueError(
                         f"Detected deleted or updated data at version "
                         f"{commit.version}. Set ignoreDeletes/ignoreChanges "
@@ -614,13 +644,29 @@ class SharedTableStreamReader(DataSourceStreamReader):
         ev, ei = int(end["version"]), int(end["index"])
         batch = [x for x in seq if (x[0], x[1]) < (ev, ei)]
         log = self._log()
-        schema_json = log.snapshot().metadata.schemaString
+        # ship the PLANNED schema (what this stream was gated on by
+        # check_read_compatible), not the current snapshot's: a mid-stream
+        # read-compatible metadata change (e.g. dropped column) must keep
+        # yielding the planned columns (nulls where absent), and the worker
+        # projection handles missing/extra file columns already
+        if self._schema is not None:
+            schema_json = json.dumps(self._schema.jsonValue())
+        else:
+            schema_json = log.snapshot().metadata.schemaString
         if not self.read_change_feed:
             return [
                 _FilePartition(log.abs_path(f.path), f.partitionValues,
                                schema_json, **_dv_args(log, f))
                 for _v, _i, f, _ct, _ts in batch
             ]
+        if self._schema is not None:
+            data_fields = [
+                f for f in self._schema.fields
+                if f.name not in ("_change_type", "_commit_version",
+                                  "_commit_timestamp")
+            ]
+            schema_json = json.dumps(
+                T.StructType(data_fields).jsonValue())
         return [
             _FilePartition(log.abs_path(f.path), f.partitionValues,
                            schema_json, change_type=ct, commit_version=v,
@@ -648,27 +694,18 @@ class SharedTableDataSource(DataSource):
         return "deltashare"
 
     def schema(self) -> T.StructType:
-        from delta_sharing_spark.plans.actions import Metadata
-        import os
+        # checkpoint-aware log replay (works after expire_log, when the
+        # only metadata lives in a checkpoint parquet), resolved AT THE
+        # REQUESTED version/timestamp so time-travel reads plan on the
+        # schema their files actually carry — no Spark session needed
+        from delta_sharing_spark.plans.log import TableLog
 
-        # read the latest metadata straight from the log files (no Spark
-        # session needed at schema-inference time)
-        from delta_sharing_spark.plans.log import LOG_DIR
-        from delta_sharing_spark.plans.actions import parse_action
-
-        log_dir = os.path.join(self.options["path"], LOG_DIR)
-        meta: Metadata | None = None
-        for fn in sorted(os.listdir(log_dir)):
-            if not fn.endswith(".json"):
-                continue
-            with open(os.path.join(log_dir, fn)) as f:
-                for line in f:
-                    action = parse_action(line)
-                    if isinstance(action, Metadata):
-                        meta = action
-        if meta is None:
-            raise ValueError(f"no table metadata under {log_dir}")
-        schema = T.StructType.fromJson(json.loads(meta.schemaString))
+        version = (int(self.options["version"])
+                   if self.options.get("version") else None)
+        timestamp = self.options.get("timestamp")
+        snap = TableLog(None, self.options["path"]).snapshot(
+            version=version, timestamp=timestamp)
+        schema = snap.schema
         if self.options.get("readchangefeed", "false") == "true":
             # CDF virtual columns (PROTOCOL.md:2359-2362)
             schema = T.StructType(
@@ -681,6 +718,11 @@ class SharedTableDataSource(DataSource):
         return schema
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
+        if self.options.get("readchangefeed", "false") == "true":
+            raise ValueError(
+                "readChangeFeed is supported for streaming reads "
+                "(spark.readStream) — for batch change queries use "
+                "delta_sharing_spark.cdf.table_changes")
         return SharedTableBatchReader(dict(self.options), schema)
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:  # noqa: N802

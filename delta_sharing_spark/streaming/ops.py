@@ -110,7 +110,6 @@ def stream_minhash_bands(stream: DataFrame, id_col: str, text_col: str,
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    n_md5 = -(-num_hashes // 4)
     rows_per_band = num_hashes // bands
 
     @pandas_udf("array<string>")  # no hints: postponed-annotations module
@@ -156,6 +155,12 @@ def stream_lsh_dedup_candidates(stream: DataFrame, id_col: str,
     executors like any streaming aggregation."""
     import pandas as pd
 
+    id_type = dict(stream.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"stream_lsh_dedup_candidates requires an integral id column; "
+            f"{id_col!r} is {id_type!r} (hash string ids to bigint first, "
+            "e.g. xxhash64)")
     bands_df = stream_minhash_bands(stream, id_col, text_col,
                                     num_hashes, bands, shingle_k)
 

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from delta_sharing_spark.plans.log import TableLog
 from delta_sharing_spark.table import SharedTable
@@ -189,7 +190,8 @@ class TestStreaming:
         log.delete("event_id < 10")
         reader = SharedTableStreamReader({"path": d, "startingversion": "0"},
                                          None)
-        with pytest.raises(ValueError, match="ignoreDeletes"):
+        # a rewriting DELETE is remove+add -> the UPDATE-class error
+        with pytest.raises(ValueError, match="ignoreChanges"):
             reader._file_sequence(0)
 
     def test_skip_change_commits(self, spark, events, tmp_path):
@@ -205,13 +207,21 @@ class TestStreaming:
         versions = {e[0] for e in seq}
         assert versions == {2}  # delete commit skipped entirely
 
-    def test_ignore_deletes_keeps_adds(self, spark, events, tmp_path):
+    def test_ignore_changes_keeps_adds(self, spark, events, tmp_path):
         d = str(tmp_path / "ign")
         log = TableLog(spark, d)
         log.create(events.limit(100), name="t")
         log.delete("event_id < 10")  # rewrite commit: remove + add
+        # ignoreDeletes alone is NOT enough for a rewrite commit
+        # (ref DeltaSharingSource.scala:994-1035)
+        r_del = SharedTableStreamReader(
+            {"path": d, "startingversion": "1", "ignoredeletes": "true"},
+            None)
+        with pytest.raises(ValueError, match="ignoreChanges"):
+            r_del._file_sequence(1)
         reader = SharedTableStreamReader(
-            {"path": d, "startingversion": "1", "ignoredeletes": "true"}, None)
+            {"path": d, "startingversion": "1", "ignorechanges": "true"},
+            None)
         seq = reader._file_sequence(1)
         assert all(e[0] == 1 for e in seq)
         assert len(seq) >= 1  # the rewritten file is admitted
@@ -693,3 +703,108 @@ class TestStreamDedupKeyCollision:
         # "12"+"3x" and "1"+"23x" concatenate identically; both distinct
         # rows must survive with the json-struct key
         assert spark.table("coll_out").count() == 2
+
+
+class TestStreamingReviewRegressions:
+    def test_ignore_deletes_does_not_mask_updates(self, spark, events,
+                                                  tmp_path):
+        """ignoreDeletes tolerates delete-ONLY commits; an UPDATE commit
+        (removes+adds) still errors without ignoreChanges
+        (DeltaSharingSource.scala:994-1035 semantics)."""
+        src = str(tmp_path / "t")
+        log = TableLog(spark, src)
+        log.create(events.limit(100), name="t")
+        log.update({"value": "value + 1"}, "event_id < 10")  # update commit
+        r = SharedTableStreamReader(
+            {"path": src, "startingversion": "0",
+             "ignoredeletes": "true"}, None)
+        with pytest.raises(ValueError, match="ignoreChanges"):
+            r._file_sequence(0)
+        # delete-ONLY commit (whole partition dropped, no rewritten
+        # adds) passes with ignoreDeletes
+        src2 = str(tmp_path / "t2")
+        log2 = TableLog(spark, src2)
+        log2.create(events, partition_by=["event_type"], name="t")
+        log2.delete("event_type = 'click'")
+        r2 = SharedTableStreamReader(
+            {"path": src2, "startingversion": "0",
+             "ignoredeletes": "true"}, None)
+        assert r2._file_sequence(0)
+
+    def test_expired_starting_version_raises(self, spark, events, tmp_path):
+        src = str(tmp_path / "t")
+        log = TableLog(spark, src)
+        batch = events.limit(5)
+        log.create(batch, name="t",
+                   configuration={"checkpointInterval": "10"})
+        for _ in range(24):
+            log.append(batch)
+        log.expire_log(keep_last=5)
+        r = SharedTableStreamReader({"path": src, "startingversion": "0"},
+                                    None)
+        with pytest.raises(ValueError, match="expired"):
+            r._file_sequence(0)
+
+    def test_time_travel_schema_matches_version(self, spark, events,
+                                                tmp_path):
+        """Batch time travel plans on the schema AT that version, not the
+        evolved latest schema."""
+        src = str(tmp_path / "t")
+        log = TableLog(spark, src)
+        log.create(events.select("event_id", "event_type"), name="t")
+        log.update_metadata(schema=T.StructType([
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("extra", T.StringType(), True),
+        ]))
+        spark.dataSource.register(SharedTableDataSource)
+        v0 = (spark.read.format("deltashare").option("path", src)
+              .option("version", "0").load())
+        assert v0.columns == ["event_id", "event_type"]
+        latest = spark.read.format("deltashare").option("path", src).load()
+        assert latest.columns == ["event_id", "event_type", "extra"]
+        assert latest.filter("extra IS NULL").count() == latest.count()
+
+    def test_schema_after_expiry_uses_checkpoint(self, spark, events,
+                                                 tmp_path):
+        src = str(tmp_path / "t")
+        log = TableLog(spark, src)
+        batch = events.limit(5)
+        log.create(batch, name="t",
+                   configuration={"checkpointInterval": "10"})
+        for _ in range(24):
+            log.append(batch)
+        log.expire_log(keep_last=5)  # metadata commit (v0) is gone
+        spark.dataSource.register(SharedTableDataSource)
+        df = spark.read.format("deltashare").option("path", src).load()
+        assert df.count() == 25 * 5
+
+    def test_batch_cdf_clear_error(self, spark, events, tmp_path):
+        src = str(tmp_path / "t")
+        TableLog(spark, src).create(
+            events.limit(10), name="t",
+            configuration={"enableChangeDataFeed": "true"})
+        spark.dataSource.register(SharedTableDataSource)
+        with pytest.raises(Exception, match="table_changes"):
+            (spark.read.format("deltashare").option("path", src)
+             .option("readChangeFeed", "true")
+             .option("startingVersion", "0").load().collect())
+
+    def test_timestamp_partition_round_trip(self, spark, tmp_path):
+        """Hive-escaped partition dirs (':' -> %3A) must round-trip: the
+        recorded partitionValues carry the logical value."""
+        src = str(tmp_path / "t")
+        df = spark.sql("""
+            SELECT id AS k, CAST('2024-01-0' || (id + 1) || ' 10:30:00'
+                                 AS TIMESTAMP) AS ts_part
+            FROM range(3)
+        """)
+        log = TableLog(spark, src)
+        log.create(df, partition_by=["ts_part"], name="t")
+        snap = log.snapshot()
+        assert all("%" not in a.partitionValues["ts_part"]
+                   for a in snap.files)
+        spark.dataSource.register(SharedTableDataSource)
+        out = (spark.read.format("deltashare").option("path", src).load())
+        assert out.count() == 3
+        assert out.filter("ts_part = '2024-01-01 10:30:00'").count() == 1
