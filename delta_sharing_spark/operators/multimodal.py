@@ -20,6 +20,7 @@ size-balanced key when media files are skewed.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -54,8 +55,6 @@ def with_media_column(df: DataFrame, source_col: str,
 # executor imports its own codec library (nothing pickles a C extension).
 
 def _fake_decode(content: bytes):
-    import hashlib
-
     digest = hashlib.md5(content or b"").hexdigest()
     return (1 + int(digest[0:2], 16), 1 + int(digest[2:4], 16),
             1 + int(digest[4], 16) % 4, "fake/" + digest[5])
@@ -147,13 +146,16 @@ def decode_media(df: DataFrame, media_col: str, id_col: str,
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # decode_fn ships by reference (module-level def or registered
-        # picklable callable); codec libraries import lazily per executor
+        # picklable callable); codec libraries import lazily per executor.
+        # zip over the raw numpy object arrays — iterrows() materializes a
+        # Series per row and is several times slower.
         for pdf in batches:
             metas = []
-            for _i, row in pdf.iterrows():
-                content = row["__content"] or b""
+            for id_, content in zip(pdf["__id"].values,
+                                    pdf["__content"].values):
+                content = content or b""
                 meta = decode_fn(content) or (None, None, None, None)
-                metas.append((row["__id"], len(content), *meta))
+                metas.append((id_, len(content), *meta))
             yield pd.DataFrame(
                 metas,
                 columns=[id_col, "n_bytes", "width", "height", "channels",
@@ -172,39 +174,11 @@ def fake_decode_media(df: DataFrame, media_col: str, id_col: str) -> DataFrame:
 
     Derives (width, height, channels, format) from the md5 of the content
     bytes — stable across engines and runs, so oracles can verify the
-    whole distributed pipeline.
+    whole distributed pipeline. Thin wrapper over :func:`decode_media`
+    pinned to the registry's ``fake`` codec (single source of the md5-meta
+    derivation: ``_fake_decode``).
     """
-    out_schema = f"{id_col} long, n_bytes int, {MEDIA_META_SCHEMA}"
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
-        for pdf in batches:
-            metas = []
-            for _i, row in pdf.iterrows():
-                content = row["__content"] or b""
-                digest = hashlib.md5(content).hexdigest()
-                metas.append(
-                    (
-                        row["__id"],
-                        len(content),
-                        1 + int(digest[0:2], 16),
-                        1 + int(digest[2:4], 16),
-                        1 + int(digest[4], 16) % 4,
-                        "fake/" + digest[5],
-                    )
-                )
-            yield pd.DataFrame(
-                metas,
-                columns=[id_col, "n_bytes", "width", "height", "channels",
-                         "format"],
-            )
-
-    packed = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(f"{media_col}.content").alias("__content"),
-    )
-    return packed.mapInPandas(decode, schema=out_schema)
+    return decode_media(df, media_col, id_col, codec="fake")
 
 
 def sample_frames(df: DataFrame, media_col: str, id_col: str,
