@@ -154,13 +154,17 @@ class BearerTokenAuthProvider(AuthCredentialProvider):
         try:
             exp = datetime.fromisoformat(
                 self.expiration_time.replace("Z", "+00:00"))
-            if exp.tzinfo is None:
-                # zone-less expirationTime means UTC (protocol timestamps
-                # are UTC-adjusted); never compare against local time
-                exp = exp.replace(tzinfo=timezone.utc)
-            return exp < datetime.now(tz=timezone.utc)
-        except ValueError:
-            return False
+        except ValueError as e:
+            # a malformed expirationTime must surface the broken profile,
+            # not fail open as a never-expiring token
+            raise ValueError(
+                "profile has unparseable expirationTime "
+                f"{self.expiration_time!r}: {e}") from e
+        if exp.tzinfo is None:
+            # zone-less expirationTime means UTC (protocol timestamps
+            # are UTC-adjusted); never compare against local time
+            exp = exp.replace(tzinfo=timezone.utc)
+        return exp < datetime.now(tz=timezone.utc)
 
     def get_expiration_time(self) -> str | None:
         return self.expiration_time

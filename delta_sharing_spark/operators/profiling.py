@@ -61,6 +61,12 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None,
         # ("my col", "n-chars") survive the SQL round-trip
         return "`" + name.replace("`", "``") + "`"
 
+    def lab(name: str) -> str:
+        # the column LABEL rides in a SQL string literal — escape the
+        # literal metacharacters (backslash, quote) so a name like
+        # "it's" can't break out of (or inject into) the stack() expr
+        return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stacked = wide.select(
         F.col("__n_rows").alias("n_rows"),
         F.expr(
@@ -68,7 +74,7 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None,
             "min_str, max_str, mean, p50)".format(
                 n=len(cols),
                 args=", ".join(
-                    f"'{c}', {q('__null__' + c)}, {q('__distinct__' + c)}, "
+                    f"{lab(c)}, {q('__null__' + c)}, {q('__distinct__' + c)}, "
                     f"{q('__min__' + c)}, {q('__max__' + c)}, "
                     f"{q('__mean__' + c)}, {q('__p50__' + c)}"
                     for c in cols

@@ -95,6 +95,9 @@ class SharingServer:
         self.oauth_clients = oauth_clients or {}
         self.oauth_token_lifetime_seconds = oauth_token_lifetime_seconds
         self._issued_tokens: dict[str, float] = {}
+        # guards _issued_tokens under ThreadingHTTPServer: concurrent
+        # token requests must not drop each other's just-issued tokens
+        self._issued_tokens_lock = threading.Lock()
         self.async_queries = AsyncQueryManager()
         server = self
 
@@ -192,7 +195,8 @@ class SharingServer:
     def _issued_token_valid(self, token: str) -> bool:
         import time
 
-        exp = self._issued_tokens.get(token)
+        with self._issued_tokens_lock:
+            exp = self._issued_tokens.get(token)
         return exp is not None and exp > time.time()
 
     def oauth_token(self, h, params, body) -> None:
@@ -217,13 +221,17 @@ class SharingServer:
         if cid is None or self.oauth_clients.get(cid) != secret:
             return h._deny(401, "invalid_client")
         # prune expired tokens at issue time — the registry tracks LIVE
-        # tokens, not issuance history
+        # tokens, not issuance history; prune IN PLACE under the lock (a
+        # rebuild-and-rebind would race a concurrent issue and drop its
+        # token, 401-ing a valid bearer for its whole lifetime)
         now = time.time()
-        self._issued_tokens = {t: exp for t, exp
-                               in self._issued_tokens.items() if exp > now}
         token = secrets.token_urlsafe(24)
-        self._issued_tokens[token] = (
-            now + self.oauth_token_lifetime_seconds)
+        with self._issued_tokens_lock:
+            for t in [t for t, exp in self._issued_tokens.items()
+                      if exp <= now]:
+                del self._issued_tokens[t]
+            self._issued_tokens[token] = (
+                now + self.oauth_token_lifetime_seconds)
         h._respond(json.dumps({
             "access_token": token,
             "token_type": "bearer",

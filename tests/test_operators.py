@@ -566,6 +566,25 @@ class TestReviewRegressions:
         future = BearerTokenAuthProvider("t", "2099-01-01T00:00:00")
         assert past.is_expired() and not future.is_expired()
 
+    def test_bearer_malformed_expiration_raises(self):
+        # an unparseable expirationTime must surface the broken profile,
+        # not fail open as a never-expiring token
+        from delta_sharing_spark.auth import BearerTokenAuthProvider
+
+        bad = BearerTokenAuthProvider("t", "not-a-timestamp")
+        with pytest.raises(ValueError, match="expirationTime"):
+            bad.is_expired()
+
+    def test_profile_quote_in_column_name(self, spark):
+        # single quotes / backslashes in a column name must not break (or
+        # inject into) the generated stack() label literal
+        from delta_sharing_spark.operators.profiling import profile_columns
+
+        df = spark.range(5).selectExpr("id AS `it's`", r"id AS `a\b`")
+        prof = {r["column"]: r for r in profile_columns(df).collect()}
+        assert prof["it's"]["n_distinct"] == 5
+        assert prof["a\\b"]["n_null"] == 0
+
     def test_registered_codec_wins_auto(self, spark):
         from delta_sharing_spark.operators import multimodal as mm
 

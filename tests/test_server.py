@@ -275,6 +275,26 @@ class TestOAuth:
             _get(f"{url}/shares", token=creds.access_token)
         assert e.value.code == 401
 
+    def test_concurrent_token_issue_keeps_all_tokens(self, oauth_server):
+        # the issued-token registry is mutated under a lock, in place — a
+        # rebuild-and-rebind raced concurrent issues and dropped tokens,
+        # 401-ing valid bearers. Hammer with parallel issues, then verify
+        # EVERY token works on a data route.
+        import concurrent.futures
+
+        from delta_sharing_spark.auth import OAuthClient
+
+        url, _srv = oauth_server
+        client = OAuthClient(f"{url}/oauth/token", "client-a", "secret-a")
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            tokens = [f.result().access_token for f in
+                      [ex.submit(client.client_credentials)
+                       for _ in range(24)]]
+        assert len(set(tokens)) == 24
+        for t in tokens:
+            status, _h, _b = _get(f"{url}/shares", token=t)
+            assert status == 200
+
     def test_bad_client_and_grant(self, oauth_server):
         from delta_sharing_spark.auth import OAuthClient, OAuthTokenError
 
