@@ -131,11 +131,13 @@ def delta_lines_to_spark(spark: SparkSession,
             # file, so _metadata.row_index alone keys the anti-join
             df = df.select("*", F.col("_metadata.row_index").alias("__ri"))
             if dv.get("storageType") == "i":
-                from delta_sharing_spark.plans.log import decode_inline_dv
+                from delta_sharing_spark.plans.dvcodec import (
+                    decode_inline_dv)
 
                 dv_rows = spark.createDataFrame(
                     [(ri,) for ri in
-                     decode_inline_dv(dv["pathOrInlineDv"])],
+                     decode_inline_dv(dv["pathOrInlineDv"],
+                                      dv.get("sizeInBytes"))],
                     "__ri long")
             else:
                 dv_rows = (

@@ -81,41 +81,10 @@ INLINE_DV_COMPACT_FILES = 64
 TXN_RETENTION_MAX = 1000
 
 
-def encode_inline_dv(row_indexes) -> str:
-    """Sorted row positions -> delta-varint bytes -> base85 (ASCII-safe for
-    the JSON descriptor), the same shape as Delta's z85-encoded inline DVs."""
-    import base64
-
-    data = bytearray()
-    prev = -1
-    for ri in sorted(row_indexes):
-        delta = ri - prev
-        prev = ri
-        while True:
-            b = delta & 0x7F
-            delta >>= 7
-            data.append(b | (0x80 if delta else 0))
-            if not delta:
-                break
-    return base64.b85encode(bytes(data)).decode()
-
-
-def decode_inline_dv(encoded: str) -> list[int]:
-    import base64
-
-    raw = base64.b85decode(encoded)
-    out: list[int] = []
-    cur = shift = 0
-    prev = -1
-    for b in raw:
-        cur |= (b & 0x7F) << shift
-        if b & 0x80:
-            shift += 7
-        else:
-            prev += cur
-            out.append(prev)
-            cur = shift = 0
-    return out
+from delta_sharing_spark.plans.dvcodec import (  # noqa: E402
+    decode_inline_dv,
+    encode_inline_dv,
+)
 
 # Write a parquet checkpoint of the active snapshot every N commits (Delta's
 # default cadence). Without checkpoints, snapshot resolution replays every
@@ -1069,7 +1038,8 @@ class TableLog:
             # INLINE_DV_MAX_ROWS per file by construction
             rows = [
                 (a.path, ri) for a in inline
-                for ri in decode_inline_dv(a.deletionVector["pathOrInlineDv"])
+                for ri in decode_inline_dv(a.deletionVector["pathOrInlineDv"],
+                           a.deletionVector.get("sizeInBytes"))
             ]
             parts.append(self.spark.createDataFrame(
                 rows, "path string, row_index long"))
@@ -1338,7 +1308,8 @@ class TableLog:
         carried_inline_rows = [
             (a.path, ri) for a in carried
             if a.deletionVector["storageType"] == "i"
-            for ri in decode_inline_dv(a.deletionVector["pathOrInlineDv"])
+            for ri in decode_inline_dv(a.deletionVector["pathOrInlineDv"],
+                           a.deletionVector.get("sizeInBytes"))
         ]
         if carried_files:
             # the new DV file must carry forward previously deleted
@@ -1386,12 +1357,13 @@ class TableLog:
             if a.num_records is not None and total >= a.num_records:
                 continue  # fully deleted file: removed outright
             if a.path in inline_set:
-                encoded = encode_inline_dv(inline_positions.get(a.path, []))
+                encoded, dv_bytes = encode_inline_dv(
+                    inline_positions.get(a.path, []))
                 desc = {
                     "storageType": "i",
                     "pathOrInlineDv": encoded,
                     "cardinality": total,
-                    "sizeInBytes": len(encoded),
+                    "sizeInBytes": dv_bytes,
                 }
             else:
                 desc = {
@@ -1874,7 +1846,8 @@ class TableLog:
             parts.append(self.spark.createDataFrame(
                 [(a.path, ri) for a in fold_inline
                  for ri in decode_inline_dv(
-                     a.deletionVector["pathOrInlineDv"])],
+                     a.deletionVector["pathOrInlineDv"],
+                     a.deletionVector.get("sizeInBytes"))],
                 "path string, row_index long"))
         rows = parts[0]
         for p_ in parts[1:]:

@@ -913,9 +913,76 @@ class TestInlineDeletionVectors:
         )
 
         for positions in ([], [0], [5], [0, 1, 2], [7, 100, 3, 999_999_999],
-                          list(range(0, 2560, 10))):
-            assert decode_inline_dv(encode_inline_dv(positions)) == \
-                sorted(positions)
+                          list(range(0, 2560, 10)),
+                          # bitmap container (cardinality > 4096 per chunk)
+                          list(range(6000)),
+                          # multiple 32-bit bitmaps (64-bit row indexes)
+                          [1, 2, (1 << 32) + 5, (3 << 32) + 7]):
+            encoded, size = encode_inline_dv(positions)
+            assert decode_inline_dv(encoded, size) == sorted(set(positions))
+            # decode must also work without sizeInBytes (padding-tolerant)
+            assert decode_inline_dv(encoded) == sorted(set(positions))
+
+    def test_wire_format_is_delta_z85_roaring(self):
+        # byte-level interop: descriptor payload is z85 (ZeroMQ alphabet)
+        # over a portable RoaringBitmapArray with the Delta magic number
+        from delta_sharing_spark.plans.dvcodec import (
+            ROARING_ARRAY_PORTABLE_MAGIC,
+            encode_inline_dv,
+            z85_decode,
+            z85_encode,
+        )
+
+        # ZeroMQ Z85 reference vector (RFC draft / libzmq test case)
+        assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F,
+                                 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+        assert z85_decode("HelloWorld") == bytes(
+            [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+
+        encoded, size = encode_inline_dv([3, 17, 900])
+        raw = z85_decode(encoded, size)
+        assert int.from_bytes(raw[:4], "little") == \
+            ROARING_ARRAY_PORTABLE_MAGIC
+        assert int.from_bytes(raw[4:12], "little") == 1  # one 32-bit bitmap
+        assert int.from_bytes(raw[12:16], "little") == 12347  # no-run cookie
+        assert size == len(raw)  # sizeInBytes = decoded byte length
+
+    def test_run_container_and_legacy_decode(self):
+        import base64
+        import struct
+
+        from delta_sharing_spark.plans.dvcodec import (
+            ROARING_ARRAY_PORTABLE_MAGIC,
+            decode_inline_dv,
+            z85_encode,
+        )
+
+        # run-container stream (cookie 12346) as a real Delta writer may
+        # emit: one container, run flag set, runs [(10, len 3), (100, len 1)]
+        bitmap = struct.pack("<I", 12346 | (0 << 16))  # 1 container
+        bitmap += bytes([0b1])                         # run flag
+        bitmap += struct.pack("<HH", 0, 5 - 1)         # key 0, card 5
+        bitmap += struct.pack("<H", 2)                 # 2 runs
+        bitmap += struct.pack("<HH", 10, 2) + struct.pack("<HH", 100, 0)
+        data = struct.pack("<Iq", ROARING_ARRAY_PORTABLE_MAGIC, 1) + bitmap
+        assert decode_inline_dv(z85_encode(data), len(data)) == \
+            [10, 11, 12, 100]
+
+        # legacy pre-round-4 encoding (base85 delta-varint) still readable
+        def legacy_encode(positions):
+            out = bytearray()
+            prev = -1
+            for ri in sorted(positions):
+                delta, prev = ri - prev, ri
+                while True:
+                    b = delta & 0x7F
+                    delta >>= 7
+                    out.append(b | (0x80 if delta else 0))
+                    if not delta:
+                        break
+            return base64.b85encode(bytes(out)).decode()
+
+        assert decode_inline_dv(legacy_encode([7, 100, 3])) == [3, 7, 100]
 
     def test_small_delete_inlines_no_dv_file(self, spark, events, table_dir):
         import os

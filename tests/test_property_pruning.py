@@ -198,8 +198,8 @@ class TestInlineDVProperty:
             encode_inline_dv,
         )
 
-        assert decode_inline_dv(encode_inline_dv(positions)) == \
-            sorted(positions)
+        encoded, size = encode_inline_dv(positions)
+        assert decode_inline_dv(encoded, size) == sorted(set(positions))
 
 
 class TestAsyncQueryEviction:
