@@ -75,6 +75,38 @@ INLINE_DV_GLOBAL_MAX_ROWS = 100_000
 # is a driver-side decode per read — fine in the tens, not thousands)
 INLINE_DV_COMPACT_FILES = 64
 
+_RETENTION_UNITS_MS = {
+    "millisecond": 1, "milliseconds": 1,
+    "second": 1000, "seconds": 1000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+    "week": 604_800_000, "weeks": 604_800_000,
+}
+
+
+def _parse_retention_millis(retention) -> int:
+    """``delta.logRetentionDuration``-style durations: a ``timedelta``,
+    plain millis, or ``"interval 30 days"`` / ``"30 days"`` strings."""
+    import datetime as _dt
+
+    if isinstance(retention, _dt.timedelta):
+        return int(retention.total_seconds() * 1000)
+    if isinstance(retention, (int, float)):
+        return int(retention)
+    parts = str(retention).strip().lower().split()
+    if parts and parts[0] == "interval":
+        parts = parts[1:]
+    if len(parts) == 2 and parts[1] in _RETENTION_UNITS_MS:
+        try:
+            return int(float(parts[0]) * _RETENTION_UNITS_MS[parts[1]])
+        except ValueError:
+            pass
+    raise ValueError(
+        f"unparseable retention duration {retention!r}; expected e.g. "
+        "'interval 30 days', '12 hours', a timedelta, or millis")
+
+
 # checkpoints persist at most this many (txnAppId -> epoch) entries,
 # most recently active first (Delta's setTransactionRetentionDuration
 # analogue, by count)
@@ -1884,15 +1916,24 @@ class TableLog:
         )
 
     def expire_log(self, keep_last: int = 100,
-                   dry_run: bool = False) -> list[int]:
+                   retention: "str | int | timedelta | None" = None,
+                   dry_run: bool = False,
+                   now_millis: int | None = None) -> list[int]:
         """Metadata-plane retention (Delta's ``delta.logRetentionDuration``
-        shape, by commit count): delete commit JSONs older than the newest
-        ``keep_last`` versions, PROVIDED a checkpoint at/after the cutoff
+        shape): delete commit JSONs older than the newest ``keep_last``
+        versions AND (when ``retention`` is given) older than the retention
+        window — both criteria must agree, so each acts as a keep-at-least
+        floor. Expiry only proceeds where a checkpoint at/after the cutoff
         can seed replay — snapshot resolution for retained versions never
         needs the expired tail. Time travel to expired versions raises
         ``VersionNotFoundError`` afterwards (the documented Delta
         trade-off). At 100k commits this is what keeps `_dsl_log` listing
         and cold-start replay O(retained), not O(table lifetime).
+
+        ``retention`` accepts a ``timedelta``, millis, or an
+        ``"interval 30 days"`` / ``"7 days"`` style string (Delta's
+        ``delta.logRetentionDuration`` syntax). Pure age-based retention =
+        ``keep_last=1`` plus ``retention``.
 
         Returns the expired versions (empty when nothing can be safely
         expired — e.g. no checkpoint covers the cutoff)."""
@@ -1900,6 +1941,20 @@ class TableLog:
         if len(versions) <= keep_last:
             return []
         cutoff = versions[-keep_last]  # want to keep cutoff..latest
+        if retention is not None:
+            ret_ms = _parse_retention_millis(retention)
+            now = (int(time.time() * 1000)
+                   if now_millis is None else now_millis)
+            age_floor = now - ret_ms
+            # keep every version still inside the retention window: the
+            # age cutoff is the OLDEST version with ts >= floor (fall back
+            # to latest — the head commit is never expendable)
+            age_cutoff = versions[-1]
+            for v, ts in self._version_timestamps():
+                if ts >= age_floor:
+                    age_cutoff = v
+                    break
+            cutoff = min(cutoff, age_cutoff)
         cp = self._latest_checkpoint(at_or_before=cutoff)
         if cp is None:
             return []  # nothing can seed replay for the retained range

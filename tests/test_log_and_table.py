@@ -1332,6 +1332,46 @@ class TestLogExpiry:
         # idempotent / nothing more to expire at this retention
         assert fresh.expire_log(keep_last=5) == []
 
+    def test_expire_by_age(self, spark, events, table_dir):
+        # logRetentionDuration-style retention: versions still inside the
+        # age window survive even when keep_last would expire them
+        log = TableLog(spark, table_dir)
+        batch = events.limit(5)
+        log.create(batch, name="t",
+                   configuration={"checkpointInterval": "5"})
+        for _ in range(14):
+            log.append(batch)  # versions 1..14, checkpoints at 5, 10
+        ts = dict(log._version_timestamps())
+        now = ts[14]
+        # window reaches back to v8's commit -> 8..14 are age-protected;
+        # keep_last=1 alone would allow expiry up to the v10 checkpoint
+        retention_ms = now - ts[8]
+        expired = log.expire_log(keep_last=1, retention=retention_ms,
+                                 now_millis=now)
+        # cutoff = v8, seeded by the v5 checkpoint -> only 0..4 expire
+        assert expired == [0, 1, 2, 3, 4]
+        fresh = TableLog(spark, table_dir)
+        for v in range(5, 15):
+            assert fresh.snapshot(version=v).version == v
+        with pytest.raises(VersionNotFoundError):
+            fresh.snapshot(version=0)
+        # an infinite window blocks all further expiry despite keep_last=1
+        assert fresh.expire_log(keep_last=1, retention="interval 52 weeks",
+                                now_millis=now) == []
+
+    def test_retention_duration_parsing(self):
+        from datetime import timedelta
+
+        from delta_sharing_spark.plans.log import _parse_retention_millis
+
+        assert _parse_retention_millis("interval 30 days") == \
+            30 * 86_400_000
+        assert _parse_retention_millis("12 hours") == 12 * 3_600_000
+        assert _parse_retention_millis(timedelta(minutes=5)) == 300_000
+        assert _parse_retention_millis(2500) == 2500
+        with pytest.raises(ValueError):
+            _parse_retention_millis("fortnight")
+
     def test_expire_without_checkpoint_is_refused(self, spark, events,
                                                   table_dir):
         log = TableLog(spark, table_dir)
