@@ -198,45 +198,122 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ fingerprints
 
+# Winnowing parameters (Schleimer/Wilkerson/Aiken, MOSS): K-char shingles
+# hashed with a polynomial rolling hash mod a Mersenne prime, window minima
+# over W consecutive positions form the fingerprint. Any shared substring
+# of length >= W + K - 1 between two documents guarantees a shared
+# fingerprint entry — the robustness property a global-min shingle lacks.
+WINNOW_K, WINNOW_W = 16, 8
+WINNOW_B, WINNOW_M = 257, 2147483647
+_WINNOW_POW = [pow(WINNOW_B, WINNOW_K - 1 - j, WINNOW_M)
+               for j in range(WINNOW_K)]
+
+
+def winnow_minima(t: str) -> list[int]:
+    """Sorted distinct winnowing minima for one document — the fingerprint
+    set before digesting. Shared substrings >= WINNOW_W + WINNOW_K - 1
+    chars between two documents guarantee a shared entry."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    cp = np.concatenate([
+        np.frombuffer(t.encode("utf-32-le"),
+                      dtype=np.uint32).astype(np.int64),
+        np.zeros(WINNOW_K, dtype=np.int64),
+    ])
+    n = max(len(t) - (WINNOW_K - 1), 1)
+    h = (sliding_window_view(cp, WINNOW_K)[:n]
+         * np.array(_WINNOW_POW, dtype=np.int64)
+         % WINNOW_M).sum(axis=1) % WINNOW_M
+    if n >= WINNOW_W:
+        minima = sliding_window_view(h, WINNOW_W).min(axis=1)
+    else:
+        minima = h.min(keepdims=True)
+    return sorted(set(minima.tolist()))
+
+
+def _winnow_fingerprint_batches(batches):
+    """numpy winnowing over Arrow batches: per document, codepoint array ->
+    vectorized shingle hashes (sliding_window_view @ powers mod M) ->
+    window minima -> md5 digest of the sorted distinct minima.
+
+    Measured at sf0.1 (5000 docs, avg 297 chars): the pure-expression
+    variants are interpreted-lambda-bound — md5-per-shingle 2.06 s, of
+    which only ~0.4 s is md5 (substr+lambda floor is 1.64 s), and adding
+    window minima as expressions costs 3.2 s. This Arrow path computes the
+    strictly stronger winnowing fingerprint in ~0.3 s. Scale shape: one
+    MapInPandas over the scan — map-only, no shuffle, parallelism =
+    partition count."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        ids, md5s, fps = [], [], []
+        for id_, t in zip(pdf["doc_id"].values, pdf["t"].values):
+            ids.append(id_)
+            if t is None:
+                md5s.append(None)
+                fps.append(None)
+                continue
+            md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+            digest = ",".join(str(v) for v in winnow_minima(t))
+            fps.append(hashlib.md5(digest.encode()).hexdigest())
+        yield pd.DataFrame(
+            {"doc_id": ids, "content_md5": md5s, "winnow_fp": fps})
+
+
 @workload(
     "q_text_fingerprint",
-    oracle="""
+    oracle=f"""
     WITH norm AS (
       SELECT doc_id, regexp_replace(trim(text), ' +', ' ', 'g') AS t
       FROM documents
+    ), codes AS (
+      SELECT doc_id, t,
+             list_concat(
+               list_transform(string_split(t, ''), c -> ascii(c)::BIGINT),
+               [{", ".join(["0::BIGINT"] * WINNOW_K)}]) AS cp
+      FROM norm
+    ), hashes AS (
+      SELECT doc_id, t,
+             list_transform(
+               generate_series(1, greatest(length(t) - {WINNOW_K - 1}, 1)),
+               i -> list_aggregate(
+                      list_transform(generate_series(0, {WINNOW_K - 1}),
+                        j -> (cp[i + j] *
+                              ([{", ".join(f"{p}::BIGINT" for p in _WINNOW_POW)}])[j + 1])
+                             % {WINNOW_M}),
+                      'sum') % {WINNOW_M}) AS h
+      FROM codes
     )
     SELECT doc_id,
            md5(t) AS content_md5,
-           list_min(list_transform(
-               generate_series(1, greatest(length(t) - 15, 1)),
-               i -> md5(substr(t, i::INT, 16)))) AS min_shingle_hash
-    FROM norm
+           md5(array_to_string(list_sort(list_distinct(
+             list_transform(
+               generate_series(1, greatest(len(h) - {WINNOW_W - 1}, 1)),
+               w -> list_min(h[w:w + {WINNOW_W - 1}])))), ','))
+             AS winnow_fp
+    FROM hashes
     """,
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: exact content hash (md5 of normalized text)
-    plus a winnowing-style robust fingerprint (minimum hash over all 16-char
-    shingles). md5 is computed identically everywhere, so the oracle is
-    cross-engine stable; the shingle scan is a higher-order sequence
-    expression — no explode, no shuffle."""
+    plus a winnowing-proper robust fingerprint — polynomial rolling hash
+    over 16-char shingles, minima over 8-wide windows, md5 digest of the
+    sorted distinct minima. Guarantees shared fingerprint entries for any
+    shared substring >= 23 chars (W + K - 1). The per-document hashing is
+    vectorized numpy over Arrow batches (see ``_winnow_fingerprint_batches``
+    for the measured expression-vs-numpy tradeoff); the DuckDB oracle
+    replays the identical hash with list lambdas."""
     docs = read_table(spark, sf_dir, "documents")
-    # normalize ONCE into a column; the shingle lambda then substr's a plain
-    # attribute instead of re-running the regexp per shingle position
     normed = docs.select(
         "doc_id",
         F.regexp_replace(F.trim(F.col("text")), " +", " ").alias("t"),
     )
-    return normed.select(
-        "doc_id",
-        F.md5(F.col("t").cast("binary")).alias("content_md5"),
-        F.expr(
-            """
-            array_min(transform(
-                sequence(1, greatest(length(t) - 15, 1)),
-                i -> md5(cast(substr(t, i, 16) AS BINARY))
-            ))
-            """
-        ).alias("min_shingle_hash"),
+    return normed.mapInPandas(
+        _winnow_fingerprint_batches,
+        schema="doc_id long, content_md5 string, winnow_fp string",
     )
 
 

@@ -585,6 +585,28 @@ class TestReviewRegressions:
         assert prof["it's"]["n_distinct"] == 5
         assert prof["a\\b"]["n_null"] == 0
 
+    def test_winnow_shared_substring_guarantee(self):
+        # winnowing property: any shared substring of length >= W + K - 1
+        # (= 23) yields at least one shared fingerprint entry, regardless
+        # of where it sits in either document (a global-min shingle hash
+        # has no such guarantee)
+        from delta_sharing_spark.workloads.text import (
+            WINNOW_K,
+            WINNOW_W,
+            winnow_minima,
+        )
+
+        shared = "the quick brown fox jumps!"  # 26 >= W + K - 1 = 23
+        assert len(shared) >= WINNOW_W + WINNOW_K - 1
+        a = "AAAA" * 20 + shared + "BBBB" * 20
+        b = "xyz " * 13 + shared + " qrs" * 7
+        assert set(winnow_minima(a)) & set(winnow_minima(b))
+        # disjoint content -> (overwhelmingly) disjoint minima
+        assert not set(winnow_minima("c" * 100)) & \
+            set(winnow_minima("d" * 100))
+        # deterministic and insensitive to a prefix insertion far away
+        assert winnow_minima(a) == winnow_minima(a)
+
     def test_registered_codec_wins_auto(self, spark):
         from delta_sharing_spark.operators import multimodal as mm
 
