@@ -26,6 +26,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _no_protobuf() -> bool:
+    """transformWithState's Python runtime needs protobuf; find_spec on
+    'google.protobuf' raises when even the 'google' namespace is absent."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is None
+    except ModuleNotFoundError:
+        return True
+
+
 def stream_dedup(stream: DataFrame, content_cols: list[str],
                  event_time_col: str | None = None,
                  watermark: str = "1 hour") -> DataFrame:
@@ -187,4 +198,79 @@ def stream_lsh_dedup_candidates(stream: DataFrame, id_col: str,
         stateStructType="seen array<long>",
         outputMode="append",
         timeoutConf="NoTimeout",
+    )
+
+
+def stream_lsh_dedup_candidates_tws(stream: DataFrame, id_col: str,
+                                    text_col: str, num_hashes: int = 8,
+                                    bands: int = 4, shingle_k: int = 3,
+                                    max_bucket: int = 64) -> DataFrame:
+    """``transformWithStateInPandas`` port of
+    :func:`stream_lsh_dedup_candidates` (same semantics, same skew cap;
+    identical candidate sets by construction — asserted by the
+    streaming-equals-batch test over both variants).
+
+    Why the port: transformWithState is Spark's successor API for custom
+    stateful operators — typed state variables (List/Map/Value) map to
+    native state-store column families, so a bucket append is an O(1)
+    RocksDB put instead of rewriting the whole bucket array, and TTL /
+    timers come for free when needed. Prefer this variant on Spark 4.x
+    clusters with the RocksDB state store; the applyInPandasWithState one
+    remains for 3.4/3.5 compatibility."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if _no_protobuf():
+        # the transformWithState Python runtime speaks protobuf to the JVM
+        # state server; without it the streaming query crashes opaquely at
+        # start — fail fast at construction instead
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(its state-server protocol); it is not installed in this "
+            "environment — use stream_lsh_dedup_candidates "
+            "(applyInPandasWithState) instead")
+    id_type = dict(stream.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"stream_lsh_dedup_candidates_tws requires an integral id "
+            f"column; {id_col!r} is {id_type!r} (hash string ids to bigint "
+            "first, e.g. xxhash64)")
+    bands_df = stream_minhash_bands(stream, id_col, text_col,
+                                    num_hashes, bands, shingle_k)
+
+    class Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getListState("seen", "id long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = [t[0] for t in self._seen.get()]
+            added = []
+            out_new, out_seen = [], []
+            for pdf in rows:
+                for doc in pdf[id_col]:
+                    doc = int(doc)
+                    if doc in seen:
+                        continue
+                    for prev in seen:
+                        out_new.append(doc)
+                        out_seen.append(prev)
+                    if len(seen) < max_bucket:
+                        seen.append(doc)
+                        added.append((doc,))
+            if added:
+                self._seen.appendList(added)
+            yield pd.DataFrame({"new_id": out_new, "seen_id": out_seen,
+                                "band_idx": [key[0]] * len(out_new)})
+
+        def close(self) -> None:
+            pass
+
+    return bands_df.groupBy("band_idx", "h").transformWithStateInPandas(
+        Processor(),
+        outputStructType="new_id long, seen_id long, band_idx int",
+        outputMode="append",
+        timeMode="None",
     )

@@ -597,8 +597,28 @@ class TestStreamingOps:
         assert 0 < got <= events.count()
         assert out.count() <= batch.count()
 
-    def test_stream_lsh_dedup_matches_batch(self, spark, tmp_path):
-        """applyInPandasWithState streaming LSH dedup: candidates emitted
+    def test_stream_lsh_tws_gate_without_protobuf(self, spark, events,
+                                                  stream_table):
+        # without protobuf the TWS runtime crashes opaquely at query start;
+        # the operator must fail fast at construction with a clear pointer
+        from delta_sharing_spark.streaming.ops import (
+            _no_protobuf,
+            stream_lsh_dedup_candidates_tws,
+        )
+
+        if not _no_protobuf():
+            pytest.skip("protobuf installed; gate inactive")
+        stream = (spark.readStream.format("deltashare")
+                  .option("path", stream_table).load()
+                  .selectExpr("event_id AS doc_id",
+                              "event_type AS text"))
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stream_lsh_dedup_candidates_tws(stream, "doc_id", "text")
+
+    @pytest.mark.parametrize("variant", ["apiws", "tws"])
+    def test_stream_lsh_dedup_matches_batch(self, spark, tmp_path, variant):
+        """Streaming LSH dedup (both the applyInPandasWithState operator
+        and its transformWithStateInPandas port): candidates emitted
         across micro-batches must equal the BATCH LSH candidate set on the
         same docs (identical md5 math), with pairs crossing batch
         boundaries only discoverable via bucket state."""
@@ -608,8 +628,17 @@ class TestStreamingOps:
         )
         from delta_sharing_spark.streaming.ops import (
             stream_lsh_dedup_candidates,
+            stream_lsh_dedup_candidates_tws,
         )
 
+        if variant == "tws":
+            from delta_sharing_spark.streaming.ops import _no_protobuf
+
+            if _no_protobuf():
+                pytest.skip("transformWithStateInPandas needs protobuf "
+                            "(state-server protocol), not installed here")
+        op = (stream_lsh_dedup_candidates if variant == "apiws"
+              else stream_lsh_dedup_candidates_tws)
         base = "the quick brown fox jumps over the lazy dog again and again"
         near = "the quick brown fox jumps over the lazy cat again and again"
         far = "completely different words appear in this sentence here ok"
@@ -625,15 +654,16 @@ class TestStreamingOps:
         stream = (spark.readStream.format("deltashare").option("path", src)
                   .option("startingVersion", "0")
                   .option("maxFilesPerTrigger", "1").load())
-        cand = stream_lsh_dedup_candidates(stream, "doc_id", "text")
-        q = (cand.writeStream.format("memory").queryName("lsh_out")
+        cand = op(stream, "doc_id", "text")
+        q = (cand.writeStream.format("memory")
+             .queryName(f"lsh_out_{variant}")
              .outputMode("append")
              .option("checkpointLocation", str(tmp_path / "ck_lsh"))
              .trigger(processingTime="200 milliseconds").start())
         q.processAllAvailable()
         q.stop()
         got = {tuple(sorted((r["new_id"], r["seen_id"])))
-               for r in spark.table("lsh_out").collect()}
+               for r in spark.table(f"lsh_out_{variant}").collect()}
         sigs = minhash_signatures(docs, "doc_id", "text")
         want = {tuple(sorted((r["id_a"], r["id_b"])))
                 for r in minhash_lsh_candidates(sigs, "doc_id").collect()}
