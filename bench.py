@@ -35,7 +35,16 @@ HEADLINE = [
     "q_asof_click_purchase",
     "q_embedding_near_dup_blocked",
     "q_multimodal_decode",
+    # round-4 breadth: previously untimed families (kept AFTER the original
+    # 18 so cross-round totals stay comparable on the shared prefix)
+    "q_dedup_incremental",
+    "q_pii_redact",
+    "stream_sessionize_drain",
 ]
+
+# queries that build a versioned-table fixture from the target SF's parquet
+# on first use — prewarm so measurements time the steady-state path
+_FIXTURE_PREFIXES = ("eng_", "plain_", "stream_", "q_dedup_incremental")
 
 
 def main() -> None:
@@ -67,7 +76,7 @@ def main() -> None:
     # the target SF's parquet; build it outside the measurement so the
     # timings below are the steady-state read path, not fixture writes
     for name in HEADLINE:
-        if name.startswith(("eng_", "plain_")):
+        if name.startswith(_FIXTURE_PREFIXES):
             try:
                 qs[name](spark, sf_dir).write.mode("overwrite") \
                     .format("noop").save()
