@@ -3,7 +3,12 @@
 
 SF_DIR ?= /root/testdata/sf0.01
 
-.PHONY: test sweep bench all
+.PHONY: test sweep bench scale all
+
+# metadata-plane scale proof: synthetic 1M-file manifest + 2k-commit CDF
+# log; wall times + plan assertions (see SCALE.md "Measured metadata plane")
+scale:
+	python tools/scale_bench.py
 
 test:
 	python -m pytest tests/ -q

@@ -118,6 +118,14 @@ from delta_sharing_spark.plans.dvcodec import (  # noqa: E402
     encode_inline_dv,
 )
 
+# Checkpoints above this many rows split into a DIRECTORY of parquet part
+# files (Delta's multi-part `n.checkpoint.o.p.parquet` shape): a single-file
+# checkpoint of a million-file manifest is one parquet row group, so the
+# manifest-prune Spark job runs as ONE task no matter the cluster size —
+# measured 12.9s for a 1M-file stats prune vs ~2s with 10 parts. Readers
+# (pyarrow + spark.read.parquet) take the file and directory forms alike.
+CHECKPOINT_PART_ROWS = 100_000
+
 # Write a parquet checkpoint of the active snapshot every N commits (Delta's
 # default cadence). Without checkpoints, snapshot resolution replays every
 # commit JSON — O(versions) driver work per query, the metadata-plane killer
@@ -529,8 +537,10 @@ class TableLog:
         return cps[-1] if cps else None
 
     def write_checkpoint(self, version: int | None = None) -> str:
-        """Materialize the active snapshot at ``version`` as one parquet file
-        next to the commit JSONs. Rows carry the wrapped action JSON (exact
+        """Materialize the active snapshot at ``version`` as a parquet
+        checkpoint next to the commit JSONs — one file, or a directory of
+        part files above CHECKPOINT_PART_ROWS rows (multi-part, so huge
+        manifests scan in parallel). Rows carry the wrapped action JSON (exact
         log round-trip incl. the add's version/timestamp) plus typed manifest
         columns so ``files_df`` can scan the checkpoint directly as a
         DataFrame. Written via pyarrow — works in sessionless contexts (the
@@ -593,9 +603,30 @@ class TableLog:
         )
         final = os.path.join(self.log_path, _fmt_checkpoint(snap.version))
         tmp = final + f".{uuid.uuid4().hex}.tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, final)  # checkpoint content is deterministic per
-        return final            # version, so last-writer-wins is safe
+        if table.num_rows <= CHECKPOINT_PART_ROWS:
+            pq.write_table(table, tmp)
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.replace(tmp, final)  # checkpoint content is deterministic
+            return final            # per version: last-writer-wins is safe
+        # multi-part: a directory of parquet parts under the same name —
+        # spark.read.parquet and pyarrow read it transparently, and the
+        # manifest scan parallelizes across parts instead of funnelling a
+        # million rows through one task
+        os.makedirs(tmp)
+        for i, start in enumerate(range(0, table.num_rows,
+                                        CHECKPOINT_PART_ROWS)):
+            pq.write_table(table.slice(start, CHECKPOINT_PART_ROWS),
+                           os.path.join(tmp, f"part-{i:05d}.parquet"))
+        try:
+            if os.path.isfile(final):
+                os.remove(final)
+            os.rename(tmp, final)
+        except OSError:
+            # lost a concurrent-writer race; content is deterministic per
+            # version, so the winner's checkpoint is ours too
+            shutil.rmtree(tmp, ignore_errors=True)
+        return final
 
     def _read_checkpoint(
         self, version: int
@@ -1975,8 +2006,11 @@ class TableLog:
             # file it lists on disk forever through vacuum's reference scan
             for cpv in self._list_checkpoints():
                 if cpv < cp:
-                    os.remove(os.path.join(self.log_path,
-                                           _fmt_checkpoint(cpv)))
+                    cpp = os.path.join(self.log_path, _fmt_checkpoint(cpv))
+                    if os.path.isdir(cpp):  # multi-part checkpoint dir
+                        shutil.rmtree(cpp)
+                    else:
+                        os.remove(cpp)
             self._snap_cache.clear()
         return expendable
 

@@ -139,6 +139,35 @@ class SharedTable:
         return [r["path"] for r in manifest.select("path").collect()]
 
     @staticmethod
+    def _prefix_filtered(m: DataFrame, offsets: dict[int, int],
+                         limit_hint: int) -> DataFrame:
+        """Phase 2 of the prefix sum: per-partition running totals shifted
+        by the broadcast offsets. Split out so tests and the scale bench
+        can assert on THIS plan — the window must be partitioned by _pid
+        (a global-order window would funnel the manifest into one task)."""
+        from pyspark.sql import Window
+
+        offset_col = F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            ),
+            F.col("_pid"),
+        ) if offsets else F.lit(0)
+        w = (
+            Window.partitionBy("_pid").orderBy("path")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            m.withColumn(
+                "_prev_rows",
+                offset_col
+                + F.coalesce(F.sum("numRecords").over(w), F.lit(0)),
+            )
+            .filter(F.col("_prev_rows") < limit_hint)
+            .drop("_prev_rows", "_pid")
+        )
+
+    @staticmethod
     def _limit_prefix_filter(manifest: DataFrame, limit_hint: int) -> DataFrame:
         """Keep files while the running row count of *previous* files (in
         path order) is below the limit (kernel early-termination semantics:
@@ -152,7 +181,6 @@ class SharedTable:
         finish with a window PARTITIONED by partition id. Every WindowExec
         instance sees one partition's rows, so a million-file manifest
         never funnels through a single task."""
-        from pyspark.sql import Window
         from pyspark.storagelevel import StorageLevel
 
         parts = max(1, manifest.sparkSession.sparkContext.defaultParallelism)
@@ -172,25 +200,7 @@ class SharedTable:
             for pid in sorted(totals):
                 offsets[pid] = acc
                 acc += totals[pid] or 0
-            offset_col = F.element_at(
-                F.create_map(
-                    *[F.lit(x) for kv in offsets.items() for x in kv]
-                ),
-                F.col("_pid"),
-            ) if offsets else F.lit(0)
-            w = (
-                Window.partitionBy("_pid").orderBy("path")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
-            out = (
-                m.withColumn(
-                    "_prev_rows",
-                    offset_col
-                    + F.coalesce(F.sum("numRecords").over(w), F.lit(0)),
-                )
-                .filter(F.col("_prev_rows") < limit_hint)
-                .drop("_prev_rows", "_pid")
-            )
+            out = SharedTable._prefix_filtered(m, offsets, limit_hint)
             # materialize before unpersist so the kept set is pinned to the
             # boundaries the totals were computed from
             paths = [r["path"] for r in out.select("path").collect()]

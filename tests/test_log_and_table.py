@@ -496,6 +496,44 @@ class TestCheckpoints:
         paths = {r.path for r in df.select("path").collect()}
         assert paths == {f.path for f in snap.files}
 
+    def test_multipart_checkpoint_roundtrip(self, spark, events, tmp_path,
+                                            monkeypatch):
+        # above CHECKPOINT_PART_ROWS the checkpoint becomes a DIRECTORY of
+        # parquet parts (Delta's multi-part shape) so the manifest scan
+        # parallelizes; snapshot replay, files_df, expire_log must all
+        # take the directory form transparently
+        import os
+
+        import delta_sharing_spark.plans.log as logmod
+
+        monkeypatch.setattr(logmod, "CHECKPOINT_PART_ROWS", 8)
+        d = str(tmp_path / "mp")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 10"), name="t",
+                   configuration={"checkpointInterval": "1"})
+        # v1 adds 20 files => 21+ checkpoint rows > 8 => multi-part
+        log.append(events.filter("event_id >= 10 and event_id < 110"),
+                   max_files=20)
+        cp_path = os.path.join(log.log_path, logmod._fmt_checkpoint(1))
+        assert os.path.isdir(cp_path)
+        assert len(os.listdir(cp_path)) >= 2
+        # cold start from the directory checkpoint
+        fresh = TableLog(spark, d)
+        snap = fresh.snapshot()
+        assert len(snap.files) == len(log.snapshot().files)
+        assert SharedTable(spark, d).to_df().count() == \
+            events.filter("event_id < 110").count()
+        # files_df scans the directory in parallel (one task per part)
+        df = fresh.files_df(snap)
+        assert df.count() == len(snap.files)
+        assert df.rdd.getNumPartitions() >= 2
+        # expire_log removes directory checkpoints below the seeding one
+        log.append(events.filter("event_id >= 110 and event_id < 120"))
+        log.append(events.filter("event_id >= 120 and event_id < 130"))
+        expired = log.expire_log(keep_last=1)
+        assert 1 in expired
+        assert not os.path.exists(cp_path)
+
     def test_files_df_checkpoint_plus_tail(self, spark, many_version_table):
         # latest (v12) has no exact checkpoint: manifest = checkpoint(10)
         # scan + the two tail adds, never O(total files) driver rows
@@ -646,11 +684,21 @@ class TestLimitPrefixSum:
         assert kept == sorted(
             f"data/part-{i:05d}.parquet" for i in range(expected_n)
         )
-        # scale contract: every window in the plan is partitioned (no
-        # global-order WindowExec pulling the whole manifest into one task)
-        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # scale contract: every window in the prefix-sum stage is
+        # partitioned (no global-order WindowExec pulling the whole
+        # manifest into one task). The window executes inside
+        # _limit_prefix_filter before the semi-join, so assert on the
+        # staged plan the helper exposes — the returned df has no window
+        # and checking it would be vacuous.
+        staged = SharedTable._prefix_filtered(
+            manifest.repartitionByRange(8, "path")
+            .withColumn("_pid", F.spark_partition_id()),
+            {0: 0}, limit)
+        plan = staged._jdf.queryExecution().optimizedPlan().toString()
         import re
-        for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        assert specs
+        for spec in specs:
             assert "_pid" in spec, spec
 
     def test_limit_zero_and_empty_manifest(self, spark):
