@@ -464,3 +464,142 @@ def content_defined_chunks(df: DataFrame, id_col: str, text_col: str,
             F.md5(F.col("__c.text").cast("binary")).alias("chunk_md5"),
         )
     )
+
+
+def dedup_segments(df: DataFrame, id_col: str, text_col: str,
+                   delim: str = "\n", max_doc_frac: float = 0.5,
+                   min_docs: int = 2) -> DataFrame:
+    """Segment-level (line-level) corpus dedup: drop segments that occur in
+    more than ``max(min_docs, max_doc_frac * n_docs)`` distinct documents
+    (boilerplate headers, navigation chrome, license blurbs), then
+    reassemble each document from its surviving segments in order.
+
+    This is the line-dedup stage of web-corpus pipelines (CCNet/RefinedWeb
+    run it with ``delim="\\n"``); any delimiter works — word granularity
+    (``delim=" "``) degenerates to global stopword removal.
+
+    Plan shape (scales to ~billions of docs): segment explode is map-side;
+    the document-frequency aggregate and the anti-join against the drop
+    list are equi-joins on the segment key (inverted-index shape — skewed
+    hot segments are exactly the ones dropped, and AQE skew-join splits
+    them before that); reassembly is one shuffle on the doc id with
+    ``array_sort`` restoring segment order. The corpus text is never
+    collected or cross-joined.
+
+    Returns all input rows: ``(id, cleaned_text, n_kept, n_dropped)``;
+    a fully-boilerplate document survives with ``cleaned_text = ''``.
+
+    ``delim`` is used both as a split *regex* and a join separator, so it
+    must be regex-neutral (``"\\n"``, ``" "``, ``"\\n\\n"`` are).
+    """
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("__pos", "__seg"),
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("__total"))
+    drop = (
+        segs.groupBy("__seg")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("__df")
+            > F.greatest(
+                F.lit(min_docs).cast("double"),
+                F.lit(max_doc_frac) * F.col("__total"),
+            )
+        )
+        .select("__seg")
+    )
+    kept = segs.join(drop, "__seg", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(__pos, __seg))),"
+                   " x -> x.__seg)"),
+            delim,
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_kept"),
+    )
+    n_total = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), delim)).alias("__n_segs"),
+    )
+    return (
+        n_total.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("__n_segs") - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_dropped"),
+        )
+    )
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 20, min_docs: int = 2,
+                    stride: int = 1) -> DataFrame:
+    """Exact-substring duplicate spans across documents (the k-gram
+    inverted-index adaptation of suffix-array training-data dedup, per
+    Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better"): a character ``k``-gram occurring in ≥ ``min_docs`` distinct
+    documents marks its span duplicated; per document, overlapping or
+    adjacent duplicated spans merge into islands.
+
+    Returns one row per document that contains at least one duplicated
+    span: ``(id, n_dup_spans, dup_chars)`` where ``dup_chars`` is the
+    total merged-island length — the bytes an exact-substring dedup pass
+    would cut.
+
+    ``stride`` samples every ``stride``-th gram start position — the
+    100 TB knob: the index shrinks ``stride``×, at the cost of missing
+    duplicates shorter than ``k + stride - 1`` chars and coarsening span
+    boundaries by up to ``stride - 1``.
+
+    Plan shape: the gram explode is map-side (one md5-free substring per
+    position); duplicate grams come from ONE aggregate on the gram key;
+    the island merge is a per-document window (partitioned by id — bounded
+    by document length, never global). No cross join, no driver collect.
+    """
+    grams = (
+        df.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, length({text_col}) - {k}, {stride}),"
+                    f" i -> struct(i AS pos,"
+                    f" substring({text_col}, i + 1, {k}) AS gram))"
+                )
+            ).alias("__g"),
+        )
+        .select(id_col, F.col("__g.pos").alias("__pos"),
+                F.col("__g.gram").alias("__gram"))
+    )
+    dup_grams = (
+        grams.groupBy("__gram")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__gram")
+    )
+    hits = grams.join(dup_grams, "__gram").select(id_col, "__pos")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    prev_end = F.max(F.col("__pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        hits.withColumn(
+            "__new",
+            F.when(prev_end.isNull() | (F.col("__pos") > prev_end), 1)
+            .otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new").over(w))
+        .groupBy(id_col, "__island")
+        .agg((F.max("__pos") + k - F.min("__pos")).alias("__span_len"))
+    )
+    return islands.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("__span_len").alias("dup_chars"),
+    )

@@ -210,3 +210,96 @@ def temperature_resample(df: DataFrame, strata_col: str, id_col: str,
         .filter(bucket < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def build_mixture(df: DataFrame, strata_col: str, tokens_col: str,
+                  id_col: str, weights: dict[str, float],
+                  total_tokens: int, salt: str = "mixture") -> DataFrame:
+    """Deterministic token-budget mixture construction: fill each stratum's
+    token budget (``floor(weight * total_tokens)``) with documents taken in
+    seeded-hash order, stopping at the first document that crosses the
+    budget (that document is still included, so every non-empty stratum
+    with a positive budget contributes).
+
+    A document is kept iff the token sum of the hash-ordered documents
+    *before* it is still under its stratum's budget — the greedy prefix of
+    a deterministic global shuffle, replayable in any engine as one window
+    cumsum ordered by ``(md5(salt || id), id)``.
+
+    Scale path (the 100 TB difference): a naive per-stratum window cumsum
+    sorts each whole stratum in ONE task (a handful of languages → a
+    handful of straggler partitions). Instead the prefix is computed in
+    two phases, exactly like the limit-hint prefix sum on file manifests:
+
+    1. docs hash into 256 ordered buckets (the first md5 byte — a prefix
+       of the order key, so bucket order IS hash order); per-(stratum,
+       bucket) token sums cumsum over ≤256 rows per stratum (kilobytes,
+       broadcast);
+    2. buckets fully under budget pass with NO sort; buckets fully past
+       the budget drop with no sort; only the ONE boundary bucket per
+       stratum (~1/256 of the stratum) pays a within-bucket window sort.
+
+    Returns the kept rows of ``df`` (original columns).
+    """
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    budgets = [(s, int(float(w) * total_tokens)) for s, w in weights.items()]
+    spark = df.sparkSession
+    bdf = F.broadcast(
+        spark.createDataFrame(budgets, [strata_col, "__budget"])
+    )
+    docs = (
+        df.join(bdf, strata_col)
+        .withColumn("__h", h)
+        .withColumn(
+            "__bkt",
+            F.conv(F.substring("__h", 1, 2), 16, 10).cast("int"),
+        )
+    )
+    per_bucket = docs.groupBy(strata_col, "__bkt").agg(
+        F.sum(tokens_col).alias("__bkt_tok")
+    )
+    wb = Window.partitionBy(strata_col).orderBy("__bkt")
+    bucket_plan = (
+        per_bucket.withColumn(
+            "__before_bkt",
+            F.coalesce(
+                F.sum("__bkt_tok").over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .join(bdf, strata_col)
+        .withColumn(
+            "__cls",
+            F.when(F.col("__before_bkt") >= F.col("__budget"), F.lit("drop"))
+            .when(
+                F.col("__before_bkt") + F.col("__bkt_tok") <= F.col("__budget"),
+                F.lit("keep"),
+            )
+            .otherwise(F.lit("edge")),
+        )
+        .select(strata_col, "__bkt", "__before_bkt", "__cls")
+    )
+    planned = docs.join(F.broadcast(bucket_plan), [strata_col, "__bkt"])
+    kept_whole = planned.filter(F.col("__cls") == "keep")
+    # boundary bucket: the only place a row-level sort happens, and it is
+    # scoped to ~1/256 of one stratum
+    we = Window.partitionBy(strata_col, "__bkt").orderBy("__h", id_col)
+    kept_edge = (
+        planned.filter(F.col("__cls") == "edge")
+        .withColumn(
+            "__before_row",
+            F.col("__before_bkt")
+            + F.coalesce(
+                F.sum(tokens_col).over(
+                    we.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("__before_row") < F.col("__budget"))
+        .drop("__before_row")
+    )
+    drop_cols = ["__budget", "__h", "__bkt", "__before_bkt", "__cls"]
+    return kept_whole.unionByName(kept_edge).drop(*drop_cols)

@@ -576,3 +576,100 @@ def q_pipeline_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+@workload(
+    "q_dedup_lines",
+    oracle="""
+    WITH segs AS (
+        SELECT doc_id, u.seg, u.ord
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             LATERAL (SELECT UNNEST(l) AS seg,
+                             UNNEST(generate_series(1, len(l))) AS ord) u
+    ),
+    freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg),
+    tot AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    dropped AS (
+        SELECT seg FROM freq, tot WHERE df > GREATEST(2.0, 0.5 * n)
+    ),
+    kept AS (
+        SELECT s.doc_id, s.seg, s.ord
+        FROM segs s ANTI JOIN dropped d USING (seg)
+    ),
+    re AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY ord) AS cleaned_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(re.cleaned_text, '') AS cleaned_text,
+           CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+           len(string_split(d.text, ' '))
+             - CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM documents d LEFT JOIN re USING (doc_id)
+    """,
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level corpus dedup (the CCNet/RefinedWeb line-dedup stage,
+    exercised at word granularity — the testdata has no newlines): segments
+    occurring in more than half the corpus are boilerplate and are cut,
+    documents reassembled in order. The oracle replays the document-
+    frequency threshold, the anti-join, and the ordered reassembly."""
+    from delta_sharing_spark.operators.dedup import dedup_segments
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_segments(docs, "doc_id", "text", delim=" ",
+                          max_doc_frac=0.5, min_docs=2)
+
+
+@workload(
+    "q_dedup_substrings",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, t.i AS pos, substring(text, t.i::INT + 1, 20) AS gram
+        FROM documents,
+             LATERAL (SELECT UNNEST(generate_series(0, length(text) - 20))
+                      AS i) t
+        WHERE length(text) >= 20
+    ),
+    dup AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN MAX(pos + 20) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         IS NULL
+                      OR pos > MAX(pos + 20) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_i
+        FROM hits
+    ),
+    numbered AS (
+        SELECT doc_id, pos,
+               SUM(new_i) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, island, MAX(pos) + 20 - MIN(pos) AS span_len
+        FROM numbered GROUP BY doc_id, island
+    )
+    SELECT doc_id, COUNT(*) AS n_dup_spans,
+           CAST(SUM(span_len) AS BIGINT) AS dup_chars
+    FROM spans GROUP BY doc_id
+    """,
+)
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (k-gram inverted-index adaptation
+    of suffix-array training-data dedup): 20-char grams shared by ≥2
+    documents, merged per document into maximal islands. The oracle
+    replays the gram index, the island numbering, and the span math
+    window-for-window."""
+    from delta_sharing_spark.operators.dedup import duplicate_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", k=20, min_docs=2)

@@ -255,3 +255,54 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_orig",
                 F.coalesce("n_kept", F.lit(0)).alias("n_kept"), "sum_chars")
     )
+
+
+@workload(
+    "q_mixture_budget",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+               md5('mixture' || doc_id) AS h
+        FROM documents
+    ),
+    w(lang, budget) AS (
+        VALUES ('en', 8000), ('zh', 4000), ('es', 4000),
+               ('fr', 2000), ('de', 2000)
+    ),
+    c AS (
+        SELECT d.*, w.budget,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY d.lang ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS before_row
+        FROM d JOIN w USING (lang)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS mix_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM c
+    WHERE before_row < budget
+    GROUP BY lang
+    """,
+)
+def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture construction: fill explicit per-language token
+    budgets (40/20/20/10/10% of 20k tokens) with documents in seeded-hash
+    order. The engine runs the two-phase bucketed prefix (only the ONE
+    boundary bucket per language pays a sort — the 100 TB shape); the
+    oracle replays the equivalent single global window cumsum, proving the
+    two-phase decomposition is exact. ``id_checksum`` pins the exact
+    selected document set, not just its size."""
+    from delta_sharing_spark.operators.sampling import build_mixture
+
+    docs = read_table(spark, sf_dir, "documents") \
+        .withColumn("n_tok", F.size(F.split("text", " ")))
+    weights = {"en": 0.4, "zh": 0.2, "es": 0.2, "fr": 0.1, "de": 0.1}
+    mix = build_mixture(docs, "lang", "n_tok", "doc_id",
+                        weights, total_tokens=20_000, salt="mixture")
+    return mix.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("mix_tokens"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )

@@ -633,3 +633,101 @@ class TestKnnLabelPropagation:
         assert out[0]["predicted_label"] == 0
         assert out[3]["predicted_label"] == 1
         assert out[0]["votes"] >= 2
+
+
+class TestDedupSegments:
+    def _docs(self, spark):
+        rows = [
+            (1, "HEADER\nalpha beta\nFOOTER"),
+            (2, "HEADER\ngamma delta\nFOOTER"),
+            (3, "HEADER\nepsilon\nFOOTER"),
+            (4, "HEADER\nFOOTER"),  # all-boilerplate doc
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_boilerplate_cut_order_preserved(self, spark):
+        from delta_sharing_spark.operators.dedup import dedup_segments
+
+        out = {r["doc_id"]: r for r in
+               dedup_segments(self._docs(spark), "doc_id", "text",
+                              delim="\n", max_doc_frac=0.5, min_docs=2)
+               .collect()}
+        assert len(out) == 4  # every doc survives
+        assert out[1]["cleaned_text"] == "alpha beta"
+        assert out[2]["cleaned_text"] == "gamma delta"
+        assert out[4]["cleaned_text"] == ""   # fully boilerplate
+        assert out[4]["n_kept"] == 0 and out[4]["n_dropped"] == 2
+        assert out[1]["n_kept"] == 1 and out[1]["n_dropped"] == 2
+
+    def test_min_docs_floor_protects_small_corpora(self, spark):
+        """With 4 docs and max_doc_frac=0.5, the threshold is
+        max(min_docs, 2) — a segment in exactly 2 docs stays."""
+        from delta_sharing_spark.operators.dedup import dedup_segments
+
+        rows = [(1, "shared\nuniq1"), (2, "shared\nuniq2"),
+                (3, "uniq3"), (4, "uniq4")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["cleaned_text"] for r in
+               dedup_segments(df, "doc_id", "text", delim="\n",
+                              max_doc_frac=0.5, min_docs=2).collect()}
+        assert out[1] == "shared\nuniq1"  # df=2 is NOT > max(2, 2.0)
+
+    def test_plan_no_cartesian(self, spark):
+        from delta_sharing_spark.operators.dedup import dedup_segments
+
+        plan = dedup_segments(self._docs(spark), "doc_id", "text") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+
+class TestDuplicateSpans:
+    def test_island_merge(self, spark):
+        from delta_sharing_spark.operators.dedup import duplicate_spans
+
+        # docs 1 and 2 share a 26-char run -> 7 overlapping 20-grams that
+        # must merge into ONE island of 26 chars; doc 3 is unrelated
+        shared = "abcdefghijklmnopqrstuvwxyz"
+        rows = [(1, "XX1-" + shared + "+YY1ZZZZZZZZ"),
+                (2, "QQ2_" + shared + "=WW2ZZZZZZZZ"),
+                (3, "totally unrelated text with no dups here at all")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               duplicate_spans(df, "doc_id", "text", k=20).collect()}
+        assert set(out) == {1, 2}
+        assert out[1]["n_dup_spans"] == 1
+        assert out[1]["dup_chars"] == len(shared)
+        assert out[2]["dup_chars"] == len(shared)
+
+    def test_two_separate_islands(self, spark):
+        from delta_sharing_spark.operators.dedup import duplicate_spans
+
+        a = "A" * 10 + "0123456789abcdefghij"      # island 1 (20 chars)
+        b = "klmnopqrstuvwxyzKLMN"                 # island 2 (20 chars)
+        rows = [(1, a + "-MIDDLE-FILLER-TEXT-" + b),
+                (2, "pad " + a[10:] + " gap gap gap " + b + " tail")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               duplicate_spans(df, "doc_id", "text", k=20).collect()}
+        assert out[1]["n_dup_spans"] == 2
+        assert out[1]["dup_chars"] == 40
+
+    def test_stride_shrinks_index(self, spark):
+        """stride=4 still finds a long duplicated run, with span bounds
+        coarsened by < stride."""
+        from delta_sharing_spark.operators.dedup import duplicate_spans
+
+        shared = "The quick brown fox jumps over the lazy dog again"
+        rows = [(1, "aa " + shared + " bb"), (2, "cc " + shared + " dd")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               duplicate_spans(df, "doc_id", "text", k=20, stride=4)
+               .collect()}
+        assert out[1]["n_dup_spans"] == 1
+        assert out[1]["dup_chars"] >= len(shared) - 2 * 3  # ≤ stride-1 per end
+
+    def test_short_docs_skipped(self, spark):
+        from delta_sharing_spark.operators.dedup import duplicate_spans
+
+        df = spark.createDataFrame([(1, "short"), (2, "short")],
+                                   "doc_id long, text string")
+        assert duplicate_spans(df, "doc_id", "text", k=20).count() == 0

@@ -187,3 +187,77 @@ class TestBalanceStrata:
         plan = balance_strata(docs, "lang", "doc_id") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestBuildMixture:
+    def _docs(self, spark, n=200):
+        rows = [(i, ["en", "zh", "es"][i % 3], (i * 7) % 40 + 5)
+                for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, lang string, n_tok int")
+
+    def _brute_force(self, df, weights, total, salt="mixture"):
+        """Single global window cumsum — the spec the two-phase must match."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        h = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+        budgets = [(s, int(float(w) * total)) for s, w in weights.items()]
+        bdf = df.sparkSession.createDataFrame(budgets, ["lang", "budget"])
+        w = Window.partitionBy("lang").orderBy("__h", "doc_id")
+        return (
+            df.join(bdf, "lang")
+            .withColumn("__h", h)
+            .withColumn(
+                "__before",
+                F.coalesce(
+                    F.sum("n_tok").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0)),
+            )
+            .filter(F.col("__before") < F.col("budget"))
+        )
+
+    def test_matches_brute_force_single_window(self, spark):
+        from delta_sharing_spark.operators.sampling import build_mixture
+
+        docs = self._docs(spark)
+        weights = {"en": 0.5, "zh": 0.3, "es": 0.2}
+        got = build_mixture(docs, "lang", "n_tok", "doc_id", weights, 1000)
+        want = self._brute_force(docs, weights, 1000)
+        assert {r["doc_id"] for r in got.collect()} == \
+               {r["doc_id"] for r in want.collect()}
+
+    def test_budget_semantics(self, spark):
+        """First doc crossing the budget is included; per-stratum token sum
+        lands in [budget, budget + max_doc_tokens)."""
+        from pyspark.sql import functions as F
+
+        from delta_sharing_spark.operators.sampling import build_mixture
+
+        docs = self._docs(spark, n=300)
+        weights = {"en": 0.6, "zh": 0.4}
+        mix = build_mixture(docs, "lang", "n_tok", "doc_id", weights, 2000)
+        sums = {r["lang"]: r["s"] for r in
+                mix.groupBy("lang").agg(F.sum("n_tok").alias("s")).collect()}
+        assert set(sums) == {"en", "zh"}  # 'es' absent from weights -> dropped
+        for lang, budget in (("en", 1200), ("zh", 800)):
+            assert budget <= sums[lang] < budget + 45  # max n_tok is 44
+
+    def test_tiny_budget_still_takes_one_doc(self, spark):
+        from delta_sharing_spark.operators.sampling import build_mixture
+
+        docs = self._docs(spark, n=30)
+        mix = build_mixture(docs, "lang", "n_tok", "doc_id", {"en": 1.0}, 1)
+        assert mix.count() == 1
+
+    def test_no_unpartitioned_window(self, spark):
+        """The scale guarantee: every WindowExec partitions by stratum (+
+        bucket) — no single-task global sort of a stratum's rows appears
+        for the full-keep path (only the boundary bucket sorts)."""
+        from delta_sharing_spark.operators.sampling import build_mixture
+
+        docs = self._docs(spark)
+        plan = build_mixture(docs, "lang", "n_tok", "doc_id",
+                             {"en": 0.5, "zh": 0.5}, 1000) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "partitionspec=[]" not in plan.lower().replace(" ", "")
