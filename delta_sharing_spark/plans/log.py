@@ -1163,14 +1163,43 @@ class TableLog:
                               f.nullable)
                 for f in schema.fields
             ])
-        reader = self.spark.read.option("basePath", self.data_path)
-        if schema is not None:
-            reader = reader.schema(schema)
+
+        def scan_base(abs_file: str) -> str:
+            """Hive partition-inference root for a file: strip trailing
+            ``col=value`` directory segments. Files of THIS table resolve
+            to ``self.data_path``; absolute adds from a shallow CLONE
+            resolve to their source table's data root, so partition
+            columns infer correctly there too."""
+            d = os.path.dirname(abs_file)
+            parts_ = d.split(os.sep)
+            while parts_ and "=" in parts_[-1]:
+                parts_.pop()
+            return os.sep.join(parts_) or os.sep
+
+        def scan(file_adds: list[AddFile]) -> DataFrame:
+            """One multi-path scan per partition root (a clone mixing
+            source-referenced and own files costs one scan per root,
+            unioned — never per-file scans)."""
+            groups: dict[str, list[str]] = {}
+            for a in file_adds:
+                p = self.abs_path(a.path)
+                groups.setdefault(scan_base(p), []).append(p)
+            outs: list[DataFrame] = []
+            for base, paths in sorted(groups.items()):
+                reader = self.spark.read.option("basePath", base)
+                if schema is not None:
+                    reader = reader.schema(schema)
+                outs.append(reader.parquet(*paths))
+            out = outs[0]
+            for o in outs[1:]:
+                out = out.unionByName(o)
+            return out
+
         plain = [a for a in adds if not a.deletionVector]
         dirty = [a for a in adds if a.deletionVector]
         parts: list[DataFrame] = []
         if plain:
-            p = reader.parquet(*[self.abs_path(a.path) for a in plain])
+            p = scan(plain)
             if file_col is not None:
                 p = p.withColumn(
                     file_col,
@@ -1180,7 +1209,7 @@ class TableLog:
             parts.append(p)
         if dirty:
             d = (
-                reader.parquet(*[self.abs_path(a.path) for a in dirty])
+                scan(dirty)
                 .withColumn(
                     "__dv_file",
                     F.regexp_replace(
@@ -1810,6 +1839,147 @@ class TableLog:
             read_paths={a.path for a in snap.files},
             removed_paths={a.path for a in snap.files},
         )
+
+    def restore(self, version: int | None = None,
+                timestamp: str | int | None = None) -> int:
+        """RESTORE TABLE TO VERSION/TIMESTAMP AS OF (Delta's RESTORE): one
+        commit that re-adds the files of the target snapshot that are no
+        longer active and removes the files added since — after it, the
+        table's visible data equals the target version's, while history
+        and CDF still see every intermediate version (restore is a new
+        commit, not a log rewrite).
+
+        File identity includes the deletion-vector descriptor: a file
+        present in both snapshots with a *different* DV is re-added with
+        the target's descriptor (its logical content changed). If the
+        target's data or DV files have been vacuumed, the restore raises
+        ``FileNotFoundError`` instead of committing a snapshot that cannot
+        be read (Delta errors the same way after VACUUM).
+
+        Metadata (schema/partitioning/configuration) reverts to the
+        target's when it differs. Conflicts: the operation reads the whole
+        current file set, so any concurrent data commit aborts it.
+
+        Metadata-priced at any scale: the commit is a file-list diff of
+        two snapshots — no data is read or rewritten.
+        """
+        snap = self.snapshot()
+        _check_not_append_only(snap, "RESTORE")
+        target = self.snapshot(version=version, timestamp=timestamp)
+
+        def dv_key(a: AddFile):
+            dv = a.deletionVector or {}
+            return (a.path, dv.get("storageType"), dv.get("pathOrInlineDv"),
+                    dv.get("offset"))
+
+        cur = {dv_key(a): a for a in snap.files}
+        tgt = {dv_key(a): a for a in target.files}
+        to_add = [a for k, a in sorted(tgt.items()) if k not in cur]
+        to_remove = [a for k, a in sorted(cur.items()) if k not in tgt]
+        missing = [a.path for a in to_add
+                   if not os.path.exists(self.abs_path(a.path))]
+        missing += [a.deletionVector["pathOrInlineDv"] for a in to_add
+                    if a.deletionVector
+                    and a.deletionVector.get("storageType") == "u"
+                    and not os.path.exists(
+                        self.abs_path(a.deletionVector["pathOrInlineDv"]))]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot RESTORE to version {target.version}: "
+                f"{len(missing)} file(s) have been vacuumed, e.g. "
+                f"{sorted(missing)[:3]}")
+
+        actions: list[Action] = []
+        m_cur, m_tgt = snap.metadata, target.metadata
+        if (m_cur.schemaString, m_cur.partitionColumns,
+                m_cur.configuration) != (m_tgt.schemaString,
+                                         m_tgt.partitionColumns,
+                                         m_tgt.configuration):
+            actions.append(Metadata(
+                id=m_cur.id, name=m_tgt.name, description=m_tgt.description,
+                format=m_tgt.format, schemaString=m_tgt.schemaString,
+                partitionColumns=m_tgt.partitionColumns,
+                configuration=m_tgt.configuration,
+                createdTime=m_cur.createdTime,
+            ))
+        actions += [
+            AddFile(path=a.path, partitionValues=a.partitionValues,
+                    size=a.size, stats=a.stats,
+                    deletionVector=a.deletionVector)
+            for a in to_add
+        ]
+        actions += [
+            RemoveFile(path=a.path, partitionValues=a.partitionValues,
+                       size=a.size)
+            for a in to_remove
+        ]
+        all_read = {a.path for a in snap.files} | {a.path for a in target.files}
+        return self._commit_checked(
+            snap,
+            lambda v, ts: actions + [CommitInfo(
+                version=v, timestamp=ts, operation="RESTORE",
+                operationMetrics={
+                    "numRestoredFiles": str(len(to_add)),
+                    "numRemovedFiles": str(len(to_remove)),
+                },
+                operationParameters={"version": str(target.version)})],
+            read_paths=all_read,
+            removed_paths={a.path for a in to_remove},
+        )
+
+    def clone_to(self, target_path: str) -> "TableLog":
+        """Shallow CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): create a
+        new table at ``target_path`` whose version 0 references the source
+        snapshot's data files *in place* via absolute paths — zero data is
+        copied. The clone gets a fresh table id; subsequent writes land in
+        the clone's own directories and never touch the source, and the
+        clone's VACUUM only scans its own tree, so source files are safe
+        from it by construction.
+
+        Deletion-vector descriptors are carried over with their paths
+        absolutized the same way (inline DVs pass through verbatim).
+
+        Metadata-priced at any scale: cost is one commit of the source's
+        file list. The standard fork-for-experiment primitive on a 100 TB
+        table.
+        """
+        snap = self.snapshot()
+        clone = TableLog(self.spark, target_path)
+        if clone.exists():
+            raise ValueError(f"table already exists at {clone.path}")
+        os.makedirs(clone.log_path, exist_ok=True)
+        ts = clone._next_commit_timestamp()
+        meta = Metadata(
+            id=uuid.uuid4().hex,
+            name=snap.metadata.name,
+            description=snap.metadata.description,
+            format=snap.metadata.format,
+            schemaString=snap.metadata.schemaString,
+            partitionColumns=snap.metadata.partitionColumns,
+            configuration=snap.metadata.configuration,
+            createdTime=ts,
+        )
+
+        def abs_dv(dv: dict | None) -> dict | None:
+            if dv and dv.get("storageType") == "u":
+                dv = dict(dv)
+                dv["pathOrInlineDv"] = self.abs_path(dv["pathOrInlineDv"])
+            return dv
+
+        actions: list[Action] = [Protocol(), meta]
+        actions += [
+            AddFile(path=self.abs_path(a.path),
+                    partitionValues=a.partitionValues, size=a.size,
+                    stats=a.stats, deletionVector=abs_dv(a.deletionVector))
+            for a in snap.files
+        ]
+        actions.append(CommitInfo(
+            version=0, timestamp=ts, operation="CLONE",
+            operationMetrics={"numFiles": str(len(snap.files))},
+            operationParameters={"source": self.path,
+                                 "sourceVersion": str(snap.version)}))
+        clone._write_commit(0, actions)
+        return clone
 
     def optimize(self, target_file_rows: int = 1_000_000) -> int:
         """OPTIMIZE (compaction): bin-pack small files into larger ones,

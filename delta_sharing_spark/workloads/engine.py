@@ -679,3 +679,83 @@ def eng_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(14,2))"))
         .cast("double").alias("sum_price"),
     )
+
+
+def _events_restore(spark: SparkSession, sf_dir: str) -> str:
+    """v0 = events with event_id < 2000; v1 = append [2000, 3000);
+    v2 = DELETE value < 3; v3 = RESTORE to v1. Latest must equal v1."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        ev = read_table(spark, sf_dir, "events")
+        log = TableLog(spark, path)
+        log.create(ev.filter("event_id < 2000"), name="events_restore")
+        log.append(ev.filter("event_id >= 2000 AND event_id < 3000"))
+        log.delete("value < 3")
+        log.restore(version=1)
+
+    return _fixture(spark, sf_dir, "events_restore", build)
+
+
+@workload(
+    "eng_restore",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE event_id < 3000
+    """,
+)
+def eng_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE TO VERSION AS OF: after a destructive DELETE, restore
+    to the pre-delete version — the latest snapshot must equal version 1
+    exactly (including rows the DELETE's deletion vectors had hidden),
+    while the deleted state remains time-travelable at version 2. The
+    restore itself is a metadata-only file-list diff (TableLog.restore)."""
+    t = SharedTable(spark, _events_restore(spark, sf_dir))
+    return t.to_df().agg(
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").alias("id_sum"),
+    )
+
+
+def _events_clone(spark: SparkSession, sf_dir: str) -> str:
+    """src: v0 = events with event_id < 1000, v1 = DELETE value < 3 (leaves
+    a deletion vector); clone = shallow clone of src v1, then an append of
+    [1000, 1200) into the CLONE only."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        ev = read_table(spark, sf_dir, "events")
+        src = TableLog(spark, os.path.join(path, "src"))
+        src.create(ev.filter("event_id < 1000"), name="events_clone_src")
+        src.delete("value < 3")
+        clone = src.clone_to(os.path.join(path, "clone"))
+        clone.append(ev.filter("event_id >= 1000 AND event_id < 1200"))
+
+    return _fixture(spark, sf_dir, "events_clone", build)
+
+
+@workload(
+    "eng_clone",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM (
+        SELECT event_id FROM events
+        WHERE event_id < 1000 AND NOT (value < 3)
+        UNION ALL
+        SELECT event_id FROM events
+        WHERE event_id >= 1000 AND event_id < 1200
+    )
+    """,
+)
+def eng_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow CLONE: the clone references the source's data files (and
+    deletion vectors) in place via absolute paths — zero copy — and then
+    diverges with its own append. The read must apply the source's DV
+    through the clone's log and include only the clone's new rows
+    (TableLog.clone_to; scan grouping by partition root in read_adds)."""
+    t = SharedTable(spark, os.path.join(_events_clone(spark, sf_dir),
+                                        "clone"))
+    return t.to_df().agg(
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").alias("id_sum"),
+    )

@@ -1520,3 +1520,116 @@ class TestExpiryAndDVRegressions:
         assert dvs and all(d["storageType"] == "u" for d in dvs)
         assert len({d["pathOrInlineDv"] for d in dvs}) == 1
         assert SharedTable(spark, table_dir).to_df().count() == want
+
+
+class TestRestore:
+    def test_restore_reverts_visible_data(self, spark, events, tmp_path):
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"), name="t")
+        log.append(events.filter("event_id >= 100 AND event_id < 150"))
+        v1_rows = SharedTable(spark, d).to_df().count()
+        log.delete("event_id < 20")
+        assert SharedTable(spark, d).to_df().count() < v1_rows
+        v = log.restore(version=1)
+        t = SharedTable(spark, d)
+        assert t.version() == v
+        # visible data equals version 1's exactly
+        now = {r["event_id"] for r in t.to_df().select("event_id").collect()}
+        then = {r["event_id"]
+                for r in t.to_df(version=1).select("event_id").collect()}
+        assert now == then and len(now) == v1_rows
+        # history intact: intermediate version still readable
+        assert t.to_df(version=2).count() < v1_rows
+        # and the restore is a new commit, not a rewrite
+        assert log.read_commit(v).info.operation == "RESTORE"
+
+    def test_restore_with_dv_identity(self, spark, events, tmp_path):
+        """A file whose DV changed between versions is re-added with the
+        target's descriptor (file identity includes the DV)."""
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events, name="t")
+        log.delete("event_id < 5")       # v1: DV on some file
+        log.delete("event_id < 10")      # v2: stacked DV
+        n_v1 = SharedTable(spark, d).to_df(version=1).count()
+        log.restore(version=1)
+        assert SharedTable(spark, d).to_df().count() == n_v1
+
+    def test_restore_missing_file_raises(self, spark, events, tmp_path):
+        """Restore refuses to commit a snapshot whose files are physically
+        gone (vacuumed out-of-band / damaged) instead of committing an
+        unreadable table."""
+        import os
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 50"), name="t")
+        v0_paths = [log.abs_path(a.path) for a in log.snapshot().files]
+        log.overwrite(events.filter("event_id >= 50 AND event_id < 80"))
+        for p in v0_paths:
+            os.remove(p)
+        with pytest.raises(FileNotFoundError):
+            log.restore(version=0)
+
+    def test_restore_metadata_reverts(self, spark, events, tmp_path):
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 50"), name="t",
+                   configuration={"k": "v0"})
+        log.update_metadata(configuration={"k": "v1"})
+        log.restore(version=0)
+        assert log.snapshot().metadata.configuration == {"k": "v0"}
+        # table id is stable across restore
+        assert log.snapshot().metadata.id == \
+            log.snapshot(version=0).metadata.id
+
+
+class TestClone:
+    def test_shallow_clone_zero_copy(self, spark, events, tmp_path):
+        import os
+
+        src_dir, dst_dir = str(tmp_path / "src"), str(tmp_path / "dst")
+        src = TableLog(spark, src_dir)
+        src.create(events.filter("event_id < 100"), name="src")
+        clone = src.clone_to(dst_dir)
+        # no data files under the clone's own data dir
+        assert not os.path.isdir(clone.data_path) or \
+            not os.listdir(clone.data_path)
+        got = SharedTable(spark, dst_dir).to_df().count()
+        assert got == SharedTable(spark, src_dir).to_df().count()
+        op = clone.read_commit(0).info
+        assert op.operation == "CLONE"
+        assert op.operationParameters["sourceVersion"] == "0"
+
+    def test_clone_diverges_from_source(self, spark, events, tmp_path):
+        src_dir, dst_dir = str(tmp_path / "src"), str(tmp_path / "dst")
+        src = TableLog(spark, src_dir)
+        src.create(events.filter("event_id < 100"), name="src")
+        clone = src.clone_to(dst_dir)
+        clone.append(events.filter("event_id >= 100 AND event_id < 120"))
+        src.append(events.filter("event_id >= 200 AND event_id < 250"))
+        n_src = SharedTable(spark, src_dir).to_df().count()
+        n_clone = SharedTable(spark, dst_dir).to_df().count()
+        assert n_clone == 100 + 20
+        assert n_src == 100 + 50
+
+    def test_clone_carries_dv(self, spark, events, tmp_path):
+        """Cloning a table with deletion vectors preserves logical rows."""
+        src_dir, dst_dir = str(tmp_path / "src"), str(tmp_path / "dst")
+        src = TableLog(spark, src_dir)
+        src.create(events.filter("event_id < 100"), name="src")
+        src.delete("event_id < 10")
+        clone = src.clone_to(dst_dir)
+        assert SharedTable(spark, dst_dir).to_df().count() == \
+            SharedTable(spark, src_dir).to_df().count()
+        # clone's own vacuum never deletes source files
+        clone.vacuum()
+        assert SharedTable(spark, src_dir).to_df().count() == 90
+
+    def test_clone_into_existing_raises(self, spark, events, tmp_path):
+        src_dir = str(tmp_path / "src")
+        src = TableLog(spark, src_dir)
+        src.create(events.filter("event_id < 10"), name="src")
+        with pytest.raises(ValueError):
+            src.clone_to(src_dir)
