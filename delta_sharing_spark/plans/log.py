@@ -146,6 +146,11 @@ class VersionNotFoundError(Exception):
     pass
 
 
+class CheckConstraintViolation(ValueError):
+    """A write produced rows failing a ``delta.constraints.*`` CHECK
+    expression (Delta's InvariantViolationException)."""
+
+
 class MetadataChangedError(Exception):
     """A concurrent commit changed the table's metadata (schema/partitioning/
     config) between a writer's snapshot and its commit — the staged write may
@@ -995,6 +1000,7 @@ class TableLog:
             configuration=configuration or {},
             createdTime=ts,
         )
+        self._validate_constraints(df, configuration, "CREATE TABLE")
         staged = self._stage_dataframe(df, partition_by, self.data_path)
         actions: list[Action] = [Protocol(), metadata]
         actions += [
@@ -1022,6 +1028,7 @@ class TableLog:
         data = df
         if max_files:
             data = df.repartition(max_files)
+        self._validate_constraints(data, snap.metadata.configuration, "WRITE")
         staged = self._stage_dataframe(data, snap.partition_columns,
                                        self.data_path, snap=snap)
         adds: list[Action] = [
@@ -1068,6 +1075,74 @@ class TableLog:
             read_paths=set(),
             tolerate_data_appends=True,
         )
+
+    # ------------------------------------------------- CHECK constraints
+
+    @staticmethod
+    def _constraints(configuration: dict[str, str] | None) -> dict[str, str]:
+        """CHECK constraints from table config: ``delta.constraints.<name>``
+        → SQL boolean expression (Delta's ALTER TABLE ADD CONSTRAINT
+        storage convention)."""
+        pfx = "delta.constraints."
+        return {k[len(pfx):]: v for k, v in (configuration or {}).items()
+                if k.startswith(pfx)}
+
+    def _validate_constraints(self, df: DataFrame,
+                              configuration: dict[str, str] | None,
+                              operation: str) -> None:
+        """Raise ``CheckConstraintViolation`` if any row of ``df`` fails a
+        constraint. SQL CHECK semantics: a row passes on TRUE **or NULL**
+        (unknown), fails only on FALSE — so ``x > 0`` admits null x.
+
+        One job for ALL constraints (an array of per-constraint violation
+        flags, compacted), stopping at the first violating row — the cost
+        is one extra pass over the rows being written, never over the
+        table."""
+        cons = self._constraints(configuration)
+        if not cons:
+            return
+        flags = [
+            F.when(~F.coalesce(F.expr(e).cast("boolean"), F.lit(True)),
+                   F.lit(n))
+            for n, e in sorted(cons.items())
+        ]
+        bad = (
+            df.select(F.array_compact(F.array(*flags)).alias("__violated"))
+            .filter(F.size("__violated") > 0)
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            name = bad[0]["__violated"][0]
+            raise CheckConstraintViolation(
+                f"{operation} violates CHECK constraint {name!r} "
+                f"({cons[name]})")
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT: validates the WHOLE current table
+        against ``expr`` first (Delta scans existing data the same way),
+        then commits the constraint as metadata. Later writes enforce it
+        on their written rows only."""
+        snap = self.snapshot()
+        key = f"delta.constraints.{name}"
+        if key in snap.metadata.configuration:
+            raise ValueError(f"constraint {name!r} already exists")
+        if snap.files:
+            self._validate_constraints(
+                self._read_files(snap, snap.files), {key: expr},
+                "ADD CONSTRAINT")
+        config = dict(snap.metadata.configuration)
+        config[key] = expr
+        return self.update_metadata(configuration=config)
+
+    def drop_constraint(self, name: str) -> int:
+        snap = self.snapshot()
+        key = f"delta.constraints.{name}"
+        if key not in snap.metadata.configuration:
+            raise ValueError(f"constraint {name!r} does not exist")
+        config = dict(snap.metadata.configuration)
+        config.pop(key)
+        return self.update_metadata(configuration=config)
 
     # ------------------------------------------------- row-mutating commits
 
@@ -1531,6 +1606,8 @@ class TableLog:
                 F.col(f.name).cast(f.dataType).alias(f.name)
                 for f in snap.schema.fields
             ])
+            self._validate_constraints(post, snap.metadata.configuration,
+                                       "UPDATE")
             staged = self._stage_dataframe(post, snap.partition_columns,
                                            self.data_path, snap=snap)
             actions += [
@@ -1603,6 +1680,8 @@ class TableLog:
             for col_name, expr in sets.items():
                 post = post.withColumn(col_name, expr)
             rewritten = touched_df.filter(~cond | cond.isNull()).unionByName(post)
+            self._validate_constraints(post, snap.metadata.configuration,
+                                       "UPDATE")
             staged = self._stage_dataframe(rewritten, snap.partition_columns,
                                            self.data_path, snap=snap)
             actions += [
@@ -1693,6 +1772,8 @@ class TableLog:
                     ])
                 n_updated = n_matched
                 if n_matched:
+                    self._validate_constraints(
+                        post, snap.metadata.configuration, "MERGE")
                     staged = self._stage_dataframe(
                         post, snap.partition_columns, self.data_path,
                         snap=snap)
@@ -1733,6 +1814,8 @@ class TableLog:
                     # replace)
                     post = pre.select(*keys).join(F.broadcast(src), keys) \
                         .select(*schema_cols)
+                    self._validate_constraints(
+                        post, snap.metadata.configuration, "MERGE")
                     rewritten = keep.unionByName(post).select(*schema_cols)
                     n_updated = n_matched
                 elif when_matched == "delete":
@@ -1772,6 +1855,9 @@ class TableLog:
             ins = src.join(target_keys, keys, "left_anti")
             n_inserted = ins.count()
             if n_inserted:
+                self._validate_constraints(
+                    ins.select(*schema_cols), snap.metadata.configuration,
+                    "MERGE")
                 staged = self._stage_dataframe(
                     ins.select(*schema_cols), snap.partition_columns,
                     self.data_path, snap=snap)
@@ -1820,6 +1906,8 @@ class TableLog:
         ``ConcurrentAppendError`` (retry_on_conflict re-runs over them)."""
         snap = self.snapshot()
         _check_not_append_only(snap, "OVERWRITE")
+        self._validate_constraints(df, snap.metadata.configuration,
+                                   "OVERWRITE")
         staged = self._stage_dataframe(df, snap.partition_columns,
                                        self.data_path, snap=snap)
         actions: list[Action] = [

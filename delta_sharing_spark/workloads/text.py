@@ -731,3 +731,51 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
               * F.col("ok_sw") * F.col("ok_sym")).cast("long")
         .alias("pass_all"),
     )
+
+
+@workload(
+    "q_quality_classifier",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    w AS (
+        SELECT tok AS token,
+               (('0x' || substr(md5('qw' || tok), 1, 8))::BIGINT % 2000001)
+                 - 1000000 AS weight_u
+        FROM (SELECT DISTINCT tok FROM toks)
+    ),
+    s AS (
+        SELECT t.doc_id, COUNT(*) AS n_toks,
+               CAST(SUM(COALESCE(w.weight_u, 0)) AS BIGINT) AS score_u
+        FROM toks t LEFT JOIN w ON t.tok = w.token
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_toks, score_u,
+           CAST(score_u AS DOUBLE) / (n_toks * 1000000) AS score,
+           score_u * 10 > CAST(n_toks AS BIGINT) * 1000000 AS keep
+    FROM s
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText/CCNet linear-classifier
+    stage): inference as ONE token-table equi-join + one aggregate — no
+    UDF, no model server. Here the model is a deterministic md5-derived
+    lexicon so the oracle replays the exact weights; a real model's
+    quantized weights drop in as the same (token, weight_u) table. The
+    keep decision (mean weight > 0.1) compares exact integers."""
+    from delta_sharing_spark.operators.scoring import (
+        WEIGHT_UNIT,
+        pseudo_weights,
+        score_text_linear,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    weights = pseudo_weights(docs, "text", salt="qw")
+    scored = score_text_linear(docs, weights, "doc_id", "text")
+    return scored.withColumn(
+        "keep",
+        F.col("score_u") * 10
+        > F.col("n_toks").cast("bigint") * WEIGHT_UNIT,
+    )

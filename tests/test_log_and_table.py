@@ -1633,3 +1633,83 @@ class TestClone:
         src.create(events.filter("event_id < 10"), name="src")
         with pytest.raises(ValueError):
             src.clone_to(src_dir)
+
+
+class TestCheckConstraints:
+    """delta.constraints.* CHECK enforcement (Delta's ADD CONSTRAINT /
+    InvariantViolationException semantics): written rows are validated in
+    one job; NULL evaluations pass (SQL CHECK three-valued logic)."""
+
+    def _table(self, spark, events, tmp_path, **kw):
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100 AND value >= 0"),
+                   name="t", **kw)
+        return log
+
+    def test_create_rejects_violating_rows(self, spark, events, tmp_path):
+        from delta_sharing_spark.plans.log import CheckConstraintViolation
+
+        log = TableLog(spark, str(tmp_path / "t"))
+        with pytest.raises(CheckConstraintViolation, match="value_small"):
+            log.create(
+                events, name="t",
+                configuration={"delta.constraints.value_small":
+                               "value < 100"})
+        assert not log.exists()
+
+    def test_append_enforced(self, spark, events, tmp_path):
+        from delta_sharing_spark.plans.log import CheckConstraintViolation
+
+        log = self._table(
+            spark, events, tmp_path,
+            configuration={"delta.constraints.value_nonneg": "value >= 0"})
+        v = log.latest_version()
+        bad = events.filter("event_id >= 100").limit(5) \
+            .withColumn("value", F.lit(-1.0))
+        with pytest.raises(CheckConstraintViolation):
+            log.append(bad)
+        assert log.latest_version() == v  # nothing committed
+        log.append(events.filter("event_id >= 100 AND event_id < 120 "
+                                 "AND value >= 0"))
+        assert log.latest_version() == v + 1
+
+    def test_update_and_merge_enforced(self, spark, events, tmp_path):
+        from delta_sharing_spark.plans.log import CheckConstraintViolation
+
+        log = self._table(
+            spark, events, tmp_path,
+            configuration={"delta.constraints.value_nonneg": "value >= 0"})
+        with pytest.raises(CheckConstraintViolation):
+            log.update({"value": "value - 1000"}, "event_id < 5")
+        src = events.filter("event_id < 5") \
+            .withColumn("value", F.lit(-1.0))
+        with pytest.raises(CheckConstraintViolation):
+            log.merge(src, keys=["event_id"], when_matched="update")
+
+    def test_null_passes_check(self, spark, tmp_path):
+        """SQL CHECK: NULL (unknown) is not a violation."""
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        df = spark.createDataFrame([(1, 5.0), (2, None)],
+                                   "id long, v double")
+        log.create(df, name="t",
+                   configuration={"delta.constraints.v_pos": "v > 0"})
+        assert SharedTable(spark, d).to_df().count() == 2
+
+    def test_add_constraint_validates_existing(self, spark, events,
+                                               tmp_path):
+        from delta_sharing_spark.plans.log import CheckConstraintViolation
+
+        log = self._table(spark, events, tmp_path)
+        with pytest.raises(CheckConstraintViolation):
+            log.add_constraint("value_tiny", "value < 0.01")
+        # constraint on satisfied predicate lands and is then enforced
+        log.add_constraint("id_bound", "event_id < 1000000")
+        assert "delta.constraints.id_bound" in \
+            log.snapshot().metadata.configuration
+        with pytest.raises(ValueError):
+            log.add_constraint("id_bound", "event_id < 5")
+        log.drop_constraint("id_bound")
+        assert "delta.constraints.id_bound" not in \
+            log.snapshot().metadata.configuration

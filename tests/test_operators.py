@@ -731,3 +731,47 @@ class TestDuplicateSpans:
         df = spark.createDataFrame([(1, "short"), (2, "short")],
                                    "doc_id long, text string")
         assert duplicate_spans(df, "doc_id", "text", k=20).count() == 0
+
+
+class TestLinearScoring:
+    def test_known_weights(self, spark):
+        from delta_sharing_spark.operators.scoring import score_text_linear
+
+        docs = spark.createDataFrame(
+            [(1, "good good bad"), (2, "meh unknown")],
+            "doc_id long, text string")
+        w = spark.createDataFrame(
+            [("good", 500_000), ("bad", -1_000_000), ("meh", 0)],
+            "token string, weight_u long")
+        out = {r["doc_id"]: r for r in
+               score_text_linear(docs, w, "doc_id", "text").collect()}
+        assert out[1]["score_u"] == 500_000 * 2 - 1_000_000
+        assert out[1]["n_toks"] == 3
+        assert out[1]["score"] == 0.0
+        assert out[2]["score_u"] == 0  # unknown token weighs 0
+        assert out[2]["n_toks"] == 2
+
+    def test_bias_and_plan(self, spark):
+        from delta_sharing_spark.operators.scoring import score_text_linear
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        w = spark.createDataFrame([("x", 1)], "token string, weight_u long")
+        df = score_text_linear(docs, w, "doc_id", "text", bias_u=7)
+        [r] = df.collect()
+        assert r["score_u"] == 8
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+    def test_pseudo_weights_deterministic_and_bounded(self, spark):
+        from delta_sharing_spark.operators.scoring import (
+            WEIGHT_UNIT, pseudo_weights)
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma alpha")], "doc_id long, text string")
+        rows = {r["token"]: r["weight_u"]
+                for r in pseudo_weights(docs, "text").collect()}
+        assert set(rows) == {"alpha", "beta", "gamma"}
+        assert all(-WEIGHT_UNIT <= v <= WEIGHT_UNIT for v in rows.values())
+        again = {r["token"]: r["weight_u"]
+                 for r in pseudo_weights(docs, "text").collect()}
+        assert rows == again
