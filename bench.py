@@ -40,6 +40,11 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_pii_redact",
     "stream_sessionize_drain",
+    # round-4 additions (after the comparable prefix): heaviest new
+    # operators — substring-span dedup and model-based quality scoring
+    "q_dedup_substrings",
+    "q_quality_classifier",
+    "q07_volume_shipping",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

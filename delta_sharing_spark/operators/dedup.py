@@ -19,6 +19,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Row-multiplying operators (gram/segment explodes) inherit the SCAN's
+    parallelism, and a small corpus file scans as ONE partition — the whole
+    map phase then runs on one core. Repartition up to the cluster's
+    default parallelism when (and only when) the input has fewer
+    partitions: at real scale the scan already has more partitions than
+    cores and this is a no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _word_shingles(text_col: str, k: int) -> F.Column:
     """Distinct word k-gram shingles of a whitespace-tokenized text column."""
     return F.array_distinct(
@@ -70,7 +83,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     distinct shingles, so no distinct pass is needed.)
     """
     n_md5 = -(-num_hashes // 4)
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col),
         F.explode(_word_shingles(text_col, shingle_k)).alias("s"),
     ).select(
@@ -158,6 +171,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     capping bounds any shingle's join contribution to max_doc_freq².
     """
     sh = _word_shingles(text_col, shingle_k)
+    # NOTE: no _spread here — this plan consumes the corpus in several
+    # branches (sizes + freq + both join sides); an injected round-robin
+    # exchange re-executes per branch and measured 2.7x SLOWER at sf0.1
     if max_doc_freq is None:
         toks = df.select(F.col(id_col), F.size(sh).alias("n_sh"),
                          F.explode(sh).alias("sh"))
@@ -210,7 +226,7 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
     (16-bit integer chunks) so downstream hamming tests are cheap
     ``bit_count(xor)`` instead of per-character comparison.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.md5(F.col("tok").cast("binary")))
     # decode the md5 hex into 16-bit integer chunks ONCE per token; each of
@@ -451,7 +467,7 @@ def content_defined_chunks(df: DataFrame, id_col: str, text_col: str,
       c -> length(c.text) > 0)
     """
     return (
-        df.select(F.col(id_col), F.col(text_col).alias("__t"))
+        _spread(df).select(F.col(id_col), F.col(text_col).alias("__t"))
         .withColumn("__bounds", F.expr(bounds))
         .withColumn("__starts", F.expr("concat(array(0), __bounds)"))
         .withColumn("__ends",
@@ -492,6 +508,7 @@ def dedup_segments(df: DataFrame, id_col: str, text_col: str,
     ``delim`` is used both as a split *regex* and a join separator, so it
     must be regex-neutral (``"\\n"``, ``" "``, ``"\\n\\n"`` are).
     """
+    # (no _spread: segs feeds three branches — see ngram_jaccard_pairs)
     segs = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), delim)).alias("__pos", "__seg"),
@@ -560,27 +577,39 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     the island merge is a per-document window (partitioned by id — bounded
     by document length, never global). No cross join, no driver collect.
     """
+    # explode the POSITIONS (an int array) and slice the gram afterwards:
+    # materializing per-position substrings inside a transform() array
+    # costs ~15x more than cutting them post-explode (measured at sf0.1 —
+    # the array-of-strings allocation dominates, the substring does not)
     grams = (
-        df.filter(F.length(text_col) >= k)
+        _spread(df.filter(F.length(text_col) >= k))
         .select(
             F.col(id_col),
+            F.col(text_col).alias("__t"),
             F.explode(
-                F.expr(
-                    f"transform(sequence(0, length({text_col}) - {k}, {stride}),"
-                    f" i -> struct(i AS pos,"
-                    f" substring({text_col}, i + 1, {k}) AS gram))"
-                )
-            ).alias("__g"),
+                F.sequence(F.lit(0), F.length(text_col) - k, F.lit(stride))
+            ).alias("__pos"),
         )
-        .select(id_col, F.col("__g.pos").alias("__pos"),
-                F.col("__g.gram").alias("__gram"))
+        .select(id_col, "__pos",
+                F.expr(f"substring(__t, __pos + 1, {k})").alias("__gram"))
     )
-    dup_grams = (
-        grams.groupBy("__gram")
-        .agg(F.countDistinct(id_col).alias("__df"))
-        .filter(F.col("__df") >= min_docs)
-        .select("__gram")
-    )
+    if min_docs == 2:
+        # "≥2 distinct docs" ≡ min(id) != max(id): a plain min/max
+        # aggregate partial-aggregates map-side with NO distinct
+        # expansion — one narrow shuffle instead of two
+        dup_grams = (
+            grams.groupBy("__gram")
+            .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+            .filter(F.col("__lo") != F.col("__hi"))
+            .select("__gram")
+        )
+    else:
+        dup_grams = (
+            grams.groupBy("__gram")
+            .agg(F.countDistinct(id_col).alias("__df"))
+            .filter(F.col("__df") >= min_docs)
+            .select("__gram")
+        )
     hits = grams.join(dup_grams, "__gram").select(id_col, "__pos")
 
     from pyspark.sql import Window
