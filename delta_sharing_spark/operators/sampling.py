@@ -243,6 +243,9 @@ def build_mixture(df: DataFrame, strata_col: str, tokens_col: str,
     """
     h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     budgets = [(s, int(float(w) * total_tokens)) for s, w in weights.items()]
+    if not budgets:
+        raise ValueError("build_mixture: weights must name at least one "
+                         "stratum (got an empty dict)")
     spark = df.sparkSession
     bdf = F.broadcast(
         spark.createDataFrame(budgets, [strata_col, "__budget"])

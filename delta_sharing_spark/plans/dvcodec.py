@@ -73,6 +73,13 @@ def z85_decode(encoded: str, output_length: int | None = None) -> bytes:
                 n = n * 85 + _Z85_INDEX[c]
             except KeyError:
                 raise ValueError(f"invalid z85 character {c!r}") from None
+        if n > 0xFFFFFFFF:
+            # 85^5 - 1 > 2^32: a syntactically-valid 5-char group can
+            # encode a value no 4-byte group produces — invalid input,
+            # not an OverflowError (callers catch ValueError to detect
+            # non-z85 payloads, e.g. the legacy-codec fallback)
+            raise ValueError(
+                f"z85 group {encoded[i:i + 5]!r} exceeds 32 bits")
         out += n.to_bytes(4, "big")
     return bytes(out[:output_length] if output_length is not None else out)
 
@@ -217,12 +224,20 @@ def decode_inline_dv(encoded: str, size_in_bytes: int | None = None) -> list[int
     """Descriptor payload -> sorted row positions. Accepts the Delta-spec
     z85+roaring encoding; falls back to the pre-round-4 legacy
     base85+delta-varint encoding so tables written by earlier versions of
-    this engine stay readable."""
+    this engine stay readable.
+
+    The fallback is GATED on the descriptor shape: legacy descriptors
+    recorded ``sizeInBytes == len(encoded)`` (the encoded-string length),
+    while spec descriptors record the smaller unpadded serialized length.
+    A corrupted spec payload therefore surfaces as a decode error instead
+    of silently legacy-decoding into garbage row positions."""
     try:
         raw = z85_decode(encoded, size_in_bytes)
         return deserialize_roaring_bitmap_array(raw)
     except (ValueError, struct.error):
-        return _decode_legacy_varint(encoded)
+        if size_in_bytes is None or size_in_bytes == len(encoded):
+            return _decode_legacy_varint(encoded)
+        raise
 
 
 def _decode_legacy_varint(encoded: str) -> list[int]:

@@ -228,6 +228,60 @@ def _fmt_checkpoint(v: int) -> str:
     return f"{v:020d}.checkpoint.parquet"
 
 
+def checkpoint_arrow_table(kinds, jsons, paths, pvs, sizes, nrecs, mins,
+                           maxs, nulls, vers, tss):
+    """The ONE definition of the checkpoint column layout — used by
+    ``TableLog.write_checkpoint`` and the metadata-plane scale bench
+    (tools/scale_bench.py), so the bench can never drift onto a stale
+    format. Rows carry the wrapped action JSON (exact log round-trip)
+    plus typed manifest columns so ``files_df`` scans the checkpoint
+    directly as a DataFrame."""
+    import pyarrow as pa
+
+    return pa.table({
+        "kind": pa.array(kinds, pa.string()),
+        "action_json": pa.array(jsons, pa.string()),
+        "path": pa.array(paths, pa.string()),
+        "partitionValues": pa.array(pvs, pa.map_(pa.string(), pa.string())),
+        "size": pa.array(sizes, pa.int64()),
+        "numRecords": pa.array(nrecs, pa.int64()),
+        "minValues": pa.array(mins, pa.string()),
+        "maxValues": pa.array(maxs, pa.string()),
+        "nullCount": pa.array(nulls, pa.string()),
+        "version": pa.array(vers, pa.int64()),
+        "timestamp": pa.array(tss, pa.int64()),
+    })
+
+
+def write_checkpoint_files(table, final: str) -> None:
+    """Write a checkpoint arrow table at ``final``: one parquet file, or —
+    above CHECKPOINT_PART_ROWS rows — a directory of part files under the
+    same name (spark.read.parquet and pyarrow read both transparently, and
+    huge manifests scan in parallel across parts). Atomic via tmp+rename;
+    checkpoint content is deterministic per version, so losing a
+    concurrent-writer race is safe (the winner's checkpoint is ours too)."""
+    import pyarrow.parquet as pq
+
+    tmp = final + f".{uuid.uuid4().hex}.tmp"
+    if table.num_rows <= CHECKPOINT_PART_ROWS:
+        pq.write_table(table, tmp)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        return
+    os.makedirs(tmp)
+    for i, start in enumerate(range(0, table.num_rows,
+                                    CHECKPOINT_PART_ROWS)):
+        pq.write_table(table.slice(start, CHECKPOINT_PART_ROWS),
+                       os.path.join(tmp, f"part-{i:05d}.parquet"))
+    try:
+        if os.path.isfile(final):
+            os.remove(final)
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def serialize_partition_value(value) -> str:
     """String-serialize a partition value; empty string = null
     (PROTOCOL.md:3896-3906)."""
@@ -590,47 +644,10 @@ class TableLog:
             for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
                         vers, tss):
                 lst.append(None)
-        table = pa.table(
-            {
-                "kind": pa.array(kinds, pa.string()),
-                "action_json": pa.array(jsons, pa.string()),
-                "path": pa.array(paths, pa.string()),
-                "partitionValues": pa.array(
-                    pvs, pa.map_(pa.string(), pa.string())),
-                "size": pa.array(sizes, pa.int64()),
-                "numRecords": pa.array(nrecs, pa.int64()),
-                "minValues": pa.array(mins, pa.string()),
-                "maxValues": pa.array(maxs, pa.string()),
-                "nullCount": pa.array(nulls, pa.string()),
-                "version": pa.array(vers, pa.int64()),
-                "timestamp": pa.array(tss, pa.int64()),
-            }
-        )
+        table = checkpoint_arrow_table(kinds, jsons, paths, pvs, sizes,
+                                       nrecs, mins, maxs, nulls, vers, tss)
         final = os.path.join(self.log_path, _fmt_checkpoint(snap.version))
-        tmp = final + f".{uuid.uuid4().hex}.tmp"
-        if table.num_rows <= CHECKPOINT_PART_ROWS:
-            pq.write_table(table, tmp)
-            if os.path.isdir(final):
-                shutil.rmtree(final)
-            os.replace(tmp, final)  # checkpoint content is deterministic
-            return final            # per version: last-writer-wins is safe
-        # multi-part: a directory of parquet parts under the same name —
-        # spark.read.parquet and pyarrow read it transparently, and the
-        # manifest scan parallelizes across parts instead of funnelling a
-        # million rows through one task
-        os.makedirs(tmp)
-        for i, start in enumerate(range(0, table.num_rows,
-                                        CHECKPOINT_PART_ROWS)):
-            pq.write_table(table.slice(start, CHECKPOINT_PART_ROWS),
-                           os.path.join(tmp, f"part-{i:05d}.parquet"))
-        try:
-            if os.path.isfile(final):
-                os.remove(final)
-            os.rename(tmp, final)
-        except OSError:
-            # lost a concurrent-writer race; content is deterministic per
-            # version, so the winner's checkpoint is ours too
-            shutil.rmtree(tmp, ignore_errors=True)
+        write_checkpoint_files(table, final)
         return final
 
     def _read_checkpoint(
@@ -1162,33 +1179,54 @@ class TableLog:
                   if a.deletionVector["storageType"] == "i"]
         parts: list[DataFrame] = []
         if stored:
-            dv_files = sorted({
-                self.abs_path(a.deletionVector["pathOrInlineDv"])
-                for a in stored
-            })
-            parts.append(
-                self.spark.read.parquet(*dv_files)
-                .filter(F.col("path").isin([a.path for a in stored]))
-                .select("path", F.col("row_index"))
-            )
+            # a DV parquet's `path` column is relative to the TABLE THAT
+            # WROTE IT; a shallow clone references the source's DV files,
+            # so group by each DV file's own table root (the directory
+            # above its _dv/) and translate per group — own-table DVs
+            # resolve to self.path, cloned ones to the source root
+            marker = os.sep + DV_DIR + os.sep
+            by_root: dict[str, list[AddFile]] = {}
+            for a in stored:
+                d = os.path.abspath(
+                    self.abs_path(a.deletionVector["pathOrInlineDv"]))
+                root = d.split(marker)[0] if marker in d else self.path
+                by_root.setdefault(root, []).append(a)
+            for root, items in sorted(by_root.items()):
+                dv_files = sorted({
+                    os.path.abspath(
+                        self.abs_path(a.deletionVector["pathOrInlineDv"]))
+                    for a in items
+                })
+                # a stored row's `path` may be root-relative (written by
+                # the root table for its own files) OR absolute (written
+                # by a clone for a source-referenced file) — accept both
+                keys = sorted({p for a in items for p in
+                               (a.path,
+                                os.path.relpath(self._scan_abs(a), root))})
+                abs_expr = F.when(
+                    F.col("path").startswith(os.sep), F.col("path")
+                ).otherwise(F.concat(F.lit(root + os.sep), F.col("path")))
+                parts.append(
+                    self.spark.read.parquet(*dv_files)
+                    .filter(F.col("path").isin(keys))
+                    .select(
+                        abs_expr.alias("__dv_file"),
+                        F.col("row_index").alias("__dv_ri"),
+                    )
+                )
         if inline:
             # inline descriptors decode driver-side — bounded by
             # INLINE_DV_MAX_ROWS per file by construction
             rows = [
-                (a.path, ri) for a in inline
+                (self._scan_abs(a), ri) for a in inline
                 for ri in decode_inline_dv(a.deletionVector["pathOrInlineDv"],
                            a.deletionVector.get("sizeInBytes"))
             ]
             parts.append(self.spark.createDataFrame(
-                rows, "path string, row_index long"))
+                rows, "__dv_file string, __dv_ri long"))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        df = df.select(
-            F.concat(F.lit(self.path + os.sep), F.col("path"))
-            .alias("__dv_file"),
-            F.col("row_index").alias("__dv_ri"),
-        )
         if sum(a.dv_cardinality for a in descs) <= DV_BROADCAST_MAX_ROWS:
             df = F.broadcast(df)
         return df
@@ -1212,6 +1250,73 @@ class TableLog:
                     size = os.path.getsize(dest)
         shutil.rmtree(staging, ignore_errors=True)
         return rel, size
+
+    @staticmethod
+    def _scan_base(abs_file: str) -> str:
+        """Hive partition-inference root for a file: strip trailing
+        ``col=value`` directory segments. Files of THIS table resolve to
+        its data root; absolute adds from a shallow CLONE resolve to their
+        source table's data root, so partition columns infer correctly
+        there too."""
+        d = os.path.dirname(abs_file)
+        parts = d.split(os.sep)
+        while parts and "=" in parts[-1]:
+            parts.pop()
+        return os.sep.join(parts) or os.sep
+
+    def _scan_abs(self, add: AddFile) -> str:
+        """The absolute, scheme-free path a scan's ``_metadata.file_path``
+        reports for this add — the canonical key for mapping scanned rows
+        back to their AddFile (works for table-relative AND absolute
+        shallow-clone paths)."""
+        return os.path.abspath(self.abs_path(add.path))
+
+    def _adds_by_scan_path(self, adds: list[AddFile]) -> dict[str, AddFile]:
+        return {self._scan_abs(a): a for a in adds}
+
+    def _as_recorded_path(self, col: str) -> F.Column:
+        """Map an absolute scanned path back to the add's AS-RECORDED path:
+        strip this table's prefix for its own files, keep absolute
+        shallow-clone references verbatim."""
+        prefix = self.path + os.sep
+        return F.when(
+            F.col(col).startswith(prefix),
+            F.substring(col, len(prefix) + 1, 1 << 30),
+        ).otherwise(F.col(col))
+
+    def _scan_parquet(self, adds: list[AddFile],
+                      schema: T.StructType | None = None,
+                      file_col: str | None = None,
+                      row_index_col: str | None = None) -> DataFrame:
+        """One multi-path parquet scan per partition root (a clone mixing
+        source-referenced and own files costs one scan per root, unioned —
+        never per-file scans). ``_metadata`` captures are injected PER
+        SCAN, before the union — ``_metadata`` is scan-scoped and not a
+        column of a union."""
+        groups: dict[str, list[str]] = {}
+        for a in adds:
+            p = self._scan_abs(a)
+            groups.setdefault(self._scan_base(p), []).append(p)
+        outs: list[DataFrame] = []
+        for base, paths in sorted(groups.items()):
+            reader = self.spark.read.option("basePath", base)
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(*paths)
+            if file_col is not None:
+                df = df.withColumn(
+                    file_col,
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""),
+                )
+            if row_index_col is not None:
+                df = df.withColumn(row_index_col,
+                                   F.col("_metadata.row_index"))
+            outs.append(df)
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
 
     def read_adds(self, adds: list[AddFile],
                   schema: T.StructType | None = None,
@@ -1239,58 +1344,17 @@ class TableLog:
                 for f in schema.fields
             ])
 
-        def scan_base(abs_file: str) -> str:
-            """Hive partition-inference root for a file: strip trailing
-            ``col=value`` directory segments. Files of THIS table resolve
-            to ``self.data_path``; absolute adds from a shallow CLONE
-            resolve to their source table's data root, so partition
-            columns infer correctly there too."""
-            d = os.path.dirname(abs_file)
-            parts_ = d.split(os.sep)
-            while parts_ and "=" in parts_[-1]:
-                parts_.pop()
-            return os.sep.join(parts_) or os.sep
-
-        def scan(file_adds: list[AddFile]) -> DataFrame:
-            """One multi-path scan per partition root (a clone mixing
-            source-referenced and own files costs one scan per root,
-            unioned — never per-file scans)."""
-            groups: dict[str, list[str]] = {}
-            for a in file_adds:
-                p = self.abs_path(a.path)
-                groups.setdefault(scan_base(p), []).append(p)
-            outs: list[DataFrame] = []
-            for base, paths in sorted(groups.items()):
-                reader = self.spark.read.option("basePath", base)
-                if schema is not None:
-                    reader = reader.schema(schema)
-                outs.append(reader.parquet(*paths))
-            out = outs[0]
-            for o in outs[1:]:
-                out = out.unionByName(o)
-            return out
-
         plain = [a for a in adds if not a.deletionVector]
         dirty = [a for a in adds if a.deletionVector]
         parts: list[DataFrame] = []
         if plain:
-            p = scan(plain)
-            if file_col is not None:
-                p = p.withColumn(
-                    file_col,
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:(//)?", ""),
-                )
-            parts.append(p)
+            parts.append(self._scan_parquet(plain, schema=schema,
+                                            file_col=file_col))
         if dirty:
             d = (
-                scan(dirty)
-                .withColumn(
-                    "__dv_file",
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:(//)?", ""),
-                )
-                .withColumn("__dv_ri", F.col("_metadata.row_index"))
+                self._scan_parquet(dirty, schema=schema,
+                                   file_col="__dv_file",
+                                   row_index_col="__dv_ri")
                 .join(self._dv_rows_df(dirty), ["__dv_file", "__dv_ri"],
                       "left_anti")
                 .drop("__dv_ri")
@@ -1338,12 +1402,15 @@ class TableLog:
         hit_files: set[str] = set()
         if cand:
             full = self.read_adds(cand, file_col="__file", snap=snap)
+            # match scanned absolute paths against each add's canonical
+            # scan path — add paths may be table-relative OR absolute
+            # (shallow clones), so a relpath compare would silently miss
             hit_files = {
-                os.path.relpath(r["__file"], self.path)
+                r["__file"]
                 for r in full.filter(cond)
                 .select("__file").distinct().collect()
             }
-        touched = [a for a in cand if a.path in hit_files]
+        touched = [a for a in cand if self._scan_abs(a) in hit_files]
         actions: list[Action] = []
         n_deleted = 0
         if touched:
@@ -1413,16 +1480,8 @@ class TableLog:
         — the input every DV-writing commit needs."""
         if files is None:
             files = snap.files
-        reader = self.spark.read.option("basePath", self.data_path)
-        df = (
-            reader.parquet(*[self.abs_path(a.path) for a in files])
-            .withColumn(
-                "__dv_file",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:(//)?", ""),
-            )
-            .withColumn("__dv_ri", F.col("_metadata.row_index"))
-        )
+        df = self._scan_parquet(files, file_col="__dv_file",
+                                row_index_col="__dv_ri")
         dirty = [a for a in files if a.deletionVector]
         if dirty:
             df = df.join(self._dv_rows_df(dirty), ["__dv_file", "__dv_ri"],
@@ -1440,9 +1499,9 @@ class TableLog:
         and returns (remove + re-add-with-descriptor actions, rows marked).
         A file whose deleted set reaches its physical row count is removed
         outright. Triggers one counting job over ``matched``."""
-        prefix_len = len(self.path + os.sep)
+        by_scan = self._adds_by_scan_path(snap.files)
         counts = {
-            r["f"][prefix_len:]: r["n"]
+            by_scan[r["f"]].path: r["n"]
             for r in matched.groupBy(F.col("__dv_file").alias("f"))
             .agg(F.count("*").alias("n")).collect()
         }
@@ -1463,34 +1522,26 @@ class TableLog:
                if a.path in inline_set) > INLINE_DV_GLOBAL_MAX_ROWS:
             inline_set = set()
 
+        # the DV parquet records each deleted row under its add's
+        # AS-RECORDED path (relative for this table's own files, absolute
+        # for shallow-clone references) — map the scanned absolute
+        # ``__dv_file`` back with a pure expression, no driver-side map
         dv_rows = matched.select(
-            F.substring("__dv_file", prefix_len + 1, 1 << 30).alias("path"),
+            self._as_recorded_path("__dv_file").alias("path"),
             F.col("__dv_ri").alias("row_index"),
         )
         carried = [a for a in touched if a.deletionVector]
-        carried_files = sorted({
-            self.abs_path(a.deletionVector["pathOrInlineDv"])
-            for a in carried if a.deletionVector["storageType"] == "u"
-        })
-        carried_inline_rows = [
-            (a.path, ri) for a in carried
-            if a.deletionVector["storageType"] == "i"
-            for ri in decode_inline_dv(a.deletionVector["pathOrInlineDv"],
-                           a.deletionVector.get("sizeInBytes"))
-        ]
-        if carried_files:
+        if carried:
             # the new DV file must carry forward previously deleted
             # positions of the touched files (descriptors point at one
-            # file each; old and new sets are disjoint by construction)
-            old = (
-                self.spark.read.parquet(*carried_files)
-                .filter(F.col("path").isin([a.path for a in carried]))
-                .select("path", "row_index")
+            # file each; old and new sets are disjoint by construction);
+            # _dv_rows_df handles stored + inline and clone-root
+            # translation uniformly
+            old = self._dv_rows_df(carried).select(
+                self._as_recorded_path("__dv_file").alias("path"),
+                F.col("__dv_ri").alias("row_index"),
             )
             dv_rows = dv_rows.unionByName(old)
-        if carried_inline_rows:
-            dv_rows = dv_rows.unionByName(self.spark.createDataFrame(
-                carried_inline_rows, "path string, row_index long"))
 
         inline_positions: dict[str, list[int]] = {}
         packed_rows = dv_rows
@@ -1664,12 +1715,15 @@ class TableLog:
         hit_files: set[str] = set()
         if cand:
             full = self.read_adds(cand, file_col="__file", snap=snap)
+            # match scanned absolute paths against each add's canonical
+            # scan path — add paths may be table-relative OR absolute
+            # (shallow clones), so a relpath compare would silently miss
             hit_files = {
-                os.path.relpath(r["__file"], self.path)
+                r["__file"]
                 for r in full.filter(cond)
                 .select("__file").distinct().collect()
             }
-        touched = [a for a in cand if a.path in hit_files]
+        touched = [a for a in cand if self._scan_abs(a) in hit_files]
         actions: list[Action] = []
         n_updated = 0
         if touched:
@@ -1797,11 +1851,12 @@ class TableLog:
                         pre.withColumn(CHANGE_TYPE_COL, F.lit("delete")))
         elif when_matched is not None:
             hit_files = {
-                os.path.relpath(r["__file"], self.path)
+                r["__file"]
                 for r in full.join(F.broadcast(src_keys), keys, "left_semi")
                 .select("__file").distinct().collect()
             }
-            touched = [a for a in snap.files if a.path in hit_files]
+            touched = [a for a in snap.files
+                       if self._scan_abs(a) in hit_files]
             if touched:
                 touched_df = self._read_files(snap, touched)
                 pre = touched_df.join(F.broadcast(src_keys), keys,
@@ -2156,24 +2211,14 @@ class TableLog:
             if len(inline) > INLINE_DV_COMPACT_FILES else []
         if not fold_inline and len(gens) <= 1:
             return None
-        parts = []
-        if gens:
-            parts.append(
-                self.spark.read.parquet(*[self.abs_path(g) for g in gens])
-                .filter(F.col("path").isin([a.path for a in stored]))
-                .select("path", "row_index")
-            )
-        if fold_inline:
-            parts.append(self.spark.createDataFrame(
-                [(a.path, ri) for a in fold_inline
-                 for ri in decode_inline_dv(
-                     a.deletionVector["pathOrInlineDv"],
-                     a.deletionVector.get("sizeInBytes"))],
-                "path string, row_index long"))
-        rows = parts[0]
-        for p_ in parts[1:]:
-            rows = rows.unionByName(p_)
-        rows = rows.distinct()
+        # _dv_rows_df handles stored + inline generations AND translates
+        # shallow-clone source-root paths; map back to as-recorded paths
+        rows = (
+            self._dv_rows_df(stored + fold_inline)
+            .select(self._as_recorded_path("__dv_file").alias("path"),
+                    F.col("__dv_ri").alias("row_index"))
+            .distinct()
+        )
         dirty = stored + fold_inline  # untouched inline descs stay as-is
         dv_rel, dv_size = self._write_dv_file(rows)
         actions: list[Action] = []

@@ -1713,3 +1713,141 @@ class TestCheckConstraints:
         log.drop_constraint("id_bound")
         assert "delta.constraints.id_bound" not in \
             log.snapshot().metadata.configuration
+
+
+class TestCloneDML:
+    """DML against a shallow clone: the clone's files are ABSOLUTE paths
+    into the source tree, so every file<->add mapping (hit files, DV row
+    keys, carried generations) must use canonical scan paths, not
+    table-relative ones (round-4 review finding: relpath compares made
+    clone DML a silent no-op)."""
+
+    def _pair(self, spark, events, tmp_path, dv: bool):
+        conf = {"enableDeletionVectors": "true"} if dv else {}
+        src = TableLog(spark, str(tmp_path / "src"))
+        src.create(events.filter("event_id < 100"), name="src",
+                   configuration=conf)
+        return src
+
+    def test_clone_delete_rewrite_path(self, spark, events, tmp_path):
+        src = self._pair(spark, events, tmp_path, dv=False)
+        clone = src.clone_to(str(tmp_path / "c1"))
+        v = clone.delete("event_id < 50")
+        assert v == 1
+        assert SharedTable(spark, clone.path).to_df().count() == 50
+        info = clone.read_commit(1).info
+        assert info.operationMetrics["numDeletedRows"] == "50"
+        # source untouched
+        assert SharedTable(spark, src.path).to_df().count() == 100
+
+    def test_clone_delete_dv_path(self, spark, events, tmp_path):
+        src = self._pair(spark, events, tmp_path, dv=True)
+        clone = src.clone_to(str(tmp_path / "c2"))
+        clone.delete("event_id < 30")
+        assert SharedTable(spark, clone.path).to_df().count() == 70
+        assert SharedTable(spark, src.path).to_df().count() == 100
+        # the clone's new DV lives in the clone's own tree
+        dvs = [a.deletionVector for a in clone.snapshot().files
+               if a.deletionVector]
+        assert dvs
+
+    def test_clone_of_dv_source_applies_source_dv(self, spark, events,
+                                                  tmp_path):
+        """Clone a table that ALREADY carries deletion vectors: the read
+        must apply the source-written DV parquet (whose path column is
+        source-relative) through the clone's absolute references."""
+        src = self._pair(spark, events, tmp_path, dv=True)
+        src.delete("event_id < 20")
+        assert SharedTable(spark, src.path).to_df().count() == 80
+        clone = src.clone_to(str(tmp_path / "c3"))
+        assert SharedTable(spark, clone.path).to_df().count() == 80
+        # and a further clone-side delete stacks on the carried DV
+        clone.delete("event_id < 40")
+        assert SharedTable(spark, clone.path).to_df().count() == 60
+        assert SharedTable(spark, src.path).to_df().count() == 80
+
+    def test_clone_update_and_merge(self, spark, events, tmp_path):
+        src = self._pair(spark, events, tmp_path, dv=False)
+        clone = src.clone_to(str(tmp_path / "c4"))
+        clone.update({"value": "value + 1000"}, "event_id < 10")
+        got = SharedTable(spark, clone.path).to_df() \
+            .filter("value >= 1000").count()
+        assert got == 10
+        srcdf = events.filter("event_id >= 100 AND event_id < 110")
+        clone.merge(srcdf, keys=["event_id"], when_matched="update",
+                    when_not_matched="insert")
+        assert SharedTable(spark, clone.path).to_df().count() == 110
+
+    def test_clone_dv_compaction(self, spark, events, tmp_path):
+        src = self._pair(spark, events, tmp_path, dv=True)
+        src.delete("event_id < 10")
+        clone = src.clone_to(str(tmp_path / "c5"))
+        clone.delete("event_id >= 10 AND event_id < 20")
+        clone.delete("event_id >= 20 AND event_id < 30")
+        before = SharedTable(spark, clone.path).to_df().count()
+        assert before == 70
+        v = clone.compact_deletion_vectors()
+        if v is not None:
+            assert SharedTable(spark, clone.path).to_df().count() == 70
+        assert SharedTable(spark, src.path).to_df().count() == 90
+
+
+class TestInlineDvLegacyFallback:
+    """Round-4 review findings: pre-z85 legacy payloads must stay readable
+    (including large positions whose 5-char groups exceed 32 bits), and a
+    corrupted SPEC payload must error, not legacy-decode into garbage."""
+
+    @staticmethod
+    def _legacy_encode(positions):
+        import base64
+
+        data = bytearray()
+        prev = -1
+        for ri in sorted(positions):
+            delta = ri - prev
+            prev = ri
+            while True:
+                b = delta & 0x7F
+                delta >>= 7
+                if delta:
+                    data.append(b | 0x80)
+                else:
+                    data.append(b)
+                    break
+        return base64.b85encode(bytes(data)).decode()
+
+    def test_legacy_payload_large_position(self):
+        from delta_sharing_spark.plans.dvcodec import decode_inline_dv
+
+        for positions in ([2105669], [0, 1, 2_105_669, 4_000_000_000],
+                          [7], list(range(100))):
+            enc = self._legacy_encode(positions)
+            # legacy descriptors recorded sizeInBytes == len(encoded)
+            assert decode_inline_dv(enc, len(enc)) == sorted(positions)
+
+    def test_corrupt_spec_payload_raises(self):
+        import pytest as _pytest
+
+        from delta_sharing_spark.plans.dvcodec import (
+            decode_inline_dv,
+            encode_inline_dv,
+        )
+
+        enc, size = encode_inline_dv([5, 17, 100_000])
+        assert decode_inline_dv(enc, size) == [5, 17, 100_000]
+        # flip one char to another z85-alphabet char: magic check fails,
+        # and with a spec-shaped sizeInBytes the legacy fallback must NOT
+        # engage
+        import struct as _struct
+
+        bad = ("0" if enc[0] != "0" else "1") + enc[1:]
+        with _pytest.raises((ValueError, _struct.error)):
+            decode_inline_dv(bad, size)
+
+    def test_overflow_group_is_valueerror(self):
+        import pytest as _pytest
+
+        from delta_sharing_spark.plans.dvcodec import z85_decode
+
+        with _pytest.raises(ValueError):
+            z85_decode("#####")  # 84,84,84,84,84 -> 85^5-1 > 2^32

@@ -60,8 +60,6 @@ def build_manifest_table(n_files: int, version: int):
     disjoint id ranges (file i covers [i*1000, (i+1)*1000)), one 'cat'
     partition value cycling over 16 values, plus metaData/protocol rows —
     the exact schema TableLog.write_checkpoint emits."""
-    import pyarrow as pa
-
     from delta_sharing_spark.plans.actions import (
         Metadata, Protocol, dumps_action)
 
@@ -102,26 +100,17 @@ def build_manifest_table(n_files: int, version: int):
         nulls.append(dumps({"id": 0, "v": 0}))
         vers.append(version)
         tss.append(ts0)
-    return pa.table({
-        "kind": pa.array(kinds, pa.string()),
-        "action_json": pa.array(jsons, pa.string()),
-        "path": pa.array(paths, pa.string()),
-        "partitionValues": pa.array(pvs, pa.map_(pa.string(), pa.string())),
-        "size": pa.array(sizes, pa.int64()),
-        "numRecords": pa.array(nrecs, pa.int64()),
-        "minValues": pa.array(mins, pa.string()),
-        "maxValues": pa.array(maxs, pa.string()),
-        "nullCount": pa.array(nulls, pa.string()),
-        "version": pa.array(vers, pa.int64()),
-        "timestamp": pa.array(tss, pa.int64()),
-    })
+    # the column layout comes from the engine itself (the one
+    # definition), so the bench can never drift onto a stale format
+    from delta_sharing_spark.plans.log import checkpoint_arrow_table
+
+    return checkpoint_arrow_table(kinds, jsons, paths, pvs, sizes, nrecs,
+                                  mins, maxs, nulls, vers, tss)
 
 
 def write_synthetic_table(root: str, n_files: int) -> float:
     """Table dir with one commit JSON at version 0 + a checkpoint parquet
     carrying the whole manifest. Returns checkpoint write seconds."""
-    import pyarrow.parquet as pq
-
     from delta_sharing_spark.plans.actions import (
         CommitInfo, Metadata, Protocol, dumps_action)
     from delta_sharing_spark.plans.log import (
@@ -139,18 +128,12 @@ def write_synthetic_table(root: str, n_files: int) -> float:
         f.write(dumps_action(meta) + "\n")
         f.write(dumps_action(info) + "\n")
     t0 = time.perf_counter()
-    from delta_sharing_spark.plans.log import CHECKPOINT_PART_ROWS
+    from delta_sharing_spark.plans.log import write_checkpoint_files
 
     table = build_manifest_table(n_files, version=0)
     final = os.path.join(log_dir, _fmt_checkpoint(0))
-    if table.num_rows <= CHECKPOINT_PART_ROWS:
-        pq.write_table(table, final)
-    else:  # multi-part directory, exactly like TableLog.write_checkpoint
-        os.makedirs(final)
-        for i, start in enumerate(range(0, table.num_rows,
-                                        CHECKPOINT_PART_ROWS)):
-            pq.write_table(table.slice(start, CHECKPOINT_PART_ROWS),
-                           os.path.join(final, f"part-{i:05d}.parquet"))
+    # the engine's own writer: single-file vs multi-part split included
+    write_checkpoint_files(table, final)
     return time.perf_counter() - t0
 
 
