@@ -604,9 +604,6 @@ class TableLog:
         columns so ``files_df`` can scan the checkpoint directly as a
         DataFrame. Written via pyarrow — works in sessionless contexts (the
         Python Data Source planner) too."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         snap = self.snapshot(version=version)
         kinds = ["metaData", "protocol"]
         jsons = [dumps_action(snap.metadata), dumps_action(Protocol())]
@@ -1304,10 +1301,17 @@ class TableLog:
                 reader = reader.schema(schema)
             df = reader.parquet(*paths)
             if file_col is not None:
+                # _metadata.file_path is URI-encoded (space -> %20 etc.);
+                # decode it back to the on-disk byte path so it compares
+                # equal to os.path-derived keys. '+' is protected first:
+                # url_decode is form-decoding ('+' -> space), but Hadoop
+                # paths keep '+' literal
                 df = df.withColumn(
                     file_col,
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:(//)?", ""),
+                    F.url_decode(F.regexp_replace(
+                        F.regexp_replace(F.col("_metadata.file_path"),
+                                         "^file:(//)?", ""),
+                        r"\+", "%2B")),
                 )
             if row_index_col is not None:
                 df = df.withColumn(row_index_col,

@@ -47,8 +47,10 @@ class _FilePartition(InputPartition):
                  schema_json: str, change_type: str | None = None,
                  commit_version: int | None = None,
                  commit_timestamp: int | None = None,
-                 dv_path: str | None = None, dv_key: str | None = None,
-                 dv_inline: str | None = None):
+                 dv_path: str | None = None,
+                 dv_keys: list[str] | None = None,
+                 dv_inline: str | None = None,
+                 dv_inline_size: int | None = None):
         self.path = path
         self.partition_values = partition_values
         self.schema_json = schema_json
@@ -57,13 +59,17 @@ class _FilePartition(InputPartition):
         self.change_type = change_type
         self.commit_version = commit_version
         self.commit_timestamp = commit_timestamp
-        # deletion vector: abs path of the DV parquet + this file's key (its
-        # log-relative path) within it; positions listed there are skipped.
-        # dv_inline carries an inline (storageType "i") encoded vector
-        # instead — decoded in the worker, no extra file open.
+        # deletion vector: abs path of the DV parquet + this file's keys
+        # within it (the DV rows may record the file root-relative — written
+        # by that table for its own files — or absolute, written by a
+        # shallow clone for source-referenced files); positions listed
+        # there are skipped. dv_inline carries an inline (storageType "i")
+        # encoded vector instead — decoded in the worker, no extra file
+        # open; dv_inline_size gates the legacy-codec fallback.
         self.dv_path = dv_path
-        self.dv_key = dv_key
+        self.dv_keys = dv_keys
         self.dv_inline = dv_inline
+        self.dv_inline_size = dv_inline_size
 
 
 def _parse_partition_value(value: str, dtype: T.DataType):
@@ -104,7 +110,8 @@ def _read_file_batches(partition: _FilePartition) -> Iterator:
 
         from delta_sharing_spark.plans.log import decode_inline_dv
 
-        deleted = np.array(decode_inline_dv(partition.dv_inline),
+        deleted = np.array(decode_inline_dv(partition.dv_inline,
+                                            partition.dv_inline_size),
                            dtype="int64")
     elif partition.dv_path:
         # positions logically deleted from this file (deletion vector);
@@ -113,7 +120,7 @@ def _read_file_batches(partition: _FilePartition) -> Iterator:
 
         dv = pq.read_table(
             partition.dv_path, columns=["path", "row_index"],
-            filters=[("path", "==", partition.dv_key)],
+            filters=[("path", "in", partition.dv_keys)],
         )
         deleted = np.sort(dv.column("row_index").to_numpy())
     row_offset = 0
@@ -222,13 +229,26 @@ class SharedTableBatchReader(DataSourceReader):
 
 def _dv_args(log, f) -> dict:
     """Deletion-vector kwargs for a _FilePartition (empty for clean files
-    and cdc files, which never carry DVs)."""
+    and cdc files, which never carry DVs). Mirrors TableLog._dv_rows_df's
+    clone handling: the DV parquet's `path` rows may be relative to the
+    DV's own table root (source-written) or absolute (clone-written), so
+    both candidate keys are matched."""
+    import os
+
+    from delta_sharing_spark.plans.log import DV_DIR
+
     dv = getattr(f, "deletionVector", None)
     if not dv:
         return {}
     if dv.get("storageType") == "i":
-        return {"dv_inline": dv["pathOrInlineDv"], "dv_key": f.path}
-    return {"dv_path": log.abs_path(dv["pathOrInlineDv"]), "dv_key": f.path}
+        return {"dv_inline": dv["pathOrInlineDv"],
+                "dv_inline_size": dv.get("sizeInBytes")}
+    d = os.path.abspath(log.abs_path(dv["pathOrInlineDv"]))
+    marker = os.sep + DV_DIR + os.sep
+    root = d.split(marker)[0] if marker in d else log.path
+    scan_abs = os.path.abspath(log.abs_path(f.path))
+    keys = sorted({f.path, os.path.relpath(scan_abs, root)})
+    return {"dv_path": d, "dv_keys": keys}
 
 
 # In filters expand to OR-of-equals only up to this many entries, like the

@@ -838,3 +838,63 @@ class TestStreamingReviewRegressions:
         out = (spark.read.format("deltashare").option("path", src).load())
         assert out.count() == 3
         assert out.filter("ts_part = '2024-01-01 10:30:00'").count() == 1
+
+
+class TestDataSourceCloneAndPaths:
+    """Round-4 review findings: the Python Data Source must apply a
+    shallow clone's carried source deletion vectors (dv_keys matches
+    both relative and absolute DV row keys), and special-character table
+    paths must round-trip the URI-encoded _metadata.file_path."""
+
+    def test_datasource_reads_clone_with_source_dv(self, spark, events,
+                                                   tmp_path):
+        from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableDataSource,
+        )
+
+        src = TableLog(spark, str(tmp_path / "src"))
+        src.create(events.filter("event_id < 100"), name="src",
+                   configuration={"enableDeletionVectors": "true"})
+        src.delete("event_id < 25")
+        clone = src.clone_to(str(tmp_path / "clone"))
+        spark.dataSource.register(SharedTableDataSource)
+        got = (spark.read.format("deltashare")
+               .option("path", clone.path).load().count())
+        assert got == 75
+        # clone-side DV stacking visible through the datasource too
+        clone.delete("event_id < 40")
+        got2 = (spark.read.format("deltashare")
+                .option("path", clone.path).load().count())
+        assert got2 == 60
+
+    def test_special_char_table_path_dml(self, spark, events, tmp_path):
+        """Table rooted under a directory with a space and a percent sign:
+        DV deletes and DML file matching must still work (the scanned
+        _metadata.file_path is URI-encoded and is now url-decoded before
+        comparison)."""
+        from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.table import SharedTable
+
+        d = str(tmp_path / "space dir" / "pct%25dir" / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"), name="t",
+                   configuration={"enableDeletionVectors": "true"})
+        log.delete("event_id < 30")
+        assert SharedTable(spark, d).to_df().count() == 70
+        log.update({"value": "value + 1000"}, "event_id >= 90")
+        assert SharedTable(spark, d).to_df() \
+            .filter("value >= 1000").count() == 10
+
+    def test_special_char_path_rewrite_dml(self, spark, events, tmp_path):
+        from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.table import SharedTable
+
+        d = str(tmp_path / "plus+dir" / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 80"), name="t")
+        v = log.delete("event_id < 20")
+        assert v == 1
+        assert SharedTable(spark, d).to_df().count() == 60
+        info = log.read_commit(1).info
+        assert info.operationMetrics["numDeletedRows"] == "20"

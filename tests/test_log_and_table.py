@@ -11,6 +11,24 @@ from pyspark.sql import types as T
 from delta_sharing_spark.plans.log import TableLog, VersionNotFoundError
 from delta_sharing_spark.table import SharedTable
 
+def _legacy_encode_dv(positions):
+    """The pre-round-4 inline-DV wire format (base85 delta-varint) — the
+    ONE copy of the legacy encoder, used by every fallback test."""
+    import base64
+
+    out = bytearray()
+    prev = -1
+    for ri in sorted(positions):
+        delta, prev = ri - prev, ri
+        while True:
+            b = delta & 0x7F
+            delta >>= 7
+            out.append(b | (0x80 if delta else 0))
+            if not delta:
+                break
+    return base64.b85encode(bytes(out)).decode()
+
+
 
 @pytest.fixture()
 def versioned_table(spark, events, table_dir):
@@ -1017,20 +1035,7 @@ class TestInlineDeletionVectors:
             [10, 11, 12, 100]
 
         # legacy pre-round-4 encoding (base85 delta-varint) still readable
-        def legacy_encode(positions):
-            out = bytearray()
-            prev = -1
-            for ri in sorted(positions):
-                delta, prev = ri - prev, ri
-                while True:
-                    b = delta & 0x7F
-                    delta >>= 7
-                    out.append(b | (0x80 if delta else 0))
-                    if not delta:
-                        break
-            return base64.b85encode(bytes(out)).decode()
-
-        assert decode_inline_dv(legacy_encode([7, 100, 3])) == [3, 7, 100]
+        assert decode_inline_dv(_legacy_encode_dv([7, 100, 3])) == [3, 7, 100]
 
     def test_small_delete_inlines_no_dv_file(self, spark, events, table_dir):
         import os
@@ -1797,31 +1802,12 @@ class TestInlineDvLegacyFallback:
     (including large positions whose 5-char groups exceed 32 bits), and a
     corrupted SPEC payload must error, not legacy-decode into garbage."""
 
-    @staticmethod
-    def _legacy_encode(positions):
-        import base64
-
-        data = bytearray()
-        prev = -1
-        for ri in sorted(positions):
-            delta = ri - prev
-            prev = ri
-            while True:
-                b = delta & 0x7F
-                delta >>= 7
-                if delta:
-                    data.append(b | 0x80)
-                else:
-                    data.append(b)
-                    break
-        return base64.b85encode(bytes(data)).decode()
-
     def test_legacy_payload_large_position(self):
         from delta_sharing_spark.plans.dvcodec import decode_inline_dv
 
         for positions in ([2105669], [0, 1, 2_105_669, 4_000_000_000],
                           [7], list(range(100))):
-            enc = self._legacy_encode(positions)
+            enc = _legacy_encode_dv(positions)
             # legacy descriptors recorded sizeInBytes == len(encoded)
             assert decode_inline_dv(enc, len(enc)) == sorted(positions)
 
