@@ -1000,16 +1000,37 @@ class TableLog:
         description: str | None = None,
         configuration: dict[str, str] | None = None,
         operation_parameters: dict[str, str] | None = None,
+        generated_columns: dict[str, str] | None = None,
     ) -> int:
         if self.exists():
             raise ValueError(f"table already exists at {self.path}")
         partition_by = partition_by or []
+        if generated_columns:
+            # materialize/validate now, then pin the expressions into the
+            # schema field metadata (delta.generationExpression) so every
+            # later write re-derives them; partition_by may name one —
+            # the standard "partition by date(ts)" pruning setup
+            synth = T.StructType([
+                T.StructField(n, T.NullType(), True,
+                              {self.GENERATION_EXPR_KEY: e})
+                for n, e in generated_columns.items()
+            ])
+            df = self._apply_generated(df, synth, "CREATE TABLE")
+        schema_fields = []
+        for f in df.schema.fields:
+            if generated_columns and f.name in generated_columns:
+                md = dict(f.metadata or {})
+                md[self.GENERATION_EXPR_KEY] = generated_columns[f.name]
+                schema_fields.append(
+                    T.StructField(f.name, f.dataType, f.nullable, md))
+            else:
+                schema_fields.append(f)
         ts = self._next_commit_timestamp()
         metadata = Metadata(
             id=uuid.uuid4().hex,
             name=name,
             description=description,
-            schemaString=df.schema.json(),
+            schemaString=T.StructType(schema_fields).json(),
             partitionColumns=partition_by,
             configuration=configuration or {},
             createdTime=ts,
@@ -1042,6 +1063,7 @@ class TableLog:
         data = df
         if max_files:
             data = df.repartition(max_files)
+        data = self._apply_generated(data, snap.schema, "WRITE")
         self._validate_constraints(data, snap.metadata.configuration, "WRITE")
         staged = self._stage_dataframe(data, snap.partition_columns,
                                        self.data_path, snap=snap)
@@ -1131,6 +1153,51 @@ class TableLog:
             raise CheckConstraintViolation(
                 f"{operation} violates CHECK constraint {name!r} "
                 f"({cons[name]})")
+
+    # ------------------------------------------------- generated columns
+
+    GENERATION_EXPR_KEY = "delta.generationExpression"
+
+    @classmethod
+    def _generated_columns(cls, schema: T.StructType) -> dict[str, str]:
+        """Generated columns from the schema's field metadata (Delta's
+        ``delta.generationExpression`` storage convention)."""
+        out: dict[str, str] = {}
+        for f in schema.fields:
+            md = f.metadata or {}
+            if cls.GENERATION_EXPR_KEY in md:
+                out[f.name] = md[cls.GENERATION_EXPR_KEY]
+        return out
+
+    def _apply_generated(self, df: DataFrame, schema: T.StructType,
+                         operation: str) -> DataFrame:
+        """Materialize absent generated columns from their expressions and
+        validate explicitly-provided ones (Delta's write-time invariant:
+        a supplied value must equal the generation expression — null-safe,
+        so the check itself never passes vacuously)."""
+        gcols = self._generated_columns(schema)
+        if not gcols:
+            return df
+        present = {n: e for n, e in gcols.items() if n in df.columns}
+        for n, e in gcols.items():
+            if n not in df.columns:
+                df = df.withColumn(n, F.expr(e))
+        if present:
+            self._validate_constraints(
+                df,
+                {f"delta.constraints.generated:{n}": f"`{n}` <=> ({e})"
+                 for n, e in present.items()},
+                operation)
+        return df
+
+    def _regenerate(self, df: DataFrame,
+                    schema: T.StructType) -> DataFrame:
+        """Recompute every generated column (UPDATE/MERGE semantics:
+        generated values follow their source columns unless explicitly
+        set)."""
+        for n, e in self._generated_columns(schema).items():
+            df = df.withColumn(n, F.expr(e))
+        return df
 
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT: validates the WHOLE current table
@@ -1654,6 +1721,9 @@ class TableLog:
             post = pre
             for col_name, expr in sets.items():
                 post = post.withColumn(col_name, expr)
+            for g, ge in self._generated_columns(snap.schema).items():
+                if g not in sets:
+                    post = post.withColumn(g, F.expr(ge))
             # conform to the declared schema: unlike the rewrite path there
             # is no union with original-typed rows to coerce a SET expr's
             # type (e.g. a bare "0.0" literal is DECIMAL(1,1), not DOUBLE)
@@ -1737,6 +1807,9 @@ class TableLog:
             post = pre
             for col_name, expr in sets.items():
                 post = post.withColumn(col_name, expr)
+            for g, ge in self._generated_columns(snap.schema).items():
+                if g not in set_exprs:  # generated values follow their
+                    post = post.withColumn(g, F.expr(ge))  # source columns
             rewritten = touched_df.filter(~cond | cond.isNull()).unionByName(post)
             self._validate_constraints(post, snap.metadata.configuration,
                                        "UPDATE")
@@ -1800,7 +1873,9 @@ class TableLog:
             # violates appendOnly
             _check_not_append_only(snap, "MERGE")
         schema_cols = [f.name for f in snap.schema.fields]
-        src = source.select(*schema_cols)
+        # generated columns re-derive from the SOURCE row (MERGE semantics;
+        # a source without them is fine — they materialize here)
+        src = self._regenerate(source, snap.schema).select(*schema_cols)
         src_keys = src.select(*keys).distinct()
 
         dv_mode = snap.metadata.configuration.get(
@@ -1965,6 +2040,7 @@ class TableLog:
         ``ConcurrentAppendError`` (retry_on_conflict re-runs over them)."""
         snap = self.snapshot()
         _check_not_append_only(snap, "OVERWRITE")
+        df = self._apply_generated(df, snap.schema, "OVERWRITE")
         self._validate_constraints(df, snap.metadata.configuration,
                                    "OVERWRITE")
         staged = self._stage_dataframe(df, snap.partition_columns,

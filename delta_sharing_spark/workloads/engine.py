@@ -759,3 +759,48 @@ def eng_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("event_id").alias("id_sum"),
     )
+
+
+def _events_generated(spark: SparkSession, sf_dir: str) -> str:
+    """Generated-column table: event_date := CAST(ts AS DATE) pinned in
+    the schema metadata and used as the partition column. v0 = events with
+    event_id < 2000; v1 = append [2000, 3000) WITHOUT the generated column
+    (the engine derives it); v2 = UPDATE shifting ts for event_id < 50
+    (the generated date must follow)."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        ev = read_table(spark, sf_dir, "events")
+        log = TableLog(spark, path)
+        log.create(ev.filter("event_id < 2000"), name="events_generated",
+                   partition_by=["event_date"],
+                   generated_columns={"event_date": "CAST(ts AS DATE)"})
+        log.append(ev.filter("event_id >= 2000 AND event_id < 3000"))
+        log.update({"ts": "ts + INTERVAL 365 DAYS"}, "event_id < 50")
+
+    return _fixture(spark, sf_dir, "events_generated", build)
+
+
+@workload(
+    "eng_generated_columns",
+    oracle="""
+    SELECT strftime(CAST((CASE WHEN event_id < 50
+                          THEN ts + INTERVAL 365 DAY
+                          ELSE ts END) AS DATE), '%Y-%m-%d') AS event_date,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM events WHERE event_id < 3000
+    GROUP BY 1
+    """,
+)
+def eng_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns (delta.generationExpression): derived on append
+    when absent, recomputed by UPDATE when the source column changes, and
+    usable as a PARTITION column — the standard partition-by-date(ts)
+    pruning setup. The oracle rederives every date from the raw events."""
+    t = SharedTable(spark, _events_generated(spark, sf_dir))
+    return t.to_df() \
+        .groupBy(F.date_format("event_date", "yyyy-MM-dd")
+                 .alias("event_date")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").alias("id_sum"),
+    )

@@ -1837,3 +1837,63 @@ class TestInlineDvLegacyFallback:
 
         with _pytest.raises(ValueError):
             z85_decode("#####")  # 84,84,84,84,84 -> 85^5-1 > 2^32
+
+
+class TestGeneratedColumns:
+    """delta.generationExpression columns: materialized on write when
+    absent, validated when supplied, recomputed by UPDATE/MERGE when their
+    source columns change."""
+
+    def _table(self, spark, events, tmp_path, **kw):
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"), name="t",
+                   generated_columns={"event_date": "CAST(ts AS DATE)"},
+                   **kw)
+        return log
+
+    def test_create_materializes_and_pins_metadata(self, spark, events,
+                                                   tmp_path):
+        log = self._table(spark, events, tmp_path,
+                          partition_by=["event_date"])
+        df = SharedTable(spark, log.path).to_df()
+        assert "event_date" in df.columns
+        assert df.filter("event_date <> CAST(ts AS DATE)").count() == 0
+        # expression pinned in schema metadata (Delta's convention)
+        f = [f for f in log.snapshot().schema.fields
+             if f.name == "event_date"][0]
+        assert f.metadata["delta.generationExpression"] == "CAST(ts AS DATE)"
+        # and the generated column is a real partition column -> pruning
+        assert log.snapshot().partition_columns == ["event_date"]
+
+    def test_append_computes_missing_and_validates_present(self, spark,
+                                                           events,
+                                                           tmp_path):
+        from delta_sharing_spark.plans.log import CheckConstraintViolation
+
+        log = self._table(spark, events, tmp_path)
+        log.append(events.filter("event_id >= 100 AND event_id < 120"))
+        df = SharedTable(spark, log.path).to_df()
+        assert df.count() == 120
+        assert df.filter("event_date <> CAST(ts AS DATE)").count() == 0
+        bad = events.filter("event_id >= 200").limit(3) \
+            .withColumn("event_date", F.lit("1999-01-01").cast("date"))
+        with pytest.raises(CheckConstraintViolation, match="generated"):
+            log.append(bad)
+
+    def test_update_recomputes(self, spark, events, tmp_path):
+        log = self._table(spark, events, tmp_path)
+        log.update({"ts": "ts + INTERVAL 365 DAYS"}, "event_id < 10")
+        df = SharedTable(spark, log.path).to_df()
+        assert df.filter("event_date <> CAST(ts AS DATE)").count() == 0
+
+    def test_merge_rederives(self, spark, events, tmp_path):
+        log = self._table(spark, events, tmp_path)
+        src = events.filter("event_id >= 95 AND event_id < 105") \
+            .withColumn("ts", F.expr("ts + INTERVAL 30 DAYS"))
+        # source has no event_date column at all: merge derives it
+        log.merge(src, keys=["event_id"], when_matched="update",
+                  when_not_matched="insert")
+        df = SharedTable(spark, log.path).to_df()
+        assert df.count() == 105
+        assert df.filter("event_date <> CAST(ts AS DATE)").count() == 0
