@@ -85,7 +85,13 @@ def _attach_commit_columns(
     meta_df = spark.createDataFrame(file_meta, meta_schema)
     out = (
         df.withColumn(
-            "__path", F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+            # input_file_name is URI-encoded (space -> %20); decode back to
+            # the on-disk byte path ('+' protected: url_decode is
+            # form-decoding) so the join key matches abs_path-derived paths
+            "__path",
+            F.url_decode(F.regexp_replace(
+                F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+                r"\+", "%2B")),
         )
         .join(F.broadcast(meta_df), "__path")
         .drop("__path")

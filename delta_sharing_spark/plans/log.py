@@ -1005,6 +1005,7 @@ class TableLog:
         if self.exists():
             raise ValueError(f"table already exists at {self.path}")
         partition_by = partition_by or []
+        gen_checks: dict[str, str] = {}
         if generated_columns:
             # materialize/validate now, then pin the expressions into the
             # schema field metadata (delta.generationExpression) so every
@@ -1015,7 +1016,7 @@ class TableLog:
                               {self.GENERATION_EXPR_KEY: e})
                 for n, e in generated_columns.items()
             ])
-            df = self._apply_generated(df, synth, "CREATE TABLE")
+            df, gen_checks = self._generated_write_prep(df, synth)
         schema_fields = []
         for f in df.schema.fields:
             if generated_columns and f.name in generated_columns:
@@ -1035,7 +1036,8 @@ class TableLog:
             configuration=configuration or {},
             createdTime=ts,
         )
-        self._validate_constraints(df, configuration, "CREATE TABLE")
+        self._validate_constraints(df, {**(configuration or {}),
+                                        **gen_checks}, "CREATE TABLE")
         staged = self._stage_dataframe(df, partition_by, self.data_path)
         actions: list[Action] = [Protocol(), metadata]
         actions += [
@@ -1063,8 +1065,9 @@ class TableLog:
         data = df
         if max_files:
             data = df.repartition(max_files)
-        data = self._apply_generated(data, snap.schema, "WRITE")
-        self._validate_constraints(data, snap.metadata.configuration, "WRITE")
+        data, gen_checks = self._generated_write_prep(data, snap.schema)
+        self._validate_constraints(
+            data, {**snap.metadata.configuration, **gen_checks}, "WRITE")
         staged = self._stage_dataframe(data, snap.partition_columns,
                                        self.data_path, snap=snap)
         adds: list[Action] = [
@@ -1169,35 +1172,26 @@ class TableLog:
                 out[f.name] = md[cls.GENERATION_EXPR_KEY]
         return out
 
-    def _apply_generated(self, df: DataFrame, schema: T.StructType,
-                         operation: str) -> DataFrame:
-        """Materialize absent generated columns from their expressions and
-        validate explicitly-provided ones (Delta's write-time invariant:
-        a supplied value must equal the generation expression — null-safe,
-        so the check itself never passes vacuously)."""
+    def _generated_write_prep(self, df: DataFrame,
+                              schema: T.StructType
+                              ) -> tuple[DataFrame, dict[str, str]]:
+        """Derive absent generated columns from their expressions, cast
+        supplied ones to the expression's RESOLVED type (so every writer
+        produces the same physical parquet type regardless of what the
+        caller supplied), and return the null-safe equality checks to fold
+        into the SAME validation job as the table's CHECK constraints —
+        one pass over the written rows total."""
         gcols = self._generated_columns(schema)
-        if not gcols:
-            return df
-        present = {n: e for n, e in gcols.items() if n in df.columns}
+        checks: dict[str, str] = {}
         for n, e in gcols.items():
-            if n not in df.columns:
+            if n in df.columns:
+                etype = df.select(F.expr(e).alias("__t")).schema[0].dataType
+                df = df.withColumn(n, F.col(n).cast(etype))
+                checks[f"delta.constraints.generated:{n}"] = \
+                    f"`{n}` <=> ({e})"
+            else:
                 df = df.withColumn(n, F.expr(e))
-        if present:
-            self._validate_constraints(
-                df,
-                {f"delta.constraints.generated:{n}": f"`{n}` <=> ({e})"
-                 for n, e in present.items()},
-                operation)
-        return df
-
-    def _regenerate(self, df: DataFrame,
-                    schema: T.StructType) -> DataFrame:
-        """Recompute every generated column (UPDATE/MERGE semantics:
-        generated values follow their source columns unless explicitly
-        set)."""
-        for n, e in self._generated_columns(schema).items():
-            df = df.withColumn(n, F.expr(e))
-        return df
+        return df, checks
 
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT: validates the WHOLE current table
@@ -1248,25 +1242,14 @@ class TableLog:
             # so group by each DV file's own table root (the directory
             # above its _dv/) and translate per group — own-table DVs
             # resolve to self.path, cloned ones to the source root
-            marker = os.sep + DV_DIR + os.sep
             by_root: dict[str, list[AddFile]] = {}
             for a in stored:
-                d = os.path.abspath(
-                    self.abs_path(a.deletionVector["pathOrInlineDv"]))
-                root = d.split(marker)[0] if marker in d else self.path
+                _d, root, _k = self.dv_scan_keys(a)
                 by_root.setdefault(root, []).append(a)
             for root, items in sorted(by_root.items()):
-                dv_files = sorted({
-                    os.path.abspath(
-                        self.abs_path(a.deletionVector["pathOrInlineDv"]))
-                    for a in items
-                })
-                # a stored row's `path` may be root-relative (written by
-                # the root table for its own files) OR absolute (written
-                # by a clone for a source-referenced file) — accept both
-                keys = sorted({p for a in items for p in
-                               (a.path,
-                                os.path.relpath(self._scan_abs(a), root))})
+                dv_files = sorted({self.dv_scan_keys(a)[0] for a in items})
+                keys = sorted({k for a in items
+                               for k in self.dv_scan_keys(a)[2]})
                 abs_expr = F.when(
                     F.col("path").startswith(os.sep), F.col("path")
                 ).otherwise(F.concat(F.lit(root + os.sep), F.col("path")))
@@ -1337,6 +1320,23 @@ class TableLog:
 
     def _adds_by_scan_path(self, adds: list[AddFile]) -> dict[str, AddFile]:
         return {self._scan_abs(a): a for a in adds}
+
+    def dv_scan_keys(self, add: AddFile) -> tuple[str, str, list[str]]:
+        """(dv_abs_path, dv_table_root, candidate ``path`` keys) for a
+        stored-DV descriptor — the ONE derivation shared by the Spark read
+        path (_dv_rows_df) and the Python Data Source (_dv_args). The DV's
+        own table root is the directory above its LAST ``_dv`` component
+        (a root path may itself contain ``_dv``); its parquet's ``path``
+        rows may be root-relative (written by that table for its own
+        files) or absolute (written by a clone for source-referenced
+        files), so both keys are candidates."""
+        d = os.path.abspath(
+            self.abs_path(add.deletionVector["pathOrInlineDv"]))
+        marker = os.sep + DV_DIR + os.sep
+        root = d.rsplit(marker, 1)[0] if marker in d else self.path
+        keys = sorted({add.path,
+                       os.path.relpath(self._scan_abs(add), root)})
+        return d, root, keys
 
     def _as_recorded_path(self, col: str) -> F.Column:
         """Map an absolute scanned path back to the add's AS-RECORDED path:
@@ -1722,8 +1722,7 @@ class TableLog:
             for col_name, expr in sets.items():
                 post = post.withColumn(col_name, expr)
             for g, ge in self._generated_columns(snap.schema).items():
-                if g not in sets:
-                    post = post.withColumn(g, F.expr(ge))
+                post = post.withColumn(g, F.expr(ge))
             # conform to the declared schema: unlike the rewrite path there
             # is no union with original-typed rows to coerce a SET expr's
             # type (e.g. a bare "0.0" literal is DECIMAL(1,1), not DOUBLE)
@@ -1779,6 +1778,12 @@ class TableLog:
         }
         snap = self.snapshot()
         _check_not_append_only(snap, "UPDATE")
+        bad_targets = set(sets) & set(self._generated_columns(snap.schema))
+        if bad_targets:
+            raise ValueError(
+                f"cannot UPDATE generated column(s) {sorted(bad_targets)}: "
+                "their values derive from delta.generationExpression and "
+                "are recomputed automatically")
         predicate_hints = self._physical_hints(snap, predicate_hints)
         cand = self._pruned_candidates(snap, predicate_hints)
         if snap.metadata.configuration.get(
@@ -1808,8 +1813,8 @@ class TableLog:
             for col_name, expr in sets.items():
                 post = post.withColumn(col_name, expr)
             for g, ge in self._generated_columns(snap.schema).items():
-                if g not in set_exprs:  # generated values follow their
-                    post = post.withColumn(g, F.expr(ge))  # source columns
+                # generated values follow their source columns
+                post = post.withColumn(g, F.expr(ge))
             rewritten = touched_df.filter(~cond | cond.isNull()).unionByName(post)
             self._validate_constraints(post, snap.metadata.configuration,
                                        "UPDATE")
@@ -1873,9 +1878,12 @@ class TableLog:
             # violates appendOnly
             _check_not_append_only(snap, "MERGE")
         schema_cols = [f.name for f in snap.schema.fields]
-        # generated columns re-derive from the SOURCE row (MERGE semantics;
-        # a source without them is fine — they materialize here)
-        src = self._regenerate(source, snap.schema).select(*schema_cols)
+        # generated columns: derived when the source omits them, validated
+        # (same null-safe invariant as append) when it supplies them — the
+        # checks fold into the written-row constraint validations below
+        src, gen_checks = self._generated_write_prep(source, snap.schema)
+        merge_config = {**snap.metadata.configuration, **gen_checks}
+        src = src.select(*schema_cols)
         src_keys = src.select(*keys).distinct()
 
         dv_mode = snap.metadata.configuration.get(
@@ -1905,8 +1913,8 @@ class TableLog:
                     ])
                 n_updated = n_matched
                 if n_matched:
-                    self._validate_constraints(
-                        post, snap.metadata.configuration, "MERGE")
+                    self._validate_constraints(post, merge_config,
+                                               "MERGE")
                     staged = self._stage_dataframe(
                         post, snap.partition_columns, self.data_path,
                         snap=snap)
@@ -1948,8 +1956,8 @@ class TableLog:
                     # replace)
                     post = pre.select(*keys).join(F.broadcast(src), keys) \
                         .select(*schema_cols)
-                    self._validate_constraints(
-                        post, snap.metadata.configuration, "MERGE")
+                    self._validate_constraints(post, merge_config,
+                                               "MERGE")
                     rewritten = keep.unionByName(post).select(*schema_cols)
                     n_updated = n_matched
                 elif when_matched == "delete":
@@ -1990,8 +1998,7 @@ class TableLog:
             n_inserted = ins.count()
             if n_inserted:
                 self._validate_constraints(
-                    ins.select(*schema_cols), snap.metadata.configuration,
-                    "MERGE")
+                    ins.select(*schema_cols), merge_config, "MERGE")
                 staged = self._stage_dataframe(
                     ins.select(*schema_cols), snap.partition_columns,
                     self.data_path, snap=snap)
@@ -2040,9 +2047,9 @@ class TableLog:
         ``ConcurrentAppendError`` (retry_on_conflict re-runs over them)."""
         snap = self.snapshot()
         _check_not_append_only(snap, "OVERWRITE")
-        df = self._apply_generated(df, snap.schema, "OVERWRITE")
-        self._validate_constraints(df, snap.metadata.configuration,
-                                   "OVERWRITE")
+        df, gen_checks = self._generated_write_prep(df, snap.schema)
+        self._validate_constraints(
+            df, {**snap.metadata.configuration, **gen_checks}, "OVERWRITE")
         staged = self._stage_dataframe(df, snap.partition_columns,
                                        self.data_path, snap=snap)
         actions: list[Action] = [

@@ -229,25 +229,16 @@ class SharedTableBatchReader(DataSourceReader):
 
 def _dv_args(log, f) -> dict:
     """Deletion-vector kwargs for a _FilePartition (empty for clean files
-    and cdc files, which never carry DVs). Mirrors TableLog._dv_rows_df's
-    clone handling: the DV parquet's `path` rows may be relative to the
-    DV's own table root (source-written) or absolute (clone-written), so
-    both candidate keys are matched."""
-    import os
-
-    from delta_sharing_spark.plans.log import DV_DIR
-
+    and cdc files, which never carry DVs). Root/key derivation is shared
+    with the Spark read path via TableLog.dv_scan_keys, so both paths
+    always agree on which DV rows apply."""
     dv = getattr(f, "deletionVector", None)
     if not dv:
         return {}
     if dv.get("storageType") == "i":
         return {"dv_inline": dv["pathOrInlineDv"],
                 "dv_inline_size": dv.get("sizeInBytes")}
-    d = os.path.abspath(log.abs_path(dv["pathOrInlineDv"]))
-    marker = os.sep + DV_DIR + os.sep
-    root = d.split(marker)[0] if marker in d else log.path
-    scan_abs = os.path.abspath(log.abs_path(f.path))
-    keys = sorted({f.path, os.path.relpath(scan_abs, root)})
+    d, _root, keys = log.dv_scan_keys(f)
     return {"dv_path": d, "dv_keys": keys}
 
 

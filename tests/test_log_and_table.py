@@ -1897,3 +1897,94 @@ class TestGeneratedColumns:
         df = SharedTable(spark, log.path).to_df()
         assert df.count() == 105
         assert df.filter("event_date <> CAST(ts AS DATE)").count() == 0
+
+
+class TestGeneratedColumnsHardening:
+    """Second review pass: generated columns are not updatable targets,
+    merge validates supplied values, and a supplied column is pinned at
+    the expression's resolved type."""
+
+    def _table(self, spark, events, tmp_path):
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"), name="t",
+                   generated_columns={"event_date": "CAST(ts AS DATE)"})
+        return log
+
+    def test_update_on_generated_column_raises(self, spark, events,
+                                               tmp_path):
+        log = self._table(spark, events, tmp_path)
+        with pytest.raises(ValueError, match="generated"):
+            log.update({"event_date": "DATE'1999-01-01'"}, "event_id < 5")
+
+    def test_merge_validates_supplied_generated(self, spark, events,
+                                                tmp_path):
+        from delta_sharing_spark.plans.log import CheckConstraintViolation
+
+        log = self._table(spark, events, tmp_path)
+        bad_src = events.filter("event_id < 5") \
+            .withColumn("event_date", F.lit("1999-01-01").cast("date"))
+        with pytest.raises(CheckConstraintViolation, match="generated"):
+            log.merge(bad_src, keys=["event_id"], when_matched="update")
+        ok_src = events.filter("event_id < 5") \
+            .withColumn("event_date", F.expr("CAST(ts AS DATE)"))
+        log.merge(ok_src, keys=["event_id"], when_matched="update")
+
+    def test_supplied_column_pinned_at_expression_type(self, spark,
+                                                       events, tmp_path):
+        """A create that supplies the generated column as a STRING must
+        still pin (and write) the expression's DATE type, so later
+        engine-derived appends don't produce type-divergent files."""
+        d = str(tmp_path / "t2")
+        log = TableLog(spark, d)
+        supplied = events.filter("event_id < 50") \
+            .withColumn("event_date",
+                        F.expr("CAST(CAST(ts AS DATE) AS STRING)"))
+        log.create(supplied, name="t2",
+                   generated_columns={"event_date": "CAST(ts AS DATE)"})
+        f = [f for f in log.snapshot().schema.fields
+             if f.name == "event_date"][0]
+        assert isinstance(f.dataType, T.DateType)
+        log.append(events.filter("event_id >= 50 AND event_id < 80"))
+        df = SharedTable(spark, d).to_df()
+        assert df.count() == 80
+        assert dict(df.dtypes)["event_date"] == "date"
+        assert df.filter("event_date <> CAST(ts AS DATE)").count() == 0
+
+
+class TestDvUnderDvNamedRoot:
+    """A table root containing a `_dv` path component must not confuse the
+    DV-root derivation (last-occurrence split)."""
+
+    def test_clone_dv_with_dv_in_root_path(self, spark, events, tmp_path):
+        src = TableLog(spark, str(tmp_path / "_dv" / "src"))
+        src.create(events.filter("event_id < 100"), name="src",
+                   configuration={"enableDeletionVectors": "true"})
+        src.delete("event_id < 30")
+        assert SharedTable(spark, src.path).to_df().count() == 70
+        clone = src.clone_to(str(tmp_path / "_dv" / "clone"))
+        assert SharedTable(spark, clone.path).to_df().count() == 70
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableDataSource,
+        )
+
+        spark.dataSource.register(SharedTableDataSource)
+        got = (spark.read.format("deltashare")
+               .option("path", clone.path).load().count())
+        assert got == 70
+
+
+class TestCdfSpecialCharPath:
+    def test_table_changes_under_space_dir(self, spark, events, tmp_path):
+        from delta_sharing_spark.cdf import table_changes
+
+        d = str(tmp_path / "space dir" / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"), name="t",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.delete("event_id < 10")
+        ch = table_changes(spark, d, starting_version=1)
+        got = {r["_change_type"]: 1 for r in
+               ch.select("_change_type").distinct().collect()}
+        assert "delete" in got
+        assert ch.filter("_change_type = 'delete'").count() == 10
