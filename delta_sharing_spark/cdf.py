@@ -183,6 +183,12 @@ def table_changes(
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
+    # column mapping: data/cdc files store PHYSICAL names; surface the
+    # snapshot's logical names (a renamed column's history appears under
+    # its current name, like Delta's CDF after RENAME COLUMN)
+    p2l = snap.physical_to_logical
+    if p2l:
+        unioned = unioned.withColumnsRenamed(p2l)
     return unioned.select(*out_cols)
 
 

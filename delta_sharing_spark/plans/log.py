@@ -1115,6 +1115,123 @@ class TableLog:
             tolerate_data_appends=True,
         )
 
+    # ------------------------------------------------- column mapping DDL
+
+    def enable_column_mapping(self) -> int:
+        """Upgrade the table to column mapping "name" mode (Delta's
+        ``delta.columnMapping.mode = name``): every field is stamped with
+        an immutable physical name equal to its CURRENT name (so every
+        existing data file stays valid) plus a stable column id. After
+        this, rename/drop are metadata-only commits and the parquet files
+        never change."""
+        snap = self.snapshot()
+        if snap.column_mapping:
+            return snap.version  # already on
+        fields = []
+        for i, f in enumerate(snap.schema.fields, start=1):
+            md = dict(f.metadata or {})
+            md.setdefault(CM_PHYSICAL_KEY, f.name)
+            md.setdefault(CM_ID_KEY, i)
+            fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        config = dict(snap.metadata.configuration)
+        config[CM_MODE_KEY] = "name"
+        config[CM_MAX_ID_KEY] = str(len(fields))
+        return self.update_metadata(schema=T.StructType(fields),
+                                    configuration=config)
+
+    def _check_column_unreferenced(self, snap: Snapshot, name: str,
+                                   operation: str) -> None:
+        """A column referenced by a CHECK constraint or a generation
+        expression cannot be renamed/dropped out from under it (Delta
+        raises the same way)."""
+        refs = dict(self._constraints(snap.metadata.configuration))
+        refs.update({f"generation of {n}": e for n, e in
+                     self._generated_columns(snap.schema).items()})
+        import re as _re
+
+        pat = _re.compile(rf"\b{_re.escape(name)}\b")
+        for ref, expr in refs.items():
+            if pat.search(expr):
+                raise ValueError(
+                    f"cannot {operation} column {name!r}: referenced by "
+                    f"{ref} ({expr})")
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only under column mapping
+        (the physical name in the files never changes). Requires
+        ``enable_column_mapping()`` first, exactly like Delta."""
+        snap = self.snapshot()
+        if not snap.column_mapping:
+            raise ValueError(
+                "RENAME COLUMN requires column mapping; call "
+                "enable_column_mapping() first")
+        names = [f.name for f in snap.schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column already exists: {new!r}")
+        self._check_column_unreferenced(snap, old, "RENAME")
+        fields = [
+            T.StructField(new if f.name == old else f.name,
+                          f.dataType, f.nullable, f.metadata)
+            for f in snap.schema.fields
+        ]
+        meta = snap.metadata
+        parts = [new if c == old else c for c in meta.partitionColumns]
+        new_meta = Metadata(
+            id=meta.id, name=meta.name, description=meta.description,
+            format=meta.format,
+            schemaString=T.StructType(fields).json(),
+            partitionColumns=parts,
+            configuration=meta.configuration,
+            createdTime=meta.createdTime,
+        )
+        return self._commit_checked(
+            snap,
+            lambda v, ts: [new_meta, CommitInfo(
+                version=v, timestamp=ts, operation="RENAME COLUMN",
+                operationParameters={"from": old, "to": new})],
+            read_paths=set(),
+            tolerate_data_appends=True,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only under column mapping:
+        the data stays in the files and is simply no longer read (Delta's
+        drop semantics; a later VACUUM-style rewrite could physically
+        purge it)."""
+        snap = self.snapshot()
+        if not snap.column_mapping:
+            raise ValueError(
+                "DROP COLUMN requires column mapping; call "
+                "enable_column_mapping() first")
+        names = [f.name for f in snap.schema.fields]
+        if name not in names:
+            raise ValueError(f"no such column: {name!r}")
+        if name in snap.partition_columns:
+            raise ValueError(f"cannot drop partition column {name!r}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        self._check_column_unreferenced(snap, name, "DROP")
+        fields = [f for f in snap.schema.fields if f.name != name]
+        meta = snap.metadata
+        new_meta = Metadata(
+            id=meta.id, name=meta.name, description=meta.description,
+            format=meta.format,
+            schemaString=T.StructType(fields).json(),
+            partitionColumns=meta.partitionColumns,
+            configuration=meta.configuration,
+            createdTime=meta.createdTime,
+        )
+        return self._commit_checked(
+            snap,
+            lambda v, ts: [new_meta, CommitInfo(
+                version=v, timestamp=ts, operation="DROP COLUMN",
+                operationParameters={"column": name})],
+            read_paths=set(),
+            tolerate_data_appends=True,
+        )
+
     # ------------------------------------------------- CHECK constraints
 
     @staticmethod

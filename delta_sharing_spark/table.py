@@ -259,8 +259,12 @@ class SharedTable:
         # read_adds applies deletion vectors (anti-join on _metadata
         # row positions) for files that carry one.
         kept = set(paths)
+        # snap threads column mapping through the scan: files are read
+        # under PHYSICAL names and renamed back to logical (a renamed
+        # column's data lives under its immutable physical name)
         df = self.log.read_adds(
-            [a for a in snap.files if a.path in kept], schema=snap.schema)
+            [a for a in snap.files if a.path in kept], schema=snap.schema,
+            snap=snap)
         df = self._normalize(df, snap)
         if limit is not None:
             df = df.limit(limit)

@@ -1988,3 +1988,98 @@ class TestCdfSpecialCharPath:
                ch.select("_change_type").distinct().collect()}
         assert "delete" in got
         assert ch.filter("_change_type = 'delete'").count() == 10
+
+
+class TestColumnMappingDdl:
+    """enable_column_mapping / rename_column / drop_column: metadata-only
+    schema evolution (Delta's columnMapping "name" mode) — data files never
+    change, old versions stay readable under their old names."""
+
+    def _table(self, spark, events, tmp_path):
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 100"), name="t",
+                   partition_by=["event_type"])
+        return log
+
+    def test_rename_is_metadata_only(self, spark, events, tmp_path):
+        import os
+
+        log = self._table(spark, events, tmp_path)
+        files_before = sorted(a.path for a in log.snapshot().files)
+        log.enable_column_mapping()
+        log.rename_column("value", "amount")
+        snap = log.snapshot()
+        assert sorted(a.path for a in snap.files) == files_before
+        df = SharedTable(spark, log.path).to_df()
+        assert "amount" in df.columns and "value" not in df.columns
+        # values preserved through the physical-name indirection
+        assert df.filter("amount >= 0").count() == 100
+        # time travel shows the OLD name
+        v0 = SharedTable(spark, log.path).to_df(version=0)
+        assert "value" in v0.columns
+        _ = os
+
+    def test_append_and_dml_after_rename(self, spark, events, tmp_path):
+        log = self._table(spark, events, tmp_path)
+        log.enable_column_mapping()
+        log.rename_column("value", "amount")
+        more = events.filter("event_id >= 100 AND event_id < 150") \
+            .withColumnRenamed("value", "amount")
+        log.append(more)
+        df = SharedTable(spark, log.path).to_df()
+        assert df.count() == 150
+        log.update({"amount": "amount + 1000"}, "event_id < 5")
+        assert SharedTable(spark, log.path).to_df() \
+            .filter("amount >= 1000").count() == 5
+        log.delete("event_id >= 140")
+        assert SharedTable(spark, log.path).to_df().count() == 140
+
+    def test_rename_partition_column(self, spark, events, tmp_path):
+        log = self._table(spark, events, tmp_path)
+        log.enable_column_mapping()
+        log.rename_column("event_type", "kind")
+        assert log.snapshot().partition_columns == ["kind"]
+        df = SharedTable(spark, log.path).to_df()
+        got = df.filter("kind = 'click'").count()
+        want = events.filter("event_id < 100 AND event_type = 'click'") \
+            .count()
+        assert got == want
+
+    def test_drop_column(self, spark, events, tmp_path):
+        log = self._table(spark, events, tmp_path)
+        log.enable_column_mapping()
+        log.drop_column("props")
+        df = SharedTable(spark, log.path).to_df()
+        assert "props" not in df.columns
+        assert df.count() == 100
+        with pytest.raises(ValueError, match="partition"):
+            log.drop_column("event_type")
+
+    def test_cdf_post_rename_uses_logical_names(self, spark, events,
+                                                 tmp_path):
+        from delta_sharing_spark.cdf import table_changes
+
+        d = str(tmp_path / "tc")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 50"), name="tc",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.enable_column_mapping()
+        log.rename_column("value", "amount")
+        log.update({"amount": "amount * 2"}, "event_id < 5")
+        ch = table_changes(spark, d, starting_version=3)
+        assert "amount" in ch.columns and "value" not in ch.columns
+        assert ch.filter("_change_type = 'update_postimage'").count() == 5
+
+    def test_guards(self, spark, events, tmp_path):
+        log = self._table(spark, events, tmp_path)
+        with pytest.raises(ValueError, match="column mapping"):
+            log.rename_column("value", "amount")
+        log.enable_column_mapping()
+        with pytest.raises(ValueError, match="no such column"):
+            log.rename_column("nope", "x")
+        with pytest.raises(ValueError, match="already exists"):
+            log.rename_column("value", "ts")
+        log.add_constraint("v_ok", "value >= -10000")
+        with pytest.raises(ValueError, match="referenced by"):
+            log.rename_column("value", "amount")
