@@ -898,3 +898,40 @@ class TestDataSourceCloneAndPaths:
         assert SharedTable(spark, d).to_df().count() == 60
         info = log.read_commit(1).info
         assert info.operationMetrics["numDeletedRows"] == "20"
+
+
+class TestSinkInheritsTableInvariants:
+    """The streaming sink writes through TableLog.append, so CHECK
+    constraints and generated columns apply to streamed batches with no
+    extra sink code — make that inheritance explicit."""
+
+    def test_sink_enforces_constraint_and_derives_generated(
+            self, spark, events, tmp_path):
+        from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.streaming.sink import write_stream_to_table
+        from delta_sharing_spark.table import SharedTable
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        TableLog(spark, src).create(events.filter("event_id < 60"),
+                                    name="src")
+        # sink table pre-created with a constraint AND a generated column;
+        # the stream carries neither the generated column nor violations
+        dst_log = TableLog(spark, dst)
+        dst_log.create(
+            events.filter("event_id < 0"),  # empty seed, schema only
+            name="dst",
+            configuration={"delta.constraints.v_ok": "value >= 0"},
+            generated_columns={"event_date": "CAST(ts AS DATE)"})
+        spark.dataSource.register(SharedTableDataSource)
+        stream = (spark.readStream.format("deltashare")
+                  .option("path", src).option("startingVersion", "0")
+                  .load())
+        q = write_stream_to_table(
+            stream, dst, str(tmp_path / "ck"),
+            trigger={"availableNow": True})
+        q.awaitTermination(120)
+        df = SharedTable(spark, dst).to_df()
+        assert df.count() == 60
+        assert "event_date" in df.columns
+        assert df.filter("event_date <> CAST(ts AS DATE)").count() == 0
