@@ -1136,20 +1136,56 @@ class TableLog:
         config = dict(snap.metadata.configuration)
         config[CM_MODE_KEY] = "name"
         config[CM_MAX_ID_KEY] = str(len(fields))
-        return self.update_metadata(schema=T.StructType(fields),
-                                    configuration=config)
+        # commit against the SAME snapshot the schema/config were built
+        # from — routing through update_metadata would re-snapshot and
+        # silently overwrite a metadata commit that landed in between
+        return self._metadata_commit(snap, T.StructType(fields).json(),
+                                     snap.metadata.partitionColumns,
+                                     config, "ENABLE COLUMN MAPPING", {})
+
+    def _metadata_commit(self, snap: Snapshot, schema_string: str,
+                         partition_columns: list[str],
+                         configuration: dict[str, str], operation: str,
+                         operation_parameters: dict[str, str]) -> int:
+        """One metadata-only commit built against the GIVEN snapshot — the
+        shared tail of enable_column_mapping/rename_column/drop_column
+        (one Metadata construction, one conflict-checked commit)."""
+        meta = snap.metadata
+        new_meta = Metadata(
+            id=meta.id, name=meta.name, description=meta.description,
+            format=meta.format,
+            schemaString=schema_string,
+            partitionColumns=partition_columns,
+            configuration=configuration,
+            createdTime=meta.createdTime,
+        )
+        return self._commit_checked(
+            snap,
+            lambda v, ts: [new_meta, CommitInfo(
+                version=v, timestamp=ts, operation=operation,
+                operationParameters=operation_parameters)],
+            read_paths=set(),
+            tolerate_data_appends=True,
+        )
+
+    # CDF virtual columns + scan-internal names a column may never take
+    _RESERVED_COLUMN_NAMES = frozenset(
+        {"_change_type", "_commit_version", "_commit_timestamp"})
 
     def _check_column_unreferenced(self, snap: Snapshot, name: str,
                                    operation: str) -> None:
         """A column referenced by a CHECK constraint or a generation
         expression cannot be renamed/dropped out from under it (Delta
-        raises the same way)."""
+        raises the same way). Spark resolves identifiers
+        case-insensitively, and special-char names appear backquoted, so
+        the match covers both forms."""
         refs = dict(self._constraints(snap.metadata.configuration))
         refs.update({f"generation of {n}": e for n, e in
                      self._generated_columns(snap.schema).items()})
         import re as _re
 
-        pat = _re.compile(rf"\b{_re.escape(name)}\b")
+        esc = _re.escape(name)
+        pat = _re.compile(rf"`{esc}`|\b{esc}\b", _re.IGNORECASE)
         for ref, expr in refs.items():
             if pat.search(expr):
                 raise ValueError(
@@ -1168,32 +1204,33 @@ class TableLog:
         names = [f.name for f in snap.schema.fields]
         if old not in names:
             raise ValueError(f"no such column: {old!r}")
-        if new in names:
+        lower_new = new.lower()
+        if any(lower_new == n.lower() for n in names):
             raise ValueError(f"column already exists: {new!r}")
+        if lower_new in self._RESERVED_COLUMN_NAMES \
+                or lower_new.startswith("__"):
+            raise ValueError(f"reserved column name: {new!r}")
+        # the new LOGICAL name must not collide with any OTHER column's
+        # PHYSICAL name: the read path renames physical->logical and a
+        # collision there yields duplicate columns (unreadable table)
+        phys = {(f.metadata or {}).get(CM_PHYSICAL_KEY, f.name).lower()
+                for f in snap.schema.fields if f.name != old}
+        if lower_new in phys:
+            raise ValueError(
+                f"column name {new!r} collides with another column's "
+                "physical name")
         self._check_column_unreferenced(snap, old, "RENAME")
         fields = [
             T.StructField(new if f.name == old else f.name,
                           f.dataType, f.nullable, f.metadata)
             for f in snap.schema.fields
         ]
-        meta = snap.metadata
-        parts = [new if c == old else c for c in meta.partitionColumns]
-        new_meta = Metadata(
-            id=meta.id, name=meta.name, description=meta.description,
-            format=meta.format,
-            schemaString=T.StructType(fields).json(),
-            partitionColumns=parts,
-            configuration=meta.configuration,
-            createdTime=meta.createdTime,
-        )
-        return self._commit_checked(
-            snap,
-            lambda v, ts: [new_meta, CommitInfo(
-                version=v, timestamp=ts, operation="RENAME COLUMN",
-                operationParameters={"from": old, "to": new})],
-            read_paths=set(),
-            tolerate_data_appends=True,
-        )
+        parts = [new if c == old else c
+                 for c in snap.metadata.partitionColumns]
+        return self._metadata_commit(
+            snap, T.StructType(fields).json(), parts,
+            snap.metadata.configuration, "RENAME COLUMN",
+            {"from": old, "to": new})
 
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN — metadata-only under column mapping:
@@ -1214,23 +1251,10 @@ class TableLog:
             raise ValueError("cannot drop the only column")
         self._check_column_unreferenced(snap, name, "DROP")
         fields = [f for f in snap.schema.fields if f.name != name]
-        meta = snap.metadata
-        new_meta = Metadata(
-            id=meta.id, name=meta.name, description=meta.description,
-            format=meta.format,
-            schemaString=T.StructType(fields).json(),
-            partitionColumns=meta.partitionColumns,
-            configuration=meta.configuration,
-            createdTime=meta.createdTime,
-        )
-        return self._commit_checked(
-            snap,
-            lambda v, ts: [new_meta, CommitInfo(
-                version=v, timestamp=ts, operation="DROP COLUMN",
-                operationParameters={"column": name})],
-            read_paths=set(),
-            tolerate_data_appends=True,
-        )
+        return self._metadata_commit(
+            snap, T.StructType(fields).json(),
+            snap.metadata.partitionColumns,
+            snap.metadata.configuration, "DROP COLUMN", {"column": name})
 
     # ------------------------------------------------- CHECK constraints
 

@@ -100,8 +100,14 @@ def _read_file_batches(partition: _FilePartition) -> Iterator:
     schema = T.StructType.fromJson(json.loads(partition.schema_json))
     from pyspark.sql.pandas.types import to_arrow_type
 
+    # column mapping: the schemaString's field metadata carries each
+    # column's immutable PHYSICAL name — that is what parquet columns and
+    # partitionValues are keyed by; the OUTPUT keeps the logical name
     target_fields = [
-        (f.name, to_arrow_type(f.dataType), f.dataType) for f in schema.fields
+        (f.name,
+         (f.metadata or {}).get("delta.columnMapping.physicalName", f.name),
+         to_arrow_type(f.dataType), f.dataType)
+        for f in schema.fields
     ]
     cdf_mode = partition.commit_version is not None
     deleted = None
@@ -143,15 +149,15 @@ def _read_file_batches(partition: _FilePartition) -> Iterator:
         cols = []
         names = []
         names_lower = {c.lower(): i for i, c in enumerate(batch.schema.names)}
-        for name, arrow_type, spark_type in target_fields:
+        for name, pname, arrow_type, spark_type in target_fields:
             names.append(name)
-            if name in partition.partition_values:
+            if pname in partition.partition_values:
                 value = _parse_partition_value(
-                    partition.partition_values[name], spark_type
+                    partition.partition_values[pname], spark_type
                 )
                 cols.append(pa.array([value] * n, type=arrow_type))
-            elif name.lower() in names_lower:
-                col = batch.column(names_lower[name.lower()])
+            elif pname.lower() in names_lower:
+                col = batch.column(names_lower[pname.lower()])
                 cols.append(col.cast(arrow_type))
             else:
                 cols.append(pa.nulls(n, type=arrow_type))
@@ -215,7 +221,8 @@ class SharedTableBatchReader(DataSourceReader):
             hints = rewrite_predicate_columns(hints,
                                               snap.logical_to_physical)
         schema_json = snap.metadata.schemaString
-        pcols = snap.partition_columns
+        # partitionValues are keyed by PHYSICAL names under column mapping
+        pcols = snap.physical_partition_columns
         return [
             _FilePartition(log.abs_path(f.path), f.partitionValues,
                            schema_json, **_dv_args(log, f))

@@ -105,7 +105,12 @@ class SharedTable:
         job that scales out. SQL hints need Catalyst (F.expr), so they
         always take the DataFrame path.
         """
-        pcols_list = snapshot.partition_columns
+        # column mapping: file partitionValues/stats are keyed by PHYSICAL
+        # names — translate the hints (and evaluate against the physical
+        # partition columns) or pruning silently degrades to keep-all
+        json_predicate_hints = self.log._physical_hints(
+            snapshot, json_predicate_hints)
+        pcols_list = snapshot.physical_partition_columns
         if (len(snapshot.files) <= PRUNE_DRIVER_MAX_FILES
                 and not predicate_hints):
             files = snapshot.files  # path-sorted by Snapshot construction
@@ -125,13 +130,17 @@ class SharedTable:
                 files = out
             return [f.path for f in files]
         manifest = self.log.files_df(snapshot)
-        pcols = snapshot.partition_columns
+        pcols = snapshot.physical_partition_columns
         if json_predicate_hints:
             manifest = manifest.filter(
                 file_keep_condition(json_predicate_hints, pcols)
             )
         for hint in predicate_hints or []:
-            cond = sql_hint_keep_condition(hint, pcols, snapshot.schema)
+            # SQL hints are best-effort: under column mapping a hint
+            # naming a renamed logical column simply fails to translate
+            # and prunes nothing (safe superset)
+            cond = sql_hint_keep_condition(hint, pcols,
+                                           snapshot.physical_schema)
             if cond is not None:
                 manifest = manifest.filter(cond)
         if limit_hint is not None:

@@ -2003,8 +2003,6 @@ class TestColumnMappingDdl:
         return log
 
     def test_rename_is_metadata_only(self, spark, events, tmp_path):
-        import os
-
         log = self._table(spark, events, tmp_path)
         files_before = sorted(a.path for a in log.snapshot().files)
         log.enable_column_mapping()
@@ -2018,7 +2016,6 @@ class TestColumnMappingDdl:
         # time travel shows the OLD name
         v0 = SharedTable(spark, log.path).to_df(version=0)
         assert "value" in v0.columns
-        _ = os
 
     def test_append_and_dml_after_rename(self, spark, events, tmp_path):
         log = self._table(spark, events, tmp_path)
@@ -2083,3 +2080,66 @@ class TestColumnMappingDdl:
         log.add_constraint("v_ok", "value >= -10000")
         with pytest.raises(ValueError, match="referenced by"):
             log.rename_column("value", "amount")
+
+
+class TestColumnMappingGuards:
+    """Review-pass hardening: rename must not brick the table through
+    physical-name collisions, reserved names, or case-evading references."""
+
+    def _mapped(self, spark, events, tmp_path):
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 50"), name="t")
+        log.enable_column_mapping()
+        return log
+
+    def test_rename_chain_collision_rejected(self, spark, events,
+                                             tmp_path):
+        """rename b->c then a->b would map physical 'b' (of c) and new
+        logical 'b' (of a) onto the same name at read time — rejected."""
+        log = self._mapped(spark, events, tmp_path)
+        log.rename_column("value", "amount")
+        with pytest.raises(ValueError, match="physical"):
+            log.rename_column("props", "value")
+        # table still fully readable
+        assert SharedTable(spark, log.path).to_df().count() == 50
+
+    def test_reserved_and_case_collision_rejected(self, spark, events,
+                                                  tmp_path):
+        log = self._mapped(spark, events, tmp_path)
+        with pytest.raises(ValueError, match="reserved"):
+            log.rename_column("value", "_change_type")
+        with pytest.raises(ValueError, match="reserved"):
+            log.rename_column("value", "__dv_file")
+        with pytest.raises(ValueError, match="already exists"):
+            log.rename_column("value", "PROPS")
+
+    def test_case_insensitive_constraint_guard(self, spark, events,
+                                               tmp_path):
+        log = self._mapped(spark, events, tmp_path)
+        log.add_constraint("v_ok", "VALUE >= -1e9")
+        with pytest.raises(ValueError, match="referenced by"):
+            log.rename_column("value", "amount")
+
+    def test_datasource_reads_renamed_column(self, spark, events,
+                                             tmp_path):
+        """The Python Data Source resolves parquet columns and partition
+        values by PHYSICAL name from the schema metadata — a renamed
+        column must come back with real values, not nulls."""
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableDataSource,
+        )
+
+        d = str(tmp_path / "t2")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 80"), name="t2",
+                   partition_by=["event_type"])
+        log.enable_column_mapping()
+        log.rename_column("value", "amount")
+        log.rename_column("event_type", "kind")
+        spark.dataSource.register(SharedTableDataSource)
+        df = spark.read.format("deltashare").option("path", d).load()
+        assert df.filter("amount IS NOT NULL").count() == 80
+        want = events.filter("event_id < 80 AND event_type = 'click'") \
+            .count()
+        assert df.filter("kind = 'click'").count() == want
