@@ -129,14 +129,33 @@ def minhash_band_index(signatures: DataFrame, id_col: str,
 
 
 def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
-                           num_hashes: int = 8, bands: int = 4) -> DataFrame:
+                           num_hashes: int = 8, bands: int = 4,
+                           max_bucket: int | None = None) -> DataFrame:
     """LSH banding: hash each band of the signature; equi-join docs sharing a
     (band_idx, band_hash) bucket. Returns distinct candidate pairs (a < b).
 
     At scale this is the whole trick: the join key is the band hash, so
     Spark shuffles each doc B times instead of comparing all pairs.
+
+    ``max_bucket`` is the hot-bucket skew cap: a (band_idx, band_hash)
+    bucket holding k docs emits k·(k-1)/2 pairs from the self-join, so one
+    boilerplate bucket on a web corpus (k in the millions) is a quadratic
+    blow-up. Buckets larger than ``max_bucket`` are dropped from candidate
+    generation — the same guard as ``ngram_jaccard_pairs(max_doc_freq=…)``
+    and the streaming LSH state cap (streaming/ops.py). Near-dups lost this
+    way almost always still collide in a rarer band; at 100 TB the cap is
+    what keeps the join's output linear in corpus size.
     """
     buckets = minhash_band_index(signatures, id_col, num_hashes, bands)
+    if max_bucket is not None:
+        # bucket cardinality is a small aggregate over (band_idx, h); the
+        # anti-pattern alternative — a window count over the bucket key —
+        # would sort every bucket, so keep it as an aggregate + semi-join
+        keep = (buckets.groupBy("band_idx", "h")
+                .agg(F.count("*").alias("bdf"))
+                .filter(F.col("bdf") <= max_bucket)
+                .select("band_idx", "h"))
+        buckets = buckets.join(keep, ["band_idx", "h"])
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -267,16 +286,21 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
 def simhash_near_pairs(fingerprints: DataFrame, id_col: str,
                        bits: int = 64, bands: int = 4,
-                       max_hamming: int = 8) -> DataFrame:
+                       max_hamming: int = 8,
+                       max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash: LSH on 16-bit fingerprint chunks (a pair
     within hamming distance d matches at least one of ``bands`` bands when
     d < bands), then exact hamming verification on candidates only —
     ``bit_count(xor)`` over the integer chunks, a handful of ALU ops per
     candidate instead of per-character string compares.
 
-    At extreme corpus sizes hot buckets (very common fingerprint chunks)
-    should be frequency-capped before the self-join; AQE's skew-join split
-    handles moderate skew here.
+    ``max_bucket`` frequency-caps hot buckets (very common fingerprint
+    chunks — e.g. the all-zeros chunk from short template docs) before the
+    self-join: a bucket of k docs otherwise emits k²/2 pairs. Buckets above
+    the cap are dropped from candidate generation (the other bands still
+    catch genuine near-dups with a rarer chunk). AQE's skew-join split
+    handles moderate skew; the cap is for the quadratic-emission regime
+    AQE can't fix because the blow-up is join OUTPUT, not partition size.
     """
     n_chunks = bits // 16
     assert bands == n_chunks, "banding uses the 16-bit chunks directly"
@@ -290,6 +314,12 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str,
         ).alias("bk"),
     ).select(id_col, *[f"fp_{c}" for c in range(n_chunks)],
              "bk.band_idx", "bk.h")
+    if max_bucket is not None:
+        keep = (buckets.groupBy("band_idx", "h")
+                .agg(F.count("*").alias("bdf"))
+                .filter(F.col("bdf") <= max_bucket)
+                .select("band_idx", "h"))
+        buckets = buckets.join(keep, ["band_idx", "h"])
     a, b = buckets.alias("a"), buckets.alias("b")
     hamming = None
     for c in range(n_chunks):

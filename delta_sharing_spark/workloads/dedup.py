@@ -160,6 +160,46 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_dedup_minhash_lsh_capped",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {_DUCK_MINHASH_SIGS} FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx, md5(sig_0 || '|' || sig_1) AS h FROM sigs
+      UNION ALL
+      SELECT doc_id, 1, md5(sig_2 || '|' || sig_3) FROM sigs
+      UNION ALL
+      SELECT doc_id, 2, md5(sig_4 || '|' || sig_5) FROM sigs
+      UNION ALL
+      SELECT doc_id, 3, md5(sig_6 || '|' || sig_7) FROM sigs
+    ),
+    cold AS (
+      SELECT band_idx, h FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 3
+    ),
+    kept AS (
+      SELECT b.doc_id, b.band_idx, b.h FROM bands b JOIN cold USING (band_idx, h)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM kept a JOIN kept b
+      ON a.band_idx = b.band_idx AND a.h = b.h AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates with the hot-bucket skew cap (max_bucket=3):
+    a bucket of k docs emits k*(k-1)/2 pairs, so on a web corpus one
+    boilerplate bucket is quadratic — buckets above the cap are dropped
+    before the self-join, bounding any bucket's contribution to 3 pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_k=3)
+    return minhash_lsh_candidates(sigs, "doc_id", num_hashes=8, bands=4,
+                                  max_bucket=3)
+
+
+@workload(
     "q_dedup_simhash",
     oracle="""
     WITH toks AS (

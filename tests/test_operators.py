@@ -51,6 +51,40 @@ class TestDedup:
         assert (0, 1) in cand
         assert (0, 3) not in cand
 
+    def test_minhash_hot_bucket_cap(self, spark):
+        # 6 identical docs land in the SAME bucket in every band (15 pairs);
+        # one distinct near pair (10, 11) shares its own small buckets.
+        hot = "common boilerplate footer all rights reserved contact us now"
+        rows = [(i, hot) for i in range(6)]
+        rows += [(10, "rare unique sentence alpha beta gamma delta epsilon"),
+                 (11, "rare unique sentence alpha beta gamma delta epsilon")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sigs = minhash_signatures(df, "doc_id", "text")
+        uncapped = {(r["id_a"], r["id_b"])
+                    for r in minhash_lsh_candidates(sigs, "doc_id").collect()}
+        assert len([p for p in uncapped if p[0] < 6 and p[1] < 6]) == 15
+        capped = {(r["id_a"], r["id_b"])
+                  for r in minhash_lsh_candidates(
+                      sigs, "doc_id", max_bucket=3).collect()}
+        # hot bucket (6 docs > cap) dropped entirely; rare pair survives
+        assert not any(p[0] < 6 and p[1] < 6 for p in capped)
+        assert (10, 11) in capped
+        # cap bounds per-bucket emission: no bucket may emit > C(3,2) pairs
+        assert len(capped) <= len(uncapped)
+
+    def test_simhash_hot_bucket_cap(self, spark):
+        hot = "common boilerplate footer all rights reserved contact us now"
+        rows = [(i, hot) for i in range(6)]
+        rows += [(10, "rare unique sentence alpha beta gamma delta epsilon"),
+                 (11, "rare unique sentence alpha beta gamma delta epsilon")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = simhash_fingerprints(df, "doc_id", "text")
+        capped = {(r["id_a"], r["id_b"])
+                  for r in simhash_near_pairs(fps, "doc_id", max_hamming=0,
+                                              max_bucket=3).collect()}
+        assert not any(p[0] < 6 and p[1] < 6 for p in capped)
+        assert (10, 11) in capped
+
     def test_simhash(self, spark, docs):
         fps = simhash_fingerprints(docs, "doc_id", "text")
         rows = {r["doc_id"]: r for r in fps.collect()}
