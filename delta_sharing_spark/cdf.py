@@ -30,15 +30,100 @@ from pyspark.sql import types as T
 
 from delta_sharing_spark.plans.log import (
     CHANGE_TYPE_COL,
+    CM_PHYSICAL_KEY,
     COMMIT_TIMESTAMP_COL,
     COMMIT_VERSION_COL,
+    Snapshot,
     TableLog,
     is_noop_merge,
 )
+from delta_sharing_spark.streaming.schema import _datatype_read_compatible
 
 
 class CDFError(Exception):
     pass
+
+
+# --------------------------------------------------------------- schema epochs
+#
+# A metaData commit inside the change range starts a new "schema epoch":
+# files written before it conform to the OLD schema (old physical names /
+# old types) and must be read under it, then converted to the latest
+# logical schema — the reference interleaves historical metaData for
+# exactly this (PROTOCOL.md:2352-2420 includeHistoricalMetadata; the
+# kernel client replays version_to_metadata into a temp log,
+# python/delta_sharing/reader.py:477-592; admissibility gate
+# client/.../spark/util/SchemaUtils.scala:37-90).
+
+_INT_CHAIN = ["byte", "short", "integer", "long"]
+
+
+def _widenable(src: T.DataType, dst: T.DataType) -> bool:
+    """Is reading ``src``-typed data as ``dst`` a lossless widening?
+    (Delta type-widening table: integral up-chain, float->double,
+    decimal precision growth at equal-or-greater integer headroom.)"""
+    if src == dst:
+        return True
+    s, d = src.typeName(), dst.typeName()
+    if s in _INT_CHAIN and d in _INT_CHAIN:
+        return _INT_CHAIN.index(s) < _INT_CHAIN.index(d)
+    if s == "float" and d == "double":
+        return True
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        return (dst.scale >= src.scale
+                and dst.precision - dst.scale >= src.precision - src.scale)
+    return False
+
+
+class _Epoch:
+    """File actions of one schema epoch within the CDF range."""
+
+    def __init__(self, snap: Snapshot):
+        self.snap = snap
+        self.cdc: list[tuple[str, int, int]] = []
+        self.adds: list[tuple[str, int, int]] = []
+        self.removes: list[tuple[str, int, int]] = []
+
+    def empty(self) -> bool:
+        return not (self.cdc or self.adds or self.removes)
+
+
+def _to_latest_schema(df: DataFrame, epoch: Snapshot, latest: Snapshot,
+                      keep_cols: list[str]) -> DataFrame:
+    """Convert an epoch-schema DataFrame (physical names) to the latest
+    snapshot's logical schema: rename via the stable physical names, cast
+    widened types, null-pad columns added later, drop columns removed
+    later. Raises CDFError on a non-widening type change — the reference
+    rejects such ranges (SchemaUtils.scala:37-90 read-compat gate)."""
+    latest_p2l = latest.physical_to_logical or {
+        f.name: f.name for f in latest.schema.fields}
+    latest_types = {f.name: f.dataType for f in latest.schema.fields}
+    cols: dict[str, F.Column] = {}
+    for f in epoch.schema.fields:
+        phys = (f.metadata or {}).get(CM_PHYSICAL_KEY, f.name)
+        target = latest_p2l.get(phys)
+        if target is None:
+            continue  # column dropped after this epoch
+        dst = latest_types[target]
+        if f.dataType == dst or _datatype_read_compatible(f.dataType, dst):
+            col = F.col(phys)
+        elif _widenable(f.dataType, dst):
+            col = F.col(phys).cast(dst)
+        else:
+            raise CDFError(
+                f"incompatible schema change across the CDF range: column "
+                f"'{target}' was {f.dataType.simpleString()} and is now "
+                f"{dst.simpleString()}; query a narrower version range")
+        cols[target] = col.alias(target)
+    select = []
+    for name in keep_cols:
+        if name in cols:
+            select.append(cols[name])
+        elif name in latest_types:  # added after this epoch -> nulls
+            select.append(F.lit(None).cast(latest_types[name]).alias(name))
+        else:  # CDF virtual column produced upstream (e.g. _change_type)
+            select.append(F.col(name))
+    return df.select(*select)
 
 
 def _resolve_range(
@@ -125,54 +210,79 @@ def table_changes(
         starting_timestamp, ending_timestamp,
     )
 
-    cdc_meta: list[tuple[str, int, int]] = []
-    add_meta: list[tuple[str, int, int]] = []
-    remove_meta: list[tuple[str, int, int]] = []
+    # Group file actions by SCHEMA EPOCH: a metaData commit inside the
+    # range means earlier files were written under a different (physical)
+    # schema and must be read under it, then converted to the latest
+    # logical schema (PROTOCOL.md:2352-2420 includeHistoricalMetadata;
+    # reader.py:477-592). One scan per (epoch, action-kind) — epoch count
+    # is the number of schema CHANGES in range (rare), not versions, so
+    # the plan stays O(schema changes), never O(commits).
+    epochs: list[_Epoch] = []
+    cur = _Epoch(log.snapshot(start))
     for commit in log.commits(start, end):
+        if commit.metadata is not None and (
+            commit.metadata.schemaString != cur.snap.metadata.schemaString
+            or commit.metadata.partitionColumns
+            != cur.snap.metadata.partitionColumns
+        ):
+            if not cur.empty():
+                epochs.append(cur)
+            cur = _Epoch(Snapshot(commit.version, commit.timestamp,
+                                  commit.metadata, []))
         if is_noop_merge(commit.info):
             # MERGE that rewrote files but changed no rows: its file
             # actions are not changes (ref DeltaSharingCDCReader.scala:301-323)
             continue
         if commit.cdc:
             # cdc files are the authoritative change record for the commit
-            cdc_meta += [
+            cur.cdc += [
                 (log.abs_path(c.path), commit.version, commit.timestamp)
                 for c in commit.cdc
             ]
         else:
-            add_meta += [
+            cur.adds += [
                 (log.abs_path(a.path), commit.version, commit.timestamp)
                 for a in commit.adds if a.dataChange
             ]
-            remove_meta += [
+            cur.removes += [
                 (log.abs_path(r.path), commit.version, commit.timestamp)
                 for r in commit.removes if r.dataChange
             ]
+    if not cur.empty():
+        epochs.append(cur)
 
     schema_cols = [f.name for f in snap.schema.fields]
     out_cols = schema_cols + [
         CHANGE_TYPE_COL, COMMIT_VERSION_COL, COMMIT_TIMESTAMP_COL
     ]
     parts: list[DataFrame] = []
-    if cdc_meta:
-        cdc_df = spark.read.parquet(*[p for p, _, _ in cdc_meta])
-        parts.append(
-            _attach_commit_columns(spark, cdc_df, cdc_meta, None)
-        )
-    if add_meta:
-        add_df = spark.read.option("basePath", log.data_path).parquet(
-            *[p for p, _, _ in add_meta]
-        )
-        parts.append(
-            _attach_commit_columns(spark, add_df, add_meta, "insert")
-        )
-    if remove_meta:
-        rem_df = spark.read.option("basePath", log.data_path).parquet(
-            *[p for p, _, _ in remove_meta]
-        )
-        parts.append(
-            _attach_commit_columns(spark, rem_df, remove_meta, "delete")
-        )
+    for ep in epochs:
+        phys_schema = ep.snap.physical_schema
+        if ep.cdc:
+            # cdc files physically carry every column (written flat) plus
+            # their own _change_type
+            cdc_schema = T.StructType(
+                list(phys_schema.fields)
+                + [T.StructField(CHANGE_TYPE_COL, T.StringType())])
+            cdc_df = spark.read.schema(cdc_schema).parquet(
+                *[p for p, _, _ in ep.cdc])
+            cdc_df = _to_latest_schema(
+                cdc_df, ep.snap, snap, schema_cols + [CHANGE_TYPE_COL])
+            parts.append(_attach_commit_columns(spark, cdc_df, ep.cdc, None))
+        if ep.adds:
+            add_df = spark.read.schema(phys_schema).option(
+                "basePath", log.data_path
+            ).parquet(*[p for p, _, _ in ep.adds])
+            add_df = _to_latest_schema(add_df, ep.snap, snap, schema_cols)
+            parts.append(
+                _attach_commit_columns(spark, add_df, ep.adds, "insert"))
+        if ep.removes:
+            rem_df = spark.read.schema(phys_schema).option(
+                "basePath", log.data_path
+            ).parquet(*[p for p, _, _ in ep.removes])
+            rem_df = _to_latest_schema(rem_df, ep.snap, snap, schema_cols)
+            parts.append(
+                _attach_commit_columns(spark, rem_df, ep.removes, "delete"))
     if not parts:
         fields = snap.schema.fields + [
             T.StructField(CHANGE_TYPE_COL, T.StringType()),
@@ -183,12 +293,9 @@ def table_changes(
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
-    # column mapping: data/cdc files store PHYSICAL names; surface the
-    # snapshot's logical names (a renamed column's history appears under
-    # its current name, like Delta's CDF after RENAME COLUMN)
-    p2l = snap.physical_to_logical
-    if p2l:
-        unioned = unioned.withColumnsRenamed(p2l)
+    # every part is already converted to the latest LOGICAL schema
+    # (a renamed column's history appears under its current name, like
+    # Delta's CDF after RENAME COLUMN)
     return unioned.select(*out_cols)
 
 

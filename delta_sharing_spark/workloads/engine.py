@@ -424,6 +424,68 @@ def eng_cdf_delete_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_cdf_evolve(spark: SparkSession, sf_dir: str) -> str:
+    """Schema-evolution CDF fixture: inserts land under THREE different
+    schemas. v0 create (score int) from events slice 0; v1 enable column
+    mapping; v2 append slice 1; v3 RENAME score->points; v4 widen points
+    int->long; v5 append slice 2 (long). A CDF read across [0,5] must
+    read each file under its own epoch's schema and surface everything as
+    the latest logical (points bigint)."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        from pyspark.sql import types as T
+
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type",
+            (F.col("event_id") % 100).cast("int").alias("score"),
+        )
+        log = TableLog(spark, path)
+        log.create(ev.filter("event_id % 3 = 0"), name="events_cdf_evolve",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.enable_column_mapping()
+        log.append(ev.filter("event_id % 3 = 1"))
+        log.rename_column("score", "points")
+        snap = log.snapshot()
+        widened = T.StructType([
+            T.StructField(f.name,
+                          T.LongType() if f.name == "points" else f.dataType,
+                          f.nullable, f.metadata)
+            for f in snap.schema.fields
+        ])
+        log.update_metadata(schema=widened)
+        log.append(ev.filter("event_id % 3 = 2")
+                   .withColumn("score", F.col("score").cast("long"))
+                   .withColumnRenamed("score", "points"))
+
+    return _fixture(spark, sf_dir, "events_cdf_evolve", build)
+
+
+@workload(
+    "eng_cdf_schema_evolution",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(event_id % 100 AS BIGINT) AS points,
+           'insert' AS change_type,
+           CAST(CASE event_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 5 END
+                AS BIGINT) AS commit_version
+    FROM events
+    """,
+)
+def eng_cdf_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF across rename + type-widen metadata commits: files written as
+    (score int) pre-rename, (score int, mapped) pre-widen, and (points
+    long) post-widen all surface under the latest logical schema with
+    exact values (PROTOCOL.md:2352-2420 includeHistoricalMetadata;
+    python/delta_sharing/reader.py:477-592 per-version metadata replay)."""
+    path = _events_cdf_evolve(spark, sf_dir)
+    ch = table_changes(spark, path, starting_version=0)
+    return ch.select(
+        "event_id", "user_id", "event_type", "points",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    )
+
+
 @workload(
     "eng_dv_delete",
     oracle="""

@@ -81,6 +81,84 @@ class TestCDF:
             == log.read_commit(1).timestamp
 
 
+class TestCDFSchemaEvolution:
+    """Schema changes inside the range: each file reads under its own
+    epoch's schema, surfaced as the latest logical schema
+    (PROTOCOL.md:2352-2420; reader.py:477-592 per-version metadata)."""
+
+    @pytest.fixture()
+    def evolved(self, spark, table_dir):
+        from pyspark.sql import types as T
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 20)], "id long, score int")
+        log = TableLog(spark, table_dir)
+        log.create(df, name="evolved",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.enable_column_mapping()                      # v1
+        log.rename_column("score", "points")             # v2
+        log.update({"points": "points + 1"}, "id = 1")   # v3 (cdc files)
+        snap = log.snapshot()
+        widened = T.StructType([
+            T.StructField(f.name,
+                          T.LongType() if f.name == "points" else f.dataType,
+                          f.nullable, f.metadata)
+            for f in snap.schema.fields])
+        log.update_metadata(schema=widened)              # v4
+        log.append(spark.createDataFrame(
+            [(3, 30)], "id long, points long"))          # v5
+        return table_dir
+
+    def test_rename_and_widen_across_range(self, spark, evolved):
+        ch = table_changes(spark, evolved, starting_version=0)
+        assert dict(ch.dtypes)["points"] == "bigint"
+        got = sorted((r["id"], r["points"], r["_change_type"])
+                     for r in ch.collect())
+        assert got == sorted([
+            (1, 10, "insert"), (2, 20, "insert"),       # v0 files: score int
+            (1, 10, "update_preimage"),                  # v3 cdc: score int
+            (1, 11, "update_postimage"),
+            (3, 30, "insert"),                           # v5 file: long
+        ])
+
+    def test_column_added_mid_range_nulls_backfill(self, spark, evolved):
+        from pyspark.sql import types as T
+
+        log = TableLog(spark, evolved)
+        snap = log.snapshot()
+        widened = T.StructType(
+            list(snap.schema.fields)
+            + [T.StructField("tag", T.StringType(), True)])
+        log.update_metadata(schema=widened)              # v6
+        log.append(spark.createDataFrame(
+            [(4, 40, "new")], "id long, points long, tag string"))  # v7
+        ch = table_changes(spark, evolved, starting_version=0)
+        tags = {r["id"]: r["tag"] for r in ch.collect()
+                if r["_change_type"] == "insert"}
+        assert tags == {1: None, 2: None, 3: None, 4: "new"}
+
+    def test_incompatible_narrowing_errors(self, spark, evolved):
+        from pyspark.sql import types as T
+
+        log = TableLog(spark, evolved)
+        snap = log.snapshot()
+        narrowed = T.StructType([
+            T.StructField(f.name,
+                          T.IntegerType() if f.name == "points"
+                          else f.dataType,
+                          f.nullable, f.metadata)
+            for f in snap.schema.fields])
+        log.update_metadata(schema=narrowed)
+        log.append(spark.createDataFrame(
+            [(5, 50)], "id long, points int"))
+        with pytest.raises(CDFError, match="incompatible schema change"):
+            table_changes(spark, evolved, starting_version=0).collect()
+        # a range that stays inside one epoch still reads fine
+        latest = TableLog(spark, evolved).latest_version()
+        assert table_changes(spark, evolved,
+                             starting_version=latest).count() == 1
+
+
 class TestCDFActions:
     def test_action_stream(self, spark, cdf_table):
         from delta_sharing_spark.cdf import table_changes_actions
