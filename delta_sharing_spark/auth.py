@@ -64,6 +64,13 @@ class OAuthClient:
         self.auth_config = auth_config or AuthConfig()
 
     def client_credentials(self) -> OAuthClientCredentials:
+        """Token exchange through the shared retry helper (retry.py — the
+        same RetryUtils semantics the data routes use): retry 429/5xx and
+        connection errors, exponential backoff, bounded by the auth
+        config's max retries and total duration
+        (OAuthClient.scala:58-61)."""
+        from delta_sharing_spark.retry import RetryConfig, run_with_backoff
+
         creds = base64.b64encode(
             f"{self.client_id}:{self.client_secret}".encode()).decode()
         body = "grant_type=client_credentials"
@@ -76,31 +83,25 @@ class OAuthClient:
                 "authorization": f"Basic {creds}",
                 "content-type": "application/x-www-form-urlencoded",
             })
-        deadline = time.time() + \
-            self.auth_config.token_exchange_max_retry_duration_seconds
-        sleep_s = 0.1
-        attempt = 0
-        while True:
-            attempt += 1
-            try:
-                with urllib.request.urlopen(req) as resp:
-                    return self._parse(resp.read().decode())
-            except urllib.error.HTTPError as e:
-                # retry only temporary statuses (OAuthClient.scala:58: 429/5xx)
-                retryable = e.code == 429 or e.code >= 500
-                if not retryable or attempt > \
-                        self.auth_config.token_exchange_max_retries \
-                        or time.time() + sleep_s > deadline:
-                    raise OAuthTokenError(
-                        "Failed to get OAuth token from token endpoint: "
-                        f"status {e.code}") from e
-            except urllib.error.URLError as e:
-                if attempt > self.auth_config.token_exchange_max_retries \
-                        or time.time() + sleep_s > deadline:
-                    raise OAuthTokenError(
-                        f"Failed to reach OAuth token endpoint: {e}") from e
-            time.sleep(sleep_s)
-            sleep_s *= 2
+
+        def once() -> OAuthClientCredentials:
+            with urllib.request.urlopen(req) as resp:
+                return self._parse(resp.read().decode())
+
+        try:
+            return run_with_backoff(once, RetryConfig(
+                num_retries=self.auth_config.token_exchange_max_retries,
+                initial_sleep_ms=100,
+                max_duration_ms=self.auth_config
+                .token_exchange_max_retry_duration_seconds * 1000,
+            ))
+        except urllib.error.HTTPError as e:
+            raise OAuthTokenError(
+                "Failed to get OAuth token from token endpoint: "
+                f"status {e.code}") from e
+        except urllib.error.URLError as e:
+            raise OAuthTokenError(
+                f"Failed to reach OAuth token endpoint: {e}") from e
 
     @staticmethod
     def _parse(response: str) -> OAuthClientCredentials:

@@ -108,11 +108,14 @@ def delta_lines_to_spark(spark: SparkSession,
     from pyspark.sql import types as T
 
     schema: T.StructType | None = None
+    cm = False
     adds: list[tuple[dict[str, Any], str | None]] = []
     for line in lines:
         if "metaData" in line:
             meta = line["metaData"]["deltaMetadata"]
             schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+            cm = (meta.get("configuration") or {}).get(
+                "delta.columnMapping.mode") == "name"
         elif "file" in line:
             single = line["file"]["deltaSingleAction"]
             if "add" in single:
@@ -121,7 +124,16 @@ def delta_lines_to_spark(spark: SparkSession,
         raise ValueError("delta-format response lacks a metaData line")
     if not adds:
         return spark.createDataFrame([], schema)
-    type_of = {f.name: f.dataType for f in schema.fields}
+    # column mapping (readerFeature columnMapping, delta protocol): files
+    # and partitionValues are keyed by the immutable PHYSICAL names stamped
+    # in each field's metadata; a delta reader resolves them back to the
+    # logical names — this is why such tables are delta-format-only
+    phys_of = {
+        f.name: ((f.metadata or {}).get("delta.columnMapping.physicalName",
+                                        f.name) if cm else f.name)
+        for f in schema.fields
+    }
+    type_of = {phys_of[f.name]: f.dataType for f in schema.fields}
     parts: list[DataFrame] = []
     for add, file_id in adds:
         df = spark.read.parquet(add["path"])
@@ -151,7 +163,9 @@ def delta_lines_to_spark(spark: SparkSession,
             col = (F.lit(None) if value == "" or value is None
                    else F.lit(value))
             df = df.withColumn(name, col.cast(type_of[name]))
-        parts.append(df.select(*[f.name for f in schema.fields]))
+        parts.append(df.select(*[
+            F.col(phys_of[f.name]).alias(f.name) for f in schema.fields
+        ]))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -1,0 +1,233 @@
+"""HTTP data-plane client with retry/backoff — the network twin of the
+in-process ``SharingClient``.
+
+Mirrors the reference's REST client stack:
+
+- retry semantics: ``RetryUtils.runWithExponentialBackoff``
+  (client/.../util/RetryUtils.scala:30-104) — retry 429 and 5xx plus
+  transient connection errors, exponential sleep doubling from an initial
+  interval, bounded by max retries AND max total duration;
+- python connector shape: ``python/delta_sharing/rest_client.py:97-120``
+  (``retry_with_exponential_backoff`` decorator, 100 ms initial sleep) and
+  its expired-token error text on 401 with an expired profile;
+- endpoints: ListShares/ListSchemas/ListTables/ListAllTables +
+  QueryTableVersion/Metadata/QueryTable/QueryTableChanges over NDJSON
+  (rest_client.py:214-480).
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+from typing import Any
+
+from delta_sharing_spark.auth import AuthCredentialProvider
+from delta_sharing_spark.retry import (
+    HttpStatusError,
+    RetryConfig,
+    run_with_backoff,
+    should_retry,
+)
+
+__all__ = [
+    "DataSharingRestClient",
+    "HttpStatusError",
+    "RetryConfig",
+    "run_with_backoff",
+    "should_retry",
+]
+
+
+class DataSharingRestClient:
+    """Thin retried HTTP transport + the sharing endpoints
+    (rest_client.py:214-480).
+
+    ``base_url`` is the profile ``endpoint``; every call goes through
+    :func:`run_with_backoff`, so a 429/503 under load is retried instead of
+    surfacing to the caller — the reference wraps every data route the same
+    way (rest_client.py's ``@retry_with_exponential_backoff`` on each
+    ``list_*``/``query_*``)."""
+
+    def __init__(self, base_url: str,
+                 auth_provider: AuthCredentialProvider | None = None,
+                 retry_config: RetryConfig | None = None,
+                 profile=None):
+        self.base_url = base_url.rstrip("/")
+        self.auth_provider = auth_provider
+        self.retry_config = retry_config or RetryConfig()
+        self.profile = profile
+
+    # ------------------------------------------------------------ transport
+
+    def _request(self, method: str, path: str,
+                 body: dict | None = None,
+                 headers: dict[str, str] | None = None
+                 ) -> tuple[int, dict[str, str], str]:
+        url = f"{self.base_url}{path}"
+
+        def once() -> tuple[int, dict[str, str], str]:
+            hdrs: dict[str, str] = dict(headers or {})
+            if self.auth_provider is not None:
+                self.auth_provider.add_auth_header(hdrs)
+            data = None
+            if body is not None:
+                data = json.dumps(body).encode()
+                hdrs["Content-Type"] = "application/json"
+            req = urllib.request.Request(url, data=data, method=method,
+                                         headers=hdrs)
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    return (resp.status,
+                            {k.lower(): v for k, v in resp.headers.items()},
+                            resp.read().decode())
+            except urllib.error.HTTPError as e:
+                detail = ""
+                try:
+                    detail = e.read().decode()
+                except Exception:  # noqa: BLE001
+                    pass
+                raise HttpStatusError(
+                    f"HTTP request failed with status: {e.code} {detail}",
+                    e.code) from e
+
+        try:
+            return run_with_backoff(once, self.retry_config)
+        except HttpStatusError as e:
+            # 401 on an expired profile surfaces the token expiry, matching
+            # rest_client.py:108-114's _error_on_expired_token wrapper
+            if e.status_code in (401, 403) and self.profile is not None:
+                exp = getattr(self.profile, "expiration_time", None)
+                if exp is not None and _is_past(exp):
+                    raise HttpStatusError(
+                        "It may be caused by an expired token as it has "
+                        f"expired at {exp}", e.status_code) from e
+            raise
+
+    def _get_json(self, path: str) -> dict:
+        _s, _h, body = self._request("GET", path)
+        return json.loads(body) if body else {}
+
+    def _ndjson(self, method: str, path: str, body: dict | None = None,
+                headers: dict[str, str] | None = None
+                ) -> tuple[dict[str, str], list[dict]]:
+        _s, resp_headers, text = self._request(method, path, body=body,
+                                               headers=headers)
+        return resp_headers, [json.loads(line)
+                              for line in text.splitlines() if line]
+
+    # ------------------------------------------------------------- catalog
+
+    def _paged(self, path: str, key: str = "items") -> list[dict]:
+        out: list[dict] = []
+        token: str | None = None
+        while True:
+            sep = "&" if "?" in path else "?"
+            page_path = path + (f"{sep}pageToken={urllib.parse.quote(token)}"
+                                if token else "")
+            resp = self._get_json(page_path)
+            out += resp.get(key, [])
+            token = resp.get("nextPageToken")
+            if not token:
+                return out
+
+    def list_shares(self) -> list[dict]:
+        return self._paged("/shares")
+
+    def list_schemas(self, share: str) -> list[dict]:
+        return self._paged(f"/shares/{share}/schemas")
+
+    def list_tables(self, share: str, schema: str) -> list[dict]:
+        return self._paged(f"/shares/{share}/schemas/{schema}/tables")
+
+    def list_all_tables(self, share: str) -> list[dict]:
+        return self._paged(f"/shares/{share}/all-tables")
+
+    # ---------------------------------------------------------- data plane
+
+    def query_table_version(self, share: str, schema: str, table: str,
+                            starting_timestamp: str | None = None) -> int:
+        path = f"/shares/{share}/schemas/{schema}/tables/{table}/version"
+        if starting_timestamp:
+            path += ("?startingTimestamp="
+                     + urllib.parse.quote(starting_timestamp))
+        _s, headers, _b = self._request("GET", path)
+        return int(headers["delta-table-version"])
+
+    def query_table_metadata(self, share: str, schema: str,
+                             table: str) -> list[dict]:
+        _h, lines = self._ndjson(
+            "GET", f"/shares/{share}/schemas/{schema}/tables/{table}/metadata")
+        return lines
+
+    def list_files_in_table(
+        self, share: str, schema: str, table: str,
+        predicate_hints: list[str] | None = None,
+        json_predicate_hints: str | None = None,
+        limit_hint: int | None = None,
+        version: int | None = None,
+        timestamp: str | None = None,
+        max_files: int | None = None,
+        page_token: str | None = None,
+        response_formats: str | None = None,
+    ) -> tuple[dict[str, str], list[dict]]:
+        body: dict[str, Any] = {}
+        if predicate_hints is not None:
+            body["predicateHints"] = predicate_hints
+        if json_predicate_hints is not None:
+            body["jsonPredicateHints"] = json_predicate_hints
+        if limit_hint is not None:
+            body["limitHint"] = limit_hint
+        if version is not None:
+            body["version"] = version
+        if timestamp is not None:
+            body["timestamp"] = timestamp
+        if max_files is not None:
+            body["maxFiles"] = max_files
+        if page_token is not None:
+            body["pageToken"] = page_token
+        headers = {}
+        if response_formats:
+            headers["delta-sharing-capabilities"] = \
+                f"responseformat={response_formats}"
+        return self._ndjson(
+            "POST",
+            f"/shares/{share}/schemas/{schema}/tables/{table}/query",
+            body=body, headers=headers)
+
+    def list_table_changes(
+        self, share: str, schema: str, table: str,
+        starting_version: int | None = None,
+        ending_version: int | None = None,
+        starting_timestamp: str | None = None,
+        ending_timestamp: str | None = None,
+    ) -> list[dict]:
+        params = []
+        if starting_version is not None:
+            params.append(f"startingVersion={starting_version}")
+        if ending_version is not None:
+            params.append(f"endingVersion={ending_version}")
+        if starting_timestamp is not None:
+            params.append("startingTimestamp="
+                          + urllib.parse.quote(starting_timestamp))
+        if ending_timestamp is not None:
+            params.append("endingTimestamp="
+                          + urllib.parse.quote(ending_timestamp))
+        q = ("?" + "&".join(params)) if params else ""
+        _h, lines = self._ndjson(
+            "GET",
+            f"/shares/{share}/schemas/{schema}/tables/{table}/changes{q}")
+        return lines
+
+
+def _is_past(expiration_time: str) -> bool:
+    from datetime import datetime, timezone
+
+    try:
+        exp = datetime.fromisoformat(expiration_time.replace("Z", "+00:00"))
+    except ValueError:
+        return False
+    if exp.tzinfo is None:
+        exp = exp.replace(tzinfo=timezone.utc)
+    return exp < datetime.now(tz=timezone.utc)

@@ -1,0 +1,71 @@
+"""Shared HTTP retry/backoff (ref RetryUtils.scala:30-104 and the python
+connector's retry_with_exponential_backoff, rest_client.py:97-120):
+retry 429 and 5xx plus transient connection errors with exponential sleep,
+bounded by max retries AND max total duration. Used by the OAuth token
+exchange (auth.py) and every REST data route (rest.py)."""
+
+from __future__ import annotations
+
+import time
+import urllib.error
+from dataclasses import dataclass
+from typing import Any, Callable
+
+
+class HttpStatusError(Exception):
+    """Non-2xx response with its status code (ref UnexpectedHttpStatus,
+    RetryUtils.scala:105-107)."""
+
+    def __init__(self, message: str, status_code: int):
+        super().__init__(message)
+        self.status_code = status_code
+
+
+@dataclass(frozen=True)
+class RetryConfig:
+    """Defaults follow the python connector (rest_client.py: 100 ms initial
+    sleep) and the scala client's 10-minute total-duration cap."""
+
+    num_retries: int = 3
+    initial_sleep_ms: int = 100
+    max_duration_ms: int = 600_000  # <= 10 min total, like the reference
+
+    def sleeper(self, ms: int) -> None:  # overridable in tests
+        time.sleep(ms / 1000.0)
+
+
+def should_retry(exc: Exception) -> bool:
+    """RetryUtils.shouldRetry (RetryUtils.scala:68-104): 429 yes, 5xx yes,
+    other statuses no; transient connection errors yes."""
+    if isinstance(exc, HttpStatusError):
+        return exc.status_code == 429 or 500 <= exc.status_code < 600
+    if isinstance(exc, urllib.error.HTTPError):
+        return exc.code == 429 or 500 <= exc.code < 600
+    if isinstance(exc, (ConnectionResetError, TimeoutError)):
+        return True
+    if isinstance(exc, urllib.error.URLError):
+        return True  # connection-level failure (refused, reset, DNS)
+    return False
+
+
+def run_with_backoff(func: Callable[[], Any],
+                     config: RetryConfig | None = None) -> Any:
+    """Run ``func``, retrying retryable failures with exponential backoff
+    (RetryUtils.scala:30-66: attempt, on retryable error sleep and double,
+    stop when retries or the duration budget are exhausted)."""
+    config = config or RetryConfig()
+    times = 0
+    sleep_ms = config.initial_sleep_ms
+    start = time.monotonic()
+    while True:
+        times += 1
+        try:
+            return func()
+        except Exception as e:  # noqa: BLE001 — mirror reference catch-all
+            total_ms = (time.monotonic() - start) * 1000
+            if should_retry(e) and times <= config.num_retries \
+                    and total_ms <= config.max_duration_ms:
+                config.sleeper(sleep_ms)
+                sleep_ms *= 2
+            else:
+                raise

@@ -293,6 +293,20 @@ class SharingServer:
         return "responseformat=delta" in caps
 
     @staticmethod
+    def _response_formats(h) -> set[str]:
+        """The client's responseformat capability set (PROTOCOL.md
+        delta-sharing-capabilities header: ``responseformat=delta,parquet;
+        readerfeatures=...``). Absent -> {"parquet"} (legacy clients)."""
+        caps = (h.headers.get("delta-sharing-capabilities") or "") \
+            .replace(" ", "").lower()
+        for part in caps.split(";"):
+            if part.startswith("responseformat="):
+                vals = {v for v in part.split("=", 1)[1].split(",") if v}
+                if vals:
+                    return vals
+        return {"parquet"}
+
+    @staticmethod
     def _ndjson_payload(lines, delta: bool) -> tuple[bytes, dict]:
         if delta:
             from delta_sharing_spark.deltaformat import actions_to_delta_format
@@ -310,10 +324,13 @@ class SharingServer:
             version=int(params["version"]) if "version" in params else None,
             timestamp=params.get("timestamp"),
             max_files=0,
+            response_formats=self._response_formats(h),
+            metadata_only=True,
         )
         lines = [line for line in out["actions"]
                  if "protocol" in line or "metaData" in line]
-        payload, extra = self._ndjson_payload(lines, self._delta_format(h))
+        payload, extra = self._ndjson_payload(
+            lines, out.get("respondedFormat") == "delta")
         h._respond(payload, NDJSON, version=out["version"],
                    extra_headers=extra)
 
@@ -329,6 +346,7 @@ class SharingServer:
             page_token=body.get("pageToken"),
             include_refresh_token=bool(body.get("includeRefreshToken")),
             refresh_token=body.get("refreshToken"),
+            response_formats=self._response_formats(h),
         )
         caps = (h.headers.get("delta-sharing-capabilities") or "") \
             .replace(" ", "").lower()
@@ -344,8 +362,8 @@ class SharingServer:
                 extra_headers={
                     "delta-sharing-capabilities": "asyncquery=true"})
         out = t.query_actions(**kwargs)
-        payload, extra = self._ndjson_payload(out["actions"],
-                                              self._delta_format(h))
+        payload, extra = self._ndjson_payload(
+            out["actions"], out.get("respondedFormat") == "delta")
         h._respond(payload, NDJSON, version=out["version"],
                    extra_headers=extra)
 
@@ -376,8 +394,10 @@ class SharingServer:
             kwargs["max_files"] = body.get("maxFiles")
             kwargs["page_token"] = body.get("pageToken")
             out = q.table.query_actions(**kwargs)
-        payload = "".join(json.dumps(line) + "\n" for line in out["actions"])
-        h._respond(payload.encode(), NDJSON, version=out["version"])
+        payload, extra = self._ndjson_payload(
+            out["actions"], out.get("respondedFormat") == "delta")
+        h._respond(payload, NDJSON, version=out["version"],
+                   extra_headers=extra)
 
     def table_changes(self, h, share, schema, table, params, body) -> None:
         t = self._table(share, schema, table)

@@ -52,6 +52,16 @@ PRUNE_DRIVER_MAX_FILES = 10_000
 PAGE_TOKEN_TTL_MS = 3 * 24 * 3_600_000
 
 
+class UnsupportedTableFeatureError(ValueError):
+    """The table requires reader features the requested response format
+    cannot represent — e.g. a column-mapped table over the parquet profile,
+    whose files store PHYSICAL column names an external parquet reader
+    cannot decode against the logical schemaString. The reference forces
+    such tables through the delta response format (kernel gating,
+    DeltaSharedTableKernel.scala:567-585; PROTOCOL.md:4014-4137
+    readerFeatures)."""
+
+
 class SharedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -292,15 +302,26 @@ class SharedTable:
         page_token: str | None = None,
         include_refresh_token: bool = False,
         refresh_token: str | None = None,
+        response_formats: "set[str] | None" = None,
+        metadata_only: bool = False,
     ) -> dict[str, Any]:
         """Protocol-parity surface: the NDJSON-shaped action stream a sharing
         server would emit for this query (PROTOCOL.md:3537-3643), with offset
         page tokens (ref DeltaSharedTable.scala:363-380,499-517) and refresh
         tokens pinning latest-snapshot queries to their resolved version
-        (ref DeltaSharedTable.scala:518-532, TTL 1h ServerConfig.scala:95)."""
+        (ref DeltaSharedTable.scala:518-532, TTL 1h ServerConfig.scala:95).
+
+        ``response_formats`` is the client's capability set (default
+        ``{"parquet"}``). A column-mapped table is only representable in the
+        delta format (its parquet files carry physical names); with it the
+        response is forced to delta (``respondedFormat`` in the result),
+        without it the query is refused — kernel gating semantics
+        (DeltaSharedTableKernel.scala:567-585)."""
         import base64
         import time as _time
 
+        formats = {f.strip().lower()
+                   for f in (response_formats or {"parquet"})}
         if refresh_token:
             decoded_rt = json.loads(base64.urlsafe_b64decode(refresh_token))
             if decoded_rt.get("expiration", 0) < _time.time() * 1000:
@@ -309,6 +330,25 @@ class SharedTable:
                 version = int(decoded_rt["version"])
         was_latest = version is None and timestamp is None
         snap = self.log.snapshot(version=version, timestamp=timestamp)
+        if snap.column_mapping:
+            if "delta" in formats:
+                responded_format = "delta"
+            elif metadata_only:
+                # getTableMetadata returns the requested format without the
+                # feature gate (getRespondedFormat's size==1 head,
+                # DeltaSharedTableKernel.scala:569-573) — the protocol line's
+                # minReaderVersion=2 tells the client what a read would need
+                responded_format = "parquet"
+            else:
+                raise UnsupportedTableFeatureError(
+                    "table requires reader feature 'columnMapping' "
+                    "(delta.columnMapping.mode=name), which the parquet "
+                    "response format cannot represent; request the table "
+                    "with delta-sharing-capabilities: responseformat=delta")
+        else:
+            # both supported + no advanced features -> parquet (ref
+            # getRespondedFormat, DeltaSharedTableKernel.scala:567-585)
+            responded_format = "parquet" if "parquet" in formats else "delta"
         new_refresh_token = None
         if include_refresh_token and was_latest:
             new_refresh_token = base64.urlsafe_b64encode(json.dumps({
@@ -355,8 +395,13 @@ class SharedTable:
                     + PAGE_TOKEN_TTL_MS,
                 }).encode()
             ).decode()
+        # column mapping needs reader protocol 2 (Delta protocol table);
+        # plain tables stay at the reference's "fake" minReaderVersion 1
+        # (DeltaSharedTableKernel.scala:193)
+        proto = {"minReaderVersion": 2, "minWriterVersion": 5,
+                 } if snap.column_mapping else {"minReaderVersion": 1}
         lines: list[dict[str, Any]] = [
-            {"protocol": {"minReaderVersion": 1}},
+            {"protocol": proto},
             {
                 "metaData": {
                     **self.metadata(version=snap.version),
@@ -392,6 +437,7 @@ class SharedTable:
                 end["refreshToken"] = new_refresh_token
             lines.append({"endStreamAction": end})
         return {"version": snap.version, "actions": lines,
+                "respondedFormat": responded_format,
                 "nextPageToken": next_token,
                 "refreshToken": new_refresh_token}
 

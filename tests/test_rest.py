@@ -1,0 +1,187 @@
+"""Retry/backoff on REST routes: flaky-server recovery, retry exhaustion,
+non-retryable statuses, expired-token error text (ref RetryUtils.scala:30-104,
+rest_client.py:97-120), plus a full catalog+query round trip over HTTP."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from delta_sharing_spark.rest import (
+    DataSharingRestClient,
+    HttpStatusError,
+    RetryConfig,
+    run_with_backoff,
+    should_retry,
+)
+
+
+class _NoSleep(RetryConfig):
+    def sleeper(self, ms: int) -> None:
+        pass
+
+
+def _flaky_server(statuses: list[int], body: bytes = b'{"items": []}'):
+    """HTTP server answering each request with the next scripted status;
+    after the script runs out, always 200."""
+    seen: list[int] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self):
+            idx = len(seen)
+            seen.append(idx)
+            status = statuses[idx] if idx < len(statuses) else 200
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            if status == 200:
+                self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            self._reply()
+
+        def do_POST(self):  # noqa: N802
+            self._reply()
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, f"http://127.0.0.1:{httpd.server_address[1]}", seen
+
+
+class TestRetry:
+    def test_should_retry_statuses(self):
+        assert should_retry(HttpStatusError("x", 429))
+        assert should_retry(HttpStatusError("x", 500))
+        assert should_retry(HttpStatusError("x", 503))
+        assert not should_retry(HttpStatusError("x", 404))
+        assert not should_retry(HttpStatusError("x", 401))
+        assert not should_retry(ValueError("x"))
+
+    def test_backoff_doubles_sleep(self):
+        sleeps: list[int] = []
+
+        class Cfg(RetryConfig):
+            def sleeper(self, ms):
+                sleeps.append(ms)
+
+        calls = [0]
+
+        def failing():
+            calls[0] += 1
+            raise HttpStatusError("boom", 503)
+
+        with pytest.raises(HttpStatusError):
+            run_with_backoff(failing, Cfg(num_retries=3))
+        assert calls[0] == 4  # initial + 3 retries
+        assert sleeps == [100, 200, 400]
+
+    def test_flaky_429_503_then_200_succeeds(self):
+        httpd, url, seen = _flaky_server([429, 503])
+        try:
+            client = DataSharingRestClient(url, retry_config=_NoSleep())
+            assert client.list_shares() == []
+            assert len(seen) == 3  # two failures + the success
+        finally:
+            httpd.shutdown()
+
+    def test_exhausted_retries_surfaces_status(self):
+        httpd, url, _seen = _flaky_server([503, 503, 503, 503, 503])
+        try:
+            client = DataSharingRestClient(
+                url, retry_config=_NoSleep(num_retries=2))
+            with pytest.raises(HttpStatusError) as e:
+                client.list_shares()
+            assert e.value.status_code == 503
+        finally:
+            httpd.shutdown()
+
+    def test_404_not_retried(self):
+        httpd, url, seen = _flaky_server([404])
+        try:
+            client = DataSharingRestClient(url, retry_config=_NoSleep())
+            with pytest.raises(HttpStatusError) as e:
+                client.list_shares()
+            assert e.value.status_code == 404
+            assert len(seen) == 1  # no retry on 404
+        finally:
+            httpd.shutdown()
+
+    def test_expired_token_error_text(self):
+        """401 with an expired profile surfaces the expiry, matching
+        rest_client.py:108-114."""
+        from delta_sharing_spark.client import DeltaSharingProfile
+
+        httpd, url, _seen = _flaky_server([401])
+        try:
+            profile = DeltaSharingProfile.from_json({
+                "shareCredentialsVersion": 1, "endpoint": url,
+                "bearerToken": "t",
+                "expirationTime": "2020-01-01T00:00:00Z"})
+            client = DataSharingRestClient(url, retry_config=_NoSleep(),
+                                           profile=profile)
+            with pytest.raises(HttpStatusError, match="expired at "
+                               "2020-01-01T00:00:00Z"):
+                client.list_shares()
+        finally:
+            httpd.shutdown()
+
+
+class TestRestRoundTrip:
+    @pytest.fixture(scope="class")
+    def shared_url(self, spark, events, tmp_path_factory):
+        from delta_sharing_spark.catalog import ShareCatalog
+        from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.server import SharingServer
+
+        d = str(tmp_path_factory.mktemp("rest") / "events")
+        log = TableLog(spark, d)
+        log.create(events, partition_by=["event_type"], name="events",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.delete("event_id < 3")
+        cat = ShareCatalog(spark)
+        cat.add_table("s1", "d1", "events", d, cdf_enabled=True)
+        srv = SharingServer(cat, bearer_token="tok")
+        url = srv.serve_background()
+        yield url
+        srv.shutdown()
+
+    @pytest.fixture()
+    def client(self, shared_url):
+        from delta_sharing_spark.auth import BearerTokenAuthProvider
+
+        return DataSharingRestClient(
+            shared_url, auth_provider=BearerTokenAuthProvider("tok"),
+            retry_config=_NoSleep())
+
+    def test_catalog_listings(self, client):
+        assert [s["name"] for s in client.list_shares()] == ["s1"]
+        assert [s["name"] for s in client.list_schemas("s1")] == ["d1"]
+        assert [t["name"] for t in client.list_tables("s1", "d1")] \
+            == ["events"]
+        assert len(client.list_all_tables("s1")) == 1
+
+    def test_version_and_metadata(self, client):
+        assert client.query_table_version("s1", "d1", "events") == 1
+        lines = client.query_table_metadata("s1", "d1", "events")
+        assert "protocol" in lines[0] and "metaData" in lines[1]
+
+    def test_query_files(self, client, events):
+        _h, lines = client.list_files_in_table(
+            "s1", "d1", "events",
+            predicate_hints=["event_type = 'click'"])
+        files = [line["file"] for line in lines if "file" in line]
+        assert files
+        assert all(f["partitionValues"]["event_type"] == "click"
+                   for f in files)
+
+    def test_changes(self, client):
+        lines = client.list_table_changes("s1", "d1", "events",
+                                          starting_version=1)
+        kinds = {next(iter(line)) for line in lines}
+        assert "cdf" in kinds

@@ -155,6 +155,70 @@ class TestEndpoints:
                  for line in ch_lines if "file" in line]
         assert "cdc" in kinds
 
+    def test_column_mapped_table_gates_parquet_profile(
+            self, server, spark, events, tmp_path_factory):
+        """A column-mapped (renamed) table cannot be decoded by an external
+        parquet-profile client (files store physical names) — the server
+        must refuse parquet and serve delta (kernel gating,
+        DeltaSharedTableKernel.scala:567-585)."""
+        from delta_sharing_spark.deltaformat import delta_lines_to_spark
+
+        d = str(tmp_path_factory.mktemp("cm") / "events_cm")
+        log = TableLog(spark, d)
+        log.create(events.select("event_id", "event_type", "value"),
+                   name="events_cm")
+        log.enable_column_mapping()
+        log.rename_column("value", "score")
+        from delta_sharing_spark.server import SharingServer
+        from delta_sharing_spark.catalog import ShareCatalog
+
+        cat = ShareCatalog(spark)
+        cat.add_table("s", "d", "events_cm", d)
+        srv = SharingServer(cat, bearer_token="tok")
+        url = srv.serve_background()
+        try:
+            q = f"{url}/shares/s/schemas/d/tables/events_cm/query"
+            # parquet profile (no capabilities header) -> protocol error
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(q, {}, token="tok")
+            assert e.value.code == 400
+            assert "columnMapping" in e.value.read().decode()
+            # delta format -> served, readable, logical names
+            _s, headers, body = _post(
+                q, {}, token="tok",
+                headers={"delta-sharing-capabilities":
+                         "responseformat=delta,parquet"})
+            assert headers["delta-sharing-capabilities"] == \
+                "responseformat=delta"
+            lines = _ndjson(body)
+            proto = lines[0]["protocol"]["deltaProtocol"]
+            assert proto["minReaderVersion"] == 2
+            df = delta_lines_to_spark(spark, lines)
+            assert df.count() == events.count()
+            # metadata endpoint stays readable for parquet clients and
+            # advertises the reader requirement
+            m = f"{url}/shares/s/schemas/d/tables/events_cm/metadata"
+            _s, _h, mbody = _get(m, token="tok")
+            mlines = _ndjson(mbody)
+            assert mlines[0]["protocol"]["minReaderVersion"] == 2
+        finally:
+            srv.shutdown()
+
+    def test_plain_table_negotiates_parquet(self, server):
+        """responseformat=delta,parquet on a plain table -> parquet (the
+        reference prefers parquet when no advanced features force delta)."""
+        url = f"{server}/shares/share1/schemas/default/tables/events/query"
+        _s, headers, body = _post(
+            url, {},
+            headers={"delta-sharing-capabilities":
+                     "responseformat=delta,parquet"})
+        assert "delta-sharing-capabilities" not in {
+            k.lower() for k in headers}
+        lines = _ndjson(body)
+        assert lines[0]["protocol"] == {"minReaderVersion": 1}
+        assert any("file" in line and "url" in line["file"]
+                   for line in lines)
+
     def test_async_query_round_trip(self, server):
         """asyncquery=true submission -> queryStatus line -> poll Get Query
         Info until the full sync-shaped response streams
