@@ -1036,9 +1036,9 @@ class TableLog:
             configuration=configuration or {},
             createdTime=ts,
         )
-        self._validate_constraints(df, {**(configuration or {}),
-                                        **gen_checks}, "CREATE TABLE")
         staged = self._stage_dataframe(df, partition_by, self.data_path)
+        self._validate_staged(staged, {**(configuration or {}),
+                                       **gen_checks}, "CREATE TABLE")
         actions: list[Action] = [Protocol(), metadata]
         actions += [
             AddFile(path=p, partitionValues=pv, size=sz, stats=st)
@@ -1066,10 +1066,11 @@ class TableLog:
         if max_files:
             data = df.repartition(max_files)
         data, gen_checks = self._generated_write_prep(data, snap.schema)
-        self._validate_constraints(
-            data, {**snap.metadata.configuration, **gen_checks}, "WRITE")
         staged = self._stage_dataframe(data, snap.partition_columns,
                                        self.data_path, snap=snap)
+        self._validate_staged(
+            staged, {**snap.metadata.configuration, **gen_checks}, "WRITE",
+            snap=snap)
         adds: list[Action] = [
             AddFile(path=p, partitionValues=pv, size=sz, stats=st)
             for p, pv, sz, st in staged
@@ -1187,6 +1188,11 @@ class TableLog:
         esc = _re.escape(name)
         pat = _re.compile(rf"`{esc}`|\b{esc}\b", _re.IGNORECASE)
         for ref, expr in refs.items():
+            # identifiers can't live inside string literals: a constraint
+            # status != 'active' must not block dropping a column named
+            # 'active' ('' doubling inside literals splits into adjacent
+            # literals, which this removes too)
+            expr = _re.sub(r"'[^']*'", "''", expr)
             if pat.search(expr):
                 raise ValueError(
                     f"cannot {operation} column {name!r}: referenced by "
@@ -1205,7 +1211,9 @@ class TableLog:
         if old not in names:
             raise ValueError(f"no such column: {old!r}")
         lower_new = new.lower()
-        if any(lower_new == n.lower() for n in names):
+        # the renamed column itself is excluded: a case-only rename
+        # (old='Val' -> new='val') is legal in Delta
+        if any(lower_new == n.lower() for n in names if n != old):
             raise ValueError(f"column already exists: {new!r}")
         if lower_new in self._RESERVED_COLUMN_NAMES \
                 or lower_new.startswith("__"):
@@ -1313,6 +1321,38 @@ class TableLog:
                 out[f.name] = md[cls.GENERATION_EXPR_KEY]
         return out
 
+    def _validate_staged(self, staged, configuration, operation,
+                         snap: "Snapshot | None" = None,
+                         base_dir: str | None = None) -> None:
+        """Validate CHECK constraints against the STAGED parquet bytes
+        rather than by re-executing the input plan: a non-deterministic
+        source (rand(), current_timestamp, a concurrently-changing external
+        read) could pass a pre-write validation yet stage different,
+        violating rows. Reading back what was actually written is the
+        engine's equivalent of Delta enforcing invariants during the write
+        itself (Delta's Invariants/CheckDeltaInvariant run inside the
+        write job). On violation the staged (uncommitted) files are
+        deleted and the violation re-raised — the commit never happens."""
+        cons = self._constraints(configuration)
+        if not cons or not staged:
+            return
+        paths = [os.path.join(self.path, rel)
+                 for rel, _pv, _sz, _st in staged]
+        df = self.spark.read.option(
+            "basePath", base_dir or self.data_path).parquet(*paths)
+        p2l = snap.physical_to_logical if snap is not None else None
+        if p2l:
+            df = df.withColumnsRenamed(p2l)
+        try:
+            self._validate_constraints(df, configuration, operation)
+        except CheckConstraintViolation:
+            for p in paths:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            raise
+
     def _generated_write_prep(self, df: DataFrame,
                               schema: T.StructType
                               ) -> tuple[DataFrame, dict[str, str]]:
@@ -1337,8 +1377,15 @@ class TableLog:
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT: validates the WHOLE current table
         against ``expr`` first (Delta scans existing data the same way),
-        then commits the constraint as metadata. Later writes enforce it
-        on their written rows only."""
+        then commits the constraint as metadata.
+
+        The commit is built against the SAME snapshot the validation scan
+        ran on (never ``update_metadata``, which would re-snapshot and
+        silently overwrite an interleaved metadata commit), and records
+        the scanned files as read_paths with appends NOT tolerated — rows
+        appended between the validation scan and the commit were never
+        validated, so they must surface as ``ConcurrentAppendError``
+        instead of escaping the new constraint."""
         snap = self.snapshot()
         key = f"delta.constraints.{name}"
         if key in snap.metadata.configuration:
@@ -1349,7 +1396,21 @@ class TableLog:
                 "ADD CONSTRAINT")
         config = dict(snap.metadata.configuration)
         config[key] = expr
-        return self.update_metadata(configuration=config)
+        meta = snap.metadata
+        new_meta = Metadata(
+            id=meta.id, name=meta.name, description=meta.description,
+            format=meta.format, schemaString=meta.schemaString,
+            partitionColumns=meta.partitionColumns,
+            configuration=config, createdTime=meta.createdTime,
+        )
+        return self._commit_checked(
+            snap,
+            lambda v, ts: [new_meta, CommitInfo(
+                version=v, timestamp=ts, operation="ADD CONSTRAINT",
+                operationParameters={"name": name, "expr": expr})],
+            read_paths={f.path for f in snap.files},
+            tolerate_data_appends=False,
+        )
 
     def drop_constraint(self, name: str) -> int:
         snap = self.snapshot()
@@ -1358,7 +1419,13 @@ class TableLog:
             raise ValueError(f"constraint {name!r} does not exist")
         config = dict(snap.metadata.configuration)
         config.pop(key)
-        return self.update_metadata(configuration=config)
+        # metadata-only decision: commit against the snapshot the config
+        # was read from (interleaved data appends rebase; a concurrent
+        # metadata change raises instead of being overwritten)
+        return self._metadata_commit(
+            snap, snap.metadata.schemaString,
+            snap.metadata.partitionColumns, config, "DROP CONSTRAINT",
+            {"name": name})
 
     # ------------------------------------------------- row-mutating commits
 
@@ -1871,10 +1938,10 @@ class TableLog:
                 F.col(f.name).cast(f.dataType).alias(f.name)
                 for f in snap.schema.fields
             ])
-            self._validate_constraints(post, snap.metadata.configuration,
-                                       "UPDATE")
             staged = self._stage_dataframe(post, snap.partition_columns,
                                            self.data_path, snap=snap)
+            self._validate_staged(staged, snap.metadata.configuration,
+                                  "UPDATE", snap=snap)
             actions += [
                 AddFile(path=p, partitionValues=pv, size=sz, stats=st)
                 for p, pv, sz, st in staged
@@ -1957,10 +2024,12 @@ class TableLog:
                 # generated values follow their source columns
                 post = post.withColumn(g, F.expr(ge))
             rewritten = touched_df.filter(~cond | cond.isNull()).unionByName(post)
-            self._validate_constraints(post, snap.metadata.configuration,
-                                       "UPDATE")
             staged = self._stage_dataframe(rewritten, snap.partition_columns,
                                            self.data_path, snap=snap)
+            # validates the whole staged rewrite (untouched rows satisfy
+            # the constraints by induction; re-checking them is harmless)
+            self._validate_staged(staged, snap.metadata.configuration,
+                                  "UPDATE", snap=snap)
             actions += [
                 AddFile(path=p, partitionValues=pv, size=sz, stats=st)
                 for p, pv, sz, st in staged
@@ -2054,11 +2123,11 @@ class TableLog:
                     ])
                 n_updated = n_matched
                 if n_matched:
-                    self._validate_constraints(post, merge_config,
-                                               "MERGE")
                     staged = self._stage_dataframe(
                         post, snap.partition_columns, self.data_path,
                         snap=snap)
+                    self._validate_staged(staged, merge_config, "MERGE",
+                                          snap=snap)
                     actions += [
                         AddFile(path=p, partitionValues=pv, size=sz, stats=st)
                         for p, pv, sz, st in staged
@@ -2097,8 +2166,6 @@ class TableLog:
                     # replace)
                     post = pre.select(*keys).join(F.broadcast(src), keys) \
                         .select(*schema_cols)
-                    self._validate_constraints(post, merge_config,
-                                               "MERGE")
                     rewritten = keep.unionByName(post).select(*schema_cols)
                     n_updated = n_matched
                 elif when_matched == "delete":
@@ -2111,6 +2178,9 @@ class TableLog:
                 staged = self._stage_dataframe(
                     rewritten, snap.partition_columns, self.data_path,
                     snap=snap)
+                if when_matched == "update":
+                    self._validate_staged(staged, merge_config, "MERGE",
+                                          snap=snap)
                 actions += [
                     AddFile(path=p, partitionValues=pv, size=sz, stats=st)
                     for p, pv, sz, st in staged
@@ -2138,11 +2208,11 @@ class TableLog:
             ins = src.join(target_keys, keys, "left_anti")
             n_inserted = ins.count()
             if n_inserted:
-                self._validate_constraints(
-                    ins.select(*schema_cols), merge_config, "MERGE")
                 staged = self._stage_dataframe(
                     ins.select(*schema_cols), snap.partition_columns,
                     self.data_path, snap=snap)
+                self._validate_staged(staged, merge_config, "MERGE",
+                                      snap=snap)
                 actions += [
                     AddFile(path=p, partitionValues=pv, size=sz, stats=st)
                     for p, pv, sz, st in staged
@@ -2189,10 +2259,11 @@ class TableLog:
         snap = self.snapshot()
         _check_not_append_only(snap, "OVERWRITE")
         df, gen_checks = self._generated_write_prep(df, snap.schema)
-        self._validate_constraints(
-            df, {**snap.metadata.configuration, **gen_checks}, "OVERWRITE")
         staged = self._stage_dataframe(df, snap.partition_columns,
                                        self.data_path, snap=snap)
+        self._validate_staged(
+            staged, {**snap.metadata.configuration, **gen_checks},
+            "OVERWRITE", snap=snap)
         actions: list[Action] = [
             AddFile(path=p, partitionValues=pv, size=sz, stats=st)
             for p, pv, sz, st in staged

@@ -1719,6 +1719,87 @@ class TestCheckConstraints:
         assert "delta.constraints.id_bound" not in \
             log.snapshot().metadata.configuration
 
+    def test_add_constraint_conflicts_with_interleaved_append(
+            self, spark, events, tmp_path, monkeypatch):
+        """Rows appended between the validation scan and the constraint
+        commit were never validated — they must raise
+        ConcurrentAppendError, not silently escape (advisory finding:
+        update_metadata re-snapshotted and overwrote the race)."""
+        from delta_sharing_spark.plans.log import ConcurrentAppendError
+
+        log = self._table(spark, events, tmp_path)
+        other = TableLog(spark, log.path)
+        sneak = events.filter("event_id >= 100 AND event_id < 105")
+        orig = log._validate_constraints
+
+        def validate_then_race(df, config, op):
+            orig(df, config, op)
+            if op == "ADD CONSTRAINT":
+                other.append(sneak)  # lands inside the race window
+
+        monkeypatch.setattr(log, "_validate_constraints",
+                            validate_then_race)
+        with pytest.raises(ConcurrentAppendError):
+            log.add_constraint("id_bound", "event_id < 1000000")
+
+    def test_violation_cleans_staged_files(self, spark, events, tmp_path):
+        """Staged-file validation (post-write, like Delta's in-write
+        invariants): a violating write leaves neither a commit nor staged
+        parquet behind."""
+        import glob
+        import os
+
+        from delta_sharing_spark.plans.log import CheckConstraintViolation
+
+        log = self._table(
+            spark, events, tmp_path,
+            configuration={"delta.constraints.value_nonneg": "value >= 0"})
+        v = log.latest_version()
+        before = set(glob.glob(
+            os.path.join(log.data_path, "**", "*.parquet"),
+            recursive=True))
+        bad = events.filter("event_id >= 100").limit(5) \
+            .withColumn("value", F.lit(-1.0))
+        with pytest.raises(CheckConstraintViolation):
+            log.append(bad)
+        after = set(glob.glob(
+            os.path.join(log.data_path, "**", "*.parquet"),
+            recursive=True))
+        assert after == before  # staged bytes removed on violation
+        assert log.latest_version() == v
+
+
+class TestColumnDDLGuards:
+    def test_case_only_rename_allowed(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.createDataFrame([(1, 2)], "id long, Val long"),
+                   name="t")
+        log.enable_column_mapping()
+        log.rename_column("Val", "val")  # case-only rename is legal
+        assert [f.name for f in log.snapshot().schema.fields] \
+            == ["id", "val"]
+        # data still readable under the new case
+        assert SharedTable(spark, d).to_df().select("val").first()[0] == 2
+
+    def test_literal_mention_does_not_block_ddl(self, spark, tmp_path):
+        """A constraint mentioning 'active' only inside a string literal
+        must not block dropping/renaming a column named active."""
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(
+            spark.createDataFrame([("active", 1, 3)],
+                                  "status string, active long, x long"),
+            name="t",
+            configuration={"delta.constraints.st":
+                           "status != 'not active'"})
+        log.enable_column_mapping()
+        log.rename_column("active", "is_active")  # literal only — allowed
+        log.drop_column("is_active")
+        # the genuinely referenced column stays protected
+        with pytest.raises(ValueError, match="referenced by"):
+            log.rename_column("status", "state")
+
 
 class TestCloneDML:
     """DML against a shallow clone: the clone's files are ABSOLUTE paths
