@@ -2483,6 +2483,69 @@ class TableLog:
             tolerate_data_appends=True,
         )
 
+    def reorg_purge(self) -> int | None:
+        """REORG TABLE APPLY (PURGE) — Delta's reorg: rewrite files that
+        still physically carry soft-deleted data, i.e. bytes of columns
+        DROPPED under column mapping (drop is metadata-only, the bytes
+        stay until purged) and rows masked by deletion vectors.
+
+        Candidate detection reads parquet FOOTERS (O(KB) per file,
+        driver-side — a maintenance op over the active file list): a file
+        whose top-level physical columns include names absent from the
+        current physical schema carries dropped bytes. The rewrite reads
+        logical rows (DV-masked, current schema only) and stages files
+        containing exactly the live columns. dataChange=false on both
+        sides, so streams skip it like OPTIMIZE; old versions stay
+        readable via time travel (the old files remain until vacuum).
+        Returns the committed version, or None when nothing needs purging.
+        """
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot()
+        phys_fields = {f.name for f in snap.physical_schema.fields}
+        candidates: list[AddFile] = []
+        for a in snap.files:
+            if a.deletionVector:
+                candidates.append(a)
+                continue
+            try:
+                names = set(
+                    pq.ParquetFile(self._scan_abs(a)).schema_arrow.names)
+            except Exception:  # unreadable footer -> rewrite to be safe
+                candidates.append(a)
+                continue
+            if names - phys_fields:  # physical bytes of dropped columns
+                candidates.append(a)
+        if not candidates:
+            return None
+        # explicit declared schema: dropped physical columns are never even
+        # read, and mixed old/new files can't skew schema inference
+        df = self.read_adds(candidates, schema=snap.schema, snap=snap) \
+            .select([f.name for f in snap.schema.fields])
+        staged = self._stage_dataframe(df, snap.partition_columns,
+                                       self.data_path, snap=snap)
+        actions: list[Action] = [
+            AddFile(path=p, partitionValues=pv, size=sz, stats=st,
+                    dataChange=False)
+            for p, pv, sz, st in staged
+        ]
+        actions += [
+            RemoveFile(path=a.path, partitionValues=a.partitionValues,
+                       size=a.size, dataChange=False)
+            for a in candidates
+        ]
+        purged = {a.path for a in candidates}
+        return self._commit_checked(
+            snap,
+            lambda v, ts: actions + [CommitInfo(
+                version=v, timestamp=ts, operation="REORG",
+                operationParameters={"applyPurge": "true"},
+                operationMetrics={"numPurged": str(len(candidates))})],
+            read_paths=purged,
+            removed_paths=purged,
+            tolerate_data_appends=True,
+        )
+
     def compact_deletion_vectors(self) -> int | None:
         """Collapse stacked DV generations into ONE packed DV parquet and
         re-point every dirty file's descriptor at it (remove + re-add of the

@@ -460,6 +460,48 @@ def _events_cdf_evolve(spark: SparkSession, sf_dir: str) -> str:
     return _fixture(spark, sf_dir, "events_cdf_evolve", build)
 
 
+def _events_reorg(spark: SparkSession, sf_dir: str) -> str:
+    """REORG purge fixture: create -> enable column mapping -> DROP COLUMN
+    props (metadata-only) -> reorg_purge() (physical rewrite). The builder
+    asserts the purge actually removed the dropped column's bytes."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        import pyarrow.parquet as pq
+
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value", "props")
+        log = TableLog(spark, path)
+        log.create(ev, name="events_reorg")
+        log.enable_column_mapping()
+        log.drop_column("props")
+        assert log.reorg_purge() is not None
+        for a in log.snapshot().files:
+            names = pq.ParquetFile(log._scan_abs(a)).schema_arrow.names
+            if "props" in names:
+                raise AssertionError("reorg left dropped-column bytes")
+
+    return _fixture(spark, sf_dir, "events_reorg", build)
+
+
+@workload(
+    "eng_reorg_purge",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(value) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def eng_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read after REORG APPLY (PURGE) of a dropped column: the physical
+    rewrite must preserve every remaining column's values exactly (Delta
+    REORG semantics; drop itself per PROTOCOL column mapping)."""
+    t = SharedTable(spark, _events_reorg(spark, sf_dir))
+    return t.to_df().groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").cast("double").alias("sum_value"),
+    )
+
+
 @workload(
     "eng_cdf_schema_evolution",
     oracle="""

@@ -1193,6 +1193,57 @@ class TestMaintenance:
                                           "startingversion": str(v)}, None)
         assert reader._file_sequence(v) == []
 
+    def test_reorg_purges_dropped_column_bytes(self, spark, events,
+                                               table_dir):
+        """REORG APPLY (PURGE): DROP COLUMN is metadata-only, the bytes
+        stay — reorg_purge rewrites exactly the files still carrying the
+        dropped physical column, old versions stay time-travelable."""
+        import pyarrow.parquet as pq
+
+        log = TableLog(spark, table_dir)
+        log.create(events.select("event_id", "event_type", "value", "props"),
+                   name="t")
+        log.enable_column_mapping()
+        drop_v = log.drop_column("props")
+        # bytes still physically present after the metadata-only drop
+        paths = [log._scan_abs(a) for a in log.snapshot().files]
+        assert all("props" in pq.ParquetFile(p).schema_arrow.names
+                   for p in paths)
+        v = log.reorg_purge()
+        assert v == drop_v + 1
+        snap = log.snapshot()
+        for a in snap.files:
+            names = pq.ParquetFile(log._scan_abs(a)).schema_arrow.names
+            assert "props" not in names  # bytes physically purged
+        t = SharedTable(spark, table_dir)
+        assert t.to_df().count() == events.count()
+        assert "props" not in t.to_df().columns
+        # time travel to the pre-drop version still reads the column
+        old = t.to_df(version=drop_v - 1)
+        assert "props" in old.columns and old.count() == events.count()
+        # idempotent: nothing left to purge
+        assert log.reorg_purge() is None
+        # dataChange=false: streams skip the rewrite like OPTIMIZE
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableStreamReader,
+        )
+
+        reader = SharedTableStreamReader({"path": table_dir,
+                                          "startingversion": str(v)}, None)
+        assert reader._file_sequence(v) == []
+
+    def test_reorg_purges_deletion_vectors(self, spark, events, table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(events, name="t",
+                   configuration={"enableDeletionVectors": "true"})
+        log.delete("value < 5")
+        assert any(a.deletionVector for a in log.snapshot().files)
+        want = SharedTable(spark, table_dir).to_df().count()
+        assert log.reorg_purge() is not None
+        snap = log.snapshot()
+        assert not any(a.deletionVector for a in snap.files)
+        assert SharedTable(spark, table_dir).to_df().count() == want
+
     def test_vacuum_removes_unreferenced_only(self, spark, events, table_dir):
         import os
 
