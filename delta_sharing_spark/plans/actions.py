@@ -161,9 +161,16 @@ class CommitInfo:
     operation: str
     operationParameters: dict[str, str] = field(default_factory=dict)
     operationMetrics: dict[str, str] = field(default_factory=dict)
+    # delta.enableInCommitTimestamps (Delta inCommitTimestamp writer
+    # feature): the authoritative commit time stored IN the commit payload,
+    # immune to log-file mtime skew across storage systems
+    inCommitTimestamp: int | None = None
 
     def wrap(self) -> dict[str, Any]:
-        return {"commitInfo": asdict(self)}
+        d = asdict(self)
+        if d.get("inCommitTimestamp") is None:
+            d.pop("inCommitTimestamp", None)  # wire-stable for plain tables
+        return {"commitInfo": d}
 
 
 _ACTION_TYPES = {

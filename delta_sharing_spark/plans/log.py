@@ -483,7 +483,12 @@ class TableLog:
                     cdc.append(action)
                 elif isinstance(action, CommitInfo):
                     info = action
-        ts = info.timestamp if info else 0
+        # ICT: the in-payload timestamp is authoritative when present
+        # (Delta inCommitTimestamp semantics — mtime/clock-skew-free)
+        ts = 0
+        if info:
+            ts = (info.inCommitTimestamp
+                  if info.inCommitTimestamp is not None else info.timestamp)
         return Commit(version, ts, metadata, adds, removes, cdc, info)
 
     def commits(self, start: int = 0, end: int | None = None) -> list[Commit]:
@@ -834,12 +839,37 @@ class TableLog:
                 now = prev + 1
         return now
 
+    ICT_KEY = "delta.enableInCommitTimestamps"
+
+    def _ict_enabled(self, actions: list[Action]) -> bool:
+        """In-commit timestamps on? The commit's own Metadata action wins
+        (create / config change); otherwise the current table config."""
+        for a in actions:
+            if isinstance(a, Metadata):
+                return a.configuration.get(
+                    self.ICT_KEY, "").lower() == "true"
+        try:
+            return self.snapshot().metadata.configuration.get(
+                self.ICT_KEY, "").lower() == "true"
+        except TableNotFoundError:
+            return False
+
     def _write_commit(self, version: int, actions: list[Action]) -> None:
         """Atomic no-clobber commit: write to a temp file, then hard-link to
         the final name. ``os.link`` fails with EEXIST if another writer won
         the race (unlike rename, which silently replaces) — the same
         put-if-absent primitive Delta's commit protocol relies on. Losers
-        get ConcurrentCommitError and can re-resolve + retry."""
+        get ConcurrentCommitError and can re-resolve + retry.
+
+        With ``delta.enableInCommitTimestamps`` the CommitInfo is stamped
+        with ``inCommitTimestamp`` (Delta's ICT writer feature): the commit
+        time lives in the payload, so filesystem mtime skew (backdated
+        copies, cross-region replication) can never change time-travel
+        resolution."""
+        if self._ict_enabled(actions):
+            for a in actions:
+                if isinstance(a, CommitInfo) and a.inCommitTimestamp is None:
+                    a.inCommitTimestamp = a.timestamp
         os.makedirs(self.log_path, exist_ok=True)
         final = os.path.join(self.log_path, _fmt_version(version))
         tmp = final + f".{uuid.uuid4().hex}.tmp"

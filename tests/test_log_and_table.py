@@ -1163,6 +1163,46 @@ class TestDVCompaction:
         assert reader._file_sequence(v) == []
 
 
+class TestInCommitTimestamps:
+    def test_backdated_mtime_does_not_affect_resolution(
+            self, spark, events, table_dir):
+        """delta.enableInCommitTimestamps: the commit time lives in the
+        payload; backdating every log file's mtime must not change
+        timestamp time travel."""
+        import json
+        import os
+
+        log = TableLog(spark, table_dir)
+        log.create(events.filter("event_id < 10"), name="t",
+                   configuration={"delta.enableInCommitTimestamps": "true"})
+        log.append(events.filter("event_id >= 10 AND event_id < 20"))
+        t1 = log.read_commit(1).timestamp
+        log.append(events.filter("event_id >= 20 AND event_id < 30"))
+        # the payload carries the authoritative timestamp
+        with open(os.path.join(log.log_path,
+                               "00000000000000000001.json")) as f:
+            infos = [json.loads(line) for line in f if "commitInfo" in line]
+        assert infos[0]["commitInfo"]["inCommitTimestamp"] == t1
+        # backdate every log file's mtime to the epoch
+        for fn in os.listdir(log.log_path):
+            os.utime(os.path.join(log.log_path, fn), (0, 0))
+        fresh = TableLog(spark, table_dir)
+        assert fresh.version_at_timestamp(t1) == 1
+        assert fresh.version_at_timestamp(t1 - 1) == 0
+        assert fresh.earliest_version_at_or_after(t1 + 1) == 2
+
+    def test_plain_tables_stay_wire_stable(self, spark, events, table_dir):
+        import json
+        import os
+
+        log = TableLog(spark, table_dir)
+        log.create(events.filter("event_id < 10"), name="t")
+        with open(os.path.join(log.log_path,
+                               "00000000000000000000.json")) as f:
+            infos = [json.loads(line) for line in f if "commitInfo" in line]
+        assert "inCommitTimestamp" not in infos[0]["commitInfo"]
+
+
 class TestMaintenance:
     def test_overwrite(self, spark, events, table_dir):
         log = TableLog(spark, table_dir)
