@@ -611,6 +611,8 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     # materializing per-position substrings inside a transform() array
     # costs ~15x more than cutting them post-explode (measured at sf0.1 —
     # the array-of-strings allocation dominates, the substring does not)
+    # (stride=1 fidelity without the per-position shuffle: see
+    # duplicate_spans_exact below)
     grams = (
         _spread(df.filter(F.length(text_col) >= k))
         .select(
@@ -657,6 +659,217 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
         .withColumn("__island", F.sum("__new").over(w))
         .groupBy(id_col, "__island")
         .agg((F.max("__pos") + k - F.min("__pos")).alias("__span_len"))
+    )
+    return islands.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("__span_len").alias("dup_chars"),
+    )
+
+
+# ------------------------------------------- exact substring dedup (suffix)
+#
+# duplicate_spans at stride=1 is exact but shuffles one row PER CHARACTER
+# POSITION (the gram index). duplicate_spans_exact keeps stride=1 fidelity
+# while shuffling only winnowed fingerprints (~2/(w+1) of positions):
+#
+# 1. winnowing (Schleimer/Wilkerson/Aiken, MOSS): per doc, Karp-Rabin
+#    hashes of k_g-char grams, windowed minima over w consecutive grams.
+#    Guarantee: two docs sharing any substring of length
+#    >= k_g + w - 1 = min_len share at least one selected fingerprint —
+#    so candidate-pair generation is EXHAUSTIVE for qualifying spans.
+# 2. candidate pairs: equi-join on fingerprint (min/max trick, optional
+#    hot-fingerprint cap — same skew guard as the LSH joins).
+# 3. per-pair suffix automaton (public classic construction): matching
+#    statistics of B against SAM(A) and A against SAM(B) give, for every
+#    position, the longest cross-document match ending there — the union
+#    of qualifying matches is exactly the positions inside a common
+#    substring >= min_len. Runs in mapInPandas, linear per pair.
+# 4. global island merge per doc (bounded window, same as duplicate_spans).
+#
+# Equivalence: a common substring of length L >= min_len covers the same
+# character interval as its L - min_len + 1 shared min_len-grams, so the
+# merged islands (count and total chars) equal duplicate_spans(k=min_len,
+# stride=1) — the DuckDB oracle replays THAT formulation in SQL.
+
+
+def _winnow_fingerprints(text: str, k: int, w: int):
+    """Winnowed Karp-Rabin fingerprint values of one document (sorted,
+    distinct). numpy-vectorized: rolling hash via prefix sums mod a prime,
+    windowed minima via stride tricks."""
+    import numpy as np
+
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(data) < k:
+        return []
+    b, m = 257, 2147483647
+    powers = np.array([pow(b, k - 1 - j, m) for j in range(k)],
+                      dtype=np.int64)
+    n = len(data) - k + 1
+    windows = np.lib.stride_tricks.sliding_window_view(data, k)
+    hashes = (windows.astype(np.int64) * powers).sum(axis=1) % m
+    if n <= w:
+        return [int(hashes.min())]
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+    return [int(v) for v in np.unique(mins)]
+
+
+def _sam_build(s: str):
+    """Suffix automaton of ``s`` (classic online construction — public
+    algorithm; states carry (len, link, transitions))."""
+    sa_len = [0]
+    sa_link = [-1]
+    trans: list[dict] = [{}]
+    last = 0
+    for ch in s:
+        cur = len(sa_len)
+        sa_len.append(sa_len[last] + 1)
+        sa_link.append(-1)
+        trans.append({})
+        p = last
+        while p != -1 and ch not in trans[p]:
+            trans[p][ch] = cur
+            p = sa_link[p]
+        if p == -1:
+            sa_link[cur] = 0
+        else:
+            q = trans[p][ch]
+            if sa_len[p] + 1 == sa_len[q]:
+                sa_link[cur] = q
+            else:
+                clone = len(sa_len)
+                sa_len.append(sa_len[p] + 1)
+                sa_link.append(sa_link[q])
+                trans.append(dict(trans[q]))
+                while p != -1 and trans[p].get(ch) == q:
+                    trans[p][ch] = clone
+                    p = sa_link[p]
+                sa_link[q] = clone
+                sa_link[cur] = clone
+        last = cur
+    return sa_len, sa_link, trans
+
+
+def _match_coverage(sam, b: str, min_len: int):
+    """Merged [start, end) intervals of ``b`` lying inside a common
+    substring (with the SAM'd string) of length >= min_len — via matching
+    statistics: walk b through the automaton, following suffix links on
+    mismatch."""
+    sa_len, sa_link, trans = sam
+    v, length = 0, 0
+    out: list[list[int]] = []
+    for i, ch in enumerate(b):
+        while v != 0 and ch not in trans[v]:
+            v = sa_link[v]
+            length = sa_len[v]
+        if ch in trans[v]:
+            v = trans[v][ch]
+            length += 1
+        else:
+            length = 0
+        if length >= min_len:
+            s, e = i - length + 1, i + 1
+            if out and s <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], e)
+            else:
+                out.append([s, e])
+    return out
+
+
+def duplicate_spans_exact(df: DataFrame, id_col: str, text_col: str,
+                          min_len: int = 20,
+                          max_doc_freq: int | None = None) -> DataFrame:
+    """Exact cross-document duplicate spans (suffix-automaton verification
+    over winnowing-complete candidate pairs): per document, the merged
+    character islands lying inside some substring of length >= ``min_len``
+    shared with another document. Same output contract as
+    :func:`duplicate_spans` — ``(id, n_dup_spans, dup_chars)`` — with
+    stride=1 fidelity at winnowed (not per-position) shuffle cost.
+
+    ``max_doc_freq`` caps hot fingerprints before the pair join (the
+    standard inverted-index skew guard); spans whose ONLY fingerprints are
+    boilerplate-hot may then be missed, which is the documented trade at
+    web scale (exactness holds when the cap is off).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    k_g = max(1, min_len // 2)
+    w = min_len - k_g + 1  # winnowing guarantee hits exactly min_len
+
+    docs = df.select(F.col(id_col), F.col(text_col)) \
+        .filter(F.length(text_col) >= min_len)
+
+    def winnow(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for id_, text in zip(pdf[id_col].values, pdf[text_col].values):
+                for v in _winnow_fingerprints(text or "", k_g, w):
+                    ids.append(id_)
+                    fps.append(v)
+            yield pd.DataFrame({id_col: ids, "fp": fps})
+
+    prints = _spread(docs).mapInPandas(
+        winnow, schema=f"{id_col} long, fp long")
+    if max_doc_freq is not None:
+        keep = (prints.groupBy("fp")
+                .agg(F.count("*").alias("fdf"))
+                .filter(F.col("fdf") <= max_doc_freq)
+                .select("fp"))
+        prints = prints.join(keep, "fp")
+    a, b = prints.alias("a"), prints.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    texts = docs.select(F.col(id_col), F.col(text_col).alias("__t"))
+    with_texts = (
+        pairs.join(texts.withColumnsRenamed(
+            {id_col: "id_a", "__t": "__ta"}), "id_a")
+        .join(texts.withColumnsRenamed(
+            {id_col: "id_b", "__t": "__tb"}), "id_b")
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, starts, ends = [], [], []
+            for id_a, id_b, ta, tb in zip(
+                    pdf["id_a"].values, pdf["id_b"].values,
+                    pdf["__ta"].values, pdf["__tb"].values):
+                sam_a = _sam_build(ta)
+                for s, e in _match_coverage(sam_a, tb, min_len):
+                    ids.append(id_b)
+                    starts.append(s)
+                    ends.append(e)
+                sam_b = _sam_build(tb)
+                for s, e in _match_coverage(sam_b, ta, min_len):
+                    ids.append(id_a)
+                    starts.append(s)
+                    ends.append(e)
+            yield pd.DataFrame({id_col: ids, "__s": starts, "__e": ends})
+
+    intervals = with_texts.mapInPandas(
+        verify, schema=f"{id_col} long, __s long, __e long")
+
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col).orderBy("__s", "__e")
+    prev_end = F.max("__e").over(
+        win.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        intervals.withColumn(
+            "__new",
+            # touching intervals ([a,b) then [b,c)) merge — the same island
+            # rule as duplicate_spans' gram islands
+            F.when(prev_end.isNull() | (F.col("__s") > prev_end), 1)
+            .otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new").over(win))
+        .groupBy(id_col, "__island")
+        .agg((F.max("__e") - F.min("__s")).alias("__span_len"))
     )
     return islands.groupBy(id_col).agg(
         F.count("*").alias("n_dup_spans"),

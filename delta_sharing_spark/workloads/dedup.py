@@ -713,3 +713,57 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return duplicate_spans(docs, "doc_id", "text", k=20, min_docs=2)
+
+
+@workload(
+    "q_dedup_substrings_suffix",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, t.i AS pos, substring(text, t.i::INT + 1, 25) AS gram
+        FROM documents,
+             LATERAL (SELECT UNNEST(generate_series(0, length(text) - 25))
+                      AS i) t
+        WHERE length(text) >= 25
+    ),
+    dup AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN MAX(pos + 25) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         IS NULL
+                      OR pos > MAX(pos + 25) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_i
+        FROM hits
+    ),
+    numbered AS (
+        SELECT doc_id, pos,
+               SUM(new_i) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, island, MAX(pos) + 25 - MIN(pos) AS span_len
+        FROM numbered GROUP BY doc_id, island
+    )
+    SELECT doc_id, COUNT(*) AS n_dup_spans,
+           CAST(SUM(span_len) AS BIGINT) AS dup_chars
+    FROM spans GROUP BY doc_id
+    """,
+)
+def q_dedup_substrings_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-automaton exact duplicate spans (winnowing-complete candidate
+    pairs + per-pair matching statistics, operators/dedup.py
+    duplicate_spans_exact): stride=1 fidelity at winnowed shuffle cost.
+    The oracle replays the EQUIVALENT stride-1 25-gram island formulation —
+    a common substring of length L >= 25 covers the same chars as its
+    L-24 shared 25-grams, so counts and span chars match exactly."""
+    from delta_sharing_spark.operators.dedup import duplicate_spans_exact
+
+    docs = read_table(spark, sf_dir, "documents")
+    return duplicate_spans_exact(docs, "doc_id", "text", min_len=25)

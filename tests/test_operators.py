@@ -85,6 +85,54 @@ class TestDedup:
         assert not any(p[0] < 6 and p[1] < 6 for p in capped)
         assert (10, 11) in capped
 
+    def test_suffix_exact_finds_what_stride_misses(self, spark):
+        """duplicate_spans(stride=4) misses dups shorter than k+stride-1;
+        duplicate_spans_exact (suffix automaton over winnowing-complete
+        pairs) reports them with exact boundaries."""
+        from delta_sharing_spark.operators.dedup import (
+            duplicate_spans, duplicate_spans_exact)
+
+        shared = "XYZQWERTYUIOPASDFGHJ"  # exactly 20 chars, appears twice
+        assert len(shared) == 20
+        filler_a = "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj "
+        filler_b = "kkkk llll mmmm nnnn oooo pppp qqqq rrrr ssss tttt "
+        rows = [(1, filler_a + shared + filler_a),
+                (2, filler_b + shared + filler_b),
+                (3, "totally unrelated text with no duplicated spans here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # strided k-gram pass misses the 20-char dup (needs >= 23 chars)
+        strided = {r["doc_id"]
+                   for r in duplicate_spans(df, "doc_id", "text", k=20,
+                                            stride=4).collect()}
+        assert strided == set()
+        exact = {r["doc_id"]: (r["n_dup_spans"], r["dup_chars"])
+                 for r in duplicate_spans_exact(
+                     df, "doc_id", "text", min_len=20).collect()}
+        # 21 chars: both fillers end in a space, so the maximal common
+        # substring is " " + shared — exact boundary detection includes it
+        assert exact == {1: (1, 21), 2: (1, 21)}
+
+    def test_suffix_exact_equals_stride1_kgram(self, spark):
+        """Equivalence: suffix-automaton spans == stride-1 k-gram islands
+        (same count, same chars) — the formulation the SQL oracle replays."""
+        from delta_sharing_spark.operators.dedup import (
+            duplicate_spans, duplicate_spans_exact)
+
+        base = ("the quick brown fox jumps over the lazy dog while "
+                "seventeen green bottles hang quietly on the wall today")
+        rows = [(1, base + " plus unique tail one here"),
+                (2, "prefix junk " + base),
+                (3, base[:40] + " variation " + base[40:]),
+                (4, "nothing shared at all in this one honestly friend")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kg = {r["doc_id"]: (r["n_dup_spans"], r["dup_chars"])
+              for r in duplicate_spans(df, "doc_id", "text", k=20,
+                                       stride=1).collect()}
+        sx = {r["doc_id"]: (r["n_dup_spans"], r["dup_chars"])
+              for r in duplicate_spans_exact(
+                  df, "doc_id", "text", min_len=20).collect()}
+        assert kg == sx and kg  # non-empty and identical
+
     def test_simhash(self, spark, docs):
         fps = simhash_fingerprints(docs, "doc_id", "text")
         rows = {r["doc_id"]: r for r in fps.collect()}
