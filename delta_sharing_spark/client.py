@@ -137,6 +137,22 @@ def _parse_url(url: str) -> tuple[str, str, str, str]:
     return (shard[0], *fragments)
 
 
+def _is_http(endpoint: str) -> bool:
+    return endpoint.startswith("http://") or endpoint.startswith("https://")
+
+
+def _rest_client(profile: DeltaSharingProfile):
+    """Retried HTTP transport for a network profile (the reference client's
+    rest_client stack: auth provider + retry/backoff on every route)."""
+    from delta_sharing_spark.auth import create_credential_provider
+    from delta_sharing_spark.rest import DataSharingRestClient
+
+    return DataSharingRestClient(
+        profile.endpoint,
+        auth_provider=create_credential_provider(profile),
+        profile=profile)
+
+
 def _resolve(spark: SparkSession, url: str) -> SharedTable:
     profile_path, share, schema, table = _parse_url(url)
     profile = DeltaSharingProfile.read_from_file(profile_path)
@@ -145,13 +161,49 @@ def _resolve(spark: SparkSession, url: str) -> SharedTable:
     return catalog.load_table(f"{share}.{schema}.{table}")
 
 
+def _query_over_http(spark: SparkSession, url: str,
+                     version: int | None, timestamp: str | None,
+                     limit: int | None = None) -> DataFrame:
+    """QueryTable over the REST endpoint and rebuild the DataFrame from
+    the response — delta format when the server forces it (column-mapped
+    tables), parquet profile otherwise (reference flow:
+    python/delta_sharing/delta_sharing.py load_as_spark -> rest_client)."""
+    from delta_sharing_spark.deltaformat import (
+        delta_lines_to_spark,
+        profile_lines_to_spark,
+    )
+
+    profile_path, share, schema, table = _parse_url(url)
+    profile = DeltaSharingProfile.read_from_file(profile_path)
+    profile.check_not_expired()
+    client = _rest_client(profile)
+    headers, lines = client.list_files_in_table(
+        share, schema, table, version=version, timestamp=timestamp,
+        limit_hint=limit, response_formats="delta,parquet")
+    responded_delta = "responseformat=delta" in headers.get(
+        "delta-sharing-capabilities", "").replace(" ", "").lower()
+    if responded_delta:
+        df = delta_lines_to_spark(spark, lines)
+    else:
+        df = profile_lines_to_spark(spark, lines)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
 def load_as_spark(url: str, version: int | None = None,
                   timestamp: str | None = None,
                   spark: SparkSession | None = None) -> DataFrame:
-    """Load a shared table as a Spark DataFrame (optionally time-traveled)."""
+    """Load a shared table as a Spark DataFrame (optionally time-traveled).
+    An ``http(s)://`` profile endpoint goes over REST (retried transport);
+    a path endpoint resolves in-process."""
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         raise RuntimeError("no active SparkSession")
+    profile_path, *_rest_frag = _parse_url(url)
+    profile = DeltaSharingProfile.read_from_file(profile_path)
+    if _is_http(profile.endpoint):
+        return _query_over_http(spark, url, version, timestamp)
     return _resolve(spark, url).to_df(version=version, timestamp=timestamp)
 
 
@@ -163,6 +215,11 @@ def load_as_pandas(url: str, limit: int | None = None,
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         raise RuntimeError("no active SparkSession")
+    profile_path, *_rest_frag = _parse_url(url)
+    profile = DeltaSharingProfile.read_from_file(profile_path)
+    if _is_http(profile.endpoint):
+        return _query_over_http(spark, url, version, timestamp,
+                                limit=limit).toPandas()
     df = _resolve(spark, url).to_df(version=version, timestamp=timestamp,
                                     limit=limit)
     return df.toPandas()
@@ -182,6 +239,16 @@ def load_table_changes_as_spark(
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         raise RuntimeError("no active SparkSession")
+    profile_path, share, schema, table_name = _parse_url(url)
+    profile = DeltaSharingProfile.read_from_file(profile_path)
+    if _is_http(profile.endpoint):
+        lines = _rest_client(profile).list_table_changes(
+            share, schema, table_name,
+            starting_version=starting_version,
+            ending_version=ending_version,
+            starting_timestamp=starting_timestamp,
+            ending_timestamp=ending_timestamp)
+        return _changes_lines_to_spark(spark, lines)
     table = _resolve(spark, url)
     return table_changes(
         spark, table.log.path,
@@ -189,6 +256,90 @@ def load_table_changes_as_spark(
         starting_timestamp=starting_timestamp,
         ending_timestamp=ending_timestamp,
     )
+
+
+def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
+    """Wire CDF response → DataFrame: one scan per action kind, per-file
+    commit version/timestamp attached by a broadcast path join (the same
+    union-of-scans shape as the reference's RemoteDeltaCDFRelation,
+    client/.../RemoteDeltaCDFRelation.scala:85-140)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema: T.StructType | None = None
+    groups: dict[str, list[dict]] = {"add": [], "cdf": [], "remove": []}
+    for line in lines:
+        if "metaData" in line and "schemaString" in line["metaData"]:
+            if schema is None:  # first metaData = latest snapshot's
+                schema = T.StructType.fromJson(
+                    _json.loads(line["metaData"]["schemaString"]))
+        for kind in groups:
+            if kind in line:
+                groups[kind].append(line[kind])
+    if schema is None:
+        raise ValueError("changes response lacks a metaData line")
+    out_fields = schema.fields + [
+        T.StructField("_change_type", T.StringType()),
+        T.StructField("_commit_version", T.LongType()),
+        T.StructField("_commit_timestamp", T.LongType()),
+    ]
+    parts: list[DataFrame] = []
+    for kind, change_type in (("cdf", None), ("add", "insert"),
+                              ("remove", "delete")):
+        actions = groups[kind]
+        if not actions:
+            continue
+        meta = spark.createDataFrame(
+            [(a["url"], int(a["version"]), int(a["timestamp"]))
+             for a in actions],
+            "__path string, _commit_version long, _commit_timestamp long")
+        df = (
+            spark.read.parquet(*[a["url"] for a in actions])
+            .withColumn("__path", F.url_decode(F.regexp_replace(
+                F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+                r"\+", "%2B")))
+            .join(F.broadcast(meta), "__path")
+            .drop("__path")
+        )
+        if change_type is not None:
+            df = df.withColumn("_change_type", F.lit(change_type))
+        # typed partition values (absent from the file bytes)
+        type_of = {f.name: f.dataType for f in schema.fields}
+        pv_union: dict[str, bool] = {}
+        for a in actions:
+            pv_union.update({k: True
+                             for k in (a.get("partitionValues") or {})})
+        if pv_union:
+            pv_meta = spark.createDataFrame(
+                [(a["url"],
+                  *[(a.get("partitionValues") or {}).get(k)
+                    for k in pv_union]) for a in actions],
+                T.StructType(
+                    [T.StructField("__path", T.StringType())]
+                    + [T.StructField(f"__pv_{k}", T.StringType())
+                       for k in pv_union]))
+            df = df.withColumn("__path", F.url_decode(F.regexp_replace(
+                F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+                r"\+", "%2B"))).join(F.broadcast(pv_meta), "__path") \
+                .drop("__path")
+            for k in pv_union:
+                if k not in df.columns or f"__pv_{k}" in df.columns:
+                    df = df.withColumn(
+                        k, F.col(f"__pv_{k}").cast(type_of[k])
+                    ).drop(f"__pv_{k}")
+        parts.append(df.select(*[
+            (F.col(f.name) if f.name in df.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in out_fields
+        ]))
+    if not parts:
+        return spark.createDataFrame([], T.StructType(out_fields))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _partition_value(raw: str | None, type_name: str):
@@ -234,13 +385,24 @@ def load_table_changes_as_pandas(
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         raise RuntimeError("no active SparkSession")
-    table = _resolve(spark, url)
-    payload = table_changes_actions(
-        spark, table.log.path,
-        starting_version=starting_version, ending_version=ending_version,
-        starting_timestamp=starting_timestamp,
-        ending_timestamp=ending_timestamp,
-    )
+    profile_path, share, schema, table_name = _parse_url(url)
+    profile = DeltaSharingProfile.read_from_file(profile_path)
+    if _is_http(profile.endpoint):
+        payload = {"actions": _rest_client(profile).list_table_changes(
+            share, schema, table_name,
+            starting_version=starting_version,
+            ending_version=ending_version,
+            starting_timestamp=starting_timestamp,
+            ending_timestamp=ending_timestamp)}
+    else:
+        table = _resolve(spark, url)
+        payload = table_changes_actions(
+            spark, table.log.path,
+            starting_version=starting_version,
+            ending_version=ending_version,
+            starting_timestamp=starting_timestamp,
+            ending_timestamp=ending_timestamp,
+        )
     schema_fields: list[tuple[str, str]] = []
     for line in payload["actions"]:
         if "metaData" in line:
@@ -276,13 +438,22 @@ def load_table_changes_as_pandas(
 
 
 class SharingClient:
-    """Catalog listing client over a profile file."""
+    """Catalog listing client over a profile file. An ``http(s)://``
+    endpoint lists over REST (retried transport, server-side pagination
+    drained by the rest client); a path endpoint lists in-process."""
 
     def __init__(self, spark: SparkSession, profile_path: str):
         profile = DeltaSharingProfile.read_from_file(profile_path)
-        self._catalog = ShareCatalog.from_config(spark, profile.endpoint)
+        if _is_http(profile.endpoint):
+            self._catalog = None
+            self._rest = _rest_client(profile)
+        else:
+            self._catalog = ShareCatalog.from_config(spark, profile.endpoint)
+            self._rest = None
 
     def list_shares(self) -> list[Share]:
+        if self._rest is not None:
+            return [Share(name=s["name"]) for s in self._rest.list_shares()]
         out, token = [], None
         while True:
             page, token = self._catalog.list_shares(page_token=token)
@@ -292,6 +463,9 @@ class SharingClient:
 
     def list_schemas(self, share: Share | str) -> list[Schema]:
         name = share.name if isinstance(share, Share) else share
+        if self._rest is not None:
+            return [Schema(name=s["name"], share=s["share"])
+                    for s in self._rest.list_schemas(name)]
         out, token = [], None
         while True:
             page, token = self._catalog.list_schemas(name, page_token=token)
@@ -300,6 +474,11 @@ class SharingClient:
                 return out
 
     def list_tables(self, schema: Schema) -> list[Table]:
+        if self._rest is not None:
+            return [Table(name=t["name"], share=t["share"],
+                          schema=t["schema"])
+                    for t in self._rest.list_tables(schema.share,
+                                                    schema.name)]
         out, token = [], None
         while True:
             page, token = self._catalog.list_tables(
@@ -310,6 +489,10 @@ class SharingClient:
 
     def list_all_tables(self, share: Share | str) -> list[Table]:
         name = share.name if isinstance(share, Share) else share
+        if self._rest is not None:
+            return [Table(name=t["name"], share=t["share"],
+                          schema=t["schema"])
+                    for t in self._rest.list_all_tables(name)]
         out, token = [], None
         while True:
             page, token = self._catalog.list_all_tables(name, page_token=token)

@@ -170,3 +170,70 @@ def delta_lines_to_spark(spark: SparkSession,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def profile_lines_to_spark(spark: SparkSession,
+                           lines: list[dict[str, Any]]) -> DataFrame:
+    """Parquet-profile query response → DataFrame: the HTTP twin of the
+    in-engine read path (reference client's table assembly,
+    python/delta_sharing/reader.py:630-674 converters + null-fill).
+
+    Reads every ``file`` line's parquet url, applies inline/path deletion
+    vectors client-side, attaches typed partition values from
+    partitionValues, and normalizes to the shared schemaString (cast +
+    null-fill + column order)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema: T.StructType | None = None
+    files: list[dict[str, Any]] = []
+    for line in lines:
+        if "metaData" in line and "schemaString" in line["metaData"]:
+            schema = T.StructType.fromJson(
+                json.loads(line["metaData"]["schemaString"]))
+        elif "file" in line:
+            files.append(line["file"])
+    if schema is None:
+        raise ValueError("response lacks a metaData line with schemaString")
+    if not files:
+        return spark.createDataFrame([], schema)
+    type_of = {f.name: f.dataType for f in schema.fields}
+    parts: list[DataFrame] = []
+    for f in files:
+        df = spark.read.parquet(f["url"])
+        dv = f.get("deletionVector")
+        if dv:
+            df = df.select("*", F.col("_metadata.row_index").alias("__ri"))
+            if dv.get("storageType") == "i":
+                from delta_sharing_spark.plans.dvcodec import decode_inline_dv
+
+                dv_rows = spark.createDataFrame(
+                    [(ri,) for ri in
+                     decode_inline_dv(dv["pathOrInlineDv"],
+                                      dv.get("sizeInBytes"))],
+                    "__ri long")
+            else:
+                dv_rows = (
+                    spark.read.parquet(dv["pathOrInlineDv"])
+                    .filter(F.col("path") == f.get("id"))
+                    .select(F.col("row_index").alias("__ri"))
+                )
+            df = df.join(F.broadcast(dv_rows), "__ri", "left_anti") \
+                   .drop("__ri")
+        for name, value in (f.get("partitionValues") or {}).items():
+            col = (F.lit(None) if value == "" or value is None
+                   else F.lit(value))
+            df = df.withColumn(name, col.cast(type_of.get(name, "string")))
+        lower = {c.lower(): c for c in df.columns}
+        parts.append(df.select(*[
+            (F.col(lower[fld.name.lower()]).cast(fld.dataType)
+             if fld.name.lower() in lower
+             else F.lit(None).cast(fld.dataType)).alias(fld.name)
+            for fld in schema.fields
+        ]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -185,3 +185,93 @@ class TestRestRoundTrip:
                                           starting_version=1)
         kinds = {next(iter(line)) for line in lines}
         assert "cdf" in kinds
+
+
+class TestHttpProfile:
+    """load_as_* over an http(s) profile endpoint — the reference client's
+    network flow (delta_sharing.py -> rest_client) against our server."""
+
+    @pytest.fixture(scope="class")
+    def http_url(self, spark, events, tmp_path_factory):
+        from delta_sharing_spark.catalog import ShareCatalog
+        from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.server import SharingServer
+
+        base = tmp_path_factory.mktemp("httpprof")
+        d = str(base / "events")
+        log = TableLog(spark, d)
+        log.create(events, partition_by=["event_type"], name="events",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.delete("event_id < 5")
+        cm = str(base / "events_cm")
+        log2 = TableLog(spark, cm)
+        log2.create(events.select("event_id", "value"), name="events_cm")
+        log2.enable_column_mapping()
+        log2.rename_column("value", "score")
+        cat = ShareCatalog(spark)
+        cat.add_table("s", "d", "events", d, cdf_enabled=True)
+        cat.add_table("s", "d", "events_cm", cm)
+        srv = SharingServer(cat, bearer_token="tok")
+        url = srv.serve_background()
+        profile = str(base / "profile.json")
+        with open(profile, "w") as f:
+            json.dump({"shareCredentialsVersion": 1, "endpoint": url,
+                       "bearerToken": "tok"}, f)
+        yield profile
+        srv.shutdown()
+
+    def test_load_as_spark_http(self, spark, events, http_url):
+        from delta_sharing_spark.client import load_as_spark
+
+        df = load_as_spark(f"{http_url}#s.d.events", spark=spark)
+        want = events.count() - events.filter("event_id < 5").count()
+        assert df.count() == want
+        assert "event_type" in df.columns  # partition column restored
+        # time travel through the wire
+        v0 = load_as_spark(f"{http_url}#s.d.events", version=0, spark=spark)
+        assert v0.count() == events.count()
+
+    def test_load_as_spark_http_column_mapped(self, spark, events, http_url):
+        """CM table: server forces delta format; client reconstructs
+        logical names transparently."""
+        from delta_sharing_spark.client import load_as_spark
+
+        df = load_as_spark(f"{http_url}#s.d.events_cm", spark=spark)
+        assert df.columns == ["event_id", "score"]
+        assert df.count() == events.count()
+
+    def test_load_as_pandas_http_limit(self, spark, http_url):
+        from delta_sharing_spark.client import load_as_pandas
+
+        pdf = load_as_pandas(f"{http_url}#s.d.events", limit=7, spark=spark)
+        assert len(pdf) == 7
+
+    def test_changes_http(self, spark, events, http_url):
+        from delta_sharing_spark.client import (
+            load_table_changes_as_pandas,
+            load_table_changes_as_spark,
+        )
+
+        df = load_table_changes_as_spark(
+            f"{http_url}#s.d.events", starting_version=0, spark=spark)
+        n_del = events.filter("event_id < 5").count()
+        by_type = {r["_change_type"]: r["n"] for r in
+                   df.groupBy("_change_type").count()
+                   .withColumnRenamed("count", "n").collect()}
+        assert by_type == {"insert": events.count(), "delete": n_del}
+        pdf = load_table_changes_as_pandas(
+            f"{http_url}#s.d.events", starting_version=1, spark=spark)
+        assert set(pdf["_change_type"]) == {"delete"}
+        assert len(pdf) == n_del
+
+    def test_sharing_client_http_listings(self, spark, http_url):
+        from delta_sharing_spark.client import SharingClient
+
+        c = SharingClient(spark, http_url)
+        shares = c.list_shares()
+        assert [s.name for s in shares] == ["s"]
+        schemas = c.list_schemas(shares[0])
+        assert [s.name for s in schemas] == ["d"]
+        tables = c.list_tables(schemas[0])
+        assert sorted(t.name for t in tables) == ["events", "events_cm"]
+        assert len(c.list_all_tables("s")) == 2
