@@ -45,6 +45,10 @@ HEADLINE = [
     "q_dedup_substrings",
     "q_quality_classifier",
     "q07_volume_shipping",
+    # round-5 additions (after the comparable prefix): suffix-automaton
+    # exact substring dedup and the capped LSH pair join
+    "q_dedup_substrings_suffix",
+    "q_dedup_minhash_lsh_capped",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet
