@@ -342,3 +342,144 @@ def knn_label_propagation(unlabeled: DataFrame, labeled: DataFrame,
                 F.col("__label").alias("predicted_label"),
                 "votes", "top_cos")
     )
+
+
+# ---------------------------------------------------- product quantization
+#
+# PQ (Jégou/Douze/Schmid 2011, public): split each vector into m
+# subvectors, k-means each subspace into k codewords, store each vector as
+# m small codes. Search is ADC (asymmetric distance computation): per
+# query, ONE (m x k) lookup table of query-subvector-to-codeword
+# distances; a candidate's approximate distance is m table lookups summed.
+# The 100 TB shape: the corpus holds m bytes-ish per vector instead of
+# dim floats, and the scoring join is an EQUI-join on (sub, code) against
+# a broadcast LUT + one (query, id) aggregation — no per-pair vector math.
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str,
+                m: int, dim: int) -> DataFrame:
+    """(id, sub, sv): the m double-cast subvectors of each embedding."""
+    sub_len = dim // m
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.expr(
+                    f"transform(slice({vec_col}, {s * sub_len + 1},"
+                    f" {sub_len}), x -> CAST(x AS DOUBLE))"
+                ).alias("sv"),
+            ) for s in range(m)
+        ])).alias("__s"),
+    ).select(id_col, "__s.sub", "__s.sv")
+
+
+def _pq_assign(subs: DataFrame, books: DataFrame, id_col: str) -> DataFrame:
+    """Nearest codeword per (vector, subspace): broadcast the m*k codebook,
+    same deterministic left-to-right double fold + (dist, cell) tie-break
+    as kmeans_assign."""
+    d = subs.join(F.broadcast(books.select("sub", "cell", "centroid")),
+                  "sub")
+    dist = F.expr(
+        "aggregate(zip_with(sv, centroid,"
+        " (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy("dist", "cell")
+    return (
+        d.withColumn("dist", dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "sub", F.col("cell").alias("code"))
+    )
+
+
+def pq_fit(candidates: DataFrame, id_col: str = "vec_id",
+           vec_col: str = "embedding", m: int = 4, k: int = 8,
+           iters: int = 1, dim: int = 64) -> DataFrame:
+    """Per-subspace codebooks (sub, cell, centroid, n) via Lloyd
+    iterations — the same deterministic, SQL-replayable recipe as
+    :func:`kmeans_fit`, run for all m subspaces IN ONE PLAN (the subspace
+    id rides as a key through assignment and update, so fitting m
+    codebooks costs the same number of shuffles as fitting one)."""
+    sub_len = dim // m
+    subs = _subvectors(candidates, id_col, vec_col, m, dim)
+    init_w = Window.partitionBy("sub").orderBy(id_col)
+    seed_ids = candidates.orderBy(id_col).limit(k).select(id_col)
+    books = (
+        subs.join(F.broadcast(seed_ids), id_col)
+        .withColumn("cell", F.row_number().over(init_w) - 1)
+        .select("sub", "cell", F.col("sv").alias("centroid"),
+                F.lit(1).cast("long").alias("n"))
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(subs, books, id_col)
+        ex = subs.join(assigned, [id_col, "sub"]) \
+            .select("sub", F.col("code").alias("cell"),
+                    F.posexplode("sv").alias("i", "x"))
+        sums = ex.groupBy("sub", "cell", "i").agg(
+            F.expr("SUM(CAST(FLOOR(x * 1e12) AS DECIMAL(38,0)))")
+            .alias("s_fx"),
+            F.count("*").alias("n"),
+        )
+        books = (
+            sums.select("sub", "cell", "i",
+                        F.expr("CAST(s_fx AS DOUBLE) / 1e12 / n")
+                        .alias("v"), "n")
+            .groupBy("sub", "cell")
+            .agg(F.expr("transform(array_sort(collect_list(struct(i, v))),"
+                        " s -> s.v)").alias("centroid"),
+                 F.max("n").alias("n"))
+        )
+    return books
+
+
+def pq_encode(vectors: DataFrame, books: DataFrame,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              m: int = 4, dim: int = 64) -> DataFrame:
+    """(id, sub, code) rows — the PQ-compressed corpus representation
+    (persist this partitioned by sub, or pivot to an array column)."""
+    subs = _subvectors(vectors, id_col, vec_col, m, dim)
+    return _pq_assign(subs, books, id_col)
+
+
+def pq_adc_topk(queries: DataFrame, codes: DataFrame, books: DataFrame,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                k: int = 5, m: int = 4, dim: int = 64) -> DataFrame:
+    """ADC top-k: per query, an (m x k) LUT of squared L2 distances from
+    each query subvector to each codeword; candidate distance = sum of m
+    LUT lookups via an equi-join on (sub, code) + one (query, id)
+    aggregation. Returns (query_id, neighbor_id, rank, adc_dist) —
+    approximate by construction (quantization error), which is the PQ
+    trade; re-rank the top candidates with exact vectors when recall
+    matters."""
+    q_subs = _subvectors(queries, id_col, vec_col, m, dim) \
+        .withColumnRenamed(id_col, "query_id")
+    lut_d = F.expr(
+        "aggregate(zip_with(sv, centroid,"
+        " (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    # LUT entries quantized to integer nano-units: the m-way sum becomes
+    # exact and order-independent (a float sum's result depends on partial
+    # aggregation order — unreproducible across engines/runs)
+    lut = (
+        q_subs.join(F.broadcast(books.select("sub", "cell", "centroid")),
+                    "sub")
+        .select("query_id", "sub", F.col("cell").alias("code"),
+                F.floor(lut_d * 1e9).cast("long").alias("d_fx"))
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.sum("d_fx").cast("double") / F.lit(1e9)).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

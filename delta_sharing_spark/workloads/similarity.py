@@ -488,3 +488,134 @@ def q_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn_label_propagation(unlabeled, labeled, "label", k=5)
     return out.select("vec_id", "predicted_label",
                       F.col("votes").cast("long").alias("votes"), "top_cos")
+
+
+# ------------------------------------------------- product quantization
+
+def _pq_ctes(m: int, k: int, dim: int) -> str:
+    """DuckDB CTE chain replaying pq_fit(iters=1) + pq_encode exactly:
+    per-subspace init = the k smallest ids' subvectors, one Lloyd
+    iteration (same fold, same tie-break, same fixed-point update as the
+    kmeans CTEs), then the final assignment ``penc`` under the updated
+    codebooks ``pc1``."""
+    sl = dim // m
+    fold = (f"list_reduce(list_transform(generate_series(1, {sl}),"
+            " i -> (v.sv[i] - c.centroid[i]) * (v.sv[i] - c.centroid[i])),"
+            " (x, y) -> x + y)")
+    return f"""
+    psubs AS (
+      SELECT vec_id, s.sub,
+             list_transform(embedding[s.sub*{sl}+1 : s.sub*{sl}+{sl}],
+                            x -> x::DOUBLE) AS sv
+      FROM embeddings,
+           (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+    ),
+    pinit AS (
+      SELECT sub,
+             CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                  AS INT) AS cell,
+             sv AS centroid
+      FROM psubs
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id
+                       LIMIT {k})
+    ),
+    pa1 AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT v.vec_id, v.sub, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                                  ORDER BY {fold}, c.cell) AS rn
+        FROM psubs v JOIN pinit c ON c.sub = v.sub
+      ) WHERE rn = 1
+    ),
+    ps1 AS (
+      SELECT sub, cell, i,
+             CAST(SUM(CAST(FLOOR(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1e12 / COUNT(*) AS v,
+             COUNT(*) AS n
+      FROM (SELECT a.sub, a.cell, u.i AS i, v.sv[u.i] AS x
+            FROM pa1 a
+            JOIN psubs v ON v.vec_id = a.vec_id AND v.sub = a.sub,
+                 (SELECT unnest(generate_series(1, {sl})) AS i) u)
+      GROUP BY sub, cell, i
+    ),
+    pc1 AS (
+      SELECT sub, cell, list(v ORDER BY i) AS centroid, MAX(n) AS n
+      FROM ps1 GROUP BY sub, cell
+    ),
+    penc AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT v.vec_id, v.sub, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                                  ORDER BY {fold}, c.cell) AS rn
+        FROM psubs v JOIN pc1 c ON c.sub = v.sub
+      ) WHERE rn = 1
+    )"""
+
+
+@workload(
+    "q_ann_pq_codebooks",
+    oracle=f"""
+    WITH {_pq_ctes(4, 8, 64)}
+    SELECT sub, cell, CAST(i - 1 AS INT) AS dim, v AS value, n
+    FROM ps1
+    """,
+)
+def q_ann_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebooks (m=4 subspaces x k=8 codewords, one
+    Lloyd iteration): all m subspaces fit in ONE plan with the subspace id
+    as a key — the oracle replays init, assignment, and the fixed-point
+    update per subspace bit-exactly."""
+    from delta_sharing_spark.operators.similarity import pq_fit
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=4, k=8, iters=1, dim=64)
+    return books.select(
+        "sub", "cell", F.posexplode("centroid").alias("dim", "value"), "n"
+    ).select("sub", "cell", "dim", "value", "n")
+
+
+@workload(
+    "q_ann_pq_adc",
+    oracle=f"""
+    WITH {_pq_ctes(4, 8, 64)},
+    pq AS (SELECT vec_id AS query_id, sub, sv FROM psubs WHERE vec_id < 6),
+    plut AS (
+      SELECT v.query_id, c.sub, c.cell AS code,
+             CAST(FLOOR(list_reduce(list_transform(generate_series(1, 16),
+               i -> (v.sv[i] - c.centroid[i]) * (v.sv[i] - c.centroid[i])),
+               (x, y) -> x + y) * 1e9) AS BIGINT) AS d_fx
+      FROM pq v JOIN pc1 c ON c.sub = v.sub
+    ),
+    pscore AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(d_fx) AS DOUBLE) / 1e9 AS adc_dist
+      FROM penc e JOIN plut l ON l.sub = e.sub AND l.code = e.cell
+      WHERE e.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+    FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rank
+      FROM pscore
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k: the corpus compressed to (sub, code) rows,
+    search = broadcast (m x k) lookup table + equi-join on (sub, code) +
+    one (query, id) sum — no per-pair vector math. LUT entries are
+    integer-quantized so the m-way sum is exact and order-independent;
+    the oracle replays fit, encode, LUT, and ranking end to end."""
+    from delta_sharing_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=4, k=8, iters=1, dim=64)
+    codes = pq_encode(emb, books, m=4, dim=64)
+    return pq_adc_topk(emb.filter(F.col("vec_id") < 6), codes, books,
+                       k=5, m=4, dim=64)
