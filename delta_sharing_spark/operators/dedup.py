@@ -777,18 +777,34 @@ def _match_coverage(sam, b: str, min_len: int):
 
 def duplicate_spans_exact(df: DataFrame, id_col: str, text_col: str,
                           min_len: int = 20,
-                          max_doc_freq: int | None = None) -> DataFrame:
-    """Exact cross-document duplicate spans (suffix-automaton verification
-    over winnowing-complete candidate pairs): per document, the merged
+                          max_doc_freq: int | None = None,
+                          method: str = "grams") -> DataFrame:
+    """Exact cross-document duplicate spans: per document, the merged
     character islands lying inside some substring of length >= ``min_len``
     shared with another document. Same output contract as
     :func:`duplicate_spans` — ``(id, n_dup_spans, dup_chars)`` — with
-    stride=1 fidelity at winnowed (not per-position) shuffle cost.
+    stride=1 fidelity at winnowed (not per-position) candidate shuffle.
 
-    ``max_doc_freq`` caps hot fingerprints before the pair join (the
-    standard inverted-index skew guard); spans whose ONLY fingerprints are
-    boilerplate-hot may then be missed, which is the documented trade at
-    web scale (exactness holds when the cap is off).
+    Phase 1 (both methods): winnowed Karp-Rabin fingerprints; the MOSS
+    guarantee (any shared substring >= k_g + w - 1 = min_len shares a
+    selected fingerprint) makes the candidate set EXHAUSTIVE.
+
+    ``method="grams"`` (default, the scale path): documents holding any
+    duplicated fingerprint form the *involved set*; the exact stride-1
+    k-gram island computation then runs on that subset only — pure JVM,
+    no pairwise work. On a typical corpus most documents have no
+    duplication and never enter the per-position index; on a
+    boilerplate-saturated corpus this degrades gracefully to the full
+    stride-1 cost (never to a pair blow-up — measured: 5k synthetic docs
+    produce 4M candidate PAIRS but only a 1x doc-filter).
+
+    ``method="sam"``: per-pair suffix automaton matching statistics
+    (mapInPandas) — returns the same totals, and is the right tool when
+    the caller needs pairwise attribution or the candidate pair count is
+    genuinely small. Quadratic in bucket sizes via the pair join; use
+    ``max_doc_freq`` to cap hot fingerprints (spans whose ONLY
+    fingerprints are boilerplate-hot may then be missed — the documented
+    web-scale trade).
     """
     from collections.abc import Iterator
 
@@ -817,6 +833,19 @@ def duplicate_spans_exact(df: DataFrame, id_col: str, text_col: str,
                 .filter(F.col("fdf") <= max_doc_freq)
                 .select("fp"))
         prints = prints.join(keep, "fp")
+
+    if method == "grams":
+        dup_fps = (prints.groupBy("fp")
+                   .agg(F.min(id_col).alias("__lo"),
+                        F.max(id_col).alias("__hi"))
+                   .filter(F.col("__lo") != F.col("__hi"))
+                   .select("fp"))
+        involved = prints.join(dup_fps, "fp").select(id_col).distinct()
+        return duplicate_spans(docs.join(involved, id_col), id_col,
+                               text_col, k=min_len, min_docs=2, stride=1)
+    if method != "sam":
+        raise ValueError(f"unknown method {method!r} (grams | sam)")
+
     a, b = prints.alias("a"), prints.alias("b")
     pairs = (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))
@@ -831,21 +860,32 @@ def duplicate_spans_exact(df: DataFrame, id_col: str, text_col: str,
             {id_col: "id_a", "__t": "__ta"}), "id_a")
         .join(texts.withColumnsRenamed(
             {id_col: "id_b", "__t": "__tb"}), "id_b")
+        # co-locate each left doc's pairs so its automaton builds once
+        .repartition("id_a")
     )
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sam_memo: dict = {}
+
+        def sam_of(key, text):
+            sam = sam_memo.get(key)
+            if sam is None:
+                sam = _sam_build(text)
+                if len(sam_memo) > 256:
+                    sam_memo.clear()
+                sam_memo[key] = sam
+            return sam
+
         for pdf in batches:
             ids, starts, ends = [], [], []
             for id_a, id_b, ta, tb in zip(
                     pdf["id_a"].values, pdf["id_b"].values,
                     pdf["__ta"].values, pdf["__tb"].values):
-                sam_a = _sam_build(ta)
-                for s, e in _match_coverage(sam_a, tb, min_len):
+                for s, e in _match_coverage(sam_of(id_a, ta), tb, min_len):
                     ids.append(id_b)
                     starts.append(s)
                     ends.append(e)
-                sam_b = _sam_build(tb)
-                for s, e in _match_coverage(sam_b, ta, min_len):
+                for s, e in _match_coverage(sam_of(id_b, tb), ta, min_len):
                     ids.append(id_a)
                     starts.append(s)
                     ends.append(e)

@@ -105,12 +105,14 @@ class TestDedup:
                    for r in duplicate_spans(df, "doc_id", "text", k=20,
                                             stride=4).collect()}
         assert strided == set()
-        exact = {r["doc_id"]: (r["n_dup_spans"], r["dup_chars"])
-                 for r in duplicate_spans_exact(
-                     df, "doc_id", "text", min_len=20).collect()}
-        # 21 chars: both fillers end in a space, so the maximal common
-        # substring is " " + shared — exact boundary detection includes it
-        assert exact == {1: (1, 21), 2: (1, 21)}
+        for method in ("grams", "sam"):
+            exact = {r["doc_id"]: (r["n_dup_spans"], r["dup_chars"])
+                     for r in duplicate_spans_exact(
+                         df, "doc_id", "text", min_len=20,
+                         method=method).collect()}
+            # 21 chars: both fillers end in a space, so the maximal common
+            # substring is " " + shared — exact boundaries include it
+            assert exact == {1: (1, 21), 2: (1, 21)}, method
 
     def test_suffix_exact_equals_stride1_kgram(self, spark):
         """Equivalence: suffix-automaton spans == stride-1 k-gram islands
@@ -128,10 +130,13 @@ class TestDedup:
         kg = {r["doc_id"]: (r["n_dup_spans"], r["dup_chars"])
               for r in duplicate_spans(df, "doc_id", "text", k=20,
                                        stride=1).collect()}
-        sx = {r["doc_id"]: (r["n_dup_spans"], r["dup_chars"])
-              for r in duplicate_spans_exact(
-                  df, "doc_id", "text", min_len=20).collect()}
-        assert kg == sx and kg  # non-empty and identical
+        assert kg  # non-empty
+        for method in ("grams", "sam"):
+            sx = {r["doc_id"]: (r["n_dup_spans"], r["dup_chars"])
+                  for r in duplicate_spans_exact(
+                      df, "doc_id", "text", min_len=20,
+                      method=method).collect()}
+            assert kg == sx, method
 
     def test_simhash(self, spark, docs):
         fps = simhash_fingerprints(docs, "doc_id", "text")
