@@ -582,20 +582,17 @@ def dedup_segments(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
-                    k: int = 20, min_docs: int = 2,
-                    stride: int = 1) -> DataFrame:
-    """Exact-substring duplicate spans across documents (the k-gram
-    inverted-index adaptation of suffix-array training-data dedup, per
-    Lee et al. 2021 "Deduplicating Training Data Makes Language Models
-    Better"): a character ``k``-gram occurring in ≥ ``min_docs`` distinct
-    documents marks its span duplicated; per document, overlapping or
-    adjacent duplicated spans merge into islands.
-
-    Returns one row per document that contains at least one duplicated
-    span: ``(id, n_dup_spans, dup_chars)`` where ``dup_chars`` is the
-    total merged-island length — the bytes an exact-substring dedup pass
-    would cut.
+def _dup_gram_islands(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 20, min_docs: int = 2,
+                      stride: int = 1) -> DataFrame:
+    """Merged duplicated-span islands per document as ``(id, __start,
+    __end)`` rows (0-based, end-exclusive) — the shared core of
+    :func:`duplicate_spans` (accounting) and
+    :func:`remove_duplicate_spans` (the cut). A character ``k``-gram
+    occurring in ≥ ``min_docs`` distinct documents marks its span
+    duplicated (the k-gram inverted-index adaptation of suffix-array
+    training-data dedup, per Lee et al. 2021 "Deduplicating Training Data
+    Makes Language Models Better"); overlapping or adjacent spans merge.
 
     ``stride`` samples every ``stride``-th gram start position — the
     100 TB knob: the index shrinks ``stride``×, at the cost of missing
@@ -658,11 +655,75 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
         )
         .withColumn("__island", F.sum("__new").over(w))
         .groupBy(id_col, "__island")
-        .agg((F.max("__pos") + k - F.min("__pos")).alias("__span_len"))
+        .agg(F.min("__pos").alias("__start"),
+             (F.max("__pos") + k).alias("__end"))
     )
+    return islands.select(id_col, "__start", "__end")
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 20, min_docs: int = 2,
+                    stride: int = 1) -> DataFrame:
+    """One row per document with ≥ 1 duplicated span: ``(id, n_dup_spans,
+    dup_chars)`` — the accounting view of :func:`_dup_gram_islands`
+    (``dup_chars`` = total merged-island length, the bytes an
+    exact-substring dedup pass would cut)."""
+    islands = _dup_gram_islands(df, id_col, text_col, k, min_docs, stride)
     return islands.groupBy(id_col).agg(
         F.count("*").alias("n_dup_spans"),
-        F.sum("__span_len").alias("dup_chars"),
+        F.sum(F.col("__end") - F.col("__start")).alias("dup_chars"),
+    )
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 20, min_docs: int = 2,
+                           stride: int = 1) -> DataFrame:
+    """The CUT step of exact-substring dedup (Lee et al. 2021 style):
+    return each document with every duplicated island (substring of
+    length >= ``k`` shared with >= ``min_docs - 1`` other documents)
+    REMOVED, plus the accounting. Documents without duplication pass
+    through unchanged.
+
+    Scale shape: same index/island cost as :func:`duplicate_spans`; the
+    text surgery is one per-doc fold over the (bounded, sorted) island
+    array — a JVM higher-order ``aggregate``, no Python, no extra
+    shuffle beyond the island collect per doc (bounded by doc length /
+    k intervals)."""
+    islands = _dup_gram_islands(df, id_col, text_col, k, min_docs, stride)
+    ivs = islands.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__start").alias("s"),
+                                    F.col("__end").alias("e")))
+        ).alias("__ivs"),
+        F.count("*").alias("n_cut"),
+        F.sum(F.col("__end") - F.col("__start")).alias("removed_chars"),
+    )
+    joined = df.join(ivs, id_col, "left")
+    # fold over the sorted intervals: acc carries (kept-so-far, consumed
+    # 0-based position); each interval appends the gap before it; finish
+    # appends the tail after the last interval
+    clean = F.when(F.col("__ivs").isNull(), F.col(text_col)).otherwise(
+        F.expr(
+            f"""
+            aggregate(
+              __ivs,
+              struct(CAST('' AS STRING) AS acc, 0 AS prev),
+              (a, iv) -> struct(
+                concat(a.acc, substring({text_col}, a.prev + 1,
+                                        iv.s - a.prev)),
+                iv.e),
+              a -> concat(a.acc, substring({text_col}, a.prev + 1,
+                                           length({text_col}) - a.prev))
+            )
+            """
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.coalesce(F.col("n_cut"), F.lit(0)).cast("long").alias("n_cut"),
+        F.coalesce(F.col("removed_chars"), F.lit(0))
+        .cast("long").alias("removed_chars"),
     )
 
 

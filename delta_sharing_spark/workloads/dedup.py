@@ -767,3 +767,84 @@ def q_dedup_substrings_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return duplicate_spans_exact(docs, "doc_id", "text", min_len=25)
+
+
+@workload(
+    "q_dedup_cut",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id, t.i AS pos, substring(text, t.i::INT + 1, 20) AS gram
+        FROM documents,
+             LATERAL (SELECT UNNEST(generate_series(0, length(text) - 20))
+                      AS i) t
+        WHERE length(text) >= 20
+    ),
+    dup AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN MAX(pos + 20) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         IS NULL
+                      OR pos > MAX(pos + 20) OVER (
+                          PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_i
+        FROM hits
+    ),
+    numbered AS (
+        SELECT doc_id, pos,
+               SUM(new_i) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM flagged
+    ),
+    islands AS (
+        SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 20 AS e
+        FROM numbered GROUP BY doc_id, island
+    ),
+    segs AS (
+        SELECT doc_id, s, e,
+               lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+        FROM islands
+    ),
+    pieces AS (
+        SELECT g.doc_id, g.s AS ord,
+               substring(d.text, g.prev_e + 1, g.s - g.prev_e) AS piece
+        FROM segs g JOIN documents d USING (doc_id)
+        UNION ALL
+        SELECT m.doc_id, 2147483647, substring(d.text, m.max_e + 1)
+        FROM (SELECT doc_id, MAX(e) AS max_e FROM islands
+              GROUP BY doc_id) m
+        JOIN documents d USING (doc_id)
+    ),
+    cleaned AS (
+        SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+        FROM pieces GROUP BY doc_id
+    ),
+    acc AS (
+        SELECT doc_id, COUNT(*) AS n_cut, SUM(e - s) AS removed_chars
+        FROM islands GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.clean_text, d.text) AS clean_text,
+           CAST(COALESCE(a.n_cut, 0) AS BIGINT) AS n_cut,
+           CAST(COALESCE(a.removed_chars, 0) AS BIGINT) AS removed_chars
+    FROM documents d
+    LEFT JOIN cleaned c USING (doc_id)
+    LEFT JOIN acc a USING (doc_id)
+    """,
+)
+def q_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT step of exact-substring dedup: every duplicated 20-gram
+    island removed from each document's text (Lee et al. 2021 semantics),
+    untouched documents pass through. The oracle replays the island
+    computation AND the string surgery (gap segments + tail, ordered
+    string_agg) value-for-value — the cleaned TEXT itself is hash-checked,
+    not just the accounting."""
+    from delta_sharing_spark.operators.dedup import remove_duplicate_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "doc_id", "text", k=20, min_docs=2)

@@ -114,6 +114,30 @@ class TestDedup:
             # substring is " " + shared — exact boundaries include it
             assert exact == {1: (1, 21), 2: (1, 21)}, method
 
+    def test_remove_duplicate_spans_cuts_exact_islands(self, spark):
+        from delta_sharing_spark.operators.dedup import (
+            duplicate_spans, remove_duplicate_spans)
+
+        shared = "SHAREDBOILERPLATECHUNKXY"  # 24 chars
+        rows = [(1, "uniqA " + shared + " tailA"),
+                (2, "другой " + shared + " хвост"),  # non-ascii around it
+                (3, "no duplication whatsoever in this document")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in remove_duplicate_spans(
+            df, "doc_id", "text", k=20).collect()}
+        # the shared island is removed — including the flanking spaces,
+        # which are themselves part of the maximal shared substring
+        assert out[1]["clean_text"] == "uniqAtailA"
+        assert out[2]["clean_text"] == "другойхвост"
+        assert out[3]["clean_text"] == rows[2][1]  # passthrough
+        assert out[3]["n_cut"] == 0 and out[3]["removed_chars"] == 0
+        # accounting agrees with duplicate_spans
+        acc = {r["doc_id"]: r["dup_chars"] for r in duplicate_spans(
+            df, "doc_id", "text", k=20).collect()}
+        for i in (1, 2):
+            assert out[i]["removed_chars"] == acc[i]
+            assert len(rows[i - 1][1]) - len(out[i]["clean_text"]) == acc[i]
+
     def test_suffix_exact_equals_stride1_kgram(self, spark):
         """Equivalence: suffix-automaton spans == stride-1 k-gram islands
         (same count, same chars) — the formulation the SQL oracle replays."""
