@@ -440,18 +440,22 @@ class SharedTableStreamReader(DataSourceStreamReader):
         for commit in log.commits(from_version):
             if commit.metadata is not None and self._schema is not None:
                 # schema-compat gate on interleaved metadata commits
-                # (ref SchemaUtils.scala:37-90 via DeltaSharingSource:996-1001)
+                # (ref SchemaUtils.scala:37-90 via DeltaSharingSource:996-1001).
+                # Physical-name-aware variant: the executor projection
+                # resolves by physicalName and casts, so a restarted stream
+                # drains backlog across rename/widen commits instead of
+                # erroring; genuine data-loss changes still stop it
                 import json as _json
 
                 from delta_sharing_spark.streaming.schema import (
-                    check_read_compatible,
+                    check_read_compatible_physical,
                 )
 
                 new_schema = T.StructType.fromJson(
                     _json.loads(commit.metadata.schemaString)
                 )
-                check_read_compatible(self._schema, new_schema,
-                                      version=commit.version)
+                check_read_compatible_physical(self._schema, new_schema,
+                                               version=commit.version)
             data_removes = [r for r in commit.removes if r.dataChange]
             if data_removes and not commit.cdc:
                 if self.skip_change_commits:
@@ -498,7 +502,7 @@ class SharedTableStreamReader(DataSourceStreamReader):
                 import json as _json
 
                 from delta_sharing_spark.streaming.schema import (
-                    check_read_compatible,
+                    check_read_compatible_physical,
                 )
 
                 data_fields = [
@@ -506,7 +510,7 @@ class SharedTableStreamReader(DataSourceStreamReader):
                     if f.name not in
                     ("_change_type", "_commit_version", "_commit_timestamp")
                 ]
-                check_read_compatible(
+                check_read_compatible_physical(
                     T.StructType(data_fields),
                     T.StructType.fromJson(
                         _json.loads(commit.metadata.schemaString)),

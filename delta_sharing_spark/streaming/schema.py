@@ -92,3 +92,68 @@ def check_read_compatible(existing: T.StructType, new: T.StructType,
             f"incompatible schema change detected{where}: existing="
             f"{existing.simpleString()} new={new.simpleString()}; restart the "
             f"stream to pick up the new schema")
+
+
+_CM_PHYSICAL_KEY = "delta.columnMapping.physicalName"
+_INT_CHAIN = ["byte", "short", "integer", "long"]
+
+
+def _widenable(src: T.DataType, dst: T.DataType) -> bool:
+    if src == dst:
+        return True
+    s, d = src.typeName(), dst.typeName()
+    if s in _INT_CHAIN and d in _INT_CHAIN:
+        return _INT_CHAIN.index(s) < _INT_CHAIN.index(d)
+    if s == "float" and d == "double":
+        return True
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        return (dst.scale >= src.scale
+                and dst.precision - dst.scale >= src.precision - src.scale)
+    return False
+
+
+def is_read_compatible_physical(planned: T.StructType,
+                                new: T.StructType) -> bool:
+    """The gate for a reader that resolves columns by PHYSICAL name and
+    casts on read (this engine's executor projection,
+    sources/datasource.py:_read_file_batches): a schema observed in the
+    log is admissible iff every column of it maps (by physical name) onto
+    a planned column whose type is equal-or-wider with no nullability
+    loosening.
+
+    Strictly more permissive than :func:`is_read_compatible` ONLY where
+    the physical-name projection makes the reference's hazard impossible:
+    a RENAME keeps the physical name (the reader keeps serving the
+    planned logical name over the same bytes), and a WIDEN casts
+    losslessly — so a stream RESTARTED after rename/widen can drain its
+    backlog instead of erroring on the historical metadata commits (the
+    restriction Delta's schemaTrackingLocation exists to lift). Everything
+    the reference stops on for real data-loss reasons — columns the plan
+    cannot represent, narrowing, nullability loosening into a non-null
+    slot — still stops the stream."""
+    planned_by_phys = {
+        (f.metadata or {}).get(_CM_PHYSICAL_KEY, f.name).lower(): f
+        for f in planned.fields
+    }
+    for nf in new.fields:
+        phys = (nf.metadata or {}).get(_CM_PHYSICAL_KEY, nf.name).lower()
+        pf = planned_by_phys.get(phys)
+        if pf is None:
+            return False  # data the plan cannot represent -> loss
+        if not (_widenable(nf.dataType, pf.dataType)
+                or _datatype_read_compatible(nf.dataType, pf.dataType)):
+            return False
+        if nf.nullable and not pf.nullable:
+            return False
+    return True
+
+
+def check_read_compatible_physical(planned: T.StructType,
+                                   new: T.StructType,
+                                   version: int | None = None) -> None:
+    if not is_read_compatible_physical(planned, new):
+        where = f" at version {version}" if version is not None else ""
+        raise SchemaCompatError(
+            f"incompatible schema change detected{where}: planned="
+            f"{planned.simpleString()} new={new.simpleString()}; restart "
+            f"the stream to pick up the new schema")

@@ -251,6 +251,47 @@ class TestSchemaCompat:
         assert not is_read_compatible(self.BASE, loosened)
         assert is_read_compatible(loosened, self.BASE)
 
+    def test_physical_gate_admits_rename_and_widen(self):
+        from delta_sharing_spark.streaming.schema import (
+            is_read_compatible_physical)
+
+        pk = "delta.columnMapping.physicalName"
+        planned = T.StructType([
+            T.StructField("points", T.LongType(), True, {pk: "score"}),
+            T.StructField("b", T.StringType(), True, {pk: "b"}),
+        ])
+        # historical rename commit (same physical, old logical) admitted
+        renamed = T.StructType([
+            T.StructField("score", T.IntegerType(), True, {pk: "score"}),
+            T.StructField("b", T.StringType(), True, {pk: "b"}),
+        ])
+        assert is_read_compatible_physical(planned, renamed)
+        # the strict name-based gate would stop on the same commit
+        assert not is_read_compatible(planned, renamed)
+        # narrowing (plan int, observed long) still stops
+        narrow_plan = T.StructType([
+            T.StructField("points", T.IntegerType(), True, {pk: "score"}),
+            T.StructField("b", T.StringType(), True, {pk: "b"}),
+        ])
+        observed_long = T.StructType([
+            T.StructField("score", T.LongType(), True, {pk: "score"}),
+            T.StructField("b", T.StringType(), True, {pk: "b"}),
+        ])
+        assert not is_read_compatible_physical(narrow_plan, observed_long)
+        # a column the plan cannot represent still stops (data loss)
+        added = T.StructType(list(renamed.fields)
+                             + [T.StructField("c", T.IntegerType(), True,
+                                              {pk: "c"})])
+        assert not is_read_compatible_physical(planned, added)
+        # nullability loosening into a non-null slot still stops
+        nonnull_plan = T.StructType([
+            T.StructField("points", T.LongType(), False, {pk: "score"}),
+        ])
+        nullable_obs = T.StructType([
+            T.StructField("score", T.IntegerType(), True, {pk: "score"}),
+        ])
+        assert not is_read_compatible_physical(nonnull_plan, nullable_obs)
+
     def test_case_rename_fails(self):
         new = T.StructType([
             T.StructField("A", T.LongType(), False),

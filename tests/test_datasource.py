@@ -520,6 +520,51 @@ class TestStreamSink:
                 assert params.get("epochId") is not None
 
 
+class TestStreamRestartAfterSchemaChange:
+    def test_restart_reads_backlog_under_new_schema(self, spark, events,
+                                                    tmp_path):
+        """Restarting a stream after rename + widen (column mapping) must
+        read BACKLOG files written under the old physical layout correctly:
+        the executor projection resolves physical names and casts widened
+        types, so pre-change rows surface under the new logical schema —
+        the streaming twin of batch CDF's schema epochs."""
+        from pyspark.sql import types as T
+
+        spark.dataSource.register(SharedTableDataSource)
+        d = str(tmp_path / "evolve")
+        log = TableLog(spark, d)
+        log.create(events.select(
+            "event_id", "event_type",
+            (F.col("event_id") % 100).cast("int").alias("score"))
+            .filter("event_id < 20"), name="evolve")
+        log.enable_column_mapping()
+        log.rename_column("score", "points")
+        snap = log.snapshot()
+        widened = T.StructType([
+            T.StructField(f.name,
+                          T.LongType() if f.name == "points" else f.dataType,
+                          f.nullable, f.metadata)
+            for f in snap.schema.fields])
+        log.update_metadata(schema=widened)
+        log.append(events.select(
+            "event_id", "event_type",
+            (F.col("event_id") % 100).cast("long").alias("points"))
+            .filter("event_id >= 20 AND event_id < 30"))
+        # fresh stream (as after a restart): plans with the NEW schema,
+        # backlog v0 files still stream through converted
+        q = (spark.readStream.format("deltashare").option("path", d)
+             .option("startingVersion", "0").load()
+             .writeStream.format("memory").queryName("evost")
+             .trigger(processingTime="200 milliseconds").start())
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table("evost")
+        assert dict(out.dtypes)["points"] == "bigint"
+        got = {r["event_id"]: r["points"] for r in out.collect()}
+        assert len(got) == 30
+        assert all(got[i] == i % 100 for i in got)
+
+
 class TestStreamingOps:
     """Streaming operators (streaming/ops.py) over the deltashare source:
     built-in stateful primitives (dedup state store, session_window,
