@@ -34,17 +34,39 @@ windows, sorts, and scalar functions are deliberately NOT reimplemented
 """
 
 from delta_sharing_spark.catalog import Schema, Share, ShareCatalog, Table
+from delta_sharing_spark.client import (
+    SharingClient,
+    get_table_metadata,
+    get_table_protocol,
+    get_table_version,
+    load_as_arrow,
+    load_as_pandas,
+    load_as_spark,
+    load_table_changes_as_pandas,
+    load_table_changes_as_spark,
+)
 from delta_sharing_spark.session import get_spark
 from delta_sharing_spark.table import SharedTable
 
 __version__ = "0.1.0"
 
+# the reference connector's public surface (python/delta_sharing/__init__.py)
+# plus the engine-side entry points
 __all__ = [
     "Schema",
     "Share",
     "ShareCatalog",
     "SharedTable",
+    "SharingClient",
     "Table",
     "get_spark",
+    "get_table_metadata",
+    "get_table_protocol",
+    "get_table_version",
+    "load_as_arrow",
+    "load_as_pandas",
+    "load_as_spark",
+    "load_table_changes_as_pandas",
+    "load_table_changes_as_spark",
     "__version__",
 ]

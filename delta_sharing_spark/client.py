@@ -225,6 +225,67 @@ def load_as_pandas(url: str, limit: int | None = None,
     return df.toPandas()
 
 
+def get_table_version(url: str, starting_timestamp: str | None = None,
+                      spark: SparkSession | None = None) -> int:
+    """QueryTableVersion through a profile URL (reference
+    delta_sharing.py:63-78): latest version, or the earliest version
+    at/after ``starting_timestamp``."""
+    profile_path, share, schema, table = _parse_url(url)
+    profile = DeltaSharingProfile.read_from_file(profile_path)
+    if _is_http(profile.endpoint):
+        return _rest_client(profile).query_table_version(
+            share, schema, table, starting_timestamp)
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession")
+    return _resolve(spark, url).version(starting_timestamp)
+
+
+def _metadata_lines(url: str, spark: SparkSession | None) -> list[dict]:
+    profile_path, share, schema, table = _parse_url(url)
+    profile = DeltaSharingProfile.read_from_file(profile_path)
+    if _is_http(profile.endpoint):
+        return _rest_client(profile).query_table_metadata(
+            share, schema, table)
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession")
+    t = _resolve(spark, url)
+    out = t.query_actions(max_files=0, metadata_only=True)
+    return [line for line in out["actions"]
+            if "protocol" in line or "metaData" in line]
+
+
+def get_table_protocol(url: str,
+                       spark: SparkSession | None = None) -> dict:
+    """The table's protocol action (reference delta_sharing.py:90-102)."""
+    for line in _metadata_lines(url, spark):
+        if "protocol" in line:
+            return line["protocol"]
+    raise ValueError("metadata response lacks a protocol line")
+
+
+def get_table_metadata(url: str,
+                       spark: SparkSession | None = None) -> dict:
+    """The table's metaData action (reference delta_sharing.py:104-116)."""
+    for line in _metadata_lines(url, spark):
+        if "metaData" in line:
+            return line["metaData"]
+    raise ValueError("metadata response lacks a metaData line")
+
+
+def load_as_arrow(url: str, limit: int | None = None,
+                  version: int | None = None, timestamp: str | None = None,
+                  spark: SparkSession | None = None):
+    """Load a shared table as a pyarrow Table (reference
+    delta_sharing.py:159-194); ``limit`` is exact."""
+    import pyarrow as pa
+
+    pdf = load_as_pandas(url, limit=limit, version=version,
+                         timestamp=timestamp, spark=spark)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def load_table_changes_as_spark(
     url: str,
     starting_version: int | None = None,

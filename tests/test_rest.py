@@ -264,6 +264,42 @@ class TestHttpProfile:
         assert set(pdf["_change_type"]) == {"delete"}
         assert len(pdf) == n_del
 
+    def test_table_helpers_http_and_local(self, spark, events, http_url,
+                                          tmp_path_factory):
+        import pyarrow as pa
+
+        import delta_sharing_spark as dss
+
+        url = f"{http_url}#s.d.events"
+        assert dss.get_table_version(url) == 1
+        proto = dss.get_table_protocol(url)
+        assert proto["minReaderVersion"] == 1
+        meta = dss.get_table_metadata(url)
+        assert "schemaString" in meta and meta["partitionColumns"] \
+            == ["event_type"]
+        tbl = dss.load_as_arrow(url, limit=4, spark=spark)
+        assert isinstance(tbl, pa.Table) and tbl.num_rows == 4
+        # local (path-endpoint) profile resolves the same helpers in-process
+        from delta_sharing_spark.plans.log import TableLog
+
+        base = tmp_path_factory.mktemp("localprof")
+        d = str(base / "ev")
+        TableLog(spark, d).create(events.limit(10), name="ev")
+        cfg = str(base / "catalog.json")
+        with open(cfg, "w") as f:
+            json.dump({"shares": [{"name": "ls", "schemas": [
+                {"name": "ld", "tables": [
+                    {"name": "ev", "location": d}]}]}]}, f)
+        prof = str(base / "p.json")
+        with open(prof, "w") as f:
+            json.dump({"shareCredentialsVersion": 1, "endpoint": cfg}, f)
+        lurl = f"{prof}#ls.ld.ev"
+        assert dss.get_table_version(lurl, spark=spark) == 0
+        assert dss.get_table_protocol(lurl, spark=spark)[
+            "minReaderVersion"] == 1
+        assert "schemaString" in dss.get_table_metadata(lurl, spark=spark)
+        assert dss.load_as_arrow(lurl, spark=spark).num_rows == 10
+
     def test_sharing_client_http_listings(self, spark, http_url):
         from delta_sharing_spark.client import SharingClient
 
