@@ -352,10 +352,25 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
         actions = groups[kind]
         if not actions:
             continue
+        # typed partition values (absent from the file bytes)
+        type_of = {f.name: f.dataType for f in schema.fields}
+        pv_union: dict[str, bool] = {}
+        for a in actions:
+            pv_union.update({k: True
+                             for k in (a.get("partitionValues") or {})})
         meta = spark.createDataFrame(
-            [(a["url"], int(a["version"]), int(a["timestamp"]))
+            [(a["url"], int(a["version"]), int(a["timestamp"]),
+              *[(a.get("partitionValues") or {}).get(k) for k in pv_union])
              for a in actions],
-            "__path string, _commit_version long, _commit_timestamp long")
+            T.StructType(
+                [T.StructField("__path", T.StringType()),
+                 T.StructField("_commit_version", T.LongType()),
+                 T.StructField("_commit_timestamp", T.LongType())]
+                + [T.StructField(f"__pv_{k}", T.StringType())
+                   for k in pv_union]))
+        # __path is captured ONCE at scan time — input_file_name() is
+        # undefined after a join, so all per-file attributes ride a single
+        # broadcast join on it
         df = (
             spark.read.parquet(*[a["url"] for a in actions])
             .withColumn("__path", F.url_decode(F.regexp_replace(
@@ -366,30 +381,10 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
         )
         if change_type is not None:
             df = df.withColumn("_change_type", F.lit(change_type))
-        # typed partition values (absent from the file bytes)
-        type_of = {f.name: f.dataType for f in schema.fields}
-        pv_union: dict[str, bool] = {}
-        for a in actions:
-            pv_union.update({k: True
-                             for k in (a.get("partitionValues") or {})})
-        if pv_union:
-            pv_meta = spark.createDataFrame(
-                [(a["url"],
-                  *[(a.get("partitionValues") or {}).get(k)
-                    for k in pv_union]) for a in actions],
-                T.StructType(
-                    [T.StructField("__path", T.StringType())]
-                    + [T.StructField(f"__pv_{k}", T.StringType())
-                       for k in pv_union]))
-            df = df.withColumn("__path", F.url_decode(F.regexp_replace(
-                F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
-                r"\+", "%2B"))).join(F.broadcast(pv_meta), "__path") \
-                .drop("__path")
-            for k in pv_union:
-                if k not in df.columns or f"__pv_{k}" in df.columns:
-                    df = df.withColumn(
-                        k, F.col(f"__pv_{k}").cast(type_of[k])
-                    ).drop(f"__pv_{k}")
+        for k in pv_union:
+            df = df.withColumn(
+                k, F.col(f"__pv_{k}").cast(type_of[k])
+            ).drop(f"__pv_{k}")
         parts.append(df.select(*[
             (F.col(f.name) if f.name in df.columns
              else F.lit(None).cast(f.dataType)).alias(f.name)

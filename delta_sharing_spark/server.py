@@ -324,7 +324,7 @@ class SharingServer:
             version=int(params["version"]) if "version" in params else None,
             timestamp=params.get("timestamp"),
             max_files=0,
-            response_formats=self._response_formats(h),
+            response_formats=sorted(self._response_formats(h)),
             metadata_only=True,
         )
         lines = [line for line in out["actions"]
@@ -346,7 +346,7 @@ class SharingServer:
             page_token=body.get("pageToken"),
             include_refresh_token=bool(body.get("includeRefreshToken")),
             refresh_token=body.get("refreshToken"),
-            response_formats=self._response_formats(h),
+            response_formats=sorted(self._response_formats(h)),
         )
         caps = (h.headers.get("delta-sharing-capabilities") or "") \
             .replace(" ", "").lower()
