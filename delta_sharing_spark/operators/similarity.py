@@ -483,3 +483,114 @@ def pq_adc_topk(queries: DataFrame, codes: DataFrame, books: DataFrame,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+# ------------------------------------------------------------------ IVF-PQ
+#
+# The composed index (Jégou et al. 2011 §IV): a coarse k-means quantizer
+# routes each vector to a cell; PQ encodes the RESIDUAL (v - coarse
+# centroid), which has far less variance than v itself, so the same
+# codebook budget quantizes much finer. Search probes nprobe cells and
+# runs ADC over the residual LUT of each probed cell. At 100 TB:
+# partition/bucket the encoded corpus by cell — the probe join prunes to
+# nprobe/k_coarse of the data, and each candidate costs m integer lookups.
+
+
+def _residuals(assigned: DataFrame, coarse: DataFrame, id_col: str,
+               vec_col: str) -> DataFrame:
+    """(id, cell, __resid): per-vector residual against its coarse
+    centroid (double), one broadcast join."""
+    return assigned.join(
+        F.broadcast(coarse.select("cell", "centroid")), "cell"
+    ).select(
+        F.col(id_col), F.col("cell"),
+        F.expr(f"zip_with({vec_col}, centroid,"
+               " (x, y) -> CAST(x AS DOUBLE) - y)").alias("__resid"),
+    )
+
+
+def ivf_pq_fit(candidates: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding", k_coarse: int = 8,
+               m: int = 4, k: int = 8, coarse_iters: int = 2,
+               pq_iters: int = 1, dim: int = 64):
+    """Fit the composed index: returns ``(coarse, books, codes)`` —
+    coarse centroids (cell, centroid, n), per-subspace residual codebooks
+    (sub, cell, centroid, n), and the encoded corpus
+    (id, cell, sub, code). Every stage reuses the deterministic,
+    SQL-replayable recipes (kmeans_fit / pq_fit)."""
+    coarse = kmeans_fit(candidates, k=k_coarse, iters=coarse_iters,
+                        id_col=id_col, vec_col=vec_col, dim=dim)
+    assigned = kmeans_assign(candidates, coarse, id_col, vec_col)
+    resid = _residuals(assigned, coarse, id_col, vec_col)
+    books = pq_fit(resid, id_col=id_col, vec_col="__resid",
+                   m=m, k=k, iters=pq_iters, dim=dim)
+    codes = pq_encode(resid, books, id_col=id_col, vec_col="__resid",
+                      m=m, dim=dim).join(
+        resid.select(id_col, "cell"), id_col)
+    return coarse, books, codes
+
+
+def ivf_pq_topk(queries: DataFrame, coarse: DataFrame, books: DataFrame,
+                codes: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", k: int = 5, nprobe: int = 2,
+                m: int = 4, dim: int = 64) -> DataFrame:
+    """IVF-PQ search: probe the ``nprobe`` L2-closest coarse cells per
+    query, build the residual ADC LUT per (query, probed cell), and score
+    candidates of those cells via the (cell, sub, code) equi-join + one
+    (query, id) sum — integer-quantized LUT entries keep the sum exact
+    and order-independent. Returns (query_id, neighbor_id, rank,
+    adc_dist)."""
+    sub_len = dim // m
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    coarse_dist = F.expr(
+        "aggregate(zip_with(q_vec, centroid,"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    probe_w = Window.partitionBy("query_id").orderBy("cdist", "cell")
+    probed = (
+        q.crossJoin(F.broadcast(coarse.select("cell", "centroid")))
+        .withColumn("cdist", coarse_dist)
+        .withColumn("__rn", F.row_number().over(probe_w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cell",
+                F.expr("zip_with(q_vec, centroid,"
+                       " (x, y) -> CAST(x AS DOUBLE) - y)").alias("__qr"))
+    )
+    q_subs = probed.select(
+        "query_id", "cell",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.expr(f"slice(__qr, {s * sub_len + 1}, {sub_len})")
+                .alias("sv"),
+            ) for s in range(m)
+        ])).alias("__s"),
+    ).select("query_id", "cell", "__s.sub", "__s.sv")
+    lut_d = F.expr(
+        "aggregate(zip_with(sv, centroid,"
+        " (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    lut = (
+        q_subs.join(F.broadcast(
+            books.select("sub", F.col("cell").alias("code"), "centroid")),
+            "sub")
+        .select("query_id", "cell", "sub", "code",
+                F.floor(lut_d * 1e9).cast("long").alias("d_fx"))
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["cell", "sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.sum("d_fx").cast("double") / F.lit(1e9)).alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

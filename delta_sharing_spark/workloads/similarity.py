@@ -619,3 +619,146 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, books, m=4, dim=64)
     return pq_adc_topk(emb.filter(F.col("vec_id") < 6), codes, books,
                        k=5, m=4, dim=64)
+
+
+# -------------------------------------------------------------- IVF-PQ
+
+def _ivfpq_ctes(k_c: int, c_iters: int, m: int, k: int, dim: int) -> str:
+    """CTE chain replaying ivf_pq_fit exactly: the kmeans chain (ending
+    c{c_iters}), the final coarse assignment ``pa3`` under it, residual
+    subvectors ``rsubs``, and the PQ chain over residuals (init from the
+    k lowest ids, one Lloyd iteration, final encode ``qenc``)."""
+    sl = dim // m
+    cfin = f"c{c_iters}"
+    fold = (f"list_reduce(list_transform(generate_series(1, {sl}),"
+            " i -> (v.sv[i] - c.centroid[i]) * (v.sv[i] - c.centroid[i])),"
+            " (x, y) -> x + y)")
+    return f"""{_kmeans_ctes(k_c, c_iters)},
+    pa3 AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT v.vec_id, v.embedding, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_reduce(list_transform(generate_series(1, {dim}),
+                   i -> (v.embedding[i]::DOUBLE - c.centroid[i])
+                      * (v.embedding[i]::DOUBLE - c.centroid[i])),
+                   (x, y) -> x + y), c.cell) AS rn
+        FROM embeddings v CROSS JOIN {cfin} c
+      ) WHERE rn = 1
+    ),
+    rsubs AS (
+      SELECT a.vec_id, a.cell AS coarse_cell, s.sub,
+             list_transform(generate_series(1, {sl}),
+               i -> a.embedding[s.sub*{sl}+i]::DOUBLE
+                  - c.centroid[s.sub*{sl}+i]) AS sv
+      FROM pa3 a JOIN {cfin} c ON c.cell = a.cell,
+           (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+    ),
+    qinit AS (
+      SELECT sub,
+             CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                  AS INT) AS cell,
+             sv AS centroid
+      FROM rsubs
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id
+                       LIMIT {k})
+    ),
+    qa1 AS (
+      SELECT vec_id, sub, cell FROM (
+        SELECT v.vec_id, v.sub, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                                  ORDER BY {fold}, c.cell) AS rn
+        FROM rsubs v JOIN qinit c ON c.sub = v.sub
+      ) WHERE rn = 1
+    ),
+    qs1 AS (
+      SELECT sub, cell, i,
+             CAST(SUM(CAST(FLOOR(x * 1e12) AS DECIMAL(38,0))) AS DOUBLE)
+               / 1e12 / COUNT(*) AS v,
+             COUNT(*) AS n
+      FROM (SELECT a.sub, a.cell, u.i AS i, v.sv[u.i] AS x
+            FROM qa1 a
+            JOIN rsubs v ON v.vec_id = a.vec_id AND v.sub = a.sub,
+                 (SELECT unnest(generate_series(1, {sl})) AS i) u)
+      GROUP BY sub, cell, i
+    ),
+    qc1 AS (
+      SELECT sub, cell, list(v ORDER BY i) AS centroid, MAX(n) AS n
+      FROM qs1 GROUP BY sub, cell
+    ),
+    qenc AS (
+      SELECT v.vec_id, v.coarse_cell, v.sub, cc.cell AS code FROM (
+        SELECT v.vec_id, v.coarse_cell, v.sub, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub
+                                  ORDER BY {fold}, c.cell) AS rn
+        FROM rsubs v JOIN qc1 c ON c.sub = v.sub
+      ) v JOIN qc1 cc ON cc.sub = v.sub AND cc.cell = v.cell
+      WHERE v.rn = 1
+    )"""
+
+
+@workload(
+    "q_ann_ivf_pq",
+    oracle=f"""
+    WITH {_ivfpq_ctes(8, 2, 4, 8, 64)},
+    qq AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < 6),
+    probed AS (
+      SELECT query_id, cell, centroid FROM (
+        SELECT q.query_id, c.cell, c.centroid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_reduce(list_transform(generate_series(1, 64),
+                   i -> (q.embedding[i]::DOUBLE - c.centroid[i])
+                      * (q.embedding[i]::DOUBLE - c.centroid[i])),
+                   (x, y) -> x + y), c.cell) AS rn
+        FROM qq q CROSS JOIN c2 c
+      ) WHERE rn <= 2
+    ),
+    qres AS (
+      SELECT p.query_id, p.cell, s.sub,
+             list_transform(generate_series(1, 16),
+               i -> q.embedding[s.sub*16+i]::DOUBLE
+                  - p.centroid[s.sub*16+i]) AS sv
+      FROM probed p JOIN qq q USING (query_id),
+           (SELECT unnest(generate_series(0, 3)) AS sub) s
+    ),
+    lut AS (
+      SELECT v.query_id, v.cell, v.sub, c.cell AS code,
+             CAST(FLOOR(list_reduce(list_transform(generate_series(1, 16),
+               i -> (v.sv[i] - c.centroid[i]) * (v.sv[i] - c.centroid[i])),
+               (x, y) -> x + y) * 1e9) AS BIGINT) AS d_fx
+      FROM qres v JOIN qc1 c ON c.sub = v.sub
+    ),
+    pscore AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(d_fx) AS DOUBLE) / 1e9 AS adc_dist
+      FROM qenc e
+      JOIN lut l ON l.cell = e.coarse_cell AND l.sub = e.sub
+                AND l.code = e.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+    FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rank
+      FROM pscore
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the composed FAISS-style index): learned coarse quantizer
+    (2 Lloyd iterations), residual product quantization (m=4, k=8, one
+    iteration), nprobe=2 L2 cell probe, residual-LUT ADC scoring. The
+    oracle replays the ENTIRE pipeline — coarse fit, final assignment,
+    residuals, PQ fit, encoding, probe, LUT, ranking — in SQL."""
+    from delta_sharing_spark.operators.similarity import (
+        ivf_pq_fit,
+        ivf_pq_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    coarse, books, codes = ivf_pq_fit(emb, k_coarse=8, m=4, k=8,
+                                      coarse_iters=2, pq_iters=1, dim=64)
+    return ivf_pq_topk(emb.filter(F.col("vec_id") < 6), coarse, books,
+                       codes, k=5, nprobe=2, m=4, dim=64)

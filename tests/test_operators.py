@@ -237,6 +237,34 @@ class TestSimilarity:
         for q, n in adc_top.items():
             assert n % 3 == q % 3
 
+    def test_ivf_pq_recall_on_clustered_vectors(self, spark):
+        """IVF-PQ: residual encoding + probe finds same-cluster neighbors
+        (quantization error far below cluster separation here); every
+        vector encodes to m codes carrying its coarse cell."""
+        from delta_sharing_spark.operators.similarity import (
+            ivf_pq_fit, ivf_pq_topk)
+
+        rows = []
+        for i in range(12):
+            base = [0.0] * 8
+            base[i % 3] = 1.0
+            base[(i % 3) + 4] = 0.05 * (i // 3)
+            rows.append((i, [float(x) for x in base]))
+        vecs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        coarse, books, codes = ivf_pq_fit(
+            vecs, k_coarse=3, m=2, k=4, coarse_iters=2, pq_iters=1, dim=8)
+        per_vec = codes.groupBy("vec_id").agg(
+            F.count("*").alias("n"),
+            F.countDistinct("cell").alias("cells")).collect()
+        assert all(r["n"] == 2 and r["cells"] == 1 for r in per_vec)
+        out = ivf_pq_topk(vecs.filter("vec_id < 3"), coarse, books, codes,
+                          k=2, nprobe=1, m=2, dim=8)
+        top = {r["query_id"]: r["neighbor_id"]
+               for r in out.collect() if r["rank"] == 1}
+        for q, n in top.items():
+            assert n % 3 == q % 3  # nearest neighbor in the true cluster
+
     def test_near_dup_pairs_threshold(self, spark, vectors):
         pairs = near_dup_pairs(vectors, threshold=0.99)
         for r in pairs.collect():
