@@ -46,9 +46,13 @@ HEADLINE = [
     "q_quality_classifier",
     "q07_volume_shipping",
     # round-5 additions (after the comparable prefix): suffix-automaton
-    # exact substring dedup and the capped LSH pair join
+    # exact substring dedup, the capped LSH pair join, the substring CUT,
+    # and the PQ/IVF-PQ ANN indexes
     "q_dedup_substrings_suffix",
     "q_dedup_minhash_lsh_capped",
+    "q_dedup_cut",
+    "q_ann_pq_adc",
+    "q_ann_ivf_pq",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

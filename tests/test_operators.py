@@ -483,6 +483,30 @@ class TestMultimodal:
         finally:
             mm._CODEC_REGISTRY.pop("png", None)
 
+    def test_resize_media_real_pixels(self, spark):
+        """REAL resize through the distributed path: a 4x4 PNG of solid
+        quadrant colors downsamples to the expected 2x2 pixels; junk
+        payloads yield null + error instead of failing the batch."""
+        from delta_sharing_spark.operators.multimodal import (
+            resize_media, with_media_column)
+        from delta_sharing_spark.operators.png import decode_png, encode_png
+
+        # 4x4 gray: quadrants 10/20/30/40
+        rows4 = [bytes([10, 10, 20, 20]), bytes([10, 10, 20, 20]),
+                 bytes([30, 30, 40, 40]), bytes([30, 30, 40, 40])]
+        png = encode_png(4, 4, 1, rows4)
+        df = spark.createDataFrame(
+            [(1, bytearray(png)), (2, bytearray(b"junk"))],
+            "doc_id long, payload binary")
+        out = {r["doc_id"]: r for r in resize_media(
+            with_media_column(df, "payload"), "media", "doc_id",
+            out_w=2, out_h=2).collect()}
+        assert (out[1]["width"], out[1]["height"]) == (2, 2)
+        w, h, nch, rows = decode_png(bytes(out[1]["resized"]))
+        assert (w, h, nch) == (2, 2, 1)
+        assert [bytes(r) for r in rows] == [bytes([10, 20]), bytes([30, 40])]
+        assert out[2]["resized"] is None and out[2]["error"]
+
     def test_decode_media_auto_matches_fake_here(self, spark):
         from delta_sharing_spark.operators import multimodal as mm
         from delta_sharing_spark.operators.multimodal import (
