@@ -518,12 +518,18 @@ def ivf_pq_fit(candidates: DataFrame, id_col: str = "vec_id",
     (sub, cell, centroid, n), and the encoded corpus
     (id, cell, sub, code). Every stage reuses the deterministic,
     SQL-replayable recipes (kmeans_fit / pq_fit)."""
+    # fit artifacts are MODELS: materialize the tiny results (k_coarse
+    # rows / m*k rows) so downstream consumers (assignment, residuals,
+    # encoding, every search) don't re-execute the whole iterative fit
+    # lineage per use — "fit" semantics, not lazy-plan semantics
     coarse = kmeans_fit(candidates, k=k_coarse, iters=coarse_iters,
-                        id_col=id_col, vec_col=vec_col, dim=dim)
+                        id_col=id_col, vec_col=vec_col, dim=dim) \
+        .localCheckpoint(eager=True)
     assigned = kmeans_assign(candidates, coarse, id_col, vec_col)
     resid = _residuals(assigned, coarse, id_col, vec_col)
     books = pq_fit(resid, id_col=id_col, vec_col="__resid",
-                   m=m, k=k, iters=pq_iters, dim=dim)
+                   m=m, k=k, iters=pq_iters, dim=dim) \
+        .localCheckpoint(eager=True)
     codes = pq_encode(resid, books, id_col=id_col, vec_col="__resid",
                       m=m, dim=dim).join(
         resid.select(id_col, "cell"), id_col)
