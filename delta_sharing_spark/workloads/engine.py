@@ -908,3 +908,102 @@ def eng_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum("event_id").alias("id_sum"),
     )
+
+
+# ------------------------------------------------------------- REST parity
+
+def _events_rest(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(profile_path, table_dir) for a CDF-enabled events table served
+    over a live local HTTP server. The profile is (re)written per call
+    with a fresh server URL; query construction in the client is EAGER
+    (the HTTP exchange happens inside load_as_*), so the server only
+    needs to live for the duration of the call."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        ev = read_table(spark, sf_dir, "events")
+        log = TableLog(spark, os.path.join(path, "table"))
+        log.create(ev, partition_by=["event_type"], name="events_rest",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.delete("value < 3")
+
+    root = _fixture(spark, sf_dir, "events_rest", build)
+    return root, os.path.join(root, "table")
+
+
+def _with_rest_profile(spark: SparkSession, sf_dir: str, fn):
+    """Boot a sharing server over the fixture, run ``fn(profile_url)``,
+    shut the server down — the reference's network flow end to end
+    (client -> retry transport -> server -> NDJSON -> reconstruction)."""
+    import json as _json
+    import tempfile
+
+    from delta_sharing_spark.catalog import ShareCatalog
+    from delta_sharing_spark.server import SharingServer
+
+    root, table_dir = _events_rest(spark, sf_dir)
+    cat = ShareCatalog(spark)
+    cat.add_table("s", "d", "events_rest", table_dir, cdf_enabled=True)
+    srv = SharingServer(cat, bearer_token="driver-token")
+    url = srv.serve_background()
+    prof = tempfile.NamedTemporaryFile(
+        mode="w", suffix=".json", delete=False)
+    _json.dump({"shareCredentialsVersion": 1, "endpoint": url,
+                "bearerToken": "driver-token"}, prof)
+    prof.close()
+    try:
+        return fn(f"{prof.name}#s.d.events_rest")
+    finally:
+        srv.shutdown()
+        os.unlink(prof.name)
+
+
+@workload(
+    "eng_rest_snapshot",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(value) AS DOUBLE) AS sum_value
+    FROM events WHERE NOT (value < 3)
+    GROUP BY event_type
+    """,
+)
+def eng_rest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot read over the WIRE: load_as_spark against a live HTTP
+    server (bearer auth, NDJSON parquet-profile response, client-side
+    reconstruction with typed partition values) must equal the source
+    minus the deleted rows — the reference's full network flow under the
+    driver's value gate."""
+    from delta_sharing_spark.client import load_as_spark
+
+    df = _with_rest_profile(
+        spark, sf_dir, lambda url: load_as_spark(url, spark=spark))
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").cast("double").alias("sum_value"),
+    )
+
+
+@workload(
+    "eng_rest_cdf",
+    oracle="""
+    SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events
+    UNION ALL
+    SELECT 'delete', CAST(COUNT(*) AS BIGINT), CAST(SUM(event_id) AS BIGINT)
+    FROM events WHERE value < 3
+    """,
+)
+def eng_rest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF over the WIRE: load_table_changes_as_spark against the live
+    server (changes NDJSON -> per-kind scans + broadcast path joins) —
+    change-type row counts AND id sums value-match the source replay."""
+    from delta_sharing_spark.client import load_table_changes_as_spark
+
+    ch = _with_rest_profile(
+        spark, sf_dir,
+        lambda url: load_table_changes_as_spark(url, starting_version=0,
+                                                spark=spark))
+    return ch.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_id"),
+    )
