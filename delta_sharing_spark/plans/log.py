@@ -2709,16 +2709,28 @@ class TableLog:
             self._snap_cache.clear()
         return expendable
 
-    def vacuum(self, dry_run: bool = False) -> list[str]:
-        """VACUUM: delete data files no longer referenced by ANY version of
-        the log (files removed and never re-added). Conservative: a file
-        referenced by any historical snapshot stays, so time travel keeps
-        working for every version still in the log.
+    def vacuum(self, dry_run: bool = False,
+               retention_hours: float | None = None) -> list[str]:
+        """VACUUM. Two modes:
 
-        NOTE: walks the full commit history — run BEFORE ``expire_log`` in
-        a maintenance cycle, since expired commits can no longer prove a
-        historical file referenced (vacuum after expiry may delete files
-        that only expired versions referenced — which is the point)."""
+        - ``retention_hours=None`` (default, conservative): delete only
+          files no longer referenced by ANY version of the log — time
+          travel keeps working for every retained version.
+        - ``retention_hours=H`` (Delta's ``VACUUM ... RETAIN H HOURS``,
+          default 168 there): additionally delete files whose LAST removal
+          tombstone is older than the retention window, plus unreferenced
+          on-disk leftovers older than it — reclaiming space at the
+          documented Delta cost that time travel/CDF beyond the window
+          stops working. Files of the CURRENT snapshot (and their DV
+          parquets) are always kept.
+
+        NOTE: the conservative mode walks the full commit history — run
+        BEFORE ``expire_log`` in a maintenance cycle, since expired
+        commits can no longer prove a historical file referenced (vacuum
+        after expiry may delete files that only expired versions
+        referenced — which is the point)."""
+        if retention_hours is not None:
+            return self._vacuum_retention(dry_run, retention_hours)
         referenced: set[str] = set()
 
         def note(add: AddFile) -> None:
@@ -2750,6 +2762,60 @@ class TableLog:
                         continue
                     rel = os.path.relpath(os.path.join(root, fn), self.path)
                     if rel not in referenced:
+                        removable.append(rel)
+        if not dry_run:
+            for rel in removable:
+                os.remove(self.abs_path(rel))
+        return sorted(removable)
+
+    def _vacuum_retention(self, dry_run: bool,
+                          retention_hours: float) -> list[str]:
+        """Retention-window vacuum (Delta VACUUM semantics): keep the
+        current snapshot's files (+ DV parquets they reference); any other
+        on-disk parquet is deletable once its last tombstone — or, for
+        never-referenced leftovers, its mtime — is older than the
+        window."""
+        cutoff_ms = int(time.time() * 1000) - retention_hours * 3_600_000
+        snap = self.snapshot()
+        keep: set[str] = set()
+        for add in snap.files:
+            keep.add(add.path)
+            if add.deletionVector and \
+                    add.deletionVector["storageType"] == "u":
+                keep.add(add.deletionVector["pathOrInlineDv"])
+        # last log event per path (commit order): an add after a remove
+        # resurrects the file; only a FINAL remove tombstones it. cdc
+        # files tombstone at their own commit time (CDF beyond the window
+        # is reclaimed, like Delta's CDC data under VACUUM).
+        last_event: dict[str, tuple[str, int]] = {}
+        for commit in self.commits():
+            for add in commit.adds:
+                last_event[add.path] = ("add", commit.timestamp)
+            for r in commit.removes:
+                last_event[r.path] = ("remove", commit.timestamp)
+            for c in commit.cdc:
+                last_event[c.path] = ("cdc", commit.timestamp)
+        removable: list[str] = []
+        for base in (self.data_path, self.cdc_path, self.dv_path):
+            if not os.path.isdir(base):
+                continue
+            for root, _dirs, files in os.walk(base):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(os.path.join(root, fn), self.path)
+                    if rel in keep:
+                        continue
+                    ev = last_event.get(rel)
+                    if ev is None:
+                        # never referenced (failed-write leftover): age by
+                        # mtime, like Delta's file-age rule
+                        mtime_ms = os.path.getmtime(self.abs_path(rel)) * 1000
+                        if mtime_ms < cutoff_ms:
+                            removable.append(rel)
+                    elif ev[0] == "remove" and ev[1] < cutoff_ms:
+                        removable.append(rel)
+                    elif ev[0] == "cdc" and ev[1] < cutoff_ms:
                         removable.append(rel)
         if not dry_run:
             for rel in removable:

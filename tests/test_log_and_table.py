@@ -1284,6 +1284,29 @@ class TestMaintenance:
         assert not any(a.deletionVector for a in snap.files)
         assert SharedTable(spark, table_dir).to_df().count() == want
 
+    def test_vacuum_retention_window(self, spark, events, table_dir):
+        """VACUUM RETAIN H HOURS (Delta semantics): tombstoned files older
+        than the window are reclaimed (time travel past it breaks, by
+        design); tombstones inside the window and the current snapshot
+        survive."""
+        import os
+
+        log = TableLog(spark, table_dir)
+        log.create(events.filter("event_id < 50"), name="t")
+        v0_files = [a.path for a in log.snapshot().files]
+        log.overwrite(events.filter("event_id >= 50 AND event_id < 80"))
+        # inside the window: nothing reclaimable beyond the conservative set
+        assert log.vacuum(dry_run=True, retention_hours=24.0) == []
+        # window elapsed (0 hours): v0's tombstoned files are reclaimable
+        reclaim = log.vacuum(dry_run=True, retention_hours=0.0)
+        assert set(reclaim) == set(v0_files)
+        removed = log.vacuum(retention_hours=0.0)
+        assert set(removed) == set(v0_files)
+        for rel in v0_files:
+            assert not os.path.exists(log.abs_path(rel))
+        # current snapshot unaffected
+        assert SharedTable(spark, table_dir).to_df().count() == 30
+
     def test_vacuum_removes_unreferenced_only(self, spark, events, table_dir):
         import os
 
