@@ -234,6 +234,70 @@ class SharedTableBatchReader(DataSourceReader):
         return _read_file_batches(partition)
 
 
+class SharedTableCDFBatchReader(DataSourceReader):
+    """Batch CDF through the data source (the reference spark connector's
+    ``option("readChangeFeed", "true")`` batch path): one InputPartition
+    per change file carrying its change type + commit columns; the worker
+    resolves columns by physical name and casts, so rename/widen commits
+    inside the range read losslessly (same projection as streaming)."""
+
+    def __init__(self, options: dict, schema: T.StructType):
+        self.options = options
+        self.path = options["path"]
+        self._schema = schema
+
+    def partitions(self):
+        from delta_sharing_spark.cdf import CDFError, _resolve_range
+        from delta_sharing_spark.plans.log import TableLog, is_noop_merge
+
+        log = TableLog(None, self.path)
+        snap = log.snapshot()
+        if not snap.metadata.cdf_enabled:
+            raise CDFError(
+                "change data feed is not enabled on this table "
+                "(configuration enableChangeDataFeed != true)")
+        o = self.options
+        start, end = _resolve_range(
+            log,
+            int(o["startingversion"]) if o.get("startingversion") else None,
+            int(o["endingversion"]) if o.get("endingversion") else None,
+            o.get("startingtimestamp"),
+            o.get("endingtimestamp"),
+        )
+        data_fields = [f for f in self._schema.fields
+                       if f.name not in ("_change_type", "_commit_version",
+                                         "_commit_timestamp")]
+        schema_json = json.dumps(T.StructType(data_fields).jsonValue())
+        parts: list[_FilePartition] = []
+        for commit in log.commits(start, end):
+            if is_noop_merge(commit.info):
+                continue
+            if commit.cdc:
+                entries = [(c, None) for c in
+                           sorted(commit.cdc, key=lambda c: c.path)]
+            else:
+                entries = [
+                    (a, "insert") for a in
+                    sorted((x for x in commit.adds if x.dataChange),
+                           key=lambda x: x.path)
+                ] + [
+                    (r, "delete") for r in
+                    sorted((x for x in commit.removes if x.dataChange),
+                           key=lambda x: x.path)
+                ]
+            parts += [
+                _FilePartition(log.abs_path(f.path), f.partitionValues,
+                               schema_json, change_type=ct,
+                               commit_version=commit.version,
+                               commit_timestamp=commit.timestamp)
+                for f, ct in entries
+            ]
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        return _read_file_batches(partition)
+
+
 def _dv_args(log, f) -> dict:
     """Deletion-vector kwargs for a _FilePartition (empty for clean files
     and cdc files, which never carry DVs). Root/key derivation is shared
@@ -741,10 +805,9 @@ class SharedTableDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> DataSourceReader:
         if self.options.get("readchangefeed", "false") == "true":
-            raise ValueError(
-                "readChangeFeed is supported for streaming reads "
-                "(spark.readStream) — for batch change queries use "
-                "delta_sharing_spark.cdf.table_changes")
+            # batch CDF (ref spark connector readChangeFeed batch reads:
+            # client/.../DeltaSharingDataSource + RemoteDeltaCDFRelation)
+            return SharedTableCDFBatchReader(dict(self.options), schema)
         return SharedTableBatchReader(dict(self.options), schema)
 
     def streamReader(self, schema: T.StructType) -> DataSourceStreamReader:  # noqa: N802

@@ -1007,3 +1007,42 @@ def eng_rest_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("event_id").alias("sum_id"),
     )
+
+
+@workload(
+    "eng_datasource_cdf",
+    oracle="""
+    WITH after_delete AS (SELECT * FROM events WHERE NOT (value < 5))
+    SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events
+    UNION ALL
+    SELECT 'delete', CAST(COUNT(*) AS BIGINT), CAST(SUM(event_id) AS BIGINT)
+    FROM events WHERE value < 5
+    UNION ALL
+    SELECT 'update_preimage', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(event_id) AS BIGINT)
+    FROM after_delete WHERE event_type = 'click'
+    UNION ALL
+    SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(event_id) AS BIGINT)
+    FROM after_delete WHERE event_type = 'click'
+    """,
+)
+def eng_datasource_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDF through the Python Data Source
+    (spark.read.format("deltashare").option("readChangeFeed", "true") —
+    the reference spark connector's batch change reads): change-type
+    counts AND id sums across create/delete/update commits value-match
+    the source replay."""
+    from delta_sharing_spark.sources.datasource import SharedTableDataSource
+
+    spark.dataSource.register(SharedTableDataSource)
+    path = _events_cdf(spark, sf_dir)
+    ch = (spark.read.format("deltashare").option("path", path)
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "0").load())
+    return ch.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_id"),
+    )

@@ -520,6 +520,46 @@ class TestStreamSink:
                 assert params.get("epochId") is not None
 
 
+class TestBatchCDFReader:
+    def test_batch_read_change_feed(self, spark, events, tmp_path):
+        spark.dataSource.register(SharedTableDataSource)
+        d = str(tmp_path / "cdf")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 20"), name="t",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.delete("event_id < 5")
+        ch = (spark.read.format("deltashare").option("path", d)
+              .option("readChangeFeed", "true")
+              .option("startingVersion", "0").load())
+        by_type = {r["_change_type"]: r["n"] for r in
+                   ch.groupBy("_change_type").agg(
+                       F.count("*").alias("n")).collect()}
+        assert by_type == {"insert": 20, "delete": 5}
+        # version window: only the delete commit
+        ch1 = (spark.read.format("deltashare").option("path", d)
+               .option("readChangeFeed", "true")
+               .option("startingVersion", "1")
+               .option("endingVersion", "1").load())
+        assert {r["_change_type"] for r in ch1.collect()} == {"delete"}
+        assert ch1.count() == 5
+        # commit columns attached per action
+        assert ch1.select("_commit_version").distinct().collect()[0][0] == 1
+
+    def test_batch_cdf_requires_enablement(self, spark, events, tmp_path):
+        from delta_sharing_spark.cdf import CDFError  # noqa: F401
+
+        spark.dataSource.register(SharedTableDataSource)
+        d = str(tmp_path / "nocdf")
+        TableLog(spark, d).create(events.limit(5), name="t")
+        import pyspark.errors
+
+        with pytest.raises(pyspark.errors.PySparkException,
+                           match="change data feed is not enabled"):
+            (spark.read.format("deltashare").option("path", d)
+             .option("readChangeFeed", "true")
+             .option("startingVersion", "0").load().collect())
+
+
 class TestStreamRestartAfterSchemaChange:
     def test_restart_reads_backlog_under_new_schema(self, spark, events,
                                                     tmp_path):
