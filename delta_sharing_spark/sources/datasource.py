@@ -628,7 +628,13 @@ class SharedTableStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:  # noqa: N802
         self._trace("initialOffset")
-        if self.starting_version is not None:
+        if self.starting_version == "latest":
+            # ref DeltaSharingOptions startingVersion="latest": serve only
+            # changes committed AFTER the stream starts — no snapshot, no
+            # backlog (the version after the current latest)
+            offset = {"version": self._log().latest_version() + 1,
+                      "index": 0, "isStartingVersion": False}
+        elif self.starting_version is not None:
             offset = {"version": int(self.starting_version), "index": 0,
                       "isStartingVersion": False}
         elif self.starting_timestamp is not None:
@@ -772,8 +778,29 @@ class SharedTableStreamReader(DataSourceStreamReader):
             self._last_planned = dict(end)
 
 
+def _normalize_options(options: dict) -> dict:
+    """Reference option-name aliases (DeltaSharingOptions.scala):
+    ``versionAsOf``/``timestampAsOf`` are the batch time-travel spellings
+    and ``readChangeData`` aliases ``readChangeFeed``. Spark lowercases
+    option keys before they reach the data source."""
+    o = dict(options)
+    if o.get("versionasof") and not o.get("version"):
+        o["version"] = o["versionasof"]
+    if o.get("timestampasof") and not o.get("timestamp"):
+        o["timestamp"] = o["timestampasof"]
+    if o.get("readchangedata") and not o.get("readchangefeed"):
+        o["readchangefeed"] = o["readchangedata"]
+    if o.get("version") and o.get("timestamp"):
+        raise ValueError(
+            "versionAsOf and timestampAsOf are mutually exclusive")
+    return o
+
+
 class SharedTableDataSource(DataSource):
     """Register with ``spark.dataSource.register(SharedTableDataSource)``."""
+
+    def __init__(self, options: dict):
+        super().__init__(_normalize_options(options))
 
     @classmethod
     def name(cls) -> str:

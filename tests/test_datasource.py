@@ -520,6 +520,55 @@ class TestStreamSink:
                 assert params.get("epochId") is not None
 
 
+class TestOptionAliases:
+    def test_version_as_of_and_read_change_data(self, spark, events,
+                                                tmp_path):
+        """Reference option spellings (DeltaSharingOptions.scala):
+        versionAsOf/timestampAsOf for batch time travel, readChangeData
+        as the readChangeFeed alias."""
+        spark.dataSource.register(SharedTableDataSource)
+        d = str(tmp_path / "alias")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 10"), name="t",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.append(events.filter("event_id >= 10 AND event_id < 15"))
+        v0 = (spark.read.format("deltashare").option("path", d)
+              .option("versionAsOf", "0").load())
+        assert v0.count() == 10
+        ch = (spark.read.format("deltashare").option("path", d)
+              .option("readChangeData", "true")
+              .option("startingVersion", "1").load())
+        assert ch.count() == 5
+        assert {r["_change_type"] for r in ch.collect()} == {"insert"}
+        import pyspark.errors
+
+        with pytest.raises(pyspark.errors.PySparkException,
+                           match="mutually exclusive"):
+            (spark.read.format("deltashare").option("path", d)
+             .option("versionAsOf", "0")
+             .option("timestampAsOf", "2024-01-01").load())
+
+    def test_starting_version_latest(self, spark, events, tmp_path):
+        """startingVersion=latest: only changes committed AFTER stream
+        start are served — no snapshot backfill."""
+        spark.dataSource.register(SharedTableDataSource)
+        d = str(tmp_path / "latest")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 10"), name="t")
+        log.append(events.filter("event_id >= 10 AND event_id < 20"))
+        q = (spark.readStream.format("deltashare").option("path", d)
+             .option("startingVersion", "latest").load()
+             .writeStream.format("memory").queryName("svl")
+             .trigger(processingTime="200 milliseconds").start())
+        q.processAllAvailable()
+        assert spark.table("svl").count() == 0  # backlog skipped
+        log.append(events.filter("event_id >= 20 AND event_id < 23"))
+        q.processAllAvailable()
+        q.stop()
+        got = {r["event_id"] for r in spark.table("svl").collect()}
+        assert got == {20, 21, 22}
+
+
 class TestBatchCDFReader:
     def test_batch_read_change_feed(self, spark, events, tmp_path):
         spark.dataSource.register(SharedTableDataSource)
@@ -894,16 +943,20 @@ class TestStreamingReviewRegressions:
         df = spark.read.format("deltashare").option("path", src).load()
         assert df.count() == 25 * 5
 
-    def test_batch_cdf_clear_error(self, spark, events, tmp_path):
+    def test_batch_cdf_supported(self, spark, events, tmp_path):
+        """Round-5 change: batch readChangeFeed is a real reader now
+        (TestBatchCDFReader covers semantics) — the old clear-error
+        contract is gone; a plain read must succeed."""
         src = str(tmp_path / "t")
         TableLog(spark, src).create(
             events.limit(10), name="t",
             configuration={"enableChangeDataFeed": "true"})
         spark.dataSource.register(SharedTableDataSource)
-        with pytest.raises(Exception, match="table_changes"):
-            (spark.read.format("deltashare").option("path", src)
-             .option("readChangeFeed", "true")
-             .option("startingVersion", "0").load().collect())
+        out = (spark.read.format("deltashare").option("path", src)
+               .option("readChangeFeed", "true")
+               .option("startingVersion", "0").load())
+        assert out.count() == 10
+        assert "_change_type" in out.columns
 
     def test_timestamp_partition_round_trip(self, spark, tmp_path):
         """Hive-escaped partition dirs (':' -> %3A) must round-trip: the
