@@ -200,39 +200,70 @@ def profile_lines_to_spark(spark: SparkSession,
     if not files:
         return spark.createDataFrame([], schema)
     type_of = {f.name: f.dataType for f in schema.fields}
-    parts: list[DataFrame] = []
-    for f in files:
-        df = spark.read.parquet(f["url"])
-        dv = f.get("deletionVector")
-        if dv:
-            df = df.select("*", F.col("_metadata.row_index").alias("__ri"))
-            if dv.get("storageType") == "i":
-                from delta_sharing_spark.plans.dvcodec import decode_inline_dv
 
-                dv_rows = spark.createDataFrame(
-                    [(ri,) for ri in
-                     decode_inline_dv(dv["pathOrInlineDv"],
-                                      dv.get("sizeInBytes"))],
-                    "__ri long")
-            else:
-                dv_rows = (
-                    spark.read.parquet(dv["pathOrInlineDv"])
-                    .filter(F.col("path") == f.get("id"))
-                    .select(F.col("row_index").alias("__ri"))
-                )
-            df = df.join(F.broadcast(dv_rows), "__ri", "left_anti") \
-                   .drop("__ri")
-        for name, value in (f.get("partitionValues") or {}).items():
-            col = (F.lit(None) if value == "" or value is None
-                   else F.lit(value))
-            df = df.withColumn(name, col.cast(type_of.get(name, "string")))
+    def normalize(df: DataFrame) -> DataFrame:
         lower = {c.lower(): c for c in df.columns}
-        parts.append(df.select(*[
+        return df.select(*[
             (F.col(lower[fld.name.lower()]).cast(fld.dataType)
              if fld.name.lower() in lower
              else F.lit(None).cast(fld.dataType)).alias(fld.name)
             for fld in schema.fields
-        ]))
+        ])
+
+    scan_path = F.url_decode(F.regexp_replace(
+        F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+        r"\+", "%2B"))
+    parts: list[DataFrame] = []
+    # clean files read in ONE grouped scan — plan size stays O(1) in file
+    # count, partition values attach via a broadcast path join (per-file
+    # plan nodes at 10k+ files are a driver-side planning blow-up)
+    clean = [f for f in files if not f.get("deletionVector")]
+    if clean:
+        pv_keys = sorted({k for f in clean
+                          for k in (f.get("partitionValues") or {})})
+        df = spark.read.parquet(*[f["url"] for f in clean])
+        if pv_keys:
+            meta = spark.createDataFrame(
+                [(f["url"],
+                  *[(f.get("partitionValues") or {}).get(k) or None
+                    for k in pv_keys]) for f in clean],
+                T.StructType(
+                    [T.StructField("__path", T.StringType())]
+                    + [T.StructField(f"__pv_{k}", T.StringType())
+                       for k in pv_keys]))
+            df = (df.withColumn("__path", scan_path)
+                  .join(F.broadcast(meta), "__path").drop("__path"))
+            for k in pv_keys:
+                df = df.withColumn(
+                    k, F.col(f"__pv_{k}").cast(type_of.get(k, "string"))
+                ).drop(f"__pv_{k}")
+        parts.append(normalize(df))
+    for f in files:
+        dv = f.get("deletionVector")
+        if not dv:
+            continue
+        df = spark.read.parquet(f["url"]) \
+            .select("*", F.col("_metadata.row_index").alias("__ri"))
+        if dv.get("storageType") == "i":
+            from delta_sharing_spark.plans.dvcodec import decode_inline_dv
+
+            dv_rows = spark.createDataFrame(
+                [(ri,) for ri in
+                 decode_inline_dv(dv["pathOrInlineDv"],
+                                  dv.get("sizeInBytes"))],
+                "__ri long")
+        else:
+            dv_rows = (
+                spark.read.parquet(dv["pathOrInlineDv"])
+                .filter(F.col("path") == f.get("id"))
+                .select(F.col("row_index").alias("__ri"))
+            )
+        df = df.join(F.broadcast(dv_rows), "__ri", "left_anti").drop("__ri")
+        for name, value in (f.get("partitionValues") or {}).items():
+            col = (F.lit(None) if value == "" or value is None
+                   else F.lit(value))
+            df = df.withColumn(name, col.cast(type_of.get(name, "string")))
+        parts.append(normalize(df))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
