@@ -134,38 +134,71 @@ def delta_lines_to_spark(spark: SparkSession,
         for f in schema.fields
     }
     type_of = {phys_of[f.name]: f.dataType for f in schema.fields}
-    parts: list[DataFrame] = []
-    for add, file_id in adds:
-        df = spark.read.parquet(add["path"])
-        dv = add.get("deletionVector")
-        if dv:
-            # apply the deletion vector client-side: each add is a single
-            # file, so _metadata.row_index alone keys the anti-join
-            df = df.select("*", F.col("_metadata.row_index").alias("__ri"))
-            if dv.get("storageType") == "i":
-                from delta_sharing_spark.plans.dvcodec import (
-                    decode_inline_dv)
 
-                dv_rows = spark.createDataFrame(
-                    [(ri,) for ri in
-                     decode_inline_dv(dv["pathOrInlineDv"],
-                                      dv.get("sizeInBytes"))],
-                    "__ri long")
-            else:
-                dv_rows = (
-                    spark.read.parquet(dv["pathOrInlineDv"])
-                    .filter(F.col("path") == file_id)
-                    .select(F.col("row_index").alias("__ri"))
-                )
-            df = df.join(F.broadcast(dv_rows), "__ri", "left_anti") \
-                   .drop("__ri")
+    def finish(df: DataFrame) -> DataFrame:
+        return df.select(*[
+            F.col(phys_of[f.name]).alias(f.name) for f in schema.fields
+        ])
+
+    scan_path = F.url_decode(F.regexp_replace(
+        F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+        r"\+", "%2B"))
+    parts: list[DataFrame] = []
+    # clean adds in ONE grouped scan (plan size O(1) in file count),
+    # physical-keyed partition values via a broadcast path join
+    clean = [(a, i) for a, i in adds if not a.get("deletionVector")]
+    if clean:
+        pv_keys = sorted({k for a, _i in clean
+                          for k in (a.get("partitionValues") or {})})
+        df = spark.read.parquet(*[a["path"] for a, _i in clean])
+        if pv_keys:
+            from pyspark.sql import types as T2
+
+            meta = spark.createDataFrame(
+                [(a["path"],
+                  *[(a.get("partitionValues") or {}).get(k) or None
+                    for k in pv_keys]) for a, _i in clean],
+                T2.StructType(
+                    [T2.StructField("__path", T2.StringType())]
+                    + [T2.StructField(f"__pv_{k}", T2.StringType())
+                       for k in pv_keys]))
+            df = (df.withColumn("__path", scan_path)
+                  .join(F.broadcast(meta), "__path").drop("__path"))
+            for k in pv_keys:
+                df = df.withColumn(
+                    k, F.col(f"__pv_{k}").cast(type_of[k])
+                ).drop(f"__pv_{k}")
+        parts.append(finish(df))
+    for add, file_id in adds:
+        dv = add.get("deletionVector")
+        if not dv:
+            continue
+        # apply the deletion vector client-side: each add is a single
+        # file, so _metadata.row_index alone keys the anti-join
+        df = spark.read.parquet(add["path"]) \
+            .select("*", F.col("_metadata.row_index").alias("__ri"))
+        if dv.get("storageType") == "i":
+            from delta_sharing_spark.plans.dvcodec import (
+                decode_inline_dv)
+
+            dv_rows = spark.createDataFrame(
+                [(ri,) for ri in
+                 decode_inline_dv(dv["pathOrInlineDv"],
+                                  dv.get("sizeInBytes"))],
+                "__ri long")
+        else:
+            dv_rows = (
+                spark.read.parquet(dv["pathOrInlineDv"])
+                .filter(F.col("path") == file_id)
+                .select(F.col("row_index").alias("__ri"))
+            )
+        df = df.join(F.broadcast(dv_rows), "__ri", "left_anti") \
+               .drop("__ri")
         for name, value in (add.get("partitionValues") or {}).items():
             col = (F.lit(None) if value == "" or value is None
                    else F.lit(value))
             df = df.withColumn(name, col.cast(type_of[name]))
-        parts.append(df.select(*[
-            F.col(phys_of[f.name]).alias(f.name) for f in schema.fields
-        ]))
+        parts.append(finish(df))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
