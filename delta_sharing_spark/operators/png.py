@@ -118,6 +118,13 @@ def decode_png(data: bytes):
     if color_type == 3:
         if palette is None:
             raise PngError("palette image without PLTE")
+        n_entries = len(palette) // 3
+        for line in rows:
+            for idx in line:
+                if idx >= n_entries:
+                    raise PngError(
+                        f"palette index {idx} out of range "
+                        f"({n_entries} entries)")
         rows = [
             bytearray(b for idx in line
                       for b in palette[3 * idx:3 * idx + 3])
