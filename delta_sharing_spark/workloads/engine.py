@@ -108,23 +108,28 @@ def _events_cdf(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _orders_merge(spark: SparkSession, sf_dir: str) -> str:
-    """CDF-enabled orders subset upserted with MERGE: v0 = orders with
-    o_orderkey < 4000; v1 = merge of source keys [2000, 6000) with doubled
-    o_totalprice — existing keys update, new keys insert. Every change row
-    is derivable from the source ``orders`` table in SQL."""
+    """CDF-enabled orders subset upserted with MERGE: with N = max key + 1,
+    v0 = keys < 4N/15; v1 = merge of source keys [2N/15, 6N/15) with
+    doubled o_totalprice — existing keys update, new keys insert.
+    SCALE-RELATIVE bounds (at sf0.01 they are exactly the historical
+    2000/4000/6000) so the fixture is non-degenerate at every SF; the
+    oracle recomputes the same integer bounds in SQL."""
 
     def build(spark: SparkSession, path: str) -> None:
         o = read_table(spark, sf_dir, "orders")
+        n = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+        lo, mid, hi = n * 2 // 15, n * 4 // 15, n * 6 // 15
         log = TableLog(spark, path)
-        log.create(o.filter("o_orderkey < 4000"), name="orders_merge",
+        log.create(o.filter(F.col("o_orderkey") < mid), name="orders_merge",
                    configuration={"enableChangeDataFeed": "true"})
         src = (
-            o.filter("o_orderkey >= 2000 AND o_orderkey < 6000")
+            o.filter((F.col("o_orderkey") >= lo)
+                     & (F.col("o_orderkey") < hi))
             .withColumn("o_totalprice", F.col("o_totalprice") * 2)
         )
         log.merge(src, ["o_orderkey"])
 
-    return _fixture(spark, sf_dir, "orders_merge", build)
+    return _fixture(spark, sf_dir, "orders_merge_rel", build)
 
 
 def _lineitem_dv_upd(spark: SparkSession, sf_dir: str) -> str:
@@ -634,17 +639,23 @@ def eng_dv_update_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "eng_cdf_merge",
     oracle="""
+    WITH b AS (
+      SELECT (MAX(o_orderkey) + 1) * 2 // 15 AS lo,
+             (MAX(o_orderkey) + 1) * 4 // 15 AS mid,
+             (MAX(o_orderkey) + 1) * 6 // 15 AS hi
+      FROM orders
+    )
     SELECT 'update_preimage' AS change_type, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-    FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+    FROM orders, b WHERE o_orderkey >= b.lo AND o_orderkey < b.mid
     UNION ALL
     SELECT 'update_postimage', CAST(COUNT(*) AS BIGINT),
            CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE)
-    FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+    FROM orders, b WHERE o_orderkey >= b.lo AND o_orderkey < b.mid
     UNION ALL
     SELECT 'insert', CAST(COUNT(*) AS BIGINT),
            CAST(SUM(CAST(o_totalprice * 2 AS DECIMAL(18,2))) AS DOUBLE)
-    FROM orders WHERE o_orderkey >= 4000 AND o_orderkey < 6000
+    FROM orders, b WHERE o_orderkey >= b.mid AND o_orderkey < b.hi
     """,
 )
 def eng_cdf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
