@@ -802,13 +802,18 @@ def _events_restore(spark: SparkSession, sf_dir: str) -> str:
 
     def build(spark: SparkSession, path: str) -> None:
         ev = read_table(spark, sf_dir, "events")
+        # scale-relative slices (event ids are dense 0..N-1): the append
+        # stays non-empty at every SF (2000/3000 at sf0.01's N=10000)
+        n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+        a, b = n * 2 // 10, n * 3 // 10
         log = TableLog(spark, path)
-        log.create(ev.filter("event_id < 2000"), name="events_restore")
-        log.append(ev.filter("event_id >= 2000 AND event_id < 3000"))
+        log.create(ev.filter(F.col("event_id") < a), name="events_restore")
+        log.append(ev.filter((F.col("event_id") >= a)
+                             & (F.col("event_id") < b)))
         log.delete("value < 3")
         log.restore(version=1)
 
-    return _fixture(spark, sf_dir, "events_restore", build)
+    return _fixture(spark, sf_dir, "events_restore_rel", build)
 
 
 @workload(
@@ -816,7 +821,8 @@ def _events_restore(spark: SparkSession, sf_dir: str) -> str:
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(event_id) AS BIGINT) AS id_sum
-    FROM events WHERE event_id < 3000
+    FROM events
+    WHERE event_id < (SELECT (MAX(event_id) + 1) * 3 // 10 FROM events)
     """,
 )
 def eng_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,13 +845,17 @@ def _events_clone(spark: SparkSession, sf_dir: str) -> str:
 
     def build(spark: SparkSession, path: str) -> None:
         ev = read_table(spark, sf_dir, "events")
+        n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+        a, b = n // 10, n * 12 // 100  # 1000 / 1200 at sf0.01
         src = TableLog(spark, os.path.join(path, "src"))
-        src.create(ev.filter("event_id < 1000"), name="events_clone_src")
+        src.create(ev.filter(F.col("event_id") < a),
+                   name="events_clone_src")
         src.delete("value < 3")
         clone = src.clone_to(os.path.join(path, "clone"))
-        clone.append(ev.filter("event_id >= 1000 AND event_id < 1200"))
+        clone.append(ev.filter((F.col("event_id") >= a)
+                               & (F.col("event_id") < b)))
 
-    return _fixture(spark, sf_dir, "events_clone", build)
+    return _fixture(spark, sf_dir, "events_clone_rel", build)
 
 
 @workload(
@@ -855,10 +865,13 @@ def _events_clone(spark: SparkSession, sf_dir: str) -> str:
            CAST(SUM(event_id) AS BIGINT) AS id_sum
     FROM (
         SELECT event_id FROM events
-        WHERE event_id < 1000 AND NOT (value < 3)
+        WHERE event_id < (SELECT (MAX(event_id) + 1) // 10 FROM events)
+          AND NOT (value < 3)
         UNION ALL
         SELECT event_id FROM events
-        WHERE event_id >= 1000 AND event_id < 1200
+        WHERE event_id >= (SELECT (MAX(event_id) + 1) // 10 FROM events)
+          AND event_id < (SELECT (MAX(event_id) + 1) * 12 // 100
+                          FROM events)
     )
     """,
 )
