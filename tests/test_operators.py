@@ -265,6 +265,23 @@ class TestSimilarity:
         for q, n in top.items():
             assert n % 3 == q % 3  # nearest neighbor in the true cluster
 
+    def test_pq_adc_plan_is_equi_join(self, spark, vectors):
+        """The ADC scoring join must be an equi-join on (sub, code)
+        against a broadcast LUT — never a nested-loop over candidates
+        (the whole point of PQ: no per-pair vector math)."""
+        from delta_sharing_spark.operators.similarity import (
+            pq_adc_topk, pq_encode, pq_fit)
+
+        books = pq_fit(vectors, m=2, k=3, iters=1, dim=8)
+        codes = pq_encode(vectors, books, m=2, dim=8)
+        out = pq_adc_topk(vectors.filter("vec_id < 2"), codes, books,
+                          k=2, m=2, dim=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # every join (LUT build on sub, scoring on (sub, code)) is a hash
+        # equi-join — no nested loop, no cartesian anywhere in the plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_near_dup_pairs_threshold(self, spark, vectors):
         pairs = near_dup_pairs(vectors, threshold=0.99)
         for r in pairs.collect():
