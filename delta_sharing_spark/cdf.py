@@ -37,7 +37,10 @@ from delta_sharing_spark.plans.log import (
     TableLog,
     is_noop_merge,
 )
-from delta_sharing_spark.streaming.schema import _datatype_read_compatible
+from delta_sharing_spark.streaming.schema import (
+    _datatype_read_compatible,
+    _widenable,
+)
 
 
 class CDFError(Exception):
@@ -54,26 +57,6 @@ class CDFError(Exception):
 # kernel client replays version_to_metadata into a temp log,
 # python/delta_sharing/reader.py:477-592; admissibility gate
 # client/.../spark/util/SchemaUtils.scala:37-90).
-
-_INT_CHAIN = ["byte", "short", "integer", "long"]
-
-
-def _widenable(src: T.DataType, dst: T.DataType) -> bool:
-    """Is reading ``src``-typed data as ``dst`` a lossless widening?
-    (Delta type-widening table: integral up-chain, float->double,
-    decimal precision growth at equal-or-greater integer headroom.)"""
-    if src == dst:
-        return True
-    s, d = src.typeName(), dst.typeName()
-    if s in _INT_CHAIN and d in _INT_CHAIN:
-        return _INT_CHAIN.index(s) < _INT_CHAIN.index(d)
-    if s == "float" and d == "double":
-        return True
-    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
-        return (dst.scale >= src.scale
-                and dst.precision - dst.scale >= src.precision - src.scale)
-    return False
-
 
 class _Epoch:
     """File actions of one schema epoch within the CDF range."""
@@ -200,8 +183,7 @@ def table_changes(
     _commit_timestamp (ref python/delta_sharing/reader.py:676-688).
     """
     log = TableLog(spark, path)
-    snap = log.snapshot()
-    if not snap.metadata.cdf_enabled:
+    if not log.snapshot().metadata.cdf_enabled:
         raise CDFError(
             "change data feed is not enabled on this table "
             "(configuration enableChangeDataFeed != true)")
@@ -209,6 +191,11 @@ def table_changes(
         log, starting_version, ending_version,
         starting_timestamp, ending_timestamp,
     )
+    # output schema = the END-of-range snapshot's (delta-kernel
+    # TableChangesScanBuilder semantics: compatibility is required within
+    # [start, end] only — a schema change AFTER the range must not make a
+    # perfectly servable historical range error)
+    snap = log.snapshot(version=end)
 
     # Group file actions by SCHEMA EPOCH: a metaData commit inside the
     # range means earlier files were written under a different (physical)

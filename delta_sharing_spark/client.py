@@ -141,16 +141,28 @@ def _is_http(endpoint: str) -> bool:
     return endpoint.startswith("http://") or endpoint.startswith("https://")
 
 
+_REST_CLIENT_CACHE: dict = {}
+
+
 def _rest_client(profile: DeltaSharingProfile):
     """Retried HTTP transport for a network profile (the reference client's
-    rest_client stack: auth provider + retry/backoff on every route)."""
+    rest_client stack: auth provider + retry/backoff on every route).
+    Cached per profile (a frozen dataclass) so the OAuth provider's token
+    cache survives across load_as_* calls instead of re-exchanging a
+    token per query."""
     from delta_sharing_spark.auth import create_credential_provider
     from delta_sharing_spark.rest import DataSharingRestClient
 
-    return DataSharingRestClient(
-        profile.endpoint,
-        auth_provider=create_credential_provider(profile),
-        profile=profile)
+    client = _REST_CLIENT_CACHE.get(profile)
+    if client is None:
+        client = DataSharingRestClient(
+            profile.endpoint,
+            auth_provider=create_credential_provider(profile),
+            profile=profile)
+        if len(_REST_CLIENT_CACHE) > 32:
+            _REST_CLIENT_CACHE.clear()
+        _REST_CLIENT_CACHE[profile] = client
+    return client
 
 
 def _resolve(spark: SparkSession, url: str) -> SharedTable:
@@ -308,7 +320,8 @@ def load_table_changes_as_spark(
             starting_version=starting_version,
             ending_version=ending_version,
             starting_timestamp=starting_timestamp,
-            ending_timestamp=ending_timestamp)
+            ending_timestamp=ending_timestamp,
+            response_formats="delta,parquet")
         return _changes_lines_to_spark(spark, lines)
     table = _resolve(spark, url)
     return table_changes(
@@ -319,28 +332,70 @@ def load_table_changes_as_spark(
     )
 
 
+def _delta_changes_to_profile_shape(lines: list) -> list:
+    """Delta-format changes lines (file wrappers with deltaSingleAction
+    add/cdc/remove) → the parquet-profile line shape, so one assembly
+    handles both formats. The deltaMetadata wrapper keeps its
+    schemaString + configuration (column-mapping resolution needs both)."""
+    out = []
+    for line in lines:
+        if "metaData" in line and "deltaMetadata" in line["metaData"]:
+            out.append({"metaData": dict(line["metaData"]["deltaMetadata"])})
+        elif "file" in line and "deltaSingleAction" in line["file"]:
+            w = line["file"]
+            kind = next(iter(w["deltaSingleAction"]))
+            a = w["deltaSingleAction"][kind]
+            key = {"add": "add", "remove": "remove", "cdc": "cdf"}[kind]
+            out.append({key: {
+                "url": a["path"], "id": w.get("id"),
+                "partitionValues": a.get("partitionValues", {}),
+                "version": w.get("version"),
+                "timestamp": w.get("timestamp"),
+            }})
+        else:
+            out.append(line)
+    return out
+
+
 def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
     """Wire CDF response → DataFrame: one scan per action kind, per-file
     commit version/timestamp attached by a broadcast path join (the same
     union-of-scans shape as the reference's RemoteDeltaCDFRelation,
-    client/.../RemoteDeltaCDFRelation.scala:85-140)."""
+    client/.../RemoteDeltaCDFRelation.scala:85-140). Accepts both the
+    parquet-profile shape and (via shape conversion) the delta format the
+    server forces for column-mapped tables; physical names resolve back
+    to logical ones like a delta reader."""
     import json as _json
 
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if any("file" in line and "deltaSingleAction" in line.get("file", {})
+           for line in lines):
+        lines = _delta_changes_to_profile_shape(lines)
     schema: T.StructType | None = None
+    cm = False
     groups: dict[str, list[dict]] = {"add": [], "cdf": [], "remove": []}
     for line in lines:
         if "metaData" in line and "schemaString" in line["metaData"]:
-            if schema is None:  # first metaData = latest snapshot's
+            if schema is None:  # first metaData = the range-end snapshot's
                 schema = T.StructType.fromJson(
                     _json.loads(line["metaData"]["schemaString"]))
+                cm = (line["metaData"].get("configuration") or {}).get(
+                    "delta.columnMapping.mode") == "name"
         for kind in groups:
             if kind in line:
                 groups[kind].append(line[kind])
     if schema is None:
         raise ValueError("changes response lacks a metaData line")
+    # files and partitionValues are keyed by PHYSICAL names under column
+    # mapping; the output carries the logical names
+    phys_of = {
+        f.name: ((f.metadata or {}).get("delta.columnMapping.physicalName",
+                                        f.name) if cm else f.name)
+        for f in schema.fields
+    }
+    type_of_phys = {phys_of[f.name]: f.dataType for f in schema.fields}
     out_fields = schema.fields + [
         T.StructField("_change_type", T.StringType()),
         T.StructField("_commit_version", T.LongType()),
@@ -353,14 +408,14 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
         if not actions:
             continue
         # typed partition values (absent from the file bytes)
-        type_of = {f.name: f.dataType for f in schema.fields}
         pv_union: dict[str, bool] = {}
         for a in actions:
             pv_union.update({k: True
                              for k in (a.get("partitionValues") or {})})
         meta = spark.createDataFrame(
             [(a["url"], int(a["version"]), int(a["timestamp"]),
-              *[(a.get("partitionValues") or {}).get(k) for k in pv_union])
+              *[(a.get("partitionValues") or {}).get(k) or None
+                for k in pv_union])
              for a in actions],
             T.StructType(
                 [T.StructField("__path", T.StringType()),
@@ -381,15 +436,21 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
         )
         if change_type is not None:
             df = df.withColumn("_change_type", F.lit(change_type))
-        for k in pv_union:
+        for k in pv_union:  # pv keys are physical names
             df = df.withColumn(
-                k, F.col(f"__pv_{k}").cast(type_of[k])
+                k, F.col(f"__pv_{k}").cast(
+                    type_of_phys.get(k, T.StringType()))
             ).drop(f"__pv_{k}")
-        parts.append(df.select(*[
-            (F.col(f.name) if f.name in df.columns
-             else F.lit(None).cast(f.dataType)).alias(f.name)
-            for f in out_fields
-        ]))
+        cols = set(df.columns)
+        parts.append(df.select(
+            *[(F.col(phys_of[f.name]) if phys_of[f.name] in cols
+               else F.lit(None).cast(f.dataType)).alias(f.name)
+              for f in schema.fields],
+            # cdc files carry _change_type in their bytes; add/remove got
+            # the inferred constant above
+            F.col("_change_type").cast("string").alias("_change_type"),
+            F.col("_commit_version"), F.col("_commit_timestamp"),
+        ))
     if not parts:
         return spark.createDataFrame([], T.StructType(out_fields))
     out = parts[0]
@@ -444,12 +505,17 @@ def load_table_changes_as_pandas(
     profile_path, share, schema, table_name = _parse_url(url)
     profile = DeltaSharingProfile.read_from_file(profile_path)
     if _is_http(profile.endpoint):
-        payload = {"actions": _rest_client(profile).list_table_changes(
+        lines = _rest_client(profile).list_table_changes(
             share, schema, table_name,
             starting_version=starting_version,
             ending_version=ending_version,
             starting_timestamp=starting_timestamp,
-            ending_timestamp=ending_timestamp)}
+            ending_timestamp=ending_timestamp,
+            response_formats="delta,parquet")
+        if any("file" in ln and "deltaSingleAction" in ln.get("file", {})
+               for ln in lines):
+            lines = _delta_changes_to_profile_shape(lines)
+        payload = {"actions": lines}
     else:
         table = _resolve(spark, url)
         payload = table_changes_actions(

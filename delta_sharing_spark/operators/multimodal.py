@@ -227,6 +227,9 @@ def resize_media(df: DataFrame, media_col: str, id_col: str,
     import pandas as pd
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
         from delta_sharing_spark.operators.png import (
             PngError,
             decode_png,
@@ -254,7 +257,8 @@ def resize_media(df: DataFrame, media_col: str, id_col: str,
                     ws.append(out_w)
                     hs.append(out_h)
                     errs.append(None)
-                except (PngError, ValueError, KeyError) as e:
+                except (PngError, ValueError, KeyError,
+                        zlib.error, struct.error, IndexError) as e:
                     outs.append(None)
                     ws.append(None)
                     hs.append(None)

@@ -2786,15 +2786,33 @@ class TableLog:
         # last log event per path (commit order): an add after a remove
         # resurrects the file; only a FINAL remove tombstones it. cdc
         # files tombstone at their own commit time (CDF beyond the window
-        # is reclaimed, like Delta's CDC data under VACUUM).
+        # is reclaimed, like Delta's CDC data under VACUUM). DV parquets
+        # never appear as add/remove actions — they ride inside AddFile
+        # descriptors — so each one's lifetime is tied to the files that
+        # reference it: deletable only when EVERY referencing file's last
+        # log event is older than the window (a retained version could
+        # otherwise read a file without its deletion vector and resurrect
+        # deleted rows).
         last_event: dict[str, tuple[str, int]] = {}
+        dv_refs: dict[str, set[str]] = {}
         for commit in self.commits():
             for add in commit.adds:
                 last_event[add.path] = ("add", commit.timestamp)
+                if add.deletionVector and \
+                        add.deletionVector["storageType"] == "u":
+                    dv_refs.setdefault(
+                        add.deletionVector["pathOrInlineDv"], set()
+                    ).add(add.path)
             for r in commit.removes:
                 last_event[r.path] = ("remove", commit.timestamp)
             for c in commit.cdc:
                 last_event[c.path] = ("cdc", commit.timestamp)
+        for dv_path, refs in dv_refs.items():
+            ts = max((last_event[p][1] for p in refs if p in last_event),
+                     default=None)
+            if ts is not None:
+                # acts like a tombstone at the last referencing change
+                last_event.setdefault(dv_path, ("remove", ts))
         removable: list[str] = []
         for base in (self.data_path, self.cdc_path, self.dv_path):
             if not os.path.isdir(base):

@@ -202,6 +202,7 @@ class DataSharingRestClient:
         ending_version: int | None = None,
         starting_timestamp: str | None = None,
         ending_timestamp: str | None = None,
+        response_formats: str | None = None,
     ) -> list[dict]:
         params = []
         if starting_version is not None:
@@ -215,9 +216,14 @@ class DataSharingRestClient:
             params.append("endingTimestamp="
                           + urllib.parse.quote(ending_timestamp))
         q = ("?" + "&".join(params)) if params else ""
+        headers = {}
+        if response_formats:
+            headers["delta-sharing-capabilities"] = \
+                f"responseformat={response_formats}"
         _h, lines = self._ndjson(
             "GET",
-            f"/shares/{share}/schemas/{schema}/tables/{table}/changes{q}")
+            f"/shares/{share}/schemas/{schema}/tables/{table}/changes{q}",
+            headers=headers)
         return lines
 
 

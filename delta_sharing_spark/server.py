@@ -401,6 +401,19 @@ class SharingServer:
 
     def table_changes(self, h, share, schema, table, params, body) -> None:
         t = self._table(share, schema, table)
+        # same reader-feature gate as the query route: a column-mapped
+        # table's change files carry physical names an external
+        # parquet-profile client cannot decode (kernel gating,
+        # DeltaSharedTableKernel.scala:567-585)
+        formats = self._response_formats(h)
+        cm = t.log.snapshot().column_mapping
+        if cm and "delta" not in formats:
+            return h._deny(
+                400,
+                "table requires reader feature 'columnMapping' "
+                "(delta.columnMapping.mode=name), which the parquet "
+                "response format cannot represent; request the changes "
+                "with delta-sharing-capabilities: responseformat=delta")
         out = table_changes_actions(
             t.spark, t.log.path,
             starting_version=(int(params["startingVersion"])
@@ -412,7 +425,7 @@ class SharingServer:
             include_historical_metadata=(
                 params.get("includeHistoricalMetadata", "false") == "true"),
         )
-        payload, extra = self._ndjson_payload(out["actions"],
-                                              self._delta_format(h))
+        delta = "delta" in formats and (cm or "parquet" not in formats)
+        payload, extra = self._ndjson_payload(out["actions"], delta)
         h._respond(payload, NDJSON, version=out["version"],
                    extra_headers=extra)

@@ -137,6 +137,32 @@ class TestCDFSchemaEvolution:
                 if r["_change_type"] == "insert"}
         assert tags == {1: None, 2: None, 3: None, 4: "new"}
 
+    def test_range_before_later_change_uses_end_schema(self, spark,
+                                                       evolved):
+        """A schema change AFTER the queried range must not affect it:
+        the output schema is the END-of-range snapshot's (delta-kernel
+        TableChangesScanBuilder semantics — compatibility required within
+        [start, end] only)."""
+        from pyspark.sql import types as T
+
+        latest_before = TableLog(spark, evolved).latest_version()
+        log = TableLog(spark, evolved)
+        snap = log.snapshot()
+        narrowed = T.StructType([
+            T.StructField(f.name,
+                          T.IntegerType() if f.name == "points"
+                          else f.dataType,
+                          f.nullable, f.metadata)
+            for f in snap.schema.fields])
+        log.update_metadata(schema=narrowed)  # AFTER the queried range
+        ch = table_changes(spark, evolved, starting_version=0,
+                           ending_version=latest_before)
+        assert dict(ch.dtypes)["points"] == "bigint"  # end-of-range schema
+        got = sorted((r["id"], r["points"], r["_change_type"])
+                     for r in ch.collect())
+        assert (3, 30, "insert") in got and (1, 11,
+                                             "update_postimage") in got
+
     def test_incompatible_narrowing_errors(self, spark, evolved):
         from pyspark.sql import types as T
 

@@ -1307,6 +1307,37 @@ class TestMaintenance:
         # current snapshot unaffected
         assert SharedTable(spark, table_dir).to_df().count() == 30
 
+    def test_vacuum_retention_protects_referenced_dvs(self, spark, events,
+                                                      table_dir):
+        """DV parquets ride inside AddFile descriptors (never add/remove
+        actions) — the retention vacuum must tie their lifetime to the
+        files referencing them, not to their own mtime, or a retained
+        version reads a file without its deletion vector and deleted rows
+        resurrect."""
+        import os
+
+        log = TableLog(spark, table_dir)
+        big = spark.range(2000).selectExpr("id", "id * 2 AS v") \
+            .coalesce(1)
+        log.create(big, name="t",
+                   configuration={"enableDeletionVectors": "true"})
+        log.delete("id < 500")  # > 256 deleted rows -> stored DV parquet
+        dv_files = [a.deletionVector["pathOrInlineDv"]
+                    for a in log.snapshot().files
+                    if a.deletionVector
+                    and a.deletionVector["storageType"] == "u"]
+        assert dv_files
+        log.overwrite(spark.range(5).selectExpr("id", "id * 2 AS v"))
+        # tombstones are recent: the DV (referenced by a retained version)
+        # must survive a windowed vacuum even though its own mtime is "old"
+        for rel in dv_files:
+            os.utime(log.abs_path(rel), (0, 0))
+        reclaimed = log.vacuum(dry_run=True, retention_hours=24.0)
+        assert not set(reclaimed) & set(dv_files)
+        # window elapsed: the DV goes with its tombstoned referencing files
+        reclaimed0 = log.vacuum(dry_run=True, retention_hours=0.0)
+        assert set(dv_files) <= set(reclaimed0)
+
     def test_vacuum_removes_unreferenced_only(self, spark, events, table_dir):
         import os
 

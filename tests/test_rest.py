@@ -300,6 +300,62 @@ class TestHttpProfile:
         assert "schemaString" in dss.get_table_metadata(lurl, spark=spark)
         assert dss.load_as_arrow(lurl, spark=spark).num_rows == 10
 
+    def test_changes_http_column_mapped(self, spark, events,
+                                        tmp_path_factory):
+        """CM table CDF over the wire: parquet-only clients are refused
+        (same reader-feature gate as the query route); the loader requests
+        delta,parquet, gets delta-format change lines, and reconstructs
+        them under the LOGICAL names."""
+        from delta_sharing_spark.catalog import ShareCatalog
+        from delta_sharing_spark.client import load_table_changes_as_spark
+        from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.rest import HttpStatusError
+        from delta_sharing_spark.server import SharingServer
+
+        base = tmp_path_factory.mktemp("cmcdf")
+        d = str(base / "t")
+        log = TableLog(spark, d)
+        log.create(events.select("event_id", "value").limit(20), name="t",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.enable_column_mapping()
+        log.rename_column("value", "score")
+        log.delete("score < 3")
+        cat = ShareCatalog(spark)
+        cat.add_table("s", "d", "t", d, cdf_enabled=True)
+        srv = SharingServer(cat, bearer_token="tok")
+        url = srv.serve_background()
+        prof = str(base / "p.json")
+        with open(prof, "w") as f:
+            json.dump({"shareCredentialsVersion": 1, "endpoint": url,
+                       "bearerToken": "tok"}, f)
+        try:
+            # raw parquet-profile client -> 400 protocol error
+            raw = DataSharingRestClient(url, retry_config=_NoSleep())
+            raw.auth_provider = None
+            import urllib.request
+
+            req = urllib.request.Request(
+                f"{url}/shares/s/schemas/d/tables/t/changes"
+                f"?startingVersion=0")
+            req.add_header("Authorization", "Bearer tok")
+            with pytest.raises(Exception) as e:
+                urllib.request.urlopen(req)
+            assert "400" in str(e.value)
+            # the loader negotiates delta format and resolves logical names
+            ch = load_table_changes_as_spark(
+                f"{prof}#s.d.t", starting_version=0, spark=spark)
+            assert "score" in ch.columns and "value" not in ch.columns
+            by_type = {r["_change_type"]: r["n"] for r in
+                       ch.groupBy("_change_type").count()
+                       .withColumnRenamed("count", "n").collect()}
+            n_del = events.limit(20).filter("value < 3").count()
+            assert by_type == {"insert": 20, "delete": n_del}
+            # deleted rows carry real (non-null) score values
+            dels = ch.filter("_change_type = 'delete'")
+            assert dels.filter("score IS NULL").count() == 0
+        finally:
+            srv.shutdown()
+
     def test_sharing_client_http_listings(self, spark, http_url):
         from delta_sharing_spark.client import SharingClient
 
