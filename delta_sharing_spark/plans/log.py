@@ -2829,11 +2829,11 @@ class TableLog:
                         # never referenced (failed-write leftover): age by
                         # mtime, like Delta's file-age rule
                         mtime_ms = os.path.getmtime(self.abs_path(rel)) * 1000
-                        if mtime_ms < cutoff_ms:
+                        if mtime_ms <= cutoff_ms:
                             removable.append(rel)
-                    elif ev[0] == "remove" and ev[1] < cutoff_ms:
+                    elif ev[0] == "remove" and ev[1] <= cutoff_ms:
                         removable.append(rel)
-                    elif ev[0] == "cdc" and ev[1] < cutoff_ms:
+                    elif ev[0] == "cdc" and ev[1] <= cutoff_ms:
                         removable.append(rel)
         if not dry_run:
             for rel in removable:
