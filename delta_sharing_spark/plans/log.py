@@ -1270,6 +1270,48 @@ class TableLog:
             snap.metadata.configuration, "RENAME COLUMN",
             {"from": old, "to": new})
 
+    def add_column(self, name: str, dtype: T.DataType | str,
+                   nullable: bool = True,
+                   comment: str | None = None) -> int:
+        """ALTER TABLE ADD COLUMN — metadata-only on any table (existing
+        files simply lack the column and read as nulls, Delta's additive
+        schema evolution). Under column mapping the new field is stamped
+        with a fresh physical name and column id and ``maxColumnId``
+        bumps, exactly like Delta's mapping-aware ADD COLUMN. New columns
+        must be nullable (existing rows have no value for them)."""
+        if not nullable:
+            raise ValueError(
+                "new columns must be nullable: existing rows have no "
+                "value for them (Delta's ADD COLUMN rule)")
+        if isinstance(dtype, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            dtype = _parse_datatype_string(dtype)
+        snap = self.snapshot()
+        names = [f.name for f in snap.schema.fields]
+        if any(name.lower() == n.lower() for n in names):
+            raise ValueError(f"column already exists: {name!r}")
+        if name.lower() in self._RESERVED_COLUMN_NAMES \
+                or name.lower().startswith("__"):
+            raise ValueError(f"reserved column name: {name!r}")
+        md: dict = {}
+        if comment is not None:
+            md["comment"] = comment
+        config = dict(snap.metadata.configuration)
+        if snap.column_mapping:
+            next_id = int(config.get(CM_MAX_ID_KEY, "0")) + 1
+            # a FRESH physical name: the logical name may later be
+            # renamed/reused, the bytes key never changes
+            md[CM_PHYSICAL_KEY] = f"col-{uuid.uuid4().hex[:12]}"
+            md[CM_ID_KEY] = next_id
+            config[CM_MAX_ID_KEY] = str(next_id)
+        fields = list(snap.schema.fields) + [
+            T.StructField(name, dtype, True, md or None)]
+        return self._metadata_commit(
+            snap, T.StructType(fields).json(),
+            snap.metadata.partitionColumns, config, "ADD COLUMNS",
+            {"column": name, "type": dtype.simpleString()})
+
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN — metadata-only under column mapping:
         the data stays in the files and is simply no longer read (Delta's

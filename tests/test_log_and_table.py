@@ -1914,6 +1914,48 @@ class TestCheckConstraints:
         assert log.latest_version() == v
 
 
+class TestAddColumn:
+    def test_add_column_plain_table(self, spark, tmp_path):
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.createDataFrame([(1, "a")], "id long, s string"),
+                   name="t")
+        log.add_column("score", "double")
+        log.append(spark.createDataFrame([(2, "b", 1.5)],
+                                         "id long, s string, score double"))
+        got = {r["id"]: r["score"] for r in
+               SharedTable(spark, d).to_df().collect()}
+        assert got == {1: None, 2: 1.5}  # old rows null-fill
+        with pytest.raises(ValueError, match="already exists"):
+            log.add_column("SCORE", "int")
+        with pytest.raises(ValueError, match="nullable"):
+            log.add_column("req", "int", nullable=False)
+
+    def test_add_column_with_mapping_stamps_physical_and_id(self, spark,
+                                                            tmp_path):
+        from delta_sharing_spark.plans.log import (
+            CM_ID_KEY, CM_MAX_ID_KEY, CM_PHYSICAL_KEY)
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.createDataFrame([(1, 2)], "a long, b long"),
+                   name="t")
+        log.enable_column_mapping()
+        log.add_column("c", "string")
+        snap = log.snapshot()
+        f = snap.schema["c"]
+        phys = f.metadata[CM_PHYSICAL_KEY]
+        assert phys.startswith("col-") and f.metadata[CM_ID_KEY] == 3
+        assert snap.metadata.configuration[CM_MAX_ID_KEY] == "3"
+        # the logical name can immediately be renamed; bytes key stable
+        log.rename_column("c", "c2")
+        log.append(spark.createDataFrame([(3, 4, "x")],
+                                         "a long, b long, c2 string"))
+        rows = {r["a"]: r["c2"] for r in
+                SharedTable(spark, d).to_df().collect()}
+        assert rows == {1: None, 3: "x"}
+
+
 class TestColumnDDLGuards:
     def test_case_only_rename_allowed(self, spark, tmp_path):
         d = str(tmp_path / "t")
