@@ -94,6 +94,35 @@ class SharedTable:
             "size": sum(f.size for f in snap.files),
         }
 
+    def history(self, limit: int | None = None) -> DataFrame:
+        """DESCRIBE HISTORY as a DataFrame (newest first): version,
+        timestamp, operation, operationParameters, operationMetrics —
+        the commitInfo surface the reference's history manager exposes
+        (DeltaSharingHistoryManager commit enumeration)."""
+        from pyspark.sql import types as T
+
+        rows = []
+        for c in reversed(self.log.commits()):
+            info = c.info
+            rows.append((
+                c.version, c.timestamp,
+                info.operation if info else None,
+                dict(info.operationParameters) if info else {},
+                dict(info.operationMetrics) if info else {},
+            ))
+            if limit is not None and len(rows) >= limit:
+                break
+        schema = T.StructType([
+            T.StructField("version", T.LongType()),
+            T.StructField("timestamp", T.LongType()),
+            T.StructField("operation", T.StringType()),
+            T.StructField("operationParameters",
+                          T.MapType(T.StringType(), T.StringType())),
+            T.StructField("operationMetrics",
+                          T.MapType(T.StringType(), T.StringType())),
+        ])
+        return self.spark.createDataFrame(rows, schema)
+
     # ---------------------------------------------------------------- pruning
 
     def pruned_files(

@@ -1914,6 +1914,22 @@ class TestCheckConstraints:
         assert log.latest_version() == v
 
 
+class TestHistory:
+    def test_history_newest_first_with_limit(self, spark, events,
+                                             table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(events.limit(10), name="t")
+        log.append(events.limit(5))
+        log.delete("event_id < 2")
+        t = SharedTable(spark, table_dir)
+        h = t.history().collect()
+        assert [r["version"] for r in h] == [2, 1, 0]
+        assert [r["operation"] for r in h] == ["DELETE", "WRITE",
+                                               "CREATE TABLE"]
+        assert h[1]["operationMetrics"]["numFiles"] == "1"
+        assert [r["version"] for r in t.history(limit=2).collect()] == [2, 1]
+
+
 class TestAddColumn:
     def test_add_column_plain_table(self, spark, tmp_path):
         d = str(tmp_path / "t")
