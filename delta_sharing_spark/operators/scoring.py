@@ -82,3 +82,106 @@ def pseudo_weights(df: DataFrame, text_col: str,
         (h % F.lit(2 * WEIGHT_UNIT + 1) - F.lit(WEIGHT_UNIT))
         .alias("weight_u"),
     )
+
+
+# ----------------------------------------------------- n-gram LM filtering
+#
+# CCNet-style language-model quality filtering (Wenzek et al. 2019):
+# score each document by how likely its token sequence is under a model
+# trained on a trusted reference corpus; keep/bucket by score. The
+# reference pipeline uses KenLM perplexity; the SHAPE here is identical —
+# train = one count aggregation over the reference, inference = an
+# equi-join of the doc's n-grams against the model table + one per-doc
+# aggregation — but the per-bigram quantity is an integer-exact smoothed
+# likelihood ((c(ctx, w) + 1) * UNIT // (c(ctx) + V), add-one smoothing)
+# instead of a float log-prob, so results replay bit-exactly across
+# engines (float ln is not identically rounded across libms). A real
+# KenLM/logprob table drops into the same join unchanged.
+
+
+LM_UNIT = 1_000_000
+
+
+def ngram_lm_train(ref: DataFrame, text_col: str) -> DataFrame:
+    """Bigram model counts from a reference corpus: one aggregation
+    producing (ctx, tok, pair_n, ctx_n, vocab) rows. ``vocab`` (distinct
+    token count, the smoothing denominator) is attached to every row so
+    scoring needs no second input. Sentence starts use the '<s>' context.
+    """
+    toks = ref.select(
+        F.explode(
+            F.expr(f"""
+            transform(
+              sequence(1, size(split({text_col}, ' '))),
+              i -> struct(
+                CASE WHEN i = 1 THEN '<s>'
+                     ELSE element_at(split({text_col}, ' '), i - 1) END
+                  AS ctx,
+                element_at(split({text_col}, ' '), i) AS tok)
+            )
+            """)
+        ).alias("bg")
+    ).select("bg.ctx", "bg.tok")
+    pairs = toks.groupBy("ctx", "tok").agg(F.count("*").alias("pair_n"))
+    ctxs = pairs.groupBy("ctx").agg(F.sum("pair_n").alias("ctx_n"))
+    vocab = pairs.select(F.countDistinct("tok").alias("vocab"))
+    return (pairs.join(ctxs, "ctx")
+            .crossJoin(F.broadcast(vocab)))  # one scalar, broadcast
+
+
+def ngram_lm_score(docs: DataFrame, lm: DataFrame, id_col: str,
+                   text_col: str) -> DataFrame:
+    """Per-document smoothed-likelihood score under the bigram model:
+    ``avg_likelihood_u`` = exact-integer mean of per-bigram
+    ``(pair_n + 1) * LM_UNIT // (ctx_n + vocab)`` (unseen pairs score
+    ``LM_UNIT // (ctx_n + vocab)``; unseen contexts ``LM_UNIT // vocab``).
+    Higher = more reference-like; threshold in integer units.
+
+    Scale shape: docs explode to bigrams (map-side), ONE equi-join on
+    (ctx, tok) against the model (broadcast when the model is small, AQE
+    shuffle join otherwise; unseen-context backoff joins the ctx side the
+    same way), one per-doc aggregation. Python-free."""
+    bg = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"""
+            transform(
+              sequence(1, size(split({text_col}, ' '))),
+              i -> struct(
+                CASE WHEN i = 1 THEN '<s>'
+                     ELSE element_at(split({text_col}, ' '), i - 1) END
+                  AS ctx,
+                element_at(split({text_col}, ' '), i) AS tok)
+            )
+            """)
+        ).alias("bg")
+    ).select(id_col, "bg.ctx", "bg.tok")
+    pair_side = lm.select("ctx", "tok", "pair_n")
+    ctx_side = lm.select("ctx", "ctx_n", "vocab").dropDuplicates(["ctx"])
+    vocab_scalar = lm.select(F.max("vocab").alias("__v"))
+    scored = (
+        bg.join(pair_side, ["ctx", "tok"], "left")
+        .join(ctx_side, "ctx", "left")
+        .crossJoin(F.broadcast(vocab_scalar))
+        .select(
+            F.col(id_col),
+            (
+                (F.coalesce(F.col("pair_n"), F.lit(0)) + 1) * LM_UNIT
+            ).cast("long").alias("__num"),
+            (
+                F.coalesce(F.col("ctx_n"), F.lit(0))
+                + F.coalesce(F.col("vocab"), F.col("__v"))
+            ).cast("long").alias("__den"),
+        )
+        .select(id_col,
+                # explicit FLOOR: double->int casts round in some engines
+                # and truncate in others; floor is identical everywhere
+                F.expr("CAST(FLOOR(__num / __den) AS BIGINT)")
+                .alias("__lk_u"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("__lk_u").alias("sum_likelihood_u"),
+        (F.sum("__lk_u").cast("double") / F.count("*"))
+        .alias("avg_likelihood_u"),
+    )

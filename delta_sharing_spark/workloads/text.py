@@ -779,3 +779,68 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score_u") * 10
         > F.col("n_toks").cast("bigint") * WEIGHT_UNIT,
     )
+
+
+@workload(
+    "q_lm_filter",
+    oracle=f"""
+    WITH ref AS (SELECT text FROM documents WHERE doc_id % 10 < 3),
+    ref_bg AS (
+      SELECT CASE WHEN t.i = 1 THEN '<s>'
+                  ELSE string_split(text, ' ')[t.i - 1] END AS ctx,
+             string_split(text, ' ')[t.i] AS tok
+      FROM ref, LATERAL (
+        SELECT UNNEST(generate_series(1, len(string_split(text, ' '))))
+        AS i) t
+    ),
+    pairs AS (
+      SELECT ctx, tok, COUNT(*) AS pair_n FROM ref_bg GROUP BY 1, 2
+    ),
+    ctxs AS (
+      SELECT ctx, SUM(pair_n) AS ctx_n FROM pairs GROUP BY ctx
+    ),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM pairs),
+    doc_bg AS (
+      SELECT doc_id,
+             CASE WHEN t.i = 1 THEN '<s>'
+                  ELSE string_split(text, ' ')[t.i - 1] END AS ctx,
+             string_split(text, ' ')[t.i] AS tok
+      FROM documents, LATERAL (
+        SELECT UNNEST(generate_series(1, len(string_split(text, ' '))))
+        AS i) t
+      WHERE doc_id % 10 >= 3
+    ),
+    lk AS (
+      SELECT d.doc_id,
+             CAST(FLOOR(
+                  CAST((COALESCE(p.pair_n, 0) + 1) * 1000000 AS BIGINT)
+                  / CAST(COALESCE(c.ctx_n, 0) + v.vocab AS BIGINT))
+                  AS BIGINT) AS lk_u
+      FROM doc_bg d
+      LEFT JOIN pairs p ON p.ctx = d.ctx AND p.tok = d.tok
+      LEFT JOIN ctxs c ON c.ctx = d.ctx
+      CROSS JOIN v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lk_u) AS BIGINT) AS sum_likelihood_u,
+           CAST(SUM(lk_u) AS DOUBLE) / COUNT(*) AS avg_likelihood_u
+    FROM lk GROUP BY doc_id
+    """,
+)
+def q_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shape LM quality filtering: train a bigram model on the
+    trusted slice (doc_id %% 10 < 3) in one aggregation, score the rest
+    via one (ctx, tok) equi-join + per-doc aggregation. The per-bigram
+    quantity is the integer-exact add-one-smoothed likelihood (a float
+    log-prob is not identically rounded across engines); a real KenLM
+    table drops into the same join unchanged. Oracle replays train AND
+    inference end to end."""
+    from delta_sharing_spark.operators.scoring import (
+        ngram_lm_score,
+        ngram_lm_train,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    lm = ngram_lm_train(docs.filter("doc_id % 10 < 3"), "text")
+    return ngram_lm_score(docs.filter("doc_id % 10 >= 3"), lm,
+                          "doc_id", "text")

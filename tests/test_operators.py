@@ -1059,3 +1059,30 @@ class TestLinearScoring:
         again = {r["token"]: r["weight_u"]
                  for r in pseudo_weights(docs, "text").collect()}
         assert rows == again
+
+
+class TestNgramLM:
+    def test_reference_like_docs_score_higher(self, spark):
+        """CCNet-shape LM filter: documents resembling the reference
+        corpus get a higher smoothed likelihood than gibberish; unseen
+        contexts back off to 1/vocab."""
+        from delta_sharing_spark.operators.scoring import (
+            LM_UNIT, ngram_lm_score, ngram_lm_train)
+
+        ref = spark.createDataFrame(
+            [(i, "the cat sat on the mat") for i in range(5)]
+            + [(9, "the dog sat on the rug")],
+            "doc_id long, text string")
+        lm = ngram_lm_train(ref, "text")
+        docs = spark.createDataFrame(
+            [(1, "the cat sat on the mat"),     # in-distribution
+             (2, "zq xv qqq lorem zzz ipsum")],  # gibberish
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               ngram_lm_score(docs, lm, "doc_id", "text").collect()}
+        assert out[1]["avg_likelihood_u"] > out[2]["avg_likelihood_u"]
+        assert out[1]["n_bigrams"] == 6 and out[2]["n_bigrams"] == 6
+        # gibberish: every context unseen -> each bigram floors to
+        # LM_UNIT // vocab at most
+        vocab = lm.select("vocab").first()[0]
+        assert out[2]["sum_likelihood_u"] <= 6 * (LM_UNIT // vocab)
