@@ -53,6 +53,7 @@ HEADLINE = [
     "q_dedup_cut",
     "q_ann_pq_adc",
     "q_ann_ivf_pq",
+    "q_lm_filter",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet
