@@ -102,13 +102,15 @@ def pseudo_weights(df: DataFrame, text_col: str,
 LM_UNIT = 1_000_000
 
 
-def ngram_lm_train(ref: DataFrame, text_col: str) -> DataFrame:
-    """Bigram model counts from a reference corpus: one aggregation
-    producing (ctx, tok, pair_n, ctx_n, vocab) rows. ``vocab`` (distinct
-    token count, the smoothing denominator) is attached to every row so
-    scoring needs no second input. Sentence starts use the '<s>' context.
-    """
-    toks = ref.select(
+def _bigrams(df: DataFrame, text_col: str,
+             id_cols: list[str] | None = None) -> DataFrame:
+    """(…id_cols, ctx, tok) rows: whitespace bigrams with a '<s>'
+    sentence-start context — the ONE tokenization both training and
+    scoring use (a divergence between the two corrupts every
+    likelihood)."""
+    keep = [F.col(c) for c in (id_cols or [])]
+    return df.select(
+        *keep,
         F.explode(
             F.expr(f"""
             transform(
@@ -120,8 +122,17 @@ def ngram_lm_train(ref: DataFrame, text_col: str) -> DataFrame:
                 element_at(split({text_col}, ' '), i) AS tok)
             )
             """)
-        ).alias("bg")
-    ).select("bg.ctx", "bg.tok")
+        ).alias("bg"),
+    ).select(*(id_cols or []), "bg.ctx", "bg.tok")
+
+
+def ngram_lm_train(ref: DataFrame, text_col: str) -> DataFrame:
+    """Bigram model counts from a reference corpus: one aggregation
+    producing (ctx, tok, pair_n, ctx_n, vocab) rows. ``vocab`` (distinct
+    token count, the smoothing denominator) is attached to every row so
+    scoring needs no second input. Sentence starts use the '<s>' context.
+    """
+    toks = _bigrams(ref, text_col)
     pairs = toks.groupBy("ctx", "tok").agg(F.count("*").alias("pair_n"))
     ctxs = pairs.groupBy("ctx").agg(F.sum("pair_n").alias("ctx_n"))
     vocab = pairs.select(F.countDistinct("tok").alias("vocab"))
@@ -140,22 +151,12 @@ def ngram_lm_score(docs: DataFrame, lm: DataFrame, id_col: str,
     Scale shape: docs explode to bigrams (map-side), ONE equi-join on
     (ctx, tok) against the model (broadcast when the model is small, AQE
     shuffle join otherwise; unseen-context backoff joins the ctx side the
-    same way), one per-doc aggregation. Python-free."""
-    bg = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(f"""
-            transform(
-              sequence(1, size(split({text_col}, ' '))),
-              i -> struct(
-                CASE WHEN i = 1 THEN '<s>'
-                     ELSE element_at(split({text_col}, ' '), i - 1) END
-                  AS ctx,
-                element_at(split({text_col}, ' '), i) AS tok)
-            )
-            """)
-        ).alias("bg")
-    ).select(id_col, "bg.ctx", "bg.tok")
+    same way), one per-doc aggregation. Python-free. The model is
+    MATERIALIZED once up front (fit semantics) — the three derived sides
+    (pairs, contexts, vocab) would otherwise each replay the whole
+    reference-corpus training aggregation."""
+    lm = lm.localCheckpoint(eager=True)
+    bg = _bigrams(docs, text_col, id_cols=[id_col])
     pair_side = lm.select("ctx", "tok", "pair_n")
     ctx_side = lm.select("ctx", "ctx_n", "vocab").dropDuplicates(["ctx"])
     vocab_scalar = lm.select(F.max("vocab").alias("__v"))
@@ -174,10 +175,10 @@ def ngram_lm_score(docs: DataFrame, lm: DataFrame, id_col: str,
             ).cast("long").alias("__den"),
         )
         .select(id_col,
-                # explicit FLOOR: double->int casts round in some engines
-                # and truncate in others; floor is identical everywhere
-                F.expr("CAST(FLOOR(__num / __den) AS BIGINT)")
-                .alias("__lk_u"))
+                # TRUE integer division (Spark DIV), not double-divide +
+                # FLOOR: doubles lose exactness past 2^53, which a
+                # web-scale pair count can reach; DuckDB's // replays it
+                F.expr("__num DIV __den").alias("__lk_u"))
     )
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),

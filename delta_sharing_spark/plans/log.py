@@ -1294,6 +1294,16 @@ class TableLog:
         if name.lower() in self._RESERVED_COLUMN_NAMES \
                 or name.lower().startswith("__"):
             raise ValueError(f"reserved column name: {name!r}")
+        # the new LOGICAL name must not collide with any existing column's
+        # PHYSICAL name (same guard as rename_column): the write path's
+        # logical->physical rename map would otherwise produce duplicate
+        # physical columns and every subsequent write fails
+        phys = {(f.metadata or {}).get(CM_PHYSICAL_KEY, f.name).lower()
+                for f in snap.schema.fields}
+        if name.lower() in phys:
+            raise ValueError(
+                f"column name {name!r} collides with another column's "
+                "physical name")
         md: dict = {}
         if comment is not None:
             md["comment"] = comment

@@ -102,7 +102,12 @@ class SharedTable:
         from pyspark.sql import types as T
 
         rows = []
-        for c in reversed(self.log.commits()):
+        # lazy newest-first walk: DESCRIBE HISTORY LIMIT N reads N commit
+        # files, not the whole log (matters at thousands of commits)
+        for v in reversed(self.log._list_versions()):
+            if limit is not None and len(rows) >= limit:
+                break
+            c = self.log.read_commit(v)
             info = c.info
             rows.append((
                 c.version, c.timestamp,
@@ -110,8 +115,6 @@ class SharedTable:
                 dict(info.operationParameters) if info else {},
                 dict(info.operationMetrics) if info else {},
             ))
-            if limit is not None and len(rows) >= limit:
-                break
         schema = T.StructType([
             T.StructField("version", T.LongType()),
             T.StructField("timestamp", T.LongType()),

@@ -812,10 +812,9 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     lk AS (
       SELECT d.doc_id,
-             CAST(FLOOR(
-                  CAST((COALESCE(p.pair_n, 0) + 1) * 1000000 AS BIGINT)
-                  / CAST(COALESCE(c.ctx_n, 0) + v.vocab AS BIGINT))
-                  AS BIGINT) AS lk_u
+             CAST((COALESCE(p.pair_n, 0) + 1) * 1000000 AS BIGINT)
+                  // CAST(COALESCE(c.ctx_n, 0) + v.vocab AS BIGINT)
+                  AS lk_u
       FROM doc_bg d
       LEFT JOIN pairs p ON p.ctx = d.ctx AND p.tok = d.tok
       LEFT JOIN ctxs c ON c.ctx = d.ctx

@@ -1928,6 +1928,7 @@ class TestHistory:
                                                "CREATE TABLE"]
         assert h[1]["operationMetrics"]["numFiles"] == "1"
         assert [r["version"] for r in t.history(limit=2).collect()] == [2, 1]
+        assert t.history(limit=0).count() == 0  # review finding: was 1
 
 
 class TestAddColumn:
@@ -2427,3 +2428,23 @@ class TestColumnMappingGuards:
         want = events.filter("event_id < 80 AND event_type = 'click'") \
             .count()
         assert df.filter("kind = 'click'").count() == want
+
+
+class TestAddColumnPhysicalGuard:
+    def test_add_colliding_with_physical_name_rejected(self, spark,
+                                                       tmp_path):
+        """After rename_column('a','c'), c's PHYSICAL name is still 'a';
+        add_column('a', ...) must be rejected or the logical->physical
+        write map collides and every subsequent write fails (review
+        finding, reproduced live)."""
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.createDataFrame([(1, 2)], "a long, b long"),
+                   name="t")
+        log.enable_column_mapping()
+        log.rename_column("a", "c")
+        with pytest.raises(ValueError, match="physical name"):
+            log.add_column("a", "string")
+        # the table stays writable
+        log.append(spark.createDataFrame([(3, 4)], "c long, b long"))
+        assert SharedTable(spark, d).to_df().count() == 2
