@@ -85,7 +85,8 @@ class OAuthClient:
             })
 
         def once() -> OAuthClientCredentials:
-            with urllib.request.urlopen(req) as resp:
+            with urllib.request.urlopen(
+                    req, timeout=RetryConfig().request_timeout_s) as resp:
                 return self._parse(resp.read().decode())
 
         try:

@@ -321,7 +321,8 @@ def load_table_changes_as_spark(
             ending_version=ending_version,
             starting_timestamp=starting_timestamp,
             ending_timestamp=ending_timestamp,
-            response_formats="delta,parquet")
+            response_formats="delta,parquet",
+            include_historical_metadata=True)
         return _changes_lines_to_spark(spark, lines)
     table = _resolve(spark, url)
     return table_changes(
@@ -358,99 +359,162 @@ def _delta_changes_to_profile_shape(lines: list) -> list:
 
 
 def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
-    """Wire CDF response → DataFrame: one scan per action kind, per-file
-    commit version/timestamp attached by a broadcast path join (the same
-    union-of-scans shape as the reference's RemoteDeltaCDFRelation,
-    client/.../RemoteDeltaCDFRelation.scala:85-140). Accepts both the
-    parquet-profile shape and (via shape conversion) the delta format the
-    server forces for column-mapped tables; physical names resolve back
-    to logical ones like a delta reader."""
+    """Wire CDF response → DataFrame: one explicit-schema scan per (schema
+    epoch, action kind), per-file commit version/timestamp attached by a
+    broadcast path join (union-of-scans shape as the reference's
+    RemoteDeltaCDFRelation, client/.../RemoteDeltaCDFRelation.scala:85-140).
+
+    Schema epochs: a historical ``metaData`` line
+    (``includeHistoricalMetadata``) starts a new epoch — files after it
+    were written under ITS (physical) schema and are read with it
+    explicitly, then converted to the head (end-of-range) logical schema:
+    rename via stable physical names, widening casts, null-fill columns
+    added later, drop columns removed later. Files before the first
+    historical metaData read under the head's physical schema (the wire
+    does not carry the range-start metadata; physical names are immutable
+    and Spark-4 parquet scans widen int→long/float→double, so this is
+    lossless for every read-compatible history). A non-widening change
+    raises — the in-process ``table_changes`` parity. Accepts both the
+    parquet-profile shape and the delta format the server forces for
+    column-mapped tables."""
     import json as _json
 
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    from delta_sharing_spark.streaming.schema import (
+        _datatype_read_compatible,
+        _widenable,
+    )
+
     if any("file" in line and "deltaSingleAction" in line.get("file", {})
            for line in lines):
         lines = _delta_changes_to_profile_shape(lines)
-    schema: T.StructType | None = None
-    cm = False
-    groups: dict[str, list[dict]] = {"add": [], "cdf": [], "remove": []}
+
+    def parse_meta(m: dict) -> tuple[T.StructType, bool]:
+        return (T.StructType.fromJson(_json.loads(m["schemaString"])),
+                (m.get("configuration") or {}).get(
+                    "delta.columnMapping.mode") == "name")
+
+    head: tuple[T.StructType, bool] | None = None
+    # epochs: list of (epoch_schema, cm, {"add": [...], ...})
+    epochs: list[tuple[T.StructType, bool, dict[str, list[dict]]]] = []
     for line in lines:
         if "metaData" in line and "schemaString" in line["metaData"]:
-            if schema is None:  # first metaData = the range-end snapshot's
-                schema = T.StructType.fromJson(
-                    _json.loads(line["metaData"]["schemaString"]))
-                cm = (line["metaData"].get("configuration") or {}).get(
-                    "delta.columnMapping.mode") == "name"
-        for kind in groups:
+            schema_cm = parse_meta(line["metaData"])
+            if head is None:
+                head = schema_cm  # head = the range-end snapshot's
+                epochs.append((*schema_cm, {"add": [], "cdf": [],
+                                            "remove": []}))
+            else:
+                epochs.append((*schema_cm, {"add": [], "cdf": [],
+                                            "remove": []}))
+            continue
+        for kind in ("add", "cdf", "remove"):
             if kind in line:
-                groups[kind].append(line[kind])
-    if schema is None:
+                if not epochs:
+                    raise ValueError(
+                        "changes response lacks a metaData line")
+                epochs[-1][2][kind].append(line[kind])
+    if head is None:
         raise ValueError("changes response lacks a metaData line")
-    # files and partitionValues are keyed by PHYSICAL names under column
-    # mapping; the output carries the logical names
-    phys_of = {
-        f.name: ((f.metadata or {}).get("delta.columnMapping.physicalName",
-                                        f.name) if cm else f.name)
-        for f in schema.fields
-    }
-    type_of_phys = {phys_of[f.name]: f.dataType for f in schema.fields}
+    schema, cm = head
+
+    def phys_name(f: T.StructField, mapped: bool) -> str:
+        return ((f.metadata or {}).get("delta.columnMapping.physicalName",
+                                       f.name) if mapped else f.name)
+
+    def physical(st: T.StructType, mapped: bool) -> T.StructType:
+        return T.StructType([
+            T.StructField(phys_name(f, mapped), f.dataType, True)
+            for f in st.fields])
+
+    target_phys_of = {f.name: phys_name(f, cm) for f in schema.fields}
+    target_type_of_phys = {target_phys_of[f.name]: f.dataType
+                           for f in schema.fields}
     out_fields = schema.fields + [
         T.StructField("_change_type", T.StringType()),
         T.StructField("_commit_version", T.LongType()),
         T.StructField("_commit_timestamp", T.LongType()),
     ]
     parts: list[DataFrame] = []
-    for kind, change_type in (("cdf", None), ("add", "insert"),
-                              ("remove", "delete")):
-        actions = groups[kind]
-        if not actions:
-            continue
-        # typed partition values (absent from the file bytes)
-        pv_union: dict[str, bool] = {}
-        for a in actions:
-            pv_union.update({k: True
-                             for k in (a.get("partitionValues") or {})})
-        meta = spark.createDataFrame(
-            [(a["url"], int(a["version"]), int(a["timestamp"]),
-              *[(a.get("partitionValues") or {}).get(k) or None
-                for k in pv_union])
-             for a in actions],
-            T.StructType(
-                [T.StructField("__path", T.StringType()),
-                 T.StructField("_commit_version", T.LongType()),
-                 T.StructField("_commit_timestamp", T.LongType())]
-                + [T.StructField(f"__pv_{k}", T.StringType())
-                   for k in pv_union]))
-        # __path is captured ONCE at scan time — input_file_name() is
-        # undefined after a join, so all per-file attributes ride a single
-        # broadcast join on it
-        df = (
-            spark.read.parquet(*[a["url"] for a in actions])
-            .withColumn("__path", F.url_decode(F.regexp_replace(
-                F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
-                r"\+", "%2B")))
-            .join(F.broadcast(meta), "__path")
-            .drop("__path")
-        )
-        if change_type is not None:
-            df = df.withColumn("_change_type", F.lit(change_type))
-        for k in pv_union:  # pv keys are physical names
-            df = df.withColumn(
-                k, F.col(f"__pv_{k}").cast(
-                    type_of_phys.get(k, T.StringType()))
-            ).drop(f"__pv_{k}")
-        cols = set(df.columns)
-        parts.append(df.select(
-            *[(F.col(phys_of[f.name]) if phys_of[f.name] in cols
-               else F.lit(None).cast(f.dataType)).alias(f.name)
-              for f in schema.fields],
-            # cdc files carry _change_type in their bytes; add/remove got
-            # the inferred constant above
-            F.col("_change_type").cast("string").alias("_change_type"),
-            F.col("_commit_version"), F.col("_commit_timestamp"),
-        ))
+    for ep_schema, ep_cm, groups in epochs:
+        ep_phys = physical(ep_schema, ep_cm)
+        # non-widening mid-range change is unreadable — reject clearly
+        # (SchemaUtils.scala:37-90 read-compat gate direction)
+        for f in ep_schema.fields:
+            p = phys_name(f, ep_cm)
+            dst = target_type_of_phys.get(p)
+            if dst is None:
+                continue  # column dropped later
+            if not (f.dataType == dst
+                    or _datatype_read_compatible(f.dataType, dst)
+                    or _widenable(f.dataType, dst)):
+                raise ValueError(
+                    f"incompatible schema change across the changes "
+                    f"range: column '{p}' was "
+                    f"{f.dataType.simpleString()} and is now "
+                    f"{dst.simpleString()}; query a narrower range")
+        for kind, change_type in (("cdf", None), ("add", "insert"),
+                                  ("remove", "delete")):
+            actions = groups[kind]
+            if not actions:
+                continue
+            # typed partition values (absent from the file bytes)
+            pv_union: dict[str, bool] = {}
+            for a in actions:
+                pv_union.update({k: True
+                                 for k in (a.get("partitionValues") or {})})
+            meta = spark.createDataFrame(
+                [(a["url"], int(a["version"]), int(a["timestamp"]),
+                  *[(a.get("partitionValues") or {}).get(k) or None
+                    for k in pv_union])
+                 for a in actions],
+                T.StructType(
+                    [T.StructField("__path", T.StringType()),
+                     T.StructField("_commit_version", T.LongType()),
+                     T.StructField("_commit_timestamp", T.LongType())]
+                    + [T.StructField(f"__pv_{k}", T.StringType())
+                       for k in pv_union]))
+            read_schema = ep_phys
+            if kind == "cdf":
+                # cdc files physically carry their own _change_type
+                read_schema = T.StructType(
+                    list(ep_phys.fields)
+                    + [T.StructField("_change_type", T.StringType())])
+            # partition columns never live in the file bytes
+            read_schema = T.StructType(
+                [f for f in read_schema.fields if f.name not in pv_union])
+            # __path is captured ONCE at scan time — input_file_name() is
+            # undefined after a join, so all per-file attributes ride a
+            # single broadcast join on it
+            df = (
+                spark.read.schema(read_schema)
+                .parquet(*[a["url"] for a in actions])
+                .withColumn("__path", F.url_decode(F.regexp_replace(
+                    F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
+                    r"\+", "%2B")))
+                .join(F.broadcast(meta), "__path")
+                .drop("__path")
+            )
+            if change_type is not None:
+                df = df.withColumn("_change_type", F.lit(change_type))
+            for k in pv_union:  # pv keys are physical names
+                df = df.withColumn(
+                    k, F.col(f"__pv_{k}").cast(
+                        target_type_of_phys.get(k, T.StringType()))
+                ).drop(f"__pv_{k}")
+            cols = set(df.columns)
+            parts.append(df.select(
+                *[(F.col(target_phys_of[f.name]).cast(f.dataType)
+                   if target_phys_of[f.name] in cols
+                   else F.lit(None).cast(f.dataType)).alias(f.name)
+                  for f in schema.fields],
+                # cdc files carry _change_type in their bytes; add/remove
+                # got the inferred constant above
+                F.col("_change_type").cast("string").alias("_change_type"),
+                F.col("_commit_version"), F.col("_commit_timestamp"),
+            ))
     if not parts:
         return spark.createDataFrame([], T.StructType(out_fields))
     out = parts[0]

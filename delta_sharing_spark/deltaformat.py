@@ -35,10 +35,15 @@ def actions_to_delta_format(lines: list[dict[str, Any]]) -> list[dict[str, Any]]
     for line in lines:
         if "protocol" in line:
             p = line["protocol"]
-            out.append({"protocol": {"deltaProtocol": {
+            wrapper = {"deltaProtocol": {
                 "minReaderVersion": p.get("minReaderVersion", 1),
                 "minWriterVersion": p.get("minWriterVersion", 2),
-            }}})
+            }}
+            if p.get("version") is not None:
+                # historical protocol actions in version-range responses
+                # carry their commit version (PROTOCOL.md:2152)
+                wrapper["version"] = p["version"]
+            out.append({"protocol": wrapper})
         elif "metaData" in line:
             m = dict(line["metaData"])
             wrapper: dict[str, Any] = {}

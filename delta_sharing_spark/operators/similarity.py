@@ -24,6 +24,34 @@ from pyspark.sql import functions as F
 from delta_sharing_spark.functions.vectors import cosine
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Exact two-phase top-k over (query_id, neighbor_id, cos) rows.
+
+    Phase 1 keeps the per-(query, input-partition) top-k — a window
+    partitioned by (query_id, spark_partition_id()), so each reducer sees
+    ~N/P candidate rows instead of a whole query's N (the single-reducer-
+    per-query funnel the one-window form has: 8 queries over a 10⁹-row
+    corpus = 8 tasks × 10⁹ rows each). Phase 2 merges the ≤ k·P survivors
+    per query — tiny. Exact: every global top-k row is its partition's
+    top-k; deterministic: final rank orders by (cos desc, neighbor_id asc)
+    regardless of partitioning."""
+    part_w = Window.partitionBy("query_id", "_pid").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    merge_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pr", F.row_number().over(part_w))
+        .filter(F.col("_pr") <= k)
+        .drop("_pr", "_pid")
+        .withColumn("rank", F.row_number().over(merge_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def brute_force_topk(queries: DataFrame, candidates: DataFrame,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      k: int = 5) -> DataFrame:
@@ -39,14 +67,7 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame,
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine("q_vec", "c_vec"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _topk_per_query(scored, k)
 
 
 def ivf_centroids(candidates: DataFrame, cell_col: str,
@@ -118,8 +139,11 @@ def kmeans_fit(candidates: DataFrame, k: int = 8, iters: int = 2,
     members drop out (standard Lloyd behavior, replayed identically by the
     SQL oracle)."""
     # bounded window: it runs over the k-row TakeOrdered result (k ≤ a few
-    # hundred centroids), never the candidate corpus — not a global sort
-    init_w = Window.orderBy(id_col)
+    # hundred centroids), never the candidate corpus — not a global sort.
+    # partitionBy(lit(0)) declares the (single, k-row) partition explicitly
+    # so the bench tail stays free of "No Partition Defined" warnings and a
+    # REAL unpartitioned-window regression elsewhere stays visible.
+    init_w = Window.partitionBy(F.lit(0)).orderBy(id_col)
     cents = (
         candidates.orderBy(id_col).limit(k)
         .withColumn("cell", F.row_number().over(init_w) - 1)
@@ -183,12 +207,7 @@ def ivf_search(queries: DataFrame, candidates: DataFrame, cents: DataFrame,
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine("q_vec", "c_vec"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
-    )
+    return _topk_per_query(scored, k)
 
 
 def near_dup_pairs(df: DataFrame, id_col: str = "vec_id",

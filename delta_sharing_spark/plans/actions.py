@@ -20,12 +20,16 @@ PROTOCOL_READER_VERSION = 1
 
 @dataclass
 class Protocol:
-    """Reader-version gate (PROTOCOL.md:3549-3568)."""
+    """Reader-version gate (PROTOCOL.md:3549-3568). ``minWriterVersion``
+    appears on protocol-upgrade commit actions written by delta writers;
+    kept optional so replaying such logs round-trips."""
 
     minReaderVersion: int = PROTOCOL_READER_VERSION
+    minWriterVersion: int | None = None
 
     def wrap(self) -> dict[str, Any]:
-        return {"protocol": asdict(self)}
+        return {"protocol": {k: v for k, v in asdict(self).items()
+                             if v is not None}}
 
 
 @dataclass

@@ -36,7 +36,7 @@ import shutil
 import time
 import urllib.parse
 import uuid
-from dataclasses import dataclass
+from dataclasses import asdict, dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -301,6 +301,9 @@ class Commit:
     removes: list[RemoveFile]
     cdc: list[AddCDCFile]
     info: CommitInfo | None
+    # in-commit protocol upgrade action (written by delta writers on
+    # reader/writer feature enables); None for ordinary commits
+    protocol: "dict | None" = None
 
 
 def is_noop_merge(info: CommitInfo | None) -> bool:
@@ -467,6 +470,7 @@ class TableLog:
         if not os.path.isfile(fp):
             raise VersionNotFoundError(f"version {version} not in {self.log_path}")
         metadata, adds, removes, cdc, info = None, [], [], [], None
+        protocol = None
         with open(fp) as f:
             for line in f:
                 line = line.strip()
@@ -483,13 +487,20 @@ class TableLog:
                     cdc.append(action)
                 elif isinstance(action, CommitInfo):
                     info = action
+                elif isinstance(action, Protocol) and version > 0:
+                    # a protocol action in a later commit is an upgrade
+                    # (v0's is just the create); surfaced so the range
+                    # query can inline it (PROTOCOL.md:2152)
+                    protocol = {k: v for k, v in asdict(action).items()
+                                if v is not None}
         # ICT: the in-payload timestamp is authoritative when present
         # (Delta inCommitTimestamp semantics — mtime/clock-skew-free)
         ts = 0
         if info:
             ts = (info.inCommitTimestamp
                   if info.inCommitTimestamp is not None else info.timestamp)
-        return Commit(version, ts, metadata, adds, removes, cdc, info)
+        return Commit(version, ts, metadata, adds, removes, cdc, info,
+                      protocol)
 
     def commits(self, start: int = 0, end: int | None = None) -> list[Commit]:
         versions = self._list_versions()

@@ -78,7 +78,9 @@ class DataSharingRestClient:
             req = urllib.request.Request(url, data=data, method=method,
                                          headers=hdrs)
             try:
-                with urllib.request.urlopen(req) as resp:
+                with urllib.request.urlopen(
+                        req, timeout=self.retry_config.request_timeout_s
+                ) as resp:
                     return (resp.status,
                             {k.lower(): v for k, v in resp.headers.items()},
                             resp.read().decode())
@@ -171,6 +173,9 @@ class DataSharingRestClient:
         max_files: int | None = None,
         page_token: str | None = None,
         response_formats: str | None = None,
+        starting_version: int | None = None,
+        ending_version: int | None = None,
+        include_historical_protocol: bool = False,
     ) -> tuple[dict[str, str], list[dict]]:
         body: dict[str, Any] = {}
         if predicate_hints is not None:
@@ -187,6 +192,15 @@ class DataSharingRestClient:
             body["maxFiles"] = max_files
         if page_token is not None:
             body["pageToken"] = page_token
+        if starting_version is not None:
+            # version-range form (data-change files since startingVersion;
+            # ref DeltaSharingClient.scala:548-569 getFiles(startingVersion,
+            # endingVersion))
+            body["startingVersion"] = starting_version
+        if ending_version is not None:
+            body["endingVersion"] = ending_version
+        if include_historical_protocol:
+            body["includeHistoricalProtocol"] = True
         headers = {}
         if response_formats:
             headers["delta-sharing-capabilities"] = \
@@ -203,12 +217,15 @@ class DataSharingRestClient:
         starting_timestamp: str | None = None,
         ending_timestamp: str | None = None,
         response_formats: str | None = None,
+        include_historical_metadata: bool = False,
     ) -> list[dict]:
         params = []
         if starting_version is not None:
             params.append(f"startingVersion={starting_version}")
         if ending_version is not None:
             params.append(f"endingVersion={ending_version}")
+        if include_historical_metadata:
+            params.append("includeHistoricalMetadata=true")
         if starting_timestamp is not None:
             params.append("startingTimestamp="
                           + urllib.parse.quote(starting_timestamp))

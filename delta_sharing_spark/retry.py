@@ -24,11 +24,16 @@ class HttpStatusError(Exception):
 @dataclass(frozen=True)
 class RetryConfig:
     """Defaults follow the python connector (rest_client.py: 100 ms initial
-    sleep) and the scala client's 10-minute total-duration cap."""
+    sleep) and the scala client's 10-minute total-duration cap.
+    ``request_timeout_s`` bounds a single connect/read (the reference
+    clients set both; NetworkConfig timeoutInSeconds default 320) — without
+    it a black-holed server blocks forever, since the retry loop only
+    measures time BETWEEN completed attempts."""
 
     num_retries: int = 3
     initial_sleep_ms: int = 100
     max_duration_ms: int = 600_000  # <= 10 min total, like the reference
+    request_timeout_s: float = 320.0  # ref NetworkConfig default
 
     def sleeper(self, ms: int) -> None:  # overridable in tests
         time.sleep(ms / 1000.0)
@@ -36,7 +41,13 @@ class RetryConfig:
 
 def should_retry(exc: Exception) -> bool:
     """RetryUtils.shouldRetry (RetryUtils.scala:68-104): 429 yes, 5xx yes,
-    other statuses no; transient connection errors yes."""
+    other statuses no; transient connection errors yes. Permanent
+    connection-level failures (bad certificate, NXDOMAIN) surface
+    immediately — only genuinely transient classes earn the backoff cycle,
+    like the reference's explicit transient-exception list."""
+    import socket
+    import ssl
+
     if isinstance(exc, HttpStatusError):
         return exc.status_code == 429 or 500 <= exc.status_code < 600
     if isinstance(exc, urllib.error.HTTPError):
@@ -44,7 +55,15 @@ def should_retry(exc: Exception) -> bool:
     if isinstance(exc, (ConnectionResetError, TimeoutError)):
         return True
     if isinstance(exc, urllib.error.URLError):
-        return True  # connection-level failure (refused, reset, DNS)
+        reason = exc.reason
+        if isinstance(reason, ssl.SSLError):
+            return False  # bad certificate / TLS mismatch: permanent
+        if isinstance(reason, socket.gaierror):
+            # DNS: EAI_AGAIN is the transient resolver failure; NXDOMAIN
+            # (EAI_NONAME) and friends are permanent
+            return reason.errno == socket.EAI_AGAIN
+        return isinstance(reason, (ConnectionError, TimeoutError,
+                                   socket.timeout, OSError))
     return False
 
 

@@ -336,6 +336,35 @@ class SharingServer:
 
     def table_query(self, h, share, schema, table, params, body) -> None:
         t = self._table(share, schema, table)
+        # request validation with reference error-text parity
+        # (DeltaSharingService.scala:463-498)
+        n_version_params = sum(
+            body.get(k) is not None
+            for k in ("version", "timestamp", "startingVersion"))
+        if n_version_params > 1:
+            return h._deny(400, "Please only provide one of: "
+                                "version,timestamp,startingVersion")
+        if body.get("version") is not None and body["version"] < 0:
+            return h._deny(400, "table version cannot be negative.")
+        if body.get("startingVersion") is not None \
+                and body["startingVersion"] < 0:
+            return h._deny(400, "startingVersion cannot be negative.")
+        if body.get("maxFiles") is not None and body["maxFiles"] <= 0:
+            return h._deny(400, "maxFiles must be positive.")
+        if n_version_params > 0 and body.get("includeRefreshToken"):
+            return h._deny(400, "includeRefreshToken cannot be used when "
+                                "querying a specific version.")
+        if body.get("pageToken") is not None \
+                and body.get("includeRefreshToken"):
+            return h._deny(400, "includeRefreshToken must be used in the "
+                                "first page request.")
+        if n_version_params > 0 and body.get("refreshToken") is not None:
+            return h._deny(400, "refreshToken cannot be used when querying "
+                                "a specific version.")
+        if body.get("pageToken") is not None \
+                and body.get("refreshToken") is not None:
+            return h._deny(400, "refreshToken must be used in the first "
+                                "page request.")
         kwargs = dict(
             version=body.get("version"),
             timestamp=body.get("timestamp"),
@@ -347,6 +376,10 @@ class SharingServer:
             include_refresh_token=bool(body.get("includeRefreshToken")),
             refresh_token=body.get("refreshToken"),
             response_formats=sorted(self._response_formats(h)),
+            starting_version=body.get("startingVersion"),
+            ending_version=body.get("endingVersion"),
+            include_historical_protocol=bool(
+                body.get("includeHistoricalProtocol")),
         )
         caps = (h.headers.get("delta-sharing-capabilities") or "") \
             .replace(" ", "").lower()
@@ -389,8 +422,11 @@ class SharingServer:
         out = q.result
         if body.get("maxFiles") is not None or body.get("pageToken"):
             kwargs = dict(q.kwargs)
-            kwargs["version"] = out["version"]  # pin the completed snapshot
-            kwargs["timestamp"] = None
+            if kwargs.get("starting_version") is None:
+                # pin the completed snapshot; range queries instead pin
+                # their end via the page token
+                kwargs["version"] = out["version"]
+                kwargs["timestamp"] = None
             kwargs["max_files"] = body.get("maxFiles")
             kwargs["page_token"] = body.get("pageToken")
             out = q.table.query_actions(**kwargs)

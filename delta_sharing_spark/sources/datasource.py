@@ -204,10 +204,22 @@ class SharedTableBatchReader(DataSourceReader):
         # the log and prune with the sessionless three-valued evaluator, the
         # same in-process shape as the reference server's AddFile filtering
         # (PartitionFilterUtils.scala / JsonPredicateEvaluatorV2.scala).
-        from delta_sharing_spark.plans.log import TableLog
+        # Remote profiles plan from the QueryTable RPC's manifest instead;
+        # wire files carry partitionValues + stats, so the same pruning
+        # evaluator applies (server-side best-effort + client exact).
         from delta_sharing_spark.plans.predicates import keep_file
+        from delta_sharing_spark.sources.remote import (
+            RemoteTableLog,
+            resolve_source_path,
+        )
 
-        log = TableLog(None, self.path)
+        mode, target = resolve_source_path(self.path)
+        if mode == "remote":
+            log = RemoteTableLog(*target)
+        else:
+            from delta_sharing_spark.plans.log import TableLog
+
+            log = TableLog(None, target)
         snap = log.snapshot(version=self.version, timestamp=self.timestamp)
         hints = _filters_to_json_predicate(self._pushed, snap)
         if hints is not None and snap.logical_to_physical:
@@ -248,30 +260,66 @@ class SharedTableCDFBatchReader(DataSourceReader):
 
     def partitions(self):
         from delta_sharing_spark.cdf import CDFError, _resolve_range
-        from delta_sharing_spark.plans.log import TableLog, is_noop_merge
-
-        log = TableLog(None, self.path)
-        snap = log.snapshot()
-        if not snap.metadata.cdf_enabled:
-            raise CDFError(
-                "change data feed is not enabled on this table "
-                "(configuration enableChangeDataFeed != true)")
-        o = self.options
-        start, end = _resolve_range(
-            log,
-            int(o["startingversion"]) if o.get("startingversion") else None,
-            int(o["endingversion"]) if o.get("endingversion") else None,
-            o.get("startingtimestamp"),
-            o.get("endingtimestamp"),
+        from delta_sharing_spark.sources.remote import resolve_source_path
+        from delta_sharing_spark.streaming.schema import (
+            SchemaCompatError,
+            check_read_compatible_physical,
         )
+
+        o = self.options
+        if str(o.get("startingversion", "")).lower() == "latest":
+            # the documented startingVersion=latest spelling is a
+            # STREAMING-only contract (serve changes after the stream
+            # starts); a batch read has no "after" to wait for
+            raise CDFError(
+                "startingVersion=latest is only supported for streaming "
+                "reads; batch readChangeFeed needs a concrete "
+                "startingVersion/startingTimestamp")
         data_fields = [f for f in self._schema.fields
                        if f.name not in ("_change_type", "_commit_version",
                                          "_commit_timestamp")]
-        schema_json = json.dumps(T.StructType(data_fields).jsonValue())
+        planned = T.StructType(data_fields)
+        schema_json = json.dumps(planned.jsonValue())
+        mode, target = resolve_source_path(self.path)
+        if mode == "remote":
+            commits = self._remote_commits(target, o)
+            abs_path = (lambda p: p)
+        else:
+            from delta_sharing_spark.plans.log import TableLog, is_noop_merge
+
+            log = TableLog(None, target)
+            snap = log.snapshot()
+            if not snap.metadata.cdf_enabled:
+                raise CDFError(
+                    "change data feed is not enabled on this table "
+                    "(configuration enableChangeDataFeed != true)")
+            start, end = _resolve_range(
+                log,
+                int(o["startingversion"])
+                if o.get("startingversion") else None,
+                int(o["endingversion"]) if o.get("endingversion") else None,
+                o.get("startingtimestamp"),
+                o.get("endingtimestamp"),
+            )
+            commits = [c for c in log.commits(start, end)
+                       if not is_noop_merge(c.info)]
+            abs_path = log.abs_path
         parts: list[_FilePartition] = []
-        for commit in log.commits(start, end):
-            if is_noop_merge(commit.info):
-                continue
+        for commit in commits:
+            if commit.metadata is not None:
+                # read-compat gate across in-range metadata commits: the
+                # worker projection resolves by physical name and casts, so
+                # rename/widen read losslessly — but a narrowing change
+                # must surface as a clear CDFError here, not a per-batch
+                # Arrow cast error (in-process table_changes parity)
+                try:
+                    check_read_compatible_physical(
+                        planned,
+                        T.StructType.fromJson(
+                            json.loads(commit.metadata.schemaString)),
+                        version=commit.version)
+                except SchemaCompatError as exc:
+                    raise CDFError(str(exc)) from exc
             if commit.cdc:
                 entries = [(c, None) for c in
                            sorted(commit.cdc, key=lambda c: c.path)]
@@ -286,13 +334,41 @@ class SharedTableCDFBatchReader(DataSourceReader):
                            key=lambda x: x.path)
                 ]
             parts += [
-                _FilePartition(log.abs_path(f.path), f.partitionValues,
+                _FilePartition(abs_path(f.path), f.partitionValues,
                                schema_json, change_type=ct,
                                commit_version=commit.version,
                                commit_timestamp=commit.timestamp)
                 for f, ct in entries
             ]
         return parts
+
+    @staticmethod
+    def _remote_commits(target, o):
+        """Batch CDF over an http profile: one changes RPC (the server
+        resolves/validates the range, applies no-op-MERGE skipping) with
+        historical metadata for the compat gate."""
+        from delta_sharing_spark.client import (
+            DeltaSharingProfile,
+            _rest_client,
+        )
+        from delta_sharing_spark.sources.remote import (
+            _commits_from_change_lines,
+        )
+
+        profile_path, share, schema, table = target
+        profile = DeltaSharingProfile.read_from_file(profile_path)
+        profile.check_not_expired()
+        lines = _rest_client(profile).list_table_changes(
+            share, schema, table,
+            starting_version=(int(o["startingversion"])
+                              if o.get("startingversion") else None),
+            ending_version=(int(o["endingversion"])
+                            if o.get("endingversion") else None),
+            starting_timestamp=o.get("startingtimestamp"),
+            ending_timestamp=o.get("endingtimestamp"),
+            response_formats="delta,parquet",
+            include_historical_metadata=True)
+        return _commits_from_change_lines(lines)
 
     def read(self, partition: _FilePartition) -> Iterator:
         return _read_file_batches(partition)
@@ -478,11 +554,29 @@ class SharedTableStreamReader(DataSourceStreamReader):
 
     def _log(self):
         # one TableLog per reader: its commit/snapshot caches make repeated
-        # latestOffset() polling cost O(new commits), not O(all commits)
+        # latestOffset() polling cost O(new commits), not O(all commits).
+        # A profile#share.schema.table path with an http endpoint plans
+        # through the RPC-backed RemoteTableLog instead (the reference's
+        # remote streaming source, DeltaSharingSource.scala:93-1208) —
+        # same offsets/admission/gates, manifests fetched in
+        # maxVersionsPerRpc windows.
         if getattr(self, "_log_inst", None) is None:
-            from delta_sharing_spark.plans.log import TableLog
+            from delta_sharing_spark.sources.remote import (
+                RemoteTableLog,
+                resolve_source_path,
+            )
 
-            self._log_inst = TableLog(None, self.path)
+            mode, target = resolve_source_path(self.path)
+            if mode == "remote":
+                self._log_inst = RemoteTableLog(
+                    *target,
+                    max_versions_per_rpc=int(
+                        self.options.get("maxversionsperrpc", "100")),
+                    read_change_feed=self.read_change_feed)
+            else:
+                from delta_sharing_spark.plans.log import TableLog
+
+                self._log_inst = TableLog(None, target)
         return self._log_inst
 
     def _file_sequence(self, from_version: int) -> list[tuple]:
@@ -782,8 +876,12 @@ def _normalize_options(options: dict) -> dict:
     """Reference option-name aliases (DeltaSharingOptions.scala):
     ``versionAsOf``/``timestampAsOf`` are the batch time-travel spellings
     and ``readChangeData`` aliases ``readChangeFeed``. Spark lowercases
-    option keys before they reach the data source."""
+    option keys before they reach the data source. ``path`` accepts either
+    a table directory or a ``profile#share.schema.table`` url (the
+    reference's load path, DeltaSharingDataSource.scala:91-108)."""
     o = dict(options)
+    if o.get("url") and not o.get("path"):
+        o["path"] = o["url"]
     if o.get("versionasof") and not o.get("version"):
         o["version"] = o["versionasof"]
     if o.get("timestampasof") and not o.get("timestamp"):
@@ -811,14 +909,25 @@ class SharedTableDataSource(DataSource):
         # only metadata lives in a checkpoint parquet), resolved AT THE
         # REQUESTED version/timestamp so time-travel reads plan on the
         # schema their files actually carry — no Spark session needed
+        import json as _json
+
         from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.sources.remote import (
+            remote_schema_json,
+            resolve_source_path,
+        )
 
         version = (int(self.options["version"])
                    if self.options.get("version") else None)
         timestamp = self.options.get("timestamp")
-        snap = TableLog(None, self.options["path"]).snapshot(
-            version=version, timestamp=timestamp)
-        schema = snap.schema
+        mode, target = resolve_source_path(self.options["path"])
+        if mode == "remote":
+            schema_str, _cfg = remote_schema_json(*target)
+            schema = T.StructType.fromJson(_json.loads(schema_str))
+        else:
+            snap = TableLog(None, target).snapshot(
+                version=version, timestamp=timestamp)
+            schema = snap.schema
         if self.options.get("readchangefeed", "false") == "true":
             # CDF virtual columns (PROTOCOL.md:2359-2362)
             schema = T.StructType(

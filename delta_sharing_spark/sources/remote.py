@@ -1,0 +1,443 @@
+"""Remote commit-log view over the Delta Sharing REST protocol.
+
+The reference's streaming source runs against an *http profile*: micro-batch
+planning issues version-windowed QueryTable RPCs with
+``startingVersion``/``endingVersion`` (client DeltaSharingClient.scala:548-569
+``getFiles(startingVersion, endingVersion)``; windowing
+DeltaSharingSource.scala:277-322 with ``maxVersionsPerRpc``,
+DeltaSharingOptions.scala:199) and CDF streaming uses the changes RPC.
+
+:class:`RemoteTableLog` presents those RPCs under the same duck-typed surface
+``SharedTableStreamReader`` already drives against the local ``TableLog``
+(latest_version / commits / snapshot / abs_path / dv_scan_keys), so the one
+micro-batch planner — offsets, admission control, change-commit validation,
+schema gates — works identically in-process and over the wire. Planning cost
+per poll is O(new versions): fetched commits are cached by version and only
+the tail past the high-water mark is re-requested.
+
+Scale note: only the *file manifest* crosses the wire at plan time; data
+files are opened directly by executors (the wire carries their URLs), so the
+driver never touches row data — the same separation the reference keeps
+between DeltaSharingClient (manifests) and the executor-side parquet reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class _WireFile:
+    """A file action reconstructed from the wire (add/remove/cdc line).
+
+    ``path`` is the absolute URL the server vended (executors open it
+    directly); ``id`` is the server-side file id (the add's recorded
+    relative path) — both are candidate keys into a shared deletion-vector
+    parquet."""
+
+    path: str
+    id: str
+    partitionValues: dict[str, str] = field(default_factory=dict)
+    size: int = 0
+    stats: str | None = None
+    dataChange: bool = True
+    deletionVector: dict | None = None
+
+    def stats_dict(self) -> dict:
+        if not self.stats:
+            return {}
+        try:
+            return json.loads(self.stats)
+        except (TypeError, ValueError):
+            return {}
+
+
+@dataclass
+class _WireMetadata:
+    """The subset of metaData the streaming gates consume."""
+
+    schemaString: str
+    partitionColumns: list[str] = field(default_factory=list)
+    configuration: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class _WireCommit:
+    version: int
+    timestamp: int
+    metadata: _WireMetadata | None
+    adds: list[_WireFile]
+    removes: list[_WireFile]
+    cdc: list[_WireFile]
+    info: None = None  # commitInfo never crosses the wire
+    protocol: dict | None = None
+
+
+@dataclass
+class _WireSnapshot:
+    version: int
+    timestamp: int | None
+    metadata: _WireMetadata
+    files: list[_WireFile]
+
+    # --- Snapshot-compatible derived views (plans/log.py:352-398) ---
+
+    @property
+    def schema(self):
+        from pyspark.sql import types as T
+
+        return T.StructType.fromJson(json.loads(self.metadata.schemaString))
+
+    @property
+    def column_mapping(self) -> bool:
+        return self.metadata.configuration.get(
+            "delta.columnMapping.mode", "none") == "name"
+
+    @property
+    def logical_to_physical(self) -> dict[str, str] | None:
+        if not self.column_mapping:
+            return None
+        return {
+            f.name: (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name)
+            for f in self.schema.fields
+        }
+
+    @property
+    def physical_partition_columns(self) -> list[str]:
+        m = self.logical_to_physical
+        pcols = list(self.metadata.partitionColumns)
+        if m is None:
+            return pcols
+        return [m.get(c, c) for c in pcols]
+
+
+def _unwrap_delta_lines(lines: list[dict]) -> list[dict]:
+    """Delta-format response lines → the parquet-profile shape, so one
+    parser handles both (the server forces delta for column-mapped tables;
+    wire shape PROTOCOL.md:4014-4137)."""
+    out: list[dict] = []
+    for line in lines:
+        if "metaData" in line and "deltaMetadata" in line["metaData"]:
+            m = dict(line["metaData"]["deltaMetadata"])
+            if line["metaData"].get("version") is not None:
+                m["version"] = line["metaData"]["version"]
+            out.append({"metaData": m})
+        elif "protocol" in line and "deltaProtocol" in line["protocol"]:
+            p = dict(line["protocol"]["deltaProtocol"])
+            if line["protocol"].get("version") is not None:
+                p["version"] = line["protocol"]["version"]
+            out.append({"protocol": p})
+        elif "file" in line and "deltaSingleAction" in line["file"]:
+            w = line["file"]
+            kind = next(iter(w["deltaSingleAction"]))
+            a = w["deltaSingleAction"][kind]
+            key = {"add": "add", "remove": "remove", "cdc": "cdf"}[kind]
+            entry = {
+                "url": a["path"], "id": w.get("id", a["path"]),
+                "partitionValues": a.get("partitionValues", {}),
+                "size": a.get("size", 0), "stats": a.get("stats"),
+                "version": w.get("version"), "timestamp": w.get("timestamp"),
+            }
+            if a.get("deletionVector") is not None:
+                entry["deletionVector"] = a["deletionVector"]
+            out.append({key: entry})
+        else:
+            out.append(line)
+    return out
+
+
+def _parse_file(action: dict) -> _WireFile:
+    return _WireFile(
+        path=action["url"],
+        id=action.get("id", action["url"]),
+        partitionValues=action.get("partitionValues") or {},
+        size=action.get("size") or 0,
+        stats=action.get("stats"),
+        deletionVector=action.get("deletionVector"),
+    )
+
+
+def _parse_metadata(m: dict) -> _WireMetadata:
+    return _WireMetadata(
+        schemaString=m["schemaString"],
+        partitionColumns=m.get("partitionColumns") or [],
+        configuration=m.get("configuration") or {},
+    )
+
+
+class RemoteTableLog:
+    """TableLog-compatible planner over the sharing RPCs.
+
+    ``max_versions_per_rpc`` bounds each range request like the reference
+    client (DeltaSharingOptions.scala:199 ``maxVersionsPerRpc``, default
+    100): a month-long backlog is fetched in bounded windows instead of one
+    unbounded RPC the server may refuse or time out on."""
+
+    def __init__(self, profile_path: str, share: str, schema: str,
+                 table: str, max_versions_per_rpc: int = 100,
+                 read_change_feed: bool = False):
+        from delta_sharing_spark.client import (
+            DeltaSharingProfile,
+            _rest_client,
+        )
+
+        self.profile_path = profile_path
+        self.share, self.schema, self.table = share, schema, table
+        profile = DeltaSharingProfile.read_from_file(profile_path)
+        profile.check_not_expired()
+        self._client = _rest_client(profile)
+        self.max_versions_per_rpc = max(1, int(max_versions_per_rpc))
+        self.read_change_feed = read_change_feed
+        self._commits: dict[int, _WireCommit] = {}
+        self._fetched_hi: int | None = None
+        self._fetched_lo: int | None = None
+        self._latest_cache: int | None = None
+        self.path = f"{profile_path}#{share}.{schema}.{table}"
+
+    # ----------------------------------------------------- TableLog surface
+
+    def latest_version(self) -> int:
+        self._latest_cache = self._client.query_table_version(
+            self.share, self.schema, self.table)
+        return self._latest_cache
+
+    def earliest_version_at_or_after(self, ts: str) -> int:
+        return self._client.query_table_version(
+            self.share, self.schema, self.table, starting_timestamp=ts)
+
+    def _list_versions(self) -> list[int]:
+        # the expiry guard is server-side for remote tables (a truncated
+        # start version fails the range RPC with the server's error)
+        return []
+
+    def abs_path(self, p: str) -> str:
+        return p  # wire URLs are already absolute
+
+    def dv_scan_keys(self, add: _WireFile) -> tuple[str, str, list[str]]:
+        """Mirror of TableLog.dv_scan_keys for wire files: the descriptor's
+        path is already absolute; candidate ``path`` keys in the DV parquet
+        are the file's recorded id (own files) and its absolute url
+        (clone-referenced files)."""
+        d = add.deletionVector["pathOrInlineDv"]
+        marker = os.sep + "_dv" + os.sep
+        root = d.rsplit(marker, 1)[0] if marker in d else os.path.dirname(d)
+        return d, root, sorted({add.id, add.path})
+
+    def snapshot(self, version: int | None = None,
+                 timestamp: str | int | None = None) -> _WireSnapshot:
+        headers, lines = self._client.list_files_in_table(
+            self.share, self.schema, self.table, version=version,
+            timestamp=timestamp, response_formats="delta,parquet")
+        lines = _unwrap_delta_lines(lines)
+        meta, files = None, []
+        for line in lines:
+            if "metaData" in line:
+                meta = _parse_metadata(line["metaData"])
+            elif "file" in line:
+                f = line["file"]
+                files.append(_parse_file(f))
+        if meta is None:
+            raise ValueError("query response lacks a metaData line")
+        v = version
+        if v is None:
+            v = int(headers.get("delta-table-version", -1))
+        return _WireSnapshot(version=v, timestamp=None, metadata=meta,
+                             files=files)
+
+    def commits(self, start: int = 0, end: int | None = None
+                ) -> list[_WireCommit]:
+        latest = self.latest_version()
+        hi = latest if end is None else min(end, latest)
+        if start > hi:
+            return []
+        self._fetch_range(start, hi)
+        return [self._commits[v] for v in range(start, hi + 1)
+                if v in self._commits and not _is_empty(self._commits[v])]
+
+    # ------------------------------------------------------------- fetching
+
+    def _fetch_range(self, start: int, end: int) -> None:
+        """Fill the commit cache for [start, end] in maxVersionsPerRpc
+        windows; already-fetched versions are never re-requested."""
+        lo = start
+        if (self._fetched_lo is not None and self._fetched_hi is not None
+                and start >= self._fetched_lo):
+            lo = max(lo, self._fetched_hi + 1)
+        while lo <= end:
+            hi = min(lo + self.max_versions_per_rpc - 1, end)
+            self._fetch_window(lo, hi)
+            for v in range(lo, hi + 1):
+                self._commits.setdefault(
+                    v, _WireCommit(v, 0, None, [], [], []))
+            lo = hi + 1
+        if self._fetched_lo is None or start < self._fetched_lo:
+            self._fetched_lo = start
+        if self._fetched_hi is None or end > self._fetched_hi:
+            self._fetched_hi = end
+
+    def _fetch_window(self, start: int, end: int) -> None:
+        if self.read_change_feed:
+            lines = self._client.list_table_changes(
+                self.share, self.schema, self.table,
+                starting_version=start, ending_version=end,
+                response_formats="delta,parquet",
+                include_historical_metadata=True)
+        else:
+            _h, lines = self._client.list_files_in_table(
+                self.share, self.schema, self.table,
+                starting_version=start, ending_version=end,
+                response_formats="delta,parquet",
+                include_historical_protocol=True)
+        lines = _unwrap_delta_lines(lines)
+        first_meta = True
+        for line in lines:
+            kind = next(iter(line))
+            if kind == "metaData":
+                m = line["metaData"]
+                v = m.get("version")
+                if first_meta:
+                    first_meta = False
+                    if self.read_change_feed:
+                        # the changes head metaData is the latest snapshot's
+                        # — in-range schema changes arrive as historical
+                        # metaData lines (includeHistoricalMetadata)
+                        continue
+                    # range head metaData = the snapshot AT the window
+                    # start; attaching it there re-runs the compat gate at
+                    # every window boundary, so a schema commit landing
+                    # exactly on one is never missed (trivially passes when
+                    # nothing changed)
+                    v = start
+                if v is None:
+                    continue
+                c = self._commit_at(int(v))
+                c.metadata = _parse_metadata(m)
+            elif kind == "protocol":
+                v = line["protocol"].get("version")
+                if v is not None and int(v) > start:
+                    c = self._commit_at(int(v))
+                    c.protocol = {k: val for k, val
+                                  in line["protocol"].items()
+                                  if k != "version"}
+            elif kind in ("add", "remove", "cdf"):
+                a = line[kind]
+                v = int(a["version"])
+                c = self._commit_at(v)
+                if a.get("timestamp") is not None:
+                    c.timestamp = int(a["timestamp"])
+                f = _parse_file(a)
+                if kind == "add":
+                    c.adds.append(f)
+                elif kind == "remove":
+                    c.removes.append(f)
+                else:
+                    c.cdc.append(f)
+
+    def _commit_at(self, v: int) -> _WireCommit:
+        c = self._commits.get(v)
+        if c is None:
+            c = self._commits[v] = _WireCommit(v, 0, None, [], [], [])
+        return c
+
+
+def _is_empty(c: _WireCommit) -> bool:
+    return (c.metadata is None and not c.adds and not c.removes
+            and not c.cdc and c.protocol is None)
+
+
+def _commits_from_change_lines(lines: list[dict]) -> list[_WireCommit]:
+    """Group a changes-RPC response into per-version wire commits (head
+    metaData dropped — historical metaData lines carry their version)."""
+    lines = _unwrap_delta_lines(lines)
+    commits: dict[int, _WireCommit] = {}
+
+    def at(v: int) -> _WireCommit:
+        c = commits.get(v)
+        if c is None:
+            c = commits[v] = _WireCommit(v, 0, None, [], [], [])
+        return c
+
+    first_meta = True
+    for line in lines:
+        kind = next(iter(line))
+        if kind == "metaData":
+            if first_meta:
+                first_meta = False
+                continue
+            v = line["metaData"].get("version")
+            if v is not None:
+                at(int(v)).metadata = _parse_metadata(line["metaData"])
+        elif kind in ("add", "remove", "cdf"):
+            a = line[kind]
+            c = at(int(a["version"]))
+            if a.get("timestamp") is not None:
+                c.timestamp = int(a["timestamp"])
+            f = _parse_file(a)
+            (c.adds if kind == "add" else
+             c.removes if kind == "remove" else c.cdc).append(f)
+    return [commits[v] for v in sorted(commits)]
+
+
+def parse_remote_path(path: str) -> tuple[str, str, str, str] | None:
+    """``profile#share.schema.table`` → components, or None for a plain
+    table directory path."""
+    if "#" not in path:
+        return None
+    from delta_sharing_spark.client import _parse_url
+
+    return _parse_url(path)
+
+
+def resolve_source_path(path: str):
+    """Resolve a data-source ``path`` option:
+
+    - plain directory -> ``("local", path)``
+    - ``profile#s.d.t`` with an http(s) endpoint -> ``("remote",
+      (profile, share, schema, table))`` — the RPC-backed planner
+    - ``profile#s.d.t`` with a catalog-config endpoint -> ``("local",
+      table_location)`` — in-process tables resolve to their directory and
+      stream through the local log (no HTTP hop for a same-process table)
+    """
+    parsed = parse_remote_path(path)
+    if parsed is None:
+        return "local", path
+    from delta_sharing_spark.client import DeltaSharingProfile, _is_http
+
+    profile_path, share, schema, table = parsed
+    profile = DeltaSharingProfile.read_from_file(profile_path)
+    if _is_http(profile.endpoint):
+        return "remote", parsed
+    with open(profile.endpoint) as f:
+        cfg = json.load(f)
+    for s in cfg.get("shares", []):
+        if s["name"].lower() != share.lower():
+            continue
+        for sc in s.get("schemas", []):
+            if sc["name"].lower() != schema.lower():
+                continue
+            for t in sc.get("tables", []):
+                if t["name"].lower() == table.lower():
+                    return "local", t["location"]
+    raise ValueError(f"table {share}.{schema}.{table} not found in the "
+                     f"catalog config at {profile.endpoint}")
+
+
+def remote_schema_json(profile_path: str, share: str, schema: str,
+                       table: str) -> tuple[str, dict[str, Any]]:
+    """(schemaString, configuration) from the metadata RPC — what the data
+    source's ``schema()`` needs without fetching any file list."""
+    from delta_sharing_spark.client import DeltaSharingProfile, _rest_client
+
+    profile = DeltaSharingProfile.read_from_file(profile_path)
+    profile.check_not_expired()
+    lines = _rest_client(profile).query_table_metadata(share, schema, table)
+    lines = _unwrap_delta_lines(lines)
+    for line in lines:
+        if "metaData" in line:
+            m = line["metaData"]
+            return m["schemaString"], (m.get("configuration") or {})
+    raise ValueError("metadata response lacks a metaData line")

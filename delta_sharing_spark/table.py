@@ -30,7 +30,11 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from delta_sharing_spark.plans.log import Snapshot, TableLog
+from delta_sharing_spark.plans.log import (
+    Snapshot,
+    TableLog,
+    VersionNotFoundError,
+)
 from delta_sharing_spark.plans.predicates import (
     file_keep_condition,
     keep_file,
@@ -336,12 +340,27 @@ class SharedTable:
         refresh_token: str | None = None,
         response_formats: "set[str] | None" = None,
         metadata_only: bool = False,
+        starting_version: int | None = None,
+        ending_version: int | None = None,
+        include_historical_protocol: bool = False,
     ) -> dict[str, Any]:
         """Protocol-parity surface: the NDJSON-shaped action stream a sharing
         server would emit for this query (PROTOCOL.md:3537-3643), with offset
         page tokens (ref DeltaSharedTable.scala:363-380,499-517) and refresh
         tokens pinning latest-snapshot queries to their resolved version
         (ref DeltaSharedTable.scala:518-532, TTL 1h ServerConfig.scala:95).
+
+        ``starting_version`` switches the query to the version-range form
+        (PROTOCOL.md:2147-2152; ref queryDataChangeSinceStartVersion,
+        DeltaSharedTable.scala:557-695): the response is the *data-change*
+        add/remove actions of every commit in [startingVersion,
+        endingVersion or latest], each stamped with its commit ``version``
+        and ``timestamp``, with historical ``metaData`` actions interleaved
+        for schema changes after startingVersion — the RPC that powers
+        structured streaming over the sharing protocol.
+        ``include_historical_protocol`` additionally inlines historical
+        ``protocol`` actions for versions after startingVersion
+        (PROTOCOL.md:2152; delta responses only).
 
         ``response_formats`` is the client's capability set (default
         ``{"parquet"}``). A column-mapped table is only representable in the
@@ -352,6 +371,30 @@ class SharedTable:
         import base64
         import time as _time
 
+        # version/timestamp/startingVersion are mutually exclusive (ref
+        # DeltaSharedTable.scala:358-361; error text
+        # ErrorStrings.multipleParametersSetErrorMsg, exceptions.scala:57-59)
+        if sum(x is not None
+               for x in (version, timestamp, starting_version)) > 1:
+            raise ValueError(
+                "Please only provide one of: version,timestamp,"
+                "startingVersion")
+        if starting_version is not None and starting_version < 0:
+            # ref DeltaSharingService.scala:473-475
+            raise ValueError("startingVersion cannot be negative.")
+        if (starting_version is not None and ending_version is not None
+                and starting_version > ending_version):
+            # ref DeltaSharingService.scala:538-543
+            raise ValueError(
+                f"startingVersion({starting_version}) must be smaller than "
+                f"or equal to endingVersion({ending_version}).")
+        if starting_version is not None:
+            return self._query_range_actions(
+                starting_version, ending_version, max_files, page_token,
+                response_formats, include_historical_protocol,
+                json_predicate_hints=json_predicate_hints,
+                predicate_hints=predicate_hints, limit_hint=limit_hint,
+            )
         formats = {f.strip().lower()
                    for f in (response_formats or {"parquet"})}
         if refresh_token:
@@ -472,6 +515,207 @@ class SharedTable:
                 "respondedFormat": responded_format,
                 "nextPageToken": next_token,
                 "refreshToken": new_refresh_token}
+
+    def _responded_format(self, snap: Snapshot,
+                          formats: set[str]) -> str:
+        """Kernel response-format gating (DeltaSharedTableKernel.scala:
+        567-585): column-mapped tables only decode under the delta format."""
+        if snap.column_mapping:
+            if "delta" not in formats:
+                raise UnsupportedTableFeatureError(
+                    "table requires reader feature 'columnMapping' "
+                    "(delta.columnMapping.mode=name), which the parquet "
+                    "response format cannot represent; request the table "
+                    "with delta-sharing-capabilities: responseformat=delta")
+            return "delta"
+        return "parquet" if "parquet" in formats else "delta"
+
+    def _query_range_actions(
+        self,
+        starting_version: int,
+        ending_version: int | None,
+        max_files: int | None,
+        page_token: str | None,
+        response_formats: "set[str] | None",
+        include_historical_protocol: bool,
+        json_predicate_hints=None,
+        predicate_hints=None,
+        limit_hint=None,
+    ) -> dict[str, Any]:
+        """Version-range QueryTable (ref queryDataChangeSinceStartVersion,
+        DeltaSharedTable.scala:557-695): per commit in [start, end], emit
+        the dataChange add/remove actions stamped with commit version +
+        timestamp, interleaving historical ``metaData`` (always, for
+        versions after startingVersion) and — when the client opted in and
+        the response is delta-format — historical ``protocol`` actions.
+
+        Pagination follows the reference's (version, actionIndex) tokens:
+        a page holds ``max_files`` FILE actions; interleaved metaData /
+        protocol lines ride along with the page that contains their
+        neighbouring files. predicate/limit hints are ignored on this form
+        (the reference's range path applies no pruning — every data change
+        must reach a streaming consumer)."""
+        import base64
+        import hashlib
+        import time as _time
+
+        formats = {f.strip().lower()
+                   for f in (response_formats or {"parquet"})}
+        latest = self.log.latest_version()
+        if starting_version > latest:
+            # ref DeltaCDFErrors.startVersionAfterLatestVersion
+            raise VersionNotFoundError(
+                f"Provided Start version({starting_version}) for reading "
+                "change data is invalid. Start version cannot be greater "
+                f"than the latest version of the table({latest}).")
+        if ending_version is not None and ending_version > latest:
+            raise VersionNotFoundError(
+                f"Provided end version({ending_version}) is invalid. End "
+                "version cannot be greater than the latest version of the "
+                f"table({latest}).")
+        snap = self.log.snapshot(version=starting_version)
+        responded_format = self._responded_format(snap, formats)
+        emit_protocol = (include_historical_protocol
+                         and responded_format == "delta")
+        checksum = hashlib.md5(json.dumps({
+            "startingVersion": starting_version,
+            "endingVersion": ending_version,
+            "includeHistoricalProtocol": include_historical_protocol,
+        }, sort_keys=True).encode()).hexdigest()[:16]
+        start_idx = 0
+        end = latest if ending_version is None else ending_version
+        if page_token:
+            decoded = json.loads(base64.urlsafe_b64decode(page_token))
+            if decoded.get("checksum", checksum) != checksum:
+                raise ValueError(
+                    "page token bound to different query parameters")
+            if decoded.get("expiration", float("inf")) < _time.time() * 1000:
+                raise ValueError("page token expired")
+            start_idx = int(decoded.get("start", 0))
+            # pin the range end captured at the first page so commits
+            # arriving mid-pagination are ignored (ref token's
+            # endingVersion/latestVersion pinning, DeltaSharedTable.scala:
+            # 578-588)
+            end = int(decoded.get("end", end))
+        proto = {"minReaderVersion": 2, "minWriterVersion": 5,
+                 } if snap.column_mapping else {"minReaderVersion": 1}
+        head_proto = dict(proto)
+        if emit_protocol:
+            # stamp the head protocol's version only under the opt-in,
+            # preserving the legacy wire shape otherwise (ref
+            # headProtocolVersion, DeltaSharedTable.scala:433-436)
+            head_proto["version"] = starting_version
+        lines: list[dict[str, Any]] = [
+            {"protocol": head_proto},
+            {"metaData": {**self.metadata(version=starting_version)}},
+        ]
+        # interleaved tail: (is_file_action, line)
+        from dataclasses import asdict
+
+        tail: list[tuple[bool, dict[str, Any]]] = []
+        prev_cm = snap.column_mapping
+        for commit in self.log.commits(starting_version, end):
+            v, ts = commit.version, commit.timestamp
+            if commit.metadata is not None and v > starting_version:
+                tail.append((False, {"metaData": {
+                    **asdict(commit.metadata), "version": v}}))
+            if emit_protocol and v > starting_version:
+                # a protocol change mid-range = an explicit in-commit
+                # protocol upgrade action, OR a metadata commit flipping a
+                # reader feature (this engine enables column mapping via
+                # configuration, so the wire protocol is derived the same
+                # way the snapshot head derives it)
+                proto_line = commit.protocol
+                if proto_line is None and commit.metadata is not None:
+                    cm_now = (commit.metadata.configuration or {}).get(
+                        "delta.columnMapping.mode") == "name"
+                    if cm_now != prev_cm:
+                        proto_line = (
+                            {"minReaderVersion": 2, "minWriterVersion": 5}
+                            if cm_now else {"minReaderVersion": 1})
+                if proto_line is not None:
+                    tail.append((False, {"protocol": {
+                        **proto_line, "version": v}}))
+            if commit.metadata is not None:
+                cm_next = (commit.metadata.configuration or {}).get(
+                    "delta.columnMapping.mode") == "name"
+                if cm_next and responded_format == "parquet":
+                    # files after this commit carry PHYSICAL names a
+                    # parquet-profile client cannot decode — same feature
+                    # gate as the snapshot path (kernel gating,
+                    # DeltaSharedTableKernel.scala:567-585)
+                    raise UnsupportedTableFeatureError(
+                        "the requested version range crosses an ENABLE "
+                        "COLUMN MAPPING commit, which the parquet response "
+                        "format cannot represent; request the range with "
+                        "delta-sharing-capabilities: responseformat=delta")
+                prev_cm = cm_next
+            for a in commit.adds:
+                if not a.dataChange:
+                    continue
+                line = {"add": {
+                    "url": self.log.abs_path(a.path), "id": a.path,
+                    "partitionValues": a.partitionValues, "size": a.size,
+                    "stats": a.stats, "timestamp": ts, "version": v}}
+                if a.deletionVector:
+                    dv = dict(a.deletionVector)
+                    if dv.get("storageType") == "u":
+                        dv["pathOrInlineDv"] = self.log.abs_path(
+                            dv["pathOrInlineDv"])
+                    line["add"]["deletionVector"] = dv
+                tail.append((True, line))
+            for r in commit.removes:
+                if not r.dataChange:
+                    continue
+                tail.append((True, {"remove": {
+                    "url": self.log.abs_path(r.path), "id": r.path,
+                    "partitionValues": r.partitionValues, "size": r.size,
+                    "timestamp": ts, "version": v}}))
+        # page: max_files FILE actions starting at file-index start_idx;
+        # non-file lines ride with the page containing their neighbours
+        next_token = None
+        if max_files is None:
+            if start_idx:
+                seen = 0
+                body = []
+                for is_file, line in tail:
+                    if is_file:
+                        seen += 1
+                        if seen <= start_idx:
+                            continue
+                    elif seen < start_idx:
+                        continue
+                    body.append(line)
+            else:
+                body = [line for _f, line in tail]
+        else:
+            body, emitted, seen = [], 0, 0
+            for is_file, line in tail:
+                if is_file:
+                    seen += 1
+                    if seen <= start_idx:
+                        continue
+                    if emitted >= max_files:
+                        next_token = base64.urlsafe_b64encode(json.dumps({
+                            "start": seen - 1, "end": end,
+                            "checksum": checksum,
+                            "expiration": int(_time.time() * 1000)
+                            + PAGE_TOKEN_TTL_MS,
+                        }).encode()).decode()
+                        break
+                    emitted += 1
+                elif seen < start_idx or emitted >= max_files:
+                    continue
+                body.append(line)
+        lines += body
+        if max_files is not None:
+            end_action: dict[str, Any] = {}
+            if next_token:
+                end_action["nextPageToken"] = next_token
+            lines.append({"endStreamAction": end_action})
+        return {"version": snap.version, "actions": lines,
+                "respondedFormat": responded_format,
+                "nextPageToken": next_token, "refreshToken": None}
 
 
 _TABLE_CACHE: dict[str, tuple[float, SharedTable]] = {}

@@ -1070,3 +1070,117 @@ def eng_datasource_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("event_id").alias("sum_id"),
     )
+
+
+# --------------------------------------------- version-range QueryTable
+
+def _events_range(spark: SparkSession, sf_dir: str) -> str:
+    """v0 = events with id < 2n/10; v1 = append [2n/10, 3n/10);
+    v2 = append [3n/10, 4n/10) — three append commits for the
+    version-range (data-change) query form."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        ev = read_table(spark, sf_dir, "events")
+        n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+        a, b, c = n * 2 // 10, n * 3 // 10, n * 4 // 10
+        log = TableLog(spark, path)
+        log.create(ev.filter(F.col("event_id") < a), name="events_range")
+        log.append(ev.filter((F.col("event_id") >= a)
+                             & (F.col("event_id") < b)))
+        log.append(ev.filter((F.col("event_id") >= b)
+                             & (F.col("event_id") < c)))
+
+    return _fixture(spark, sf_dir, "events_range", build)
+
+
+def _range_rest_lines(spark: SparkSession, sf_dir: str,
+                      max_files: int | None = None) -> list[dict]:
+    """Version-range QueryTable over a LIVE server (startingVersion=1):
+    boot, query (optionally page-by-page), shut down; return the NDJSON
+    lines (ref PROTOCOL.md:2147-2152; DeltaSharedTable.scala:557-695)."""
+    import json as _json
+    import tempfile
+
+    from delta_sharing_spark.auth import BearerTokenAuthProvider
+    from delta_sharing_spark.catalog import ShareCatalog
+    from delta_sharing_spark.rest import DataSharingRestClient
+    from delta_sharing_spark.server import SharingServer
+
+    path = _events_range(spark, sf_dir)
+    cat = ShareCatalog(spark)
+    cat.add_table("s", "d", "events_range", path)
+    srv = SharingServer(cat, bearer_token="driver-token")
+    srv.serve_background()
+    try:
+        client = DataSharingRestClient(
+            f"http://127.0.0.1:{srv.port}",
+            auth_provider=BearerTokenAuthProvider("driver-token"))
+        if max_files is None:
+            _h, lines = client.list_files_in_table(
+                "s", "d", "events_range", starting_version=1)
+            return lines
+        # drive the reference's (version, actionIndex) pagination: each
+        # page carries at most max_files file actions + an endStreamAction
+        lines, token = [], None
+        while True:
+            _h, page = client.list_files_in_table(
+                "s", "d", "events_range", starting_version=1,
+                max_files=max_files, page_token=token)
+            token = None
+            for line in page:
+                if "endStreamAction" in line:
+                    token = line["endStreamAction"].get("nextPageToken")
+                else:
+                    lines.append(line)
+            if not token:
+                return lines
+    finally:
+        srv.shutdown()
+
+
+_RANGE_ORACLE = """
+    WITH n AS (SELECT MAX(event_id) + 1 AS n FROM events)
+    SELECT CAST(1 AS BIGINT) AS commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events, n
+    WHERE event_id >= n * 2 // 10 AND event_id < n * 3 // 10
+    GROUP BY 1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(event_id) AS BIGINT)
+    FROM events, n
+    WHERE event_id >= n * 3 // 10 AND event_id < n * 4 // 10
+    GROUP BY 1
+"""
+
+
+@workload("eng_rest_range", oracle=_RANGE_ORACLE)
+def eng_rest_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-range QueryTable over the WIRE: startingVersion=1 against a
+    live server returns the data-change add actions of commits 1..2, each
+    stamped with its commit version + timestamp; reconstructing them
+    per-commit must value-match a DuckDB replay of the same appends."""
+    from delta_sharing_spark.client import _changes_lines_to_spark
+
+    lines = _range_rest_lines(spark, sf_dir)
+    df = _changes_lines_to_spark(spark, lines)
+    return (df.filter(F.col("_change_type") == "insert")
+            .groupBy(F.col("_commit_version").alias("commit_version"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("event_id").alias("sum_id")))
+
+
+@workload("eng_rest_range_paged", oracle=_RANGE_ORACLE)
+def eng_rest_range_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same range query driven page-by-page (maxFiles=1 + checksummed page
+    tokens, the reference's (version, actionIndex) tokens): concatenated
+    pages must reconstruct to the identical result."""
+    from delta_sharing_spark.client import _changes_lines_to_spark
+
+    lines = _range_rest_lines(spark, sf_dir, max_files=1)
+    df = _changes_lines_to_spark(spark, lines)
+    return (df.filter(F.col("_change_type") == "insert")
+            .groupBy(F.col("_commit_version").alias("commit_version"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("event_id").alias("sum_id")))

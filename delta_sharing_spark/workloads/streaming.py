@@ -295,3 +295,53 @@ def stream_sessionize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_events").cast("long").alias("n_events"),
                 "first_event", "last_event")
     )
+
+
+@workload(
+    "stream_remote_appends",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def stream_remote_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REMOTE streaming: the same incremental drain as
+    ``stream_incremental_appends``, but planned over a LIVE http profile —
+    micro-batches fetch manifests through version-range QueryTable RPCs
+    with maxVersionsPerRpc windowing (ref client/.../spark/
+    DeltaSharingSource.scala:277-322; DeltaSharingOptions.scala:199),
+    executors open the vended file URLs directly. The drained result must
+    value-match the in-process oracle."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from delta_sharing_spark.catalog import ShareCatalog
+    from delta_sharing_spark.server import SharingServer
+
+    path = _lineitem_shared(spark, sf_dir)
+    cat = ShareCatalog(spark)
+    cat.add_table("s", "d", "lineitem_shared", path)
+    srv = SharingServer(cat, bearer_token="driver-token")
+    url = srv.serve_background()
+    prof = tempfile.NamedTemporaryFile(mode="w", suffix=".json",
+                                       delete=False)
+    _json.dump({"shareCredentialsVersion": 1, "endpoint": url,
+                "bearerToken": "driver-token"}, prof)
+    prof.close()
+    try:
+        out, _ = _drain(
+            spark, f"{prof.name}#s.d.lineitem_shared",
+            {"startingVersion": "1", "maxFilesPerTrigger": "2",
+             "maxVersionsPerRpc": "1"},
+        )
+        result = out.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        rows = result.collect()  # materialize while the server lives
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        srv.shutdown()
+        _os.unlink(prof.name)

@@ -196,6 +196,29 @@ class TestSimilarity:
         rows = out.orderBy("rank").collect()
         assert [r["neighbor_id"] for r in rows] == [1, 2]  # same cluster
 
+    def test_topk_plan_has_no_single_partition_per_query_window(
+            self, spark, vectors):
+        """Scale guard: every Window in the exact top-k plan that consumes
+        the full candidate stream must partition by (query_id, _pid) — a
+        window partitioned by query_id alone would funnel all N candidate
+        scores for a query through one task. The merge window (query_id
+        only) is fine: it sees <= k*P pre-reduced rows."""
+        plan = brute_force_topk(
+            vectors.filter("vec_id < 3"), vectors, k=2
+        )._jdf.queryExecution().executedPlan().toString()
+        windows = [seg for seg in plan.split("\n") if "Window" in seg]
+        assert windows, plan
+        # phase-1 window (first consumer of the scored stream) keys on both
+        assert any("_pid" in w for w in windows), plan
+
+    def test_topk_partition_count_invariance(self, spark, vectors):
+        """The two-phase top-k is exact under any input partitioning."""
+        base = brute_force_topk(vectors.filter("vec_id < 3"), vectors, k=3)
+        re32 = brute_force_topk(vectors.filter("vec_id < 3"),
+                                vectors.repartition(32), k=3)
+        assert sorted(map(tuple, base.collect())) == \
+            sorted(map(tuple, re32.collect()))
+
     def test_ivf_matches_brute_force_here(self, spark, vectors):
         bf = brute_force_topk(vectors.filter("vec_id < 3"), vectors, k=2)
         ivf = ivf_topk(vectors.filter("vec_id < 3"), vectors, "label",
