@@ -24,8 +24,9 @@ from pyspark.sql import functions as F
 from delta_sharing_spark.functions.vectors import cosine
 
 
-def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
-    """Exact two-phase top-k over (query_id, neighbor_id, cos) rows.
+def _topk_per_query(scored: DataFrame, k: int, score_col: str = "cos",
+                    ascending: bool = False) -> DataFrame:
+    """Exact two-phase top-k over (query_id, neighbor_id, <score>) rows.
 
     Phase 1 keeps the per-(query, input-partition) top-k — a window
     partitioned by (query_id, spark_partition_id()), so each reducer sees
@@ -33,13 +34,14 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     per-query funnel the one-window form has: 8 queries over a 10⁹-row
     corpus = 8 tasks × 10⁹ rows each). Phase 2 merges the ≤ k·P survivors
     per query — tiny. Exact: every global top-k row is its partition's
-    top-k; deterministic: final rank orders by (cos desc, neighbor_id asc)
+    top-k; deterministic: final rank orders by (score, neighbor_id asc)
     regardless of partitioning."""
+    score = F.asc(score_col) if ascending else F.desc(score_col)
     part_w = Window.partitionBy("query_id", "_pid").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
+        score, F.asc("neighbor_id")
     )
     merge_w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
+        score, F.asc("neighbor_id")
     )
     return (
         scored.withColumn("_pid", F.spark_partition_id())
@@ -48,7 +50,7 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
         .drop("_pr", "_pid")
         .withColumn("rank", F.row_number().over(merge_w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos")
+        .select("query_id", "neighbor_id", "rank", score_col)
     )
 
 
@@ -140,10 +142,12 @@ def kmeans_fit(candidates: DataFrame, k: int = 8, iters: int = 2,
     SQL oracle)."""
     # bounded window: it runs over the k-row TakeOrdered result (k ≤ a few
     # hundred centroids), never the candidate corpus — not a global sort.
-    # partitionBy(lit(0)) declares the (single, k-row) partition explicitly
-    # so the bench tail stays free of "No Partition Defined" warnings and a
+    # The partition key is a constant-per-row expression that survives
+    # constant folding (lit(0) gets folded away, reintroducing WindowExec's
+    # "No Partition Defined" warning), so the bench tail stays clean and a
     # REAL unpartitioned-window regression elsewhere stays visible.
-    init_w = Window.partitionBy(F.lit(0)).orderBy(id_col)
+    init_w = Window.partitionBy(
+        F.pmod(F.col(id_col), F.lit(1))).orderBy(id_col)
     cents = (
         candidates.orderBy(id_col).limit(k)
         .withColumn("cell", F.row_number().over(init_w) - 1)
@@ -495,13 +499,7 @@ def pq_adc_topk(queries: DataFrame, codes: DataFrame, books: DataFrame,
         .groupBy("query_id", "neighbor_id")
         .agg((F.sum("d_fx").cast("double") / F.lit(1e9)).alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc_dist")
-    )
+    return _topk_per_query(scored, k, score_col="adc_dist", ascending=True)
 
 
 # ------------------------------------------------------------------ IVF-PQ
@@ -612,10 +610,4 @@ def ivf_pq_topk(queries: DataFrame, coarse: DataFrame, books: DataFrame,
         .groupBy("query_id", "neighbor_id")
         .agg((F.sum("d_fx").cast("double") / F.lit(1e9)).alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc_dist")
-    )
+    return _topk_per_query(scored, k, score_col="adc_dist", ascending=True)

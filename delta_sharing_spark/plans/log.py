@@ -1079,7 +1079,8 @@ class TableLog:
         )
         staged = self._stage_dataframe(df, partition_by, self.data_path)
         self._validate_staged(staged, {**(configuration or {}),
-                                       **gen_checks}, "CREATE TABLE")
+                                       **gen_checks}, "CREATE TABLE",
+                              schema=T.StructType(schema_fields))
         actions: list[Action] = [Protocol(), metadata]
         actions += [
             AddFile(path=p, partitionValues=pv, size=sz, stats=st)
@@ -1416,7 +1417,8 @@ class TableLog:
 
     def _validate_staged(self, staged, configuration, operation,
                          snap: "Snapshot | None" = None,
-                         base_dir: str | None = None) -> None:
+                         base_dir: str | None = None,
+                         schema: "T.StructType | None" = None) -> None:
         """Validate CHECK constraints against the STAGED parquet bytes
         rather than by re-executing the input plan: a non-deterministic
         source (rand(), current_timestamp, a concurrently-changing external
@@ -1431,14 +1433,26 @@ class TableLog:
             return
         paths = [os.path.join(self.path, rel)
                  for rel, _pv, _sz, _st in staged]
-        df = self.spark.read.option(
+        reader = self.spark.read
+        declared = snap.physical_schema if snap is not None else schema
+        if declared is not None:
+            # explicit declared (physical) schema: basePath inference would
+            # re-derive partition-column types from the directory strings,
+            # so a STRING partition column holding '01' comes back as int
+            # and the constraint evaluates on the wrong type/value — the
+            # pre-diff validation saw the correctly-typed input
+            reader = reader.schema(declared)
+        df = reader.option(
             "basePath", base_dir or self.data_path).parquet(*paths)
         p2l = snap.physical_to_logical if snap is not None else None
         if p2l:
             df = df.withColumnsRenamed(p2l)
         try:
             self._validate_constraints(df, configuration, operation)
-        except CheckConstraintViolation:
+        except BaseException:
+            # ANY failure leaves the commit unwritten — remove the staged
+            # parquet or it leaks into the data dir as orphan bytes (the
+            # old cleanup only caught CheckConstraintViolation)
             for p in paths:
                 try:
                     os.remove(p)

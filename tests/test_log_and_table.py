@@ -1837,6 +1837,55 @@ class TestCheckConstraints:
         with pytest.raises(CheckConstraintViolation):
             log.merge(src, keys=["event_id"], when_matched="update")
 
+    def test_string_partition_values_keep_declared_type(self, spark,
+                                                        tmp_path):
+        """Staged-bytes validation must read partition columns with the
+        DECLARED schema: a string partition column holding numeric-looking
+        values ('01') would otherwise be inferred as int and the CHECK
+        would evaluate on the wrong type/value."""
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        df = spark.createDataFrame([("01", 1), ("02", 2)],
+                                   "code string, v long")
+        # '01' as int is 1, as string it keeps the leading zero — the
+        # constraint only holds for the STRING reading
+        log.create(df, name="t", partition_by=["code"],
+                   configuration={"delta.constraints.code_len":
+                                  "length(code) = 2"})
+        assert log.latest_version() == 0
+        log.append(spark.createDataFrame([("03", 3)],
+                                         "code string, v long"))
+        assert log.latest_version() == 1
+
+    def test_staged_files_cleaned_on_any_validation_error(self, spark,
+                                                          tmp_path):
+        """A non-constraint failure during staged validation must still
+        remove the staged (uncommitted) parquet — no orphan bytes."""
+        import os
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.createDataFrame([(1, 5.0)], "id long, v double"),
+                   name="t",
+                   configuration={"delta.constraints.v_pos": "v > 0"})
+        before = {f for root, _d, fs in os.walk(os.path.join(d, "data"))
+                  for f in fs}
+        bad = spark.createDataFrame([(2, -1.0)], "id long, v double")
+        orig = log._validate_constraints
+
+        def boom(*a, **kw):
+            raise RuntimeError("validation infrastructure failure")
+
+        log._validate_constraints = boom
+        try:
+            with pytest.raises(RuntimeError):
+                log.append(bad)
+        finally:
+            log._validate_constraints = orig
+        after = {f for root, _d, fs in os.walk(os.path.join(d, "data"))
+                 for f in fs}
+        assert after == before  # staged bytes removed
+
     def test_null_passes_check(self, spark, tmp_path):
         """SQL CHECK: NULL (unknown) is not a violation."""
         d = str(tmp_path / "t")
@@ -1929,6 +1978,49 @@ class TestHistory:
         assert h[1]["operationMetrics"]["numFiles"] == "1"
         assert [r["version"] for r in t.history(limit=2).collect()] == [2, 1]
         assert t.history(limit=0).count() == 0  # review finding: was 1
+
+    def test_history_10k_commits_distributed(self, spark, events,
+                                             tmp_path):
+        """Unbounded DESCRIBE HISTORY over a long log must not open every
+        commit file in the driver: above HISTORY_DRIVER_MAX_COMMITS the
+        rows build from one distributed text scan of the commit NDJSON.
+        10k synthetic commitInfo-bearing commits (written directly, as a
+        log this long would be) resolve in seconds with bounded driver
+        work, newest first, values intact."""
+        import os
+        import time as _time
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.limit(5), name="t")
+        # synthesize 10k append commits (file writes only — no Spark jobs)
+        template = ('{{"commitInfo": {{"version": {v}, "timestamp": {ts}, '
+                    '"operation": "WRITE", "operationParameters": {{}}, '
+                    '"operationMetrics": {{"numFiles": "1"}}}}}}\n'
+                    '{{"add": {{"path": "data/f{v}.parquet", '
+                    '"partitionValues": {{}}, "size": 1, "stats": "{{}}", '
+                    '"dataChange": true}}}}\n')
+        for v in range(1, 10_001):
+            with open(os.path.join(log.log_path, f"{v:020d}.json"),
+                      "w") as f:
+                f.write(template.format(v=v, ts=1_700_000_000_000 + v))
+        t = SharedTable(spark, d)
+        start = _time.monotonic()
+        h = t.history()
+        top = h.limit(3).collect()
+        n = h.count()
+        elapsed = _time.monotonic() - start
+        assert n == 10_001
+        assert [r["version"] for r in top] == [10_000, 9_999, 9_998]
+        assert top[0]["operation"] == "WRITE"
+        assert top[0]["timestamp"] == 1_700_000_000_000 + 10_000
+        assert top[0]["operationMetrics"]["numFiles"] == "1"
+        # bounded: a driver loop at 10k commit files takes minutes; the
+        # distributed build is one text scan + broadcast join
+        assert elapsed < 60, elapsed
+        # LIMIT keeps the lazy newest-first driver walk (reads N files)
+        assert [r["version"] for r in t.history(limit=2).collect()] \
+            == [10_000, 9_999]
 
 
 class TestAddColumn:
