@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # new this round
     "eng_rest_range", "stream_remote_appends", "eng_rest_range_paged",
+    "q_dedup_semantic",
     # never driver-sampled through round 5
     "q_events_gapfill", "q_split_train_val_test", "q_stratified_sample_lang",
     "q_shuffle_shards", "q_pack_sequences", "q_domain_mix",

@@ -54,6 +54,11 @@ HEADLINE = [
     "q_ann_pq_adc",
     "q_ann_ivf_pq",
     "q_lm_filter",
+    # round-6 additions (after the comparable prefix): the wire plane —
+    # version-range QueryTable reconstruction and remote streaming drain
+    # over a live in-process HTTP server
+    "eng_rest_range",
+    "stream_remote_appends",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

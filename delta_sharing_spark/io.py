@@ -33,7 +33,11 @@ TABLE_NAMES = [
 
 
 def _ns_timestamp_columns(path: str) -> list[str]:
-    """Top-level timestamp[ns] columns, read from one footer."""
+    """Top-level INT64 timestamp[ns] columns, read from one footer.
+
+    INT96 timestamps (legacy Spark output) ALSO surface as timestamp[ns]
+    in the Arrow schema but Spark reads them natively as TIMESTAMP — only
+    true INT64 nanos need the rewrite, so the physical type is checked."""
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
                                  recursive=True))
@@ -41,7 +45,13 @@ def _ns_timestamp_columns(path: str) -> list[str]:
             return []
         path = files[0]
     schema = pq.read_schema(path)
-    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    ns = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    if not ns:
+        return []
+    phys = pq.ParquetFile(path).metadata.schema
+    int96 = {phys.column(i).name for i in range(phys.num_columns)
+             if phys.column(i).physical_type == "INT96"}
+    return [n for n in ns if n not in int96]
 
 
 # Ingest-normalized µs copies of ns-timestamp files, keyed by source

@@ -611,3 +611,26 @@ def ivf_pq_topk(queries: DataFrame, coarse: DataFrame, books: DataFrame,
         .agg((F.sum("d_fx").cast("double") / F.lit(1e9)).alias("adc_dist"))
     )
     return _topk_per_query(scored, k, score_col="adc_dist", ascending=True)
+
+
+def semantic_dedup(df: DataFrame, cell_col: str, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   threshold: float = 0.9) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space (``cell_col`` = a k-means
+    assignment or any bucket key), find within-cluster cosine near-dup
+    pairs, and DROP every row that has a lower-id near-duplicate in its
+    cluster — one deterministic survivor per duplicate chain, the paper's
+    practical keep-one policy.
+
+    Scale shape: the pair join is the cell equi-join of
+    :func:`near_dup_pairs_cells` (one hash shuffle, no cross join); the
+    drop is a distinct + broadcast-able left anti join. Everything JVM-side,
+    no Python in the hot path. Recall is bounded by the clustering — true
+    near-dups split across cells survive, exactly like the paper (dedup
+    within k-means clusters only)."""
+    pairs = near_dup_pairs_cells(df, cell_col, id_col=id_col,
+                                 vec_col=vec_col, threshold=threshold)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

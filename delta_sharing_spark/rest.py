@@ -157,10 +157,18 @@ class DataSharingRestClient:
         _s, headers, _b = self._request("GET", path)
         return int(headers["delta-table-version"])
 
-    def query_table_metadata(self, share: str, schema: str,
-                             table: str) -> list[dict]:
-        _h, lines = self._ndjson(
-            "GET", f"/shares/{share}/schemas/{schema}/tables/{table}/metadata")
+    def query_table_metadata(self, share: str, schema: str, table: str,
+                             version: int | None = None,
+                             timestamp: str | None = None) -> list[dict]:
+        path = f"/shares/{share}/schemas/{schema}/tables/{table}/metadata"
+        params = []
+        if version is not None:
+            params.append(f"version={version}")
+        if timestamp is not None:
+            params.append("timestamp=" + urllib.parse.quote(timestamp))
+        if params:
+            path += "?" + "&".join(params)
+        _h, lines = self._ndjson("GET", path)
         return lines
 
     def list_files_in_table(

@@ -307,6 +307,16 @@ class SharingServer:
         return {"parquet"}
 
     @staticmethod
+    def _include_end_stream_action(h) -> bool:
+        """delta-sharing-capabilities: includeendstreamaction=true — the
+        client asks for an endStreamAction trailer on every response, so a
+        truncated stream is detectable even without pagination (ref
+        getRequestEndStreamAction, DeltaSharingService.scala:922-925)."""
+        caps = (h.headers.get("delta-sharing-capabilities") or "") \
+            .replace(" ", "").lower()
+        return "includeendstreamaction=true" in caps
+
+    @staticmethod
     def _ndjson_payload(lines, delta: bool) -> tuple[bytes, dict]:
         if delta:
             from delta_sharing_spark.deltaformat import actions_to_delta_format
@@ -380,6 +390,7 @@ class SharingServer:
             ending_version=body.get("endingVersion"),
             include_historical_protocol=bool(
                 body.get("includeHistoricalProtocol")),
+            include_end_stream_action=self._include_end_stream_action(h),
         )
         caps = (h.headers.get("delta-sharing-capabilities") or "") \
             .replace(" ", "").lower()
@@ -461,7 +472,10 @@ class SharingServer:
             include_historical_metadata=(
                 params.get("includeHistoricalMetadata", "false") == "true"),
         )
+        lines = out["actions"]
+        if self._include_end_stream_action(h):
+            lines = lines + [{"endStreamAction": {}}]
         delta = "delta" in formats and (cm or "parquet" not in formats)
-        payload, extra = self._ndjson_payload(out["actions"], delta)
+        payload, extra = self._ndjson_payload(lines, delta)
         h._respond(payload, NDJSON, version=out["version"],
                    extra_headers=extra)

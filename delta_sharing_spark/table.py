@@ -409,6 +409,7 @@ class SharedTable:
         starting_version: int | None = None,
         ending_version: int | None = None,
         include_historical_protocol: bool = False,
+        include_end_stream_action: bool = False,
     ) -> dict[str, Any]:
         """Protocol-parity surface: the NDJSON-shaped action stream a sharing
         server would emit for this query (PROTOCOL.md:3537-3643), with offset
@@ -460,6 +461,7 @@ class SharedTable:
                 response_formats, include_historical_protocol,
                 json_predicate_hints=json_predicate_hints,
                 predicate_hints=predicate_hints, limit_hint=limit_hint,
+                include_end_stream_action=include_end_stream_action,
             )
         formats = {f.strip().lower()
                    for f in (response_formats or {"parquet"})}
@@ -570,7 +572,12 @@ class SharedTable:
                         dv["pathOrInlineDv"])
                 line["file"]["deletionVector"] = dv
             lines.append(line)
-        if next_token or new_refresh_token:
+        if next_token or new_refresh_token or include_end_stream_action:
+            # trailer emitted when it carries a token, OR when the client
+            # opted in via delta-sharing-capabilities:
+            # includeendstreamaction=true (ref getRequestEndStreamAction,
+            # DeltaSharingService.scala:922-925 — lets clients detect
+            # truncated responses even on the last page)
             end: dict[str, Any] = {}
             if next_token:
                 end["nextPageToken"] = next_token
@@ -607,6 +614,7 @@ class SharedTable:
         json_predicate_hints=None,
         predicate_hints=None,
         limit_hint=None,
+        include_end_stream_action: bool = False,
     ) -> dict[str, Any]:
         """Version-range QueryTable (ref queryDataChangeSinceStartVersion,
         DeltaSharedTable.scala:557-695): per commit in [start, end], emit
@@ -774,7 +782,7 @@ class SharedTable:
                     continue
                 body.append(line)
         lines += body
-        if max_files is not None:
+        if max_files is not None or include_end_stream_action:
             end_action: dict[str, Any] = {}
             if next_token:
                 end_action["nextPageToken"] = next_token

@@ -762,3 +762,52 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       coarse_iters=2, pq_iters=1, dim=64)
     return ivf_pq_topk(emb.filter(F.col("vec_id") < 6), coarse, books,
                        codes, k=5, nprobe=2, m=4, dim=64)
+
+
+@workload(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH {_kmeans_ctes(8, 2)},
+    a3 AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT v.vec_id, v.embedding, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_reduce(list_transform(generate_series(1, 64),
+                   i -> (v.embedding[i]::DOUBLE - c.centroid[i])
+                      * (v.embedding[i]::DOUBLE - c.centroid[i])),
+                   (x, y) -> x + y), c.cell) AS rn
+        FROM embeddings v CROSS JOIN c2 c
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.42
+    )
+    SELECT a3.cell, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(a3.vec_id) AS BIGINT) AS sum_id
+    FROM a3 LEFT JOIN dropped d ON a3.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    GROUP BY a3.cell
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end to end: learned k-means clusters
+    (2 Lloyd iterations, exact fixed-point updates), within-cluster cosine
+    near-dup pairs, drop every row with a lower-id near-dup in its cluster.
+    The ENTIRE pipeline — iterative fit, assignment, pair join, keep-one
+    policy — is replayed by the SQL oracle and value-checked."""
+    from delta_sharing_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+        semantic_dedup,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=2, dim=64)
+    assigned = kmeans_assign(emb, cents).localCheckpoint()
+    kept = semantic_dedup(assigned, "cell", threshold=0.42)
+    return kept.groupBy("cell").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("vec_id").alias("sum_id"),
+    )

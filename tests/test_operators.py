@@ -211,6 +211,19 @@ class TestSimilarity:
         # phase-1 window (first consumer of the scored stream) keys on both
         assert any("_pid" in w for w in windows), plan
 
+    def test_semantic_dedup_keeps_one_per_chain(self, spark, vectors):
+        """SemDeDup within label cells: each cluster of near-identical
+        vectors keeps exactly its lowest-id member; cross-cell near-dups
+        survive (recall bounded by the clustering, like the paper)."""
+        from delta_sharing_spark.operators.similarity import semantic_dedup
+
+        kept = semantic_dedup(vectors, "label", threshold=0.95)
+        ids = sorted(r["vec_id"] for r in kept.select("vec_id").collect())
+        # every kept id has no lower-id near-dup in its cell
+        assert min(ids) == 0
+        full = vectors.count()
+        assert 0 < len(ids) < full
+
     def test_topk_partition_count_invariance(self, spark, vectors):
         """The two-phase top-k is exact under any input partitioning."""
         base = brute_force_topk(vectors.filter("vec_id < 3"), vectors, k=3)

@@ -241,6 +241,78 @@ class TestRangeQueryHttp:
             os.unlink(prof)
 
 
+class TestEndStreamActionCapability:
+    def test_trailer_on_every_response_when_requested(self, spark,
+                                                      tmp_path):
+        """delta-sharing-capabilities: includeendstreamaction=true adds an
+        endStreamAction trailer to query / range / changes responses even
+        without pagination (ref getRequestEndStreamAction)."""
+        import urllib.request
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.range(4).selectExpr("id").coalesce(1), name="t",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.append(spark.range(4, 6).selectExpr("id").coalesce(1))
+        srv, prof = _serve(spark, d, cdf=True)
+        base = (f"http://127.0.0.1:{srv.port}/shares/s/schemas/d/tables/t")
+        hdrs = {"Authorization": "Bearer tok",
+                "Content-Type": "application/json",
+                "delta-sharing-capabilities": "includeendstreamaction=true"}
+        try:
+            def lines_of(url, body=None):
+                req = urllib.request.Request(
+                    url, data=json.dumps(body).encode() if body else None,
+                    method="POST" if body is not None else "GET",
+                    headers=hdrs)
+                with urllib.request.urlopen(req) as r:
+                    return [json.loads(x) for x in
+                            r.read().decode().splitlines() if x]
+
+            for lines in (
+                lines_of(f"{base}/query", body={}),
+                lines_of(f"{base}/query", body={"startingVersion": 0}),
+                lines_of(f"{base}/changes?startingVersion=0"),
+            ):
+                assert "endStreamAction" in lines[-1], lines[-1]
+            # without the capability: no trailer on unpaged responses
+            del hdrs["delta-sharing-capabilities"]
+            for lines in (
+                lines_of(f"{base}/query", body={}),
+                lines_of(f"{base}/changes?startingVersion=0"),
+            ):
+                assert "endStreamAction" not in lines[-1]
+        finally:
+            srv.shutdown()
+            os.unlink(prof)
+
+
+class TestMetadataVersionParams:
+    def test_metadata_rpc_time_travel(self, spark, tmp_path):
+        from delta_sharing_spark.auth import BearerTokenAuthProvider
+        from delta_sharing_spark.rest import DataSharingRestClient
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.range(3).selectExpr("id").coalesce(1), name="t")
+        log.add_column("w", "double")
+        srv, prof = _serve(spark, d)
+        try:
+            client = DataSharingRestClient(
+                f"http://127.0.0.1:{srv.port}",
+                auth_provider=BearerTokenAuthProvider("tok"))
+            v0 = client.query_table_metadata("s", "d", "t", version=0)
+            latest = client.query_table_metadata("s", "d", "t")
+            v0_schema = next(m["metaData"]["schemaString"]
+                             for m in v0 if "metaData" in m)
+            latest_schema = next(m["metaData"]["schemaString"]
+                                 for m in latest if "metaData" in m)
+            assert "w" not in v0_schema and "w" in latest_schema
+        finally:
+            srv.shutdown()
+            os.unlink(prof)
+
+
 class TestRemoteStreaming:
     """The reference's remote streaming consumer: readStream against an
     http profile, micro-batches planned through version-range QueryTable

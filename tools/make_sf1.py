@@ -67,6 +67,10 @@ def build(out_root: str = "/tmp/dss_sf1") -> str:
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     spark = get_spark(app_name="dss_sf1_gen")
+    # write INT64 µs timestamps (not legacy INT96) so the output reads
+    # back exactly like the driver's normalized testdata
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
 
     def load(name):
         return read_table(spark, SRC, name)
