@@ -115,6 +115,9 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # progress to stderr (stdout stays the single JSON line)
+        print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr,
+              flush=True)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -683,15 +683,20 @@ class SharedTable:
             {"protocol": head_proto},
             {"metaData": {**self.metadata(version=starting_version)}},
         ]
-        # interleaved tail: (is_file_action, line)
+        # streaming emission with early page termination (ref returns
+        # mid-loop once numSignedFiles hits the page size,
+        # DeltaSharedTable.scala:633-660): commits past the filled page are
+        # never read, so a page over a month-long backlog costs O(page),
+        # not O(range). Non-file lines (metaData/protocol) ride with the
+        # page containing their neighbouring files.
         from dataclasses import asdict
 
-        tail: list[tuple[bool, dict[str, Any]]] = []
-        prev_cm = snap.column_mapping
-        for commit in self.log.commits(starting_version, end):
+        def commit_lines(commit) -> list[tuple[bool, dict[str, Any]]]:
+            nonlocal prev_cm
+            out: list[tuple[bool, dict[str, Any]]] = []
             v, ts = commit.version, commit.timestamp
             if commit.metadata is not None and v > starting_version:
-                tail.append((False, {"metaData": {
+                out.append((False, {"metaData": {
                     **asdict(commit.metadata), "version": v}}))
             if emit_protocol and v > starting_version:
                 # a protocol change mid-range = an explicit in-commit
@@ -708,7 +713,7 @@ class SharedTable:
                             {"minReaderVersion": 2, "minWriterVersion": 5}
                             if cm_now else {"minReaderVersion": 1})
                 if proto_line is not None:
-                    tail.append((False, {"protocol": {
+                    out.append((False, {"protocol": {
                         **proto_line, "version": v}}))
             if commit.metadata is not None:
                 cm_next = (commit.metadata.configuration or {}).get(
@@ -737,50 +742,44 @@ class SharedTable:
                         dv["pathOrInlineDv"] = self.log.abs_path(
                             dv["pathOrInlineDv"])
                     line["add"]["deletionVector"] = dv
-                tail.append((True, line))
+                out.append((True, line))
             for r in commit.removes:
                 if not r.dataChange:
                     continue
-                tail.append((True, {"remove": {
+                out.append((True, {"remove": {
                     "url": self.log.abs_path(r.path), "id": r.path,
                     "partitionValues": r.partitionValues, "size": r.size,
                     "timestamp": ts, "version": v}}))
-        # page: max_files FILE actions starting at file-index start_idx;
-        # non-file lines ride with the page containing their neighbours
+            return out
+
+        prev_cm = snap.column_mapping
         next_token = None
-        if max_files is None:
-            if start_idx:
-                seen = 0
-                body = []
-                for is_file, line in tail:
-                    if is_file:
-                        seen += 1
-                        if seen <= start_idx:
-                            continue
-                    elif seen < start_idx:
-                        continue
-                    body.append(line)
-            else:
-                body = [line for _f, line in tail]
-        else:
-            body, emitted, seen = [], 0, 0
-            for is_file, line in tail:
+        body: list[dict[str, Any]] = []
+        emitted, seen, done = 0, 0, False
+        for v in self.log._list_versions():
+            if v < starting_version or v > end or done:
+                continue
+            for is_file, line in commit_lines(self.log.read_commit(v)):
                 if is_file:
                     seen += 1
                     if seen <= start_idx:
                         continue
-                    if emitted >= max_files:
+                    if max_files is not None and emitted >= max_files:
                         next_token = base64.urlsafe_b64encode(json.dumps({
                             "start": seen - 1, "end": end,
                             "checksum": checksum,
                             "expiration": int(_time.time() * 1000)
                             + PAGE_TOKEN_TTL_MS,
                         }).encode()).decode()
+                        done = True
                         break
                     emitted += 1
-                elif seen < start_idx or emitted >= max_files:
+                elif seen < start_idx or (
+                        max_files is not None and emitted >= max_files):
                     continue
                 body.append(line)
+            if done:
+                break
         lines += body
         if max_files is not None or include_end_stream_action:
             end_action: dict[str, Any] = {}
