@@ -538,6 +538,23 @@ class SharedTableStreamReader(DataSourceStreamReader):
         self._last_poll_ts: float | None = None
         self._schema = schema
         self._last_planned: dict | None = None
+        # Delta-style schemaTrackingLocation: opt-in stepwise schema
+        # evolution. With it set, a gate-stopping metadata change becomes a
+        # boundary — backlog before it drains first, then the new schema is
+        # persisted and the stream raises RetryableSchemaEvolution; the
+        # restarted query plans on the tracked schema and continues from
+        # the same checkpoint. Compat gates skip versions < the tracked
+        # floor (that history is replayed through the physical-name
+        # projection under the evolved plan).
+        self.schema_tracking_location = options.get("schematrackinglocation")
+        self._tracked_floor: int | None = None
+        if self.schema_tracking_location:
+            from delta_sharing_spark.streaming.schema import SchemaTrackingLog
+
+            entry = SchemaTrackingLog(self.schema_tracking_location).latest()
+            if entry is not None:
+                self._tracked_floor = int(entry["version"])
+        self._pending_evolution: tuple[int, str] | None = None
         # test instrumentation: when set, append one JSON line per reader
         # API call (the reader lives in a separate Python worker process, so
         # tests can only observe it through a side-channel file)
@@ -595,8 +612,11 @@ class SharedTableStreamReader(DataSourceStreamReader):
         if self.read_change_feed:
             return self._cdf_sequence(from_version)
         out = []
+        self._pending_evolution = None
         for commit in log.commits(from_version):
-            if commit.metadata is not None and self._schema is not None:
+            if commit.metadata is not None and self._schema is not None \
+                    and (self._tracked_floor is None
+                         or commit.version >= self._tracked_floor):
                 # schema-compat gate on interleaved metadata commits
                 # (ref SchemaUtils.scala:37-90 via DeltaSharingSource:996-1001).
                 # Physical-name-aware variant: the executor projection
@@ -607,13 +627,24 @@ class SharedTableStreamReader(DataSourceStreamReader):
 
                 from delta_sharing_spark.streaming.schema import (
                     check_read_compatible_physical,
+                    is_tracking_boundary,
                 )
 
                 new_schema = T.StructType.fromJson(
                     _json.loads(commit.metadata.schemaString)
                 )
-                check_read_compatible_physical(self._schema, new_schema,
-                                               version=commit.version)
+                if self.schema_tracking_location:
+                    # tracked mode: any change the plan should follow is an
+                    # evolution boundary — truncate here so the pre-change
+                    # backlog drains first; latestOffset persists+raises
+                    # once nothing is left before the boundary
+                    if is_tracking_boundary(self._schema, new_schema):
+                        self._pending_evolution = (
+                            commit.version, commit.metadata.schemaString)
+                        break
+                else:
+                    check_read_compatible_physical(self._schema, new_schema,
+                                                   version=commit.version)
             data_removes = [r for r in commit.removes if r.dataChange]
             if data_removes and not commit.cdc:
                 if self.skip_change_commits:
@@ -653,27 +684,35 @@ class SharedTableStreamReader(DataSourceStreamReader):
 
         log = self._log()
         out = []
+        self._pending_evolution = None
         for commit in log.commits(from_version):
             if is_noop_merge(commit.info):
                 continue  # ref DeltaSharingCDCReader.scala:301-323
-            if commit.metadata is not None and self._schema is not None:
+            if commit.metadata is not None and self._schema is not None \
+                    and (self._tracked_floor is None
+                         or commit.version >= self._tracked_floor):
                 import json as _json
 
                 from delta_sharing_spark.streaming.schema import (
                     check_read_compatible_physical,
+                    is_tracking_boundary,
                 )
 
-                data_fields = [
+                data_fields = T.StructType([
                     f for f in self._schema.fields
                     if f.name not in
                     ("_change_type", "_commit_version", "_commit_timestamp")
-                ]
-                check_read_compatible_physical(
-                    T.StructType(data_fields),
-                    T.StructType.fromJson(
-                        _json.loads(commit.metadata.schemaString)),
-                    version=commit.version,
-                )
+                ])
+                new_schema = T.StructType.fromJson(
+                    _json.loads(commit.metadata.schemaString))
+                if self.schema_tracking_location:
+                    if is_tracking_boundary(data_fields, new_schema):
+                        self._pending_evolution = (
+                            commit.version, commit.metadata.schemaString)
+                        break
+                else:
+                    check_read_compatible_physical(
+                        data_fields, new_schema, version=commit.version)
             entries: list[tuple[object, str | None]] = []
             if commit.cdc:
                 entries = [(c, None) for c in
@@ -784,6 +823,24 @@ class SharedTableStreamReader(DataSourceStreamReader):
                 return dict(start)
             self._last_poll_ts = now
         seq = self._after(self._sequence_for(start), start)
+        if not seq and self._pending_evolution is not None:
+            # nothing left before the evolution boundary: persist the new
+            # schema and stop the query with the restart-to-continue error
+            # (Delta's schemaTrackingLocation protocol)
+            from delta_sharing_spark.streaming.schema import (
+                RetryableSchemaEvolution,
+                SchemaTrackingLog,
+            )
+
+            bv, schema_str = self._pending_evolution
+            SchemaTrackingLog(self.schema_tracking_location).evolve(
+                bv, schema_str)
+            raise RetryableSchemaEvolution(
+                f"the shared table's schema changed at version {bv}; the "
+                f"new schema has been persisted to the schema tracking "
+                f"location ({self.schema_tracking_location}) — restart the "
+                f"streaming query to continue from the same checkpoint "
+                f"under the new schema")
         if self.available_now:
             admitted = seq  # drain to the frozen end, ignoring caps
         else:
@@ -920,14 +977,47 @@ class SharedTableDataSource(DataSource):
         version = (int(self.options["version"])
                    if self.options.get("version") else None)
         timestamp = self.options.get("timestamp")
-        mode, target = resolve_source_path(self.options["path"])
-        if mode == "remote":
-            schema_str, _cfg = remote_schema_json(*target)
-            schema = T.StructType.fromJson(_json.loads(schema_str))
+        tracking = self.options.get("schematrackinglocation")
+        tracked = None
+        if tracking:
+            from delta_sharing_spark.streaming.schema import SchemaTrackingLog
+
+            tracked = SchemaTrackingLog(tracking).latest()
+        if tracked is not None:
+            # a restarted stream plans on the evolved schema persisted at
+            # the last RetryableSchemaEvolution boundary
+            schema = T.StructType.fromJson(
+                _json.loads(tracked["schemaString"]))
         else:
-            snap = TableLog(None, target).snapshot(
-                version=version, timestamp=timestamp)
-            schema = snap.schema
+            mode, target = resolve_source_path(self.options["path"])
+            if mode == "remote":
+                schema_str, _cfg = remote_schema_json(*target)
+                schema = T.StructType.fromJson(_json.loads(schema_str))
+                seed = (0, schema_str)
+            else:
+                log = TableLog(None, target)
+                sv = self.options.get("startingversion")
+                st = self.options.get("startingtimestamp")
+                if tracking and sv is not None and sv != "latest":
+                    snap = log.snapshot(version=int(sv))
+                elif tracking and st is not None:
+                    snap = log.snapshot(
+                        version=log.earliest_version_at_or_after(st))
+                else:
+                    snap = log.snapshot(version=version, timestamp=timestamp)
+                schema = snap.schema
+                seed = (snap.version, snap.metadata.schemaString)
+            if tracking:
+                # fresh tracked stream: seed the log with the schema AT the
+                # stream's starting version so compat gates apply from
+                # there and historical metadata commits before it don't
+                # force spurious evolution restarts (Delta seeds its
+                # metadata tracking log the same way)
+                from delta_sharing_spark.streaming.schema import (
+                    SchemaTrackingLog,
+                )
+
+                SchemaTrackingLog(tracking).evolve(*seed)
         if self.options.get("readchangefeed", "false") == "true":
             # CDF virtual columns (PROTOCOL.md:2359-2362)
             schema = T.StructType(

@@ -37,6 +37,69 @@ class SchemaCompatError(Exception):
     pass
 
 
+class RetryableSchemaEvolution(SchemaCompatError):
+    """The stream stopped at a schema-change boundary AFTER persisting the
+    new schema to the schema tracking location: restarting the query picks
+    the evolved schema up and continues from the same checkpoint (the
+    stepwise evolve-on-restart protocol of Delta's
+    ``schemaTrackingLocation``; each non-additive change costs exactly one
+    restart because the executor plan schema is fixed for the lifetime of
+    a query)."""
+
+
+class SchemaTrackingLog:
+    """Persisted stream read-schema, one JSON entry per evolution
+    (``<location>/_schema_log/<seq 20d>.json``), modeled on Delta's
+    DeltaSourceMetadataTrackingLog. Entry: ``{"version": v,
+    "schemaString": s}`` — plan the stream on schema ``s`` from commit
+    ``v`` onward; compat gates apply only at versions >= v (earlier
+    history is served through the physical-name projection, which is what
+    makes replay across the boundary well-defined)."""
+
+    def __init__(self, location: str):
+        import os
+
+        self.dir = os.path.join(location, "_schema_log")
+
+    def _entries(self) -> list[str]:
+        import os
+
+        if not os.path.isdir(self.dir):
+            return []
+        return sorted(f for f in os.listdir(self.dir)
+                      if f.endswith(".json"))
+
+    def latest(self) -> dict | None:
+        import json
+        import os
+
+        names = self._entries()
+        if not names:
+            return None
+        with open(os.path.join(self.dir, names[-1])) as fh:
+            return json.load(fh)
+
+    def evolve(self, version: int, schema_string: str) -> None:
+        """Append the evolved entry (atomic tempfile+rename; idempotent if
+        the latest entry already records this boundary)."""
+        import json
+        import os
+        import tempfile
+
+        cur = self.latest()
+        if cur is not None and cur["version"] == version \
+                and cur["schemaString"] == schema_string:
+            return
+        os.makedirs(self.dir, exist_ok=True)
+        seq = len(self._entries())
+        payload = json.dumps(
+            {"version": version, "schemaString": schema_string})
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        os.rename(tmp, os.path.join(self.dir, f"{seq:020d}.json"))
+
+
 def _field_map(schema: T.StructType) -> dict[str, T.StructField]:
     return {f.name.lower(): f for f in schema.fields}
 
@@ -146,6 +209,29 @@ def is_read_compatible_physical(planned: T.StructType,
         if nf.nullable and not pf.nullable:
             return False
     return True
+
+
+def is_tracking_boundary(planned: T.StructType, new: T.StructType) -> bool:
+    """With ``schemaTrackingLocation`` set, a metadata commit is an
+    evolution boundary iff the plan should CHANGE to follow it (Delta's
+    tracked-schema semantics): the lenient physical gate fails
+    (added column / narrowing / nullability loosening / mid-stream widen),
+    a planned column was dropped, or a shared physical column's logical
+    name changed (rename under column mapping). Equal schemas and
+    no-op metadata rewrites (e.g. enabling column mapping, which stamps
+    physicalName == current name) are NOT boundaries."""
+    if not is_read_compatible_physical(planned, new):
+        return True
+
+    def phys(f: T.StructField) -> str:
+        return (f.metadata or {}).get(_CM_PHYSICAL_KEY, f.name).lower()
+
+    new_by_phys = {phys(f): f for f in new.fields}
+    for pf in planned.fields:
+        nf = new_by_phys.get(phys(pf))
+        if nf is None or nf.name != pf.name:
+            return True  # dropped or renamed: evolve the plan to follow
+    return False
 
 
 def check_read_compatible_physical(planned: T.StructType,

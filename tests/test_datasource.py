@@ -654,6 +654,136 @@ class TestStreamRestartAfterSchemaChange:
         assert all(got[i] == i % 100 for i in got)
 
 
+class TestSchemaTrackingLocation:
+    """Delta-style schemaTrackingLocation: a gate-stopping metadata change
+    becomes a restart boundary instead of a dead end. Protocol per
+    evolution: (1) the running stream drains every file BEFORE the change,
+    then persists the new schema under <location>/_schema_log and fails
+    with RetryableSchemaEvolution; (2) the restarted query plans on the
+    tracked schema and continues from the same checkpoint."""
+
+    def _run(self, spark, d, out_dir, ckpt, track):
+        import uuid
+
+        q = (spark.readStream.format("deltashare").option("path", d)
+             .option("startingVersion", "0")
+             .option("maxFilesPerTrigger", "2")
+             .option("schemaTrackingLocation", track)
+             .load()
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(processingTime="150 milliseconds")
+             .queryName(f"st_{uuid.uuid4().hex[:6]}")
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_add_column_evolves_on_restart(self, spark, events, tmp_path):
+        from pyspark.sql.streaming import StreamingQueryException
+
+        spark.dataSource.register(SharedTableDataSource)
+        d = str(tmp_path / "st_table")
+        log = TableLog(spark, d)
+        log.create(events.select("event_id", "event_type")
+                   .filter("event_id < 200"), name="st")
+        log.enable_column_mapping()
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        track = str(tmp_path / "track")
+
+        self._run(spark, d, out_dir, ckpt, track)
+        assert spark.read.parquet(out_dir).count() == 200
+
+        log.add_column("extra", "int")
+        log.append(events.select("event_id", "event_type")
+                   .withColumn("extra", F.lit(7).cast("int"))
+                   .filter("event_id >= 200 AND event_id < 300"))
+
+        # backlog is already drained -> the restarted run hits the boundary
+        # immediately: persists the schema, fails retryable
+        with pytest.raises(StreamingQueryException) as exc:
+            self._run(spark, d, out_dir, ckpt, track)
+        assert "schema tracking" in str(exc.value)
+        from delta_sharing_spark.streaming.schema import SchemaTrackingLog
+
+        entry = SchemaTrackingLog(track).latest()
+        assert entry is not None and "extra" in entry["schemaString"]
+
+        # restart #2 plans on the tracked schema and drains the new files
+        self._run(spark, d, out_dir, ckpt, track)
+        final = spark.read.option("mergeSchema", "true").parquet(out_dir)
+        assert final.count() == 300
+        got = {r["event_id"]: r["extra"] for r in final.collect()}
+        assert all(got[i] == 7 for i in range(200, 300))
+        assert all(got[i] is None for i in range(0, 200))
+
+    def test_drop_column_evolves_and_serves_backlog_first(
+            self, spark, events, tmp_path):
+        """A drop mid-backlog: the first run drains every pre-change file
+        (under the old plan), THEN fails with the evolution error; the
+        restart serves post-change files without the dropped column."""
+        from pyspark.sql.streaming import StreamingQueryException
+
+        spark.dataSource.register(SharedTableDataSource)
+        d = str(tmp_path / "st_drop")
+        log = TableLog(spark, d)
+        log.create(events.select("event_id", "event_type", "value")
+                   .filter("event_id < 100"), name="std")
+        log.enable_column_mapping()
+        log.append(events.select("event_id", "event_type", "value")
+                   .filter("event_id >= 100 AND event_id < 150"))
+        log.drop_column("value")
+        log.append(events.select("event_id", "event_type")
+                   .filter("event_id >= 150 AND event_id < 160"))
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        track = str(tmp_path / "track")
+
+        with pytest.raises(StreamingQueryException):
+            self._run(spark, d, out_dir, ckpt, track)
+        # every pre-change row drained before the failure, with values
+        pre = spark.read.parquet(out_dir)
+        assert pre.count() == 150
+        assert pre.filter("value IS NOT NULL").count() == 150
+
+        self._run(spark, d, out_dir, ckpt, track)
+        final = spark.read.option("mergeSchema", "true").parquet(out_dir)
+        assert final.count() == 160
+        assert final.select("event_id").distinct().count() == 160
+
+    def test_without_tracking_drop_is_a_hard_stop(self, spark, events,
+                                                  tmp_path):
+        """No schemaTrackingLocation: a stream planned on the latest schema
+        (post-DROP) hits the creation commit's metadata — which carries a
+        physical column the plan cannot represent — and stops hard; the
+        same setup with a tracking location is the recoverable case above."""
+        from pyspark.sql.streaming import StreamingQueryException
+
+        spark.dataSource.register(SharedTableDataSource)
+        d = str(tmp_path / "st_plain")
+        log = TableLog(spark, d)
+        log.create(events.select("event_id", "event_type", "value")
+                   .filter("event_id < 50"), name="stp")
+        log.enable_column_mapping()
+        log.drop_column("value")
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        with pytest.raises(StreamingQueryException) as exc:
+            import uuid
+
+            q = (spark.readStream.format("deltashare").option("path", d)
+                 .option("startingVersion", "0")
+                 .load()
+                 .writeStream.format("parquet").option("path", out_dir)
+                 .option("checkpointLocation", ckpt)
+                 .queryName(f"stp_{uuid.uuid4().hex[:6]}")
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        assert "incompatible schema change" in str(exc.value)
+
+
 class TestStreamingOps:
     """Streaming operators (streaming/ops.py) over the deltashare source:
     built-in stateful primitives (dedup state store, session_window,

@@ -141,7 +141,10 @@ def build(out_root: str = "/tmp/dss_sf1") -> str:
 
     docs, _ = offsets(load("documents"), ["doc_id"])
     src_v = "aeiouAEIOU"
-    perm = F.concat(*[
+    # one WHEN branch per replica; coalesce picks the matching branch
+    # (concat would null out the whole map: every non-matching branch is
+    # NULL and concat null-propagates)
+    perm = F.coalesce(*[
         F.when(F.col("__r") == i,
                F.lit(VOWELS[i] + VOWELS[i].upper()))
         for i in range(REPLICAS)])
