@@ -345,3 +345,79 @@ def stream_remote_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         srv.shutdown()
         _os.unlink(prof.name)
+
+
+def _events_schema_evolution(spark: SparkSession, sf_dir: str) -> str:
+    """5-version fixture for tracked schema evolution: create(3 cols) ->
+    enable column mapping -> append -> DROP COLUMN value -> append (2
+    cols). Scale-relative predicates (event_id % 4) so the same fixture
+    is valid at every SF."""
+    from delta_sharing_spark.workloads.engine import _fixture
+
+    def build(spark: SparkSession, path: str) -> None:
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value")
+        log = TableLog(spark, path)
+        log.create(ev.filter("event_id % 4 = 0"), name="events_evolve")
+        log.enable_column_mapping()
+        log.append(ev.filter("event_id % 4 = 1"))
+        log.drop_column("value")
+        log.append(ev.filter("event_id % 4 = 2")
+                   .select("event_id", "event_type"))
+
+    return _fixture(spark, sf_dir, "events_schema_evolution", build)
+
+
+@workload(
+    "stream_schema_evolution_drain",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_id % 4 <= 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_value,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
+    FROM events WHERE event_id % 4 <= 2
+    """,
+)
+def stream_schema_evolution_drain(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """schemaTrackingLocation evolution protocol end-to-end (the engine's
+    analogue of Delta's DeltaSourceMetadataTrackingLog): a stream over a
+    log containing a DROP COLUMN drains every pre-change file, persists
+    the evolved schema, fails retryable, and the restarted query (same
+    checkpoint) continues under the new schema. The drained union —
+    pre-drop rows with values, post-drop rows without — must match the
+    SQL oracle exactly-once."""
+    import tempfile
+
+    from pyspark.sql.streaming import StreamingQueryException
+
+    path = _events_schema_evolution(spark, sf_dir)
+    spark.dataSource.register(SharedTableDataSource)
+    with tempfile.TemporaryDirectory() as tmp:
+        out_dir, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+        track = f"{tmp}/track"
+        for _attempt in range(4):  # one restart per evolution boundary
+            q = (spark.readStream.format("deltashare").option("path", path)
+                 .option("startingVersion", "0")
+                 .option("maxFilesPerTrigger", "2")
+                 .option("schemaTrackingLocation", track)
+                 .load()
+                 .writeStream.format("parquet").option("path", out_dir)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(processingTime="200 milliseconds")
+                 .queryName(f"dss_evolve_{uuid.uuid4().hex[:8]}")
+                 .start())
+            try:
+                q.processAllAvailable()
+                q.stop()
+                break
+            except StreamingQueryException:
+                q.stop()  # evolution boundary: schema persisted, restart
+        out = spark.read.option("mergeSchema", "true").parquet(out_dir)
+        result = out.agg(
+            F.count("*").alias("n_rows"),
+            F.count("value").alias("n_with_value"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+        rows = result.collect()  # materialize before the tempdir vanishes
+    return spark.createDataFrame(rows, result.schema)
