@@ -186,3 +186,142 @@ def ngram_lm_score(docs: DataFrame, lm: DataFrame, id_col: str,
         (F.sum("__lk_u").cast("double") / F.count("*"))
         .alias("avg_likelihood_u"),
     )
+
+
+# --------------------------------------------- DSIR importance resampling
+#
+# Data Selection via Importance Resampling (Xie et al. 2023): select raw
+# documents whose hashed-n-gram distribution looks like a small target
+# corpus. log-importance of doc d = sum_k c_dk * (ln p_k - ln q_k) with
+# p/q add-one-smoothed hashed-n-gram unigram models of the target/raw
+# corpora; selection = Gumbel top-k over the log-weights (sampling
+# without replacement proportional to the importance weights).
+#
+# Scale shape: counts are a map-side explode + one (doc, bucket)
+# aggregation; the fit is two bucket aggregations + one full-outer join on
+# a `buckets`-sized key space (thousands of rows -> broadcast); scoring is
+# ONE equi-join of doc buckets against the broadcast model + a per-doc
+# aggregation; resampling is a distributed partial top-k
+# (TakeOrderedAndProject). Nothing is quadratic, no Python in the path.
+#
+# Determinism: each per-bucket log-ratio (and each per-doc Gumbel key) is
+# a SINGLE float expression quantized to integer micro-units at the point
+# of computation — all accumulation happens on exact BIGINTs, so results
+# are partition-order independent and replay bit-exactly in other engines
+# (the ~1-ulp libm ln() divergence only matters within 1e-6-scaled
+# half-integers).
+
+DSIR_UNIT = 1_000_000
+
+
+def _word_ngrams(text_col: str, n: int) -> F.Column:
+    """All word n-grams (multiset, not distinct) of a whitespace-tokenized
+    text column; docs shorter than n words emit their full text once."""
+    return F.expr(
+        f"""
+        transform(
+          sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),
+          i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))
+        )
+        """
+    )
+
+
+def hashed_ngram_counts(df: DataFrame, id_col: str, text_col: str, *,
+                        n: int = 2, buckets: int = 8192,
+                        salt: str = "dsir") -> DataFrame:
+    """(id, bucket, c): seeded-md5 hashed word-n-gram counts — the DSIR
+    feature vector, sparse by construction. One explode + one aggregation
+    with map-side partial counts."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(_word_ngrams(text_col, n)).alias("__g"),
+    )
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col("__g"))
+                  .cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % buckets
+    )
+    return (grams.select(F.col(id_col), bucket.alias("bucket"))
+            .groupBy(id_col, "bucket").agg(F.count("*").alias("c")))
+
+
+def dsir_fit(target_counts: DataFrame, raw_counts: DataFrame, *,
+             buckets: int = 8192) -> DataFrame:
+    """Per-bucket quantized log importance ratios: ``llr_u =
+    round((ln p_hat_k - ln q_hat_k) * 1e6)`` as BIGINT with add-one
+    smoothing ``p_hat_k = (p_k + 1) / (P + buckets)``. Returns
+    ``(bucket, llr_u, default_u)`` where ``default_u`` (attached to every
+    row, like the vocab column in ngram_lm_train) is the ratio for buckets
+    unseen in BOTH corpora."""
+    p = target_counts.groupBy("bucket").agg(F.sum("c").alias("p_k"))
+    q = raw_counts.groupBy("bucket").agg(F.sum("c").alias("q_k"))
+    p_tot = p.agg(F.sum("p_k").alias("__P"))
+    q_tot = q.agg(F.sum("q_k").alias("__Q"))
+
+    def _lr(p_expr, q_expr):
+        return F.round(
+            (F.log((p_expr + 1).cast("double")
+                   / (F.col("__P") + buckets).cast("double"))
+             - F.log((q_expr + 1).cast("double")
+                     / (F.col("__Q") + buckets).cast("double")))
+            * DSIR_UNIT
+        ).cast("long")
+
+    return (
+        p.join(q, "bucket", "full")
+        .crossJoin(F.broadcast(p_tot))
+        .crossJoin(F.broadcast(q_tot))
+        .select(
+            "bucket",
+            _lr(F.coalesce("p_k", F.lit(0)),
+                F.coalesce("q_k", F.lit(0))).alias("llr_u"),
+            _lr(F.lit(0), F.lit(0)).alias("default_u"),
+        )
+    )
+
+
+def dsir_importance(doc_counts: DataFrame, model: DataFrame,
+                    id_col: str) -> DataFrame:
+    """Per-document log-importance: ``logw_u = sum_k c_k * llr_u[k]``
+    (exact BIGINT; buckets outside the model take the smoothing default).
+    One equi-join on the bucket (model is buckets-sized -> broadcast) +
+    one per-doc aggregation."""
+    default = model.agg(F.max("default_u").alias("__d"))
+    return (
+        doc_counts.join(F.broadcast(model.select("bucket", "llr_u")),
+                        "bucket", "left")
+        .crossJoin(F.broadcast(default))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c") * F.coalesce("llr_u", F.col("__d")))
+            .alias("logw_u"),
+            F.sum("c").alias("n_grams"),
+        )
+    )
+
+
+def dsir_resample(weights: DataFrame, id_col: str, k: int, *,
+                  salt: str = "gumbel") -> DataFrame:
+    """Gumbel top-k resampling: ``key_u = logw_u + round(-ln(-ln(u)) *
+    1e6)`` with ``u`` a seeded-md5 uniform in (0, 1) — equivalent to
+    sampling k docs without replacement with probability proportional to
+    their importance weights, but deterministic and engine-replayable.
+    sort+limit compiles to TakeOrderedAndProject: per-partition partial
+    top-k, then a k-row merge on one reducer — no global sort."""
+    u = (
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
+                  .cast("binary")), 1, 8), 16, 10).cast("bigint") + 1)
+        .cast("double") / F.lit(4294967297.0)
+    )
+    gumbel_u = F.round(-F.log(-F.log(u)) * DSIR_UNIT).cast("long")
+    return (
+        weights.select(
+            id_col, "logw_u", "n_grams",
+            (F.col("logw_u") + gumbel_u).alias("key_u"),
+        )
+        .orderBy(F.desc("key_u"), id_col)
+        .limit(k)
+    )

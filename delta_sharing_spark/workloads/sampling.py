@@ -306,3 +306,80 @@ def q_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("mix_tokens"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+@workload(
+    "q_dsir_resample",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 1, 1)),
+               i -> array_to_string(list_slice(w, i::INT, i::INT + 1), ' ')
+             )) AS g
+      FROM sp
+    ),
+    counts AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('dsir:' || g), 1, 8))::BIGINT % 8192
+               AS bucket,
+             COUNT(*) AS c
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    p AS (SELECT bucket, SUM(c) AS p_k FROM counts WHERE lang = 'en'
+          GROUP BY 1),
+    q AS (SELECT bucket, SUM(c) AS q_k FROM counts GROUP BY 1),
+    tot AS (SELECT (SELECT SUM(p_k) FROM p) AS tp,
+                   (SELECT SUM(q_k) FROM q) AS tq),
+    model AS (
+      SELECT bucket,
+             CAST(round((ln((COALESCE(p_k, 0) + 1)::DOUBLE
+                             / (tp + 8192)::DOUBLE)
+                       - ln((COALESCE(q_k, 0) + 1)::DOUBLE
+                             / (tq + 8192)::DOUBLE)) * 1000000) AS BIGINT)
+               AS llr_u
+      FROM p FULL JOIN q USING (bucket) CROSS JOIN tot
+    ),
+    w AS (
+      SELECT doc_id, SUM(c * llr_u) AS logw_u, SUM(c) AS n_grams
+      FROM counts JOIN model USING (bucket)
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(logw_u AS BIGINT) AS logw_u,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(logw_u + CAST(round(-ln(-ln(
+             ((('0x' || substr(md5('gumbel' || doc_id), 1, 8))::BIGINT + 1)
+              ::DOUBLE / 4294967297.0))) * 1000000) AS BIGINT) AS BIGINT)
+             AS key_u
+    FROM w
+    ORDER BY key_u DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-bigram importance
+    weights of every document against the English subset as the target
+    distribution, Gumbel top-k resampling of the 100 most target-like
+    docs. Fit = two bucket aggregations + a broadcast-sized full-outer
+    join; scoring = one broadcast equi-join + per-doc agg; selection =
+    distributed partial top-k. All accumulation in exact integer
+    micro-units (per-bucket/per-doc log terms quantized at the point of
+    computation), so DuckDB replays the whole pipeline bit-exactly."""
+    from delta_sharing_spark.operators.scoring import (
+        dsir_fit,
+        dsir_importance,
+        dsir_resample,
+        hashed_ngram_counts,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    raw_counts = hashed_ngram_counts(docs, "doc_id", "text",
+                                     n=2, buckets=8192)
+    tgt_counts = hashed_ngram_counts(docs.filter("lang = 'en'"),
+                                     "doc_id", "text", n=2, buckets=8192)
+    model = dsir_fit(tgt_counts, raw_counts, buckets=8192)
+    weights = dsir_importance(raw_counts, model, "doc_id")
+    return dsir_resample(weights, "doc_id", 100)
