@@ -632,3 +632,135 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("bal_c").cast("double") / 100).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------- q02
+
+@workload(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 // CAST(ROUND(l_quantity) AS BIGINT)) AS cost_c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rcost AS (
+      SELECT partkey, suppkey, cost_c, s_acctbal, s_name, n_name
+      FROM cost
+      JOIN supplier ON suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    minc AS (SELECT partkey, MIN(cost_c) AS min_c FROM rcost GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, partkey, p_type,
+           CAST(cost_c AS BIGINT) AS cost_c
+    FROM rcost JOIN minc USING (partkey)
+    JOIN part ON partkey = p_partkey
+    WHERE cost_c = min_c
+    ORDER BY s_acctbal DESC, n_name, s_name, partkey
+    LIMIT 100
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q02 shape (no partsupp — supply cost adapted to each
+    supplier's best observed unit price, exact integer cents DIV units):
+    per part, the European supplier(s) achieving the minimum cost — the
+    decorrelated MIN subquery (aggregate per part, join back on equality),
+    Q02's signature plan. Dims broadcast; top-100 ends in
+    TakeOrderedAndProject."""
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE")
+    part = read_table(spark, sf_dir, "part")
+    cost = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"))
+        .agg(F.min(F.expr(
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+            " DIV CAST(ROUND(l_quantity) AS BIGINT)")).alias("cost_c"))
+    )
+    rcost = (
+        cost.join(F.broadcast(supp), cost.suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation),
+              supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region),
+              nation.n_regionkey == region.r_regionkey)
+        .select("partkey", "suppkey", "cost_c",
+                "s_acctbal", "s_name", "n_name")
+    )
+    minc = rcost.groupBy("partkey").agg(F.min("cost_c").alias("min_c"))
+    return (
+        rcost.join(minc, "partkey")
+        .filter(F.col("cost_c") == F.col("min_c"))
+        .join(part, F.col("partkey") == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "partkey", "p_type",
+                F.col("cost_c").cast("long").alias("cost_c"))
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------- q20
+
+@workload(
+    "q20_potential_promotion",
+    oracle="""
+    WITH rp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    sq AS (
+      SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty
+      FROM lineitem JOIN rp ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT partkey, SUM(qty) AS tot_qty FROM sq GROUP BY 1),
+    dom AS (
+      SELECT DISTINCT suppkey FROM sq JOIN tot USING (partkey)
+      WHERE qty * 2 > tot_qty
+    )
+    SELECT s_suppkey, s_name FROM supplier
+    JOIN dom ON s_suppkey = suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp.availqty — the 'more than half'
+    threshold adapted to dominant suppliers: shipped more than half of a
+    red part's 1997 volume): part-name filter, per-(supplier, part)
+    aggregate, correlated per-part half-total threshold, then a SEMI join
+    into supplier — Q20's nested-IN plan decorrelated. Integer-exact
+    quantities; part filter and nation dim broadcast."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")).select("p_partkey")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3")
+    sq = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"),
+                 F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.expr("CAST(ROUND(l_quantity) AS BIGINT)"))
+             .alias("qty"))
+    )
+    tot = sq.groupBy("partkey").agg(F.sum("qty").alias("tot_qty"))
+    dom = (sq.join(tot, "partkey")
+           .filter(F.col("qty") * 2 > F.col("tot_qty"))
+           .select("suppkey").distinct())
+    return (
+        supp.join(dom, supp.s_suppkey == dom.suppkey, "left_semi")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
