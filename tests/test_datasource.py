@@ -751,6 +751,52 @@ class TestSchemaTrackingLocation:
         assert final.count() == 160
         assert final.select("event_id").distinct().count() == 160
 
+    def test_cdf_stream_evolves_on_restart(self, spark, events, tmp_path):
+        """readChangeFeed + schemaTrackingLocation: the CDF gate excludes
+        the virtual columns from the boundary check and the evolved
+        restart keeps draining changes under the new schema."""
+        from pyspark.sql.streaming import StreamingQueryException
+
+        spark.dataSource.register(SharedTableDataSource)
+        d = str(tmp_path / "st_cdf")
+        log = TableLog(spark, d)
+        log.create(events.select("event_id", "event_type", "value")
+                   .filter("event_id < 80"), name="stc",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.enable_column_mapping()
+        log.drop_column("value")
+        log.append(events.select("event_id", "event_type")
+                   .filter("event_id >= 80 AND event_id < 90"))
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        track = str(tmp_path / "track")
+
+        def run():
+            import uuid
+
+            q = (spark.readStream.format("deltashare").option("path", d)
+                 .option("startingVersion", "0")
+                 .option("readChangeFeed", "true")
+                 .option("maxFilesPerTrigger", "2")
+                 .option("schemaTrackingLocation", track)
+                 .load()
+                 .writeStream.format("parquet").option("path", out_dir)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(processingTime="150 milliseconds")
+                 .queryName(f"stc_{uuid.uuid4().hex[:6]}")
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        with pytest.raises(StreamingQueryException):
+            run()  # drains the 80 pre-drop inserts, then evolves
+        assert spark.read.parquet(out_dir).count() == 80
+        run()
+        final = spark.read.option("mergeSchema", "true").parquet(out_dir)
+        assert final.count() == 90
+        assert final.filter("_change_type = 'insert'").count() == 90
+
     def test_without_tracking_drop_is_a_hard_stop(self, spark, events,
                                                   tmp_path):
         """No schemaTrackingLocation: a stream planned on the latest schema
