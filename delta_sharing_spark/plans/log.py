@@ -2530,12 +2530,19 @@ class TableLog:
         clone._write_commit(0, actions)
         return clone
 
-    def optimize(self, target_file_rows: int = 1_000_000) -> int:
+    def optimize(self, target_file_rows: int = 1_000_000,
+                 where: str | None = None) -> int:
         """OPTIMIZE (compaction): bin-pack small files into larger ones,
         partition by partition. The rewrite is dataChange=false on both
         sides, so streams reading the log skip it (no change-commit error —
         the reference's source only admits dataChange files,
         DeltaSharingSource file filtering).
+
+        ``where`` scopes the compaction to matching PARTITIONS (Delta's
+        ``OPTIMIZE tbl WHERE <partition predicate>``): a SQL expression
+        over partition columns only — anything else raises, like Delta's
+        analyzer. At 100 TB this is how nightly maintenance touches only
+        yesterday's partition instead of relisting the whole table.
 
         At 100 TB this is the small-files cure: read-side task count drops
         from O(commits x partitions) to O(data size / target file size).
@@ -2552,6 +2559,8 @@ class TableLog:
         for add in snap.files:
             key = tuple(sorted(add.partitionValues.items()))
             groups.setdefault(key, []).append(add)
+        if where is not None:
+            groups = self._filter_partition_groups(snap, groups, where)
         actions: list[Action] = []
         n_compacted = 0
         for _key, files in sorted(groups.items()):
@@ -2584,11 +2593,45 @@ class TableLog:
             snap,
             lambda v, ts: actions + [CommitInfo(
                 version=v, timestamp=ts, operation="OPTIMIZE",
+                operationParameters=(
+                    {"predicate": where} if where is not None else {}),
                 operationMetrics={"numCompacted": str(n_compacted)})],
             read_paths=compacted_inputs,
             removed_paths=compacted_inputs,
             tolerate_data_appends=True,
         )
+
+    def _filter_partition_groups(
+            self, snap: Snapshot, groups: dict[tuple, list[AddFile]],
+            where: str) -> dict[tuple, list[AddFile]]:
+        """Keep only the partition groups matching a SQL predicate over
+        partition columns (the OPTIMIZE WHERE scope). Reuses the wire
+        path's partition-hint evaluator (declared-type casts, literal-safe
+        column substitution); a predicate it cannot restrict to partition
+        columns raises, like Delta's analyzer. Partition counts are
+        bounded, so the evaluation is one tiny local job."""
+        from delta_sharing_spark.plans.predicates import (
+            sql_hint_keep_condition,
+        )
+
+        cond = sql_hint_keep_condition(
+            where, snap.partition_columns, snap.schema)
+        if cond is None:
+            raise ValueError(
+                f"OPTIMIZE WHERE supports predicates over partition "
+                f"columns only {snap.partition_columns}; got: {where!r}")
+        phys2log = dict(zip(snap.physical_partition_columns,
+                            snap.partition_columns))
+        keys = list(groups)
+        rows = [
+            {"k": i,
+             "partitionValues": {phys2log.get(c, c): v for c, v in key}}
+            for i, key in enumerate(keys)
+        ]
+        df = self.spark.createDataFrame(
+            rows, "k INT, partitionValues MAP<STRING,STRING>")
+        kept = {r["k"] for r in df.filter(cond).collect()}
+        return {key: groups[key] for i, key in enumerate(keys) if i in kept}
 
     def reorg_purge(self) -> int | None:
         """REORG TABLE APPLY (PURGE) — Delta's reorg: rewrite files that

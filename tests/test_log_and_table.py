@@ -1233,6 +1233,37 @@ class TestMaintenance:
                                           "startingversion": str(v)}, None)
         assert reader._file_sequence(v) == []
 
+    def test_optimize_where_scopes_to_matching_partitions(self, spark,
+                                                          events, table_dir):
+        """OPTIMIZE WHERE <partition predicate> compacts ONLY matching
+        partitions; non-partition predicates raise like Delta's analyzer."""
+        log = TableLog(spark, table_dir)
+        log.create(events, partition_by=["event_type"], name="t")
+        for lo in range(0, 40, 10):
+            log.append(
+                events.filter(f"event_id >= {lo} and event_id < {lo+10}"))
+        by_part_before = {}
+        for a in log.snapshot().files:
+            k = a.partitionValues["event_type"]
+            by_part_before[k] = by_part_before.get(k, 0) + 1
+        assert by_part_before["click"] > 1
+        other = next(k for k in by_part_before if k != "click")
+        log.optimize(where="event_type = 'click'")
+        snap = log.snapshot()
+        by_part = {}
+        for a in snap.files:
+            k = a.partitionValues["event_type"]
+            by_part[k] = by_part.get(k, 0) + 1
+        assert by_part["click"] == 1  # compacted
+        assert by_part[other] == by_part_before[other]  # untouched
+        info = log.commits(snap.version, snap.version)[0].info
+        assert info.operationParameters["predicate"] == \
+            "event_type = 'click'"
+        assert SharedTable(spark, table_dir).to_df().count() \
+            == events.count() + 40
+        with pytest.raises(ValueError, match="partition columns only"):
+            log.optimize(where="value > 5")
+
     def test_reorg_purges_dropped_column_bytes(self, spark, events,
                                                table_dir):
         """REORG APPLY (PURGE): DROP COLUMN is metadata-only, the bytes
