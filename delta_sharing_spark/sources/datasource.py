@@ -991,9 +991,14 @@ class SharedTableDataSource(DataSource):
         else:
             mode, target = resolve_source_path(self.options["path"])
             if mode == "remote":
-                schema_str, _cfg = remote_schema_json(*target)
+                sv = self.options.get("startingversion")
+                at = (int(sv) if tracking and sv is not None
+                      and sv != "latest" else None)
+                schema_str, _cfg = remote_schema_json(*target, version=at)
                 schema = T.StructType.fromJson(_json.loads(schema_str))
-                seed = (0, schema_str)
+                # seed at the starting version when known; otherwise floor
+                # 0 (gates simply apply everywhere, stepwise evolution)
+                seed = (at if at is not None else 0, schema_str)
             else:
                 log = TableLog(None, target)
                 sv = self.options.get("startingversion")

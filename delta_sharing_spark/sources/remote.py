@@ -427,14 +427,18 @@ def resolve_source_path(path: str):
 
 
 def remote_schema_json(profile_path: str, share: str, schema: str,
-                       table: str) -> tuple[str, dict[str, Any]]:
+                       table: str, version: int | None = None
+                       ) -> tuple[str, dict[str, Any]]:
     """(schemaString, configuration) from the metadata RPC — what the data
-    source's ``schema()`` needs without fetching any file list."""
+    source's ``schema()`` needs without fetching any file list. ``version``
+    resolves the schema AT that version (time-travel metadata RPC) — the
+    schema-tracking seed for remote streams."""
     from delta_sharing_spark.client import DeltaSharingProfile, _rest_client
 
     profile = DeltaSharingProfile.read_from_file(profile_path)
     profile.check_not_expired()
-    lines = _rest_client(profile).query_table_metadata(share, schema, table)
+    lines = _rest_client(profile).query_table_metadata(
+        share, schema, table, version=version)
     lines = _unwrap_delta_lines(lines)
     for line in lines:
         if "metaData" in line:

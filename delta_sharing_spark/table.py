@@ -649,6 +649,18 @@ class SharedTable:
                 f"table({latest}).")
         snap = self.log.snapshot(version=starting_version)
         responded_format = self._responded_format(snap, formats)
+        if responded_format == "parquet" and "delta" in formats:
+            # the START snapshot has no advanced features, but the range
+            # may cross an ENABLE COLUMN MAPPING commit whose files only
+            # decode under the delta format. Column mapping is never
+            # disabled, so CM-at-range-end <=> the range touches CM —
+            # one cached snapshot resolve, no commit scan. A delta-capable
+            # client then gets delta up front instead of a mid-range 400
+            # (parquet-only clients keep the existing mid-loop gate).
+            prelim_end = (ending_version if ending_version is not None
+                          else latest)
+            if self.log.snapshot(version=prelim_end).column_mapping:
+                responded_format = "delta"
         emit_protocol = (include_historical_protocol
                          and responded_format == "delta")
         checksum = hashlib.md5(json.dumps({

@@ -406,6 +406,73 @@ class TestRemoteStreaming:
         got = self._drain(spark, f"{prof_path}#s.d.t")
         assert got.count() == 10
 
+    def test_remote_schema_tracking_evolves_on_restart(self, spark,
+                                                       tmp_path):
+        """schemaTrackingLocation over an http profile: the seed comes
+        from the versioned metadata RPC, the boundary protocol (drain,
+        persist, retryable failure, restart under the evolved schema)
+        runs through the range-RPC-backed RemoteTableLog unchanged."""
+        from pyspark.sql.streaming import StreamingQueryException
+
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableDataSource,
+        )
+
+        d = str(tmp_path / "t")
+        # v must be NULLABLE: the parquet sink marks non-null columns
+        # REQUIRED, and a required column can't null-fill when reading the
+        # post-drop sink files alongside the pre-drop ones
+        df = spark.range(10).selectExpr(
+            "id", "if(id >= 0, id * 2, NULL) as v")
+        log = TableLog(spark, d)
+        log.create(df.filter("id < 4").coalesce(1), name="t")
+        log.enable_column_mapping()
+        log.append(df.filter("id >= 4 and id < 7").coalesce(1))
+        log.drop_column("v")
+        log.append(df.filter("id >= 7").selectExpr("id").coalesce(1))
+        srv, prof = _serve(spark, d)
+        ckpt, out_dir = str(tmp_path / "ckpt"), str(tmp_path / "out")
+        track = str(tmp_path / "track")
+        try:
+            url = f"{prof}#s.d.t"
+            spark.dataSource.register(SharedTableDataSource)
+
+            def run():
+                q = (spark.readStream.format("deltashare")
+                     .option("path", url)
+                     .option("startingVersion", "0")
+                     .option("maxFilesPerTrigger", "1")
+                     .option("schemaTrackingLocation", track)
+                     .load()
+                     .writeStream.format("parquet")
+                     .option("path", out_dir)
+                     .option("checkpointLocation", ckpt)
+                     .trigger(processingTime="200 milliseconds")
+                     .queryName(f"rst_{uuid.uuid4().hex[:6]}")
+                     .start())
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+
+            with pytest.raises(StreamingQueryException):
+                run()  # drains ids [0,7) with v, then evolves at the drop
+            pre = spark.read.parquet(out_dir)
+            assert pre.count() == 7
+            assert pre.filter("v IS NOT NULL").count() == 7
+            from delta_sharing_spark.streaming.schema import (
+                SchemaTrackingLog,
+            )
+
+            entry = SchemaTrackingLog(track).latest()
+            assert entry is not None and '"v"' not in entry["schemaString"]
+            run()
+            final = spark.read.option("mergeSchema", "true").parquet(out_dir)
+            assert sorted(r["id"] for r in final.collect()) == list(range(10))
+        finally:
+            srv.shutdown()
+            os.unlink(prof)
+
     def test_remote_cdf_streaming(self, spark, tmp_path):
         d = str(tmp_path / "t")
         df = spark.range(6).selectExpr("id", "id * 2 as v")
