@@ -56,9 +56,10 @@ HEADLINE = [
     "q_lm_filter",
     # round-6 additions (after the comparable prefix): the wire plane —
     # version-range QueryTable reconstruction and remote streaming drain
-    # over a live in-process HTTP server
+    # over a live in-process HTTP server — and DSIR importance resampling
     "eng_rest_range",
     "stream_remote_appends",
+    "q_dsir_resample",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

@@ -255,6 +255,11 @@ def dsir_fit(target_counts: DataFrame, raw_counts: DataFrame, *,
     ``(bucket, llr_u, default_u)`` where ``default_u`` (attached to every
     row, like the vocab column in ngram_lm_train) is the ratio for buckets
     unseen in BOTH corpora."""
+    # NOTE: deliberately NOT materialized — the aggregate exchanges of p/q
+    # are identical subplans wherever they recur (totals, full-outer join),
+    # so AQE's ReusedExchange already evaluates each corpus explode once
+    # inside the single fit plan; measured 2x slower with eager
+    # localCheckpoints here (they serialize the passes into blocking jobs)
     p = target_counts.groupBy("bucket").agg(F.sum("c").alias("p_k"))
     q = raw_counts.groupBy("bucket").agg(F.sum("c").alias("q_k"))
     p_tot = p.agg(F.sum("p_k").alias("__P"))
