@@ -146,6 +146,10 @@ class VersionNotFoundError(Exception):
     pass
 
 
+class ChecksumMismatchError(Exception):
+    """A version's ``.crc`` sidecar disagrees with the replayed state."""
+
+
 class CheckConstraintViolation(ValueError):
     """A write produced rows failing a ``delta.constraints.*`` CHECK
     expression (Delta's InvariantViolationException)."""
@@ -895,7 +899,79 @@ class TableLog:
             ) from exc
         finally:
             os.unlink(tmp)
+        self._write_crc(version, actions)
         self._maybe_checkpoint(version)
+
+    def _crc_path(self, version: int) -> str:
+        return os.path.join(self.log_path, f"{version:020d}.crc")
+
+    def _write_crc(self, version: int, actions: list[Action]) -> None:
+        """Version checksum sidecar (Delta's ``<v>.crc`` VersionChecksum):
+        post-commit, best-effort, advisory — ``{tableSizeBytes, numFiles,
+        numMetadata, numProtocol}`` of the state AT this version, computed
+        incrementally from the previous version's checksum (O(commit), not
+        O(table)); a gap falls back to one cached snapshot resolve.
+        Consumers: O(1) DESCRIBE DETAIL (`SharedTable.detail`) and
+        `verify_checksum()` state-corruption detection."""
+        try:
+            adds = [a for a in actions if isinstance(a, AddFile)]
+            removes = [a for a in actions if isinstance(a, RemoveFile)]
+            prev = {"numFiles": 0, "tableSizeBytes": 0}
+            if version > 0:
+                prev = self.read_crc(version - 1)
+                if prev is None:
+                    snap = self.snapshot(version=version)
+                    prev = None
+                    payload = {
+                        "numFiles": len(snap.files),
+                        "tableSizeBytes": sum(f.size or 0
+                                              for f in snap.files),
+                    }
+            if prev is not None:
+                payload = {
+                    "numFiles": prev["numFiles"] + len(adds) - len(removes),
+                    "tableSizeBytes": prev["tableSizeBytes"]
+                    + sum(a.size or 0 for a in adds)
+                    - sum(r.size or 0 for r in removes),
+                }
+            payload["numMetadata"] = sum(
+                1 for a in actions if isinstance(a, Metadata))
+            payload["numProtocol"] = sum(
+                1 for a in actions if isinstance(a, Protocol))
+            tmp = self._crc_path(version) + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps(payload))
+            os.replace(tmp, self._crc_path(version))
+        except Exception:
+            pass  # advisory sidecar: never fail the committed write
+
+    def read_crc(self, version: int) -> "dict | None":
+        try:
+            with open(self._crc_path(version)) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def verify_checksum(self, version: int | None = None) -> dict:
+        """Compare the ``.crc`` sidecar against the replayed snapshot state
+        (Delta's validateChecksum): returns the verified payload, raises
+        ``ChecksumMismatchError`` on divergence — the canary for a
+        corrupted or hand-edited log. No sidecar -> computes and returns
+        the state without raising (checksums are advisory)."""
+        snap = self.snapshot(version=version)
+        actual = {
+            "numFiles": len(snap.files),
+            "tableSizeBytes": sum(f.size or 0 for f in snap.files),
+        }
+        crc = self.read_crc(snap.version)
+        if crc is not None:
+            for k, v in actual.items():
+                if crc.get(k) != v:
+                    raise ChecksumMismatchError(
+                        f"version {snap.version} checksum mismatch on "
+                        f"{k}: crc={crc.get(k)} actual={v} — the table "
+                        f"state diverged from its recorded checksum")
+        return actual
 
     def _commit_checked(self, snap: "Snapshot", build_actions,
                         *, read_paths: set[str],
@@ -2814,6 +2890,10 @@ class TableLog:
         if not dry_run:
             for v in expendable:
                 os.remove(os.path.join(self.log_path, _fmt_version(v)))
+                try:  # the checksum sidecar expires with its commit
+                    os.remove(self._crc_path(v))
+                except FileNotFoundError:
+                    pass
                 self._commit_cache.pop(v, None)
             # checkpoints below the seeding one go too: an orphaned old
             # checkpoint would (a) let snapshot(expired_version) silently

@@ -104,6 +104,49 @@ class SharedTable:
     # ~0.3 s fixed, a driver loop over 100k commit files costs minutes).
     HISTORY_DRIVER_MAX_COMMITS = 512
 
+    def detail(self) -> DataFrame:
+        """DESCRIBE DETAIL as a one-row DataFrame: format, id, name,
+        location, createdAt, lastModified, partitionColumns, numFiles,
+        sizeInBytes, properties, minReaderVersion — Delta's detail
+        surface. numFiles/sizeInBytes come from the version's ``.crc``
+        checksum sidecar when present (O(1), no file-list walk at 100 TB
+        — the point of the sidecar), else from the snapshot."""
+        from pyspark.sql import types as T
+
+        snap = self.log.snapshot()
+        crc = self.log.read_crc(snap.version)
+        if crc is not None:
+            num_files, size = crc["numFiles"], crc["tableSizeBytes"]
+        else:
+            num_files = len(snap.files)
+            size = sum(f.size or 0 for f in snap.files)
+        meta = snap.metadata
+        schema = T.StructType([
+            T.StructField("format", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("location", T.StringType()),
+            T.StructField("createdAt", T.LongType()),
+            T.StructField("lastModified", T.LongType()),
+            T.StructField("partitionColumns",
+                          T.ArrayType(T.StringType())),
+            T.StructField("numFiles", T.LongType()),
+            T.StructField("sizeInBytes", T.LongType()),
+            T.StructField("properties",
+                          T.MapType(T.StringType(), T.StringType())),
+            T.StructField("minReaderVersion", T.IntegerType()),
+        ])
+        return self.spark.createDataFrame([(
+            (meta.format or {}).get("provider", "parquet")
+            if isinstance(meta.format, dict) else "parquet",
+            meta.id, meta.name, self.log.path,
+            meta.createdTime, snap.timestamp,
+            list(meta.partitionColumns or []),
+            int(num_files), int(size),
+            dict(meta.configuration or {}),
+            2 if snap.column_mapping else 1,
+        )], schema)
+
     def history(self, limit: int | None = None) -> DataFrame:
         """DESCRIBE HISTORY as a DataFrame (newest first): version,
         timestamp, operation, operationParameters, operationMetrics —

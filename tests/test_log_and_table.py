@@ -2571,3 +2571,79 @@ class TestAddColumnPhysicalGuard:
         # the table stays writable
         log.append(spark.createDataFrame([(3, 4)], "c long, b long"))
         assert SharedTable(spark, d).to_df().count() == 2
+
+
+class TestVersionChecksum:
+    """Delta-style .crc version checksums: written post-commit, computed
+    incrementally, consumed by O(1) DESCRIBE DETAIL and corruption
+    detection."""
+
+    def test_crc_tracks_state_across_dml(self, spark, events, table_dir):
+        import os
+
+        log = TableLog(spark, table_dir)
+        log.create(events.filter("event_id < 50"), name="t")
+        log.append(events.filter("event_id >= 50 and event_id < 100"))
+        log.delete("event_id < 10")
+        log.overwrite(events.filter("event_id < 30"))
+        log.optimize()
+        for v in log._list_versions():
+            assert os.path.exists(log._crc_path(v)), v
+            # verify_checksum replays the snapshot and compares — green
+            # at every version means the incremental math is exact
+            got = log.verify_checksum(version=v)
+            crc = log.read_crc(v)
+            assert crc["numFiles"] == got["numFiles"]
+            assert crc["tableSizeBytes"] == got["tableSizeBytes"]
+
+    def test_detail_uses_crc(self, spark, events, table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(events, partition_by=["event_type"], name="dtl")
+        t = SharedTable(spark, table_dir)
+        row = t.detail().collect()[0]
+        snap = log.snapshot()
+        assert row["numFiles"] == len(snap.files)
+        assert row["sizeInBytes"] == sum(f.size for f in snap.files)
+        assert row["partitionColumns"] == ["event_type"]
+        assert row["name"] == "dtl"
+        assert row["format"] == "parquet"
+        assert row["minReaderVersion"] == 1
+
+    def test_mismatch_raises(self, spark, events, table_dir):
+        import json as _json
+
+        from delta_sharing_spark.plans.log import ChecksumMismatchError
+
+        log = TableLog(spark, table_dir)
+        log.create(events.filter("event_id < 20"), name="t")
+        with open(log._crc_path(0)) as f:
+            crc = _json.load(f)
+        crc["numFiles"] += 7
+        with open(log._crc_path(0), "w") as f:
+            _json.dump(crc, f)
+        with pytest.raises(ChecksumMismatchError, match="numFiles"):
+            log.verify_checksum(version=0)
+
+    def test_gap_falls_back_to_snapshot(self, spark, events, table_dir):
+        import os
+
+        log = TableLog(spark, table_dir)
+        log.create(events.filter("event_id < 20"), name="t")
+        os.remove(log._crc_path(0))  # simulate a pre-checksum log tail
+        log.append(events.filter("event_id >= 20 and event_id < 40"))
+        assert log.read_crc(1) is not None
+        log.verify_checksum(version=1)
+
+    def test_expire_log_removes_crc(self, spark, events, table_dir):
+        import os
+
+        log = TableLog(spark, table_dir)
+        log.create(events.filter("event_id < 10"), name="t",
+                   configuration={"checkpointInterval": "2"})
+        for k in range(6):
+            log.append(events.filter(
+                f"event_id >= {10*(k+1)} and event_id < {10*(k+2)}"))
+        expired = log.expire_log(keep_last=2)
+        assert expired
+        for v in expired:
+            assert not os.path.exists(log._crc_path(v)), v
