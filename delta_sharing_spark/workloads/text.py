@@ -843,3 +843,62 @@ def q_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = ngram_lm_train(docs.filter("doc_id % 10 < 3"), "text")
     return ngram_lm_score(docs.filter("doc_id % 10 >= 3"), lm,
                           "doc_id", "text")
+
+
+def _bpe_oracle(num_merges: int) -> str:
+    """Chained-CTE DuckDB replay of the BPE training loop: per iteration
+    one pair-count CTE, one deterministic-argmax CTE, one merge-apply CTE
+    (the same iterative-fit-in-SQL pattern as the kmeans oracle)."""
+    def pairs(i: int) -> str:
+        return f"""
+    p{i} AS (
+      SELECT l, r, SUM(n) AS pair_n FROM (
+        SELECT unnest(a[1:len(a)-1]) AS l, unnest(a[2:len(a)]) AS r, n
+        FROM (SELECT string_split(sym, ' ') AS a, n FROM m{i})
+        WHERE len(a) >= 2
+      ) GROUP BY l, r
+    ),
+    b{i} AS (SELECT l, r, pair_n FROM p{i}
+             ORDER BY pair_n DESC, l, r LIMIT 1)"""
+
+    def apply(i: int) -> str:
+        return f"""
+    m{i + 1} AS (
+      SELECT trim(replace(' ' || sym || ' ',
+                          ' ' || b{i}.l || ' ' || b{i}.r || ' ',
+                          ' ' || b{i}.l || b{i}.r || ' ')) AS sym, n
+      FROM m{i} CROSS JOIN b{i})"""
+
+    ctes = ["""
+    m0 AS (
+      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, n FROM (
+        SELECT w, COUNT(*) AS n FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+      )
+    )"""]
+    for i in range(num_merges):
+        ctes.append(pairs(i))
+        if i + 1 < num_merges:
+            ctes.append(apply(i))
+    selects = [
+        f"""SELECT {i} AS rank, l AS "left", r AS "right", l || r AS merged,
+            CAST(pair_n AS BIGINT) AS pair_n FROM b{i}"""
+        for i in range(num_merges)
+    ]
+    return ("WITH" + ",".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+@workload("q_bpe_train", oracle=_bpe_oracle(6))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016) over the corpus: the
+    first 6 learned merges, value-checked against a chained-CTE SQL
+    replay of the whole loop. One corpus-scale aggregation (the word
+    frequency table), then every merge iteration is vocabulary-sized —
+    the property that makes subword-vocab construction tractable at
+    100 TB."""
+    from delta_sharing_spark.operators.tokenizer import bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", num_merges=6)

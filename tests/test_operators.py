@@ -1122,3 +1122,31 @@ class TestNgramLM:
         # LM_UNIT // vocab at most
         vocab = lm.select("vocab").first()[0]
         assert out[2]["sum_likelihood_u"] <= 6 * (LM_UNIT // vocab)
+
+
+class TestBpeTokenizer:
+    def test_merge_semantics_non_overlapping(self, spark):
+        """BPE's left-to-right non-overlapping merge: 'aaa' under (a,a)
+        becomes [aa, a]; merges never cross word boundaries."""
+        from delta_sharing_spark.operators.tokenizer import (
+            bpe_encode,
+            bpe_train,
+        )
+
+        df = spark.createDataFrame(
+            [("aaa aaa b aaa",)] * 4 + [("a b",)], ["text"])
+        merges = bpe_train(df, "text", num_merges=2).collect()
+        assert (merges[0]["left"], merges[0]["right"]) == ("a", "a")
+        enc = bpe_encode(df.limit(1), "text",
+                         [tuple(r) for r in merges[:1]])
+        toks = enc.first()["tokens"]
+        # each 'aaa' -> [aa, a]; the lone 'b' untouched; no cross-word merge
+        assert toks == ["aa", "a", "aa", "a", "b", "aa", "a"]
+
+    def test_train_matches_hand_counts(self, spark):
+        from delta_sharing_spark.operators.tokenizer import bpe_train
+
+        df = spark.createDataFrame([("low lower",), ("low",)], ["text"])
+        m = bpe_train(df, "text", num_merges=1).collect()[0]
+        # pairs: (l,o) x3, (o,w) x3, (w,e) x1, (e,r) x1 -> tie l<o wins
+        assert (m["left"], m["right"], m["pair_n"]) == ("l", "o", 3)
