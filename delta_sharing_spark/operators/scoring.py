@@ -330,3 +330,89 @@ def dsir_resample(weights: DataFrame, id_col: str, k: int, *,
         .orderBy(F.desc("key_u"), id_col)
         .limit(k)
     )
+
+
+# ------------------------------------------------- DoReMi domain reweighting
+#
+# DoReMi (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up
+# Language Model Pretraining"): learn the sampling weight of each DOMAIN
+# (source / language / crawl slice) by Group-DRO — multiplicative-weights
+# ascent that shifts mass toward domains with EXCESS loss relative to the
+# current weighted average, smoothed toward uniform so no domain starves.
+#
+# The variant here is the fixed-iteration, oracle-replayable one: the
+# per-domain loss is the integer deficit of the bigram-LM likelihood
+# (``LM_UNIT - avg per-bigram likelihood``, exact BIGINT — see
+# ngram_lm_score), and each exponentiated-gradient step uses the LINEARIZED
+# exponential ``w <- w * max(SCALE + eta_u * (loss - avg), 1) / SCALE``
+# followed by exact renormalization and uniform smoothing. Every step is
+# +, *, and floor-division on non-negative BIGINTs, so the trajectory is
+# partition-order independent and replays bit-exactly in any engine
+# (DuckDB's `//` == Spark DIV == Python // on non-negative operands).
+#
+# Scale shape: the distributed work is the LM scoring pass (one equi-join +
+# one per-doc agg over the 100 TB corpus) and ONE per-domain aggregation.
+# The iteration itself runs on the domain table — whose cardinality is the
+# OUTPUT of the algorithm (a mixture over dozens of domains, never row
+# data) — so it is exact driver-side integer math, not a Spark job.
+
+DOREMI_SCALE = 1_000_000
+
+
+def domain_losses(scores: DataFrame, domain_col: str, *,
+                  sum_col: str = "sum_likelihood_u",
+                  n_col: str = "n_bigrams") -> DataFrame:
+    """(domain, loss_u): per-domain integer loss = ``LM_UNIT`` minus the
+    domain's exact mean per-bigram likelihood (floor division over the
+    domain's BIGINT sums). ``scores`` is ``ngram_lm_score`` output joined
+    with the domain column. One aggregation; loss_u in [0, LM_UNIT]."""
+    return scores.groupBy(domain_col).agg(
+        (F.lit(LM_UNIT)
+         - F.expr(f"sum({sum_col}) DIV sum({n_col})"))
+        .cast("long").alias("loss_u"))
+
+
+def doremi_weights(losses: DataFrame, domain_col: str,
+                   loss_col: str = "loss_u", *, steps: int = 8,
+                   eta_u: int = 2, smooth_num: int = 1,
+                   smooth_den: int = 5) -> DataFrame:
+    """Fixed-``steps`` DoReMi multiplicative-weights iteration over the
+    per-domain losses; returns (domain, loss_u, weight_u) with weights in
+    micro-units summing to ~``DOREMI_SCALE``.
+
+    Per step (all exact integer ops, ``S = DOREMI_SCALE``)::
+
+        avg    = (sum_d w_d * loss_d) // (sum_d w_d)
+        raw_d  = w_d * max(S + eta_u * (loss_d - avg), 1) // S
+        norm_d = raw_d * S // (sum_d raw_d)
+        w_d    = (smooth_num * S) // (smooth_den * n)
+                 + ((smooth_den - smooth_num) * norm_d) // smooth_den
+
+    The collect is the domain-cardinality aggregate (the mixture being
+    computed), not row data."""
+    spark = losses.sparkSession
+    rows = sorted(
+        (r[0], int(r[1]))
+        for r in losses.select(domain_col, loss_col).collect()
+    )
+    domains = [d for d, _ in rows]
+    loss = {d: v for d, v in rows}
+    n = len(domains)
+    if n == 0:
+        return spark.createDataFrame(
+            [], f"{domain_col} string, {loss_col} long, weight_u long")
+    s = DOREMI_SCALE
+    w = {d: s // n for d in domains}
+    for _ in range(steps):
+        tot = sum(w.values())
+        avg = sum(w[d] * loss[d] for d in domains) // tot
+        raw = {d: w[d] * max(s + eta_u * (loss[d] - avg), 1) // s
+               for d in domains}
+        rs = sum(raw.values())
+        norm = {d: raw[d] * s // rs for d in domains}
+        w = {d: (smooth_num * s) // (smooth_den * n)
+             + ((smooth_den - smooth_num) * norm[d]) // smooth_den
+             for d in domains}
+    return spark.createDataFrame(
+        [(d, loss[d], w[d]) for d in domains],
+        f"{domain_col} string, {loss_col} long, weight_u long")

@@ -383,3 +383,115 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = dsir_fit(tgt_counts, raw_counts, buckets=8192)
     weights = dsir_importance(raw_counts, model, "doc_id")
     return dsir_resample(weights, "doc_id", 100)
+
+
+def _doremi_oracle(steps: int, eta_u: int = 2, smooth_num: int = 1,
+                   smooth_den: int = 5) -> str:
+    """Unrolled-CTE DuckDB replay of the DoReMi multiplicative-weights
+    loop (the same iterative-fit-in-SQL pattern as the kmeans and BPE
+    oracles): per step one weighted-average CTE, one update CTE, one
+    renormalize+smooth CTE — all integer floor-division, so the replay is
+    bit-exact against the driver-side Python-int trajectory. The chained
+    CTEs are MATERIALIZED: each step references its predecessor twice
+    (update + normalizer sum), so plain inlining would re-expand the whole
+    LM pipeline 2^steps times (observed as a fd-exhaustion blow-up)."""
+    head = """
+    WITH ref AS (SELECT text FROM documents WHERE doc_id % 10 < 3),
+    ref_bg AS (
+      SELECT CASE WHEN t.i = 1 THEN '<s>'
+                  ELSE string_split(text, ' ')[t.i - 1] END AS ctx,
+             string_split(text, ' ')[t.i] AS tok
+      FROM ref, LATERAL (
+        SELECT UNNEST(generate_series(1, len(string_split(text, ' '))))
+        AS i) t
+    ),
+    pairs AS (
+      SELECT ctx, tok, COUNT(*) AS pair_n FROM ref_bg GROUP BY 1, 2
+    ),
+    ctxs AS (
+      SELECT ctx, SUM(pair_n) AS ctx_n FROM pairs GROUP BY ctx
+    ),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM pairs),
+    doc_bg AS (
+      SELECT doc_id,
+             CASE WHEN t.i = 1 THEN '<s>'
+                  ELSE string_split(text, ' ')[t.i - 1] END AS ctx,
+             string_split(text, ' ')[t.i] AS tok
+      FROM documents, LATERAL (
+        SELECT UNNEST(generate_series(1, len(string_split(text, ' '))))
+        AS i) t
+    ),
+    lk AS (
+      SELECT d.doc_id,
+             CAST((COALESCE(p.pair_n, 0) + 1) * 1000000 AS BIGINT)
+                  // CAST(COALESCE(c.ctx_n, 0) + v.vocab AS BIGINT)
+                  AS lk_u
+      FROM doc_bg d
+      LEFT JOIN pairs p ON p.ctx = d.ctx AND p.tok = d.tok
+      LEFT JOIN ctxs c ON c.ctx = d.ctx
+      CROSS JOIN v
+    ),
+    per_doc AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n_bg, SUM(lk_u) AS sum_lk
+      FROM lk GROUP BY doc_id
+    ),
+    L AS MATERIALIZED (
+      SELECT doc.lang,
+             CAST(1000000 - (CAST(SUM(p.sum_lk) AS BIGINT)
+                             // CAST(SUM(p.n_bg) AS BIGINT)) AS BIGINT)
+               AS loss_u
+      FROM per_doc p JOIN documents doc USING (doc_id)
+      GROUP BY doc.lang
+    ),
+    nd AS (SELECT COUNT(*) AS n FROM L),
+    w0 AS MATERIALIZED (
+      SELECT lang, loss_u, CAST(1000000 // n AS BIGINT) AS w
+      FROM L CROSS JOIN nd
+    )"""
+    step_sql = ""
+    for i in range(steps):
+        step_sql += f""",
+    a{i} AS (
+      SELECT CAST(SUM(w * loss_u) // SUM(w) AS BIGINT) AS avg FROM w{i}
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT lang, loss_u,
+             CAST((w * GREATEST(1000000 + {eta_u} * (loss_u - avg), 1))
+                  // 1000000 AS BIGINT) AS wr
+      FROM w{i} CROSS JOIN a{i}
+    ),
+    s{i} AS (SELECT SUM(wr) AS sw FROM r{i}),
+    w{i + 1} AS MATERIALIZED (
+      SELECT lang, loss_u,
+             CAST(({smooth_num} * 1000000) // ({smooth_den} * n)
+                  + ({smooth_den - smooth_num} * ((wr * 1000000) // sw))
+                    // {smooth_den} AS BIGINT) AS w
+      FROM r{i} CROSS JOIN s{i} CROSS JOIN nd
+    )"""
+    return (head + step_sql
+            + f"\n    SELECT lang, loss_u, w AS weight_u FROM w{steps}\n")
+
+
+@workload("q_doremi_weights", oracle=_doremi_oracle(6))
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi domain reweighting (Xie et al. 2023): learn per-language
+    sampling weights by Group-DRO multiplicative-weights over per-domain
+    bigram-LM excess loss. The distributed work is one LM scoring pass
+    (equi-join + per-doc agg over the corpus) and one per-domain
+    aggregation; the 6-step weight iteration runs on the domain-cardinality
+    mixture itself in exact integer micro-units, so the oracle replays the
+    ENTIRE pipeline — LM fit, scoring, domain losses, every weight step —
+    bit-exactly in SQL."""
+    from delta_sharing_spark.operators.scoring import (
+        domain_losses,
+        doremi_weights,
+        ngram_lm_score,
+        ngram_lm_train,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    lm = ngram_lm_train(docs.filter("doc_id % 10 < 3"), "text")
+    scores = ngram_lm_score(docs, lm, "doc_id", "text")
+    scored = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    losses = domain_losses(scored, "lang")
+    return doremi_weights(losses, "lang", steps=6, eta_u=2)

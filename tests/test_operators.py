@@ -1150,3 +1150,69 @@ class TestBpeTokenizer:
         m = bpe_train(df, "text", num_merges=1).collect()[0]
         # pairs: (l,o) x3, (o,w) x3, (w,e) x1, (e,r) x1 -> tie l<o wins
         assert (m["left"], m["right"], m["pair_n"]) == ("l", "o", 3)
+
+
+class TestDoReMi:
+    def _losses(self, spark, pairs):
+        return spark.createDataFrame(pairs, "domain string, loss_u long")
+
+    def test_excess_loss_domains_gain_weight(self, spark):
+        """DoReMi direction: the domain with excess loss ends up with
+        strictly more than uniform weight, the low-loss domain with less,
+        and the multiplicative trajectory is monotone in the loss order."""
+        from delta_sharing_spark.operators.scoring import (
+            DOREMI_SCALE, doremi_weights)
+        losses = self._losses(
+            spark, [("hard", 900_000), ("mid", 500_000), ("easy", 100_000)])
+        out = {r.domain: r.weight_u
+               for r in doremi_weights(losses, "domain", steps=8).collect()}
+        uniform = DOREMI_SCALE // 3
+        assert out["hard"] > uniform > out["easy"]
+        assert out["hard"] > out["mid"] > out["easy"]
+        assert abs(sum(out.values()) - DOREMI_SCALE) <= 10
+
+    def test_uniform_losses_stay_uniform(self, spark):
+        from delta_sharing_spark.operators.scoring import (
+            DOREMI_SCALE, doremi_weights)
+        losses = self._losses(
+            spark, [("a", 400_000), ("b", 400_000), ("c", 400_000),
+                    ("d", 400_000)])
+        out = {r.domain: r.weight_u
+               for r in doremi_weights(losses, "domain", steps=5).collect()}
+        assert len(set(out.values())) == 1
+        assert abs(sum(out.values()) - DOREMI_SCALE) <= 10
+
+    def test_smoothing_floor_protects_easy_domains(self, spark):
+        """Uniform smoothing: even after many steps a zero-loss domain
+        keeps at least smooth_num/(smooth_den*n) of the mixture — no
+        domain starves (the DoReMi paper's uniform-mixing term)."""
+        from delta_sharing_spark.operators.scoring import (
+            DOREMI_SCALE, doremi_weights)
+        losses = self._losses(spark, [("hard", 1_000_000), ("easy", 0)])
+        out = {r.domain: r.weight_u
+               for r in doremi_weights(
+                   losses, "domain", steps=50, smooth_num=1,
+                   smooth_den=5).collect()}
+        floor = (1 * DOREMI_SCALE) // (5 * 2)
+        assert out["easy"] >= floor
+        assert out["hard"] > out["easy"]
+
+    def test_zero_steps_is_uniform_init(self, spark):
+        from delta_sharing_spark.operators.scoring import (
+            DOREMI_SCALE, doremi_weights)
+        losses = self._losses(spark, [("a", 900_000), ("b", 100_000)])
+        out = {r.domain: r.weight_u
+               for r in doremi_weights(losses, "domain", steps=0).collect()}
+        assert out == {"a": DOREMI_SCALE // 2, "b": DOREMI_SCALE // 2}
+
+    def test_domain_losses_exact_integer_means(self, spark):
+        from delta_sharing_spark.operators.scoring import (
+            LM_UNIT, domain_losses)
+        scores = spark.createDataFrame(
+            [("a", 10, 7_000_000), ("a", 20, 8_000_000),
+             ("b", 5, 4_999_999)],
+            "domain string, n_bigrams long, sum_likelihood_u long")
+        out = {r.domain: r.loss_u
+               for r in domain_losses(scores, "domain").collect()}
+        assert out["a"] == LM_UNIT - (15_000_000 // 30)
+        assert out["b"] == LM_UNIT - (4_999_999 // 5)
