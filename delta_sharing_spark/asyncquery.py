@@ -31,6 +31,7 @@ class AsyncQuery:
     # stay consistent)
     table: SharedTable | None = None
     kwargs: dict[str, Any] = field(default_factory=dict)
+    finished_at: float | None = None  # time.monotonic() at completion
     _done: threading.Event = field(default_factory=threading.Event)
 
     def wait(self, timeout: float | None = None) -> bool:
@@ -41,25 +42,41 @@ class AsyncQueryManager:
     """Submit/poll async table queries with idempotency-key dedup.
 
     Bounded registry: finished (COMPLETED/FAILED) queries evict oldest-
-    first once ``max_finished`` are retained, so a long-lived server's
-    memory tracks in-flight work, not its query history. In-flight queries
-    are never evicted."""
+    first once ``max_finished`` are retained, and — independently — once
+    they have been finished for longer than ``finished_ttl_s`` (age bound:
+    a quiet server does not hold completed result plans forever; polling
+    an expired queryId gets the same unknown-id error as a bogus one, and
+    the client resubmits under its idempotency key). In-flight queries are
+    never evicted."""
 
-    def __init__(self, max_finished: int = 256) -> None:
+    def __init__(self, max_finished: int = 256,
+                 finished_ttl_s: float | None = 3600.0) -> None:
         self._queries: dict[str, AsyncQuery] = {}
         self._by_idempotency: dict[str, tuple[str, str]] = {}
         self._max_finished = max_finished
+        self._finished_ttl_s = finished_ttl_s
         self._lock = threading.Lock()
+
+    def _drop(self, qid: str) -> None:
+        # caller holds the lock
+        self._queries.pop(qid)
+        for key, (known_qid, _fp) in list(self._by_idempotency.items()):
+            if known_qid == qid:
+                self._by_idempotency.pop(key)
 
     def _evict_finished(self) -> None:
         # caller holds the lock; dict preserves insertion order
+        import time
+
+        if self._finished_ttl_s is not None:
+            cutoff = time.monotonic() - self._finished_ttl_s
+            for qid, q in list(self._queries.items()):
+                if q.finished_at is not None and q.finished_at < cutoff:
+                    self._drop(qid)
         finished = [qid for qid, q in self._queries.items()
                     if q.status in ("COMPLETED", "FAILED")]
         for qid in finished[:max(0, len(finished) - self._max_finished)]:
-            q = self._queries.pop(qid)
-            for key, (known_qid, _fp) in list(self._by_idempotency.items()):
-                if known_qid == qid:
-                    self._by_idempotency.pop(key)
+            self._drop(qid)
 
     @staticmethod
     def _fingerprint(table: SharedTable, kwargs: dict) -> str:
@@ -87,6 +104,8 @@ class AsyncQueryManager:
                 self._by_idempotency[idempotency_key] = (q.query_id, fp)
 
         def run() -> None:
+            import time
+
             try:
                 q.result = table.query_actions(**query_kwargs)
                 q.status = "COMPLETED"
@@ -94,6 +113,7 @@ class AsyncQueryManager:
                 q.error = str(exc)
                 q.status = "FAILED"
             finally:
+                q.finished_at = time.monotonic()
                 q._done.set()
 
         threading.Thread(target=run, daemon=True).start()

@@ -396,7 +396,12 @@ class SharingServer:
             .replace(" ", "").lower()
         if "asyncquery=true" in caps:
             # async submission (PROTOCOL.md:2313-2350): respond immediately
-            # with a queryStatus line; client polls Get Query Info
+            # with a queryStatus line; client polls Get Query Info. The
+            # key is mandatory (DeltaSharingService.scala:500-504) — it is
+            # what makes a lost-response resubmission safe.
+            if body.get("idempotencyKey") is None:
+                return h._deny(
+                    400, "idempotency_key is required for async query.")
             q = self.async_queries.submit(
                 t, idempotency_key=body.get("idempotencyKey"), **kwargs)
             line = json.dumps(

@@ -224,6 +224,31 @@ class TestAsyncQueryEviction:
         # evicted idempotency keys are gone; retained ones still dedup
         assert mgr.submit(t, idempotency_key="k_last") is last
 
+    def test_finished_queries_expire_by_age(self, spark, events, tmp_path):
+        """Age bound on the registry: a finished query older than
+        finished_ttl_s is dropped at the next submit regardless of the
+        count bound, and its idempotency key no longer dedups."""
+        from delta_sharing_spark.asyncquery import AsyncQueryManager
+        from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.table import SharedTable
+
+        d = str(tmp_path / "t_age")
+        TableLog(spark, d).create(events.limit(20), name="t")
+        t = SharedTable(spark, d)
+        mgr = AsyncQueryManager(max_finished=100, finished_ttl_s=30.0)
+        old = mgr.submit(t, idempotency_key="k_old")
+        assert old.wait(60)
+        old.finished_at -= 31.0  # backdate past the TTL
+        fresh = mgr.submit(t, idempotency_key="k_fresh")
+        assert fresh.wait(60)
+        assert old.query_id not in mgr._queries
+        import pytest as _pytest
+        with _pytest.raises(KeyError):
+            mgr.poll(old.query_id)
+        assert mgr.submit(t, idempotency_key="k_old") is not old
+        # in-flight and recently-finished queries are untouched
+        assert mgr.poll(fresh.query_id) is fresh
+
 
 class TestAsofJoinProperty:
     """asof_join vs a brute-force per-row reference, both directions,

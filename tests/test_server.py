@@ -219,6 +219,16 @@ class TestEndpoints:
         assert any("file" in line and "url" in line["file"]
                    for line in lines)
 
+    def test_async_query_requires_idempotency_key(self, server):
+        """Async submission without idempotencyKey is a 400 with the
+        reference's error text (DeltaSharingService.scala:500-504)."""
+        url = f"{server}/shares/share1/schemas/default/tables/events/query"
+        caps = {"delta-sharing-capabilities": "asyncquery=true"}
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(url, {"limitHint": 3}, headers=caps)
+        assert e.value.code == 400
+        assert "idempotency_key is required" in e.value.read().decode()
+
     def test_async_query_round_trip(self, server):
         """asyncquery=true submission -> queryStatus line -> poll Get Query
         Info until the full sync-shaped response streams
