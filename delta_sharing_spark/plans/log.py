@@ -3251,3 +3251,85 @@ class TableLog:
         return self.zorder_by(columns, bits_per_col=bits_per_col,
                               target_file_rows=target_file_rows,
                               files=new_files, snap=snap)
+
+    def clustering_report(self, columns: list[str] | None = None,
+                          probes: int = 32) -> DataFrame:
+        """Clustering-quality report (the diagnostic Delta's liquid
+        clustering surfaces next to OPTIMIZE): one row per clustered
+        column with stats coverage, mean normalized min-max width
+        (numeric columns), and the measured point-lookup cost
+        ``avg_files_per_probe`` — the expected number of files a
+        stats-pruned equality lookup on that column still has to scan
+        (1.0 = perfectly clustered, n_files = stats useless).
+
+        ``columns`` defaults to the most recent ZORDER commit's clustered
+        set. Probe points are a deterministic hash-ordered sample of file
+        min values; containment is a broadcast range join against the file
+        MANIFEST (``files_df``), so each column costs one Spark job over
+        the metadata plane — never a driver loop over files — and the
+        report works unchanged at the 1M-file regime. Column-mapped
+        tables report under logical names (stats keys are physical).
+        """
+        snap = self.snapshot()
+        if columns is None:
+            for v in reversed(self._list_versions()):
+                c = self.read_commit(v)
+                if c.info is not None and c.info.operation == "ZORDER":
+                    columns = c.info.operationParameters[
+                        "columns"].split(",")
+                    break
+            if columns is None:
+                raise ValueError(
+                    "no ZORDER commit in retained history; pass columns=")
+        phys = snap.logical_to_physical or {}
+        manifest = self.files_df(snap)
+        rows = []
+        for logical in columns:
+            key = phys.get(logical, logical)
+            mn_s = F.get_json_object(F.col("minValues"), f"$.{key}")
+            mx_s = F.get_json_object(F.col("maxValues"), f"$.{key}")
+            col_df = manifest.select(
+                mn_s.alias("mn_s"), mx_s.alias("mx_s"),
+                mn_s.try_cast("double").alias("mn_d"),
+                mx_s.try_cast("double").alias("mx_d"),
+            )
+            a = col_df.agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.count("mn_s").alias("n_stats"),
+                F.count(F.when(F.col("mn_s").isNotNull()
+                               & F.col("mn_d").isNull(), 1))
+                .alias("n_nonnum"),
+                F.min("mn_d").alias("gmin"),
+                F.max("mx_d").alias("gmax"),
+                F.avg(F.col("mx_d") - F.col("mn_d")).alias("avg_w"),
+            ).collect()[0]  # one summary row — metadata plane
+            numeric = a.n_stats > 0 and a.n_nonnum == 0
+            width_frac = None
+            if numeric and a.gmax is not None and a.gmax > a.gmin:
+                width_frac = float(a.avg_w) / (a.gmax - a.gmin)
+            elif numeric and a.gmax is not None:
+                width_frac = 0.0
+            # deterministic probe sample of file min values
+            val = F.col("mn_d") if numeric else F.col("mn_s")
+            probe_rows = (
+                col_df.filter(F.col("mn_s").isNotNull())
+                .select(val.alias("p")).distinct()
+                .orderBy(F.md5(F.col("p").cast("string")))
+                .limit(probes)
+            )
+            lo = F.col("mn_d") if numeric else F.col("mn_s")
+            hi = F.col("mx_d") if numeric else F.col("mx_s")
+            n_probes = probe_rows.count()
+            per_probe = None
+            if n_probes:
+                hits = col_df.join(
+                    F.broadcast(probe_rows),
+                    (F.col("p") >= lo) & (F.col("p") <= hi)).count()
+                per_probe = hits / n_probes
+            rows.append((logical, int(a.n_files), int(a.n_stats),
+                         bool(numeric), width_frac, per_probe))
+        return self.spark.createDataFrame(
+            rows,
+            "column string, n_files long, files_with_stats long, "
+            "numeric boolean, avg_width_frac double, "
+            "avg_files_per_probe double")

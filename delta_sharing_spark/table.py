@@ -147,6 +147,15 @@ class SharedTable:
             2 if snap.column_mapping else 1,
         )], schema)
 
+    def clustering_report(self, columns: list[str] | None = None,
+                          probes: int = 32) -> DataFrame:
+        """Clustering-quality diagnostic (liquid-clustering-style): per
+        clustered column, stats coverage, mean normalized min-max width,
+        and ``avg_files_per_probe`` — the measured expected number of
+        files a stats-pruned point lookup still scans. Defaults to the
+        last ZORDER commit's column set; see TableLog.clustering_report."""
+        return self.log.clustering_report(columns=columns, probes=probes)
+
     def history(self, limit: int | None = None) -> DataFrame:
         """DESCRIBE HISTORY as a DataFrame (newest first): version,
         timestamp, operation, operationParameters, operationMetrics —

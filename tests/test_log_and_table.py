@@ -2647,3 +2647,51 @@ class TestVersionChecksum:
         assert expired
         for v in expired:
             assert not os.path.exists(log._crc_path(v)), v
+
+
+class TestClusteringReport:
+    def test_report_reflects_clustering_quality(self, spark, lineitem,
+                                                table_dir):
+        """clustering_report: after ZORDER, the clustered columns' measured
+        point-lookup cost (avg_files_per_probe) and normalized range width
+        drop well below the pre-clustering values, and the report defaults
+        to the last ZORDER commit's column set."""
+        log = TableLog(spark, table_dir)
+        # row-order layout: orderkey clustered, partkey scattered
+        log.create(lineitem.repartitionByRange(8, "l_orderkey"), name="t")
+        t = SharedTable(spark, table_dir)
+        before = {r.column: r for r in t.clustering_report(
+            columns=["l_partkey"], probes=16).collect()}
+        b = before["l_partkey"]
+        assert b.n_files == b.files_with_stats > 1
+        assert b.numeric
+        # unclustered: every file spans ~the whole domain
+        assert b.avg_width_frac > 0.8
+        assert b.avg_files_per_probe > b.n_files * 0.8
+
+        log.zorder_by(["l_orderkey", "l_partkey"], bits_per_col=8,
+                      target_file_rows=800)
+        after = {r.column: r for r in t.clustering_report(
+            probes=16).collect()}  # columns default to the ZORDER set
+        assert set(after) == {"l_orderkey", "l_partkey"}
+        a = after["l_partkey"]
+        assert a.avg_width_frac < b.avg_width_frac
+        assert a.avg_files_per_probe < b.avg_files_per_probe
+        assert a.avg_files_per_probe < a.n_files
+
+    def test_report_string_column_and_no_zorder_error(self, spark, lineitem,
+                                                      table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(lineitem.limit(500), name="t")
+        t = SharedTable(spark, table_dir)
+        with pytest.raises(ValueError, match="no ZORDER"):
+            t.clustering_report()
+        rep = {r.column: r for r in t.clustering_report(
+            columns=["l_returnflag", "l_comment"], probes=8).collect()}
+        # string column with stats: lexicographic probes, no width metric
+        assert not rep["l_returnflag"].numeric
+        assert rep["l_returnflag"].avg_width_frac is None
+        assert rep["l_returnflag"].avg_files_per_probe >= 1.0
+        # beyond the stats-indexed prefix: no stats -> no probe metrics
+        assert rep["l_comment"].files_with_stats == 0
+        assert rep["l_comment"].avg_files_per_probe is None
