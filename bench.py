@@ -60,6 +60,7 @@ HEADLINE = [
     "eng_rest_range",
     "stream_remote_appends",
     "q_dsir_resample",
+    "q_doremi_weights",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

@@ -306,3 +306,87 @@ def build_mixture(df: DataFrame, strata_col: str, tokens_col: str,
     )
     drop_cols = ["__budget", "__h", "__bkt", "__before_bkt", "__cls"]
     return kept_whole.unionByName(kept_edge).drop(*drop_cols)
+
+
+def quantile_buckets(df: DataFrame, strata_col: str, score_col: str,
+                     id_col: str,
+                     labels: tuple[str, ...] = ("head", "middle", "tail"),
+                     coarse: int = 256) -> DataFrame:
+    """Per-stratum equal-count quantile bucketing — CCNet's head/middle/
+    tail perplexity split (Wenzek et al. 2019): within each stratum
+    (language), rows ordered by ``(score_col, id_col)`` ascending are cut
+    at ranks ``B_i = (i * n) // m`` into ``m = len(labels)`` buckets; a
+    document's label is ``labels[#{i : rank >= B_i}]``. Lower score =
+    earlier bucket, so pass a perplexity-like column (head = most
+    reference-like).
+
+    Scale path (same two-phase shape as ``build_mixture``): a naive
+    per-stratum rank window sorts each whole stratum in ONE task. Instead
+    rows map into ``coarse`` ORDER-PRESERVING integer score ranges; the
+    per-(stratum, range) counts cumsum over ≤``coarse`` rows per stratum
+    (broadcast), every range that no cut rank falls inside is labeled
+    WITHOUT any row sort, and only the ≤``m - 1`` boundary ranges per
+    stratum pay a window sort scoped to that range. Skewed score
+    distributions make boundary ranges larger but never change the
+    result — ranks are exact, ties broken by ``id_col``.
+
+    Returns ``df``'s columns plus ``bucket``. ``score_col`` must be
+    integral (exact rank semantics; quantize floats to micro-units
+    first, as ``ngram_lm_score`` does)."""
+    m = len(labels)
+    if m < 2:
+        raise ValueError("quantile_buckets needs at least 2 labels")
+    spark = df.sparkSession
+    rng = df.agg(F.min(score_col).alias("lo"),
+                 F.max(score_col).alias("hi")).collect()[0]  # two scalars
+    if rng.lo is None:
+        return df.withColumn("bucket", F.lit(None).cast("string"))
+    lo = int(rng.lo)
+    width = max(1, (int(rng.hi) - lo + coarse) // coarse)
+    docs = df.withColumn(
+        "__bkt",
+        F.expr(f"(cast({score_col} as bigint) - {lo}) DIV {width}"))
+    per_bucket = docs.groupBy(strata_col, "__bkt").agg(
+        F.count(F.lit(1)).alias("__bkt_n"))
+    wb = Window.partitionBy(strata_col).orderBy("__bkt")
+    totals = per_bucket.groupBy(strata_col).agg(
+        F.sum("__bkt_n").alias("__n"))
+    plan = (
+        per_bucket.withColumn(
+            "__before",
+            F.coalesce(
+                F.sum("__bkt_n").over(
+                    wb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0)))
+        .join(totals, strata_col)
+    )
+    # cut ranks B_i = (i * n) // m; a range is uniform iff no B_i falls
+    # strictly inside (before, before + bkt_n)
+    # TRUE integer division (DIV), not double-divide + cast: doubles lose
+    # exactness past 2^53, which a web-scale stratum count can reach
+    cuts = [F.expr(f"({i} * __n) DIV {m}") for i in range(1, m)]
+    uniform = F.lit(True)
+    for b in cuts:
+        uniform = uniform & ~((b > F.col("__before"))
+                              & (b < F.col("__before") + F.col("__bkt_n")))
+    whole_idx = sum((b <= F.col("__before")).cast("int") for b in cuts)
+    plan = plan.select(
+        strata_col, "__bkt", "__before", "__n",
+        uniform.alias("__uniform"), whole_idx.alias("__idx"))
+    planned = docs.join(F.broadcast(plan), [strata_col, "__bkt"])
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    kept_whole = (
+        planned.filter(F.col("__uniform"))
+        .withColumn("bucket", F.element_at(label_arr, F.col("__idx") + 1))
+    )
+    we = Window.partitionBy(strata_col, "__bkt").orderBy(score_col, id_col)
+    rank = F.col("__before") + F.row_number().over(we) - 1
+    edge_idx = sum(
+        (rank >= F.expr(f"({i} * __n) DIV {m}")).cast("int")
+        for i in range(1, m))
+    kept_edge = (
+        planned.filter(~F.col("__uniform"))
+        .withColumn("bucket", F.element_at(label_arr, edge_idx + 1))
+    )
+    drop = ["__bkt", "__before", "__n", "__uniform", "__idx"]
+    return kept_whole.unionByName(kept_edge).drop(*drop)

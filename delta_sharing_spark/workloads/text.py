@@ -902,3 +902,88 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bpe_train(docs, "text", num_merges=6)
+
+
+@workload(
+    "q_ccnet_buckets",
+    oracle="""
+    WITH ref AS (SELECT text FROM documents WHERE doc_id % 10 < 3),
+    ref_bg AS (
+      SELECT CASE WHEN t.i = 1 THEN '<s>'
+                  ELSE string_split(text, ' ')[t.i - 1] END AS ctx,
+             string_split(text, ' ')[t.i] AS tok
+      FROM ref, LATERAL (
+        SELECT UNNEST(generate_series(1, len(string_split(text, ' '))))
+        AS i) t
+    ),
+    pairs AS (
+      SELECT ctx, tok, COUNT(*) AS pair_n FROM ref_bg GROUP BY 1, 2
+    ),
+    ctxs AS (
+      SELECT ctx, SUM(pair_n) AS ctx_n FROM pairs GROUP BY ctx
+    ),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM pairs),
+    doc_bg AS (
+      SELECT doc_id,
+             CASE WHEN t.i = 1 THEN '<s>'
+                  ELSE string_split(text, ' ')[t.i - 1] END AS ctx,
+             string_split(text, ' ')[t.i] AS tok
+      FROM documents, LATERAL (
+        SELECT UNNEST(generate_series(1, len(string_split(text, ' '))))
+        AS i) t
+    ),
+    lk AS (
+      SELECT d.doc_id,
+             CAST((COALESCE(p.pair_n, 0) + 1) * 1000000 AS BIGINT)
+                  // CAST(COALESCE(c.ctx_n, 0) + v.vocab AS BIGINT)
+                  AS lk_u
+      FROM doc_bg d
+      LEFT JOIN pairs p ON p.ctx = d.ctx AND p.tok = d.tok
+      LEFT JOIN ctxs c ON c.ctx = d.ctx
+      CROSS JOIN v
+    ),
+    per_doc AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(1000000 - SUM(lk_u) // COUNT(*) AS BIGINT) AS ppl_u
+      FROM lk GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT d.lang, p.doc_id, p.ppl_u,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY p.ppl_u, p.doc_id) - 1 AS r,
+             COUNT(*) OVER (PARTITION BY d.lang) AS n
+      FROM per_doc p JOIN documents d USING (doc_id)
+    )
+    SELECT lang, doc_id, ppl_u,
+           CASE WHEN r >= (2 * n) // 3 THEN 'tail'
+                WHEN r >= n // 3 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM ranked
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2019,
+    the stage after LM scoring): per language, documents ordered by
+    integer perplexity proxy (LM_UNIT - mean per-bigram likelihood) split
+    at exact count tertiles. The Spark plan is the two-phase coarse-range
+    rank (no per-language global sort — only the <=2 boundary ranges per
+    language pay a window scoped to ~1/256 of the stratum); the oracle
+    replays the SAME exact ranks with a plain ROW_NUMBER, proving the
+    scale-safe plan computes the textbook semantics."""
+    from delta_sharing_spark.operators.sampling import quantile_buckets
+    from delta_sharing_spark.operators.scoring import (
+        LM_UNIT,
+        ngram_lm_score,
+        ngram_lm_train,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    lm = ngram_lm_train(docs.filter("doc_id % 10 < 3"), "text")
+    scores = ngram_lm_score(docs, lm, "doc_id", "text")
+    ppl = scores.select(
+        "doc_id",
+        (F.lit(LM_UNIT)
+         - F.expr("sum_likelihood_u DIV n_bigrams")).alias("ppl_u"))
+    scored = ppl.join(docs.select("doc_id", "lang"), "doc_id")
+    out = quantile_buckets(scored, "lang", "ppl_u", "doc_id")
+    return out.select("lang", "doc_id", "ppl_u", "bucket")

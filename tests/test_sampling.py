@@ -261,3 +261,64 @@ class TestBuildMixture:
                              {"en": 0.5, "zh": 0.5}, 1000) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "partitionspec=[]" not in plan.lower().replace(" ", "")
+
+
+class TestQuantileBuckets:
+    def _scored(self, spark, seed=7, n=400, strata=("en", "zh", "fr")):
+        import random
+
+        rng = random.Random(seed)
+        rows = [(i, strata[i % len(strata)], rng.randrange(0, 1_000_000))
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, ppl_u long")
+
+    def test_matches_naive_window_rank(self, spark):
+        """The two-phase coarse-range plan computes exactly the textbook
+        per-stratum ROW_NUMBER tertile split, including ties and strata
+        whose size is not divisible by the bucket count."""
+        from pyspark.sql import Window
+        from delta_sharing_spark.operators.sampling import quantile_buckets
+
+        df = self._scored(spark, n=401)  # 134/134/133 per stratum
+        # force ties
+        df = df.withColumn("ppl_u", (F.col("ppl_u") / 1000).cast("long"))
+        got = {r.doc_id: r.bucket
+               for r in quantile_buckets(df, "lang", "ppl_u",
+                                         "doc_id").collect()}
+        w = Window.partitionBy("lang").orderBy("ppl_u", "doc_id")
+        naive = df.withColumn("r", F.row_number().over(w) - 1) \
+            .withColumn("n", F.count(F.lit(1)).over(
+                Window.partitionBy("lang")))
+        for row in naive.collect():
+            b1, b2 = row.n // 3, (2 * row.n) // 3
+            want = ("head" if row.r < b1
+                    else "middle" if row.r < b2 else "tail")
+            assert got[row.doc_id] == want, row
+
+    def test_custom_labels_and_skewed_scores(self, spark):
+        from delta_sharing_spark.operators.sampling import quantile_buckets
+
+        # all scores in one coarse range (constant) -> everything is a
+        # boundary bucket; ranks still exact via the scoped window
+        df = self._scored(spark, n=60).withColumn("ppl_u", F.lit(5))
+        out = quantile_buckets(df, "lang", "ppl_u", "doc_id",
+                               labels=("a", "b"))
+        counts = {(r.lang, r.bucket): r["count"]
+                  for r in out.groupBy("lang", "bucket").count().collect()}
+        for lang in ("en", "zh", "fr"):
+            assert counts[(lang, "a")] == 10
+            assert counts[(lang, "b")] == 10
+
+    def test_no_stratum_wide_window(self, spark):
+        """Scale contract: every WindowExec in the plan partitions by
+        (stratum, coarse range) — no per-stratum global sort."""
+        from delta_sharing_spark.operators.sampling import quantile_buckets
+
+        df = self._scored(spark)
+        plan = quantile_buckets(df, "lang", "ppl_u", "doc_id") \
+            ._jdf.queryExecution().executedPlan().toString()
+        import re
+        for spec in re.findall(r"partitionspec=\[([^\]]*)\]",
+                               plan.lower().replace(" ", "")):
+            assert spec != "", "unpartitioned window in plan"
