@@ -938,12 +938,37 @@ class TableLog:
                 1 for a in actions if isinstance(a, Metadata))
             payload["numProtocol"] = sum(
                 1 for a in actions if isinstance(a, Protocol))
+            # clustering columns ride the sidecar (Delta's liquid tables
+            # surface them in DESCRIBE DETAIL): set by a ZORDER commit,
+            # carried forward otherwise — still O(commit)
+            info = next((a for a in actions if isinstance(a, CommitInfo)),
+                        None)
+            if info is not None and info.operation == "ZORDER":
+                cols = (info.operationParameters or {}).get("columns", "")
+                payload["clusteringColumns"] = cols.split(",") if cols else []
+            elif prev is not None:
+                payload["clusteringColumns"] = prev.get(
+                    "clusteringColumns", [])
+            else:
+                payload["clusteringColumns"] = \
+                    self._find_clustering_columns(version)
             tmp = self._crc_path(version) + f".{uuid.uuid4().hex}.tmp"
             with open(tmp, "w") as f:
                 f.write(json.dumps(payload))
             os.replace(tmp, self._crc_path(version))
         except Exception:
             pass  # advisory sidecar: never fail the committed write
+
+    def _find_clustering_columns(self, at_version: int) -> list[str]:
+        """Newest-first scan for the last ZORDER at or before a version —
+        the fallback when no prior ``.crc`` carries the clustered set."""
+        for v in reversed([x for x in self._list_versions()
+                           if x <= at_version]):
+            c = self.read_commit(v)
+            if c.info is not None and c.info.operation == "ZORDER":
+                cols = (c.info.operationParameters or {}).get("columns", "")
+                return cols.split(",") if cols else []
+        return []
 
     def read_crc(self, version: int) -> "dict | None":
         try:
@@ -3272,12 +3297,12 @@ class TableLog:
         """
         snap = self.snapshot()
         if columns is None:
-            for v in reversed(self._list_versions()):
-                c = self.read_commit(v)
-                if c.info is not None and c.info.operation == "ZORDER":
-                    columns = c.info.operationParameters[
-                        "columns"].split(",")
-                    break
+            crc = self.read_crc(snap.version)
+            if crc is not None and "clusteringColumns" in crc:
+                columns = crc["clusteringColumns"] or None  # O(1) path
+            else:
+                columns = self._find_clustering_columns(
+                    snap.version) or None
             if columns is None:
                 raise ValueError(
                     "no ZORDER commit in retained history; pass columns=")

@@ -117,9 +117,13 @@ class SharedTable:
         crc = self.log.read_crc(snap.version)
         if crc is not None:
             num_files, size = crc["numFiles"], crc["tableSizeBytes"]
+            clustering = crc.get("clusteringColumns")
+            if clustering is None:  # pre-clustering-aware sidecar
+                clustering = self.log._find_clustering_columns(snap.version)
         else:
             num_files = len(snap.files)
             size = sum(f.size or 0 for f in snap.files)
+            clustering = self.log._find_clustering_columns(snap.version)
         meta = snap.metadata
         schema = T.StructType([
             T.StructField("format", T.StringType()),
@@ -135,6 +139,8 @@ class SharedTable:
             T.StructField("properties",
                           T.MapType(T.StringType(), T.StringType())),
             T.StructField("minReaderVersion", T.IntegerType()),
+            T.StructField("clusteringColumns",
+                          T.ArrayType(T.StringType())),
         ])
         return self.spark.createDataFrame([(
             (meta.format or {}).get("provider", "parquet")
@@ -145,6 +151,7 @@ class SharedTable:
             int(num_files), int(size),
             dict(meta.configuration or {}),
             2 if snap.column_mapping else 1,
+            list(clustering),
         )], schema)
 
     def clustering_report(self, columns: list[str] | None = None,

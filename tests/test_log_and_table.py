@@ -2695,3 +2695,45 @@ class TestClusteringReport:
         # beyond the stats-indexed prefix: no stats -> no probe metrics
         assert rep["l_comment"].files_with_stats == 0
         assert rep["l_comment"].avg_files_per_probe is None
+
+
+class TestClusteringColumnsDetail:
+    def test_crc_carries_clustering_and_detail_is_o1(self, spark, lineitem,
+                                                     table_dir):
+        """clusteringColumns ride the .crc sidecar: set by ZORDER, carried
+        forward by later commits, surfaced by DESCRIBE DETAIL without any
+        history scan, and clustering_report's default column set reads the
+        O(1) path."""
+        log = TableLog(spark, table_dir)
+        log.create(lineitem.limit(2000), name="t")
+        t = SharedTable(spark, table_dir)
+        assert t.detail().collect()[0].clusteringColumns == []
+        log.zorder_by(["l_orderkey", "l_partkey"], bits_per_col=8,
+                      target_file_rows=800)
+        assert (t.detail().collect()[0].clusteringColumns
+                == ["l_orderkey", "l_partkey"])
+        # carried forward across a later unrelated commit
+        log.append(lineitem.limit(10))
+        v = log.latest_version()
+        crc = log.read_crc(v)
+        assert crc["clusteringColumns"] == ["l_orderkey", "l_partkey"]
+        assert (t.detail().collect()[0].clusteringColumns
+                == ["l_orderkey", "l_partkey"])
+        # report default resolves without explicit columns
+        cols = {r.column for r in t.clustering_report(probes=4).collect()}
+        assert cols == {"l_orderkey", "l_partkey"}
+
+    def test_missing_sidecar_falls_back_to_history_scan(self, spark,
+                                                        lineitem, table_dir):
+        import os
+
+        log = TableLog(spark, table_dir)
+        log.create(lineitem.limit(1000), name="t")
+        log.zorder_by(["l_suppkey"], bits_per_col=8, target_file_rows=500)
+        log.append(lineitem.limit(10))
+        for v in range(log.latest_version() + 1):
+            p = log._crc_path(v)
+            if os.path.exists(p):
+                os.unlink(p)
+        t = SharedTable(spark, table_dir)
+        assert t.detail().collect()[0].clusteringColumns == ["l_suppkey"]
