@@ -61,6 +61,7 @@ HEADLINE = [
     "stream_remote_appends",
     "q_dsir_resample",
     "q_doremi_weights",
+    "q_ccnet_buckets",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

@@ -987,3 +987,95 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = ppl.join(docs.select("doc_id", "lang"), "doc_id")
     out = quantile_buckets(scored, "lang", "ppl_u", "doc_id")
     return out.select("lang", "doc_id", "ppl_u", "bucket")
+
+
+@workload(
+    "q_text_zipf",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ),
+    topk AS (
+      SELECT tok, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk
+      FROM counts
+      ORDER BY n DESC, tok LIMIT 100
+    ),
+    pts AS (
+      SELECT rnk,
+             CAST(round(ln(rnk) * 1000000) AS BIGINT) AS x_u,
+             CAST(round(ln(n) * 1000000) AS BIGINT) AS y_u
+      FROM topk
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(x_u) AS BIGINT) AS sx,
+             CAST(SUM(y_u) AS BIGINT) AS sy,
+             CAST(SUM(x_u * y_u) AS BIGINT) AS sxy,
+             CAST(SUM(x_u * x_u) AS BIGINT) AS sxx
+      FROM pts
+    ),
+    corpus AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM counts
+    )
+    SELECT c.total_tokens, c.vocab, f.k AS k_ranks,
+           CAST((f.k * f.sxy - f.sx * f.sy) AS DOUBLE)
+             / CAST((f.k * f.sxx - f.sx * f.sx) AS DOUBLE) AS zipf_slope
+    FROM fit f CROSS JOIN corpus c
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic: least-squares slope of
+    (ln rank, ln count) over the top-100 tokens — natural corpora sit
+    near -1; a far-off slope flags template spam or tokenizer damage.
+    Plan: one count aggregation, a distributed partial top-k
+    (TakeOrderedAndProject — no global sort), a 100-row rank window, and
+    an exact-integer regression (each ln term quantized to micro-units at
+    the point of computation, all sums BIGINT — partition-order
+    independent, so the slope replays bit-exactly)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    )
+    topk = counts.orderBy(F.desc("n"), "tok").limit(100)
+    # the window runs on the 100-row top-k result; partition by a literal
+    # so no "no partition defined" warning masks real skew warnings
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("n"), "tok")
+    pts = (
+        topk.withColumn("rnk", F.row_number().over(w))
+        .select(
+            F.round(F.log(F.col("rnk").cast("double")) * 1_000_000)
+            .cast("long").alias("x_u"),
+            F.round(F.log(F.col("n").cast("double")) * 1_000_000)
+            .cast("long").alias("y_u"),
+        )
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x_u").alias("sx"),
+        F.sum("y_u").alias("sy"),
+        F.sum(F.col("x_u") * F.col("y_u")).alias("sxy"),
+        F.sum(F.col("x_u") * F.col("x_u")).alias("sxx"),
+    )
+    corpus = counts.agg(
+        F.sum("n").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    return (
+        fit.crossJoin(F.broadcast(corpus))
+        .select(
+            "total_tokens", "vocab", F.col("k").alias("k_ranks"),
+            ((F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             .cast("double")
+             / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+             .cast("double")).alias("zipf_slope"),
+        )
+    )
