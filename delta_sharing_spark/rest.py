@@ -18,9 +18,11 @@ Mirrors the reference's REST client stack:
 from __future__ import annotations
 
 import json
+import time
 import urllib.error
 import urllib.parse
 import urllib.request
+import uuid
 from typing import Any
 
 from delta_sharing_spark.auth import AuthCredentialProvider
@@ -38,6 +40,25 @@ __all__ = [
     "run_with_backoff",
     "should_retry",
 ]
+
+
+def _check_query_pending(
+        lines: list[dict]) -> tuple[list[dict], str | None, bool]:
+    """First-line queryStatus detection (checkQueryPending,
+    DeltaSharingClient.scala:1062-1076): a pending/failed async response
+    is a single queryStatus line; a finished one IS the sync response."""
+    if not lines or "queryStatus" not in lines[0]:
+        return lines, None, False
+    status = lines[0]["queryStatus"]
+    if status.get("status") == "failed":
+        raise RuntimeError(
+            f"async query failed: {status.get('errorMessage')}")
+    qid = status.get("queryId")
+    if qid is None:
+        raise RuntimeError(
+            "QueryId is not returned in the first line of the response."
+            + json.dumps(lines[0]))
+    return lines[1:], qid, True
 
 
 class DataSharingRestClient:
@@ -184,6 +205,9 @@ class DataSharingRestClient:
         starting_version: int | None = None,
         ending_version: int | None = None,
         include_historical_protocol: bool = False,
+        async_query: bool = False,
+        poll_interval_s: float = 0.05,
+        max_duration_s: float = 600.0,
     ) -> tuple[dict[str, str], list[dict]]:
         body: dict[str, Any] = {}
         if predicate_hints is not None:
@@ -210,13 +234,50 @@ class DataSharingRestClient:
         if include_historical_protocol:
             body["includeHistoricalProtocol"] = True
         headers = {}
+        caps = []
         if response_formats:
-            headers["delta-sharing-capabilities"] = \
-                f"responseformat={response_formats}"
-        return self._ndjson(
+            caps.append(f"responseformat={response_formats}")
+        if async_query:
+            # async read (PROTOCOL.md:2313-2350; client polling loop
+            # DeltaSharingClient.scala:1086-1137 getNDJsonWithAsync):
+            # submit with asyncquery=true + a fresh idempotencyKey, then
+            # poll Get Query Info until the sync-shaped response streams
+            caps.append("asyncquery=true")
+            body.setdefault("idempotencyKey", uuid.uuid4().hex)
+        if caps:
+            headers["delta-sharing-capabilities"] = ";".join(caps)
+        resp_headers, lines = self._ndjson(
             "POST",
             f"/shares/{share}/schemas/{schema}/tables/{table}/query",
             body=body, headers=headers)
+        if not async_query:
+            return resp_headers, lines
+        lines, query_id, pending = _check_query_pending(lines)
+        start = time.monotonic()
+        while pending:
+            if time.monotonic() - start > max_duration_s:
+                # reference error text (DeltaSharingClient.scala:1112-1115)
+                raise TimeoutError(
+                    f"Query is timed out after {int(max_duration_s * 1000)}"
+                    " ms. Please try again later.")
+            time.sleep(poll_interval_s)
+            poll_body: dict[str, Any] = {}
+            if max_files is not None:
+                poll_body["maxFiles"] = max_files
+            if page_token is not None:
+                poll_body["pageToken"] = page_token
+            resp_headers, raw = self._ndjson(
+                "POST",
+                f"/shares/{share}/schemas/{schema}/tables/{table}"
+                f"/queries/{query_id}",
+                body=poll_body)
+            new_lines, returned_id, pending = _check_query_pending(raw)
+            if pending and returned_id != query_id:
+                raise RuntimeError(
+                    "QueryId is not consistent in the response. "
+                    f"Expected: {query_id}, Actual: {returned_id}")
+            lines = new_lines
+        return resp_headers, lines
 
     def list_table_changes(
         self, share: str, schema: str, table: str,

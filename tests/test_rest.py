@@ -186,6 +186,24 @@ class TestRestRoundTrip:
         kinds = {next(iter(line)) for line in lines}
         assert "cdf" in kinds
 
+    def test_async_query_polls_to_same_result(self, client):
+        """Client-side async read (getNDJsonWithAsync,
+        DeltaSharingClient.scala:1086-1137): asyncquery=true + generated
+        idempotencyKey, pending queryStatus lines polled until the
+        sync-shaped response streams — identical lines to the sync call."""
+        _h, sync_lines = client.list_files_in_table("s1", "d1", "events")
+        _h2, async_lines = client.list_files_in_table(
+            "s1", "d1", "events", async_query=True)
+        def key(lines):
+            return sorted(json.dumps(x, sort_keys=True) for x in lines)
+        assert key(async_lines) == key(sync_lines)
+        assert any("file" in x for x in async_lines)
+
+    def test_async_query_failure_surfaces(self, client):
+        with pytest.raises(RuntimeError, match="async query failed"):
+            client.list_files_in_table("s1", "d1", "events",
+                                       async_query=True, version=99)
+
 
 class TestHttpProfile:
     """load_as_* over an http(s) profile endpoint — the reference client's
