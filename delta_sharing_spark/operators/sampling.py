@@ -332,7 +332,12 @@ def quantile_buckets(df: DataFrame, strata_col: str, score_col: str,
 
     Returns ``df``'s columns plus ``bucket``. ``score_col`` must be
     integral (exact rank semantics; quantize floats to micro-units
-    first, as ``ngram_lm_score`` does)."""
+    first, as ``ngram_lm_score`` does).
+
+    The input is scanned several times (range agg, bucket counts, the
+    two labeled outputs) — materialize an expensive upstream projection
+    first (``q_ccnet_buckets`` localCheckpoints its 3-column score table;
+    a plain table scan needs nothing)."""
     m = len(labels)
     if m < 2:
         raise ValueError("quantile_buckets needs at least 2 labels")

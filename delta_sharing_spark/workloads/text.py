@@ -985,6 +985,13 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(LM_UNIT)
          - F.expr("sum_likelihood_u DIV n_bigrams")).alias("ppl_u"))
     scored = ppl.join(docs.select("doc_id", "lang"), "doc_id")
+    # materialize the narrow (doc_id, ppl_u, lang) projection ONCE: the
+    # rank machinery makes several passes over its input (range agg,
+    # bucket counts, the two labeled outputs), and each would otherwise
+    # re-run the whole LM scoring pipeline (measured 7.5 s -> ~3.6 s at
+    # sf0.1). At 100 TB this is the same call: checkpoint the 3-column
+    # scores, never the corpus text.
+    scored = scored.localCheckpoint(eager=True)
     out = quantile_buckets(scored, "lang", "ppl_u", "doc_id")
     return out.select("lang", "doc_id", "ppl_u", "bucket")
 
