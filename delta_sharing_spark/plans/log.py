@@ -1143,10 +1143,18 @@ class TableLog:
         configuration: dict[str, str] | None = None,
         operation_parameters: dict[str, str] | None = None,
         generated_columns: dict[str, str] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int:
         if self.exists():
             raise ValueError(f"table already exists at {self.path}")
         partition_by = partition_by or []
+        if cluster_by:
+            # liquid-clustering-style declaration (Delta's CREATE TABLE ...
+            # CLUSTER BY): recorded in table config; optimize() maintains it
+            self._check_cluster_by(cluster_by, partition_by,
+                                   {f.name for f in df.schema.fields})
+            configuration = dict(configuration or {})
+            configuration[self.CLUSTERING_KEY] = ",".join(cluster_by)
         gen_checks: dict[str, str] = {}
         if generated_columns:
             # materialize/validate now, then pin the expressions into the
@@ -1581,6 +1589,49 @@ class TableLog:
             else:
                 df = df.withColumn(n, F.expr(e))
         return df, checks
+
+    CLUSTERING_KEY = "delta.clusteringColumns"
+
+    @staticmethod
+    def _check_cluster_by(cluster_by: list[str], partition_by: list[str],
+                          schema_names: set[str]) -> None:
+        unknown = [c for c in cluster_by if c not in schema_names]
+        if unknown:
+            raise ValueError(f"CLUSTER BY columns not in schema: {unknown}")
+        overlap = [c for c in cluster_by if c in partition_by]
+        if overlap:
+            raise ValueError(
+                f"CLUSTER BY columns cannot be partition columns: {overlap}"
+                " (Delta forbids clustering on partition columns)")
+
+    def set_cluster_by(self, columns: list[str] | None) -> int:
+        """ALTER TABLE ... CLUSTER BY (cols) / CLUSTER BY NONE: update the
+        declared clustering columns — metadata-only; existing files are
+        re-clustered by the NEXT optimize() (liquid semantics: changing
+        the key never rewrites data eagerly)."""
+        snap = self.snapshot()
+        config = dict(snap.metadata.configuration)
+        if columns:
+            self._check_cluster_by(columns, snap.partition_columns,
+                                   {f.name for f in snap.schema.fields})
+            config[self.CLUSTERING_KEY] = ",".join(columns)
+        else:
+            config.pop(self.CLUSTERING_KEY, None)
+        meta = snap.metadata
+        new_meta = Metadata(
+            id=meta.id, name=meta.name, description=meta.description,
+            format=meta.format, schemaString=meta.schemaString,
+            partitionColumns=meta.partitionColumns,
+            configuration=config, createdTime=meta.createdTime,
+        )
+        return self._commit_checked(
+            snap,
+            lambda v, ts: [new_meta, CommitInfo(
+                version=v, timestamp=ts, operation="CLUSTER BY",
+                operationParameters={
+                    "clusterBy": ",".join(columns or [])})],
+            read_paths=set(),
+        )
 
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT: validates the WHOLE current table
@@ -2653,8 +2704,21 @@ class TableLog:
         them instead of aborting (Delta's disjoint-files rule). Only a
         concurrent remove/DV-rewrite of a compacted input file conflicts.
         Background compaction must not lose races to ingest.
+
+        On a table with DECLARED clustering columns (CREATE ... CLUSTER BY
+        / set_cluster_by), un-scoped OPTIMIZE is clustering MAINTENANCE
+        (liquid semantics): it z-orders only the files added since the
+        last clustering commit — plain bin-packing would destroy the
+        clustered layout it just paid for. ``where``-scoped compaction
+        still bin-packs (partition maintenance is orthogonal).
         """
         snap = self.snapshot()
+        declared = snap.metadata.configuration.get(self.CLUSTERING_KEY)
+        if declared and where is None:
+            v = self.zorder_incremental(declared.split(","),
+                                        target_file_rows=target_file_rows)
+            # nothing new since the last clustering commit -> no-op
+            return v if v is not None else self.latest_version()
         # group active files by partition values; compact groups with >1 file
         groups: dict[tuple, list[AddFile]] = {}
         for add in snap.files:
@@ -3297,15 +3361,20 @@ class TableLog:
         """
         snap = self.snapshot()
         if columns is None:
-            crc = self.read_crc(snap.version)
-            if crc is not None and "clusteringColumns" in crc:
-                columns = crc["clusteringColumns"] or None  # O(1) path
+            declared = snap.metadata.configuration.get(self.CLUSTERING_KEY)
+            if declared:
+                columns = declared.split(",")
             else:
-                columns = self._find_clustering_columns(
-                    snap.version) or None
+                crc = self.read_crc(snap.version)
+                if crc is not None and "clusteringColumns" in crc:
+                    columns = crc["clusteringColumns"] or None  # O(1) path
+                else:
+                    columns = self._find_clustering_columns(
+                        snap.version) or None
             if columns is None:
                 raise ValueError(
-                    "no ZORDER commit in retained history; pass columns=")
+                    "no declared clustering and no ZORDER commit in "
+                    "retained history; pass columns=")
         phys = snap.logical_to_physical or {}
         manifest = self.files_df(snap)
         rows = []

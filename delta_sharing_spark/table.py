@@ -124,6 +124,10 @@ class SharedTable:
             num_files = len(snap.files)
             size = sum(f.size or 0 for f in snap.files)
             clustering = self.log._find_clustering_columns(snap.version)
+        declared = snap.metadata.configuration.get(
+            self.log.CLUSTERING_KEY)
+        if declared:  # declared clustering wins over last-ZORDER history
+            clustering = declared.split(",")
         meta = snap.metadata
         schema = T.StructType([
             T.StructField("format", T.StringType()),

@@ -2737,3 +2737,80 @@ class TestClusteringColumnsDetail:
                 os.unlink(p)
         t = SharedTable(spark, table_dir)
         assert t.detail().collect()[0].clusteringColumns == ["l_suppkey"]
+
+
+class TestClusterBy:
+    def test_create_cluster_by_and_optimize_maintains(self, spark, lineitem,
+                                                      table_dir):
+        """Liquid-style declared clustering: CREATE ... CLUSTER BY records
+        the columns, un-scoped OPTIMIZE is clustering maintenance (z-orders
+        the new slice, never plain bin-packing), and DESCRIBE DETAIL /
+        clustering_report surface the declared set."""
+        log = TableLog(spark, table_dir)
+        log.create(lineitem.limit(3000), name="t",
+                   cluster_by=["l_orderkey", "l_partkey"])
+        t = SharedTable(spark, table_dir)
+        assert (t.detail().collect()[0].clusteringColumns
+                == ["l_orderkey", "l_partkey"])
+        v = log.optimize(target_file_rows=800)
+        c = log.read_commit(v)
+        assert c.info.operation == "ZORDER"
+        assert all(not a.dataChange for a in c.adds)
+        # second optimize with nothing new is a no-op (no new commit)
+        assert log.optimize(target_file_rows=800) == v
+        assert log.latest_version() == v
+        # appended slice gets clustered incrementally; the already-
+        # clustered bulk is untouched
+        log.append(lineitem.limit(1200))
+        v2 = log.optimize(target_file_rows=800)
+        c2 = log.read_commit(v2)
+        assert c2.info.operation == "ZORDER"
+        removed = {r.path for r in c2.removes}
+        clustered_v1 = {a.path for a in c.adds}
+        assert not removed & clustered_v1
+        # report defaults to the declared columns
+        cols = {r.column for r in t.clustering_report(probes=4).collect()}
+        assert cols == {"l_orderkey", "l_partkey"}
+        # data intact
+        assert t.to_df().count() == 4200
+
+    def test_where_scoped_optimize_still_binpacks(self, spark, lineitem,
+                                                  table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(lineitem.limit(1000).repartition(4),
+                   partition_by=["l_returnflag"], name="t",
+                   cluster_by=["l_orderkey"])
+        v = log.optimize(where="l_returnflag = 'A'")
+        c = log.read_commit(v)
+        assert c.info.operation == "OPTIMIZE"
+        assert c.info.operationParameters.get("predicate") \
+            == "l_returnflag = 'A'"
+
+    def test_set_cluster_by_and_validation(self, spark, lineitem, table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(lineitem.limit(500),
+                   partition_by=["l_returnflag"], name="t")
+        with pytest.raises(ValueError, match="not in schema"):
+            log.set_cluster_by(["nope"])
+        with pytest.raises(ValueError, match="partition columns"):
+            log.set_cluster_by(["l_returnflag"])
+        log.set_cluster_by(["l_suppkey"])
+        t = SharedTable(spark, table_dir)
+        assert t.detail().collect()[0].clusteringColumns == ["l_suppkey"]
+        v = log.optimize(target_file_rows=400)
+        assert log.read_commit(v).info.operation == "ZORDER"
+        # CLUSTER BY NONE -> optimize goes back to bin-packing; detail
+        # falls back to the historical (last-ZORDER) clustered set
+        log.set_cluster_by(None)
+        assert t.detail().collect()[0].clusteringColumns == ["l_suppkey"]
+        v2 = log.optimize(target_file_rows=400)
+        assert log.read_commit(v2).info.operation == "OPTIMIZE"
+
+    def test_create_validation(self, spark, lineitem, table_dir):
+        log = TableLog(spark, table_dir)
+        with pytest.raises(ValueError, match="not in schema"):
+            log.create(lineitem.limit(10), cluster_by=["bogus"])
+        with pytest.raises(ValueError, match="partition columns"):
+            log.create(lineitem.limit(10),
+                       partition_by=["l_returnflag"],
+                       cluster_by=["l_returnflag"])
