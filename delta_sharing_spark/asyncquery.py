@@ -89,6 +89,9 @@ class AsyncQueryManager:
                **query_kwargs: Any) -> AsyncQuery:
         fp = self._fingerprint(table, query_kwargs)
         with self._lock:
+            # evict BEFORE the dedup lookup: a TTL-expired query must not
+            # be returned for a resubmission under its old idempotency key
+            self._evict_finished()
             if idempotency_key is not None:
                 existing = self._by_idempotency.get(idempotency_key)
                 # dedup only same-table same-params resubmissions
@@ -96,7 +99,6 @@ class AsyncQueryManager:
                 # key is undefined — we start a fresh query)
                 if existing is not None and existing[1] == fp:
                     return self._queries[existing[0]]
-            self._evict_finished()
             q = AsyncQuery(query_id=uuid.uuid4().hex, table=table,
                            kwargs=dict(query_kwargs))
             self._queries[q.query_id] = q
@@ -120,7 +122,12 @@ class AsyncQueryManager:
         return q
 
     def poll(self, query_id: str) -> AsyncQuery:
-        q = self._queries.get(query_id)
+        # the TTL is enforced here too: a quiet server (no submissions)
+        # must still expire finished result plans, and polling an expired
+        # queryId gets the same unknown-id error as a bogus one
+        with self._lock:
+            self._evict_finished()
+            q = self._queries.get(query_id)
         if q is None:
             raise KeyError(f"unknown queryId {query_id!r}")
         return q

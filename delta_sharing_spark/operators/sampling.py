@@ -332,7 +332,10 @@ def quantile_buckets(df: DataFrame, strata_col: str, score_col: str,
 
     Returns ``df``'s columns plus ``bucket``. ``score_col`` must be
     integral (exact rank semantics; quantize floats to micro-units
-    first, as ``ngram_lm_score`` does).
+    first, as ``ngram_lm_score`` does). Rows with a NULL score are
+    unrankable: they pass through with ``bucket = NULL`` and are excluded
+    from every count and cut rank (they would otherwise corrupt the
+    stratum's boundaries).
 
     The input is scanned several times (range agg, bucket counts, the
     two labeled outputs) — materialize an expensive upstream projection
@@ -341,14 +344,16 @@ def quantile_buckets(df: DataFrame, strata_col: str, score_col: str,
     m = len(labels)
     if m < 2:
         raise ValueError("quantile_buckets needs at least 2 labels")
-    spark = df.sparkSession
-    rng = df.agg(F.min(score_col).alias("lo"),
-                 F.max(score_col).alias("hi")).collect()[0]  # two scalars
-    if rng.lo is None:
-        return df.withColumn("bucket", F.lit(None).cast("string"))
+    unranked = df.filter(F.col(score_col).isNull()) \
+        .withColumn("bucket", F.lit(None).cast("string"))
+    ranked_in = df.filter(F.col(score_col).isNotNull())
+    rng = ranked_in.agg(F.min(score_col).alias("lo"),
+                        F.max(score_col).alias("hi")).collect()[0]
+    if rng.lo is None:  # no rankable rows at all
+        return unranked
     lo = int(rng.lo)
     width = max(1, (int(rng.hi) - lo + coarse) // coarse)
-    docs = df.withColumn(
+    docs = ranked_in.withColumn(
         "__bkt",
         F.expr(f"(cast({score_col} as bigint) - {lo}) DIV {width}"))
     per_bucket = docs.groupBy(strata_col, "__bkt").agg(
@@ -394,4 +399,5 @@ def quantile_buckets(df: DataFrame, strata_col: str, score_col: str,
         .withColumn("bucket", F.element_at(label_arr, edge_idx + 1))
     )
     drop = ["__bkt", "__before", "__n", "__uniform", "__idx"]
-    return kept_whole.unionByName(kept_edge).drop(*drop)
+    return (kept_whole.unionByName(kept_edge).drop(*drop)
+            .unionByName(unranked))

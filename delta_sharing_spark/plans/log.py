@@ -946,10 +946,12 @@ class TableLog:
             if info is not None and info.operation == "ZORDER":
                 cols = (info.operationParameters or {}).get("columns", "")
                 payload["clusteringColumns"] = cols.split(",") if cols else []
-            elif prev is not None:
-                payload["clusteringColumns"] = prev.get(
-                    "clusteringColumns", [])
+            elif prev is not None and prev.get(
+                    "clusteringColumns") is not None:
+                payload["clusteringColumns"] = prev["clusteringColumns"]
             else:
+                # no prior sidecar, or one written before this field
+                # existed — [] from it would mask real ZORDER history
                 payload["clusteringColumns"] = \
                     self._find_clustering_columns(version)
             tmp = self._crc_path(version) + f".{uuid.uuid4().hex}.tmp"
@@ -1606,9 +1608,10 @@ class TableLog:
 
     def set_cluster_by(self, columns: list[str] | None) -> int:
         """ALTER TABLE ... CLUSTER BY (cols) / CLUSTER BY NONE: update the
-        declared clustering columns — metadata-only; existing files are
-        re-clustered by the NEXT optimize() (liquid semantics: changing
-        the key never rewrites data eagerly)."""
+        declared clustering columns — metadata-only; the NEXT optimize()
+        re-clusters on the new key (zorder_incremental baselines on the
+        last SAME-key ZORDER, so a key change re-enters every file; liquid
+        semantics: changing the key never rewrites data eagerly)."""
         snap = self.snapshot()
         config = dict(snap.metadata.configuration)
         if columns:
@@ -2716,7 +2719,8 @@ class TableLog:
         declared = snap.metadata.configuration.get(self.CLUSTERING_KEY)
         if declared and where is None:
             v = self.zorder_incremental(declared.split(","),
-                                        target_file_rows=target_file_rows)
+                                        target_file_rows=target_file_rows,
+                                        merge_small=True)
             # nothing new since the last clustering commit -> no-op
             return v if v is not None else self.latest_version()
         # group active files by partition values; compact groups with >1 file
@@ -3311,7 +3315,8 @@ class TableLog:
 
     def zorder_incremental(self, columns: list[str],
                            bits_per_col: int = 12,
-                           target_file_rows: int = 1_000_000) -> int | None:
+                           target_file_rows: int = 1_000_000,
+                           merge_small: bool = False) -> int | None:
         """Incrementally cluster only the files ADDED since the last ZORDER
         commit (Delta's clustering-maintenance shape): re-clustering a
         100 TB table wholesale per ingest batch is impractical, but the
@@ -3319,24 +3324,57 @@ class TableLog:
         clustered bulk untouched. Each file's min/max stays tight on the
         clustered columns (cut-points come from the new slice's own
         quantiles), so stats skipping works across old and new files alike.
-        Returns the committed version, or None when nothing new exists."""
+
+        Two liquid-parity rules keep maintenance honest:
+
+        - only a prior ZORDER on the SAME column set counts as the
+          baseline — after a clustering-key change every file predating
+          retained same-key history is re-clustered on the new key (the
+          set_cluster_by contract);
+        - with ``merge_small`` (the optimize()-maintenance mode),
+          already-clustered files far below the target size (< half of
+          ``target_file_rows`` logical rows) re-enter the rewrite — but
+          only when merging them actually REDUCES the file count — so
+          repeated maintenance passes MERGE their outputs instead of
+          accreting one under-sized file per pass (clustering is also
+          the compaction path on clustered tables) while staying
+          idempotent: a pass that changed nothing commits nothing.
+
+        Returns the committed version, or None when nothing needs work."""
         snap = self.snapshot()
-        # newest-first scan, stop at the first ZORDER: O(commits since last
-        # clustering), not O(history). If the log was truncated by
-        # expire_log before any retained ZORDER, treat the truncation point
-        # as the baseline — files that predate retained history are never
-        # silently swept into a full-table rewrite by a maintenance call.
+        # newest-first scan, stop at the first same-key ZORDER: O(commits
+        # since last clustering), not O(history). If the log was truncated
+        # by expire_log before any retained same-key ZORDER, treat the
+        # truncation point as the baseline — files that predate retained
+        # history are never silently swept into a full-table rewrite by a
+        # maintenance call.
         versions = self._list_versions()
         last_z = (versions[0] - 1) if versions and versions[0] > 0 else -1
+        key = ",".join(columns)
         for v in reversed(versions):
             c = self.read_commit(v)
-            if c.info is not None and c.info.operation == "ZORDER":
+            if (c.info is not None and c.info.operation == "ZORDER"
+                    and (c.info.operationParameters or {})
+                    .get("columns") == key):
                 last_z = v
                 break
-        new_files = [a for a in snap.files
-                     if (a.version or 0) > last_z]
-        if not new_files:
-            return None
+        fresh = [a for a in snap.files if (a.version or 0) > last_z]
+        small_files = []
+        if merge_small:
+            threshold = target_file_rows // 2
+            small_files = [a for a in snap.files
+                           if (a.version or 0) <= last_z
+                           and (a.logical_records or 0) < threshold]
+        if not fresh:
+            if not small_files:
+                return None
+            total = sum(a.logical_records or 0 for a in small_files)
+            n_out = max(1, -(-total // target_file_rows))
+            if len(small_files) <= n_out:
+                return None  # merging would not reduce the file count
+            new_files = small_files
+        else:
+            new_files = fresh + small_files
         return self.zorder_by(columns, bits_per_col=bits_per_col,
                               target_file_rows=target_file_rows,
                               files=new_files, snap=snap)
@@ -3403,23 +3441,32 @@ class TableLog:
                 width_frac = float(a.avg_w) / (a.gmax - a.gmin)
             elif numeric and a.gmax is not None:
                 width_frac = 0.0
-            # deterministic probe sample of file min values
+            # deterministic probe sample of file min values — collected
+            # once (<= probes scalars, metadata plane) so the sample
+            # pipeline isn't re-run inside the containment join
             val = F.col("mn_d") if numeric else F.col("mn_s")
-            probe_rows = (
+            probe_vals = [r.p for r in (
                 col_df.filter(F.col("mn_s").isNotNull())
                 .select(val.alias("p")).distinct()
                 .orderBy(F.md5(F.col("p").cast("string")))
                 .limit(probes)
-            )
+            ).collect()]
             lo = F.col("mn_d") if numeric else F.col("mn_s")
             hi = F.col("mx_d") if numeric else F.col("mx_s")
-            n_probes = probe_rows.count()
             per_probe = None
-            if n_probes:
+            if probe_vals:
+                probe_rows = self.spark.createDataFrame(
+                    [(v,) for v in probe_vals],
+                    f"p {'double' if numeric else 'string'}")
+                # a file WITHOUT stats can never be pruned, so it counts
+                # as a hit for every probe — otherwise the metric reads
+                # "perfectly clustered" exactly when missing stats are
+                # the problem the n_stats column exposes
                 hits = col_df.join(
                     F.broadcast(probe_rows),
-                    (F.col("p") >= lo) & (F.col("p") <= hi)).count()
-                per_probe = hits / n_probes
+                    F.col("mn_s").isNull()
+                    | ((F.col("p") >= lo) & (F.col("p") <= hi))).count()
+                per_probe = hits / len(probe_vals)
             rows.append((logical, int(a.n_files), int(a.n_stats),
                          bool(numeric), width_frac, per_probe))
         return self.spark.createDataFrame(

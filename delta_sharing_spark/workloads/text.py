@@ -1044,7 +1044,9 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject — no global sort), a 100-row rank window, and
     an exact-integer regression (each ln term quantized to micro-units at
     the point of computation, all sums BIGINT — partition-order
-    independent, so the slope replays bit-exactly)."""
+    independent, so the slope replays bit-exactly modulo the repo-wide
+    accepted caveat that JVM and libm ln() agree to the micro-unit
+    rounding boundary; same risk class as the DSIR/tfidf quantizations)."""
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")

@@ -2814,3 +2814,127 @@ class TestClusterBy:
             log.create(lineitem.limit(10),
                        partition_by=["l_returnflag"],
                        cluster_by=["l_returnflag"])
+
+
+class TestClusteredCompaction:
+    def test_maintenance_merges_undersized_clustered_files(self, spark,
+                                                           lineitem,
+                                                           table_dir):
+        """The file-count-growth review finding: daily append+optimize on a
+        CLUSTER BY table must MERGE under-sized clustered outputs, not
+        accrete one small file per pass — and stay idempotent when a merge
+        would not reduce the file count."""
+        log = TableLog(spark, table_dir)
+        log.create(lineitem.limit(400), name="t",
+                   cluster_by=["l_orderkey"])
+        # several small ingest+maintenance cycles (each slice << target)
+        for i in range(3):
+            log.append(lineitem.limit(300))
+            log.optimize(target_file_rows=100_000)
+        n_files = len(log.snapshot().files)
+        # 4 slices of ~300-400 rows vs a 100k-row target: every pass folds
+        # the previous under-sized output in, so the table stays at ONE
+        # clustered file instead of 4+
+        assert n_files == 1
+        # idempotent: nothing new, merging 1 file gains nothing
+        v = log.latest_version()
+        assert log.optimize(target_file_rows=100_000) == v
+        assert log.latest_version() == v
+        t = SharedTable(spark, table_dir)
+        assert t.to_df().count() == 1300
+
+    def test_key_change_reclusters_existing_files(self, spark, lineitem,
+                                                  table_dir):
+        """set_cluster_by contract: after a clustering-key change the next
+        optimize() re-clusters the EXISTING bulk on the new key (only a
+        same-key ZORDER counts as the incremental baseline)."""
+        log = TableLog(spark, table_dir)
+        log.create(lineitem.limit(2000), name="t",
+                   cluster_by=["l_orderkey"])
+        log.optimize(target_file_rows=500)
+        old_files = {a.path for a in log.snapshot().files}
+        log.set_cluster_by(["l_partkey"])
+        v = log.optimize(target_file_rows=500)
+        c = log.read_commit(v)
+        assert c.info.operation == "ZORDER"
+        assert (c.info.operationParameters or {}).get("columns") \
+            == "l_partkey"
+        # every pre-change file was rewritten on the new key
+        assert {r.path for r in c.removes} == old_files
+        t = SharedTable(spark, table_dir)
+        rep = {r.column: r for r in t.clustering_report(probes=8).collect()}
+        assert rep["l_partkey"].avg_files_per_probe < rep[
+            "l_partkey"].n_files
+
+
+class TestReviewFixesRound6:
+    def test_pre_feature_crc_does_not_mask_zorder_history(self, spark,
+                                                          lineitem,
+                                                          table_dir):
+        """A sidecar written before clusteringColumns existed must not
+        poison later sidecars with [] — the carry-forward falls back to
+        the commit scan."""
+        import json as _json
+        import os
+
+        log = TableLog(spark, table_dir)
+        log.create(lineitem.limit(800), name="t")
+        log.zorder_by(["l_suppkey"], bits_per_col=8, target_file_rows=400)
+        # simulate a pre-feature sidecar at the ZORDER version
+        v = log.latest_version()
+        p = log._crc_path(v)
+        crc = _json.load(open(p))
+        crc.pop("clusteringColumns")
+        open(p, "w").write(_json.dumps(crc))
+        log.append(lineitem.limit(10))
+        new_crc = log.read_crc(log.latest_version())
+        assert new_crc["clusteringColumns"] == ["l_suppkey"]
+        t = SharedTable(spark, table_dir)
+        assert t.detail().collect()[0].clusteringColumns == ["l_suppkey"]
+
+    def test_quantile_buckets_null_scores_pass_through(self, spark):
+        """NULL scores are unrankable: bucket=NULL rows pass through and
+        the real rows' tertile boundaries are computed WITHOUT them."""
+        from delta_sharing_spark.operators.sampling import quantile_buckets
+
+        rows = [(i, "en", (i * 7) % 100) for i in range(9)]
+        rows += [(100 + i, "en", None) for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, s long")
+        out = quantile_buckets(df, "lang", "s", "doc_id").collect()
+        assert len(out) == 12
+        nulls = [r for r in out if r.s is None]
+        assert len(nulls) == 3 and all(r.bucket is None for r in nulls)
+        ranked = sorted((r for r in out if r.s is not None),
+                        key=lambda r: (r.s, r.doc_id))
+        # 9 rankable rows -> exact 3/3/3 split
+        assert [r.bucket for r in ranked] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+
+    def test_report_counts_statless_files_as_probe_hits(self, spark,
+                                                        lineitem, table_dir):
+        """A file without stats can never be pruned, so the point-lookup
+        metric must count it for every probe."""
+        import json as _json
+
+        log = TableLog(spark, table_dir)
+        log.create(lineitem.limit(600).repartition(3), name="t")
+        t = SharedTable(spark, table_dir)
+        base = {r.column: r for r in t.clustering_report(
+            columns=["l_orderkey"], probes=8).collect()}["l_orderkey"]
+        # strip the stats off one file's manifest entry via a fresh commit
+        victim = log.snapshot().files[0]
+        from delta_sharing_spark.plans.log import AddFile, RemoveFile
+        log._write_commit(log.latest_version() + 1, [
+            RemoveFile(path=victim.path,
+                       partitionValues=victim.partitionValues,
+                       size=victim.size, dataChange=False),
+            AddFile(path=victim.path,
+                    partitionValues=victim.partitionValues,
+                    size=victim.size, stats=None, dataChange=False),
+        ])
+        after = {r.column: r for r in t.clustering_report(
+            columns=["l_orderkey"], probes=8).collect()}["l_orderkey"]
+        assert after.files_with_stats == base.files_with_stats - 1
+        # the stats-less file now counts as a hit on every probe
+        assert after.avg_files_per_probe >= base.avg_files_per_probe
+        assert after.avg_files_per_probe >= 1.0

@@ -248,6 +248,11 @@ class TestAsyncQueryEviction:
         assert mgr.submit(t, idempotency_key="k_old") is not old
         # in-flight and recently-finished queries are untouched
         assert mgr.poll(fresh.query_id) is fresh
+        # a QUIET server expires on poll alone — no submit needed
+        fresh.finished_at -= 31.0
+        import pytest as _p2
+        with _p2.raises(KeyError):
+            mgr.poll(fresh.query_id)
 
 
 class TestAsofJoinProperty:
