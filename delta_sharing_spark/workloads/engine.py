@@ -1184,3 +1184,60 @@ def eng_rest_range_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("_commit_version").alias("commit_version"))
             .agg(F.count("*").alias("n_rows"),
                  F.sum("event_id").alias("sum_id")))
+
+
+def _lineitem_clustered(spark: SparkSession, sf_dir: str) -> str:
+    """Liquid-maintenance fixture: CREATE ... CLUSTER BY, three small
+    ingest+optimize cycles — each un-scoped optimize() is clustering
+    maintenance (z-orders the new slice AND folds under-sized clustered
+    outputs back in, so the table does not accrete one small file per
+    cycle)."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        li = read_table(spark, sf_dir, "lineitem")
+        n = li.count()
+        log = TableLog(spark, path)
+        log.create(li.filter(F.col("l_orderkey") % 4 == 0),
+                   name="lineitem_clustered",
+                   cluster_by=["l_orderkey", "l_partkey"])
+        # target holds the whole table: every slice is under-sized, so
+        # each maintenance pass MUST fold prior outputs in (merge proof)
+        for k in (1, 2, 3):
+            log.append(li.filter(F.col("l_orderkey") % 4 == k))
+            log.optimize(target_file_rows=max(n * 2, 1000))
+
+    return _fixture(spark, sf_dir, "lineitem_clustered2", build)
+
+
+@workload(
+    "eng_cluster_maintenance",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    WHERE l_partkey <= 200
+    """,
+)
+def eng_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared clustering under the value gate: after three append +
+    optimize() maintenance cycles on a CLUSTER BY table, the table must
+    hold EXACTLY the union of all ingested rows (every maintenance rewrite
+    is dataChange=false re-sorting), a predicate on the non-leading
+    clustered column must read byte-identical logical rows, and the
+    rewrites must have merged rather than accreted (file count stays far
+    below the cycle count x slice files)."""
+    t = SharedTable(spark, _lineitem_clustered(spark, sf_dir))
+    snap = t.log.snapshot()
+    # maintenance merged: with every slice under half the target, each
+    # cycle folds the previous output in — the table ends as ONE file,
+    # never one-small-file-per-cycle accretion
+    assert len(snap.files) <= 2, (
+        f"clustered maintenance accreted {len(snap.files)} files")
+    return t.to_df().filter(F.col("l_partkey") <= 200).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(14,2))"))
+        .cast("double").alias("sum_price"),
+    )
