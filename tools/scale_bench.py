@@ -312,6 +312,19 @@ def main() -> None:
     out["limit_prefix_s"] = round(time.perf_counter() - t0, 3)
     assert len(kept) == args.files // 200 + 1, len(kept)
 
+    # --- clustering report over the million-file manifest: the liquid
+    # diagnostic must be a metadata-plane job (probe sample + one
+    # containment join per column), never a data scan. The synthetic
+    # layout is perfectly clustered on id (disjoint 1k ranges), so the
+    # measured point-lookup cost must come out ~1 file per probe.
+    t0 = time.perf_counter()
+    rep = table.clustering_report(columns=["id"], probes=16).collect()[0]
+    out["clustering_report_s"] = round(time.perf_counter() - t0, 3)
+    assert rep.n_files == args.files, rep
+    assert rep.avg_files_per_probe is not None \
+        and rep.avg_files_per_probe <= 2.0, rep
+    out["clustering_avg_files_per_probe"] = rep.avg_files_per_probe
+
     # --- driver-loop threshold comparison at exactly 10k files (the
     # warmup table — its snapshot/log caches are hot, like production)
     shints = stats_predicate(0, PRUNE_DRIVER_MAX_FILES * 10 - 1)
@@ -349,6 +362,10 @@ def main() -> None:
         " | two-phase distributed, windows partitioned by _pid |\n"
         f"| Driver-loop prune, 10k files | {out['driver_loop_10k_s']}s"
         " | zero Spark jobs |\n"
+        f"| Clustering report, {args.files:,} files |"
+        f" {out['clustering_report_s']}s"
+        f" ({out['clustering_avg_files_per_probe']} files/probe)"
+        " | probe sample + containment join, metadata only |\n"
         f"| CDF plan, {args.commits:,} commits | {out['cdf_plan_s']}s build"
         f" + {out['cdf_count_s']}s count | {out['cdf_parquet_scans']}"
         " parquet scans total |\n")
