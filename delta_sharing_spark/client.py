@@ -189,9 +189,26 @@ def _query_over_http(spark: SparkSession, url: str,
     profile = DeltaSharingProfile.read_from_file(profile_path)
     profile.check_not_expired()
     client = _rest_client(profile)
+    # reference connector conf gate (ConfUtils.scala:36-46): when
+    # spark.delta.sharing.network.useAsyncQuery is set the load goes
+    # through the async submit/poll flow; interval/timeout confs in ms
+    conf = spark.conf
+    use_async = conf.get(
+        "spark.delta.sharing.network.useAsyncQuery", "false") == "true"
+    kwargs = {}
+    if use_async:
+        kwargs = dict(
+            async_query=True,
+            poll_interval_s=int(conf.get(
+                "spark.delta.sharing.network.asyncQueryRetryInterval",
+                "10000")) / 1000.0,
+            max_duration_s=int(conf.get(
+                "spark.delta.sharing.network.asyncQueryTimeout",
+                "600000")) / 1000.0,
+        )
     headers, lines = client.list_files_in_table(
         share, schema, table, version=version, timestamp=timestamp,
-        limit_hint=limit, response_formats="delta,parquet")
+        limit_hint=limit, response_formats="delta,parquet", **kwargs)
     responded_delta = "responseformat=delta" in headers.get(
         "delta-sharing-capabilities", "").replace(" ", "").lower()
     if responded_delta:

@@ -258,6 +258,24 @@ class TestHttpProfile:
         assert df.columns == ["event_id", "score"]
         assert df.count() == events.count()
 
+    def test_load_as_spark_http_async_conf(self, spark, events, http_url):
+        """spark.delta.sharing.network.useAsyncQuery routes the load
+        through the async submit/poll flow (reference ConfUtils.scala:42)
+        — same rows as the sync path."""
+        from delta_sharing_spark.client import load_as_spark
+
+        spark.conf.set("spark.delta.sharing.network.useAsyncQuery", "true")
+        spark.conf.set(
+            "spark.delta.sharing.network.asyncQueryRetryInterval", "50")
+        try:
+            df = load_as_spark(f"{http_url}#s.d.events", spark=spark)
+            want = events.count() - events.filter("event_id < 5").count()
+            assert df.count() == want
+        finally:
+            spark.conf.unset("spark.delta.sharing.network.useAsyncQuery")
+            spark.conf.unset(
+                "spark.delta.sharing.network.asyncQueryRetryInterval")
+
     def test_load_as_pandas_http_limit(self, spark, http_url):
         from delta_sharing_spark.client import load_as_pandas
 
