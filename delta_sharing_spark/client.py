@@ -144,7 +144,7 @@ def _is_http(endpoint: str) -> bool:
 _REST_CLIENT_CACHE: dict = {}
 
 
-def _rest_client(profile: DeltaSharingProfile):
+def _rest_client(profile: DeltaSharingProfile, spark=None):
     """Retried HTTP transport for a network profile (the reference client's
     rest_client stack: auth provider + retry/backoff on every route).
     Cached per profile (a frozen dataclass) so the OAuth provider's token
@@ -162,6 +162,11 @@ def _rest_client(profile: DeltaSharingProfile):
         if len(_REST_CLIENT_CACHE) > 32:
             _REST_CLIENT_CACHE.clear()
         _REST_CLIENT_CACHE[profile] = client
+    if spark is not None:
+        # reference network confs override per call (ConfUtils.scala:27-49)
+        from delta_sharing_spark.retry import RetryConfig
+
+        client.retry_config = RetryConfig.from_spark_conf(spark.conf)
     return client
 
 
@@ -188,7 +193,7 @@ def _query_over_http(spark: SparkSession, url: str,
     profile_path, share, schema, table = _parse_url(url)
     profile = DeltaSharingProfile.read_from_file(profile_path)
     profile.check_not_expired()
-    client = _rest_client(profile)
+    client = _rest_client(profile, spark=spark)
     # reference connector conf gate (ConfUtils.scala:36-46): when
     # spark.delta.sharing.network.useAsyncQuery is set the load goes
     # through the async submit/poll flow; interval/timeout confs in ms

@@ -38,6 +38,34 @@ class RetryConfig:
     def sleeper(self, ms: int) -> None:  # overridable in tests
         time.sleep(ms / 1000.0)
 
+    @classmethod
+    def from_spark_conf(cls, conf) -> "RetryConfig":
+        """Build from the reference connector's conf names
+        (ConfUtils.scala:27-49): ``spark.delta.sharing.network.
+        {numRetries, maxRetryDuration, retrySleepInterval, timeout}``.
+        ``timeout`` accepts the reference's duration spelling
+        ("320s"/"5000ms") or a bare-seconds number."""
+        pre = "spark.delta.sharing.network."
+        d = cls()
+
+        def geti(key: str, default: int) -> int:
+            return int(conf.get(pre + key, str(default)))
+
+        raw = str(conf.get(pre + "timeout", "320s"))
+        if raw.endswith("ms"):
+            timeout_s = float(raw[:-2]) / 1000.0
+        elif raw.endswith("s"):
+            timeout_s = float(raw[:-1])
+        else:
+            timeout_s = float(raw)
+        return cls(
+            num_retries=geti("numRetries", d.num_retries),
+            initial_sleep_ms=geti("retrySleepInterval",
+                                  d.initial_sleep_ms),
+            max_duration_ms=geti("maxRetryDuration", d.max_duration_ms),
+            request_timeout_s=timeout_s,
+        )
+
 
 def should_retry(exc: Exception) -> bool:
     """RetryUtils.shouldRetry (RetryUtils.scala:68-104): 429 yes, 5xx yes,

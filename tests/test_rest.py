@@ -276,6 +276,18 @@ class TestHttpProfile:
             spark.conf.unset(
                 "spark.delta.sharing.network.asyncQueryRetryInterval")
 
+    def test_http_load_applies_network_confs(self, spark, http_url):
+        from delta_sharing_spark import client as client_mod
+        from delta_sharing_spark.client import load_as_spark
+
+        spark.conf.set("spark.delta.sharing.network.numRetries", "9")
+        try:
+            load_as_spark(f"{http_url}#s.d.events", spark=spark)
+            cached = list(client_mod._REST_CLIENT_CACHE.values())[-1]
+            assert cached.retry_config.num_retries == 9
+        finally:
+            spark.conf.unset("spark.delta.sharing.network.numRetries")
+
     def test_load_as_pandas_http_limit(self, spark, http_url):
         from delta_sharing_spark.client import load_as_pandas
 
@@ -403,3 +415,30 @@ class TestHttpProfile:
         tables = c.list_tables(schemas[0])
         assert sorted(t.name for t in tables) == ["events", "events_cm"]
         assert len(c.list_all_tables("s")) == 2
+
+
+class TestNetworkConfBridge:
+    def test_retry_config_from_spark_conf(self, spark):
+        from delta_sharing_spark.retry import RetryConfig
+
+        spark.conf.set("spark.delta.sharing.network.numRetries", "7")
+        spark.conf.set("spark.delta.sharing.network.retrySleepInterval",
+                       "250")
+        spark.conf.set("spark.delta.sharing.network.maxRetryDuration",
+                       "120000")
+        spark.conf.set("spark.delta.sharing.network.timeout", "5000ms")
+        try:
+            rc = RetryConfig.from_spark_conf(spark.conf)
+            assert rc.num_retries == 7
+            assert rc.initial_sleep_ms == 250
+            assert rc.max_duration_ms == 120000
+            assert rc.request_timeout_s == 5.0
+        finally:
+            for k in ("numRetries", "retrySleepInterval",
+                      "maxRetryDuration", "timeout"):
+                spark.conf.unset(f"spark.delta.sharing.network.{k}")
+        # defaults + "320s" spelling
+        rc = RetryConfig.from_spark_conf(spark.conf)
+        assert rc.num_retries == 3
+        assert rc.request_timeout_s == 320.0
+
