@@ -201,6 +201,11 @@ def _query_over_http(spark: SparkSession, url: str,
     use_async = conf.get(
         "spark.delta.sharing.network.useAsyncQuery", "false") == "true"
     kwargs = {}
+    if conf.get("spark.delta.sharing.query.includeEndStreamAction",
+                "false") == "true" and not use_async:
+        # sync-query truncation check (ConfUtils.scala:47-49; the
+        # reference skips ESA on async queries)
+        kwargs["include_end_stream_action"] = True
     if use_async:
         kwargs = dict(
             async_query=True,

@@ -42,6 +42,44 @@ __all__ = [
 ]
 
 
+class MissingEndStreamActionError(RuntimeError):
+    """Server advertised includeendstreamaction=true but the response did
+    not end with an endStreamAction — a truncated stream
+    (MissingEndStreamActionException, DeltaSharingClient.scala:1671-1676)."""
+
+
+def check_end_stream_action(
+        resp_headers: dict[str, str],
+        lines: list[dict]) -> list[dict]:
+    """Client-side truncation check (checkEndStreamAction,
+    DeltaSharingClient.scala:1661-1698): when the RESPONDED capabilities
+    carry includeendstreamaction=true, the last line must be an
+    endStreamAction — raise if missing, surface an embedded server error,
+    and strip the trailer; a server that did not echo the header is
+    tolerated (reference logs a warning and proceeds)."""
+    caps = (resp_headers.get("delta-sharing-capabilities") or "") \
+        .replace(" ", "").lower()
+    responded = None
+    for part in caps.split(";"):
+        if part.startswith("includeendstreamaction="):
+            responded = part.split("=", 1)[1] == "true"
+    if responded is not True:
+        return lines
+    last = lines[-1] if lines else None
+    esa = (last or {}).get("endStreamAction")
+    if esa is None:
+        raise MissingEndStreamActionError(
+            "Client sets includeendstreamaction=true, server responded "
+            f"with the header set to true and {len(lines)} lines, and "
+            f"last line as [{json.dumps(last) if last else 'empty'}].")
+    if esa.get("errorMessage"):
+        code = esa.get("httpStatusErrorCode")
+        raise HttpStatusError(
+            f"Server Exception[{code if code is not None else ''}]: "
+            f"{esa['errorMessage']}", code)
+    return lines[:-1]
+
+
 def _check_query_pending(
         lines: list[dict]) -> tuple[list[dict], str | None, bool]:
     """First-line queryStatus detection (checkQueryPending,
@@ -205,6 +243,7 @@ class DataSharingRestClient:
         starting_version: int | None = None,
         ending_version: int | None = None,
         include_historical_protocol: bool = False,
+        include_end_stream_action: bool = False,
         async_query: bool = False,
         poll_interval_s: float = 0.05,
         max_duration_s: float = 600.0,
@@ -241,9 +280,13 @@ class DataSharingRestClient:
             # async read (PROTOCOL.md:2313-2350; client polling loop
             # DeltaSharingClient.scala:1086-1137 getNDJsonWithAsync):
             # submit with asyncquery=true + a fresh idempotencyKey, then
-            # poll Get Query Info until the sync-shaped response streams
+            # poll Get Query Info until the sync-shaped response streams.
+            # The reference does NOT set endstreamaction on async queries
+            # (DeltaSharingClient.scala:725-726)
             caps.append("asyncquery=true")
             body.setdefault("idempotencyKey", uuid.uuid4().hex)
+        elif include_end_stream_action:
+            caps.append("includeendstreamaction=true")
         if caps:
             headers["delta-sharing-capabilities"] = ";".join(caps)
         resp_headers, lines = self._ndjson(
@@ -251,6 +294,8 @@ class DataSharingRestClient:
             f"/shares/{share}/schemas/{schema}/tables/{table}/query",
             body=body, headers=headers)
         if not async_query:
+            if include_end_stream_action:
+                lines = check_end_stream_action(resp_headers, lines)
             return resp_headers, lines
         lines, query_id, pending = _check_query_pending(lines)
         start = time.monotonic()
@@ -287,6 +332,7 @@ class DataSharingRestClient:
         ending_timestamp: str | None = None,
         response_formats: str | None = None,
         include_historical_metadata: bool = False,
+        include_end_stream_action: bool = False,
     ) -> list[dict]:
         params = []
         if starting_version is not None:
@@ -303,13 +349,19 @@ class DataSharingRestClient:
                           + urllib.parse.quote(ending_timestamp))
         q = ("?" + "&".join(params)) if params else ""
         headers = {}
+        caps = []
         if response_formats:
-            headers["delta-sharing-capabilities"] = \
-                f"responseformat={response_formats}"
-        _h, lines = self._ndjson(
+            caps.append(f"responseformat={response_formats}")
+        if include_end_stream_action:
+            caps.append("includeendstreamaction=true")
+        if caps:
+            headers["delta-sharing-capabilities"] = ";".join(caps)
+        resp_h, lines = self._ndjson(
             "GET",
             f"/shares/{share}/schemas/{schema}/tables/{table}/changes{q}",
             headers=headers)
+        if include_end_stream_action:
+            lines = check_end_stream_action(resp_h, lines)
         return lines
 
 

@@ -317,6 +317,20 @@ class SharingServer:
         return "includeendstreamaction=true" in caps
 
     @staticmethod
+    def _merge_esa_header(extra: dict, requested: bool) -> dict:
+        """Echo includeendstreamaction=true in the response capabilities
+        (the reference client's truncation check switches on the RESPONDED
+        header — checkEndStreamAction, DeltaSharingClient.scala:1661-1698)."""
+        if not requested:
+            return extra
+        cur = extra.get("delta-sharing-capabilities")
+        extra = dict(extra)
+        extra["delta-sharing-capabilities"] = (
+            f"{cur};includeendstreamaction=true" if cur
+            else "includeendstreamaction=true")
+        return extra
+
+    @staticmethod
     def _ndjson_payload(lines, delta: bool) -> tuple[bytes, dict]:
         if delta:
             from delta_sharing_spark.deltaformat import actions_to_delta_format
@@ -413,6 +427,8 @@ class SharingServer:
         out = t.query_actions(**kwargs)
         payload, extra = self._ndjson_payload(
             out["actions"], out.get("respondedFormat") == "delta")
+        extra = self._merge_esa_header(
+            extra, self._include_end_stream_action(h))
         h._respond(payload, NDJSON, version=out["version"],
                    extra_headers=extra)
 
@@ -478,9 +494,11 @@ class SharingServer:
                 params.get("includeHistoricalMetadata", "false") == "true"),
         )
         lines = out["actions"]
-        if self._include_end_stream_action(h):
+        esa = self._include_end_stream_action(h)
+        if esa:
             lines = lines + [{"endStreamAction": {}}]
         delta = "delta" in formats and (cm or "parquet" not in formats)
         payload, extra = self._ndjson_payload(lines, delta)
+        extra = self._merge_esa_header(extra, esa)
         h._respond(payload, NDJSON, version=out["version"],
                    extra_headers=extra)

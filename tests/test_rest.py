@@ -276,6 +276,23 @@ class TestHttpProfile:
             spark.conf.unset(
                 "spark.delta.sharing.network.asyncQueryRetryInterval")
 
+    def test_load_with_end_stream_action_conf(self, spark, events,
+                                               http_url):
+        """spark.delta.sharing.query.includeEndStreamAction=true: the load
+        requests the trailer, the server echoes the capability and appends
+        it, the client verifies and strips it — same rows as without."""
+        from delta_sharing_spark.client import load_as_spark
+
+        spark.conf.set(
+            "spark.delta.sharing.query.includeEndStreamAction", "true")
+        try:
+            df = load_as_spark(f"{http_url}#s.d.events", spark=spark)
+            want = events.count() - events.filter("event_id < 5").count()
+            assert df.count() == want
+        finally:
+            spark.conf.unset(
+                "spark.delta.sharing.query.includeEndStreamAction")
+
     def test_http_load_applies_network_confs(self, spark, http_url):
         from delta_sharing_spark import client as client_mod
         from delta_sharing_spark.client import load_as_spark
@@ -442,3 +459,30 @@ class TestNetworkConfBridge:
         assert rc.num_retries == 3
         assert rc.request_timeout_s == 320.0
 
+
+
+class TestEndStreamActionCheck:
+    def test_check_strips_verifies_and_raises(self):
+        from delta_sharing_spark.rest import (
+            HttpStatusError,
+            MissingEndStreamActionError,
+            check_end_stream_action,
+        )
+
+        hdr = {"delta-sharing-capabilities": "includeendstreamaction=true"}
+        lines = [{"protocol": {}}, {"metaData": {}},
+                 {"endStreamAction": {}}]
+        assert check_end_stream_action(hdr, list(lines)) == lines[:-1]
+        # responded true but no trailer -> truncation error
+        with pytest.raises(MissingEndStreamActionError):
+            check_end_stream_action(hdr, lines[:-1])
+        # embedded server error surfaces with the status code
+        bad = lines[:-1] + [{"endStreamAction": {
+            "errorMessage": "boom", "httpStatusErrorCode": 500}}]
+        with pytest.raises(HttpStatusError, match=r"Server Exception\[500\]"):
+            check_end_stream_action(hdr, bad)
+        # server did not echo the header -> tolerated, lines unchanged
+        assert check_end_stream_action({}, lines[:-1]) == lines[:-1]
+        assert check_end_stream_action(
+            {"delta-sharing-capabilities":
+             "includeendstreamaction=false"}, lines[:-1]) == lines[:-1]
