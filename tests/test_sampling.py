@@ -322,3 +322,40 @@ class TestQuantileBuckets:
         for spec in re.findall(r"partitionspec=\[([^\]]*)\]",
                                plan.lower().replace(" ", "")):
             assert spec != "", "unpartitioned window in plan"
+
+
+class TestQuantileBucketsRandomized:
+    def test_multi_seed_equivalence_with_naive_ranks(self, spark):
+        """Randomized sweep (one Spark session, many corpora): heavy ties,
+        skew, strata smaller than the label count, and singletons all
+        match the textbook per-stratum ROW_NUMBER split exactly."""
+        import random
+
+        from pyspark.sql import Window
+        from delta_sharing_spark.operators.sampling import quantile_buckets
+
+        for seed in (1, 2, 3, 4, 5):
+            rng = random.Random(seed)
+            strata = ["en", "zh", "fr", "tiny"][: rng.randint(1, 4)]
+            rows = []
+            i = 0
+            for s_name in strata:
+                n = rng.choice([1, 2, 3, 7, 40, 81])
+                for _ in range(n):
+                    # small score domain -> massive ties
+                    rows.append((i, s_name, rng.randrange(0, 6)))
+                    i += 1
+            df = spark.createDataFrame(
+                rows, "doc_id long, lang string, s long")
+            got = {r.doc_id: r.bucket
+                   for r in quantile_buckets(df, "lang", "s",
+                                             "doc_id").collect()}
+            w = Window.partitionBy("lang").orderBy("s", "doc_id")
+            naive = df.withColumn("r", F.row_number().over(w) - 1) \
+                .withColumn("n", F.count(F.lit(1)).over(
+                    Window.partitionBy("lang")))
+            for row in naive.collect():
+                b1, b2 = row.n // 3, (2 * row.n) // 3
+                want = ("head" if row.r < b1
+                        else "middle" if row.r < b2 else "tail")
+                assert got[row.doc_id] == want, (seed, row)
