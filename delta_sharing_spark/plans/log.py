@@ -702,11 +702,15 @@ class TableLog:
 
     def _maybe_checkpoint(self, version: int) -> None:
         """Auto-checkpoint after a write when the version hits the interval
-        (``checkpointInterval`` table config, default 10)."""
+        (``delta.checkpointInterval`` table config — Delta's spelling —
+        with the bare ``checkpointInterval`` kept as an alias; default
+        10)."""
         try:
             snap = self.snapshot(version=version)
-            interval = int(snap.metadata.configuration.get(
-                "checkpointInterval", CHECKPOINT_INTERVAL_DEFAULT))
+            cfg = snap.metadata.configuration
+            interval = int(cfg.get(
+                "delta.checkpointInterval",
+                cfg.get("checkpointInterval", CHECKPOINT_INTERVAL_DEFAULT)))
             if interval > 0 and version > 0 and version % interval == 0:
                 self.write_checkpoint(version)
         except Exception:

@@ -2938,3 +2938,19 @@ class TestReviewFixesRound6:
         # the stats-less file now counts as a hit on every probe
         assert after.avg_files_per_probe >= base.avg_files_per_probe
         assert after.avg_files_per_probe >= 1.0
+
+
+class TestCheckpointIntervalSpelling:
+    def test_delta_prefixed_interval_wins(self, spark, events, table_dir):
+        """delta.checkpointInterval (Delta's property name) is honored and
+        takes precedence over the bare-alias spelling."""
+        import os
+
+        log = TableLog(spark, table_dir)
+        log.create(events.limit(10), name="t",
+                   configuration={"delta.checkpointInterval": "2",
+                                  "checkpointInterval": "50"})
+        log.append(events.limit(5))
+        log.append(events.limit(5))  # v2 -> checkpoint
+        cps = [f for f in os.listdir(log.log_path) if "checkpoint" in f]
+        assert any(f.startswith("00000000000000000002") for f in cps), cps
