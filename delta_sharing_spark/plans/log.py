@@ -2955,7 +2955,12 @@ class TableLog:
         ``keep_last=1`` plus ``retention``.
 
         Returns the expired versions (empty when nothing can be safely
-        expired — e.g. no checkpoint covers the cutoff)."""
+        expired — e.g. no checkpoint covers the cutoff). With no explicit
+        ``retention``, the ``delta.logRetentionDuration`` table property
+        supplies the window."""
+        if retention is None:
+            retention = self.snapshot().metadata.configuration.get(
+                "delta.logRetentionDuration")
         versions = self._list_versions()
         if len(versions) <= keep_last:
             return []
@@ -3025,7 +3030,17 @@ class TableLog:
         BEFORE ``expire_log`` in a maintenance cycle, since expired
         commits can no longer prove a historical file referenced (vacuum
         after expiry may delete files that only expired versions
-        referenced — which is the point)."""
+        referenced — which is the point).
+
+        With no explicit ``retention_hours``, the table property
+        ``delta.deletedFileRetentionDuration`` (Delta's vacuum default
+        source) supplies the window; absent both, the conservative mode
+        runs."""
+        if retention_hours is None:
+            prop = self.snapshot().metadata.configuration.get(
+                "delta.deletedFileRetentionDuration")
+            if prop is not None:
+                retention_hours = _parse_retention_millis(prop) / 3_600_000
         if retention_hours is not None:
             return self._vacuum_retention(dry_run, retention_hours)
         referenced: set[str] = set()

@@ -2954,3 +2954,45 @@ class TestCheckpointIntervalSpelling:
         log.append(events.limit(5))  # v2 -> checkpoint
         cps = [f for f in os.listdir(log.log_path) if "checkpoint" in f]
         assert any(f.startswith("00000000000000000002") for f in cps), cps
+
+
+class TestRetentionProperties:
+    def test_vacuum_honors_deleted_file_retention_property(self, spark,
+                                                           events,
+                                                           table_dir):
+        """delta.deletedFileRetentionDuration supplies the vacuum window
+        when no explicit retention is passed (Delta's default source):
+        with a 0-hour property, a removed file's bytes are reclaimable by
+        a bare vacuum(); without the property the conservative mode keeps
+        every historically referenced file."""
+        import os
+
+        log = TableLog(spark, table_dir)
+        log.create(events.limit(40), name="t",
+                   configuration={
+                       "delta.deletedFileRetentionDuration": "0 hours"})
+        old_paths = {a.path for a in log.snapshot().files}
+        log.overwrite(events.limit(10))
+        would = set(log.vacuum(dry_run=True))
+        assert old_paths <= would
+        removed = set(log.vacuum())
+        assert old_paths <= removed
+        for p in old_paths:
+            assert not os.path.exists(os.path.join(log.path, p))
+
+    def test_expire_log_honors_log_retention_property(self, spark, events,
+                                                      table_dir):
+        """delta.logRetentionDuration supplies expire_log's age window
+        when retention isn't passed; commits inside the window survive a
+        keep_last=1 expiry."""
+        log = TableLog(spark, table_dir)
+        log.create(events.limit(10), name="t",
+                   configuration={
+                       "delta.logRetentionDuration": "interval 365 days",
+                       "checkpointInterval": "1"})
+        for _ in range(4):
+            log.append(events.limit(5))
+        # all commits are far inside the 1-year window -> nothing expires
+        assert log.expire_log(keep_last=1) == []
+        # dropping the property to an explicit 0-ms retention expires
+        assert log.expire_log(keep_last=1, retention=0) != []
