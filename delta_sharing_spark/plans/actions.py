@@ -57,8 +57,12 @@ class Metadata:
     @property
     def cdf_enabled(self) -> bool:
         """ref: delta.enableChangeDataFeed check,
-        server/.../DeltaSharingCDCReader.scala:327-329."""
-        return self.configuration.get("enableChangeDataFeed", "").lower() == "true"
+        server/.../DeltaSharingCDCReader.scala:327-329. Both Delta's
+        ``delta.``-prefixed property and the bare spelling enable it."""
+        cfg = self.configuration
+        return (cfg.get("delta.enableChangeDataFeed",
+                        cfg.get("enableChangeDataFeed", ""))
+                .lower() == "true")
 
 
 @dataclass

@@ -205,3 +205,19 @@ class TestCDFActions:
                  if "metaData" in line]
         assert len(metas) == 2  # current + v0 historical
         assert metas[1]["version"] == 0
+
+
+def test_delta_prefixed_cdf_property(spark, events, tmp_path):
+    """delta.enableChangeDataFeed (Delta's property spelling) enables CDF
+    end to end: cdc files are written on DELETE and table_changes serves
+    them."""
+    from delta_sharing_spark.cdf import table_changes
+    from delta_sharing_spark.plans.log import TableLog
+
+    d = str(tmp_path / "t")
+    log = TableLog(spark, d)
+    log.create(events.limit(30), name="t",
+               configuration={"delta.enableChangeDataFeed": "true"})
+    log.delete("event_id < 3")
+    ch = table_changes(spark, d, starting_version=1)
+    assert ch.filter("_change_type = 'delete'").count() == 3
