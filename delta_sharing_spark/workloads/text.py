@@ -1088,3 +1088,79 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("double")).alias("zipf_slope"),
         )
     )
+
+
+@workload(
+    "q_text_heaps",
+    oracle="""
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    toks AS (
+      SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS tok
+      FROM documents d
+    ),
+    firsts AS (
+      SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+    ),
+    vocab_by_decile AS (
+      SELECT CAST(LEAST((first_doc * 10) // n, 9) AS BIGINT) AS decile,
+             COUNT(*) AS new_vocab
+      FROM firsts CROSS JOIN mx GROUP BY 1
+    ),
+    tokens_by_decile AS (
+      SELECT CAST(LEAST((doc_id * 10) // n, 9) AS BIGINT) AS decile,
+             COUNT(*) AS n_tokens
+      FROM toks CROSS JOIN mx GROUP BY 1
+    ),
+    deciles AS (SELECT UNNEST(generate_series(0, 9)) AS decile)
+    SELECT d.decile,
+           CAST(SUM(COALESCE(t.n_tokens, 0)) OVER w AS BIGINT)
+             AS corpus_tokens,
+           CAST(SUM(COALESCE(v.new_vocab, 0)) OVER w AS BIGINT) AS vocab
+    FROM deciles d
+    LEFT JOIN tokens_by_decile t USING (decile)
+    LEFT JOIN vocab_by_decile v USING (decile)
+    WINDOW w AS (ORDER BY d.decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct-token count
+    vs cumulative token count over ten growing corpus prefixes (doc_id
+    order). ONE pass: each token's FIRST-occurrence document decides which
+    prefix first contains it, so ten vocab sizes come from one
+    min-aggregation + a 10-row cumsum — never ten distinct-count rescans
+    (the naive formulation is 10 corpus passes; this is the 100 TB
+    difference). Sub-linear growth (vocab ~ K * tokens^beta, beta < 1) is
+    the expected natural-corpus shape; a near-linear curve flags
+    boilerplate-free random text, a flat one template spam."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.agg((F.max("doc_id") + 1).alias("n"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    decile = lambda c: F.least(  # noqa: E731
+        F.expr(f"({c} * 10) DIV __n"), F.lit(9)).cast("long")
+    vocab_by = (firsts.crossJoin(F.broadcast(n).withColumnRenamed(
+        "n", "__n"))
+        .groupBy(decile("first_doc").alias("decile"))
+        .agg(F.count(F.lit(1)).alias("new_vocab")))
+    tokens_by = (toks.crossJoin(F.broadcast(n).withColumnRenamed(
+        "n", "__n"))
+        .groupBy(decile("doc_id").alias("decile"))
+        .agg(F.count(F.lit(1)).alias("n_tokens")))
+    deciles = spark.range(0, 10).select(F.col("id").alias("decile"))
+    w = Window.partitionBy(F.lit(1)).orderBy("decile") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        deciles.join(tokens_by, "decile", "left")
+        .join(vocab_by, "decile", "left")
+        .select(
+            "decile",
+            F.sum(F.coalesce("n_tokens", F.lit(0))).over(w)
+            .alias("corpus_tokens"),
+            F.sum(F.coalesce("new_vocab", F.lit(0))).over(w)
+            .alias("vocab"),
+        )
+    )
