@@ -1150,10 +1150,38 @@ class TableLog:
         operation_parameters: dict[str, str] | None = None,
         generated_columns: dict[str, str] | None = None,
         cluster_by: list[str] | None = None,
+        identity_columns: "dict[str, dict] | None" = None,
     ) -> int:
+        """``identity_columns`` declares Delta IDENTITY columns:
+        ``{"id": {"start": 1, "step": 1, "always": True}}`` — GENERATED
+        ALWAYS (writes must omit the column; the engine allocates) or,
+        with ``"always": False``, GENERATED BY DEFAULT (explicit values
+        allowed; the high-water mark absorbs them). Allocation applies to
+        CREATE and append(); the mark rides the schema field metadata
+        (delta.identity.*) and every allocating commit updates it, so
+        concurrent allocators conflict instead of colliding."""
         if self.exists():
             raise ValueError(f"table already exists at {self.path}")
         partition_by = partition_by or []
+        id_hwm: dict[str, int] = {}
+        if identity_columns:
+            id_meta: dict[str, dict] = {}
+            for cname, spec in identity_columns.items():
+                if cname in df.columns and spec.get("always", True):
+                    raise ValueError(
+                        f"Providing values for GENERATED ALWAYS AS "
+                        f"IDENTITY column {cname!r} is not supported "
+                        "(CREATE TABLE)")
+                md = {self.IDENTITY_START_KEY: int(spec.get("start", 1)),
+                      self.IDENTITY_STEP_KEY: int(spec.get("step", 1))}
+                if not spec.get("always", True):
+                    md[self.IDENTITY_ALLOW_EXPLICIT_KEY] = True
+                id_meta[cname] = md
+            synth = T.StructType([
+                T.StructField(c, T.LongType(), True, md)
+                for c, md in id_meta.items()])
+            df, id_hwm = self._identity_write_prep(df, synth,
+                                                   "CREATE TABLE")
         if cluster_by:
             # liquid-clustering-style declaration (Delta's CREATE TABLE ...
             # CLUSTER BY): recorded in table config; optimize() maintains it
@@ -1180,8 +1208,20 @@ class TableLog:
                 md[self.GENERATION_EXPR_KEY] = generated_columns[f.name]
                 schema_fields.append(
                     T.StructField(f.name, f.dataType, f.nullable, md))
+            elif identity_columns and f.name in identity_columns:
+                spec = identity_columns[f.name]
+                md = dict(f.metadata or {})
+                md[self.IDENTITY_START_KEY] = int(spec.get("start", 1))
+                md[self.IDENTITY_STEP_KEY] = int(spec.get("step", 1))
+                if not spec.get("always", True):
+                    md[self.IDENTITY_ALLOW_EXPLICIT_KEY] = True
+                schema_fields.append(
+                    T.StructField(f.name, f.dataType, f.nullable, md))
             else:
                 schema_fields.append(f)
+        if id_hwm:
+            schema_fields = list(self._schema_with_hwm(
+                T.StructType(schema_fields), id_hwm).fields)
         ts = self._next_commit_timestamp()
         metadata = Metadata(
             id=uuid.uuid4().hex,
@@ -1223,6 +1263,7 @@ class TableLog:
         if max_files:
             data = df.repartition(max_files)
         data, gen_checks = self._generated_write_prep(data, snap.schema)
+        data, id_hwm = self._identity_write_prep(data, snap.schema, "WRITE")
         staged = self._stage_dataframe(data, snap.partition_columns,
                                        self.data_path, snap=snap)
         self._validate_staged(
@@ -1232,11 +1273,27 @@ class TableLog:
             AddFile(path=p, partitionValues=pv, size=sz, stats=st)
             for p, pv, sz, st in staged
         ]
+        head: list[Action] = []
+        if id_hwm:
+            # identity allocation: the advanced high-water mark commits
+            # atomically with the rows, and the metadata action makes
+            # concurrent allocators abort (MetadataChangedError) instead
+            # of reusing the range — the append is no longer blind
+            meta = snap.metadata
+            head = [Metadata(
+                id=meta.id, name=meta.name, description=meta.description,
+                format=meta.format,
+                schemaString=self._schema_with_hwm(
+                    snap.schema, id_hwm).json(),
+                partitionColumns=meta.partitionColumns,
+                configuration=meta.configuration,
+                createdTime=meta.createdTime,
+            )]
         # blind append: reads nothing, so it rebases over ANY interleaved
         # data commit; only a concurrent metadata change aborts
         return self._commit_checked(
             snap,
-            lambda v, ts: adds + [CommitInfo(
+            lambda v, ts: head + adds + [CommitInfo(
                 version=v, timestamp=ts, operation="WRITE",
                 operationMetrics={"numFiles": str(len(staged))},
                 operationParameters=operation_parameters or {})],
@@ -1518,6 +1575,115 @@ class TableLog:
     # ------------------------------------------------- generated columns
 
     GENERATION_EXPR_KEY = "delta.generationExpression"
+
+    # -------------------------------------------------- identity columns
+    #
+    # Delta's IDENTITY columns (GENERATED ALWAYS / BY DEFAULT AS
+    # IDENTITY): storage convention is field metadata keys
+    # delta.identity.{start, step, highWaterMark, allowExplicitInsert}.
+    # The engine allocates values strictly past the high-water mark in
+    # ``step`` increments (unique and monotonic per batch — Delta
+    # guarantees uniqueness/monotonicity, NOT contiguity) and persists the
+    # new mark in the SAME commit's metadata, so concurrent allocating
+    # writers hit the metadata-change conflict rule instead of reusing a
+    # range.
+
+    IDENTITY_START_KEY = "delta.identity.start"
+    IDENTITY_STEP_KEY = "delta.identity.step"
+    IDENTITY_HWM_KEY = "delta.identity.highWaterMark"
+    IDENTITY_ALLOW_EXPLICIT_KEY = "delta.identity.allowExplicitInsert"
+
+    @classmethod
+    def _identity_columns(cls, schema: T.StructType) -> dict[str, dict]:
+        out: dict[str, dict] = {}
+        for f in schema.fields:
+            md = f.metadata or {}
+            if cls.IDENTITY_START_KEY in md:
+                out[f.name] = {
+                    "start": int(md[cls.IDENTITY_START_KEY]),
+                    "step": int(md[cls.IDENTITY_STEP_KEY]),
+                    "hwm": md.get(cls.IDENTITY_HWM_KEY),
+                    "allow_explicit": bool(
+                        md.get(cls.IDENTITY_ALLOW_EXPLICIT_KEY, False)),
+                }
+        return out
+
+    def _identity_write_prep(
+            self, df: DataFrame, schema: T.StructType,
+            operation: str) -> "tuple[DataFrame, dict[str, int]]":
+        """Assign identity values for a write batch. Returns the DataFrame
+        with every identity column populated plus the {column: new high
+        water mark} updates to fold into this commit's metadata.
+
+        Allocation shape (100 TB): the batch is materialized once
+        (localCheckpoint — the identity values must come from the rows
+        actually written, and Delta likewise computes them inside the
+        write job), then values are ``hwm + step * rank`` with rank from
+        the house two-phase pattern — per-partition counts (P scalars)
+        broadcast as offsets + a row_number window PARTITIONED by
+        partition id. No global sort, no single-task window."""
+        idents = self._identity_columns(schema)
+        if not idents:
+            return df, {}
+        new_hwm: dict[str, int] = {}
+        missing = [c for c in idents if c not in df.columns]
+        for c in idents:
+            if c in df.columns and not idents[c]["allow_explicit"]:
+                raise ValueError(
+                    f"Providing values for GENERATED ALWAYS AS IDENTITY "
+                    f"column {c!r} is not supported ({operation})")
+        if missing:
+            df = df.localCheckpoint(eager=True)
+            pid_counts = {
+                r["pid"]: r["n"] for r in df.groupBy(
+                    F.spark_partition_id().alias("pid"))
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+            offsets, acc = {}, 0
+            for pid in sorted(pid_counts):
+                offsets[pid] = acc
+                acc += pid_counts[pid]
+            off_map = F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv])                 if offsets else F.create_map()
+            from pyspark.sql import Window as _W
+
+            w = _W.partitionBy(F.spark_partition_id()).orderBy(
+                F.monotonically_increasing_id())
+            rank = (F.coalesce(
+                off_map[F.spark_partition_id()], F.lit(0))
+                + F.row_number().over(w))
+            for c in missing:
+                info = idents[c]
+                step = info["step"]
+                base = (int(info["hwm"]) if info["hwm"] is not None
+                        else info["start"] - step)
+                df = df.withColumn(
+                    c, (F.lit(base) + F.lit(step) * rank).cast("long"))
+                new_hwm[c] = base + step * acc
+        for c in idents:
+            if c in df.columns and c not in missing                     and idents[c]["allow_explicit"]:
+                # BY DEFAULT with explicit values: the mark absorbs them
+                mx = df.agg(F.max(c)).collect()[0][0]
+                if mx is not None:
+                    cur = (int(idents[c]["hwm"])
+                           if idents[c]["hwm"] is not None
+                           else idents[c]["start"] - idents[c]["step"])
+                    if int(mx) > cur:
+                        new_hwm[c] = int(mx)
+        return df, new_hwm
+
+    @classmethod
+    def _schema_with_hwm(cls, schema: T.StructType,
+                         new_hwm: dict[str, int]) -> T.StructType:
+        fields = []
+        for f in schema.fields:
+            if f.name in new_hwm:
+                md = dict(f.metadata or {})
+                md[cls.IDENTITY_HWM_KEY] = new_hwm[f.name]
+                fields.append(T.StructField(f.name, f.dataType,
+                                            f.nullable, md))
+            else:
+                fields.append(f)
+        return T.StructType(fields)
 
     @classmethod
     def _generated_columns(cls, schema: T.StructType) -> dict[str, str]:

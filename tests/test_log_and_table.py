@@ -2996,3 +2996,70 @@ class TestRetentionProperties:
         assert log.expire_log(keep_last=1) == []
         # dropping the property to an explicit 0-ms retention expires
         assert log.expire_log(keep_last=1, retention=0) != []
+
+
+class TestIdentityColumns:
+    def test_generated_always_allocates_and_persists_mark(self, spark,
+                                                          events,
+                                                          table_dir):
+        """GENERATED ALWAYS AS IDENTITY: the engine allocates unique
+        step-spaced values past the high-water mark on CREATE and every
+        append; the mark rides the schema metadata and commits atomically
+        with the rows, so a reopened log continues past it."""
+        log = TableLog(spark, table_dir)
+        data = events.limit(25).select("event_type", "value")
+        log.create(data, name="t",
+                   identity_columns={"rid": {"start": 10, "step": 5}})
+        t = SharedTable(spark, table_dir)
+        rows = t.to_df().select("rid").collect()
+        vals = sorted(r.rid for r in rows)
+        assert len(vals) == 25 and len(set(vals)) == 25
+        assert vals[0] >= 10
+        assert all((v - 10) % 5 == 0 for v in vals)
+        # fresh log object: allocation continues past the persisted mark
+        log2 = TableLog(spark, table_dir)
+        log2.append(events.limit(10).select("event_type", "value"))
+        vals2 = sorted(r.rid for r in t.to_df().select("rid").collect())
+        assert len(vals2) == 35 and len(set(vals2)) == 35
+        new_vals = set(vals2) - set(vals)
+        assert min(new_vals) > max(vals)
+        # mark present in schema metadata
+        md = [f.metadata for f in log2.snapshot().schema.fields
+              if f.name == "rid"][0]
+        assert int(md["delta.identity.highWaterMark"]) == max(vals2)
+
+    def test_generated_always_rejects_explicit_values(self, spark, events,
+                                                      table_dir):
+        log = TableLog(spark, table_dir)
+        data = events.limit(5).select("event_type", "value")
+        log.create(data, name="t",
+                   identity_columns={"rid": {"start": 1, "step": 1}})
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+            log.append(events.limit(3)
+                       .select("event_type", "value",
+                               F.lit(99).cast("long").alias("rid")))
+
+    def test_by_default_allows_explicit_and_absorbs_mark(self, spark,
+                                                         events, table_dir):
+        log = TableLog(spark, table_dir)
+        data = events.limit(5).select("event_type", "value")
+        log.create(data, name="t",
+                   identity_columns={
+                       "rid": {"start": 1, "step": 1, "always": False}})
+        t = SharedTable(spark, table_dir)
+        # explicit insert far above the allocated range
+        log.append(events.limit(2)
+                   .select("event_type", "value",
+                           (F.col("event_id") + 1000).cast("long")
+                           .alias("rid")))
+        # the next generated batch allocates PAST the explicit values
+        log.append(events.limit(3).select("event_type", "value"))
+        vals = [r.rid for r in t.to_df().select("rid").collect()]
+        assert len(vals) == 10 and len(set(vals)) == 10
+        # explicit rows wrote 1000 and 1001; the 3 generated-after values
+        # must all allocate strictly past them
+        assert {1000, 1001} <= set(vals)
+        assert len([v for v in vals if v > 1001]) == 3
+        md = [f.metadata for f in log.snapshot().schema.fields
+              if f.name == "rid"][0]
+        assert int(md["delta.identity.highWaterMark"]) == max(vals)
