@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # new this round
     "q_doremi_weights", "q_ccnet_buckets", "q_text_zipf", "q_text_heaps",
-    "eng_cluster_maintenance",
+    "eng_cluster_maintenance", "eng_identity",
     "eng_rest_range", "stream_remote_appends", "eng_rest_range_paged",
     "q_dedup_semantic", "stream_schema_evolution_drain", "q_dsir_resample",
     "q02_min_cost_supplier", "q20_potential_promotion", "q_bpe_train",

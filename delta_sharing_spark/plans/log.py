@@ -2691,12 +2691,27 @@ class TableLog:
         snap = self.snapshot()
         _check_not_append_only(snap, "OVERWRITE")
         df, gen_checks = self._generated_write_prep(df, snap.schema)
+        # identity marks only advance (Delta: overwrite does NOT reset)
+        df, id_hwm = self._identity_write_prep(df, snap.schema,
+                                               "OVERWRITE")
         staged = self._stage_dataframe(df, snap.partition_columns,
                                        self.data_path, snap=snap)
         self._validate_staged(
             staged, {**snap.metadata.configuration, **gen_checks},
             "OVERWRITE", snap=snap)
-        actions: list[Action] = [
+        actions: list[Action] = []
+        if id_hwm:
+            meta = snap.metadata
+            actions.append(Metadata(
+                id=meta.id, name=meta.name, description=meta.description,
+                format=meta.format,
+                schemaString=self._schema_with_hwm(
+                    snap.schema, id_hwm).json(),
+                partitionColumns=meta.partitionColumns,
+                configuration=meta.configuration,
+                createdTime=meta.createdTime,
+            ))
+        actions += [
             AddFile(path=p, partitionValues=pv, size=sz, stats=st)
             for p, pv, sz, st in staged
         ]

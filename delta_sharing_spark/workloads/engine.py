@@ -1241,3 +1241,61 @@ def eng_cluster_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(14,2))"))
         .cast("double").alias("sum_price"),
     )
+
+
+def _events_identity(spark: SparkSession, sf_dir: str) -> str:
+    """Identity fixture: GENERATED ALWAYS AS IDENTITY (start 10, step 5)
+    over two scale-relative event slices, then an OVERWRITE that keeps
+    allocating past the mark (Delta: overwrite never resets identity)."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        ev = read_table(spark, sf_dir, "events")
+        n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+        a, b = n * 2 // 10, n * 3 // 10
+        log = TableLog(spark, path)
+        log.create(ev.filter(F.col("event_id") < a)
+                   .select("event_type", "value"),
+                   name="events_identity",
+                   identity_columns={"rid": {"start": 10, "step": 5}})
+        log.append(ev.filter((F.col("event_id") >= a)
+                             & (F.col("event_id") < b))
+                   .select("event_type", "value"))
+        log.overwrite(ev.filter(F.col("event_id") < a)
+                      .select("event_type", "value"))
+
+    return _fixture(spark, sf_dir, "events_identity", build)
+
+
+@workload(
+    "eng_identity",
+    oracle="""
+    WITH n AS (
+      SELECT CAST((SELECT (MAX(event_id) + 1) * 2 // 10 FROM events)
+                  AS BIGINT) AS n_rows,
+             CAST((SELECT (MAX(event_id) + 1) * 3 // 10 FROM events)
+                  AS BIGINT) AS n_ab
+    )
+    SELECT n_rows,
+           CAST(10 + 5 * n_ab AS BIGINT) AS min_rid,
+           CAST(10 + 5 * (n_ab + n_rows - 1) AS BIGINT) AS max_rid,
+           CAST(n_rows * (10 + 5 * n_ab)
+                + 5 * (n_rows * (n_rows - 1)) // 2 AS BIGINT) AS sum_rid
+    FROM n
+    """,
+)
+def eng_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY columns under the value gate: which ROW receives which
+    value depends on partitioning (Delta guarantees uniqueness and
+    monotonicity, not assignment order), but the allocation STATS are
+    fully deterministic — after create (n_a rows from mark 5), append
+    (rows up to n_ab total), and an overwrite of n_a rows, the overwrite
+    batch occupies exactly the arithmetic series starting past the
+    absorbed mark. The oracle derives count/min/max/sum from the slice
+    sizes alone."""
+    t = SharedTable(spark, _events_identity(spark, sf_dir))
+    return t.to_df().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("rid").alias("min_rid"),
+        F.max("rid").alias("max_rid"),
+        F.sum("rid").alias("sum_rid"),
+    )
