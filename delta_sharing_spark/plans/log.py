@@ -2520,6 +2520,18 @@ class TableLog:
             # violates appendOnly
             _check_not_append_only(snap, "MERGE")
         schema_cols = [f.name for f in snap.schema.fields]
+        idents = self._identity_columns(snap.schema)
+        missing_ident = [c for c in idents if c not in source.columns]
+        if missing_ident:
+            # Delta's own restriction shape: MERGE into a table with a
+            # generated-identity column requires the source to carry it
+            # (updates are full-row from source here; silently null-ing
+            # or re-allocating matched rows' identities would corrupt
+            # them). Insert-only flows use append(), which allocates.
+            raise ValueError(
+                "MERGE into a table with identity column(s) "
+                f"{missing_ident} requires the source to provide them "
+                "(use append() for allocation on insert-only flows)")
         # generated columns: derived when the source omits them, validated
         # (same null-safe invariant as append) when it supplies them — the
         # checks fold into the written-row constraint validations below

@@ -3039,6 +3039,17 @@ class TestIdentityColumns:
                        .select("event_type", "value",
                                F.lit(99).cast("long").alias("rid")))
 
+    def test_merge_without_identity_source_raises_clearly(self, spark,
+                                                          events,
+                                                          table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(events.limit(5).select("event_id", "value"),
+                   name="t", identity_columns={"rid": {"start": 1,
+                                                       "step": 1}})
+        with pytest.raises(ValueError, match="identity column"):
+            log.merge(events.limit(2).select("event_id", "value"),
+                      keys=["event_id"])
+
     def test_by_default_allows_explicit_and_absorbs_mark(self, spark,
                                                          events, table_dir):
         log = TableLog(spark, table_dir)
