@@ -1642,15 +1642,18 @@ class TableLog:
             for pid in sorted(pid_counts):
                 offsets[pid] = acc
                 acc += pid_counts[pid]
-            off_map = F.create_map(
-                *[F.lit(x) for kv in offsets.items() for x in kv])                 if offsets else F.create_map()
+            if offsets:
+                off_map = F.create_map(
+                    *[F.lit(x) for kv in offsets.items() for x in kv])
+                base_off = F.coalesce(
+                    off_map[F.spark_partition_id()], F.lit(0))
+            else:  # empty batch: no offsets to look up
+                base_off = F.lit(0)
             from pyspark.sql import Window as _W
 
             w = _W.partitionBy(F.spark_partition_id()).orderBy(
                 F.monotonically_increasing_id())
-            rank = (F.coalesce(
-                off_map[F.spark_partition_id()], F.lit(0))
-                + F.row_number().over(w))
+            rank = base_off + F.row_number().over(w)
             for c in missing:
                 info = idents[c]
                 step = info["step"]

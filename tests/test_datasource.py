@@ -1249,3 +1249,44 @@ class TestSinkInheritsTableInvariants:
         assert df.count() == 60
         assert "event_date" in df.columns
         assert df.filter("event_date <> CAST(ts AS DATE)").count() == 0
+
+
+class TestStreamSinkIdentity:
+    def test_stream_append_allocates_identity(self, spark, events, tmp_path):
+        """Streaming into a pre-created GENERATED ALWAYS AS IDENTITY table:
+        every micro-batch append allocates unique values past the mark in
+        the same atomic commit as its epoch stamp, and a checkpoint
+        restart neither duplicates rows nor re-allocates."""
+        from delta_sharing_spark.streaming.sink import write_stream_to_table
+        from delta_sharing_spark.table import SharedTable
+
+        src = str(tmp_path / "src")
+        dst = str(tmp_path / "dst")
+        ckpt = str(tmp_path / "ck")
+        TableLog(spark, src).create(events.filter("event_id < 120"),
+                                    name="src")
+        TableLog(spark, dst).create(
+            events.filter("event_id < 0")
+            .select("event_id", "event_type", "value"),
+            name="dst", identity_columns={"rid": {"start": 1, "step": 1}})
+        spark.dataSource.register(SharedTableDataSource)
+
+        def run():
+            stream = (spark.readStream.format("deltashare")
+                      .option("path", src).option("startingVersion", "0")
+                      .option("maxFilesPerTrigger", "2").load()
+                      .select("event_id", "event_type", "value"))
+            q = write_stream_to_table(
+                stream, dst, ckpt,
+                trigger={"processingTime": "200 milliseconds"})
+            q.processAllAvailable()
+            q.stop()
+
+        run()
+        t = SharedTable(spark, dst)
+        rids = [r.rid for r in t.to_df().select("rid").collect()]
+        assert len(rids) == 120 and len(set(rids)) == 120
+        assert min(rids) == 1 and max(rids) == 120
+        run()  # restart: replayed epochs skipped, no re-allocation
+        rids2 = [r.rid for r in t.to_df().select("rid").collect()]
+        assert sorted(rids2) == sorted(rids)
