@@ -155,6 +155,13 @@ class CheckConstraintViolation(ValueError):
     expression (Delta's InvariantViolationException)."""
 
 
+class NotNullViolation(CheckConstraintViolation):
+    """A write produced NULL in a non-nullable column — the schema's
+    nullability IS an invariant Delta enforces during the write (NOT NULL
+    constraint, Invariants.scala); reads never null-backfill such a
+    column because add_column forbids non-nullable additions."""
+
+
 class MetadataChangedError(Exception):
     """A concurrent commit changed the table's metadata (schema/partitioning/
     config) between a writer's snapshot and its commit — the staged write may
@@ -1713,7 +1720,11 @@ class TableLog:
         write job). On violation the staged (uncommitted) files are
         deleted and the violation re-raised — the commit never happens."""
         cons = self._constraints(configuration)
-        if not cons or not staged:
+        logical_fields = (snap.schema.fields if snap is not None
+                          else (schema.fields if schema is not None
+                                else []))
+        non_nullable = [f.name for f in logical_fields if not f.nullable]
+        if (not cons and not non_nullable) or not staged:
             return
         paths = [os.path.join(self.path, rel)
                  for rel, _pv, _sz, _st in staged]
@@ -1732,7 +1743,25 @@ class TableLog:
         if p2l:
             df = df.withColumnsRenamed(p2l)
         try:
-            self._validate_constraints(df, configuration, operation)
+            if cons:
+                self._validate_constraints(df, configuration, operation)
+            if non_nullable:
+                # one job for all NOT NULL invariants, same shape as the
+                # CHECK pass; IS NOT NULL never evaluates to Unknown, so
+                # this is an exact reject
+                present = [c for c in non_nullable if c in df.columns]
+                flags = [F.when(F.col(c).isNull(), F.lit(c))
+                         for c in present]
+                if flags:
+                    bad = (df.select(F.array_compact(F.array(*flags))
+                                     .alias("__nulls"))
+                           .filter(F.size("__nulls") > 0).limit(1)
+                           .collect())
+                    if bad:
+                        raise NotNullViolation(
+                            f"{operation} writes NULL into non-nullable "
+                            f"column {bad[0]['__nulls'][0]!r} "
+                            "(NOT NULL invariant)")
         except BaseException:
             # ANY failure leaves the commit unwritten — remove the staged
             # parquet or it leaks into the data dir as orphan bytes (the

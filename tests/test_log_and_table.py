@@ -3074,3 +3074,50 @@ class TestIdentityColumns:
         md = [f.metadata for f in log.snapshot().schema.fields
               if f.name == "rid"][0]
         assert int(md["delta.identity.highWaterMark"]) == max(vals)
+
+
+class TestNotNullInvariant:
+    def test_write_null_into_non_nullable_rejected(self, spark, events,
+                                                   table_dir):
+        """Schema nullability is a write invariant (Delta's NOT NULL
+        enforcement): a batch carrying NULL in a non-nullable column is
+        rejected on CREATE and append, the staged bytes are cleaned up,
+        and nullable columns still admit NULLs."""
+        from delta_sharing_spark.plans.log import NotNullViolation
+
+        schema = "event_id long not null, tag string"
+        good = spark.createDataFrame(
+            [(1, "a"), (2, None)], schema)
+        log = TableLog(spark, table_dir)
+        log.create(good, name="t")  # null in NULLABLE column is fine
+        bad = spark.createDataFrame([(None, "x")], schema="""
+            event_id long, tag string""").selectExpr(
+            "CAST(event_id AS LONG) AS event_id", "tag")
+        # align nullability with the declared non-nullable schema: write
+        # through append so the SNAPSHOT schema (non-nullable) governs
+        with pytest.raises(NotNullViolation, match="event_id"):
+            log.append(bad)
+        t = SharedTable(spark, table_dir)
+        assert t.to_df().count() == 2  # nothing from the failed batch
+        # no orphan staged parquet left behind
+        import os
+        n_files = len(t.log.snapshot().files)
+        on_disk = sum(len(fs) for _r, _d, fs in os.walk(table_dir)
+                      if "_dsl_log" not in _r and "_dv" not in _r)
+        assert on_disk == n_files
+
+    def test_update_cannot_null_a_non_nullable_column(self, spark,
+                                                      table_dir):
+        from delta_sharing_spark.plans.log import NotNullViolation
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "k long not null, v string")
+        log = TableLog(spark, table_dir)
+        log.create(df, name="t")
+        # snapshot schema keeps the invariant
+        assert not [f for f in log.snapshot().schema.fields
+                    if f.name == "k"][0].nullable
+        with pytest.raises(NotNullViolation, match="'k'"):
+            log.update({"k": "CAST(NULL AS LONG)"}, "v = 'a'")
+        t = SharedTable(spark, table_dir)
+        assert t.to_df().filter("k IS NULL").count() == 0
