@@ -1158,6 +1158,7 @@ class TableLog:
         generated_columns: dict[str, str] | None = None,
         cluster_by: list[str] | None = None,
         identity_columns: "dict[str, dict] | None" = None,
+        column_defaults: "dict[str, str] | None" = None,
     ) -> int:
         """``identity_columns`` declares Delta IDENTITY columns:
         ``{"id": {"start": 1, "step": 1, "always": True}}`` — GENERATED
@@ -1166,10 +1167,21 @@ class TableLog:
         allowed; the high-water mark absorbs them). Allocation applies to
         CREATE and append(); the mark rides the schema field metadata
         (delta.identity.*) and every allocating commit updates it, so
-        concurrent allocators conflict instead of colliding."""
+        concurrent allocators conflict instead of colliding.
+
+        ``column_defaults`` declares Delta column DEFAULTs
+        (allowColumnDefaults): ``{"col": "sql expr"}`` stored as the
+        CURRENT_DEFAULT field-metadata key — later writes that omit the
+        column get the expression (cast to the declared type); a supplied
+        value always wins."""
         if self.exists():
             raise ValueError(f"table already exists at {self.path}")
         partition_by = partition_by or []
+        for c in (column_defaults or {}):
+            if c not in df.columns:
+                raise ValueError(
+                    f"column_defaults names unknown column {c!r} "
+                    "(declare the column in the CREATE data)")
         id_hwm: dict[str, int] = {}
         if identity_columns:
             id_meta: dict[str, dict] = {}
@@ -1213,6 +1225,11 @@ class TableLog:
             if generated_columns and f.name in generated_columns:
                 md = dict(f.metadata or {})
                 md[self.GENERATION_EXPR_KEY] = generated_columns[f.name]
+                schema_fields.append(
+                    T.StructField(f.name, f.dataType, f.nullable, md))
+            elif column_defaults and f.name in column_defaults:
+                md = dict(f.metadata or {})
+                md[self.COLUMN_DEFAULT_KEY] = column_defaults[f.name]
                 schema_fields.append(
                     T.StructField(f.name, f.dataType, f.nullable, md))
             elif identity_columns and f.name in identity_columns:
@@ -1269,6 +1286,7 @@ class TableLog:
         data = df
         if max_files:
             data = df.repartition(max_files)
+        data = self._defaults_write_prep(data, snap.schema)
         data, gen_checks = self._generated_write_prep(data, snap.schema)
         data, id_hwm = self._identity_write_prep(data, snap.schema, "WRITE")
         staged = self._stage_dataframe(data, snap.partition_columns,
@@ -1582,6 +1600,36 @@ class TableLog:
     # ------------------------------------------------- generated columns
 
     GENERATION_EXPR_KEY = "delta.generationExpression"
+
+    # --------------------------------------------------- column defaults
+
+    # Delta's column DEFAULT values (table feature allowColumnDefaults):
+    # field metadata key CURRENT_DEFAULT holds a SQL expression used when
+    # a write omits the column (INSERT semantics; unlike generated
+    # columns, a supplied value always wins and is never validated
+    # against the default).
+    COLUMN_DEFAULT_KEY = "CURRENT_DEFAULT"
+
+    @classmethod
+    def _column_defaults(cls, schema: T.StructType) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for f in schema.fields:
+            md = f.metadata or {}
+            if cls.COLUMN_DEFAULT_KEY in md:
+                out[f.name] = md[cls.COLUMN_DEFAULT_KEY]
+        return out
+
+    def _defaults_write_prep(self, df: DataFrame,
+                             schema: T.StructType) -> DataFrame:
+        """Fill omitted defaulted columns with their DEFAULT expression
+        (cast to the declared type) — pure projection, no extra pass."""
+        defaults = self._column_defaults(schema)
+        types = {f.name: f.dataType for f in schema.fields}
+        for c, expr in defaults.items():
+            if c not in df.columns:
+                df = df.withColumn(
+                    c, F.expr(expr).cast(types[c]))
+        return df
 
     # -------------------------------------------------- identity columns
     #
@@ -2734,6 +2782,7 @@ class TableLog:
         ``ConcurrentAppendError`` (retry_on_conflict re-runs over them)."""
         snap = self.snapshot()
         _check_not_append_only(snap, "OVERWRITE")
+        df = self._defaults_write_prep(df, snap.schema)
         df, gen_checks = self._generated_write_prep(df, snap.schema)
         # identity marks only advance (Delta: overwrite does NOT reset)
         df, id_hwm = self._identity_write_prep(df, snap.schema,

@@ -3121,3 +3121,40 @@ class TestNotNullInvariant:
             log.update({"k": "CAST(NULL AS LONG)"}, "v = 'a'")
         t = SharedTable(spark, table_dir)
         assert t.to_df().filter("k IS NULL").count() == 0
+
+
+class TestColumnDefaults:
+    def test_omitted_column_gets_default(self, spark, table_dir):
+        """Delta column DEFAULTs (allowColumnDefaults / CURRENT_DEFAULT
+        field metadata): an append omitting the column fills the declared
+        expression; a supplied value always wins; unknown columns are
+        rejected at declaration."""
+        log = TableLog(spark, table_dir)
+        df = spark.createDataFrame([(1, "eu"), (2, "us")],
+                                   "k long, region string")
+        log.create(df, name="t", column_defaults={"region": "'unknown'"})
+        log.append(spark.createDataFrame([(3,)], "k long"))
+        log.append(spark.createDataFrame([(4, "apac")],
+                                         "k long, region string"))
+        t = SharedTable(spark, table_dir)
+        rows = {r.k: r.region for r in t.to_df().collect()}
+        assert rows == {1: "eu", 2: "us", 3: "unknown", 4: "apac"}
+        md = [f.metadata for f in log.snapshot().schema.fields
+              if f.name == "region"][0]
+        assert md["CURRENT_DEFAULT"] == "'unknown'"
+
+    def test_default_expression_casts_to_declared_type(self, spark,
+                                                       table_dir):
+        log = TableLog(spark, table_dir)
+        df = spark.createDataFrame([(1, 100)], "k long, score int")
+        log.create(df, name="t", column_defaults={"score": "7 * 6"})
+        log.append(spark.createDataFrame([(2,)], "k long"))
+        t = SharedTable(spark, table_dir)
+        assert {(r.k, r.score) for r in t.to_df().collect()} \
+            == {(1, 100), (2, 42)}
+
+    def test_unknown_default_column_rejected(self, spark, table_dir):
+        log = TableLog(spark, table_dir)
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="unknown column"):
+            log.create(df, name="t", column_defaults={"nope": "1"})
