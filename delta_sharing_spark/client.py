@@ -164,9 +164,17 @@ def _rest_client(profile: DeltaSharingProfile, spark=None):
         _REST_CLIENT_CACHE[profile] = client
     if spark is not None:
         # reference network confs override per call (ConfUtils.scala:27-49)
+        # — on a FRESH client instance sharing the cached auth provider
+        # (its OAuth token cache survives), never by mutating the cached
+        # client: that would leak one query's conf into every other route
+        # and session using this profile
         from delta_sharing_spark.retry import RetryConfig
 
-        client.retry_config = RetryConfig.from_spark_conf(spark.conf)
+        rc = RetryConfig.from_spark_conf(spark.conf)
+        if rc != client.retry_config:
+            return DataSharingRestClient(
+                profile.endpoint, auth_provider=client.auth_provider,
+                retry_config=rc, profile=profile)
     return client
 
 

@@ -1304,16 +1304,7 @@ class TableLog:
             # atomically with the rows, and the metadata action makes
             # concurrent allocators abort (MetadataChangedError) instead
             # of reusing the range — the append is no longer blind
-            meta = snap.metadata
-            head = [Metadata(
-                id=meta.id, name=meta.name, description=meta.description,
-                format=meta.format,
-                schemaString=self._schema_with_hwm(
-                    snap.schema, id_hwm).json(),
-                partitionColumns=meta.partitionColumns,
-                configuration=meta.configuration,
-                createdTime=meta.createdTime,
-            )]
+            head = [self._hwm_metadata_action(snap, id_hwm)]
         # blind append: reads nothing, so it rebases over ANY interleaved
         # data commit; only a concurrent metadata change aborts
         return self._commit_checked(
@@ -1674,24 +1665,33 @@ class TableLog:
         (localCheckpoint — the identity values must come from the rows
         actually written, and Delta likewise computes them inside the
         write job), then values are ``hwm + step * rank`` with rank from
-        the house two-phase pattern — per-partition counts (P scalars)
-        broadcast as offsets + a row_number window PARTITIONED by
-        partition id. No global sort, no single-task window."""
+        the house two-phase pattern — ``_pid`` MATERIALIZED as a column
+        BELOW the window (an inline ``spark_partition_id()`` above it
+        would re-evaluate post-shuffle and collapse every offset to one
+        partition's — the duplicate-id bug), per-partition counts
+        (P scalars) broadcast as offsets + a row_number window PARTITIONED
+        by ``_pid``. No global sort, no single-task window."""
         idents = self._identity_columns(schema)
         if not idents:
             return df, {}
         new_hwm: dict[str, int] = {}
         missing = [c for c in idents if c not in df.columns]
+        explicit = [c for c in idents
+                    if c in df.columns and idents[c]["allow_explicit"]]
         for c in idents:
             if c in df.columns and not idents[c]["allow_explicit"]:
                 raise ValueError(
                     f"Providing values for GENERATED ALWAYS AS IDENTITY "
                     f"column {c!r} is not supported ({operation})")
-        if missing:
+        if missing or explicit:
+            # pin the rows once: allocation AND mark absorption must see
+            # the exact rows that stage (a nondeterministic source would
+            # otherwise absorb one execution and write another)
             df = df.localCheckpoint(eager=True)
+        if missing:
+            df = df.withColumn("__pid", F.spark_partition_id())
             pid_counts = {
-                r["pid"]: r["n"] for r in df.groupBy(
-                    F.spark_partition_id().alias("pid"))
+                r["__pid"]: r["n"] for r in df.groupBy("__pid")
                 .agg(F.count(F.lit(1)).alias("n")).collect()}
             offsets, acc = {}, 0
             for pid in sorted(pid_counts):
@@ -1700,13 +1700,12 @@ class TableLog:
             if offsets:
                 off_map = F.create_map(
                     *[F.lit(x) for kv in offsets.items() for x in kv])
-                base_off = F.coalesce(
-                    off_map[F.spark_partition_id()], F.lit(0))
+                base_off = F.coalesce(off_map[F.col("__pid")], F.lit(0))
             else:  # empty batch: no offsets to look up
                 base_off = F.lit(0)
             from pyspark.sql import Window as _W
 
-            w = _W.partitionBy(F.spark_partition_id()).orderBy(
+            w = _W.partitionBy("__pid").orderBy(
                 F.monotonically_increasing_id())
             rank = base_off + F.row_number().over(w)
             for c in missing:
@@ -1716,18 +1715,34 @@ class TableLog:
                         else info["start"] - step)
                 df = df.withColumn(
                     c, (F.lit(base) + F.lit(step) * rank).cast("long"))
-                new_hwm[c] = base + step * acc
-        for c in idents:
-            if c in df.columns and c not in missing                     and idents[c]["allow_explicit"]:
-                # BY DEFAULT with explicit values: the mark absorbs them
-                mx = df.agg(F.max(c)).collect()[0][0]
-                if mx is not None:
-                    cur = (int(idents[c]["hwm"])
-                           if idents[c]["hwm"] is not None
-                           else idents[c]["start"] - idents[c]["step"])
-                    if int(mx) > cur:
-                        new_hwm[c] = int(mx)
+                if acc:  # an empty batch advances nothing — a no-op
+                    # Metadata action would abort concurrent writers
+                    new_hwm[c] = base + step * acc
+            df = df.drop("__pid")
+        for c in explicit:
+            # BY DEFAULT with explicit values: the mark absorbs them
+            mx = df.agg(F.max(c)).collect()[0][0]
+            if mx is not None:
+                cur = (int(idents[c]["hwm"])
+                       if idents[c]["hwm"] is not None
+                       else idents[c]["start"] - idents[c]["step"])
+                if int(mx) > cur:
+                    new_hwm[c] = int(mx)
         return df, new_hwm
+
+    def _hwm_metadata_action(self, snap: "Snapshot",
+                             id_hwm: dict[str, int]) -> Metadata:
+        """The advanced-mark Metadata action an allocating commit carries
+        (atomic with its rows; makes concurrent allocators conflict)."""
+        meta = snap.metadata
+        return Metadata(
+            id=meta.id, name=meta.name, description=meta.description,
+            format=meta.format,
+            schemaString=self._schema_with_hwm(snap.schema, id_hwm).json(),
+            partitionColumns=meta.partitionColumns,
+            configuration=meta.configuration,
+            createdTime=meta.createdTime,
+        )
 
     @classmethod
     def _schema_with_hwm(cls, schema: T.StructType,
@@ -1776,40 +1791,63 @@ class TableLog:
             return
         paths = [os.path.join(self.path, rel)
                  for rel, _pv, _sz, _st in staged]
-        reader = self.spark.read
-        declared = snap.physical_schema if snap is not None else schema
-        if declared is not None:
-            # explicit declared (physical) schema: basePath inference would
-            # re-derive partition-column types from the directory strings,
-            # so a STRING partition column holding '01' comes back as int
-            # and the constraint evaluates on the wrong type/value — the
-            # pre-diff validation saw the correctly-typed input
-            reader = reader.schema(declared)
-        df = reader.option(
-            "basePath", base_dir or self.data_path).parquet(*paths)
-        p2l = snap.physical_to_logical if snap is not None else None
-        if p2l:
-            df = df.withColumnsRenamed(p2l)
         try:
+            # NOT NULL footer-stats fast path FIRST (before any parquet
+            # read-back): the staged files' own nullCount stats decide
+            # most columns with ZERO extra jobs (O(files) driver work);
+            # only columns some file lacks stats for fall through to the
+            # scan job below
+            l2p = (snap.logical_to_physical or {}
+                   if snap is not None else {})
+            need_scan: list[str] = []
+            for c in non_nullable:
+                key = l2p.get(c, c)
+                covered = True
+                for _rel, _pv, _sz, st in staged:
+                    nc = (json.loads(st).get("nullCount", {})
+                          if st else {})
+                    if key not in nc:
+                        covered = False
+                        break
+                    if int(nc[key]) > 0:
+                        raise NotNullViolation(
+                            f"{operation} writes NULL into "
+                            f"non-nullable column {c!r} "
+                            "(NOT NULL invariant)")
+                if not covered:
+                    need_scan.append(c)
+            if not cons and not need_scan:
+                return  # everything proven from footers — no read-back
+            reader = self.spark.read
+            declared = snap.physical_schema if snap is not None else schema
+            if declared is not None:
+                # explicit declared (physical) schema: basePath inference
+                # would re-derive partition-column types from the
+                # directory strings, so a STRING partition column holding
+                # '01' comes back as int and the constraint evaluates on
+                # the wrong type/value — the pre-diff validation saw the
+                # correctly-typed input
+                reader = reader.schema(declared)
+            df = reader.option(
+                "basePath", base_dir or self.data_path).parquet(*paths)
+            p2l = snap.physical_to_logical if snap is not None else None
+            if p2l:
+                df = df.withColumnsRenamed(p2l)
             if cons:
                 self._validate_constraints(df, configuration, operation)
-            if non_nullable:
-                # one job for all NOT NULL invariants, same shape as the
-                # CHECK pass; IS NOT NULL never evaluates to Unknown, so
-                # this is an exact reject
-                present = [c for c in non_nullable if c in df.columns]
-                flags = [F.when(F.col(c).isNull(), F.lit(c))
-                         for c in present]
-                if flags:
-                    bad = (df.select(F.array_compact(F.array(*flags))
-                                     .alias("__nulls"))
-                           .filter(F.size("__nulls") > 0).limit(1)
-                           .collect())
-                    if bad:
-                        raise NotNullViolation(
-                            f"{operation} writes NULL into non-nullable "
-                            f"column {bad[0]['__nulls'][0]!r} "
-                            "(NOT NULL invariant)")
+            flags = [F.when(F.col(c).isNull(), F.lit(c))
+                     for c in need_scan]
+            if flags:
+                # IS NULL never evaluates to Unknown — exact reject
+                bad = (df.select(F.array_compact(F.array(*flags))
+                                 .alias("__nulls"))
+                       .filter(F.size("__nulls") > 0).limit(1)
+                       .collect())
+                if bad:
+                    raise NotNullViolation(
+                        f"{operation} writes NULL into non-nullable "
+                        f"column {bad[0]['__nulls'][0]!r} "
+                        "(NOT NULL invariant)")
         except BaseException:
             # ANY failure leaves the commit unwritten — remove the staged
             # parquet or it leaks into the data dir as orphan bytes (the
@@ -2601,13 +2639,18 @@ class TableLog:
             _check_not_append_only(snap, "MERGE")
         schema_cols = [f.name for f in snap.schema.fields]
         idents = self._identity_columns(snap.schema)
+        always = [c for c in idents if not idents[c]["allow_explicit"]]
+        if always:
+            # Delta's restriction shape: full-row MERGE cannot carry a
+            # GENERATED ALWAYS identity — the source either omits the
+            # column (corrupting matched rows) or supplies explicit
+            # values (forbidden for ALWAYS everywhere else too)
+            raise ValueError(
+                "MERGE into a table with GENERATED ALWAYS AS IDENTITY "
+                f"column(s) {always} is not supported "
+                "(use append() for allocation on insert-only flows)")
         missing_ident = [c for c in idents if c not in source.columns]
         if missing_ident:
-            # Delta's own restriction shape: MERGE into a table with a
-            # generated-identity column requires the source to carry it
-            # (updates are full-row from source here; silently null-ing
-            # or re-allocating matched rows' identities would corrupt
-            # them). Insert-only flows use append(), which allocates.
             raise ValueError(
                 "MERGE into a table with identity column(s) "
                 f"{missing_ident} requires the source to provide them "
@@ -2618,6 +2661,19 @@ class TableLog:
         src, gen_checks = self._generated_write_prep(source, snap.schema)
         merge_config = {**snap.metadata.configuration, **gen_checks}
         src = src.select(*schema_cols)
+        id_hwm: dict[str, int] = {}
+        if idents:
+            # BY DEFAULT identity values in the source: the mark absorbs
+            # them (same rule as append's explicit path) so later
+            # allocations never collide with merged-in ids; pin the
+            # source first — absorption must see the rows that stage
+            src = src.localCheckpoint(eager=True)
+            for c, info in idents.items():
+                mx = src.agg(F.max(c)).collect()[0][0]
+                cur = (int(info["hwm"]) if info["hwm"] is not None
+                       else info["start"] - info["step"])
+                if mx is not None and int(mx) > cur:
+                    id_hwm[c] = int(mx)
         src_keys = src.select(*keys).distinct()
 
         dv_mode = snap.metadata.configuration.get(
@@ -2754,6 +2810,8 @@ class TableLog:
                 AddCDCFile(path=p, partitionValues=pv, size=sz)
                 for p, pv, sz, _st in staged_cdc
             ]
+        if id_hwm:
+            actions.insert(0, self._hwm_metadata_action(snap, id_hwm))
         return self._commit_checked(
             snap,
             lambda v, ts: actions + [CommitInfo(
@@ -2794,16 +2852,7 @@ class TableLog:
             "OVERWRITE", snap=snap)
         actions: list[Action] = []
         if id_hwm:
-            meta = snap.metadata
-            actions.append(Metadata(
-                id=meta.id, name=meta.name, description=meta.description,
-                format=meta.format,
-                schemaString=self._schema_with_hwm(
-                    snap.schema, id_hwm).json(),
-                partitionColumns=meta.partitionColumns,
-                configuration=meta.configuration,
-                createdTime=meta.createdTime,
-            ))
+            actions.append(self._hwm_metadata_action(snap, id_hwm))
         actions += [
             AddFile(path=p, partitionValues=pv, size=sz, stats=st)
             for p, pv, sz, st in staged

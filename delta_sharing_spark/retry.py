@@ -51,13 +51,17 @@ class RetryConfig:
         def geti(key: str, default: int) -> int:
             return int(conf.get(pre + key, str(default)))
 
-        raw = str(conf.get(pre + "timeout", "320s"))
-        if raw.endswith("ms"):
-            timeout_s = float(raw[:-2]) / 1000.0
-        elif raw.endswith("s"):
-            timeout_s = float(raw[:-1])
-        else:
-            timeout_s = float(raw)
+        raw = str(conf.get(pre + "timeout", "320s")).strip().lower()
+        import re as _re
+
+        m = _re.fullmatch(r"([0-9.]+)\s*(ms|s|m|h|d)?", raw)
+        if m is None:
+            raise ValueError(
+                f"unparseable {pre}timeout {raw!r}; expected e.g. "
+                "'320s', '5000ms', '5m', '1h', or bare seconds")
+        mult = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0,
+                "d": 86400.0, None: 1.0}[m.group(2)]
+        timeout_s = float(m.group(1)) * mult
         return cls(
             num_retries=geti("numRetries", d.num_retries),
             initial_sleep_ms=geti("retrySleepInterval",

@@ -1263,7 +1263,7 @@ def _events_identity(spark: SparkSession, sf_dir: str) -> str:
         log.overwrite(ev.filter(F.col("event_id") < a)
                       .select("event_type", "value"))
 
-    return _fixture(spark, sf_dir, "events_identity", build)
+    return _fixture(spark, sf_dir, "events_identity2", build)
 
 
 @workload(

@@ -3046,7 +3046,7 @@ class TestIdentityColumns:
         log.create(events.limit(5).select("event_id", "value"),
                    name="t", identity_columns={"rid": {"start": 1,
                                                        "step": 1}})
-        with pytest.raises(ValueError, match="identity column"):
+        with pytest.raises(ValueError, match="GENERATED ALWAYS"):
             log.merge(events.limit(2).select("event_id", "value"),
                       keys=["event_id"])
 
@@ -3158,3 +3158,59 @@ class TestColumnDefaults:
         df = spark.createDataFrame([(1,)], "k long")
         with pytest.raises(ValueError, match="unknown column"):
             log.create(df, name="t", column_defaults={"nope": "1"})
+
+
+class TestIdentityMultiPartition:
+    def test_unique_across_partitions(self, spark, table_dir):
+        """THE duplicate-id regression: a multi-partition batch must
+        allocate fully unique identity values (the offset lookup must key
+        on the materialized pre-shuffle partition id, not re-evaluate
+        spark_partition_id() above the window)."""
+        log = TableLog(spark, table_dir)
+        base = spark.range(0).selectExpr("CAST(id AS STRING) AS v")
+        log.create(base, name="t",
+                   identity_columns={"rid": {"start": 10, "step": 5}})
+        batch = spark.range(1000).repartition(8) \
+            .selectExpr("CAST(id AS STRING) AS v")
+        log.append(batch)
+        t = SharedTable(spark, table_dir)
+        rids = [r.rid for r in t.to_df().select("rid").collect()]
+        assert len(rids) == 1000
+        assert len(set(rids)) == 1000, "duplicate identity values"
+        assert min(rids) == 10 and max(rids) == 10 + 5 * 999
+        md = [f.metadata for f in log.snapshot().schema.fields
+              if f.name == "rid"][0]
+        assert int(md["delta.identity.highWaterMark"]) == max(rids)
+
+    def test_empty_batch_commits_no_metadata(self, spark, table_dir):
+        log = TableLog(spark, table_dir)
+        base = spark.range(5).selectExpr("CAST(id AS STRING) AS v")
+        log.create(base, name="t",
+                   identity_columns={"rid": {"start": 1, "step": 1}})
+        v = log.append(spark.range(0).selectExpr(
+            "CAST(id AS STRING) AS v"))
+        c = log.read_commit(v)
+        assert c.metadata is None  # no no-op mark bump to conflict on
+
+    def test_merge_by_default_absorbs_source_ids(self, spark, table_dir):
+        """MERGE into a BY DEFAULT identity table: merged-in explicit ids
+        raise the mark, so later generated values never collide."""
+        log = TableLog(spark, table_dir)
+        df = spark.createDataFrame([(1, "a", 1), (2, "b", 2)],
+                                   "k long, v string, rid long")
+        log.create(df.select("k", "v"), name="t",
+                   identity_columns={
+                       "rid": {"start": 1, "step": 1, "always": False}})
+        src = spark.createDataFrame([(1, "a2", 500), (9, "new", 501)],
+                                    "k long, v string, rid long")
+        log.merge(src, keys=["k"])
+        md = [f.metadata for f in log.snapshot().schema.fields
+              if f.name == "rid"][0]
+        assert int(md["delta.identity.highWaterMark"]) >= 501
+        log.append(spark.createDataFrame([(10, "gen")],
+                                         "k long, v string"))
+        t = SharedTable(spark, table_dir)
+        rids = [r.rid for r in t.to_df().collect()]
+        assert len(rids) == len(set(rids))
+        gen = [r.rid for r in t.to_df().filter("k = 10").collect()]
+        assert gen[0] > 501

@@ -293,15 +293,28 @@ class TestHttpProfile:
             spark.conf.unset(
                 "spark.delta.sharing.query.includeEndStreamAction")
 
-    def test_http_load_applies_network_confs(self, spark, http_url):
+    def test_http_load_applies_network_confs(self, spark, events,
+                                              http_url):
+        """Conf-derived retry policy applies to the call WITHOUT leaking
+        into the cached, profile-shared client (other routes/sessions
+        keep the defaults; the fresh instance shares the auth provider
+        so the OAuth token cache survives)."""
         from delta_sharing_spark import client as client_mod
-        from delta_sharing_spark.client import load_as_spark
+        from delta_sharing_spark.client import (
+            DeltaSharingProfile,
+            load_as_spark,
+        )
 
         spark.conf.set("spark.delta.sharing.network.numRetries", "9")
         try:
-            load_as_spark(f"{http_url}#s.d.events", spark=spark)
-            cached = list(client_mod._REST_CLIENT_CACHE.values())[-1]
-            assert cached.retry_config.num_retries == 9
+            df = load_as_spark(f"{http_url}#s.d.events", spark=spark)
+            assert df.count() > 0  # the load itself works under the conf
+            profile = DeltaSharingProfile.read_from_file(http_url)
+            fresh = client_mod._rest_client(profile, spark=spark)
+            assert fresh.retry_config.num_retries == 9
+            cached = client_mod._rest_client(profile)
+            assert cached.retry_config.num_retries == 3  # untouched
+            assert fresh.auth_provider is cached.auth_provider
         finally:
             spark.conf.unset("spark.delta.sharing.network.numRetries")
 
@@ -458,6 +471,20 @@ class TestNetworkConfBridge:
         rc = RetryConfig.from_spark_conf(spark.conf)
         assert rc.num_retries == 3
         assert rc.request_timeout_s == 320.0
+        # JavaUtils-style unit spellings
+        for raw, want in (("5m", 300.0), ("1h", 3600.0), ("45", 45.0)):
+            spark.conf.set("spark.delta.sharing.network.timeout", raw)
+            try:
+                assert RetryConfig.from_spark_conf(
+                    spark.conf).request_timeout_s == want
+            finally:
+                spark.conf.unset("spark.delta.sharing.network.timeout")
+        spark.conf.set("spark.delta.sharing.network.timeout", "xyz")
+        try:
+            with pytest.raises(ValueError, match="unparseable"):
+                RetryConfig.from_spark_conf(spark.conf)
+        finally:
+            spark.conf.unset("spark.delta.sharing.network.timeout")
 
 
 
