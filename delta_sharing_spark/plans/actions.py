@@ -77,6 +77,12 @@ class AddFile:
 
     ``stats`` is a JSON string with numRecords / minValues / maxValues /
     nullCount mirroring the data schema (PROTOCOL.md:3908-4013).
+
+    ``baseRowId`` is the Delta row-tracking base (Delta protocol "Row
+    Tracking"): the fresh row id of this file's first physical row; row
+    ``i`` of the file has id ``baseRowId + i`` unless a materialized
+    row-id column overrides it. ``None`` on tables without the feature
+    (and omitted from the wire form, so plain logs are byte-stable).
     """
 
     path: str
@@ -86,6 +92,12 @@ class AddFile:
     dataChange: bool = True
     version: int | None = None
     timestamp: int | None = None
+    baseRowId: int | None = None
+    # Delta row tracking: the commit version whose write produced this
+    # file's rows — COPIED on same-path re-adds (DV attach, restore), so a
+    # row's _row_commit_version survives metadata-level rewrites of its
+    # file. Stamped to the commit version at replay when absent.
+    defaultRowCommitVersion: int | None = None
     # Deletion-vector descriptor (Delta protocol shape, adapted): the DV is
     # a parquet file of (path, row_index) rows under ``_dv/`` naming the
     # physical positions logically deleted from this data file. Packing
@@ -99,6 +111,10 @@ class AddFile:
         d = asdict(self)
         if d.get("deletionVector") is None:
             d.pop("deletionVector", None)
+        if d.get("baseRowId") is None:
+            d.pop("baseRowId", None)
+        if d.get("defaultRowCommitVersion") is None:
+            d.pop("defaultRowCommitVersion", None)
         return {"add": d}
 
     def stats_dict(self) -> dict[str, Any]:
@@ -160,6 +176,32 @@ class AddCDCFile:
 
 
 @dataclass
+class DomainMetadata:
+    """Delta ``domainMetadata`` action (Delta protocol "Domain Metadata"):
+    a named metadata domain whose ``configuration`` (a JSON string) is
+    replayed into the snapshot with last-writer-wins semantics;
+    ``removed=true`` tombstones the domain. Persisted in checkpoints like
+    metadata. Row tracking stores its ``rowIdHighWaterMark`` under the
+    ``delta.rowTracking`` domain, exactly as Delta does — and two commits
+    writing the same domain conflict (Delta's ConflictChecker domain rule),
+    which is what makes concurrent row-id allocation safe."""
+
+    domain: str
+    configuration: str = ""
+    removed: bool = False
+
+    def wrap(self) -> dict[str, Any]:
+        return {"domainMetadata": asdict(self)}
+
+    def config_dict(self) -> dict[str, Any]:
+        try:
+            return json.loads(self.configuration) if self.configuration \
+                else {}
+        except ValueError:
+            return {}
+
+
+@dataclass
 class CommitInfo:
     """Operation provenance per version (used for timestamp->version maps,
     ref server/.../DeltaSharingHistoryManager.scala:47-115)."""
@@ -188,9 +230,11 @@ _ACTION_TYPES = {
     "remove": RemoveFile,
     "cdc": AddCDCFile,
     "commitInfo": CommitInfo,
+    "domainMetadata": DomainMetadata,
 }
 
-Action = Protocol | Metadata | AddFile | RemoveFile | AddCDCFile | CommitInfo
+Action = (Protocol | Metadata | AddFile | RemoveFile | AddCDCFile
+          | CommitInfo | DomainMetadata)
 
 
 def parse_action(line: str) -> Action | None:

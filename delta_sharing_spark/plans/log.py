@@ -36,7 +36,7 @@ import shutil
 import time
 import urllib.parse
 import uuid
-from dataclasses import asdict, dataclass
+from dataclasses import asdict, dataclass, field as dc_field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,6 +47,7 @@ from delta_sharing_spark.plans.actions import (
     AddCDCFile,
     AddFile,
     CommitInfo,
+    DomainMetadata,
     Metadata,
     Protocol,
     RemoveFile,
@@ -231,6 +232,13 @@ class ConcurrentDeleteDeleteError(ConcurrentCommitError):
     (Delta's ConcurrentDeleteDeleteException). Retryable."""
 
 
+class ConcurrentDomainMetadataError(ConcurrentCommitError):
+    """A concurrent commit wrote the same metadata domain this operation
+    writes (Delta's ConcurrentTransactionException for domainMetadata
+    conflicts). Retryable — re-running against the fresh snapshot re-reads
+    the domain (e.g. re-allocates row ids past the winner's mark)."""
+
+
 def _fmt_version(v: int) -> str:
     return f"{v:020d}.json"
 
@@ -315,6 +323,8 @@ class Commit:
     # in-commit protocol upgrade action (written by delta writers on
     # reader/writer feature enables); None for ordinary commits
     protocol: "dict | None" = None
+    # domainMetadata actions in log order (last-writer-wins per domain)
+    domains: list[DomainMetadata] = dc_field(default_factory=list)
 
 
 def is_noop_merge(info: CommitInfo | None) -> bool:
@@ -344,13 +354,29 @@ CM_PHYSICAL_KEY = "delta.columnMapping.physicalName"
 CM_ID_KEY = "delta.columnMapping.id"
 CM_MAX_ID_KEY = "delta.columnMapping.maxColumnId"
 
+# Row tracking (Delta protocol "Row Tracking", writer feature rowTracking):
+# every AddFile carries a baseRowId; row i of a file has stable id
+# baseRowId + i unless a materialized row-id column (written by
+# dataChange=false rewrites so compaction preserves ids) overrides it. The
+# allocation high-water mark lives in the delta.rowTracking metadata domain.
+ROW_TRACKING_KEY = "delta.enableRowTracking"
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
+# physical (parquet-only) column names for preserved ids across rewrites —
+# stamped into the table config at enable time like Delta's
+# delta.rowTracking.materializedRowIdColumnName
+MAT_ROW_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+MAT_ROW_VER_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
+MAT_ROW_ID_DEFAULT = "_row_id_mat"
+MAT_ROW_VER_DEFAULT = "_row_commit_version_mat"
+
 
 class Snapshot:
     """Resolved state of the table at one version: metadata + active files."""
 
     def __init__(self, version: int, timestamp: int, metadata: Metadata,
                  files: list[AddFile],
-                 transactions: dict[str, int] | None = None):
+                 transactions: dict[str, int] | None = None,
+                 domain_metadata: dict[str, str] | None = None):
         self.version = version
         self.timestamp = timestamp
         self.metadata = metadata
@@ -359,6 +385,9 @@ class Snapshot:
         # state): replayed into the snapshot and persisted in checkpoints so
         # sink idempotency checks are O(1), not O(commit history)
         self.transactions = transactions or {}
+        # domain -> configuration JSON (Delta domainMetadata state:
+        # last-writer-wins per domain, removed domains absent)
+        self.domain_metadata = domain_metadata or {}
 
     @property
     def schema(self) -> T.StructType:
@@ -399,6 +428,31 @@ class Snapshot:
             T.StructField(m.get(f.name, f.name), f.dataType, f.nullable)
             for f in self.schema.fields
         ])
+
+    @property
+    def row_tracking_enabled(self) -> bool:
+        return self.metadata.configuration.get(
+            ROW_TRACKING_KEY, "").lower() == "true"
+
+    @property
+    def row_id_high_water_mark(self) -> int:
+        """Highest allocated row id (-1 before any allocation) — from the
+        delta.rowTracking metadata domain, exactly where Delta keeps it."""
+        cfg = self.domain_metadata.get(ROW_TRACKING_DOMAIN)
+        if not cfg:
+            return -1
+        try:
+            return int(json.loads(cfg).get("rowIdHighWaterMark", -1))
+        except (ValueError, TypeError):
+            return -1
+
+    @property
+    def materialized_row_id_cols(self) -> tuple[str, str]:
+        """(row-id, row-commit-version) physical column names preserved
+        rewrites write — config-declared like Delta's materialized names."""
+        cfg = self.metadata.configuration
+        return (cfg.get(MAT_ROW_ID_KEY, MAT_ROW_ID_DEFAULT),
+                cfg.get(MAT_ROW_VER_KEY, MAT_ROW_VER_DEFAULT))
 
     @property
     def physical_partition_columns(self) -> list[str]:
@@ -482,6 +536,7 @@ class TableLog:
             raise VersionNotFoundError(f"version {version} not in {self.log_path}")
         metadata, adds, removes, cdc, info = None, [], [], [], None
         protocol = None
+        domains: list[DomainMetadata] = []
         with open(fp) as f:
             for line in f:
                 line = line.strip()
@@ -498,6 +553,8 @@ class TableLog:
                     cdc.append(action)
                 elif isinstance(action, CommitInfo):
                     info = action
+                elif isinstance(action, DomainMetadata):
+                    domains.append(action)
                 elif isinstance(action, Protocol) and version > 0:
                     # a protocol action in a later commit is an upgrade
                     # (v0's is just the create); surfaced so the range
@@ -511,7 +568,7 @@ class TableLog:
             ts = (info.inCommitTimestamp
                   if info.inCommitTimestamp is not None else info.timestamp)
         return Commit(version, ts, metadata, adds, removes, cdc, info,
-                      protocol)
+                      protocol, domains)
 
     def commits(self, start: int = 0, end: int | None = None) -> list[Commit]:
         versions = self._list_versions()
@@ -558,6 +615,7 @@ class TableLog:
         metadata: Metadata | None = None
         active: dict[str, AddFile] = {}
         txns: dict[str, int] = {}
+        domains: dict[str, str] = {}
         ts = 0
         start = 0
         base_version = max(
@@ -566,7 +624,8 @@ class TableLog:
         cp_version = self._latest_checkpoint(at_or_before=version)
         if cp_version is not None and (base_version is None
                                        or cp_version > base_version):
-            metadata, active, ts, txns = self._read_checkpoint(cp_version)
+            metadata, active, ts, txns, domains = \
+                self._read_checkpoint(cp_version)
             start = cp_version + 1
         elif base_version is not None:
             base = self._snap_cache[base_version]
@@ -574,15 +633,28 @@ class TableLog:
             ts = base.timestamp
             active = {f.path: f for f in base.files}
             txns = dict(base.transactions)
+            domains = dict(base.domain_metadata)
             start = base_version + 1
         for commit in self.commits(start, version):
             if commit.metadata is not None:
                 metadata = commit.metadata
+            for dm in commit.domains:
+                if dm.removed:
+                    domains.pop(dm.domain, None)
+                else:
+                    domains[dm.domain] = dm.configuration
+            # row-tracking tables only: absent defaultRowCommitVersion
+            # means "written at this commit" (plain tables stay
+            # byte-stable on the wire — no extra add fields)
+            rt = metadata is not None and metadata.configuration.get(
+                ROW_TRACKING_KEY, "").lower() == "true"
             for rm in commit.removes:
                 active.pop(rm.path, None)
             for add in commit.adds:
                 add.version = commit.version
                 add.timestamp = commit.timestamp
+                if rt and add.defaultRowCommitVersion is None:
+                    add.defaultRowCommitVersion = commit.version
                 active[add.path] = add
             params = (commit.info.operationParameters or {}) \
                 if commit.info else {}
@@ -601,7 +673,8 @@ class TableLog:
         if metadata is None:
             raise TableNotFoundError(f"no metadata through version {version}")
         files = sorted(active.values(), key=lambda a: a.path)
-        snap = Snapshot(version, ts, metadata, files, transactions=txns)
+        snap = Snapshot(version, ts, metadata, files, transactions=txns,
+                        domain_metadata=domains)
         self._snap_cache[version] = snap
         while len(self._snap_cache) > self._SNAP_CACHE_SIZE:
             self._snap_cache.pop(next(iter(self._snap_cache)))
@@ -668,6 +741,14 @@ class TableLog:
             for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
                         vers, tss):
                 lst.append(None)
+        for domain, cfg in sorted(snap.domain_metadata.items()):
+            # domainMetadata state (row-tracking high-water mark etc.):
+            # a snapshot resolved from the checkpoint alone must see it
+            kinds.append("domainMetadata")
+            jsons.append(dumps_action(DomainMetadata(domain, cfg)))
+            for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
+                        vers, tss):
+                lst.append(None)
         table = checkpoint_arrow_table(kinds, jsons, paths, pvs, sizes,
                                        nrecs, mins, maxs, nulls, vers, tss)
         final = os.path.join(self.log_path, _fmt_checkpoint(snap.version))
@@ -676,7 +757,8 @@ class TableLog:
 
     def _read_checkpoint(
         self, version: int
-    ) -> tuple[Metadata, dict[str, AddFile], int, dict[str, int]]:
+    ) -> tuple[Metadata, dict[str, AddFile], int, dict[str, int],
+               dict[str, str]]:
         import pyarrow.parquet as pq
 
         fp = os.path.join(self.log_path, _fmt_checkpoint(version))
@@ -684,6 +766,7 @@ class TableLog:
         metadata: Metadata | None = None
         active: dict[str, AddFile] = {}
         txns: dict[str, int] = {}
+        domains: dict[str, str] = {}
         ts = 0
         for kind, line in zip(cols.column("kind").to_pylist(),
                               cols.column("action_json").to_pylist()):
@@ -697,6 +780,9 @@ class TableLog:
             elif kind == "txn":
                 t = json.loads(line)
                 txns[t["appId"]] = int(t["version"])
+            elif kind == "domainMetadata":
+                dm = parse_action(line)
+                domains[dm.domain] = dm.configuration
         if metadata is None:
             raise TableNotFoundError(f"checkpoint {fp} lacks metadata")
         # the checkpoint version's own commit timestamp wins over file ts
@@ -705,7 +791,7 @@ class TableLog:
             ts = max(ts, self.read_commit(version).timestamp)
         except VersionNotFoundError:
             pass
-        return metadata, active, ts, txns
+        return metadata, active, ts, txns, domains
 
     def _maybe_checkpoint(self, version: int) -> None:
         """Auto-checkpoint after a write when the version hits the interval
@@ -1047,10 +1133,20 @@ class TableLog:
         the whole operation against the fresh snapshot."""
         version = snap.version + 1
         last: Exception | None = None
+        active_by_path = {a.path: a for a in snap.files}
+        our_domains: set[str] = set()
         for _ in range(retries + 1):
             ts = self._next_commit_timestamp()
+            acts = build_actions(version, ts)
+            dm = self._assign_row_ids(
+                acts, snap.metadata.configuration, active_by_path,
+                snap.row_id_high_water_mark)
+            if dm is not None:
+                acts = [dm] + acts
+            our_domains = {d.domain for d in acts
+                           if isinstance(d, DomainMetadata)}
             try:
-                self._write_commit(version, build_actions(version, ts))
+                self._write_commit(version, acts)
                 return version
             except ConcurrentCommitError as exc:
                 last = exc
@@ -1061,6 +1157,12 @@ class TableLog:
                         raise MetadataChangedError(
                             f"table metadata changed concurrently at "
                             f"version {v}") from exc
+                    won_domains = {d.domain for d in winner.domains}
+                    if won_domains & our_domains:
+                        raise ConcurrentDomainMetadataError(
+                            f"version {v} concurrently wrote metadata "
+                            f"domain(s) {sorted(won_domains & our_domains)}"
+                            " (e.g. a racing row-id allocation)") from exc
                     won_removed = {r.path for r in winner.removes}
                     dd = won_removed & set(removed_paths)
                     if dd:
@@ -1082,6 +1184,52 @@ class TableLog:
                             f"operation's read may depend on") from exc
                 version = latest + 1
         raise last
+
+    def _assign_row_ids(self, acts: list[Action], config: dict[str, str],
+                        active_by_path: dict[str, AddFile] | None = None,
+                        hwm: int = -1) -> DomainMetadata | None:
+        """Row-tracking allocation (Delta protocol "Row Tracking"): stamp
+        ``baseRowId`` on every AddFile in ``acts`` that lacks one and
+        return the advanced-high-water-mark ``delta.rowTracking``
+        DomainMetadata action (or None when nothing allocates).
+
+        A re-added path already active with a baseRowId keeps it — same
+        physical file, same rows, same ids (the DV-attach commit shape).
+        Idempotent: a rebase retry re-running this over already-stamped
+        adds only re-derives the same mark, so staged ids never move.
+
+        If the commit carries a Metadata action, ITS configuration governs
+        (an enabling commit allocates for its own adds)."""
+        meta_act = next((a for a in acts if isinstance(a, Metadata)), None)
+        if meta_act is not None:
+            config = meta_act.configuration
+        if config.get(ROW_TRACKING_KEY, "").lower() != "true":
+            return None
+        active_by_path = active_by_path or {}
+        new_hwm = hwm
+        for a in acts:
+            if not isinstance(a, AddFile):
+                continue
+            if a.baseRowId is None:
+                prev = active_by_path.get(a.path)
+                if prev is not None and prev.baseRowId is not None:
+                    a.baseRowId = prev.baseRowId
+                else:
+                    n = a.num_records
+                    if n is None:
+                        raise ValueError(
+                            "row tracking requires numRecords stats on "
+                            f"every added file; {a.path} has none")
+                    a.baseRowId = new_hwm + 1
+                    new_hwm += int(n)
+                    continue
+            n = a.num_records or 0
+            new_hwm = max(new_hwm, a.baseRowId + max(int(n) - 1, 0))
+        if new_hwm <= hwm:
+            return None
+        return DomainMetadata(
+            ROW_TRACKING_DOMAIN,
+            json.dumps({"rowIdHighWaterMark": new_hwm}))
 
     def _stage_dataframe(
         self, df: DataFrame, partition_columns: list[str], target_dir: str,
@@ -1247,13 +1395,17 @@ class TableLog:
             schema_fields = list(self._schema_with_hwm(
                 T.StructType(schema_fields), id_hwm).fields)
         ts = self._next_commit_timestamp()
+        configuration = dict(configuration or {})
+        if configuration.get(ROW_TRACKING_KEY, "").lower() == "true":
+            configuration.setdefault(MAT_ROW_ID_KEY, MAT_ROW_ID_DEFAULT)
+            configuration.setdefault(MAT_ROW_VER_KEY, MAT_ROW_VER_DEFAULT)
         metadata = Metadata(
             id=uuid.uuid4().hex,
             name=name,
             description=description,
             schemaString=T.StructType(schema_fields).json(),
             partitionColumns=partition_by,
-            configuration=configuration or {},
+            configuration=configuration,
             createdTime=ts,
         )
         staged = self._stage_dataframe(df, partition_by, self.data_path)
@@ -1265,6 +1417,9 @@ class TableLog:
             AddFile(path=p, partitionValues=pv, size=sz, stats=st)
             for p, pv, sz, st in staged
         ]
+        dm = self._assign_row_ids(actions, metadata.configuration)
+        if dm is not None:
+            actions.append(dm)
         actions.append(
             CommitInfo(version=0, timestamp=ts, operation="CREATE TABLE",
                        operationMetrics={"numFiles": str(len(staged))},
@@ -1347,6 +1502,51 @@ class TableLog:
         )
 
     # ------------------------------------------------- column mapping DDL
+
+    def enable_row_tracking(self) -> int:
+        """ALTER TABLE SET TBLPROPERTIES delta.enableRowTracking=true with
+        BACKFILL in the same commit: stamps the materialized-column names
+        into the config and re-adds every active file (dataChange=false)
+        so ``_assign_row_ids`` allocates each a baseRowId atomically with
+        the enabling metadata — Delta's row-tracking backfill, collapsed
+        to one commit (the log is local, no multi-commit staging needed).
+        ``defaultRowCommitVersion`` carries each file's original commit
+        version, so pre-enablement rows keep their true provenance."""
+        snap = self.snapshot()
+        if snap.row_tracking_enabled:
+            return snap.version
+        config = dict(snap.metadata.configuration)
+        config[ROW_TRACKING_KEY] = "true"
+        config.setdefault(MAT_ROW_ID_KEY, MAT_ROW_ID_DEFAULT)
+        config.setdefault(MAT_ROW_VER_KEY, MAT_ROW_VER_DEFAULT)
+        meta = snap.metadata
+        new_meta = Metadata(
+            id=meta.id, name=meta.name, description=meta.description,
+            format=meta.format, schemaString=meta.schemaString,
+            partitionColumns=meta.partitionColumns, configuration=config,
+            createdTime=meta.createdTime)
+        readds = [
+            AddFile(path=a.path, partitionValues=a.partitionValues,
+                    size=a.size, stats=a.stats, dataChange=False,
+                    deletionVector=a.deletionVector,
+                    # pre-enablement provenance carries over: each file's
+                    # original commit version (replay stamps a.version
+                    # even before the feature is on)
+                    defaultRowCommitVersion=(
+                        a.defaultRowCommitVersion
+                        if a.defaultRowCommitVersion is not None
+                        else a.version))
+            for a in snap.files
+        ]
+        return self._commit_checked(
+            snap,
+            lambda v, ts: [new_meta] + readds + [CommitInfo(
+                version=v, timestamp=ts, operation="SET TBLPROPERTIES",
+                operationParameters={ROW_TRACKING_KEY: "true"},
+                operationMetrics={"numBackfilledFiles": str(len(readds))})],
+            read_paths={a.path for a in snap.files},
+            tolerate_data_appends=True,
+        )
 
     def enable_column_mapping(self) -> int:
         """Upgrade the table to column mapping "name" mode (Delta's
@@ -2150,7 +2350,8 @@ class TableLog:
     def read_adds(self, adds: list[AddFile],
                   schema: T.StructType | None = None,
                   file_col: str | None = None,
-                  snap: "Snapshot | None" = None) -> DataFrame:
+                  snap: "Snapshot | None" = None,
+                  row_index_col: str | None = None) -> DataFrame:
         """Scan the given add files as logical rows: files carrying a
         deletion vector are scanned with ``_metadata.row_index`` and
         anti-joined against the DV rows (JVM-side, no UDF; broadcast when
@@ -2178,7 +2379,8 @@ class TableLog:
         parts: list[DataFrame] = []
         if plain:
             parts.append(self._scan_parquet(plain, schema=schema,
-                                            file_col=file_col))
+                                            file_col=file_col,
+                                            row_index_col=row_index_col))
         if dirty:
             d = (
                 self._scan_parquet(dirty, schema=schema,
@@ -2186,8 +2388,13 @@ class TableLog:
                                    row_index_col="__dv_ri")
                 .join(self._dv_rows_df(dirty), ["__dv_file", "__dv_ri"],
                       "left_anti")
-                .drop("__dv_ri")
             )
+            if row_index_col is not None:
+                # surviving rows keep their PHYSICAL index — exactly why
+                # DV deletes leave row-tracking ids stable
+                d = d.withColumnRenamed("__dv_ri", row_index_col)
+            else:
+                d = d.drop("__dv_ri")
             if file_col is not None:
                 d = d.withColumnRenamed("__dv_file", file_col)
             else:
@@ -2200,7 +2407,63 @@ class TableLog:
             out = out.withColumnsRenamed({p: l for l, p in mapping.items()})
         return out
 
-    def _read_files(self, snapshot: Snapshot, files: list[AddFile]) -> DataFrame:
+    def read_adds_with_row_ids(self, snap: Snapshot, adds: list[AddFile],
+                               schema: T.StructType | None = None
+                               ) -> DataFrame:
+        """Scan adds with the row-tracking columns attached: ``_row_id``
+        (stable row id) and ``_row_commit_version`` (version that last
+        wrote the row).
+
+        Spark-first shape: fresh ids are ``baseRowId + _metadata.row_index``
+        — the per-file base joins in from a BROADCAST manifest DataFrame
+        keyed on ``_metadata.file_path`` (the manifest is O(files), never
+        row data), so the scan stays one map-side pass at any scale. Files
+        rewritten by dataChange=false maintenance carry materialized
+        physical columns which COALESCE over the fresh derivation — that
+        is Delta's exact preservation mechanism (materialized row-id
+        column), re-expressed as a scan-schema extension: files without
+        the physical columns read them as null and fall back to fresh."""
+        missing = [a.path for a in adds if a.baseRowId is None]
+        if missing:
+            raise ValueError(
+                "row tracking: active file(s) lack baseRowId (table was "
+                f"written before enablement without backfill): "
+                f"{sorted(missing)[:3]}")
+        base_schema = schema if schema is not None else snap.schema
+        mat_id, mat_ver = snap.materialized_row_id_cols
+        ext = T.StructType(list(base_schema.fields) + [
+            T.StructField(mat_id, T.LongType(), True),
+            T.StructField(mat_ver, T.LongType(), True),
+        ])
+        df = self.read_adds(adds, schema=ext, file_col="__rt_file",
+                            row_index_col="__rt_ri", snap=snap)
+        manifest = self.spark.createDataFrame(
+            [(self._scan_abs(a), a.baseRowId,
+              a.defaultRowCommitVersion if a.defaultRowCommitVersion
+              is not None else a.version) for a in adds],
+            "__rt_file STRING, __rt_base LONG, __rt_ver LONG")
+        return (
+            df.join(F.broadcast(manifest), "__rt_file")
+            .withColumn("_row_id", F.coalesce(
+                F.col(mat_id), F.col("__rt_base") + F.col("__rt_ri")))
+            .withColumn("_row_commit_version", F.coalesce(
+                F.col(mat_ver), F.col("__rt_ver")))
+            .drop("__rt_file", "__rt_ri", "__rt_base", "__rt_ver",
+                  mat_id, mat_ver)
+        )
+
+    def _read_files(self, snapshot: Snapshot, files: list[AddFile],
+                    with_row_ids: bool = False) -> DataFrame:
+        """``with_row_ids`` renames the row-tracking columns to their
+        MATERIALIZED physical names so a dataChange=false rewrite staging
+        this frame preserves every row's id and commit version."""
+        if with_row_ids:
+            mat_id, mat_ver = snapshot.materialized_row_id_cols
+            return (
+                self.read_adds_with_row_ids(snapshot, files)
+                .withColumnRenamed("_row_id", mat_id)
+                .withColumnRenamed("_row_commit_version", mat_ver)
+            )
         return self.read_adds(files, snap=snapshot)
 
     def delete(self, condition: Column | str,
@@ -2421,7 +2684,9 @@ class TableLog:
                 }
             actions.append(AddFile(
                 path=a.path, partitionValues=a.partitionValues,
-                size=a.size, stats=a.stats, deletionVector=desc))
+                size=a.size, stats=a.stats, deletionVector=desc,
+                baseRowId=a.baseRowId,
+                defaultRowCommitVersion=a.defaultRowCommitVersion))
         return actions, sum(counts.values())
 
     def _delete_with_dv(self, cond: Column, snap: Snapshot,
@@ -2936,7 +3201,11 @@ class TableLog:
         actions += [
             AddFile(path=a.path, partitionValues=a.partitionValues,
                     size=a.size, stats=a.stats,
-                    deletionVector=a.deletionVector)
+                    deletionVector=a.deletionVector,
+                    # same physical file, same rows: restored rows keep
+                    # their row-tracking ids
+                    baseRowId=a.baseRowId,
+                    defaultRowCommitVersion=a.defaultRowCommitVersion)
             for a in to_add
         ]
         actions += [
@@ -2998,10 +3267,17 @@ class TableLog:
             return dv
 
         actions: list[Action] = [Protocol(), meta]
+        # domain state (row-tracking high-water mark etc.) transfers with
+        # the referenced files — the clone's ids stay stable and its own
+        # future allocations start past the source's mark
+        actions += [DomainMetadata(d, cfg) for d, cfg in
+                    sorted(snap.domain_metadata.items())]
         actions += [
             AddFile(path=self.abs_path(a.path),
                     partitionValues=a.partitionValues, size=a.size,
-                    stats=a.stats, deletionVector=abs_dv(a.deletionVector))
+                    stats=a.stats, deletionVector=abs_dv(a.deletionVector),
+                    baseRowId=a.baseRowId,
+                    defaultRowCommitVersion=a.defaultRowCommitVersion)
             for a in snap.files
         ]
         actions.append(CommitInfo(
@@ -3065,7 +3341,8 @@ class TableLog:
             # is DV-aware, so the rewrite materializes logical rows only)
             if len(files) < 2 and not any(a.deletionVector for a in files):
                 continue
-            df = self._read_files(snap, files)
+            df = self._read_files(snap, files,
+                                  with_row_ids=snap.row_tracking_enabled)
             n_rows = sum(a.logical_records or 0 for a in files)
             n_out = max(1, -(-n_rows // target_file_rows))
             staged = self._stage_dataframe(
@@ -3149,6 +3426,10 @@ class TableLog:
 
         snap = self.snapshot()
         phys_fields = {f.name for f in snap.physical_schema.fields}
+        if snap.row_tracking_enabled:
+            # materialized row-tracking columns are maintenance state,
+            # not dropped bytes — never purge-trigger on them
+            phys_fields |= set(snap.materialized_row_id_cols)
         candidates: list[AddFile] = []
         for a in snap.files:
             if a.deletionVector:
@@ -3166,8 +3447,19 @@ class TableLog:
             return None
         # explicit declared schema: dropped physical columns are never even
         # read, and mixed old/new files can't skew schema inference
-        df = self.read_adds(candidates, schema=snap.schema, snap=snap) \
-            .select([f.name for f in snap.schema.fields])
+        keep = [f.name for f in snap.schema.fields]
+        if snap.row_tracking_enabled:
+            # the purge rewrite changes the physical row set (DV rows
+            # vanish), so fresh base+index ids would shift — materialize
+            mat_id, mat_ver = snap.materialized_row_id_cols
+            df = (self.read_adds_with_row_ids(snap, candidates,
+                                              schema=snap.schema)
+                  .withColumnRenamed("_row_id", mat_id)
+                  .withColumnRenamed("_row_commit_version", mat_ver)
+                  .select(keep + [mat_id, mat_ver]))
+        else:
+            df = self.read_adds(candidates, schema=snap.schema,
+                                snap=snap).select(keep)
         staged = self._stage_dataframe(df, snap.partition_columns,
                                        self.data_path, snap=snap)
         actions: list[Action] = [
@@ -3237,6 +3529,8 @@ class TableLog:
             actions.append(AddFile(
                 path=a.path, partitionValues=a.partitionValues,
                 size=a.size, stats=a.stats, dataChange=False,
+                baseRowId=a.baseRowId,
+                defaultRowCommitVersion=a.defaultRowCommitVersion,
                 deletionVector={
                     "storageType": "u",
                     "pathOrInlineDv": dv_rel,
@@ -3384,7 +3678,7 @@ class TableLog:
         # after expiry would see e.g. the v0 create's files in no retained
         # commit and delete data the CURRENT snapshot still serves
         for cp_version in self._list_checkpoints():
-            _m, active, _ts, _txns = self._read_checkpoint(cp_version)
+            _m, active, _ts, _txns, _dm = self._read_checkpoint(cp_version)
             for add in active.values():
                 note(add)
         removable: list[str] = []
@@ -3540,7 +3834,8 @@ class TableLog:
         from pyspark.sql.functions import pandas_udf
 
         df = self._read_files(snap, files if files is not None
-                              else snap.files)
+                              else snap.files,
+                              with_row_ids=snap.row_tracking_enabled)
         n_buckets = 1 << bits_per_col
         cuts_by_col = self._zorder_cuts(df, columns, n_buckets)
 

@@ -410,6 +410,22 @@ class SharedTable:
                 cols.append(F.col(src).cast(field.dataType).alias(field.name))
         return df.select(*cols)
 
+    def _normalize_with_extras(self, df: DataFrame, snapshot: Snapshot,
+                               extras: list[str]) -> DataFrame:
+        """_normalize, keeping the named engine-derived columns (row
+        tracking ids etc.) appended after the declared schema."""
+        lower = {c.lower(): c for c in df.columns}
+        cols = []
+        for field in snapshot.schema.fields:
+            src = lower.get(field.name.lower())
+            if src is None:
+                cols.append(F.lit(None).cast(field.dataType)
+                            .alias(field.name))
+            else:
+                cols.append(F.col(src).cast(field.dataType)
+                            .alias(field.name))
+        return df.select(*cols, *[F.col(e) for e in extras])
+
     def to_df(
         self,
         version: int | None = None,
@@ -418,6 +434,7 @@ class SharedTable:
         predicate_hints: list[str] | None = None,
         limit_hint: int | None = None,
         limit: int | None = None,
+        row_ids: bool = False,
     ) -> DataFrame:
         """QueryTable -> DataFrame.
 
@@ -425,8 +442,17 @@ class SharedTable:
         applies an exact ``df.limit`` (the reference's client does the exact
         cut, python/delta_sharing/reader.py:201-224). Passing ``limit`` alone
         implies ``limit_hint=limit``.
+
+        ``row_ids=True`` (requires ``delta.enableRowTracking``) appends the
+        Delta row-tracking columns ``_row_id`` / ``_row_commit_version`` —
+        stable per-row ids derived as baseRowId + parquet row index, with
+        materialized overrides from maintenance rewrites.
         """
         snap = self.log.snapshot(version=version, timestamp=timestamp)
+        if row_ids and not snap.row_tracking_enabled:
+            raise ValueError(
+                "row_ids=True requires delta.enableRowTracking=true "
+                "(see TableLog.enable_row_tracking)")
         if limit is not None and limit_hint is None:
             limit_hint = limit
         paths = self.pruned_files(
@@ -436,7 +462,15 @@ class SharedTable:
             limit_hint=limit_hint,
         )
         if not paths:
-            return self.spark.createDataFrame([], snap.schema)
+            empty_schema = snap.schema
+            if row_ids:
+                from pyspark.sql import types as T
+                empty_schema = T.StructType(
+                    list(snap.schema.fields)
+                    + [T.StructField("_row_id", T.LongType(), True),
+                       T.StructField("_row_commit_version", T.LongType(),
+                                     True)])
+            return self.spark.createDataFrame([], empty_schema)
         # explicit declared schema (schema-on-read): files written before a
         # schema evolution lack newer columns and must null-fill them
         # deterministically — never depend on which file Spark samples.
@@ -446,10 +480,16 @@ class SharedTable:
         # snap threads column mapping through the scan: files are read
         # under PHYSICAL names and renamed back to logical (a renamed
         # column's data lives under its immutable physical name)
-        df = self.log.read_adds(
-            [a for a in snap.files if a.path in kept], schema=snap.schema,
-            snap=snap)
-        df = self._normalize(df, snap)
+        kept_adds = [a for a in snap.files if a.path in kept]
+        if row_ids:
+            df = self.log.read_adds_with_row_ids(snap, kept_adds,
+                                                 schema=snap.schema)
+            df = self._normalize_with_extras(
+                df, snap, ["_row_id", "_row_commit_version"])
+        else:
+            df = self.log.read_adds(kept_adds, schema=snap.schema,
+                                    snap=snap)
+            df = self._normalize(df, snap)
         if limit is not None:
             df = df.limit(limit)
         return df

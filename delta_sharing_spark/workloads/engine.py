@@ -1299,3 +1299,61 @@ def eng_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rid").alias("max_rid"),
         F.sum("rid").alias("sum_rid"),
     )
+
+
+def _documents_rt(spark: SparkSession, sf_dir: str) -> str:
+    """Row-tracking fixture with a fully deterministic id layout: each
+    batch is ONE file with rows sorted by doc_id (row index == rank), so
+    _row_id is an exact function of doc_id. v0 = even doc_ids (ids
+    0..n_even-1), v1 = odd doc_ids (ids n_even..), v2 = DV DELETE of
+    doc_id % 7 = 0 (survivor ids untouched), v3 = OPTIMIZE (compaction
+    materializes ids — the preservation path under the gate)."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        docs = read_table(spark, sf_dir, "documents") \
+            .select("doc_id", "lang", "n_chars")
+        one = lambda df: df.repartition(1).sortWithinPartitions("doc_id")  # noqa: E731
+        log = TableLog(spark, path)
+        log.create(one(docs.filter(F.col("doc_id") % 2 == 0)),
+                   name="documents_rt",
+                   configuration={"delta.enableRowTracking": "true",
+                                  "enableDeletionVectors": "true"})
+        log.append(one(docs.filter(F.col("doc_id") % 2 == 1)))
+        log.delete("doc_id % 7 = 0")
+        log.optimize(target_file_rows=1_000_000_000)
+
+    return _fixture(spark, sf_dir, "documents_rt", build)
+
+
+@workload(
+    "eng_row_tracking",
+    oracle="""
+    WITH b1 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid, 0 AS ver
+      FROM documents WHERE doc_id % 2 = 0
+    ), b2 AS (
+      SELECT doc_id,
+             (SELECT COUNT(*) FROM b1)
+               + ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid, 1 AS ver
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, CAST(rid AS BIGINT) AS row_id,
+           CAST(ver AS BIGINT) AS row_commit_version
+    FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    WHERE doc_id % 7 <> 0
+    """,
+)
+def eng_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking under the FULL value gate: every surviving row's
+    stable ``_row_id`` and ``_row_commit_version`` replayed in SQL — ids
+    are baseRowId + parquet row index (deterministic because each batch
+    is one doc_id-sorted file), survive a DV DELETE untouched, and
+    survive an OPTIMIZE compaction via the materialized-column path
+    (Delta protocol "Row Tracking"; baseRowId + materialized row ids)."""
+    t = SharedTable(spark, _documents_rt(spark, sf_dir))
+    return t.to_df(row_ids=True).select(
+        "doc_id",
+        F.col("_row_id").alias("row_id"),
+        F.col("_row_commit_version").alias("row_commit_version"),
+    )

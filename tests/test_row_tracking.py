@@ -1,0 +1,283 @@
+"""Row tracking (Delta protocol "Row Tracking", adapted): baseRowId
+allocation under the delta.rowTracking metadata domain, stable
+_row_id/_row_commit_version reads (baseRowId + parquet row index with
+materialized overrides), preservation across DV deletes / OPTIMIZE /
+REORG / RESTORE, checkpoint round-trips, and the domain-metadata
+concurrency rule.
+
+Ref parity notes: Delta's rowTracking writer feature stores the high-water
+mark in a domainMetadata action and derives fresh ids as
+baseRowId + row_index with materialized-row-id column overrides; the
+delta-sharing reference does not surface row ids, so the behaviors here
+mirror the Delta table feature the sharing server would sit on top of.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_sharing_spark.plans.actions import DomainMetadata
+from delta_sharing_spark.plans.log import (
+    ROW_TRACKING_DOMAIN,
+    ROW_TRACKING_KEY,
+    ConcurrentDomainMetadataError,
+    TableLog,
+)
+from delta_sharing_spark.table import SharedTable
+
+RT_CONF = {ROW_TRACKING_KEY: "true"}
+
+
+def _one_file(df, sort_col="k"):
+    """Deterministic single-file layout: row order in the parquet file ==
+    sort order, so row ids are predictable in tests."""
+    return df.repartition(1).sortWithinPartitions(sort_col)
+
+
+def _rt_table(spark, table_dir, n=10):
+    log = TableLog(spark, table_dir)
+    df = spark.range(n).selectExpr("id AS k", "CAST(id*2 AS STRING) AS v")
+    log.create(_one_file(df), name="t", configuration=dict(RT_CONF))
+    return log
+
+
+class TestRowIdAllocation:
+    def test_create_assigns_contiguous_ids(self, spark, table_dir):
+        log = _rt_table(spark, table_dir)
+        t = SharedTable(spark, table_dir)
+        rows = t.to_df(row_ids=True).orderBy("k").collect()
+        assert [r._row_id for r in rows] == list(range(10))
+        assert all(r._row_commit_version == 0 for r in rows)
+        assert log.snapshot().row_id_high_water_mark == 9
+
+    def test_append_continues_past_hwm(self, spark, table_dir):
+        log = _rt_table(spark, table_dir)
+        log.append(_one_file(spark.range(10, 15).selectExpr(
+            "id AS k", "CAST(id*2 AS STRING) AS v")))
+        t = SharedTable(spark, table_dir)
+        rows = t.to_df(row_ids=True).orderBy("k").collect()
+        assert [r._row_id for r in rows] == list(range(15))
+        assert [r._row_commit_version for r in rows] == [0] * 10 + [1] * 5
+        assert log.snapshot().row_id_high_water_mark == 14
+
+    def test_multi_file_batch_ids_unique(self, spark, table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(spark.range(0).selectExpr("id AS k"), name="t",
+                   configuration=dict(RT_CONF))
+        log.append(spark.range(500).selectExpr("id AS k").repartition(7))
+        t = SharedTable(spark, table_dir)
+        ids = [r._row_id for r in
+               t.to_df(row_ids=True).select("_row_id").collect()]
+        assert len(ids) == 500
+        assert sorted(ids) == list(range(500))
+
+    def test_plain_table_rejects_row_ids(self, spark, table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(spark.range(3).selectExpr("id AS k"), name="t")
+        with pytest.raises(ValueError, match="enableRowTracking"):
+            SharedTable(spark, table_dir).to_df(row_ids=True)
+        # and a plain table's log carries no row-tracking fields at all
+        c = log.read_commit(0)
+        assert all(a.baseRowId is None for a in c.adds)
+        assert all(a.defaultRowCommitVersion is None for a in c.adds)
+        assert not c.domains
+
+    def test_domain_action_in_log(self, spark, table_dir):
+        log = _rt_table(spark, table_dir)
+        c = log.read_commit(0)
+        assert len(c.domains) == 1
+        dm = c.domains[0]
+        assert dm.domain == ROW_TRACKING_DOMAIN
+        assert json.loads(dm.configuration)["rowIdHighWaterMark"] == 9
+        assert all(a.baseRowId is not None for a in c.adds)
+
+
+class TestRowIdStability:
+    def test_dv_delete_preserves_survivors(self, spark, table_dir):
+        log = _rt_table(spark, table_dir, n=15)
+        log.update_metadata(configuration={
+            **log.snapshot().metadata.configuration,
+            "enableDeletionVectors": "true"})
+        log.delete("k % 3 = 0")
+        t = SharedTable(spark, table_dir)
+        got = {r.k: (r._row_id, r._row_commit_version)
+               for r in t.to_df(row_ids=True).collect()}
+        assert got == {k: (k, 0) for k in range(15) if k % 3 != 0}
+
+    def test_optimize_materializes_and_preserves(self, spark, table_dir):
+        log = _rt_table(spark, table_dir)
+        log.append(_one_file(spark.range(10, 15).selectExpr(
+            "id AS k", "CAST(id*2 AS STRING) AS v")))
+        log.optimize(target_file_rows=100)
+        snap = log.snapshot()
+        assert len(snap.files) == 1  # compacted
+        t = SharedTable(spark, table_dir)
+        got = {r.k: (r._row_id, r._row_commit_version)
+               for r in t.to_df(row_ids=True).collect()}
+        assert got == {k: (k, 0 if k < 10 else 1) for k in range(15)}
+
+    def test_reorg_purge_preserves(self, spark, table_dir):
+        log = _rt_table(spark, table_dir, n=12)
+        log.update_metadata(configuration={
+            **log.snapshot().metadata.configuration,
+            "enableDeletionVectors": "true"})
+        log.delete("k >= 9")
+        log.reorg_purge()  # physically drops DV-masked rows
+        snap = log.snapshot()
+        assert not any(a.deletionVector for a in snap.files)
+        t = SharedTable(spark, table_dir)
+        got = {r.k: (r._row_id, r._row_commit_version)
+               for r in t.to_df(row_ids=True).collect()}
+        assert got == {k: (k, 0) for k in range(9)}
+
+    def test_restore_preserves(self, spark, table_dir):
+        log = _rt_table(spark, table_dir)
+        keep = log.latest_version()
+        log.append(_one_file(spark.range(50, 53).selectExpr(
+            "id AS k", "CAST(id*2 AS STRING) AS v")))
+        log.restore(version=keep)
+        t = SharedTable(spark, table_dir)
+        got = {r.k: r._row_id for r in t.to_df(row_ids=True).collect()}
+        assert got == {k: k for k in range(10)}
+        # restore consumed no new ids for re-added files
+        assert log.snapshot().row_id_high_water_mark == 12
+
+    def test_dml_rewrite_allocates_fresh_ids(self, spark, table_dir):
+        """An UPDATE rewrite (no DVs) writes new files: touched rows get
+        fresh ids past the mark — never a reused id."""
+        log = _rt_table(spark, table_dir)
+        log.update({"v": F.lit("x")}, condition="k >= 8")
+        t = SharedTable(spark, table_dir)
+        rows = t.to_df(row_ids=True).collect()
+        ids = [r._row_id for r in rows]
+        assert len(set(ids)) == 10  # all distinct
+        assert log.snapshot().row_id_high_water_mark == max(ids)
+
+
+class TestRowTrackingLifecycle:
+    def test_enable_later_backfills(self, spark, table_dir):
+        log = TableLog(spark, table_dir)
+        log.create(_one_file(spark.range(5).selectExpr("id AS k")),
+                   name="t")
+        log.append(_one_file(spark.range(5, 8).selectExpr("id AS k")))
+        v = log.enable_row_tracking()
+        c = log.read_commit(v)
+        assert c.metadata is not None and c.domains
+        t = SharedTable(spark, table_dir)
+        got = {r.k: (r._row_id, r._row_commit_version)
+               for r in t.to_df(row_ids=True).collect()}
+        # backfill allocates in path order but provenance (commit
+        # version) carries each file's ORIGINAL version
+        assert sorted(r[0] for r in got.values()) == list(range(8))
+        assert {k: ver for k, (_i, ver) in got.items()} == {
+            **{k: 0 for k in range(5)}, **{k: 1 for k in range(5, 8)}}
+        assert log.enable_row_tracking() == v  # idempotent no-op
+
+    def test_checkpoint_roundtrip(self, spark, table_dir):
+        log = _rt_table(spark, table_dir)
+        log.append(_one_file(spark.range(10, 12).selectExpr(
+            "id AS k", "CAST(id*2 AS STRING) AS v")))
+        log.write_checkpoint()
+        fresh = TableLog(spark, table_dir)
+        snap = fresh.snapshot()
+        assert snap.row_id_high_water_mark == 11
+        assert all(a.baseRowId is not None for a in snap.files)
+        # next allocation continues from the checkpointed mark
+        fresh.append(_one_file(spark.range(12, 14).selectExpr(
+            "id AS k", "CAST(id*2 AS STRING) AS v")))
+        t = SharedTable(spark, table_dir)
+        ids = sorted(r._row_id
+                     for r in t.to_df(row_ids=True).collect())
+        assert ids == list(range(14))
+
+    def test_clone_carries_ids_and_mark(self, spark, table_dir, tmp_path):
+        log = _rt_table(spark, table_dir)
+        clone = log.clone_to(str(tmp_path / "clone"))
+        csnap = clone.snapshot()
+        assert csnap.row_id_high_water_mark == 9
+        tc = SharedTable(spark, str(tmp_path / "clone"))
+        got = {r.k: r._row_id for r in tc.to_df(row_ids=True).collect()}
+        assert got == {k: k for k in range(10)}
+        # clone's own appends allocate PAST the source's mark
+        clone.append(_one_file(spark.range(10, 12).selectExpr(
+            "id AS k", "CAST(id*2 AS STRING) AS v")))
+        got = sorted(r._row_id for r in tc.to_df(row_ids=True).collect())
+        assert got == list(range(12))
+
+    def test_time_travel_sees_historic_ids(self, spark, table_dir):
+        log = _rt_table(spark, table_dir)
+        log.append(_one_file(spark.range(10, 15).selectExpr(
+            "id AS k", "CAST(id*2 AS STRING) AS v")))
+        t = SharedTable(spark, table_dir)
+        v0 = t.to_df(version=0, row_ids=True).collect()
+        assert sorted(r._row_id for r in v0) == list(range(10))
+
+
+class TestDomainMetadataConcurrency:
+    def test_concurrent_allocation_conflicts(self, spark, table_dir):
+        """Two writers allocating against the same mark: the loser gets
+        ConcurrentDomainMetadataError (Delta's domain-conflict rule), not
+        silently colliding ids."""
+        from delta_sharing_spark.plans.actions import AddFile, CommitInfo
+
+        log = _rt_table(spark, table_dir)
+        stale = log.snapshot()
+        # winner lands an allocating append after the loser snapshotted
+        log.append(_one_file(spark.range(10, 13).selectExpr(
+            "id AS k", "CAST(id*2 AS STRING) AS v")))
+        loser_add = AddFile(path="data/loser.parquet", size=1,
+                            stats=json.dumps({"numRecords": 3}))
+        with pytest.raises(ConcurrentDomainMetadataError):
+            log._commit_checked(
+                stale,
+                lambda v, ts: [loser_add, CommitInfo(
+                    version=v, timestamp=ts, operation="WRITE")],
+                read_paths=set(),
+                tolerate_data_appends=True,
+            )
+
+    def test_disjoint_domains_rebase(self, spark, table_dir):
+        """A winner writing an UNRELATED domain is logically disjoint —
+        the commit rebases like any other non-conflicting interleave."""
+        from delta_sharing_spark.plans.actions import CommitInfo
+
+        log = TableLog(spark, table_dir)
+        log.create(spark.range(3).selectExpr("id AS k"), name="t")
+        stale = log.snapshot()
+        log._commit_checked(
+            stale,
+            lambda v, ts: [DomainMetadata("app.other", "{}"), CommitInfo(
+                version=v, timestamp=ts, operation="SET DOMAIN")],
+            read_paths=set(), tolerate_data_appends=True)
+        v = log._commit_checked(
+            stale,  # stale snapshot: forces the conflict/rebase path
+            lambda v, ts: [DomainMetadata("app.mine", "{}"), CommitInfo(
+                version=v, timestamp=ts, operation="SET DOMAIN")],
+            read_paths=set(), tolerate_data_appends=True)
+        snap = log.snapshot()
+        assert v == 2
+        assert set(snap.domain_metadata) == {"app.other", "app.mine"}
+
+    def test_domain_removal_tombstones(self, spark, table_dir):
+        from delta_sharing_spark.plans.actions import CommitInfo
+
+        log = TableLog(spark, table_dir)
+        log.create(spark.range(3).selectExpr("id AS k"), name="t")
+        snap = log.snapshot()
+        log._commit_checked(
+            snap, lambda v, ts: [DomainMetadata("app.x", '{"a":1}'),
+                                 CommitInfo(version=v, timestamp=ts,
+                                            operation="SET DOMAIN")],
+            read_paths=set(), tolerate_data_appends=True)
+        assert log.snapshot().domain_metadata == {"app.x": '{"a":1}'}
+        log._commit_checked(
+            log.snapshot(),
+            lambda v, ts: [DomainMetadata("app.x", removed=True),
+                           CommitInfo(version=v, timestamp=ts,
+                                      operation="DROP DOMAIN")],
+            read_paths=set(), tolerate_data_appends=True)
+        assert log.snapshot().domain_metadata == {}
+        # removal survives a checkpoint round-trip too
+        log.write_checkpoint()
+        assert TableLog(spark, table_dir).snapshot().domain_metadata == {}
