@@ -2505,10 +2505,15 @@ class TableLog:
         touched = [a for a in cand if self._scan_abs(a) in hit_files]
         actions: list[Action] = []
         n_deleted = 0
+        rt = snap.row_tracking_enabled
         if touched:
-            touched_df = self._read_files(snap, touched)
+            # with row tracking, surviving rows are copied unmodified —
+            # the rewrite carries their materialized ids and versions
+            touched_df = self._read_files(snap, touched, with_row_ids=rt)
             keep = touched_df.filter(~cond | cond.isNull())
             deleted = touched_df.filter(cond)
+            if rt:
+                deleted = deleted.drop(*snap.materialized_row_id_cols)
             n_deleted = deleted.count()
             staged = self._stage_dataframe(keep, snap.partition_columns,
                                            self.data_path, snap=snap)
@@ -2569,10 +2574,22 @@ class TableLog:
         """Logical rows of the snapshot (existing deletion vectors applied)
         with each row's physical position exposed as ``__dv_file`` (absolute
         data-file path, no scheme) and ``__dv_ri`` (row index in that file)
-        — the input every DV-writing commit needs."""
+        — the input every DV-writing commit needs.
+
+        Scans under the EXPLICIT physical schema (plus the materialized
+        row-tracking columns when the feature is on) — inference over
+        mixed pre/post-maintenance files would be sample-dependent, and
+        soft-dropped columns' bytes must never be read back."""
         if files is None:
             files = snap.files
-        df = self._scan_parquet(files, file_col="__dv_file",
+        schema = snap.physical_schema
+        if snap.row_tracking_enabled:
+            mat_id, mat_ver = snap.materialized_row_id_cols
+            schema = T.StructType(list(schema.fields) + [
+                T.StructField(mat_id, T.LongType(), True),
+                T.StructField(mat_ver, T.LongType(), True),
+            ])
+        df = self._scan_parquet(files, schema=schema, file_col="__dv_file",
                                 row_index_col="__dv_ri")
         dirty = [a for a in files if a.deletionVector]
         if dirty:
@@ -2705,7 +2722,9 @@ class TableLog:
             .localCheckpoint(eager=False)
         actions, n_deleted = self._dv_mark_actions(matched, snap)
         if snap.metadata.cdf_enabled and n_deleted:
-            cdc_rows = matched.drop("__dv_file", "__dv_ri").withColumn(
+            cdc_rows = matched.drop(
+                "__dv_file", "__dv_ri",
+                *snap.materialized_row_id_cols).withColumn(
                 CHANGE_TYPE_COL, F.lit("delete"))
             staged_cdc = self._stage_dataframe(
                 cdc_rows, [], self.cdc_path, prefix="cdc-", snap=snap)
@@ -2736,12 +2755,27 @@ class TableLog:
         rewriting every touched file."""
         if cand is None:
             cand = snap.files
-        matched = self._logical_rows_with_pos(snap, cand).filter(cond) \
-            .localCheckpoint(eager=False)
+        rt = snap.row_tracking_enabled
+        mat_id, mat_ver = snap.materialized_row_id_cols
+        matched = self._logical_rows_with_pos(snap, cand).filter(cond)
+        if rt:
+            # a moved row keeps its id (Delta row tracking): resolve it
+            # from the materialized column or baseRowId + position, so
+            # the appended post-image file materializes the SAME id
+            man = self.spark.createDataFrame(
+                [(self._scan_abs(a), a.baseRowId) for a in cand],
+                "__dv_file STRING, __rt_base LONG")
+            matched = (
+                matched.join(F.broadcast(man), "__dv_file", "left")
+                .withColumn(mat_id, F.coalesce(
+                    F.col(mat_id), F.col("__rt_base") + F.col("__dv_ri")))
+                .drop("__rt_base")
+            )
+        matched = matched.localCheckpoint(eager=False)
         actions, n_updated = self._dv_mark_actions(matched, snap)
         if n_updated:
-            pre = matched.drop("__dv_file", "__dv_ri")
-            post = pre
+            pre = matched.drop("__dv_file", "__dv_ri", mat_id, mat_ver)
+            post = matched.drop("__dv_file", "__dv_ri", mat_ver)
             for col_name, expr in sets.items():
                 post = post.withColumn(col_name, expr)
             for g, ge in self._generated_columns(snap.schema).items():
@@ -2749,10 +2783,12 @@ class TableLog:
             # conform to the declared schema: unlike the rewrite path there
             # is no union with original-typed rows to coerce a SET expr's
             # type (e.g. a bare "0.0" literal is DECIMAL(1,1), not DOUBLE)
-            post = post.select([
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                for f in snap.schema.fields
-            ])
+            post = post.select(
+                [F.col(f.name).cast(f.dataType).alias(f.name)
+                 for f in snap.schema.fields]
+                + ([F.col(mat_id),
+                    F.lit(None).cast("long").alias(mat_ver)] if rt else [])
+            )
             staged = self._stage_dataframe(post, snap.partition_columns,
                                            self.data_path, snap=snap)
             self._validate_staged(staged, snap.metadata.configuration,
@@ -2764,7 +2800,7 @@ class TableLog:
             if snap.metadata.cdf_enabled:
                 cdc_rows = pre.withColumn(
                     CHANGE_TYPE_COL, F.lit("update_preimage")
-                ).unionByName(post.withColumn(
+                ).unionByName(post.drop(mat_id, mat_ver).withColumn(
                     CHANGE_TYPE_COL, F.lit("update_postimage")))
                 staged_cdc = self._stage_dataframe(
                     cdc_rows, [], self.cdc_path, prefix="cdc-", snap=snap)
@@ -2828,8 +2864,10 @@ class TableLog:
         touched = [a for a in cand if self._scan_abs(a) in hit_files]
         actions: list[Action] = []
         n_updated = 0
+        rt = snap.row_tracking_enabled
+        mat_id, mat_ver = snap.materialized_row_id_cols
         if touched:
-            touched_df = self._read_files(snap, touched)
+            touched_df = self._read_files(snap, touched, with_row_ids=rt)
             pre = touched_df.filter(cond)
             n_updated = pre.count()
             post = pre
@@ -2838,6 +2876,12 @@ class TableLog:
             for g, ge in self._generated_columns(snap.schema).items():
                 # generated values follow their source columns
                 post = post.withColumn(g, F.expr(ge))
+            if rt:
+                # a row keeps its id across its lifetime (Delta row
+                # tracking); its commit version follows the LAST write —
+                # nulling the materialized version makes the rewritten
+                # file's defaultRowCommitVersion (= this commit) apply
+                post = post.withColumn(mat_ver, F.lit(None).cast("long"))
             rewritten = touched_df.filter(~cond | cond.isNull()).unionByName(post)
             staged = self._stage_dataframe(rewritten, snap.partition_columns,
                                            self.data_path, snap=snap)
@@ -2855,10 +2899,16 @@ class TableLog:
                 for a in touched
             ]
             if snap.metadata.cdf_enabled and n_updated:
-                cdc_rows = pre.withColumn(
+                cdc_pre, cdc_post = pre, post
+                if rt:
+                    # engine-internal columns never leak into change rows
+                    cdc_pre = cdc_pre.drop(mat_id, mat_ver)
+                    cdc_post = cdc_post.drop(mat_id, mat_ver)
+                cdc_rows = cdc_pre.withColumn(
                     CHANGE_TYPE_COL, F.lit("update_preimage")
                 ).unionByName(
-                    post.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+                    cdc_post.withColumn(CHANGE_TYPE_COL,
+                                        F.lit("update_postimage"))
                 )
                 staged_cdc = self._stage_dataframe(
                     cdc_rows, [], self.cdc_path, prefix="cdc-", snap=snap
@@ -2948,24 +2998,45 @@ class TableLog:
         actions: list[Action] = []
         cdc_parts: list[DataFrame] = []
         n_updated = n_deleted = n_inserted = 0
+        rt = snap.row_tracking_enabled
+        mat_id, mat_ver = snap.materialized_row_id_cols
         if dv_mode and when_matched is not None:
             # DV shape: mark matched rows' positions deleted (no rewrite of
             # touched files); updated images append as NEW files
             pre_pos = (
                 self._logical_rows_with_pos(snap)
                 .join(F.broadcast(src_keys), keys, "left_semi")
-                .localCheckpoint(eager=False)
             )
+            if rt:
+                # updated rows keep their ids in the appended post-image
+                # (Delta row tracking: id is stable across the row's
+                # lifetime); resolve id = materialized or base + position
+                man = self.spark.createDataFrame(
+                    [(self._scan_abs(a), a.baseRowId) for a in snap.files],
+                    "__dv_file STRING, __rt_base LONG")
+                pre_pos = (
+                    pre_pos.join(F.broadcast(man), "__dv_file", "left")
+                    .withColumn(mat_id, F.coalesce(
+                        F.col(mat_id),
+                        F.col("__rt_base") + F.col("__dv_ri")))
+                    .drop("__rt_base")
+                )
+            pre_pos = pre_pos.localCheckpoint(eager=False)
             mark_actions, n_matched = self._dv_mark_actions(pre_pos, snap)
             actions += mark_actions
-            pre = pre_pos.drop("__dv_file", "__dv_ri")
+            pre = pre_pos.drop("__dv_file", "__dv_ri", mat_id, mat_ver)
             post = None
             if when_matched == "update":
-                post = pre.select(*keys).join(F.broadcast(src), keys) \
-                    .select([
-                        F.col(f.name).cast(f.dataType).alias(f.name)
-                        for f in snap.schema.fields
-                    ])
+                pre_keyed = pre_pos.select(
+                    *keys, *([mat_id] if rt else []))
+                post = pre_keyed.join(F.broadcast(src), keys) \
+                    .select(
+                        [F.col(f.name).cast(f.dataType).alias(f.name)
+                         for f in snap.schema.fields]
+                        + ([F.col(mat_id),
+                            F.lit(None).cast("long").alias(mat_ver)]
+                           if rt else [])
+                    )
                 n_updated = n_matched
                 if n_matched:
                     staged = self._stage_dataframe(
@@ -2986,7 +3057,7 @@ class TableLog:
                     cdc_parts.append(
                         pre.withColumn(CHANGE_TYPE_COL,
                                        F.lit("update_preimage"))
-                        .unionByName(post.withColumn(
+                        .unionByName(post.drop(mat_id, mat_ver).withColumn(
                             CHANGE_TYPE_COL, F.lit("update_postimage"))))
                 else:
                     cdc_parts.append(
@@ -3000,7 +3071,12 @@ class TableLog:
             touched = [a for a in snap.files
                        if self._scan_abs(a) in hit_files]
             if touched:
-                touched_df = self._read_files(snap, touched)
+                # with row tracking, copied-unmodified rows keep their
+                # materialized ids; updated rows keep the id, reset the
+                # version (the new file's commit version applies)
+                out_cols = schema_cols + ([mat_id, mat_ver] if rt else [])
+                touched_df = self._read_files(snap, touched,
+                                              with_row_ids=rt)
                 pre = touched_df.join(F.broadcast(src_keys), keys,
                                       "left_semi")
                 n_matched = pre.count()
@@ -3009,13 +3085,17 @@ class TableLog:
                 if when_matched == "update":
                     # one source row per matched target row (full-row
                     # replace)
-                    post = pre.select(*keys).join(F.broadcast(src), keys) \
-                        .select(*schema_cols)
-                    rewritten = keep.unionByName(post).select(*schema_cols)
+                    post = pre.select(*keys, *([mat_id] if rt else [])) \
+                        .join(F.broadcast(src), keys)
+                    if rt:
+                        post = post.withColumn(
+                            mat_ver, F.lit(None).cast("long"))
+                    post = post.select(*out_cols)
+                    rewritten = keep.unionByName(post).select(*out_cols)
                     n_updated = n_matched
                 elif when_matched == "delete":
                     post = None
-                    rewritten = keep.select(*schema_cols)
+                    rewritten = keep.select(*out_cols)
                     n_deleted = n_matched
                 else:
                     raise ValueError(
@@ -3037,17 +3117,19 @@ class TableLog:
                     for a in touched
                 ]
                 if snap.metadata.cdf_enabled and n_matched:
+                    cdc_pre = pre.drop(mat_id, mat_ver)
                     if when_matched == "update":
                         cdc_parts.append(
-                            pre.withColumn(CHANGE_TYPE_COL,
-                                           F.lit("update_preimage"))
-                            .unionByName(post.withColumn(
-                                CHANGE_TYPE_COL,
-                                F.lit("update_postimage"))))
+                            cdc_pre.withColumn(CHANGE_TYPE_COL,
+                                               F.lit("update_preimage"))
+                            .unionByName(
+                                post.drop(mat_id, mat_ver).withColumn(
+                                    CHANGE_TYPE_COL,
+                                    F.lit("update_postimage"))))
                     else:
                         cdc_parts.append(
-                            pre.withColumn(CHANGE_TYPE_COL,
-                                           F.lit("delete")))
+                            cdc_pre.withColumn(CHANGE_TYPE_COL,
+                                               F.lit("delete")))
         if when_not_matched == "insert":
             target_keys = full.select(*keys).distinct()
             ins = src.join(target_keys, keys, "left_anti")

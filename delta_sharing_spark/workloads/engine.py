@@ -1307,7 +1307,10 @@ def _documents_rt(spark: SparkSession, sf_dir: str) -> str:
     _row_id is an exact function of doc_id. v0 = even doc_ids (ids
     0..n_even-1), v1 = odd doc_ids (ids n_even..), v2 = DV DELETE of
     doc_id % 7 = 0 (survivor ids untouched), v3 = OPTIMIZE (compaction
-    materializes ids — the preservation path under the gate)."""
+    materializes ids — the preservation path under the gate), v4 =
+    DV-mode UPDATE of doc_id % 5 = 0 (the post-image append carries the
+    SAME ids, new commit version), v5 = matched-only MERGE updating
+    doc_id % 11 = 3 (ids preserved through the DV-merge move too)."""
 
     def build(spark: SparkSession, path: str) -> None:
         docs = read_table(spark, sf_dir, "documents") \
@@ -1321,8 +1324,13 @@ def _documents_rt(spark: SparkSession, sf_dir: str) -> str:
         log.append(one(docs.filter(F.col("doc_id") % 2 == 1)))
         log.delete("doc_id % 7 = 0")
         log.optimize(target_file_rows=1_000_000_000)
+        log.update({"lang": F.lit("xx")}, condition="doc_id % 5 = 0")
+        src = docs.filter((F.col("doc_id") % 11 == 3)
+                          & (F.col("doc_id") % 7 != 0)) \
+            .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
+        log.merge(src, keys=["doc_id"], when_not_matched=None)
 
-    return _fixture(spark, sf_dir, "documents_rt", build)
+    return _fixture(spark, sf_dir, "documents_rt2", build)
 
 
 @workload(
@@ -1339,7 +1347,9 @@ def _documents_rt(spark: SparkSession, sf_dir: str) -> str:
       FROM documents WHERE doc_id % 2 = 1
     )
     SELECT doc_id, CAST(rid AS BIGINT) AS row_id,
-           CAST(ver AS BIGINT) AS row_commit_version
+           CAST(CASE WHEN doc_id % 11 = 3 THEN 5
+                     WHEN doc_id % 5 = 0 THEN 4
+                     ELSE ver END AS BIGINT) AS row_commit_version
     FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
     WHERE doc_id % 7 <> 0
     """,
@@ -1348,8 +1358,10 @@ def eng_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row tracking under the FULL value gate: every surviving row's
     stable ``_row_id`` and ``_row_commit_version`` replayed in SQL — ids
     are baseRowId + parquet row index (deterministic because each batch
-    is one doc_id-sorted file), survive a DV DELETE untouched, and
-    survive an OPTIMIZE compaction via the materialized-column path
+    is one doc_id-sorted file), survive a DV DELETE untouched, survive
+    an OPTIMIZE compaction via the materialized-column path, and survive
+    DV-mode UPDATE (v4) and matched-only MERGE (v5) moves with the id
+    intact and only the moved rows' commit version bumped
     (Delta protocol "Row Tracking"; baseRowId + materialized row ids)."""
     t = SharedTable(spark, _documents_rt(spark, sf_dir))
     return t.to_df(row_ids=True).select(

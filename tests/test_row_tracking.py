@@ -143,16 +143,68 @@ class TestRowIdStability:
         # restore consumed no new ids for re-added files
         assert log.snapshot().row_id_high_water_mark == 12
 
-    def test_dml_rewrite_allocates_fresh_ids(self, spark, table_dir):
-        """An UPDATE rewrite (no DVs) writes new files: touched rows get
-        fresh ids past the mark — never a reused id."""
+    def test_update_preserves_ids_bumps_versions(self, spark, table_dir):
+        """A row keeps its id across its LIFETIME (the Delta row-tracking
+        guarantee): an UPDATE rewrite preserves every row's _row_id —
+        updated rows get the new commit version, copied rows keep theirs."""
         log = _rt_table(spark, table_dir)
-        log.update({"v": F.lit("x")}, condition="k >= 8")
+        v = log.update({"v": F.lit("x")}, condition="k >= 8")
         t = SharedTable(spark, table_dir)
-        rows = t.to_df(row_ids=True).collect()
-        ids = [r._row_id for r in rows]
-        assert len(set(ids)) == 10  # all distinct
-        assert log.snapshot().row_id_high_water_mark == max(ids)
+        got = {r.k: (r._row_id, r._row_commit_version)
+               for r in t.to_df(row_ids=True).collect()}
+        assert got == {k: (k, 0 if k < 8 else v) for k in range(10)}
+
+    def test_update_with_dv_preserves_ids(self, spark, table_dir):
+        """DV-mode UPDATE moves the row to a new file — the materialized
+        id rides along, so the id survives the move."""
+        log = _rt_table(spark, table_dir)
+        log.update_metadata(configuration={
+            **log.snapshot().metadata.configuration,
+            "enableDeletionVectors": "true"})
+        v = log.update({"v": F.lit("moved")}, condition="k IN (2, 5)")
+        t = SharedTable(spark, table_dir)
+        got = {r.k: (r._row_id, r._row_commit_version)
+               for r in t.to_df(row_ids=True).collect()}
+        assert got == {k: (k, v if k in (2, 5) else 0) for k in range(10)}
+
+    def test_delete_rewrite_preserves_survivors(self, spark, table_dir):
+        """Non-DV DELETE rewrites touched files: surviving (copied) rows
+        keep both id and commit version."""
+        log = _rt_table(spark, table_dir)
+        log.delete("k < 3")
+        t = SharedTable(spark, table_dir)
+        got = {r.k: (r._row_id, r._row_commit_version)
+               for r in t.to_df(row_ids=True).collect()}
+        assert got == {k: (k, 0) for k in range(3, 10)}
+
+    def test_merge_preserves_ids(self, spark, table_dir):
+        """MERGE full-row update: matched rows keep their id with the new
+        commit version; unmatched copied rows keep id AND version;
+        inserted rows get fresh ids past the mark."""
+        log = _rt_table(spark, table_dir)
+        src = spark.createDataFrame(
+            [(3, "new3"), (7, "new7"), (50, "ins")], "k long, v string")
+        v = log.merge(src, keys=["k"])
+        t = SharedTable(spark, table_dir)
+        got = {r.k: (r._row_id, r._row_commit_version)
+               for r in t.to_df(row_ids=True).collect()}
+        ins_id = got[50][0]
+        assert ins_id > 9  # fresh, never a reused id
+        assert got[50][1] == v
+        del got[50]
+        assert got == {k: (k, v if k in (3, 7) else 0) for k in range(10)}
+
+    def test_merge_dv_preserves_ids(self, spark, table_dir):
+        log = _rt_table(spark, table_dir)
+        log.update_metadata(configuration={
+            **log.snapshot().metadata.configuration,
+            "enableDeletionVectors": "true"})
+        src = spark.createDataFrame([(4, "dvnew")], "k long, v string")
+        v = log.merge(src, keys=["k"])
+        t = SharedTable(spark, table_dir)
+        got = {r.k: (r._row_id, r._row_commit_version)
+               for r in t.to_df(row_ids=True).collect()}
+        assert got == {k: (k, v if k == 4 else 0) for k in range(10)}
 
 
 class TestRowTrackingLifecycle:
