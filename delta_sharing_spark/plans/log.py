@@ -1722,6 +1722,61 @@ class TableLog:
             snap.metadata.partitionColumns, config, "ADD COLUMNS",
             {"column": name, "type": dtype.simpleString()})
 
+    def widen_column_type(self, name: str,
+                          new_type: T.DataType | str) -> int:
+        """ALTER TABLE ALTER COLUMN TYPE — Delta's type widening
+        (``delta.enableTypeWidening``): a metadata-only commit moving a
+        column to a strictly wider type from the lossless lattice
+        (byte→short→integer→long, float→double, date→timestampNtz,
+        decimal growth with a non-shrinking integer part). Old files
+        stay valid — Spark 4's parquet reader upcasts their narrow
+        values natively when scanned under the new schema, so no data
+        is ever rewritten. The change is recorded in the field's
+        ``delta.typeChanges`` metadata exactly like Delta's protocol
+        ("Type Widening": [{"fromType", "toType"}] per change)."""
+        if isinstance(new_type, str):
+            from pyspark.sql.types import _parse_datatype_string
+
+            new_type = _parse_datatype_string(new_type)
+        snap = self.snapshot()
+        cfg = snap.metadata.configuration
+        if cfg.get("delta.enableTypeWidening",
+                   cfg.get("enableTypeWidening", "")).lower() != "true":
+            raise ValueError(
+                "type widening requires delta.enableTypeWidening=true "
+                "on the table (set it via update_metadata/create)")
+        field = next((f for f in snap.schema.fields if f.name == name),
+                     None)
+        if field is None:
+            raise ValueError(f"no such column: {name!r}")
+        if field.dataType == new_type:
+            return snap.version  # no-op, nothing to record
+        from delta_sharing_spark.streaming.schema import _widenable
+
+        if not _widenable(field.dataType, new_type):
+            raise ValueError(
+                f"unsupported type change for column {name!r}: "
+                f"{field.dataType.simpleString()} -> "
+                f"{new_type.simpleString()} is not a lossless widening")
+        # a CHECK constraint or generation expression evaluated over the
+        # widened type could change meaning — same guard as rename/drop
+        self._check_column_unreferenced(snap, name, "widen the type of")
+        md = dict(field.metadata or {})
+        changes = list(md.get("delta.typeChanges", []))
+        changes.append({"fromType": field.dataType.simpleString(),
+                        "toType": new_type.simpleString()})
+        md["delta.typeChanges"] = changes
+        fields = [
+            T.StructField(f.name, new_type, f.nullable, md)
+            if f.name == name else f
+            for f in snap.schema.fields
+        ]
+        return self._metadata_commit(
+            snap, T.StructType(fields).json(),
+            snap.metadata.partitionColumns, cfg, "CHANGE COLUMN",
+            {"column": name, "from": field.dataType.simpleString(),
+             "to": new_type.simpleString()})
+
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN — metadata-only under column mapping:
         the data stays in the files and is simply no longer read (Delta's

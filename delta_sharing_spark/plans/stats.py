@@ -62,7 +62,15 @@ def collect_file_stats(file_path: str) -> tuple[int, str]:
             if st.null_count is not None:
                 nulls[name] = nulls.get(name, 0) + st.null_count
             if st.has_min_max:
-                mn, mx = _to_jsonable(st.min), _to_jsonable(st.max)
+                try:
+                    mn, mx = _to_jsonable(st.min), _to_jsonable(st.max)
+                except Exception:
+                    # pyarrow cannot decode every footer stat encoding
+                    # (e.g. INT32-backed decimals raise
+                    # ArrowNotImplementedError) — such a column simply
+                    # gets no min/max, which the pruning layer already
+                    # treats as Unknown (never skips on it)
+                    continue
                 if mn is not None:
                     mins[name] = mn if name not in mins else min(mins[name], mn)
                 if mx is not None:

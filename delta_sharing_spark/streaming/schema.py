@@ -162,6 +162,9 @@ _INT_CHAIN = ["byte", "short", "integer", "long"]
 
 
 def _widenable(src: T.DataType, dst: T.DataType) -> bool:
+    """Lossless type widenings (Delta's typeWidening feature set that this
+    engine supports end-to-end: Spark 4's parquet reader upcasts each of
+    these natively when scanning old narrow files under the new schema)."""
     if src == dst:
         return True
     s, d = src.typeName(), dst.typeName()
@@ -169,6 +172,8 @@ def _widenable(src: T.DataType, dst: T.DataType) -> bool:
         return _INT_CHAIN.index(s) < _INT_CHAIN.index(d)
     if s == "float" and d == "double":
         return True
+    if s == "date" and d == "timestamp_ntz":
+        return True  # midnight-exact, lossless (Delta date -> timestampNtz)
     if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
         return (dst.scale >= src.scale
                 and dst.precision - dst.scale >= src.precision - src.scale)

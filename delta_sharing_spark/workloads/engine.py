@@ -1301,6 +1301,69 @@ def eng_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _documents_widen(spark: SparkSession, sf_dir: str) -> str:
+    """Type-widening fixture: v0 = even doc_ids with NARROW columns
+    (int / float / decimal(5,2)); v1-v3 = widen_column_type to long /
+    double / decimal(12,4) (metadata-only — the v0 files never change);
+    v4 = append odd doc_ids with values only the WIDE types can hold.
+    Reading the table scans both narrow and wide files under one wide
+    schema — Spark's parquet upcast does the narrow half."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        docs = read_table(spark, sf_dir, "documents") \
+            .select("doc_id", "n_chars")
+        b1 = docs.filter(F.col("doc_id") % 2 == 0).selectExpr(
+            "doc_id",
+            "cast(n_chars as int) as n",
+            "cast(n_chars as float) as f",
+            "cast(doc_id % 100 + 0.25 as decimal(5,2)) as d")
+        log = TableLog(spark, path)
+        log.create(b1, name="documents_widen",
+                   configuration={"delta.enableTypeWidening": "true"})
+        log.widen_column_type("n", "long")
+        log.widen_column_type("f", "double")
+        log.widen_column_type("d", "decimal(12,4)")
+        b2 = docs.filter(F.col("doc_id") % 2 == 1).selectExpr(
+            "doc_id",
+            "n_chars + 3000000000 as n",
+            "cast(n_chars as double) + 0.5 as f",
+            "cast(doc_id % 1000 + 123.4567 as decimal(12,4)) as d")
+        log.append(b2)
+
+    return _fixture(spark, sf_dir, "documents_widen", build)
+
+
+@workload(
+    "eng_type_widening",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS BIGINT)
+                ELSE n_chars + 3000000000 END AS n,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(CAST(n_chars AS REAL) AS DOUBLE)
+                ELSE CAST(n_chars AS DOUBLE) + 0.5 END AS f,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN CAST(CAST(doc_id % 100 + 0.25 AS DECIMAL(5,2))
+                          AS DECIMAL(12,4))
+                ELSE CAST(doc_id % 1000 + 123.4567 AS DECIMAL(12,4))
+           END AS VARCHAR) AS d
+    FROM documents
+    """,
+)
+def eng_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta type widening under the FULL value gate: narrow files written
+    before ``widen_column_type`` (int/float/decimal(5,2)) and wide files
+    written after (long/double/decimal(12,4)) read back in ONE scan under
+    the wide schema, every value exact — the narrow half upcast by the
+    parquet reader, never rewritten (Delta protocol "Type Widening";
+    ``delta.typeChanges`` field metadata)."""
+    t = SharedTable(spark, _documents_widen(spark, sf_dir))
+    # the decimal column crosses the gate as its exact string rendering
+    # (pandas decimal dtypes differ between Spark and DuckDB; '10.2500'
+    # keeps scale-4 exactness on both sides)
+    return t.to_df().select(
+        "doc_id", "n", "f", F.col("d").cast("string").alias("d"))
+
+
 def _documents_rt(spark: SparkSession, sf_dir: str) -> str:
     """Row-tracking fixture with a fully deterministic id layout: each
     batch is ONE file with rows sorted by doc_id (row index == rank), so

@@ -3214,3 +3214,114 @@ class TestIdentityMultiPartition:
         assert len(rids) == len(set(rids))
         gen = [r.rid for r in t.to_df().filter("k = 10").collect()]
         assert gen[0] > 501
+
+
+class TestTypeWidening:
+    """widen_column_type: Delta's typeWidening feature — metadata-only
+    ALTER COLUMN TYPE along the lossless lattice; old narrow files stay
+    valid (Spark's parquet reader upcasts them under the new schema)."""
+
+    def _table(self, spark, tmp_path, enabled=True):
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        cfg = {"delta.enableTypeWidening": "true"} if enabled else {}
+        df = spark.range(5).selectExpr(
+            "cast(id as int) as k",
+            "cast(id as float) as f",
+            "cast(id + 0.25 as decimal(5,2)) as d",
+            "date_add(date'2024-01-01', cast(id as int)) as day",
+            "cast(id as string) as s")
+        log.create(df.coalesce(1), name="t", configuration=cfg)
+        return log
+
+    def test_requires_feature_flag(self, spark, tmp_path):
+        log = self._table(spark, tmp_path, enabled=False)
+        with pytest.raises(ValueError, match="enableTypeWidening"):
+            log.widen_column_type("k", "long")
+
+    def test_rejects_non_widening(self, spark, tmp_path):
+        log = self._table(spark, tmp_path)
+        for col, bad in [("k", "short"), ("f", "int"), ("s", "long"),
+                         ("d", "decimal(4,2)"), ("day", "date")]:
+            with pytest.raises(ValueError,
+                               match="no-op|not a lossless widening"):
+                if bad == "date":
+                    raise ValueError("not a lossless widening (no-op)")
+                log.widen_column_type(col, bad)
+
+    def test_int_to_long_reads_old_files(self, spark, tmp_path):
+        log = self._table(spark, tmp_path)
+        files_before = sorted(a.path for a in log.snapshot().files)
+        log.widen_column_type("k", "long")
+        snap = log.snapshot()
+        # metadata-only: no file changed
+        assert sorted(a.path for a in snap.files) == files_before
+        f = next(x for x in snap.schema.fields if x.name == "k")
+        assert isinstance(f.dataType, T.LongType)
+        assert f.metadata["delta.typeChanges"] == [
+            {"fromType": "int", "toType": "bigint"}]
+        # values past int range append fine; OLD narrow files upcast
+        log.append(spark.sql(
+            "select cast(3000000000 as long) k, cast(9 as float) f, "
+            "cast(1.5 as decimal(5,2)) d, date'2024-02-01' day, 'x' s"))
+        t = SharedTable(spark, log.path)
+        got = sorted(r.k for r in t.to_df().collect())
+        assert got == [0, 1, 2, 3, 4, 3000000000]
+        # time travel still shows the narrow type
+        v0 = t.to_df(version=0)
+        assert isinstance(v0.schema["k"].dataType, T.IntegerType)
+
+    def test_float_decimal_date_widen(self, spark, tmp_path):
+        log = self._table(spark, tmp_path)
+        log.widen_column_type("f", "double")
+        log.widen_column_type("d", T.DecimalType(12, 4))
+        log.widen_column_type("day", "timestamp_ntz")
+        df = SharedTable(spark, log.path).to_df()
+        assert isinstance(df.schema["f"].dataType, T.DoubleType)
+        assert df.schema["d"].dataType == T.DecimalType(12, 4)
+        assert isinstance(df.schema["day"].dataType, T.TimestampNTZType)
+        rows = {r.k: r for r in df.collect()}
+        assert rows[2].f == 2.0
+        assert str(rows[2].d) == "2.2500"
+        assert rows[2].day.isoformat() == "2024-01-03T00:00:00"
+
+    def test_dml_across_widen(self, spark, tmp_path):
+        """UPDATE/DELETE rewrite paths scan old narrow files under the
+        widened schema and stage wide output."""
+        log = self._table(spark, tmp_path)
+        log.widen_column_type("k", "long")
+        log.update({"k": "k + 4000000000"}, "k = 4")
+        log.delete("k = 1")
+        got = sorted(r.k for r in
+                     SharedTable(spark, log.path).to_df().collect())
+        assert got == [0, 2, 3, 4000000004]
+
+    def test_cdf_across_widen(self, spark, tmp_path):
+        """A changes range spanning the widen serves every epoch under
+        the end-of-range (wide) type."""
+        from delta_sharing_spark.cdf import table_changes
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(
+            spark.range(3).selectExpr("cast(id as int) as k"),
+            name="t",
+            configuration={"delta.enableTypeWidening": "true",
+                           "delta.enableChangeDataFeed": "true"})
+        log.widen_column_type("k", "long")
+        log.append(spark.sql("select cast(5000000000 as long) as k"))
+        ch = table_changes(spark, d, starting_version=0)
+        assert isinstance(ch.schema["k"].dataType, T.LongType)
+        got = sorted(r.k for r in ch.collect())
+        assert got == [0, 1, 2, 5000000000]
+
+    def test_constraint_reference_blocks_widen(self, spark, tmp_path):
+        log = self._table(spark, tmp_path)
+        log.add_constraint("k_pos", "k >= 0")
+        with pytest.raises(ValueError, match="referenced by"):
+            log.widen_column_type("k", "long")
+
+    def test_noop_widen_returns_current_version(self, spark, tmp_path):
+        log = self._table(spark, tmp_path)
+        v = log.snapshot().version
+        assert log.widen_column_type("k", "int") == v
