@@ -39,12 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # gate over all entries.
 _DRIVER_PRIORITY = [
     # new this round
-    "eng_row_tracking",
+    "eng_row_tracking", "eng_type_widening",
     "q_doremi_weights", "q_ccnet_buckets", "q_text_zipf", "q_text_heaps",
     "eng_cluster_maintenance", "eng_identity",
     "eng_rest_range", "stream_remote_appends", "eng_rest_range_paged",
     "q_dedup_semantic", "stream_schema_evolution_drain", "q_dsir_resample",
     "q02_min_cost_supplier", "q20_potential_promotion", "q_bpe_train",
+    "q_bpe_encode",
     # never driver-sampled through round 5
     "q_events_gapfill", "q_split_train_val_test", "q_stratified_sample_lang",
     "q_shuffle_shards", "q_pack_sequences", "q_domain_mix",

@@ -890,6 +890,86 @@ def _bpe_oracle(num_merges: int) -> str:
             + "\nUNION ALL\n".join(selects))
 
 
+def _bpe_encode_oracle(num_merges: int) -> str:
+    """Train CTEs (as in ``_bpe_oracle``) + a per-doc encode chain: the
+    whole corpus is symbolized and folded through the learned merges in
+    rank order, exactly the expression ``bpe_encode`` builds."""
+    def pairs(i: int) -> str:
+        return f"""
+    p{i} AS (
+      SELECT l, r, SUM(n) AS pair_n FROM (
+        SELECT unnest(a[1:len(a)-1]) AS l, unnest(a[2:len(a)]) AS r, n
+        FROM (SELECT string_split(sym, ' ') AS a, n FROM m{i})
+        WHERE len(a) >= 2
+      ) GROUP BY l, r
+    ),
+    b{i} AS (SELECT l, r, pair_n FROM p{i}
+             ORDER BY pair_n DESC, l, r LIMIT 1)"""
+
+    def apply(i: int) -> str:
+        return f"""
+    m{i + 1} AS (
+      SELECT trim(replace(' ' || sym || ' ',
+                          ' ' || b{i}.l || ' ' || b{i}.r || ' ',
+                          ' ' || b{i}.l || b{i}.r || ' ')) AS sym, n
+      FROM m{i} CROSS JOIN b{i})"""
+
+    ctes = ["""
+    m0 AS (
+      SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym, n FROM (
+        SELECT w, COUNT(*) AS n FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+      )
+    )"""]
+    for i in range(num_merges):
+        ctes.append(pairs(i))
+        ctes.append(apply(i))
+    ctes.append("""
+    e0 AS (
+      SELECT doc_id,
+             ' ' || trim(regexp_replace(lower(text), '(.)', '\\1 ', 'g'))
+             || ' ' AS s
+      FROM documents
+    )""")
+    for i in range(num_merges):
+        ctes.append(f"""
+    e{i + 1} AS (
+      SELECT doc_id,
+             replace(s, ' ' || b{i}.l || ' ' || b{i}.r || ' ',
+                        ' ' || b{i}.l || b{i}.r || ' ') AS s
+      FROM e{i} CROSS JOIN b{i})""")
+    return ("WITH" + ",".join(ctes) + f"""
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           array_to_string(toks, '|') AS tok_str
+    FROM (SELECT doc_id,
+                 list_filter(string_split(trim(s), ' '), x -> x <> '')
+                 AS toks
+          FROM e{num_merges})""")
+
+
+@workload("q_bpe_encode", oracle=_bpe_encode_oracle(6))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer INFERENCE over the corpus: fold every document
+    through the 6 learned merges in rank order and emit its exact token
+    sequence (pipe-joined) + count — the full train+encode pipeline
+    replayed in SQL. The encode pass is map-only pure-JVM string
+    expressions (one chained replace per merge, no shuffle, no UDF); a
+    production-size vocab swaps the chain for a rank-dict pandas UDF but
+    keeps this map-only shape."""
+    from delta_sharing_spark.operators.tokenizer import bpe_encode, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = [tuple(r) for r in
+              bpe_train(docs, "text", num_merges=6).collect()]
+    enc = bpe_encode(docs, "text", merges)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.array_join("tokens", "|").alias("tok_str"),
+    )
+
+
 @workload("q_bpe_train", oracle=_bpe_oracle(6))
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (Sennrich et al. 2016) over the corpus: the
