@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # gate over all entries.
 _DRIVER_PRIORITY = [
     # new this round
-    "eng_row_tracking", "eng_type_widening",
+    "eng_row_tracking", "eng_type_widening", "eng_rest_row_tracking",
     "q_doremi_weights", "q_ccnet_buckets", "q_text_zipf", "q_text_heaps",
     "eng_cluster_maintenance", "eng_identity",
     "eng_rest_range", "stream_remote_appends", "eng_rest_range_paged",

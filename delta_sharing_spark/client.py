@@ -188,7 +188,8 @@ def _resolve(spark: SparkSession, url: str) -> SharedTable:
 
 def _query_over_http(spark: SparkSession, url: str,
                      version: int | None, timestamp: str | None,
-                     limit: int | None = None) -> DataFrame:
+                     limit: int | None = None,
+                     row_ids: bool = False) -> DataFrame:
     """QueryTable over the REST endpoint and rebuild the DataFrame from
     the response — delta format when the server forces it (column-mapped
     tables), parquet profile otherwise (reference flow:
@@ -230,9 +231,9 @@ def _query_over_http(spark: SparkSession, url: str,
     responded_delta = "responseformat=delta" in headers.get(
         "delta-sharing-capabilities", "").replace(" ", "").lower()
     if responded_delta:
-        df = delta_lines_to_spark(spark, lines)
+        df = delta_lines_to_spark(spark, lines, row_ids=row_ids)
     else:
-        df = profile_lines_to_spark(spark, lines)
+        df = profile_lines_to_spark(spark, lines, row_ids=row_ids)
     if limit is not None:
         df = df.limit(limit)
     return df
@@ -240,18 +241,24 @@ def _query_over_http(spark: SparkSession, url: str,
 
 def load_as_spark(url: str, version: int | None = None,
                   timestamp: str | None = None,
-                  spark: SparkSession | None = None) -> DataFrame:
+                  spark: SparkSession | None = None,
+                  row_ids: bool = False) -> DataFrame:
     """Load a shared table as a Spark DataFrame (optionally time-traveled).
     An ``http(s)://`` profile endpoint goes over REST (retried transport);
-    a path endpoint resolves in-process."""
+    a path endpoint resolves in-process. ``row_ids=True`` (requires a
+    row-tracked table) appends the stable ``_row_id`` /
+    ``_row_commit_version`` columns, reconstructed from the wire actions'
+    ``baseRowId``/``defaultRowCommitVersion`` on the remote path."""
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         raise RuntimeError("no active SparkSession")
     profile_path, *_rest_frag = _parse_url(url)
     profile = DeltaSharingProfile.read_from_file(profile_path)
     if _is_http(profile.endpoint):
-        return _query_over_http(spark, url, version, timestamp)
-    return _resolve(spark, url).to_df(version=version, timestamp=timestamp)
+        return _query_over_http(spark, url, version, timestamp,
+                                row_ids=row_ids)
+    return _resolve(spark, url).to_df(version=version, timestamp=timestamp,
+                                      row_ids=row_ids)
 
 
 def load_as_pandas(url: str, limit: int | None = None,

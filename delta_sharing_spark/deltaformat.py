@@ -66,6 +66,11 @@ def actions_to_delta_format(lines: list[dict[str, Any]]) -> list[dict[str, Any]]
                 add["stats"] = f["stats"]
             if f.get("deletionVector") is not None:
                 add["deletionVector"] = f["deletionVector"]
+            for k in ("baseRowId", "defaultRowCommitVersion"):
+                # row-tracking AddFile fields (Delta protocol "Row
+                # Tracking") pass through verbatim like any delta action
+                if f.get(k) is not None:
+                    add[k] = f[k]
             wrapper = {"id": f["id"], "deltaSingleAction": {"add": add}}
             for k in ("version", "timestamp", "expirationTimestamp"):
                 if f.get(k) is not None:
@@ -99,14 +104,37 @@ def actions_to_delta_format(lines: list[dict[str, Any]]) -> list[dict[str, Any]]
     return out
 
 
+def _row_tracking_cols(configuration: dict[str, Any] | None
+                       ) -> tuple[str, str]:
+    """Materialized row-id/commit-version column names from table config
+    (Delta's declared materialized names; plans/log.py constants)."""
+    from delta_sharing_spark.plans.log import (
+        MAT_ROW_ID_DEFAULT,
+        MAT_ROW_ID_KEY,
+        MAT_ROW_VER_DEFAULT,
+        MAT_ROW_VER_KEY,
+    )
+
+    cfg = configuration or {}
+    return (cfg.get(MAT_ROW_ID_KEY, MAT_ROW_ID_DEFAULT),
+            cfg.get(MAT_ROW_VER_KEY, MAT_ROW_VER_DEFAULT))
+
+
 def delta_lines_to_spark(spark: SparkSession,
-                         lines: list[dict[str, Any]]) -> DataFrame:
+                         lines: list[dict[str, Any]],
+                         row_ids: bool = False) -> DataFrame:
     """Client-side reconstruction: delta-format query response → DataFrame.
 
     Reads every deltaSingleAction.add parquet path and attaches typed
     partition-value columns per the shared schema — the in-engine twin of
     the reference client's local-delta-log rebuild
-    (python/delta_sharing/reader.py:303-336)."""
+    (python/delta_sharing/reader.py:303-336).
+
+    ``row_ids=True`` additionally reconstructs the Delta row-tracking
+    columns ``_row_id`` / ``_row_commit_version`` from the wire actions'
+    ``baseRowId``/``defaultRowCommitVersion`` + parquet row index, with
+    materialized-column overrides — the remote twin of
+    ``SharedTable.to_df(row_ids=True)``."""
     import json
 
     from pyspark.sql import functions as F
@@ -114,21 +142,33 @@ def delta_lines_to_spark(spark: SparkSession,
 
     schema: T.StructType | None = None
     cm = False
+    config: dict[str, Any] = {}
     adds: list[tuple[dict[str, Any], str | None]] = []
     for line in lines:
         if "metaData" in line:
             meta = line["metaData"]["deltaMetadata"]
             schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-            cm = (meta.get("configuration") or {}).get(
-                "delta.columnMapping.mode") == "name"
+            config = meta.get("configuration") or {}
+            cm = config.get("delta.columnMapping.mode") == "name"
         elif "file" in line:
             single = line["file"]["deltaSingleAction"]
             if "add" in single:
                 adds.append((single["add"], line["file"].get("id")))
     if schema is None:
         raise ValueError("delta-format response lacks a metaData line")
+    rt_extras = ["_row_id", "_row_commit_version"] if row_ids else []
+    if row_ids:
+        missing = [a.get("path") for a, _i in adds
+                   if a.get("baseRowId") is None]
+        if missing:
+            raise ValueError(
+                "row_ids=True: response actions lack baseRowId (table "
+                f"not row-tracked, or pre-enablement files): {missing[:3]}")
     if not adds:
-        return spark.createDataFrame([], schema)
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(c, T.LongType(), True) for c in rt_extras])
+        return spark.createDataFrame([], out_schema)
     # column mapping (readerFeature columnMapping, delta protocol): files
     # and partitionValues are keyed by the immutable PHYSICAL names stamped
     # in each field's metadata; a delta reader resolves them back to the
@@ -139,11 +179,30 @@ def delta_lines_to_spark(spark: SparkSession,
         for f in schema.fields
     }
     type_of = {phys_of[f.name]: f.dataType for f in schema.fields}
+    mat_id, mat_ver = _row_tracking_cols(config)
+    read_schema = None
+    if row_ids:
+        # the grouped scan needs an EXPLICIT schema: maintenance-written
+        # files carry the materialized row-id columns, original files
+        # don't (they read as null and fall back to base + row index) —
+        # footer inference would be sample-dependent
+        read_schema = T.StructType(
+            [T.StructField(phys_of[f.name], f.dataType, True)
+             for f in schema.fields]
+            + [T.StructField(mat_id, T.LongType(), True),
+               T.StructField(mat_ver, T.LongType(), True)])
 
     def finish(df: DataFrame) -> DataFrame:
-        return df.select(*[
-            F.col(phys_of[f.name]).alias(f.name) for f in schema.fields
-        ])
+        return df.select(
+            *[F.col(phys_of[f.name]).alias(f.name) for f in schema.fields],
+            *rt_extras)
+
+    def attach_row_ids(df: DataFrame, base, ver) -> DataFrame:
+        return (df.withColumn("_row_id", F.coalesce(
+                    F.col(mat_id), base + F.col("__rt_ri")))
+                .withColumn("_row_commit_version",
+                            F.coalesce(F.col(mat_ver), ver))
+                .drop("__rt_ri", mat_id, mat_ver))
 
     scan_path = F.url_decode(F.regexp_replace(
         F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
@@ -155,24 +214,40 @@ def delta_lines_to_spark(spark: SparkSession,
     if clean:
         pv_keys = sorted({k for a, _i in clean
                           for k in (a.get("partitionValues") or {})})
-        df = spark.read.parquet(*[a["path"] for a, _i in clean])
-        if pv_keys:
+        reader = spark.read
+        if read_schema is not None:
+            reader = reader.schema(read_schema)
+        df = reader.parquet(*[a["path"] for a, _i in clean])
+        if row_ids:
+            df = df.select("*",
+                           F.col("_metadata.row_index").alias("__rt_ri"))
+        if pv_keys or row_ids:
             from pyspark.sql import types as T2
 
             meta = spark.createDataFrame(
                 [(a["path"],
                   *[(a.get("partitionValues") or {}).get(k) or None
-                    for k in pv_keys]) for a, _i in clean],
+                    for k in pv_keys],
+                  *([a.get("baseRowId"),
+                     a.get("defaultRowCommitVersion")] if row_ids else []))
+                 for a, _i in clean],
                 T2.StructType(
                     [T2.StructField("__path", T2.StringType())]
                     + [T2.StructField(f"__pv_{k}", T2.StringType())
-                       for k in pv_keys]))
+                       for k in pv_keys]
+                    + ([T2.StructField("__rt_base", T2.LongType()),
+                        T2.StructField("__rt_ver", T2.LongType())]
+                       if row_ids else [])))
             df = (df.withColumn("__path", scan_path)
                   .join(F.broadcast(meta), "__path").drop("__path"))
             for k in pv_keys:
                 df = df.withColumn(
                     k, F.col(f"__pv_{k}").cast(type_of[k])
                 ).drop(f"__pv_{k}")
+            if row_ids:
+                df = attach_row_ids(df, F.col("__rt_base"),
+                                    F.col("__rt_ver")) \
+                    .drop("__rt_base", "__rt_ver")
         parts.append(finish(df))
     for add, file_id in adds:
         dv = add.get("deletionVector")
@@ -180,7 +255,10 @@ def delta_lines_to_spark(spark: SparkSession,
             continue
         # apply the deletion vector client-side: each add is a single
         # file, so _metadata.row_index alone keys the anti-join
-        df = spark.read.parquet(add["path"]) \
+        reader = spark.read
+        if read_schema is not None:
+            reader = reader.schema(read_schema)
+        df = reader.parquet(add["path"]) \
             .select("*", F.col("_metadata.row_index").alias("__ri"))
         if dv.get("storageType") == "i":
             from delta_sharing_spark.plans.dvcodec import (
@@ -197,8 +275,16 @@ def delta_lines_to_spark(spark: SparkSession,
                 .filter(F.col("path") == file_id)
                 .select(F.col("row_index").alias("__ri"))
             )
-        df = df.join(F.broadcast(dv_rows), "__ri", "left_anti") \
-               .drop("__ri")
+        df = df.join(F.broadcast(dv_rows), "__ri", "left_anti")
+        if row_ids:
+            # deleted rows keep their positions: row_index is the
+            # pre-deletion physical index, so surviving ids stay stable
+            df = attach_row_ids(
+                df.withColumnRenamed("__ri", "__rt_ri"),
+                F.lit(add["baseRowId"]),
+                F.lit(add.get("defaultRowCommitVersion")).cast("long"))
+        else:
+            df = df.drop("__ri")
         for name, value in (add.get("partitionValues") or {}).items():
             col = (F.lit(None) if value == "" or value is None
                    else F.lit(value))
@@ -211,7 +297,8 @@ def delta_lines_to_spark(spark: SparkSession,
 
 
 def profile_lines_to_spark(spark: SparkSession,
-                           lines: list[dict[str, Any]]) -> DataFrame:
+                           lines: list[dict[str, Any]],
+                           row_ids: bool = False) -> DataFrame:
     """Parquet-profile query response → DataFrame: the HTTP twin of the
     in-engine read path (reference client's table assembly,
     python/delta_sharing/reader.py:630-674 converters + null-fill).
@@ -219,34 +306,68 @@ def profile_lines_to_spark(spark: SparkSession,
     Reads every ``file`` line's parquet url, applies inline/path deletion
     vectors client-side, attaches typed partition values from
     partitionValues, and normalizes to the shared schemaString (cast +
-    null-fill + column order)."""
+    null-fill + column order). ``row_ids=True`` reconstructs
+    ``_row_id``/``_row_commit_version`` from the file lines'
+    ``baseRowId``/``defaultRowCommitVersion`` (this engine's parquet
+    profile includes them as optional extras) — the remote twin of
+    ``SharedTable.to_df(row_ids=True)``."""
     import json
 
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     schema: T.StructType | None = None
+    config: dict[str, Any] = {}
     files: list[dict[str, Any]] = []
     for line in lines:
         if "metaData" in line and "schemaString" in line["metaData"]:
             schema = T.StructType.fromJson(
                 json.loads(line["metaData"]["schemaString"]))
+            config = line["metaData"].get("configuration") or {}
         elif "file" in line:
             files.append(line["file"])
     if schema is None:
         raise ValueError("response lacks a metaData line with schemaString")
+    rt_extras = ["_row_id", "_row_commit_version"] if row_ids else []
+    if row_ids:
+        missing = [f.get("id") for f in files if f.get("baseRowId") is None]
+        if missing:
+            raise ValueError(
+                "row_ids=True: response file lines lack baseRowId (table "
+                f"not row-tracked, or pre-enablement files): {missing[:3]}")
     if not files:
-        return spark.createDataFrame([], schema)
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(c, T.LongType(), True) for c in rt_extras])
+        return spark.createDataFrame([], out_schema)
     type_of = {f.name: f.dataType for f in schema.fields}
+    mat_id, mat_ver = _row_tracking_cols(config)
+    read_schema = None
+    if row_ids:
+        # explicit schema: only maintenance-written files carry the
+        # materialized columns; the rest null-fill and fall back to
+        # baseRowId + row index (inference would be sample-dependent)
+        read_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True)
+             for f in schema.fields]
+            + [T.StructField(mat_id, T.LongType(), True),
+               T.StructField(mat_ver, T.LongType(), True)])
 
     def normalize(df: DataFrame) -> DataFrame:
         lower = {c.lower(): c for c in df.columns}
-        return df.select(*[
+        return df.select(*([
             (F.col(lower[fld.name.lower()]).cast(fld.dataType)
              if fld.name.lower() in lower
              else F.lit(None).cast(fld.dataType)).alias(fld.name)
             for fld in schema.fields
-        ])
+        ] + [F.col(c) for c in rt_extras]))
+
+    def attach_row_ids(df: DataFrame, base, ver) -> DataFrame:
+        return (df.withColumn("_row_id", F.coalesce(
+                    F.col(mat_id), base + F.col("__rt_ri")))
+                .withColumn("_row_commit_version",
+                            F.coalesce(F.col(mat_ver), ver))
+                .drop("__rt_ri", mat_id, mat_ver))
 
     scan_path = F.url_decode(F.regexp_replace(
         F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
@@ -259,28 +380,47 @@ def profile_lines_to_spark(spark: SparkSession,
     if clean:
         pv_keys = sorted({k for f in clean
                           for k in (f.get("partitionValues") or {})})
-        df = spark.read.parquet(*[f["url"] for f in clean])
-        if pv_keys:
+        reader = spark.read
+        if read_schema is not None:
+            reader = reader.schema(read_schema)
+        df = reader.parquet(*[f["url"] for f in clean])
+        if row_ids:
+            df = df.select("*",
+                           F.col("_metadata.row_index").alias("__rt_ri"))
+        if pv_keys or row_ids:
             meta = spark.createDataFrame(
                 [(f["url"],
                   *[(f.get("partitionValues") or {}).get(k) or None
-                    for k in pv_keys]) for f in clean],
+                    for k in pv_keys],
+                  *([f.get("baseRowId"),
+                     f.get("defaultRowCommitVersion")] if row_ids else []))
+                 for f in clean],
                 T.StructType(
                     [T.StructField("__path", T.StringType())]
                     + [T.StructField(f"__pv_{k}", T.StringType())
-                       for k in pv_keys]))
+                       for k in pv_keys]
+                    + ([T.StructField("__rt_base", T.LongType()),
+                        T.StructField("__rt_ver", T.LongType())]
+                       if row_ids else [])))
             df = (df.withColumn("__path", scan_path)
                   .join(F.broadcast(meta), "__path").drop("__path"))
             for k in pv_keys:
                 df = df.withColumn(
                     k, F.col(f"__pv_{k}").cast(type_of.get(k, "string"))
                 ).drop(f"__pv_{k}")
+            if row_ids:
+                df = attach_row_ids(df, F.col("__rt_base"),
+                                    F.col("__rt_ver")) \
+                    .drop("__rt_base", "__rt_ver")
         parts.append(normalize(df))
     for f in files:
         dv = f.get("deletionVector")
         if not dv:
             continue
-        df = spark.read.parquet(f["url"]) \
+        reader = spark.read
+        if read_schema is not None:
+            reader = reader.schema(read_schema)
+        df = reader.parquet(f["url"]) \
             .select("*", F.col("_metadata.row_index").alias("__ri"))
         if dv.get("storageType") == "i":
             from delta_sharing_spark.plans.dvcodec import decode_inline_dv
@@ -296,7 +436,16 @@ def profile_lines_to_spark(spark: SparkSession,
                 .filter(F.col("path") == f.get("id"))
                 .select(F.col("row_index").alias("__ri"))
             )
-        df = df.join(F.broadcast(dv_rows), "__ri", "left_anti").drop("__ri")
+        df = df.join(F.broadcast(dv_rows), "__ri", "left_anti")
+        if row_ids:
+            # surviving rows keep their pre-deletion physical index, so
+            # reconstructed ids are stable across the DV delete
+            df = attach_row_ids(
+                df.withColumnRenamed("__ri", "__rt_ri"),
+                F.lit(f["baseRowId"]),
+                F.lit(f.get("defaultRowCommitVersion")).cast("long"))
+        else:
+            df = df.drop("__ri")
         for name, value in (f.get("partitionValues") or {}).items():
             col = (F.lit(None) if value == "" or value is None
                    else F.lit(value))

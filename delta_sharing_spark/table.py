@@ -654,6 +654,7 @@ class SharedTable:
                 }
             },
         ]
+        rt = snap.row_tracking_enabled
         for add in files[start:end]:
             line = {
                 "file": {
@@ -666,6 +667,17 @@ class SharedTable:
                     "timestamp": add.timestamp,
                 }
             }
+            if rt and add.baseRowId is not None:
+                # row-tracking fields ride the wire so a remote client can
+                # reconstruct stable _row_id/_row_commit_version (Delta
+                # AddFile carries them; the delta response format passes
+                # them through verbatim, and this engine's parquet profile
+                # includes them as optional extras)
+                line["file"]["baseRowId"] = add.baseRowId
+                line["file"]["defaultRowCommitVersion"] = (
+                    add.defaultRowCommitVersion
+                    if add.defaultRowCommitVersion is not None
+                    else add.version)
             if add.deletionVector:
                 dv = dict(add.deletionVector)
                 if dv.get("storageType") == "u":

@@ -1301,6 +1301,66 @@ def eng_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "eng_rest_row_tracking",
+    oracle="""
+    WITH b1 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid, 0 AS ver
+      FROM documents WHERE doc_id % 2 = 0
+    ), b2 AS (
+      SELECT doc_id,
+             (SELECT COUNT(*) FROM b1)
+               + ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid, 1 AS ver
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, CAST(rid AS BIGINT) AS row_id,
+           CAST(CASE WHEN doc_id % 11 = 3 THEN 5
+                     WHEN doc_id % 5 = 0 THEN 4
+                     ELSE ver END AS BIGINT) AS row_commit_version
+    FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    WHERE doc_id % 7 <> 0
+    """,
+)
+def eng_rest_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking over the WIRE: ``load_as_spark(url, row_ids=True)``
+    against a live HTTP server — the file actions carry
+    ``baseRowId``/``defaultRowCommitVersion``, the client reconstructs
+    every surviving row's stable id + commit version (materialized-column
+    overrides, DV-file row positions), and the result hash-matches the
+    same SQL replay as the in-process ``eng_row_tracking``."""
+    import json as _json
+    import tempfile
+
+    from delta_sharing_spark.catalog import ShareCatalog
+    from delta_sharing_spark.client import load_as_spark
+    from delta_sharing_spark.server import SharingServer
+
+    table_dir = _documents_rt(spark, sf_dir)
+    cat = ShareCatalog(spark)
+    cat.add_table("s", "d", "documents_rt", table_dir)
+    srv = SharingServer(cat, bearer_token="driver-token")
+    url = srv.serve_background()
+    prof = tempfile.NamedTemporaryFile(
+        mode="w", suffix=".json", delete=False)
+    _json.dump({"shareCredentialsVersion": 1, "endpoint": url,
+                "bearerToken": "driver-token"}, prof)
+    prof.close()
+    try:
+        # the manifest RPC happens here (eager); the returned plan reads
+        # the vended file urls directly, so the server can shut down
+        df = load_as_spark(f"{prof.name}#s.d.documents_rt", spark=spark,
+                           row_ids=True)
+        return df.select(
+            "doc_id",
+            F.col("_row_id").alias("row_id"),
+            F.col("_row_commit_version").alias("row_commit_version"),
+        )
+    finally:
+        srv.shutdown()
+        os.unlink(prof.name)
+
+
 def _documents_widen(spark: SparkSession, sf_dir: str) -> str:
     """Type-widening fixture: v0 = even doc_ids with NARROW columns
     (int / float / decimal(5,2)); v1-v3 = widen_column_type to long /

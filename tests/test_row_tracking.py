@@ -333,3 +333,109 @@ class TestDomainMetadataConcurrency:
         # removal survives a checkpoint round-trip too
         log.write_checkpoint()
         assert TableLog(spark, table_dir).snapshot().domain_metadata == {}
+
+
+class TestRowTrackingWire:
+    """Row ids over the sharing wire: file actions carry
+    baseRowId/defaultRowCommitVersion, both client reconstructions
+    (parquet profile + delta format) rebuild _row_id/_row_commit_version
+    exactly as the in-process read derives them."""
+
+    def _expected(self, spark, table_dir):
+        t = SharedTable(spark, table_dir)
+        return {r.k: (r._row_id, r._row_commit_version)
+                for r in t.to_df(row_ids=True).collect()}
+
+    def _lines(self, spark, table_dir, formats):
+        t = SharedTable(spark, table_dir)
+        out = t.query_actions(response_formats=formats)
+        return out["actions"]
+
+    def test_wire_actions_carry_row_tracking_fields(self, spark, table_dir):
+        log = _rt_table(spark, table_dir)
+        log.append(_one_file(
+            spark.range(10, 14).selectExpr("id AS k",
+                                           "CAST(id*2 AS STRING) AS v")))
+        lines = self._lines(spark, table_dir, {"parquet"})
+        files = [ln["file"] for ln in lines if "file" in ln]
+        assert files and all(
+            f["baseRowId"] is not None
+            and f["defaultRowCommitVersion"] is not None for f in files)
+
+    def test_profile_reconstruction_matches_in_process(self, spark,
+                                                       table_dir):
+        from delta_sharing_spark.deltaformat import profile_lines_to_spark
+
+        log = _rt_table(spark, table_dir)
+        log.update_metadata(configuration={
+            **log.snapshot().metadata.configuration,
+            "enableDeletionVectors": "true"})
+        log.delete("k IN (1, 6)")      # DV: positions survive
+        log.optimize(target_file_rows=1_000_000_000)  # materializes ids
+        v = log.update({"v": F.lit("x")}, condition="k = 3")
+        got = profile_lines_to_spark(
+            spark, self._lines(spark, table_dir, {"parquet"}),
+            row_ids=True)
+        assert {r.k: (r._row_id, r._row_commit_version)
+                for r in got.collect()} == self._expected(spark, table_dir)
+        # and the expected values are the stable ones
+        exp = self._expected(spark, table_dir)
+        assert exp == {k: (k, v if k == 3 else 0)
+                       for k in range(10) if k not in (1, 6)}
+
+    def test_delta_format_reconstruction_matches(self, spark, table_dir):
+        from delta_sharing_spark.deltaformat import (
+            actions_to_delta_format,
+            delta_lines_to_spark,
+        )
+
+        log = _rt_table(spark, table_dir)
+        log.update_metadata(configuration={
+            **log.snapshot().metadata.configuration,
+            "enableDeletionVectors": "true"})
+        log.delete("k = 4")
+        lines = actions_to_delta_format(
+            self._lines(spark, table_dir, {"delta"}))
+        adds = [ln["file"]["deltaSingleAction"]["add"]
+                for ln in lines if "file" in ln]
+        assert all(a.get("baseRowId") is not None for a in adds)
+        got = delta_lines_to_spark(spark, lines, row_ids=True)
+        assert {r.k: (r._row_id, r._row_commit_version)
+                for r in got.collect()} == self._expected(spark, table_dir)
+
+    def test_row_ids_on_untracked_table_raises(self, spark, table_dir):
+        from delta_sharing_spark.deltaformat import profile_lines_to_spark
+
+        log = TableLog(spark, table_dir)
+        log.create(_one_file(spark.range(4).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS v")), name="plain")
+        with pytest.raises(ValueError, match="baseRowId"):
+            profile_lines_to_spark(
+                spark, self._lines(spark, table_dir, {"parquet"}),
+                row_ids=True)
+
+    def test_load_as_spark_row_ids_over_http(self, spark, table_dir,
+                                             tmp_path):
+        import json as _json
+
+        from delta_sharing_spark.catalog import ShareCatalog
+        from delta_sharing_spark.client import load_as_spark
+        from delta_sharing_spark.server import SharingServer
+
+        log = _rt_table(spark, table_dir)
+        log.optimize(target_file_rows=1_000_000_000)
+        cat = ShareCatalog(spark)
+        cat.add_table("s", "d", "t", table_dir)
+        srv = SharingServer(cat, bearer_token="tok")
+        url = srv.serve_background()
+        prof = str(tmp_path / "prof.json")
+        with open(prof, "w") as f:
+            _json.dump({"shareCredentialsVersion": 1, "endpoint": url,
+                        "bearerToken": "tok"}, f)
+        try:
+            got = load_as_spark(f"{prof}#s.d.t", spark=spark, row_ids=True)
+            assert {r.k: (r._row_id, r._row_commit_version)
+                    for r in got.collect()} \
+                == self._expected(spark, table_dir)
+        finally:
+            srv.shutdown()
