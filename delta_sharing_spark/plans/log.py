@@ -126,6 +126,13 @@ from delta_sharing_spark.plans.dvcodec import (  # noqa: E402
 # measured 12.9s for a 1M-file stats prune vs ~2s with 10 parts. Readers
 # (pyarrow + spark.read.parquet) take the file and directory forms alike.
 CHECKPOINT_PART_ROWS = 100_000
+# V2 checkpoints (delta.checkpointPolicy=v2): file actions live in
+# content-addressed sidecar parquets bucketed by a stable path hash —
+# bucket count = smallest power of two with <= this many files per bucket,
+# so a later checkpoint rewrites only buckets whose files changed
+CHECKPOINT_POLICY_KEY = "delta.checkpointPolicy"
+SIDECAR_DIR = "_sidecars"
+SIDECAR_TARGET_ROWS = 100_000
 
 # Write a parquet checkpoint of the active snapshot every N commits (Delta's
 # default cadence). Without checkpoints, snapshot resolution replays every
@@ -703,8 +710,23 @@ class TableLog:
         log round-trip incl. the add's version/timestamp) plus typed manifest
         columns so ``files_df`` can scan the checkpoint directly as a
         DataFrame. Written via pyarrow — works in sessionless contexts (the
-        Python Data Source planner) too."""
+        Python Data Source planner) too.
+
+        With ``delta.checkpointPolicy=v2`` the checkpoint is a V2 manifest
+        (Delta protocol "V2 Checkpoint Table Feature"): table-wide state
+        (protocol/metaData/txn/domainMetadata + a ``checkpointMetadata``
+        action) stays in the manifest, file actions move to SIDECAR parquet
+        files under ``_dsl_log/_sidecars/``. Sidecars are content-addressed
+        (name = hash of their action set) and files bucket by a stable hash
+        of path, so a later checkpoint REWRITES ONLY the buckets whose
+        files changed and reuses every other sidecar byte-for-byte — the
+        property that makes checkpointing a 100 TB / million-file table
+        incremental instead of a full-manifest rewrite per interval."""
         snap = self.snapshot(version=version)
+        policy = snap.metadata.configuration.get(
+            CHECKPOINT_POLICY_KEY, "classic").lower()
+        if policy == "v2":
+            return self._write_checkpoint_v2(snap)
         kinds = ["metaData", "protocol"]
         jsons = [dumps_action(snap.metadata), dumps_action(Protocol())]
         paths, pvs, sizes = [None, None], [None, None], [None, None]
@@ -755,6 +777,106 @@ class TableLog:
         write_checkpoint_files(table, final)
         return final
 
+    def _add_manifest_entry(self, add: AddFile):
+        """One checkpoint/sidecar row for an add: (json, typed columns)."""
+        st = add.stats_dict()
+        return (dumps_action(add), add.path,
+                list(add.partitionValues.items()), add.size,
+                add.logical_records,
+                json.dumps(st.get("minValues", {}), default=str),
+                json.dumps(st.get("maxValues", {}), default=str),
+                json.dumps(st.get("nullCount", {}), default=str),
+                add.version, add.timestamp)
+
+    def _write_checkpoint_v2(self, snap: "Snapshot") -> str:
+        """V2 checkpoint: content-addressed sidecars + a small manifest.
+
+        Buckets are a stable hash of path mod a power-of-two count sized
+        to SIDECAR_TARGET_ROWS, so bucket membership — and therefore each
+        sidecar's content hash — only changes when the bucket's own files
+        change (or the table grows past the next power of two). An
+        unchanged bucket's sidecar already exists on disk under its
+        content hash and costs zero bytes to 'write' again."""
+        import hashlib as _hl
+
+        import pyarrow.parquet as pq
+
+        n = len(snap.files)
+        nbuckets = 1
+        while nbuckets * SIDECAR_TARGET_ROWS < n:
+            nbuckets *= 2
+        buckets: list[list[AddFile]] = [[] for _ in range(nbuckets)]
+        for add in snap.files:
+            b = int(_hl.md5(add.path.encode()).hexdigest()[:8], 16) % nbuckets
+            buckets[b].append(add)
+        sidecar_dir = os.path.join(self.log_path, SIDECAR_DIR)
+        os.makedirs(sidecar_dir, exist_ok=True)
+        kinds = ["metaData", "protocol", "checkpointMetadata"]
+        jsons = [dumps_action(snap.metadata), dumps_action(Protocol()),
+                 json.dumps({"checkpointMetadata": {
+                     "version": snap.version,
+                     "tags": {"policy": "v2"}}})]
+        blank = [None, None, None]
+        paths, pvs, sizes = list(blank), list(blank), list(blank)
+        nrecs, mins, maxs = list(blank), list(blank), list(blank)
+        nulls, vers, tss = list(blank), list(blank), list(blank)
+        for bucket in buckets:
+            if not bucket:
+                continue
+            bucket.sort(key=lambda a: a.path)
+            rows = [self._add_manifest_entry(a) for a in bucket]
+            # content address: the sidecar layout version + every action
+            # byte; identical bucket state across checkpoints -> same name
+            h = _hl.sha256(("sidecar-v1\n" + "\n".join(
+                r[0] for r in rows)).encode()).hexdigest()[:32]
+            rel = os.path.join(SIDECAR_DIR, f"{h}.parquet")
+            fp = os.path.join(self.log_path, rel)
+            if not os.path.exists(fp):
+                t = checkpoint_arrow_table(
+                    ["add"] * len(rows), *map(list, zip(*rows)))
+                tmp = fp + f".{uuid.uuid4().hex}.tmp"
+                pq.write_table(t, tmp)
+                os.replace(tmp, fp)
+            kinds.append("sidecar")
+            jsons.append(json.dumps({"sidecar": {
+                "path": rel, "sizeInBytes": os.path.getsize(fp)}}))
+            for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
+                        vers, tss):
+                lst.append(None)
+            paths[-1] = rel  # typed column too, for driver-free listing
+        recent = list(snap.transactions.items())[-TXN_RETENTION_MAX:]
+        for app_id, epoch in sorted(recent):
+            kinds.append("txn")
+            jsons.append(json.dumps({"appId": app_id, "version": epoch}))
+            for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
+                        vers, tss):
+                lst.append(None)
+        for domain, cfg in sorted(snap.domain_metadata.items()):
+            kinds.append("domainMetadata")
+            jsons.append(dumps_action(DomainMetadata(domain, cfg)))
+            for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
+                        vers, tss):
+                lst.append(None)
+        table = checkpoint_arrow_table(kinds, jsons, paths, pvs, sizes,
+                                       nrecs, mins, maxs, nulls, vers, tss)
+        final = os.path.join(self.log_path, _fmt_checkpoint(snap.version))
+        write_checkpoint_files(table, final)
+        return final
+
+    def _checkpoint_sidecars(self, version: int) -> list[str]:
+        """Relative sidecar paths a v2 checkpoint manifest references
+        (empty for classic checkpoints)."""
+        import pyarrow.parquet as pq
+
+        fp = os.path.join(self.log_path, _fmt_checkpoint(version))
+        cols = pq.read_table(fp, columns=["kind", "action_json"])
+        out = []
+        for kind, line in zip(cols.column("kind").to_pylist(),
+                              cols.column("action_json").to_pylist()):
+            if kind == "sidecar":
+                out.append(json.loads(line)["sidecar"]["path"])
+        return out
+
     def _read_checkpoint(
         self, version: int
     ) -> tuple[Metadata, dict[str, AddFile], int, dict[str, int],
@@ -768,8 +890,17 @@ class TableLog:
         txns: dict[str, int] = {}
         domains: dict[str, str] = {}
         ts = 0
-        for kind, line in zip(cols.column("kind").to_pylist(),
-                              cols.column("action_json").to_pylist()):
+        pairs = list(zip(cols.column("kind").to_pylist(),
+                         cols.column("action_json").to_pylist()))
+        # v2 manifests point at sidecar parquets holding the add actions
+        # (same column layout) — splice their rows in
+        for rel in [json.loads(line)["sidecar"]["path"]
+                    for kind, line in pairs if kind == "sidecar"]:
+            sc = pq.read_table(os.path.join(self.log_path, rel),
+                               columns=["kind", "action_json"])
+            pairs += list(zip(sc.column("kind").to_pylist(),
+                              sc.column("action_json").to_pylist()))
+        for kind, line in pairs:
             if kind == "metaData":
                 metadata = parse_action(line)
             elif kind == "add":
@@ -887,8 +1018,14 @@ class TableLog:
 
     def _checkpoint_manifest_df(self, cp_version: int) -> DataFrame:
         cp = os.path.join(self.log_path, _fmt_checkpoint(cp_version))
+        # v2 checkpoints keep the adds in sidecar parquets (identical
+        # column layout): scan those directly — the manifest itself is
+        # O(buckets), the sidecar scan parallelizes like any parquet read
+        sidecars = self._checkpoint_sidecars(cp_version)
+        src = ([os.path.join(self.log_path, rel) for rel in sidecars]
+               if sidecars else [cp])
         return (
-            self.spark.read.parquet(cp)
+            self.spark.read.parquet(*src)
             .filter(F.col("kind") == "add")
             .select(*[f.name for f in self._MANIFEST_SCHEMA.fields])
         )
@@ -3762,6 +3899,20 @@ class TableLog:
                         shutil.rmtree(cpp)
                     else:
                         os.remove(cpp)
+            # v2 sidecars are shared across checkpoints by content hash:
+            # after dropping old manifests, GC any sidecar no RETAINED
+            # manifest references (an expired-only sidecar would otherwise
+            # pin its bytes forever)
+            sidecar_dir = os.path.join(self.log_path, SIDECAR_DIR)
+            if os.path.isdir(sidecar_dir):
+                referenced = set()
+                for cpv in self._list_checkpoints():
+                    referenced.update(
+                        os.path.basename(rel)
+                        for rel in self._checkpoint_sidecars(cpv))
+                for fn in os.listdir(sidecar_dir):
+                    if fn.endswith(".parquet") and fn not in referenced:
+                        os.remove(os.path.join(sidecar_dir, fn))
             self._snap_cache.clear()
         return expendable
 

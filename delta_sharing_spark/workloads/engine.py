@@ -320,6 +320,50 @@ def eng_checkpoint_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lineitem_v2cp(spark: SparkSession, sf_dir: str) -> str:
+    """V2-checkpoint fixture: same 25-commit shape as ``_lineitem_manyv``
+    but with ``delta.checkpointPolicy=v2`` — checkpoints at 10 and 20 put
+    the adds in content-addressed sidecars; the second checkpoint reuses
+    every bucket the tail commits didn't touch."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        li = read_table(spark, sf_dir, "lineitem")
+        log = TableLog(spark, path)
+        log.create(li, name="lineitem_v2cp",
+                   configuration={"checkpointInterval": "10",
+                                  "delta.checkpointPolicy": "v2"})
+        for k in range(24):
+            log.append(li.filter(F.col("l_orderkey") % 997 == k))
+
+    return _fixture(spark, sf_dir, "lineitem_v2cp", build)
+
+
+@workload(
+    "eng_checkpoint_v2",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM (SELECT * FROM lineitem
+          UNION ALL
+          SELECT * FROM lineitem WHERE l_orderkey % 997 < 24)
+    """,
+)
+def eng_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 checkpoints (Delta "V2 Checkpoint" feature shape): snapshot of a
+    25-commit table resolved through a sidecar-backed v2 checkpoint + tail
+    replay. The manifest is O(buckets); the adds live in content-addressed
+    sidecar parquets a later checkpoint reuses unless the bucket changed —
+    incremental checkpointing for the million-file metadata plane."""
+    t = SharedTable(spark, _lineitem_v2cp(spark, sf_dir))
+    assert t.log._list_checkpoints() == [10, 20]
+    assert t.log._checkpoint_sidecars(20)  # really v2
+    return t.to_df().agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double")
+        .alias("sum_qty"),
+    )
+
+
 @workload(
     "eng_limit_exact",
     oracle="SELECT CAST(1234 AS BIGINT) AS n",

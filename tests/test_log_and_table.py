@@ -3325,3 +3325,104 @@ class TestTypeWidening:
         log = self._table(spark, tmp_path)
         v = log.snapshot().version
         assert log.widen_column_type("k", "int") == v
+
+
+class TestV2Checkpoints:
+    """delta.checkpointPolicy=v2: file actions in content-addressed
+    sidecar parquets, table-wide state + sidecar refs in a small
+    manifest; unchanged buckets reuse their sidecar byte-for-byte."""
+
+    V2 = {"delta.checkpointPolicy": "v2", "checkpointInterval": "5"}
+
+    def _table(self, spark, events, tmp_path, extra_cfg=None):
+        d = str(tmp_path / "v2")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 200"), name="t",
+                   configuration={**self.V2, **(extra_cfg or {})})
+        for k in range(12):  # checkpoints at 5 and 10
+            log.append(events.filter(f"event_id >= {200 + 10 * k} "
+                                     f"and event_id < {210 + 10 * k}"))
+        return d
+
+    def test_v2_checkpoint_written_and_resolves(self, spark, events,
+                                                tmp_path):
+        import os as _os
+
+        d = self._table(spark, events, tmp_path)
+        log = TableLog(spark, d)
+        assert log._list_checkpoints() == [5, 10]
+        assert log._checkpoint_sidecars(10)  # manifest references sidecars
+        assert _os.path.isdir(_os.path.join(log.log_path, "_sidecars"))
+        # cold snapshot resolution = checkpoint + tail, values exact
+        fresh = TableLog(spark, d)
+        n = SharedTable(spark, d).to_df().count()
+        assert n == events.filter("event_id < 320").count()
+        assert fresh.snapshot().version == 12
+
+    def test_sidecar_reuse_across_checkpoints(self, spark, events,
+                                              tmp_path, monkeypatch):
+        from delta_sharing_spark.plans import log as log_mod
+
+        monkeypatch.setattr(log_mod, "SIDECAR_TARGET_ROWS", 2)
+        d = str(tmp_path / "v2")
+        log = TableLog(spark, d)
+        # 12 files at target 2 -> 8 buckets (and 13 still fits 8*2), so
+        # the append below cannot cross a bucket-count boundary — only
+        # the touched bucket's sidecar may change
+        log.create(events.filter("event_id < 100").repartition(12),
+                   name="t", configuration={"delta.checkpointPolicy": "v2"})
+        log.write_checkpoint()
+        first = set(log._checkpoint_sidecars(0))
+        assert len(first) > 2  # really bucketed
+        log.append(events.filter("event_id = 100").coalesce(1))
+        log.write_checkpoint()
+        second = set(log._checkpoint_sidecars(1))
+        # the append touches exactly one bucket: every other sidecar is
+        # the SAME content-addressed file, written zero times
+        assert len(first & second) >= len(first) - 1
+        assert first != second
+
+    def test_files_df_scans_sidecars(self, spark, events, tmp_path):
+        d = self._table(spark, events, tmp_path)
+        log = TableLog(spark, d)
+        snap = log.snapshot(version=10)
+        assert log.files_df(snap).count() == len(snap.files)
+
+    def test_expire_log_gc_unreferenced_sidecars(self, spark, events,
+                                                 tmp_path, monkeypatch):
+        import os as _os
+
+        from delta_sharing_spark.plans import log as log_mod
+
+        monkeypatch.setattr(log_mod, "SIDECAR_TARGET_ROWS", 2)
+        d = self._table(spark, events, tmp_path)
+        log = TableLog(spark, d)
+        sidecar_dir = _os.path.join(log.log_path, "_sidecars")
+        before = set(_os.listdir(sidecar_dir))
+        expired = log.expire_log(keep_last=3)
+        assert expired  # something below checkpoint 10 went
+        retained = {_os.path.basename(p)
+                    for p in log._checkpoint_sidecars(10)}
+        after = set(_os.listdir(sidecar_dir))
+        assert after == retained
+        assert after <= before
+        # retained range still resolves exactly
+        n = SharedTable(spark, d).to_df().count()
+        assert n == events.filter("event_id < 320").count()
+
+    def test_row_tracking_state_survives_v2_checkpoint(self, spark,
+                                                       tmp_path):
+        d = str(tmp_path / "rt")
+        log = TableLog(spark, d)
+        df = spark.range(10).selectExpr("id AS k", "CAST(id AS STRING) v")
+        log.create(df.coalesce(1),
+                   name="t",
+                   configuration={"delta.checkpointPolicy": "v2",
+                                  "delta.enableRowTracking": "true"})
+        log.write_checkpoint()
+        fresh = TableLog(spark, d)
+        snap = fresh.snapshot()
+        assert snap.row_id_high_water_mark == 9  # domainMetadata survived
+        got = {r.k: r._row_id for r in
+               SharedTable(spark, d).to_df(row_ids=True).collect()}
+        assert sorted(got.values()) == list(range(10))
