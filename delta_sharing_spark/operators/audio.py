@@ -1,0 +1,131 @@
+"""Audio columns: real WAV (RIFF PCM) decode + feature extraction.
+
+The multimodal contract (operators/multimodal.py) treats media as opaque
+``binary`` columns decoded by Arrow-batched ``mapInPandas`` workers. For
+audio the container needs no external codec at all: 16-bit PCM WAV is
+stdlib-decodable (``wave``), so — like the vendored PNG decoder
+(operators/png.py) — the distributed decode path runs for REAL in CI,
+and a codec for compressed formats (mp3/flac via soundfile/librosa) is a
+drop-in replacement for :func:`decode_wav` behind the same signature.
+
+Feature math is integer-exact (sum of |sample|, sum of squares, zero
+crossings) so a SQL oracle can replay it bit-for-bit; float features
+(RMS, dBFS) derive from those integers at the end.
+
+Reference scope note: delta-io/delta-sharing carries no media handling —
+this extends the engine toward the training-data pipelines the repo
+targets (SURVEY.md pipeline operators section).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+from typing import Iterator
+
+# module-level: pandas_udf resolves stringified type hints (PEP 563 via
+# the __future__ import above) against module globals
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def encode_wav(samples: "list[int]", sample_rate: int = 8000,
+               channels: int = 1) -> bytes:
+    """16-bit PCM WAV bytes from int samples (interleaved if multi-channel).
+    Values are clamped to int16 — encode is for fixtures/tests; real
+    corpora already store encoded bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        clamped = [max(-32768, min(32767, int(s))) for s in samples]
+        w.writeframes(struct.pack(f"<{len(clamped)}h", *clamped))
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> "tuple[int, int, list[int]]":
+    """(sample_rate, channels, samples) from 16-bit PCM WAV bytes.
+    Raises ``ValueError`` on non-PCM/non-16-bit payloads — the same
+    explicit-failure contract as the PNG decoder."""
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"only 16-bit PCM WAV supported, got "
+                    f"{8 * w.getsampwidth()}-bit")
+            n = w.getnframes()
+            raw = w.readframes(n)
+            samples = list(struct.unpack(f"<{n * w.getnchannels()}h", raw))
+            return w.getframerate(), w.getnchannels(), samples
+    except (wave.Error, EOFError) as e:
+        # wave raises EOFError (not wave.Error) on truncated headers
+        raise ValueError(f"not a PCM WAV payload: {e}") from e
+
+
+_AUDIO_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sum_abs", T.LongType()),
+    T.StructField("sum_sq", T.LongType()),
+    T.StructField("zero_crossings", T.LongType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def audio_features(df: DataFrame, media_col: str, id_col: str) -> DataFrame:
+    """Decode a WAV binary column and emit integer-exact per-clip
+    features: sample count, sum(|s|), sum(s²) and zero crossings
+    (sign-product < 0 between adjacent samples).
+
+    Spark-first shape: one Arrow-batched ``mapInPandas`` pass — map-only,
+    no shuffle; the decode parallelizes per input partition exactly like
+    the image path (operators/multimodal.py:decode_media). Undecodable
+    payloads surface in the ``error`` column instead of failing the job
+    (per-row capture, same contract as resize_media)."""
+    import numpy as np
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for _i, r in pdf.iterrows():
+                try:
+                    rate, ch, samples = decode_wav(bytes(r[media_col]))
+                    a = np.asarray(samples, dtype=np.int64)
+                    prod = a[:-1] * a[1:] if len(a) > 1 else np.array([])
+                    rows.append((int(r[id_col]), rate, ch, len(a),
+                                 int(np.abs(a).sum()), int((a * a).sum()),
+                                 int((prod < 0).sum()), None))
+                except (ValueError, struct.error) as e:
+                    rows.append((int(r[id_col]), None, None, None,
+                                 None, None, None, str(e)))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              _AUDIO_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=_AUDIO_SCHEMA) \
+        .withColumnRenamed("id", id_col)
+
+
+def synth_wav_column(df: DataFrame, id_col: str, n_col: str,
+                     sample_rate: int = 8000,
+                     out_col: str = "audio") -> DataFrame:
+    """Deterministic WAV synthesis for fixtures: clip i gets
+    ``(n % 256) + 16`` samples with ``s_k = ((id*31 + k*17) % 65536) -
+    32768`` — pure integer math an oracle replays in SQL, encoded to real
+    RIFF bytes by an Arrow-batched pandas UDF."""
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series, ns: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(ids, ns):
+            count = int(n) % 256 + 16
+            samples = [((int(i) * 31 + k * 17) % 65536) - 32768
+                       for k in range(count)]
+            out.append(encode_wav(samples, sample_rate=sample_rate))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, synth(F.col(id_col), F.col(n_col)))

@@ -824,14 +824,19 @@ class TableLog:
             if not bucket:
                 continue
             bucket.sort(key=lambda a: a.path)
-            rows = [self._add_manifest_entry(a) for a in bucket]
-            # content address: the sidecar layout version + every action
-            # byte; identical bucket state across checkpoints -> same name
+            # content address from (path, commit version) identities: an
+            # add's full action for a given (path, version) is immutable
+            # in the log (replay always reconstructs the same bytes), so
+            # the identity set determines the sidecar content — and an
+            # UNCHANGED bucket costs O(paths) string hashing, never a
+            # re-serialization of its actions (the incremental property)
             h = _hl.sha256(("sidecar-v1\n" + "\n".join(
-                r[0] for r in rows)).encode()).hexdigest()[:32]
+                f"{a.path}\x00{a.version}" for a in bucket)
+            ).encode()).hexdigest()[:32]
             rel = os.path.join(SIDECAR_DIR, f"{h}.parquet")
             fp = os.path.join(self.log_path, rel)
             if not os.path.exists(fp):
+                rows = [self._add_manifest_entry(a) for a in bucket]
                 t = checkpoint_arrow_table(
                     ["add"] * len(rows), *map(list, zip(*rows)))
                 tmp = fp + f".{uuid.uuid4().hex}.tmp"

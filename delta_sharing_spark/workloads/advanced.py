@@ -132,6 +132,50 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_audio_features",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id,
+             unnest(generate_series(0, (n_chars % 256 + 15)::BIGINT)) AS k
+      FROM documents
+    ), v AS (
+      SELECT doc_id, k,
+             ((doc_id * 31 + k * 17) % 65536) - 32768 AS s
+      FROM idx
+    ), w AS (
+      SELECT doc_id, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY k) AS p
+      FROM v
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN p IS NOT NULL AND p * s < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM w GROUP BY doc_id
+    """,
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the distributed path: synthesize 16-bit PCM
+    WAV bytes per doc (integer sample math a SQL oracle replays), decode
+    them back through the stdlib RIFF reader inside Arrow-batched
+    mapInPandas, and emit integer-exact features (sum |s|, sum s²,
+    zero crossings) — the audio twin of the vendored-PNG image path.
+    Map-only: no shuffle anywhere between synthesis and features."""
+    from delta_sharing_spark.operators.audio import (
+        audio_features,
+        synth_wav_column,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clips = synth_wav_column(docs, "doc_id", "n_chars")
+    return audio_features(clips, "audio", "doc_id").drop("error")
+
+
+@workload(
     "q_asof_tolerance",
     oracle="""
     WITH j AS (

@@ -1216,3 +1216,51 @@ class TestDoReMi:
                for r in domain_losses(scores, "domain").collect()}
         assert out["a"] == LM_UNIT - (15_000_000 // 30)
         assert out["b"] == LM_UNIT - (4_999_999 // 5)
+
+
+class TestAudio:
+    """WAV audio path: stdlib RIFF encode/decode round-trip + the
+    distributed Arrow-batched feature pass (the audio twin of the
+    vendored-PNG image decode tests)."""
+
+    def test_wav_roundtrip(self):
+        from delta_sharing_spark.operators.audio import decode_wav, encode_wav
+
+        samples = [0, 100, -100, 32767, -32768, 7]
+        b = encode_wav(samples, sample_rate=16000)
+        rate, ch, got = decode_wav(b)
+        assert (rate, ch, got) == (16000, 1, samples)
+
+    def test_wav_multichannel_and_clamp(self):
+        from delta_sharing_spark.operators.audio import decode_wav, encode_wav
+
+        b = encode_wav([1, 2, 3, 4, 99999, -99999], channels=2)
+        rate, ch, got = decode_wav(b)
+        assert ch == 2
+        assert got == [1, 2, 3, 4, 32767, -32768]
+
+    def test_decode_rejects_non_wav(self):
+        from delta_sharing_spark.operators.audio import decode_wav
+
+        with pytest.raises(ValueError, match="PCM WAV"):
+            decode_wav(b"not a riff payload at all")
+
+    def test_audio_features_distributed(self, spark):
+        from delta_sharing_spark.operators.audio import (
+            audio_features,
+            encode_wav,
+        )
+
+        rows = [
+            (1, encode_wav([10, -10, 10, -10])),   # 3 crossings
+            (2, encode_wav([5, 5, 5])),            # 0 crossings
+            (3, b"garbage"),                       # error captured per-row
+        ]
+        df = spark.createDataFrame(rows, "id long, audio binary") \
+            .repartition(3)
+        got = {r.id: r for r in
+               audio_features(df, "audio", "id").collect()}
+        assert got[1].n_samples == 4 and got[1].zero_crossings == 3
+        assert got[1].sum_abs == 40 and got[1].sum_sq == 400
+        assert got[2].zero_crossings == 0 and got[2].error is None
+        assert got[3].error is not None and got[3].n_samples is None

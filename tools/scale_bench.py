@@ -348,6 +348,38 @@ def main() -> None:
     out["cdf_count_s"] = round(time.perf_counter() - t0, 3)
     assert n == args.commits * 2, n
 
+    # --- V2 checkpoints at the million-file plane: first write builds
+    # every sidecar; after a 1-file commit the rewrite touches exactly
+    # one bucket — the incremental property that replaces a full
+    # manifest rewrite per interval. (Runs LAST: it replaces the big
+    # table's classic checkpoint with a v2 manifest.)
+    from delta_sharing_spark.plans.actions import dumps_action as _da
+    from delta_sharing_spark.plans.actions import AddFile as _Add
+    from delta_sharing_spark.plans.actions import CommitInfo as _CI
+    from delta_sharing_spark.plans.log import _fmt_version as _fv
+
+    t0 = time.perf_counter()
+    log._write_checkpoint_v2(snap)
+    out["v2_checkpoint_full_s"] = round(time.perf_counter() - t0, 3)
+    out["v2_sidecars"] = len(log._checkpoint_sidecars(0))
+    add = _Add(path="data/extra-00001.parquet", partitionValues={"cat": "z"},
+               size=1000, stats=json.dumps({"numRecords": ROWS_PER_FILE}))
+    with open(os.path.join(big, "_dsl_log", _fv(1)), "w") as f:
+        f.write(_da(add) + "\n")
+        f.write(_da(_CI(version=1, timestamp=1_700_000_000_001,
+                        operation="WRITE")) + "\n")
+    log2 = TableLog(spark, big)
+    snap1 = log2.snapshot()
+    assert len(snap1.files) == args.files + 1
+    t0 = time.perf_counter()
+    log2._write_checkpoint_v2(snap1)
+    out["v2_checkpoint_incr_s"] = round(time.perf_counter() - t0, 3)
+    reused = (set(log2._checkpoint_sidecars(0))
+              & set(log2._checkpoint_sidecars(1)))
+    out["v2_sidecars_reused"] = len(reused)
+    assert len(reused) >= out["v2_sidecars"] - 1, (len(reused),
+                                                   out["v2_sidecars"])
+
     if not args.keep:
         shutil.rmtree(args.workdir, ignore_errors=True)
 
