@@ -62,6 +62,12 @@ HEADLINE = [
     "q_dsir_resample",
     "q_doremi_weights",
     "q_ccnet_buckets",
+    # round-6 continuation additions (after the comparable prefix):
+    # row tracking (stable ids through DV delete/OPTIMIZE/UPDATE/MERGE),
+    # BPE encode inference, and the distributed real-WAV feature pass
+    "eng_row_tracking",
+    "q_bpe_encode",
+    "q_audio_features",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

