@@ -373,6 +373,81 @@ def decontaminate(train: DataFrame, bench: DataFrame, id_col: str,
     )
 
 
+def bloom_decontaminate(train: DataFrame, bench: DataFrame, id_col: str,
+                        text_col: str, shingle_k: int = 13,
+                        m_bits: int = 1 << 20,
+                        num_hashes: int = 4) -> DataFrame:
+    """Two-phase decontamination for a LARGE benchmark set: Bloom
+    prefilter + exact verify.
+
+    :func:`decontaminate` broadcasts the benchmark's distinct shingle
+    STRINGS — fine for eval sets, unbounded when the "contamination set"
+    is itself a corpus. Here the bench shingles fold into a fixed-size
+    Bloom bitmap (``m_bits`` bits packed 32-per-long, so the broadcast
+    is ≤ m_bits/32 rows of (word, bits) REGARDLESS of bench size); every
+    training shingle probes the bitmap with ``num_hashes`` md5-derived
+    positions (all set → candidate), and only candidates pay the exact
+    string-equality verify join that removes Bloom false positives.
+
+    Returns (id_col, n_candidates, n_overlap): per training doc, how
+    many distinct shingles passed the Bloom filter and how many were
+    exact-verified overlaps (n_overlap = 0 rows are pure false positives —
+    the measurable cost of the m_bits/num_hashes choice).
+
+    Scale shape: one pass over the training text, one broadcast of a
+    bounded bitmap, one broadcast verify join against only the
+    candidate shingles. 32-bit packing keeps every shift < 32 — exactly
+    replayable in engines whose BIGINT shift overflows at 63."""
+    def pos(col: F.Column, i: int) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f"#b{i}"))), 1, 12),
+            16, 10).cast("long") % m_bits
+
+    def word(p: F.Column) -> F.Column:
+        return F.floor(p / 32).cast("long")
+
+    # pyspark's shiftleft() only takes a literal shift — the per-row
+    # shift goes through the SQL function (still whole-stage codegen)
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")
+
+    b_sh = (
+        bench.select(F.explode(_word_shingles(text_col, shingle_k))
+                     .alias("s"))
+        .distinct()
+    )
+    bitmap = (
+        b_sh.select(F.explode(F.array(
+            *[pos(F.col("s"), i) for i in range(num_hashes)])).alias("p"))
+        .select(word(F.col("p")).alias("w"), mask.alias("m"))
+        .groupBy("w").agg(F.bit_or("m").alias("bits"))
+    )
+    t_sh = train.select(
+        F.col(id_col),
+        F.explode(_word_shingles(text_col, shingle_k)).alias("s"),
+    )
+    probes = t_sh.select(
+        id_col, "s",
+        F.explode(F.array(
+            *[pos(F.col("s"), i) for i in range(num_hashes)])).alias("p"),
+    )
+    hits = (
+        probes.join(F.broadcast(bitmap), word(F.col("p")) == F.col("w"),
+                    "left")
+        .withColumn("hit", (F.col("bits").isNotNull())
+                    & (F.col("bits").bitwiseAND(mask) != 0))
+        .groupBy(id_col, "s")
+        .agg(F.sum(F.col("hit").cast("int")).alias("nh"))
+    )
+    cand = hits.filter(F.col("nh") == num_hashes).select(id_col, "s")
+    return (
+        cand.join(F.broadcast(b_sh.withColumn("__real", F.lit(1))),
+                  "s", "left")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_candidates"),
+             F.sum(F.coalesce(F.col("__real"), F.lit(0))).alias("n_overlap"))
+    )
+
+
 def dedup_clusters(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                    max_iterations: int = 20) -> DataFrame:
     """Connected components over near-dup pairs -> (id, component) where

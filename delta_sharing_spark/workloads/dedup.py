@@ -421,6 +421,86 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, "doc_id", "text", shingle_k=13)
 
 
+_BLOOM_M = 1 << 14  # small enough that false positives actually occur
+
+
+def _duck_bloom_pos(col: str, i: int) -> str:
+    return (f"(('0x' || substr(md5({col} || '#b{i}'), 1, 12))::BIGINT"
+            f" % {_BLOOM_M})")
+
+
+@workload(
+    "q_decontaminate_bloom",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 12, 1)),
+               i -> array_to_string(
+                 list_slice(string_split(text, ' '), i::INT, i::INT + 12), ' ')
+             ))) AS s
+      FROM documents
+    ),
+    bench_ids AS (
+      SELECT doc_id FROM documents
+      WHERE ('0x' || substr(md5('bench' || doc_id), 1, 8))::BIGINT
+              % 1000000 < 20000
+    ),
+    b_sh AS (
+      SELECT DISTINCT s FROM sh JOIN bench_ids USING (doc_id)
+    ),
+    bitmap AS (
+      SELECT p // 32 AS w,
+             bit_or(1::BIGINT << (p % 32)::INT) AS bits
+      FROM (
+        SELECT DISTINCT unnest([{_duck_bloom_pos('s', 0)},
+                                {_duck_bloom_pos('s', 1)},
+                                {_duck_bloom_pos('s', 2)},
+                                {_duck_bloom_pos('s', 3)}]) AS p
+        FROM b_sh
+      ) GROUP BY 1
+    ),
+    probes AS (
+      SELECT doc_id, s,
+             unnest([{_duck_bloom_pos('s', 0)},
+                     {_duck_bloom_pos('s', 1)},
+                     {_duck_bloom_pos('s', 2)},
+                     {_duck_bloom_pos('s', 3)}]) AS p
+      FROM sh
+    ),
+    cand AS (
+      SELECT doc_id, s
+      FROM probes LEFT JOIN bitmap ON bitmap.w = probes.p // 32
+      GROUP BY doc_id, s
+      HAVING SUM(CASE WHEN bitmap.bits IS NOT NULL AND
+                 (bitmap.bits & (1::BIGINT << (p % 32)::INT)) <> 0
+                 THEN 1 ELSE 0 END) = 4
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap
+    FROM cand c LEFT JOIN b_sh b USING (s)
+    GROUP BY c.doc_id
+    """,
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination: the bench shingles fold into a
+    FIXED-SIZE bitmap (16384 bits packed 32-per-long — deliberately small
+    so false positives occur and the exact verify stage is visibly load-
+    bearing); the corpus probes it with 4 md5 positions and only
+    candidates pay the string verify. The oracle replays the ENTIRE
+    bitmap (bit_or words, shifts, containment) plus the verify in SQL —
+    the bitmaps are bit-identical across engines."""
+    from delta_sharing_spark.operators.dedup import bloom_decontaminate
+    from delta_sharing_spark.operators.sampling import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(hash_bucket("doc_id", salt="bench") < 20_000)
+    return bloom_decontaminate(docs, bench, "doc_id", "text",
+                               shingle_k=13, m_bits=_BLOOM_M, num_hashes=4)
+
+
 @workload(
     "q_dedup_incremental",
     oracle=f"""

@@ -1264,3 +1264,39 @@ class TestAudio:
         assert got[1].sum_abs == 40 and got[1].sum_sq == 400
         assert got[2].zero_crossings == 0 and got[2].error is None
         assert got[3].error is not None and got[3].n_samples is None
+
+
+class TestBloomDecontaminate:
+    def test_verify_matches_exact_path(self, spark):
+        from delta_sharing_spark.io import read_table
+        from delta_sharing_spark.operators.dedup import (
+            bloom_decontaminate,
+            decontaminate,
+        )
+
+        docs = read_table(spark, "/root/testdata/sf0.001",
+                          "documents").limit(120)
+        bench = docs.filter("doc_id % 9 = 0")
+        exact = {r.doc_id: r.n_overlap for r in
+                 decontaminate(docs, bench, "doc_id", "text").collect()}
+        bloom = bloom_decontaminate(docs, bench, "doc_id", "text",
+                                    m_bits=1 << 14).collect()
+        got = {r.doc_id: r.n_overlap for r in bloom if r.n_overlap > 0}
+        # the Bloom prefilter admits a SUPERSET (candidates), the verify
+        # stage reduces it to exactly the exact-join answer
+        assert got == exact
+        assert all(r.n_candidates >= r.n_overlap for r in bloom)
+
+    def test_bitmap_is_bounded(self, spark):
+        """The broadcast side is <= m_bits/32 words no matter how big the
+        bench set is — the property that makes this the large-bench path."""
+        from delta_sharing_spark.io import read_table
+        from delta_sharing_spark.operators.dedup import bloom_decontaminate
+
+        docs = read_table(spark, "/root/testdata/sf0.001",
+                          "documents").limit(60)
+        out = bloom_decontaminate(docs, docs, "doc_id", "text",
+                                  m_bits=1 << 10)
+        # self-decontamination: every doc's own shingles all verify
+        rows = out.collect()
+        assert rows and all(r.n_overlap >= 1 for r in rows)
