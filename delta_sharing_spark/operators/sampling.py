@@ -212,6 +212,59 @@ def temperature_resample(df: DataFrame, strata_col: str, id_col: str,
     )
 
 
+def unimax_allocation(df: DataFrame, strata_col: str, tokens_col: str,
+                      total_budget: int, epochs: int = 1) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling"): spread ``total_budget`` tokens as
+    UNIFORMLY as possible across strata (languages), capping each stratum
+    at its capacity ``epochs × its token count`` — low-resource languages
+    get their full cap, the remainder splits evenly among the rest.
+
+    The water-filling solution in closed form over window functions: with
+    capacities sorted ascending (prefix sums P_i, n strata), stratum i
+    SATURATES iff ``c_i·(n-i+1) + P_{i-1} <= B``; every unsaturated
+    stratum receives the common level ``(B - P_k)/(n - k)`` where k is
+    the saturation crossover. No iteration, no driver loop.
+
+    Scale note: the windows here order the per-stratum AGGREGATE table —
+    bounded by the number of strata (languages), thousands at most — so
+    the single-partition window is a deliberate O(#strata) step, never a
+    corpus-sized one. The corpus pays exactly one groupBy.
+
+    Returns (strata_col, capacity, allocation, saturated) — feed the
+    allocation column into :func:`build_mixture`-style budget filling.
+    """
+    caps = df.groupBy(strata_col).agg(
+        (F.sum(tokens_col) * F.lit(int(epochs))).cast("long")
+        .alias("capacity"))
+    everything = Window.partitionBy()
+    order = Window.orderBy("capacity", strata_col)
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b = F.lit(int(total_budget)).cast("double")
+    ranked = (
+        caps.withColumn("__i", F.row_number().over(order))
+        .withColumn("__p", F.sum("capacity").over(run))
+        .withColumn("__n", F.count(F.lit(1)).over(everything))
+        .withColumn(
+            "saturated",
+            (F.col("capacity") * (F.col("__n") - F.col("__i") + 1)
+             + F.col("__p") - F.col("capacity")) <= b)
+    )
+    sat_p = F.coalesce(
+        F.max(F.when(F.col("saturated"), F.col("__p"))).over(everything),
+        F.lit(0).cast("long"))
+    sat_k = F.coalesce(
+        F.max(F.when(F.col("saturated"), F.col("__i"))).over(everything),
+        F.lit(0))
+    level = (b - sat_p) / (F.col("__n") - sat_k)
+    return ranked.select(
+        strata_col, "capacity",
+        F.when(F.col("saturated"), F.col("capacity").cast("double"))
+        .otherwise(level).alias("allocation"),
+        "saturated",
+    )
+
+
 def build_mixture(df: DataFrame, strata_col: str, tokens_col: str,
                   id_col: str, weights: dict[str, float],
                   total_tokens: int, salt: str = "mixture") -> DataFrame:

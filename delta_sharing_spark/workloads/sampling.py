@@ -258,6 +258,60 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_unimax_budget",
+    oracle="""
+    WITH caps AS (
+      SELECT lang,
+             CAST(SUM(len(string_split(text, ' '))) * 2 AS BIGINT)
+               AS capacity
+      FROM documents GROUP BY lang
+    ),
+    ranked AS (
+      SELECT lang, capacity,
+             ROW_NUMBER() OVER (ORDER BY capacity, lang) AS i,
+             SUM(capacity) OVER (ORDER BY capacity, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             COUNT(*) OVER () AS n
+      FROM caps
+    ),
+    sat AS (
+      SELECT *,
+             (capacity * (n - i + 1) + p - capacity)
+               <= CAST(40000 AS DOUBLE) AS saturated
+      FROM ranked
+    ),
+    xo AS (
+      SELECT *,
+             COALESCE(MAX(CASE WHEN saturated THEN p END) OVER (),
+                      0) AS sat_p,
+             COALESCE(MAX(CASE WHEN saturated THEN i END) OVER (),
+                      0) AS sat_k
+      FROM sat
+    )
+    SELECT lang, capacity,
+           CASE WHEN saturated THEN CAST(capacity AS DOUBLE)
+                ELSE (CAST(40000 AS DOUBLE) - sat_p) / (n - sat_k)
+           END AS allocation,
+           saturated
+    FROM xo
+    """,
+)
+def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation: spread a 40k-token budget as
+    uniformly as possible across languages with a 2-epoch per-language
+    cap — low-resource languages saturate at their full capacity, the
+    rest split the remainder evenly. Closed-form water-filling over
+    window functions (no iteration); the oracle replays the identical
+    prefix-sum crossover math, double-exact."""
+    from delta_sharing_spark.operators.sampling import unimax_allocation
+
+    docs = read_table(spark, sf_dir, "documents") \
+        .withColumn("n_tok", F.size(F.split("text", " ")))
+    return unimax_allocation(docs, "lang", "n_tok",
+                             total_budget=40_000, epochs=2)
+
+
+@workload(
     "q_mixture_budget",
     oracle="""
     WITH d AS (
