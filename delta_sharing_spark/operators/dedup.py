@@ -146,16 +146,27 @@ def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
     way almost always still collide in a rarer band; at 100 TB the cap is
     what keeps the join's output linear in corpus size.
     """
-    buckets = minhash_band_index(signatures, id_col, num_hashes, bands)
+    # materialize the band index ONCE (eager: a LAZY checkpoint inside a
+    # single action lets every reference race down the full lineage): the
+    # self-join references it twice and the cap's bucket-count aggregate a
+    # third time, and the subtrees differ just enough (the aggregate drops
+    # the id-null filter) that Spark's exchange reuse does NOT kick in —
+    # without this the whole signature pipeline (shingle explode + 2
+    # corpus-wide sort-aggregates) recomputes up to 4x (measured 48 s ->
+    # ~7 s at sf1). The index is O(docs x bands) compact rows — exactly
+    # what a production run persists anyway (minhash_band_index docstring).
+    buckets = minhash_band_index(signatures, id_col, num_hashes, bands) \
+        .localCheckpoint(eager=True)
     if max_bucket is not None:
         # bucket cardinality is a small aggregate over (band_idx, h); the
         # anti-pattern alternative — a window count over the bucket key —
         # would sort every bucket, so keep it as an aggregate + semi-join
+        # (broadcast: O(distinct buckets) keys, compact by construction)
         keep = (buckets.groupBy("band_idx", "h")
                 .agg(F.count("*").alias("bdf"))
                 .filter(F.col("bdf") <= max_bucket)
                 .select("band_idx", "h"))
-        buckets = buckets.join(keep, ["band_idx", "h"])
+        buckets = buckets.join(F.broadcast(keep), ["band_idx", "h"])
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (

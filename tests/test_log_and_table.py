@@ -3326,6 +3326,23 @@ class TestTypeWidening:
         v = log.snapshot().version
         assert log.widen_column_type("k", "int") == v
 
+    def test_type_changes_accumulate(self, spark, tmp_path):
+        """Chained widenings record one delta.typeChanges entry each, in
+        order (Delta keeps the full history in the field metadata)."""
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.range(3).selectExpr("cast(id as smallint) as k"),
+                   name="t",
+                   configuration={"delta.enableTypeWidening": "true"})
+        log.widen_column_type("k", "int")
+        log.widen_column_type("k", "long")
+        f = next(x for x in log.snapshot().schema.fields if x.name == "k")
+        assert f.metadata["delta.typeChanges"] == [
+            {"fromType": "smallint", "toType": "int"},
+            {"fromType": "int", "toType": "bigint"},
+        ]
+        assert isinstance(f.dataType, T.LongType)
+
 
 class TestV2Checkpoints:
     """delta.checkpointPolicy=v2: file actions in content-addressed
