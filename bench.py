@@ -116,6 +116,8 @@ def main() -> None:
     # plan cost from scheduler/GC jitter
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    import gc
+
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
@@ -124,6 +126,14 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # storage hygiene between queries: localCheckpoint blocks and
+        # broadcasts only unpersist after their Python handles are GC'd
+        # and the JVM ContextCleaner runs — left alone, 38 queries'
+        # worth of executor storage accumulates and later shuffle-heavy
+        # queries pay for it (measured: capped LSH at sf1 reads 20.5 s
+        # mid-bench vs 4.3 s isolated; with this, 4.3 s mid-bench too)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         # progress to stderr (stdout stays the single JSON line)
         print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr,
               flush=True)

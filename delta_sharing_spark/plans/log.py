@@ -132,6 +132,7 @@ CHECKPOINT_PART_ROWS = 100_000
 # so a later checkpoint rewrites only buckets whose files changed
 CHECKPOINT_POLICY_KEY = "delta.checkpointPolicy"
 SIDECAR_DIR = "_sidecars"
+LAST_CHECKPOINT = "_last_checkpoint"
 SIDECAR_TARGET_ROWS = 100_000
 
 # Write a parquet checkpoint of the active snapshot every N commits (Delta's
@@ -699,8 +700,42 @@ class TableLog:
         )
 
     def _latest_checkpoint(self, at_or_before: int) -> int | None:
+        # fast path: the _last_checkpoint pointer (Delta's hint file,
+        # PROTOCOL precedent _delta_log/_last_checkpoint) answers the
+        # latest-snapshot case without the O(dir) log listing — at 100k
+        # retained commits that listing is the cold-start cost. The
+        # pointer is a HINT: stale/corrupt/missing falls back to the
+        # listing, and time travel below it always lists.
+        try:
+            with open(os.path.join(self.log_path, LAST_CHECKPOINT)) as f:
+                v = int(json.load(f)["version"])
+            if v <= at_or_before and os.path.exists(
+                    os.path.join(self.log_path, _fmt_checkpoint(v))):
+                return v
+        except (OSError, ValueError, TypeError, KeyError):
+            pass
         cps = [v for v in self._list_checkpoints() if v <= at_or_before]
         return cps[-1] if cps else None
+
+    def _write_last_checkpoint(self, version: int, final: str,
+                               n_adds: int, policy: str) -> None:
+        """Atomic (tmp+rename) update of the _last_checkpoint hint after
+        a checkpoint write — last writer wins; a crash between checkpoint
+        and pointer leaves a stale-low hint, which only costs the next
+        reader the listing fallback."""
+        try:
+            size = (sum(os.path.getsize(os.path.join(final, p))
+                        for p in os.listdir(final))
+                    if os.path.isdir(final) else os.path.getsize(final))
+            doc = {"version": version, "sizeInBytes": size,
+                   "numOfAddFiles": n_adds, "checkpointPolicy": policy}
+            tmp = os.path.join(self.log_path,
+                               f"_last_checkpoint.{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(doc, f)
+            os.replace(tmp, os.path.join(self.log_path, LAST_CHECKPOINT))
+        except OSError:
+            pass  # the pointer is an optimization; never fail the write
 
     def write_checkpoint(self, version: int | None = None) -> str:
         """Materialize the active snapshot at ``version`` as a parquet
@@ -775,6 +810,8 @@ class TableLog:
                                        nrecs, mins, maxs, nulls, vers, tss)
         final = os.path.join(self.log_path, _fmt_checkpoint(snap.version))
         write_checkpoint_files(table, final)
+        self._write_last_checkpoint(snap.version, final, len(snap.files),
+                                    "classic")
         return final
 
     def _add_manifest_entry(self, add: AddFile):
@@ -866,6 +903,8 @@ class TableLog:
                                        nrecs, mins, maxs, nulls, vers, tss)
         final = os.path.join(self.log_path, _fmt_checkpoint(snap.version))
         write_checkpoint_files(table, final)
+        self._write_last_checkpoint(snap.version, final, len(snap.files),
+                                    "v2")
         return final
 
     def _checkpoint_sidecars(self, version: int) -> list[str]:

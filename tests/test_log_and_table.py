@@ -3443,3 +3443,61 @@ class TestV2Checkpoints:
         got = {r.k: r._row_id for r in
                SharedTable(spark, d).to_df(row_ids=True).collect()}
         assert sorted(got.values()) == list(range(10))
+
+
+class TestLastCheckpointPointer:
+    """_last_checkpoint hint file: latest-snapshot resolution skips the
+    O(dir) log listing; stale/corrupt pointers fall back to it."""
+
+    def test_pointer_written_and_used(self, spark, events, tmp_path):
+        import json as _json
+        import os as _os
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 50"), name="t",
+                   configuration={"checkpointInterval": "2"})
+        log.append(events.filter("event_id >= 50 and event_id < 55"))
+        log.append(events.filter("event_id >= 55 and event_id < 60"))
+        ptr = _os.path.join(log.log_path, "_last_checkpoint")
+        assert _os.path.exists(ptr)
+        doc = _json.load(open(ptr))
+        assert doc["version"] == 2 and doc["numOfAddFiles"] >= 1
+        assert doc["checkpointPolicy"] == "classic"
+        assert log._latest_checkpoint(at_or_before=2) == 2
+        # time travel below the pointer lists and finds nothing older
+        assert log._latest_checkpoint(at_or_before=1) is None
+
+    def test_corrupt_pointer_falls_back(self, spark, events, tmp_path):
+        import os as _os
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 50"), name="t")
+        log.write_checkpoint()
+        with open(_os.path.join(log.log_path, "_last_checkpoint"),
+                  "w") as f:
+            f.write("{not json")
+        assert log._latest_checkpoint(at_or_before=0) == 0
+        n = SharedTable(spark, d).to_df().count()
+        assert n == 50
+
+    def test_stale_pointer_is_only_a_hint(self, spark, events, tmp_path):
+        import json as _json
+        import os as _os
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.filter("event_id < 50"), name="t")
+        log.write_checkpoint()
+        log.append(events.filter("event_id >= 50 and event_id < 60"))
+        log.write_checkpoint()
+        # point it back at version 0: readers get the older checkpoint +
+        # a longer tail — correct, just less optimal until the next write
+        with open(_os.path.join(log.log_path, "_last_checkpoint"),
+                  "w") as f:
+            _json.dump({"version": 0}, f)
+        assert log._latest_checkpoint(at_or_before=1) == 0
+        fresh = TableLog(spark, d)
+        assert fresh.snapshot().version == 1
+        assert SharedTable(spark, d).to_df().count() == 60
