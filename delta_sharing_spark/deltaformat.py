@@ -91,6 +91,9 @@ def actions_to_delta_format(lines: list[dict[str, Any]]) -> list[dict[str, Any]]
                 action["dataChange"] = True
                 if src.get("stats") is not None:
                     action["stats"] = src["stats"]
+                for k in ("baseRowId", "defaultRowCommitVersion"):
+                    if src.get(k) is not None:
+                        action[k] = src[k]
             if kind == "remove":
                 action["dataChange"] = True
             wrapper = {"id": src["id"],

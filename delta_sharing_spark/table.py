@@ -863,6 +863,14 @@ class SharedTable:
                     "url": self.log.abs_path(a.path), "id": a.path,
                     "partitionValues": a.partitionValues, "size": a.size,
                     "stats": a.stats, "timestamp": ts, "version": v}}
+                if a.baseRowId is not None:
+                    # row-tracking AddFile fields ride the range form too
+                    # (verbatim delta actions) so a streaming consumer can
+                    # reconstruct stable row ids
+                    line["add"]["baseRowId"] = a.baseRowId
+                    line["add"]["defaultRowCommitVersion"] = (
+                        a.defaultRowCommitVersion
+                        if a.defaultRowCommitVersion is not None else v)
                 if a.deletionVector:
                     dv = dict(a.deletionVector)
                     if dv.get("storageType") == "u":

@@ -439,3 +439,27 @@ class TestRowTrackingWire:
                 == self._expected(spark, table_dir)
         finally:
             srv.shutdown()
+
+    def test_range_form_carries_row_tracking_fields(self, spark,
+                                                    table_dir):
+        """The version-range QueryTable (the streaming RPC) stamps
+        baseRowId/defaultRowCommitVersion on its data-change adds, and
+        the delta-format wrapper passes them through verbatim."""
+        from delta_sharing_spark.deltaformat import actions_to_delta_format
+
+        log = _rt_table(spark, table_dir)
+        log.append(_one_file(
+            spark.range(10, 13).selectExpr("id AS k",
+                                           "CAST(id*2 AS STRING) AS v")))
+        t = SharedTable(spark, table_dir)
+        out = t.query_actions(starting_version=0)
+        adds = [ln["add"] for ln in out["actions"] if "add" in ln]
+        assert len(adds) == 2
+        assert all(a["baseRowId"] is not None
+                   and a["defaultRowCommitVersion"] == a["version"]
+                   for a in adds)
+        assert {a["baseRowId"] for a in adds} == {0, 10}
+        delta = actions_to_delta_format(out["actions"])
+        dadds = [ln["file"]["deltaSingleAction"]["add"]
+                 for ln in delta if "file" in ln]
+        assert all(a.get("baseRowId") is not None for a in dadds)
