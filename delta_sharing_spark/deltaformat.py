@@ -123,6 +123,42 @@ def _row_tracking_cols(configuration: dict[str, Any] | None
             cfg.get(MAT_ROW_VER_KEY, MAT_ROW_VER_DEFAULT))
 
 
+def _check_base_row_ids(entries) -> None:
+    """row_ids=True requires every wire action to carry baseRowId;
+    ``entries`` is (label, baseRowId) per action."""
+    missing = [k for k, b in entries if b is None]
+    if missing:
+        raise ValueError(
+            "row_ids=True: response actions lack baseRowId (table "
+            f"not row-tracked, or pre-enablement files): {missing[:3]}")
+
+
+def _rt_read_schema(names_types, mat_id: str, mat_ver: str):
+    """Explicit scan schema for row-id reconstruction: the data columns
+    plus the materialized override columns — only maintenance-written
+    files carry the latter (the rest null-fill and fall back to
+    baseRowId + row index); footer inference would be sample-dependent."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField(n, dt, True) for n, dt in names_types]
+        + [T.StructField(mat_id, T.LongType(), True),
+           T.StructField(mat_ver, T.LongType(), True)])
+
+
+def _attach_row_ids(df, mat_id: str, mat_ver: str, base, ver):
+    """_row_id = materialized override else base + row index;
+    _row_commit_version = materialized override else the file default —
+    the one reconstruction both response formats share."""
+    from pyspark.sql import functions as F
+
+    return (df.withColumn("_row_id", F.coalesce(
+                F.col(mat_id), base + F.col("__rt_ri")))
+            .withColumn("_row_commit_version",
+                        F.coalesce(F.col(mat_ver), ver))
+            .drop("__rt_ri", mat_id, mat_ver))
+
+
 def delta_lines_to_spark(spark: SparkSession,
                          lines: list[dict[str, Any]],
                          row_ids: bool = False) -> DataFrame:
@@ -161,12 +197,8 @@ def delta_lines_to_spark(spark: SparkSession,
         raise ValueError("delta-format response lacks a metaData line")
     rt_extras = ["_row_id", "_row_commit_version"] if row_ids else []
     if row_ids:
-        missing = [a.get("path") for a, _i in adds
-                   if a.get("baseRowId") is None]
-        if missing:
-            raise ValueError(
-                "row_ids=True: response actions lack baseRowId (table "
-                f"not row-tracked, or pre-enablement files): {missing[:3]}")
+        _check_base_row_ids([(a.get("path"), a.get("baseRowId"))
+                             for a, _i in adds])
     if not adds:
         out_schema = T.StructType(
             list(schema.fields)
@@ -185,27 +217,14 @@ def delta_lines_to_spark(spark: SparkSession,
     mat_id, mat_ver = _row_tracking_cols(config)
     read_schema = None
     if row_ids:
-        # the grouped scan needs an EXPLICIT schema: maintenance-written
-        # files carry the materialized row-id columns, original files
-        # don't (they read as null and fall back to base + row index) —
-        # footer inference would be sample-dependent
-        read_schema = T.StructType(
-            [T.StructField(phys_of[f.name], f.dataType, True)
-             for f in schema.fields]
-            + [T.StructField(mat_id, T.LongType(), True),
-               T.StructField(mat_ver, T.LongType(), True)])
+        read_schema = _rt_read_schema(
+            [(phys_of[f.name], f.dataType) for f in schema.fields],
+            mat_id, mat_ver)
 
     def finish(df: DataFrame) -> DataFrame:
         return df.select(
             *[F.col(phys_of[f.name]).alias(f.name) for f in schema.fields],
             *rt_extras)
-
-    def attach_row_ids(df: DataFrame, base, ver) -> DataFrame:
-        return (df.withColumn("_row_id", F.coalesce(
-                    F.col(mat_id), base + F.col("__rt_ri")))
-                .withColumn("_row_commit_version",
-                            F.coalesce(F.col(mat_ver), ver))
-                .drop("__rt_ri", mat_id, mat_ver))
 
     scan_path = F.url_decode(F.regexp_replace(
         F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
@@ -248,8 +267,9 @@ def delta_lines_to_spark(spark: SparkSession,
                     k, F.col(f"__pv_{k}").cast(type_of[k])
                 ).drop(f"__pv_{k}")
             if row_ids:
-                df = attach_row_ids(df, F.col("__rt_base"),
-                                    F.col("__rt_ver")) \
+                df = _attach_row_ids(df, mat_id, mat_ver,
+                                     F.col("__rt_base"),
+                                     F.col("__rt_ver")) \
                     .drop("__rt_base", "__rt_ver")
         parts.append(finish(df))
     for add, file_id in adds:
@@ -282,8 +302,8 @@ def delta_lines_to_spark(spark: SparkSession,
         if row_ids:
             # deleted rows keep their positions: row_index is the
             # pre-deletion physical index, so surviving ids stay stable
-            df = attach_row_ids(
-                df.withColumnRenamed("__ri", "__rt_ri"),
+            df = _attach_row_ids(
+                df.withColumnRenamed("__ri", "__rt_ri"), mat_id, mat_ver,
                 F.lit(add["baseRowId"]),
                 F.lit(add.get("defaultRowCommitVersion")).cast("long"))
         else:
@@ -333,11 +353,8 @@ def profile_lines_to_spark(spark: SparkSession,
         raise ValueError("response lacks a metaData line with schemaString")
     rt_extras = ["_row_id", "_row_commit_version"] if row_ids else []
     if row_ids:
-        missing = [f.get("id") for f in files if f.get("baseRowId") is None]
-        if missing:
-            raise ValueError(
-                "row_ids=True: response file lines lack baseRowId (table "
-                f"not row-tracked, or pre-enablement files): {missing[:3]}")
+        _check_base_row_ids([(f.get("id"), f.get("baseRowId"))
+                             for f in files])
     if not files:
         out_schema = T.StructType(
             list(schema.fields)
@@ -347,14 +364,9 @@ def profile_lines_to_spark(spark: SparkSession,
     mat_id, mat_ver = _row_tracking_cols(config)
     read_schema = None
     if row_ids:
-        # explicit schema: only maintenance-written files carry the
-        # materialized columns; the rest null-fill and fall back to
-        # baseRowId + row index (inference would be sample-dependent)
-        read_schema = T.StructType(
-            [T.StructField(f.name, f.dataType, True)
-             for f in schema.fields]
-            + [T.StructField(mat_id, T.LongType(), True),
-               T.StructField(mat_ver, T.LongType(), True)])
+        read_schema = _rt_read_schema(
+            [(f.name, f.dataType) for f in schema.fields],
+            mat_id, mat_ver)
 
     def normalize(df: DataFrame) -> DataFrame:
         lower = {c.lower(): c for c in df.columns}
@@ -364,13 +376,6 @@ def profile_lines_to_spark(spark: SparkSession,
              else F.lit(None).cast(fld.dataType)).alias(fld.name)
             for fld in schema.fields
         ] + [F.col(c) for c in rt_extras]))
-
-    def attach_row_ids(df: DataFrame, base, ver) -> DataFrame:
-        return (df.withColumn("_row_id", F.coalesce(
-                    F.col(mat_id), base + F.col("__rt_ri")))
-                .withColumn("_row_commit_version",
-                            F.coalesce(F.col(mat_ver), ver))
-                .drop("__rt_ri", mat_id, mat_ver))
 
     scan_path = F.url_decode(F.regexp_replace(
         F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
@@ -412,8 +417,9 @@ def profile_lines_to_spark(spark: SparkSession,
                     k, F.col(f"__pv_{k}").cast(type_of.get(k, "string"))
                 ).drop(f"__pv_{k}")
             if row_ids:
-                df = attach_row_ids(df, F.col("__rt_base"),
-                                    F.col("__rt_ver")) \
+                df = _attach_row_ids(df, mat_id, mat_ver,
+                                     F.col("__rt_base"),
+                                     F.col("__rt_ver")) \
                     .drop("__rt_base", "__rt_ver")
         parts.append(normalize(df))
     for f in files:
@@ -443,8 +449,8 @@ def profile_lines_to_spark(spark: SparkSession,
         if row_ids:
             # surviving rows keep their pre-deletion physical index, so
             # reconstructed ids are stable across the DV delete
-            df = attach_row_ids(
-                df.withColumnRenamed("__ri", "__rt_ri"),
+            df = _attach_row_ids(
+                df.withColumnRenamed("__ri", "__rt_ri"), mat_id, mat_ver,
                 F.lit(f["baseRowId"]),
                 F.lit(f.get("defaultRowCommitVersion")).cast("long"))
         else:

@@ -61,8 +61,10 @@ def decode_wav(content: bytes) -> "tuple[int, int, list[int]]":
             raw = w.readframes(n)
             samples = list(struct.unpack(f"<{n * w.getnchannels()}h", raw))
             return w.getframerate(), w.getnchannels(), samples
-    except (wave.Error, EOFError) as e:
-        # wave raises EOFError (not wave.Error) on truncated headers
+    except (wave.Error, EOFError, struct.error) as e:
+        # wave raises EOFError (not wave.Error) on truncated headers, and
+        # a header that over-claims frames leaves struct.unpack short —
+        # all surface under the documented ValueError contract
         raise ValueError(f"not a PCM WAV payload: {e}") from e
 
 
@@ -95,7 +97,10 @@ def audio_features(df: DataFrame, media_col: str, id_col: str) -> DataFrame:
             rows = []
             for _i, r in pdf.iterrows():
                 try:
-                    rate, ch, samples = decode_wav(bytes(r[media_col]))
+                    raw = r[media_col]
+                    if raw is None:
+                        raise ValueError("null media value")
+                    rate, ch, samples = decode_wav(bytes(raw))
                     a = np.asarray(samples, dtype=np.int64)
                     prod = a[:-1] * a[1:] if len(a) > 1 else np.array([])
                     rows.append((int(r[id_col]), rate, ch, len(a),

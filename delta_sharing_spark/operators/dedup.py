@@ -160,13 +160,15 @@ def minhash_lsh_candidates(signatures: DataFrame, id_col: str,
     if max_bucket is not None:
         # bucket cardinality is a small aggregate over (band_idx, h); the
         # anti-pattern alternative — a window count over the bucket key —
-        # would sort every bucket, so keep it as an aggregate + semi-join
-        # (broadcast: O(distinct buckets) keys, compact by construction)
+        # would sort every bucket, so keep it as an aggregate + semi-join.
+        # NO forced broadcast: keep has one row per under-cap bucket,
+        # O(docs x bands) at web scale — AQE broadcasts it while it fits
+        # and falls back to a shuffle join when it doesn't
         keep = (buckets.groupBy("band_idx", "h")
                 .agg(F.count("*").alias("bdf"))
                 .filter(F.col("bdf") <= max_bucket)
                 .select("band_idx", "h"))
-        buckets = buckets.join(F.broadcast(keep), ["band_idx", "h"])
+        buckets = buckets.join(keep, ["band_idx", "h"])
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -450,8 +452,12 @@ def bloom_decontaminate(train: DataFrame, bench: DataFrame, id_col: str,
         .agg(F.sum(F.col("hit").cast("int")).alias("nh"))
     )
     cand = hits.filter(F.col("nh") == num_hashes).select(id_col, "s")
+    # verify WITHOUT broadcasting b_sh — the bench set is corpus-sized by
+    # premise (that is why the bitmap exists); the left side is only the
+    # Bloom-passed candidates, so a shuffle join here is tiny-vs-big and
+    # AQE still broadcasts small bench sets on its own
     return (
-        cand.join(F.broadcast(b_sh.withColumn("__real", F.lit(1))),
+        cand.join(b_sh.withColumn("__real", F.lit(1)),
                   "s", "left")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_candidates"),

@@ -758,8 +758,10 @@ class TableLog:
         property that makes checkpointing a 100 TB / million-file table
         incremental instead of a full-manifest rewrite per interval."""
         snap = self.snapshot(version=version)
-        policy = snap.metadata.configuration.get(
-            CHECKPOINT_POLICY_KEY, "classic").lower()
+        cfg = snap.metadata.configuration
+        # both spellings, like every other table property in this engine
+        policy = cfg.get(CHECKPOINT_POLICY_KEY,
+                         cfg.get("checkpointPolicy", "classic")).lower()
         if policy == "v2":
             return self._write_checkpoint_v2(snap)
         kinds = ["metaData", "protocol"]

@@ -48,6 +48,7 @@ def collect_file_stats(file_path: str) -> tuple[int, str]:
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
     nulls: dict[str, int] = {}
+    failed: set[str] = set()
     ncols = meta.num_columns
     for rg_idx in range(meta.num_row_groups):
         rg = meta.row_group(rg_idx)
@@ -67,14 +68,20 @@ def collect_file_stats(file_path: str) -> tuple[int, str]:
                 except Exception:
                     # pyarrow cannot decode every footer stat encoding
                     # (e.g. INT32-backed decimals raise
-                    # ArrowNotImplementedError) — such a column simply
-                    # gets no min/max, which the pruning layer already
-                    # treats as Unknown (never skips on it)
+                    # ArrowNotImplementedError). The WHOLE column must
+                    # then go statless: keeping other row groups' min/max
+                    # would under-cover the file and stats pruning would
+                    # silently skip matching rows — no min/max means the
+                    # pruning layer treats it as Unknown (never skips)
+                    failed.add(name)
                     continue
                 if mn is not None:
                     mins[name] = mn if name not in mins else min(mins[name], mn)
                 if mx is not None:
                     maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    for name in failed:
+        mins.pop(name, None)
+        maxs.pop(name, None)
     stats = {
         "numRecords": num_records,
         "minValues": mins,

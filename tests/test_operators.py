@@ -1265,6 +1265,18 @@ class TestAudio:
         assert got[2].zero_crossings == 0 and got[2].error is None
         assert got[3].error is not None and got[3].n_samples is None
 
+    def test_null_media_value_captured_per_row(self, spark):
+        from delta_sharing_spark.operators.audio import (
+            audio_features,
+            encode_wav,
+        )
+
+        df = spark.createDataFrame(
+            [(1, encode_wav([5, -5])), (2, None)], "id long, audio binary")
+        got = {r.id: r for r in audio_features(df, "audio", "id").collect()}
+        assert got[1].n_samples == 2 and got[1].error is None
+        assert got[2].error == "null media value" and got[2].n_samples is None
+
 
 class TestBloomDecontaminate:
     def test_verify_matches_exact_path(self, spark):
