@@ -1312,3 +1312,50 @@ class TestBloomDecontaminate:
         # self-decontamination: every doc's own shingles all verify
         rows = out.collect()
         assert rows and all(r.n_overlap >= 1 for r in rows)
+
+
+class TestNewOperatorPlanShapes:
+    """Plan-quality gates for the continuation operators: the properties
+    that matter at 100 TB, asserted on the optimized plan itself."""
+
+    def test_audio_features_is_map_only(self, spark):
+        from delta_sharing_spark.operators.audio import (
+            audio_features,
+            encode_wav,
+        )
+
+        df = spark.createDataFrame(
+            [(1, encode_wav([1, 2]))], "id long, audio binary")
+        plan = audio_features(df, "audio", "id") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # no shuffle anywhere
+
+    def test_bloom_decontaminate_no_cartesian(self, spark):
+        from delta_sharing_spark.io import read_table
+        from delta_sharing_spark.operators.dedup import bloom_decontaminate
+
+        docs = read_table(spark, "/root/testdata/sf0.001",
+                          "documents").limit(40)
+        out = bloom_decontaminate(docs, docs.filter("doc_id % 7 = 0"),
+                                  "doc_id", "text", m_bits=1 << 12)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_unimax_windows_are_strata_sized(self, spark):
+        """The water-filling windows run over the per-stratum AGGREGATE
+        (post-groupBy), never the corpus: every Window node in the plan
+        sits above the aggregate exchange."""
+        from delta_sharing_spark.io import read_table
+        from delta_sharing_spark.operators.sampling import unimax_allocation
+
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents") \
+            .selectExpr("lang", "n_chars as n_tok")
+        out = unimax_allocation(docs, "lang", "n_tok", total_budget=10_000)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # the ONLY aggregate below the windows is the per-stratum one;
+        # corpus columns never reach a Window operator
+        assert plan.index("Window") < plan.index("Aggregate")
+        rows = out.collect()
+        assert {r.lang for r in rows} and all(
+            r.allocation <= r.capacity + 1e-9 for r in rows)
