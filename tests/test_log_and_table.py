@@ -3501,3 +3501,60 @@ class TestLastCheckpointPointer:
         fresh = TableLog(spark, d)
         assert fresh.snapshot().version == 1
         assert SharedTable(spark, d).to_df().count() == 60
+
+
+class TestV2CheckpointEquivalence:
+    """Seeded randomized op sequences applied to TWIN tables — one with
+    delta.checkpointPolicy=v2 + a tight checkpoint interval, one with
+    checkpointing disabled — must stay state-identical: every snapshot
+    resolution through sidecar-backed checkpoints equals pure log replay
+    (the same multi-seed equivalence pattern as the quantile-bucketing
+    sweep)."""
+
+    def _apply(self, rng, log, step):
+        op = rng.choice(["append", "delete", "update", "optimize"])
+        spark = log.spark
+        if op == "append":
+            lo = rng.randrange(1000, 9000)
+            log.append(spark.range(lo, lo + rng.randrange(5, 40))
+                       .selectExpr("id AS k", "id * 3 AS v"))
+        elif op == "delete":
+            log.delete(f"k % 17 = {rng.randrange(17)}")
+        elif op == "update":
+            log.update({"v": f"v + {rng.randrange(1, 9)}"},
+                       f"k % 13 = {rng.randrange(13)}")
+        else:
+            log.optimize(target_file_rows=rng.choice([50, 1000, 100000]))
+
+    def test_seeded_op_sequences_match(self, spark, tmp_path):
+        import random
+
+        for seed in range(3):
+            rng_a, rng_b = random.Random(seed), random.Random(seed)
+            da = str(tmp_path / f"v2_{seed}")
+            db = str(tmp_path / f"plain_{seed}")
+            base = spark.range(200).selectExpr("id AS k", "id * 3 AS v")
+            la, lb = TableLog(spark, da), TableLog(spark, db)
+            la.create(base, name="a",
+                      configuration={"delta.checkpointPolicy": "v2",
+                                     "checkpointInterval": "2"})
+            lb.create(base, name="b",
+                      configuration={"checkpointInterval": "0"})
+            for step in range(7):
+                self._apply(rng_a, la, step)
+                self._apply(rng_b, lb, step)
+            assert la._list_checkpoints()  # v2 checkpoints really wrote
+            assert la._checkpoint_sidecars(la._list_checkpoints()[-1])
+            assert not lb._list_checkpoints()
+            # COLD resolution: fresh logs, v2 goes through sidecars,
+            # plain replays every commit — identical state
+            fa = sorted(
+                (r.k, r.v) for r in
+                SharedTable(spark, da).to_df().collect())
+            fb = sorted(
+                (r.k, r.v) for r in
+                SharedTable(spark, db).to_df().collect())
+            assert fa == fb, f"seed {seed} diverged"
+            sa, sb = TableLog(spark, da).snapshot(), \
+                TableLog(spark, db).snapshot()
+            assert sa.version == sb.version
