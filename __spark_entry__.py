@@ -41,7 +41,7 @@ _DRIVER_PRIORITY = [
     # new this round
     "eng_row_tracking", "eng_type_widening", "eng_rest_row_tracking",
     "eng_checkpoint_v2", "q_audio_features", "q_decontaminate_bloom",
-    "q_unimax_budget",
+    "q_unimax_budget", "q_unimax_mixture",
     "q_doremi_weights", "q_ccnet_buckets", "q_text_zipf", "q_text_heaps",
     "eng_cluster_maintenance", "eng_identity",
     "eng_rest_range", "stream_remote_appends", "eng_rest_range_paged",

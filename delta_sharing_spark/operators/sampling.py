@@ -237,8 +237,15 @@ def unimax_allocation(df: DataFrame, strata_col: str, tokens_col: str,
     caps = df.groupBy(strata_col).agg(
         (F.sum(tokens_col) * F.lit(int(epochs))).cast("long")
         .alias("capacity"))
-    everything = Window.partitionBy()
-    order = Window.orderBy("capacity", strata_col)
+    # the windows run over the per-stratum AGGREGATE (O(#strata) rows) —
+    # one partition is the point. The key is a constant-per-row expression
+    # that survives constant folding (a bare literal gets folded away,
+    # reintroducing WindowExec's "No Partition Defined" warning — same
+    # pattern as kmeans_fit's init window), so that warning stays
+    # meaningful for REAL unpartitioned-window hazards elsewhere
+    const_key = F.pmod(F.col("capacity"), F.lit(1))
+    everything = Window.partitionBy(const_key)
+    order = Window.partitionBy(const_key).orderBy("capacity", strata_col)
     run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     b = F.lit(int(total_budget)).cast("double")
     ranked = (
@@ -266,8 +273,9 @@ def unimax_allocation(df: DataFrame, strata_col: str, tokens_col: str,
 
 
 def build_mixture(df: DataFrame, strata_col: str, tokens_col: str,
-                  id_col: str, weights: dict[str, float],
-                  total_tokens: int, salt: str = "mixture") -> DataFrame:
+                  id_col: str, weights: dict[str, float] | None = None,
+                  total_tokens: int | None = None, salt: str = "mixture",
+                  budgets: dict[str, int] | None = None) -> DataFrame:
     """Deterministic token-budget mixture construction: fill each stratum's
     token budget (``floor(weight * total_tokens)``) with documents taken in
     seeded-hash order, stopping at the first document that crosses the
@@ -293,9 +301,21 @@ def build_mixture(df: DataFrame, strata_col: str, tokens_col: str,
        stratum (~1/256 of the stratum) pays a within-bucket window sort.
 
     Returns the kept rows of ``df`` (original columns).
+
+    ``budgets`` passes EXPLICIT per-stratum token budgets instead of
+    ``weights``/``total_tokens`` — the hand-off from an allocator like
+    :func:`unimax_allocation` (floor its per-stratum allocation and feed
+    it here).
     """
     h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-    budgets = [(s, int(float(w) * total_tokens)) for s, w in weights.items()]
+    if budgets is not None:
+        budgets = [(s, int(b)) for s, b in budgets.items()]
+    else:
+        if weights is None or total_tokens is None:
+            raise ValueError("build_mixture: pass weights+total_tokens "
+                             "or explicit budgets")
+        budgets = [(s, int(float(w) * total_tokens))
+                   for s, w in weights.items()]
     if not budgets:
         raise ValueError("build_mixture: weights must name at least one "
                          "stratum (got an empty dict)")

@@ -312,6 +312,95 @@ def q_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_unimax_mixture",
+    oracle="""
+    WITH caps AS (
+      SELECT lang,
+             CAST(SUM(len(string_split(text, ' '))) * 2 AS BIGINT)
+               AS capacity
+      FROM documents GROUP BY lang
+    ),
+    ranked AS (
+      SELECT lang, capacity,
+             ROW_NUMBER() OVER (ORDER BY capacity, lang) AS i,
+             SUM(capacity) OVER (ORDER BY capacity, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             COUNT(*) OVER () AS n
+      FROM caps
+    ),
+    sat AS (
+      SELECT *,
+             (capacity * (n - i + 1) + p - capacity)
+               <= CAST(40000 AS DOUBLE) AS saturated
+      FROM ranked
+    ),
+    xo AS (
+      SELECT *,
+             COALESCE(MAX(CASE WHEN saturated THEN p END) OVER (),
+                      0) AS sat_p,
+             COALESCE(MAX(CASE WHEN saturated THEN i END) OVER (),
+                      0) AS sat_k
+      FROM sat
+    ),
+    alloc AS (
+      SELECT lang,
+             CAST(FLOOR(CASE WHEN saturated THEN CAST(capacity AS DOUBLE)
+                  ELSE (CAST(40000 AS DOUBLE) - sat_p) / (n - sat_k)
+             END) AS BIGINT) AS budget
+      FROM xo
+    ),
+    d AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+             md5('unimax' || doc_id) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT d.*, alloc.budget,
+             COALESCE(SUM(n_tok) OVER (
+                 PARTITION BY d.lang ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS before_row
+      FROM d JOIN alloc USING (lang)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS mix_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM c
+    WHERE before_row < budget
+    GROUP BY lang
+    """,
+)
+def q_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed UniMax pipeline: water-fill the 40k budget into
+    per-language caps, FLOOR the allocations into integer budgets, and
+    fill them with documents via the two-phase bucketed mixture prefix —
+    allocator hand-off to sampler end to end, the whole composition
+    replayed in SQL (id_checksum pins the exact selected set). The
+    allocator result collects driver-side by design: one row per
+    language, bounded by #strata."""
+    import math
+
+    from delta_sharing_spark.operators.sampling import (
+        build_mixture,
+        unimax_allocation,
+    )
+
+    docs = read_table(spark, sf_dir, "documents") \
+        .withColumn("n_tok", F.size(F.split("text", " ")))
+    alloc = unimax_allocation(docs, "lang", "n_tok",
+                              total_budget=40_000, epochs=2).collect()
+    budgets = {r.lang: int(math.floor(r.allocation)) for r in alloc}
+    mix = build_mixture(docs, "lang", "n_tok", "doc_id",
+                        budgets=budgets, salt="unimax")
+    return mix.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("mix_tokens"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+@workload(
     "q_mixture_budget",
     oracle="""
     WITH d AS (
