@@ -38,35 +38,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # the full local sweep (tools/check_correctness.py) remains the complete
 # gate over all entries.
 _DRIVER_PRIORITY = [
-    # new this round
-    "eng_row_tracking", "eng_type_widening", "eng_rest_row_tracking",
-    "eng_checkpoint_v2", "q_audio_features", "q_decontaminate_bloom",
-    "q_unimax_budget", "q_unimax_mixture",
-    "q_doremi_weights", "q_ccnet_buckets", "q_text_zipf", "q_text_heaps",
-    "eng_cluster_maintenance", "eng_identity",
-    "eng_rest_range", "stream_remote_appends", "eng_rest_range_paged",
-    "q_dedup_semantic", "stream_schema_evolution_drain", "q_dsir_resample",
-    "q02_min_cost_supplier", "q20_potential_promotion", "q_bpe_train",
-    "q_bpe_encode",
-    # never driver-sampled through round 5
-    "q_events_gapfill", "q_split_train_val_test", "q_stratified_sample_lang",
-    "q_shuffle_shards", "q_pack_sequences", "q_domain_mix",
-    "q_temperature_resample", "q_mixture_budget", "q_embedding_centroids",
-    "q_ann_kmeans_centroids", "q_ann_ivf_learned",
-    "q_embedding_near_dup_blocked", "q_ann_ivf_topk", "q_embedding_quantize",
-    "q_embedding_near_dup_ivf", "q_knn_label_propagation",
-    "q_ann_pq_codebooks", "q_ann_pq_adc", "q_ann_ivf_pq",
-    "stream_snapshot_drain", "stream_availablenow_drain",
-    "stream_incremental_appends", "stream_cdf_drain", "stream_dedup_drain",
-    "stream_sessionize_drain", "q_text_token_stats", "q_text_quality",
-    "q_text_langid", "q_text_fingerprint", "q_text_token_count",
-    "q_text_tfidf", "q_text_repetition", "q_pii_detect", "q_pii_redact",
-    "q_profile_documents", "q_text_gopher_rules", "q_quality_classifier",
-    "q_lm_filter", "q07_volume_shipping", "q08_market_share",
+    # The 25 queries that have never had a driver CORRECTNESS row through
+    # round 6 (rounds 1-6 cumulatively sampled the other 130) — front-load
+    # them so CORRECTNESS_r07 closes the driver-green set over all 155.
+    "q07_volume_shipping", "q08_market_share",
     "q09_product_type_profit", "q10_returned_items", "q11_important_parts",
     "q12_late_shipments", "q13_customer_distribution", "q14_promo_revenue",
     "q15_top_supplier", "q16_part_supplier_counts", "q19_discounted_revenue",
     "q21_waiting_suppliers", "q22_dormant_customers",
+    "q_text_quality", "q_text_langid", "q_text_fingerprint",
+    "q_text_token_count", "q_text_tfidf", "q_text_repetition",
+    "q_pii_detect", "q_pii_redact", "q_profile_documents",
+    "q_text_gopher_rules", "q_quality_classifier", "q_lm_filter",
+    # new this round (appended as they land; 25 slots remain in the sample)
+    "q_audio_windows", "eng_type_widening_nested",
+    "eng_rest_row_tracking_range", "eng_rest_row_tracking_cdf",
+    "stream_remote_deep_drain",
 ]
 
 
