@@ -1921,10 +1921,19 @@ class TableLog:
         (byte→short→integer→long, float→double, date→timestampNtz,
         decimal growth with a non-shrinking integer part). Old files
         stay valid — Spark 4's parquet reader upcasts their narrow
-        values natively when scanned under the new schema, so no data
-        is ever rewritten. The change is recorded in the field's
-        ``delta.typeChanges`` metadata exactly like Delta's protocol
-        ("Type Widening": [{"fromType", "toType"}] per change)."""
+        values natively when scanned under the new schema (verified for
+        nested struct/array/map positions too), so no data is ever
+        rewritten.
+
+        ``name`` may be a dotted path into a nested type: struct members
+        by name (``s.x``, ``n.inner.y``), array elements as ``a.element``,
+        map sides as ``m.key`` / ``m.value``, and compositions
+        (``a.element.x``). Per Delta's protocol ("Type Widening"), the
+        change is recorded in the ``delta.typeChanges`` metadata of the
+        NEAREST ancestor StructField — on the changed struct member
+        itself, or on the enclosing field with a ``fieldPath`` of
+        element/key/value steps when the change sits inside an
+        array/map (ref PROTOCOL.md Type Widening examples)."""
         if isinstance(new_type, str):
             from pyspark.sql.types import _parse_datatype_string
 
@@ -1936,37 +1945,147 @@ class TableLog:
             raise ValueError(
                 "type widening requires delta.enableTypeWidening=true "
                 "on the table (set it via update_metadata/create)")
-        field = next((f for f in snap.schema.fields if f.name == name),
-                     None)
-        if field is None:
-            raise ValueError(f"no such column: {name!r}")
-        if field.dataType == new_type:
+        segments = name.split(".")
+        top = next((f for f in snap.schema.fields
+                    if f.name == segments[0]), None)
+        if top is None:
+            raise ValueError(f"no such column: {segments[0]!r}")
+        new_top, change = self._widen_field(top, segments[1:], new_type,
+                                            name)
+        if change is None:
             return snap.version  # no-op, nothing to record
-        from delta_sharing_spark.streaming.schema import _widenable
-
-        if not _widenable(field.dataType, new_type):
-            raise ValueError(
-                f"unsupported type change for column {name!r}: "
-                f"{field.dataType.simpleString()} -> "
-                f"{new_type.simpleString()} is not a lossless widening")
         # a CHECK constraint or generation expression evaluated over the
         # widened type could change meaning — same guard as rename/drop
-        self._check_column_unreferenced(snap, name, "widen the type of")
-        md = dict(field.metadata or {})
-        changes = list(md.get("delta.typeChanges", []))
-        changes.append({"fromType": field.dataType.simpleString(),
-                        "toType": new_type.simpleString()})
-        md["delta.typeChanges"] = changes
-        fields = [
-            T.StructField(f.name, new_type, f.nullable, md)
-            if f.name == name else f
-            for f in snap.schema.fields
-        ]
+        self._check_column_unreferenced(snap, segments[0],
+                                        "widen the type of")
+        fields = [new_top if f.name == segments[0] else f
+                  for f in snap.schema.fields]
         return self._metadata_commit(
             snap, T.StructType(fields).json(),
             snap.metadata.partitionColumns, cfg, "CHANGE COLUMN",
-            {"column": name, "from": field.dataType.simpleString(),
-             "to": new_type.simpleString()})
+            {"column": name, "from": change[0], "to": change[1]})
+
+    @classmethod
+    def _widen_field(cls, field: T.StructField, path: list[str],
+                     new_type: T.DataType, full_name: str
+                     ) -> tuple[T.StructField, tuple[str, str] | None]:
+        """Widen ``path`` (segments below ``field``) to ``new_type``.
+        Returns the rebuilt field and ``(fromType, toType)`` simple
+        strings, or ``(field, None)`` when the target already has the
+        requested type. Stamps ``delta.typeChanges`` on this field when
+        it is the nearest StructField ancestor of the change."""
+        from delta_sharing_spark.streaming.schema import _widenable
+
+        if not path:
+            if field.dataType == new_type:
+                return field, None
+            if not _widenable(field.dataType, new_type):
+                raise ValueError(
+                    f"unsupported type change for column {full_name!r}: "
+                    f"{field.dataType.simpleString()} -> "
+                    f"{new_type.simpleString()} is not a lossless "
+                    "widening")
+            change = (field.dataType.simpleString(),
+                      new_type.simpleString())
+            md = cls._stamp_type_change(field.metadata, change, None)
+            return T.StructField(field.name, new_type, field.nullable,
+                                 md), change
+        new_dt, change, anchored = cls._widen_dtype(
+            field.dataType, path, new_type, full_name)
+        if change is None:
+            return field, None
+        md = field.metadata
+        if not anchored:
+            # change sits inside array/map levels with no struct member
+            # in between -> this field is the nearest StructField; record
+            # the element/key/value walk as fieldPath
+            md = cls._stamp_type_change(md, change, ".".join(path))
+        return T.StructField(field.name, new_dt, field.nullable, md), change
+
+    @classmethod
+    def _widen_dtype(cls, dtype: T.DataType, path: list[str],
+                     new_type: T.DataType, full_name: str
+                     ) -> tuple[T.DataType, tuple[str, str] | None, bool]:
+        """Rebuild ``dtype`` with ``path`` widened. Third element is True
+        when a StructField at-or-below this level already recorded the
+        change (so enclosing fields must NOT stamp a fieldPath)."""
+        from delta_sharing_spark.streaming.schema import _widenable
+
+        seg = path[0]
+        if isinstance(dtype, T.StructType):
+            inner = next((f for f in dtype.fields if f.name == seg), None)
+            if inner is None:
+                raise ValueError(
+                    f"no such nested field {seg!r} in column path "
+                    f"{full_name!r} (struct has: "
+                    f"{[f.name for f in dtype.fields]})")
+            new_inner, change = cls._widen_field(inner, path[1:],
+                                                 new_type, full_name)
+            fields = [new_inner if f.name == seg else f
+                      for f in dtype.fields]
+            return T.StructType(fields), change, True
+        if isinstance(dtype, T.ArrayType):
+            if seg != "element":
+                raise ValueError(
+                    f"path step {seg!r} in {full_name!r} descends into an "
+                    "array; use 'element'")
+            if len(path) == 1:
+                if dtype.elementType == new_type:
+                    return dtype, None, False
+                if not _widenable(dtype.elementType, new_type):
+                    raise ValueError(
+                        f"unsupported type change for {full_name!r}: "
+                        f"{dtype.elementType.simpleString()} -> "
+                        f"{new_type.simpleString()} is not a lossless "
+                        "widening")
+                change = (dtype.elementType.simpleString(),
+                          new_type.simpleString())
+                return T.ArrayType(new_type, dtype.containsNull), \
+                    change, False
+            new_el, change, anchored = cls._widen_dtype(
+                dtype.elementType, path[1:], new_type, full_name)
+            return T.ArrayType(new_el, dtype.containsNull), change, anchored
+        if isinstance(dtype, T.MapType):
+            if seg not in ("key", "value"):
+                raise ValueError(
+                    f"path step {seg!r} in {full_name!r} descends into a "
+                    "map; use 'key' or 'value'")
+            side = dtype.keyType if seg == "key" else dtype.valueType
+            if len(path) == 1:
+                if side == new_type:
+                    return dtype, None, False
+                if not _widenable(side, new_type):
+                    raise ValueError(
+                        f"unsupported type change for {full_name!r}: "
+                        f"{side.simpleString()} -> "
+                        f"{new_type.simpleString()} is not a lossless "
+                        "widening")
+                change = (side.simpleString(), new_type.simpleString())
+                new_side, anchored = new_type, False
+            else:
+                new_side, change, anchored = cls._widen_dtype(
+                    side, path[1:], new_type, full_name)
+            if seg == "key":
+                return T.MapType(new_side, dtype.valueType,
+                                 dtype.valueContainsNull), change, anchored
+            return T.MapType(dtype.keyType, new_side,
+                             dtype.valueContainsNull), change, anchored
+        raise ValueError(
+            f"column path {full_name!r} descends into a non-nested type "
+            f"({dtype.simpleString()}) at step {seg!r}")
+
+    @staticmethod
+    def _stamp_type_change(metadata: dict | None,
+                           change: tuple[str, str],
+                           field_path: str | None) -> dict:
+        md = dict(metadata or {})
+        changes = list(md.get("delta.typeChanges", []))
+        entry = {"fromType": change[0], "toType": change[1]}
+        if field_path is not None:
+            entry["fieldPath"] = field_path
+        changes.append(entry)
+        md["delta.typeChanges"] = changes
+        return md
 
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN — metadata-only under column mapping:

@@ -180,6 +180,35 @@ def _widenable(src: T.DataType, dst: T.DataType) -> bool:
     return False
 
 
+def _widenable_deep(src: T.DataType, dst: T.DataType) -> bool:
+    """:func:`_widenable` extended through nested types: a narrow file
+    schema is readable under a planned schema whose struct members /
+    array elements / map sides are each equal-or-widened (matched by
+    name for struct members; no members may appear or vanish and
+    nullability may not loosen). This is what lets a stream restarted
+    after a NESTED ``widen_column_type`` drain its pre-widen backlog —
+    the executor projection casts each nested position losslessly."""
+    if _widenable(src, dst):
+        return True
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        if [f.name for f in src.fields] != [f.name for f in dst.fields]:
+            return False
+        return all(
+            _widenable_deep(s.dataType, d.dataType)
+            and not (s.nullable and not d.nullable)
+            for s, d in zip(src.fields, dst.fields))
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        if src.containsNull and not dst.containsNull:
+            return False
+        return _widenable_deep(src.elementType, dst.elementType)
+    if isinstance(src, T.MapType) and isinstance(dst, T.MapType):
+        if src.valueContainsNull and not dst.valueContainsNull:
+            return False
+        return (_widenable_deep(src.keyType, dst.keyType)
+                and _widenable_deep(src.valueType, dst.valueType))
+    return False
+
+
 def is_read_compatible_physical(planned: T.StructType,
                                 new: T.StructType) -> bool:
     """The gate for a reader that resolves columns by PHYSICAL name and
@@ -208,7 +237,7 @@ def is_read_compatible_physical(planned: T.StructType,
         pf = planned_by_phys.get(phys)
         if pf is None:
             return False  # data the plan cannot represent -> loss
-        if not (_widenable(nf.dataType, pf.dataType)
+        if not (_widenable_deep(nf.dataType, pf.dataType)
                 or _datatype_read_compatible(nf.dataType, pf.dataType)):
             return False
         if nf.nullable and not pf.nullable:

@@ -29,6 +29,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from delta_sharing_spark.plans.log import (
     Snapshot,
@@ -396,6 +397,26 @@ class SharedTable:
 
     # ------------------------------------------------------------------ reads
 
+    @staticmethod
+    def _cast_type(dtype: T.DataType) -> T.DataType:
+        """``dtype`` with every nested nullability relaxed, for use as a
+        CAST target: Spark rejects casting a (parquet-nullable) struct to
+        one with NOT NULL members — nullability is a table constraint the
+        writer enforced, not a conversion the reader performs. The cast
+        still converts every nested TYPE (the widening read path)."""
+        if isinstance(dtype, T.StructType):
+            return T.StructType([
+                T.StructField(f.name, SharedTable._cast_type(f.dataType),
+                              True, f.metadata)
+                for f in dtype.fields])
+        if isinstance(dtype, T.ArrayType):
+            return T.ArrayType(SharedTable._cast_type(dtype.elementType),
+                               True)
+        if isinstance(dtype, T.MapType):
+            return T.MapType(SharedTable._cast_type(dtype.keyType),
+                             SharedTable._cast_type(dtype.valueType), True)
+        return dtype
+
     def _normalize(self, df: DataFrame, snapshot: Snapshot) -> DataFrame:
         """Projection normalization (ref python/delta_sharing/reader.py:630-674):
         case-insensitive resolve, cast to declared types, null-fill columns
@@ -404,10 +425,11 @@ class SharedTable:
         cols = []
         for field in snapshot.schema.fields:
             src = lower.get(field.name.lower())
+            dt = self._cast_type(field.dataType)
             if src is None:
-                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+                cols.append(F.lit(None).cast(dt).alias(field.name))
             else:
-                cols.append(F.col(src).cast(field.dataType).alias(field.name))
+                cols.append(F.col(src).cast(dt).alias(field.name))
         return df.select(*cols)
 
     def _normalize_with_extras(self, df: DataFrame, snapshot: Snapshot,
@@ -418,12 +440,11 @@ class SharedTable:
         cols = []
         for field in snapshot.schema.fields:
             src = lower.get(field.name.lower())
+            dt = self._cast_type(field.dataType)
             if src is None:
-                cols.append(F.lit(None).cast(field.dataType)
-                            .alias(field.name))
+                cols.append(F.lit(None).cast(dt).alias(field.name))
             else:
-                cols.append(F.col(src).cast(field.dataType)
-                            .alias(field.name))
+                cols.append(F.col(src).cast(dt).alias(field.name))
         return df.select(*cols, *[F.col(e) for e in extras])
 
     def to_df(

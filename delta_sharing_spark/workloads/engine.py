@@ -1468,6 +1468,82 @@ def eng_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n", "f", F.col("d").cast("string").alias("d"))
 
 
+def _documents_widen_nested(spark: SparkSession, sf_dir: str) -> str:
+    """Nested type-widening fixture: v0 = even doc_ids with NARROW types
+    inside nested positions (struct member int + decimal(5,2), array<int>
+    elements, map<string,int> values); v1-v4 = widen_column_type at the
+    dotted paths s.x / s.d / a.element / m.value (metadata-only); v5 =
+    append odd doc_ids with values only the wide nested types hold.
+    One scan reads both narrow and wide files — the parquet reader
+    upcasts every nested position of the narrow half."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        docs = read_table(spark, sf_dir, "documents") \
+            .select("doc_id", "n_chars")
+        even = docs.filter(F.col("doc_id") % 2 == 0).selectExpr(
+            "doc_id",
+            "named_struct('x', cast(n_chars as int), "
+            "             'd', cast(doc_id % 100 + 0.25 as decimal(5,2))"
+            ") as s",
+            "array(cast(n_chars as int), cast(doc_id % 1000 as int)) as a",
+            "map('k', cast(n_chars as int)) as m")
+        log = TableLog(spark, path)
+        log.create(even, name="documents_widen_nested",
+                   configuration={"delta.enableTypeWidening": "true"})
+        log.widen_column_type("s.x", "long")
+        log.widen_column_type("s.d", "decimal(12,4)")
+        log.widen_column_type("a.element", "long")
+        log.widen_column_type("m.value", "long")
+        odd = docs.filter(F.col("doc_id") % 2 == 1).selectExpr(
+            "doc_id",
+            "named_struct('x', n_chars + 3000000000, "
+            "             'd', cast(doc_id % 1000 + 123.4567 "
+            "                       as decimal(12,4))) as s",
+            "array(n_chars + 3000000000, "
+            "      cast(doc_id % 1000 as bigint)) as a",
+            "map('k', n_chars + 4000000000) as m")
+        log.append(odd)
+
+    return _fixture(spark, sf_dir, "documents_widen_nested", build)
+
+
+@workload(
+    "eng_type_widening_nested",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS BIGINT)
+                ELSE n_chars + 3000000000 END AS sx,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN CAST(CAST(doc_id % 100 + 0.25 AS DECIMAL(5,2))
+                          AS DECIMAL(12,4))
+                ELSE CAST(doc_id % 1000 + 123.4567 AS DECIMAL(12,4))
+           END AS VARCHAR) AS sd,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(n_chars AS BIGINT) + doc_id % 1000
+                ELSE n_chars + 3000000000 + doc_id % 1000 END AS asum,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS BIGINT)
+                ELSE n_chars + 4000000000 END AS mv
+    FROM documents
+    """,
+)
+def eng_type_widening_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED type widening under the FULL value gate: dotted-path
+    ``widen_column_type`` (struct member, array element, map value —
+    Delta protocol "Type Widening" with nearest-ancestor
+    ``delta.typeChanges`` + ``fieldPath``) applied between two batches;
+    one snapshot scan serves narrow and wide nested files together and
+    every nested value — struct int member past int range, decimal scale
+    growth, array elements, map values — comes back exact. Output is
+    projected to flat scalars so the cross-engine hash gate applies."""
+    t = SharedTable(spark, _documents_widen_nested(spark, sf_dir))
+    return t.to_df().select(
+        "doc_id",
+        F.col("s.x").alias("sx"),
+        F.col("s.d").cast("string").alias("sd"),
+        (F.element_at("a", 1) + F.element_at("a", 2)).alias("asum"),
+        F.element_at("m", F.lit("k")).alias("mv"))
+
+
 def _documents_rt(spark: SparkSession, sf_dir: str) -> str:
     """Row-tracking fixture with a fully deterministic id layout: each
     batch is ONE file with rows sorted by doc_id (row index == rank), so

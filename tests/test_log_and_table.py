@@ -3344,6 +3344,159 @@ class TestTypeWidening:
         assert isinstance(f.dataType, T.LongType)
 
 
+class TestNestedTypeWidening:
+    """widen_column_type with dotted paths into nested types — Delta's
+    Type Widening applies inside structs/arrays/maps; the change is
+    recorded in the nearest ancestor StructField's delta.typeChanges
+    (with a fieldPath of element/key/value steps when the change sits
+    inside an array/map), ref Delta PROTOCOL.md "Type Widening"."""
+
+    def _table(self, spark, tmp_path, cm=False):
+        d = str(tmp_path / "nt")
+        log = TableLog(spark, d)
+        df = spark.sql("""
+            SELECT id,
+                   named_struct('x', CAST(id AS INT),
+                                'd', CAST(id + 0.25 AS DECIMAL(5,2))) s,
+                   array(CAST(id AS INT), CAST(id + 1 AS INT)) a,
+                   map(CAST(id AS INT), CAST(id * 10 AS INT)) m,
+                   array(named_struct('y', CAST(id AS FLOAT))) asf
+            FROM range(5)
+        """)
+        log.create(df.coalesce(1), name="t",
+                   configuration={"delta.enableTypeWidening": "true"})
+        if cm:
+            log.enable_column_mapping()
+        return log
+
+    def test_struct_member_widen_reads_old_files(self, spark, tmp_path):
+        log = self._table(spark, tmp_path)
+        files_before = sorted(x.path for x in log.snapshot().files)
+        log.widen_column_type("s.x", "long")
+        snap = log.snapshot()
+        assert sorted(x.path for x in snap.files) == files_before
+        s = next(f for f in snap.schema.fields if f.name == "s")
+        x = next(f for f in s.dataType.fields if f.name == "x")
+        assert isinstance(x.dataType, T.LongType)
+        # recorded on the nested member itself — the nearest StructField
+        assert x.metadata["delta.typeChanges"] == [
+            {"fromType": "int", "toType": "bigint"}]
+        assert "delta.typeChanges" not in (s.metadata or {})
+        log.append(spark.sql(
+            "SELECT CAST(99 AS LONG) id, "
+            "named_struct('x', CAST(3000000000 AS LONG), "
+            "             'd', CAST(9.5 AS DECIMAL(5,2))) s, "
+            "array(CAST(1 AS INT)) a, map(CAST(1 AS INT), CAST(2 AS INT)) m, "
+            "array(named_struct('y', CAST(1.0 AS FLOAT))) asf"))
+        got = sorted(r.s.x for r in
+                     SharedTable(spark, log.path).to_df().collect())
+        assert got == [0, 1, 2, 3, 4, 3000000000]
+
+    def test_array_element_fieldpath(self, spark, tmp_path):
+        log = self._table(spark, tmp_path)
+        log.widen_column_type("a.element", "long")
+        a = next(f for f in log.snapshot().schema.fields if f.name == "a")
+        assert a.dataType == T.ArrayType(T.LongType(), False)
+        assert a.metadata["delta.typeChanges"] == [
+            {"fromType": "int", "toType": "bigint",
+             "fieldPath": "element"}]
+        rows = SharedTable(spark, log.path).to_df().orderBy("id").collect()
+        assert rows[2].a == [2, 3]
+
+    def test_map_key_and_value_fieldpath(self, spark, tmp_path):
+        log = self._table(spark, tmp_path)
+        log.widen_column_type("m.value", "long")
+        log.widen_column_type("m.key", "long")
+        m = next(f for f in log.snapshot().schema.fields if f.name == "m")
+        assert m.dataType == T.MapType(T.LongType(), T.LongType(), False)
+        assert m.metadata["delta.typeChanges"] == [
+            {"fromType": "int", "toType": "bigint", "fieldPath": "value"},
+            {"fromType": "int", "toType": "bigint", "fieldPath": "key"}]
+        rows = SharedTable(spark, log.path).to_df().orderBy("id").collect()
+        assert rows[3].m == {3: 30}
+
+    def test_struct_inside_array_anchors_on_member(self, spark, tmp_path):
+        """array<struct<y:float>> widened at asf.element.y: the nearest
+        StructField ancestor is the struct member y — recorded there
+        with NO fieldPath."""
+        log = self._table(spark, tmp_path)
+        log.widen_column_type("asf.element.y", "double")
+        asf = next(f for f in log.snapshot().schema.fields
+                   if f.name == "asf")
+        y = asf.dataType.elementType.fields[0]
+        assert isinstance(y.dataType, T.DoubleType)
+        assert y.metadata["delta.typeChanges"] == [
+            {"fromType": "float", "toType": "double"}]
+        assert "delta.typeChanges" not in (asf.metadata or {})
+        rows = SharedTable(spark, log.path).to_df().orderBy("id").collect()
+        assert rows[1].asf[0].y == 1.0
+
+    def test_nested_decimal_growth(self, spark, tmp_path):
+        log = self._table(spark, tmp_path)
+        log.widen_column_type("s.d", "decimal(12,4)")
+        rows = SharedTable(spark, log.path).to_df().orderBy("id").collect()
+        assert str(rows[2].s.d) == "2.2500"
+
+    def test_nested_widen_under_column_mapping(self, spark, tmp_path):
+        """Rename the top-level struct column (physical name frozen),
+        then widen a nested member: old files resolve by top-level
+        physical name AND upcast the nested position."""
+        log = self._table(spark, tmp_path, cm=True)
+        log.rename_column("s", "payload")
+        log.widen_column_type("payload.x", "long")
+        log.append(spark.sql(
+            "SELECT CAST(99 AS LONG) id, "
+            "named_struct('x', CAST(4000000000 AS LONG), "
+            "             'd', CAST(9.5 AS DECIMAL(5,2))) payload, "
+            "array(CAST(1 AS INT)) a, map(CAST(1 AS INT), CAST(2 AS INT)) m, "
+            "array(named_struct('y', CAST(1.0 AS FLOAT))) asf"))
+        df = SharedTable(spark, log.path).to_df()
+        got = sorted(r.payload.x for r in df.collect())
+        assert got == [0, 1, 2, 3, 4, 4000000000]
+
+    def test_bad_paths_and_non_widening(self, spark, tmp_path):
+        log = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="no such nested field"):
+            log.widen_column_type("s.zz", "long")
+        with pytest.raises(ValueError, match="use 'element'"):
+            log.widen_column_type("a.item", "long")
+        with pytest.raises(ValueError, match="use 'key' or 'value'"):
+            log.widen_column_type("m.element", "long")
+        with pytest.raises(ValueError, match="non-nested type"):
+            log.widen_column_type("id.x", "long")
+        with pytest.raises(ValueError, match="not a lossless widening"):
+            log.widen_column_type("s.x", "short")
+
+    def test_nested_noop_returns_version(self, spark, tmp_path):
+        log = self._table(spark, tmp_path)
+        v = log.snapshot().version
+        assert log.widen_column_type("s.x", "int") == v
+        assert log.widen_column_type("a.element", "int") == v
+
+    def test_stream_restart_gate_allows_nested_widen(self):
+        """A restarted stream's physical-name gate admits a pre-widen
+        NESTED schema under the widened plan (and still rejects
+        narrowing / nullability loosening)."""
+        from delta_sharing_spark.streaming.schema import _widenable_deep
+
+        narrow = T.StructType([T.StructField("x", T.IntegerType(), False)])
+        wide = T.StructType([T.StructField("x", T.LongType(), False)])
+        assert _widenable_deep(narrow, wide)
+        assert not _widenable_deep(wide, narrow)
+        assert _widenable_deep(T.ArrayType(T.IntegerType()),
+                               T.ArrayType(T.LongType()))
+        assert not _widenable_deep(
+            T.ArrayType(T.IntegerType(), containsNull=True),
+            T.ArrayType(T.LongType(), containsNull=False))
+        assert _widenable_deep(
+            T.MapType(T.IntegerType(), T.FloatType()),
+            T.MapType(T.LongType(), T.DoubleType()))
+        # nullability loosening inside a struct is NOT admissible
+        loose = T.StructType([T.StructField("x", T.IntegerType(), True)])
+        strict = T.StructType([T.StructField("x", T.LongType(), False)])
+        assert not _widenable_deep(loose, strict)
+
+
 class TestV2Checkpoints:
     """delta.checkpointPolicy=v2: file actions in content-addressed
     sidecar parquets, table-wide state + sidecar refs in a small
