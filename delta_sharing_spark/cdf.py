@@ -331,11 +331,22 @@ def table_changes_actions(
             for a in commit.adds:
                 if not a.dataChange:
                     continue
-                lines.append({"add": {
+                line = {"add": {
                     "url": log.abs_path(a.path), "id": a.path,
                     "partitionValues": a.partitionValues, "size": a.size,
                     "stats": a.stats, "timestamp": commit.timestamp,
-                    "version": commit.version}})
+                    "version": commit.version}}
+                if a.baseRowId is not None:
+                    # row-tracking AddFile fields ride the changes form too
+                    # (verbatim delta actions, matching the snapshot and
+                    # version-range responses) so a CDF consumer can
+                    # reconstruct stable row ids for inserted rows
+                    line["add"]["baseRowId"] = a.baseRowId
+                    line["add"]["defaultRowCommitVersion"] = (
+                        a.defaultRowCommitVersion
+                        if a.defaultRowCommitVersion is not None
+                        else commit.version)
+                lines.append(line)
             for r in commit.removes:
                 if not r.dataChange:
                     continue

@@ -347,9 +347,14 @@ def load_table_changes_as_spark(
     starting_timestamp: str | None = None,
     ending_timestamp: str | None = None,
     spark: SparkSession | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
-    """CDF twin of load_as_spark (delta_sharing.py load_table_changes_as_spark)."""
-    from delta_sharing_spark.cdf import table_changes
+    """CDF twin of load_as_spark (delta_sharing.py load_table_changes_as_spark).
+    ``row_ids=True`` (requires a row-tracked table) appends ``_row_id`` /
+    ``_row_commit_version`` to insert rows, reconstructed from the wire
+    actions' ``baseRowId``/``defaultRowCommitVersion`` (NULL on
+    cdc/remove rows — change images carry no materialized ids)."""
+    from delta_sharing_spark.cdf import table_changes, table_changes_actions
 
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
@@ -365,8 +370,20 @@ def load_table_changes_as_spark(
             ending_timestamp=ending_timestamp,
             response_formats="delta,parquet",
             include_historical_metadata=True)
-        return _changes_lines_to_spark(spark, lines)
+        return _changes_lines_to_spark(spark, lines, row_ids=row_ids)
     table = _resolve(spark, url)
+    if row_ids:
+        # the in-process leg shares the wire rebuild: the actions form
+        # carries absolute local paths, so one reconstruction serves both
+        out = table_changes_actions(
+            spark, table.log.path,
+            starting_version=starting_version,
+            ending_version=ending_version,
+            starting_timestamp=starting_timestamp,
+            ending_timestamp=ending_timestamp,
+            include_historical_metadata=True)
+        return _changes_lines_to_spark(spark, out["actions"],
+                                       row_ids=True)
     return table_changes(
         spark, table.log.path,
         starting_version=starting_version, ending_version=ending_version,
@@ -389,18 +406,25 @@ def _delta_changes_to_profile_shape(lines: list) -> list:
             kind = next(iter(w["deltaSingleAction"]))
             a = w["deltaSingleAction"][kind]
             key = {"add": "add", "remove": "remove", "cdc": "cdf"}[kind]
-            out.append({key: {
+            entry = {
                 "url": a["path"], "id": w.get("id"),
                 "partitionValues": a.get("partitionValues", {}),
                 "version": w.get("version"),
                 "timestamp": w.get("timestamp"),
-            }})
+            }
+            for k in ("baseRowId", "defaultRowCommitVersion"):
+                # row-tracking AddFile fields (Delta "Row Tracking") pass
+                # through for the row_ids=True reconstruction
+                if a.get(k) is not None:
+                    entry[k] = a[k]
+            out.append({key: entry})
         else:
             out.append(line)
     return out
 
 
-def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
+def _changes_lines_to_spark(spark: SparkSession, lines: list,
+                            row_ids: bool = False) -> DataFrame:
     """Wire CDF response → DataFrame: one explicit-schema scan per (schema
     epoch, action kind), per-file commit version/timestamp attached by a
     broadcast path join (union-of-scans shape as the reference's
@@ -418,12 +442,25 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
     lossless for every read-compatible history). A non-widening change
     raises — the in-process ``table_changes`` parity. Accepts both the
     parquet-profile shape and the delta format the server forces for
-    column-mapped tables."""
+    column-mapped tables.
+
+    ``row_ids=True`` (requires a row-tracked table) appends
+    ``_row_id`` / ``_row_commit_version`` to INSERT rows, reconstructed
+    from each add action's ``baseRowId``/``defaultRowCommitVersion`` +
+    parquet row index with materialized-column overrides — the
+    range/changes twin of the snapshot-form reconstruction
+    (deltaformat.py). cdc/remove rows carry NULL ids: Delta does not
+    materialize row ids into change-data pre/post-image files."""
     import json as _json
 
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    from delta_sharing_spark.deltaformat import (
+        _attach_row_ids,
+        _check_base_row_ids,
+        _row_tracking_cols,
+    )
     from delta_sharing_spark.streaming.schema import (
         _datatype_read_compatible,
         _widenable,
@@ -439,6 +476,7 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
                     "delta.columnMapping.mode") == "name")
 
     head: tuple[T.StructType, bool] | None = None
+    head_config: dict = {}
     # epochs: list of (epoch_schema, cm, {"add": [...], ...})
     epochs: list[tuple[T.StructType, bool, dict[str, list[dict]]]] = []
     for line in lines:
@@ -446,6 +484,7 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
             schema_cm = parse_meta(line["metaData"])
             if head is None:
                 head = schema_cm  # head = the range-end snapshot's
+                head_config = line["metaData"].get("configuration") or {}
                 epochs.append((*schema_cm, {"add": [], "cdf": [],
                                             "remove": []}))
             else:
@@ -461,6 +500,11 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
     if head is None:
         raise ValueError("changes response lacks a metaData line")
     schema, cm = head
+    mat_id, mat_ver = _row_tracking_cols(head_config)
+    if row_ids:
+        _check_base_row_ids(
+            [(a.get("url"), a.get("baseRowId"))
+             for _s, _c, groups in epochs for a in groups["add"]])
 
     def phys_name(f: T.StructField, mapped: bool) -> str:
         return ((f.metadata or {}).get("delta.columnMapping.physicalName",
@@ -478,7 +522,9 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
         T.StructField("_change_type", T.StringType()),
         T.StructField("_commit_version", T.LongType()),
         T.StructField("_commit_timestamp", T.LongType()),
-    ]
+    ] + ([T.StructField("_row_id", T.LongType()),
+          T.StructField("_row_commit_version", T.LongType())]
+         if row_ids else [])
     parts: list[DataFrame] = []
     for ep_schema, ep_cm, groups in epochs:
         ep_phys = physical(ep_schema, ep_cm)
@@ -507,38 +553,61 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
             for a in actions:
                 pv_union.update({k: True
                                  for k in (a.get("partitionValues") or {})})
+            attach_ids = row_ids and kind == "add"
             meta = spark.createDataFrame(
                 [(a["url"], int(a["version"]), int(a["timestamp"]),
                   *[(a.get("partitionValues") or {}).get(k) or None
-                    for k in pv_union])
+                    for k in pv_union],
+                  *([a.get("baseRowId"),
+                     a.get("defaultRowCommitVersion")]
+                    if attach_ids else []))
                  for a in actions],
                 T.StructType(
                     [T.StructField("__path", T.StringType()),
                      T.StructField("_commit_version", T.LongType()),
                      T.StructField("_commit_timestamp", T.LongType())]
                     + [T.StructField(f"__pv_{k}", T.StringType())
-                       for k in pv_union]))
+                       for k in pv_union]
+                    + ([T.StructField("__rt_base", T.LongType()),
+                        T.StructField("__rt_ver", T.LongType())]
+                       if attach_ids else [])))
             read_schema = ep_phys
             if kind == "cdf":
                 # cdc files physically carry their own _change_type
                 read_schema = T.StructType(
                     list(ep_phys.fields)
                     + [T.StructField("_change_type", T.StringType())])
+            if attach_ids:
+                # materialized row-id override columns: only maintenance/
+                # DML-written files carry them, the rest null-fill and
+                # fall back to baseRowId + row index
+                read_schema = T.StructType(
+                    list(read_schema.fields)
+                    + [T.StructField(mat_id, T.LongType()),
+                       T.StructField(mat_ver, T.LongType())])
             # partition columns never live in the file bytes
             read_schema = T.StructType(
                 [f for f in read_schema.fields if f.name not in pv_union])
             # __path is captured ONCE at scan time — input_file_name() is
             # undefined after a join, so all per-file attributes ride a
             # single broadcast join on it
-            df = (
-                spark.read.schema(read_schema)
+            df = spark.read.schema(read_schema) \
                 .parquet(*[a["url"] for a in actions])
-                .withColumn("__path", F.url_decode(F.regexp_replace(
+            if attach_ids:
+                df = df.select(
+                    "*", F.col("_metadata.row_index").alias("__rt_ri"))
+            df = (
+                df.withColumn("__path", F.url_decode(F.regexp_replace(
                     F.regexp_replace(F.input_file_name(), "^file:(//)?", ""),
                     r"\+", "%2B")))
                 .join(F.broadcast(meta), "__path")
                 .drop("__path")
             )
+            if attach_ids:
+                df = _attach_row_ids(df, mat_id, mat_ver,
+                                     F.col("__rt_base"),
+                                     F.col("__rt_ver")) \
+                    .drop("__rt_base", "__rt_ver")
             if change_type is not None:
                 df = df.withColumn("_change_type", F.lit(change_type))
             for k in pv_union:  # pv keys are physical names
@@ -556,6 +625,13 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list) -> DataFrame:
                 # got the inferred constant above
                 F.col("_change_type").cast("string").alias("_change_type"),
                 F.col("_commit_version"), F.col("_commit_timestamp"),
+                # cdc/remove rows: NULL ids (no materialized ids in
+                # change-data images — Delta "Row Tracking" scope)
+                *([F.col("_row_id"), F.col("_row_commit_version")]
+                  if attach_ids else
+                  ([F.lit(None).cast("long").alias("_row_id"),
+                    F.lit(None).cast("long").alias("_row_commit_version")]
+                   if row_ids else [])),
             ))
     if not parts:
         return spark.createDataFrame([], T.StructType(out_fields))

@@ -45,6 +45,11 @@ class _WireFile:
     stats: str | None = None
     dataChange: bool = True
     deletionVector: dict | None = None
+    # Delta "Row Tracking" AddFile fields (verbatim over the wire); the
+    # snapshot/range reconstructions derive _row_id = baseRowId + row
+    # index from them
+    baseRowId: int | None = None
+    defaultRowCommitVersion: int | None = None
 
     def stats_dict(self) -> dict:
         if not self.stats:
@@ -144,6 +149,9 @@ def _unwrap_delta_lines(lines: list[dict]) -> list[dict]:
             }
             if a.get("deletionVector") is not None:
                 entry["deletionVector"] = a["deletionVector"]
+            for k in ("baseRowId", "defaultRowCommitVersion"):
+                if a.get(k) is not None:
+                    entry[k] = a[k]
             out.append({key: entry})
         else:
             out.append(line)
@@ -158,6 +166,8 @@ def _parse_file(action: dict) -> _WireFile:
         size=action.get("size") or 0,
         stats=action.get("stats"),
         deletionVector=action.get("deletionVector"),
+        baseRowId=action.get("baseRowId"),
+        defaultRowCommitVersion=action.get("defaultRowCommitVersion"),
     )
 
 

@@ -1468,6 +1468,117 @@ def eng_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n", "f", F.col("d").cast("string").alias("d"))
 
 
+_RT_APPENDS_ORACLE = """
+    WITH b1 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid, 0 AS ver
+      FROM documents WHERE doc_id % 2 = 0
+    ), b2 AS (
+      SELECT doc_id,
+             (SELECT COUNT(*) FROM b1)
+               + ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid, 1 AS ver
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, CAST(rid AS BIGINT) AS row_id,
+           CAST(ver AS BIGINT) AS row_commit_version,
+           CAST(ver AS BIGINT) AS commit_version
+    FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+"""
+
+
+def _rt_wire_lines(spark: SparkSession, table_dir: str, name: str,
+                   fetch) -> list[dict]:
+    """Boot a live server over ``table_dir``, run ``fetch(client)`` for
+    the NDJSON lines, shut down (the vended urls are absolute — the
+    returned plan outlives the server)."""
+    from delta_sharing_spark.auth import BearerTokenAuthProvider
+    from delta_sharing_spark.catalog import ShareCatalog
+    from delta_sharing_spark.rest import DataSharingRestClient
+    from delta_sharing_spark.server import SharingServer
+
+    cat = ShareCatalog(spark)
+    cat.add_table("s", "d", name, table_dir)
+    srv = SharingServer(cat, bearer_token="driver-token")
+    srv.serve_background()
+    try:
+        client = DataSharingRestClient(
+            f"http://127.0.0.1:{srv.port}",
+            auth_provider=BearerTokenAuthProvider("driver-token"))
+        return fetch(client)
+    finally:
+        srv.shutdown()
+
+
+@workload("eng_rest_row_tracking_range", oracle=_RT_APPENDS_ORACLE)
+def eng_rest_row_tracking_range(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Row ids over the VERSION-RANGE RPC: startingVersion=0..1 against a
+    live server returns add actions carrying baseRowId /
+    defaultRowCommitVersion (Delta "Row Tracking" fields, verbatim on the
+    wire); the client range rebuild reconstructs every inserted row's
+    stable ``_row_id`` (base + parquet row index) and
+    ``_row_commit_version`` — per-row value gate against the rank replay
+    (the deterministic one-sorted-file-per-batch id layout of
+    ``_documents_rt``)."""
+    from delta_sharing_spark.client import _changes_lines_to_spark
+
+    lines = _rt_wire_lines(
+        spark, _documents_rt(spark, sf_dir), "documents_rt",
+        lambda c: c.list_files_in_table(
+            "s", "d", "documents_rt",
+            starting_version=0, ending_version=1)[1])
+    df = _changes_lines_to_spark(spark, lines, row_ids=True)
+    return df.filter(F.col("_change_type") == "insert").select(
+        "doc_id",
+        F.col("_row_id").alias("row_id"),
+        F.col("_row_commit_version").alias("row_commit_version"),
+        F.col("_commit_version").alias("commit_version"))
+
+
+def _documents_rt_cdf(spark: SparkSession, sf_dir: str) -> str:
+    """Row-tracking + CDF fixture with the deterministic id layout:
+    v0 = even doc_ids (one doc_id-sorted file, ids 0..n_even-1),
+    v1 = odd doc_ids (ids n_even..)."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        docs = read_table(spark, sf_dir, "documents") \
+            .select("doc_id", "lang", "n_chars")
+        one = lambda df: df.repartition(1).sortWithinPartitions("doc_id")  # noqa: E731
+        log = TableLog(spark, path)
+        log.create(one(docs.filter(F.col("doc_id") % 2 == 0)),
+                   name="documents_rt_cdf",
+                   configuration={"delta.enableRowTracking": "true",
+                                  "delta.enableChangeDataFeed": "true"})
+        log.append(one(docs.filter(F.col("doc_id") % 2 == 1)))
+
+    return _fixture(spark, sf_dir, "documents_rt_cdf", build)
+
+
+@workload("eng_rest_row_tracking_cdf", oracle=_RT_APPENDS_ORACLE)
+def eng_rest_row_tracking_cdf(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Row ids over the CHANGES RPC: queryTableChanges 0..1 against a
+    live server — the CDF add actions carry baseRowId /
+    defaultRowCommitVersion like the snapshot and range forms, and
+    ``load_table_changes``-style reconstruction
+    (``_changes_lines_to_spark(row_ids=True)``) rebuilds each inserted
+    row's stable id, per-row value gate."""
+    from delta_sharing_spark.client import _changes_lines_to_spark
+
+    lines = _rt_wire_lines(
+        spark, _documents_rt_cdf(spark, sf_dir), "documents_rt_cdf",
+        lambda c: c.list_table_changes(
+            "s", "d", "documents_rt_cdf",
+            starting_version=0, ending_version=1,
+            include_historical_metadata=True))
+    df = _changes_lines_to_spark(spark, lines, row_ids=True)
+    return df.filter(F.col("_change_type") == "insert").select(
+        "doc_id",
+        F.col("_row_id").alias("row_id"),
+        F.col("_row_commit_version").alias("row_commit_version"),
+        F.col("_commit_version").alias("commit_version"))
+
+
 def _documents_widen_nested(spark: SparkSession, sf_dir: str) -> str:
     """Nested type-widening fixture: v0 = even doc_ids with NARROW types
     inside nested positions (struct member int + decimal(5,2), array<int>

@@ -463,3 +463,112 @@ class TestRowTrackingWire:
         dadds = [ln["file"]["deltaSingleAction"]["add"]
                  for ln in delta if "file" in ln]
         assert all(a.get("baseRowId") is not None for a in dadds)
+
+
+class TestRowIdsOverChangesAndRange:
+    """Row ids over the range/changes RPC forms: add actions carry
+    baseRowId/defaultRowCommitVersion and the client rebuild
+    (_changes_lines_to_spark(row_ids=True)) reconstructs stable ids for
+    insert rows — with materialized-column overrides for DML-written
+    post-images — and NULL ids on cdc/remove rows."""
+
+    def _cdf_rt_table(self, spark, table_dir):
+        log = TableLog(spark, table_dir)
+        df = spark.range(10).selectExpr("id AS k",
+                                        "CAST(id*2 AS STRING) AS v")
+        log.create(_one_file(df), name="t",
+                   configuration={**RT_CONF,
+                                  "delta.enableChangeDataFeed": "true"})
+        return log
+
+    def test_changes_actions_carry_row_ids(self, spark, table_dir):
+        from delta_sharing_spark.cdf import table_changes_actions
+
+        log = self._cdf_rt_table(spark, table_dir)
+        log.append(_one_file(spark.range(10, 14).selectExpr(
+            "id AS k", "CAST(id*2 AS STRING) AS v")))
+        out = table_changes_actions(spark, table_dir, starting_version=0)
+        adds = [ln["add"] for ln in out["actions"] if "add" in ln]
+        assert {a["baseRowId"] for a in adds} == {0, 10}
+        assert all(a["defaultRowCommitVersion"] == a["version"]
+                   for a in adds)
+
+    def test_changes_rebuild_insert_ids_exact(self, spark, table_dir):
+        from delta_sharing_spark.cdf import table_changes_actions
+        from delta_sharing_spark.client import _changes_lines_to_spark
+
+        log = self._cdf_rt_table(spark, table_dir)
+        log.append(_one_file(spark.range(10, 14).selectExpr(
+            "id AS k", "CAST(id*2 AS STRING) AS v")))
+        out = table_changes_actions(spark, table_dir, starting_version=0)
+        df = _changes_lines_to_spark(spark, out["actions"], row_ids=True)
+        rows = {r.k: (r._row_id, r._row_commit_version)
+                for r in df.filter("_change_type = 'insert'").collect()}
+        assert rows == {k: (k, 0 if k < 10 else 1) for k in range(14)}
+
+    def test_changes_cdc_rows_null_ids(self, spark, table_dir):
+        from delta_sharing_spark.cdf import table_changes_actions
+        from delta_sharing_spark.client import _changes_lines_to_spark
+
+        log = self._cdf_rt_table(spark, table_dir)
+        log.delete("k >= 7")
+        out = table_changes_actions(spark, table_dir, starting_version=1)
+        df = _changes_lines_to_spark(spark, out["actions"], row_ids=True)
+        dels = df.filter("_change_type = 'delete'").collect()
+        assert {r.k for r in dels} == {7, 8, 9}
+        assert all(r._row_id is None and r._row_commit_version is None
+                   for r in dels)
+
+    def test_range_rebuild_materialized_override(self, spark, table_dir):
+        """A rewrite-mode UPDATE's post-image file preserves row ids via
+        the materialized columns; the range rebuild must honor them
+        instead of recomputing base + index."""
+        from delta_sharing_spark.client import _changes_lines_to_spark
+
+        log = _rt_table(spark, table_dir)
+        log.update({"v": F.lit("upd")}, condition="k in (3, 7)")
+        t = SharedTable(spark, table_dir)
+        out = t.query_actions(starting_version=1)
+        df = _changes_lines_to_spark(spark, out["actions"], row_ids=True)
+        upd = {r.k: (r._row_id, r._row_commit_version)
+               for r in df.filter(
+                   "_change_type = 'insert' and v = 'upd'").collect()}
+        # ids preserved from creation (k == original _row_id), version
+        # bumped to the update commit
+        assert upd == {3: (3, 1), 7: (7, 1)}
+
+    def test_changes_row_ids_untracked_raises(self, spark, table_dir):
+        from delta_sharing_spark.cdf import table_changes_actions
+        from delta_sharing_spark.client import _changes_lines_to_spark
+
+        log = TableLog(spark, table_dir)
+        log.create(spark.range(5).selectExpr("id AS k"), name="t",
+                   configuration={"delta.enableChangeDataFeed": "true"})
+        log.append(spark.range(5, 8).selectExpr("id AS k"))
+        out = table_changes_actions(spark, table_dir, starting_version=0)
+        with pytest.raises(ValueError, match="lack baseRowId"):
+            _changes_lines_to_spark(spark, out["actions"], row_ids=True)
+
+    def test_load_table_changes_row_ids_in_process(self, spark, table_dir,
+                                                   tmp_path):
+        """load_table_changes_as_spark(row_ids=True) through a
+        config-path profile shares the wire rebuild in-process."""
+        import json as _json
+
+        from delta_sharing_spark.client import load_table_changes_as_spark
+
+        self._cdf_rt_table(spark, table_dir)
+        config = {"shares": [{"name": "s", "schemas": [{
+            "name": "d", "tables": [{"name": "t", "location": table_dir,
+                                     "cdfEnabled": True}]}]}]}
+        cfg = tmp_path / "catalog.json"
+        cfg.write_text(_json.dumps(config))
+        prof = tmp_path / "prof.json"
+        prof.write_text(_json.dumps({
+            "shareCredentialsVersion": 1, "endpoint": str(cfg)}))
+        df = load_table_changes_as_spark(
+            f"{prof}#s.d.t", starting_version=0, spark=spark,
+            row_ids=True)
+        rows = {r.k: r._row_id
+                for r in df.filter("_change_type = 'insert'").collect()}
+        assert rows == {k: k for k in range(10)}
