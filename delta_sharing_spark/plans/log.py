@@ -159,6 +159,12 @@ class ChecksumMismatchError(Exception):
     """A version's ``.crc`` sidecar disagrees with the replayed state."""
 
 
+class SidecarIntegrityError(Exception):
+    """A V2-checkpoint sidecar's bytes disagree with the manifest's
+    recorded sizeInBytes / content hash — a truncated or tampered
+    sidecar must fail the read loudly, never under-report files."""
+
+
 class CheckConstraintViolation(ValueError):
     """A write produced rows failing a ``delta.constraints.*`` CHECK
     expression (Delta's InvariantViolationException)."""
@@ -883,7 +889,12 @@ class TableLog:
                 os.replace(tmp, fp)
             kinds.append("sidecar")
             jsons.append(json.dumps({"sidecar": {
-                "path": rel, "sizeInBytes": os.path.getsize(fp)}}))
+                "path": rel, "sizeInBytes": os.path.getsize(fp),
+                # BYTES hash for read-side tamper detection (the filename
+                # is an identity-set address, not a bytes address); cached
+                # in a 64-byte companion so an unchanged bucket never
+                # re-hashes its parquet on later checkpoints
+                "tags": {"sha256": self._sidecar_bytes_sha256(fp)}}}))
             for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
                         vers, tss):
                 lst.append(None)
@@ -909,8 +920,74 @@ class TableLog:
                                     "v2")
         return final
 
-    def _checkpoint_sidecars(self, version: int) -> list[str]:
-        """Relative sidecar paths a v2 checkpoint manifest references
+    @staticmethod
+    def _sidecar_bytes_sha256(fp: str) -> str:
+        """sha256 of the sidecar parquet's bytes, cached in an atomic
+        ``<fp>.sha256`` companion (backfilled for pre-hash sidecars) so
+        unchanged buckets cost one 64-byte read per checkpoint, not a
+        re-hash of their parquet."""
+        import hashlib as _hl
+
+        cache = fp + ".sha256"
+        try:
+            with open(cache) as f:
+                cached = f.read().strip()
+            if len(cached) == 64:
+                return cached
+        except OSError:
+            pass
+        h = _hl.sha256()
+        with open(fp, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        digest = h.hexdigest()
+        try:
+            tmp = cache + f".{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                f.write(digest)
+            os.replace(tmp, cache)
+        except OSError:
+            pass  # the cache is an optimization
+        return digest
+
+    def _verify_sidecar(self, sc: dict, deep: bool = False) -> None:
+        """Fail LOUDLY when a referenced sidecar's bytes disagree with
+        the manifest (truncated, replaced, or tampered — silently
+        dropping its file actions would serve an under-reported
+        snapshot). ``deep`` additionally checks the recorded content
+        hash; the size check alone catches truncation."""
+        fp = os.path.join(self.log_path, sc["path"])
+        try:
+            actual = os.path.getsize(fp)
+        except OSError as exc:
+            raise SidecarIntegrityError(
+                f"v2 checkpoint references missing sidecar "
+                f"{sc['path']!r}: {exc}") from exc
+        expected = sc.get("sizeInBytes")
+        if expected is not None and actual != expected:
+            raise SidecarIntegrityError(
+                f"sidecar {sc['path']!r} is {actual} bytes but the "
+                f"checkpoint manifest recorded {expected} — truncated or "
+                "replaced sidecar; refusing to serve a partial snapshot")
+        recorded = (sc.get("tags") or {}).get("sha256")
+        if deep and recorded:
+            # bypass the companion cache: verification must hash the
+            # bytes actually on disk
+            import hashlib as _hl
+
+            h = _hl.sha256()
+            with open(fp, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            if h.hexdigest() != recorded:
+                raise SidecarIntegrityError(
+                    f"sidecar {sc['path']!r} content hash mismatch "
+                    f"(recorded {recorded[:12]}…, found "
+                    f"{h.hexdigest()[:12]}…) — tampered sidecar; "
+                    "refusing to serve the snapshot")
+
+    def _sidecar_refs(self, version: int) -> list[dict]:
+        """The sidecar actions a v2 checkpoint manifest references
         (empty for classic checkpoints).
 
         Probes the cheap ``kind`` column first: a CLASSIC million-row
@@ -928,8 +1005,17 @@ class TableLog:
         for kind, line in zip(cols.column("kind").to_pylist(),
                               cols.column("action_json").to_pylist()):
             if kind == "sidecar":
-                out.append(json.loads(line)["sidecar"]["path"])
+                out.append(json.loads(line)["sidecar"])
         return out
+
+    def _checkpoint_sidecars(self, version: int) -> list[str]:
+        """Relative sidecar paths of a v2 manifest, size-verified: the
+        callers hand them straight to parquet scans, and a truncated
+        sidecar must raise here rather than under-report files."""
+        refs = self._sidecar_refs(version)
+        for sc in refs:
+            self._verify_sidecar(sc)
+        return [sc["path"] for sc in refs]
 
     def _read_checkpoint(
         self, version: int
@@ -947,10 +1033,13 @@ class TableLog:
         pairs = list(zip(cols.column("kind").to_pylist(),
                          cols.column("action_json").to_pylist()))
         # v2 manifests point at sidecar parquets holding the add actions
-        # (same column layout) — splice their rows in
-        for rel in [json.loads(line)["sidecar"]["path"]
+        # (same column layout) — verify each (size + content hash: this
+        # cold driver path runs once per version, integrity is worth one
+        # file re-read) and splice their rows in
+        for ref in [json.loads(line)["sidecar"]
                     for kind, line in pairs if kind == "sidecar"]:
-            sc = pq.read_table(os.path.join(self.log_path, rel),
+            self._verify_sidecar(ref, deep=True)
+            sc = pq.read_table(os.path.join(self.log_path, ref["path"]),
                                columns=["kind", "action_json"])
             pairs += list(zip(sc.column("kind").to_pylist(),
                               sc.column("action_json").to_pylist()))
@@ -4085,6 +4174,12 @@ class TableLog:
                         for rel in self._checkpoint_sidecars(cpv))
                 for fn in os.listdir(sidecar_dir):
                     if fn.endswith(".parquet") and fn not in referenced:
+                        os.remove(os.path.join(sidecar_dir, fn))
+                # drop hash companions whose parquet is gone (GC'd above
+                # or never completed)
+                for fn in os.listdir(sidecar_dir):
+                    if fn.endswith(".parquet.sha256") and not os.path.exists(
+                            os.path.join(sidecar_dir, fn[:-7])):
                         os.remove(os.path.join(sidecar_dir, fn))
             self._snap_cache.clear()
         return expendable

@@ -3573,9 +3573,13 @@ class TestV2Checkpoints:
         assert expired  # something below checkpoint 10 went
         retained = {_os.path.basename(p)
                     for p in log._checkpoint_sidecars(10)}
-        after = set(_os.listdir(sidecar_dir))
+        listing = set(_os.listdir(sidecar_dir))
+        after = {f for f in listing if f.endswith(".parquet")}
         assert after == retained
-        assert after <= before
+        assert after <= {f for f in before if f.endswith(".parquet")}
+        # every surviving hash companion belongs to a retained parquet
+        assert all(f[:-7] in retained for f in listing
+                   if f.endswith(".parquet.sha256"))
         # retained range still resolves exactly
         n = SharedTable(spark, d).to_df().count()
         assert n == events.filter("event_id < 320").count()
@@ -3596,6 +3600,152 @@ class TestV2Checkpoints:
         got = {r.k: r._row_id for r in
                SharedTable(spark, d).to_df(row_ids=True).collect()}
         assert sorted(got.values()) == list(range(10))
+
+
+class TestV2CheckpointIntegrity:
+    """Read-side hardening: a v2 manifest's sidecar references are
+    verified against the bytes on disk (sizeInBytes always; the recorded
+    content hash on the cold driver read) — a truncated or tampered
+    sidecar raises SidecarIntegrityError instead of silently serving an
+    under-reported snapshot. Concurrent checkpoint writers are safe: the
+    pointer is last-writer-wins and ALWAYS just a hint."""
+
+    def _v2(self, spark, tmp_path, rows=50):
+        from delta_sharing_spark.plans import log as log_mod
+
+        d = str(tmp_path / "v2i")
+        log = TableLog(spark, d)
+        df = spark.range(rows).selectExpr("id AS k", "CAST(id AS STRING) v")
+        log.create(df.repartition(4), name="t",
+                   configuration={"delta.checkpointPolicy": "v2"})
+        log.write_checkpoint()
+        rel = log._checkpoint_sidecars(0)
+        assert rel, "fixture must produce at least one sidecar"
+        import os as _os
+
+        return log, d, [_os.path.join(log.log_path, r) for r in rel]
+
+    def test_truncated_sidecar_raises(self, spark, tmp_path):
+        import os as _os
+
+        from delta_sharing_spark.plans.log import SidecarIntegrityError
+
+        log, d, sidecars = self._v2(spark, tmp_path)
+        data = open(sidecars[0], "rb").read()
+        with open(sidecars[0], "wb") as f:
+            f.write(data[: len(data) // 2])
+        log._snap_cache.clear()
+        log._commit_cache.clear()
+        with pytest.raises(SidecarIntegrityError, match="truncated"):
+            log._checkpoint_sidecars(0)
+        with pytest.raises(SidecarIntegrityError, match="truncated"):
+            TableLog(spark, d)._read_checkpoint(0)
+
+    def test_tampered_same_size_sidecar_raises_on_deep_read(
+            self, spark, tmp_path):
+        from delta_sharing_spark.plans.log import SidecarIntegrityError
+
+        log, d, sidecars = self._v2(spark, tmp_path)
+        data = bytearray(open(sidecars[0], "rb").read())
+        # flip bytes mid-file: same length, different content
+        mid = len(data) // 2
+        data[mid] ^= 0xFF
+        data[mid + 1] ^= 0xFF
+        with open(sidecars[0], "wb") as f:
+            f.write(bytes(data))
+        # the size check passes...
+        assert TableLog(spark, d)._checkpoint_sidecars(0) \
+            == log._checkpoint_sidecars(0)
+        # ...the deep (hash) check on the driver read path does not
+        with pytest.raises(SidecarIntegrityError, match="hash mismatch"):
+            TableLog(spark, d)._read_checkpoint(0)
+
+    def test_missing_sidecar_raises(self, spark, tmp_path):
+        import os as _os
+
+        from delta_sharing_spark.plans.log import SidecarIntegrityError
+
+        log, d, sidecars = self._v2(spark, tmp_path)
+        _os.remove(sidecars[0])
+        with pytest.raises(SidecarIntegrityError, match="missing sidecar"):
+            TableLog(spark, d)._read_checkpoint(0)
+
+    def test_hash_companion_backfill_and_reuse(self, spark, tmp_path):
+        """Pre-hash sidecars (no companion) backfill on the next
+        checkpoint; an unchanged bucket's recorded hash is stable."""
+        import json as _json
+        import os as _os
+
+        log, d, sidecars = self._v2(spark, tmp_path)
+        for fp in sidecars:
+            assert _os.path.exists(fp + ".sha256")
+        # simulate a pre-hash table: drop the companions, checkpoint again
+        for fp in sidecars:
+            _os.remove(fp + ".sha256")
+        log.append(spark.range(100, 103).selectExpr(
+            "id AS k", "CAST(id AS STRING) v"))
+        log.write_checkpoint()
+        refs = log._sidecar_refs(log.latest_version())
+        assert all((r.get("tags") or {}).get("sha256") for r in refs)
+        # reads under the restored companions stay green
+        assert TableLog(spark, d)._read_checkpoint(
+            log.latest_version())[1]
+
+    def test_concurrent_checkpoint_writers_consistent(self, spark,
+                                                      tmp_path):
+        """Two writers checkpointing different versions: whichever
+        _last_checkpoint pointer lands last (even the STALE one), every
+        reader resolves the identical, correct snapshot — the pointer is
+        a hint, the checkpoint files are content-complete."""
+        import json as _json
+        import os as _os
+
+        log, d, _ = self._v2(spark, tmp_path)
+        log.append(spark.range(100, 110).selectExpr(
+            "id AS k", "CAST(id AS STRING) v"))
+        log.write_checkpoint(1)  # writer B at v1 (pointer -> v1)
+        # writer A finished v0 LAST: its pointer write lands after B's
+        # (last-writer-wins race outcome)
+        stale = {"version": 0, "checkpointPolicy": "v2"}
+        with open(_os.path.join(log.log_path, "_last_checkpoint"),
+                  "w") as f:
+            _json.dump(stale, f)
+        fresh = TableLog(spark, d)
+        snap = fresh.snapshot()
+        assert snap.version == 1
+        assert SharedTable(spark, d).to_df().count() == 60
+        # both checkpoints remain individually readable
+        assert len(TableLog(spark, d)._read_checkpoint(0)[1]) >= 1
+        assert len(TableLog(spark, d)._read_checkpoint(1)[1]) >= 1
+
+    def test_racing_same_version_checkpoints_one_winner(self, spark,
+                                                        tmp_path):
+        """Two threads checkpointing the SAME version concurrently: both
+        succeed (tmp+rename, content-addressed sidecars are identical),
+        reads stay exact."""
+        import threading
+
+        log, d, _ = self._v2(spark, tmp_path)
+        log.append(spark.range(200, 220).selectExpr(
+            "id AS k", "CAST(id AS STRING) v"))
+        errors = []
+
+        def worker():
+            try:
+                TableLog(spark, d).write_checkpoint(1)
+            except Exception as exc:  # pragma: no cover
+                errors.append(exc)
+
+        ts = [threading.Thread(target=worker) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errors
+        fresh = TableLog(spark, d)
+        assert fresh.snapshot().version == 1
+        assert SharedTable(spark, d).to_df().count() == 70
+        fresh._read_checkpoint(1)  # integrity (size+hash) green
 
 
 class TestLastCheckpointPointer:
