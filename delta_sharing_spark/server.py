@@ -146,14 +146,36 @@ class SharingServer:
                 params = {k: v[0] for k, v in parse_qs(url.query).items()}
                 body = {}
                 if method == "POST":
-                    n = int(self.headers.get("Content-Length") or 0)
-                    raw = self.rfile.read(n) if n else b""
+                    # every malformed-request shape (bad Content-Length,
+                    # truncated/garbage/non-object JSON, undecodable
+                    # bytes) must come back as a PROTOCOL-SHAPED 400 —
+                    # never an unhandled traceback that drops the
+                    # connection (ref DeltaSharingServiceSuite's
+                    # malformed-request coverage)
+                    try:
+                        n = int(self.headers.get("Content-Length") or 0)
+                        raw = self.rfile.read(n) if n > 0 else b""
+                    except (ValueError, OSError):
+                        return self._deny(400, "invalid Content-Length")
                     ctype = self.headers.get("Content-Type", "")
                     if "x-www-form-urlencoded" in ctype:
-                        body = {k: v[0]
-                                for k, v in parse_qs(raw.decode()).items()}
+                        try:
+                            body = {k: v[0] for k, v in
+                                    parse_qs(raw.decode()).items()}
+                        except (UnicodeDecodeError, ValueError):
+                            return self._deny(400, "malformed form body")
                     elif raw:
-                        body = json.loads(raw)
+                        try:
+                            body = json.loads(raw)
+                        except (UnicodeDecodeError, ValueError):
+                            return self._deny(
+                                400, "malformed request body: expected a "
+                                "JSON object")
+                        if not isinstance(body, dict):
+                            return self._deny(
+                                400, "malformed request body: expected a "
+                                "JSON object, got "
+                                f"{type(body).__name__}")
                 for verb, pattern, name in _ROUTES:
                     if verb != method:
                         continue
@@ -167,6 +189,14 @@ class SharingServer:
                         except (VersionNotFoundError, CDFError,
                                 ValueError) as exc:
                             return self._deny(400, str(exc))
+                        except Exception as exc:  # noqa: BLE001
+                            # unexpected server-side failure: still a
+                            # protocol-shaped error document, with the
+                            # exception CLASS only (no traceback/message
+                            # leak to the client)
+                            return self._deny(
+                                500, "internal server error "
+                                f"({type(exc).__name__})")
                 return self._deny(404, f"no route for {url.path}")
 
             def do_GET(self):  # noqa: N802
@@ -174,6 +204,11 @@ class SharingServer:
 
             def do_POST(self):  # noqa: N802
                 self._dispatch("POST")
+
+            def do_PUT(self):  # noqa: N802 - protocol is GET/POST only
+                self._deny(405, "method not allowed")
+
+            do_DELETE = do_PATCH = do_HEAD = do_PUT  # noqa: N815
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
