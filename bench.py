@@ -68,6 +68,11 @@ HEADLINE = [
     "eng_row_tracking",
     "q_bpe_encode",
     "q_audio_features",
+    # round-7 additions (after the comparable prefix): nested type
+    # widening reads, row ids over the range RPC, windowed audio
+    "eng_type_widening_nested",
+    "eng_rest_row_tracking_range",
+    "q_audio_windows",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

@@ -116,6 +116,100 @@ def audio_features(df: DataFrame, media_col: str, id_col: str) -> DataFrame:
         .withColumnRenamed("id", id_col)
 
 
+_WINDOW_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("win", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("sum_abs", T.LongType()),
+    T.StructField("sum_sq", T.LongType()),
+    T.StructField("zero_crossings", T.LongType()),
+    T.StructField("peak", T.LongType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def audio_windows(df: DataFrame, media_col: str, id_col: str,
+                  window: int = 64) -> DataFrame:
+    """Windowed (framed) features: decode a WAV binary column and emit
+    one row per non-overlapping ``window``-sample frame — integer-exact
+    sum(|s|), sum(s²), peak |s| and within-frame zero crossings (a pair
+    spanning a frame boundary counts in neither frame), so a SQL oracle
+    replays every value bit-for-bit; RMS/dBFS derive from the integers
+    afterwards (JVM-side ``sqrt``). The trailing partial frame is kept
+    with its true ``n_samples``.
+
+    Same Spark-first shape as :func:`audio_features`: one Arrow-batched
+    ``mapInPandas`` pass, map-only, no shuffle; the per-clip frame
+    fan-out happens inside the worker (numpy reshape, not an explode)."""
+    import numpy as np
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in _WINDOW_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for _i, r in pdf.iterrows():
+                rid = int(r[id_col])
+                try:
+                    raw = r[media_col]
+                    if raw is None:
+                        raise ValueError("null media value")
+                    _rate, _ch, samples = decode_wav(bytes(raw))
+                    a = np.asarray(samples, dtype=np.int64)
+                    for w0 in range(0, max(len(a), 1), window):
+                        f = a[w0:w0 + window]
+                        if len(f) == 0:
+                            continue
+                        prod = (f[:-1] * f[1:] if len(f) > 1
+                                else np.array([]))
+                        rows.append((rid, w0 // window, len(f),
+                                     int(np.abs(f).sum()),
+                                     int((f * f).sum()),
+                                     int((prod < 0).sum()),
+                                     int(np.abs(f).max()), None))
+                except (ValueError, struct.error) as e:
+                    rows.append((rid, None, None, None, None, None,
+                                 None, str(e)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=_WINDOW_SCHEMA) \
+        .withColumnRenamed("id", id_col)
+
+
+def audio_resample(df: DataFrame, media_col: str, factor: int,
+                   out_col: str | None = None) -> DataFrame:
+    """Integer-factor decimation resample: keep every ``factor``-th
+    sample (a pure index selection — exactly replayable in SQL, unlike
+    interpolating resamplers) and re-encode at ``rate // factor``.
+    Anti-alias filtering is a drop-in upstream of the decimation when a
+    DSP stack is available; the selection contract stays the oracle.
+    Undecodable payloads map to NULL (downstream feature passes surface
+    them on their ``error`` column)."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    @F.pandas_udf(T.BinaryType())
+    def resample(payloads: pd.Series) -> pd.Series:
+        out = []
+        for raw in payloads:
+            try:
+                if raw is None:
+                    raise ValueError("null media value")
+                rate, ch, samples = decode_wav(bytes(raw))
+                if ch != 1:
+                    raise ValueError(
+                        "decimation resample expects mono clips")
+                out.append(encode_wav(samples[::factor],
+                                      sample_rate=max(rate // factor, 1)))
+            except (ValueError, struct.error):
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return df.withColumn(out_col or media_col, resample(F.col(media_col)))
+
+
 def synth_wav_column(df: DataFrame, id_col: str, n_col: str,
                      sample_rate: int = 8000,
                      out_col: str = "audio") -> DataFrame:

@@ -176,6 +176,59 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_audio_windows",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id,
+             unnest(generate_series(0, (n_chars % 256 + 15)::BIGINT)) AS k
+      FROM documents
+    ), r AS (
+      -- decimation resample by 3: keep samples at indices 0,3,6,...
+      SELECT doc_id, k // 3 AS j,
+             ((doc_id * 31 + k * 17) % 65536) - 32768 AS s
+      FROM idx WHERE k % 3 = 0
+    ), w AS (
+      SELECT doc_id, j, j // 32 AS win, s,
+             LAG(s) OVER (PARTITION BY doc_id, j // 32 ORDER BY j) AS p
+      FROM r
+    )
+    SELECT doc_id,
+           CAST(win AS BIGINT) AS win,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN p IS NOT NULL AND p * s < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+    FROM w GROUP BY doc_id, win
+    """,
+)
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features over a RESAMPLED clip: synthesize WAV
+    bytes, decimate by 3 (integer-exact index selection,
+    operators/audio.py:audio_resample), then frame into 32-sample
+    windows and emit integer-exact per-frame features + RMS
+    (operators/audio.py:audio_windows). Every stage replays in SQL —
+    including the boundary rule (a zero-crossing pair spanning two
+    frames counts in neither) and the kept partial trailing frame.
+    Plan shape: two Arrow-batched map-only passes, no shuffle before
+    the final frame rows."""
+    from delta_sharing_spark.operators.audio import (
+        audio_resample,
+        audio_windows,
+        synth_wav_column,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clips = synth_wav_column(docs, "doc_id", "n_chars")
+    resampled = audio_resample(clips, "audio", factor=3)
+    frames = audio_windows(resampled, "audio", "doc_id", window=32)
+    return frames.drop("error").withColumn(
+        "rms", F.sqrt(F.col("sum_sq") / F.col("n_samples")))
+
+
+@workload(
     "q_asof_tolerance",
     oracle="""
     WITH j AS (

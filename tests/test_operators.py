@@ -1277,6 +1277,72 @@ class TestAudio:
         assert got[1].n_samples == 2 and got[1].error is None
         assert got[2].error == "null media value" and got[2].n_samples is None
 
+    def test_audio_windows_framing_and_boundary_rule(self, spark):
+        """3 full frames + a partial tail; a crossing pair that spans a
+        frame boundary counts in NEITHER frame."""
+        from delta_sharing_spark.operators.audio import (
+            audio_windows,
+            encode_wav,
+        )
+
+        # 7 samples, window=3: frames [10,-10,10], [-10,10,-10], [10]
+        # crossings: 2 inside frame 0, 2 inside frame 1, 0 in frame 2;
+        # the boundary pairs (10,-10) at 2|3 and (-10,10) at 5|6 are
+        # dropped by the rule
+        samples = [10, -10, 10, -10, 10, -10, 10]
+        df = spark.createDataFrame([(1, encode_wav(samples))],
+                                   "id long, audio binary")
+        got = {r.win: r for r in
+               audio_windows(df, "audio", "id", window=3).collect()}
+        assert set(got) == {0, 1, 2}
+        assert [got[w].n_samples for w in (0, 1, 2)] == [3, 3, 1]
+        assert [got[w].zero_crossings for w in (0, 1, 2)] == [2, 2, 0]
+        assert all(got[w].sum_abs == 10 * got[w].n_samples
+                   and got[w].sum_sq == 100 * got[w].n_samples
+                   and got[w].peak == 10 for w in got)
+
+    def test_audio_windows_error_row_and_window_one(self, spark):
+        from delta_sharing_spark.operators.audio import (
+            audio_windows,
+            encode_wav,
+        )
+
+        df = spark.createDataFrame(
+            [(1, encode_wav([7, -7])), (2, b"junk")],
+            "id long, audio binary")
+        rows = audio_windows(df, "audio", "id", window=1).collect()
+        ok = [r for r in rows if r.id == 1]
+        assert [(r.win, r.n_samples, r.zero_crossings) for r in
+                sorted(ok, key=lambda r: r.win)] == [(0, 1, 0), (1, 1, 0)]
+        bad = [r for r in rows if r.id == 2]
+        assert len(bad) == 1 and bad[0].error is not None
+        with pytest.raises(ValueError, match="window must be"):
+            audio_windows(df, "audio", "id", window=0)
+
+    def test_audio_resample_decimation(self, spark):
+        from delta_sharing_spark.operators.audio import (
+            audio_resample,
+            decode_wav,
+            encode_wav,
+        )
+
+        samples = list(range(-5, 8))  # 13 samples
+        df = spark.createDataFrame(
+            [(1, encode_wav(samples, sample_rate=9000)), (2, b"junk")],
+            "id long, audio binary")
+        out = {r.id: r.audio for r in
+               audio_resample(df, "audio", factor=3).collect()}
+        rate, ch, got = decode_wav(bytes(out[1]))
+        assert rate == 3000 and ch == 1
+        assert got == samples[::3]
+        assert out[2] is None  # undecodable -> NULL, surfaced downstream
+        # multichannel rejected -> NULL under the same per-row contract
+        stereo = spark.createDataFrame(
+            [(3, encode_wav([1, 2, 3, 4], channels=2))],
+            "id long, audio binary")
+        assert audio_resample(stereo, "audio", factor=2) \
+            .collect()[0].audio is None
+
 
 class TestBloomDecontaminate:
     def test_verify_matches_exact_path(self, spark):
