@@ -99,6 +99,10 @@ class SharingServer:
         # token requests must not drop each other's just-issued tokens
         self._issued_tokens_lock = threading.Lock()
         self.async_queries = AsyncQueryManager()
+        # observability: every dispatched request's "METHOD path?query"
+        # (tests assert RPC-count bounds — e.g. a long-backlog streaming
+        # drain must cost O(backlog / maxVersionsPerRpc) range RPCs)
+        self.request_log: list[str] = []
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -176,6 +180,17 @@ class SharingServer:
                                 400, "malformed request body: expected a "
                                 "JSON object, got "
                                 f"{type(body).__name__}")
+                # observability entry: method + path + the plan-shaping
+                # body fields (tests assert RPC-count bounds on these)
+                tracked = {k: body[k] for k in
+                           ("startingVersion", "endingVersion",
+                            "pageToken", "maxFiles")
+                           if isinstance(body, dict) and body.get(k)
+                           is not None}
+                server.request_log.append(
+                    f"{method} {self.path}"
+                    + "".join(f" {k}={v}" for k, v in sorted(
+                        tracked.items())))
                 for verb, pattern, name in _ROUTES:
                     if verb != method:
                         continue

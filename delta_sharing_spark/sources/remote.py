@@ -265,8 +265,22 @@ class RemoteTableLog:
         if start > hi:
             return []
         self._fetch_range(start, hi)
-        return [self._commits[v] for v in range(start, hi + 1)
-                if v in self._commits and not _is_empty(self._commits[v])]
+        out = [self._commits[v] for v in range(start, hi + 1)
+               if v in self._commits and not _is_empty(self._commits[v])]
+        # bounded driver memory on long drains: a streaming reader's
+        # ``start`` only moves forward (its committed offset), so cache
+        # entries below it are dead — drop them. A 10k-commit backlog
+        # then holds at most one fetch-range of commits, not the whole
+        # history. A later lower ``start`` (new consumer on this
+        # instance) just re-fetches: _fetched_lo is raised with the
+        # pruning so the window math stays truthful.
+        stale = [v for v in self._commits if v < start]
+        for v in stale:
+            del self._commits[v]
+        if stale and (self._fetched_lo is None
+                      or start > self._fetched_lo):
+            self._fetched_lo = start
+        return out
 
     # ------------------------------------------------------------- fetching
 

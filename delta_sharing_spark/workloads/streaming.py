@@ -347,6 +347,126 @@ def stream_remote_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.unlink(prof.name)
 
 
+def forge_append_commits(path: str, n_commits: int, k0: int = 1) -> int:
+    """Extend a table with ``n_commits`` one-row append commits written
+    DIRECTLY in the log format (one tiny parquet + one commit JSON each)
+    — the only way to build a deep commit history in seconds instead of
+    minutes of Spark write jobs. Commit ``start + i`` adds a single row
+    ``v = k0 + i``. Returns the new latest version. Used by the
+    long-backlog streaming fixtures and the depth tests; the format
+    matches TableLog's writer byte-for-byte semantics (add + commitInfo
+    NDJSON lines)."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = TableLog(None, path)
+    start = log.latest_version() + 1
+    log_dir = _os.path.join(path, "_dsl_log")
+    data_dir = _os.path.join(path, "data")
+    _os.makedirs(data_dir, exist_ok=True)
+    base_ts = 1700000000000
+    for i in range(n_commits):
+        v = start + i
+        k = k0 + i
+        fn = f"forge-{v:08d}.parquet"
+        pq.write_table(pa.table({"v": pa.array([k], pa.int64())}),
+                       _os.path.join(data_dir, fn))
+        size = _os.path.getsize(_os.path.join(data_dir, fn))
+        stats = _json.dumps({"numRecords": 1, "minValues": {"v": k},
+                             "maxValues": {"v": k}, "nullCount": {"v": 0}})
+        add = {"path": f"data/{fn}", "partitionValues": {}, "size": size,
+               "stats": stats, "dataChange": True, "version": None,
+               "timestamp": None}
+        ci = {"version": v, "timestamp": base_ts + v, "operation": "WRITE",
+              "operationParameters": {}, "operationMetrics":
+              {"numFiles": "1"}}
+        with open(_os.path.join(log_dir, f"{v:020d}.json"), "w") as f:
+            f.write(_json.dumps({"add": add}) + "\n")
+            f.write(_json.dumps({"commitInfo": ci}) + "\n")
+    return start + n_commits - 1
+
+
+_DEEP_LOG_COMMITS = 200
+
+
+def _deep_log(spark: SparkSession, sf_dir: str) -> str:
+    from delta_sharing_spark.workloads.engine import _fixture
+
+    def build(spark: SparkSession, path: str) -> None:
+        log = TableLog(spark, path)
+        log.create(spark.range(1).selectExpr("CAST(0 AS LONG) AS v")
+                   .coalesce(1), name="deep_log",
+                   # forged commits don't maintain checkpoints; disable
+                   # the interval so snapshot resolution replays the log
+                   configuration={"checkpointInterval": "0"})
+        forge_append_commits(path, _DEEP_LOG_COMMITS, k0=1)
+
+    return _fixture(spark, sf_dir, "deep_log", build)
+
+
+@workload(
+    "stream_remote_deep_drain",
+    oracle=f"""
+    SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(MAX(v) AS BIGINT) AS max_v
+    FROM generate_series(1, {_DEEP_LOG_COMMITS}) t(v)
+    """,
+)
+def stream_remote_deep_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backpressure at DEPTH: a {200}-commit backlog drained over a live
+    http profile in ``maxVersionsPerRpc=20`` windows. Value gate: the
+    drained rows replay exactly (commit v carries row v). Plan-cost
+    gate, asserted in-line against the server's request log: the whole
+    drain costs O(backlog / maxVersionsPerRpc) version-range RPCs — the
+    commit-parse cache never re-fetches a window — and the planner's
+    commit cache is pruned below the committed offset (bounded driver
+    memory; ref DeltaSharingSource.scala:277-322 windowing +
+    getTableVersion polling)."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from delta_sharing_spark.catalog import ShareCatalog
+    from delta_sharing_spark.server import SharingServer
+
+    path = _deep_log(spark, sf_dir)
+    cat = ShareCatalog(spark)
+    cat.add_table("s", "d", "deep_log", path)
+    srv = SharingServer(cat, bearer_token="driver-token")
+    url = srv.serve_background()
+    prof = tempfile.NamedTemporaryFile(mode="w", suffix=".json",
+                                       delete=False)
+    _json.dump({"shareCredentialsVersion": 1, "endpoint": url,
+                "bearerToken": "driver-token"}, prof)
+    prof.close()
+    try:
+        out, _ = _drain(
+            spark, f"{prof.name}#s.d.deep_log",
+            {"startingVersion": "0", "maxFilesPerTrigger": "64",
+             "maxVersionsPerRpc": "20"},
+        )
+        result = out.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+            F.max("v").alias("max_v"),
+        )
+        rows = result.collect()  # materialize while the server lives
+        ranges = [r for r in srv.request_log if "startingVersion=" in r]
+        budget = _DEEP_LOG_COMMITS // 20 + 4  # windows + boundary fudge
+        assert len(ranges) <= budget, (
+            f"deep drain cost {len(ranges)} range RPCs for "
+            f"{_DEEP_LOG_COMMITS} commits at maxVersionsPerRpc=20 "
+            f"(budget {budget}) — the window cache regressed")
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        srv.shutdown()
+        _os.unlink(prof.name)
+
+
 def _events_schema_evolution(spark: SparkSession, sf_dir: str) -> str:
     """5-version fixture for tracked schema evolution: create(3 cols) ->
     enable column mapping -> append -> DROP COLUMN value -> append (2
