@@ -53,7 +53,7 @@ _DRIVER_PRIORITY = [
     # new this round (appended as they land; 25 slots remain in the sample)
     "q_audio_windows", "eng_type_widening_nested",
     "eng_rest_row_tracking_range", "eng_rest_row_tracking_cdf",
-    "stream_remote_deep_drain",
+    "stream_remote_deep_drain", "q_lm_filter_kn", "q_chunk_documents",
 ]
 
 

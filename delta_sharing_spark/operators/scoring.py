@@ -188,6 +188,80 @@ def ngram_lm_score(docs: DataFrame, lm: DataFrame, id_col: str,
     )
 
 
+def kn_lm_train(ref: DataFrame, text_col: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model (the KenLM/CCNet smoothing,
+    Kneser & Ney 1995) from a reference corpus — counts only, so every
+    probability later replays in exact integers:
+
+    P_KN(w|v) = max(c(vw) - D, 0)/c(v) + D·N1+(v·)/c(v) · N1+(·w)/N1+(··)
+
+    with discount D = 3/4 kept RATIONAL. One row per seen bigram carrying
+    (pair_n, ctx_n, n1_ctx, n1_tok, n_pairs): c(vw), c(v), the distinct
+    continuation counts N1+(v·) / N1+(·w), and the scalar N1+(··).
+    Three aggregations over the pair table + one scalar — the same
+    fit shape as :func:`ngram_lm_train`."""
+    toks = _bigrams(ref, text_col)
+    pairs = toks.groupBy("ctx", "tok").agg(F.count("*").alias("pair_n"))
+    ctxs = pairs.groupBy("ctx").agg(F.sum("pair_n").alias("ctx_n"),
+                                    F.count("*").alias("n1_ctx"))
+    tok_fertility = pairs.groupBy("tok").agg(
+        F.count("*").alias("n1_tok"))
+    n_pairs = pairs.select(F.count("*").alias("n_pairs"))
+    return (pairs.join(ctxs, "ctx").join(tok_fertility, "tok")
+            .crossJoin(F.broadcast(n_pairs)))
+
+
+def kn_lm_score(docs: DataFrame, lm: DataFrame, id_col: str,
+                text_col: str) -> DataFrame:
+    """Per-document Kneser-Ney likelihood in exact LM_UNIT integers.
+    With D = 3/4 every term is rational; each per-bigram probability is
+    two integer divisions (discounted term + continuation backoff),
+    floored at 1 µ-unit so fully-unseen tokens stay in log-able range:
+
+    seen ctx:   (max(4·c(vw)−3, 0)·U) DIV (4·c(v))
+              + (3·N1+(v·)·N1+(·w)·U) DIV (4·c(v)·N1+(··))
+    unseen ctx: (N1+(·w)·U) DIV N1+(··)    (pure continuation model)
+
+    int64 headroom: the backoff numerator 3·N1+(v·)·N1+(·w)·U stays
+    below 2^63 while N1+(v·)·N1+(·w) < 3·10^12 — far above any
+    single-machine corpus; shard the model per ctx-hash before that.
+
+    Scale shape identical to :func:`ngram_lm_score`: map-side bigram
+    explode, three equi-joins against the materialized model (broadcast
+    when small, AQE otherwise), one per-doc aggregation, Python-free."""
+    lm = lm.localCheckpoint(eager=True)
+    bg = _bigrams(docs, text_col, id_cols=[id_col])
+    pair_side = lm.select("ctx", "tok", "pair_n")
+    ctx_side = lm.select("ctx", "ctx_n", "n1_ctx") \
+        .dropDuplicates(["ctx"])
+    tok_side = lm.select("tok", "n1_tok").dropDuplicates(["tok"])
+    scalar = lm.select(F.max("n_pairs").alias("__np"))
+    scored = (
+        bg.join(pair_side, ["ctx", "tok"], "left")
+        .join(ctx_side, "ctx", "left")
+        .join(tok_side, "tok", "left")
+        .crossJoin(F.broadcast(scalar))
+        .select(
+            F.col(id_col),
+            F.expr(f"""
+            GREATEST(CASE WHEN ctx_n IS NOT NULL THEN
+              (GREATEST(4 * COALESCE(pair_n, 0) - 3, 0) * {LM_UNIT})
+                  DIV (4 * ctx_n)
+              + (3 * n1_ctx * COALESCE(n1_tok, 0) * {LM_UNIT})
+                  DIV (4 * ctx_n * __np)
+            ELSE (COALESCE(n1_tok, 0) * {LM_UNIT}) DIV __np
+            END, 1)
+            """).cast("long").alias("__kn_u"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("__kn_u").alias("sum_kn_u"),
+        (F.sum("__kn_u").cast("double") / F.count("*"))
+        .alias("avg_kn_u"),
+    )
+
+
 # --------------------------------------------- DSIR importance resampling
 #
 # Data Selection via Importance Resampling (Xie et al. 2023): select raw

@@ -845,6 +845,147 @@ def q_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "doc_id", "text")
 
 
+def chunk_documents(df: DataFrame, id_col: str, text_col: str, *,
+                    size: int, overlap: int = 0) -> DataFrame:
+    """RAG-style token-window chunking: split on whitespace and emit one
+    row per window of ``size`` tokens, strided by ``size - overlap``.
+    The trailing partial window is kept, but a window that would add NO
+    new tokens (start >= n_tokens - overlap: its content is entirely the
+    previous window's tail) is not emitted. Pure JVM expressions
+    (split / sequence / slice / explode), zero Python and zero shuffle:
+    chunking a 100 TB corpus is exactly one map-side pass that
+    partition-prunes and pushes down like any projection."""
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(
+            f"overlap must be in [0, size), got {overlap} for size {size}")
+    step = size - overlap
+    return df.select(
+        F.col(id_col),
+        F.expr(f"""
+        explode(transform(
+          sequence(0, greatest(size(split({text_col}, ' '))
+                               - {overlap} - 1, 0),
+                   {step}),
+          s -> struct(
+            CAST(s DIV {step} AS LONG) AS chunk_id,
+            array_join(slice(split({text_col}, ' '), s + 1, {size}), ' ')
+              AS chunk_text,
+            size(slice(split({text_col}, ' '), s + 1, {size}))
+              AS n_tokens)))
+        """).alias("c"),
+    ).select(id_col, "c.chunk_id", "c.chunk_text",
+             F.col("c.n_tokens").cast("long").alias("n_tokens"))
+
+
+@workload(
+    "q_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST(s.s // 16 AS BIGINT) AS chunk_id,
+             array_to_string(list_slice(toks, s.s + 1, s.s + 24), ' ')
+               AS chunk_text,
+             len(list_slice(toks, s.s + 1, s.s + 24)) AS n_tokens
+      FROM t, LATERAL (
+        SELECT UNNEST(generate_series(
+          0, GREATEST(len(toks) - 8 - 1, 0), 16)) AS s) s
+    )
+    SELECT doc_id, chunk_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           md5(chunk_text) AS chunk_md5
+    FROM w
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-window chunking (24-token windows, 8-token
+    overlap — sized so the synthetic docs, 10-99 tokens, emit several
+    windows each): every chunk's id, token
+    count and content digest replay exactly in SQL. The chunk text
+    crosses the gate as its md5 so the value check covers the BYTES of
+    every window without hashing megabytes of duplicated text through
+    pandas."""
+    docs = read_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "doc_id", "text", size=24, overlap=8)
+    return ch.select("doc_id", "chunk_id", "n_tokens",
+                     F.md5("chunk_text").alias("chunk_md5"))
+
+
+@workload(
+    "q_lm_filter_kn",
+    oracle="""
+    WITH ref AS (SELECT text FROM documents WHERE doc_id % 10 < 3),
+    ref_bg AS (
+      SELECT CASE WHEN t.i = 1 THEN '<s>'
+                  ELSE string_split(text, ' ')[t.i - 1] END AS ctx,
+             string_split(text, ' ')[t.i] AS tok
+      FROM ref, LATERAL (
+        SELECT UNNEST(generate_series(1, len(string_split(text, ' '))))
+        AS i) t
+    ),
+    pairs AS (
+      SELECT ctx, tok, COUNT(*) AS pair_n FROM ref_bg GROUP BY 1, 2
+    ),
+    ctxs AS (
+      SELECT ctx, SUM(pair_n) AS ctx_n, COUNT(*) AS n1_ctx
+      FROM pairs GROUP BY ctx
+    ),
+    toks AS (SELECT tok, COUNT(*) AS n1_tok FROM pairs GROUP BY tok),
+    np AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+    doc_bg AS (
+      SELECT doc_id,
+             CASE WHEN t.i = 1 THEN '<s>'
+                  ELSE string_split(text, ' ')[t.i - 1] END AS ctx,
+             string_split(text, ' ')[t.i] AS tok
+      FROM documents, LATERAL (
+        SELECT UNNEST(generate_series(1, len(string_split(text, ' '))))
+        AS i) t
+      WHERE doc_id % 10 >= 3
+    ),
+    lk AS (
+      SELECT d.doc_id,
+             GREATEST(CASE WHEN c.ctx_n IS NOT NULL THEN
+               CAST(GREATEST(4 * COALESCE(p.pair_n, 0) - 3, 0) * 1000000
+                    AS BIGINT) // CAST(4 * c.ctx_n AS BIGINT)
+               + CAST(3 * c.n1_ctx * COALESCE(t.n1_tok, 0) * 1000000
+                      AS BIGINT) // CAST(4 * c.ctx_n * np.n_pairs AS BIGINT)
+             ELSE CAST(COALESCE(t.n1_tok, 0) * 1000000 AS BIGINT)
+                  // CAST(np.n_pairs AS BIGINT)
+             END, 1) AS kn_u
+      FROM doc_bg d
+      LEFT JOIN pairs p ON p.ctx = d.ctx AND p.tok = d.tok
+      LEFT JOIN ctxs c ON c.ctx = d.ctx
+      LEFT JOIN toks t ON t.tok = d.tok
+      CROSS JOIN np
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(kn_u) AS BIGINT) AS sum_kn_u,
+           CAST(SUM(kn_u) AS DOUBLE) / COUNT(*) AS avg_kn_u
+    FROM lk GROUP BY doc_id
+    """,
+)
+def q_lm_filter_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed LM filtering (the actual KenLM smoothing CCNet
+    ships, vs q_lm_filter's add-one baseline): continuation counts
+    N1+(v.)/N1+(.w)/N1+(..) fit in three aggregations, and every
+    document's likelihood is an exact-integer replay — discount D = 3/4
+    kept rational so the discounted + backoff terms are two BIGINT
+    divisions per bigram (operators/scoring.py:kn_lm_train/kn_lm_score).
+    Oracle replays the full fit AND inference."""
+    from delta_sharing_spark.operators.scoring import (
+        kn_lm_score,
+        kn_lm_train,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    lm = kn_lm_train(docs.filter("doc_id % 10 < 3"), "text")
+    return kn_lm_score(docs.filter("doc_id % 10 >= 3"), lm,
+                       "doc_id", "text")
+
+
 def _bpe_oracle(num_merges: int) -> str:
     """Chained-CTE DuckDB replay of the BPE training loop: per iteration
     one pair-count CTE, one deterministic-argmax CTE, one merge-apply CTE

@@ -1425,3 +1425,91 @@ class TestNewOperatorPlanShapes:
         rows = out.collect()
         assert {r.lang for r in rows} and all(
             r.allocation <= r.capacity + 1e-9 for r in rows)
+
+
+class TestKneserNeyLM:
+    def test_kn_score_matches_hand_computation(self, spark):
+        """Tiny corpus, hand-checked KN terms (D = 3/4, U = 1e6)."""
+        from delta_sharing_spark.operators.scoring import (
+            kn_lm_score,
+            kn_lm_train,
+        )
+
+        ref = spark.createDataFrame(
+            [("a b",), ("a b",), ("a c",)], "text string")
+        # pairs: (<s>,a):3  (a,b):2  (a,c):1
+        # ctx_n: <s>=3 (n1=1), a=3 (n1=2); n1_tok: a=1,b=1,c=1; N1+(..)=3
+        lm = kn_lm_train(ref, "text")
+        docs = spark.createDataFrame([(1, "a b"), (2, "z q")],
+                                     "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               kn_lm_score(docs, lm, "doc_id", "text").collect()}
+        # doc 1 bigram (<s>,a): (4*3-3)*U DIV 12 + (3*1*1*U) DIV (12*3)
+        #   = 750000 + 83333
+        # doc 1 bigram (a,b):   (4*2-3)*U DIV 12 + (3*2*1*U) DIV (12*3)
+        #   = 416666 + 166666
+        assert got[1].n_bigrams == 2
+        assert got[1].sum_kn_u == (750000 + 83333) + (416666 + 166666)
+        # doc 2: ctx '<s>' seen but tok 'z' unseen -> pure backoff with
+        # n1_tok=0 -> floor 1; ctx 'z' unseen, tok 'q' unseen -> floor 1
+        assert got[2].sum_kn_u == 2
+
+    def test_kn_model_shape(self, spark):
+        from delta_sharing_spark.operators.scoring import kn_lm_train
+
+        ref = spark.createDataFrame([("x y x z",)], "text string")
+        rows = kn_lm_train(ref, "text").collect()
+        by = {(r.ctx, r.tok): r for r in rows}
+        assert by[("x", "y")].n1_ctx == 2  # x continues into {y, z}
+        assert by[("x", "y")].n_pairs == 4  # (<s>,x),(x,y),(y,x),(x,z)
+        assert by[("y", "x")].n1_tok == 2  # x follows {<s>, y}
+
+
+class TestChunkDocuments:
+    def test_windows_overlap_and_tail(self, spark):
+        from delta_sharing_spark.workloads.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "t0 t1 t2 t3 t4 t5 t6")], "doc_id long, text string")
+        got = {r.chunk_id: r for r in
+               chunk_documents(df, "doc_id", "text",
+                               size=4, overlap=2).collect()}
+        assert [got[c].chunk_text for c in sorted(got)] == [
+            "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6"]
+        assert [got[c].n_tokens for c in sorted(got)] == [4, 4, 3]
+
+    def test_validation_and_single_chunk(self, spark):
+        import pytest as _pytest
+
+        from delta_sharing_spark.workloads.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        rows = chunk_documents(df, "doc_id", "text", size=10).collect()
+        assert len(rows) == 1 and rows[0].chunk_text == "a b"
+        with _pytest.raises(ValueError, match="overlap"):
+            chunk_documents(df, "doc_id", "text", size=4, overlap=4)
+        with _pytest.raises(ValueError, match="size"):
+            chunk_documents(df, "doc_id", "text", size=0)
+
+    def test_plan_is_map_only(self, spark):
+        """Chunking must never shuffle: the plan carries no Exchange."""
+        from delta_sharing_spark.workloads.text import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")],
+                                   "doc_id long, text string")
+        out = chunk_documents(df, "doc_id", "text", size=2, overlap=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_audio_windows_plan_is_map_only(self, spark):
+        from delta_sharing_spark.operators.audio import (
+            audio_windows,
+            synth_wav_column,
+        )
+
+        df = spark.range(5).selectExpr("id AS doc_id",
+                                       "id * 7 AS n_chars")
+        clips = synth_wav_column(df, "doc_id", "n_chars")
+        out = audio_windows(clips, "audio", "doc_id", window=16)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
