@@ -543,9 +543,46 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list,
                     f"range: column '{p}' was "
                     f"{f.dataType.simpleString()} and is now "
                     f"{dst.simpleString()}; query a narrower range")
+        def finalize(df, attach_ids):
+            cols = set(df.columns)
+            return df.select(
+                *[(F.col(target_phys_of[f.name]).cast(f.dataType)
+                   if target_phys_of[f.name] in cols
+                   else F.lit(None).cast(f.dataType)).alias(f.name)
+                  for f in schema.fields],
+                # cdc files carry _change_type in their bytes; add/remove
+                # got the inferred constant
+                F.col("_change_type").cast("string").alias("_change_type"),
+                F.col("_commit_version"), F.col("_commit_timestamp"),
+                # cdc/remove rows: NULL ids (no materialized ids in
+                # change-data images — Delta "Row Tracking" scope)
+                *([F.col("_row_id"), F.col("_row_commit_version")]
+                  if attach_ids else
+                  ([F.lit(None).cast("long").alias("_row_id"),
+                    F.lit(None).cast("long").alias("_row_commit_version")]
+                   if row_ids else [])),
+            )
+
         for kind, change_type in (("cdf", None), ("add", "insert"),
                                   ("remove", "delete")):
-            actions = groups[kind]
+            all_actions = groups[kind]
+            # DV-carrying adds (a DV-mode DELETE/UPDATE in the range):
+            # the action's logical content is the file MINUS the masked
+            # rows — scanned per file below with the row_index anti-join,
+            # exactly like the snapshot-form rebuild (deltaformat.py)
+            dv_actions = [a for a in all_actions
+                          if a.get("deletionVector")] \
+                if kind == "add" else []
+            actions = [a for a in all_actions
+                       if not a.get("deletionVector")] \
+                if kind == "add" else all_actions
+            attach_ids = row_ids and kind == "add"
+            if dv_actions:
+                parts.extend(
+                    finalize(_dv_add_scan(
+                        spark, a, physical(ep_schema, ep_cm), attach_ids,
+                        mat_id, mat_ver, target_type_of_phys), attach_ids)
+                    for a in dv_actions)
             if not actions:
                 continue
             # typed partition values (absent from the file bytes)
@@ -553,7 +590,6 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list,
             for a in actions:
                 pv_union.update({k: True
                                  for k in (a.get("partitionValues") or {})})
-            attach_ids = row_ids and kind == "add"
             meta = spark.createDataFrame(
                 [(a["url"], int(a["version"]), int(a["timestamp"]),
                   *[(a.get("partitionValues") or {}).get(k) or None
@@ -615,30 +651,62 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list,
                     k, F.col(f"__pv_{k}").cast(
                         target_type_of_phys.get(k, T.StringType()))
                 ).drop(f"__pv_{k}")
-            cols = set(df.columns)
-            parts.append(df.select(
-                *[(F.col(target_phys_of[f.name]).cast(f.dataType)
-                   if target_phys_of[f.name] in cols
-                   else F.lit(None).cast(f.dataType)).alias(f.name)
-                  for f in schema.fields],
-                # cdc files carry _change_type in their bytes; add/remove
-                # got the inferred constant above
-                F.col("_change_type").cast("string").alias("_change_type"),
-                F.col("_commit_version"), F.col("_commit_timestamp"),
-                # cdc/remove rows: NULL ids (no materialized ids in
-                # change-data images — Delta "Row Tracking" scope)
-                *([F.col("_row_id"), F.col("_row_commit_version")]
-                  if attach_ids else
-                  ([F.lit(None).cast("long").alias("_row_id"),
-                    F.lit(None).cast("long").alias("_row_commit_version")]
-                   if row_ids else [])),
-            ))
+            parts.append(finalize(df, attach_ids))
     if not parts:
         return spark.createDataFrame([], T.StructType(out_fields))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _dv_add_scan(spark: SparkSession, a: dict, ep_phys, attach_ids: bool,
+                 mat_id: str, mat_ver: str, target_type_of_phys: dict):
+    """One DV-masked add from a changes/range response: scan the file,
+    anti-join the deletion vector on the pre-deletion row index (ids stay
+    stable for survivors), stamp the action's commit version/timestamp
+    and typed partition values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from delta_sharing_spark.deltaformat import _attach_row_ids
+
+    pv = a.get("partitionValues") or {}
+    read_schema = T.StructType(
+        [f for f in ep_phys.fields if f.name not in pv]
+        + ([T.StructField(mat_id, T.LongType()),
+            T.StructField(mat_ver, T.LongType())] if attach_ids else []))
+    df = spark.read.schema(read_schema).parquet(a["url"]) \
+        .select("*", F.col("_metadata.row_index").alias("__ri"))
+    dv = a["deletionVector"]
+    if dv.get("storageType") == "i":
+        from delta_sharing_spark.plans.dvcodec import decode_inline_dv
+
+        dv_rows = spark.createDataFrame(
+            [(ri,) for ri in decode_inline_dv(dv["pathOrInlineDv"],
+                                              dv.get("sizeInBytes"))],
+            "__ri long")
+    else:
+        keys = sorted({k for k in (a.get("id"), a.get("url")) if k})
+        dv_rows = (spark.read.parquet(dv["pathOrInlineDv"])
+                   .filter(F.col("path").isin(keys))
+                   .select(F.col("row_index").alias("__ri")))
+    df = df.join(F.broadcast(dv_rows), "__ri", "left_anti")
+    if attach_ids:
+        df = _attach_row_ids(
+            df.withColumnRenamed("__ri", "__rt_ri"), mat_id, mat_ver,
+            F.lit(a.get("baseRowId")).cast("long"),
+            F.lit(a.get("defaultRowCommitVersion")).cast("long"))
+    else:
+        df = df.drop("__ri")
+    df = (df.withColumn("_change_type", F.lit("insert"))
+          .withColumn("_commit_version", F.lit(int(a["version"])))
+          .withColumn("_commit_timestamp", F.lit(int(a["timestamp"]))))
+    for k, v in pv.items():
+        col = F.lit(None) if v in ("", None) else F.lit(v)
+        df = df.withColumn(k, col.cast(
+            target_type_of_phys.get(k, T.StringType())))
+    return df
 
 
 def _partition_value(raw: str | None, type_name: str):

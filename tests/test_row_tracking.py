@@ -572,3 +572,53 @@ class TestRowIdsOverChangesAndRange:
         rows = {r.k: r._row_id
                 for r in df.filter("_change_type = 'insert'").collect()}
         assert rows == {k: k for k in range(10)}
+
+    def test_range_rebuild_applies_deletion_vectors(self, spark,
+                                                    table_dir):
+        """A DV-mode DELETE's add action carries its deletionVector over
+        the range/changes wire; the client rebuild must serve the file's
+        LOGICAL content (survivors only) — and keep survivor row ids
+        stable through the pre-deletion row index."""
+        from delta_sharing_spark.client import _changes_lines_to_spark
+
+        log = TableLog(spark, table_dir)
+        df = spark.range(10).selectExpr("id AS k",
+                                        "CAST(id*2 AS STRING) AS v")
+        log.create(_one_file(df), name="t",
+                   configuration={**RT_CONF,
+                                  "enableDeletionVectors": "true"})
+        log.delete("k >= 7")
+        t = SharedTable(spark, table_dir)
+        out = t.query_actions(starting_version=1)
+        adds = [ln["add"] for ln in out["actions"] if "add" in ln]
+        assert any(a.get("deletionVector") for a in adds)
+        plain = _changes_lines_to_spark(spark, out["actions"])
+        assert sorted(r.k for r in
+                      plain.filter("_change_type='insert'").collect()) \
+            == list(range(7))
+        with_ids = _changes_lines_to_spark(spark, out["actions"],
+                                           row_ids=True)
+        got = sorted((r.k, r._row_id) for r in
+                     with_ids.filter("_change_type='insert'").collect())
+        assert got == [(k, k) for k in range(7)]
+
+    def test_range_rebuild_inline_dv(self, spark, table_dir):
+        """Inline ('i'-storage) deletion vectors decode client-side in
+        the range rebuild too."""
+        from delta_sharing_spark.client import _changes_lines_to_spark
+
+        log = TableLog(spark, table_dir)
+        log.create(_one_file(spark.range(6).selectExpr(
+            "id AS k", "CAST(id AS STRING) AS v")), name="t",
+            configuration={"enableDeletionVectors": "true",
+                           "deletionVectorInlineThreshold": "1000000"})
+        log.delete("k = 2")
+        t = SharedTable(spark, table_dir)
+        out = t.query_actions(starting_version=1)
+        adds = [ln["add"] for ln in out["actions"] if "add" in ln]
+        dv_types = {a["deletionVector"]["storageType"]
+                    for a in adds if a.get("deletionVector")}
+        df = _changes_lines_to_spark(spark, out["actions"])
+        got = sorted(r.k for r in
+                     df.filter("_change_type='insert'").collect())
+        assert got == [0, 1, 3, 4, 5], f"dv storage was {dv_types}"
