@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import re
 import threading
+from collections import deque
 from dataclasses import asdict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -99,10 +100,13 @@ class SharingServer:
         # token requests must not drop each other's just-issued tokens
         self._issued_tokens_lock = threading.Lock()
         self.async_queries = AsyncQueryManager()
-        # observability: every dispatched request's "METHOD path?query"
-        # (tests assert RPC-count bounds — e.g. a long-backlog streaming
-        # drain must cost O(backlog / maxVersionsPerRpc) range RPCs)
-        self.request_log: list[str] = []
+        # observability: every dispatched request's method + path + the
+        # plan-shaping body fields (tests assert RPC-count bounds — e.g.
+        # a long-backlog streaming drain must cost
+        # O(backlog / maxVersionsPerRpc) range RPCs). Bounded: a
+        # long-lived server must not accumulate one string per request
+        # forever.
+        self.request_log: "deque[str]" = deque(maxlen=100_000)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
