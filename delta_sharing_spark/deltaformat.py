@@ -215,15 +215,35 @@ def delta_lines_to_spark(spark: SparkSession,
     }
     type_of = {phys_of[f.name]: f.dataType for f in schema.fields}
     mat_id, mat_ver = _row_tracking_cols(config)
-    read_schema = None
+    from delta_sharing_spark.table import SharedTable
+
     if row_ids:
         read_schema = _rt_read_schema(
-            [(phys_of[f.name], f.dataType) for f in schema.fields],
+            [(phys_of[f.name], SharedTable._cast_type(f.dataType))
+             for f in schema.fields],
             mat_id, mat_ver)
+    else:
+        # ALWAYS scan under the declared (physical-name, wide) schema:
+        # footer inference on a type-widened table is file-order
+        # dependent — a narrow footer would read wide files wrongly;
+        # the explicit schema upcasts narrow files natively instead
+        # (the in-process read's contract, SharedTable._normalize)
+        read_schema = T.StructType([
+            T.StructField(phys_of[f.name],
+                          SharedTable._cast_type(f.dataType), True)
+            for f in schema.fields])
 
     def finish(df: DataFrame) -> DataFrame:
+        # cast to the DECLARED types (nullability-relaxed targets): a
+        # type-widened table's old files carry the narrow types, and an
+        # inferred-schema scan would otherwise serve them as-is —
+        # diverging from the in-process read (SharedTable._normalize)
+        from delta_sharing_spark.table import SharedTable
+
         return df.select(
-            *[F.col(phys_of[f.name]).alias(f.name) for f in schema.fields],
+            *[F.col(phys_of[f.name])
+              .cast(SharedTable._cast_type(f.dataType)).alias(f.name)
+              for f in schema.fields],
             *rt_extras)
 
     scan_path = F.url_decode(F.regexp_replace(
@@ -362,18 +382,30 @@ def profile_lines_to_spark(spark: SparkSession,
         return spark.createDataFrame([], out_schema)
     type_of = {f.name: f.dataType for f in schema.fields}
     mat_id, mat_ver = _row_tracking_cols(config)
-    read_schema = None
+    from delta_sharing_spark.table import SharedTable
+
     if row_ids:
         read_schema = _rt_read_schema(
-            [(f.name, f.dataType) for f in schema.fields],
+            [(f.name, SharedTable._cast_type(f.dataType))
+             for f in schema.fields],
             mat_id, mat_ver)
+    else:
+        # explicit declared schema, nullability-relaxed: footer inference
+        # on a type-widened table is file-order dependent (see
+        # delta_lines_to_spark); partition columns null-fill here and the
+        # typed partitionValues overwrite below
+        read_schema = T.StructType([
+            T.StructField(f.name, SharedTable._cast_type(f.dataType), True)
+            for f in schema.fields])
 
     def normalize(df: DataFrame) -> DataFrame:
         lower = {c.lower(): c for c in df.columns}
         return df.select(*([
-            (F.col(lower[fld.name.lower()]).cast(fld.dataType)
+            (F.col(lower[fld.name.lower()])
+             .cast(SharedTable._cast_type(fld.dataType))
              if fld.name.lower() in lower
-             else F.lit(None).cast(fld.dataType)).alias(fld.name)
+             else F.lit(None).cast(SharedTable._cast_type(fld.dataType)))
+            .alias(fld.name)
             for fld in schema.fields
         ] + [F.col(c) for c in rt_extras]))
 

@@ -415,3 +415,95 @@ class TestProfileTypeParity:
         assert p.client_id == "cid"
         with pytest.raises(NotImplementedError, match="JWT signing"):
             create_credential_provider(p)
+
+
+class TestWireTypeWidening:
+    """A type-widened table over the wire must serve the DECLARED (wide)
+    schema in both response formats — footer inference on mixed
+    narrow/wide files is file-order dependent, so the client rebuilds
+    scan under the explicit metaData schema (narrow files upcast
+    natively, exactly like the in-process read)."""
+
+    def _serve(self, spark, d, tmp_path, name):
+        import json as _json
+
+        from delta_sharing_spark.catalog import ShareCatalog
+        from delta_sharing_spark.server import SharingServer
+
+        cat = ShareCatalog(spark)
+        cat.add_table("s", "d", "t", d)
+        srv = SharingServer(cat, bearer_token="tok")
+        url = srv.serve_background()
+        prof = tmp_path / f"{name}.json"
+        prof.write_text(_json.dumps({
+            "shareCredentialsVersion": 1, "endpoint": url,
+            "bearerToken": "tok"}))
+        return srv, str(prof)
+
+    def test_parquet_profile_mixed_files_widened(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        from delta_sharing_spark.client import load_as_spark
+        from delta_sharing_spark.plans.log import TableLog
+
+        d = str(tmp_path / "t1")
+        log = TableLog(spark, d)
+        log.create(spark.range(3).selectExpr("cast(id as int) as k")
+                   .coalesce(1), name="t",
+                   configuration={"delta.enableTypeWidening": "true"})
+        log.widen_column_type("k", "long")
+        log.append(spark.sql("select cast(3000000000 as long) as k"))
+        srv, prof = self._serve(spark, d, tmp_path, "p1")
+        try:
+            df = load_as_spark(f"{prof}#s.d.t", spark=spark)
+            assert isinstance(df.schema["k"].dataType, T.LongType)
+            assert sorted(r.k for r in df.collect()) \
+                == [0, 1, 2, 3000000000]
+        finally:
+            srv.shutdown()
+
+    def test_delta_format_cm_widened_all_narrow(self, spark, tmp_path):
+        """Column-mapped (delta-format-forced) + widened with ONLY narrow
+        files on disk: the rebuild must still come back as the declared
+        wide type, not the footer's narrow one."""
+        from pyspark.sql import types as T
+
+        from delta_sharing_spark.client import load_as_spark
+        from delta_sharing_spark.plans.log import TableLog
+
+        d = str(tmp_path / "t2")
+        log = TableLog(spark, d)
+        log.create(spark.range(3).selectExpr("cast(id as int) as k")
+                   .coalesce(1), name="t",
+                   configuration={"delta.enableTypeWidening": "true"})
+        log.enable_column_mapping()
+        log.widen_column_type("k", "long")
+        srv, prof = self._serve(spark, d, tmp_path, "p2")
+        try:
+            df = load_as_spark(f"{prof}#s.d.t", spark=spark)
+            assert isinstance(df.schema["k"].dataType, T.LongType)
+            assert sorted(r.k for r in df.collect()) == [0, 1, 2]
+        finally:
+            srv.shutdown()
+
+    def test_nested_widened_over_wire(self, spark, tmp_path):
+        from delta_sharing_spark.client import load_as_spark
+        from delta_sharing_spark.plans.log import TableLog
+
+        d = str(tmp_path / "t3")
+        log = TableLog(spark, d)
+        log.create(spark.sql(
+            "SELECT named_struct('x', CAST(id AS INT)) s, id "
+            "FROM range(3)").coalesce(1), name="t",
+            configuration={"delta.enableTypeWidening": "true"})
+        log.widen_column_type("s.x", "long")
+        log.append(spark.sql(
+            "SELECT named_struct('x', CAST(9000000000 AS LONG)) s, "
+            "CAST(99 AS LONG) id"))
+        srv, prof = self._serve(spark, d, tmp_path, "p3")
+        try:
+            df = load_as_spark(f"{prof}#s.d.t", spark=spark)
+            got = sorted(r.s.x for r in df.collect())
+            assert got == [0, 1, 2, 9000000000]
+        finally:
+            srv.shutdown()
