@@ -915,6 +915,61 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_pipeline_rag_prep",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST(s.s // 16 AS BIGINT) AS chunk_id,
+             array_to_string(list_slice(toks, s.s + 1, s.s + 24), ' ')
+               AS chunk_text,
+             len(list_slice(toks, s.s + 1, s.s + 24)) AS n_tokens
+      FROM t, LATERAL (
+        SELECT UNNEST(generate_series(
+          0, GREATEST(len(toks) - 8 - 1, 0), 16)) AS s) s
+    ),
+    q AS (SELECT * FROM w WHERE n_tokens >= 8),
+    d AS (
+      SELECT doc_id, chunk_id, n_tokens, md5(chunk_text) AS chunk_md5,
+             ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                                ORDER BY doc_id, chunk_id) AS rn,
+             COUNT(*) OVER (PARTITION BY md5(chunk_text)) AS n_copies
+      FROM q
+    )
+    SELECT doc_id, chunk_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_copies AS BIGINT) AS n_copies, chunk_md5
+    FROM d WHERE rn = 1
+    """,
+)
+def q_pipeline_rag_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed retrieval-corpus prep: token-window chunking (24/8) ->
+    tiny-tail quality filter -> exact chunk dedup keeping the first
+    (doc_id, chunk_id) occurrence, with each survivor carrying its copy
+    count. The dedup window partitions on the chunk's CONTENT HASH, not
+    the text — the shuffle key stays 32 bytes however long chunks get,
+    and every partition is a duplicate-set (bounded), so the window
+    never sees an unpartitioned global sort. Replays end-to-end in
+    SQL."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "doc_id", "text", size=24, overlap=8) \
+        .filter(F.col("n_tokens") >= 8) \
+        .withColumn("chunk_md5", F.md5("chunk_text"))
+    w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_id")
+    wc = Window.partitionBy("chunk_md5")
+    return (ch
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_copies", F.count("*").over(wc))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "chunk_id", "n_tokens",
+                    F.col("n_copies").cast("long").alias("n_copies"),
+                    "chunk_md5"))
+
+
+@workload(
     "q_lm_filter_kn",
     oracle="""
     WITH ref AS (SELECT text FROM documents WHERE doc_id % 10 < 3),

@@ -653,6 +653,36 @@ class TestStreamRestartAfterSchemaChange:
         assert len(got) == 30
         assert all(got[i] == i % 100 for i in got)
 
+    def test_restart_streams_backlog_across_nested_widen(self, spark,
+                                                         tmp_path):
+        """NESTED widen mid-history (widen_column_type('s.x', long)):
+        a fresh stream from v0 plans under the wide nested schema and the
+        narrow backlog files upcast inside the struct (the executor's
+        Arrow struct cast) — the streaming leg of the nested
+        type-widening feature."""
+        spark.dataSource.register(SharedTableDataSource)
+        d = str(tmp_path / "nested_evolve")
+        log = TableLog(spark, d)
+        log.create(spark.sql(
+            "SELECT id, named_struct('x', CAST(id AS INT)) s "
+            "FROM range(5)").coalesce(1), name="t",
+            configuration={"delta.enableTypeWidening": "true"})
+        log.widen_column_type("s.x", "long")
+        log.append(spark.sql(
+            "SELECT CAST(99 AS LONG) id, "
+            "named_struct('x', CAST(8000000000 AS LONG)) s"))
+        name = "nested_evost"
+        q = (spark.readStream.format("deltashare").option("path", d)
+             .option("startingVersion", "0").load()
+             .writeStream.format("memory").queryName(name)
+             .trigger(processingTime="200 milliseconds").start())
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table(name)
+        assert dict(out.dtypes)["s"] == "struct<x:bigint>"
+        got = sorted(r["s"]["x"] for r in out.collect())
+        assert got == [0, 1, 2, 3, 4, 8000000000]
+
 
 class TestSchemaTrackingLocation:
     """Delta-style schemaTrackingLocation: a gate-stopping metadata change
