@@ -69,10 +69,13 @@ HEADLINE = [
     "q_bpe_encode",
     "q_audio_features",
     # round-7 additions (after the comparable prefix): nested type
-    # widening reads, row ids over the range RPC, windowed audio
+    # widening reads, row ids over the range RPC, windowed audio,
+    # Kneser-Ney LM scoring, composed RAG chunk-dedup prep
     "eng_type_widening_nested",
     "eng_rest_row_tracking_range",
     "q_audio_windows",
+    "q_lm_filter_kn",
+    "q_pipeline_rag_prep",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet
