@@ -1513,3 +1513,47 @@ class TestChunkDocuments:
         out = audio_windows(clips, "audio", "doc_id", window=16)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestNewQueryPlanShapes:
+    """Plan-shape gates for the round-7 queries: regressions that
+    reintroduce a global sort / cartesian product fail here, not in a
+    bench number."""
+
+    def _plan(self, spark, name):
+        from delta_sharing_spark import workloads
+
+        workloads.load_all()
+        df = workloads.QUERIES[name](spark, "/root/testdata/sf0.001")
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_rag_prep_no_single_partition_funnel(self, spark):
+        plan = self._plan(spark, "q_pipeline_rag_prep")
+        # the dedup window partitions on chunk_md5 — never a global
+        # single-partition sort
+        assert "SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_kn_lm_no_cartesian(self, spark):
+        plan = self._plan(spark, "q_lm_filter_kn")
+        assert "CartesianProduct" not in plan
+        # the n_pairs scalar rides a broadcast, every other join is an
+        # equi-join
+        assert "BroadcastNestedLoopJoin" not in plan.replace(
+            "BroadcastNestedLoopJoin BuildRight, Cross", "SCALAR_OK") \
+            or plan.count("BroadcastNestedLoopJoin") \
+            == plan.count("BuildRight, Cross")
+
+    def test_chunk_documents_pushdown_intact(self, spark):
+        """Chunking composes with Catalyst: a filter on the id column
+        still reaches the parquet scan below the explode."""
+        from pyspark.sql import functions as F
+
+        from delta_sharing_spark.io import read_table
+        from delta_sharing_spark.workloads.text import chunk_documents
+
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        out = chunk_documents(docs, "doc_id", "text", size=16) \
+            .filter(F.col("doc_id") < 50)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "LessThan(doc_id,50)" in plan
