@@ -54,7 +54,7 @@ _DRIVER_PRIORITY = [
     "q_audio_windows", "eng_type_widening_nested",
     "eng_rest_row_tracking_range", "eng_rest_row_tracking_cdf",
     "stream_remote_deep_drain", "q_lm_filter_kn", "q_chunk_documents",
-    "q_pipeline_rag_prep",
+    "q_pipeline_rag_prep", "q_lm_filter_kn3",
 ]
 
 

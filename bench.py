@@ -76,6 +76,7 @@ HEADLINE = [
     "q_audio_windows",
     "q_lm_filter_kn",
     "q_pipeline_rag_prep",
+    "q_lm_filter_kn3",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

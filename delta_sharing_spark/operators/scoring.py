@@ -262,6 +262,121 @@ def kn_lm_score(docs: DataFrame, lm: DataFrame, id_col: str,
     )
 
 
+def _trigrams(df: DataFrame, text_col: str,
+              id_cols: list[str] | None = None) -> DataFrame:
+    """(…id_cols, u, v, w) rows: whitespace trigrams with double
+    '<s>' start padding (u = two back, v = one back) — shared by
+    training and scoring like :func:`_bigrams`."""
+    keep = [F.col(c) for c in (id_cols or [])]
+    return df.select(
+        *keep,
+        F.explode(
+            F.expr(f"""
+            transform(
+              sequence(1, size(split({text_col}, ' '))),
+              i -> struct(
+                CASE WHEN i <= 2 THEN '<s>'
+                     ELSE element_at(split({text_col}, ' '), i - 2) END
+                  AS u,
+                CASE WHEN i = 1 THEN '<s>'
+                     ELSE element_at(split({text_col}, ' '), i - 1) END
+                  AS v,
+                element_at(split({text_col}, ' '), i) AS w)
+            )
+            """)
+        ).alias("tg"),
+    ).select(*(id_cols or []), "tg.u", "tg.v", "tg.w")
+
+
+def kn3_lm_train(ref: DataFrame, text_col: str) -> DataFrame:
+    """Interpolated trigram Kneser-Ney (the KenLM recursion at order 3,
+    Chen & Goodman 1999 eq. 18 shape) — counts only, exact-integer
+    replayable like :func:`kn_lm_train`:
+
+    P3(w|u,v) = max(c(uvw)-D,0)/c(uv·) + D·N1+(uv·)/c(uv·) · P2(w|v)
+    P2(w|v)   = max(N1+(·vw)-D,0)/N1+(·v·)
+              + D·N1+(v·)/N1+(·v·) · Pcont(w)
+    Pcont(w)  = N1+(··w)/N1+(···)   (all counts at the CONTINUATION
+    level — types-not-tokens, the Kneser-Ney insight)
+
+    One row per seen trigram carrying every quantity the scorer joins
+    on: (pair_n=c(uvw), c2ctx=c(uv·), n1p3=N1+(uv·)) at the top level,
+    (n1b=N1+(·vw), n1mid=N1+(·v·), n1p2=N1+(v·)) at the middle,
+    (n1uni=N1+(··w), ntot=N1+(···)) at the bottom. Five aggregations,
+    all equi-keyed."""
+    tri = _trigrams(ref, text_col)
+    c3 = tri.groupBy("u", "v", "w").agg(F.count("*").alias("pair_n"))
+    ctx2 = c3.groupBy("u", "v").agg(F.sum("pair_n").alias("c2ctx"),
+                                    F.count("*").alias("n1p3"))
+    n1b = c3.groupBy("v", "w").agg(F.count("*").alias("n1b"))
+    mid = n1b.groupBy("v").agg(F.sum("n1b").alias("n1mid"),
+                               F.count("*").alias("n1p2"))
+    uni = n1b.groupBy("w").agg(F.count("*").alias("n1uni"))
+    ntot = n1b.select(F.count("*").alias("ntot"))
+    return (c3.join(ctx2, ["u", "v"]).join(n1b, ["v", "w"])
+            .join(mid, "v").join(uni, "w")
+            .crossJoin(F.broadcast(ntot)))
+
+
+# the one KN3 per-trigram expression both engines evaluate on identical
+# integers (D = 3/4 at both levels; nested DIVs keep every intermediate
+# below 2^63 while per-context continuation counts stay < ~10^12 —
+# far beyond any unsharded model)
+_KN3_EXPR = """
+GREATEST(CASE
+  WHEN c2ctx IS NOT NULL THEN
+    (GREATEST(4 * COALESCE(pair_n, 0) - 3, 0) * {U}) DIV (4 * c2ctx)
+    + (3 * n1p3 * GREATEST(4 * COALESCE(n1b, 0) - 3, 0) * {U})
+        DIV (16 * c2ctx * n1mid)
+    + (9 * n1p3 * n1p2 * ((COALESCE(n1uni, 0) * {U}) DIV ntot))
+        DIV (64 * c2ctx * n1mid)
+  WHEN n1mid IS NOT NULL THEN
+    (GREATEST(4 * COALESCE(n1b, 0) - 3, 0) * {U}) DIV (4 * n1mid)
+    + (3 * n1p2 * ((COALESCE(n1uni, 0) * {U}) DIV ntot))
+        DIV (16 * n1mid)
+  ELSE (COALESCE(n1uni, 0) * {U}) DIV ntot
+END, 1)
+"""
+
+
+def kn3_lm_score(docs: DataFrame, lm: DataFrame, id_col: str,
+                 text_col: str) -> DataFrame:
+    """Per-document trigram-KN likelihood in exact LM_UNIT integers.
+    Backoff chain per trigram: seen (u,v) context -> discounted trigram
+    + continuation-bigram + continuation-unigram terms; unseen (u,v)
+    but seen v -> the P2 level; unseen v -> pure continuation model;
+    floor 1 µ-unit. Scale shape: map-side trigram explode, five
+    equi-joins against the materialized model (broadcast under AQE when
+    small), one per-doc aggregation — the same join-a-model pattern a
+    binary KenLM table would slot into."""
+    lm = lm.localCheckpoint(eager=True)
+    tg = _trigrams(docs, text_col, id_cols=[id_col])
+    c3_side = lm.select("u", "v", "w", "pair_n")
+    ctx2_side = lm.select("u", "v", "c2ctx", "n1p3") \
+        .dropDuplicates(["u", "v"])
+    n1b_side = lm.select("v", "w", "n1b").dropDuplicates(["v", "w"])
+    mid_side = lm.select("v", "n1mid", "n1p2").dropDuplicates(["v"])
+    uni_side = lm.select("w", "n1uni").dropDuplicates(["w"])
+    scalar = lm.select(F.max("ntot").alias("ntot"))
+    scored = (
+        tg.join(c3_side, ["u", "v", "w"], "left")
+        .join(ctx2_side, ["u", "v"], "left")
+        .join(n1b_side, ["v", "w"], "left")
+        .join(mid_side, "v", "left")
+        .join(uni_side, "w", "left")
+        .crossJoin(F.broadcast(scalar))
+        .select(F.col(id_col),
+                F.expr(_KN3_EXPR.format(U=LM_UNIT))
+                .cast("long").alias("__kn_u"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_trigrams"),
+        F.sum("__kn_u").alias("sum_kn_u"),
+        (F.sum("__kn_u").cast("double") / F.count("*"))
+        .alias("avg_kn_u"),
+    )
+
+
 # --------------------------------------------- DSIR importance resampling
 #
 # Data Selection via Importance Resampling (Xie et al. 2023): select raw

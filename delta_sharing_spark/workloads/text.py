@@ -1041,6 +1041,103 @@ def q_lm_filter_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "doc_id", "text")
 
 
+@workload(
+    "q_lm_filter_kn3",
+    oracle="""
+    WITH ref AS (SELECT text FROM documents WHERE doc_id % 10 < 3),
+    ref_tg AS (
+      SELECT CASE WHEN t.i <= 2 THEN '<s>'
+                  ELSE string_split(text, ' ')[t.i - 2] END AS u,
+             CASE WHEN t.i = 1 THEN '<s>'
+                  ELSE string_split(text, ' ')[t.i - 1] END AS v,
+             string_split(text, ' ')[t.i] AS w
+      FROM ref, LATERAL (
+        SELECT UNNEST(generate_series(1, len(string_split(text, ' '))))
+        AS i) t
+    ),
+    c3 AS (
+      SELECT u, v, w, COUNT(*) AS pair_n FROM ref_tg GROUP BY 1, 2, 3
+    ),
+    ctx2 AS (
+      SELECT u, v, SUM(pair_n) AS c2ctx, COUNT(*) AS n1p3
+      FROM c3 GROUP BY 1, 2
+    ),
+    n1bt AS (SELECT v, w, COUNT(*) AS n1b FROM c3 GROUP BY 1, 2),
+    mid AS (
+      SELECT v, SUM(n1b) AS n1mid, COUNT(*) AS n1p2 FROM n1bt GROUP BY v
+    ),
+    uni AS (SELECT w, COUNT(*) AS n1uni FROM n1bt GROUP BY w),
+    nt AS (SELECT COUNT(*) AS ntot FROM n1bt),
+    doc_tg AS (
+      SELECT doc_id,
+             CASE WHEN t.i <= 2 THEN '<s>'
+                  ELSE string_split(text, ' ')[t.i - 2] END AS u,
+             CASE WHEN t.i = 1 THEN '<s>'
+                  ELSE string_split(text, ' ')[t.i - 1] END AS v,
+             string_split(text, ' ')[t.i] AS w
+      FROM documents, LATERAL (
+        SELECT UNNEST(generate_series(1, len(string_split(text, ' '))))
+        AS i) t
+      WHERE doc_id % 10 >= 3
+    ),
+    lk AS (
+      SELECT d.doc_id,
+             GREATEST(CASE
+               WHEN x.c2ctx IS NOT NULL THEN
+                 CAST(GREATEST(4 * COALESCE(p.pair_n, 0) - 3, 0) * 1000000
+                      AS BIGINT) // CAST(4 * x.c2ctx AS BIGINT)
+                 + CAST(3 * x.n1p3
+                        * GREATEST(4 * COALESCE(b.n1b, 0) - 3, 0)
+                        * 1000000 AS BIGINT)
+                     // CAST(16 * x.c2ctx * m.n1mid AS BIGINT)
+                 + CAST(9 * x.n1p3 * m.n1p2
+                        * (CAST(COALESCE(un.n1uni, 0) * 1000000 AS BIGINT)
+                           // CAST(nt.ntot AS BIGINT)) AS BIGINT)
+                     // CAST(64 * x.c2ctx * m.n1mid AS BIGINT)
+               WHEN m.n1mid IS NOT NULL THEN
+                 CAST(GREATEST(4 * COALESCE(b.n1b, 0) - 3, 0) * 1000000
+                      AS BIGINT) // CAST(4 * m.n1mid AS BIGINT)
+                 + CAST(3 * m.n1p2
+                        * (CAST(COALESCE(un.n1uni, 0) * 1000000 AS BIGINT)
+                           // CAST(nt.ntot AS BIGINT)) AS BIGINT)
+                     // CAST(16 * m.n1mid AS BIGINT)
+               ELSE CAST(COALESCE(un.n1uni, 0) * 1000000 AS BIGINT)
+                    // CAST(nt.ntot AS BIGINT)
+             END, 1) AS kn_u
+      FROM doc_tg d
+      LEFT JOIN c3 p ON p.u = d.u AND p.v = d.v AND p.w = d.w
+      LEFT JOIN ctx2 x ON x.u = d.u AND x.v = d.v
+      LEFT JOIN n1bt b ON b.v = d.v AND b.w = d.w
+      LEFT JOIN mid m ON m.v = d.v
+      LEFT JOIN uni un ON un.w = d.w
+      CROSS JOIN nt
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(kn_u) AS BIGINT) AS sum_kn_u,
+           CAST(SUM(kn_u) AS DOUBLE) / COUNT(*) AS avg_kn_u
+    FROM lk GROUP BY doc_id
+    """,
+)
+def q_lm_filter_kn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATED TRIGRAM Kneser-Ney filtering — the KenLM recursion
+    at order 3 (the CCNet production shape, one order down): trigram
+    discounting backs off into a continuation-bigram model which backs
+    off into the continuation-unigram distribution, every count a
+    TYPE count (Kneser-Ney's types-not-tokens), every probability two
+    nested BIGINT divisions with D = 3/4 rational
+    (operators/scoring.py:kn3_lm_train/kn3_lm_score). The full
+    three-level fit AND inference replay in one SQL statement."""
+    from delta_sharing_spark.operators.scoring import (
+        kn3_lm_score,
+        kn3_lm_train,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    lm = kn3_lm_train(docs.filter("doc_id % 10 < 3"), "text")
+    return kn3_lm_score(docs.filter("doc_id % 10 >= 3"), lm,
+                        "doc_id", "text")
+
+
 def _bpe_oracle(num_merges: int) -> str:
     """Chained-CTE DuckDB replay of the BPE training loop: per iteration
     one pair-count CTE, one deterministic-argmax CTE, one merge-apply CTE

@@ -1557,3 +1557,42 @@ class TestNewQueryPlanShapes:
             .filter(F.col("doc_id") < 50)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [" in plan and "LessThan(doc_id,50)" in plan
+
+
+class TestKneserNeyTrigram:
+    def test_kn3_matches_hand_computation(self, spark):
+        """Two-doc corpus, every KN3 term hand-checked (D=3/4, U=1e6)."""
+        from delta_sharing_spark.operators.scoring import (
+            kn3_lm_score,
+            kn3_lm_train,
+        )
+
+        ref = spark.createDataFrame([("a b",), ("a b",)], "text string")
+        # c3: (<s>,<s>,a):2, (<s>,a,b):2; each ctx2 c2ctx=2, n1p3=1;
+        # n1b both 1; per-v n1mid=1, n1p2=1; n1uni(a)=n1uni(b)=1; ntot=2
+        lm = kn3_lm_train(ref, "text")
+        docs = spark.createDataFrame([(1, "a b"), (2, "z q")],
+                                     "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               kn3_lm_score(docs, lm, "doc_id", "text").collect()}
+        # per seen trigram: t1 = 5U DIV 8 = 625000,
+        # t2 = 3U DIV 32 = 93750, t3 = 9*(U DIV 2) DIV 128 = 35156
+        assert got[1].n_trigrams == 2
+        assert got[1].sum_kn_u == 2 * (625000 + 93750 + 35156)
+        # unseen tokens bottom out at the 1 µ-unit floor on every level
+        assert got[2].sum_kn_u == 2
+
+    def test_kn3_model_continuation_counts(self, spark):
+        from delta_sharing_spark.operators.scoring import kn3_lm_train
+
+        ref = spark.createDataFrame(
+            [("x y z",), ("w y z",)], "text string")
+        rows = kn3_lm_train(ref, "text").collect()
+        by = {(r.u, r.v, r.w): r for r in rows}
+        # bigram (y,z) is left-extended by {x, w} -> continuation count 2
+        assert by[("x", "y", "z")].n1b == 2
+        # z is preceded (at the continuation level) only by v=y
+        assert by[("x", "y", "z")].n1uni == 1
+        # ntot = distinct (v,w) pairs
+        assert by[("x", "y", "z")].ntot == len(
+            {(r.v, r.w) for r in rows})
