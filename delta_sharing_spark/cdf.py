@@ -346,6 +346,15 @@ def table_changes_actions(
                         a.defaultRowCommitVersion
                         if a.defaultRowCommitVersion is not None
                         else commit.version)
+                if a.deletionVector:
+                    # the add's logical content excludes DV-masked rows;
+                    # without the descriptor a consumer re-serves deleted
+                    # rows as inserts (same stamping as the range form)
+                    dv = dict(a.deletionVector)
+                    if dv.get("storageType") == "u":
+                        dv["pathOrInlineDv"] = log.abs_path(
+                            dv["pathOrInlineDv"])
+                    line["add"]["deletionVector"] = dv
                 lines.append(line)
             for r in commit.removes:
                 if not r.dataChange:

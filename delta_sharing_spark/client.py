@@ -412,9 +412,11 @@ def _delta_changes_to_profile_shape(lines: list) -> list:
                 "version": w.get("version"),
                 "timestamp": w.get("timestamp"),
             }
-            for k in ("baseRowId", "defaultRowCommitVersion"):
-                # row-tracking AddFile fields (Delta "Row Tracking") pass
-                # through for the row_ids=True reconstruction
+            for k in ("baseRowId", "defaultRowCommitVersion",
+                      "deletionVector"):
+                # row-tracking fields pass through for row_ids=True, and
+                # the DV descriptor so DV-masked adds are scanned as
+                # their LOGICAL content (survivors only)
                 if a.get(k) is not None:
                     entry[k] = a[k]
             out.append({key: entry})

@@ -91,7 +91,10 @@ def actions_to_delta_format(lines: list[dict[str, Any]]) -> list[dict[str, Any]]
                 action["dataChange"] = True
                 if src.get("stats") is not None:
                     action["stats"] = src["stats"]
-                for k in ("baseRowId", "defaultRowCommitVersion"):
+                for k in ("baseRowId", "defaultRowCommitVersion",
+                          "deletionVector"):
+                    # row-tracking fields + the DV descriptor (a DV-mode
+                    # DELETE's add must rebuild as survivors only)
                     if src.get(k) is not None:
                         action[k] = src[k]
             if kind == "remove":

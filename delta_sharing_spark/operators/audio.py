@@ -158,10 +158,13 @@ def audio_windows(df: DataFrame, media_col: str, id_col: str,
                         raise ValueError("null media value")
                     _rate, _ch, samples = decode_wav(bytes(raw))
                     a = np.asarray(samples, dtype=np.int64)
-                    for w0 in range(0, max(len(a), 1), window):
+                    if len(a) == 0:
+                        # one-row-per-clip floor (audio_features parity):
+                        # a decodable empty clip surfaces as frame 0 with
+                        # zero samples, never vanishes silently
+                        rows.append((rid, 0, 0, 0, 0, 0, 0, None))
+                    for w0 in range(0, len(a), window):
                         f = a[w0:w0 + window]
-                        if len(f) == 0:
-                            continue
                         prod = (f[:-1] * f[1:] if len(f) > 1
                                 else np.array([]))
                         rows.append((rid, w0 // window, len(f),

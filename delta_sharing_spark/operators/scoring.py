@@ -329,11 +329,11 @@ GREATEST(CASE
     + (3 * n1p3 * GREATEST(4 * COALESCE(n1b, 0) - 3, 0) * {U})
         DIV (16 * c2ctx * n1mid)
     + (9 * n1p3 * n1p2 * ((COALESCE(n1uni, 0) * {U}) DIV ntot))
-        DIV (64 * c2ctx * n1mid)
+        DIV (16 * c2ctx * n1mid)
   WHEN n1mid IS NOT NULL THEN
     (GREATEST(4 * COALESCE(n1b, 0) - 3, 0) * {U}) DIV (4 * n1mid)
     + (3 * n1p2 * ((COALESCE(n1uni, 0) * {U}) DIV ntot))
-        DIV (16 * n1mid)
+        DIV (4 * n1mid)
   ELSE (COALESCE(n1uni, 0) * {U}) DIV ntot
 END, 1)
 """

@@ -2034,7 +2034,13 @@ class TableLog:
             raise ValueError(
                 "type widening requires delta.enableTypeWidening=true "
                 "on the table (set it via update_metadata/create)")
-        segments = name.split(".")
+        # a top-level column whose NAME contains a literal dot (legal
+        # under column mapping) matches exactly before dotted-path
+        # interpretation — widening it must not regress
+        if any(f.name == name for f in snap.schema.fields):
+            segments = [name]
+        else:
+            segments = name.split(".")
         top = next((f for f in snap.schema.fields
                     if f.name == segments[0]), None)
         if top is None:

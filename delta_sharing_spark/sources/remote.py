@@ -293,6 +293,11 @@ class RemoteTableLog:
             lo = max(lo, self._fetched_hi + 1)
         while lo <= end:
             hi = min(lo + self.max_versions_per_rpc - 1, end)
+            if all(v in self._commits for v in range(lo, hi + 1)):
+                # fully cached (e.g. a lower restart offset after the
+                # cache was pruned elsewhere in the range) — no RPC
+                lo = hi + 1
+                continue
             self._fetch_window(lo, hi)
             for v in range(lo, hi + 1):
                 self._commits.setdefault(

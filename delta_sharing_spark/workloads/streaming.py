@@ -363,11 +363,16 @@ def forge_append_commits(path: str, n_commits: int, k0: int = 1) -> int:
     import pyarrow.parquet as pq
 
     log = TableLog(None, path)
-    start = log.latest_version() + 1
+    latest = log.latest_version()
+    start = latest + 1
     log_dir = _os.path.join(path, "_dsl_log")
     data_dir = _os.path.join(path, "data")
     _os.makedirs(data_dir, exist_ok=True)
-    base_ts = 1700000000000
+    # deterministic AND monotonic: commit timestamps must not regress
+    # below the real create commit's wall clock (timestamp-based
+    # resolution assumes monotone commit times)
+    base_ts = max(1700000000000,
+                  log.read_commit(latest).timestamp + 1)
     for i in range(n_commits):
         v = start + i
         k = k0 + i
@@ -380,7 +385,7 @@ def forge_append_commits(path: str, n_commits: int, k0: int = 1) -> int:
         add = {"path": f"data/{fn}", "partitionValues": {}, "size": size,
                "stats": stats, "dataChange": True, "version": None,
                "timestamp": None}
-        ci = {"version": v, "timestamp": base_ts + v, "operation": "WRITE",
+        ci = {"version": v, "timestamp": base_ts + (v - start), "operation": "WRITE",
               "operationParameters": {}, "operationMetrics":
               {"numFiles": "1"}}
         with open(_os.path.join(log_dir, f"{v:020d}.json"), "w") as f:

@@ -1093,14 +1093,14 @@ def q_lm_filter_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + CAST(9 * x.n1p3 * m.n1p2
                         * (CAST(COALESCE(un.n1uni, 0) * 1000000 AS BIGINT)
                            // CAST(nt.ntot AS BIGINT)) AS BIGINT)
-                     // CAST(64 * x.c2ctx * m.n1mid AS BIGINT)
+                     // CAST(16 * x.c2ctx * m.n1mid AS BIGINT)
                WHEN m.n1mid IS NOT NULL THEN
                  CAST(GREATEST(4 * COALESCE(b.n1b, 0) - 3, 0) * 1000000
                       AS BIGINT) // CAST(4 * m.n1mid AS BIGINT)
                  + CAST(3 * m.n1p2
                         * (CAST(COALESCE(un.n1uni, 0) * 1000000 AS BIGINT)
                            // CAST(nt.ntot AS BIGINT)) AS BIGINT)
-                     // CAST(16 * m.n1mid AS BIGINT)
+                     // CAST(4 * m.n1mid AS BIGINT)
                ELSE CAST(COALESCE(un.n1uni, 0) * 1000000 AS BIGINT)
                     // CAST(nt.ntot AS BIGINT)
              END, 1) AS kn_u

@@ -1575,10 +1575,14 @@ class TestKneserNeyTrigram:
                                      "doc_id long, text string")
         got = {r.doc_id: r for r in
                kn3_lm_score(docs, lm, "doc_id", "text").collect()}
-        # per seen trigram: t1 = 5U DIV 8 = 625000,
-        # t2 = 3U DIV 32 = 93750, t3 = 9*(U DIV 2) DIV 128 = 35156
+        # per seen trigram (from the FORMULA, not the code):
+        # t1 = max(c3-D,0)/c2 = (5/4)/2 -> 5U DIV 8 = 625000
+        # t2 = (D*n1p3/c2)*max(n1b-D,0)/n1mid = (3/8)*(1/4)
+        #    -> 3U DIV 32 = 93750
+        # t3 = (D*n1p3/c2)*(D*n1p2/n1mid)*Pcont = (3/8)*(3/4)*(1/2)
+        #    -> 9*(U DIV 2) DIV 32 = 140625
         assert got[1].n_trigrams == 2
-        assert got[1].sum_kn_u == 2 * (625000 + 93750 + 35156)
+        assert got[1].sum_kn_u == 2 * (625000 + 93750 + 140625)
         # unseen tokens bottom out at the 1 µ-unit floor on every level
         assert got[2].sum_kn_u == 2
 
