@@ -300,13 +300,17 @@ def table_changes_actions(
     version + timestamp, optionally interleaving historical ``metaData``
     actions (``includeHistoricalMetadata``)."""
     log = TableLog(spark, path)
-    snap = log.snapshot()
-    if not snap.metadata.cdf_enabled:
+    if not log.snapshot().metadata.cdf_enabled:
         raise CDFError("change data feed is not enabled on this table")
     start, end = _resolve_range(
         log, starting_version, ending_version,
         starting_timestamp, ending_timestamp,
     )
+    # head metaData = the END-of-range snapshot's, matching table_changes
+    # (delta-kernel TableChangesScanBuilder: compatibility is required
+    # within [start, end] only — a schema change AFTER the range must not
+    # change, or fail, a servable historical range)
+    snap = log.snapshot(version=end)
     from dataclasses import asdict
 
     lines: list[dict] = [
@@ -364,4 +368,7 @@ def table_changes_actions(
                     "partitionValues": r.partitionValues, "size": r.size,
                     "timestamp": commit.timestamp,
                     "version": commit.version}})
-    return {"version": snap.version, "actions": lines}
+    # wire parity: Delta-Table-Version on the changes RPC is the STARTING
+    # version of the files in the response (PROTOCOL.md:2432-2436;
+    # DeltaSharedTable.scala queryCDF returns QueryResult(start, ...))
+    return {"version": start, "actions": lines}

@@ -185,12 +185,19 @@ class SharingServer:
                                 "JSON object, got "
                                 f"{type(body).__name__}")
                 # observability entry: method + path + the plan-shaping
-                # body fields (tests assert RPC-count bounds on these)
-                tracked = {k: body[k] for k in
+                # fields (tests assert RPC-count bounds on these). GET
+                # endpoints carry them as query params (the changes RPC),
+                # POST as body fields — merge both so range RPCs are
+                # observable regardless of verb.
+                tracked = {k: params[k] for k in
                            ("startingVersion", "endingVersion",
                             "pageToken", "maxFiles")
-                           if isinstance(body, dict) and body.get(k)
-                           is not None}
+                           if params.get(k) is not None}
+                tracked.update({k: body[k] for k in
+                                ("startingVersion", "endingVersion",
+                                 "pageToken", "maxFiles")
+                                if isinstance(body, dict) and body.get(k)
+                                is not None})
                 server.request_log.append(
                     f"{method} {self.path}"
                     + "".join(f" {k}={v}" for k, v in sorted(

@@ -202,9 +202,11 @@ class RemoteTableLog:
         self._client = _rest_client(profile)
         self.max_versions_per_rpc = max(1, int(max_versions_per_rpc))
         self.read_change_feed = read_change_feed
+        # fetched-version bookkeeping: presence in _commits IS the fetched
+        # marker (empty commits get placeholder entries), so non-contiguous
+        # access patterns (commits(100,150) then commits(0,50)) never leave
+        # a silently-unfetched hole a later call would serve empty from
         self._commits: dict[int, _WireCommit] = {}
-        self._fetched_hi: int | None = None
-        self._fetched_lo: int | None = None
         self._latest_cache: int | None = None
         self.path = f"{profile_path}#{share}.{schema}.{table}"
 
@@ -272,30 +274,30 @@ class RemoteTableLog:
         # entries below it are dead — drop them. A 10k-commit backlog
         # then holds at most one fetch-range of commits, not the whole
         # history. A later lower ``start`` (new consumer on this
-        # instance) just re-fetches: _fetched_lo is raised with the
-        # pruning so the window math stays truthful.
+        # instance) just re-fetches: pruned versions fall out of the
+        # presence map, so _fetch_range sees them as unfetched.
         stale = [v for v in self._commits if v < start]
         for v in stale:
             del self._commits[v]
-        if stale and (self._fetched_lo is None
-                      or start > self._fetched_lo):
-            self._fetched_lo = start
         return out
 
     # ------------------------------------------------------------- fetching
 
     def _fetch_range(self, start: int, end: int) -> None:
         """Fill the commit cache for [start, end] in maxVersionsPerRpc
-        windows; already-fetched versions are never re-requested."""
+        windows; already-fetched versions are never re-requested.
+
+        Skip decisions are made per window from the presence map alone
+        (one dict lookup per version, bounded by maxVersionsPerRpc per
+        window) — no contiguous-span assumption, so interleaved or
+        non-contiguous historical reads can never leave a hole that a
+        later call silently serves as empty."""
         lo = start
-        if (self._fetched_lo is not None and self._fetched_hi is not None
-                and start >= self._fetched_lo):
-            lo = max(lo, self._fetched_hi + 1)
         while lo <= end:
             hi = min(lo + self.max_versions_per_rpc - 1, end)
             if all(v in self._commits for v in range(lo, hi + 1)):
-                # fully cached (e.g. a lower restart offset after the
-                # cache was pruned elsewhere in the range) — no RPC
+                # fully cached (warm repoll, or a lower restart offset
+                # after the cache was pruned elsewhere) — no RPC
                 lo = hi + 1
                 continue
             self._fetch_window(lo, hi)
@@ -303,10 +305,6 @@ class RemoteTableLog:
                 self._commits.setdefault(
                     v, _WireCommit(v, 0, None, [], [], []))
             lo = hi + 1
-        if self._fetched_lo is None or start < self._fetched_lo:
-            self._fetched_lo = start
-        if self._fetched_hi is None or end > self._fetched_hi:
-            self._fetched_hi = end
 
     def _fetch_window(self, start: int, end: int) -> None:
         if self.read_change_feed:

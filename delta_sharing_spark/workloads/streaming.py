@@ -365,8 +365,10 @@ def forge_append_commits(path: str, n_commits: int, k0: int = 1) -> int:
     log = TableLog(None, path)
     latest = log.latest_version()
     start = latest + 1
-    log_dir = _os.path.join(path, "_dsl_log")
-    data_dir = _os.path.join(path, "data")
+    # the real log layout's paths (not re-derived string literals, so a
+    # LOG_DIR/DATA_DIR rename can't desynchronize the forged fixture)
+    log_dir = log.log_path
+    data_dir = log.data_path
     _os.makedirs(data_dir, exist_ok=True)
     # deterministic AND monotonic: commit timestamps must not regress
     # below the real create commit's wall clock (timestamp-based
@@ -462,10 +464,14 @@ def stream_remote_deep_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = result.collect()  # materialize while the server lives
         ranges = [r for r in srv.request_log if "startingVersion=" in r]
         budget = _DEEP_LOG_COMMITS // 20 + 4  # windows + boundary fudge
-        assert len(ranges) <= budget, (
-            f"deep drain cost {len(ranges)} range RPCs for "
-            f"{_DEEP_LOG_COMMITS} commits at maxVersionsPerRpc=20 "
-            f"(budget {budget}) — the window cache regressed")
+        if len(ranges) > budget:
+            # explicit raise (not assert): the gate must survive -O and
+            # fail as a clean, attributable error, not an AssertionError
+            # aborting a data-producing query
+            raise RuntimeError(
+                f"deep drain cost {len(ranges)} range RPCs for "
+                f"{_DEEP_LOG_COMMITS} commits at maxVersionsPerRpc=20 "
+                f"(budget {budget}) — the window cache regressed")
         return spark.createDataFrame(rows, result.schema)
     finally:
         srv.shutdown()

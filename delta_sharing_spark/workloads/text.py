@@ -1414,31 +1414,34 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ln rank, ln count) over the top-100 tokens — natural corpora sit
     near -1; a far-off slope flags template spam or tokenizer damage.
     Plan: one count aggregation, a distributed partial top-k
-    (TakeOrderedAndProject — no global sort), a 100-row rank window, and
+    (TakeOrderedAndProject — no global sort), a windowless 100-row rank
+    (sort_array + posexplode in one JVM expression), and
     an exact-integer regression (each ln term quantized to micro-units at
     the point of computation, all sums BIGINT — partition-order
     independent, so the slope replays bit-exactly modulo the repo-wide
     accepted caveat that JVM and libm ln() agree to the micro-unit
     rounding boundary; same risk class as the DSIR/tfidf quantizations)."""
-    from pyspark.sql import Window
-
     docs = read_table(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     )
     topk = counts.orderBy(F.desc("n"), "tok").limit(100)
-    # the window runs on the 100-row top-k result; partition by a literal
-    # so no "no partition defined" warning masks real skew warnings
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("n"), "tok")
-    pts = (
-        topk.withColumn("rnk", F.row_number().over(w))
-        .select(
-            F.round(F.log(F.col("rnk").cast("double")) * 1_000_000)
-            .cast("long").alias("x_u"),
-            F.round(F.log(F.col("n").cast("double")) * 1_000_000)
-            .cast("long").alias("y_u"),
-        )
+    # rank the ≤100-row top-k WITHOUT a window (a windowed rank over the
+    # whole result plans as an empty-partition-spec WindowExec whose WARN
+    # buries real skew warnings): one collect_list aggregation sorts the
+    # 100 structs JVM-side, posexplode's position IS the rank
+    ranked = (
+        topk.agg(F.sort_array(F.collect_list(
+            F.struct((-F.col("n")).alias("negn"), F.col("tok"),
+                     F.col("n")))).alias("arr"))
+        .select(F.posexplode("arr").alias("pos", "s"))
+    )
+    pts = ranked.select(
+        F.round(F.log((F.col("pos") + 1).cast("double")) * 1_000_000)
+        .cast("long").alias("x_u"),
+        F.round(F.log(F.col("s.n").cast("double")) * 1_000_000)
+        .cast("long").alias("y_u"),
     )
     fit = pts.agg(
         F.count(F.lit(1)).alias("k"),
@@ -1506,8 +1509,6 @@ def q_text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference). Sub-linear growth (vocab ~ K * tokens^beta, beta < 1) is
     the expected natural-corpus shape; a near-linear curve flags
     boilerplate-free random text, a flat one template spam."""
-    from pyspark.sql import Window
-
     docs = read_table(spark, sf_dir, "documents")
     n = docs.agg((F.max("doc_id") + 1).alias("n"))
     toks = docs.select(
@@ -1524,16 +1525,23 @@ def q_text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(decile("doc_id").alias("decile"))
         .agg(F.count(F.lit(1)).alias("n_tokens")))
     deciles = spark.range(0, 10).select(F.col("id").alias("decile"))
-    w = Window.partitionBy(F.lit(1)).orderBy("decile") \
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
+    base = (
         deciles.join(tokens_by, "decile", "left")
         .join(vocab_by, "decile", "left")
-        .select(
-            "decile",
-            F.sum(F.coalesce("n_tokens", F.lit(0))).over(w)
-            .alias("corpus_tokens"),
-            F.sum(F.coalesce("new_vocab", F.lit(0))).over(w)
-            .alias("vocab"),
-        )
+        .select("decile",
+                F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"))
+    )
+    # 10-row cumulative sum as a broadcast triangle self-join (decile_b <=
+    # decile_a), not a window: a whole-result window plans as an
+    # empty-partition-spec WindowExec whose WARN buries real skew warnings
+    lower = base.select(F.col("decile").alias("decile_b"),
+                        F.col("n_tokens").alias("nt_b"),
+                        F.col("new_vocab").alias("nv_b"))
+    return (
+        base.join(F.broadcast(lower),
+                  F.col("decile_b") <= F.col("decile"))
+        .groupBy("decile")
+        .agg(F.sum("nt_b").alias("corpus_tokens"),
+             F.sum("nv_b").alias("vocab"))
     )

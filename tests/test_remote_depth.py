@@ -108,6 +108,24 @@ class TestRemoteDepth:
                                                           N - 199))
         assert len(_ranges(srv)) >= 1  # re-fetched, not served stale
 
+    def test_non_contiguous_access_leaves_no_hole(self, deep):
+        """commits(100,150) then commits(0,50) must not mark [51,99] as
+        fetched: a later read inside the hole has to fetch, never be
+        served silently empty from span bookkeeping."""
+        srv, prof, _d = deep
+        log = _remote_log(prof)
+        log.commits(100, 150)
+        log.commits(0, 50)
+        srv.request_log.clear()
+        commits = log.commits(60, 120)
+        assert [c.version for c in commits] == list(range(60, 121))
+        # [60,99] was never fetched — at least one real RPC must happen
+        assert len(_ranges(srv)) >= 1
+        # and every returned commit is a real parsed commit (one add
+        # each), not an empty placeholder
+        assert all(c.adds for c in commits), \
+            "hole in the commit cache served empty commits"
+
     def test_streaming_drain_end_to_end_rpc_budget(self, deep, spark):
         from pyspark.sql import functions as F
 

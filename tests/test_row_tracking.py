@@ -537,6 +537,53 @@ class TestRowIdsOverChangesAndRange:
         # bumped to the update commit
         assert upd == {3: (3, 1), 7: (7, 1)}
 
+    def test_historical_range_uses_end_of_range_metadata(
+            self, spark, table_dir):
+        """The changes wire form's head metaData is the END-of-range
+        snapshot's, not the latest: a schema change AFTER a historical
+        range must not leak into (or fail) the range's rebuild, and the
+        row_ids=True leg must type-match the row_ids=False leg."""
+        from delta_sharing_spark.cdf import (
+            table_changes,
+            table_changes_actions,
+        )
+        from delta_sharing_spark.client import _changes_lines_to_spark
+
+        log = TableLog(spark, table_dir)
+        df = spark.range(10).selectExpr("id AS k", "CAST(id AS INT) AS v")
+        log.create(_one_file(df), name="t",
+                   configuration={**RT_CONF,
+                                  "delta.enableChangeDataFeed": "true",
+                                  "delta.enableTypeWidening": "true"})
+        log.append(_one_file(spark.range(10, 14).selectExpr(
+            "id AS k", "CAST(id AS INT) AS v")))
+        # AFTER the queried range: widen v int->long, then rename it
+        log.widen_column_type("v", "long")
+        log.enable_column_mapping()
+        log.rename_column("v", "w")
+        # the in-process DataFrame leg: end-of-range schema (v, int)
+        batch = table_changes(spark, table_dir,
+                              starting_version=0, ending_version=1)
+        assert [f.name for f in batch.schema.fields][:2] == ["k", "v"]
+        assert dict((f.name, f.dataType.simpleString())
+                    for f in batch.schema.fields)["v"] == "int"
+        # the wire form + row_ids rebuild must match, not reflect the
+        # later widen/rename (pre-fix: head metaData was the LATEST
+        # snapshot's, so this leg returned column 'w' typed long)
+        out = table_changes_actions(spark, table_dir,
+                                    starting_version=0, ending_version=1)
+        rebuilt = _changes_lines_to_spark(spark, out["actions"],
+                                          row_ids=True)
+        got = dict((f.name, f.dataType.simpleString())
+                   for f in rebuilt.schema.fields)
+        assert "w" not in got and got["v"] == "int"
+        rows = {r.k: (r.v, r._row_id)
+                for r in rebuilt.filter(
+                    "_change_type = 'insert'").collect()}
+        assert rows == {k: (k, k) for k in range(14)}
+        # wire parity: Delta-Table-Version on changes = range START
+        assert out["version"] == 0
+
     def test_changes_row_ids_untracked_raises(self, spark, table_dir):
         from delta_sharing_spark.cdf import table_changes_actions
         from delta_sharing_spark.client import _changes_lines_to_spark

@@ -55,6 +55,22 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family for parity checks. The driver hashes canonical
+    string values, so an int64-vs-float64 split (DuckDB HUGEINT/DECIMAL
+    materializing as float) hash-mismatches even when values are equal —
+    this gate must FAIL on family drift instead of normalizing it away."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(oracle_pdf):
@@ -63,6 +79,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     if s_cols != o_cols:
         problems.append(f"columns {s_cols} != oracle {o_cols}")
         return problems
+    for c in s_cols:
+        sf, of = dtype_family(spark_pdf[c]), dtype_family(oracle_pdf[c])
+        if sf != of:
+            problems.append(
+                f"col {c}: dtype family mismatch spark={sf}({spark_pdf[c].dtype}) "
+                f"oracle={of}({oracle_pdf[c].dtype}) — the driver hash would "
+                f"diverge; CAST the oracle (or Spark) side explicitly")
     a, b = normalize(spark_pdf), normalize(oracle_pdf)
     if problems:
         return problems
