@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     "q12_late_shipments",
     # new this round (appended as they land)
+    "stream_remote_row_tracking_cdf",
 ]
 
 

@@ -77,6 +77,9 @@ HEADLINE = [
     "q_lm_filter_kn",
     "q_pipeline_rag_prep",
     "q_lm_filter_kn3",
+    # round-8 additions (after the comparable prefix): streaming CDF with
+    # row ids over a live http profile
+    "stream_remote_row_tracking_cdf",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

@@ -50,7 +50,8 @@ class _FilePartition(InputPartition):
                  dv_path: str | None = None,
                  dv_keys: list[str] | None = None,
                  dv_inline: str | None = None,
-                 dv_inline_size: int | None = None):
+                 dv_inline_size: int | None = None,
+                 rt: dict | None = None):
         self.path = path
         self.partition_values = partition_values
         self.schema_json = schema_json
@@ -70,6 +71,12 @@ class _FilePartition(InputPartition):
         self.dv_keys = dv_keys
         self.dv_inline = dv_inline
         self.dv_inline_size = dv_inline_size
+        # row-tracking reconstruction (rowIds=true): None = off; else
+        # {"base": baseRowId|None, "default_ver": int|None,
+        #  "mat_id": str, "mat_ver": str} — base None means this file's
+        # rows carry NULL ids (cdc/remove change images, Delta "Row
+        # Tracking" scope: ids are never materialized into change data)
+        self.rt = rt
 
 
 def _parse_partition_value(value: str, dtype: T.DataType):
@@ -129,22 +136,34 @@ def _read_file_batches(partition: _FilePartition) -> Iterator:
             filters=[("path", "in", partition.dv_keys)],
         )
         deleted = np.sort(dv.column("row_index").to_numpy())
+    rt = partition.rt
+    need_idx = rt is not None and rt.get("base") is not None
+    if need_idx:
+        import numpy as np
     row_offset = 0
     pf = pq.ParquetFile(partition.path)
     for batch in pf.iter_batches(batch_size=65536):
+        n_phys = batch.num_rows
+        # physical row indices BEFORE deletion-vector filtering: row ids
+        # key on the row's position in the file, so DV-surviving rows keep
+        # their original index (same rule as the batch rebuilds)
+        idx = (np.arange(row_offset, row_offset + n_phys, dtype="int64")
+               if need_idx else None)
         if deleted is not None:
             import numpy as np
 
-            n = batch.num_rows
             hits = deleted[np.searchsorted(deleted, row_offset):
-                           np.searchsorted(deleted, row_offset + n)]
-            row_offset += n
+                           np.searchsorted(deleted, row_offset + n_phys)]
             if len(hits):
-                mask = np.ones(n, dtype=bool)
-                mask[hits - (row_offset - n)] = False
+                mask = np.ones(n_phys, dtype=bool)
+                mask[hits - row_offset] = False
                 batch = batch.filter(pa.array(mask))
+                if idx is not None:
+                    idx = idx[mask]
             if batch.num_rows == 0:
+                row_offset += n_phys
                 continue
+        row_offset += n_phys
         n = batch.num_rows
         cols = []
         names = []
@@ -175,6 +194,30 @@ def _read_file_batches(partition: _FilePartition) -> Iterator:
                 pa.array([partition.commit_timestamp] * n, type=pa.int64()),
             ]
             names += ["_change_type", "_commit_version", "_commit_timestamp"]
+        if rt is not None:
+            # _row_id = materialized override else baseRowId + row index;
+            # _row_commit_version = override else the file default — the
+            # executor-side twin of deltaformat._attach_row_ids. Files with
+            # no base (cdc/remove images) carry NULL ids.
+            import pyarrow.compute as pc
+
+            if rt.get("base") is None:
+                cols += [pa.nulls(n, type=pa.int64()),
+                         pa.nulls(n, type=pa.int64())]
+            else:
+                derived = pa.array(idx + rt["base"], type=pa.int64())
+                dv = pa.array([rt.get("default_ver")] * n, type=pa.int64())
+                mid, mver = rt["mat_id"], rt["mat_ver"]
+                rid = (pc.coalesce(
+                           batch.column(names_lower[mid.lower()])
+                           .cast(pa.int64()), derived)
+                       if mid.lower() in names_lower else derived)
+                rver = (pc.coalesce(
+                            batch.column(names_lower[mver.lower()])
+                            .cast(pa.int64()), dv)
+                        if mver.lower() in names_lower else dv)
+                cols += [rid, rver]
+            names += ["_row_id", "_row_commit_version"]
         yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
@@ -257,9 +300,11 @@ class SharedTableCDFBatchReader(DataSourceReader):
         self.options = options
         self.path = options["path"]
         self._schema = schema
+        self.row_ids = options.get("rowids", "false") == "true"
 
     def partitions(self):
         from delta_sharing_spark.cdf import CDFError, _resolve_range
+        from delta_sharing_spark.deltaformat import _row_tracking_cols
         from delta_sharing_spark.sources.remote import resolve_source_path
         from delta_sharing_spark.streaming.schema import (
             SchemaCompatError,
@@ -277,12 +322,21 @@ class SharedTableCDFBatchReader(DataSourceReader):
                 "startingVersion/startingTimestamp")
         data_fields = [f for f in self._schema.fields
                        if f.name not in ("_change_type", "_commit_version",
-                                         "_commit_timestamp")]
+                                         "_commit_timestamp",
+                                         *(("_row_id",
+                                            "_row_commit_version")
+                                           if self.row_ids else ()))]
         planned = T.StructType(data_fields)
         schema_json = json.dumps(planned.jsonValue())
         mode, target = resolve_source_path(self.path)
         if mode == "remote":
-            commits = self._remote_commits(target, o)
+            from delta_sharing_spark.sources.remote import RemoteTableLog
+
+            config, commits = self._remote_commits(target, o)
+            # path/key derivation only (no RPCs): DV descriptors on wire
+            # adds must be honored or a DV-mode change re-serves deleted
+            # rows as inserts
+            dvlog = RemoteTableLog(*target)
             abs_path = (lambda p: p)
         else:
             from delta_sharing_spark.plans.log import TableLog, is_noop_merge
@@ -304,6 +358,28 @@ class SharedTableCDFBatchReader(DataSourceReader):
             commits = [c for c in log.commits(start, end)
                        if not is_noop_merge(c.info)]
             abs_path = log.abs_path
+            config = snap.metadata.configuration
+            dvlog = log
+        mat_id, mat_ver = _row_tracking_cols(config)
+
+        def rt_arg(f, ct, version):
+            if not self.row_ids:
+                return None
+            if ct == "insert":
+                base = getattr(f, "baseRowId", None)
+                if base is None:
+                    raise ValueError(
+                        "rowIds=true: add action lacks baseRowId (table "
+                        "not row-tracked, or a pre-enablement file): "
+                        f"{getattr(f, 'path', f)}")
+                dv = getattr(f, "defaultRowCommitVersion", None)
+                return {"base": int(base),
+                        "default_ver": int(dv) if dv is not None
+                        else version,
+                        "mat_id": mat_id, "mat_ver": mat_ver}
+            return {"base": None, "default_ver": None,
+                    "mat_id": mat_id, "mat_ver": mat_ver}
+
         parts: list[_FilePartition] = []
         for commit in commits:
             if commit.metadata is not None:
@@ -337,7 +413,9 @@ class SharedTableCDFBatchReader(DataSourceReader):
                 _FilePartition(abs_path(f.path), f.partitionValues,
                                schema_json, change_type=ct,
                                commit_version=commit.version,
-                               commit_timestamp=commit.timestamp)
+                               commit_timestamp=commit.timestamp,
+                               rt=rt_arg(f, ct, commit.version),
+                               **_dv_args(dvlog, f))
                 for f, ct in entries
             ]
         return parts
@@ -519,6 +597,11 @@ class SharedTableStreamReader(DataSourceStreamReader):
         self.read_change_feed = (
             options.get("readchangefeed", "false") == "true"
         )
+        # rowIds=true (CDF only): surface _row_id/_row_commit_version on
+        # insert rows, NULL on cdc/remove images — the streaming twin of
+        # load_table_changes_as_spark(row_ids=True)
+        self.row_ids = options.get("rowids", "false") == "true"
+        self._rt_names: tuple[str, str] | None = None
         # Trigger.AvailableNow support. The Python DS API has no
         # prepareForTriggerAvailableNow hook: Spark wraps the source in
         # AvailableNowDataStreamWrapper, which calls latestOffset() ONCE and
@@ -676,6 +759,47 @@ class SharedTableStreamReader(DataSourceStreamReader):
                 out.append((commit.version, i, add, None, commit.timestamp))
         return out
 
+    def _rt_cols(self) -> tuple[str, str]:
+        """Materialized row-id/commit-version column names from the table
+        configuration (fetched once per reader; the metadata RPC for
+        remote profiles, the cached snapshot for local logs)."""
+        if self._rt_names is None:
+            from delta_sharing_spark.deltaformat import _row_tracking_cols
+            from delta_sharing_spark.sources.remote import (
+                remote_schema_json,
+                resolve_source_path,
+            )
+
+            mode, target = resolve_source_path(self.path)
+            if mode == "remote":
+                _schema_str, cfg = remote_schema_json(*target)
+            else:
+                cfg = self._log().snapshot().metadata.configuration
+            self._rt_names = _row_tracking_cols(cfg)
+        return self._rt_names
+
+    def _rt_arg(self, f, ct: str | None, version: int) -> dict | None:
+        """Per-file row-tracking reconstruction args (rowIds=true): insert
+        files derive ids from baseRowId + row index with materialized
+        overrides; cdc/remove change images carry NULL ids (Delta never
+        materializes row ids into change data)."""
+        if not self.row_ids:
+            return None
+        mid, mver = self._rt_cols()
+        if ct == "insert":
+            base = getattr(f, "baseRowId", None)
+            if base is None:
+                raise ValueError(
+                    "rowIds=true: add action lacks baseRowId (table not "
+                    "row-tracked, or a pre-enablement file): "
+                    f"{getattr(f, 'path', f)}")
+            dv = getattr(f, "defaultRowCommitVersion", None)
+            return {"base": int(base),
+                    "default_ver": int(dv) if dv is not None else version,
+                    "mat_id": mid, "mat_ver": mver}
+        return {"base": None, "default_ver": None,
+                "mat_id": mid, "mat_ver": mver}
+
     def _cdf_sequence(self, from_version: int) -> list[tuple]:
         """Streaming CDF (ref DeltaSharingSource.scala:603-728): per commit,
         cdc files win; otherwise dataChange adds imply insert and removes
@@ -701,7 +825,9 @@ class SharedTableStreamReader(DataSourceStreamReader):
                 data_fields = T.StructType([
                     f for f in self._schema.fields
                     if f.name not in
-                    ("_change_type", "_commit_version", "_commit_timestamp")
+                    ("_change_type", "_commit_version", "_commit_timestamp",
+                     *(("_row_id", "_row_commit_version")
+                       if self.row_ids else ()))
                 ])
                 new_schema = T.StructType.fromJson(
                     _json.loads(commit.metadata.schemaString))
@@ -906,14 +1032,17 @@ class SharedTableStreamReader(DataSourceStreamReader):
             data_fields = [
                 f for f in self._schema.fields
                 if f.name not in ("_change_type", "_commit_version",
-                                  "_commit_timestamp")
+                                  "_commit_timestamp",
+                                  *(("_row_id", "_row_commit_version")
+                                    if self.row_ids else ()))
             ]
             schema_json = json.dumps(
                 T.StructType(data_fields).jsonValue())
         return [
             _FilePartition(log.abs_path(f.path), f.partitionValues,
                            schema_json, change_type=ct, commit_version=v,
-                           commit_timestamp=ts, **_dv_args(log, f))
+                           commit_timestamp=ts, rt=self._rt_arg(f, ct, v),
+                           **_dv_args(log, f))
             for v, _i, f, ct, ts in batch
         ]
 
@@ -1023,14 +1152,27 @@ class SharedTableDataSource(DataSource):
                 )
 
                 SchemaTrackingLog(tracking).evolve(*seed)
-        if self.options.get("readchangefeed", "false") == "true":
+        cdf = self.options.get("readchangefeed", "false") == "true"
+        row_ids = self.options.get("rowids", "false") == "true"
+        if row_ids and not cdf:
+            raise ValueError(
+                "rowIds=true is a readChangeFeed companion option on this "
+                "source (batch and streaming CDF); for snapshot reads use "
+                "SharedTable.to_df(row_ids=True) / load_as_spark")
+        if cdf:
             # CDF virtual columns (PROTOCOL.md:2359-2362)
             schema = T.StructType(
                 list(schema.fields) + [
                     T.StructField("_change_type", T.StringType(), True),
                     T.StructField("_commit_version", T.LongType(), True),
                     T.StructField("_commit_timestamp", T.LongType(), True),
-                ]
+                ] + ([
+                    # Delta row-tracking ids for insert rows, NULL on
+                    # cdc/remove change images (matches the batch
+                    # _changes_lines_to_spark(row_ids=True) rebuild)
+                    T.StructField("_row_id", T.LongType(), True),
+                    T.StructField("_row_commit_version", T.LongType(), True),
+                ] if row_ids else [])
             )
         return schema
 

@@ -376,11 +376,16 @@ def _is_empty(c: _WireCommit) -> bool:
             and not c.cdc and c.protocol is None)
 
 
-def _commits_from_change_lines(lines: list[dict]) -> list[_WireCommit]:
-    """Group a changes-RPC response into per-version wire commits (head
-    metaData dropped — historical metaData lines carry their version)."""
+def _commits_from_change_lines(
+        lines: list[dict]) -> tuple[dict, list[_WireCommit]]:
+    """Group a changes-RPC response into per-version wire commits.
+    Returns ``(head_configuration, commits)`` — the head metaData's table
+    configuration rides along (row-id reconstruction needs the
+    materialized-column names); historical metaData lines carry their
+    version and become per-commit metadata."""
     lines = _unwrap_delta_lines(lines)
     commits: dict[int, _WireCommit] = {}
+    head_config: dict = {}
 
     def at(v: int) -> _WireCommit:
         c = commits.get(v)
@@ -394,6 +399,7 @@ def _commits_from_change_lines(lines: list[dict]) -> list[_WireCommit]:
         if kind == "metaData":
             if first_meta:
                 first_meta = False
+                head_config = line["metaData"].get("configuration") or {}
                 continue
             v = line["metaData"].get("version")
             if v is not None:
@@ -406,7 +412,7 @@ def _commits_from_change_lines(lines: list[dict]) -> list[_WireCommit]:
             f = _parse_file(a)
             (c.adds if kind == "add" else
              c.removes if kind == "remove" else c.cdc).append(f)
-    return [commits[v] for v in sorted(commits)]
+    return head_config, [commits[v] for v in sorted(commits)]
 
 
 def parse_remote_path(path: str) -> tuple[str, str, str, str] | None:

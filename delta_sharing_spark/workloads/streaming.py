@@ -347,6 +347,77 @@ def stream_remote_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.unlink(prof.name)
 
 
+@workload(
+    "stream_remote_row_tracking_cdf",
+    oracle="""
+    WITH b1 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid, 0 AS ver
+      FROM documents WHERE doc_id % 2 = 0
+    ), b2 AS (
+      SELECT doc_id,
+             (SELECT COUNT(*) FROM b1)
+               + ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid, 1 AS ver
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, CAST(rid AS BIGINT) AS row_id,
+           CAST(ver AS BIGINT) AS row_commit_version,
+           CAST(ver AS BIGINT) AS commit_version
+    FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    """,
+)
+def stream_remote_row_tracking_cdf(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Row ids over the STREAMING CDF path, remote: a live http profile
+    drained with ``readChangeFeed=true, rowIds=true`` — each micro-batch's
+    changes RPC carries baseRowId/defaultRowCommitVersion on its add
+    actions, and the executor-side Arrow reconstruction
+    (sources/datasource._read_file_batches) rebuilds every inserted row's
+    stable ``_row_id`` = base + physical row index (materialized
+    overrides honored, NULL on cdc/remove images) — the streaming twin of
+    the batch changes-rebuild (reference CDF-virtual-column pattern,
+    client/.../client/model.scala:208-237). Per-row value gate against
+    the rank replay of the deterministic id layout."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from delta_sharing_spark.catalog import ShareCatalog
+    from delta_sharing_spark.server import SharingServer
+    from delta_sharing_spark.workloads.engine import _documents_rt_cdf
+
+    path = _documents_rt_cdf(spark, sf_dir)
+    cat = ShareCatalog(spark)
+    cat.add_table("s", "d", "documents_rt_cdf", path)
+    srv = SharingServer(cat, bearer_token="driver-token")
+    url = srv.serve_background()
+    prof = tempfile.NamedTemporaryFile(mode="w", suffix=".json",
+                                       delete=False)
+    _json.dump({"shareCredentialsVersion": 1, "endpoint": url,
+                "bearerToken": "driver-token"}, prof)
+    prof.close()
+    try:
+        out, _ = _drain(
+            spark, f"{prof.name}#s.d.documents_rt_cdf",
+            {"readChangeFeed": "true", "rowIds": "true",
+             "startingVersion": "0", "maxFilesPerTrigger": "1",
+             "maxVersionsPerRpc": "1"},
+        )
+        result = (
+            out.filter(F.col("_change_type") == "insert")
+            .select("doc_id",
+                    F.col("_row_id").alias("row_id"),
+                    F.col("_row_commit_version")
+                    .alias("row_commit_version"),
+                    F.col("_commit_version").alias("commit_version"))
+        )
+        rows = result.collect()  # materialize while the server lives
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        srv.shutdown()
+        _os.unlink(prof.name)
+
+
 def forge_append_commits(path: str, n_commits: int, k0: int = 1) -> int:
     """Extend a table with ``n_commits`` one-row append commits written
     DIRECTLY in the log format (one tiny parquet + one commit JSON each)

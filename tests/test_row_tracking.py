@@ -697,6 +697,94 @@ class TestRowIdsOverChangesAndRange:
                      df.filter("_change_type='insert'").collect())
         assert got == [0, 1, 2, 3, 4]
 
+    def test_batch_cdf_datasource_row_ids(self, spark, table_dir):
+        """rowIds=true on the batch readChangeFeed data source: insert
+        rows reconstruct _row_id = baseRowId + row index (materialized
+        overrides honored), cdc/remove change images carry NULL ids."""
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableDataSource,
+        )
+
+        spark.dataSource.register(SharedTableDataSource)
+        log = self._cdf_rt_table(spark, table_dir)
+        log.append(_one_file(spark.range(10, 14).selectExpr(
+            "id AS k", "CAST(id*2 AS STRING) AS v")))
+        log.delete("k >= 12")
+        df = (spark.read.format("deltashare").option("path", table_dir)
+              .option("readChangeFeed", "true")
+              .option("rowIds", "true")
+              .option("startingVersion", "0").load())
+        assert df.columns[-2:] == ["_row_id", "_row_commit_version"]
+        ins = {r.k: (r._row_id, r._row_commit_version)
+               for r in df.filter("_change_type = 'insert'").collect()}
+        assert ins == {k: (k, 0 if k < 10 else 1) for k in range(14)}
+        dels = df.filter("_change_type = 'delete'").collect()
+        assert {r.k for r in dels} == {12, 13}
+        assert all(r._row_id is None and r._row_commit_version is None
+                   for r in dels)
+
+    def test_streaming_cdf_row_ids(self, spark, table_dir):
+        """rowIds=true on the STREAMING CDF source — the streaming twin
+        of load_table_changes_as_spark(row_ids=True)."""
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableDataSource,
+        )
+
+        spark.dataSource.register(SharedTableDataSource)
+        log = self._cdf_rt_table(spark, table_dir)
+        log.append(_one_file(spark.range(10, 14).selectExpr(
+            "id AS k", "CAST(id*2 AS STRING) AS v")))
+        log.delete("k >= 12")
+        q = (spark.readStream.format("deltashare")
+             .option("path", table_dir)
+             .option("readChangeFeed", "true")
+             .option("rowIds", "true")
+             .option("startingVersion", "0").load()
+             .writeStream.format("memory").queryName("rt_cdf_stream")
+             .trigger(processingTime="200 milliseconds").start())
+        q.processAllAvailable()
+        q.stop()
+        out = spark.table("rt_cdf_stream")
+        ins = {r.k: (r._row_id, r._row_commit_version)
+               for r in out.filter("_change_type = 'insert'").collect()}
+        assert ins == {k: (k, 0 if k < 10 else 1) for k in range(14)}
+        dels = out.filter("_change_type = 'delete'").collect()
+        assert {r.k for r in dels} == {12, 13}
+        assert all(r._row_id is None for r in dels)
+
+    def test_row_ids_option_requires_cdf(self, spark, table_dir):
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableDataSource,
+        )
+
+        spark.dataSource.register(SharedTableDataSource)
+        self._cdf_rt_table(spark, table_dir)
+        import pyspark.errors
+
+        with pytest.raises(pyspark.errors.PySparkException,
+                           match="readChangeFeed companion"):
+            (spark.read.format("deltashare").option("path", table_dir)
+             .option("rowIds", "true").load())
+
+    def test_streaming_row_ids_untracked_raises(self, spark, table_dir):
+        from delta_sharing_spark.sources.datasource import (
+            SharedTableDataSource,
+        )
+
+        spark.dataSource.register(SharedTableDataSource)
+        log = TableLog(spark, table_dir)
+        log.create(spark.range(5).selectExpr("id AS k"), name="t",
+                   configuration={"delta.enableChangeDataFeed": "true"})
+        log.append(spark.range(5, 8).selectExpr("id AS k"))
+        import pyspark.errors
+
+        with pytest.raises(pyspark.errors.PySparkException,
+                           match="lacks baseRowId"):
+            (spark.read.format("deltashare").option("path", table_dir)
+             .option("readChangeFeed", "true")
+             .option("rowIds", "true")
+             .option("startingVersion", "0").load().collect())
+
     def test_changes_wire_form_applies_dv(self, spark, table_dir):
         """table_changes_actions (the /changes wire form) must stamp the
         DV descriptor on adds of DV commits with no cdc files, and the

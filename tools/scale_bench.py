@@ -284,11 +284,24 @@ def main() -> None:
         out["checkpoint_parts"] = 1
     out["checkpoint_mb"] = round(size / 1e6, 1)
 
-    # --- cold snapshot: checkpoint parse + AddFile materialization
+    # --- cold snapshot: checkpoint parse + AddFile materialization.
+    # Driver-memory gate: the resident-set growth across the cold
+    # resolution must be O(manifest) — bounded by a small per-file
+    # constant (AddFile dataclass + stats strings), never O(rows). At
+    # 1M files that budget is < 4 GB (measured ~1.5 GB); a regression to
+    # row-proportional memory would blow far past it.
+    import resource
+
+    rss0_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     t0 = time.perf_counter()
     log = TableLog(spark, big)
     snap = log.snapshot()
     out["cold_snapshot_s"] = round(time.perf_counter() - t0, 3)
+    rss1_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    out["cold_snapshot_rss_growth_mb"] = round((rss1_kb - rss0_kb) / 1024, 1)
+    assert out["cold_snapshot_rss_growth_mb"] < 4096, (
+        f"driver RSS grew {out['cold_snapshot_rss_growth_mb']} MB resolving "
+        f"a {args.files:,}-file manifest — no longer O(files) bounded")
     assert len(snap.files) == args.files
     t0 = time.perf_counter()
     log.snapshot()
