@@ -42,6 +42,8 @@ _DRIVER_PRIORITY = [
     "q12_late_shipments",
     # new this round (appended as they land)
     "stream_remote_row_tracking_cdf",
+    "q_bm25_topk",
+    "q_split_stratified",
 ]
 
 

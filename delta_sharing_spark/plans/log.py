@@ -4512,10 +4512,72 @@ class TableLog:
             tolerate_data_appends=True,
         )
 
+    def _zcube_select(self, snap: "Snapshot", columns: list[str],
+                      candidates: "list[AddFile]",
+                      max_overlap: int = 2) -> "list[AddFile]":
+        """ZCube-style maintenance pick: among ``candidates``, keep only
+        the files whose clustering-column min/max envelope overlaps more
+        than ``max_overlap`` OTHER active files (simultaneously on every
+        clustered column), or that lack stats on a clustered column.
+        Already-tight files are left alone — the pick that makes repeated
+        maintenance rewrite only the interfering tail instead of the full
+        since-last-ZORDER slice (Delta's OPTIMIZE selects partial ZCubes
+        the same way; the overlap count is the per-file form of
+        ``clustering_report``'s avg_files_per_probe containment test).
+
+        One metadata-plane Spark job: the candidate envelopes broadcast
+        against the file-manifest DataFrame (``files_df``) — never a data
+        scan, never a driver loop over the manifest, so the pick holds at
+        the 1M-file regime. Envelope overlap on every column is a
+        NECESSARY condition for z-space interference, so the pick only
+        errs toward rewriting (multi-column z-files have wide per-column
+        envelopes and simply stay in the rewrite set)."""
+        if not candidates:
+            return []
+        phys = snap.logical_to_physical or {}
+
+        def envelope(df: DataFrame, p: str) -> DataFrame:
+            sel = [F.col("path").alias(f"{p}path")]
+            for i, logical in enumerate(columns):
+                key = phys.get(logical, logical)
+                mn = F.get_json_object(F.col("minValues"), f"$.{key}")
+                mx = F.get_json_object(F.col("maxValues"), f"$.{key}")
+                sel += [mn.alias(f"{p}mn_s_{i}"), mx.alias(f"{p}mx_s_{i}"),
+                        mn.try_cast("double").alias(f"{p}mn_d_{i}"),
+                        mx.try_cast("double").alias(f"{p}mx_d_{i}")]
+            return df.select(*sel)
+
+        cand = envelope(self.spark.createDataFrame(
+            self._manifest_rows(candidates), self._MANIFEST_SCHEMA), "c_")
+        allf = envelope(self.files_df(snap), "g_")
+        cond = F.col("g_path") != F.col("c_path")
+        for i in range(len(columns)):
+            numeric = (F.col(f"c_mn_d_{i}").isNotNull()
+                       & F.col(f"c_mx_d_{i}").isNotNull()
+                       & F.col(f"g_mn_d_{i}").isNotNull()
+                       & F.col(f"g_mx_d_{i}").isNotNull())
+            ov_num = ((F.col(f"g_mn_d_{i}") <= F.col(f"c_mx_d_{i}"))
+                      & (F.col(f"g_mx_d_{i}") >= F.col(f"c_mn_d_{i}")))
+            ov_str = ((F.col(f"g_mn_s_{i}") <= F.col(f"c_mx_s_{i}"))
+                      & (F.col(f"g_mx_s_{i}") >= F.col(f"c_mn_s_{i}")))
+            # missing stats on either side -> Unknown -> treated as an
+            # overlap (a file we cannot judge must be rewritten)
+            cond = cond & F.coalesce(
+                F.when(numeric, ov_num).otherwise(ov_str), F.lit(True))
+        counts = {
+            r["c_path"]: r["n"]
+            for r in allf.join(F.broadcast(cand), cond)
+            .groupBy("c_path").agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # one row per candidate — maintenance-slice sized
+        }
+        return [a for a in candidates
+                if counts.get(a.path, 0) > max_overlap]
+
     def zorder_incremental(self, columns: list[str],
                            bits_per_col: int = 12,
                            target_file_rows: int = 1_000_000,
-                           merge_small: bool = False) -> int | None:
+                           merge_small: bool = False,
+                           max_overlap: int | None = 2) -> int | None:
         """Incrementally cluster only the files ADDED since the last ZORDER
         commit (Delta's clustering-maintenance shape): re-clustering a
         100 TB table wholesale per ingest batch is impractical, but the
@@ -4539,6 +4601,14 @@ class TableLog:
           the compaction path on clustered tables) while staying
           idempotent: a pass that changed nothing commits nothing.
 
+        ``max_overlap`` (default 2) turns on the ZCube-style incremental
+        pick: adequately-sized fresh files whose clustering envelope
+        interferes with at most that many other active files are left
+        alone instead of re-clustered — sustained-ingest maintenance
+        rewrites only the files that actually hurt skipping, not the
+        whole since-last-ZORDER slice. ``None`` restores the
+        rewrite-everything-fresh behavior.
+
         Returns the committed version, or None when nothing needs work."""
         snap = self.snapshot()
         # newest-first scan, stop at the first same-key ZORDER: O(commits
@@ -4558,6 +4628,22 @@ class TableLog:
                 last_z = v
                 break
         fresh = [a for a in snap.files if (a.version or 0) > last_z]
+        if fresh and max_overlap is not None:
+            # ZCube pick applies to WELL-SIZED fresh files only: under-
+            # sized ones are compaction fodder regardless of how tight
+            # their envelopes are (exempting them would accrete one small
+            # file per ingest cycle), and OVER-sized ones must always be
+            # split to the target (a brand-new one-file table has zero
+            # overlaps but is maximally unclustered — size, not overlap,
+            # is its signal)
+            thr = target_file_rows // 2 if merge_small else 0
+            eligible = [a for a in fresh
+                        if thr <= (a.logical_records or 0)
+                        <= target_file_rows]
+            epaths = {a.path for a in eligible}
+            forced = [a for a in fresh if a.path not in epaths]
+            fresh = self._zcube_select(snap, columns, eligible,
+                                       max_overlap) + forced
         small_files = []
         if merge_small:
             threshold = target_file_rows // 2

@@ -1545,3 +1545,150 @@ def q_text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("nt_b").alias("corpus_tokens"),
              F.sum("nv_b").alias("vocab"))
     )
+
+
+# BM25 constants kept RATIONAL so the tf normalization reduces to exact
+# integer arithmetic: k1 = 6/5, b = 3/4 (the classic 1.2 / 0.75). With
+# T = corpus token count and N = doc count (avgdl = T/N), the per-term
+# normalized tf becomes
+#   tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)
+#   = 22*T*tf / (10*T*tf + 3*T + 9*dl*N)
+# — numerator and denominator both exact BIGINTs well inside 2^53, so the
+# one double division is IEEE-correctly-rounded and engine-portable.
+BM25_QUERY = ["join", "window", "hash", "stream"]
+
+
+@workload(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      FROM toks GROUP BY doc_id
+    ),
+    corpus AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS t_tot,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM dl
+    ),
+    q AS (SELECT UNNEST({_sql_list(BM25_QUERY)}) AS tok),
+    tf AS (
+      SELECT toks.doc_id, toks.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks JOIN q USING (tok)
+      GROUP BY toks.doc_id, toks.tok
+    ),
+    idf AS (
+      SELECT tok,
+             CAST(round(ln((n_docs - COUNT(DISTINCT doc_id) + 0.5)
+                           / (COUNT(DISTINCT doc_id) + 0.5) + 1.0)
+                        * 1000000) AS BIGINT) AS idf_u
+      FROM tf CROSS JOIN corpus
+      GROUP BY tok, n_docs
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(idf.idf_u
+                        * (CAST(22 * t_tot * tf AS DOUBLE)
+                           / CAST(10 * t_tot * tf + 3 * t_tot
+                                  + 9 * dl.dl * n_docs AS DOUBLE)))
+                  AS BIGINT) AS term_score_u
+      FROM tf
+      JOIN idf USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN corpus
+    )
+    SELECT doc_id, CAST(SUM(term_score_u) AS BIGINT) AS score_u
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_u DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the corpus (Robertson/Sparck-Jones with
+    the Lucene idf; k1=1.2, b=0.75): the lexical-retrieval scorer every
+    RAG corpus pipeline needs next to the ANN path.
+
+    Plan shape at 100 TB: the query-term filter lands BEFORE the tf
+    aggregation (only matching tokens shuffle — the token stream shrinks
+    to O(query hits) immediately), document lengths are one map-side
+    aggregation, idf is a query-terms-sized table broadcast back in, and
+    the top-k is a distributed partial TakeOrderedAndProject — no global
+    sort, no window. Scores are micro-unit BIGINTs (per-term rounding of
+    an exact-integer-ratio double), so the cross-engine gate is exact and
+    the final sum is partition-order independent."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.sum("dl").alias("t_tot"),
+                    F.count(F.lit(1)).alias("n_docs"))
+    # filter FIRST: only query-term tokens ever reach a shuffle
+    tf = (toks.filter(F.col("tok").isin(BM25_QUERY))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "tok",
+            F.round(F.log((F.col("n_docs") - F.col("df") + 0.5)
+                          / (F.col("df") + 0.5) + 1.0) * 1_000_000)
+            .cast("long").alias("idf_u"))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_u")
+                * ((22 * F.col("t_tot") * F.col("tf")).cast("double")
+                   / (10 * F.col("t_tot") * F.col("tf")
+                      + 3 * F.col("t_tot")
+                      + 9 * F.col("dl") * F.col("n_docs")).cast("double"))
+            ).cast("long").alias("term_score_u"))
+    )
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("term_score_u").alias("score_u"))
+            .orderBy(F.desc("score_u"), "doc_id").limit(20))
+
+
+@workload(
+    "q_split_stratified",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang, doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM assigned
+    GROUP BY lang, split
+    """,
+)
+def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split (~80/10/10): the
+    assignment is a pure function of the stable document id — md5's first
+    byte compared against 0xcd (205/256) and 0xe6 (230/256) — so the
+    split is reproducible across runs, engines and cluster sizes, never
+    sampled state. Map-only until the per-(lang, split) audit aggregation;
+    at 100 TB the split column costs one md5 per row and no shuffle (the
+    audit counts here are the value gate, not part of the assignment)."""
+    docs = read_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    assigned = docs.select(
+        "lang", "doc_id",
+        F.when(b < "cd", "train").when(b < "e6", "val")
+        .otherwise("test").alias("split"))
+    return (assigned.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("sum_ids")))

@@ -2843,6 +2843,60 @@ class TestClusteredCompaction:
         t = SharedTable(spark, table_dir)
         assert t.to_df().count() == 1300
 
+    def test_incremental_pick_skips_tight_files(self, spark, table_dir):
+        """ZCube-style maintenance pick: a fresh file whose clustering
+        envelope is disjoint from every other file is LEFT ALONE by the
+        next maintenance cycle; only the interfering slice is rewritten —
+        strictly fewer bytes than the full since-last-ZORDER slice."""
+        from pyspark.sql import functions as F
+
+        mk = lambda lo, hi, step=1: (  # noqa: E731
+            spark.range(lo, hi, step).selectExpr(
+                "id AS k", "CAST(id % 7 AS STRING) AS v")
+            .repartition(1).sortWithinPartitions("k"))
+        log = TableLog(spark, table_dir)
+        log.create(mk(0, 1000), name="t", cluster_by=["k"])
+        # the create file is OVERSIZED (1000 > 250): zero overlaps, but
+        # the pick must still split it — size is its signal
+        log.optimize(target_file_rows=250)
+        assert log.read_commit(
+            log.latest_version()).info.operation == "ZORDER"
+        assert len(log.snapshot().files) == 4
+        # fresh slice A: well-sized, tight, DISJOINT from everything
+        log.append(mk(2000, 2250))
+        a_path = {f.path for f in log.snapshot().files
+                  if (f.version or 0) == log.latest_version()}
+        assert len(a_path) == 1
+        # fresh slice B: well-sized but SPANNING the clustered bulk
+        # (every 4th key of the full range — the skipping killer)
+        log.append(mk(0, 1000, 4))
+        b_path = {f.path for f in log.snapshot().files
+                  if (f.version or 0) == log.latest_version()}
+        assert len(b_path) == 1
+        fresh_sizes = {f.path: f.size for f in log.snapshot().files
+                       if f.path in (a_path | b_path)}
+        v = log.optimize(target_file_rows=250)
+        c = log.read_commit(v)
+        assert c.info.operation == "ZORDER"
+        removed = {r.path for r in c.removes}
+        # the tight disjoint file was exempted; only the interfering
+        # slice was rewritten — strictly fewer bytes than the full
+        # since-last-ZORDER slice
+        assert removed == b_path, removed
+        rewritten_bytes = sum(r.size for r in c.removes)
+        assert rewritten_bytes < sum(fresh_sizes.values()), \
+            "second cycle rewrote the full fresh slice"
+        # contents exact after the pick
+        t = SharedTable(spark, table_dir)
+        got = t.to_df().agg(F.count("*").alias("n"),
+                            F.sum("k").alias("s")).first()
+        exp_n = 1000 + 250 + 250
+        exp_s = (sum(range(1000)) + sum(range(2000, 2250))
+                 + sum(range(0, 1000, 4)))
+        assert (got.n, got.s) == (exp_n, exp_s)
+        # idempotent: nothing interfering remains
+        assert log.optimize(target_file_rows=250) == log.latest_version()
+
     def test_key_change_reclusters_existing_files(self, spark, lineitem,
                                                   table_dir):
         """set_cluster_by contract: after a clustering-key change the next
