@@ -42,6 +42,12 @@ __all__ = [
 ]
 
 
+# the reader features this client implements end-to-end (DV-masked scans,
+# physical-name column mapping, TIMESTAMP_NTZ values); declared with
+# delta-format requests like the reference client's readerFeatures string
+READER_FEATURES = "deletionvectors,columnmapping,timestampntz"
+
+
 class MissingEndStreamActionError(RuntimeError):
     """Server advertised includeendstreamaction=true but the response did
     not end with an endStreamAction — a truncated stream
@@ -276,6 +282,12 @@ class DataSharingRestClient:
         caps = []
         if response_formats:
             caps.append(f"responseformat={response_formats}")
+            if "delta" in response_formats:
+                # declare the reader features this client implements (the
+                # reference client sends its list with delta-format
+                # requests, DeltaSharingClient.scala:1507-1510); servers
+                # treat a declared list as authoritative
+                caps.append(f"readerfeatures={READER_FEATURES}")
         if async_query:
             # async read (PROTOCOL.md:2313-2350; client polling loop
             # DeltaSharingClient.scala:1086-1137 getNDJsonWithAsync):
@@ -352,6 +364,8 @@ class DataSharingRestClient:
         caps = []
         if response_formats:
             caps.append(f"responseformat={response_formats}")
+            if "delta" in response_formats:
+                caps.append(f"readerfeatures={READER_FEATURES}")
         if include_end_stream_action:
             caps.append("includeendstreamaction=true")
         if caps:

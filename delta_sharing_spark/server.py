@@ -368,6 +368,22 @@ class SharingServer:
         return {"parquet"}
 
     @staticmethod
+    def _reader_features(h) -> "set[str] | None":
+        """The client's declared reader features (PROTOCOL capabilities:
+        ``readerfeatures=deletionVectors,columnMapping,...``; parsed
+        case-insensitively like the reference's
+        DeltaSharingService.scala:787,915). Returns None when the client
+        did not declare a list — an explicit declaration is authoritative
+        (tables using an undeclared feature are rejected, SnapshotChecker
+        parity); absence keeps the documented legacy behavior."""
+        caps = (h.headers.get("delta-sharing-capabilities") or "") \
+            .replace(" ", "").lower()
+        for part in caps.split(";"):
+            if part.startswith("readerfeatures="):
+                return {v for v in part.split("=", 1)[1].split(",") if v}
+        return None
+
+    @staticmethod
     def _include_end_stream_action(h) -> bool:
         """delta-sharing-capabilities: includeendstreamaction=true — the
         client asks for an endStreamAction trailer on every response, so a
@@ -466,6 +482,7 @@ class SharingServer:
             include_historical_protocol=bool(
                 body.get("includeHistoricalProtocol")),
             include_end_stream_action=self._include_end_stream_action(h),
+            reader_features=self._reader_features(h),
         )
         caps = (h.headers.get("delta-sharing-capabilities") or "") \
             .replace(" ", "").lower()
@@ -543,6 +560,11 @@ class SharingServer:
                 "(delta.columnMapping.mode=name), which the parquet "
                 "response format cannot represent; request the changes "
                 "with delta-sharing-capabilities: responseformat=delta")
+        rf = self._reader_features(h)
+        if rf is not None:
+            # declared feature lists are authoritative on the changes RPC
+            # too (SnapshotChecker parity — see table_query)
+            t._assert_reader_features(rf)
         out = table_changes_actions(
             t.spark, t.log.path,
             starting_version=(int(params["startingVersion"])

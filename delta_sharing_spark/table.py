@@ -517,6 +517,29 @@ class SharedTable:
 
     # -------------------------------------------------------------- wire model
 
+    def _assert_reader_features(self, reader_features: set[str]) -> None:
+        """SnapshotChecker parity (server/common/SnapshotChecker.scala:
+        42-70): every advanced table property in the configuration must be
+        covered by the client's declared reader features, else the query
+        is refused with an Unsupported error — never served in a shape the
+        client would silently mis-read (a DV descriptor an unaware client
+        drops resurrects deleted rows)."""
+        cfg = self.log.snapshot().metadata.configuration or {}
+        dv = cfg.get("delta.enableDeletionVectors",
+                     cfg.get("enableDeletionVectors", "")).lower() == "true"
+        cm = cfg.get("delta.columnMapping.mode") == "name"
+        missing = []
+        if dv and "deletionvectors" not in reader_features:
+            missing.append("deletionVectors")
+        if cm and "columnmapping" not in reader_features:
+            missing.append("columnMapping")
+        if missing:
+            raise UnsupportedTableFeatureError(
+                "table requires reader features the client did not "
+                f"declare: {', '.join(missing)} (delta-sharing-"
+                "capabilities: readerfeatures=...) — Unsupported Delta "
+                "Table Properties")
+
     def query_actions(
         self,
         version: int | None = None,
@@ -534,6 +557,7 @@ class SharedTable:
         ending_version: int | None = None,
         include_historical_protocol: bool = False,
         include_end_stream_action: bool = False,
+        reader_features: "set[str] | None" = None,
     ) -> dict[str, Any]:
         """Protocol-parity surface: the NDJSON-shaped action stream a sharing
         server would emit for this query (PROTOCOL.md:3537-3643), with offset
@@ -558,9 +582,20 @@ class SharedTable:
         delta format (its parquet files carry physical names); with it the
         response is forced to delta (``respondedFormat`` in the result),
         without it the query is refused — kernel gating semantics
-        (DeltaSharedTableKernel.scala:567-585)."""
+        (DeltaSharedTableKernel.scala:567-585).
+
+        ``reader_features`` is the client's DECLARED feature list
+        (capabilities ``readerfeatures=``, lowercased). When provided it
+        is authoritative: a table using deletionVectors or columnMapping
+        the client did not declare is refused (the reference's
+        SnapshotChecker.assertTableProperties). ``None`` (no declaration)
+        keeps the engine's documented legacy behavior — descriptors are
+        served and the delta-format gate alone protects column mapping."""
         import base64
         import time as _time
+
+        if reader_features is not None:
+            self._assert_reader_features(reader_features)
 
         # version/timestamp/startingVersion are mutually exclusive (ref
         # DeltaSharedTable.scala:358-361; error text

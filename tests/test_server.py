@@ -376,3 +376,83 @@ class TestOAuth:
         with pytest.raises(OAuthTokenError):
             OAuthClient(f"{url}/oauth/token", "client-a",
                         "WRONG").client_credentials()
+
+
+class TestReaderFeatures:
+    """Declared reader-feature negotiation (SnapshotChecker parity,
+    server/common/SnapshotChecker.scala:42-70): an explicit
+    ``readerfeatures=`` list is authoritative — tables using an
+    undeclared feature are refused; NO declaration keeps the engine's
+    documented legacy behavior (descriptors served, delta-format gate
+    for column mapping)."""
+
+    @pytest.fixture(scope="class")
+    def dv_server(self, spark, events, tmp_path_factory):
+        base = tmp_path_factory.mktemp("dvsrv")
+        d = str(base / "t")
+        log = TableLog(spark, d)
+        log.create(events.limit(20), name="t",
+                   configuration={"enableDeletionVectors": "true",
+                                  "enableChangeDataFeed": "true"})
+        log.delete("event_id < 5")
+        cat = ShareCatalog(spark)
+        cat.add_table("s", "d", "t", d, cdf_enabled=True)
+        srv = SharingServer(cat, bearer_token="secret-token")
+        url = srv.serve_background()
+        yield url
+        srv.shutdown()
+
+    def _query(self, url, caps):
+        return _post(f"{url}/shares/s/schemas/d/tables/t/query", {},
+                     headers={"delta-sharing-capabilities": caps}
+                     if caps else None)
+
+    def test_no_declaration_serves_legacy(self, dv_server):
+        s, _h, body = self._query(dv_server, None)
+        assert s == 200
+        assert any("file" in ln for ln in _ndjson(body))
+
+    def test_partial_declaration_refused(self, dv_server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            self._query(dv_server,
+                        "responseformat=delta,parquet;"
+                        "readerfeatures=columnmapping")
+        assert e.value.code == 400
+        assert "deletionVectors" in e.value.read().decode()
+
+    def test_full_declaration_served(self, dv_server):
+        s, _h, body = self._query(
+            dv_server, "responseformat=delta,parquet;"
+            "readerfeatures=deletionVectors,columnMapping,timestampNTZ")
+        assert s == 200
+        assert any("file" in ln for ln in _ndjson(body))
+
+    def test_changes_rpc_gated_too(self, dv_server):
+        req = urllib.request.Request(
+            f"{dv_server}/shares/s/schemas/d/tables/t/changes"
+            "?startingVersion=0")
+        req.add_header("Authorization", "Bearer secret-token")
+        req.add_header("delta-sharing-capabilities",
+                       "responseformat=parquet;readerfeatures=")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 400
+
+    def test_own_rest_client_declares_features(self, dv_server):
+        """The engine's REST client declares its feature list with
+        delta-format requests, so it keeps working against servers that
+        treat declarations as authoritative."""
+        from delta_sharing_spark.auth import BearerTokenAuthProvider
+        from delta_sharing_spark.rest import DataSharingRestClient
+
+        client = DataSharingRestClient(
+            dv_server, auth_provider=BearerTokenAuthProvider(
+                "secret-token"))
+        _h, lines = client.list_files_in_table(
+            "s", "d", "t", response_formats="delta,parquet")
+        assert any("file" in ln for ln in lines)
+        lines = client.list_table_changes(
+            "s", "d", "t", starting_version=0,
+            response_formats="delta,parquet")
+        assert any(k in ln for ln in lines
+                   for k in ("file", "add", "cdf", "remove"))
