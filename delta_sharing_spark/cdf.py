@@ -294,11 +294,16 @@ def table_changes_actions(
     starting_timestamp: str | None = None,
     ending_timestamp: str | None = None,
     include_historical_metadata: bool = False,
+    include_historical_protocol: bool = False,
 ) -> dict:
     """Wire-parity surface for the CDF endpoint (PROTOCOL.md:2352-2430):
     the NDJSON-shaped action stream with add/cdc/remove lines carrying
     version + timestamp, optionally interleaving historical ``metaData``
-    actions (``includeHistoricalMetadata``)."""
+    actions (``includeHistoricalMetadata``) and — under the
+    ``includeHistoricalProtocol`` opt-in (delta-format responses only,
+    like the range form; ref DeltaSharedTable.scala queryCDF:705,748-757)
+    — historical ``protocol`` actions, with the head protocol stamped
+    with its version."""
     log = TableLog(spark, path)
     if not log.snapshot().metadata.cdf_enabled:
         raise CDFError("change data feed is not enabled on this table")
@@ -313,10 +318,25 @@ def table_changes_actions(
     snap = log.snapshot(version=end)
     from dataclasses import asdict
 
+    # head protocol mirrors the end snapshot's reader requirement (the
+    # range form's derivation): a column-mapped table advertises
+    # minReaderVersion 2 so clients know what a read needs
+    head_proto: dict = (
+        {"minReaderVersion": 2, "minWriterVersion": 5}
+        if (snap.metadata.configuration or {}).get(
+            "delta.columnMapping.mode") == "name"
+        else {"minReaderVersion": 1})
+    if include_historical_protocol:
+        # stamp the head protocol's version only under the opt-in,
+        # preserving the legacy wire shape otherwise (ref
+        # headProtocolVersion, DeltaSharedTable.scala:752-757)
+        head_proto["version"] = snap.version
     lines: list[dict] = [
-        {"protocol": {"minReaderVersion": 1}},
+        {"protocol": head_proto},
         {"metaData": {**asdict(snap.metadata), "version": snap.version}},
     ]
+    prev_cm = (log.snapshot(version=start).metadata.configuration or {}) \
+        .get("delta.columnMapping.mode") == "name"
     for commit in log.commits(start, end):
         if is_noop_merge(commit.info):
             continue
@@ -324,6 +344,24 @@ def table_changes_actions(
             lines.append(
                 {"metaData": {**asdict(commit.metadata),
                               "version": commit.version}})
+        if include_historical_protocol and commit.version > start:
+            # an explicit in-commit protocol upgrade action, OR a metadata
+            # commit flipping a reader feature in the configuration — the
+            # wire protocol is derived the same way as the range form
+            proto_line = commit.protocol
+            if proto_line is None and commit.metadata is not None:
+                cm_now = (commit.metadata.configuration or {}).get(
+                    "delta.columnMapping.mode") == "name"
+                if cm_now != prev_cm:
+                    proto_line = (
+                        {"minReaderVersion": 2, "minWriterVersion": 5}
+                        if cm_now else {"minReaderVersion": 1})
+            if proto_line is not None:
+                lines.append({"protocol": {**proto_line,
+                                           "version": commit.version}})
+        if commit.metadata is not None:
+            prev_cm = (commit.metadata.configuration or {}).get(
+                "delta.columnMapping.mode") == "name"
         if commit.cdc:
             for c in commit.cdc:
                 lines.append({"cdf": {

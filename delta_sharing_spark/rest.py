@@ -345,6 +345,7 @@ class DataSharingRestClient:
         response_formats: str | None = None,
         include_historical_metadata: bool = False,
         include_end_stream_action: bool = False,
+        include_historical_protocol: bool = False,
     ) -> list[dict]:
         params = []
         if starting_version is not None:
@@ -353,6 +354,8 @@ class DataSharingRestClient:
             params.append(f"endingVersion={ending_version}")
         if include_historical_metadata:
             params.append("includeHistoricalMetadata=true")
+        if include_historical_protocol:
+            params.append("includeHistoricalProtocol=true")
         if starting_timestamp is not None:
             params.append("startingTimestamp="
                           + urllib.parse.quote(starting_timestamp))

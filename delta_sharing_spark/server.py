@@ -575,6 +575,12 @@ class SharingServer:
             ending_timestamp=params.get("endingTimestamp"),
             include_historical_metadata=(
                 params.get("includeHistoricalMetadata", "false") == "true"),
+            # historical protocol actions only have a delta-format
+            # representation (ref DeltaSharedTable.scala:748-751)
+            include_historical_protocol=(
+                params.get("includeHistoricalProtocol", "false") == "true"
+                and "delta" in formats
+                and (bool(cm) or "parquet" not in formats)),
         )
         lines = out["actions"]
         esa = self._include_end_stream_action(h)

@@ -142,7 +142,20 @@ def _read_file_batches(partition: _FilePartition) -> Iterator:
         import numpy as np
     row_offset = 0
     pf = pq.ParquetFile(partition.path)
-    for batch in pf.iter_batches(batch_size=65536):
+    # column projection: only read the physical columns the projection
+    # actually consumes — dropped-then-readded history, unused
+    # materialized row-id columns and any other extra file columns never
+    # leave the parquet reader (the I/O cut column pruning would give a
+    # native scan; the Python DS API has no pruneColumns hook, so the
+    # declared schema is the ceiling but extra FILE columns still prune)
+    wanted = {p.lower() for _n, p, _a, _s in target_fields
+              if p not in partition.partition_values}
+    if cdf_mode and partition.change_type is None:
+        wanted.add("_change_type")
+    if need_idx:
+        wanted.update((rt["mat_id"].lower(), rt["mat_ver"].lower()))
+    read_cols = [c for c in pf.schema_arrow.names if c.lower() in wanted]
+    for batch in pf.iter_batches(batch_size=65536, columns=read_cols):
         n_phys = batch.num_rows
         # physical row indices BEFORE deletion-vector filtering: row ids
         # key on the row's position in the file, so DV-surviving rows keep

@@ -143,6 +143,36 @@ class TestHistoricalProtocol:
         assert hist and hist[0]["version"] == 3
         assert hist[0]["minReaderVersion"] == 2
 
+    def test_protocol_inlined_on_changes_rpc(self, spark, tmp_path):
+        """The CDF form supports includeHistoricalProtocol like the range
+        form (ref queryCDF's includeHistoricalProtocol,
+        DeltaSharedTable.scala:705,748-757): historical protocol actions
+        interleave per commit, the head protocol is version-stamped under
+        the opt-in, and the legacy wire shape is untouched without it."""
+        from delta_sharing_spark.cdf import table_changes_actions
+
+        d = str(tmp_path / "t")
+        df = spark.range(10).selectExpr("id", "id * 2 as v")
+        log = TableLog(spark, d)
+        log.create(df.filter("id < 4").coalesce(1), name="t",
+                   configuration={"delta.enableChangeDataFeed": "true"})
+        log.append(df.filter("id >= 4 and id < 7").coalesce(1))
+        log.enable_column_mapping()  # v2: reader-feature change
+        log.append(df.filter("id >= 7").coalesce(1))
+        out = table_changes_actions(spark, d, starting_version=1,
+                                    include_historical_protocol=True)
+        protos = [ln["protocol"] for ln in out["actions"]
+                  if "protocol" in ln]
+        assert protos[0].get("version") == 3  # stamped head (range end)
+        hist = protos[1:]
+        assert hist and hist[0]["version"] == 2
+        assert hist[0]["minReaderVersion"] == 2
+        # legacy shape without the opt-in
+        out = table_changes_actions(spark, d, starting_version=1)
+        protos = [ln["protocol"] for ln in out["actions"]
+                  if "protocol" in ln]
+        assert len(protos) == 1 and "version" not in protos[0]
+
     def test_parquet_profile_refused_across_cm_enable(self, spark,
                                                       tmp_path):
         d = str(tmp_path / "t")
