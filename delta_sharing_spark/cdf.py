@@ -335,8 +335,15 @@ def table_changes_actions(
         {"protocol": head_proto},
         {"metaData": {**asdict(snap.metadata), "version": snap.version}},
     ]
-    prev_cm = (log.snapshot(version=start).metadata.configuration or {}) \
-        .get("delta.columnMapping.mode") == "name"
+    prev_cm = None
+    if include_historical_protocol:
+        # the start snapshot resolution is only needed for the protocol
+        # derivation baseline — plain changes RPCs (the common case) must
+        # not pay a third snapshot resolution for it
+        from delta_sharing_spark.plans.log import derive_wire_protocol
+
+        prev_cm = (log.snapshot(version=start).metadata.configuration
+                   or {}).get("delta.columnMapping.mode") == "name"
     for commit in log.commits(start, end):
         if is_noop_merge(commit.info):
             continue
@@ -344,24 +351,16 @@ def table_changes_actions(
             lines.append(
                 {"metaData": {**asdict(commit.metadata),
                               "version": commit.version}})
-        if include_historical_protocol and commit.version > start:
-            # an explicit in-commit protocol upgrade action, OR a metadata
-            # commit flipping a reader feature in the configuration — the
-            # wire protocol is derived the same way as the range form
-            proto_line = commit.protocol
-            if proto_line is None and commit.metadata is not None:
-                cm_now = (commit.metadata.configuration or {}).get(
+        if include_historical_protocol:
+            if commit.version > start:
+                # derivation shared with the range form (plans/log.py)
+                proto_line = derive_wire_protocol(commit, prev_cm)
+                if proto_line is not None:
+                    lines.append({"protocol": {
+                        **proto_line, "version": commit.version}})
+            if commit.metadata is not None:
+                prev_cm = (commit.metadata.configuration or {}).get(
                     "delta.columnMapping.mode") == "name"
-                if cm_now != prev_cm:
-                    proto_line = (
-                        {"minReaderVersion": 2, "minWriterVersion": 5}
-                        if cm_now else {"minReaderVersion": 1})
-            if proto_line is not None:
-                lines.append({"protocol": {**proto_line,
-                                           "version": commit.version}})
-        if commit.metadata is not None:
-            prev_cm = (commit.metadata.configuration or {}).get(
-                "delta.columnMapping.mode") == "name"
         if commit.cdc:
             for c in commit.cdc:
                 lines.append({"cdf": {

@@ -253,6 +253,26 @@ class ConcurrentDomainMetadataError(ConcurrentCommitError):
     the domain (e.g. re-allocates row ids past the winner's mark)."""
 
 
+def derive_wire_protocol(commit, prev_cm: bool) -> "dict | None":
+    """The historical protocol action a wire response interleaves for
+    ``commit``, given whether column mapping was previously on: an
+    explicit in-commit protocol upgrade action wins; otherwise a metadata
+    commit flipping the column-mapping reader feature derives the
+    protocol the same way the snapshot head does. None = no protocol
+    change at this commit. SHARED by the range and changes forms
+    (table.py / cdf.py) so the feature→protocol mapping can never
+    desynchronize between the two RPCs."""
+    if commit.protocol is not None:
+        return dict(commit.protocol)
+    if commit.metadata is not None:
+        cm_now = (commit.metadata.configuration or {}).get(
+            "delta.columnMapping.mode") == "name"
+        if cm_now != prev_cm:
+            return ({"minReaderVersion": 2, "minWriterVersion": 5}
+                    if cm_now else {"minReaderVersion": 1})
+    return None
+
+
 def _fmt_version(v: int) -> str:
     return f"{v:020d}.json"
 
@@ -4535,6 +4555,24 @@ class TableLog:
         if not candidates:
             return []
         phys = snap.logical_to_physical or {}
+        # a file we cannot judge must be rewritten UNCONDITIONALLY — the
+        # overlap join's null-as-overlap fallback only forces a rewrite
+        # when enough other files exist to exceed max_overlap, so a
+        # stats-less candidate on a small table would otherwise slip
+        # through the count and permanently escape clustering
+        keys = [phys.get(c, c) for c in columns]
+
+        def judgeable(a) -> bool:
+            st = a.stats_dict()
+            mins = st.get("minValues") or {}
+            maxs = st.get("maxValues") or {}
+            return all(mins.get(k) is not None and maxs.get(k) is not None
+                       for k in keys)
+
+        unjudgeable = [a for a in candidates if not judgeable(a)]
+        candidates = [a for a in candidates if judgeable(a)]
+        if not candidates:
+            return unjudgeable
 
         def envelope(df: DataFrame, p: str) -> DataFrame:
             sel = [F.col("path").alias(f"{p}path")]
@@ -4570,8 +4608,8 @@ class TableLog:
             .groupBy("c_path").agg(F.count(F.lit(1)).alias("n"))
             .collect()  # one row per candidate — maintenance-slice sized
         }
-        return [a for a in candidates
-                if counts.get(a.path, 0) > max_overlap]
+        return unjudgeable + [a for a in candidates
+                              if counts.get(a.path, 0) > max_overlap]
 
     def zorder_incremental(self, columns: list[str],
                            bits_per_col: int = 12,
@@ -4632,11 +4670,11 @@ class TableLog:
             # ZCube pick applies to WELL-SIZED fresh files only: under-
             # sized ones are compaction fodder regardless of how tight
             # their envelopes are (exempting them would accrete one small
-            # file per ingest cycle), and OVER-sized ones must always be
-            # split to the target (a brand-new one-file table has zero
-            # overlaps but is maximally unclustered — size, not overlap,
-            # is its signal)
-            thr = target_file_rows // 2 if merge_small else 0
+            # file per ingest cycle — with OR without merge_small), and
+            # OVER-sized ones must always be split to the target (a
+            # brand-new one-file table has zero overlaps but is maximally
+            # unclustered — size, not overlap, is its signal)
+            thr = target_file_rows // 2
             eligible = [a for a in fresh
                         if thr <= (a.logical_records or 0)
                         <= target_file_rows]

@@ -346,10 +346,11 @@ class SharedTableCDFBatchReader(DataSourceReader):
             from delta_sharing_spark.sources.remote import RemoteTableLog
 
             config, commits = self._remote_commits(target, o)
-            # path/key derivation only (no RPCs): DV descriptors on wire
-            # adds must be honored or a DV-mode change re-serves deleted
-            # rows as inserts
-            dvlog = RemoteTableLog(*target)
+            # DV descriptors on wire adds must be honored or a DV-mode
+            # change re-serves deleted rows as inserts; dv_scan_keys is
+            # static pure path derivation, so the CLASS serves (no second
+            # profile parse / client construction)
+            dvlog = RemoteTableLog
             abs_path = (lambda p: p)
         else:
             from delta_sharing_spark.plans.log import TableLog, is_noop_merge

@@ -229,11 +229,14 @@ class RemoteTableLog:
     def abs_path(self, p: str) -> str:
         return p  # wire URLs are already absolute
 
-    def dv_scan_keys(self, add: _WireFile) -> tuple[str, str, list[str]]:
+    @staticmethod
+    def dv_scan_keys(add: _WireFile) -> tuple[str, str, list[str]]:
         """Mirror of TableLog.dv_scan_keys for wire files: the descriptor's
         path is already absolute; candidate ``path`` keys in the DV parquet
         are the file's recorded id (own files) and its absolute url
-        (clone-referenced files)."""
+        (clone-referenced files). Pure path/key derivation — static, so
+        callers that only need DV keys (the batch CDF reader) can use the
+        CLASS instead of constructing a second client-bearing instance."""
         d = add.deletionVector["pathOrInlineDv"]
         marker = os.sep + "_dv" + os.sep
         root = d.rsplit(marker, 1)[0] if marker in d else os.path.dirname(d)

@@ -517,22 +517,42 @@ class SharedTable:
 
     # -------------------------------------------------------------- wire model
 
-    def _assert_reader_features(self, reader_features: set[str]) -> None:
+    def _assert_reader_features(self, reader_features: set[str],
+                                version: int | None = None,
+                                timestamp: str | None = None) -> None:
         """SnapshotChecker parity (server/common/SnapshotChecker.scala:
-        42-70): every advanced table property in the configuration must be
-        covered by the client's declared reader features, else the query
-        is refused with an Unsupported error — never served in a shape the
-        client would silently mis-read (a DV descriptor an unaware client
-        drops resurrects deleted rows)."""
-        cfg = self.log.snapshot().metadata.configuration or {}
+        42-70): every advanced table property of the QUERIED snapshot
+        must be covered by the client's declared reader features, else
+        the query is refused with an Unsupported error — never served in
+        a shape the client would silently mis-read (a DV descriptor an
+        unaware client drops resurrects deleted rows). Asserting the
+        queried version (not latest) keeps pre-enablement time travel
+        servable to clients without the feature, and keeps post-disable
+        queries of feature-era versions gated."""
+        snap = self.log.snapshot(version=version, timestamp=timestamp)
+        cfg = snap.metadata.configuration or {}
         dv = cfg.get("delta.enableDeletionVectors",
                      cfg.get("enableDeletionVectors", "")).lower() == "true"
         cm = cfg.get("delta.columnMapping.mode") == "name"
+
+        def has_ntz(dt) -> bool:
+            if isinstance(dt, T.TimestampNTZType):
+                return True
+            if isinstance(dt, T.StructType):
+                return any(has_ntz(f.dataType) for f in dt.fields)
+            if isinstance(dt, T.ArrayType):
+                return has_ntz(dt.elementType)
+            if isinstance(dt, T.MapType):
+                return has_ntz(dt.keyType) or has_ntz(dt.valueType)
+            return False
+
         missing = []
         if dv and "deletionvectors" not in reader_features:
             missing.append("deletionVectors")
         if cm and "columnmapping" not in reader_features:
             missing.append("columnMapping")
+        if has_ntz(snap.schema) and "timestampntz" not in reader_features:
+            missing.append("timestampNtz")
         if missing:
             raise UnsupportedTableFeatureError(
                 "table requires reader features the client did not "
@@ -594,9 +614,6 @@ class SharedTable:
         import base64
         import time as _time
 
-        if reader_features is not None:
-            self._assert_reader_features(reader_features)
-
         # version/timestamp/startingVersion are mutually exclusive (ref
         # DeltaSharedTable.scala:358-361; error text
         # ErrorStrings.multipleParametersSetErrorMsg, exceptions.scala:57-59)
@@ -615,6 +632,13 @@ class SharedTable:
                 f"startingVersion({starting_version}) must be smaller than "
                 f"or equal to endingVersion({ending_version}).")
         if starting_version is not None:
+            if reader_features is not None:
+                # the range is served under the START snapshot's schema
+                # epoch chain — assert the features there
+                self._assert_reader_features(
+                    reader_features,
+                    version=min(starting_version,
+                                self.log.latest_version()))
             return self._query_range_actions(
                 starting_version, ending_version, max_files, page_token,
                 response_formats, include_historical_protocol,
@@ -622,6 +646,10 @@ class SharedTable:
                 predicate_hints=predicate_hints, limit_hint=limit_hint,
                 include_end_stream_action=include_end_stream_action,
             )
+        if reader_features is not None:
+            self._assert_reader_features(reader_features,
+                                         version=version,
+                                         timestamp=timestamp)
         formats = {f.strip().lower()
                    for f in (response_formats or {"parquet"})}
         if refresh_token:
@@ -884,17 +912,12 @@ class SharedTable:
             if emit_protocol and v > starting_version:
                 # a protocol change mid-range = an explicit in-commit
                 # protocol upgrade action, OR a metadata commit flipping a
-                # reader feature (this engine enables column mapping via
-                # configuration, so the wire protocol is derived the same
-                # way the snapshot head derives it)
-                proto_line = commit.protocol
-                if proto_line is None and commit.metadata is not None:
-                    cm_now = (commit.metadata.configuration or {}).get(
-                        "delta.columnMapping.mode") == "name"
-                    if cm_now != prev_cm:
-                        proto_line = (
-                            {"minReaderVersion": 2, "minWriterVersion": 5}
-                            if cm_now else {"minReaderVersion": 1})
+                # reader feature — derivation shared with the changes form
+                from delta_sharing_spark.plans.log import (
+                    derive_wire_protocol,
+                )
+
+                proto_line = derive_wire_protocol(commit, prev_cm)
                 if proto_line is not None:
                     out.append((False, {"protocol": {
                         **proto_line, "version": v}}))

@@ -2897,6 +2897,63 @@ class TestClusteredCompaction:
         # idempotent: nothing interfering remains
         assert log.optimize(target_file_rows=250) == log.latest_version()
 
+    def test_undersized_fresh_never_exempt(self, spark, table_dir):
+        """The ZCube pick must not exempt UNDERSIZED fresh files even
+        when merge_small is off — tight small files would otherwise
+        accrete forever (review finding: thr=0 with merge_small=False
+        made every small file exemption-eligible)."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        mk = lambda lo, hi: (  # noqa: E731
+            spark.range(lo, hi).selectExpr("id AS k")
+            .repartition(1).sortWithinPartitions("k"))
+        log = TableLog(spark, table_dir)
+        log.create(mk(0, 1000), name="t", cluster_by=["k"])
+        log.zorder_incremental(["k"], target_file_rows=250)
+        # two tiny DISJOINT fresh appends: tight envelopes, zero overlap
+        log.append(mk(5000, 5020))
+        log.append(mk(9000, 9020))
+        v = log.zorder_incremental(["k"], target_file_rows=250,
+                                   merge_small=False)
+        assert v is not None, \
+            "undersized tight fresh files were exempted (accretion)"
+        removed = {r.path for r in log.read_commit(v).removes}
+        assert len(removed) == 2
+
+    def test_stats_less_candidate_always_rewritten(self, spark,
+                                                   table_dir):
+        """A candidate the pick cannot judge (no stats on a clustering
+        column) must be rewritten even when the table has too few files
+        for the overlap count to force it."""
+        import json as _json
+        import os
+
+        from delta_sharing_spark.plans.log import _fmt_version
+
+        mk = lambda lo, hi: (  # noqa: E731
+            spark.range(lo, hi).selectExpr("id AS k")
+            .repartition(1).sortWithinPartitions("k"))
+        log = TableLog(spark, table_dir)
+        log.create(mk(0, 250), name="t", cluster_by=["k"])
+        log.zorder_incremental(["k"], target_file_rows=250)
+        log.append(mk(1000, 1250))
+        # strip the fresh file's stats in the commit JSON (simulating a
+        # writer that recorded none)
+        v = log.latest_version()
+        p = os.path.join(log.log_path, _fmt_version(v))
+        lines = [
+            _json.loads(ln) for ln in open(p).read().splitlines() if ln]
+        for ln in lines:
+            if "add" in ln:
+                ln["add"]["stats"] = None
+        with open(p, "w") as f:
+            f.writelines(_json.dumps(ln) + "\n" for ln in lines)
+        log2 = TableLog(spark, table_dir)
+        v2 = log2.zorder_incremental(["k"], target_file_rows=250)
+        assert v2 is not None, "stats-less candidate escaped the rewrite"
+        removed = {r.path for r in log2.read_commit(v2).removes}
+        assert len(removed) == 1
+
     def test_key_change_reclusters_existing_files(self, spark, lineitem,
                                                   table_dir):
         """set_cluster_by contract: after a clustering-key change the next

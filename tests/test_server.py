@@ -438,6 +438,66 @@ class TestReaderFeatures:
             urllib.request.urlopen(req)
         assert e.value.code == 400
 
+    def test_gate_asserts_queried_version_not_latest(self, spark, events,
+                                                     tmp_path):
+        """Pre-enablement time travel stays servable: the feature gate
+        asserts the QUERIED snapshot's configuration, so a version pinned
+        before ENABLE COLUMN MAPPING passes for a client that did not
+        declare the feature, while latest is refused."""
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.limit(10), name="t")
+        log.enable_column_mapping()
+        cat = ShareCatalog(spark)
+        cat.add_table("s", "d", "t", d)
+        srv = SharingServer(cat, bearer_token="secret-token")
+        url = srv.serve_background()
+        try:
+            caps = "responseformat=delta;readerfeatures=deletionvectors"
+            s, _h, _b = _post(
+                f"{url}/shares/s/schemas/d/tables/t/query",
+                {"version": 0},
+                headers={"delta-sharing-capabilities": caps})
+            assert s == 200
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(f"{url}/shares/s/schemas/d/tables/t/query", {},
+                      headers={"delta-sharing-capabilities": caps})
+            assert e.value.code == 400
+            assert "columnMapping" in e.value.read().decode()
+        finally:
+            srv.shutdown()
+
+    def test_timestamp_ntz_gated(self, spark, tmp_path):
+        """A TIMESTAMP_NTZ column is a reader feature too: declared lists
+        without timestampntz are refused, with it served."""
+        from pyspark.sql import functions as F
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.range(5).select(
+            "id", F.lit("2024-01-01 00:00:00")
+            .cast("timestamp_ntz").alias("ts")), name="t")
+        cat = ShareCatalog(spark)
+        cat.add_table("s", "d", "t", d)
+        srv = SharingServer(cat, bearer_token="secret-token")
+        url = srv.serve_background()
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(f"{url}/shares/s/schemas/d/tables/t/query", {},
+                      headers={"delta-sharing-capabilities":
+                               "responseformat=delta;"
+                               "readerfeatures=deletionvectors"})
+            assert e.value.code == 400
+            assert "timestampNtz" in e.value.read().decode()
+            s, _h, _b = _post(
+                f"{url}/shares/s/schemas/d/tables/t/query", {},
+                headers={"delta-sharing-capabilities":
+                         "responseformat=delta;readerfeatures="
+                         "deletionvectors,timestampntz"})
+            assert s == 200
+        finally:
+            srv.shutdown()
+
     def test_own_rest_client_declares_features(self, dv_server):
         """The engine's REST client declares its feature list with
         delta-format requests, so it keeps working against servers that

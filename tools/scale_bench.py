@@ -288,20 +288,32 @@ def main() -> None:
     # Driver-memory gate: the resident-set growth across the cold
     # resolution must be O(manifest) — bounded by a small per-file
     # constant (AddFile dataclass + stats strings), never O(rows). At
-    # 1M files that budget is < 4 GB (measured ~1.5 GB); a regression to
-    # row-proportional memory would blow far past it.
-    import resource
+    # 1M files that budget is < 4 GB (measured ~0.2 GB); a regression to
+    # row-proportional memory would blow far past it. Measured from
+    # CURRENT VmRSS (not ru_maxrss, a monotone high-watermark an earlier
+    # bench phase could have pushed past the snapshot's own use — the
+    # delta would then read 0 and the gate would pass vacuously).
 
-    rss0_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    def vm_rss_kb() -> int:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1])
+        return 0
+
+    rss0_kb = vm_rss_kb()
     t0 = time.perf_counter()
     log = TableLog(spark, big)
     snap = log.snapshot()
     out["cold_snapshot_s"] = round(time.perf_counter() - t0, 3)
-    rss1_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-    out["cold_snapshot_rss_growth_mb"] = round((rss1_kb - rss0_kb) / 1024, 1)
-    assert out["cold_snapshot_rss_growth_mb"] < 4096, (
-        f"driver RSS grew {out['cold_snapshot_rss_growth_mb']} MB resolving "
-        f"a {args.files:,}-file manifest — no longer O(files) bounded")
+    out["cold_snapshot_rss_growth_mb"] = round(
+        max(0, vm_rss_kb() - rss0_kb) / 1024, 1)
+    if out["cold_snapshot_rss_growth_mb"] >= 4096:
+        # explicit raise: the gate must survive python -O
+        raise RuntimeError(
+            f"driver RSS grew {out['cold_snapshot_rss_growth_mb']} MB "
+            f"resolving a {args.files:,}-file manifest — no longer "
+            "O(files) bounded")
     assert len(snap.files) == args.files
     t0 = time.perf_counter()
     log.snapshot()
