@@ -44,6 +44,7 @@ _DRIVER_PRIORITY = [
     "stream_remote_row_tracking_cdf",
     "q_bm25_topk",
     "q_split_stratified",
+    "q_ann_hard_negatives",
 ]
 
 

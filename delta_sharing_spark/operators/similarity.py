@@ -72,6 +72,32 @@ def brute_force_topk(queries: DataFrame, candidates: DataFrame,
     return _topk_per_query(scored, k)
 
 
+def hard_negatives(queries: DataFrame, candidates: DataFrame,
+                   label_col: str = "label", id_col: str = "vec_id",
+                   vec_col: str = "embedding", k: int = 5) -> DataFrame:
+    """Contrastive hard-negative mining: for each query row, the k most
+    cosine-similar candidates carrying a DIFFERENT label — the negatives a
+    contrastive/embedding trainer most needs next to each anchor (highest
+    loss contribution). Same shape as brute_force_topk — broadcast
+    queries, one candidate pass, exact two-phase top-k — with the
+    label anti-predicate folded into the join condition so same-label
+    candidates never reach scoring; the IVF cell-scoped variant drops in
+    the same way as for positives at the 100 TB regime."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_label") != F.col("c_label"))
+        .withColumn("cos", cosine("q_vec", "c_vec"))
+    )
+    return _topk_per_query(scored, k)
+
+
 def ivf_centroids(candidates: DataFrame, cell_col: str,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   dim: int = 64) -> DataFrame:

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from delta_sharing_spark.io import read_table
 from delta_sharing_spark.operators.similarity import (
     brute_force_topk,
+    hard_negatives,
     ivf_centroids,
     near_dup_pairs,
 )
@@ -55,6 +56,38 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query_id; the scale path (IVF) is q_ann_ivf_topk."""
     emb = read_table(spark, sf_dir, "embeddings")
     return brute_force_topk(
+        emb.filter(F.col("vec_id") < 8), emb, k=5
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+@workload(
+    "q_ann_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_cos_sql('q.qv', 'c.embedding')} AS cos
+      FROM q JOIN embeddings c ON c.label <> q.ql
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for 8 anchor vectors, the top-5
+    most-similar OTHER-label candidates (the highest-loss negatives an
+    embedding trainer pairs with each anchor). Label anti-predicate folded
+    into the broadcast join condition, exact two-phase top-k — the shape
+    scales like the ANN baseline."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
         emb.filter(F.col("vec_id") < 8), emb, k=5
     ).withColumn("rank", F.col("rank").cast("int"))
 
