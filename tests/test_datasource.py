@@ -827,6 +827,68 @@ class TestSchemaTrackingLocation:
         assert final.count() == 90
         assert final.filter("_change_type = 'insert'").count() == 90
 
+    def test_cdf_row_ids_survive_tracked_evolution(self, spark,
+                                                   tmp_path):
+        """rowIds=true + schemaTrackingLocation: the evolution boundary
+        check must ignore the _row_id/_row_commit_version virtual columns
+        (like the three CDF ones), and ids must stay exact across the
+        widen-restart — pre-widen rows keep their creation ids under the
+        evolved plan."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.streaming import StreamingQueryException
+
+        spark.dataSource.register(SharedTableDataSource)
+        d = str(tmp_path / "rt_evolve")
+        one = lambda df: df.repartition(1).sortWithinPartitions("k")  # noqa: E731
+        log = TableLog(spark, d)
+        log.create(one(spark.range(20).selectExpr(
+            "id AS k", "CAST(id AS INT) AS v")), name="t",
+            configuration={"delta.enableRowTracking": "true",
+                           "delta.enableChangeDataFeed": "true",
+                           "delta.enableTypeWidening": "true"})
+        log.append(one(spark.range(20, 30).selectExpr(
+            "id AS k", "CAST(id AS INT) AS v")))
+        log.widen_column_type("v", "long")
+        log.append(one(spark.range(30, 35).selectExpr(
+            "id AS k", "CAST(id AS LONG) AS v")))
+        out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        track = str(tmp_path / "track")
+
+        def run():
+            import uuid
+
+            q = (spark.readStream.format("deltashare").option("path", d)
+                 .option("startingVersion", "0")
+                 .option("readChangeFeed", "true")
+                 .option("rowIds", "true")
+                 .option("maxFilesPerTrigger", "1")
+                 .option("schemaTrackingLocation", track)
+                 .load()
+                 .writeStream.format("parquet").option("path", out_dir)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(processingTime="150 milliseconds")
+                 .queryName(f"rte_{uuid.uuid4().hex[:6]}")
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        with pytest.raises(StreamingQueryException):
+            run()  # drains pre-widen, then evolves at the widen commit
+        run()
+        # the sink holds int-v files (pre-widen) and bigint-v files: read
+        # under the widened schema (Spark's parquet reader upcasts the
+        # narrow half natively — parquet mergeSchema does not widen)
+        final = spark.read.schema(
+            "k long, v long, _change_type string, _commit_version long, "
+            "_commit_timestamp long, _row_id long, _row_commit_version "
+            "long").parquet(out_dir)
+        rows = {r.k: (r._row_id, r._row_commit_version, r.v) for r in
+                final.filter("_change_type = 'insert'").collect()}
+        assert rows == {k: (k, 0 if k < 20 else (1 if k < 30 else 3), k)
+                        for k in range(35)}
+
     def test_without_tracking_drop_is_a_hard_stop(self, spark, events,
                                                   tmp_path):
         """No schemaTrackingLocation: a stream planned on the latest schema
