@@ -4569,8 +4569,10 @@ class TableLog:
             return all(mins.get(k) is not None and maxs.get(k) is not None
                        for k in keys)
 
-        unjudgeable = [a for a in candidates if not judgeable(a)]
-        candidates = [a for a in candidates if judgeable(a)]
+        unjudgeable, judged = [], []
+        for a in candidates:  # one pass: stats_dict re-parses JSON
+            (judged if judgeable(a) else unjudgeable).append(a)
+        candidates = judged
         if not candidates:
             return unjudgeable
 
@@ -4667,14 +4669,17 @@ class TableLog:
                 break
         fresh = [a for a in snap.files if (a.version or 0) > last_z]
         if fresh and max_overlap is not None:
-            # ZCube pick applies to WELL-SIZED fresh files only: under-
-            # sized ones are compaction fodder regardless of how tight
-            # their envelopes are (exempting them would accrete one small
-            # file per ingest cycle — with OR without merge_small), and
-            # OVER-sized ones must always be split to the target (a
+            # ZCube pick eligibility: OVER-sized files always split (a
             # brand-new one-file table has zero overlaps but is maximally
-            # unclustered — size, not overlap, is its signal)
-            thr = target_file_rows // 2
+            # unclustered — size, not overlap, is its signal). UNDER-sized
+            # files depend on the mode: under merge_small (the optimize()
+            # maintenance mode) they must always re-enter so passes MERGE
+            # them — exempting would accrete one small file per cycle;
+            # without merge_small nothing merges anyway, so a 1:1 rewrite
+            # of a lone tight small file is pure write amplification
+            # (same single file, same envelope) — they follow the same
+            # overlap rule as well-sized files instead.
+            thr = target_file_rows // 2 if merge_small else 0
             eligible = [a for a in fresh
                         if thr <= (a.logical_records or 0)
                         <= target_file_rows]

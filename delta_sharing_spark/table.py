@@ -35,6 +35,7 @@ from delta_sharing_spark.plans.log import (
     Snapshot,
     TableLog,
     VersionNotFoundError,
+    derive_wire_protocol,
 )
 from delta_sharing_spark.plans.predicates import (
     file_keep_condition,
@@ -518,18 +519,21 @@ class SharedTable:
     # -------------------------------------------------------------- wire model
 
     def _assert_reader_features(self, reader_features: set[str],
-                                version: int | None = None,
-                                timestamp: str | None = None) -> None:
+                                snap=None) -> None:
         """SnapshotChecker parity (server/common/SnapshotChecker.scala:
         42-70): every advanced table property of the QUERIED snapshot
         must be covered by the client's declared reader features, else
         the query is refused with an Unsupported error — never served in
         a shape the client would silently mis-read (a DV descriptor an
-        unaware client drops resurrects deleted rows). Asserting the
-        queried version (not latest) keeps pre-enablement time travel
-        servable to clients without the feature, and keeps post-disable
-        queries of feature-era versions gated."""
-        snap = self.log.snapshot(version=version, timestamp=timestamp)
+        unaware client drops resurrects deleted rows). Callers pass the
+        ALREADY-RESOLVED snapshot they will serve (no second resolution;
+        refresh-token pinning and timestamp resolution happen before the
+        gate); the range form asserts BOTH endpoints so a range crossing
+        a feature enablement is refused too. Asserting the queried
+        snapshot (not latest) keeps pre-enablement time travel servable
+        to clients without the feature."""
+        if snap is None:
+            snap = self.log.snapshot()
         cfg = snap.metadata.configuration or {}
         dv = cfg.get("delta.enableDeletionVectors",
                      cfg.get("enableDeletionVectors", "")).lower() == "true"
@@ -633,12 +637,21 @@ class SharedTable:
                 f"or equal to endingVersion({ending_version}).")
         if starting_version is not None:
             if reader_features is not None:
-                # the range is served under the START snapshot's schema
-                # epoch chain — assert the features there
+                # a range serves actions from EVERY commit in [start,
+                # end]: assert both endpoints, so a range crossing a
+                # feature-enablement commit (DV descriptors appearing
+                # mid-range) is refused for undeclared clients too —
+                # features only ever turn on going forward, so the two
+                # endpoint configurations bound the range
+                latest = self.log.latest_version()
+                self._assert_reader_features(
+                    reader_features, self.log.snapshot(
+                        version=min(starting_version, latest)))
+                end_v = (ending_version if ending_version is not None
+                         else latest)
                 self._assert_reader_features(
                     reader_features,
-                    version=min(starting_version,
-                                self.log.latest_version()))
+                    self.log.snapshot(version=min(end_v, latest)))
             return self._query_range_actions(
                 starting_version, ending_version, max_files, page_token,
                 response_formats, include_historical_protocol,
@@ -646,10 +659,6 @@ class SharedTable:
                 predicate_hints=predicate_hints, limit_hint=limit_hint,
                 include_end_stream_action=include_end_stream_action,
             )
-        if reader_features is not None:
-            self._assert_reader_features(reader_features,
-                                         version=version,
-                                         timestamp=timestamp)
         formats = {f.strip().lower()
                    for f in (response_formats or {"parquet"})}
         if refresh_token:
@@ -660,6 +669,12 @@ class SharedTable:
                 version = int(decoded_rt["version"])
         was_latest = version is None and timestamp is None
         snap = self.log.snapshot(version=version, timestamp=timestamp)
+        if reader_features is not None:
+            # gate AFTER refresh-token pinning and timestamp resolution,
+            # on the exact snapshot this query serves (a refresh of a
+            # pre-enablement pinned version must stay servable; no
+            # second timestamp->version scan)
+            self._assert_reader_features(reader_features, snap)
         if snap.column_mapping:
             if "delta" in formats:
                 responded_format = "delta"
@@ -913,10 +928,6 @@ class SharedTable:
                 # a protocol change mid-range = an explicit in-commit
                 # protocol upgrade action, OR a metadata commit flipping a
                 # reader feature — derivation shared with the changes form
-                from delta_sharing_spark.plans.log import (
-                    derive_wire_protocol,
-                )
-
                 proto_line = derive_wire_protocol(commit, prev_cm)
                 if proto_line is not None:
                     out.append((False, {"protocol": {

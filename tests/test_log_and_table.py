@@ -2897,13 +2897,14 @@ class TestClusteredCompaction:
         # idempotent: nothing interfering remains
         assert log.optimize(target_file_rows=250) == log.latest_version()
 
-    def test_undersized_fresh_never_exempt(self, spark, table_dir):
-        """The ZCube pick must not exempt UNDERSIZED fresh files even
-        when merge_small is off — tight small files would otherwise
-        accrete forever (review finding: thr=0 with merge_small=False
-        made every small file exemption-eligible)."""
-        from pyspark.sql import functions as F  # noqa: F401
-
+    def test_undersized_fresh_exemption_follows_merge_mode(self, spark,
+                                                           table_dir):
+        """Undersized fresh files and the ZCube pick: under merge_small
+        (maintenance mode) they ALWAYS re-enter so repeated passes merge
+        them — exempting would accrete one small file per cycle. Without
+        merge_small nothing merges anyway, so a 1:1 rewrite of a lone
+        tight small file is pure write amplification — tight small files
+        follow the overlap rule and stay put."""
         mk = lambda lo, hi: (  # noqa: E731
             spark.range(lo, hi).selectExpr("id AS k")
             .repartition(1).sortWithinPartitions("k"))
@@ -2913,12 +2914,21 @@ class TestClusteredCompaction:
         # two tiny DISJOINT fresh appends: tight envelopes, zero overlap
         log.append(mk(5000, 5020))
         log.append(mk(9000, 9020))
+        v_before = log.latest_version()
+        # merge_small=False: no merge is possible, a 1:1 rewrite would
+        # change nothing — the tight small files are left alone
+        assert log.zorder_incremental(["k"], target_file_rows=250,
+                                      merge_small=False) is None
+        assert log.latest_version() == v_before
+        # merge_small=True (optimize maintenance): they must merge
         v = log.zorder_incremental(["k"], target_file_rows=250,
-                                   merge_small=False)
+                                   merge_small=True)
         assert v is not None, \
-            "undersized tight fresh files were exempted (accretion)"
+            "undersized fresh files were exempted under merge_small"
         removed = {r.path for r in log.read_commit(v).removes}
         assert len(removed) == 2
+        adds = [a for a in log.read_commit(v).adds]
+        assert len(adds) == 1  # merged, not rewritten 1:1
 
     def test_stats_less_candidate_always_rewritten(self, spark,
                                                    table_dir):

@@ -467,6 +467,62 @@ class TestReaderFeatures:
         finally:
             srv.shutdown()
 
+    def test_range_crossing_enablement_gated_at_both_ends(self, spark,
+                                                          events,
+                                                          tmp_path):
+        """A version-range query crossing a feature-enablement commit
+        must be refused for undeclared clients (the start snapshot alone
+        would pass), while a range ENDING before the enablement stays
+        servable."""
+        from delta_sharing_spark.plans.log import TableLog as TL
+        from delta_sharing_spark.table import (
+            SharedTable,
+            UnsupportedTableFeatureError,
+        )
+
+        d = str(tmp_path / "t")
+        log = TL(spark, d)
+        log.create(events.limit(10), name="t")
+        log.append(events.limit(5))
+        log.enable_column_mapping()
+        log.append(events.limit(3).drop("props"))
+        t = SharedTable(spark, d)
+        rf = {"deletionvectors"}  # no columnmapping declared
+        with pytest.raises(UnsupportedTableFeatureError,
+                           match="columnMapping"):
+            t.query_actions(starting_version=0,
+                            response_formats={"delta"},
+                            reader_features=rf)
+        out = t.query_actions(starting_version=0, ending_version=1,
+                              response_formats={"delta"},
+                              reader_features=rf)
+        assert any("add" in ln for ln in out["actions"])
+
+    def test_refresh_token_pins_pre_enablement_version(self, spark,
+                                                       events, tmp_path):
+        """A refresh token issued before a feature enablement pins its
+        version: refreshing with it must re-serve the pinned snapshot,
+        not be refused against the now-feature-bearing latest."""
+        from delta_sharing_spark.plans.log import TableLog as TL
+        from delta_sharing_spark.table import SharedTable
+
+        d = str(tmp_path / "t")
+        log = TL(spark, d)
+        log.create(events.limit(10), name="t")
+        t = SharedTable(spark, d)
+        rf = {"deletionvectors"}
+        out = t.query_actions(include_refresh_token=True,
+                              response_formats={"delta"},
+                              reader_features=rf)
+        token = out["refreshToken"]
+        assert token
+        log.enable_column_mapping()
+        out2 = t.query_actions(refresh_token=token,
+                               response_formats={"delta"},
+                               reader_features=rf)
+        assert out2["version"] == out["version"]
+        assert any("file" in ln or "add" in ln for ln in out2["actions"])
+
     def test_timestamp_ntz_gated(self, spark, tmp_path):
         """A TIMESTAMP_NTZ column is a reader feature too: declared lists
         without timestampntz are refused, with it served."""

@@ -295,11 +295,16 @@ def main() -> None:
     # delta would then read 0 and the gate would pass vacuously).
 
     def vm_rss_kb() -> int:
+        # fail LOUDLY when the reading is unavailable — a silent 0 would
+        # make the gate pass vacuously, the exact failure mode this
+        # replaced in the ru_maxrss version
         with open("/proc/self/status") as f:
             for line in f:
                 if line.startswith("VmRSS:"):
                     return int(line.split()[1])
-        return 0
+        raise RuntimeError(
+            "VmRSS not found in /proc/self/status — cannot measure the "
+            "driver-memory gate on this platform")
 
     rss0_kb = vm_rss_kb()
     t0 = time.perf_counter()
