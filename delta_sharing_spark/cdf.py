@@ -295,6 +295,8 @@ def table_changes_actions(
     ending_timestamp: str | None = None,
     include_historical_metadata: bool = False,
     include_historical_protocol: bool = False,
+    max_files: int | None = None,
+    page_token: str | None = None,
 ) -> dict:
     """Wire-parity surface for the CDF endpoint (PROTOCOL.md:2352-2430):
     the NDJSON-shaped action stream with add/cdc/remove lines carrying
@@ -303,7 +305,22 @@ def table_changes_actions(
     ``includeHistoricalProtocol`` opt-in (delta-format responses only,
     like the range form; ref DeltaSharedTable.scala queryCDF:705,748-757)
     — historical ``protocol`` actions, with the head protocol stamped
-    with its version."""
+    with its version.
+
+    ``max_files`` + ``page_token`` page the FILE actions with the
+    reference's queryCDF pagination semantics (DeltaSharedTable.scala:
+    707-723,766-780): checksummed tokens bound to every query parameter,
+    the range END pinned at the first page so commits arriving
+    mid-pagination are ignored, non-file lines riding with the page
+    containing their neighbouring files, head protocol/metaData repeated
+    on every page."""
+    import base64
+    import hashlib
+    import json as _json
+    import time as _time
+
+    from delta_sharing_spark.table import PAGE_TOKEN_TTL_MS
+
     log = TableLog(spark, path)
     if not log.snapshot().metadata.cdf_enabled:
         raise CDFError("change data feed is not enabled on this table")
@@ -311,6 +328,27 @@ def table_changes_actions(
         log, starting_version, ending_version,
         starting_timestamp, ending_timestamp,
     )
+    checksum = hashlib.md5(_json.dumps({
+        "startingVersion": starting_version,
+        "endingVersion": ending_version,
+        "startingTimestamp": starting_timestamp,
+        "endingTimestamp": ending_timestamp,
+        "includeHistoricalMetadata": include_historical_metadata,
+        "includeHistoricalProtocol": include_historical_protocol,
+    }, sort_keys=True).encode()).hexdigest()[:16]
+    start_idx = 0
+    if page_token:
+        decoded = _json.loads(base64.urlsafe_b64decode(page_token))
+        if decoded.get("checksum", checksum) != checksum:
+            raise ValueError(
+                "page token bound to different query parameters")
+        if decoded.get("expiration",
+                       float("inf")) < _time.time() * 1000:
+            raise ValueError("page token expired")
+        start_idx = int(decoded.get("start", 0))
+        # pin the range end captured at the first page (ref token's
+        # endingVersion pinning)
+        end = min(int(decoded.get("end", end)), log.latest_version())
     # head metaData = the END-of-range snapshot's, matching table_changes
     # (delta-kernel TableChangesScanBuilder: compatibility is required
     # within [start, end] only — a schema change AFTER the range must not
@@ -344,26 +382,56 @@ def table_changes_actions(
 
         prev_cm = (log.snapshot(version=start).metadata.configuration
                    or {}).get("delta.columnMapping.mode") == "name"
+    seen, emitted = 0, 0
+    next_token = None
+    filled = False
+
+    def emit_file(line: dict) -> None:
+        """Page gate over FILE actions (the range form's semantics):
+        skip below start_idx, cut + token at max_files."""
+        nonlocal seen, emitted, next_token, filled
+        seen += 1
+        if seen <= start_idx or filled:
+            return
+        if max_files is not None and emitted >= max_files:
+            next_token = base64.urlsafe_b64encode(_json.dumps({
+                "start": seen - 1, "end": end, "checksum": checksum,
+                "expiration": int(_time.time() * 1000)
+                + PAGE_TOKEN_TTL_MS,
+            }).encode()).decode()
+            filled = True
+            return
+        emitted += 1
+        lines.append(line)
+
+    def emit_meta(line: dict) -> None:
+        # non-file lines ride with the page containing their
+        # neighbouring files — skipped before the page region and after
+        # the page filled, like the range form
+        if seen >= start_idx and not filled:
+            lines.append(line)
+
     for commit in log.commits(start, end):
+        if filled:
+            break
         if is_noop_merge(commit.info):
             continue
         if include_historical_metadata and commit.metadata is not None:
-            lines.append(
-                {"metaData": {**asdict(commit.metadata),
-                              "version": commit.version}})
+            emit_meta({"metaData": {**asdict(commit.metadata),
+                                    "version": commit.version}})
         if include_historical_protocol:
             if commit.version > start:
                 # derivation shared with the range form (plans/log.py)
                 proto_line = derive_wire_protocol(commit, prev_cm)
                 if proto_line is not None:
-                    lines.append({"protocol": {
+                    emit_meta({"protocol": {
                         **proto_line, "version": commit.version}})
             if commit.metadata is not None:
                 prev_cm = (commit.metadata.configuration or {}).get(
                     "delta.columnMapping.mode") == "name"
         if commit.cdc:
             for c in commit.cdc:
-                lines.append({"cdf": {
+                emit_file({"cdf": {
                     "url": log.abs_path(c.path), "id": c.path,
                     "partitionValues": c.partitionValues, "size": c.size,
                     "timestamp": commit.timestamp,
@@ -396,11 +464,11 @@ def table_changes_actions(
                         dv["pathOrInlineDv"] = log.abs_path(
                             dv["pathOrInlineDv"])
                     line["add"]["deletionVector"] = dv
-                lines.append(line)
+                emit_file(line)
             for r in commit.removes:
                 if not r.dataChange:
                     continue
-                lines.append({"remove": {
+                emit_file({"remove": {
                     "url": log.abs_path(r.path), "id": r.path,
                     "partitionValues": r.partitionValues, "size": r.size,
                     "timestamp": commit.timestamp,
@@ -408,4 +476,5 @@ def table_changes_actions(
     # wire parity: Delta-Table-Version on the changes RPC is the STARTING
     # version of the files in the response (PROTOCOL.md:2432-2436;
     # DeltaSharedTable.scala queryCDF returns QueryResult(start, ...))
-    return {"version": start, "actions": lines}
+    return {"version": start, "actions": lines,
+            "nextPageToken": next_token}

@@ -346,6 +346,8 @@ class DataSharingRestClient:
         include_historical_metadata: bool = False,
         include_end_stream_action: bool = False,
         include_historical_protocol: bool = False,
+        max_files: int | None = None,
+        page_token: str | None = None,
     ) -> list[dict]:
         params = []
         if starting_version is not None:
@@ -356,6 +358,10 @@ class DataSharingRestClient:
             params.append("includeHistoricalMetadata=true")
         if include_historical_protocol:
             params.append("includeHistoricalProtocol=true")
+        if max_files is not None:
+            params.append(f"maxFiles={max_files}")
+        if page_token is not None:
+            params.append("pageToken=" + urllib.parse.quote(page_token))
         if starting_timestamp is not None:
             params.append("startingTimestamp="
                           + urllib.parse.quote(starting_timestamp))

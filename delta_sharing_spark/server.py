@@ -565,6 +565,9 @@ class SharingServer:
             # declared feature lists are authoritative on the changes RPC
             # too (SnapshotChecker parity — see table_query)
             t._assert_reader_features(rf)
+        if params.get("maxFiles") is not None \
+                and int(params["maxFiles"]) <= 0:
+            return h._deny(400, "maxFiles must be positive.")
         out = table_changes_actions(
             t.spark, t.log.path,
             starting_version=(int(params["startingVersion"])
@@ -581,11 +584,17 @@ class SharingServer:
                 params.get("includeHistoricalProtocol", "false") == "true"
                 and "delta" in formats
                 and (bool(cm) or "parquet" not in formats)),
+            max_files=(int(params["maxFiles"])
+                       if params.get("maxFiles") is not None else None),
+            page_token=params.get("pageToken"),
         )
         lines = out["actions"]
         esa = self._include_end_stream_action(h)
-        if esa:
-            lines = lines + [{"endStreamAction": {}}]
+        if esa or out.get("nextPageToken"):
+            trailer: dict = {}
+            if out.get("nextPageToken"):
+                trailer["nextPageToken"] = out["nextPageToken"]
+            lines = lines + [{"endStreamAction": trailer}]
         delta = "delta" in formats and (cm or "parquet" not in formats)
         payload, extra = self._ndjson_payload(lines, delta)
         extra = self._merge_esa_header(extra, esa)

@@ -221,3 +221,110 @@ def test_delta_prefixed_cdf_property(spark, events, tmp_path):
     log.delete("event_id < 3")
     ch = table_changes(spark, d, starting_version=1)
     assert ch.filter("_change_type = 'delete'").count() == 3
+
+
+class TestCDFPagination:
+    """queryCDF pagination parity (DeltaSharedTable.scala:707-723,766-780):
+    checksummed tokens bound to the query parameters, the range end pinned
+    at the first page, concatenated pages identical to the unpaged
+    response, nextPageToken delivered in an endStreamAction trailer."""
+
+    @pytest.fixture()
+    def deep_cdf(self, spark, tmp_path):
+        from delta_sharing_spark.plans.log import TableLog
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.range(4).selectExpr("id AS k").coalesce(1),
+                   name="t",
+                   configuration={"enableChangeDataFeed": "true"})
+        for i in range(1, 5):
+            log.append(spark.range(i * 10, i * 10 + 2)
+                       .selectExpr("id AS k").coalesce(1))
+        return d, log
+
+    def _files(self, out):
+        return [ln for ln in out["actions"]
+                if any(k in ln for k in ("add", "cdf", "remove"))]
+
+    def test_pages_concatenate_to_full(self, spark, deep_cdf):
+        from delta_sharing_spark.cdf import table_changes_actions
+
+        d, _log = deep_cdf
+        full = table_changes_actions(spark, d, starting_version=0)
+        assert full["nextPageToken"] is None
+        pages, token = [], None
+        for _ in range(20):
+            out = table_changes_actions(spark, d, starting_version=0,
+                                        max_files=2, page_token=token)
+            pages += self._files(out)
+            token = out["nextPageToken"]
+            if token is None:
+                break
+        assert pages == self._files(full)
+        # head protocol/metaData repeat on every page
+        out = table_changes_actions(spark, d, starting_version=0,
+                                    max_files=2)
+        assert "protocol" in out["actions"][0]
+        assert "metaData" in out["actions"][1]
+
+    def test_token_bound_to_params(self, spark, deep_cdf):
+        from delta_sharing_spark.cdf import table_changes_actions
+
+        d, _log = deep_cdf
+        out = table_changes_actions(spark, d, starting_version=0,
+                                    max_files=1)
+        token = out["nextPageToken"]
+        with pytest.raises(ValueError, match="different query parameters"):
+            table_changes_actions(spark, d, starting_version=1,
+                                  max_files=1, page_token=token)
+
+    def test_end_pinned_across_pages(self, spark, deep_cdf):
+        from delta_sharing_spark.cdf import table_changes_actions
+
+        d, log = deep_cdf
+        out = table_changes_actions(spark, d, starting_version=0,
+                                    max_files=2)
+        token = out["nextPageToken"]
+        # a commit landing mid-pagination is ignored by later pages
+        log.append(spark.range(99, 101).selectExpr("id AS k").coalesce(1))
+        pages = self._files(out)
+        while token is not None:
+            out = table_changes_actions(spark, d, starting_version=0,
+                                        max_files=2, page_token=token)
+            pages += self._files(out)
+            token = out["nextPageToken"]
+        versions = {ln[k]["version"] for ln in pages
+                    for k in ("add", "cdf", "remove") if k in ln}
+        assert max(versions) == 4  # the mid-pagination commit (v5) absent
+        assert len(pages) == 5  # create + 4 appends, one file each
+
+    def test_paged_over_http_with_trailer(self, spark, deep_cdf,
+                                          tmp_path):
+        from delta_sharing_spark.auth import BearerTokenAuthProvider
+        from delta_sharing_spark.catalog import ShareCatalog
+        from delta_sharing_spark.rest import DataSharingRestClient
+        from delta_sharing_spark.server import SharingServer
+
+        d, _log = deep_cdf
+        cat = ShareCatalog(spark)
+        cat.add_table("s", "d", "t", d, cdf_enabled=True)
+        srv = SharingServer(cat, bearer_token="tok")
+        url = srv.serve_background()
+        try:
+            c = DataSharingRestClient(
+                url, auth_provider=BearerTokenAuthProvider("tok"))
+            lines = c.list_table_changes("s", "d", "t",
+                                         starting_version=0, max_files=3)
+            trailer = [ln for ln in lines if "endStreamAction" in ln]
+            assert trailer and trailer[0]["endStreamAction"][
+                "nextPageToken"]
+            n_page1 = sum(1 for ln in lines if "add" in ln)
+            assert n_page1 == 3
+            token = trailer[0]["endStreamAction"]["nextPageToken"]
+            rest = c.list_table_changes("s", "d", "t", starting_version=0,
+                                        max_files=10, page_token=token)
+            n_page2 = sum(1 for ln in rest if "add" in ln)
+            assert n_page1 + n_page2 == 5
+        finally:
+            srv.shutdown()
