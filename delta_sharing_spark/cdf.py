@@ -314,12 +314,11 @@ def table_changes_actions(
     mid-pagination are ignored, non-file lines riding with the page
     containing their neighbouring files, head protocol/metaData repeated
     on every page."""
-    import base64
-    import hashlib
-    import json as _json
-    import time as _time
-
-    from delta_sharing_spark.table import PAGE_TOKEN_TTL_MS
+    from delta_sharing_spark.table import (
+        decode_page_token,
+        mint_page_token,
+        page_checksum,
+    )
 
     log = TableLog(spark, path)
     if not log.snapshot().metadata.cdf_enabled:
@@ -328,23 +327,21 @@ def table_changes_actions(
         log, starting_version, ending_version,
         starting_timestamp, ending_timestamp,
     )
-    checksum = hashlib.md5(_json.dumps({
+    # shared token helpers (ONE checksum/mint/validate definition for the
+    # snapshot, range and changes forms); the table path binds the token
+    # to this table like the reference's tableConfig.id
+    checksum = page_checksum({
+        "path": path,
         "startingVersion": starting_version,
         "endingVersion": ending_version,
         "startingTimestamp": starting_timestamp,
         "endingTimestamp": ending_timestamp,
         "includeHistoricalMetadata": include_historical_metadata,
         "includeHistoricalProtocol": include_historical_protocol,
-    }, sort_keys=True).encode()).hexdigest()[:16]
+    })
     start_idx = 0
     if page_token:
-        decoded = _json.loads(base64.urlsafe_b64decode(page_token))
-        if decoded.get("checksum", checksum) != checksum:
-            raise ValueError(
-                "page token bound to different query parameters")
-        if decoded.get("expiration",
-                       float("inf")) < _time.time() * 1000:
-            raise ValueError("page token expired")
+        decoded = decode_page_token(page_token, checksum)
         start_idx = int(decoded.get("start", 0))
         # pin the range end captured at the first page (ref token's
         # endingVersion pinning)
@@ -394,26 +391,33 @@ def table_changes_actions(
         if seen <= start_idx or filled:
             return
         if max_files is not None and emitted >= max_files:
-            next_token = base64.urlsafe_b64encode(_json.dumps({
-                "start": seen - 1, "end": end, "checksum": checksum,
-                "expiration": int(_time.time() * 1000)
-                + PAGE_TOKEN_TTL_MS,
-            }).encode()).decode()
+            next_token = mint_page_token(
+                {"start": seen - 1, "end": end}, checksum)
             filled = True
             return
         emitted += 1
         lines.append(line)
 
     def emit_meta(line: dict) -> None:
-        # non-file lines ride with the page containing their
-        # neighbouring files — skipped before the page region and after
-        # the page filled, like the range form
-        if seen >= start_idx and not filled:
+        # non-file lines ride with the page containing their neighbouring
+        # files — skipped before the page region AND once the page is
+        # full (emitted >= max_files, even before the NEXT file sets
+        # `filled`): a boundary commit's metaData/protocol belongs to the
+        # page carrying its files, never duplicated across two pages
+        # (range-form rule, table.py)
+        if seen >= start_idx and not filled and not (
+                max_files is not None and emitted >= max_files):
             lines.append(line)
 
-    for commit in log.commits(start, end):
+    # version-by-version with early break: commits past the filled page
+    # are never read, so a page over a long backlog costs O(page) commit
+    # parses, not O(range) — the range form's cost shape
+    for v in log._list_versions():
+        if v < start or v > end:
+            continue
         if filled:
             break
+        commit = log.read_commit(v)
         if is_noop_merge(commit.info):
             continue
         if include_historical_metadata and commit.metadata is not None:

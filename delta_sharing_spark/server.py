@@ -590,7 +590,11 @@ class SharingServer:
         )
         lines = out["actions"]
         esa = self._include_end_stream_action(h)
-        if esa or out.get("nextPageToken"):
+        if esa or out.get("nextPageToken") \
+                or params.get("maxFiles") is not None:
+            # a paged walk's FINAL page also carries an (empty-token)
+            # trailer — without it a client cannot distinguish "last
+            # page" from a truncated response (range-form rule)
             trailer: dict = {}
             if out.get("nextPageToken"):
                 trailer["nextPageToken"] = out["nextPageToken"]

@@ -58,6 +58,46 @@ PRUNE_DRIVER_MAX_FILES = 10_000
 PAGE_TOKEN_TTL_MS = 3 * 24 * 3_600_000
 
 
+def page_checksum(params: "dict[str, Any]") -> str:
+    """md5 over the canonical JSON of every page-shaping query parameter —
+    INCLUDING the table identity — so a token replayed with different
+    parameters or against a different table is rejected rather than
+    silently serving a page of the wrong query (ref
+    QueryTablePageToken.expectedChecksum + tableConfig.id binding,
+    DeltaSharedTable.scala). ONE definition shared by the snapshot, range
+    and changes forms, so the three RPCs cannot drift."""
+    import hashlib
+
+    return hashlib.md5(json.dumps(
+        params, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+
+def mint_page_token(payload: "dict[str, Any]", checksum: str) -> str:
+    """Encode a page token: caller payload + checksum + TTL expiration
+    (ref queryTablePageTokenTtlMs = 3 days, ServerConfig.scala:94)."""
+    import base64
+    import time as _time
+
+    return base64.urlsafe_b64encode(json.dumps({
+        **payload, "checksum": checksum,
+        "expiration": int(_time.time() * 1000) + PAGE_TOKEN_TTL_MS,
+    }).encode()).decode()
+
+
+def decode_page_token(token: str, checksum: str) -> "dict[str, Any]":
+    """Decode + validate a page token against the current query's
+    checksum and the TTL; reference error-text parity."""
+    import base64
+    import time as _time
+
+    decoded = json.loads(base64.urlsafe_b64decode(token))
+    if decoded.get("checksum", checksum) != checksum:
+        raise ValueError("page token bound to different query parameters")
+    if decoded.get("expiration", float("inf")) < _time.time() * 1000:
+        raise ValueError("page token expired")
+    return decoded
+
+
 class UnsupportedTableFeatureError(ValueError):
     """The table requires reader features the requested response format
     cannot represent — e.g. a column-mapped table over the parquet profile,
@@ -705,41 +745,26 @@ class SharedTable:
                               limit_hint)
         )
         files = [f for f in snap.files if f.path in paths]
-        # the token additionally checksums every query parameter, so a page
-        # token replayed with different predicates/limit is rejected rather
-        # than silently returning a page of the wrong query
-        # (ref QueryTablePageToken.expectedChecksum, DeltaSharedTable.scala)
-        import hashlib
-
-        checksum = hashlib.md5(json.dumps({
+        # token checksums every query parameter + the table identity
+        # (shared helper — see page_checksum)
+        checksum = page_checksum({
+            "path": self.log.path,
             "predicateHints": predicate_hints,
             "jsonPredicateHints": json_predicate_hints,
             "limitHint": limit_hint,
             "timestamp": timestamp,
-        }, sort_keys=True, default=str).encode()).hexdigest()[:16]
+        })
         start = 0
         if page_token:
-            decoded = json.loads(base64.urlsafe_b64decode(page_token))
+            decoded = decode_page_token(page_token, checksum)
             if decoded.get("version") != snap.version:
                 raise ValueError("page token bound to a different version")
-            if decoded.get("checksum", checksum) != checksum:
-                raise ValueError(
-                    "page token bound to different query parameters")
-            # ref queryTablePageTokenTtlMs = 3 days (ServerConfig.scala:94)
-            if decoded.get("expiration", float("inf")) < _time.time() * 1000:
-                raise ValueError("page token expired")
             start = int(decoded.get("start", 0))
         end = len(files) if max_files is None else min(start + max_files, len(files))
         next_token = None
         if end < len(files):
-            next_token = base64.urlsafe_b64encode(
-                json.dumps({
-                    "version": snap.version, "start": end,
-                    "checksum": checksum,
-                    "expiration": int(_time.time() * 1000)
-                    + PAGE_TOKEN_TTL_MS,
-                }).encode()
-            ).decode()
+            next_token = mint_page_token(
+                {"version": snap.version, "start": end}, checksum)
         # column mapping needs reader protocol 2 (Delta protocol table);
         # plain tables stay at the reference's "fake" minReaderVersion 1
         # (DeltaSharedTableKernel.scala:193)
@@ -843,10 +868,6 @@ class SharedTable:
         neighbouring files. predicate/limit hints are ignored on this form
         (the reference's range path applies no pruning — every data change
         must reach a streaming consumer)."""
-        import base64
-        import hashlib
-        import time as _time
-
         formats = {f.strip().lower()
                    for f in (response_formats or {"parquet"})}
         latest = self.log.latest_version()
@@ -877,20 +898,16 @@ class SharedTable:
                 responded_format = "delta"
         emit_protocol = (include_historical_protocol
                          and responded_format == "delta")
-        checksum = hashlib.md5(json.dumps({
+        checksum = page_checksum({
+            "path": self.log.path,
             "startingVersion": starting_version,
             "endingVersion": ending_version,
             "includeHistoricalProtocol": include_historical_protocol,
-        }, sort_keys=True).encode()).hexdigest()[:16]
+        })
         start_idx = 0
         end = latest if ending_version is None else ending_version
         if page_token:
-            decoded = json.loads(base64.urlsafe_b64decode(page_token))
-            if decoded.get("checksum", checksum) != checksum:
-                raise ValueError(
-                    "page token bound to different query parameters")
-            if decoded.get("expiration", float("inf")) < _time.time() * 1000:
-                raise ValueError("page token expired")
+            decoded = decode_page_token(page_token, checksum)
             start_idx = int(decoded.get("start", 0))
             # pin the range end captured at the first page so commits
             # arriving mid-pagination are ignored (ref token's
@@ -990,12 +1007,8 @@ class SharedTable:
                     if seen <= start_idx:
                         continue
                     if max_files is not None and emitted >= max_files:
-                        next_token = base64.urlsafe_b64encode(json.dumps({
-                            "start": seen - 1, "end": end,
-                            "checksum": checksum,
-                            "expiration": int(_time.time() * 1000)
-                            + PAGE_TOKEN_TTL_MS,
-                        }).encode()).decode()
+                        next_token = mint_page_token(
+                            {"start": seen - 1, "end": end}, checksum)
                         done = True
                         break
                     emitted += 1

@@ -268,6 +268,66 @@ class TestCDFPagination:
         assert "protocol" in out["actions"][0]
         assert "metaData" in out["actions"][1]
 
+    def test_boundary_metadata_not_duplicated(self, spark, tmp_path):
+        """A historical metaData line sitting at a page boundary belongs
+        to the page carrying its neighbouring files — concatenated pages
+        must equal the unpaged response (review finding: the line was
+        emitted on the filled page AND re-emitted on the next)."""
+        from delta_sharing_spark.cdf import table_changes_actions
+        from delta_sharing_spark.plans.log import TableLog
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.range(2).selectExpr("id AS k").coalesce(1),
+                   name="t",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.append(spark.range(2, 4).selectExpr("id AS k").coalesce(1))
+        log.enable_column_mapping()  # v2: metadata-only commit
+        log.append(spark.range(4, 6).selectExpr("id AS k").coalesce(1))
+
+        def metas(out):
+            return [ln["metaData"].get("version") for ln in out["actions"]
+                    if "metaData" in ln][1:]  # drop the head line
+
+        full = table_changes_actions(spark, d, starting_version=0,
+                                     include_historical_metadata=True)
+        pages, token = [], None
+        while True:
+            out = table_changes_actions(
+                spark, d, starting_version=0,
+                include_historical_metadata=True,
+                max_files=2, page_token=token)
+            pages += metas(out)
+            token = out["nextPageToken"]
+            if token is None:
+                break
+        assert pages == metas(full), \
+            f"paged historical metaData {pages} != unpaged {metas(full)}"
+
+    def test_token_bound_to_table(self, spark, tmp_path):
+        """A page token minted for one table must not validate against
+        another table queried with the same parameters (the reference
+        binds tableConfig.id into the token checksum)."""
+        from delta_sharing_spark.cdf import table_changes_actions
+        from delta_sharing_spark.plans.log import TableLog
+
+        dirs = []
+        for name in ("a", "b"):
+            d = str(tmp_path / name)
+            log = TableLog(spark, d)
+            log.create(spark.range(4).selectExpr("id AS k").coalesce(1),
+                       name=name,
+                       configuration={"enableChangeDataFeed": "true"})
+            log.append(spark.range(4, 6).selectExpr("id AS k")
+                       .coalesce(1))
+            dirs.append(d)
+        out = table_changes_actions(spark, dirs[0], starting_version=0,
+                                    max_files=1)
+        with pytest.raises(ValueError, match="different query parameters"):
+            table_changes_actions(spark, dirs[1], starting_version=0,
+                                  max_files=1,
+                                  page_token=out["nextPageToken"])
+
     def test_token_bound_to_params(self, spark, deep_cdf):
         from delta_sharing_spark.cdf import table_changes_actions
 
