@@ -346,11 +346,15 @@ def table_changes_actions(
         # pin the range end captured at the first page (ref token's
         # endingVersion pinning)
         end = min(int(decoded.get("end", end)), log.latest_version())
-    # head metaData = the END-of-range snapshot's, matching table_changes
-    # (delta-kernel TableChangesScanBuilder: compatibility is required
-    # within [start, end] only — a schema change AFTER the range must not
-    # change, or fail, a servable historical range)
-    snap = log.snapshot(version=end)
+    # head metaData: the range-START snapshot's when historical metaData
+    # is requested (in-range schema changes then arrive as historical
+    # lines), else the LATEST snapshot's — reference semantics
+    # (DeltaSharedTable.scala:735-739: snapshot(Some(start)) iff
+    # includeHistoricalMetadata, else latest). Reference clients seed the
+    # CDF read schema from this line, so serving the end-of-range schema
+    # as head would mis-decode early-range files for a streaming client.
+    snap = (log.snapshot(version=start) if include_historical_metadata
+            else log.snapshot())
     from dataclasses import asdict
 
     # head protocol mirrors the end snapshot's reader requirement (the
@@ -400,14 +404,25 @@ def table_changes_actions(
 
     def emit_meta(line: dict) -> None:
         # non-file lines ride with the page containing their neighbouring
-        # files — skipped before the page region AND once the page is
-        # full (emitted >= max_files, even before the NEXT file sets
-        # `filled`): a boundary commit's metaData/protocol belongs to the
-        # page carrying its files, never duplicated across two pages
-        # (range-form rule, table.py)
-        if seen >= start_idx and not filled and not (
-                max_files is not None and emitted >= max_files):
-            lines.append(line)
+        # files — skipped before the page region; once the page is full
+        # (emitted >= max_files) a non-file line belongs to the NEXT page,
+        # so mint the continuation token immediately: an exactly-full
+        # final page followed only by metadata-only commits must still
+        # hand the client a next page carrying those lines (the reference
+        # cuts pages on file actions only and never drops Protocol/
+        # Metadata — DeltaSharedTable.scala queryCDF). The token's start
+        # equals `seen` (all files so far), so the resumed page skips the
+        # already-served files and re-reaches this line — a boundary
+        # commit's metaData/protocol still lands on exactly one page.
+        nonlocal next_token, filled
+        if seen < start_idx or filled:
+            return
+        if max_files is not None and emitted >= max_files:
+            next_token = mint_page_token(
+                {"start": seen, "end": end}, checksum)
+            filled = True
+            return
+        lines.append(line)
 
     # version-by-version with early break: commits past the filled page
     # are never read, so a page over a long backlog costs O(page) commit

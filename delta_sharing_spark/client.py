@@ -435,16 +435,19 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list,
     Schema epochs: a historical ``metaData`` line
     (``includeHistoricalMetadata``) starts a new epoch — files after it
     were written under ITS (physical) schema and are read with it
-    explicitly, then converted to the head (end-of-range) logical schema:
-    rename via stable physical names, widening casts, null-fill columns
-    added later, drop columns removed later. Files before the first
-    historical metaData read under the head's physical schema (the wire
-    does not carry the range-start metadata; physical names are immutable
-    and Spark-4 parquet scans widen int→long/float→double, so this is
-    lossless for every read-compatible history). A non-widening change
-    raises — the in-process ``table_changes`` parity. Accepts both the
-    parquet-profile shape and the delta format the server forces for
-    column-mapped tables.
+    explicitly, then converted to the END-OF-RANGE logical schema (the
+    LAST metaData line's — see target below): rename via stable physical
+    names, widening casts, null-fill columns added later, drop columns
+    removed later. Files before the first historical metaData read under
+    the head's physical schema — under includeHistoricalMetadata the head
+    IS the range-start snapshot's metaData (ref
+    DeltaSharedTable.scala:735-739), so that is exactly their write-time
+    schema; on plain responses the head is the latest snapshot's and the
+    scan relies on immutable physical names plus Spark-4 parquet widening
+    (int→long/float→double), lossless for every read-compatible history.
+    A non-widening change raises — the in-process ``table_changes``
+    parity. Accepts both the parquet-profile shape and the delta format
+    the server forces for column-mapped tables.
 
     ``row_ids=True`` (requires a row-tracked table) appends
     ``_row_id`` / ``_row_commit_version`` to INSERT rows, reconstructed
@@ -478,20 +481,28 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list,
                     "delta.columnMapping.mode") == "name")
 
     head: tuple[T.StructType, bool] | None = None
-    head_config: dict = {}
+    # conversion TARGET = the LAST metaData line's schema — the
+    # end-of-range snapshot's, whichever head the server chose: under
+    # includeHistoricalMetadata the head is the range-START snapshot's
+    # (ref DeltaSharedTable.scala:735-739) and every in-range change
+    # arrives as a historical line, so the last line IS the end-of-range
+    # schema; without historical lines the head (latest) is also the
+    # last. Keeping the target at end-of-range matches the in-process
+    # table_changes output (renamed columns under their final name,
+    # widened types at their final width).
+    target_config: dict = {}
+    target: tuple[T.StructType, bool] | None = None
     # epochs: list of (epoch_schema, cm, {"add": [...], ...})
     epochs: list[tuple[T.StructType, bool, dict[str, list[dict]]]] = []
     for line in lines:
         if "metaData" in line and "schemaString" in line["metaData"]:
             schema_cm = parse_meta(line["metaData"])
             if head is None:
-                head = schema_cm  # head = the range-end snapshot's
-                head_config = line["metaData"].get("configuration") or {}
-                epochs.append((*schema_cm, {"add": [], "cdf": [],
-                                            "remove": []}))
-            else:
-                epochs.append((*schema_cm, {"add": [], "cdf": [],
-                                            "remove": []}))
+                head = schema_cm
+            target = schema_cm
+            target_config = line["metaData"].get("configuration") or {}
+            epochs.append((*schema_cm, {"add": [], "cdf": [],
+                                        "remove": []}))
             continue
         for kind in ("add", "cdf", "remove"):
             if kind in line:
@@ -499,10 +510,10 @@ def _changes_lines_to_spark(spark: SparkSession, lines: list,
                     raise ValueError(
                         "changes response lacks a metaData line")
                 epochs[-1][2][kind].append(line[kind])
-    if head is None:
+    if head is None or target is None:
         raise ValueError("changes response lacks a metaData line")
-    schema, cm = head
-    mat_id, mat_ver = _row_tracking_cols(head_config)
+    schema, cm = target
+    mat_id, mat_ver = _row_tracking_cols(target_config)
     if row_ids:
         _check_base_row_ids(
             [(a.get("url"), a.get("baseRowId"))

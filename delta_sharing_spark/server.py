@@ -546,13 +546,33 @@ class SharingServer:
                    extra_headers=extra)
 
     def table_changes(self, h, share, schema, table, params, body) -> None:
+        from delta_sharing_spark.cdf import _resolve_range
+
         t = self._table(share, schema, table)
+        # resolve the CDF range FIRST so the feature gates below run
+        # against the snapshots this request actually serves — a
+        # historical pre-enablement range stays servable to clients that
+        # never declared a feature enabled only after it (consistent with
+        # the query route, which gates the resolved/range-endpoint
+        # snapshots). Resolution errors surface through the dispatcher's
+        # CDFError->400 mapping, same as the serving call would.
+        c_start, c_end = _resolve_range(
+            t.log,
+            (int(params["startingVersion"])
+             if "startingVersion" in params else None),
+            (int(params["endingVersion"])
+             if "endingVersion" in params else None),
+            params.get("startingTimestamp"),
+            params.get("endingTimestamp"),
+        )
         # same reader-feature gate as the query route: a column-mapped
         # table's change files carry physical names an external
         # parquet-profile client cannot decode (kernel gating,
-        # DeltaSharedTableKernel.scala:567-585)
+        # DeltaSharedTableKernel.scala:567-585). Column mapping is never
+        # disabled, so the range-END snapshot bounds the range.
         formats = self._response_formats(h)
-        cm = t.log.snapshot().column_mapping
+        end_snap = t.log.snapshot(version=c_end)
+        cm = end_snap.column_mapping
         if cm and "delta" not in formats:
             return h._deny(
                 400,
@@ -563,8 +583,11 @@ class SharingServer:
         rf = self._reader_features(h)
         if rf is not None:
             # declared feature lists are authoritative on the changes RPC
-            # too (SnapshotChecker parity — see table_query)
-            t._assert_reader_features(rf)
+            # too (SnapshotChecker parity — see table_query); assert BOTH
+            # range endpoints, like the version-range query form: features
+            # only turn on going forward, so the endpoints bound the range
+            t._assert_reader_features(rf, t.log.snapshot(version=c_start))
+            t._assert_reader_features(rf, end_snap)
         if params.get("maxFiles") is not None \
                 and int(params["maxFiles"]) <= 0:
             return h._deny(400, "maxFiles must be positive.")

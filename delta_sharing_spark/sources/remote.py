@@ -332,9 +332,11 @@ class RemoteTableLog:
                 if first_meta:
                     first_meta = False
                     if self.read_change_feed:
-                        # the changes head metaData is the latest snapshot's
-                        # — in-range schema changes arrive as historical
-                        # metaData lines (includeHistoricalMetadata)
+                        # the changes head metaData is the range-START
+                        # snapshot's (we request includeHistoricalMetadata,
+                        # ref DeltaSharedTable.scala:735-739) — in-range
+                        # schema changes, including the start version's own
+                        # metaData, arrive as historical metaData lines
                         continue
                     # range head metaData = the snapshot AT the window
                     # start; attaching it there re-runs the compat gate at

@@ -1012,9 +1012,18 @@ class SharedTable:
                         done = True
                         break
                     emitted += 1
-                elif seen < start_idx or (
-                        max_files is not None and emitted >= max_files):
+                elif seen < start_idx:
                     continue
+                elif max_files is not None and emitted >= max_files:
+                    # page full: this non-file line belongs to the NEXT
+                    # page — mint the continuation token now, so trailing
+                    # metadata-only commits after an exactly-full final
+                    # page are never dropped (the reference cuts pages on
+                    # file actions only and never drops Protocol/Metadata)
+                    next_token = mint_page_token(
+                        {"start": seen, "end": end}, checksum)
+                    done = True
+                    break
                 body.append(line)
             if done:
                 break

@@ -203,8 +203,39 @@ class TestCDFActions:
                                     include_historical_metadata=True)
         metas = [line["metaData"] for line in out["actions"]
                  if "metaData" in line]
-        assert len(metas) == 2  # current + v0 historical
+        assert len(metas) == 2  # head (start snapshot) + v0 historical
         assert metas[1]["version"] == 0
+
+    def test_head_metadata_snapshot_choice(self, spark, tmp_path):
+        """Reference semantics (DeltaSharedTable.scala:735-739): the head
+        metaData of the changes RPC is the range-START snapshot's when
+        includeHistoricalMetadata=true (clients seed the CDF read schema
+        from it; in-range changes arrive as historical lines), else the
+        LATEST snapshot's — never the end-of-range snapshot's."""
+        from delta_sharing_spark.cdf import table_changes_actions
+        from delta_sharing_spark.plans.log import TableLog
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.range(2).selectExpr("id AS k").coalesce(1),
+                   name="t",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.append(spark.range(2, 4).selectExpr("id AS k").coalesce(1))
+        log.enable_column_mapping()  # v2: metadata commit
+        log.append(spark.range(4, 6).selectExpr("id AS k").coalesce(1))
+
+        def head_meta(out):
+            return next(ln["metaData"] for ln in out["actions"]
+                        if "metaData" in ln)
+
+        latest_v = log.latest_version()
+        out = table_changes_actions(spark, d, starting_version=0,
+                                    ending_version=1)
+        assert head_meta(out)["version"] == latest_v
+        out = table_changes_actions(spark, d, starting_version=0,
+                                    ending_version=1,
+                                    include_historical_metadata=True)
+        assert head_meta(out)["version"] == 0
 
 
 def test_delta_prefixed_cdf_property(spark, events, tmp_path):
@@ -301,6 +332,49 @@ class TestCDFPagination:
             token = out["nextPageToken"]
             if token is None:
                 break
+        assert pages == metas(full), \
+            f"paged historical metaData {pages} != unpaged {metas(full)}"
+
+    def test_trailing_metadata_after_exactly_full_page(self, spark,
+                                                       tmp_path):
+        """An exactly-full page followed only by metadata-only commits
+        must still mint a continuation token so the trailing historical
+        metaData reaches the client on the next page (advice finding:
+        emit_meta skipped them once emitted >= max_files, but no token was
+        ever minted — paged walks silently missed a schema-change
+        commit)."""
+        from delta_sharing_spark.cdf import table_changes_actions
+        from delta_sharing_spark.plans.log import TableLog
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.range(2).selectExpr("id AS k").coalesce(1),
+                   name="t",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.append(spark.range(2, 4).selectExpr("id AS k").coalesce(1))
+        log.enable_column_mapping()  # v2: trailing metadata-only commit
+
+        def metas(out):
+            return [ln["metaData"].get("version") for ln in out["actions"]
+                    if "metaData" in ln][1:]  # drop the head line
+
+        full = table_changes_actions(spark, d, starting_version=0,
+                                     include_historical_metadata=True)
+        pages, files, token = [], 0, None
+        for _ in range(10):
+            out = table_changes_actions(
+                spark, d, starting_version=0,
+                include_historical_metadata=True,
+                max_files=2,  # v0+v1 write exactly 2 files -> full page
+                page_token=token)
+            pages += metas(out)
+            files += sum(1 for ln in out["actions"]
+                         if any(k in ln for k in ("add", "cdf", "remove")))
+            token = out["nextPageToken"]
+            if token is None:
+                break
+        assert token is None
+        assert files == 2
         assert pages == metas(full), \
             f"paged historical metaData {pages} != unpaged {metas(full)}"
 

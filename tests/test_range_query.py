@@ -98,6 +98,41 @@ class TestRangeQueryActions:
                 _files(table.query_actions(starting_version=0))]
         assert seen == full and pages == len(full)
 
+    def test_trailing_metadata_after_exactly_full_page(self, spark,
+                                                       tmp_path):
+        """Range-form twin of the changes-RPC advice finding: when the
+        final page is exactly full and the range ends in metadata-only
+        commits, a continuation token must still be minted so the
+        trailing historical metaData lines reach the client."""
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.range(2).selectExpr("id AS k").coalesce(1),
+                   name="t")
+        log.append(spark.range(2, 4).selectExpr("id AS k").coalesce(1))
+        log.enable_column_mapping()  # v2: trailing metadata-only commit
+        t = SharedTable(spark, d)
+
+        def metas(out):
+            return [ln["metaData"].get("version") for ln in out["actions"]
+                    if "metaData" in ln][1:]  # drop the head line
+
+        full = t.query_actions(starting_version=0,
+                               response_formats={"delta"})
+        pages, files, token = [], 0, None
+        for _ in range(10):
+            out = t.query_actions(starting_version=0, max_files=2,
+                                  page_token=token,
+                                  response_formats={"delta"})
+            pages += metas(out)
+            files += len(_files(out))
+            token = out["nextPageToken"]
+            if token is None:
+                break
+        assert token is None
+        assert files == 2
+        assert pages == metas(full), \
+            f"paged historical metaData {pages} != unpaged {metas(full)}"
+
     def test_page_token_checksum_binds_params(self, table):
         out = table.query_actions(starting_version=0, max_files=1)
         tok = out["nextPageToken"]

@@ -539,10 +539,13 @@ class TestRowIdsOverChangesAndRange:
 
     def test_historical_range_uses_end_of_range_metadata(
             self, spark, table_dir):
-        """The changes wire form's head metaData is the END-of-range
-        snapshot's, not the latest: a schema change AFTER a historical
-        range must not leak into (or fail) the range's rebuild, and the
-        row_ids=True leg must type-match the row_ids=False leg."""
+        """A schema change AFTER a historical range must not leak into
+        (or fail) the range's rebuild: with includeHistoricalMetadata —
+        which every engine client path requests — the head metaData is
+        the range-START snapshot's (ref DeltaSharedTable.scala:735-739)
+        and the rebuild's conversion target is the LAST metaData line's
+        (end-of-range), so the row_ids=True leg type-matches the
+        row_ids=False ``table_changes`` leg."""
         from delta_sharing_spark.cdf import (
             table_changes,
             table_changes_actions,
@@ -569,9 +572,11 @@ class TestRowIdsOverChangesAndRange:
                     for f in batch.schema.fields)["v"] == "int"
         # the wire form + row_ids rebuild must match, not reflect the
         # later widen/rename (pre-fix: head metaData was the LATEST
-        # snapshot's, so this leg returned column 'w' typed long)
+        # snapshot's, so this leg returned column 'w' typed long);
+        # include_historical_metadata mirrors load_table_changes_as_spark
         out = table_changes_actions(spark, table_dir,
-                                    starting_version=0, ending_version=1)
+                                    starting_version=0, ending_version=1,
+                                    include_historical_metadata=True)
         rebuilt = _changes_lines_to_spark(spark, out["actions"],
                                           row_ids=True)
         got = dict((f.name, f.dataType.simpleString())

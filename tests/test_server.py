@@ -498,6 +498,45 @@ class TestReaderFeatures:
                               reader_features=rf)
         assert any("add" in ln for ln in out["actions"])
 
+    def test_changes_gate_asserts_range_not_latest(self, spark, events,
+                                                   tmp_path):
+        """The changes RPC's feature gates run against the RESOLVED range
+        endpoints, not the latest snapshot (advice finding): a historical
+        pre-enablement range stays servable to a client that never
+        declared a feature enabled only after the range, while a range
+        crossing the enablement is refused."""
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.limit(10), name="t",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.append(events.limit(5))        # v1
+        log.enable_column_mapping()        # v2: feature enablement
+        cat = ShareCatalog(spark)
+        cat.add_table("s", "d", "t", d, cdf_enabled=True)
+        srv = SharingServer(cat, bearer_token="secret-token")
+        url = srv.serve_background()
+        try:
+            def changes(qs):
+                req = urllib.request.Request(
+                    f"{url}/shares/s/schemas/d/tables/t/changes?{qs}")
+                req.add_header("Authorization", "Bearer secret-token")
+                req.add_header("delta-sharing-capabilities",
+                               "responseformat=delta,parquet;"
+                               "readerfeatures=deletionvectors")
+                with urllib.request.urlopen(req) as resp:
+                    return resp.status
+
+            # pre-enablement range: servable despite CM on latest
+            assert changes("startingVersion=0&endingVersion=1") == 200
+            # range crossing the enablement: refused for the
+            # no-columnmapping declaration
+            with pytest.raises(urllib.error.HTTPError) as e:
+                changes("startingVersion=0&endingVersion=2")
+            assert e.value.code == 400
+            assert "columnMapping" in e.value.read().decode()
+        finally:
+            srv.shutdown()
+
     def test_refresh_token_pins_pre_enablement_version(self, spark,
                                                        events, tmp_path):
         """A refresh token issued before a feature enablement pins its
