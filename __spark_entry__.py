@@ -39,8 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round's new queries; the full local sweep
 # (tools/check_correctness.py) remains the complete gate over all entries.
 _DRIVER_PRIORITY = [
-    "q12_late_shipments",
     # new this round (appended as they land)
+    "eng_rest_strict_features",
+    # last round's additions, re-fronted once for a second green row
     "stream_remote_row_tracking_cdf",
     "q_bm25_topk",
     "q_split_stratified",

@@ -123,6 +123,19 @@ def main() -> None:
             except Exception:
                 pass
 
+    def loadavg() -> list[float]:
+        # host load snapshot: external-to-container load has inflated
+        # per-query wall times 2-6x across same-day runs with idle local
+        # CPUs (SCALE.md round-8 section) — recording it makes that drift
+        # adjudicable from the bench artifact alone
+        try:
+            with open("/proc/loadavg") as f:
+                return [float(x) for x in f.read().split()[:3]]
+        except (OSError, ValueError):
+            return []
+
+    load_before = loadavg()
+
     # best-of-3 per query: single-run sub-second timings carry ±30% noise
     # that can mask (or fake) real plan regressions; min-of-N isolates the
     # plan cost from scheduler/GC jitter
@@ -172,6 +185,8 @@ def main() -> None:
                 "control_query": "plain_snapshot_full",
                 "control_sec": control,
                 "normalized": normalized,
+                "loadavg_before": load_before,
+                "loadavg_after": loadavg(),
                 "sf": sf,
             }
         )

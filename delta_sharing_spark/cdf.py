@@ -340,12 +340,14 @@ def table_changes_actions(
         "includeHistoricalProtocol": include_historical_protocol,
     })
     start_idx = 0
+    resume: dict | None = None
     if page_token:
         decoded = decode_page_token(page_token, checksum)
         start_idx = int(decoded.get("start", 0))
         # pin the range end captured at the first page (ref token's
         # endingVersion pinning)
         end = min(int(decoded.get("end", end)), log.latest_version())
+        resume = decoded
     # head metaData: the range-START snapshot's when historical metaData
     # is requested (in-range schema changes then arrive as historical
     # lines), else the LATEST snapshot's — reference semantics
@@ -386,6 +388,28 @@ def table_changes_actions(
     seen, emitted = 0, 0
     next_token = None
     filled = False
+    # resume-version bookkeeping: tokens carry (version, files-seen-
+    # before-it, prev_cm-at-its-start) alongside the global offset, so a
+    # deep page skips straight to its commit instead of parsing O(offset)
+    # commits just to count file actions — the reference's tokens pair
+    # version + startingActionIndex the same way
+    # (DeltaSharedTable.scala:606,777)
+    cur_v = start
+    commit_base = 0
+    commit_pcm = prev_cm
+    resume_v: int | None = None
+    if resume is not None and resume.get("v") is not None:
+        resume_v = int(resume["v"])
+        seen = commit_base = int(resume.get("vbase", 0))
+        if include_historical_protocol and "pcm" in resume:
+            prev_cm = commit_pcm = bool(resume["pcm"])
+
+    def _mint(start_pos: int) -> str:
+        payload: dict = {"start": start_pos, "end": end, "v": cur_v,
+                         "vbase": commit_base}
+        if include_historical_protocol:
+            payload["pcm"] = commit_pcm
+        return mint_page_token(payload, checksum)
 
     def emit_file(line: dict) -> None:
         """Page gate over FILE actions (the range form's semantics):
@@ -395,8 +419,7 @@ def table_changes_actions(
         if seen <= start_idx or filled:
             return
         if max_files is not None and emitted >= max_files:
-            next_token = mint_page_token(
-                {"start": seen - 1, "end": end}, checksum)
+            next_token = _mint(seen - 1)
             filled = True
             return
         emitted += 1
@@ -418,21 +441,26 @@ def table_changes_actions(
         if seen < start_idx or filled:
             return
         if max_files is not None and emitted >= max_files:
-            next_token = mint_page_token(
-                {"start": seen, "end": end}, checksum)
+            next_token = _mint(seen)
             filled = True
             return
         lines.append(line)
 
-    # version-by-version with early break: commits past the filled page
-    # are never read, so a page over a long backlog costs O(page) commit
-    # parses, not O(range) — the range form's cost shape
+    # version-by-version with early break AND resume-version skip:
+    # commits past the filled page are never read, and commits before the
+    # token's resume version are never re-parsed — a page at any depth of
+    # a long backlog costs O(page) commit parses, not O(offset)
     for v in log._list_versions():
         if v < start or v > end:
+            continue
+        if resume_v is not None and v < resume_v:
             continue
         if filled:
             break
         commit = log.read_commit(v)
+        cur_v = v
+        commit_base = seen
+        commit_pcm = prev_cm
         if is_noop_merge(commit.info):
             continue
         if include_historical_metadata and commit.metadata is not None:

@@ -405,16 +405,47 @@ MAT_ROW_VER_DEFAULT = "_row_commit_version_mat"
 
 
 class Snapshot:
-    """Resolved state of the table at one version: metadata + active files."""
+    """Resolved state of the table at one version: metadata + active files.
+
+    ``files`` is LAZY when resolved from a checkpoint: cold snapshot
+    resolution parses only the table-wide state (metadata / txns /
+    domains) plus the commit tail, never the O(files) add actions — the
+    reference's kernel server likewise streams actions without full
+    materialization (server/.../kernel/DeltaSharedTableKernel.scala:
+    293-297,446-449) and the Spark client keeps files in a
+    ``Dataset[AddFile]`` (client/.../spark/RemoteDeltaLog.scala:355-359).
+    The first ``.files`` access materializes (and memoizes) the list for
+    callers that genuinely need it (write paths, maintenance); the wire /
+    prune / count paths go through ``TableLog.files_df`` +
+    ``file_counts`` and never trigger it."""
 
     def __init__(self, version: int, timestamp: int, metadata: Metadata,
-                 files: list[AddFile],
+                 files: "list[AddFile] | None",
                  transactions: dict[str, int] | None = None,
-                 domain_metadata: dict[str, str] | None = None):
+                 domain_metadata: dict[str, str] | None = None,
+                 files_provider=None,
+                 num_files_hint: int | None = None):
         self.version = version
         self.timestamp = timestamp
         self.metadata = metadata
-        self.files = files
+        self._files = files
+        self._files_provider = files_provider
+        if files is None and files_provider is None:
+            raise ValueError("Snapshot needs files or a files_provider")
+        # UPPER BOUND on len(files) for lazy snapshots (checkpoint row
+        # count + tail adds): threshold decisions only, never served
+        self.num_files_hint = (num_files_hint if files is None
+                               else len(files))
+        # lazy-manifest bookkeeping, set by TableLog.snapshot(): the
+        # checkpoint this snapshot seeds from plus the REPLAYED tail state
+        # (paths touched after the checkpoint; surviving tail adds with
+        # version/timestamp/row-tracking stamps) — lets files_df build
+        # the manifest without materializing .files
+        self.cp_version: int | None = None
+        self.tail_adds: dict[str, AddFile] = {}
+        self.tail_changed: set[str] = set()
+        # memoized (num_files, total_size) — see TableLog.file_counts
+        self._counts: tuple[int, int] | None = None
         # latest streaming-writer epoch per txnAppId (Delta's SetTransaction
         # state): replayed into the snapshot and persisted in checkpoints so
         # sink idempotency checks are O(1), not O(commit history)
@@ -422,6 +453,24 @@ class Snapshot:
         # domain -> configuration JSON (Delta domainMetadata state:
         # last-writer-wins per domain, removed domains absent)
         self.domain_metadata = domain_metadata or {}
+
+    @property
+    def files(self) -> list[AddFile]:
+        if self._files is None:
+            self._files = self._files_provider()
+            self._files_provider = None
+            self.num_files_hint = len(self._files)
+        return self._files
+
+    @files.setter
+    def files(self, value: list[AddFile]) -> None:
+        self._files = value
+        self._files_provider = None
+        self.num_files_hint = len(value)
+
+    @property
+    def files_materialized(self) -> bool:
+        return self._files is not None
 
     @property
     def schema(self) -> T.StructType:
@@ -645,30 +694,41 @@ class TableLog:
         # incremental replay: seed from the nearest cached earlier snapshot
         # or the newest on-disk checkpoint, whichever is later, and apply
         # only the commit tail — resolution costs O(commits since
-        # checkpoint), not O(all commits)
+        # checkpoint), not O(all commits). The checkpoint's O(files) add
+        # actions are NOT parsed here: the tail replay records its file
+        # ops and .files materializes lazily (checkpoint adds + tail ops)
+        # only for callers that need the full list.
         metadata: Metadata | None = None
-        active: dict[str, AddFile] = {}
         txns: dict[str, int] = {}
         domains: dict[str, str] = {}
         ts = 0
         start = 0
+        base: Snapshot | None = None
+        cp_seed: int | None = None
+        cp_rows = 0
         base_version = max(
             (v for v in self._snap_cache if v < version), default=None
         )
         cp_version = self._latest_checkpoint(at_or_before=version)
         if cp_version is not None and (base_version is None
                                        or cp_version > base_version):
-            metadata, active, ts, txns, domains = \
-                self._read_checkpoint(cp_version)
+            metadata, ts, txns, domains, cp_rows = \
+                self._read_checkpoint_light(cp_version)
+            cp_seed = cp_version
             start = cp_version + 1
         elif base_version is not None:
             base = self._snap_cache[base_version]
             metadata = base.metadata
             ts = base.timestamp
-            active = {f.path: f for f in base.files}
             txns = dict(base.transactions)
             domains = dict(base.domain_metadata)
             start = base_version + 1
+        # tail replay state: ops in log order (materialization replays
+        # them over the base), plus the surviving-adds/changed-paths
+        # bookkeeping files_df uses to build manifests without .files
+        tail_ops: list[tuple[str, "str | AddFile"]] = []
+        tail_adds: dict[str, AddFile] = {}
+        tail_changed: set[str] = set()
         for commit in self.commits(start, version):
             if commit.metadata is not None:
                 metadata = commit.metadata
@@ -683,13 +743,17 @@ class TableLog:
             rt = metadata is not None and metadata.configuration.get(
                 ROW_TRACKING_KEY, "").lower() == "true"
             for rm in commit.removes:
-                active.pop(rm.path, None)
+                tail_ops.append(("rm", rm.path))
+                tail_adds.pop(rm.path, None)
+                tail_changed.add(rm.path)
             for add in commit.adds:
                 add.version = commit.version
                 add.timestamp = commit.timestamp
                 if rt and add.defaultRowCommitVersion is None:
                     add.defaultRowCommitVersion = commit.version
-                active[add.path] = add
+                tail_ops.append(("add", add))
+                tail_adds[add.path] = add
+                tail_changed.add(add.path)
             params = (commit.info.operationParameters or {}) \
                 if commit.info else {}
             app_id = params.get("queryId")
@@ -706,9 +770,51 @@ class TableLog:
             ts = commit.timestamp
         if metadata is None:
             raise TableNotFoundError(f"no metadata through version {version}")
-        files = sorted(active.values(), key=lambda a: a.path)
-        snap = Snapshot(version, ts, metadata, files, transactions=txns,
-                        domain_metadata=domains)
+
+        def _apply_tail(active: dict[str, AddFile]) -> list[AddFile]:
+            for op, x in tail_ops:
+                if op == "rm":
+                    active.pop(x, None)
+                else:
+                    active[x.path] = x
+            return sorted(active.values(), key=lambda a: a.path)
+
+        if cp_seed is not None:
+            def provider(log=self, cp=cp_seed):
+                return _apply_tail(log._read_checkpoint_adds(cp))
+
+            snap = Snapshot(version, ts, metadata, None,
+                            transactions=txns, domain_metadata=domains,
+                            files_provider=provider,
+                            num_files_hint=cp_rows + len(tail_adds))
+            snap.cp_version = cp_seed
+            snap.tail_adds = tail_adds
+            snap.tail_changed = tail_changed
+        elif base is not None and not base.files_materialized:
+            # compose over the lazy base without materializing it; the
+            # tail bookkeeping stays relative to the base's checkpoint
+            def provider(b=base):
+                return _apply_tail({f.path: f for f in b.files})
+
+            merged_adds = dict(base.tail_adds)
+            for op, x in tail_ops:
+                if op == "rm":
+                    merged_adds.pop(x, None)
+                else:
+                    merged_adds[x.path] = x
+            snap = Snapshot(version, ts, metadata, None,
+                            transactions=txns, domain_metadata=domains,
+                            files_provider=provider,
+                            num_files_hint=(base.num_files_hint or 0)
+                            + len(tail_adds))
+            snap.cp_version = base.cp_version
+            snap.tail_adds = merged_adds
+            snap.tail_changed = base.tail_changed | tail_changed
+        else:
+            seed = ({f.path: f for f in base.files} if base is not None
+                    else {})
+            snap = Snapshot(version, ts, metadata, _apply_tail(seed),
+                            transactions=txns, domain_metadata=domains)
         self._snap_cache[version] = snap
         while len(self._snap_cache) > self._SNAP_CACHE_SIZE:
             self._snap_cache.pop(next(iter(self._snap_cache)))
@@ -1041,42 +1147,71 @@ class TableLog:
         self, version: int
     ) -> tuple[Metadata, dict[str, AddFile], int, dict[str, int],
                dict[str, str]]:
+        """Full checkpoint read: table-wide state + every add action —
+        the light + adds passes composed (kept for callers/tests that
+        need both; snapshot resolution uses the split forms so cold
+        resolution never pays the O(files) add parse)."""
+        metadata, ts, txns, domains, _n = \
+            self._read_checkpoint_light(version)
+        active = self._read_checkpoint_adds(version)
+        return metadata, active, ts, txns, domains
+
+    def _read_checkpoint_light(
+        self, version: int
+    ) -> tuple[Metadata, int, dict[str, int], dict[str, str], int]:
+        """Table-wide checkpoint state WITHOUT parsing add actions:
+        (metadata, timestamp, txns, domains, add_row_count). The add rows
+        are skipped via a columnar ``kind != 'add'`` filter — at a
+        million files the expensive part of a cold start is building a
+        million AddFile objects, not scanning two string columns. The
+        snapshot timestamp comes from a columnar max over the
+        ``timestamp`` column (v1) / sidecar timestamp columns (v2),
+        overridden by the checkpoint version's own commit timestamp when
+        that JSON still exists — same semantics as the full read."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pds
         import pyarrow.parquet as pq
 
         fp = os.path.join(self.log_path, _fmt_checkpoint(version))
-        cols = pq.read_table(fp, columns=["kind", "action_json"])
+        dset = pds.dataset(fp, format="parquet")
+        light = dset.to_table(columns=["kind", "action_json"],
+                              filter=pc.field("kind") != "add")
         metadata: Metadata | None = None
-        active: dict[str, AddFile] = {}
         txns: dict[str, int] = {}
         domains: dict[str, str] = {}
         ts = 0
-        pairs = list(zip(cols.column("kind").to_pylist(),
-                         cols.column("action_json").to_pylist()))
-        # v2 manifests point at sidecar parquets holding the add actions
-        # (same column layout) — verify each (size + content hash: this
-        # cold driver path runs once per version, integrity is worth one
-        # file re-read) and splice their rows in
-        for ref in [json.loads(line)["sidecar"]
-                    for kind, line in pairs if kind == "sidecar"]:
-            self._verify_sidecar(ref, deep=True)
-            sc = pq.read_table(os.path.join(self.log_path, ref["path"]),
-                               columns=["kind", "action_json"])
-            pairs += list(zip(sc.column("kind").to_pylist(),
-                              sc.column("action_json").to_pylist()))
-        for kind, line in pairs:
+        n_adds = dset.count_rows(filter=pc.field("kind") == "add")
+        sidecars: list[dict] = []
+        for kind, line in zip(light.column("kind").to_pylist(),
+                              light.column("action_json").to_pylist()):
             if kind == "metaData":
                 metadata = parse_action(line)
-            elif kind == "add":
-                add = parse_action(line)
-                active[add.path] = add
-                if add.timestamp:
-                    ts = max(ts, add.timestamp)
             elif kind == "txn":
                 t = json.loads(line)
                 txns[t["appId"]] = int(t["version"])
             elif kind == "domainMetadata":
                 dm = parse_action(line)
                 domains[dm.domain] = dm.configuration
+            elif kind == "sidecar":
+                sidecars.append(json.loads(line)["sidecar"])
+        for ref in sidecars:
+            # v2: adds live in sidecar parquets — count + timestamp via
+            # parquet metadata / one int64 column, never the action rows.
+            # Cheap size check up front (a truncated sidecar must raise
+            # SidecarIntegrityError, not an Arrow parse error); the deep
+            # content-hash verification happens in the adds pass
+            self._verify_sidecar(ref, deep=False)
+            sp = os.path.join(self.log_path, ref["path"])
+            n_adds += pq.ParquetFile(sp).metadata.num_rows
+            mx = pc.max(pq.read_table(sp, columns=["timestamp"])
+                        .column("timestamp")).as_py()
+            if mx is not None:
+                ts = max(ts, mx)
+        if not sidecars:
+            mx = pc.max(dset.to_table(columns=["timestamp"])
+                        .column("timestamp")).as_py()
+            if mx is not None:
+                ts = max(ts, mx)
         if metadata is None:
             raise TableNotFoundError(f"checkpoint {fp} lacks metadata")
         # the checkpoint version's own commit timestamp wins over file ts
@@ -1085,7 +1220,39 @@ class TableLog:
             ts = max(ts, self.read_commit(version).timestamp)
         except VersionNotFoundError:
             pass
-        return metadata, active, ts, txns, domains
+        return metadata, ts, txns, domains, n_adds
+
+    def _read_checkpoint_adds(self, version: int) -> dict[str, AddFile]:
+        """The O(files) half of a checkpoint read: every add action
+        parsed into AddFile objects — the lazy ``Snapshot.files``
+        provider. v2 sidecars are verified (size + content hash) before
+        their rows are trusted, exactly like the pre-split full read."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pds
+
+        fp = os.path.join(self.log_path, _fmt_checkpoint(version))
+        dset = pds.dataset(fp, format="parquet")
+        active: dict[str, AddFile] = {}
+
+        def splice(tbl) -> None:
+            for line in tbl.column("action_json").to_pylist():
+                add = parse_action(line)
+                active[add.path] = add
+
+        splice(dset.to_table(columns=["action_json"],
+                             filter=pc.field("kind") == "add"))
+        refs = dset.to_table(
+            columns=["action_json"],
+            filter=pc.field("kind") == "sidecar")
+        for line in refs.column("action_json").to_pylist():
+            ref = json.loads(line)["sidecar"]
+            self._verify_sidecar(ref, deep=True)
+            splice(pds.dataset(
+                os.path.join(self.log_path, ref["path"]),
+                format="parquet").to_table(
+                    columns=["action_json"],
+                    filter=pc.field("kind") == "add"))
+        return active
 
     def _maybe_checkpoint(self, version: int) -> None:
         """Auto-checkpoint after a write when the version hits the interval
@@ -1156,6 +1323,10 @@ class TableLog:
             T.StructField("nullCount", T.StringType()),
             T.StructField("version", T.LongType()),
             T.StructField("timestamp", T.LongType()),
+            # the wrapped add-action JSON (exact log round-trip): lets the
+            # wire layer serve a PAGE of full file actions straight from
+            # the manifest plane, never materializing O(files) AddFiles
+            T.StructField("action_json", T.StringType()),
         ]
     )
 
@@ -1175,6 +1346,7 @@ class TableLog:
                     json.dumps(st.get("nullCount", {}), default=str),
                     add.version,
                     add.timestamp,
+                    dumps_action(add),
                 )
             )
         return rows
@@ -1207,21 +1379,41 @@ class TableLog:
         if cached is not None:
             return cached
         cp_version = self._latest_checkpoint(at_or_before=snapshot.version)
-        if cp_version is not None and cp_version == snapshot.version:
+        if cp_version is not None and cp_version == snapshot.version \
+                and not snapshot.tail_changed:
             df = self._checkpoint_manifest_df(cp_version)
         elif cp_version is not None:
             # paths touched (added/removed/re-added) after the checkpoint;
             # the tail between checkpoints is bounded by the interval so
-            # this set stays small relative to the checkpoint
-            changed: set[str] = set()
-            for v in range(cp_version + 1, snapshot.version + 1):
-                commit = self.read_commit(v)
-                changed.update(a.path for a in commit.adds)
-                changed.update(r.path for r in commit.removes)
+            # this set stays small relative to the checkpoint. A lazy
+            # snapshot seeded from THIS checkpoint already carries the
+            # replayed tail (with version/timestamp/row-tracking stamps) —
+            # use it; otherwise re-read the tail commits. Neither path
+            # touches snapshot.files.
+            if snapshot.cp_version == cp_version:
+                changed = snapshot.tail_changed
+                tail = sorted(snapshot.tail_adds.values(),
+                              key=lambda a: a.path)
+            else:
+                changed = set()
+                tail_active: dict[str, AddFile] = {}
+                rt = snapshot.row_tracking_enabled
+                for v in range(cp_version + 1, snapshot.version + 1):
+                    commit = self.read_commit(v)
+                    for r in commit.removes:
+                        changed.add(r.path)
+                        tail_active.pop(r.path, None)
+                    for a in commit.adds:
+                        a.version = commit.version
+                        a.timestamp = commit.timestamp
+                        if rt and a.defaultRowCommitVersion is None:
+                            a.defaultRowCommitVersion = commit.version
+                        changed.add(a.path)
+                        tail_active[a.path] = a
+                tail = sorted(tail_active.values(), key=lambda a: a.path)
             base = self._checkpoint_manifest_df(cp_version)
             if changed:
                 base = base.filter(~F.col("path").isin(*changed))
-            tail = [f for f in snapshot.files if f.path in changed]
             df = base
             if tail:
                 df = base.unionByName(
@@ -1234,6 +1426,55 @@ class TableLog:
         while len(self._files_df_cache) > 8:
             self._files_df_cache.pop(next(iter(self._files_df_cache)))
         return df
+
+    def file_counts(self, snapshot: Snapshot) -> tuple[int, int]:
+        """(numFiles, totalSizeBytes) for the snapshot WITHOUT
+        materializing ``.files``: already-materialized snapshots count in
+        memory, else the ``.crc`` checksum sidecar answers O(1) (its
+        whole point), else ONE distributed agg over the manifest plane.
+        Memoized per snapshot — the metaData wire line needs these on
+        every query RPC."""
+        if snapshot._counts is not None:
+            return snapshot._counts
+        if snapshot.files_materialized:
+            counts = (len(snapshot.files),
+                      sum(f.size or 0 for f in snapshot.files))
+        else:
+            crc = self.read_crc(snapshot.version)
+            if crc is not None and "numFiles" in crc \
+                    and "tableSizeBytes" in crc:
+                counts = (int(crc["numFiles"]), int(crc["tableSizeBytes"]))
+            else:
+                row = self.files_df(snapshot).agg(
+                    F.count("*").alias("n"),
+                    F.sum("size").alias("s")).collect()[0]
+                counts = (int(row["n"]), int(row["s"] or 0))
+        snapshot._counts = counts
+        return counts
+
+    def adds_for_paths(self, snapshot: Snapshot,
+                       paths: list[str]) -> list[AddFile]:
+        """The AddFile actions for ``paths`` (path-sorted) WITHOUT
+        materializing ``.files`` when the kept set is a small fraction of
+        a lazy manifest: a broadcast semi-join against the manifest plane
+        fetches only the kept rows' ``action_json`` — the post-prune data
+        read on a 5M-file table should pay O(kept), not O(files).
+        Falls back to the in-memory filter when the snapshot is already
+        materialized or most files are kept anyway."""
+        kept = set(paths)
+        hint = snapshot.num_files_hint or 0
+        if snapshot.files_materialized or len(kept) * 2 >= hint:
+            return [a for a in snapshot.files if a.path in kept]
+        keep_df = self.spark.createDataFrame(
+            [(p,) for p in paths] or [], "path string")
+        rows = (
+            self.files_df(snapshot)
+            .join(F.broadcast(keep_df), "path", "left_semi")
+            .select("action_json")
+            .collect()
+        )
+        adds = [parse_action(r["action_json"]) for r in rows]
+        return sorted(adds, key=lambda a: a.path)
 
     def abs_path(self, rel: str) -> str:
         return os.path.join(self.path, rel)

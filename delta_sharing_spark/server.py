@@ -86,11 +86,21 @@ class SharingServer:
     def __init__(self, catalog: ShareCatalog, host: str = "127.0.0.1",
                  port: int = 0, bearer_token: str | None = None,
                  oauth_clients: dict[str, str] | None = None,
-                 oauth_token_lifetime_seconds: int = 3600):
+                 oauth_token_lifetime_seconds: int = 3600,
+                 strict_reader_features: bool = False):
         from delta_sharing_spark.asyncquery import AsyncQueryManager
 
         self.catalog = catalog
         self.bearer_token = bearer_token
+        # strict reader-feature parity with the reference
+        # (SnapshotChecker.assertTableProperties, server/common/
+        # SnapshotChecker.scala:42, called from
+        # DeltaSharedTableKernel.scala:184): a client with NO
+        # readerfeatures declaration is treated as declaring NONE, so
+        # DV/column-mapped/NTZ tables are refused instead of served
+        # legacy-style. Default False keeps the engine's documented
+        # legacy-compatible behavior for its own parquet-profile clients.
+        self.strict_reader_features = strict_reader_features
         # OAuth client-credentials issuer state: registered
         # client_id -> client_secret, and issued token -> expiry (epoch s)
         self.oauth_clients = oauth_clients or {}
@@ -383,6 +393,17 @@ class SharingServer:
                 return {v for v in part.split("=", 1)[1].split(",") if v}
         return None
 
+    def _effective_reader_features(self, h) -> "set[str] | None":
+        """_reader_features with the server's strictness applied: under
+        ``strict_reader_features`` an absent declaration means NO
+        features (assertTableProperties semantics — the reference rejects
+        DV/column-mapped tables for undeclared clients); default keeps
+        None = legacy-served."""
+        rf = self._reader_features(h)
+        if rf is None and self.strict_reader_features:
+            return set()
+        return rf
+
     @staticmethod
     def _include_end_stream_action(h) -> bool:
         """delta-sharing-capabilities: includeendstreamaction=true — the
@@ -482,7 +503,7 @@ class SharingServer:
             include_historical_protocol=bool(
                 body.get("includeHistoricalProtocol")),
             include_end_stream_action=self._include_end_stream_action(h),
-            reader_features=self._reader_features(h),
+            reader_features=self._effective_reader_features(h),
         )
         caps = (h.headers.get("delta-sharing-capabilities") or "") \
             .replace(" ", "").lower()
@@ -580,7 +601,7 @@ class SharingServer:
                 "(delta.columnMapping.mode=name), which the parquet "
                 "response format cannot represent; request the changes "
                 "with delta-sharing-capabilities: responseformat=delta")
-        rf = self._reader_features(h)
+        rf = self._effective_reader_features(h)
         if rf is not None:
             # declared feature lists are authoritative on the changes RPC
             # too (SnapshotChecker parity — see table_query); assert BOTH

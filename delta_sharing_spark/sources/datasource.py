@@ -686,7 +686,13 @@ class SharedTableStreamReader(DataSourceStreamReader):
                     *target,
                     max_versions_per_rpc=int(
                         self.options.get("maxversionsperrpc", "100")),
-                    read_change_feed=self.read_change_feed)
+                    read_change_feed=self.read_change_feed,
+                    # per-RPC file page size: window fetches request
+                    # maxFiles and follow nextPageToken until the window
+                    # drains (a huge commit can't exceed a server page
+                    # cap mid-stream)
+                    max_files_per_rpc=int(
+                        self.options.get("maxfilesperrpc", "0")) or None)
             else:
                 from delta_sharing_spark.plans.log import TableLog
 

@@ -189,7 +189,8 @@ class RemoteTableLog:
 
     def __init__(self, profile_path: str, share: str, schema: str,
                  table: str, max_versions_per_rpc: int = 100,
-                 read_change_feed: bool = False):
+                 read_change_feed: bool = False,
+                 max_files_per_rpc: "int | None" = None):
         from delta_sharing_spark.client import (
             DeltaSharingProfile,
             _rest_client,
@@ -202,6 +203,13 @@ class RemoteTableLog:
         self._client = _rest_client(profile)
         self.max_versions_per_rpc = max(1, int(max_versions_per_rpc))
         self.read_change_feed = read_change_feed
+        # optional per-RPC file page size: when set, window fetches
+        # request maxFiles and FOLLOW nextPageToken until the window
+        # drains — one huge commit can never exceed a server page cap
+        # mid-stream. Token-following also engages unconditionally when a
+        # server pages of its own accord.
+        self.max_files_per_rpc = (max(1, int(max_files_per_rpc))
+                                  if max_files_per_rpc else None)
         # fetched-version bookkeeping: presence in _commits IS the fetched
         # marker (empty commits get placeholder entries), so non-contiguous
         # access patterns (commits(100,150) then commits(0,50)) never leave
@@ -310,18 +318,38 @@ class RemoteTableLog:
             lo = hi + 1
 
     def _fetch_window(self, start: int, end: int) -> None:
-        if self.read_change_feed:
-            lines = self._client.list_table_changes(
-                self.share, self.schema, self.table,
-                starting_version=start, ending_version=end,
-                response_formats="delta,parquet",
-                include_historical_metadata=True)
-        else:
-            _h, lines = self._client.list_files_in_table(
-                self.share, self.schema, self.table,
-                starting_version=start, ending_version=end,
-                response_formats="delta,parquet",
-                include_historical_protocol=True)
+        """Fetch one [start, end] version window, following pagination:
+        when the response trailer carries a nextPageToken (because we
+        requested maxFiles, or the server paged on its own), keep
+        requesting until the window drains — each page parses through the
+        same ingest (per-page head lines are idempotent re-attaches).
+        Mirrors the reference client's token loop
+        (DeltaSharingClient.scala getFilesByPage)."""
+        token: str | None = None
+        for _ in range(100_000):  # runaway-token backstop, never a limit
+            if self.read_change_feed:
+                lines = self._client.list_table_changes(
+                    self.share, self.schema, self.table,
+                    starting_version=start, ending_version=end,
+                    response_formats="delta,parquet",
+                    include_historical_metadata=True,
+                    max_files=self.max_files_per_rpc, page_token=token)
+            else:
+                _h, lines = self._client.list_files_in_table(
+                    self.share, self.schema, self.table,
+                    starting_version=start, ending_version=end,
+                    response_formats="delta,parquet",
+                    include_historical_protocol=True,
+                    max_files=self.max_files_per_rpc, page_token=token)
+            token = _trailer_token(lines)
+            self._ingest_window_lines(lines, start)
+            if not token:
+                return
+        raise RuntimeError(
+            "pagination token loop exceeded 100000 pages — server keeps "
+            "returning nextPageToken")
+
+    def _ingest_window_lines(self, lines: list[dict], start: int) -> None:
         lines = _unwrap_delta_lines(lines)
         first_meta = True
         for line in lines:
@@ -379,6 +407,16 @@ class RemoteTableLog:
 def _is_empty(c: _WireCommit) -> bool:
     return (c.metadata is None and not c.adds and not c.removes
             and not c.cdc and c.protocol is None)
+
+
+def _trailer_token(lines: list[dict]) -> "str | None":
+    """nextPageToken from a response's endStreamAction trailer (the last
+    line when present), None when the response is final/unpaged."""
+    if lines:
+        esa = lines[-1].get("endStreamAction")
+        if esa is not None:
+            return esa.get("nextPageToken") or None
+    return None
 
 
 def _commits_from_change_lines(

@@ -128,6 +128,9 @@ class SharedTable:
         query with includeFiles=false)."""
         snap = self.log.snapshot(version=version, timestamp=timestamp)
         meta = snap.metadata
+        # crc sidecar / manifest-plane agg — never materializes the file
+        # list for a count (this line rides EVERY query RPC's head)
+        num_files, size = self.log.file_counts(snap)
         return {
             "id": meta.id,
             "name": meta.name,
@@ -136,8 +139,8 @@ class SharedTable:
             "partitionColumns": meta.partitionColumns,
             "configuration": meta.configuration,
             "version": snap.version,
-            "numFiles": len(snap.files),
-            "size": sum(f.size for f in snap.files),
+            "numFiles": num_files,
+            "size": size,
         }
 
     # Above this many commits, DESCRIBE HISTORY builds from a distributed
@@ -163,8 +166,7 @@ class SharedTable:
             if clustering is None:  # pre-clustering-aware sidecar
                 clustering = self.log._find_clustering_columns(snap.version)
         else:
-            num_files = len(snap.files)
-            size = sum(f.size or 0 for f in snap.files)
+            num_files, size = self.log.file_counts(snap)
             clustering = self.log._find_clustering_columns(snap.version)
         declared = snap.metadata.configuration.get(
             self.log.CLUSTERING_KEY)
@@ -328,7 +330,10 @@ class SharedTable:
         json_predicate_hints = self.log._physical_hints(
             snapshot, json_predicate_hints)
         pcols_list = snapshot.physical_partition_columns
-        if (len(snapshot.files) <= PRUNE_DRIVER_MAX_FILES
+        # the threshold decision uses the lazy hint (checkpoint row count
+        # + tail), never materializing a big manifest just to count it;
+        # small lazy snapshots materialize inside the loop, cheaply
+        if ((snapshot.num_files_hint or 0) <= PRUNE_DRIVER_MAX_FILES
                 and not predicate_hints):
             files = snapshot.files  # path-sorted by Snapshot construction
             if json_predicate_hints:
@@ -346,6 +351,23 @@ class SharedTable:
                     prev_rows += f.logical_records or 0
                 files = out
             return [f.path for f in files]
+        manifest = self._pruned_manifest(
+            snapshot, json_predicate_hints, predicate_hints, limit_hint)
+        return [r["path"] for r in manifest.select("path").collect()]
+
+    def _pruned_manifest(
+        self,
+        snapshot: Snapshot,
+        json_predicate_hints: dict | None,
+        predicate_hints: list[str] | None,
+        limit_hint: int | None,
+    ) -> DataFrame:
+        """The manifest DataFrame with every prune applied (json
+        predicates -> SQL hints -> limit cutoff) — the distributed half
+        of ``pruned_files``, also consumed directly by the paged wire
+        path so a page RPC over a huge lazy manifest never collects the
+        full kept set. ``json_predicate_hints`` must already be
+        translated to physical names (``_physical_hints``)."""
         manifest = self.log.files_df(snapshot)
         pcols = snapshot.physical_partition_columns
         if json_predicate_hints:
@@ -362,7 +384,7 @@ class SharedTable:
                 manifest = manifest.filter(cond)
         if limit_hint is not None:
             manifest = self._limit_prefix_filter(manifest, limit_hint)
-        return [r["path"] for r in manifest.select("path").collect()]
+        return manifest
 
     @staticmethod
     def _prefix_filtered(m: DataFrame, offsets: dict[int, int],
@@ -411,7 +433,12 @@ class SharedTable:
 
         parts = max(1, manifest.sparkSession.sparkContext.defaultParallelism)
         m = (
-            manifest.repartitionByRange(parts, "path")
+            # ONLY the columns the prefix sum needs: dragging the wide
+            # manifest payload (action_json ~400 B/file) through the
+            # range shuffle + persist costs ~7x at a million files; the
+            # kept set rejoins the full manifest by path below
+            manifest.select("path", "numRecords")
+            .repartitionByRange(parts, "path")
             .withColumn("_pid", F.spark_partition_id())
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -538,11 +565,12 @@ class SharedTable:
         # deterministically — never depend on which file Spark samples.
         # read_adds applies deletion vectors (anti-join on _metadata
         # row positions) for files that carry one.
-        kept = set(paths)
         # snap threads column mapping through the scan: files are read
         # under PHYSICAL names and renamed back to logical (a renamed
-        # column's data lives under its immutable physical name)
-        kept_adds = [a for a in snap.files if a.path in kept]
+        # column's data lives under its immutable physical name).
+        # adds_for_paths fetches only the kept actions from the manifest
+        # plane when the snapshot is lazy and the prune was selective
+        kept_adds = self.log.adds_for_paths(snap, paths)
         if row_ids:
             df = self.log.read_adds_with_row_ids(snap, kept_adds,
                                                  schema=snap.schema)
@@ -740,11 +768,6 @@ class SharedTable:
                 "version": snap.version,
                 "expiration": int(_time.time() * 1000) + 3_600_000,
             }).encode()).decode()
-        paths = set(
-            self.pruned_files(snap, json_predicate_hints, predicate_hints,
-                              limit_hint)
-        )
-        files = [f for f in snap.files if f.path in paths]
         # token checksums every query parameter + the table identity
         # (shared helper — see page_checksum)
         checksum = page_checksum({
@@ -760,11 +783,46 @@ class SharedTable:
             if decoded.get("version") != snap.version:
                 raise ValueError("page token bound to a different version")
             start = int(decoded.get("start", 0))
-        end = len(files) if max_files is None else min(start + max_files, len(files))
         next_token = None
-        if end < len(files):
-            next_token = mint_page_token(
-                {"version": snap.version, "start": end}, checksum)
+        if (max_files is not None and not snap.files_materialized
+                and (snap.num_files_hint or 0) > PRUNE_DRIVER_MAX_FILES):
+            # paged query over a LAZY manifest: prune + path-order +
+            # offset/limit run as ONE Spark job and the driver holds only
+            # the served page's actions — a 5M-file table never
+            # materializes 5M AddFiles to serve a 1000-file page (the
+            # reference kernel's per-batch iteration with early stop,
+            # DeltaSharedTableKernel.scala:293-297,446-449). Fetching
+            # max_files+1 rows answers has-next without a count job.
+            from delta_sharing_spark.plans.actions import parse_action
+
+            jph = self.log._physical_hints(snap, json_predicate_hints)
+            manifest = self._pruned_manifest(
+                snap, jph, predicate_hints, limit_hint)
+            rows = (
+                manifest.select("path", "action_json")
+                .orderBy("path")
+                .offset(start)
+                .limit(max_files + 1)
+                .collect()
+            )
+            page = [parse_action(r["action_json"])
+                    for r in rows[:max_files]]
+            if len(rows) > max_files:
+                next_token = mint_page_token(
+                    {"version": snap.version, "start": start + max_files},
+                    checksum)
+        else:
+            paths = set(
+                self.pruned_files(snap, json_predicate_hints,
+                                  predicate_hints, limit_hint)
+            )
+            files = [f for f in snap.files if f.path in paths]
+            end = (len(files) if max_files is None
+                   else min(start + max_files, len(files)))
+            page = files[start:end]
+            if end < len(files):
+                next_token = mint_page_token(
+                    {"version": snap.version, "start": end}, checksum)
         # column mapping needs reader protocol 2 (Delta protocol table);
         # plain tables stay at the reference's "fake" minReaderVersion 1
         # (DeltaSharedTableKernel.scala:193)
@@ -779,7 +837,7 @@ class SharedTable:
             },
         ]
         rt = snap.row_tracking_enabled
-        for add in files[start:end]:
+        for add in page:
             line = {
                 "file": {
                     "url": self.log.abs_path(add.path),
@@ -905,6 +963,7 @@ class SharedTable:
             "includeHistoricalProtocol": include_historical_protocol,
         })
         start_idx = 0
+        resume: "dict[str, Any] | None" = None
         end = latest if ending_version is None else ending_version
         if page_token:
             decoded = decode_page_token(page_token, checksum)
@@ -914,6 +973,7 @@ class SharedTable:
             # endingVersion/latestVersion pinning, DeltaSharedTable.scala:
             # 578-588)
             end = int(decoded.get("end", end))
+            resume = decoded
         proto = {"minReaderVersion": 2, "minWriterVersion": 5,
                  } if snap.column_mapping else {"minReaderVersion": 1}
         head_proto = dict(proto)
@@ -998,17 +1058,41 @@ class SharedTable:
         next_token = None
         body: list[dict[str, Any]] = []
         emitted, seen, done = 0, 0, False
+        # resume-version bookkeeping: tokens carry (version, files-seen-
+        # before-it, prev_cm-at-its-start) alongside the global offset,
+        # so a deep page skips straight to its commit instead of parsing
+        # O(offset) commits to count file actions — reference tokens pair
+        # version + startingActionIndex (DeltaSharedTable.scala:606,777)
+        cur_v = starting_version
+        commit_base = 0
+        commit_pcm = prev_cm
+        resume_v: int | None = None
+        if resume is not None and resume.get("v") is not None:
+            resume_v = int(resume["v"])
+            seen = commit_base = int(resume.get("vbase", 0))
+            if "pcm" in resume:
+                prev_cm = commit_pcm = bool(resume["pcm"])
+
+        def _mint(start_pos: int) -> str:
+            return mint_page_token(
+                {"start": start_pos, "end": end, "v": cur_v,
+                 "vbase": commit_base, "pcm": commit_pcm}, checksum)
+
         for v in self.log._list_versions():
             if v < starting_version or v > end or done:
                 continue
+            if resume_v is not None and v < resume_v:
+                continue
+            cur_v = v
+            commit_base = seen
+            commit_pcm = prev_cm
             for is_file, line in commit_lines(self.log.read_commit(v)):
                 if is_file:
                     seen += 1
                     if seen <= start_idx:
                         continue
                     if max_files is not None and emitted >= max_files:
-                        next_token = mint_page_token(
-                            {"start": seen - 1, "end": end}, checksum)
+                        next_token = _mint(seen - 1)
                         done = True
                         break
                     emitted += 1
@@ -1020,8 +1104,7 @@ class SharedTable:
                     # metadata-only commits after an exactly-full final
                     # page are never dropped (the reference cuts pages on
                     # file actions only and never drops Protocol/Metadata)
-                    next_token = mint_page_token(
-                        {"start": seen, "end": end}, checksum)
+                    next_token = _mint(seen)
                     done = True
                     break
                 body.append(line)

@@ -1051,6 +1051,67 @@ def eng_rest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "eng_rest_strict_features",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE NOT (l_quantity < 10) AND NOT (l_discount > 0.08)
+    GROUP BY l_returnflag
+    """,
+)
+def eng_rest_strict_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict reader-feature negotiation over the WIRE
+    (SnapshotChecker.assertTableProperties parity, server/common/
+    SnapshotChecker.scala:42 via DeltaSharedTableKernel.scala:184): a
+    strict server REFUSES a DV table to a client with no readerfeatures
+    declaration (asserted in-line with a raw request), while the engine's
+    own client — which declares its feature list — reads it end to end;
+    the DV-surviving aggregate value-matches the oracle."""
+    import json as _json
+    import tempfile
+    import urllib.error
+    import urllib.request
+
+    from delta_sharing_spark.catalog import ShareCatalog
+    from delta_sharing_spark.client import load_as_spark
+    from delta_sharing_spark.server import SharingServer
+
+    table_dir = _lineitem_dv(spark, sf_dir)
+    cat = ShareCatalog(spark)
+    cat.add_table("s", "d", "lineitem_dv", table_dir)
+    srv = SharingServer(cat, bearer_token="driver-token",
+                        strict_reader_features=True)
+    url = srv.serve_background()
+    prof = tempfile.NamedTemporaryFile(
+        mode="w", suffix=".json", delete=False)
+    _json.dump({"shareCredentialsVersion": 1, "endpoint": url,
+                "bearerToken": "driver-token"}, prof)
+    prof.close()
+    try:
+        req = urllib.request.Request(
+            f"{url}/shares/s/schemas/d/tables/lineitem_dv/query",
+            data=b"{}", method="POST",
+            headers={"Authorization": "Bearer driver-token",
+                     "Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError(
+                "strict server served a DV table to an undeclared client")
+        except urllib.error.HTTPError as exc:
+            if exc.code != 400:
+                raise
+        df = load_as_spark(f"{prof.name}#s.d.lineitem_dv", spark=spark)
+    finally:
+        srv.shutdown()
+        os.unlink(prof.name)
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )
+
+
+@workload(
     "eng_rest_cdf",
     oracle="""
     SELECT 'insert' AS change_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -413,6 +413,94 @@ class TestCDFPagination:
             table_changes_actions(spark, d, starting_version=1,
                                   max_files=1, page_token=token)
 
+    def test_deep_pages_parse_o_page_commits(self, spark, tmp_path,
+                                             monkeypatch):
+        """Page tokens carry the resume VERSION, so a page at offset k
+        parses O(page) commits, never the O(k) commits before it (the
+        reference's tokens pair version + startingActionIndex). Verified
+        by counting read_commit calls per page over a 30-commit backlog —
+        and the paged walk must still concatenate to the unpaged
+        response."""
+        from delta_sharing_spark.cdf import table_changes_actions
+        from delta_sharing_spark.plans.log import TableLog
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.range(1).selectExpr("id AS k").coalesce(1),
+                   name="t",
+                   configuration={"enableChangeDataFeed": "true",
+                                  "checkpointInterval": "0"})
+        for i in range(1, 30):
+            log.append(spark.range(i, i + 1).selectExpr("id AS k")
+                       .coalesce(1))
+
+        calls = {"n": 0}
+        orig = TableLog.read_commit
+
+        def counting(self, version):
+            calls["n"] += 1
+            return orig(self, version)
+
+        monkeypatch.setattr(TableLog, "read_commit", counting)
+        full = table_changes_actions(spark, d, starting_version=0)
+        files, token, per_page = [], None, []
+        for _ in range(40):
+            calls["n"] = 0
+            out = table_changes_actions(spark, d, starting_version=0,
+                                        max_files=2, page_token=token)
+            per_page.append(calls["n"])
+            files += [ln for ln in out["actions"]
+                      if any(k in ln for k in ("add", "cdf", "remove"))]
+            token = out["nextPageToken"]
+            if token is None:
+                break
+        assert files == [ln for ln in full["actions"]
+                         if any(k in ln for k in ("add", "cdf", "remove"))]
+        # snapshot resolution reads a handful of commits; the page walk
+        # itself must stay bounded by the page (2 files -> ~3 commits),
+        # never grow with the offset. Without the resume version, page 15
+        # parses ~30 commits.
+        assert max(per_page[2:]) <= per_page[1] + 2, per_page
+
+    def test_range_deep_pages_parse_o_page_commits(self, spark, tmp_path,
+                                                   monkeypatch):
+        """Range-form twin: query_actions(starting_version=...) pages
+        resume at their token's version."""
+        from delta_sharing_spark.plans.log import TableLog
+        from delta_sharing_spark.table import SharedTable
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(spark.range(1).selectExpr("id AS k").coalesce(1),
+                   name="t", configuration={"checkpointInterval": "0"})
+        for i in range(1, 30):
+            log.append(spark.range(i, i + 1).selectExpr("id AS k")
+                       .coalesce(1))
+        t = SharedTable(spark, d)
+
+        calls = {"n": 0}
+        orig = TableLog.read_commit
+
+        def counting(self, version):
+            calls["n"] += 1
+            return orig(self, version)
+
+        monkeypatch.setattr(TableLog, "read_commit", counting)
+        full = t.query_actions(starting_version=0)
+        adds = [ln for ln in full["actions"] if "add" in ln]
+        pages, token, per_page = [], None, []
+        for _ in range(40):
+            calls["n"] = 0
+            out = t.query_actions(starting_version=0, max_files=2,
+                                  page_token=token)
+            per_page.append(calls["n"])
+            pages += [ln for ln in out["actions"] if "add" in ln]
+            token = out["nextPageToken"]
+            if token is None:
+                break
+        assert pages == adds
+        assert max(per_page[2:]) <= per_page[1] + 2, per_page
+
     def test_end_pinned_across_pages(self, spark, deep_cdf):
         from delta_sharing_spark.cdf import table_changes_actions
 

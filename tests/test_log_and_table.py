@@ -4,6 +4,9 @@ limit, projection normalization — the reference's DeltaSharedTable suites
 
 from __future__ import annotations
 
+import json
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -3982,3 +3985,119 @@ class TestV2CheckpointEquivalence:
             sa, sb = TableLog(spark, da).snapshot(), \
                 TableLog(spark, db).snapshot()
             assert sa.version == sb.version
+
+
+class TestLazyManifest:
+    """Lazy snapshot resolution (the 10M-file scale path): checkpoint-
+    seeded snapshots never parse the O(files) add actions until a caller
+    actually needs ``.files``; counts, pruning, and the paged query RPC
+    ride the manifest plane instead. Reference shape: kernel streaming
+    iteration (DeltaSharedTableKernel.scala:293-297,446-449), client
+    Dataset[AddFile] (RemoteDeltaLog.scala:355-359)."""
+
+    @pytest.fixture(scope="class")
+    def forged(self, spark, tmp_path_factory):
+        """A 12k-file table forged via the engine's own checkpoint writer
+        (just above PRUNE_DRIVER_MAX_FILES so the lazy paths engage),
+        plus one real tail commit on top."""
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools"))
+        from scale_bench import write_synthetic_table
+
+        d = str(tmp_path_factory.mktemp("lazy") / "t")
+        os.makedirs(d, exist_ok=True)
+        write_synthetic_table(d, 12_000)
+        return d
+
+    def test_cold_snapshot_stays_lazy(self, spark, forged):
+        log = TableLog(spark, forged)
+        snap = log.snapshot()
+        assert not snap.files_materialized
+        assert snap.num_files_hint == 12_000
+        # counts via the manifest plane, still unmaterialized
+        assert log.file_counts(snap) == (12_000, 12_000 * 4_000_000)
+        assert not snap.files_materialized
+        # explicit access materializes and memoizes
+        assert len(snap.files) == 12_000
+        assert snap.files_materialized
+
+    def test_paged_rpc_parity_lazy_vs_materialized(self, spark, forged):
+        """The lazy paged path (prune + orderBy + offset/limit over the
+        manifest) must serve byte-identical pages to the materialized
+        slice, token handoff included."""
+        t_lazy = SharedTable(spark, forged)
+        snap = t_lazy.log.snapshot()
+        assert not snap.files_materialized
+        out1 = t_lazy.query_actions(max_files=5)
+        assert not snap.files_materialized, \
+            "paged RPC materialized the manifest"
+        out2 = t_lazy.query_actions(max_files=5,
+                                    page_token=out1["nextPageToken"])
+        # force the eager path on a fresh table handle
+        t_eager = SharedTable(spark, forged)
+        esnap = t_eager.log.snapshot()
+        _ = esnap.files  # materialize
+        e1 = t_eager.query_actions(max_files=5)
+        e2 = t_eager.query_actions(max_files=5,
+                                   page_token=e1["nextPageToken"])
+
+        def files(out):
+            return [ln["file"] for ln in out["actions"] if "file" in ln]
+
+        assert files(out1) == files(e1)
+        assert files(out2) == files(e2)
+        # head metaData counts match too (crc-less table -> manifest agg)
+        meta1 = next(ln["metaData"] for ln in out1["actions"]
+                     if "metaData" in ln)
+        assert meta1["numFiles"] == 12_000
+
+    def test_lazy_prune_and_limit_no_materialization(self, spark, forged):
+        t = SharedTable(spark, forged)
+        snap = t.log.snapshot()
+        hints = {"op": "and", "children": [
+            {"op": "greaterThanOrEqual", "children": [
+                {"op": "column", "name": "id", "valueType": "long"},
+                {"op": "literal", "value": "0", "valueType": "long"}]},
+            {"op": "lessThanOrEqual", "children": [
+                {"op": "column", "name": "id", "valueType": "long"},
+                {"op": "literal", "value": "4999", "valueType": "long"}]},
+        ]}
+        kept = t.pruned_files(snap, json_predicate_hints=hints)
+        assert len(kept) == 5  # 1000 rows/file, ids [0,5000)
+        kept = t.pruned_files(snap, limit_hint=2_500)
+        assert len(kept) == 3
+        assert not snap.files_materialized
+        # post-prune data fetch pulls only the kept actions
+        adds = t.log.adds_for_paths(snap, kept)
+        assert [a.path for a in adds] == sorted(kept)
+        assert not snap.files_materialized
+
+    def test_tail_commit_over_lazy_base(self, spark, forged):
+        """A real commit on top of the forged checkpoint: the refreshed
+        snapshot composes lazily (tail bookkeeping), files_df unions the
+        tail, and the paged walk sees the new file."""
+        from delta_sharing_spark.plans.actions import (
+            AddFile, CommitInfo, dumps_action)
+        from delta_sharing_spark.plans.log import _fmt_version
+
+        add = AddFile(path="data/cat=c00/part-99999999.parquet",
+                      partitionValues={"cat": "c00"}, size=1,
+                      stats=json.dumps({"numRecords": 1}))
+        with open(os.path.join(forged, "_dsl_log", _fmt_version(1)),
+                  "w") as f:
+            f.write(dumps_action(add) + "\n")
+            f.write(dumps_action(CommitInfo(
+                version=1, timestamp=1_700_000_000_001,
+                operation="WRITE")) + "\n")
+        log = TableLog(spark, forged)
+        snap = log.snapshot()
+        assert snap.version == 1 and not snap.files_materialized
+        assert snap.tail_changed == {add.path}
+        assert log.file_counts(snap)[0] == 12_001
+        manifest = log.files_df(snap)
+        assert manifest.filter(
+            manifest.path == add.path).count() == 1
+        assert not snap.files_materialized

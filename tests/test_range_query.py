@@ -556,6 +556,50 @@ class TestRemoteStreaming:
             srv.shutdown()
             os.unlink(prof)
 
+    def test_remote_cdf_paged_backlog(self, spark, tmp_path):
+        """maxFilesPerRpc pages every CDF window fetch (maxFiles +
+        nextPageToken following inside one fetch), so a commit larger
+        than a server page cap still drains completely — result and
+        offsets identical to the unpaged drain."""
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        # v0: 4 files (> the 1-file page), v1: delete -> cdc, v2: append
+        log.create(spark.range(8).selectExpr("id", "id * 2 as v")
+                   .repartition(4), name="t",
+                   configuration={"enableChangeDataFeed": "true"})
+        log.delete("id < 2")
+        log.append(spark.range(8, 10).selectExpr("id", "id * 2 as v")
+                   .coalesce(1))
+        srv, prof = _serve(spark, d, cdf=True)
+        try:
+            url = f"{prof}#s.d.t"
+            paged = self._drain(spark, url, readChangeFeed="true",
+                                startingVersion="0", maxFilesPerRpc="1",
+                                maxVersionsPerRpc="1")
+            plain = self._drain(spark, url, readChangeFeed="true",
+                                startingVersion="0")
+            key = ["id", "_change_type", "_commit_version"]
+            assert sorted(tuple(r[k] for k in key)
+                          for r in paged.collect()) == \
+                sorted(tuple(r[k] for k in key) for r in plain.collect())
+        finally:
+            srv.shutdown()
+            os.unlink(prof)
+
+    def test_remote_range_paged_backlog(self, spark, tmp_path):
+        """Non-CDF twin: the snapshot-start + incremental range fetches
+        follow pagination too."""
+        d = str(tmp_path / "t")
+        log = _mk_table(spark, d)  # 3 versions, multiple files
+        srv, prof = _serve(spark, d)
+        try:
+            got = self._drain(spark, f"{prof}#s.d.t",
+                              startingVersion="0", maxFilesPerRpc="1")
+            assert sorted(r["id"] for r in got.collect()) == list(range(10))
+        finally:
+            srv.shutdown()
+            os.unlink(prof)
+
 
 class TestRemoteBatch:
     def test_batch_read_over_http_with_pushdown(self, spark, tmp_path):

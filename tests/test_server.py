@@ -593,6 +593,45 @@ class TestReaderFeatures:
         finally:
             srv.shutdown()
 
+    def test_strict_mode_rejects_undeclared_clients(self, spark, events,
+                                                    tmp_path):
+        """strict_reader_features=True: a client with NO readerfeatures
+        declaration is treated as declaring none (the reference's
+        SnapshotChecker.assertTableProperties), so a DV table is refused;
+        declaring the features serves it; non-feature tables stay
+        servable to undeclared clients in strict mode too."""
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        log.create(events.limit(20), name="t",
+                   configuration={"enableDeletionVectors": "true"})
+        log.delete("event_id < 5")
+        plain = str(tmp_path / "plain")
+        TableLog(spark, plain).create(events.limit(5), name="p")
+        cat = ShareCatalog(spark)
+        cat.add_table("s", "d", "t", d)
+        cat.add_table("s", "d", "p", plain)
+        srv = SharingServer(cat, bearer_token="secret-token",
+                            strict_reader_features=True)
+        url = srv.serve_background()
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(f"{url}/shares/s/schemas/d/tables/t/query", {})
+            assert e.value.code == 400
+            assert "deletionVectors" in e.value.read().decode()
+            s, _h, body = _post(
+                f"{url}/shares/s/schemas/d/tables/t/query", {},
+                headers={"delta-sharing-capabilities":
+                         "readerfeatures=deletionvectors"})
+            assert s == 200
+            assert any("file" in ln for ln in _ndjson(body))
+            # feature-less table: strict mode changes nothing
+            s, _h, body = _post(
+                f"{url}/shares/s/schemas/d/tables/p/query", {})
+            assert s == 200
+            assert any("file" in ln for ln in _ndjson(body))
+        finally:
+            srv.shutdown()
+
     def test_own_rest_client_declares_features(self, dv_server):
         """The engine's REST client declares its feature list with
         delta-format requests, so it keeps working against servers that

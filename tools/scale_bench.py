@@ -237,6 +237,10 @@ def main() -> None:
     ap.add_argument("--workdir", default="/tmp/dsl_scale_bench")
     ap.add_argument("--keep", action="store_true",
                     help="keep the synthetic tables on disk")
+    ap.add_argument("--lazy-only", action="store_true",
+                    help="stop after the lazy-plane + materialization "
+                         "sections (skip clustering/CDF/v2-checkpoint — "
+                         "the 5M-file gate run)")
     args = ap.parse_args()
 
     from delta_sharing_spark.session import get_spark
@@ -313,18 +317,35 @@ def main() -> None:
     out["cold_snapshot_s"] = round(time.perf_counter() - t0, 3)
     out["cold_snapshot_rss_growth_mb"] = round(
         max(0, vm_rss_kb() - rss0_kb) / 1024, 1)
-    if out["cold_snapshot_rss_growth_mb"] >= 4096:
-        # explicit raise: the gate must survive python -O
-        raise RuntimeError(
-            f"driver RSS grew {out['cold_snapshot_rss_growth_mb']} MB "
-            f"resolving a {args.files:,}-file manifest — no longer "
-            "O(files) bounded")
-    assert len(snap.files) == args.files
+    # lazy resolution: the cold snapshot must NOT have parsed the
+    # O(files) add actions — counts come from the manifest plane
+    assert not snap.files_materialized, \
+        "cold snapshot materialized the file list"
+    nf, sz = log.file_counts(snap)
+    assert nf == args.files, (nf, args.files)
     t0 = time.perf_counter()
     log.snapshot()
     out["warm_snapshot_s"] = round(time.perf_counter() - t0, 6)
 
     table = SharedTable(spark, big)
+
+    # --- paged query RPC over the lazy manifest: ONE page of 1000 file
+    # actions (prune + orderBy + offset/limit as a single Spark job);
+    # the driver holds only the served page. A second page via the
+    # token proves the offset path.
+    t0 = time.perf_counter()
+    page1 = table.query_actions(max_files=1_000)
+    out["paged_rpc_s"] = round(time.perf_counter() - t0, 3)
+    n_page = sum(1 for ln in page1["actions"] if "file" in ln)
+    assert n_page == 1_000, n_page
+    assert page1["nextPageToken"]
+    t0 = time.perf_counter()
+    page2 = table.query_actions(max_files=1_000,
+                                page_token=page1["nextPageToken"])
+    out["paged_rpc_page2_s"] = round(time.perf_counter() - t0, 3)
+    assert sum(1 for ln in page2["actions"] if "file" in ln) == 1_000
+    assert not table.log.snapshot().files_materialized, \
+        "paged RPC materialized the file list"
     # --- stats prune over the DataFrame path (files >> driver threshold).
     # Predicate keeps 1% of files by id range; verify exact file count.
     keep_files = args.files // 100
@@ -341,6 +362,38 @@ def main() -> None:
     kept = table.pruned_files(snap, limit_hint=limit)
     out["limit_prefix_s"] = round(time.perf_counter() - t0, 3)
     assert len(kept) == args.files // 200 + 1, len(kept)
+
+    # --- THE round-9 gate: cold snapshot + counts + paged RPC + prune +
+    # limit all ran on the lazy plane — total driver RSS growth must be
+    # sub-linear in files (bounded by page/kept-set sizes, never
+    # O(files) AddFile objects). Budget: 300 MB at any file count.
+    out["lazy_plane_rss_growth_mb"] = round(
+        max(0, vm_rss_kb() - rss0_kb) / 1024, 1)
+    assert not snap.files_materialized
+    if out["lazy_plane_rss_growth_mb"] >= 300:
+        raise RuntimeError(
+            f"driver RSS grew {out['lazy_plane_rss_growth_mb']} MB across "
+            f"the lazy metadata plane at {args.files:,} files — no longer "
+            "sub-linear")
+
+    # --- explicit materialization (write/maintenance paths still need
+    # the full list): the old cold-start cost, now paid only on demand
+    t0 = time.perf_counter()
+    assert len(snap.files) == args.files
+    out["materialize_s"] = round(time.perf_counter() - t0, 3)
+    out["materialize_rss_growth_mb"] = round(
+        max(0, vm_rss_kb() - rss0_kb) / 1024, 1)
+    if out["materialize_rss_growth_mb"] >= 4096 * (args.files / 1e6):
+        raise RuntimeError(
+            f"driver RSS grew {out['materialize_rss_growth_mb']} MB "
+            f"materializing a {args.files:,}-file manifest — no longer "
+            "O(files) bounded")
+
+    if args.lazy_only:
+        if not args.keep:
+            shutil.rmtree(args.workdir, ignore_errors=True)
+        print(json.dumps(out))
+        return
 
     # --- clustering report over the million-file manifest: the liquid
     # diagnostic must be a metadata-plane job (probe sample + one
