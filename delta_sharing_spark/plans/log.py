@@ -4854,6 +4854,70 @@ class TableLog:
         return unjudgeable + [a for a in candidates
                               if counts.get(a.path, 0) > max_overlap]
 
+    def _zcube_absorb(self, snap: "Snapshot", columns: list[str],
+                      rewrite: "list[AddFile]",
+                      max_overlap: int = 2) -> "list[AddFile]":
+        """Grouped ZCube pick: active files OUTSIDE the rewrite set whose
+        clustering envelope spans more than ``max_overlap`` of the files
+        being rewritten are absorbed INTO the rewrite. This is how an
+        already-committed wide-span file — one the incremental baseline
+        never revisits because it predates the last same-key ZORDER —
+        gets fixed: the moment a maintenance pass rewrites the slice it
+        interferes with, it is rewritten together with that slice and
+        comes out tight (Delta's OPTIMIZE merges partial ZCubes the same
+        way: a cube is extended with the files it interleaves).
+
+        Same one metadata-plane Spark job shape as ``_zcube_select``,
+        with the sides flipped: the (small) rewrite set broadcasts
+        against the full file manifest, so the pick holds at the
+        1M-file regime. Only files the count indicts are collected.
+        A bulk file without stats on a clustered column is Unknown on
+        every probe — treated as overlapping, so it is absorbed the
+        first time a big-enough rewrite happens and comes out with
+        stats; subsequent cycles judge it normally."""
+        if not rewrite:
+            return []
+        phys = snap.logical_to_physical or {}
+
+        def envelope(df: DataFrame, p: str) -> DataFrame:
+            sel = [F.col("path").alias(f"{p}path")]
+            for i, logical in enumerate(columns):
+                key = phys.get(logical, logical)
+                mn = F.get_json_object(F.col("minValues"), f"$.{key}")
+                mx = F.get_json_object(F.col("maxValues"), f"$.{key}")
+                sel += [mn.alias(f"{p}mn_s_{i}"), mx.alias(f"{p}mx_s_{i}"),
+                        mn.try_cast("double").alias(f"{p}mn_d_{i}"),
+                        mx.try_cast("double").alias(f"{p}mx_d_{i}")]
+            return df.select(*sel)
+
+        rw = envelope(self.spark.createDataFrame(
+            self._manifest_rows(rewrite), self._MANIFEST_SCHEMA), "c_")
+        allf = envelope(self.files_df(snap), "g_")
+        cond = F.lit(True)
+        for i in range(len(columns)):
+            numeric = (F.col(f"c_mn_d_{i}").isNotNull()
+                       & F.col(f"c_mx_d_{i}").isNotNull()
+                       & F.col(f"g_mn_d_{i}").isNotNull()
+                       & F.col(f"g_mx_d_{i}").isNotNull())
+            ov_num = ((F.col(f"g_mn_d_{i}") <= F.col(f"c_mx_d_{i}"))
+                      & (F.col(f"g_mx_d_{i}") >= F.col(f"c_mn_d_{i}")))
+            ov_str = ((F.col(f"g_mn_s_{i}") <= F.col(f"c_mx_s_{i}"))
+                      & (F.col(f"g_mx_s_{i}") >= F.col(f"c_mn_s_{i}")))
+            cond = cond & F.coalesce(
+                F.when(numeric, ov_num).otherwise(ov_str), F.lit(True))
+        rewrite_paths = {a.path for a in rewrite}
+        spanning = {
+            r["g_path"]
+            for r in allf.join(F.broadcast(rw), cond)
+            .groupBy("g_path").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_overlap)
+            .collect()  # only indicted files — rewrite-slice sized
+            if r["g_path"] not in rewrite_paths
+        }
+        if not spanning:
+            return []
+        return [a for a in snap.files if a.path in spanning]
+
     def zorder_incremental(self, columns: list[str],
                            bits_per_col: int = 12,
                            target_file_rows: int = 1_000_000,
@@ -4887,7 +4951,11 @@ class TableLog:
         interferes with at most that many other active files are left
         alone instead of re-clustered — sustained-ingest maintenance
         rewrites only the files that actually hurt skipping, not the
-        whole since-last-ZORDER slice. ``None`` restores the
+        whole since-last-ZORDER slice. The pick is GROUPED: any other
+        active file (exempted or already-committed bulk) whose envelope
+        spans more than ``max_overlap`` of the files being rewritten is
+        absorbed into the rewrite, so wide-span files that predate the
+        incremental baseline still get fixed. ``None`` restores the
         rewrite-everything-fresh behavior.
 
         Returns the committed version, or None when nothing needs work."""
@@ -4944,6 +5012,15 @@ class TableLog:
             new_files = small_files
         else:
             new_files = fresh + small_files
+        if max_overlap is not None:
+            # grouped pick: a wide-span active file (exempted fresh OR
+            # already-committed bulk the incremental baseline never
+            # revisits) that interferes with more than max_overlap of
+            # the files being rewritten joins the rewrite and comes out
+            # tight. One pass per cycle — no fixpoint; repeated
+            # maintenance converges because outputs are tight.
+            new_files = new_files + self._zcube_absorb(
+                snap, columns, new_files, max_overlap)
         return self.zorder_by(columns, bits_per_col=bits_per_col,
                               target_file_rows=target_file_rows,
                               files=new_files, snap=snap)

@@ -2967,6 +2967,63 @@ class TestClusteredCompaction:
         removed = {r.path for r in log2.read_commit(v2).removes}
         assert len(removed) == 1
 
+    def test_grouped_pick_absorbs_committed_spanning_file(self, spark,
+                                                          table_dir):
+        """Grouped ZCube pick: a wide-span file that PREDATES the
+        incremental baseline (committed while exempt, never a candidate
+        again) is absorbed into a later rewrite whose files it spans —
+        the per-file exemption alone would leave it hurting every probe
+        in its range forever."""
+        # all appends use DISTINCT interleaved values (residue classes)
+        # so post-rewrite quantile cuts give disjoint envelopes and the
+        # probe-cost drop is deterministic, not boundary-duplicate noise
+        mk = lambda lo, hi, step: (  # noqa: E731
+            spark.range(lo, hi, step).selectExpr("id AS k")
+            .repartition(1).sortWithinPartitions("k"))
+        log = TableLog(spark, table_dir)
+        log.create(mk(0, 1000, 4), name="t", cluster_by=["k"])  # =0 mod 4
+        log.zorder_incremental(["k"], target_file_rows=250)
+        # wide file W (=1 mod 4) spanning 0..997: overlaps only the
+        # single bulk file -> exempt under the per-file rule
+        log.append(mk(1, 1000, 4))
+        w_path = log.read_commit(log.latest_version()).adds[0].path
+        # a mutually-interfering cluster far away triggers a ZORDER
+        # commit while W stays exempt -> W now predates the baseline
+        for i in range(4):
+            log.append(mk(2000 + i, 3000, 4))
+        assert log.zorder_incremental(["k"], target_file_rows=250) \
+            is not None
+        active = {a.path for a in log.snapshot().files}
+        assert w_path in active, "W should have been exempt, not rewritten"
+        t = SharedTable(spark, table_dir)
+        before = {r.column: r for r in
+                  t.clustering_report(probes=32).collect()}["k"]
+        # three interfering fresh files across W's span (residues 2 mod 8,
+        # 6 mod 8, 3 mod 4) each overlap >2 others -> rewritten; W spans
+        # all three (> max_overlap) and must be absorbed
+        log.append(mk(2, 1000, 8))
+        log.append(mk(6, 1000, 8))
+        log.append(mk(3, 1000, 4))
+        v = log.zorder_incremental(["k"], target_file_rows=250)
+        assert v is not None
+        removed = {r.path for r in log.read_commit(v).removes}
+        assert w_path in removed, "spanning committed file not absorbed"
+        # structural: nothing active interferes with >max_overlap others
+        snap2 = log.snapshot()
+        assert log._zcube_select(snap2, ["k"], list(snap2.files), 2) == []
+        after = {r.column: r for r in
+                 SharedTable(spark, table_dir)
+                 .clustering_report(probes=32).collect()}["k"]
+        assert after.avg_files_per_probe < before.avg_files_per_probe
+        # contents exact through the absorb rewrite
+        got = SharedTable(spark, table_dir).to_df().agg(
+            F.count("*").alias("n"), F.sum("k").alias("s")).first()
+        pieces = [range(0, 1000, 4), range(1, 1000, 4),
+                  *(range(2000 + i, 3000, 4) for i in range(4)),
+                  range(2, 1000, 8), range(6, 1000, 8), range(3, 1000, 4)]
+        assert (got.n, got.s) == (sum(len(p) for p in pieces),
+                                  sum(sum(p) for p in pieces))
+
     def test_key_change_reclusters_existing_files(self, spark, lineitem,
                                                   table_dir):
         """set_cluster_by contract: after a clustering-key change the next
