@@ -41,6 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # new this round (appended as they land)
     "eng_rest_strict_features",
+    "q_multimodal_jpeg",
+    "eng_cluster_maintenance",
     # last round's additions, re-fronted once for a second green row
     "stream_remote_row_tracking_cdf",
     "q_bm25_topk",

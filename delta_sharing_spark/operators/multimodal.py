@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is split:
+The container has no image/audio codec libraries, so the decode step is
+pluggable; two vendored pure-python codecs (``operators/png.py`` and the
+baseline-JPEG ``operators/jpeg.py``) make it a REAL decode with no
+dependency at all:
 
-- ``decode_media``: tries real decoders (PIL / soundfile) behind import
-  guards and raises ``NotImplementedError`` if unavailable — the clearly
-  marked stub;
+- ``decode_media``: resolves registered codecs first, then real decoders
+  (PIL / imageio) behind import guards, and raises
+  ``NotImplementedError`` only when a named codec is unavailable;
 - ``fake_decode_media``: a deterministic md5-derived "decoder" that
   exercises the REAL Spark-side plumbing (binary columns, Arrow batch
   transfer, schema contract, per-partition batching) with reproducible

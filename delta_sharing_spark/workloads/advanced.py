@@ -132,6 +132,50 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_multimodal_jpeg",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+      FROM documents
+    ), b AS (
+      SELECT doc_id, wb, hb,
+             (i % wb) AS bx, (i // wb) AS by,
+             (doc_id * 31 + (i % wb) * 7 + (i // wb) * 13) % 256 AS v
+      FROM g, LATERAL UNNEST(generate_series(0, wb * hb - 1)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(8 * wb AS INT) AS width,
+           CAST(8 * hb AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(64 * wb * hb AS BIGINT) AS n_pixels,
+           CAST(64 * SUM(v) AS BIGINT) AS sum_px,
+           CAST(64 * SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(SUM(v * (64 + 8 * (64 * bx + 28)
+                         + 64 * wb * (64 * by + 28))) AS BIGINT) AS wsum
+    FROM b GROUP BY doc_id, wb, hb
+    """,
+)
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode in the distributed path: synthesize
+    baseline-JPEG bytes per doc (per-block-constant grayscale + all-ones
+    quant tables make the transform round trip bit-exact), entropy-decode
+    + IDCT them back through the vendored pure-python codec
+    (operators/jpeg.py) inside Arrow-batched mapInPandas, and emit
+    integer-exact pixel aggregates (sum, sum of squares, position-weighted
+    sum) that the oracle replays from the block math in SQL — the image
+    twin of q_audio_features. Map-only: no shuffle between synthesis and
+    features."""
+    from delta_sharing_spark.operators.jpeg import (
+        jpeg_features,
+        synth_jpeg_column,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = synth_jpeg_column(docs, "doc_id")
+    return jpeg_features(imgs, "image", "doc_id").drop("error")
+
+
+@workload(
     "q_audio_features",
     oracle="""
     WITH idx AS (
