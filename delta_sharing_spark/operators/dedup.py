@@ -297,6 +297,63 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
     return sums.select(F.col(id_col), fingerprint.alias("simhash"), *chunks)
 
 
+def hamming_near_pairs(df: DataFrame, id_col: str, hash_col: str,
+                       bits: int = 16, bands: int = 4,
+                       max_hamming: int = 3,
+                       max_bucket: int | None = None) -> DataFrame:
+    """Near-dup pairs over an arbitrary packed integer hash column
+    (perceptual image hash, audio fingerprint, any bit signature): LSH by
+    splitting the hash into ``bands`` equal bit-slices — a pair within
+    hamming distance < ``bands`` matches at least one slice exactly
+    (pigeonhole), so candidate generation is a slice-value EQUI-join, never
+    an all-pairs scan — then exact ``bit_count(xor)`` verification on
+    candidates only. The generic integer-hash twin of
+    :func:`simhash_near_pairs` (which bands md5-chunk columns).
+
+    ``max_bucket`` frequency-caps hot slice values before the self-join
+    (same quadratic-emission guard as the MinHash/SimHash paths). All
+    JVM expressions; one shuffle for the equi-join, one distinct."""
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banding is only complete for max_hamming < bands "
+            f"({max_hamming} >= {bands}: a pair could differ in every "
+            "slice and still be within threshold)")
+    bb = bits // bands
+    mask = (1 << bb) - 1
+    buckets = df.select(
+        F.col(id_col), F.col(hash_col).alias("__h"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("band_idx"),
+                F.shiftright(F.col(hash_col), c * bb)
+                .bitwiseAND(F.lit(mask)).alias("band_val"))
+            for c in range(bands)
+        ])).alias("bk"),
+    ).select(id_col, "__h", "bk.band_idx", "bk.band_val")
+    if max_bucket is not None:
+        keep = (buckets.groupBy("band_idx", "band_val")
+                .agg(F.count("*").alias("bdf"))
+                .filter(F.col("bdf") <= max_bucket)
+                .select("band_idx", "band_val"))
+        buckets = buckets.join(keep, ["band_idx", "band_val"])
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_pairs(fingerprints: DataFrame, id_col: str,
                        bits: int = 64, bands: int = 4,
                        max_hamming: int = 8,

@@ -606,6 +606,45 @@ def synth_jpeg_column(df, id_col: str, out_col: str = "image"):
     return df.mapInPandas(synth, schema=schema)
 
 
+def synth_jpeg_corpus(df, id_col: str, out_col: str = "image"):
+    """Attach a deterministic NEAR-DUPLICATE image corpus: every row gets
+    a 32x32 grayscale baseline JPEG of 4x4 flat blocks whose base values
+    come from the row's cluster (``id % 11``), with ONE block perturbed
+    per row (block ``(id // 11) % 16`` shifted by ``(id % 5) * 40``).
+    Rows in the same cluster are near-duplicates (hamming <= 2 on a
+    block-aligned aHash); rows across clusters are far. All-flat blocks +
+    all-ones quant tables keep the JPEG round trip bit-exact, so a SQL
+    oracle can replay the decoded pixels and the hash integer-for-integer.
+    Arrow-batched mapInPandas, map-only."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = []
+            for raw_id in pdf[id_col].values:
+                doc_id = int(raw_id)
+                cluster, pert = doc_id % 11, (doc_id // 11) % 16
+                arr = np.empty((32, 32), dtype=np.uint8)
+                for by in range(4):
+                    for bx in range(4):
+                        v = (cluster * 37 + bx * 7 + by * 13) % 256
+                        if by * 4 + bx == pert:
+                            v = (v + (doc_id % 5) * 40) % 256
+                        arr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+                imgs.append(encode_jpeg(
+                    32, 32, 1, [arr[y].tobytes() for y in range(32)]))
+            pdf = pdf.copy()
+            pdf[out_col] = imgs
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} binary"
+    return df.mapInPandas(synth, schema=schema)
+
+
 def jpeg_features(df, image_col: str, id_col: str):
     """REAL JPEG decode in the distributed path: entropy-decode + IDCT
     each payload inside Arrow-batched mapInPandas and emit integer-exact

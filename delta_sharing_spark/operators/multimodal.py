@@ -212,13 +212,85 @@ def sample_frames(df: DataFrame, media_col: str, id_col: str,
     )
 
 
+def image_ahash(df: DataFrame, image_col: str, id_col: str,
+                grid: tuple[int, int] = (4, 4)) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL decoded pixels: decode
+    the payload (baseline JPEG or PNG, sniffed by magic bytes) through the
+    vendored pure-python codecs, reduce to a ``grid`` of integer box sums,
+    and set bit k when box k's mean exceeds the image mean — compared in
+    exact integer cross-multiplied form (``box_sum * W * H >
+    total_sum * box_area``), so the hash is bit-reproducible across
+    engines and a SQL oracle can replay it. Multi-channel images reduce
+    by per-pixel channel SUM (still integer-exact).
+
+    The hash feeds :func:`delta_sharing_spark.operators.dedup.
+    hamming_near_pairs` for banded near-duplicate detection — the image
+    twin of SimHash-over-text. Map-only Arrow-batched mapInPandas; decode
+    parallelism = partition count; payloads never leave the executor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    gx, gy = grid
+    if gx * gy > 63:
+        raise ValueError("grid must pack into a 64-bit hash")
+
+    def hasher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        from delta_sharing_spark.operators.jpeg import JpegError, decode_jpeg
+        from delta_sharing_spark.operators.png import PngError, decode_png
+
+        for pdf in batches:
+            out = []
+            for id_, content in zip(pdf["__id"].values,
+                                    pdf["__content"].values):
+                data = bytes(content or b"")
+                try:
+                    if data[:2] == b"\xff\xd8":
+                        w, h, nch, rows = decode_jpeg(data)
+                    elif data[:4] == b"\x89PNG"[:4]:
+                        w, h, nch, rows = decode_png(data)
+                    else:
+                        raise JpegError("unrecognized image magic")
+                    px = np.frombuffer(
+                        b"".join(bytes(r) for r in rows), np.uint8
+                    ).reshape(h, w, nch).astype(np.int64).sum(axis=2)
+                    total = int(px.sum())
+                    hval = 0
+                    for j in range(gy):
+                        y0, y1 = j * h // gy, (j + 1) * h // gy
+                        for i in range(gx):
+                            x0, x1 = i * w // gx, (i + 1) * w // gx
+                            box = int(px[y0:y1, x0:x1].sum())
+                            area = (y1 - y0) * (x1 - x0)
+                            if box * w * h > total * area:
+                                hval |= 1 << (j * gx + i)
+                    out.append((id_, w, h, hval, None))
+                except (JpegError, PngError, ValueError, struct.error,
+                        IndexError, ZeroDivisionError) as e:
+                    out.append((id_, None, None, None, str(e)))
+            yield pd.DataFrame(
+                out, columns=[id_col, "width", "height", "ahash", "error"])
+
+    packed = df.select(F.col(id_col).alias("__id"),
+                       F.col(image_col).alias("__content"))
+    return packed.mapInPandas(
+        hasher,
+        schema=f"{id_col} long, width int, height int, ahash bigint,"
+               " error string")
+
+
 def resize_media(df: DataFrame, media_col: str, id_col: str,
                  out_w: int, out_h: int) -> DataFrame:
-    """REAL image resize for PNG payloads (nearest-neighbor over the
-    vendored pure-python codec, re-encoded as PNG) — the feature-extract /
-    thumbnail stage of a multimodal pipeline. Non-PNG payloads yield a
-    null output with the error recorded, so a mixed corpus processes
-    without poisoning the batch.
+    """REAL image resize for PNG and baseline-JPEG payloads (magic-byte
+    sniff, nearest-neighbor over the vendored pure-python codecs, output
+    re-encoded as lossless PNG) — the feature-extract / thumbnail stage of
+    a multimodal pipeline. Undecodable payloads yield a null output with
+    the error recorded, so a mixed corpus processes without poisoning the
+    batch.
 
     Same distributed plumbing as :func:`decode_media`: Arrow-batched
     mapInPandas, resize parallelism = partition count, payloads never
@@ -233,6 +305,7 @@ def resize_media(df: DataFrame, media_col: str, id_col: str,
         import struct
         import zlib
 
+        from delta_sharing_spark.operators.jpeg import JpegError, decode_jpeg
         from delta_sharing_spark.operators.png import (
             PngError,
             decode_png,
@@ -245,7 +318,11 @@ def resize_media(df: DataFrame, media_col: str, id_col: str,
                                     pdf["__content"].values):
                 ids.append(id_)
                 try:
-                    w, h, nch, rows = decode_png(bytes(content or b""))
+                    data = bytes(content or b"")
+                    if data[:2] == b"\xff\xd8":
+                        w, h, nch, rows = decode_jpeg(data)
+                    else:
+                        w, h, nch, rows = decode_png(data)
                     # nearest-neighbor sampling grid
                     out_rows = []
                     for y in range(out_h):
@@ -260,7 +337,7 @@ def resize_media(df: DataFrame, media_col: str, id_col: str,
                     ws.append(out_w)
                     hs.append(out_h)
                     errs.append(None)
-                except (PngError, ValueError, KeyError,
+                except (PngError, JpegError, ValueError, KeyError,
                         zlib.error, struct.error, IndexError) as e:
                     outs.append(None)
                     ws.append(None)

@@ -176,6 +176,58 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_image_near_dup",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, i,
+             CASE WHEN i = (doc_id // 11) % 16
+                  THEN ((doc_id % 11) * 37 + (i % 4) * 7 + (i // 4) * 13
+                        + (doc_id % 5) * 40) % 256
+                  ELSE ((doc_id % 11) * 37 + (i % 4) * 7
+                        + (i // 4) * 13) % 256
+             END AS v
+      FROM documents, LATERAL UNNEST(generate_series(0, 15)) AS t(i)
+    ), tot AS (
+      SELECT doc_id, SUM(v) AS tv FROM b GROUP BY doc_id
+    ), h AS (
+      SELECT b.doc_id,
+             CAST(SUM(CASE WHEN 16 * b.v > t.tv
+                           THEN CAST(1 AS BIGINT) << b.i
+                           ELSE 0 END) AS BIGINT) AS ahash
+      FROM b JOIN tot t USING (doc_id) GROUP BY b.doc_id
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.ahash, c.ahash)) AS INT) AS hamming
+    FROM h a JOIN h c ON a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.ahash, c.ahash)) <= 3
+    """,
+)
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplicate detection end-to-end: a
+    deterministic near-dup JPEG corpus (flat-block synthesis keeps the
+    transform round trip bit-exact), REAL entropy decode + IDCT per image,
+    integer-exact aHash over the decoded pixels, then banded hamming LSH
+    (4 bit-slices; a pair within hamming 3 shares a slice by pigeonhole)
+    with exact bit_count(xor) verification on candidates only — the image
+    twin of SimHash text dedup, and the same plan shape at 100 TB: the
+    hash is map-only per image, candidates come from a slice equi-join,
+    never an all-pairs scan. The oracle replays synthesis, hash and
+    EXHAUSTIVE pair math in SQL, so the LSH path's completeness at this
+    threshold is verified, not assumed."""
+    from delta_sharing_spark.operators.dedup import hamming_near_pairs
+    from delta_sharing_spark.operators.jpeg import synth_jpeg_corpus
+    from delta_sharing_spark.operators.multimodal import image_ahash
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = synth_jpeg_corpus(docs, "doc_id")
+    hashes = image_ahash(imgs, "image", "doc_id").drop("error")
+    pairs = hamming_near_pairs(hashes, "doc_id", "ahash",
+                               bits=16, bands=4, max_hamming=3)
+    return pairs.select("id_a", "id_b",
+                        F.col("hamming").cast("int").alias("hamming"))
+
+
+@workload(
     "q_audio_features",
     oracle="""
     WITH idx AS (

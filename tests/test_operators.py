@@ -629,6 +629,61 @@ class TestMultimodal:
         finally:
             mm._CODEC_REGISTRY.pop("jpeg", None)
 
+    def test_image_ahash_and_hamming_pairs(self, spark):
+        """aHash over real decoded pixels + banded hamming LSH: identical
+        images hash equal, a one-block change lands within the threshold,
+        a different image lands outside; PNG and JPEG payloads hash the
+        same pixels to the same value; junk yields null + error."""
+        import numpy as np
+
+        from delta_sharing_spark.operators.dedup import hamming_near_pairs
+        from delta_sharing_spark.operators.jpeg import encode_jpeg
+        from delta_sharing_spark.operators.multimodal import image_ahash
+        from delta_sharing_spark.operators.png import encode_png
+
+        def img(block_vals):     # 32x32 gray, 4x4 flat blocks
+            arr = np.empty((32, 32), np.uint8)
+            for k, v in enumerate(block_vals):
+                by, bx = k // 4, k % 4
+                arr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+            return arr
+
+        base = [(17 * k + 40) % 256 for k in range(16)]
+        tweaked = list(base)
+        tweaked[5] = (tweaked[5] + 120) % 256     # flips ~1 bit
+        other = [(231 * k + 9) % 256 for k in range(16)]
+        a1 = img(base)
+        rows = lambda a: [a[y].tobytes() for y in range(32)]  # noqa: E731
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_jpeg(32, 32, 1, rows(a1)))),
+             (2, bytearray(encode_png(32, 32, 1, rows(a1)))),
+             (3, bytearray(encode_jpeg(32, 32, 1, rows(img(tweaked))))),
+             (4, bytearray(encode_jpeg(32, 32, 1, rows(img(other))))),
+             (5, bytearray(b"junk"))],
+            "doc_id long, payload binary")
+        hashes = image_ahash(df, "payload", "doc_id")
+        got = {r["doc_id"]: r for r in hashes.collect()}
+        # JPEG and PNG of the same pixels -> identical hash (codec sniff)
+        assert got[1]["ahash"] == got[2]["ahash"]
+        assert got[1]["width"] == 32 and got[1]["error"] is None
+        assert got[5]["ahash"] is None and got[5]["error"]
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in hamming_near_pairs(
+                     hashes.dropna(subset=["ahash"]), "doc_id", "ahash",
+                     bits=16, bands=4, max_hamming=3).collect()}
+        assert pairs[(1, 2)] == 0                 # exact dup found
+        assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+        assert (1, 4) not in pairs                # far image excluded
+        # completeness vs brute force at this threshold
+        import itertools
+        brute = {(i, j) for i, j in itertools.combinations([1, 2, 3, 4], 2)
+                 if bin(got[i]["ahash"] ^ got[j]["ahash"]).count("1") <= 3}
+        assert set(pairs) == brute
+        # banding soundness guard: threshold >= bands is refused
+        with pytest.raises(ValueError, match="complete"):
+            hamming_near_pairs(hashes, "doc_id", "ahash",
+                               bits=16, bands=4, max_hamming=4)
+
     def test_resize_media_real_pixels(self, spark):
         """REAL resize through the distributed path: a 4x4 PNG of solid
         quadrant colors downsamples to the expected 2x2 pixels; junk
@@ -652,6 +707,31 @@ class TestMultimodal:
         assert (w, h, nch) == (2, 2, 1)
         assert [bytes(r) for r in rows] == [bytes([10, 20]), bytes([30, 40])]
         assert out[2]["resized"] is None and out[2]["error"]
+
+    def test_resize_media_jpeg_payload(self, spark):
+        """resize_media sniffs JPEG payloads and resizes real decoded
+        pixels (flat 8x8 blocks decode bit-exactly): a 16x16 quadrant
+        image downsamples to the expected 2x2."""
+        import numpy as np
+
+        from delta_sharing_spark.operators.jpeg import encode_jpeg
+        from delta_sharing_spark.operators.multimodal import (
+            resize_media, with_media_column)
+        from delta_sharing_spark.operators.png import decode_png
+
+        arr = np.empty((16, 16), np.uint8)
+        for k, v in enumerate([50, 100, 150, 200]):
+            by, bx = k // 2, k % 2
+            arr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+        jpg = encode_jpeg(16, 16, 1, [arr[y].tobytes() for y in range(16)])
+        df = spark.createDataFrame([(1, bytearray(jpg))],
+                                   "doc_id long, payload binary")
+        out = resize_media(with_media_column(df, "payload"), "media",
+                           "doc_id", out_w=2, out_h=2).collect()[0]
+        w, h, nch, rows = decode_png(bytes(out["resized"]))
+        assert (w, h, nch) == (2, 2, 1)
+        assert [bytes(r) for r in rows] == [bytes([50, 100]),
+                                            bytes([150, 200])]
 
     def test_decode_media_auto_matches_fake_here(self, spark):
         from delta_sharing_spark.operators import multimodal as mm
