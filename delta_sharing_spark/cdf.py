@@ -315,8 +315,8 @@ def table_changes_actions(
     containing their neighbouring files, head protocol/metaData repeated
     on every page."""
     from delta_sharing_spark.table import (
+        ActionPager,
         decode_page_token,
-        mint_page_token,
         page_checksum,
     )
 
@@ -385,66 +385,16 @@ def table_changes_actions(
 
         prev_cm = (log.snapshot(version=start).metadata.configuration
                    or {}).get("delta.columnMapping.mode") == "name"
-    seen, emitted = 0, 0
-    next_token = None
-    filled = False
-    # resume-version bookkeeping: tokens carry (version, files-seen-
-    # before-it, prev_cm-at-its-start) alongside the global offset, so a
-    # deep page skips straight to its commit instead of parsing O(offset)
-    # commits just to count file actions — the reference's tokens pair
-    # version + startingActionIndex the same way
-    # (DeltaSharedTable.scala:606,777)
-    cur_v = start
-    commit_base = 0
-    commit_pcm = prev_cm
-    resume_v: int | None = None
-    if resume is not None and resume.get("v") is not None:
-        resume_v = int(resume["v"])
-        seen = commit_base = int(resume.get("vbase", 0))
-        if include_historical_protocol and "pcm" in resume:
-            prev_cm = commit_pcm = bool(resume["pcm"])
-
-    def _mint(start_pos: int) -> str:
-        payload: dict = {"start": start_pos, "end": end, "v": cur_v,
-                         "vbase": commit_base}
-        if include_historical_protocol:
-            payload["pcm"] = commit_pcm
-        return mint_page_token(payload, checksum)
-
-    def emit_file(line: dict) -> None:
-        """Page gate over FILE actions (the range form's semantics):
-        skip below start_idx, cut + token at max_files."""
-        nonlocal seen, emitted, next_token, filled
-        seen += 1
-        if seen <= start_idx or filled:
-            return
-        if max_files is not None and emitted >= max_files:
-            next_token = _mint(seen - 1)
-            filled = True
-            return
-        emitted += 1
-        lines.append(line)
-
-    def emit_meta(line: dict) -> None:
-        # non-file lines ride with the page containing their neighbouring
-        # files — skipped before the page region; once the page is full
-        # (emitted >= max_files) a non-file line belongs to the NEXT page,
-        # so mint the continuation token immediately: an exactly-full
-        # final page followed only by metadata-only commits must still
-        # hand the client a next page carrying those lines (the reference
-        # cuts pages on file actions only and never drops Protocol/
-        # Metadata — DeltaSharedTable.scala queryCDF). The token's start
-        # equals `seen` (all files so far), so the resumed page skips the
-        # already-served files and re-reaches this line — a boundary
-        # commit's metaData/protocol still lands on exactly one page.
-        nonlocal next_token, filled
-        if seen < start_idx or filled:
-            return
-        if max_files is not None and emitted >= max_files:
-            next_token = _mint(seen)
-            filled = True
-            return
-        lines.append(line)
+    # page-gate + resume bookkeeping shared with the version-range form
+    # (table.ActionPager owns the token schema — {start,end,v,vbase[,pcm]}
+    # — and the boundary rules: file actions cut pages, non-file lines
+    # ride with their neighbouring files, an exactly-full page followed
+    # by metadata-only commits still mints a continuation token)
+    pager = ActionPager(
+        start_version=start, end=end, start_idx=start_idx,
+        max_files=max_files, checksum=checksum, prev_cm=prev_cm,
+        carry_pcm=include_historical_protocol, resume=resume)
+    emit_file, emit_meta = pager.emit_file, pager.emit_meta
 
     # version-by-version with early break AND resume-version skip:
     # commits past the filled page are never read, and commits before the
@@ -453,14 +403,12 @@ def table_changes_actions(
     for v in log._list_versions():
         if v < start or v > end:
             continue
-        if resume_v is not None and v < resume_v:
+        if pager.skip_commit(v):
             continue
-        if filled:
+        if pager.filled:
             break
         commit = log.read_commit(v)
-        cur_v = v
-        commit_base = seen
-        commit_pcm = prev_cm
+        pager.begin_commit(v)
         if is_noop_merge(commit.info):
             continue
         if include_historical_metadata and commit.metadata is not None:
@@ -469,12 +417,12 @@ def table_changes_actions(
         if include_historical_protocol:
             if commit.version > start:
                 # derivation shared with the range form (plans/log.py)
-                proto_line = derive_wire_protocol(commit, prev_cm)
+                proto_line = derive_wire_protocol(commit, pager.prev_cm)
                 if proto_line is not None:
                     emit_meta({"protocol": {
                         **proto_line, "version": commit.version}})
             if commit.metadata is not None:
-                prev_cm = (commit.metadata.configuration or {}).get(
+                pager.prev_cm = (commit.metadata.configuration or {}).get(
                     "delta.columnMapping.mode") == "name"
         if commit.cdc:
             for c in commit.cdc:
@@ -523,5 +471,9 @@ def table_changes_actions(
     # wire parity: Delta-Table-Version on the changes RPC is the STARTING
     # version of the files in the response (PROTOCOL.md:2432-2436;
     # DeltaSharedTable.scala queryCDF returns QueryResult(start, ...))
+    lines += pager.lines
+    # wire parity: Delta-Table-Version on the changes RPC is the STARTING
+    # version of the files in the response (PROTOCOL.md:2432-2436;
+    # DeltaSharedTable.scala queryCDF returns QueryResult(start, ...))
     return {"version": start, "actions": lines,
-            "nextPageToken": next_token}
+            "nextPageToken": pager.next_token}

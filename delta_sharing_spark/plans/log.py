@@ -578,6 +578,10 @@ class TableLog:
         # goes stale; only "latest" resolution re-lists the directory.
         self._snap_cache: dict[int, Snapshot] = {}
         self._files_df_cache: dict[int, DataFrame] = {}
+        # sidecar content hashes verified this process, keyed by relative
+        # path -> (size, mtime): the lazy manifest plane deep-verifies
+        # every sidecar ONCE before its bytes serve any query
+        self._sidecar_deep_verified: dict[str, tuple] = {}
         # committed log files are immutable → parsed commits cache cleanly;
         # callers that poll (streaming latestOffset every trigger) pay
         # O(new commits) parsing instead of O(all commits) per call
@@ -1135,12 +1139,28 @@ class TableLog:
         return out
 
     def _checkpoint_sidecars(self, version: int) -> list[str]:
-        """Relative sidecar paths of a v2 manifest, size-verified: the
-        callers hand them straight to parquet scans, and a truncated
-        sidecar must raise here rather than under-report files."""
+        """Relative sidecar paths of a v2 manifest, integrity-verified:
+        the callers hand them straight to parquet scans (the lazy
+        manifest plane serves prune/limit/paged-RPC rows from these
+        bytes), so a truncated OR tampered sidecar must raise here
+        rather than serve a wrong snapshot. Content hashes are checked
+        against the manifest's recorded sha256 once per (path, size,
+        mtime) per TableLog instance — repeated queries over an
+        unchanged checkpoint pay one stat call, not a re-hash."""
         refs = self._sidecar_refs(version)
         for sc in refs:
-            self._verify_sidecar(sc)
+            fp = os.path.join(self.log_path, sc["path"])
+            try:
+                st = os.stat(fp)
+                key = (st.st_size, st.st_mtime)
+            except OSError:
+                key = None
+            if key is not None \
+                    and self._sidecar_deep_verified.get(sc["path"]) == key:
+                continue
+            self._verify_sidecar(sc, deep=True)
+            if key is not None:
+                self._sidecar_deep_verified[sc["path"]] = key
         return [sc["path"] for sc in refs]
 
     def _read_checkpoint(
@@ -1555,9 +1575,21 @@ class TableLog:
             adds = [a for a in actions if isinstance(a, AddFile)]
             removes = [a for a in actions if isinstance(a, RemoveFile)]
             prev = {"numFiles": 0, "tableSizeBytes": 0}
+            # an add NOT paired with a same-commit remove can still
+            # REPLACE an active file in place (re-add: the row-tracking
+            # backfill re-adds every active file with no removes), which
+            # the incremental +adds-removes arithmetic would double-count
+            # — for those commits resolve the state exactly instead.
+            # In-engine writers only do this with dataChange=False;
+            # replace-style rewrites (optimize/purge/DV-compact) pair
+            # every re-add with a remove and net out correctly.
+            rm_paths = {r.path for r in removes}
+            unpaired_readds = version > 0 and any(
+                a.dataChange is False and a.path not in rm_paths
+                for a in adds)
             if version > 0:
                 prev = self.read_crc(version - 1)
-                if prev is None:
+                if prev is None or unpaired_readds:
                     snap = self.snapshot(version=version)
                     prev = None
                     payload = {

@@ -326,6 +326,7 @@ class RemoteTableLog:
         Mirrors the reference client's token loop
         (DeltaSharingClient.scala getFilesByPage)."""
         token: str | None = None
+        pages: list[dict] = []
         for _ in range(100_000):  # runaway-token backstop, never a limit
             if self.read_change_feed:
                 lines = self._client.list_table_changes(
@@ -342,8 +343,16 @@ class RemoteTableLog:
                     include_historical_protocol=True,
                     max_files=self.max_files_per_rpc, page_token=token)
             token = _trailer_token(lines)
-            self._ingest_window_lines(lines, start)
+            # buffer pages and ingest only once the whole window drained:
+            # ingesting page-by-page would leave a partially-filled window
+            # in self._commits if a later page's RPC fails, and the retry
+            # re-appending page 1's add/cdc actions (c.adds.append is not
+            # idempotent) would serve duplicated rows (round-9 review
+            # finding). Memory is bounded by the window's own size — the
+            # same lines an unpaged response would have carried at once.
+            pages.extend(lines)
             if not token:
+                self._ingest_window_lines(pages, start)
                 return
         raise RuntimeError(
             "pagination token loop exceeded 100000 pages — server keeps "

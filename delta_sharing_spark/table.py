@@ -98,6 +98,98 @@ def decode_page_token(token: str, checksum: str) -> "dict[str, Any]":
     return decoded
 
 
+class ActionPager:
+    """Page-gate + resume bookkeeping shared by the paged version-range
+    and changes forms — ONE definition of the boundary rules, like the
+    token helpers above, so the two RPCs cannot drift. FILE actions count
+    toward ``max_files`` and cut the page; non-file lines (metaData /
+    protocol) ride with the page containing their neighbouring files, and
+    a non-file line arriving on an exactly-full page mints the
+    continuation token immediately so trailing metadata-only commits are
+    never dropped (the reference cuts pages on file actions only —
+    DeltaSharedTable.scala queryCDF). Tokens carry ``{start, end, v,
+    vbase[, pcm]}``: the resume version + files-seen-before-it (+ the
+    column-mapping baseline at its start), so a page at any offset parses
+    O(page) commits, never O(offset) — reference tokens pair version +
+    startingActionIndex (DeltaSharedTable.scala:606,777).
+
+    Drive it per commit: ``skip_commit(v)`` (true before the resume
+    version), ``begin_commit(v)`` (checkpoints the token fields), then
+    ``emit_file`` / ``emit_meta`` per action line. ``prev_cm`` (the
+    running column-mapping baseline the protocol derivation reads) is
+    owned here so the resume override and the per-commit checkpoint can't
+    drift from the caller's running value — callers read and assign
+    ``pager.prev_cm`` directly."""
+
+    def __init__(self, *, start_version: int, end: int, start_idx: int,
+                 max_files: "int | None", checksum: str,
+                 prev_cm: "bool | None" = None, carry_pcm: bool = False,
+                 resume: "dict[str, Any] | None" = None):
+        self.end = end
+        self.start_idx = start_idx
+        self.max_files = max_files
+        self.checksum = checksum
+        self.carry_pcm = carry_pcm
+        self.prev_cm = prev_cm
+        self.lines: "list[dict[str, Any]]" = []
+        self.seen = 0
+        self.emitted = 0
+        self.next_token: "str | None" = None
+        self.filled = False
+        self._cur_v = start_version
+        self._commit_base = 0
+        self._commit_pcm = prev_cm
+        self._resume_v: "int | None" = None
+        if resume is not None and resume.get("v") is not None:
+            self._resume_v = int(resume["v"])
+            self.seen = self._commit_base = int(resume.get("vbase", 0))
+            if carry_pcm and "pcm" in resume:
+                self.prev_cm = self._commit_pcm = bool(resume["pcm"])
+
+    def skip_commit(self, v: int) -> bool:
+        return self._resume_v is not None and v < self._resume_v
+
+    def begin_commit(self, v: int) -> None:
+        self._cur_v = v
+        self._commit_base = self.seen
+        self._commit_pcm = self.prev_cm
+
+    def _mint(self, start_pos: int) -> str:
+        payload: "dict[str, Any]" = {
+            "start": start_pos, "end": self.end, "v": self._cur_v,
+            "vbase": self._commit_base}
+        if self.carry_pcm:
+            payload["pcm"] = self._commit_pcm
+        return mint_page_token(payload, self.checksum)
+
+    def emit_file(self, line: "dict[str, Any]") -> None:
+        """Page gate over FILE actions: skip below start_idx, cut +
+        mint the continuation token at max_files."""
+        self.seen += 1
+        if self.seen <= self.start_idx or self.filled:
+            return
+        if self.max_files is not None and self.emitted >= self.max_files:
+            self.next_token = self._mint(self.seen - 1)
+            self.filled = True
+            return
+        self.emitted += 1
+        self.lines.append(line)
+
+    def emit_meta(self, line: "dict[str, Any]") -> None:
+        """Non-file lines: skipped before the page region; once the page
+        is full a non-file line belongs to the NEXT page, so the token is
+        minted at ``seen`` (all files so far) — the resumed page skips the
+        already-served files and re-reaches this line, landing a boundary
+        commit's metaData/protocol on exactly one page."""
+        if self.seen < self.start_idx or self.filled:
+            return
+        if self.max_files is not None and self.emitted >= self.max_files:
+            self.next_token = self._mint(self.seen)
+            self.filled = True
+            return
+        self.lines.append(line)
+
+
 class UnsupportedTableFeatureError(ValueError):
     """The table requires reader features the requested response format
     cannot represent — e.g. a column-mapped table over the parquet profile,
@@ -995,7 +1087,9 @@ class SharedTable:
         from dataclasses import asdict
 
         def commit_lines(commit) -> list[tuple[bool, dict[str, Any]]]:
-            nonlocal prev_cm
+            # the running column-mapping baseline lives on the pager so
+            # the resume override and the per-commit token checkpoint
+            # can't drift from this walk's updates
             out: list[tuple[bool, dict[str, Any]]] = []
             v, ts = commit.version, commit.timestamp
             if commit.metadata is not None and v > starting_version:
@@ -1005,7 +1099,7 @@ class SharedTable:
                 # a protocol change mid-range = an explicit in-commit
                 # protocol upgrade action, OR a metadata commit flipping a
                 # reader feature — derivation shared with the changes form
-                proto_line = derive_wire_protocol(commit, prev_cm)
+                proto_line = derive_wire_protocol(commit, pager.prev_cm)
                 if proto_line is not None:
                     out.append((False, {"protocol": {
                         **proto_line, "version": v}}))
@@ -1022,7 +1116,7 @@ class SharedTable:
                         "COLUMN MAPPING commit, which the parquet response "
                         "format cannot represent; request the range with "
                         "delta-sharing-capabilities: responseformat=delta")
-                prev_cm = cm_next
+                pager.prev_cm = cm_next
             for a in commit.adds:
                 if not a.dataChange:
                     continue
@@ -1054,63 +1148,22 @@ class SharedTable:
                     "timestamp": ts, "version": v}}))
             return out
 
-        prev_cm = snap.column_mapping
-        next_token = None
-        body: list[dict[str, Any]] = []
-        emitted, seen, done = 0, 0, False
-        # resume-version bookkeeping: tokens carry (version, files-seen-
-        # before-it, prev_cm-at-its-start) alongside the global offset,
-        # so a deep page skips straight to its commit instead of parsing
-        # O(offset) commits to count file actions — reference tokens pair
-        # version + startingActionIndex (DeltaSharedTable.scala:606,777)
-        cur_v = starting_version
-        commit_base = 0
-        commit_pcm = prev_cm
-        resume_v: int | None = None
-        if resume is not None and resume.get("v") is not None:
-            resume_v = int(resume["v"])
-            seen = commit_base = int(resume.get("vbase", 0))
-            if "pcm" in resume:
-                prev_cm = commit_pcm = bool(resume["pcm"])
-
-        def _mint(start_pos: int) -> str:
-            return mint_page_token(
-                {"start": start_pos, "end": end, "v": cur_v,
-                 "vbase": commit_base, "pcm": commit_pcm}, checksum)
-
+        # page-gate + resume bookkeeping shared with the changes form
+        # (ActionPager owns the token schema and boundary rules)
+        pager = ActionPager(
+            start_version=starting_version, end=end, start_idx=start_idx,
+            max_files=max_files, checksum=checksum,
+            prev_cm=snap.column_mapping, carry_pcm=True, resume=resume)
         for v in self.log._list_versions():
-            if v < starting_version or v > end or done:
+            if v < starting_version or v > end or pager.filled:
                 continue
-            if resume_v is not None and v < resume_v:
+            if pager.skip_commit(v):
                 continue
-            cur_v = v
-            commit_base = seen
-            commit_pcm = prev_cm
+            pager.begin_commit(v)
             for is_file, line in commit_lines(self.log.read_commit(v)):
-                if is_file:
-                    seen += 1
-                    if seen <= start_idx:
-                        continue
-                    if max_files is not None and emitted >= max_files:
-                        next_token = _mint(seen - 1)
-                        done = True
-                        break
-                    emitted += 1
-                elif seen < start_idx:
-                    continue
-                elif max_files is not None and emitted >= max_files:
-                    # page full: this non-file line belongs to the NEXT
-                    # page — mint the continuation token now, so trailing
-                    # metadata-only commits after an exactly-full final
-                    # page are never dropped (the reference cuts pages on
-                    # file actions only and never drops Protocol/Metadata)
-                    next_token = _mint(seen)
-                    done = True
-                    break
-                body.append(line)
-            if done:
-                break
-        lines += body
+                (pager.emit_file if is_file else pager.emit_meta)(line)
+        lines += pager.lines
+        next_token = pager.next_token
         if max_files is not None or include_end_stream_action:
             end_action: dict[str, Any] = {}
             if next_token:

@@ -3834,12 +3834,20 @@ class TestV2CheckpointIntegrity:
         data[mid + 1] ^= 0xFF
         with open(sidecars[0], "wb") as f:
             f.write(bytes(data))
-        # the size check passes...
-        assert TableLog(spark, d)._checkpoint_sidecars(0) \
-            == log._checkpoint_sidecars(0)
-        # ...the deep (hash) check on the driver read path does not
+        # the manifest-plane accessor deep-verifies before its bytes can
+        # serve anything (round-9: the lazy files_df path made this the
+        # main serving plane, so the size-only check was no longer enough)
+        with pytest.raises(SidecarIntegrityError, match="hash mismatch"):
+            TableLog(spark, d)._checkpoint_sidecars(0)
+        # the deep check on the driver read path agrees
         with pytest.raises(SidecarIntegrityError, match="hash mismatch"):
             TableLog(spark, d)._read_checkpoint(0)
+        # end-to-end: a lazy snapshot resolves (light read is size-only)
+        # but serving its manifest fails loudly, never silently
+        log2 = TableLog(spark, d)
+        snap = log2.snapshot()
+        with pytest.raises(SidecarIntegrityError, match="hash mismatch"):
+            log2.files_df(snap).count()
 
     def test_missing_sidecar_raises(self, spark, tmp_path):
         import os as _os
@@ -4042,6 +4050,33 @@ class TestV2CheckpointEquivalence:
             sa, sb = TableLog(spark, da).snapshot(), \
                 TableLog(spark, db).snapshot()
             assert sa.version == sb.version
+
+
+class TestCrcReaddArithmetic:
+    def test_row_tracking_backfill_does_not_double_count(self, spark,
+                                                         lineitem,
+                                                         table_dir):
+        """The .crc incremental numFiles/tableSizeBytes arithmetic must
+        not double-count unpaired re-adds: enable_row_tracking re-adds
+        every active file (dataChange=false, NO removes), and file_counts
+        trusts the sidecar on lazy snapshots — a wrong sidecar would
+        permanently double the wire metaData's numFiles/size on any
+        checkpointed row-tracking table (round-9 review finding,
+        reproduced live before the fix)."""
+        log = TableLog(spark, table_dir)
+        log.create(lineitem.limit(400).repartition(4), name="t")
+        snap0 = log.snapshot()
+        exact = (len(snap0.files), sum(f.size or 0 for f in snap0.files))
+        log.enable_row_tracking()
+        log.write_checkpoint(log.latest_version())
+        # fresh log -> checkpoint-seeded lazy snapshot -> crc fast path
+        log2 = TableLog(spark, table_dir)
+        snap = log2.snapshot()
+        assert not snap.files_materialized
+        assert log2.file_counts(snap) == exact
+        # the sidecar itself is consistent with real state
+        chk = log2.verify_checksum()
+        assert chk.get("numFiles") == exact[0], chk
 
 
 class TestLazyManifest:

@@ -586,6 +586,49 @@ class TestRemoteStreaming:
             srv.shutdown()
             os.unlink(prof)
 
+    def test_paged_window_retry_does_not_duplicate_actions(self, spark,
+                                                           tmp_path):
+        """A mid-pagination RPC failure must not leave a partially
+        ingested window behind: pages buffer until the token loop drains,
+        so the retry re-fetches from page 1 into a clean slate instead of
+        appending page 1's add actions twice (round-9 review finding —
+        duplicated rows on stream retry)."""
+        from delta_sharing_spark.sources.remote import RemoteTableLog
+
+        d = str(tmp_path / "t")
+        log = _mk_table(spark, d)  # 3 versions, multiple files
+        srv, prof = _serve(spark, d)
+        try:
+            rlog = RemoteTableLog(prof, "s", "d", "t",
+                                  max_files_per_rpc=1)
+            real = rlog._client.list_files_in_table
+            calls = {"n": 0}
+
+            def flaky(*a, **kw):
+                calls["n"] += 1
+                if calls["n"] == 2:  # fail the second PAGE of window 1
+                    raise ConnectionError("injected mid-pagination failure")
+                return real(*a, **kw)
+
+            rlog._client.list_files_in_table = flaky
+            with pytest.raises(ConnectionError):
+                rlog.commits(0, None)
+            # page 1 of the failed window must NOT have been ingested
+            assert all(not c.adds for c in rlog._commits.values())
+            rlog._client.list_files_in_table = real
+            cs = {c.version: c for c in rlog.commits(0, None)}
+            clean = RemoteTableLog(prof, "s", "d", "t")
+            want = {c.version: c for c in clean.commits(0, None)}
+            assert set(cs) == set(want)
+            for v in want:
+                got_paths = sorted(a.path for a in cs[v].adds)
+                want_paths = sorted(a.path for a in want[v].adds)
+                assert got_paths == want_paths, \
+                    f"v{v}: retry duplicated or dropped actions"
+        finally:
+            srv.shutdown()
+            os.unlink(prof)
+
     def test_remote_range_paged_backlog(self, spark, tmp_path):
         """Non-CDF twin: the snapshot-start + incremental range fetches
         follow pagination too."""
