@@ -80,6 +80,10 @@ HEADLINE = [
     # round-8 additions (after the comparable prefix): streaming CDF with
     # row ids over a live http profile
     "stream_remote_row_tracking_cdf",
+    # round-9 additions (after the comparable prefix): the vendored
+    # baseline-JPEG decode pass and perceptual-hash image near-dup
+    "q_multimodal_jpeg",
+    "q_image_near_dup",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet
