@@ -339,18 +339,46 @@ def hamming_near_pairs(df: DataFrame, id_col: str, hash_col: str,
                 .select("band_idx", "band_val"))
         buckets = buckets.join(keep, ["band_idx", "band_val"])
     a, b = buckets.alias("a"), buckets.alias("b")
+    hamming = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    cond = ((F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (hamming <= max_hamming))
+    if max_bucket is None:
+        # first-matching-slice dedup: a pair sharing k slices would be
+        # emitted k times and need a distinct SHUFFLE over the candidate
+        # set; instead each pair is emitted exactly once — by its LOWEST
+        # matching slice — via a JVM predicate over the packed hashes
+        # evaluated in the join stage, and the hamming threshold rides
+        # the join condition too, so non-near candidates die before any
+        # downstream operator. (Under max_bucket the k-fold emission is
+        # the recall mechanism — a pair whose first slice was capped away
+        # must survive via a rarer slice — so the cap path keeps the
+        # distinct instead.)
+        fm = None
+        for c in range(bands):
+            eq = (F.shiftright(F.col("a.__h"), c * bb)
+                  .bitwiseAND(F.lit(mask))
+                  == F.shiftright(F.col("b.__h"), c * bb)
+                  .bitwiseAND(F.lit(mask)))
+            fm = F.when(eq, F.lit(c)) if fm is None else fm.when(
+                eq, F.lit(c))
+        return (
+            a.join(b, cond & (fm == F.col("a.band_idx")))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                hamming.alias("hamming"),
+            )
+        )
     return (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
-            .alias("hamming"),
+            hamming.alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -609,13 +609,17 @@ def synth_jpeg_column(df, id_col: str, out_col: str = "image"):
 def synth_jpeg_corpus(df, id_col: str, out_col: str = "image"):
     """Attach a deterministic NEAR-DUPLICATE image corpus: every row gets
     a 32x32 grayscale baseline JPEG of 4x4 flat blocks whose base values
-    come from the row's cluster (``id % 11``), with ONE block perturbed
-    per row (block ``(id // 11) % 16`` shifted by ``(id % 5) * 40``).
-    Rows in the same cluster are near-duplicates (hamming <= 2 on a
-    block-aligned aHash); rows across clusters are far. All-flat blocks +
-    all-ones quant tables keep the JPEG round trip bit-exact, so a SQL
-    oracle can replay the decoded pixels and the hash integer-for-integer.
-    Arrow-batched mapInPandas, map-only."""
+    come from the row's FIXED-SIZE cluster (``id // 8`` — 8 members per
+    cluster at every corpus size, so the true near-dup pair set grows
+    LINEARLY with the corpus, the shape a dedup benchmark needs), with
+    ONE block perturbed per row (block ``(id%8 * 2 + id//8) % 16``
+    shifted by ``(id % 5) * 40``). Rows in the same cluster are
+    near-duplicates (hamming <= 2 on a block-aligned aHash); rows across
+    clusters are far apart except where the mod-256 base math repeats —
+    those repeats ARE identical images, so finding them is correct.
+    All-flat blocks + all-ones quant tables keep the JPEG round trip
+    bit-exact, so a SQL oracle can replay the decoded pixels and the
+    hash integer-for-integer. Arrow-batched mapInPandas, map-only."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -625,12 +629,19 @@ def synth_jpeg_corpus(df, id_col: str, out_col: str = "image"):
             imgs = []
             for raw_id in pdf[id_col].values:
                 doc_id = int(raw_id)
-                cluster, pert = doc_id % 11, (doc_id // 11) % 16
+                cluster = doc_id // 8
+                pert = ((doc_id % 8) * 2 + cluster) % 16
                 arr = np.empty((32, 32), dtype=np.uint8)
                 for by in range(4):
                     for bx in range(4):
-                        v = (cluster * 37 + bx * 7 + by * 13) % 256
-                        if by * 4 + bx == pert:
+                        i = by * 4 + bx
+                        # the (cluster % 16) * i*i cross term varies the
+                        # STRUCTURE per cluster, not just brightness —
+                        # aHash is brightness-invariant, so a constant
+                        # shift alone would make every cluster hash-equal
+                        v = (cluster * 37 + i * 7
+                             + (cluster % 16) * i * i) % 256
+                        if i == pert:
                             v = (v + (doc_id % 5) * 40) % 256
                         arr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
                 imgs.append(encode_jpeg(

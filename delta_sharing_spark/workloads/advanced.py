@@ -180,11 +180,12 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT doc_id, i,
-             CASE WHEN i = (doc_id // 11) % 16
-                  THEN ((doc_id % 11) * 37 + (i % 4) * 7 + (i // 4) * 13
+             CASE WHEN i = ((doc_id % 8) * 2 + doc_id // 8) % 16
+                  THEN ((doc_id // 8) * 37 + i * 7
+                        + ((doc_id // 8) % 16) * i * i
                         + (doc_id % 5) * 40) % 256
-                  ELSE ((doc_id % 11) * 37 + (i % 4) * 7
-                        + (i // 4) * 13) % 256
+                  ELSE ((doc_id // 8) * 37 + i * 7
+                        + ((doc_id // 8) % 16) * i * i) % 256
              END AS v
       FROM documents, LATERAL UNNEST(generate_series(0, 15)) AS t(i)
     ), tot AS (
@@ -220,7 +221,10 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     imgs = synth_jpeg_corpus(docs, "doc_id")
-    hashes = image_ahash(imgs, "image", "doc_id").drop("error")
+    # persist the (tiny) hash table: the LSH self-join reads it twice and
+    # the decode+hash stage is the expensive Python part — without this
+    # every image is entropy-decoded twice
+    hashes = image_ahash(imgs, "image", "doc_id").drop("error").persist()
     pairs = hamming_near_pairs(hashes, "doc_id", "ahash",
                                bits=16, bands=4, max_hamming=3)
     return pairs.select("id_a", "id_b",
