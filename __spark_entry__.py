@@ -43,6 +43,7 @@ _DRIVER_PRIORITY = [
     "eng_rest_strict_features",
     "q_multimodal_jpeg",
     "q_image_near_dup",
+    "q_audio_flac",
     "eng_cluster_maintenance",
     # last round's additions, re-fronted once for a second green row
     "stream_remote_row_tracking_cdf",

@@ -84,6 +84,7 @@ HEADLINE = [
     # baseline-JPEG decode pass and perceptual-hash image near-dup
     "q_multimodal_jpeg",
     "q_image_near_dup",
+    "q_audio_flac",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

@@ -68,6 +68,24 @@ def decode_wav(content: bytes) -> "tuple[int, int, list[int]]":
         raise ValueError(f"not a PCM WAV payload: {e}") from e
 
 
+def decode_audio(content: bytes) -> "tuple[int, int, list[int]]":
+    """Magic-sniffing decode: FLAC (the vendored lossless codec,
+    operators/flac.py) or 16-bit PCM WAV — one signature, so every
+    feature operator below handles compressed and raw payloads alike.
+    FLAC errors surface under the same ValueError contract."""
+    if content[:4] == b"fLaC":
+        from delta_sharing_spark.operators.flac import (
+            FlacError,
+            decode_flac,
+        )
+
+        try:
+            return decode_flac(content)
+        except FlacError as e:
+            raise ValueError(f"bad FLAC payload: {e}") from e
+    return decode_wav(content)
+
+
 _AUDIO_SCHEMA = T.StructType([
     T.StructField("id", T.LongType()),
     T.StructField("sample_rate", T.IntegerType()),
@@ -100,7 +118,7 @@ def audio_features(df: DataFrame, media_col: str, id_col: str) -> DataFrame:
                     raw = r[media_col]
                     if raw is None:
                         raise ValueError("null media value")
-                    rate, ch, samples = decode_wav(bytes(raw))
+                    rate, ch, samples = decode_audio(bytes(raw))
                     a = np.asarray(samples, dtype=np.int64)
                     prod = a[:-1] * a[1:] if len(a) > 1 else np.array([])
                     rows.append((int(r[id_col]), rate, ch, len(a),
@@ -156,7 +174,7 @@ def audio_windows(df: DataFrame, media_col: str, id_col: str,
                     raw = r[media_col]
                     if raw is None:
                         raise ValueError("null media value")
-                    _rate, _ch, samples = decode_wav(bytes(raw))
+                    _rate, _ch, samples = decode_audio(bytes(raw))
                     a = np.asarray(samples, dtype=np.int64)
                     if len(a) == 0:
                         # one-row-per-clip floor (audio_features parity):
@@ -200,7 +218,7 @@ def audio_resample(df: DataFrame, media_col: str, factor: int,
             try:
                 if raw is None:
                     raise ValueError("null media value")
-                rate, ch, samples = decode_wav(bytes(raw))
+                rate, ch, samples = decode_audio(bytes(raw))
                 if ch != 1:
                     raise ValueError(
                         "decimation resample expects mono clips")
@@ -211,6 +229,28 @@ def audio_resample(df: DataFrame, media_col: str, factor: int,
         return pd.Series(out, dtype=object)
 
     return df.withColumn(out_col or media_col, resample(F.col(media_col)))
+
+
+def synth_flac_column(df: DataFrame, id_col: str, n_col: str,
+                      sample_rate: int = 8000,
+                      out_col: str = "audio") -> DataFrame:
+    """FLAC twin of :func:`synth_wav_column`: the SAME deterministic PCM
+    math, containered as real Rice-coded FLAC frames by the vendored
+    lossless codec — so the same SQL oracle verifies the compressed
+    decode path bit-for-bit."""
+    from delta_sharing_spark.operators.flac import encode_flac
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series, ns: pd.Series) -> pd.Series:
+        out = []
+        for i, n in zip(ids, ns):
+            count = int(n) % 256 + 16
+            samples = [((int(i) * 31 + k * 17) % 65536) - 32768
+                       for k in range(count)]
+            out.append(encode_flac(samples, sample_rate=sample_rate))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, synth(F.col(id_col), F.col(n_col)))
 
 
 def synth_wav_column(df: DataFrame, id_col: str, n_col: str,

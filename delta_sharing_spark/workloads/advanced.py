@@ -232,6 +232,52 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_audio_flac",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id,
+             unnest(generate_series(0, (n_chars % 256 + 15)::BIGINT)) AS k
+      FROM documents
+    ), v AS (
+      SELECT doc_id, k,
+             ((doc_id * 31 + k * 17) % 65536) - 32768 AS s
+      FROM idx
+    ), w AS (
+      SELECT doc_id, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY k) AS p
+      FROM v
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN p IS NOT NULL AND p * s < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM w GROUP BY doc_id
+    """,
+)
+def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode in the distributed path: the SAME
+    deterministic PCM math as q_audio_features, but containered as
+    Rice-coded FLAC frames by the vendored lossless codec
+    (operators/flac.py — CRC-8/CRC-16/MD5 verified on decode) and decoded
+    back through the magic-sniffing decode_audio dispatcher inside
+    Arrow-batched mapInPandas. FLAC is lossless, so the identical SQL
+    oracle verifies the compressed path bit-for-bit — the audio half of
+    the JPEG/FLAC compressed-codec pair. Map-only, no shuffle."""
+    from delta_sharing_spark.operators.audio import (
+        audio_features,
+        synth_flac_column,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    clips = synth_flac_column(docs, "doc_id", "n_chars")
+    return audio_features(clips, "audio", "doc_id").drop("error")
+
+
+@workload(
     "q_audio_features",
     oracle="""
     WITH idx AS (

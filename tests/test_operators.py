@@ -708,6 +708,68 @@ class TestMultimodal:
         assert [bytes(r) for r in rows] == [bytes([10, 20]), bytes([30, 40])]
         assert out[2]["resized"] is None and out[2]["error"]
 
+    def test_flac_roundtrip_and_integrity(self):
+        import math as _math
+        import random
+
+        from delta_sharing_spark.operators.flac import (
+            FlacError, decode_flac, encode_flac, flac_decode_meta)
+
+        rng = random.Random(11)
+        # lossless round trips: noise, smooth (fixed predictors engage),
+        # constant, extremes, stereo, multi-frame with odd tail
+        cases = [
+            ([rng.randint(-32768, 32767) for _ in range(3000)], 8000, 1),
+            ([int(2000 * _math.sin(i / 40)) for i in range(5000)],
+             16000, 1),
+            ([7] * 900, 44100, 1),
+            ([-32768, 32767] * 50, 8000, 1),
+            ([rng.randint(-500, 500) for _ in range(4000)], 8000, 2),
+            ([rng.randint(-99, 99) for _ in range(4096 + 77)], 8000, 1),
+        ]
+        for samples, sr, ch in cases:
+            data = encode_flac(samples, sr, ch)
+            got_sr, got_ch, got = decode_flac(data)
+            assert (got_sr, got_ch) == (sr, ch)
+            assert got == samples, "lossless round trip violated"
+        # smooth signals actually compress (predictors + Rice)
+        smooth = [int(3000 * _math.sin(i / 50)) for i in range(20000)]
+        assert len(encode_flac(smooth, 8000, 1)) < 0.5 * 2 * len(smooth)
+        # corruption caught by CRC (or MD5), never silently decoded
+        data = encode_flac(smooth[:5000], 8000, 1)
+        bad = bytearray(data)
+        bad[len(bad) // 2] ^= 0x55
+        with pytest.raises(FlacError):
+            decode_flac(bytes(bad))
+        # adapter: full-verify decode, None on junk/truncation
+        sr2, n2, ch2, fmt = flac_decode_meta(data)
+        assert (sr2, n2, ch2, fmt) == (8000, 5000, 1, "flac")
+        assert flac_decode_meta(b"not flac") is None
+        assert flac_decode_meta(data[:30]) is None
+        assert flac_decode_meta(None) is None
+
+    def test_audio_features_decodes_flac_and_wav_alike(self, spark):
+        """decode_audio sniffs the container: the SAME PCM through WAV
+        and FLAC yields identical feature rows in the distributed path —
+        FLAC is lossless, so any divergence is a codec bug."""
+        from delta_sharing_spark.operators.audio import (
+            audio_features, encode_wav)
+        from delta_sharing_spark.operators.flac import encode_flac
+
+        pcm = [((j * 31 + k * 17) % 65536) - 32768 for j, k in
+               ((3, k) for k in range(200))]
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_wav(pcm))),
+             (2, bytearray(encode_flac(pcm))),
+             (3, bytearray(b"junk"))],
+            "doc_id long, audio binary")
+        rows = {r["doc_id"]: r for r in
+                audio_features(df, "audio", "doc_id").collect()}
+        for field in ("sample_rate", "n_channels", "n_samples",
+                      "sum_abs", "sum_sq", "zero_crossings"):
+            assert rows[1][field] == rows[2][field], field
+        assert rows[3]["error"] and rows[3]["n_samples"] is None
+
     def test_resize_media_jpeg_payload(self, spark):
         """resize_media sniffs JPEG payloads and resizes real decoded
         pixels (flat 8x8 blocks decode bit-exactly): a 16x16 quadrant
