@@ -312,7 +312,10 @@ def hamming_near_pairs(df: DataFrame, id_col: str, hash_col: str,
 
     ``max_bucket`` frequency-caps hot slice values before the self-join
     (same quadratic-emission guard as the MinHash/SimHash paths). All
-    JVM expressions; one shuffle for the equi-join, one distinct."""
+    JVM expressions; one shuffle for the equi-join. PRECONDITION:
+    ``id_col`` is unique per input row (a hash table) — duplicate ids
+    multiply the emitted pairs on the uncapped path, which relies on
+    first-matching-slice dedup instead of a distinct."""
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
     if max_hamming >= bands:

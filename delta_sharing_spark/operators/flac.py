@@ -141,16 +141,12 @@ class _BitReader:
             self.pos += 1
 
 
-def _rice_cost(residuals: "list[int]", k: int) -> int:
-    total = 0
-    for r in residuals:
-        u = (r << 1) ^ (r >> 63) if r >= 0 else ((-r) << 1) - 1
-        total += (u >> k) + 1 + k
-    return total
-
-
 def _fold(r: int) -> int:
     return (r << 1) if r >= 0 else ((-r) << 1) - 1
+
+
+def _rice_cost(residuals: "list[int]", k: int) -> int:
+    return sum((_fold(r) >> k) + 1 + k for r in residuals)
 
 
 def _unfold(u: int) -> int:
@@ -166,6 +162,10 @@ def encode_flac(samples: "list[int]", sample_rate: int = 8000,
     orders 0-2 with a cost-scanned Rice parameter (one partition)."""
     if channels < 1 or channels > 8:
         raise FlacError(f"unsupported channel count {channels}")
+    if len(samples) % channels:
+        raise FlacError(
+            f"{len(samples)} samples do not interleave into "
+            f"{channels} channels")
     n_total = len(samples) // channels
     chans = [samples[c::channels] for c in range(channels)]
     for ch in chans:
@@ -191,12 +191,13 @@ def encode_flac(samples: "list[int]", sample_rate: int = 8000,
     out = bytearray(b"fLaC")
     out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
 
+    # an empty clip is a frameless stream (STREAMINFO says 0 samples);
+    # total_samples=0 WITH frames would read as spec's "unknown length",
+    # which the decoder rejects as outside the subset
     frame_idx = 0
     pos = 0
-    while pos < n_total or (n_total == 0 and frame_idx == 0):
-        bs = min(block_size, n_total - pos) if n_total else 0
-        if bs == 0 and n_total:
-            break
+    while pos < n_total:
+        bs = min(block_size, n_total - pos)
         bw = _BitWriter()
         bw.write(0b11111111111110, 14)   # sync
         bw.write(0, 1)                   # reserved
@@ -221,8 +222,6 @@ def encode_flac(samples: "list[int]", sample_rate: int = 8000,
         out += bytes(bw.out)
         frame_idx += 1
         pos += bs
-        if n_total == 0:
-            break
     return bytes(out)
 
 
@@ -324,6 +323,13 @@ def decode_flac(content: bytes) -> "tuple[int, int, list[int]]":
     if bps != 16:
         raise FlacError(f"only 16-bit FLAC supported, got {bps}-bit")
 
+    if n_total == 0 and pos < len(content):
+        # spec-legal "unknown length" streams (streaming encoders) are
+        # outside the subset: decoding them as empty would silently drop
+        # every frame — reject explicitly instead
+        raise FlacError(
+            "unknown-length FLAC stream (STREAMINFO total_samples=0 "
+            "with frames present) outside the supported subset")
     chans: "list[list[int]]" = [[] for _ in range(channels)]
     decoded = 0
     while decoded < n_total:
@@ -465,9 +471,12 @@ def _decode_residuals(br: _BitReader, bs: int, order: int) -> "list[int]":
 # ----------------------------------------------------- registry adapter
 
 def flac_decode_meta(content: bytes):
-    """Codec-registry adapter for audio payloads: bytes ->
-    (sample_rate, n_samples, channels, "flac") or None. Runs the FULL
-    decode including CRC and MD5 verification."""
+    """Metadata probe: bytes -> (sample_rate, n_samples, channels,
+    "flac") or None if the payload is not a decodable FLAC stream. Runs
+    the FULL decode including CRC and MD5 verification. NOTE: this is the
+    audio analogue of png_decode_meta, NOT a decode_media image codec —
+    the image registry's (width, height, channels, format) contract would
+    silently misread the audio fields."""
     try:
         sr, ch, samples = decode_flac(bytes(content or b""))
         return (sr, len(samples) // ch if ch else 0, ch, "flac")

@@ -223,7 +223,9 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = synth_jpeg_corpus(docs, "doc_id")
     # persist the (tiny) hash table: the LSH self-join reads it twice and
     # the decode+hash stage is the expensive Python part — without this
-    # every image is entropy-decoded twice
+    # every image is entropy-decoded twice. Not explicitly unpersisted:
+    # Spark's ContextCleaner reclaims the cached blocks once the plan's
+    # references are GC'd (the bench forces gc between queries)
     hashes = image_ahash(imgs, "image", "doc_id").drop("error").persist()
     pairs = hamming_near_pairs(hashes, "doc_id", "ahash",
                                bits=16, bands=4, max_hamming=3)

@@ -747,6 +747,20 @@ class TestMultimodal:
         assert flac_decode_meta(b"not flac") is None
         assert flac_decode_meta(data[:30]) is None
         assert flac_decode_meta(None) is None
+        # empty clip round-trips as a frameless stream
+        assert decode_flac(encode_flac([], 8000, 1)) == (8000, 1, [])
+        # non-divisible interleave rejected at ENCODE time (a stream whose
+        # MD5 covers samples its frames dropped would always fail decode)
+        with pytest.raises(FlacError, match="interleave"):
+            encode_flac([1, 2, 3], channels=2)
+        # spec-legal unknown-length stream (total_samples=0, frames
+        # present) rejected explicitly, never mis-decoded as empty
+        forged = bytearray(encode_flac([5, 6, 7, 8] * 100, 8000, 1))
+        forged[8 + 13] &= 0xF0
+        for i in range(14, 18):
+            forged[8 + i] = 0
+        with pytest.raises(FlacError, match="unknown-length"):
+            decode_flac(bytes(forged))
 
     def test_audio_features_decodes_flac_and_wav_alike(self, spark):
         """decode_audio sniffs the container: the SAME PCM through WAV
