@@ -400,7 +400,9 @@ def table_changes_actions(
     # commits past the filled page are never read, and commits before the
     # token's resume version are never re-parsed — a page at any depth of
     # a long backlog costs O(page) commit parses, not O(offset)
-    for v in log._list_versions():
+    versions = log._list_versions()
+    pager.check_resume_available(versions)
+    for v in versions:
         if v < start or v > end:
             continue
         if pager.skip_commit(v):

@@ -149,6 +149,19 @@ class ActionPager:
     def skip_commit(self, v: int) -> bool:
         return self._resume_v is not None and v < self._resume_v
 
+    def check_resume_available(self, versions: "list[int]") -> None:
+        """A resume token must land on a version still IN the log: if
+        ``expire_log`` removed the resume version mid-pagination, the walk
+        would otherwise silently skip every unserved file action that
+        lived in the expired commits (and the ``seen`` bookkeeping would
+        misalign) — fail the page loudly instead, like any other
+        time-travel past the retention floor."""
+        if self._resume_v is not None and self._resume_v not in versions:
+            raise ValueError(
+                f"page token resumes at version {self._resume_v}, which "
+                "has been expired from the log mid-pagination; re-issue "
+                "the query")
+
     def begin_commit(self, v: int) -> None:
         self._cur_v = v
         self._commit_base = self.seen
@@ -1154,7 +1167,9 @@ class SharedTable:
             start_version=starting_version, end=end, start_idx=start_idx,
             max_files=max_files, checksum=checksum,
             prev_cm=snap.column_mapping, carry_pcm=True, resume=resume)
-        for v in self.log._list_versions():
+        versions = self.log._list_versions()
+        pager.check_resume_available(versions)
+        for v in versions:
             if v < starting_version or v > end or pager.filled:
                 continue
             if pager.skip_commit(v):

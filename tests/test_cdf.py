@@ -501,6 +501,25 @@ class TestCDFPagination:
         assert pages == adds
         assert max(per_page[2:]) <= per_page[1] + 2, per_page
 
+    def test_resume_version_expired_mid_pagination_fails_loudly(
+            self, spark, deep_cdf):
+        """expire_log between pages removes the token's resume version:
+        the next page must fail with an explicit error, not silently skip
+        the unserved file actions that lived in the expired commits."""
+        from delta_sharing_spark.cdf import table_changes_actions
+
+        d, log = deep_cdf
+        page1 = table_changes_actions(spark, d, starting_version=0,
+                                      max_files=1)
+        token = page1["nextPageToken"]
+        assert token
+        log.write_checkpoint()
+        expired = log.expire_log(keep_last=1)
+        assert 0 in expired, "fixture must expire the resume version"
+        with pytest.raises(ValueError, match="expired from the log"):
+            table_changes_actions(spark, d, starting_version=0,
+                                  max_files=1, page_token=token)
+
     def test_end_pinned_across_pages(self, spark, deep_cdf):
         from delta_sharing_spark.cdf import table_changes_actions
 
