@@ -306,6 +306,34 @@ def checkpoint_arrow_table(kinds, jsons, paths, pvs, sizes, nrecs, mins,
     })
 
 
+def metadata_scan_split(spark):
+    """Context manager: plan manifest-plane parquet actions with
+    fine-grained splits. Manifest scans are CPU-bound — the stats prune
+    parses per-row JSON (get_json_object), ~20 µs/row/core — not IO-bound
+    like data scans, so the default 128 MB ``maxPartitionBytes`` (and the
+    4 MB open cost that bins a 101-part checkpoint into a handful of
+    tasks) leaves most cores idle: measured 74.8 s for a 10M-file prune
+    planned 4-wide vs ~8 s planned 32-wide. Scoped to the action so data
+    scans keep the IO-friendly defaults; single-driver engine, so the
+    temporary session-conf flip is not racing other tenants."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def guard():
+        conf = spark.conf
+        old_max = conf.get("spark.sql.files.maxPartitionBytes")
+        old_open = conf.get("spark.sql.files.openCostInBytes")
+        conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+        conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.files.maxPartitionBytes", old_max)
+            conf.set("spark.sql.files.openCostInBytes", old_open)
+
+    return guard()
+
+
 def write_checkpoint_files(table, final: str) -> None:
     """Write a checkpoint arrow table at ``final``: one parquet file, or —
     above CHECKPOINT_PART_ROWS rows — a directory of part files under the
@@ -316,8 +344,14 @@ def write_checkpoint_files(table, final: str) -> None:
     import pyarrow.parquet as pq
 
     tmp = final + f".{uuid.uuid4().hex}.tmp"
+    # bounded row groups: a parquet scan's REAL parallelism is one task
+    # per row group, so a single-file checkpoint written as one giant
+    # group would force the manifest prune's per-row stats-JSON filter
+    # onto one core however many splits Spark plans (measured 30 s for a
+    # 2M-row manifest; ~32k-row groups let the same filter fan out)
+    row_group = 32_768
     if table.num_rows <= CHECKPOINT_PART_ROWS:
-        pq.write_table(table, tmp)
+        pq.write_table(table, tmp, row_group_size=row_group)
         if os.path.isdir(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
@@ -326,7 +360,8 @@ def write_checkpoint_files(table, final: str) -> None:
     for i, start in enumerate(range(0, table.num_rows,
                                     CHECKPOINT_PART_ROWS)):
         pq.write_table(table.slice(start, CHECKPOINT_PART_ROWS),
-                       os.path.join(tmp, f"part-{i:05d}.parquet"))
+                       os.path.join(tmp, f"part-{i:05d}.parquet"),
+                       row_group_size=row_group)
     try:
         if os.path.isfile(final):
             os.remove(final)
@@ -1015,7 +1050,9 @@ class TableLog:
                 t = checkpoint_arrow_table(
                     ["add"] * len(rows), *map(list, zip(*rows)))
                 tmp = fp + f".{uuid.uuid4().hex}.tmp"
-                pq.write_table(t, tmp)
+                # bounded row groups for the same scan-parallelism reason
+                # as write_checkpoint_files
+                pq.write_table(t, tmp, row_group_size=32_768)
                 os.replace(tmp, fp)
             kinds.append("sidecar")
             jsons.append(json.dumps({"sidecar": {
@@ -1465,9 +1502,10 @@ class TableLog:
                     and "tableSizeBytes" in crc:
                 counts = (int(crc["numFiles"]), int(crc["tableSizeBytes"]))
             else:
-                row = self.files_df(snapshot).agg(
-                    F.count("*").alias("n"),
-                    F.sum("size").alias("s")).collect()[0]
+                with metadata_scan_split(self.spark):
+                    row = self.files_df(snapshot).agg(
+                        F.count("*").alias("n"),
+                        F.sum("size").alias("s")).collect()[0]
                 counts = (int(row["n"]), int(row["s"] or 0))
         snapshot._counts = counts
         return counts
