@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delta_sharing_spark.io import read_table
+from delta_sharing_spark.operators.dedup import _spread
 from delta_sharing_spark.operators.joins import asof_join
 from delta_sharing_spark.operators.multimodal import (
     fake_decode_media,
@@ -170,7 +171,8 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_jpeg_column,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(
+        read_table(spark, sf_dir, "documents").select("doc_id"))
     imgs = synth_jpeg_column(docs, "doc_id")
     return jpeg_features(imgs, "image", "doc_id").drop("error")
 
@@ -219,7 +221,8 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_sharing_spark.operators.jpeg import synth_jpeg_corpus
     from delta_sharing_spark.operators.multimodal import image_ahash
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(
+        read_table(spark, sf_dir, "documents").select("doc_id"))
     imgs = synth_jpeg_corpus(docs, "doc_id")
     # persist the (tiny) hash table: the LSH self-join reads it twice and
     # the decode+hash stage is the expensive Python part — without this
@@ -274,7 +277,10 @@ def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_flac_column,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # the per-clip pure-python FLAC encode/decode is the expensive part;
+    # a one-partition documents scan would serialize it on one core
+    docs = _spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "n_chars"))
     clips = synth_flac_column(docs, "doc_id", "n_chars")
     return audio_features(clips, "audio", "doc_id").drop("error")
 
@@ -318,7 +324,8 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_wav_column,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "n_chars"))
     clips = synth_wav_column(docs, "doc_id", "n_chars")
     return audio_features(clips, "audio", "doc_id").drop("error")
 
