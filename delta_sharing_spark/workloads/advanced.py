@@ -375,7 +375,8 @@ def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_wav_column,
     )
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = _spread(
+        read_table(spark, sf_dir, "documents").select("doc_id", "n_chars"))
     clips = synth_wav_column(docs, "doc_id", "n_chars")
     resampled = audio_resample(clips, "audio", factor=3)
     frames = audio_windows(resampled, "audio", "doc_id", window=32)
