@@ -134,6 +134,15 @@ def _resolve_range(
             f"startingVersion {start} is after the latest version {latest}")
     if end < start:
         raise CDFError(f"CDF range [{start}, {end}] is empty")
+    versions = log._list_versions()
+    if versions and start < versions[0]:
+        # reading changes from below the retention floor would silently
+        # serve only the retained suffix — fail loudly instead (the same
+        # contract as resume tokens whose version was expired mid-walk)
+        raise CDFError(
+            f"startingVersion {start} precedes the earliest retained "
+            f"version {versions[0]}; the commits were expired from the "
+            "log and change data cannot be reconstructed")
     return start, min(end, latest)
 
 

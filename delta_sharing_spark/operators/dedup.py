@@ -22,14 +22,13 @@ from pyspark.sql import functions as F
 def _spread(df: DataFrame) -> DataFrame:
     """Row-multiplying operators (gram/segment explodes) inherit the SCAN's
     parallelism, and a small corpus file scans as ONE partition — the whole
-    map phase then runs on one core. Repartition up to the cluster's
-    default parallelism when (and only when) the input has fewer
-    partitions: at real scale the scan already has more partitions than
-    cores and this is a no-op (no shuffle added)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    map phase then runs on one core. Thin alias for the shared helper
+    (operators.partitioning.spread_to_parallelism)."""
+    from delta_sharing_spark.operators.partitioning import (
+        spread_to_parallelism,
+    )
+
+    return spread_to_parallelism(df)
 
 
 def _word_shingles(text_col: str, k: int) -> F.Column:

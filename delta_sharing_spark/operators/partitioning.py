@@ -15,6 +15,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def spread_to_parallelism(df: DataFrame) -> DataFrame:
+    """Row-multiplying or per-row-expensive stages inherit the SCAN's
+    partitioning, and a small input file scans as ONE partition — the
+    whole map phase then runs on one core. Repartition up to the
+    cluster's default parallelism when (and only when) the input has
+    fewer partitions: at real scale the scan already has more partitions
+    than cores and this is a no-op (no shuffle added). Shared by the
+    dedup shingle explodes and the media decode workloads."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def write_bucketed(df: DataFrame, table_name: str, num_buckets: int,
                    bucket_cols: list[str],
                    sort_cols: list[str] | None = None) -> None:

@@ -33,9 +33,11 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import urllib.parse
 import uuid
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass, field as dc_field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -126,6 +128,9 @@ from delta_sharing_spark.plans.dvcodec import (  # noqa: E402
 # measured 12.9s for a 1M-file stats prune vs ~2s with 10 parts. Readers
 # (pyarrow + spark.read.parquet) take the file and directory forms alike.
 CHECKPOINT_PART_ROWS = 100_000
+# parquet row-group bound for checkpoint/sidecar writers: a scan's real
+# parallelism is one task per row group (see write_checkpoint_files)
+CHECKPOINT_ROW_GROUP_ROWS = 32_768
 # V2 checkpoints (delta.checkpointPolicy=v2): file actions live in
 # content-addressed sidecar parquets bucketed by a stable path hash —
 # bucket count = smallest power of two with <= this many files per bucket,
@@ -306,32 +311,38 @@ def checkpoint_arrow_table(kinds, jsons, paths, pvs, sizes, nrecs, mins,
     })
 
 
-def metadata_scan_split(spark):
-    """Context manager: plan manifest-plane parquet actions with
-    fine-grained splits. Manifest scans are CPU-bound — the stats prune
-    parses per-row JSON (get_json_object), ~20 µs/row/core — not IO-bound
-    like data scans, so the default 128 MB ``maxPartitionBytes`` (and the
-    4 MB open cost that bins a 101-part checkpoint into a handful of
-    tasks) leaves most cores idle: measured 74.8 s for a 10M-file prune
-    planned 4-wide vs ~8 s planned 32-wide. Scoped to the action so data
-    scans keep the IO-friendly defaults; single-driver engine, so the
-    temporary session-conf flip is not racing other tenants."""
-    from contextlib import contextmanager
+_META_SCAN_LOCK = threading.RLock()
 
-    @contextmanager
-    def guard():
+
+@contextmanager
+def metadata_scan_split(spark):
+    """Plan manifest-plane parquet actions with fine-grained splits.
+    Manifest scans are CPU-bound — the stats prune parses per-row JSON
+    (get_json_object), ~20 µs/row/core — not IO-bound like data scans, so
+    the default 128 MB ``maxPartitionBytes`` (and the 4 MB open cost that
+    bins a 101-part checkpoint into a handful of tasks) leaves most cores
+    idle: measured 74.8 s for a 10M-file prune planned 4-wide vs planned
+    32-wide.
+
+    The session conf flip is guarded by a process-wide RLock and the sets
+    happen INSIDE the try, so concurrent server/async threads can never
+    interleave save/restore and pin the session at 4 MB splits (the
+    round-9 review's race). Residual effect under concurrency: a DATA
+    query planned during another thread's guard window gets fine splits —
+    slower planning granularity, never a wrong result. The fully isolated
+    design (a dedicated ``spark.newSession()`` for the whole manifest
+    plane, private SQLConf) is the round-10 follow-up."""
+    with _META_SCAN_LOCK:
         conf = spark.conf
         old_max = conf.get("spark.sql.files.maxPartitionBytes")
         old_open = conf.get("spark.sql.files.openCostInBytes")
-        conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
-        conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
         try:
+            conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+            conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
             yield
         finally:
             conf.set("spark.sql.files.maxPartitionBytes", old_max)
             conf.set("spark.sql.files.openCostInBytes", old_open)
-
-    return guard()
 
 
 def write_checkpoint_files(table, final: str) -> None:
@@ -349,7 +360,7 @@ def write_checkpoint_files(table, final: str) -> None:
     # group would force the manifest prune's per-row stats-JSON filter
     # onto one core however many splits Spark plans (measured 30 s for a
     # 2M-row manifest; ~32k-row groups let the same filter fan out)
-    row_group = 32_768
+    row_group = CHECKPOINT_ROW_GROUP_ROWS
     if table.num_rows <= CHECKPOINT_PART_ROWS:
         pq.write_table(table, tmp, row_group_size=row_group)
         if os.path.isdir(final):
@@ -1052,7 +1063,8 @@ class TableLog:
                 tmp = fp + f".{uuid.uuid4().hex}.tmp"
                 # bounded row groups for the same scan-parallelism reason
                 # as write_checkpoint_files
-                pq.write_table(t, tmp, row_group_size=32_768)
+                pq.write_table(t, tmp,
+                               row_group_size=CHECKPOINT_ROW_GROUP_ROWS)
                 os.replace(tmp, fp)
             kinds.append("sidecar")
             jsons.append(json.dumps({"sidecar": {

@@ -1049,6 +1049,14 @@ class SharedTable:
                 f"Provided end version({ending_version}) is invalid. End "
                 "version cannot be greater than the latest version of the "
                 f"table({latest}).")
+        retained = self.log._list_versions()
+        if retained and starting_version < retained[0]:
+            # serving from below the retention floor would silently drop
+            # the expired prefix — fail loudly like the CDF form
+            raise VersionNotFoundError(
+                f"Provided Start version({starting_version}) precedes the "
+                f"earliest retained version({retained[0]}); the commits "
+                "were expired from the log.")
         snap = self.log.snapshot(version=starting_version)
         responded_format = self._responded_format(snap, formats)
         if responded_format == "parquet" and "delta" in formats:

@@ -8,7 +8,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delta_sharing_spark.io import read_table
-from delta_sharing_spark.operators.dedup import _spread
+from delta_sharing_spark.operators.partitioning import (
+    spread_to_parallelism as _spread,
+)
 from delta_sharing_spark.operators.joins import asof_join
 from delta_sharing_spark.operators.multimodal import (
     fake_decode_media,

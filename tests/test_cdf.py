@@ -505,8 +505,11 @@ class TestCDFPagination:
             self, spark, deep_cdf):
         """expire_log between pages removes the token's resume version:
         the next page must fail with an explicit error, not silently skip
-        the unserved file actions that lived in the expired commits."""
-        from delta_sharing_spark.cdf import table_changes_actions
+        the unserved file actions that lived in the expired commits.
+        Here the retention-floor check fires first (the range start is
+        itself expired); ActionPager.check_resume_available remains the
+        backstop for non-prefix gaps (manual log surgery)."""
+        from delta_sharing_spark.cdf import CDFError, table_changes_actions
 
         d, log = deep_cdf
         page1 = table_changes_actions(spark, d, starting_version=0,
@@ -516,9 +519,14 @@ class TestCDFPagination:
         log.write_checkpoint()
         expired = log.expire_log(keep_last=1)
         assert 0 in expired, "fixture must expire the resume version"
-        with pytest.raises(ValueError, match="expired from the log"):
+        with pytest.raises((ValueError, CDFError),
+                           match="expired from the log"):
             table_changes_actions(spark, d, starting_version=0,
                                   max_files=1, page_token=token)
+        # a FIRST page from below the floor fails loudly too (the silent
+        # truncation the round-9 review flagged)
+        with pytest.raises(CDFError, match="earliest retained"):
+            table_changes_actions(spark, d, starting_version=0)
 
     def test_end_pinned_across_pages(self, spark, deep_cdf):
         from delta_sharing_spark.cdf import table_changes_actions
