@@ -402,7 +402,8 @@ def table_changes_actions(
     pager = ActionPager(
         start_version=start, end=end, start_idx=start_idx,
         max_files=max_files, checksum=checksum, prev_cm=prev_cm,
-        carry_pcm=include_historical_protocol, resume=resume)
+        carry_pcm=include_historical_protocol, resume=resume,
+        error_cls=CDFError)
     emit_file, emit_meta = pager.emit_file, pager.emit_meta
 
     # version-by-version with early break AND resume-version skip:
@@ -479,9 +480,6 @@ def table_changes_actions(
                     "partitionValues": r.partitionValues, "size": r.size,
                     "timestamp": commit.timestamp,
                     "version": commit.version}})
-    # wire parity: Delta-Table-Version on the changes RPC is the STARTING
-    # version of the files in the response (PROTOCOL.md:2432-2436;
-    # DeltaSharedTable.scala queryCDF returns QueryResult(start, ...))
     lines += pager.lines
     # wire parity: Delta-Table-Version on the changes RPC is the STARTING
     # version of the files in the response (PROTOCOL.md:2432-2436;

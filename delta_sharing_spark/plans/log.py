@@ -286,29 +286,126 @@ def _fmt_checkpoint(v: int) -> str:
     return f"{v:020d}.checkpoint.parquet"
 
 
+# Typed min/max stats columns (Delta's ``stats_parsed`` shape): columns of
+# these atomic Spark types additionally materialize as TYPED struct fields
+# beside the stats-JSON strings in every checkpoint/sidecar row, so the
+# manifest prune compares native parquet columns instead of running
+# get_json_object per row (~20-60 µs/row/core — the dominant cost of a
+# 10M-file stats prune). Kind chars: i=int64, f=float64, b=bool,
+# s=string (dates/timestamps keep their ISO string form and are cast at
+# scan time — bit-identical semantics to the JSON path's string cast).
+# Decimals/binary/nested stay JSON-only (the prune falls back per column).
+_STAT_KIND_OF_TYPE = {
+    T.ByteType: "i", T.ShortType: "i", T.IntegerType: "i", T.LongType: "i",
+    T.FloatType: "f", T.DoubleType: "f",
+    T.BooleanType: "b",
+    T.StringType: "s", T.DateType: "s", T.TimestampType: "s",
+    T.TimestampNTZType: "s",
+}
+_STAT_SPARK_TYPE = {"i": T.LongType(), "f": T.DoubleType(),
+                    "b": T.BooleanType(), "s": T.StringType()}
+
+PARSED_STAT_COLS = ("minValues_parsed", "maxValues_parsed",
+                    "nullCount_parsed")
+
+
+def stats_field_spec(schema: T.StructType) -> list[tuple[str, str]]:
+    """(name, kind) for every top-level column eligible for typed stats
+    columns. Keyed by whatever names the given schema carries — pass the
+    PHYSICAL schema under column mapping (stats are physical-keyed)."""
+    return [(f.name, _STAT_KIND_OF_TYPE[type(f.dataType)])
+            for f in schema.fields
+            if type(f.dataType) in _STAT_KIND_OF_TYPE]
+
+
+def _typed_stat_value(v, kind: str):
+    """One stats-JSON value -> the typed column's python value; anything
+    non-conforming -> None (Unknown -> the prune keeps the file)."""
+    if v is None:
+        return None
+    try:
+        if kind == "i":
+            return int(v) if not isinstance(v, bool) else None
+        if kind == "f":
+            return float(v) if not isinstance(v, bool) else None
+        if kind == "b":
+            return v if isinstance(v, bool) else None
+        return v if isinstance(v, str) else str(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def _parsed_struct_arrays(dicts, spec):
+    """Arrow StructArray over per-row stats dicts: one flat value list per
+    field (never 10M python dicts), rows with no stats masked null."""
+    import pyarrow as pa
+
+    cols, names = [], []
+    for name, kind in spec:
+        pa_t = {"i": pa.int64(), "f": pa.float64(),
+                "b": pa.bool_(), "s": pa.string()}[kind]
+        cols.append(pa.array(
+            [None if d is None else _typed_stat_value(d.get(name), kind)
+             for d in dicts], pa_t))
+        names.append(name)
+    mask = pa.array([d is None for d in dicts], pa.bool_())
+    return pa.StructArray.from_arrays(cols, names=names, mask=mask)
+
+
+def stat_min_max_cols(df: DataFrame, key: str) -> "tuple[Column, Column]":
+    """String-form min/max stat Columns over a manifest DataFrame for the
+    clustering-envelope math, preferring the typed ``*_parsed`` structs
+    (native parquet values — no per-row JSON parse) with the stats-JSON
+    fallback for manifests that predate them. Numeric rendering may
+    differ between the two paths, but envelope overlap only compares
+    strings when the double cast fails — which typed numerics never do."""
+    for f in df.schema.fields:
+        if f.name == "minValues_parsed" and key in f.dataType.fieldNames():
+            return (F.col("minValues_parsed").getField(key).cast("string"),
+                    F.col("maxValues_parsed").getField(key).cast("string"))
+    return (F.get_json_object(F.col("minValues"), f"$.{key}"),
+            F.get_json_object(F.col("maxValues"), f"$.{key}"))
+
+
 def checkpoint_arrow_table(kinds, jsons, paths, pvs, sizes, nrecs, mins,
-                           maxs, nulls, vers, tss):
+                           maxs, nulls, vers, tss, stats_fields=None):
     """The ONE definition of the checkpoint column layout — used by
     ``TableLog.write_checkpoint`` and the metadata-plane scale bench
     (tools/scale_bench.py), so the bench can never drift onto a stale
     format. Rows carry the wrapped action JSON (exact log round-trip)
     plus typed manifest columns so ``files_df`` scans the checkpoint
-    directly as a DataFrame."""
+    directly as a DataFrame.
+
+    ``mins``/``maxs``/``nulls`` are per-row stats DICTS (or None for
+    non-file rows); the JSON string columns are serialized here, and —
+    when ``stats_fields`` (from ``stats_field_spec``) is given — typed
+    ``*_parsed`` struct columns are built beside them so stats pruning
+    reads native parquet values (Delta's ``stats_parsed`` shape)."""
     import pyarrow as pa
 
-    return pa.table({
+    def js(ds):
+        return [None if d is None else json.dumps(d, default=str)
+                for d in ds]
+
+    data = {
         "kind": pa.array(kinds, pa.string()),
         "action_json": pa.array(jsons, pa.string()),
         "path": pa.array(paths, pa.string()),
         "partitionValues": pa.array(pvs, pa.map_(pa.string(), pa.string())),
         "size": pa.array(sizes, pa.int64()),
         "numRecords": pa.array(nrecs, pa.int64()),
-        "minValues": pa.array(mins, pa.string()),
-        "maxValues": pa.array(maxs, pa.string()),
-        "nullCount": pa.array(nulls, pa.string()),
+        "minValues": pa.array(js(mins), pa.string()),
+        "maxValues": pa.array(js(maxs), pa.string()),
+        "nullCount": pa.array(js(nulls), pa.string()),
         "version": pa.array(vers, pa.int64()),
         "timestamp": pa.array(tss, pa.int64()),
-    })
+    }
+    if stats_fields:
+        data["minValues_parsed"] = _parsed_struct_arrays(mins, stats_fields)
+        data["maxValues_parsed"] = _parsed_struct_arrays(maxs, stats_fields)
+        data["nullCount_parsed"] = _parsed_struct_arrays(
+            nulls, [(n, "i") for n, _ in stats_fields])
+    return pa.table(data)
 
 
 _META_SCAN_LOCK = threading.RLock()
@@ -963,9 +1060,9 @@ class TableLog:
             # DeltaSharedTableKernel.scala:446-449); the action_json column
             # still round-trips the exact physical stats
             nrecs.append(add.logical_records)
-            mins.append(json.dumps(st.get("minValues", {}), default=str))
-            maxs.append(json.dumps(st.get("maxValues", {}), default=str))
-            nulls.append(json.dumps(st.get("nullCount", {}), default=str))
+            mins.append(st.get("minValues", {}))
+            maxs.append(st.get("maxValues", {}))
+            nulls.append(st.get("nullCount", {}))
             vers.append(add.version)
             tss.append(add.timestamp)
         # retention cap (Delta's setTransactionRetentionDuration shape, by
@@ -991,7 +1088,8 @@ class TableLog:
                         vers, tss):
                 lst.append(None)
         table = checkpoint_arrow_table(kinds, jsons, paths, pvs, sizes,
-                                       nrecs, mins, maxs, nulls, vers, tss)
+                                       nrecs, mins, maxs, nulls, vers, tss,
+                                       stats_field_spec(snap.physical_schema))
         final = os.path.join(self.log_path, _fmt_checkpoint(snap.version))
         write_checkpoint_files(table, final)
         self._write_last_checkpoint(snap.version, final, len(snap.files),
@@ -999,14 +1097,16 @@ class TableLog:
         return final
 
     def _add_manifest_entry(self, add: AddFile):
-        """One checkpoint/sidecar row for an add: (json, typed columns)."""
+        """One checkpoint/sidecar row for an add: (json, typed columns);
+        stats ride as DICTS — checkpoint_arrow_table serializes the JSON
+        string columns and builds the typed ``*_parsed`` structs."""
         st = add.stats_dict()
         return (dumps_action(add), add.path,
                 list(add.partitionValues.items()), add.size,
                 add.logical_records,
-                json.dumps(st.get("minValues", {}), default=str),
-                json.dumps(st.get("maxValues", {}), default=str),
-                json.dumps(st.get("nullCount", {}), default=str),
+                st.get("minValues", {}),
+                st.get("maxValues", {}),
+                st.get("nullCount", {}),
                 add.version, add.timestamp)
 
     def _write_checkpoint_v2(self, snap: "Snapshot") -> str:
@@ -1032,6 +1132,14 @@ class TableLog:
             buckets[b].append(add)
         sidecar_dir = os.path.join(self.log_path, SIDECAR_DIR)
         os.makedirs(sidecar_dir, exist_ok=True)
+        # the typed-stats struct layout is part of a sidecar's identity:
+        # after a schema change (add/widen column) every bucket re-addresses
+        # and rewrites ONCE with the new struct fields, so one checkpoint's
+        # sidecar set always shares a single parquet schema (a reused
+        # old-layout file would make the manifest scan's struct types
+        # file-dependent)
+        spec = stats_field_spec(snap.physical_schema)
+        spec_tag = json.dumps(spec)
         kinds = ["metaData", "protocol", "checkpointMetadata"]
         jsons = [dumps_action(snap.metadata), dumps_action(Protocol()),
                  json.dumps({"checkpointMetadata": {
@@ -1050,8 +1158,12 @@ class TableLog:
             # in the log (replay always reconstructs the same bytes), so
             # the identity set determines the sidecar content — and an
             # UNCHANGED bucket costs O(paths) string hashing, never a
-            # re-serialization of its actions (the incremental property)
-            h = _hl.sha256(("sidecar-v1\n" + "\n".join(
+            # re-serialization of its actions (the incremental property).
+            # "sidecar-v2" = the typed *_parsed stats-column layout: the
+            # version tag in the address means a new checkpoint can never
+            # reuse an old-layout sidecar file, so one scan never mixes
+            # parquet schemas with and without the parsed structs
+            h = _hl.sha256(("sidecar-v2\n" + spec_tag + "\n" + "\n".join(
                 f"{a.path}\x00{a.version}" for a in bucket)
             ).encode()).hexdigest()[:32]
             rel = os.path.join(SIDECAR_DIR, f"{h}.parquet")
@@ -1059,7 +1171,8 @@ class TableLog:
             if not os.path.exists(fp):
                 rows = [self._add_manifest_entry(a) for a in bucket]
                 t = checkpoint_arrow_table(
-                    ["add"] * len(rows), *map(list, zip(*rows)))
+                    ["add"] * len(rows), *map(list, zip(*rows)),
+                    stats_fields=spec)
                 tmp = fp + f".{uuid.uuid4().hex}.tmp"
                 # bounded row groups for the same scan-parallelism reason
                 # as write_checkpoint_files
@@ -1194,14 +1307,22 @@ class TableLog:
         bytes), so a truncated OR tampered sidecar must raise here
         rather than serve a wrong snapshot. Content hashes are checked
         against the manifest's recorded sha256 once per (path, size,
-        mtime) per TableLog instance — repeated queries over an
-        unchanged checkpoint pay one stat call, not a re-hash."""
+        mtime, head/tail-token) per TableLog instance — repeated queries
+        over an unchanged checkpoint pay one stat + two 4 KB reads, not
+        a re-hash. Trust boundary of the memoization: an in-place edit
+        that preserves the size, restores the mtime (os.utime) AND keeps
+        the first/last 4 KB byte-identical is not re-hashed within this
+        process's lifetime; parquet cannot express a content change
+        under all three constraints without corrupting its footer
+        metadata, and a fresh TableLog (new process / cache eviction)
+        always deep-hashes again."""
         refs = self._sidecar_refs(version)
         for sc in refs:
             fp = os.path.join(self.log_path, sc["path"])
             try:
                 st = os.stat(fp)
-                key = (st.st_size, st.st_mtime)
+                key = (st.st_size, st.st_mtime,
+                       self._sidecar_edge_token(fp, st.st_size))
             except OSError:
                 key = None
             if key is not None \
@@ -1211,6 +1332,21 @@ class TableLog:
             if key is not None:
                 self._sidecar_deep_verified[sc["path"]] = key
         return [sc["path"] for sc in refs]
+
+    @staticmethod
+    def _sidecar_edge_token(fp: str, size: int) -> str:
+        """Cheap content token for the deep-verify memo key: hash of the
+        first and last 4 KB (footer metadata lives in the tail, so any
+        well-formed parquet rewrite changes it even at equal size)."""
+        import hashlib as _hl
+
+        h = _hl.sha256()
+        with open(fp, "rb") as f:
+            h.update(f.read(4096))
+            if size > 4096:
+                f.seek(max(4096, size - 4096))
+                h.update(f.read(4096))
+        return h.hexdigest()[:16]
 
     def _read_checkpoint(
         self, version: int
@@ -1400,25 +1536,72 @@ class TableLog:
     )
 
     @staticmethod
-    def _manifest_rows(files) -> list[tuple]:
+    def _manifest_rows(files, parsed_spec=None) -> list[tuple]:
+        """Driver-built manifest rows (checkpoint tails / small manifests).
+        With ``parsed_spec`` ([(name, kind)], see ``stats_field_spec``) each
+        row also carries the typed ``*_parsed`` structs so a tail union
+        matches the checkpoint scan's schema exactly."""
         rows = []
         for add in files:
             st = add.stats_dict()
-            rows.append(
-                (
-                    add.path,
-                    add.partitionValues,
-                    add.size,
-                    add.logical_records,
-                    json.dumps(st.get("minValues", {}), default=str),
-                    json.dumps(st.get("maxValues", {}), default=str),
-                    json.dumps(st.get("nullCount", {}), default=str),
-                    add.version,
-                    add.timestamp,
-                    dumps_action(add),
-                )
+            mins = st.get("minValues", {})
+            maxs = st.get("maxValues", {})
+            nulls = st.get("nullCount", {})
+            row = (
+                add.path,
+                add.partitionValues,
+                add.size,
+                add.logical_records,
+                json.dumps(mins, default=str),
+                json.dumps(maxs, default=str),
+                json.dumps(nulls, default=str),
+                add.version,
+                add.timestamp,
+                dumps_action(add),
             )
+            if parsed_spec is not None:
+                row += (
+                    tuple(_typed_stat_value(mins.get(n), k)
+                          for n, k in parsed_spec),
+                    tuple(_typed_stat_value(maxs.get(n), k)
+                          for n, k in parsed_spec),
+                    tuple(_typed_stat_value(nulls.get(n), "i")
+                          for n, _ in parsed_spec),
+                )
+            rows.append(row)
         return rows
+
+    @classmethod
+    def _manifest_schema(cls, parsed_spec=None) -> T.StructType:
+        """The manifest DataFrame schema; with ``parsed_spec`` the three
+        typed-stats struct columns are appended (manifest Spark types:
+        i->long, f->double, b->boolean, s->string; nullCount always long)."""
+        fields = list(cls._MANIFEST_SCHEMA.fields)
+        if parsed_spec is not None:
+            val_struct = T.StructType(
+                [T.StructField(n, _STAT_SPARK_TYPE[k]) for n, k in
+                 parsed_spec])
+            nc_struct = T.StructType(
+                [T.StructField(n, T.LongType()) for n, _ in parsed_spec])
+            fields += [
+                T.StructField("minValues_parsed", val_struct),
+                T.StructField("maxValues_parsed", val_struct),
+                T.StructField("nullCount_parsed", nc_struct),
+            ]
+        return T.StructType(fields)
+
+    @staticmethod
+    def _parsed_spec_of(df: DataFrame):
+        """Recover the (name, kind) typed-stats spec from a manifest
+        DataFrame's ``minValues_parsed`` struct — None when the source
+        predates the typed columns (scan falls back to the JSON path)."""
+        kind_of = {T.LongType: "i", T.DoubleType: "f",
+                   T.BooleanType: "b", T.StringType: "s"}
+        for f in df.schema.fields:
+            if f.name == "minValues_parsed":
+                return [(sf.name, kind_of[type(sf.dataType)])
+                        for sf in f.dataType.fields]
+        return None
 
     def _checkpoint_manifest_df(self, cp_version: int) -> DataFrame:
         cp = os.path.join(self.log_path, _fmt_checkpoint(cp_version))
@@ -1428,11 +1611,13 @@ class TableLog:
         sidecars = self._checkpoint_sidecars(cp_version)
         src = ([os.path.join(self.log_path, rel) for rel in sidecars]
                if sidecars else [cp])
-        return (
-            self.spark.read.parquet(*src)
-            .filter(F.col("kind") == "add")
-            .select(*[f.name for f in self._MANIFEST_SCHEMA.fields])
-        )
+        df = self.spark.read.parquet(*src)
+        cols = [f.name for f in self._MANIFEST_SCHEMA.fields]
+        # typed *_parsed stats columns ride along when the checkpoint has
+        # them (post-r10 format); absent on older checkpoints — pruning
+        # then falls back to get_json_object per column
+        cols += [c for c in PARSED_STAT_COLS if c in df.columns]
+        return df.filter(F.col("kind") == "add").select(*cols)
 
     def files_df(self, snapshot: Snapshot) -> DataFrame:
         """The file manifest as a DataFrame — the engine's scale path for
@@ -1485,12 +1670,20 @@ class TableLog:
                 base = base.filter(~F.col("path").isin(*changed))
             df = base
             if tail:
+                # the tail union mirrors the CHECKPOINT's typed-stats
+                # struct exactly (fields AND their stored types), so the
+                # union always type-checks even after a schema change
+                # between the checkpoint and the tail commits
+                spec = self._parsed_spec_of(base)
                 df = base.unionByName(
                     self.spark.createDataFrame(
-                        self._manifest_rows(tail), self._MANIFEST_SCHEMA))
+                        self._manifest_rows(tail, spec),
+                        self._manifest_schema(spec)))
         else:
+            spec = stats_field_spec(snapshot.physical_schema) or None
             df = self.spark.createDataFrame(
-                self._manifest_rows(snapshot.files), self._MANIFEST_SCHEMA)
+                self._manifest_rows(snapshot.files, spec),
+                self._manifest_schema(spec))
         self._files_df_cache[snapshot.version] = df
         while len(self._files_df_cache) > 8:
             self._files_df_cache.pop(next(iter(self._files_df_cache)))
@@ -4903,8 +5096,7 @@ class TableLog:
             sel = [F.col("path").alias(f"{p}path")]
             for i, logical in enumerate(columns):
                 key = phys.get(logical, logical)
-                mn = F.get_json_object(F.col("minValues"), f"$.{key}")
-                mx = F.get_json_object(F.col("maxValues"), f"$.{key}")
+                mn, mx = stat_min_max_cols(df, key)
                 sel += [mn.alias(f"{p}mn_s_{i}"), mx.alias(f"{p}mx_s_{i}"),
                         mn.try_cast("double").alias(f"{p}mn_d_{i}"),
                         mx.try_cast("double").alias(f"{p}mx_d_{i}")]
@@ -4965,8 +5157,7 @@ class TableLog:
             sel = [F.col("path").alias(f"{p}path")]
             for i, logical in enumerate(columns):
                 key = phys.get(logical, logical)
-                mn = F.get_json_object(F.col("minValues"), f"$.{key}")
-                mx = F.get_json_object(F.col("maxValues"), f"$.{key}")
+                mn, mx = stat_min_max_cols(df, key)
                 sel += [mn.alias(f"{p}mn_s_{i}"), mx.alias(f"{p}mx_s_{i}"),
                         mn.try_cast("double").alias(f"{p}mn_d_{i}"),
                         mx.try_cast("double").alias(f"{p}mx_d_{i}")]
@@ -5146,8 +5337,7 @@ class TableLog:
         rows = []
         for logical in columns:
             key = phys.get(logical, logical)
-            mn_s = F.get_json_object(F.col("minValues"), f"$.{key}")
-            mx_s = F.get_json_object(F.col("maxValues"), f"$.{key}")
+            mn_s, mx_s = stat_min_max_cols(manifest, key)
             col_df = manifest.select(
                 mn_s.alias("mn_s"), mx_s.alias("mx_s"),
                 mn_s.try_cast("double").alias("mn_d"),

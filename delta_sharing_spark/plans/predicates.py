@@ -185,7 +185,29 @@ def _json_stat(col: str, name: str, vtype: str) -> Column:
     return raw.cast(_SPARK_CAST[vtype])
 
 
-def _rewrite_for_stats(op: dict[str, Any], partition_columns: set[str]) -> Column | None:
+def _typed_stat(col: str, name: str, vtype: str) -> Column:
+    """Extract a stat from the typed ``*_parsed`` struct columns (the
+    checkpoint's stats_parsed shape) — a native parquet value instead of a
+    per-row JSON parse. The cast to the hint's valueType mirrors the JSON
+    path exactly (numerics stored as long/double cast losslessly;
+    date/timestamp stats are stored as their ISO strings, so the cast is
+    the SAME string->temporal cast the JSON path runs)."""
+    return F.col(col).getField(name).cast(_SPARK_CAST[vtype])
+
+
+def parsed_stat_fields(df) -> frozenset[str]:
+    """Columns with typed stats structs in a manifest DataFrame — what the
+    keep-condition may prune via ``*_parsed`` instead of JSON. Empty when
+    the manifest predates the typed layout (full JSON fallback)."""
+    for f in df.schema.fields:
+        if f.name == "minValues_parsed":
+            return frozenset(f.dataType.fieldNames())
+    return frozenset()
+
+
+def _rewrite_for_stats(op: dict[str, Any], partition_columns: set[str],
+                       parsed_fields: frozenset[str] = frozenset(),
+                       ) -> Column | None:
     """Rewrite one op tree into a 'file may contain matching rows' Column
     using partition values exactly and data columns via min/max ranges.
 
@@ -211,15 +233,20 @@ def _rewrite_for_stats(op: dict[str, Any], partition_columns: set[str]) -> Colum
                     "lessThanOrEqual": "greaterThanOrEqual",
                     "greaterThanOrEqual": "lessThanOrEqual", "equal": "equal"}
             return _rewrite_for_stats(
-                {"op": flip[kind], "children": [right, left]}, partition_columns
+                {"op": flip[kind], "children": [right, left]},
+                partition_columns, parsed_fields
             )
         else:
             return None
         if colname in partition_columns:
             pcol = col_of(left)
             return _BINARY_OPS[kind](pcol, lit)
-        mn = _json_stat("minValues", colname, vtype)
-        mx = _json_stat("maxValues", colname, vtype)
+        if colname in parsed_fields:
+            mn = _typed_stat("minValues_parsed", colname, vtype)
+            mx = _typed_stat("maxValues_parsed", colname, vtype)
+        else:
+            mn = _json_stat("minValues", colname, vtype)
+            mx = _json_stat("maxValues", colname, vtype)
         if kind == "equal":
             return (mn <= lit) & (mx >= lit)
         if kind == "lessThan":
@@ -238,9 +265,12 @@ def _rewrite_for_stats(op: dict[str, Any], partition_columns: set[str]) -> Colum
         if name in partition_columns:
             inner = col_of(child)
             return inner.isNull()
+        if name in parsed_fields:
+            return F.col("nullCount_parsed").getField(name) > 0
         return F.get_json_object(F.col("nullCount"), f"$['{name}']").cast("long") > 0
     if kind == "and":
-        cols = [_rewrite_for_stats(c, partition_columns) for c in children]
+        cols = [_rewrite_for_stats(c, partition_columns, parsed_fields)
+                for c in children]
         cols = [c for c in cols if c is not None]
         if not cols:
             return None
@@ -250,7 +280,8 @@ def _rewrite_for_stats(op: dict[str, Any], partition_columns: set[str]) -> Colum
             out = out & c
         return out
     if kind == "or":
-        cols = [_rewrite_for_stats(c, partition_columns) for c in children]
+        cols = [_rewrite_for_stats(c, partition_columns, parsed_fields)
+                for c in children]
         if any(c is None for c in cols):
             return None  # poisoned (UnsupportedOpPruner semantics)
         out = cols[0]
@@ -273,7 +304,9 @@ def _rewrite_for_stats(op: dict[str, Any], partition_columns: set[str]) -> Colum
 
 
 def file_keep_condition(hints: str | dict[str, Any],
-                        partition_columns: list[str]) -> Column:
+                        partition_columns: list[str],
+                        parsed_fields: frozenset[str] = frozenset(),
+                        ) -> Column:
     """Return a Column over the manifest DataFrame that is FALSE only for
     files that provably contain no matching rows.
 
@@ -283,7 +316,7 @@ def file_keep_condition(hints: str | dict[str, Any],
     reference skipping non-parsable hints, PartitionFilterUtils.scala:131-140).
     """
     tree = parse_predicate(hints)
-    cond = _rewrite_for_stats(tree, set(partition_columns))
+    cond = _rewrite_for_stats(tree, set(partition_columns), parsed_fields)
     if cond is None:
         return F.lit(True)
     return ~cond.eqNullSafe(F.lit(False))

@@ -41,6 +41,7 @@ from delta_sharing_spark.plans.log import (
 from delta_sharing_spark.plans.predicates import (
     file_keep_condition,
     keep_file,
+    parsed_stat_fields,
     sql_hint_keep_condition,
 )
 
@@ -125,7 +126,12 @@ class ActionPager:
     def __init__(self, *, start_version: int, end: int, start_idx: int,
                  max_files: "int | None", checksum: str,
                  prev_cm: "bool | None" = None, carry_pcm: bool = False,
-                 resume: "dict[str, Any] | None" = None):
+                 resume: "dict[str, Any] | None" = None,
+                 error_cls: type = ValueError):
+        # the caller's wire-error taxonomy: the changes form passes
+        # CDFError so every range error it surfaces maps to the same
+        # HTTP status; the version-range form keeps ValueError
+        self.error_cls = error_cls
         self.end = end
         self.start_idx = start_idx
         self.max_files = max_files
@@ -158,7 +164,7 @@ class ActionPager:
         misalign) — fail the page loudly instead, like any other
         time-travel past the retention floor."""
         if self._resume_v is not None and self._resume_v not in versions:
-            raise ValueError(
+            raise self.error_cls(
                 f"page token resumes at version {self._resume_v}, which "
                 "has been expired from the log mid-pagination; re-issue "
                 "the query")
@@ -478,8 +484,12 @@ class SharedTable:
         manifest = self.log.files_df(snapshot)
         pcols = snapshot.physical_partition_columns
         if json_predicate_hints:
+            # typed-stats prune wherever the manifest carries the parsed
+            # structs (post-r10 checkpoints); per-column JSON fallback
+            # otherwise — same three-valued keep semantics either way
             manifest = manifest.filter(
-                file_keep_condition(json_predicate_hints, pcols)
+                file_keep_condition(json_predicate_hints, pcols,
+                                    parsed_stat_fields(manifest))
             )
         for hint in predicate_hints or []:
             # SQL hints are best-effort: under column mapping a hint

@@ -508,7 +508,9 @@ class TestCDFPagination:
         the unserved file actions that lived in the expired commits.
         Here the retention-floor check fires first (the range start is
         itself expired); ActionPager.check_resume_available remains the
-        backstop for non-prefix gaps (manual log surgery)."""
+        backstop for non-prefix gaps (manual log surgery). Every range
+        error on the changes form — including the pager's — surfaces as
+        CDFError, so the wire layer maps them to one status (r10)."""
         from delta_sharing_spark.cdf import CDFError, table_changes_actions
 
         d, log = deep_cdf
@@ -519,8 +521,7 @@ class TestCDFPagination:
         log.write_checkpoint()
         expired = log.expire_log(keep_last=1)
         assert 0 in expired, "fixture must expire the resume version"
-        with pytest.raises((ValueError, CDFError),
-                           match="expired from the log"):
+        with pytest.raises(CDFError, match="expired from the log"):
             table_changes_actions(spark, d, starting_version=0,
                                   max_files=1, page_token=token)
         # a FIRST page from below the floor fails loudly too (the silent

@@ -1,0 +1,273 @@
+"""Typed min/max stats columns in checkpoint manifests (r10).
+
+Delta-format checkpoints carry a parsed ``stats_parsed`` struct so file
+skipping reads native parquet values instead of parsing per-row stats
+JSON; the reference's kernel path likewise prunes on typed checkpoint-read
+columns (server/.../kernel/internal/PredicateConverter.scala:43-220). Our
+checkpoints/sidecars write ``minValues_parsed`` / ``maxValues_parsed`` /
+``nullCount_parsed`` structs beside the JSON strings; the prune uses them
+whenever present and falls back to ``get_json_object`` per column.
+
+Covered here:
+- checkpoint rows carry the structs and their values agree with the JSON;
+- keep-condition parity: typed vs JSON path select the SAME files, for
+  numeric/string/date hints, including null-stats (Unknown -> keep);
+- checkpoint + tail union shares one schema, and tail files prune too;
+- a column added after the checkpoint falls back to JSON cleanly;
+- a type widened after the checkpoint keeps the union type-consistent
+  (tail structs mirror the CHECKPOINT's stored types);
+- v2 sidecars carry the structs, and a schema change re-addresses the
+  sidecars (no mixed-layout scan).
+"""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_sharing_spark.plans.log import (
+    TableLog,
+    _fmt_checkpoint,
+    stats_field_spec,
+)
+from delta_sharing_spark.plans.predicates import (
+    file_keep_condition,
+    parsed_stat_fields,
+)
+from delta_sharing_spark.table import SharedTable
+
+
+def _mk_table(spark, path, interval="1"):
+    df = spark.range(0, 8000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        F.concat(F.lit("s"), (F.col("id") % 13).cast("string")).alias("s"),
+        F.date_add(F.to_date(F.lit("2024-01-01")),
+                   (F.col("id") % 30).cast("int")).alias("dt"),
+        (F.col("id") % 4).cast("string").alias("cat"),
+    )
+    log = TableLog(spark, path)
+    log.create(df, partition_by=["cat"],
+               configuration={"delta.checkpointInterval": interval})
+    return log
+
+
+def _hint(col, vtype, op, value):
+    return json.dumps({"op": op, "children": [
+        {"op": "column", "name": col, "valueType": vtype},
+        {"op": "literal", "value": str(value), "valueType": vtype}]})
+
+
+HINTS = [
+    _hint("id", "long", "greaterThan", 5000),
+    _hint("id", "long", "lessThanOrEqual", 123),
+    _hint("v", "double", "equal", 3.0),
+    _hint("s", "string", "greaterThanOrEqual", "s9"),
+    _hint("dt", "date", "lessThan", "2024-01-10"),
+    json.dumps({"op": "and", "children": [
+        json.loads(_hint("id", "long", "greaterThan", 2000)),
+        {"op": "equal", "children": [
+            {"op": "column", "name": "cat", "valueType": "string"},
+            {"op": "literal", "value": "2", "valueType": "string"}]}]}),
+    json.dumps({"op": "isNull", "children": [
+        {"op": "column", "name": "v", "valueType": "double"}]}),
+]
+
+
+class TestTypedStatsCheckpoint:
+    def test_checkpoint_carries_parsed_structs(self, spark, tmp_path):
+        log = _mk_table(spark, str(tmp_path / "t"))
+        log.write_checkpoint()
+        cp = os.path.join(log.log_path, _fmt_checkpoint(log.latest_version()))
+        tbl = pq.read_table(cp)
+        names = set(tbl.schema.names)
+        assert {"minValues_parsed", "maxValues_parsed",
+                "nullCount_parsed"} <= names
+        # values agree with the JSON strings on every add row
+        rows = tbl.to_pylist()
+        adds = [r for r in rows if r["kind"] == "add"]
+        assert adds
+        for r in adds:
+            mins = json.loads(r["minValues"])
+            assert r["minValues_parsed"]["id"] == mins["id"]
+            assert r["minValues_parsed"]["v"] == mins["v"]
+            assert r["minValues_parsed"]["s"] == mins["s"]
+            assert r["minValues_parsed"]["dt"] == mins["dt"]
+            nulls = json.loads(r["nullCount"])
+            assert r["nullCount_parsed"]["id"] == nulls["id"]
+        # non-add rows are null structs
+        for r in rows:
+            if r["kind"] != "add":
+                assert r["minValues_parsed"] is None
+
+    def test_spec_excludes_non_atomic(self):
+        schema = T.StructType([
+            T.StructField("a", T.LongType()),
+            T.StructField("d", T.DecimalType(10, 2)),
+            T.StructField("bin", T.BinaryType()),
+            T.StructField("arr", T.ArrayType(T.LongType())),
+            T.StructField("b", T.BooleanType()),
+        ])
+        assert stats_field_spec(schema) == [("a", "i"), ("b", "b")]
+
+    @pytest.mark.parametrize("hint", HINTS)
+    def test_typed_vs_json_prune_parity(self, spark, tmp_path, hint):
+        log = _mk_table(spark, str(tmp_path / "t"))
+        log.write_checkpoint()
+        snap = log.snapshot()
+        m = log.files_df(snap)
+        pf = parsed_stat_fields(m)
+        assert pf  # the typed path is actually exercised
+        typed = sorted(r["path"] for r in m.filter(
+            file_keep_condition(hint, snap.partition_columns, pf))
+            .select("path").collect())
+        jsonp = sorted(r["path"] for r in m.filter(
+            file_keep_condition(hint, snap.partition_columns))
+            .select("path").collect())
+        assert typed == jsonp
+
+    def test_missing_stats_unknown_keeps(self, spark, tmp_path):
+        # a file with NO stats must be kept by the typed path (null struct
+        # fields -> Unknown -> keep), mirroring the JSON path
+        log = _mk_table(spark, str(tmp_path / "t"))
+        snap0 = log.snapshot()
+        add = snap0.files[0]
+        add.stats = None
+        log.write_checkpoint()
+        snap = log.snapshot()
+        m = log.files_df(snap)
+        hint = _hint("id", "long", "greaterThan", 10**9)  # prunes all
+        kept = {r["path"] for r in m.filter(
+            file_keep_condition(hint, snap.partition_columns,
+                                parsed_stat_fields(m)))
+            .select("path").collect()}
+        assert kept == {add.path}
+
+    def test_tail_union_prunes_tail_files(self, spark, tmp_path):
+        # checkpoint at v0, two appends after: tail rows must carry the
+        # typed structs (union type-checks) and BE pruned by them
+        log = _mk_table(spark, str(tmp_path / "t"), interval="100")
+        log.write_checkpoint()
+        hi = spark.range(100_000, 101_000).select(
+            F.col("id"), F.lit(1.0).alias("v"), F.lit("zz").alias("s"),
+            F.to_date(F.lit("2025-06-01")).alias("dt"),
+            F.lit("9").alias("cat"))
+        log.append(hi)
+        snap = log.snapshot()
+        m = log.files_df(snap)
+        assert parsed_stat_fields(m)  # union kept the typed columns
+        # only the tail file(s) survive an id > 99_999 prune
+        kept = {r["path"] for r in m.filter(
+            file_keep_condition(_hint("id", "long", "greaterThan", 99_999),
+                                snap.partition_columns,
+                                parsed_stat_fields(m)))
+            .select("path").collect()}
+        tail_paths = {a.path for a in snap.files if a.version == snap.version}
+        assert kept == tail_paths
+        # and the inverse prune drops exactly the tail
+        kept2 = {r["path"] for r in m.filter(
+            file_keep_condition(_hint("id", "long", "lessThan", 50_000),
+                                snap.partition_columns,
+                                parsed_stat_fields(m)))
+            .select("path").collect()}
+        assert kept2 and not (kept2 & tail_paths)
+
+    def test_added_column_falls_back_to_json(self, spark, tmp_path):
+        # column added AFTER the checkpoint: not in the parsed struct, so
+        # the keep condition must fall back to JSON for it — and the tail
+        # files (which have stats for it) must still prune correctly
+        log = _mk_table(spark, str(tmp_path / "t"), interval="100")
+        log.write_checkpoint()
+        log.add_column("extra", T.LongType())
+        ext = spark.range(0, 500).select(
+            F.col("id"), F.lit(1.0).alias("v"), F.lit("zz").alias("s"),
+            F.to_date(F.lit("2025-06-01")).alias("dt"),
+            F.lit("9").alias("cat"), (F.col("id") + 10).alias("extra"))
+        log.append(ext)
+        snap = log.snapshot()
+        m = log.files_df(snap)
+        pf = parsed_stat_fields(m)
+        assert "extra" not in pf and "id" in pf
+        kept = {r["path"] for r in m.filter(
+            file_keep_condition(_hint("extra", "long", "greaterThan", 10**6),
+                                snap.partition_columns, pf))
+            .select("path").collect()}
+        # checkpoint files lack 'extra' stats entirely -> Unknown -> kept;
+        # the tail file has stats proving no match -> pruned
+        tail_paths = {a.path for a in snap.files if a.version == snap.version}
+        assert not (kept & tail_paths)
+        assert kept == {a.path for a in snap.files} - tail_paths
+
+    def test_widened_type_union_stays_consistent(self, spark, tmp_path):
+        # widen int->long between checkpoint and tail: the stored kind is
+        # int64 for the whole int family BY DESIGN (so widening within a
+        # family never changes the manifest struct type), the tail struct
+        # mirrors the CHECKPOINT's stored types via _parsed_spec_of, and
+        # the widened tail file still prunes on the typed path
+        log = TableLog(spark, str(tmp_path / "t"))
+        df = spark.range(0, 3000).select(
+            F.col("id").cast("int").alias("n"),
+            (F.col("id") % 4).cast("string").alias("cat"))
+        log.create(df, partition_by=["cat"],
+                   configuration={"delta.checkpointInterval": "100",
+                                  "delta.enableTypeWidening": "true"})
+        log.write_checkpoint()
+        log.widen_column_type("n", T.LongType())
+        tail = spark.range(0, 10).select(
+            (F.col("id") + 10_000).alias("n"), F.lit("9").alias("cat"))
+        log.append(tail)
+        snap = log.snapshot()
+        m = log.files_df(snap)
+        assert m.count() == len(snap.files)  # union planned + ran
+        kept = {r["path"] for r in m.filter(
+            file_keep_condition(_hint("n", "long", "greaterThanOrEqual",
+                                      10_000),
+                                snap.partition_columns,
+                                parsed_stat_fields(m)))
+            .select("path").collect()}
+        assert kept == {a.path for a in snap.files
+                        if a.version == snap.version}
+
+    def test_v2_sidecars_carry_and_readdress(self, spark, tmp_path):
+        log = TableLog(spark, str(tmp_path / "t"))
+        df = spark.range(0, 4000).select(
+            F.col("id"), (F.col("id") % 4).cast("string").alias("cat"))
+        log.create(df, partition_by=["cat"], configuration={
+            "delta.checkpointPolicy": "v2",
+            "delta.checkpointInterval": "100"})
+        log.write_checkpoint()
+        v1 = log.latest_version()
+        refs1 = log._checkpoint_sidecars(v1)
+        assert refs1
+        sc = pq.read_table(os.path.join(log.log_path, refs1[0]))
+        assert "minValues_parsed" in sc.schema.names
+        # schema change re-addresses every sidecar (the stats spec is part
+        # of the content address) so one scan never mixes struct layouts
+        log.add_column("extra", T.LongType())
+        log.write_checkpoint()
+        refs2 = log._checkpoint_sidecars(log.latest_version())
+        assert set(refs1).isdisjoint(set(refs2))
+        sc2 = pq.read_table(os.path.join(log.log_path, refs2[0]))
+        f = [x for x in sc2.schema if x.name == "minValues_parsed"][0]
+        assert "extra" in [sub.name for sub in f.type]
+
+    def test_pruned_files_equals_driver_loop(self, spark, tmp_path):
+        # the DataFrame prune (typed path) and the sessionless driver-loop
+        # evaluator agree file-for-file on a checkpointed table
+        log = _mk_table(spark, str(tmp_path / "t"))
+        log.write_checkpoint()
+        snap = log.snapshot()
+        st = SharedTable(spark, str(tmp_path / "t"))
+        for hint in HINTS:
+            via_df = sorted(r["path"] for r in st._pruned_manifest(
+                snap, json.loads(hint), None, None)
+                .select("path").collect())
+            from delta_sharing_spark.plans.predicates import keep_file
+            via_loop = sorted(
+                a.path for a in snap.files
+                if keep_file(json.loads(hint), a.partitionValues,
+                             a.stats_dict(), snap.partition_columns))
+            assert via_df == via_loop, hint

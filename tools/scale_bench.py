@@ -95,17 +95,24 @@ def build_manifest_table(n_files: int, version: int):
         pvs.append([("cat", cat)])
         sizes.append(4_000_000)
         nrecs.append(ROWS_PER_FILE)
-        mins.append(dumps({"id": lo, "v": 0.0}))
-        maxs.append(dumps({"id": hi, "v": 1.0}))
-        nulls.append(dumps({"id": 0, "v": 0}))
+        mins.append({"id": lo, "v": 0.0})
+        maxs.append({"id": hi, "v": 1.0})
+        nulls.append({"id": 0, "v": 0})
         vers.append(version)
         tss.append(ts0)
     # the column layout comes from the engine itself (the one
-    # definition), so the bench can never drift onto a stale format
-    from delta_sharing_spark.plans.log import checkpoint_arrow_table
+    # definition), so the bench can never drift onto a stale format —
+    # including the r10 typed *_parsed stats structs (stats_field_spec
+    # over the same schema the table's metaData declares)
+    from pyspark.sql import types as T
 
+    from delta_sharing_spark.plans.log import (
+        checkpoint_arrow_table, stats_field_spec)
+
+    spec = stats_field_spec(T.StructType.fromJson(json.loads(SCHEMA_JSON)))
     return checkpoint_arrow_table(kinds, jsons, paths, pvs, sizes, nrecs,
-                                  mins, maxs, nulls, vers, tss)
+                                  mins, maxs, nulls, vers, tss,
+                                  stats_fields=spec)
 
 
 def write_synthetic_table(root: str, n_files: int) -> float:
@@ -264,12 +271,14 @@ def main() -> None:
     slog = TableLog(spark, small)
     ssnap = slog.snapshot()
     stable = SharedTable(spark, small)
-    from delta_sharing_spark.plans.predicates import file_keep_condition
+    from delta_sharing_spark.plans.predicates import (
+        file_keep_condition, parsed_stat_fields)
 
     warm_manifest = slog.files_df(ssnap)
     warm_hints = stats_predicate(0, 999)
     warm_manifest.filter(
-        file_keep_condition(warm_hints, ssnap.partition_columns)
+        file_keep_condition(warm_hints, ssnap.partition_columns,
+                            parsed_stat_fields(warm_manifest))
     ).select("path").collect()
     stable._limit_prefix_filter(warm_manifest, 1_000).count()
 
