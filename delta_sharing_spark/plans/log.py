@@ -37,7 +37,7 @@ import threading
 import time
 import urllib.parse
 import uuid
-from contextlib import contextmanager
+import weakref
 from dataclasses import asdict, dataclass, field as dc_field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -408,38 +408,52 @@ def checkpoint_arrow_table(kinds, jsons, paths, pvs, sizes, nrecs, mins,
     return pa.table(data)
 
 
-_META_SCAN_LOCK = threading.RLock()
+_META_SESSION_LOCK = threading.Lock()
+_META_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, SparkSession]" = \
+    weakref.WeakKeyDictionary()
+# runtime confs the manifest session mirrors from its parent at creation
+# (newSession() starts from the context conf, not the parent's runtime
+# values): timezone affects string<->temporal stat casts, the rest keep
+# shuffle/AQE behavior consistent between the two planes
+_META_MIRROR_CONFS = (
+    "spark.sql.session.timeZone",
+    "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled",
+)
 
 
-@contextmanager
-def metadata_scan_split(spark):
-    """Plan manifest-plane parquet actions with fine-grained splits.
-    Manifest scans are CPU-bound — the stats prune parses per-row JSON
-    (get_json_object), ~20 µs/row/core — not IO-bound like data scans, so
-    the default 128 MB ``maxPartitionBytes`` (and the 4 MB open cost that
-    bins a 101-part checkpoint into a handful of tasks) leaves most cores
-    idle: measured 74.8 s for a 10M-file prune planned 4-wide vs planned
-    32-wide.
+def manifest_session(spark: SparkSession) -> SparkSession:
+    """The dedicated manifest-plane session: shares ``spark``'s
+    SparkContext (same executors, same parallelism) but holds a PRIVATE
+    SQLConf pinned to fine-grained file splits. Manifest scans are
+    CPU-bound — stats filters evaluate per row over a few hundred MB of
+    checkpoint parquet — so the default 128 MB ``maxPartitionBytes`` (and
+    the 4 MB open cost that bins a 101-part checkpoint into a handful of
+    tasks) leaves most cores idle: measured 74.8 s for a 10M-file prune
+    planned 4-wide vs planned 32-wide.
 
-    The session conf flip is guarded by a process-wide RLock and the sets
-    happen INSIDE the try, so concurrent server/async threads can never
-    interleave save/restore and pin the session at 4 MB splits (the
-    round-9 review's race). Residual effect under concurrency: a DATA
-    query planned during another thread's guard window gets fine splits —
-    slower planning granularity, never a wrong result. The fully isolated
-    design (a dedicated ``spark.newSession()`` for the whole manifest
-    plane, private SQLConf) is the round-10 follow-up."""
-    with _META_SCAN_LOCK:
-        conf = spark.conf
-        old_max = conf.get("spark.sql.files.maxPartitionBytes")
-        old_open = conf.get("spark.sql.files.openCostInBytes")
-        try:
-            conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
-            conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
-            yield
-        finally:
-            conf.set("spark.sql.files.maxPartitionBytes", old_max)
-            conf.set("spark.sql.files.openCostInBytes", old_open)
+    This replaces round-9's shared-conf flip under a process-wide RLock:
+    concurrent server/async threads no longer serialize on a lock, and a
+    DATA query can never observe (or race) the 4 MB split conf — the
+    data plane's session conf is simply never touched. One manifest
+    session per parent session, cached process-wide (weak keys: a stopped
+    and re-created parent gets a fresh child)."""
+    with _META_SESSION_LOCK:
+        cached = _META_SESSIONS.get(spark)
+        if cached is not None:
+            return cached
+        meta = spark.newSession()
+        for key in _META_MIRROR_CONFS:
+            try:
+                val = spark.conf.get(key)
+            except Exception:
+                continue
+            if val is not None:
+                meta.conf.set(key, val)
+        meta.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+        meta.conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
+        _META_SESSIONS[spark] = meta
+        return meta
 
 
 def write_checkpoint_files(table, final: str) -> None:
@@ -709,9 +723,18 @@ class TableLog:
     # snapshots per instance kept for incremental tail replay + reuse
     _SNAP_CACHE_SIZE = 32
 
+    @property
+    def meta_spark(self) -> SparkSession:
+        """The manifest-plane session for this log's parent session."""
+        return manifest_session(self.spark)
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
+        # every manifest-plane read/createDataFrame/union runs on the
+        # dedicated fine-split session (see manifest_session); results
+        # that feed the data plane cross back as collected rows (paths,
+        # AddFiles), never as cross-session DataFrames
         self.log_path = os.path.join(self.path, LOG_DIR)
         self.data_path = os.path.join(self.path, DATA_DIR)
         self.cdc_path = os.path.join(self.path, CDC_DIR)
@@ -1611,7 +1634,7 @@ class TableLog:
         sidecars = self._checkpoint_sidecars(cp_version)
         src = ([os.path.join(self.log_path, rel) for rel in sidecars]
                if sidecars else [cp])
-        df = self.spark.read.parquet(*src)
+        df = self.meta_spark.read.parquet(*src)
         cols = [f.name for f in self._MANIFEST_SCHEMA.fields]
         # typed *_parsed stats columns ride along when the checkpoint has
         # them (post-r10 format); absent on older checkpoints — pruning
@@ -1676,12 +1699,12 @@ class TableLog:
                 # between the checkpoint and the tail commits
                 spec = self._parsed_spec_of(base)
                 df = base.unionByName(
-                    self.spark.createDataFrame(
+                    self.meta_spark.createDataFrame(
                         self._manifest_rows(tail, spec),
                         self._manifest_schema(spec)))
         else:
             spec = stats_field_spec(snapshot.physical_schema) or None
-            df = self.spark.createDataFrame(
+            df = self.meta_spark.createDataFrame(
                 self._manifest_rows(snapshot.files, spec),
                 self._manifest_schema(spec))
         self._files_df_cache[snapshot.version] = df
@@ -1707,10 +1730,9 @@ class TableLog:
                     and "tableSizeBytes" in crc:
                 counts = (int(crc["numFiles"]), int(crc["tableSizeBytes"]))
             else:
-                with metadata_scan_split(self.spark):
-                    row = self.files_df(snapshot).agg(
-                        F.count("*").alias("n"),
-                        F.sum("size").alias("s")).collect()[0]
+                row = self.files_df(snapshot).agg(
+                    F.count("*").alias("n"),
+                    F.sum("size").alias("s")).collect()[0]
                 counts = (int(row["n"]), int(row["s"] or 0))
         snapshot._counts = counts
         return counts
@@ -1728,7 +1750,7 @@ class TableLog:
         hint = snapshot.num_files_hint or 0
         if snapshot.files_materialized or len(kept) * 2 >= hint:
             return [a for a in snapshot.files if a.path in kept]
-        keep_df = self.spark.createDataFrame(
+        keep_df = self.meta_spark.createDataFrame(
             [(p,) for p in paths] or [], "path string")
         rows = (
             self.files_df(snapshot)
@@ -5102,7 +5124,7 @@ class TableLog:
                         mx.try_cast("double").alias(f"{p}mx_d_{i}")]
             return df.select(*sel)
 
-        cand = envelope(self.spark.createDataFrame(
+        cand = envelope(self.meta_spark.createDataFrame(
             self._manifest_rows(candidates), self._MANIFEST_SCHEMA), "c_")
         allf = envelope(self.files_df(snap), "g_")
         cond = F.col("g_path") != F.col("c_path")
@@ -5163,7 +5185,7 @@ class TableLog:
                         mx.try_cast("double").alias(f"{p}mx_d_{i}")]
             return df.select(*sel)
 
-        rw = envelope(self.spark.createDataFrame(
+        rw = envelope(self.meta_spark.createDataFrame(
             self._manifest_rows(rewrite), self._MANIFEST_SCHEMA), "c_")
         allf = envelope(self.files_df(snap), "g_")
         cond = F.lit(True)
@@ -5373,7 +5395,7 @@ class TableLog:
             hi = F.col("mx_d") if numeric else F.col("mx_s")
             per_probe = None
             if probe_vals:
-                probe_rows = self.spark.createDataFrame(
+                probe_rows = self.meta_spark.createDataFrame(
                     [(v,) for v in probe_vals],
                     f"p {'double' if numeric else 'string'}")
                 # a file WITHOUT stats can never be pruned, so it counts

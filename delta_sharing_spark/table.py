@@ -36,7 +36,6 @@ from delta_sharing_spark.plans.log import (
     TableLog,
     VersionNotFoundError,
     derive_wire_protocol,
-    metadata_scan_split,
 )
 from delta_sharing_spark.plans.predicates import (
     file_keep_condition,
@@ -465,8 +464,7 @@ class SharedTable:
             return [f.path for f in files]
         manifest = self._pruned_manifest(
             snapshot, json_predicate_hints, predicate_hints, limit_hint)
-        with metadata_scan_split(self.spark):
-            return [r["path"] for r in manifest.select("path").collect()]
+        return [r["path"] for r in manifest.select("path").collect()]
 
     def _pruned_manifest(
         self,
@@ -560,21 +558,20 @@ class SharedTable:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         try:
-            with metadata_scan_split(manifest.sparkSession):
-                totals = {
-                    r["_pid"]: r["t"]
-                    for r in m.groupBy("_pid")
-                    .agg(F.sum("numRecords").alias("t"))
-                    .collect()
-                }
-                offsets, acc = {}, 0
-                for pid in sorted(totals):
-                    offsets[pid] = acc
-                    acc += totals[pid] or 0
-                out = SharedTable._prefix_filtered(m, offsets, limit_hint)
-                # materialize before unpersist so the kept set is pinned
-                # to the boundaries the totals were computed from
-                paths = [r["path"] for r in out.select("path").collect()]
+            totals = {
+                r["_pid"]: r["t"]
+                for r in m.groupBy("_pid")
+                .agg(F.sum("numRecords").alias("t"))
+                .collect()
+            }
+            offsets, acc = {}, 0
+            for pid in sorted(totals):
+                offsets[pid] = acc
+                acc += totals[pid] or 0
+            out = SharedTable._prefix_filtered(m, offsets, limit_hint)
+            # materialize before unpersist so the kept set is pinned
+            # to the boundaries the totals were computed from
+            paths = [r["path"] for r in out.select("path").collect()]
         finally:
             m.unpersist()
         keep = manifest.sparkSession.createDataFrame(
@@ -916,14 +913,13 @@ class SharedTable:
             jph = self.log._physical_hints(snap, json_predicate_hints)
             manifest = self._pruned_manifest(
                 snap, jph, predicate_hints, limit_hint)
-            with metadata_scan_split(self.spark):
-                rows = (
-                    manifest.select("path", "action_json")
-                    .orderBy("path")
-                    .offset(start)
-                    .limit(max_files + 1)
-                    .collect()
-                )
+            rows = (
+                manifest.select("path", "action_json")
+                .orderBy("path")
+                .offset(start)
+                .limit(max_files + 1)
+                .collect()
+            )
             page = [parse_action(r["action_json"])
                     for r in rows[:max_files]]
             if len(rows) > max_files:

@@ -271,3 +271,62 @@ class TestTypedStatsCheckpoint:
                 if keep_file(json.loads(hint), a.partitionValues,
                              a.stats_dict(), snap.partition_columns))
             assert via_df == via_loop, hint
+
+
+class TestManifestSession:
+    """Round-10: the manifest plane runs on a dedicated session
+    (spark.newSession() with a private SQLConf pinned to 4 MB splits),
+    replacing the round-9 shared-conf flip under a process-wide RLock."""
+
+    def test_files_df_on_meta_session_and_conf_isolated(
+            self, spark, tmp_path):
+        from delta_sharing_spark.plans.log import manifest_session
+
+        log = _mk_table(spark, str(tmp_path / "t"))
+        log.write_checkpoint()
+        m = log.files_df(log.snapshot())
+        meta = manifest_session(spark)
+        assert m.sparkSession is meta
+        assert meta.conf.get(
+            "spark.sql.files.maxPartitionBytes") == str(4 << 20)
+        # the DATA plane's conf is untouched — the r9 design's one
+        # residual hazard (a forgotten guard pinning data scans at 4 MB)
+        # is structurally impossible now
+        assert spark.conf.get(
+            "spark.sql.files.maxPartitionBytes") != str(4 << 20)
+        # one manifest session per parent, cached
+        assert manifest_session(spark) is meta
+
+    def test_concurrent_scans_never_mutate_shared_conf(
+            self, spark, tmp_path):
+        import threading
+
+        log = _mk_table(spark, str(tmp_path / "t"))
+        log.write_checkpoint()
+        snap = log.snapshot()
+        st = SharedTable(spark, str(tmp_path / "t"))
+        hint = json.loads(_hint("id", "long", "greaterThan", 4000))
+        before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        errors: list = []
+
+        def worker(i):
+            try:
+                st._pruned_manifest(snap, hint, None, 1000 + i) \
+                    .select("path").collect()
+                # observed DURING other threads' scans: the old RLock
+                # design restored the conf but still exposed the flip
+                # to concurrent planners
+                assert spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes") == before
+            except Exception as exc:  # pragma: no cover - surfaced below
+                errors.append(exc)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert spark.conf.get(
+            "spark.sql.files.maxPartitionBytes") == before
