@@ -40,16 +40,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/check_correctness.py) remains the complete gate over all entries.
 _DRIVER_PRIORITY = [
     # new this round (appended as they land)
+    "eng_prune_typed_manifest",
+    # round-10 engine-plane reworks: re-front the queries whose serving
+    # paths changed (typed-stats prune, manifest session, path-range
+    # paging, delta-format txn lines ride eng_rest_* responses)
+    "eng_snapshot_prune_filter",
+    "eng_checkpoint_snapshot",
+    "eng_checkpoint_v2",
+    "eng_limit_exact",
+    "eng_rest_range",
+    "eng_cluster_maintenance",
+    # last round's additions, re-fronted once for a second green row
     "eng_rest_strict_features",
     "q_multimodal_jpeg",
     "q_image_near_dup",
     "q_audio_flac",
-    "eng_cluster_maintenance",
-    # last round's additions, re-fronted once for a second green row
     "stream_remote_row_tracking_cdf",
-    "q_bm25_topk",
-    "q_split_stratified",
-    "q_ann_hard_negatives",
 ]
 
 

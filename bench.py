@@ -85,6 +85,9 @@ HEADLINE = [
     "q_multimodal_jpeg",
     "q_image_near_dup",
     "q_audio_flac",
+    # round-10 addition (after the comparable prefix): the typed-stats
+    # manifest prune (stats_parsed shape) through the lazy serving plane
+    "eng_prune_typed_manifest",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

@@ -36,8 +36,10 @@ windows, sorts, and scalar functions are deliberately NOT reimplemented
 from delta_sharing_spark.catalog import Schema, Share, ShareCatalog, Table
 from delta_sharing_spark.client import (
     SharingClient,
+    get_last_transaction,
     get_table_metadata,
     get_table_protocol,
+    get_table_txns,
     get_table_version,
     load_as_arrow,
     load_as_pandas,
@@ -60,8 +62,10 @@ __all__ = [
     "SharingClient",
     "Table",
     "get_spark",
+    "get_last_transaction",
     "get_table_metadata",
     "get_table_protocol",
+    "get_table_txns",
     "get_table_version",
     "load_as_arrow",
     "load_as_pandas",

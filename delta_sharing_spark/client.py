@@ -328,6 +328,41 @@ def get_table_metadata(url: str,
     raise ValueError("metadata response lacks a metaData line")
 
 
+def get_table_txns(url: str,
+                   spark: SparkSession | None = None) -> dict[str, int]:
+    """SetTransaction state of the shared table: appId -> last committed
+    epoch, reconstructed from the delta-format query response (the
+    wrapper stream carries raw Delta actions, PROTOCOL.md:4014-4137 —
+    txn included since r10). Lets a recipient rebuilding a local delta
+    log, or resuming an idempotent writer, preserve exactly-once state
+    across the share boundary (Delta's txnVersion lookup)."""
+    from delta_sharing_spark.deltaformat import delta_lines_txns
+
+    profile_path, share, schema, table = _parse_url(url)
+    profile = DeltaSharingProfile.read_from_file(profile_path)
+    if _is_http(profile.endpoint):
+        _h, lines = _rest_client(profile).list_files_in_table(
+            share, schema, table, response_formats="delta")
+        return delta_lines_txns(lines)
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession")
+    out = _resolve(spark, url).query_actions(
+        max_files=0, response_formats=["delta"])
+    from delta_sharing_spark.deltaformat import actions_to_delta_format
+
+    return delta_lines_txns(actions_to_delta_format(out["actions"]))
+
+
+def get_last_transaction(url: str, app_id: str,
+                         spark: SparkSession | None = None) -> int | None:
+    """The last committed epoch for one idempotent-writer ``app_id`` on
+    the shared table, or None if that writer has no recorded state —
+    check before re-submitting a batch to keep a resumed sink
+    exactly-once."""
+    return get_table_txns(url, spark=spark).get(app_id)
+
+
 def load_as_arrow(url: str, limit: int | None = None,
                   version: int | None = None, timestamp: str | None = None,
                   spark: SparkSession | None = None):

@@ -105,8 +105,33 @@ def actions_to_delta_format(lines: list[dict[str, Any]]) -> list[dict[str, Any]]
                 if src.get(k) is not None:
                     wrapper[k] = src[k]
             out.append({"file": wrapper})
+        elif "txn" in line:
+            # SetTransaction (idempotent-writer epoch) rides as a delta
+            # single action so a recipient's rebuilt local log preserves
+            # exactly-once sink state (raw Delta actions wrapped per
+            # PROTOCOL.md:4014-4137; id stable across requests like any
+            # file wrapper)
+            t = line["txn"]
+            out.append({"file": {
+                "id": f"txn:{t['appId']}",
+                "deltaSingleAction": {"txn": {
+                    "appId": t["appId"], "version": t["version"]}}}})
         else:
             out.append(line)  # endStreamAction etc.
+    return out
+
+
+def delta_lines_txns(lines: list[dict[str, Any]]) -> dict[str, int]:
+    """SetTransaction state from a delta-format response: appId -> last
+    committed epoch. The client-side half of the txn round-trip — a
+    recipient resuming an idempotent writer checks its appId here before
+    re-submitting a batch (Delta's txnVersion lookup)."""
+    out: dict[str, int] = {}
+    for line in lines:
+        single = (line.get("file") or {}).get("deltaSingleAction") or {}
+        if "txn" in single:
+            t = single["txn"]
+            out[t["appId"]] = int(t["version"])
     return out
 
 

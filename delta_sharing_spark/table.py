@@ -893,39 +893,65 @@ class SharedTable:
             "timestamp": timestamp,
         })
         start = 0
+        last_path = None
         if page_token:
             decoded = decode_page_token(page_token, checksum)
             if decoded.get("version") != snap.version:
                 raise ValueError("page token bound to a different version")
             start = int(decoded.get("start", 0))
+            last_path = decoded.get("lastPath")
         next_token = None
         if (max_files is not None and not snap.files_materialized
                 and (snap.num_files_hint or 0) > PRUNE_DRIVER_MAX_FILES):
             # paged query over a LAZY manifest: prune + path-order +
-            # offset/limit run as ONE Spark job and the driver holds only
+            # page cut run as ONE Spark job and the driver holds only
             # the served page's actions — a 5M-file table never
             # materializes 5M AddFiles to serve a 1000-file page (the
             # reference kernel's per-batch iteration with early stop,
             # DeltaSharedTableKernel.scala:293-297,446-449). Fetching
             # max_files+1 rows answers has-next without a count job.
+            #
+            # Pages cut by PATH RANGE, not row offset: the token carries
+            # the last served path, so page N+1 is filter(path > last) +
+            # top-(page+1) — every page pays the same top-k heap of ONE
+            # page size, and the path predicate pushes into the
+            # checkpoint's parquet scan. An offset cut would grow the
+            # heap to offset+page rows and re-discard every earlier page
+            # per request (measured: page 2 ≥ page 1 at 10M files).
             from delta_sharing_spark.plans.actions import parse_action
 
             jph = self.log._physical_hints(snap, json_predicate_hints)
             manifest = self._pruned_manifest(
                 snap, jph, predicate_hints, limit_hint)
-            rows = (
-                manifest.select("path", "action_json")
-                .orderBy("path")
-                .offset(start)
-                .limit(max_files + 1)
-                .collect()
-            )
+            sel = manifest.select("path", "action_json")
+            if last_path is not None:
+                rows = (
+                    sel.filter(F.col("path") > last_path)
+                    .orderBy("path")
+                    .limit(max_files + 1)
+                    .collect()
+                )
+            else:
+                # start > 0 without lastPath = a pre-r10 token: honor it
+                # via the offset form once; the token minted BELOW
+                # upgrades the walk to path-range cuts
+                rows = (
+                    sel.orderBy("path")
+                    .offset(start)
+                    .limit(max_files + 1)
+                    .collect()
+                )
             page = [parse_action(r["action_json"])
                     for r in rows[:max_files]]
             if len(rows) > max_files:
-                next_token = mint_page_token(
-                    {"version": snap.version, "start": start + max_files},
-                    checksum)
+                payload = {"version": snap.version,
+                           "start": start + max_files}
+                if page:
+                    payload["lastPath"] = page[-1].path
+                elif last_path is not None:
+                    # a zero-file page (metadata probes) advances nothing
+                    payload["lastPath"] = last_path
+                next_token = mint_page_token(payload, checksum)
         else:
             paths = set(
                 self.pruned_files(snap, json_predicate_hints,
@@ -951,6 +977,21 @@ class SharedTable:
                 }
             },
         ]
+        if responded_format == "delta" and snap.transactions \
+                and not page_token:
+            # idempotent-writer state on the wire: the delta response
+            # format wraps raw Delta actions (PROTOCOL.md:4014-4137), and
+            # a recipient materializing the response into a local delta
+            # log needs the SetTransaction actions to preserve
+            # exactly-once sink resume (Delta's txn appId/version). Same
+            # retention cap as checkpoints; first page only (table-wide
+            # state, like protocol/metaData re-emission rules). The
+            # parquet profile has no txn concept — delta format only.
+            from delta_sharing_spark.plans.log import TXN_RETENTION_MAX
+
+            recent = list(snap.transactions.items())[-TXN_RETENTION_MAX:]
+            for app_id, epoch in sorted(recent):
+                lines.append({"txn": {"appId": app_id, "version": epoch}})
         rt = snap.row_tracking_enabled
         for add in page:
             line = {

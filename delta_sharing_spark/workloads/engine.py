@@ -34,7 +34,10 @@ from delta_sharing_spark.workloads import workload
 _FIXTURE_ROOT = "/tmp/dss_fixtures"
 # v3: testdata timestamps now read as TIMESTAMP (µs, UTC) instead of NTZ
 # (session-level inferTimestampNTZ=false); fixture schemaStrings changed
-_FIXTURE_SCHEMA_VERSION = "v3"
+# v4: checkpoints carry typed *_parsed stats structs (r10) — cached
+# fixtures with pre-r10 checkpoints rebuild once so the typed prune
+# queries exercise the new layout
+_FIXTURE_SCHEMA_VERSION = "v4"
 
 
 def _source_identity(sf_dir: str) -> str:
@@ -317,6 +320,53 @@ def eng_checkpoint_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double")
         .alias("sum_qty"),
+    )
+
+
+@workload(
+    "eng_prune_typed_manifest",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_price
+    FROM (SELECT * FROM lineitem
+          UNION ALL
+          SELECT * FROM lineitem WHERE l_orderkey % 997 < 24)
+    WHERE l_quantity >= 48
+    """,
+)
+def eng_prune_typed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats prune on the TYPED manifest columns (r10, Delta's
+    stats_parsed shape): the checkpointed 25-commit fixture's files_df
+    carries minValues_parsed/maxValues_parsed structs; the prune runs as
+    a manifest DataFrame filter reading native parquet values (never
+    get_json_object), the kept files are fetched via the lazy
+    adds-for-paths semi-join, and the exact row filter on top makes the
+    result SQL-checkable (best-effort-server / exact-client contract,
+    PROTOCOL.md:2124-2137). Mirrors the reference kernel pruning on
+    typed checkpoint-read columns
+    (server/.../kernel/internal/PredicateConverter.scala:43-220)."""
+    from delta_sharing_spark.plans.predicates import parsed_stat_fields
+
+    t = SharedTable(spark, _lineitem_manyv(spark, sf_dir))
+    snap = t.log.snapshot()
+    hints = {"op": "greaterThanOrEqual", "children": [
+        {"op": "column", "name": "l_quantity", "valueType": "double"},
+        {"op": "literal", "value": "48", "valueType": "double"},
+    ]}
+    manifest = t.log.files_df(snap)
+    assert parsed_stat_fields(manifest), \
+        "checkpointed manifest must carry the typed stats structs"
+    # force the DataFrame prune (the <=10k-file hybrid would driver-loop)
+    kept = [r["path"] for r in
+            t._pruned_manifest(snap, hints, None, None)
+            .select("path").collect()]
+    adds = t.log.adds_for_paths(snap, kept)
+    df = t.log.read_adds(adds, snap=snap)
+    return df.filter(F.col("l_quantity") >= 48).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(14,2))"))
+        .cast("double").alias("sum_price"),
     )
 
 

@@ -330,3 +330,177 @@ class TestManifestSession:
         assert not errors, errors
         assert spark.conf.get(
             "spark.sql.files.maxPartitionBytes") == before
+
+
+class TestPathRangePaging:
+    """Round-10: paged snapshot RPCs over a lazy manifest cut pages by
+    PATH RANGE (token carries the last served path), so every page pays
+    one page-sized top-k and the path predicate pushes into the
+    checkpoint parquet scan — page N+1 never re-discards pages 1..N."""
+
+    @pytest.fixture(scope="class")
+    def forged(self, tmp_path_factory):
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "tools"))
+        from scale_bench import write_synthetic_table
+
+        d = str(tmp_path_factory.mktemp("paging") / "t")
+        os.makedirs(d, exist_ok=True)
+        write_synthetic_table(d, 12_000)
+        return d
+
+    def test_full_walk_covers_every_file_once(self, spark, forged):
+        t = SharedTable(spark, forged)
+        snap = t.log.snapshot()
+        assert not snap.files_materialized
+        seen, token, pages = [], None, 0
+        while True:
+            out = t.query_actions(max_files=4_000, page_token=token)
+            seen += [ln["file"]["id"] for ln in out["actions"]
+                     if "file" in ln]
+            token = out["nextPageToken"]
+            pages += 1
+            if not token:
+                break
+            import base64 as _b64
+            decoded = json.loads(_b64.urlsafe_b64decode(token))
+            assert decoded.get("lastPath") == seen[-1]
+        assert pages == 3
+        assert len(seen) == 12_000
+        assert len(set(seen)) == 12_000
+        assert seen == sorted(seen)
+        assert not snap.files_materialized
+
+    def test_page2_plan_pushes_path_filter(self, spark, forged):
+        # the page-2 shape: filter(path > last) + top-(k+1); the path
+        # predicate must reach the parquet scan (PushedFilters) so a page
+        # deep in a 10M-file manifest skips row groups, not just rows
+        from pyspark.sql import functions as F
+
+        log = TableLog(spark, forged)
+        m = log.files_df(log.snapshot())
+        plan = (m.select("path", "action_json")
+                .filter(F.col("path") > "data/cat=c07/part-00005000")
+                .orderBy("path").limit(1001)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "TakeOrderedAndProject" in plan
+        assert "PushedFilters" in plan and "GreaterThan(path" in plan
+
+    def test_pre_r10_offset_token_still_honored(self, spark, forged):
+        # a token without lastPath (minted before this round) pages via
+        # the offset form once, then upgrades to path-range cuts
+        from delta_sharing_spark.table import mint_page_token, \
+            page_checksum
+
+        t = SharedTable(spark, forged)
+        out1 = t.query_actions(max_files=5)
+        first = [ln["file"]["id"] for ln in out1["actions"]
+                 if "file" in ln]
+        checksum = page_checksum({
+            "path": t.log.path, "predicateHints": None,
+            "jsonPredicateHints": None, "limitHint": None,
+            "timestamp": None})
+        legacy = mint_page_token(
+            {"version": t.log.snapshot().version, "start": 5}, checksum)
+        out2 = t.query_actions(max_files=5, page_token=legacy)
+        second = [ln["file"]["id"] for ln in out2["actions"]
+                  if "file" in ln]
+        assert len(second) == 5 and second[0] > first[-1]
+        import base64 as _b64
+        upgraded = json.loads(_b64.urlsafe_b64decode(
+            out2["nextPageToken"]))
+        assert upgraded.get("lastPath") == second[-1]
+
+
+class TestTxnOnTheWire:
+    """Round-10: SetTransaction (idempotent-writer epoch) actions ride
+    delta-format query responses (the wrapper stream carries raw Delta
+    actions, reference PROTOCOL.md:4014-4137), so a recipient rebuilding
+    a local log — or resuming a sink — preserves exactly-once state
+    across the share boundary. The parquet profile has no txn concept
+    and must stay txn-free."""
+
+    @pytest.fixture(scope="class")
+    def txn_env(self, spark, tmp_path_factory):
+        from delta_sharing_spark.catalog import ShareCatalog
+        from delta_sharing_spark.server import SharingServer
+
+        base = tmp_path_factory.mktemp("txnwire")
+        d = str(base / "t")
+        log = TableLog(spark, d)
+        df = spark.range(0, 100).selectExpr("id", "id * 2 as v")
+        log.create(df, name="t", operation_parameters={
+            "queryId": "app-a", "epochId": "7"})
+        log.append(df.selectExpr("id + 100 as id", "id as v"),
+                   operation_parameters={"queryId": "app-a",
+                                         "epochId": "8"})
+        log.append(df.limit(1).selectExpr("id + 900 as id", "id as v"),
+                   operation_parameters={"queryId": "app-b",
+                                         "epochId": "3"})
+        cat = ShareCatalog(spark)
+        cat.add_table("s", "d", "t", d)
+        srv = SharingServer(cat, bearer_token="tok")
+        url = srv.serve_background()
+        profile = str(base / "profile.json")
+        with open(profile, "w") as f:
+            json.dump({"shareCredentialsVersion": 1, "endpoint": url,
+                       "bearerToken": "tok"}, f)
+        yield d, log, profile
+        srv.shutdown()
+
+    def test_delta_format_carries_txn(self, spark, txn_env):
+        from delta_sharing_spark.deltaformat import (
+            actions_to_delta_format, delta_lines_txns)
+
+        d, log, _profile = txn_env
+        st = SharedTable(spark, d)
+        out = st.query_actions(response_formats=["delta"])
+        assert out["respondedFormat"] == "delta"
+        lines = actions_to_delta_format(out["actions"])
+        assert delta_lines_txns(lines) == {"app-a": 8, "app-b": 3}
+        # and it matches the engine's own snapshot state exactly
+        assert delta_lines_txns(lines) == log.snapshot().transactions
+        # txn wrappers must not disturb the client's data rebuild
+        from delta_sharing_spark.deltaformat import delta_lines_to_spark
+
+        assert delta_lines_to_spark(spark, lines).count() == 201
+
+    def test_parquet_profile_stays_txn_free(self, spark, txn_env):
+        d, _log, _profile = txn_env
+        out = SharedTable(spark, d).query_actions()
+        assert out["respondedFormat"] == "parquet"
+        assert not [ln for ln in out["actions"] if "txn" in ln]
+
+    def test_http_round_trip_and_resume_gate(self, spark, txn_env):
+        from delta_sharing_spark.client import (
+            get_last_transaction, get_table_txns, load_as_spark)
+
+        _d, log, profile = txn_env
+        url = f"{profile}#s.d.t"
+        assert get_table_txns(url) == {"app-a": 8, "app-b": 3}
+        # exactly-once resume: a restarted writer checks its epoch before
+        # re-submitting — epoch 8 is a replay (skip), 9 is new (apply)
+        last = get_last_transaction(url, "app-a")
+        assert last == 8
+        assert 8 <= last          # replayed batch -> skipped
+        assert not (9 <= last)    # next batch -> applied
+        assert get_last_transaction(url, "app-zzz") is None
+        # the normal load path over the same server stays intact
+        n = load_as_spark(url, spark=spark).count()
+        assert n == 201
+
+    def test_txn_first_page_only(self, spark, txn_env):
+        from delta_sharing_spark.deltaformat import (
+            actions_to_delta_format, delta_lines_txns)
+
+        d, _log, _profile = txn_env
+        st = SharedTable(spark, d)
+        page1 = st.query_actions(max_files=1, response_formats=["delta"])
+        assert delta_lines_txns(
+            actions_to_delta_format(page1["actions"])) \
+            == {"app-a": 8, "app-b": 3}
+        page2 = st.query_actions(max_files=1, response_formats=["delta"],
+                                 page_token=page1["nextPageToken"])
+        assert delta_lines_txns(
+            actions_to_delta_format(page2["actions"])) == {}
