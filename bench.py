@@ -85,9 +85,11 @@ HEADLINE = [
     "q_multimodal_jpeg",
     "q_image_near_dup",
     "q_audio_flac",
-    # round-10 addition (after the comparable prefix): the typed-stats
-    # manifest prune (stats_parsed shape) through the lazy serving plane
+    # round-10 additions (after the comparable prefix): the typed-stats
+    # manifest prune (stats_parsed shape) through the lazy serving plane,
+    # and acoustic-fingerprint audio near-dup over real FLAC decode
     "eng_prune_typed_manifest",
+    "q_audio_near_dup",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

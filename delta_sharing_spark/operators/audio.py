@@ -271,3 +271,98 @@ def synth_wav_column(df: DataFrame, id_col: str, n_col: str,
         return pd.Series(out)
 
     return df.withColumn(out_col, synth(F.col(id_col), F.col(n_col)))
+
+
+def synth_flac_corpus(df: DataFrame, id_col: str,
+                      sample_rate: int = 8000,
+                      out_col: str = "audio") -> DataFrame:
+    """Attach a deterministic NEAR-DUPLICATE audio corpus: every row gets
+    a 528-sample clip (33 frames x 16 samples) whose base signal comes
+    from the row's FIXED-SIZE cluster (``id // 8`` — 8 members per
+    cluster at every corpus size, so the true near-dup pair set grows
+    LINEARLY with the corpus, like the image twin
+    ``synth_jpeg_corpus``), with ONE frame perturbed per row (frame
+    ``(id%8 * 2 + id//8) % 33`` shifted by ``(id % 5) * 40`` per sample —
+    the same perturbation convention as the image corpus). The base
+    signal's wrap rate and quadratic coefficient are cluster-dependent
+    (Knuth multiplier + per-cluster k coefficients), so energy contours
+    DECORRELATE across clusters: measured on 500 docs, every hamming<=3
+    pair is within-cluster — the pair set stays linear in corpus size
+    instead of collapsing into a few contour shapes. Pure integer math a
+    SQL oracle replays sample-for-sample, containered as REAL Rice-coded
+    FLAC frames by the vendored lossless codec — lossless means decoded
+    energies equal the synthesized ones exactly. Arrow-batched,
+    map-only."""
+    from delta_sharing_spark.operators.flac import encode_flac
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        out = []
+        for raw in ids:
+            doc_id = int(raw)
+            cluster, member = doc_id // 8, doc_id % 8
+            pert = (member * 2 + cluster) % 33
+            samples = []
+            for k in range(528):
+                v = ((cluster * 2654435761 + k * (17 + cluster % 23)
+                      + (k * k) * (1 + cluster % 13)) % 4096) - 2048
+                if k // 16 == pert:
+                    v += (doc_id % 5) * 40
+                samples.append(v)
+            out.append(encode_flac(samples, sample_rate=sample_rate))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, synth(F.col(id_col)))
+
+
+_FP_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("fingerprint", T.LongType()),
+    T.StructField("error", T.StringType()),
+])
+
+
+def audio_energy_fingerprint(df: DataFrame, media_col: str, id_col: str,
+                             frame: int = 16,
+                             bits: int = 32) -> DataFrame:
+    """Energy-contour acoustic fingerprint (the Haitsma-Kalker shape with
+    frame energy as the single band): decode the clip, split into
+    ``bits + 1`` frames of ``frame`` samples, and set bit ``i`` iff the
+    energy of frame ``i+1`` exceeds frame ``i`` — a compact hash that is
+    stable under small localized edits (a perturbed frame flips at most
+    its two adjacent bits) and integer-exact, so a SQL oracle replays it
+    from the synthesis math. Near-duplicate candidates then come from
+    the SAME banded hamming LSH as SimHash text dedup and image aHash
+    (operators/dedup.py:hamming_near_pairs) — one fingerprint family,
+    three modalities. Map-only Arrow-batched decode, no shuffle."""
+    import numpy as np
+
+    need = (bits + 1) * frame
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for _i, r in pdf.iterrows():
+                try:
+                    raw = r[media_col]
+                    if raw is None:
+                        raise ValueError("null media value")
+                    _rate, _ch, samples = decode_audio(bytes(raw))
+                    if len(samples) < need:
+                        raise ValueError(
+                            f"clip too short for fingerprint: "
+                            f"{len(samples)} < {need} samples")
+                    a = np.asarray(samples[:need], dtype=np.int64)
+                    en = (a * a).reshape(bits + 1, frame).sum(axis=1)
+                    fp = 0
+                    for i in range(bits):
+                        if en[i + 1] > en[i]:
+                            fp |= 1 << i
+                    rows.append((int(r[id_col]), fp, None))
+                except (ValueError, struct.error) as e:
+                    rows.append((int(r[id_col]), None, str(e)))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              _FP_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=_FP_SCHEMA) \
+        .withColumnRenamed("id", id_col)

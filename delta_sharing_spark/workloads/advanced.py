@@ -422,3 +422,66 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_right").alias("purchase_event_id"),
         F.col("value_right").cast("double").alias("purchase_value"),
     )
+
+
+@workload(
+    "q_audio_near_dup",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, k,
+             ((doc_id // 8) * 2654435761 + k * (17 + (doc_id // 8) % 23)
+              + (k * k) * (1 + (doc_id // 8) % 13)) % 4096 - 2048
+             + CASE WHEN k // 16 = ((doc_id % 8) * 2 + doc_id // 8) % 33
+                    THEN (doc_id % 5) * 40 ELSE 0 END AS v
+      FROM documents, LATERAL UNNEST(generate_series(0, 527)) AS t(k)
+    ), e AS (
+      SELECT doc_id, k // 16 AS f, SUM(v * v) AS en
+      FROM s GROUP BY doc_id, k // 16
+    ), fp AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN b.en > a.en
+                           THEN CAST(1 AS BIGINT) << a.f
+                           ELSE 0 END) AS BIGINT) AS fh
+      FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      GROUP BY a.doc_id
+    )
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.fh, c.fh)) AS INT) AS hamming
+    FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.fh, c.fh)) <= 3
+    """,
+)
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint audio near-duplicate detection end-to-end:
+    a deterministic near-dup clip corpus (fixed-size clusters, one
+    perturbed frame per member) containered as REAL Rice-coded FLAC,
+    decoded by the vendored lossless codec per clip, energy-contour
+    32-bit fingerprints (Haitsma-Kalker shape: bit i = energy rises from
+    frame i to i+1), then the SAME banded hamming LSH as SimHash text
+    dedup and image aHash near-dup (4 bit-slices; a pair within hamming
+    3 shares a slice by pigeonhole) with exact bit_count(xor) verification
+    on candidates only — one fingerprint family, three modalities, and
+    the 100 TB plan shape throughout: map-only decode+hash, slice
+    equi-join candidates, never an all-pairs scan. The oracle replays
+    synthesis, energies, fingerprint and the EXHAUSTIVE pair join in
+    SQL, so LSH completeness at this threshold is verified, not
+    assumed (lossless codec => decoded energies equal synthesized ones
+    bit-for-bit)."""
+    from delta_sharing_spark.operators.audio import (
+        audio_energy_fingerprint,
+        synth_flac_corpus,
+    )
+    from delta_sharing_spark.operators.dedup import hamming_near_pairs
+
+    docs = _spread(
+        read_table(spark, sf_dir, "documents").select("doc_id"))
+    clips = synth_flac_corpus(docs, "doc_id")
+    # persist the tiny fingerprint table: the LSH self-join reads it
+    # twice and FLAC decode is the expensive Python stage (same
+    # rationale as q_image_near_dup)
+    fps = audio_energy_fingerprint(clips, "audio", "doc_id") \
+        .drop("error").persist()
+    pairs = hamming_near_pairs(fps, "doc_id", "fingerprint",
+                               bits=32, bands=4, max_hamming=3)
+    return pairs.select("id_a", "id_b",
+                        F.col("hamming").cast("int").alias("hamming"))

@@ -504,3 +504,69 @@ class TestTxnOnTheWire:
                                  page_token=page1["nextPageToken"])
         assert delta_lines_txns(
             actions_to_delta_format(page2["actions"])) == {}
+
+
+class TestAudioNearDup:
+    """Round-10: energy-contour acoustic fingerprint + the shared banded
+    hamming LSH — the audio member of the one-fingerprint-family,
+    three-modalities near-dup suite (SimHash text / aHash image / this)."""
+
+    def test_fingerprint_and_pairs(self, spark):
+        import itertools
+
+        from delta_sharing_spark.operators.audio import (
+            audio_energy_fingerprint, encode_wav)
+        from delta_sharing_spark.operators.dedup import hamming_near_pairs
+        from delta_sharing_spark.operators.flac import encode_flac
+
+        def clip(seed, boost_frame=None):
+            s = []
+            for k in range(528):
+                v = ((seed * 2654435761 + k * (17 + seed % 23)
+                      + (k * k) * (1 + seed % 13)) % 4096) - 2048
+                if boost_frame is not None and k // 16 == boost_frame:
+                    v += 160
+                s.append(v)
+            return s
+
+        base = clip(7)
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_flac(base))),
+             (2, bytearray(encode_wav(base))),       # same PCM, other box
+             (3, bytearray(encode_flac(clip(7, boost_frame=11)))),
+             (4, bytearray(encode_flac(clip(8)))),
+             (5, bytearray(b"junk"))],
+            "doc_id long, audio binary")
+        fps = audio_energy_fingerprint(df, "audio", "doc_id")
+        got = {r["doc_id"]: r for r in fps.collect()}
+        # FLAC and WAV of the same PCM fingerprint identically (lossless
+        # + container-sniffing decode)
+        assert got[1]["fingerprint"] == got[2]["fingerprint"]
+        assert got[5]["fingerprint"] is None and got[5]["error"]
+        # one boosted frame flips at most its two adjacent contour bits
+        d13 = bin(got[1]["fingerprint"] ^ got[3]["fingerprint"]).count("1")
+        assert 0 <= d13 <= 2
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in hamming_near_pairs(
+                     fps.dropna(subset=["fingerprint"]),
+                     "doc_id", "fingerprint",
+                     bits=32, bands=4, max_hamming=3).collect()}
+        assert pairs[(1, 2)] == 0
+        assert (1, 3) in pairs and pairs[(1, 3)] == d13
+        # LSH completeness vs brute force at the threshold
+        ids = [1, 2, 3, 4]
+        brute = {(i, j) for i, j in itertools.combinations(ids, 2)
+                 if bin(got[i]["fingerprint"]
+                        ^ got[j]["fingerprint"]).count("1") <= 3}
+        assert set(pairs) == brute
+
+    def test_short_clip_surfaces_error(self, spark):
+        from delta_sharing_spark.operators.audio import (
+            audio_energy_fingerprint, encode_wav)
+
+        df = spark.createDataFrame(
+            [(1, bytearray(encode_wav([0] * 100)))],
+            "doc_id long, audio binary")
+        row = audio_energy_fingerprint(df, "audio", "doc_id").collect()[0]
+        assert row["fingerprint"] is None
+        assert "too short" in row["error"]
