@@ -42,6 +42,8 @@ _DRIVER_PRIORITY = [
     # new this round (appended as they land)
     "eng_prune_typed_manifest",
     "q_audio_near_dup",
+    "q_video_frames",
+    "q_video_scene_cuts",
     # round-10 engine-plane reworks: re-front the queries whose serving
     # paths changed (typed-stats prune, manifest session, path-range
     # paging, delta-format txn lines ride eng_rest_* responses)

@@ -90,6 +90,8 @@ HEADLINE = [
     # and acoustic-fingerprint audio near-dup over real FLAC decode
     "eng_prune_typed_manifest",
     "q_audio_near_dup",
+    "q_video_frames",
+    "q_video_scene_cuts",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

@@ -485,3 +485,87 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                bits=32, bands=4, max_hamming=3)
     return pairs.select("id_a", "id_b",
                         F.col("hamming").cast("int").alias("hamming"))
+
+
+_VIDEO_FRAMES_CTE = """
+    WITH fr AS (
+      SELECT doc_id, f
+      FROM documents,
+           LATERAL UNNEST(generate_series(0, 1 + doc_id % 3)) AS t(f)
+    ), b AS (
+      SELECT doc_id, f, i,
+             (doc_id * 37 + f * 101 + i * 7 + (doc_id % 16) * i * i
+              + (f % 2) * (doc_id % 7) * 20) % 256 AS v
+      FROM fr, LATERAL UNNEST(generate_series(0, 3)) AS u(i)
+    ), s AS (
+      SELECT doc_id, f, 64 * SUM(v) AS sum_px, 64 * SUM(v * v) AS sum_sq
+      FROM b GROUP BY doc_id, f
+    )
+"""
+
+
+@workload(
+    "q_video_frames",
+    oracle=_VIDEO_FRAMES_CTE + """
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST(256 AS BIGINT) AS n_pixels,
+           CAST(sum_px AS BIGINT) AS sum_px,
+           CAST(sum_sq AS BIGINT) AS sum_sq
+    FROM s
+    """,
+)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode in the distributed path: a deterministic
+    MJPEG-in-AVI clip per doc (2-4 flat-block frames), the RIFF
+    container parsed by the vendored AVI reader and every frame
+    entropy-decoded + IDCT'd by the vendored JPEG codec inside
+    Arrow-batched mapInPandas, emitting integer-exact per-frame pixel
+    aggregates the oracle replays from the block math in SQL — the
+    video member of the image/audio/video decode triple
+    (q_multimodal_jpeg / q_audio_flac / this). Map-only, one output row
+    per frame."""
+    from delta_sharing_spark.operators.video import (
+        synth_mjpeg_corpus,
+        video_frame_features,
+    )
+
+    docs = _spread(
+        read_table(spark, sf_dir, "documents").select("doc_id"))
+    clips = synth_mjpeg_corpus(docs, "doc_id")
+    return video_frame_features(clips, "video", "doc_id").drop("error")
+
+
+@workload(
+    "q_video_scene_cuts",
+    oracle=_VIDEO_FRAMES_CTE + """
+    , lagd AS (
+      SELECT doc_id, f, sum_px,
+             LAG(sum_px) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+      FROM s
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST((sum_px - prev) / 256.0 AS DOUBLE) AS mean_jump
+    FROM lagd
+    WHERE prev IS NOT NULL AND ABS(sum_px - prev) > 40 * 256
+    """,
+)
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal video analysis over REAL decoded frames: scene-cut
+    detection as a per-clip windowed jump test on frame means (integer
+    sums scaled by pixel count — no float drift), the synth corpus's
+    alternating-frame term guaranteeing real cuts to find. The window
+    partitions by clip, so a billion-clip corpus scales by clip count;
+    the oracle replays decode-exact frame sums and the same LAG test in
+    SQL."""
+    from delta_sharing_spark.operators.video import (
+        scene_cuts,
+        synth_mjpeg_corpus,
+        video_frame_features,
+    )
+
+    docs = _spread(
+        read_table(spark, sf_dir, "documents").select("doc_id"))
+    clips = synth_mjpeg_corpus(docs, "doc_id")
+    frames = video_frame_features(clips, "video", "doc_id")
+    return scene_cuts(frames, "doc_id", threshold=40)

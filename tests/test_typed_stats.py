@@ -570,3 +570,94 @@ class TestAudioNearDup:
         row = audio_energy_fingerprint(df, "audio", "doc_id").collect()[0]
         assert row["fingerprint"] is None
         assert "too short" in row["error"]
+
+
+class TestVideoMjpeg:
+    """Round-10: REAL video decode — vendored RIFF-AVI container over
+    the vendored MJPEG (baseline JPEG) frames, completing the
+    image/audio/video decode triple."""
+
+    def test_container_round_trip(self):
+        import numpy as np
+
+        from delta_sharing_spark.operators.jpeg import (
+            decode_jpeg, encode_jpeg)
+        from delta_sharing_spark.operators.video import (
+            decode_avi_mjpeg, encode_avi_mjpeg)
+
+        frames = []
+        for f in range(3):
+            arr = np.full((16, 16), 10 + 40 * f, dtype=np.uint8)
+            arr[8:, 8:] = 200 - 30 * f
+            frames.append(encode_jpeg(
+                16, 16, 1, [arr[y].tobytes() for y in range(16)]))
+        avi = encode_avi_mjpeg(16, 16, frames)
+        w, h, out = decode_avi_mjpeg(avi)
+        assert (w, h) == (16, 16)
+        assert out == frames  # byte-identical frame payloads
+        # and the frames still decode to the original pixels
+        fw, fh, ch, rows = decode_jpeg(out[1])
+        assert (fw, fh, ch) == (16, 16, 1)
+        assert rows[0][0] == 50 and rows[15][15] == 170
+
+    def test_decode_rejects_malformed(self):
+        import struct as _struct
+
+        import pytest as _pytest
+
+        from delta_sharing_spark.operators.video import (
+            VideoError, decode_avi_mjpeg, encode_avi_mjpeg)
+
+        with _pytest.raises(VideoError, match="not a RIFF AVI"):
+            decode_avi_mjpeg(b"junkjunkjunkjunk")
+        # a non-MJPG stream header must be refused, not misdecoded
+        from delta_sharing_spark.operators.jpeg import encode_jpeg
+        import numpy as np
+        fr = encode_jpeg(16, 16, 1,
+                         [np.zeros(16, np.uint8).tobytes()] * 16)
+        avi = bytearray(encode_avi_mjpeg(16, 16, [fr]))
+        pos = avi.find(b"MJPG", avi.find(b"strf"))
+        avi[pos:pos + 4] = b"H264"
+        with _pytest.raises(VideoError, match="MJPG only"):
+            decode_avi_mjpeg(bytes(avi))
+        # truncation caught by chunk-bounds check
+        with _pytest.raises(VideoError):
+            decode_avi_mjpeg(bytes(encode_avi_mjpeg(16, 16, [fr]))[:-20])
+
+    def test_frame_features_and_cuts(self, spark):
+        from delta_sharing_spark.operators.video import (
+            scene_cuts, synth_mjpeg_corpus, video_frame_features)
+
+        docs = spark.createDataFrame(
+            [(6,), (13,)], "doc_id long")  # 2 + id%3 frames: 2 and 3
+        clips = synth_mjpeg_corpus(docs, "doc_id")
+        feats = video_frame_features(clips, "video", "doc_id")
+        rows = {(r["doc_id"], r["frame_idx"]): r for r in feats.collect()}
+        assert len(rows) == 2 + 3
+        # replay one frame's block math exactly
+        doc, f = 13, 1
+        vs = [(doc * 37 + f * 101 + i * 7 + (doc % 16) * i * i
+               + (f % 2) * (doc % 7) * 20) % 256 for i in range(4)]
+        r = rows[(doc, f)]
+        assert r["n_pixels"] == 256
+        assert r["sum_px"] == 64 * sum(vs)
+        assert r["sum_sq"] == 64 * sum(v * v for v in vs)
+        # junk payload surfaces error, not a job failure
+        bad = spark.createDataFrame([(9, bytearray(b"nope"))],
+                                    "doc_id long, video binary")
+        er = video_frame_features(bad, "video", "doc_id").collect()[0]
+        assert er["error"] and er["frame_idx"] is None
+        # cuts: replay the synth math to get the EXPECTED cut set
+        def mean(doc, f):
+            return sum((doc * 37 + f * 101 + i * 7 + (doc % 16) * i * i
+                        + (f % 2) * (doc % 7) * 20) % 256
+                       for i in range(4)) / 4
+
+        want = {(doc, f)
+                for doc, nf in ((6, 2), (13, 3))
+                for f in range(1, nf)
+                if abs(mean(doc, f) - mean(doc, f - 1)) > 40}
+        assert want  # the corpus guarantees real cuts to find
+        cuts = {(r["doc_id"], r["frame_idx"])
+                for r in scene_cuts(feats, "doc_id", 40).collect()}
+        assert cuts == want
