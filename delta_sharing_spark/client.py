@@ -341,8 +341,11 @@ def get_table_txns(url: str,
     profile_path, share, schema, table = _parse_url(url)
     profile = DeltaSharingProfile.read_from_file(profile_path)
     if _is_http(profile.endpoint):
+        # txn lines ride the FIRST page; maxFiles=1 (the server's
+        # minimum) keeps this a metadata-sized RPC on huge tables
+        # instead of streaming the whole file listing
         _h, lines = _rest_client(profile).list_files_in_table(
-            share, schema, table, response_formats="delta")
+            share, schema, table, response_formats="delta", max_files=1)
         return delta_lines_txns(lines)
     spark = spark or SparkSession.getActiveSession()
     if spark is None:

@@ -320,16 +320,28 @@ def stats_field_spec(schema: T.StructType) -> list[tuple[str, str]]:
 
 def _typed_stat_value(v, kind: str):
     """One stats-JSON value -> the typed column's python value; anything
-    non-conforming -> None (Unknown -> the prune keeps the file)."""
+    non-conforming -> None (Unknown -> the prune keeps the file).
+    Mirrors the JSON path's cast semantics exactly: a non-integral
+    value in an int column's stats casts to NULL there (Spark
+    string->bigint of '3.7' is NULL with ANSI off), so it must be
+    Unknown here too — int() truncation would shrink a MAX bound and
+    wrongly prune."""
     if v is None:
         return None
     try:
         if kind == "i":
-            return int(v) if not isinstance(v, bool) else None
+            if isinstance(v, bool) or \
+                    (isinstance(v, float) and not v.is_integer()):
+                return None
+            return int(v)
         if kind == "f":
             return float(v) if not isinstance(v, bool) else None
         if kind == "b":
             return v if isinstance(v, bool) else None
+        if isinstance(v, bool):
+            # JSON serializes bools as 'true'/'false'; str(True) is
+            # 'True' — match the JSON path byte-for-byte
+            return "true" if v else "false"
         return v if isinstance(v, str) else str(v)
     except (TypeError, ValueError):
         return None

@@ -661,3 +661,23 @@ class TestVideoMjpeg:
         cuts = {(r["doc_id"], r["frame_idx"])
                 for r in scene_cuts(feats, "doc_id", 40).collect()}
         assert cuts == want
+
+
+class TestTypedStatValueCasts:
+    def test_non_integral_float_is_unknown_for_int_columns(self):
+        # the JSON path casts '3.7' -> NULL for a bigint column (ANSI
+        # off); the typed column must be Unknown there too — int()
+        # truncation would shrink a MAX bound and wrongly prune
+        from delta_sharing_spark.plans.log import _typed_stat_value
+
+        assert _typed_stat_value(3.7, "i") is None
+        assert _typed_stat_value(3.0, "i") == 3
+        assert _typed_stat_value(True, "i") is None
+        assert _typed_stat_value("12", "i") == 12
+        assert _typed_stat_value("x", "i") is None
+        assert _typed_stat_value(3, "f") == 3.0
+        assert _typed_stat_value(True, "b") is True
+        assert _typed_stat_value(1, "b") is None
+        # string kind: JSON serializes bools lowercase; match it
+        assert _typed_stat_value(True, "s") == "true"
+        assert _typed_stat_value(3.5, "s") == "3.5"
