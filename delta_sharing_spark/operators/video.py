@@ -115,8 +115,13 @@ def decode_avi_mjpeg(content: bytes) -> "tuple[int, int, list[bytes]]":
     width = height = None
     frames: "list[bytes]" = []
 
-    def walk(buf: bytes, pos: int, end: int) -> None:
+    def walk(buf: bytes, pos: int, end: int, depth: int = 0) -> None:
         nonlocal width, height
+        if depth > 16:
+            # real AVIs nest 2-3 LIST levels; a crafted deep nest must
+            # surface as the per-row error, not a RecursionError that
+            # would fail the whole executor task
+            raise VideoError("LIST nesting too deep")
         while pos + 8 <= end:
             fourcc = buf[pos:pos + 4]
             (size,) = struct.unpack_from("<I", buf, pos + 4)
@@ -125,7 +130,7 @@ def decode_avi_mjpeg(content: bytes) -> "tuple[int, int, list[bytes]]":
             if data_end > end:
                 raise VideoError(f"truncated chunk {fourcc!r}")
             if fourcc == b"LIST":
-                walk(buf, data_start + 4, data_end)
+                walk(buf, data_start + 4, data_end, depth + 1)
             elif fourcc == b"strf" and width is None:
                 if size < 20:
                     raise VideoError("short strf")

@@ -681,3 +681,45 @@ class TestTypedStatValueCasts:
         # string kind: JSON serializes bools lowercase; match it
         assert _typed_stat_value(True, "s") == "true"
         assert _typed_stat_value(3.5, "s") == "3.5"
+
+
+class TestVideoDecoderFuzz:
+    def test_mutations_never_escape_error_taxonomy(self):
+        """Every truncation/bit-flip of a valid AVI either decodes or
+        raises VideoError/JpegError — never an uncaught exception (the
+        per-row error contract of video_frame_features depends on it)."""
+        import random
+        import struct as _struct
+
+        import numpy as np
+
+        from delta_sharing_spark.operators.jpeg import (
+            JpegError, encode_jpeg)
+        from delta_sharing_spark.operators.video import (
+            VideoError, decode_avi_mjpeg, encode_avi_mjpeg)
+
+        fr = [encode_jpeg(16, 16, 1,
+                          [np.full(16, 60 * f, np.uint8).tobytes()] * 16)
+              for f in range(3)]
+        avi = encode_avi_mjpeg(16, 16, fr)
+        rng = random.Random(1234)
+        for trial in range(200):
+            buf = bytearray(avi)
+            if trial % 2:
+                buf = buf[:rng.randrange(len(buf))]
+            else:
+                for _ in range(rng.randrange(1, 4)):
+                    buf[rng.randrange(len(buf))] = rng.randrange(256)
+            try:
+                decode_avi_mjpeg(bytes(buf))
+            except (VideoError, JpegError, _struct.error):
+                pass  # the contract: typed errors only
+        # deep LIST nesting surfaces as VideoError, not RecursionError
+        nest = b""
+        for _ in range(64):
+            nest = b"LIST" + _struct.pack("<I", len(nest) + 4) \
+                + b"hdrl" + nest
+        deep = b"RIFF" + _struct.pack("<I", len(nest) + 4) + b"AVI " + nest
+        import pytest as _pytest
+        with _pytest.raises(VideoError, match="nesting too deep"):
+            decode_avi_mjpeg(deep)
