@@ -453,6 +453,15 @@ def manifest_session(spark: SparkSession) -> SparkSession:
     with _META_SESSION_LOCK:
         cached = _META_SESSIONS.get(spark)
         if cached is not None:
+            # timezone affects string->temporal stat casts in the prune:
+            # follow a parent-session change instead of pinning creation
+            # time's value (two conf reads per manifest op — negligible)
+            try:
+                tz = spark.conf.get("spark.sql.session.timeZone")
+                if cached.conf.get("spark.sql.session.timeZone") != tz:
+                    cached.conf.set("spark.sql.session.timeZone", tz)
+            except Exception:
+                pass
             return cached
         meta = spark.newSession()
         for key in _META_MIRROR_CONFS:

@@ -723,3 +723,20 @@ class TestVideoDecoderFuzz:
         import pytest as _pytest
         with _pytest.raises(VideoError, match="nesting too deep"):
             decode_avi_mjpeg(deep)
+
+
+def test_manifest_session_follows_timezone(spark, tmp_path):
+    """A parent-session timezone change must reach the manifest plane —
+    string->temporal stat casts in the prune are timezone-sensitive."""
+    from delta_sharing_spark.plans.log import manifest_session
+
+    meta = manifest_session(spark)
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        assert manifest_session(spark).conf.get(
+            "spark.sql.session.timeZone") == "Asia/Tokyo"
+        assert manifest_session(spark) is meta  # same session, re-synced
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+        manifest_session(spark)  # restore the mirror too
