@@ -740,3 +740,87 @@ def test_manifest_session_follows_timezone(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
         manifest_session(spark)  # restore the mirror too
+
+
+def test_pre_r10_checkpoint_reads_and_prunes_via_json(spark, tmp_path):
+    """A checkpoint written WITHOUT the typed structs (pre-r10 layout)
+    must keep working end-to-end: files_df omits the parsed columns,
+    parsed_stat_fields is empty, and the prune falls back to the JSON
+    path with identical results — the on-disk compat contract."""
+    from delta_sharing_spark.plans.log import (
+        _fmt_checkpoint, checkpoint_arrow_table, write_checkpoint_files)
+
+    log = _mk_table(spark, str(tmp_path / "t"), interval="100")
+    log.write_checkpoint()
+    snap = log.snapshot()
+    cp = os.path.join(log.log_path, _fmt_checkpoint(snap.version))
+    # rewrite the checkpoint in the OLD layout: same rows, no
+    # stats_fields (exactly what a pre-r10 writer produced)
+    tbl = pq.read_table(cp)
+    cols = {n: tbl.column(n).to_pylist() for n in tbl.schema.names}
+    old = checkpoint_arrow_table(
+        cols["kind"], cols["action_json"], cols["path"],
+        [None if v is None else list(v.items()) if isinstance(v, dict)
+         else v for v in cols["partitionValues"]],
+        cols["size"], cols["numRecords"],
+        [None if s is None else json.loads(s) for s in cols["minValues"]],
+        [None if s is None else json.loads(s) for s in cols["maxValues"]],
+        [None if s is None else json.loads(s) for s in cols["nullCount"]],
+        cols["version"], cols["timestamp"])
+    assert "minValues_parsed" not in old.schema.names
+    write_checkpoint_files(old, cp)
+    log2 = TableLog(spark, str(tmp_path / "t"))
+    snap2 = log2.snapshot()
+    m = log2.files_df(snap2)
+    assert parsed_stat_fields(m) == frozenset()
+    hint = _hint("id", "long", "greaterThan", 5000)
+    kept = sorted(r["path"] for r in m.filter(
+        file_keep_condition(hint, snap2.partition_columns,
+                            parsed_stat_fields(m)))
+        .select("path").collect())
+    from delta_sharing_spark.plans.predicates import keep_file
+    want = sorted(a.path for a in snap2.files
+                  if keep_file(json.loads(hint), a.partitionValues,
+                               a.stats_dict(), snap2.partition_columns))
+    assert kept == want and kept
+    # and a tail commit over the old-layout base still unions cleanly
+    log2.append(spark.range(0, 10).select(
+        (F.col("id") + 500_000).alias("id"), F.lit(0.0).alias("v"),
+        F.lit("zz").alias("s"), F.to_date(F.lit("2025-01-01")).alias("dt"),
+        F.lit("9").alias("cat")))
+    snap3 = log2.snapshot()
+    m3 = log2.files_df(snap3)
+    assert m3.count() == len(snap3.files)
+    assert parsed_stat_fields(m3) == frozenset()
+
+
+def test_typed_prune_under_column_mapping(spark, tmp_path):
+    """Column mapping: stats (and therefore the typed structs) are keyed
+    by PHYSICAL names; a hint naming the renamed LOGICAL column must
+    translate and prune on the typed path with driver-loop parity."""
+    log = TableLog(spark, str(tmp_path / "t"))
+    df = spark.range(0, 8000).select(
+        F.col("id").alias("n"), (F.col("id") % 4).cast("string").alias("cat"))
+    log.create(df, partition_by=["cat"],
+               configuration={"delta.checkpointInterval": "100"})
+    log.enable_column_mapping()
+    log.rename_column("n", "metric")
+    log.write_checkpoint()
+    snap = log.snapshot()
+    m = log.files_df(snap)
+    pf = parsed_stat_fields(m)
+    assert pf  # typed structs present, physical-keyed
+    assert "metric" not in pf  # logical name is NOT the struct key
+    st = SharedTable(spark, str(tmp_path / "t"))
+    hint = {"op": "greaterThan", "children": [
+        {"op": "column", "name": "metric", "valueType": "long"},
+        {"op": "literal", "value": "6000", "valueType": "long"}]}
+    jph = log._physical_hints(snap, hint)
+    kept = sorted(r["path"] for r in st._pruned_manifest(
+        snap, jph, None, None).select("path").collect())
+    from delta_sharing_spark.plans.predicates import keep_file
+    want = sorted(a.path for a in snap.files
+                  if keep_file(jph, a.partitionValues, a.stats_dict(),
+                               snap.physical_partition_columns))
+    assert kept == want
+    assert 0 < len(kept) < len(snap.files)  # the prune actually bit
