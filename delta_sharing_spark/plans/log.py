@@ -347,6 +347,14 @@ def _typed_stat_value(v, kind: str):
         return None
 
 
+# exact-type fast path per kind: stats dicts parsed from JSON carry int/
+# float/str values directly, so the slow conversion (`_typed_stat_value`)
+# only runs for the rare mismatched value — a 10M-row checkpoint build is
+# 60M of these lookups (`v.__class__ is int` also excludes bool, which
+# int isinstance would admit)
+_STAT_FAST_CLS = {"i": int, "f": float, "b": bool, "s": str}
+
+
 def _parsed_struct_arrays(dicts, spec):
     """Arrow StructArray over per-row stats dicts: one flat value list per
     field (never 10M python dicts), rows with no stats masked null."""
@@ -356,9 +364,16 @@ def _parsed_struct_arrays(dicts, spec):
     for name, kind in spec:
         pa_t = {"i": pa.int64(), "f": pa.float64(),
                 "b": pa.bool_(), "s": pa.string()}[kind]
-        cols.append(pa.array(
-            [None if d is None else _typed_stat_value(d.get(name), kind)
-             for d in dicts], pa_t))
+        fast = _STAT_FAST_CLS[kind]
+        vals = []
+        append = vals.append
+        for d in dicts:
+            v = None if d is None else d.get(name)
+            if v is None or v.__class__ is fast:
+                append(v)
+            else:
+                append(_typed_stat_value(v, kind))
+        cols.append(pa.array(vals, pa_t))
         names.append(name)
     mask = pa.array([d is None for d in dicts], pa.bool_())
     return pa.StructArray.from_arrays(cols, names=names, mask=mask)
