@@ -443,7 +443,14 @@ def _delta_changes_to_profile_shape(lines: list) -> list:
             w = line["file"]
             kind = next(iter(w["deltaSingleAction"]))
             a = w["deltaSingleAction"][kind]
-            key = {"add": "add", "remove": "remove", "cdc": "cdf"}[kind]
+            key = {"add": "add", "remove": "remove", "cdc": "cdf"}.get(kind)
+            if key is None:
+                # ``txn`` (and any future non-file single action) has no
+                # path/size — pass txn through under its own key,
+                # forward-compat skip anything else.
+                if kind == "txn":
+                    out.append({"txn": dict(a)})
+                continue
             entry = {
                 "url": a["path"], "id": w.get("id"),
                 "partitionValues": a.get("partitionValues", {}),

@@ -218,6 +218,7 @@ def video_frame_features(df: DataFrame, media_col: str,
             rows = []
             for _i, r in pdf.iterrows():
                 doc = int(r[id_col])
+                mark = len(rows)
                 try:
                     raw = r[media_col]
                     if raw is None:
@@ -232,6 +233,11 @@ def video_frame_features(df: DataFrame, media_col: str,
                                      int(a.sum()), int((a * a).sum()),
                                      None))
                 except (VideoError, JpegError, struct.error) as e:
+                    # a mid-clip decode failure must not leave the clip
+                    # half-emitted: drop its partial frame rows so a clip
+                    # is EITHER fully decoded OR a single error row,
+                    # never both
+                    del rows[mark:]
                     rows.append((doc, None, None, None, None, None,
                                  None, str(e)))
             yield pd.DataFrame(rows, columns=[f.name for f in

@@ -333,7 +333,12 @@ def _typed_stat_value(v, kind: str):
             if isinstance(v, bool) or \
                     (isinstance(v, float) and not v.is_integer()):
                 return None
-            return int(v)
+            iv = int(v)
+            # JSON integers are unbounded; int64 overflow would fail the
+            # whole checkpoint write (pa.array raises), where the JSON
+            # layout just cast such values to NULL at scan time. Same
+            # robustness here: out-of-range -> Unknown -> keep.
+            return iv if -(1 << 63) <= iv < (1 << 63) else None
         if kind == "f":
             return float(v) if not isinstance(v, bool) else None
         if kind == "b":
@@ -367,12 +372,24 @@ def _parsed_struct_arrays(dicts, spec):
         fast = _STAT_FAST_CLS[kind]
         vals = []
         append = vals.append
-        for d in dicts:
-            v = None if d is None else d.get(name)
-            if v is None or v.__class__ is fast:
-                append(v)
-            else:
-                append(_typed_stat_value(v, kind))
+        if kind == "i":
+            # ints need the int64 bounds check even on the fast path (an
+            # out-of-range JSON integer must become NULL, not fail the
+            # whole write in pa.array)
+            lo, hi = -(1 << 63), (1 << 63)
+            for d in dicts:
+                v = None if d is None else d.get(name)
+                if v is None or (v.__class__ is fast and lo <= v < hi):
+                    append(v)
+                else:
+                    append(_typed_stat_value(v, kind))
+        else:
+            for d in dicts:
+                v = None if d is None else d.get(name)
+                if v is None or v.__class__ is fast:
+                    append(v)
+                else:
+                    append(_typed_stat_value(v, kind))
         cols.append(pa.array(vals, pa_t))
         names.append(name)
     mask = pa.array([d is None for d in dicts], pa.bool_())
@@ -526,6 +543,148 @@ def write_checkpoint_files(table, final: str) -> None:
         os.rename(tmp, final)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- parallel checkpoint build ---------------------------------------
+#
+# Above this many file actions, the per-row Python serialization (action
+# JSON wrapper + stats re-encode + typed stat structs) dominates a
+# checkpoint write (~47 µs/row single-threaded — 470 s at 10M files), so
+# parts/sidecars are built in FORKED worker processes: the single-node
+# stand-in for the Spark job Delta itself runs checkpointing as (the
+# reference defers checkpoint materialization to Delta for exactly this
+# reason). fork shares the materialized snapshot copy-on-write, so ten
+# million AddFiles are never pickled; workers only write parquet files
+# and return (index, path, size, digest) tuples. Below the threshold the
+# serial path stands — fork+pool setup (~0.5 s with a large heap) would
+# dominate small writes, and sessionless/non-fork platforms always use it.
+CHECKPOINT_PARALLEL_MIN_FILES = 250_000
+
+# copy-on-write payload for forked checkpoint workers; set by the parent
+# immediately before Pool creation, cleared after. Never read by threads.
+_FORK_STATE: dict = {}
+
+
+def _fork_pool_available() -> bool:
+    import multiprocessing as mp
+
+    return "fork" in mp.get_all_start_methods()
+
+
+def _fork_map(worker, jobs, state: dict) -> list:
+    """Run ``worker(job)`` across forked processes with ``state`` shared
+    copy-on-write via the module global. Results come back in job order.
+    Caller must have checked ``_fork_pool_available()``."""
+    import multiprocessing as mp
+
+    global _FORK_STATE
+    procs = min(len(jobs), os.cpu_count() or 4)
+    _FORK_STATE = state
+    try:
+        with mp.get_context("fork").Pool(processes=procs) as pool:
+            return pool.map(worker, jobs, chunksize=1)
+    finally:
+        _FORK_STATE = {}
+
+
+def _add_manifest_row(add: AddFile):
+    """One checkpoint/sidecar row for an add: (json, typed columns);
+    stats ride as DICTS — checkpoint_arrow_table serializes the JSON
+    string columns and builds the typed ``*_parsed`` structs."""
+    st = add.stats_dict()
+    return (dumps_action(add), add.path,
+            list(add.partitionValues.items()), add.size,
+            add.logical_records,
+            st.get("minValues", {}),
+            st.get("maxValues", {}),
+            st.get("nullCount", {}),
+            add.version, add.timestamp)
+
+
+def _adds_arrow_table(adds, spec):
+    """Arrow checkpoint table over a list of adds (the per-part/-sidecar
+    build both the serial and forked paths share)."""
+    rows = [_add_manifest_row(a) for a in adds]
+    return checkpoint_arrow_table(
+        ["add"] * len(rows), *map(list, zip(*rows)), stats_fields=spec)
+
+
+def _write_classic_part(job) -> None:
+    """Forked worker: build one classic-checkpoint part over the adds in
+    [lo, hi) of the shared snapshot file list and write it."""
+    import pyarrow.parquet as pq
+
+    lo, hi, part_path = job
+    t = _adds_arrow_table(_FORK_STATE["files"][lo:hi], _FORK_STATE["spec"])
+    pq.write_table(t, part_path, row_group_size=CHECKPOINT_ROW_GROUP_ROWS)
+
+
+def _sidecar_sha256(fp: str) -> str:
+    """sha256 of the sidecar parquet's bytes, cached in an atomic
+    ``<fp>.sha256`` companion (backfilled for pre-hash sidecars) so
+    unchanged buckets cost one 64-byte read per checkpoint, not a
+    re-hash of their parquet."""
+    import hashlib as _hl
+
+    cache = fp + ".sha256"
+    try:
+        with open(cache) as f:
+            cached = f.read().strip()
+        if len(cached) == 64:
+            return cached
+    except OSError:
+        pass
+    h = _hl.sha256()
+    with open(fp, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    digest = h.hexdigest()
+    try:
+        tmp = cache + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(digest)
+        os.replace(tmp, cache)
+    except OSError:
+        pass  # the cache is an optimization
+    return digest
+
+
+def _build_sidecar_bucket(idx: int, state: dict | None = None):
+    """Build (or reuse) the sidecar for bucket ``idx`` of the shared
+    bucket list: content-address from (path, version) identities, write
+    only when the addressed file is absent. Runs serially (explicit
+    ``state``) or as a forked worker (copy-on-write ``_FORK_STATE``) —
+    identical bytes either way. Returns ``(rel_path, size_bytes,
+    sha256)``."""
+    import hashlib as _hl
+
+    import pyarrow.parquet as pq
+
+    st = state if state is not None else _FORK_STATE
+    bucket = st["buckets"][idx]
+    bucket.sort(key=lambda a: a.path)
+    # content address from (path, commit version) identities: an add's
+    # full action for a given (path, version) is immutable in the log
+    # (replay always reconstructs the same bytes), so the identity set
+    # determines the sidecar content — and an UNCHANGED bucket costs
+    # O(paths) string hashing, never a re-serialization of its actions
+    # (the incremental property). "sidecar-v2" = the typed *_parsed
+    # stats-column layout: the version tag in the address means a new
+    # checkpoint can never reuse an old-layout sidecar file, so one scan
+    # never mixes parquet schemas with and without the parsed structs
+    h = _hl.sha256(("sidecar-v2\n" + st["spec_tag"] + "\n" + "\n".join(
+        f"{a.path}\x00{a.version}" for a in bucket)
+    ).encode()).hexdigest()[:32]
+    rel = os.path.join(SIDECAR_DIR, f"{h}.parquet")
+    fp = os.path.join(st["log_path"], rel)
+    if not os.path.exists(fp):
+        t = _adds_arrow_table(bucket, st["spec"])
+        tmp = fp + f".{uuid.uuid4().hex}.tmp"
+        # bounded row groups for the same scan-parallelism reason as
+        # write_checkpoint_files
+        pq.write_table(t, tmp, row_group_size=CHECKPOINT_ROW_GROUP_ROWS)
+        os.replace(tmp, fp)
+    return rel, os.path.getsize(fp), _sidecar_sha256(fp)
 
 
 def serialize_partition_value(value) -> str:
@@ -1102,6 +1261,9 @@ class TableLog:
                          cfg.get("checkpointPolicy", "classic")).lower()
         if policy == "v2":
             return self._write_checkpoint_v2(snap)
+        if len(snap.files) >= CHECKPOINT_PARALLEL_MIN_FILES \
+                and _fork_pool_available():
+            return self._write_checkpoint_classic_parallel(snap)
         kinds = ["metaData", "protocol"]
         jsons = [dumps_action(snap.metadata), dumps_action(Protocol())]
         paths, pvs, sizes = [None, None], [None, None], [None, None]
@@ -1129,23 +1291,12 @@ class TableLog:
         # otherwise grows one entry per queryId forever and bloats every
         # checkpoint. An evicted (ancient) writer restarting re-appends its
         # last batch — the documented Delta retention trade-off.
-        recent = list(snap.transactions.items())[-TXN_RETENTION_MAX:]
-        for app_id, epoch in sorted(recent):
-            # SetTransaction state: lets sink idempotency replay from the
-            # checkpoint instead of the full commit history
-            kinds.append("txn")
-            jsons.append(json.dumps({"appId": app_id, "version": epoch}))
-            for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
-                        vers, tss):
-                lst.append(None)
-        for domain, cfg in sorted(snap.domain_metadata.items()):
-            # domainMetadata state (row-tracking high-water mark etc.):
-            # a snapshot resolved from the checkpoint alone must see it
-            kinds.append("domainMetadata")
-            jsons.append(dumps_action(DomainMetadata(domain, cfg)))
-            for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
-                        vers, tss):
-                lst.append(None)
+        tk, tj = self._tail_state_rows(snap)
+        kinds += tk
+        jsons += tj
+        for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
+                    vers, tss):
+            lst.extend([None] * len(tk))
         table = checkpoint_arrow_table(kinds, jsons, paths, pvs, sizes,
                                        nrecs, mins, maxs, nulls, vers, tss,
                                        stats_field_spec(snap.physical_schema))
@@ -1156,17 +1307,77 @@ class TableLog:
         return final
 
     def _add_manifest_entry(self, add: AddFile):
-        """One checkpoint/sidecar row for an add: (json, typed columns);
-        stats ride as DICTS — checkpoint_arrow_table serializes the JSON
-        string columns and builds the typed ``*_parsed`` structs."""
-        st = add.stats_dict()
-        return (dumps_action(add), add.path,
-                list(add.partitionValues.items()), add.size,
-                add.logical_records,
-                st.get("minValues", {}),
-                st.get("maxValues", {}),
-                st.get("nullCount", {}),
-                add.version, add.timestamp)
+        """One checkpoint/sidecar row for an add — see
+        :func:`_add_manifest_row` (module-level so forked checkpoint
+        workers can run it)."""
+        return _add_manifest_row(add)
+
+    def _tail_state_rows(self, snap: "Snapshot"):
+        """(kinds, jsons) for the table-wide trailing state every
+        checkpoint carries: SetTransaction epochs (retention-capped, so
+        sink idempotency replays from the checkpoint instead of the full
+        commit history) and domainMetadata (row-tracking high-water mark
+        etc. — a snapshot resolved from the checkpoint alone must see
+        it). Shared by the serial, parallel, and v2 writers."""
+        kinds, jsons = [], []
+        recent = list(snap.transactions.items())[-TXN_RETENTION_MAX:]
+        for app_id, epoch in sorted(recent):
+            kinds.append("txn")
+            jsons.append(json.dumps({"appId": app_id, "version": epoch}))
+        for domain, cfg in sorted(snap.domain_metadata.items()):
+            kinds.append("domainMetadata")
+            jsons.append(dumps_action(DomainMetadata(domain, cfg)))
+        return kinds, jsons
+
+    def _write_checkpoint_classic_parallel(self, snap: "Snapshot") -> str:
+        """Classic checkpoint for LARGE manifests: add rows are built and
+        written as part files by forked workers (copy-on-write snapshot,
+        no pickling — see CHECKPOINT_PARALLEL_MIN_FILES), the single-node
+        stand-in for Delta's checkpoint-as-a-Spark-job. Byte-equivalent
+        rows to the serial path; only part boundaries differ (part 0
+        carries the non-add state rows), and checkpoint readers filter by
+        ``kind``, never by row order."""
+        import pyarrow.parquet as pq
+
+        spec = stats_field_spec(snap.physical_schema)
+        kinds = ["metaData", "protocol"]
+        jsons = [dumps_action(snap.metadata), dumps_action(Protocol())]
+        tk, tj = self._tail_state_rows(snap)
+        kinds += tk
+        jsons += tj
+        blank = [None] * len(kinds)
+        head = checkpoint_arrow_table(
+            kinds, jsons, list(blank), list(blank), list(blank),
+            list(blank), list(blank), list(blank), list(blank),
+            list(blank), list(blank), stats_fields=spec)
+        final = os.path.join(self.log_path, _fmt_checkpoint(snap.version))
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        os.makedirs(tmp)
+        pq.write_table(head, os.path.join(tmp, "part-00000.parquet"),
+                       row_group_size=CHECKPOINT_ROW_GROUP_ROWS)
+        n = len(snap.files)
+        jobs = [
+            (lo, min(lo + CHECKPOINT_PART_ROWS, n),
+             os.path.join(tmp, f"part-{i + 1:05d}.parquet"))
+            for i, lo in enumerate(range(0, n, CHECKPOINT_PART_ROWS))
+        ]
+        try:
+            _fork_map(_write_classic_part, jobs,
+                      {"files": snap.files, "spec": spec})
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        # same race posture as write_checkpoint_files: checkpoint content
+        # is deterministic per version, so losing a concurrent-writer
+        # rename race is safe (the winner's checkpoint is ours too)
+        try:
+            if os.path.isfile(final):
+                os.remove(final)
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        self._write_last_checkpoint(snap.version, final, n, "classic")
+        return final
 
     def _write_checkpoint_v2(self, snap: "Snapshot") -> str:
         """V2 checkpoint: content-addressed sidecars + a small manifest.
@@ -1178,8 +1389,6 @@ class TableLog:
         unchanged bucket's sidecar already exists on disk under its
         content hash and costs zero bytes to 'write' again."""
         import hashlib as _hl
-
-        import pyarrow.parquet as pq
 
         n = len(snap.files)
         nbuckets = 1
@@ -1208,61 +1417,36 @@ class TableLog:
         paths, pvs, sizes = list(blank), list(blank), list(blank)
         nrecs, mins, maxs = list(blank), list(blank), list(blank)
         nulls, vers, tss = list(blank), list(blank), list(blank)
-        for bucket in buckets:
-            if not bucket:
-                continue
-            bucket.sort(key=lambda a: a.path)
-            # content address from (path, commit version) identities: an
-            # add's full action for a given (path, version) is immutable
-            # in the log (replay always reconstructs the same bytes), so
-            # the identity set determines the sidecar content — and an
-            # UNCHANGED bucket costs O(paths) string hashing, never a
-            # re-serialization of its actions (the incremental property).
-            # "sidecar-v2" = the typed *_parsed stats-column layout: the
-            # version tag in the address means a new checkpoint can never
-            # reuse an old-layout sidecar file, so one scan never mixes
-            # parquet schemas with and without the parsed structs
-            h = _hl.sha256(("sidecar-v2\n" + spec_tag + "\n" + "\n".join(
-                f"{a.path}\x00{a.version}" for a in bucket)
-            ).encode()).hexdigest()[:32]
-            rel = os.path.join(SIDECAR_DIR, f"{h}.parquet")
-            fp = os.path.join(self.log_path, rel)
-            if not os.path.exists(fp):
-                rows = [self._add_manifest_entry(a) for a in bucket]
-                t = checkpoint_arrow_table(
-                    ["add"] * len(rows), *map(list, zip(*rows)),
-                    stats_fields=spec)
-                tmp = fp + f".{uuid.uuid4().hex}.tmp"
-                # bounded row groups for the same scan-parallelism reason
-                # as write_checkpoint_files
-                pq.write_table(t, tmp,
-                               row_group_size=CHECKPOINT_ROW_GROUP_ROWS)
-                os.replace(tmp, fp)
+        nonempty = [i for i, b in enumerate(buckets) if b]
+        state = {"buckets": buckets, "spec": spec, "spec_tag": spec_tag,
+                 "log_path": self.log_path}
+        if n >= CHECKPOINT_PARALLEL_MIN_FILES and _fork_pool_available():
+            # large manifest: sidecar builds fork out (copy-on-write
+            # buckets — see CHECKPOINT_PARALLEL_MIN_FILES). Each bucket's
+            # bytes are identical to the serial build; manifest order
+            # stays bucket order (pool.map preserves job order).
+            results = _fork_map(_build_sidecar_bucket, nonempty, state)
+        else:
+            results = [_build_sidecar_bucket(i, state) for i in nonempty]
+        for rel, size_bytes, sha in results:
             kinds.append("sidecar")
             jsons.append(json.dumps({"sidecar": {
-                "path": rel, "sizeInBytes": os.path.getsize(fp),
+                "path": rel, "sizeInBytes": size_bytes,
                 # BYTES hash for read-side tamper detection (the filename
                 # is an identity-set address, not a bytes address); cached
                 # in a 64-byte companion so an unchanged bucket never
                 # re-hashes its parquet on later checkpoints
-                "tags": {"sha256": self._sidecar_bytes_sha256(fp)}}}))
+                "tags": {"sha256": sha}}}))
             for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
                         vers, tss):
                 lst.append(None)
             paths[-1] = rel  # typed column too, for driver-free listing
-        recent = list(snap.transactions.items())[-TXN_RETENTION_MAX:]
-        for app_id, epoch in sorted(recent):
-            kinds.append("txn")
-            jsons.append(json.dumps({"appId": app_id, "version": epoch}))
-            for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
-                        vers, tss):
-                lst.append(None)
-        for domain, cfg in sorted(snap.domain_metadata.items()):
-            kinds.append("domainMetadata")
-            jsons.append(dumps_action(DomainMetadata(domain, cfg)))
-            for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
-                        vers, tss):
-                lst.append(None)
+        tk, tj = self._tail_state_rows(snap)
+        kinds += tk
+        jsons += tj
+        for lst in (paths, pvs, sizes, nrecs, mins, maxs, nulls,
+                    vers, tss):
+            lst.extend([None] * len(tk))
         table = checkpoint_arrow_table(kinds, jsons, paths, pvs, sizes,
                                        nrecs, mins, maxs, nulls, vers, tss)
         final = os.path.join(self.log_path, _fmt_checkpoint(snap.version))
@@ -1273,33 +1457,9 @@ class TableLog:
 
     @staticmethod
     def _sidecar_bytes_sha256(fp: str) -> str:
-        """sha256 of the sidecar parquet's bytes, cached in an atomic
-        ``<fp>.sha256`` companion (backfilled for pre-hash sidecars) so
-        unchanged buckets cost one 64-byte read per checkpoint, not a
-        re-hash of their parquet."""
-        import hashlib as _hl
-
-        cache = fp + ".sha256"
-        try:
-            with open(cache) as f:
-                cached = f.read().strip()
-            if len(cached) == 64:
-                return cached
-        except OSError:
-            pass
-        h = _hl.sha256()
-        with open(fp, "rb") as f:
-            for chunk in iter(lambda: f.read(1 << 20), b""):
-                h.update(chunk)
-        digest = h.hexdigest()
-        try:
-            tmp = cache + f".{uuid.uuid4().hex}.tmp"
-            with open(tmp, "w") as f:
-                f.write(digest)
-            os.replace(tmp, cache)
-        except OSError:
-            pass  # the cache is an optimization
-        return digest
+        """See :func:`_sidecar_sha256` (module-level so forked checkpoint
+        workers can run it)."""
+        return _sidecar_sha256(fp)
 
     def _verify_sidecar(self, sc: dict, deep: bool = False) -> None:
         """Fail LOUDLY when a referenced sidecar's bytes disagree with

@@ -111,7 +111,12 @@ def _leaf_column(op: dict[str, Any], partition_columns: set[str],
         # string-serialized partition value, "" == null (PROTOCOL.md:3896-3906)
         raw = F.col("partitionValues").getItem(name)
         raw = F.when(raw == "", F.lit(None)).otherwise(raw)
-        return raw.cast(_SPARK_CAST[vtype])
+        # try_cast: a malformed serialized value (or a mismatched client
+        # valueType) is NULL, the reference's non-ANSI Cast semantics
+        # (client/.../RemoteDeltaFileIndex.scala:96-101) — a plain cast
+        # under Spark 4's default ANSI mode would throw and fail the
+        # whole query instead
+        return raw.try_cast(_SPARK_CAST[vtype])
     if data_accessor is not None:
         return data_accessor(name, vtype)
     return None
@@ -130,7 +135,10 @@ def to_column(op: dict[str, Any], partition_columns: set[str],
     if kind == "column":
         return _leaf_column(op, partition_columns, data_accessor)
     if kind == "literal":
-        return F.lit(op["value"]).cast(_SPARK_CAST[op["valueType"]])
+        # try_cast: a client-supplied literal that doesn't parse as its
+        # declared valueType becomes NULL (comparisons -> Unknown ->
+        # keep), never an ANSI cast error crashing the RPC
+        return F.lit(op["value"]).try_cast(_SPARK_CAST[op["valueType"]])
     children = op.get("children", [])
     if kind == "and":
         cols = [to_column(c, partition_columns, data_accessor) for c in children]
@@ -182,17 +190,19 @@ def _json_stat(col: str, name: str, vtype: str) -> Column:
     """Extract a typed stat from the minValues/maxValues JSON strings in the
     manifest DataFrame; absent key -> NULL (Unknown)."""
     raw = F.get_json_object(F.col(col), f"$['{name}']")
-    return raw.cast(_SPARK_CAST[vtype])
+    return raw.try_cast(_SPARK_CAST[vtype])
 
 
 def _typed_stat(col: str, name: str, vtype: str) -> Column:
     """Extract a stat from the typed ``*_parsed`` struct columns (the
     checkpoint's stats_parsed shape) — a native parquet value instead of a
-    per-row JSON parse. The cast to the hint's valueType mirrors the JSON
-    path exactly (numerics stored as long/double cast losslessly;
-    date/timestamp stats are stored as their ISO strings, so the cast is
-    the SAME string->temporal cast the JSON path runs)."""
-    return F.col(col).getField(name).cast(_SPARK_CAST[vtype])
+    per-row JSON parse. The cast goes THROUGH string so it is the exact
+    cast the JSON path runs: a hint valueType that mismatches the stored
+    kind (e.g. ``long`` hint over a double stat of 3.7) then yields NULL
+    (Unknown -> keep) instead of a silently truncated/wrapped numeric that
+    could wrongly prune files containing matching rows."""
+    return (F.col(col).getField(name)
+            .cast("string").try_cast(_SPARK_CAST[vtype]))
 
 
 def parsed_stat_fields(df) -> frozenset[str]:

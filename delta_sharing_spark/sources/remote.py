@@ -140,7 +140,17 @@ def _unwrap_delta_lines(lines: list[dict]) -> list[dict]:
             w = line["file"]
             kind = next(iter(w["deltaSingleAction"]))
             a = w["deltaSingleAction"][kind]
-            key = {"add": "add", "remove": "remove", "cdc": "cdf"}[kind]
+            key = {"add": "add", "remove": "remove", "cdc": "cdf"}.get(kind)
+            if key is None:
+                # Non-file single actions: ``txn`` (SetTransaction state,
+                # no path/size — table.py emits it on first-page delta
+                # responses) passes through under its own key so
+                # deltaformat.delta_lines_txns can still read it; any
+                # future unknown kind is forward-compat skipped rather
+                # than crashing the snapshot parse.
+                if kind == "txn":
+                    out.append({"txn": dict(a)})
+                continue
             entry = {
                 "url": a["path"], "id": w.get("id", a["path"]),
                 "partitionValues": a.get("partitionValues", {}),
@@ -261,8 +271,13 @@ class RemoteTableLog:
             if "metaData" in line:
                 meta = _parse_metadata(line["metaData"])
             elif "file" in line:
-                f = line["file"]
-                files.append(_parse_file(f))
+                files.append(_parse_file(line["file"]))
+            elif "add" in line:
+                # delta-forced responses (column-mapped tables): the
+                # unwrap normalizes deltaSingleAction adds to 'add'-keyed
+                # lines (the range/changes profile shape) — a snapshot
+                # response's adds are the snapshot's files
+                files.append(_parse_file(line["add"]))
         if meta is None:
             raise ValueError("query response lacks a metaData line")
         v = version

@@ -176,7 +176,8 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(
         read_table(spark, sf_dir, "documents").select("doc_id"))
     imgs = synth_jpeg_column(docs, "doc_id")
-    return jpeg_features(imgs, "image", "doc_id").drop("error")
+    return (jpeg_features(imgs, "image", "doc_id")
+            .filter(F.col("error").isNull()).drop("error"))
 
 
 @workload(
@@ -231,7 +232,8 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every image is entropy-decoded twice. Not explicitly unpersisted:
     # Spark's ContextCleaner reclaims the cached blocks once the plan's
     # references are GC'd (the bench forces gc between queries)
-    hashes = image_ahash(imgs, "image", "doc_id").drop("error").persist()
+    hashes = image_ahash(imgs, "image", "doc_id") \
+        .filter(F.col("error").isNull()).drop("error").persist()
     pairs = hamming_near_pairs(hashes, "doc_id", "ahash",
                                bits=16, bands=4, max_hamming=3)
     return pairs.select("id_a", "id_b",
@@ -284,7 +286,8 @@ def q_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(
         read_table(spark, sf_dir, "documents").select("doc_id", "n_chars"))
     clips = synth_flac_column(docs, "doc_id", "n_chars")
-    return audio_features(clips, "audio", "doc_id").drop("error")
+    return (audio_features(clips, "audio", "doc_id")
+            .filter(F.col("error").isNull()).drop("error"))
 
 
 @workload(
@@ -329,7 +332,8 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(
         read_table(spark, sf_dir, "documents").select("doc_id", "n_chars"))
     clips = synth_wav_column(docs, "doc_id", "n_chars")
-    return audio_features(clips, "audio", "doc_id").drop("error")
+    return (audio_features(clips, "audio", "doc_id")
+            .filter(F.col("error").isNull()).drop("error"))
 
 
 @workload(
@@ -382,7 +386,7 @@ def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = synth_wav_column(docs, "doc_id", "n_chars")
     resampled = audio_resample(clips, "audio", factor=3)
     frames = audio_windows(resampled, "audio", "doc_id", window=32)
-    return frames.drop("error").withColumn(
+    return frames.filter(F.col("error").isNull()).drop("error").withColumn(
         "rms", F.sqrt(F.col("sum_sq") / F.col("n_samples")))
 
 
@@ -480,7 +484,7 @@ def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice and FLAC decode is the expensive Python stage (same
     # rationale as q_image_near_dup)
     fps = audio_energy_fingerprint(clips, "audio", "doc_id") \
-        .drop("error").persist()
+        .filter(F.col("error").isNull()).drop("error").persist()
     pairs = hamming_near_pairs(fps, "doc_id", "fingerprint",
                                bits=32, bands=4, max_hamming=3)
     return pairs.select("id_a", "id_b",
@@ -533,7 +537,10 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(
         read_table(spark, sf_dir, "documents").select("doc_id"))
     clips = synth_mjpeg_corpus(docs, "doc_id")
-    return video_frame_features(clips, "video", "doc_id").drop("error")
+    # error IS NULL excludes failed clips entirely (an error row carries a
+    # null frame_idx that .drop alone would leak into the result)
+    return (video_frame_features(clips, "video", "doc_id")
+            .filter(F.col("error").isNull()).drop("error"))
 
 
 @workload(
