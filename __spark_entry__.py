@@ -40,25 +40,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tools/check_correctness.py) remains the complete gate over all entries.
 _DRIVER_PRIORITY = [
     # new this round (appended as they land)
+    "eng_prune_typed_nested",
+    # round-11 engine-plane reworks: re-front the queries whose serving
+    # paths changed (parallel checkpoint builds classic+v2, try_cast
+    # prune casts, txn-tolerant remote parsers, nested stats JSON)
+    "eng_checkpoint_snapshot",
+    "eng_checkpoint_v2",
     "eng_prune_typed_manifest",
+    "eng_snapshot_prune_filter",
+    "eng_rest_range",
+    # media workloads whose plans gained the errored-clip filter
+    "q_multimodal_jpeg",
+    "q_audio_flac",
+    "q_audio_features",
+    "q_audio_windows",
+    "q_image_near_dup",
+    # last round's additions, re-fronted once for a second green row
     "q_audio_near_dup",
     "q_video_frames",
     "q_video_scene_cuts",
-    # round-10 engine-plane reworks: re-front the queries whose serving
-    # paths changed (typed-stats prune, manifest session, path-range
-    # paging, delta-format txn lines ride eng_rest_* responses)
-    "eng_snapshot_prune_filter",
-    "eng_checkpoint_snapshot",
-    "eng_checkpoint_v2",
-    "eng_limit_exact",
-    "eng_rest_range",
-    "eng_cluster_maintenance",
-    # last round's additions, re-fronted once for a second green row
-    "eng_rest_strict_features",
-    "q_multimodal_jpeg",
-    "q_image_near_dup",
-    "q_audio_flac",
-    "stream_remote_row_tracking_cdf",
+    # rotation block (r11+): 12 oldest queries with no driver row in the
+    # last two rounds, so every registered query re-earns a driver-green
+    # row over time (the full local sweep remains the complete gate)
+    "eng_dv_update",
+    "eng_cdf_merge",
+    "eng_datasource_batch",
+    "eng_dv_inline",
+    "eng_zorder_read",
+    "eng_restore",
+    "eng_clone",
+    "eng_generated_columns",
+    "eng_rest_snapshot",
+    "eng_rest_cdf",
+    "eng_identity",
+    "eng_type_widening",
 ]
 
 

@@ -108,13 +108,25 @@ class AddFile:
     deletionVector: dict[str, Any] | None = None
 
     def wrap(self) -> dict[str, Any]:
-        d = asdict(self)
-        if d.get("deletionVector") is None:
-            d.pop("deletionVector", None)
-        if d.get("baseRowId") is None:
-            d.pop("baseRowId", None)
-        if d.get("defaultRowCommitVersion") is None:
-            d.pop("defaultRowCommitVersion", None)
+        # hand-built in dataclass field order (same bytes as the former
+        # asdict form): wrap() runs once per add in checkpoint/sidecar
+        # builds — dataclasses.asdict's recursive deep copy was ~half the
+        # per-row serialization cost at 10M files
+        d: dict[str, Any] = {
+            "path": self.path,
+            "partitionValues": dict(self.partitionValues),
+            "size": self.size,
+            "stats": self.stats,
+            "dataChange": self.dataChange,
+            "version": self.version,
+            "timestamp": self.timestamp,
+        }
+        if self.baseRowId is not None:
+            d["baseRowId"] = self.baseRowId
+        if self.defaultRowCommitVersion is not None:
+            d["defaultRowCommitVersion"] = self.defaultRowCommitVersion
+        if self.deletionVector is not None:
+            d["deletionVector"] = dict(self.deletionVector)
         return {"add": d}
 
     def stats_dict(self) -> dict[str, Any]:

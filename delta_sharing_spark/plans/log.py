@@ -310,12 +310,38 @@ PARSED_STAT_COLS = ("minValues_parsed", "maxValues_parsed",
 
 
 def stats_field_spec(schema: T.StructType) -> list[tuple[str, str]]:
-    """(name, kind) for every top-level column eligible for typed stats
-    columns. Keyed by whatever names the given schema carries — pass the
-    PHYSICAL schema under column mapping (stats are physical-keyed)."""
-    return [(f.name, _STAT_KIND_OF_TYPE[type(f.dataType)])
-            for f in schema.fields
-            if type(f.dataType) in _STAT_KIND_OF_TYPE]
+    """(name, kind) for every column eligible for typed stats columns.
+    Keyed by whatever names the given schema carries — pass the PHYSICAL
+    schema under column mapping (stats are physical-keyed).
+
+    Struct-nested leaves (r11) appear as DOTTED paths (``m.qty``): the
+    stats JSON nests per the protocol (PROTOCOL.md:3908-4013), while the
+    typed ``*_parsed`` structs stay FLAT with the dotted path as the
+    field name — same pruning power as Delta's nested ``stats_parsed``,
+    one flat column layout for every manifest consumer. A field whose own name
+    contains a literal dot is excluded (ambiguous with a nested path —
+    such columns are statless, as before r11); flat schemas produce the
+    exact pre-r11 spec, so sidecar content addresses are unchanged."""
+    out: list[tuple[str, str]] = []
+
+    def walk(fields, prefix: tuple) -> None:
+        for f in fields:
+            if "." in f.name:
+                continue
+            t = type(f.dataType)
+            if t is T.StructType:
+                walk(f.dataType.fields, prefix + (f.name,))
+            elif t in _STAT_KIND_OF_TYPE:
+                out.append((".".join(prefix + (f.name,)),
+                            _STAT_KIND_OF_TYPE[t]))
+
+    walk(schema.fields, ())
+    return out
+
+
+from delta_sharing_spark.plans.predicates import (  # noqa: E402
+    stat_lookup as _stat_lookup,
+)
 
 
 def _typed_stat_value(v, kind: str):
@@ -372,20 +398,23 @@ def _parsed_struct_arrays(dicts, spec):
         fast = _STAT_FAST_CLS[kind]
         vals = []
         append = vals.append
+        dotted = "." in name
         if kind == "i":
             # ints need the int64 bounds check even on the fast path (an
             # out-of-range JSON integer must become NULL, not fail the
             # whole write in pa.array)
             lo, hi = -(1 << 63), (1 << 63)
             for d in dicts:
-                v = None if d is None else d.get(name)
+                v = _stat_lookup(d, name) if dotted else (
+                    None if d is None else d.get(name))
                 if v is None or (v.__class__ is fast and lo <= v < hi):
                     append(v)
                 else:
                     append(_typed_stat_value(v, kind))
         else:
             for d in dicts:
-                v = None if d is None else d.get(name)
+                v = _stat_lookup(d, name) if dotted else (
+                    None if d is None else d.get(name))
                 if v is None or v.__class__ is fast:
                     append(v)
                 else:
@@ -571,19 +600,49 @@ def _fork_pool_available() -> bool:
     return "fork" in mp.get_all_start_methods()
 
 
+def _fork_child_init() -> None:
+    """Runs in every forked checkpoint worker: the cyclic GC must never
+    walk the inherited heap — a gen-2 collection writes every object's
+    GC header, copying the parent's ENTIRE copy-on-write heap into each
+    child (measured: 8.9 GB private RSS per worker and an OOM kill at a
+    10M-file manifest). The parent freezes its heap before forking (see
+    ``_fork_map``); disabling the collector in the child is the second
+    belt — per-job garbage is bounded and reclaimed by refcounting."""
+    import gc
+
+    gc.disable()
+
+
 def _fork_map(worker, jobs, state: dict) -> list:
     """Run ``worker(job)`` across forked processes with ``state`` shared
     copy-on-write via the module global. Results come back in job order.
-    Caller must have checked ``_fork_pool_available()``."""
+    Caller must have checked ``_fork_pool_available()``.
+
+    ProcessPoolExecutor (not mp.Pool) so a worker death — OOM kill,
+    segfault — raises BrokenProcessPool instead of hanging the map
+    forever. ``gc.freeze()`` moves the parent's live heap to the
+    permanent generation first: forked children then never GC-traverse
+    (= never copy-on-write) the inherited snapshot."""
+    import gc
     import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
 
     global _FORK_STATE
-    procs = min(len(jobs), os.cpu_count() or 4)
+    # cap at 16 workers: with a multi-GB inherited heap the per-job cost
+    # is memory-traffic-bound and falls off a cliff past ~half the cores
+    # (measured at a 10M-file snapshot: 8 workers 5.6 s/job, 16 workers
+    # 5.7 s/job, 32 workers 52 s/job — 10x). 16 keeps perfect per-job
+    # scaling and halves aggregate copy-on-write residency.
+    procs = min(len(jobs), os.cpu_count() or 4, 16)
     _FORK_STATE = state
+    gc.freeze()
     try:
-        with mp.get_context("fork").Pool(processes=procs) as pool:
-            return pool.map(worker, jobs, chunksize=1)
+        with ProcessPoolExecutor(
+                max_workers=procs, mp_context=mp.get_context("fork"),
+                initializer=_fork_child_init) as ex:
+            return list(ex.map(worker, jobs))
     finally:
+        gc.unfreeze()
         _FORK_STATE = {}
 
 
@@ -601,12 +660,26 @@ def _add_manifest_row(add: AddFile):
             add.version, add.timestamp)
 
 
-def _adds_arrow_table(adds, spec):
+def _adds_arrow_table(adds, spec, chunk: int = CHECKPOINT_ROW_GROUP_ROWS):
     """Arrow checkpoint table over a list of adds (the per-part/-sidecar
-    build both the serial and forked paths share)."""
-    rows = [_add_manifest_row(a) for a in adds]
-    return checkpoint_arrow_table(
-        ["add"] * len(rows), *map(list, zip(*rows)), stats_fields=spec)
+    build both the serial and forked paths share). Built in row-group-
+    sized chunks: the intermediate Python row tuples/strings for a 100k-
+    row part are ~0.5-1 GB of transient objects, and 16 forked workers
+    each holding that high-water alongside the driver JVM is real memory
+    pressure at a 10M-file manifest — chunking caps it at ~1/3. Output
+    bytes are identical (parquet row groups are cut every ``chunk`` rows
+    either way; verified chunked == single-shot)."""
+    import pyarrow as pa
+
+    def build(sub):
+        rows = [_add_manifest_row(a) for a in sub]
+        return checkpoint_arrow_table(
+            ["add"] * len(rows), *map(list, zip(*rows)), stats_fields=spec)
+
+    if len(adds) <= chunk:
+        return build(adds)
+    return pa.concat_tables(
+        build(adds[i:i + chunk]) for i in range(0, len(adds), chunk))
 
 
 def _write_classic_part(job) -> None:
@@ -1780,11 +1853,11 @@ class TableLog:
             )
             if parsed_spec is not None:
                 row += (
-                    tuple(_typed_stat_value(mins.get(n), k)
+                    tuple(_typed_stat_value(_stat_lookup(mins, n), k)
                           for n, k in parsed_spec),
-                    tuple(_typed_stat_value(maxs.get(n), k)
+                    tuple(_typed_stat_value(_stat_lookup(maxs, n), k)
                           for n, k in parsed_spec),
-                    tuple(_typed_stat_value(nulls.get(n), "i")
+                    tuple(_typed_stat_value(_stat_lookup(nulls, n), "i")
                           for n, _ in parsed_spec),
                 )
             rows.append(row)
@@ -3223,7 +3296,26 @@ class TableLog:
                     if key not in nc:
                         covered = False
                         break
-                    if int(nc[key]) > 0:
+                    v = nc[key]
+                    if isinstance(v, dict):
+                        # STRUCT column: its entry is the nested leaf
+                        # counts (r11). A null struct nulls every leaf,
+                        # so any leaf with count 0 PROVES the struct
+                        # non-null; a positive minimum can't distinguish
+                        # struct-null from leaf-null -> fall to the scan
+                        # (never a violation verdict from leaves alone)
+                        def _leaf_counts(x):
+                            for y in x.values():
+                                if isinstance(y, dict):
+                                    yield from _leaf_counts(y)
+                                else:
+                                    yield int(y)
+                        counts = list(_leaf_counts(v))
+                        if not counts or min(counts) > 0:
+                            covered = False
+                            break
+                        continue
+                    if int(v) > 0:
                         raise NotNullViolation(
                             f"{operation} writes NULL into "
                             f"non-nullable column {c!r} "

@@ -186,10 +186,36 @@ def to_column(op: dict[str, Any], partition_columns: set[str],
     raise PredicateError(f"unknown op {kind!r}")
 
 
+def stat_lookup(d, name: str):
+    """Resolve a (possibly dotted) stats-spec name against a stats dict:
+    nested stats objects (the protocol shape) are walked segment by
+    segment; a missing or non-dict intermediate is None (Unknown ->
+    keep). Shared with the manifest builders in plans/log.py."""
+    if d is None:
+        return None
+    if "." not in name:
+        return d.get(name)
+    cur = d
+    for seg in name.split("."):
+        if not isinstance(cur, dict):
+            return None
+        cur = cur.get(seg)
+    return cur
+
+
+def _stats_json_path(name: str) -> str:
+    """JSON path for a (possibly dotted) stats name: stats objects nest
+    per the protocol (PROTOCOL.md:3908-4013), so ``m.qty`` reads
+    ``$['m']['qty']``. Bracket form keeps names with special characters
+    safe; dotted names are always nested paths (literal-dot column names
+    never carry stats — plans/stats.py skips them as ambiguous)."""
+    return "$" + "".join(f"['{seg}']" for seg in name.split("."))
+
+
 def _json_stat(col: str, name: str, vtype: str) -> Column:
     """Extract a typed stat from the minValues/maxValues JSON strings in the
     manifest DataFrame; absent key -> NULL (Unknown)."""
-    raw = F.get_json_object(F.col(col), f"$['{name}']")
+    raw = F.get_json_object(F.col(col), _stats_json_path(name))
     return raw.try_cast(_SPARK_CAST[vtype])
 
 
@@ -277,7 +303,9 @@ def _rewrite_for_stats(op: dict[str, Any], partition_columns: set[str],
             return inner.isNull()
         if name in parsed_fields:
             return F.col("nullCount_parsed").getField(name) > 0
-        return F.get_json_object(F.col("nullCount"), f"$['{name}']").cast("long") > 0
+        return F.get_json_object(
+            F.col("nullCount"), _stats_json_path(name)
+        ).try_cast("long") > 0
     if kind == "and":
         cols = [_rewrite_for_stats(c, partition_columns, parsed_fields)
                 for c in children]
@@ -458,8 +486,11 @@ def _eval_file(op: dict, partition_values: dict, stats: dict,
         name = child["name"]
         if name in partition_columns:
             return partition_values.get(name, "") == ""
-        nc = (stats.get("nullCount") or {}).get(name)
-        return None if nc is None else nc > 0
+        nc = stat_lookup(stats.get("nullCount") or {}, name)
+        # a struct column's entry is a nested object, not a count ->
+        # Unknown (matches the DataFrame path: the struct itself has no
+        # nullCount leaf)
+        return None if not isinstance(nc, (int, float)) else nc > 0
     if kind in ("equal", "lessThan", "lessThanOrEqual", "greaterThan",
                 "greaterThanOrEqual"):
         left, right = children
@@ -487,8 +518,8 @@ def _eval_file(op: dict, partition_values: dict, stats: dict,
                 "greaterThan": val > lit,
                 "greaterThanOrEqual": val >= lit,
             }[kind]
-        mn = _py_cast((stats.get("minValues") or {}).get(name), vtype)
-        mx = _py_cast((stats.get("maxValues") or {}).get(name), vtype)
+        mn = _py_cast(stat_lookup(stats.get("minValues") or {}, name), vtype)
+        mx = _py_cast(stat_lookup(stats.get("maxValues") or {}, name), vtype)
         if kind == "equal":
             if mn is None or mx is None:
                 return None

@@ -35,6 +35,47 @@ def _to_jsonable(value: Any) -> Any:
     return value
 
 
+def _struct_leaf_paths(schema) -> set[str]:
+    """Dotted paths of every leaf reachable through STRUCT nesting only —
+    list/map element paths (``arr.list.element`` etc.) are excluded, and a
+    top-level field whose own name contains a literal dot never appears
+    (it would be ambiguous with a nested path; such columns stay
+    statless, as before)."""
+    import pyarrow as pa
+
+    out: set[str] = set()
+
+    def walk(field, prefix: tuple) -> None:
+        if pa.types.is_struct(field.type):
+            if "." in field.name:
+                return
+            for i in range(field.type.num_fields):
+                walk(field.type.field(i), prefix + (field.name,))
+        elif prefix and "." not in field.name:
+            out.add(".".join(prefix + (field.name,)))
+
+    for f in schema:
+        walk(f, ())
+    return out
+
+
+def _nest(flat: dict) -> dict:
+    """Dotted-key flat dict -> the protocol's nested stats object shape
+    (PROTOCOL.md:3908-4013: minValues/maxValues/nullCount mirror the data
+    schema's nesting)."""
+    out: dict = {}
+    for k, v in flat.items():
+        if "." not in k:
+            out[k] = v
+            continue
+        parts = k.split(".")
+        cur = out
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = v
+    return out
+
+
 def collect_file_stats(file_path: str) -> tuple[int, str]:
     """Return ``(size_hint_rows, stats_json)`` for one parquet file.
 
@@ -42,8 +83,15 @@ def collect_file_stats(file_path: str) -> tuple[int, str]:
     statistics simply do not appear in minValues/maxValues — the pruning layer
     treats missing stats as Unknown and never skips on them
     (ref JsonPredicateEvaluatorV2.scala:20-52 three-valued logic).
+
+    Struct-nested leaves (r11) emit as NESTED stats objects mirroring the
+    schema, the reference's shape (PROTOCOL.md:3908-4013) — so struct-field
+    predicates prune on min/max like any top-level column. List/map
+    element stats stay out (no row-level predicate maps onto them).
     """
-    meta = pq.ParquetFile(file_path).metadata
+    pf = pq.ParquetFile(file_path)
+    meta = pf.metadata
+    struct_leaves = _struct_leaf_paths(pf.schema_arrow)
     num_records = meta.num_rows
     mins: dict[str, Any] = {}
     maxs: dict[str, Any] = {}
@@ -55,8 +103,8 @@ def collect_file_stats(file_path: str) -> tuple[int, str]:
         for c_idx in range(ncols):
             col = rg.column(c_idx)
             name = col.path_in_schema
-            if "." in name:  # nested leaves: skip (pruning on top-level only)
-                continue
+            if "." in name and name not in struct_leaves:
+                continue  # list/map elements or ambiguous literal-dot names
             st = col.statistics
             if st is None:
                 continue
@@ -84,8 +132,8 @@ def collect_file_stats(file_path: str) -> tuple[int, str]:
         maxs.pop(name, None)
     stats = {
         "numRecords": num_records,
-        "minValues": mins,
-        "maxValues": maxs,
-        "nullCount": nulls,
+        "minValues": _nest(mins),
+        "maxValues": _nest(maxs),
+        "nullCount": _nest(nulls),
     }
     return num_records, json.dumps(stats, separators=(",", ":"), default=str)

@@ -370,6 +370,69 @@ def eng_prune_typed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lineitem_nested(spark: SparkSession, sf_dir: str) -> str:
+    """Nested-stats fixture (r11): lineitem with measures packed into a
+    STRUCT column, checkpointed — the stats JSON nests per the protocol
+    (PROTOCOL.md:3908-4013) and the checkpoint carries typed dotted-path
+    struct fields (``m.qty``) to prune on."""
+
+    def build(spark: SparkSession, path: str) -> None:
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice",
+            F.struct(
+                F.col("l_quantity").alias("qty"),
+                F.col("l_discount").alias("disc"),
+            ).alias("m"),
+        )
+        log = TableLog(spark, path)
+        log.create(li.repartition(8), name="lineitem_nested",
+                   configuration={"checkpointInterval": "1"})
+
+    return _fixture(spark, sf_dir, "lineitem_nested", build)
+
+
+@workload(
+    "eng_prune_typed_nested",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    WHERE l_quantity >= 48
+    """,
+)
+def eng_prune_typed_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats prune on a NESTED leaf column (r11): the fixture packs
+    l_quantity into a struct (``m.qty``); the stats JSON nests per the
+    reference protocol (PROTOCOL.md:3908-4013) and the checkpoint carries
+    typed dotted-path struct fields (Delta's ``stats_parsed`` covers the
+    same paths), so the manifest prune reads a native parquet value for
+    the struct leaf — never a per-row JSON parse. The exact row filter on
+    top keeps the result SQL-checkable (best-effort-server /
+    exact-client contract)."""
+    from delta_sharing_spark.plans.predicates import parsed_stat_fields
+
+    t = SharedTable(spark, _lineitem_nested(spark, sf_dir))
+    snap = t.log.snapshot()
+    hints = {"op": "greaterThanOrEqual", "children": [
+        {"op": "column", "name": "m.qty", "valueType": "double"},
+        {"op": "literal", "value": "48", "valueType": "double"},
+    ]}
+    manifest = t.log.files_df(snap)
+    assert "m.qty" in parsed_stat_fields(manifest), \
+        "checkpointed manifest must carry dotted typed stats fields"
+    kept = [r["path"] for r in
+            t._pruned_manifest(snap, hints, None, None)
+            .select("path").collect()]
+    adds = t.log.adds_for_paths(snap, kept)
+    df = t.log.read_adds(adds, snap=snap)
+    return df.filter(F.col("m.qty") >= 48).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(14,2))"))
+        .cast("double").alias("sum_price"),
+    )
+
+
 def _lineitem_v2cp(spark: SparkSession, sf_dir: str) -> str:
     """V2-checkpoint fixture: same 25-commit shape as ``_lineitem_manyv``
     but with ``delta.checkpointPolicy=v2`` — checkpoints at 10 and 20 put

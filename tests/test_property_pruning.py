@@ -144,6 +144,137 @@ def test_partition_eval_matches_row_semantics(pvalue, tree):
         assert kept, f"wrongly skipped: pv={pv} tree={tree}"
 
 
+# --- nested-leaf variant (r11): one flat column, one struct leaf -------
+#
+# Stats objects nest per the protocol (PROTOCOL.md:3908-4013); predicates
+# reference the leaf by dotted path. Same invariant: Unknown never wrongly
+# skips — including when the struct itself is NULL (its leaves read NULL).
+
+NESTED_COLS = ["c1", "m.c2"]
+
+
+@st.composite
+def nested_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    out = []
+    for _ in range(n):
+        m_null = draw(st.booleans())
+        out.append({
+            "c1": draw(st.one_of(st.none(), st.sampled_from(VALUES))),
+            "m": None if m_null else {
+                "c2": draw(st.one_of(st.none(), st.sampled_from(VALUES)))},
+        })
+    return out
+
+
+def _nested_get(row, name):
+    cur = row
+    for seg in name.split("."):
+        if cur is None:
+            return None
+        cur = cur.get(seg)
+    return cur
+
+
+def nested_eval_row(tree, row) -> bool | None:
+    kind = tree["op"]
+    ch = tree.get("children", [])
+    if kind == "isNull":
+        return _nested_get(row, ch[0]["name"]) is None
+    if kind in ("equal", "lessThan", "lessThanOrEqual", "greaterThan",
+                "greaterThanOrEqual"):
+        def value(node):
+            if node["op"] == "column":
+                return _nested_get(row, node["name"])
+            return int(node["value"])
+        a, b = value(ch[0]), value(ch[1])
+        if a is None or b is None:
+            return None
+        return {"equal": a == b, "lessThan": a < b,
+                "lessThanOrEqual": a <= b, "greaterThan": a > b,
+                "greaterThanOrEqual": a >= b}[kind]
+    if kind == "and":
+        vals = [nested_eval_row(c, row) for c in ch]
+        if any(v is False for v in vals):
+            return False
+        return None if any(v is None for v in vals) else True
+    if kind == "or":
+        vals = [nested_eval_row(c, row) for c in ch]
+        if any(v is True for v in vals):
+            return True
+        return None if any(v is None for v in vals) else False
+    if kind == "not":
+        v = nested_eval_row(ch[0], row)
+        return None if v is None else not v
+    raise AssertionError(kind)
+
+
+@st.composite
+def nested_trees(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        kind = draw(st.sampled_from(
+            ["equal", "lessThan", "lessThanOrEqual", "greaterThan",
+             "greaterThanOrEqual", "isNull"]))
+        col = {"op": "column", "name": draw(st.sampled_from(NESTED_COLS)),
+               "valueType": "int"}
+        if kind == "isNull":
+            return {"op": "isNull", "children": [col]}
+        lit = {"op": "literal", "value": str(draw(st.sampled_from(VALUES))),
+               "valueType": "int"}
+        children = [col, lit] if draw(st.booleans()) else [lit, col]
+        return {"op": kind, "children": children}
+    kind = draw(st.sampled_from(["and", "or", "not"]))
+    if kind == "not":
+        return {"op": "not",
+                "children": [draw(nested_trees(depth=depth + 1))]}
+    return {"op": kind,
+            "children": [draw(nested_trees(depth=depth + 1)),
+                         draw(nested_trees(depth=depth + 1))]}
+
+
+def nested_stats_of(rows_data) -> dict:
+    """Nested protocol-shape stats; leaf null counts include struct-null
+    rows (parquet definition-level semantics)."""
+    mins, maxs, nulls = {}, {}, {"m": {}}
+    c1 = [r["c1"] for r in rows_data if r["c1"] is not None]
+    nulls["c1"] = sum(1 for r in rows_data if r["c1"] is None)
+    if c1:
+        mins["c1"], maxs["c1"] = min(c1), max(c1)
+    c2 = [_nested_get(r, "m.c2") for r in rows_data]
+    nn = [v for v in c2 if v is not None]
+    nulls["m"]["c2"] = sum(1 for v in c2 if v is None)
+    if nn:
+        mins["m"] = {"c2": min(nn)}
+        maxs["m"] = {"c2": max(nn)}
+    return {"minValues": mins, "maxValues": maxs, "nullCount": nulls}
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(nested_rows(), nested_trees())
+def test_nested_prune_soundness(rows_data, tree):
+    """Pruned file => no row matches — with stats nested per protocol and
+    the predicate addressing the leaf by dotted path."""
+    stats = nested_stats_of(rows_data)
+    kept = keep_file(tree, {}, stats, [])
+    if not kept:
+        matching = [r for r in rows_data
+                    if nested_eval_row(tree, r) is True]
+        assert matching == [], (
+            f"unsound skip: stats={stats} tree={tree} matches={matching}")
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(nested_rows(), nested_trees())
+def test_nested_missing_stats_only_widen(rows_data, tree):
+    stats = nested_stats_of(rows_data)
+    kept_full = keep_file(tree, {}, stats, [])
+    kept_empty = keep_file(tree, {}, {}, [])
+    if kept_full:
+        assert kept_empty, "losing stats must never cause a skip"
+
+
 class TestAsyncQuery:
     def test_submit_poll_dedup(self, spark, events, tmp_path):
         from delta_sharing_spark.asyncquery import AsyncQueryManager

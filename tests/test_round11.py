@@ -361,3 +361,153 @@ class TestParallelCheckpoint:
              json.loads(j)["sidecar"]["tags"]["sha256"])
             for k, j, _p, _m in parallel_rows if k == "sidecar")
         assert parallel_refs == serial_refs
+
+
+class TestNestedTypedStats:
+    """r11: struct-leaf stats — the stats JSON nests per the protocol
+    (PROTOCOL.md:3908-4013) and the typed ``*_parsed`` structs carry
+    dotted-path fields, so struct-field predicates prune on native
+    parquet values with the JSON path as fallback."""
+
+    def _hint(self, col, vtype, op, value):
+        return json.dumps({"op": op, "children": [
+            {"op": "column", "name": col, "valueType": vtype},
+            {"op": "literal", "value": str(value), "valueType": vtype}]})
+
+    def _mk(self, spark, path):
+        df = spark.range(0, 4000).select(
+            F.col("id"),
+            F.struct(
+                (F.col("id") % 7).cast("double").alias("qty"),
+                F.concat(F.lit("g"), (F.col("id") % 5).cast("string"))
+                .alias("grp"),
+                F.struct((F.col("id") * 3).alias("deep")).alias("inner"),
+            ).alias("m"),
+        ).repartition(8)
+        log = TableLog(spark, path)
+        log.create(df)
+        return log
+
+    def test_nested_stats_json_shape(self, spark, tmp_path):
+        log = self._mk(spark, str(tmp_path / "t"))
+        st = json.loads(log.snapshot().files[0].stats)
+        assert isinstance(st["minValues"]["m"], dict)
+        assert "qty" in st["minValues"]["m"]
+        assert "deep" in st["minValues"]["m"]["inner"]
+        assert isinstance(st["nullCount"]["m"]["qty"], int)
+
+    def test_spec_has_dotted_paths(self, spark, tmp_path):
+        from delta_sharing_spark.plans.log import stats_field_spec
+
+        log = self._mk(spark, str(tmp_path / "t"))
+        spec = stats_field_spec(log.snapshot().physical_schema)
+        assert ("m.qty", "f") in spec
+        assert ("m.grp", "s") in spec
+        assert ("m.inner.deep", "i") in spec
+
+    def test_typed_vs_json_prune_parity_nested(self, spark, tmp_path):
+        from delta_sharing_spark.plans.predicates import (
+            file_keep_condition, parsed_stat_fields)
+
+        log = self._mk(spark, str(tmp_path / "t"))
+        log.write_checkpoint()
+        snap = log.snapshot()
+        m = log.files_df(snap)
+        pf = parsed_stat_fields(m)
+        assert {"m.qty", "m.grp", "m.inner.deep"} <= pf
+        hints = [
+            self._hint("m.inner.deep", "long", "greaterThan", 3 * 3999 - 1),
+            self._hint("m.qty", "double", "lessThan", 1.0),
+            self._hint("m.grp", "string", "equal", "g3"),
+            json.dumps({"op": "isNull", "children": [
+                {"op": "column", "name": "m.qty",
+                 "valueType": "double"}]}),
+        ]
+        for hint in hints:
+            typed = sorted(r["path"] for r in m.filter(
+                file_keep_condition(hint, snap.partition_columns, pf))
+                .select("path").collect())
+            jsonp = sorted(r["path"] for r in m.filter(
+                file_keep_condition(hint, snap.partition_columns))
+                .select("path").collect())
+            assert typed == jsonp, hint
+
+    def test_nested_prune_actually_prunes(self, spark, tmp_path):
+        from delta_sharing_spark.plans.predicates import (
+            file_keep_condition, parsed_stat_fields)
+
+        log = self._mk(spark, str(tmp_path / "t"))
+        log.write_checkpoint()
+        snap = log.snapshot()
+        m = log.files_df(snap)
+        # impossible nested-leaf predicate prunes everything
+        hint = self._hint("m.inner.deep", "long", "greaterThan", 10**9)
+        kept = m.filter(file_keep_condition(
+            hint, snap.partition_columns, parsed_stat_fields(m))).count()
+        assert kept == 0
+
+    def test_driver_loop_twin_parity_nested(self, spark, tmp_path):
+        # keep_file (the sessionless twin) resolves dotted paths against
+        # the nested stats dicts identically
+        from delta_sharing_spark.plans.predicates import keep_file
+
+        log = self._mk(spark, str(tmp_path / "t"))
+        snap = log.snapshot()
+        hint = self._hint("m.inner.deep", "long", "greaterThan", 10**9)
+        kept = [a.path for a in snap.files
+                if keep_file(json.loads(hint), a.partitionValues,
+                             json.loads(a.stats), [])]
+        assert kept == []
+        hint2 = self._hint("m.qty", "double", "greaterThanOrEqual", 0)
+        kept2 = [a.path for a in snap.files
+                 if keep_file(json.loads(hint2), a.partitionValues,
+                              json.loads(a.stats), [])]
+        assert len(kept2) == len(snap.files)
+        # isNull on the struct itself: nested object -> Unknown -> keep
+        null_hint = {"op": "isNull", "children": [
+            {"op": "column", "name": "m", "valueType": "string"}]}
+        kept3 = [a.path for a in snap.files
+                 if keep_file(null_hint, a.partitionValues,
+                              json.loads(a.stats), [])]
+        assert len(kept3) == len(snap.files)
+
+    def test_not_null_struct_column_fast_path(self, spark, tmp_path):
+        # a NOT NULL struct column must not crash the footer fast path
+        # (its nullCount entry is a nested object, not a count)
+        from pyspark.sql import types as T
+
+        d = str(tmp_path / "t")
+        schema = T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("m", T.StructType([
+                T.StructField("qty", T.DoubleType(), True)]), False),
+        ])
+        df = spark.createDataFrame(
+            [(1, (2.0,)), (2, (None,))], schema)
+        log = TableLog(spark, d)
+        log.create(df)
+        assert len(log.snapshot().files) >= 1
+
+    def test_tail_union_nested(self, spark, tmp_path):
+        from delta_sharing_spark.plans.predicates import (
+            file_keep_condition, parsed_stat_fields)
+
+        log = self._mk(spark, str(tmp_path / "t"))
+        log.write_checkpoint()
+        hi = spark.range(100_000, 101_000).select(
+            F.col("id"),
+            F.struct(F.lit(99.0).alias("qty"), F.lit("zz").alias("grp"),
+                     F.struct((F.col("id") * 3).alias("deep"))
+                     .alias("inner")).alias("m"))
+        log.append(hi)
+        snap = log.snapshot()
+        m = log.files_df(snap)
+        pf = parsed_stat_fields(m)
+        assert "m.qty" in pf
+        kept = {r["path"] for r in m.filter(
+            file_keep_condition(self._hint("m.qty", "double",
+                                           "greaterThan", 90),
+                                snap.partition_columns, pf))
+            .select("path").collect()}
+        tail = {a.path for a in snap.files if a.version == snap.version}
+        assert kept == tail

@@ -71,35 +71,19 @@ def build_manifest_table(n_files: int, version: int):
     paths, pvs, sizes = [None, None], [None, None], [None, None]
     nrecs, mins, maxs = [None, None], [None, None], [None, None]
     nulls, vers, tss = [None, None], [None, None], [None, None]
-    ts0 = 1_700_000_000_000
-    dumps = json.dumps
-    for i in range(n_files):
-        lo, hi = i * ROWS_PER_FILE, (i + 1) * ROWS_PER_FILE - 1
-        cat = f"c{i % 16:02d}"
-        path = f"data/cat={cat}/part-{i:08d}.parquet"
-        stats = dumps({
-            "numRecords": ROWS_PER_FILE,
-            "minValues": {"id": lo, "v": 0.0},
-            "maxValues": {"id": hi, "v": 1.0},
-            "nullCount": {"id": 0, "v": 0},
-        })
-        # literal wrapper instead of dumps_action(AddFile(...)): same bytes,
-        # ~4x faster to build a million of them (setup cost only)
-        kinds.append("add")
-        jsons.append(dumps({"add": {
-            "path": path, "partitionValues": {"cat": cat},
-            "size": 4_000_000, "stats": stats, "dataChange": True,
-            "version": version, "timestamp": ts0,
-        }}))
-        paths.append(path)
-        pvs.append([("cat", cat)])
-        sizes.append(4_000_000)
-        nrecs.append(ROWS_PER_FILE)
-        mins.append({"id": lo, "v": 0.0})
-        maxs.append({"id": hi, "v": 1.0})
-        nulls.append({"id": 0, "v": 0})
-        vers.append(version)
-        tss.append(ts0)
+    (ak, aj, ap_, apv, asz, anr, amn, amx, anu, avr, ats) = \
+        _synth_add_columns(0, n_files, version)
+    kinds += ak
+    jsons += aj
+    paths += ap_
+    pvs += apv
+    sizes += asz
+    nrecs += anr
+    mins += amn
+    maxs += amx
+    nulls += anu
+    vers += avr
+    tss += ats
     # the column layout comes from the engine itself (the one
     # definition), so the bench can never drift onto a stale format —
     # including the r10 typed *_parsed stats structs (stats_field_spec
@@ -113,6 +97,61 @@ def build_manifest_table(n_files: int, version: int):
     return checkpoint_arrow_table(kinds, jsons, paths, pvs, sizes, nrecs,
                                   mins, maxs, nulls, vers, tss,
                                   stats_fields=spec)
+
+
+def _synth_add_columns(lo: int, hi: int, version: int):
+    """Column lists for synthetic add rows [lo, hi) — the per-chunk body
+    shared by the serial builder and the forked part writers."""
+    from delta_sharing_spark.plans.actions import AddFile  # noqa: F401
+
+    kinds, jsons, paths, pvs, sizes = [], [], [], [], []
+    nrecs, mins, maxs, nulls, vers, tss = [], [], [], [], [], []
+    ts0 = 1_700_000_000_000
+    dumps = json.dumps
+    for i in range(lo, hi):
+        flo, fhi = i * ROWS_PER_FILE, (i + 1) * ROWS_PER_FILE - 1
+        cat = f"c{i % 16:02d}"
+        path = f"data/cat={cat}/part-{i:08d}.parquet"
+        stats = dumps({
+            "numRecords": ROWS_PER_FILE,
+            "minValues": {"id": flo, "v": 0.0},
+            "maxValues": {"id": fhi, "v": 1.0},
+            "nullCount": {"id": 0, "v": 0},
+        })
+        # literal wrapper instead of dumps_action(AddFile(...)): same
+        # bytes, ~4x faster to build a million of them (setup cost only)
+        kinds.append("add")
+        jsons.append(dumps({"add": {
+            "path": path, "partitionValues": {"cat": cat},
+            "size": 4_000_000, "stats": stats, "dataChange": True,
+            "version": version, "timestamp": ts0,
+        }}))
+        paths.append(path)
+        pvs.append([("cat", cat)])
+        sizes.append(4_000_000)
+        nrecs.append(ROWS_PER_FILE)
+        mins.append({"id": flo, "v": 0.0})
+        maxs.append({"id": fhi, "v": 1.0})
+        nulls.append({"id": 0, "v": 0})
+        vers.append(version)
+        tss.append(ts0)
+    return (kinds, jsons, paths, pvs, sizes, nrecs, mins, maxs, nulls,
+            vers, tss)
+
+
+def _synth_part(job) -> None:
+    """Forked worker: generate + write one part of the synthetic
+    checkpoint (the setup-side mirror of the engine's parallel classic
+    write — generation AND serialization both fan out)."""
+    import pyarrow.parquet as pq
+
+    from delta_sharing_spark.plans.log import (
+        CHECKPOINT_ROW_GROUP_ROWS, _FORK_STATE, checkpoint_arrow_table)
+
+    lo, hi, part_path = job
+    t = checkpoint_arrow_table(*_synth_add_columns(lo, hi, 0),
+                               stats_fields=_FORK_STATE["spec"])
+    pq.write_table(t, part_path, row_group_size=CHECKPOINT_ROW_GROUP_ROWS)
 
 
 def write_synthetic_table(root: str, n_files: int) -> float:
@@ -135,12 +174,51 @@ def write_synthetic_table(root: str, n_files: int) -> float:
         f.write(dumps_action(meta) + "\n")
         f.write(dumps_action(info) + "\n")
     t0 = time.perf_counter()
-    from delta_sharing_spark.plans.log import write_checkpoint_files
+    from delta_sharing_spark.plans.log import (
+        CHECKPOINT_PARALLEL_MIN_FILES,
+        CHECKPOINT_PART_ROWS,
+        CHECKPOINT_ROW_GROUP_ROWS,
+        _fork_map,
+        _fork_pool_available,
+        checkpoint_arrow_table,
+        stats_field_spec,
+        write_checkpoint_files,
+    )
 
-    table = build_manifest_table(n_files, version=0)
     final = os.path.join(log_dir, _fmt_checkpoint(0))
-    # the engine's own writer: single-file vs multi-part split included
-    write_checkpoint_files(table, final)
+    if n_files >= CHECKPOINT_PARALLEL_MIN_FILES and _fork_pool_available():
+        # parallel setup mirroring the engine's forked classic write:
+        # each part generated AND serialized in a worker process
+        import uuid
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as T
+
+        spec = stats_field_spec(
+            T.StructType.fromJson(json.loads(SCHEMA_JSON)))
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        os.makedirs(tmp)
+        blank = [None, None]
+        head = checkpoint_arrow_table(
+            ["metaData", "protocol"],
+            [dumps_action(meta), dumps_action(Protocol())],
+            list(blank), list(blank), list(blank), list(blank),
+            list(blank), list(blank), list(blank), list(blank),
+            list(blank), stats_fields=spec)
+        pq.write_table(head, os.path.join(tmp, "part-00000.parquet"),
+                       row_group_size=CHECKPOINT_ROW_GROUP_ROWS)
+        jobs = [
+            (lo, min(lo + CHECKPOINT_PART_ROWS, n_files),
+             os.path.join(tmp, f"part-{i + 1:05d}.parquet"))
+            for i, lo in enumerate(range(0, n_files,
+                                         CHECKPOINT_PART_ROWS))
+        ]
+        _fork_map(_synth_part, jobs, {"spec": spec})
+        os.rename(tmp, final)
+    else:
+        table = build_manifest_table(n_files, version=0)
+        # the engine's own writer: single-file vs multi-part split
+        write_checkpoint_files(table, final)
     return time.perf_counter() - t0
 
 
@@ -397,6 +475,15 @@ def main() -> None:
             f"driver RSS grew {out['materialize_rss_growth_mb']} MB "
             f"materializing a {args.files:,}-file manifest — no longer "
             "O(files) bounded")
+
+    # --- the ENGINE's own checkpoint write over the materialized
+    # manifest (the real maintenance path, not the synthetic setup):
+    # above CHECKPOINT_PARALLEL_MIN_FILES this forks part builders over
+    # the copy-on-write snapshot — the single-node stand-in for Delta's
+    # checkpoint-as-a-Spark-job shape.
+    t0 = time.perf_counter()
+    log.write_checkpoint()
+    out["engine_checkpoint_write_s"] = round(time.perf_counter() - t0, 3)
 
     if args.lazy_only:
         if not args.keep:
