@@ -92,6 +92,9 @@ HEADLINE = [
     "q_audio_near_dup",
     "q_video_frames",
     "q_video_scene_cuts",
+    # round-11 addition (after the comparable prefix): nested-leaf typed
+    # stats prune (dotted stats_parsed paths) through the same lazy plane
+    "eng_prune_typed_nested",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet
