@@ -1334,6 +1334,14 @@ class TableLog:
                          cfg.get("checkpointPolicy", "classic")).lower()
         if policy == "v2":
             return self._write_checkpoint_v2(snap)
+        if self.spark is not None \
+                and self._latest_checkpoint(at_or_before=snap.version) \
+                is not None \
+                and self.file_counts(snap)[0] \
+                >= CHECKPOINT_PARALLEL_MIN_FILES:
+            out = self._write_checkpoint_classic_spark(snap)
+            if out is not None:
+                return out
         if len(snap.files) >= CHECKPOINT_PARALLEL_MIN_FILES \
                 and _fork_pool_available():
             return self._write_checkpoint_classic_parallel(snap)
@@ -1401,6 +1409,77 @@ class TableLog:
             kinds.append("domainMetadata")
             jsons.append(dumps_action(DomainMetadata(domain, cfg)))
         return kinds, jsons
+
+    def _write_checkpoint_classic_spark(self, snap: "Snapshot"
+                                        ) -> "str | None":
+        """Classic checkpoint as a SPARK JOB over the manifest DataFrame —
+        the shape Delta itself runs checkpointing as, and the reference
+        defers to Delta for: the new checkpoint's add rows are the
+        previous checkpoint's rows minus tail-changed paths plus the
+        (small) replayed tail, serialized and written as parquet parts BY
+        EXECUTORS. The driver never materializes an AddFile, so a 10M-file
+        checkpoint costs neither the O(files) parse (``materialize_s``)
+        nor the O(files) row build the forked path still pays.
+
+        Returns None (caller falls back to the forked/serial builders)
+        when the manifest's typed-stats struct doesn't match the current
+        physical schema's spec — after a schema change the typed columns
+        must be rebuilt from the stats dicts under the Python cast rules,
+        which only the AddFile-based builders implement.
+
+        Row equivalence with the serial writer: add rows' ``action_json``
+        is the same wrapped JSON round-tripped from the source checkpoint
+        (parse_action -> AddFile -> wrap() is byte-stable), typed columns
+        are carried through unchanged, and the non-add state rows are the
+        identical driver-built header/tail. Only file layout differs
+        (Spark part files; readers are name-based and pyarrow's dataset
+        ignores ``_``/``.``-prefixed markers)."""
+        spec = stats_field_spec(snap.physical_schema)
+        manifest = self.files_df(snap)
+        if (self._parsed_spec_of(manifest) or []) != spec:
+            return None
+        layout = ["kind", "action_json", "path", "partitionValues",
+                  "size", "numRecords", "minValues", "maxValues",
+                  "nullCount", "version", "timestamp"]
+        if spec:
+            layout += list(PARSED_STAT_COLS)
+        adds_df = manifest.withColumn("kind", F.lit("add")).select(layout)
+        # non-add state rows (metaData/protocol/txn/domainMetadata):
+        # driver-built, O(1) + O(writers) rows
+        kinds = ["metaData", "protocol"]
+        jsons = [dumps_action(snap.metadata), dumps_action(Protocol())]
+        tk, tj = self._tail_state_rows(snap)
+        head_schema = T.StructType(
+            [T.StructField("kind", T.StringType())]
+            + list(adds_df.schema.fields[1:]))
+        pad = (None,) * (len(layout) - 2)
+        head_df = self.meta_spark.createDataFrame(
+            [(k, j) + pad for k, j in zip(kinds + tk, jsons + tj)],
+            head_schema)
+        final = os.path.join(self.log_path, _fmt_checkpoint(snap.version))
+        tmp = final + f".{uuid.uuid4().hex}.tmp"
+        # small parquet blocks so the manifest prune's scan parallelism is
+        # row-group-granular, like write_checkpoint_files' 32k-row groups
+        (head_df.unionByName(adds_df)
+         .write.mode("overwrite")
+         .option("parquet.block.size", str(4 << 20))
+         .parquet(tmp))
+        for name in os.listdir(tmp):
+            if not name.endswith(".parquet"):
+                os.remove(os.path.join(tmp, name))  # _SUCCESS etc.
+        # same race posture as write_checkpoint_files: deterministic
+        # content per version, losing a concurrent rename race is safe
+        try:
+            if os.path.isfile(final):
+                os.remove(final)
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+        n, _sz = self.file_counts(snap)
+        self._write_last_checkpoint(snap.version, final, n, "classic")
+        return final
 
     def _write_checkpoint_classic_parallel(self, snap: "Snapshot") -> str:
         """Classic checkpoint for LARGE manifests: add rows are built and

@@ -511,3 +511,77 @@ class TestNestedTypedStats:
             .select("path").collect()}
         tail = {a.path for a in snap.files if a.version == snap.version}
         assert kept == tail
+
+
+class TestSparkJobCheckpoint(TestParallelCheckpoint):
+    """Classic checkpoint written as a Spark job over the manifest
+    DataFrame (no AddFile materialization) — row-equivalent to the
+    serial builder; declines after a schema change so the fallback
+    rebuilds typed structs under the Python cast rules. Inherits the
+    fixture/row helpers (and re-runs the parent's parallel tests over
+    the same shapes, which is harmless)."""
+
+    def test_classic_spark_job_write_equivalent(self, spark, tmp_path,
+                                                monkeypatch):
+        """The Spark-job classic checkpoint (manifest-DataFrame write, no
+        AddFile materialization) produces the same row set as the serial
+        builder and cold-reads identically."""
+        import delta_sharing_spark.plans.log as L
+
+        log = self._mk(spark, str(tmp_path / "t"))
+        log.write_checkpoint()          # seed checkpoint (serial)
+        df2 = spark.range(20000, 21000).select(
+            F.col("id"), (F.col("id") % 7).cast("double").alias("v"),
+            (F.col("id") % 4).cast("string").alias("cat"))
+        log.append(df2)
+        log.append(df2.selectExpr("id + 5000 as id", "v", "cat"))
+        v = log.latest_version()
+        log.write_checkpoint(version=v)  # serial (below threshold)
+        serial = self._checkpoint_rows(log)
+        cp = os.path.join(log.log_path, _fmt_checkpoint(v))
+        os.remove(cp) if os.path.isfile(cp) else __import__(
+            "shutil").rmtree(cp)
+        log._files_df_cache.clear()
+        monkeypatch.setattr(L, "CHECKPOINT_PARALLEL_MIN_FILES", 1)
+        out = log.write_checkpoint(version=v)
+        assert out == cp and os.path.isdir(cp)
+        assert all(n.endswith(".parquet") for n in os.listdir(cp))
+        sparkjob = self._checkpoint_rows(log)
+        assert sparkjob == serial
+        cold = TableLog(spark, log.path)
+        snap = cold.snapshot()
+        assert len(snap.files) == len(log.snapshot(version=v).files)
+        assert SharedTable(spark, log.path).to_df().count() == 12000
+
+    def test_classic_spark_job_skips_on_schema_change(self, spark,
+                                                      tmp_path,
+                                                      monkeypatch):
+        """After a schema change the manifest's typed struct no longer
+        matches the current spec — the Spark-job path must decline and the
+        fallback builder rebuild the structs from stats."""
+        from pyspark.sql import types as T
+
+        import delta_sharing_spark.plans.log as L
+
+        log = self._mk(spark, str(tmp_path / "t"))
+        log.write_checkpoint()
+        log.add_column("extra", T.LongType())
+        df2 = spark.range(20000, 21000).select(
+            F.col("id"), (F.col("id") % 7).cast("double").alias("v"),
+            (F.col("id") % 4).cast("string").alias("cat"),
+            (F.col("id") * 2).alias("extra"))
+        log.append(df2)
+        log._files_df_cache.clear()
+        monkeypatch.setattr(L, "CHECKPOINT_PARALLEL_MIN_FILES", 1)
+        v = log.latest_version()
+        out = log.write_checkpoint(version=v)
+        # fallback built it (fork/serial); the new column's typed stats
+        # must be present — the Spark path would have carried the OLD spec
+        import pyarrow.dataset as pds
+
+        t = pds.dataset(out, format="parquet").to_table()
+        assert "extra" in t.schema.field("minValues_parsed").type.field(
+            0).name or "extra" in [
+            t.schema.field("minValues_parsed").type.field(i).name
+            for i in range(t.schema.field("minValues_parsed").type
+                           .num_fields)]
