@@ -1531,6 +1531,67 @@ class TableLog:
         self._write_last_checkpoint(snap.version, final, n, "classic")
         return final
 
+    def _write_checkpoint_v2_spark(self, snap: "Snapshot", nbuckets: int,
+                                   spec, spec_tag: str) -> "list | None":
+        """V2 sidecars as a SPARK JOB: the manifest DataFrame groups by
+        the same md5 path bucket as the driver path (verified expression
+        parity), and each group's executor task computes the bucket's
+        identity address, writes the sidecar parquet ONLY when that
+        address is absent (content addressing makes task retries and
+        speculative duplicates idempotent — tmp + atomic rename), and
+        returns one (bucket, rel, size, sha) row. The driver never
+        materializes an AddFile; unchanged buckets cost an executor-side
+        hash of their (path, version) identities, never a rewrite.
+
+        Returns the sidecar manifest rows in bucket order, or None when
+        the manifest's typed spec mismatches the schema's (fallback
+        rebuilds structs under the Python cast rules) — same contract as
+        the classic Spark path."""
+        manifest = self.files_df(snap)
+        if (self._parsed_spec_of(manifest) or []) != spec:
+            return None
+        log_path = self.log_path
+        sidecar_dir = SIDECAR_DIR
+
+        def build(pdf):
+            import hashlib as _hl
+            import os as _os
+            import uuid as _uuid
+
+            import pandas as _pd
+            import pyarrow.parquet as _pq
+
+            pdf = pdf.sort_values("path")
+            vers = [None if _pd.isna(v) else int(v) for v in pdf["version"]]
+            h = _hl.sha256(
+                ("sidecar-v2\n" + spec_tag + "\n" + "\n".join(
+                    f"{p}\x00{v}" for p, v in zip(pdf["path"], vers))
+                 ).encode()).hexdigest()[:32]
+            rel = _os.path.join(sidecar_dir, f"{h}.parquet")
+            fp = _os.path.join(log_path, rel)
+            if not _os.path.exists(fp):
+                adds = [parse_action(j) for j in pdf["action_json"]]
+                t = _adds_arrow_table(adds, spec)
+                tmp = fp + f".{_uuid.uuid4().hex}.tmp"
+                _pq.write_table(t, tmp,
+                                row_group_size=CHECKPOINT_ROW_GROUP_ROWS)
+                _os.replace(tmp, fp)
+            return _pd.DataFrame(
+                [(int(pdf["__b"].iloc[0]), rel,
+                  _os.path.getsize(fp), _sidecar_sha256(fp))],
+                columns=["bucket", "rel", "size", "sha"])
+
+        b = (F.conv(F.substring(F.md5(F.col("path")), 1, 8), 16, 10)
+             .cast("long") % nbuckets)
+        rows = (manifest.select("action_json", "path", "version")
+                .withColumn("__b", b)
+                .groupBy("__b")
+                .applyInPandas(build,
+                               "bucket long, rel string, size long, "
+                               "sha string")
+                .collect())
+        return sorted(rows, key=lambda r: r["bucket"])
+
     def _write_checkpoint_v2(self, snap: "Snapshot") -> str:
         """V2 checkpoint: content-addressed sidecars + a small manifest.
 
@@ -1542,14 +1603,10 @@ class TableLog:
         content hash and costs zero bytes to 'write' again."""
         import hashlib as _hl
 
-        n = len(snap.files)
+        n, _sz = self.file_counts(snap)
         nbuckets = 1
         while nbuckets * SIDECAR_TARGET_ROWS < n:
             nbuckets *= 2
-        buckets: list[list[AddFile]] = [[] for _ in range(nbuckets)]
-        for add in snap.files:
-            b = int(_hl.md5(add.path.encode()).hexdigest()[:8], 16) % nbuckets
-            buckets[b].append(add)
         sidecar_dir = os.path.join(self.log_path, SIDECAR_DIR)
         os.makedirs(sidecar_dir, exist_ok=True)
         # the typed-stats struct layout is part of a sidecar's identity:
@@ -1569,17 +1626,36 @@ class TableLog:
         paths, pvs, sizes = list(blank), list(blank), list(blank)
         nrecs, mins, maxs = list(blank), list(blank), list(blank)
         nulls, vers, tss = list(blank), list(blank), list(blank)
-        nonempty = [i for i, b in enumerate(buckets) if b]
-        state = {"buckets": buckets, "spec": spec, "spec_tag": spec_tag,
-                 "log_path": self.log_path}
-        if n >= CHECKPOINT_PARALLEL_MIN_FILES and _fork_pool_available():
-            # large manifest: sidecar builds fork out (copy-on-write
-            # buckets — see CHECKPOINT_PARALLEL_MIN_FILES). Each bucket's
-            # bytes are identical to the serial build; manifest order
-            # stays bucket order (pool.map preserves job order).
-            results = _fork_map(_build_sidecar_bucket, nonempty, state)
-        else:
-            results = [_build_sidecar_bucket(i, state) for i in nonempty]
+        results = None
+        if self.spark is not None and n >= CHECKPOINT_PARALLEL_MIN_FILES \
+                and self._latest_checkpoint(at_or_before=snap.version) \
+                is not None:
+            # sidecars as a Spark job over the manifest plane (no AddFile
+            # materialization); None = spec mismatch, fall through
+            rows = self._write_checkpoint_v2_spark(snap, nbuckets, spec,
+                                                   spec_tag)
+            if rows is not None:
+                results = [(r["rel"], r["size"], r["sha"]) for r in rows]
+        if results is None:
+            buckets: list[list[AddFile]] = [[] for _ in range(nbuckets)]
+            for add in snap.files:
+                b = int(_hl.md5(add.path.encode()).hexdigest()[:8],
+                        16) % nbuckets
+                buckets[b].append(add)
+            nonempty = [i for i, b in enumerate(buckets) if b]
+            state = {"buckets": buckets, "spec": spec,
+                     "spec_tag": spec_tag, "log_path": self.log_path}
+            if n >= CHECKPOINT_PARALLEL_MIN_FILES \
+                    and _fork_pool_available():
+                # large manifest: sidecar builds fork out (copy-on-write
+                # buckets — see CHECKPOINT_PARALLEL_MIN_FILES). Each
+                # bucket's bytes are identical to the serial build;
+                # manifest order stays bucket order (pool.map preserves
+                # job order).
+                results = _fork_map(_build_sidecar_bucket, nonempty, state)
+            else:
+                results = [_build_sidecar_bucket(i, state)
+                           for i in nonempty]
         for rel, size_bytes, sha in results:
             kinds.append("sidecar")
             jsons.append(json.dumps({"sidecar": {
@@ -1603,8 +1679,7 @@ class TableLog:
                                        nrecs, mins, maxs, nulls, vers, tss)
         final = os.path.join(self.log_path, _fmt_checkpoint(snap.version))
         write_checkpoint_files(table, final)
-        self._write_last_checkpoint(snap.version, final, len(snap.files),
-                                    "v2")
+        self._write_last_checkpoint(snap.version, final, n, "v2")
         return final
 
     @staticmethod

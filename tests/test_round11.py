@@ -585,3 +585,52 @@ class TestSparkJobCheckpoint(TestParallelCheckpoint):
             t.schema.field("minValues_parsed").type.field(i).name
             for i in range(t.schema.field("minValues_parsed").type
                            .num_fields)]
+
+    def test_v2_spark_job_identical_sidecars(self, spark, tmp_path,
+                                             monkeypatch):
+        """V2 sidecars built as a Spark job (applyInPandas per bucket)
+        must produce the SAME content addresses and byte-sha256 as the
+        driver-side builder, and the checkpoint must cold-read."""
+        import shutil
+
+        import delta_sharing_spark.plans.log as L
+
+        log = self._mk(spark, str(tmp_path / "t"), policy="v2")
+        log.write_checkpoint()            # seed (serial, v=1)
+        df2 = spark.range(30000, 31000).select(
+            F.col("id"), (F.col("id") % 7).cast("double").alias("v"),
+            (F.col("id") % 4).cast("string").alias("cat"))
+        log.append(df2)
+        v = log.latest_version()
+        log.write_checkpoint(version=v)   # serial build of v
+        serial_rows = self._checkpoint_rows(log)
+        serial_refs = sorted(
+            (json.loads(j)["sidecar"]["path"],
+             json.loads(j)["sidecar"]["tags"]["sha256"])
+            for k, j, _p, _m in serial_rows if k == "sidecar")
+        cp = os.path.join(log.log_path, _fmt_checkpoint(v))
+        os.remove(cp) if os.path.isfile(cp) else shutil.rmtree(cp)
+        # wipe the sidecars UNIQUE to version v (+ sha companions) so the
+        # Spark job rebuilds those bytes from scratch — the seed
+        # checkpoint's own sidecars must stay (the manifest reads them)
+        seed_refs = {r["path"] for r in log._sidecar_refs(
+            log._list_checkpoints()[0])}
+        for rel, _sha in serial_refs:
+            if rel not in seed_refs:
+                fp = os.path.join(log.log_path, rel)
+                os.remove(fp)
+                if os.path.exists(fp + ".sha256"):
+                    os.remove(fp + ".sha256")
+        log._files_df_cache.clear()
+        monkeypatch.setattr(L, "CHECKPOINT_PARALLEL_MIN_FILES", 1)
+        out = log.write_checkpoint(version=v)
+        spark_rows = self._checkpoint_rows(log)
+        spark_refs = sorted(
+            (json.loads(j)["sidecar"]["path"],
+             json.loads(j)["sidecar"]["tags"]["sha256"])
+            for k, j, _p, _m in spark_rows if k == "sidecar")
+        assert spark_refs == serial_refs
+        cold = TableLog(spark, log.path)
+        assert len(cold.snapshot().files) == len(
+            log.snapshot(version=v).files)
+        assert SharedTable(spark, log.path).to_df().count() == 11000
