@@ -1460,10 +1460,14 @@ class TableLog:
         tmp = final + f".{uuid.uuid4().hex}.tmp"
         # small parquet blocks so the manifest prune's scan parallelism is
         # row-group-granular, like write_checkpoint_files' 32k-row groups
-        (head_df.unionByName(adds_df)
-         .write.mode("overwrite")
-         .option("parquet.block.size", str(4 << 20))
-         .parquet(tmp))
+        try:
+            (head_df.unionByName(adds_df)
+             .write.mode("overwrite")
+             .option("parquet.block.size", str(4 << 20))
+             .parquet(tmp))
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         for name in os.listdir(tmp):
             if not name.endswith(".parquet"):
                 os.remove(os.path.join(tmp, name))  # _SUCCESS etc.
