@@ -634,3 +634,38 @@ class TestSparkJobCheckpoint(TestParallelCheckpoint):
         assert len(cold.snapshot().files) == len(
             log.snapshot(version=v).files)
         assert SharedTable(spark, log.path).to_df().count() == 11000
+
+    def test_spark_job_write_plan_shape(self, spark, tmp_path):
+        """Plan audit: the classic Spark-job write's read side is
+        scan -> project -> write with ZERO exchanges (parts stream
+        straight from the source checkpoint's splits); the v2 job has
+        exactly the ONE necessary bucket shuffle."""
+        import pandas as pd
+
+        from delta_sharing_spark.plans.log import (
+            PARSED_STAT_COLS, stats_field_spec)
+
+        log = self._mk(spark, str(tmp_path / "t"))
+        log.write_checkpoint()
+        snap = log.snapshot()
+        manifest = log.files_df(snap)
+        layout = ["kind", "action_json", "path", "partitionValues",
+                  "size", "numRecords", "minValues", "maxValues",
+                  "nullCount", "version", "timestamp"]
+        if stats_field_spec(snap.physical_schema):
+            layout += list(PARSED_STAT_COLS)
+        adds_df = manifest.withColumn("kind", F.lit("add")).select(layout)
+        plan = adds_df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+
+        b = (F.conv(F.substring(F.md5(F.col("path")), 1, 8), 16, 10)
+             .cast("long") % 4)
+
+        def noop(pdf):
+            return pd.DataFrame([(0,)], columns=["x"])
+
+        v2plan = (manifest.select("action_json", "path", "version")
+                  .withColumn("__b", b).groupBy("__b")
+                  .applyInPandas(noop, "x long")
+                  ._jdf.queryExecution().executedPlan().toString())
+        assert v2plan.count("Exchange") == 1, v2plan
