@@ -112,6 +112,22 @@ def main() -> None:
     from delta_sharing_spark import get_spark
     import __spark_entry__ as entry_mod
 
+    def loadavg() -> list[float]:
+        # host load snapshot: external-to-container load has inflated
+        # per-query wall times 2-6x across same-day runs with idle local
+        # CPUs (SCALE.md round-8 section) — recording it makes that drift
+        # adjudicable from the bench artifact alone
+        try:
+            with open("/proc/loadavg") as f:
+                return [float(x) for x in f.read().split()[:3]]
+        except (OSError, ValueError):
+            return []
+
+    # sampled BEFORE the JVM/query warmup pass, so the artifact's idle-box
+    # evidence reflects the host's state going in, not the warmup's own
+    # load (r11 verdict: a post-warmup sample can't substantiate "idle")
+    load_before = loadavg()
+
     spark = get_spark(app_name="dss_bench")
     qs = entry_mod.queries()
 
@@ -138,18 +154,7 @@ def main() -> None:
             except Exception:
                 pass
 
-    def loadavg() -> list[float]:
-        # host load snapshot: external-to-container load has inflated
-        # per-query wall times 2-6x across same-day runs with idle local
-        # CPUs (SCALE.md round-8 section) — recording it makes that drift
-        # adjudicable from the bench artifact alone
-        try:
-            with open("/proc/loadavg") as f:
-                return [float(x) for x in f.read().split()[:3]]
-        except (OSError, ValueError):
-            return []
-
-    load_before = loadavg()
+    load_post_warmup = loadavg()
 
     # best-of-3 per query: single-run sub-second timings carry ±30% noise
     # that can mask (or fake) real plan regressions; min-of-N isolates the
@@ -201,6 +206,7 @@ def main() -> None:
                 "control_sec": control,
                 "normalized": normalized,
                 "loadavg_before": load_before,
+                "loadavg_post_warmup": load_post_warmup,
                 "loadavg_after": loadavg(),
                 "sf": sf,
             }

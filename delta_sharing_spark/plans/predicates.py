@@ -203,19 +203,32 @@ def stat_lookup(d, name: str):
     return cur
 
 
-def _stats_json_path(name: str) -> str:
+def _stats_json_path(name: str) -> "str | None":
     """JSON path for a (possibly dotted) stats name: stats objects nest
     per the protocol (PROTOCOL.md:3908-4013), so ``m.qty`` reads
     ``$['m']['qty']``. Bracket form keeps names with special characters
     safe; dotted names are always nested paths (literal-dot column names
-    never carry stats — plans/stats.py skips them as ambiguous)."""
-    return "$" + "".join(f"['{seg}']" for seg in name.split("."))
+    never carry stats — plans/stats.py skips them as ambiguous).
+
+    Spark's JSON-path grammar has no escape for a quote inside the
+    bracket form, so a segment containing a single quote (or a backslash,
+    which its parser also mangles) is inexpressible — return None and the
+    caller degrades that column to NULL = Unknown = keep (never a wrong
+    prune, and never a silently malformed path)."""
+    segs = name.split(".")
+    if any("'" in s or "\\" in s for s in segs):
+        return None
+    return "$" + "".join(f"['{seg}']" for seg in segs)
 
 
 def _json_stat(col: str, name: str, vtype: str) -> Column:
     """Extract a typed stat from the minValues/maxValues JSON strings in the
-    manifest DataFrame; absent key -> NULL (Unknown)."""
-    raw = F.get_json_object(F.col(col), _stats_json_path(name))
+    manifest DataFrame; absent key (or a name the JSON-path grammar can't
+    express) -> NULL (Unknown)."""
+    path = _stats_json_path(name)
+    if path is None:
+        return F.lit(None).try_cast(_SPARK_CAST[vtype])
+    raw = F.get_json_object(F.col(col), path)
     return raw.try_cast(_SPARK_CAST[vtype])
 
 
@@ -303,8 +316,12 @@ def _rewrite_for_stats(op: dict[str, Any], partition_columns: set[str],
             return inner.isNull()
         if name in parsed_fields:
             return F.col("nullCount_parsed").getField(name) > 0
+        path = _stats_json_path(name)
+        if path is None:
+            # inexpressible name -> Unknown -> keep (see _stats_json_path)
+            return F.lit(None).cast("boolean")
         return F.get_json_object(
-            F.col("nullCount"), _stats_json_path(name)
+            F.col("nullCount"), path
         ).try_cast("long") > 0
     if kind == "and":
         cols = [_rewrite_for_stats(c, partition_columns, parsed_fields)

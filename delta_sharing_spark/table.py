@@ -953,11 +953,14 @@ class SharedTable:
                     payload["lastPath"] = last_path
                 next_token = mint_page_token(payload, checksum)
         else:
-            paths = set(
+            # adds_for_paths keeps a LAZY snapshot lazy (manifest-plane
+            # fetch of only the kept actions — r12): the unpaged route
+            # must never pin an O(files) AddFile dict to serve a pruned
+            # (or even full — that response is O(files) anyway) listing
+            files = self.log.adds_for_paths(
+                snap,
                 self.pruned_files(snap, json_predicate_hints,
-                                  predicate_hints, limit_hint)
-            )
-            files = [f for f in snap.files if f.path in paths]
+                                  predicate_hints, limit_hint))
             end = (len(files) if max_files is None
                    else min(start + max_files, len(files)))
             page = files[start:end]

@@ -516,10 +516,10 @@ class TestNestedTypedStats:
 class TestSparkJobCheckpoint(TestParallelCheckpoint):
     """Classic checkpoint written as a Spark job over the manifest
     DataFrame (no AddFile materialization) — row-equivalent to the
-    serial builder; declines after a schema change so the fallback
-    rebuilds typed structs under the Python cast rules. Inherits the
-    fixture/row helpers (and re-runs the parent's parallel tests over
-    the same shapes, which is harmless)."""
+    serial builder; after a schema change it rebuilds the typed structs
+    executor-side under the shared Python cast rules (r12) instead of
+    declining. Inherits the fixture/row helpers (and re-runs the
+    parent's parallel tests over the same shapes, which is harmless)."""
 
     def test_classic_spark_job_write_equivalent(self, spark, tmp_path,
                                                 monkeypatch):
@@ -553,38 +553,103 @@ class TestSparkJobCheckpoint(TestParallelCheckpoint):
         assert len(snap.files) == len(log.snapshot(version=v).files)
         assert SharedTable(spark, log.path).to_df().count() == 12000
 
-    def test_classic_spark_job_skips_on_schema_change(self, spark,
+    def test_classic_spark_job_survives_schema_change(self, spark,
                                                       tmp_path,
                                                       monkeypatch):
-        """After a schema change the manifest's typed struct no longer
-        matches the current spec — the Spark-job path must decline and the
-        fallback builder rebuild the structs from stats."""
+        """After a schema change the manifest's carried typed struct no
+        longer matches the current spec — the Spark-job path must NOT
+        decline (r12): it rebuilds the structs executor-side under the
+        shared Python cast rules, row-equivalent to the serial builder's
+        rebuild from AddFile stats."""
+        import shutil
+
+        import pyarrow.dataset as pds
         from pyspark.sql import types as T
 
         import delta_sharing_spark.plans.log as L
 
         log = self._mk(spark, str(tmp_path / "t"))
-        log.write_checkpoint()
+        log.write_checkpoint()          # seed checkpoint, OLD spec
         log.add_column("extra", T.LongType())
         df2 = spark.range(20000, 21000).select(
             F.col("id"), (F.col("id") % 7).cast("double").alias("v"),
             (F.col("id") % 4).cast("string").alias("cat"),
             (F.col("id") * 2).alias("extra"))
         log.append(df2)
+        v = log.latest_version()
+        log.write_checkpoint(version=v)   # serial (below threshold)
+        serial = self._checkpoint_rows(log)
+        cp = os.path.join(log.log_path, _fmt_checkpoint(v))
+        os.remove(cp) if os.path.isfile(cp) else shutil.rmtree(cp)
         log._files_df_cache.clear()
         monkeypatch.setattr(L, "CHECKPOINT_PARALLEL_MIN_FILES", 1)
-        v = log.latest_version()
         out = log.write_checkpoint(version=v)
-        # fallback built it (fork/serial); the new column's typed stats
-        # must be present — the Spark path would have carried the OLD spec
-        import pyarrow.dataset as pds
+        # the Spark job wrote it (part directory), no decline
+        assert out == cp and os.path.isdir(cp)
+        sparkjob = self._checkpoint_rows(log)
+        assert sparkjob == serial
+        # and the NEW column's typed stats are present in the struct
+        t = pds.dataset(cp, format="parquet").to_table()
+        names = [t.schema.field("minValues_parsed").type.field(i).name
+                 for i in range(t.schema.field("minValues_parsed").type
+                                .num_fields)]
+        assert "extra" in names
+        cold = TableLog(spark, log.path)
+        assert len(cold.snapshot().files) == len(
+            log.snapshot(version=v).files)
 
-        t = pds.dataset(out, format="parquet").to_table()
-        assert "extra" in t.schema.field("minValues_parsed").type.field(
-            0).name or "extra" in [
-            t.schema.field("minValues_parsed").type.field(i).name
-            for i in range(t.schema.field("minValues_parsed").type
-                           .num_fields)]
+    def test_v2_spark_job_survives_schema_change(self, spark, tmp_path,
+                                                 monkeypatch):
+        """The v2 Spark job rebuilds every bucket from ``action_json``
+        under the CURRENT spec, so a schema change must not make it
+        decline — sidecar addresses and byte hashes match the driver
+        builder's exactly."""
+        import shutil
+
+        import delta_sharing_spark.plans.log as L
+        from pyspark.sql import types as T
+
+        log = self._mk(spark, str(tmp_path / "t"), policy="v2")
+        log.write_checkpoint()            # seed, OLD spec
+        log.add_column("extra", T.LongType())
+        df2 = spark.range(30000, 31000).select(
+            F.col("id"), (F.col("id") % 7).cast("double").alias("v"),
+            (F.col("id") % 4).cast("string").alias("cat"),
+            (F.col("id") * 3).alias("extra"))
+        log.append(df2)
+        v = log.latest_version()
+        log.write_checkpoint(version=v)   # serial build of v (new spec)
+        serial_rows = self._checkpoint_rows(log)
+        serial_refs = sorted(
+            (json.loads(j)["sidecar"]["path"],
+             json.loads(j)["sidecar"]["tags"]["sha256"])
+            for k, j, _p, _m in serial_rows if k == "sidecar")
+        assert serial_refs
+        cp = os.path.join(log.log_path, _fmt_checkpoint(v))
+        os.remove(cp) if os.path.isfile(cp) else shutil.rmtree(cp)
+        # wipe v's own sidecars (all re-addressed by the new spec_tag) so
+        # the Spark job rebuilds those bytes; keep the seed's (manifest
+        # source)
+        seed_refs = {r["path"] for r in log._sidecar_refs(
+            log._list_checkpoints()[0])}
+        for rel, _sha in serial_refs:
+            if rel not in seed_refs:
+                fp = os.path.join(log.log_path, rel)
+                os.remove(fp)
+                if os.path.exists(fp + ".sha256"):
+                    os.remove(fp + ".sha256")
+        log._files_df_cache.clear()
+        monkeypatch.setattr(L, "CHECKPOINT_PARALLEL_MIN_FILES", 1)
+        log.write_checkpoint(version=v)
+        spark_rows = self._checkpoint_rows(log)
+        spark_refs = sorted(
+            (json.loads(j)["sidecar"]["path"],
+             json.loads(j)["sidecar"]["tags"]["sha256"])
+            for k, j, _p, _m in spark_rows if k == "sidecar")
+        assert spark_refs == serial_refs
+        cold = TableLog(spark, log.path)
+        assert len(cold.snapshot().files) == len(
+            log.snapshot(version=v).files)
 
     def test_v2_spark_job_identical_sidecars(self, spark, tmp_path,
                                              monkeypatch):
