@@ -39,41 +39,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round's new queries; the full local sweep
 # (tools/check_correctness.py) remains the complete gate over all entries.
 _DRIVER_PRIORITY = [
-    # new this round (appended as they land)
+    # round-11 addition, re-fronted once for a second green row
     "eng_prune_typed_nested",
-    # round-11 engine-plane reworks: re-front the queries whose serving
-    # paths changed (parallel checkpoint builds classic+v2, try_cast
-    # prune casts, txn-tolerant remote parsers, nested stats JSON)
+    # round-12 engine-plane reworks: re-front the queries whose serving
+    # paths changed (adds_for_paths stays on the manifest plane for
+    # unselective prunes, the unpaged REST route fetches kept actions
+    # the same way, non-destructive checkpoint installs, schema-change-
+    # surviving Spark-job checkpoint writers)
+    "eng_snapshot_latest_append",
+    "eng_snapshot_prune_filter",
+    "eng_limit_exact",
+    "eng_rest_snapshot",
+    "eng_rest_range",
+    "eng_rest_strict_features",
     "eng_checkpoint_snapshot",
     "eng_checkpoint_v2",
     "eng_prune_typed_manifest",
-    "eng_snapshot_prune_filter",
-    "eng_rest_range",
-    # media workloads whose plans gained the errored-clip filter
-    "q_multimodal_jpeg",
-    "q_audio_flac",
-    "q_audio_features",
-    "q_audio_windows",
-    "q_image_near_dup",
-    # last round's additions, re-fronted once for a second green row
-    "q_audio_near_dup",
-    "q_video_frames",
-    "q_video_scene_cuts",
     # rotation block (r11+): 12 oldest queries with no driver row in the
     # last two rounds, so every registered query re-earns a driver-green
     # row over time (the full local sweep remains the complete gate)
-    "eng_dv_update",
-    "eng_cdf_merge",
-    "eng_datasource_batch",
-    "eng_dv_inline",
-    "eng_zorder_read",
-    "eng_restore",
-    "eng_clone",
-    "eng_generated_columns",
-    "eng_rest_snapshot",
-    "eng_rest_cdf",
-    "eng_identity",
-    "eng_type_widening",
+    "eng_dv_delete",
+    "eng_dv_cdf_window",
+    "eng_dv_update_cdf",
+    "eng_datasource_cdf",
+    "eng_rest_range_paged",
+    "eng_rest_row_tracking",
+    "eng_rest_row_tracking_range",
+    "eng_rest_row_tracking_cdf",
+    "eng_type_widening_nested",
+    "eng_row_tracking",
+    "q01_pricing_summary",
+    "q03_shipping_priority",
 ]
 
 

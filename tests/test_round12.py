@@ -425,3 +425,114 @@ class TestStatsJsonPathQuoting:
             {"op": "column", "name": "o'clock", "valueType": "long"}]}
         cond2 = _rewrite_for_stats(op2, set(), frozenset())
         assert df.filter(cond2.isNull() | cond2).count() == 1
+
+
+FEATURE_COMBOS = {
+    "plain": frozenset(),
+    "cm": frozenset({"cm"}),
+    "dv": frozenset({"dv"}),
+    "rt": frozenset({"rt"}),
+    "txn": frozenset({"txn"}),
+    "gen": frozenset({"gen"}),
+    "cm_dv": frozenset({"cm", "dv"}),
+    "cm_rt_txn": frozenset({"cm", "rt", "txn"}),
+    "dv_rt": frozenset({"dv", "rt"}),
+    "all": frozenset({"cm", "dv", "rt", "txn", "gen"}),
+}
+
+
+class TestRemoteFeatureMatrix:
+    """r11 verdict #7: the txn test exposed a real remote-parser gap
+    (column-mapped snapshots returned zero files), so sweep the table-
+    feature matrix — column mapping x deletion vectors x row tracking x
+    SetTransaction x generated columns — through the live-HTTP client
+    stack (RemoteTableLog.snapshot/commits + load_as_spark +
+    load_table_changes_as_spark), asserting parity with the local log."""
+
+    @pytest.fixture(scope="class")
+    def matrix_env(self, spark, tmp_path_factory):
+        from delta_sharing_spark.catalog import ShareCatalog
+        from delta_sharing_spark.server import SharingServer
+
+        base = tmp_path_factory.mktemp("featmatrix")
+        cat = ShareCatalog(spark)
+        logs = {}
+        for name, feats in FEATURE_COMBOS.items():
+            d = str(base / name)
+            log = TableLog(spark, d)
+            df = spark.range(0, 80).selectExpr("id", "id * 2 as v")
+            cfg = {"enableChangeDataFeed": "true"}
+            kw = {}
+            if "dv" in feats:
+                cfg["enableDeletionVectors"] = "true"
+            if "gen" in feats:
+                kw["generated_columns"] = {"id2": "id + 1"}
+            op = ({"queryId": "app-x", "epochId": "5"}
+                  if "txn" in feats else None)
+            log.create(df, name=name, configuration=cfg,
+                       operation_parameters=op, **kw)
+            if "rt" in feats:
+                log.enable_row_tracking()
+            if "cm" in feats:
+                log.enable_column_mapping()
+                log.rename_column("v", "w")
+            vcol = "w" if "cm" in feats else "v"
+            op2 = ({"queryId": "app-x", "epochId": "6"}
+                   if "txn" in feats else None)
+            log.append(df.selectExpr("id + 100 as id", f"id as {vcol}"),
+                       operation_parameters=op2)
+            if "dv" in feats:
+                log.delete("id >= 170")
+            cat.add_table("s", "d", name, d)
+            logs[name] = log
+        srv = SharingServer(cat, bearer_token="tok")
+        url = srv.serve_background()
+        prof = base / "prof.json"
+        prof.write_text(json.dumps({
+            "shareCredentialsVersion": 1, "endpoint": url,
+            "bearerToken": "tok"}))
+        yield str(prof), logs
+        srv.shutdown()
+
+    @pytest.mark.parametrize("name", sorted(FEATURE_COMBOS))
+    def test_remote_snapshot_parity(self, matrix_env, name):
+        from delta_sharing_spark.sources.remote import RemoteTableLog
+
+        prof, logs = matrix_env
+        local = logs[name]
+        rlog = RemoteTableLog(prof, "s", "d", name)
+        rsnap = rlog.snapshot()
+        lsnap = local.snapshot()
+        assert len(rsnap.files) == len(lsnap.files) > 0
+        # the LOGICAL schema round-trips (renamed/generated columns too)
+        feats = FEATURE_COMBOS[name]
+        if "cm" in feats:
+            assert "w" in rsnap.metadata.schemaString
+        if "gen" in feats:
+            assert "id2" in rsnap.metadata.schemaString
+
+    @pytest.mark.parametrize("name", sorted(FEATURE_COMBOS))
+    def test_remote_commits_parity(self, matrix_env, name):
+        from delta_sharing_spark.sources.remote import RemoteTableLog
+
+        prof, logs = matrix_env
+        rlog = RemoteTableLog(prof, "s", "d", name)
+        assert len(rlog.commits(0)) == logs[name].latest_version() + 1
+
+    @pytest.mark.parametrize("name", sorted(FEATURE_COMBOS))
+    def test_client_load_and_changes_parity(self, spark, matrix_env,
+                                            name):
+        from delta_sharing_spark.client import (
+            get_table_txns, load_as_spark, load_table_changes_as_spark)
+
+        prof, logs = matrix_env
+        feats = FEATURE_COMBOS[name]
+        url = f"{prof}#s.d.{name}"
+        local_n = SharedTable(spark, logs[name].path).to_df().count()
+        assert local_n == (150 if "dv" in feats else 160)
+        assert load_as_spark(url, spark=spark).count() == local_n
+        if "txn" in feats:
+            assert get_table_txns(url) == {"app-x": 6}
+        ch = load_table_changes_as_spark(url, spark=spark,
+                                         starting_version=0)
+        assert ch.count() >= 160
