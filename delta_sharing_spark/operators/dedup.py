@@ -473,6 +473,58 @@ def decontaminate(train: DataFrame, bench: DataFrame, id_col: str,
     )
 
 
+def decontaminate_ratio(train: DataFrame, bench: DataFrame, id_col: str,
+                        text_col: str, shingle_k: int = 8,
+                        max_ratio: float = 0.7) -> DataFrame:
+    """Fuzzy decontamination by contamination RATIO: for every training
+    document, the fraction of its distinct word ``shingle_k``-grams that
+    also occur in the benchmark set; documents at or above ``max_ratio``
+    are dropped (keep = 0). This is the published GPT-3/PaLM/Llama-family
+    rule ("remove documents where ≥N% of 8-grams collide with an eval
+    set") — a graded signal, unlike :func:`decontaminate`'s any-overlap
+    flag, so partial paraphrases and chopped-up eval leaks score between
+    0 and 1 instead of tripping a binary test.
+
+    Returns one row PER training document (zero-overlap docs included):
+    (id_col, n_shingles, n_hit, contamination, keep). ``contamination``
+    is an integer/integer division in double — bit-identical across
+    engines — and ``keep`` compares that exact quotient to the literal
+    threshold, so the decision replays exactly in SQL.
+
+    Scale shape: identical to :func:`decontaminate` — the benchmark's
+    distinct shingle set broadcasts (eval sets are small by nature), the
+    corpus streams through a broadcast left join with no corpus shuffle,
+    and the per-doc aggregation has map-side partials on the doc id. One
+    pass over the training text at 100 TB."""
+    t_sh = train.select(
+        F.col(id_col),
+        F.explode(_word_shingles(text_col, shingle_k)).alias("s"),
+    )
+    b_sh = (
+        bench.select(F.explode(_word_shingles(text_col, shingle_k))
+                     .alias("s"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    contamination = (F.col("n_hit").cast("double")
+                     / F.col("n_shingles").cast("double"))
+    return (
+        t_sh.join(F.broadcast(b_sh), "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long")
+            .alias("n_hit"),
+        )
+        .select(
+            id_col, "n_shingles", "n_hit",
+            contamination.alias("contamination"),
+            F.when(contamination >= max_ratio, F.lit(0))
+            .otherwise(F.lit(1)).alias("keep"),
+        )
+    )
+
+
 def bloom_decontaminate(train: DataFrame, bench: DataFrame, id_col: str,
                         text_col: str, shingle_k: int = 13,
                         m_bits: int = 1 << 20,

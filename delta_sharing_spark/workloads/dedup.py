@@ -421,6 +421,63 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, "doc_id", "text", shingle_k=13)
 
 
+@workload(
+    "q_decontaminate_ratio",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text, ' ')) - 7, 1)),
+               i -> array_to_string(
+                 list_slice(string_split(text, ' '), i::INT, i::INT + 7), ' ')
+             ))) AS s
+      FROM documents
+    ),
+    bench_ids AS (
+      SELECT doc_id FROM documents
+      WHERE ('0x' || substr(md5('bench' || doc_id), 1, 8))::BIGINT
+              % 1000000 < 20000
+    ),
+    b_sh AS (
+      SELECT DISTINCT s FROM sh JOIN bench_ids USING (doc_id)
+    ),
+    train_sh AS (
+      SELECT sh.doc_id, sh.s FROM sh
+      WHERE sh.doc_id NOT IN (SELECT doc_id FROM bench_ids)
+    ),
+    agg AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM train_sh t LEFT JOIN b_sh b USING (s)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_shingles, n_hit,
+           n_hit::DOUBLE / n_shingles::DOUBLE AS contamination,
+           CASE WHEN n_hit::DOUBLE / n_shingles::DOUBLE >= 0.5
+                THEN 0 ELSE 1 END AS keep
+    FROM agg
+    """,
+)
+def q_decontaminate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination (the GPT-3/PaLM/Llama 8-gram collision-RATIO
+    rule): for every non-benchmark document, the fraction of its distinct
+    word 8-grams occurring in the (hash-selected 2%) benchmark subset;
+    docs at ≥50% are dropped. Exact/near duplicates of benchmark docs
+    score ~1.0, paraphrases score in between, clean docs 0 — one row per
+    training doc either way. The ratio is an integer/integer division in
+    double (bit-identical in SQL), so the keep decision replays exactly."""
+    from delta_sharing_spark.operators.dedup import decontaminate_ratio
+    from delta_sharing_spark.operators.sampling import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(hash_bucket("doc_id", salt="bench") < 20_000)
+    train = docs.filter(hash_bucket("doc_id", salt="bench") >= 20_000)
+    return decontaminate_ratio(train, bench, "doc_id", "text",
+                               shingle_k=8, max_ratio=0.5)
+
+
 _BLOOM_M = 1 << 14  # small enough that false positives actually occur
 
 

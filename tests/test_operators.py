@@ -1629,6 +1629,41 @@ class TestBloomDecontaminate:
         assert rows and all(r.n_overlap >= 1 for r in rows)
 
 
+class TestDecontaminateRatio:
+    def test_graded_ratios_and_keep_decision(self, spark):
+        from delta_sharing_spark.operators.dedup import decontaminate_ratio
+
+        bench = spark.createDataFrame(
+            [(100, "a b c d e f g h i j")], "doc_id long, text string")
+        train = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"),   # exact copy -> ratio 1.0
+             (2, "a b c d e f x y z w"),   # 3 of 7 shingles hit -> 3/7
+             (3, "p q r s t")],            # disjoint, short -> 0.0
+            "doc_id long, text string")
+        rows = {r.doc_id: r for r in
+                decontaminate_ratio(train, bench, "doc_id", "text",
+                                    shingle_k=4, max_ratio=0.5).collect()}
+        assert set(rows) == {1, 2, 3}  # zero-overlap docs still emitted
+        assert rows[1].contamination == 1.0 and rows[1].keep == 0
+        assert rows[2].n_shingles == 7 and rows[2].n_hit == 3
+        assert rows[2].contamination == 3 / 7 and rows[2].keep == 1
+        assert rows[3].n_hit == 0 and rows[3].contamination == 0.0
+        assert rows[3].keep == 1
+
+    def test_bench_side_broadcasts(self, spark):
+        from delta_sharing_spark.io import read_table
+        from delta_sharing_spark.operators.dedup import decontaminate_ratio
+
+        docs = read_table(spark, "/root/testdata/sf0.001",
+                          "documents").limit(50)
+        out = decontaminate_ratio(docs, docs.filter("doc_id % 9 = 0"),
+                                  "doc_id", "text")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestNewOperatorPlanShapes:
     """Plan-quality gates for the continuation operators: the properties
     that matter at 100 TB, asserted on the optimized plan itself."""
