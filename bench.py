@@ -95,6 +95,9 @@ HEADLINE = [
     # round-11 addition (after the comparable prefix): nested-leaf typed
     # stats prune (dotted stats_parsed paths) through the same lazy plane
     "eng_prune_typed_nested",
+    # round-12 addition (after the comparable prefix): graded n-gram
+    # decontamination (collision-ratio rule, broadcast bench shingles)
+    "q_decontaminate_ratio",
 ]
 
 # queries that build a versioned-table fixture from the target SF's parquet

@@ -135,6 +135,12 @@ CHECKPOINT_ROW_GROUP_ROWS = 32_768
 # content-addressed sidecar parquets bucketed by a stable path hash —
 # bucket count = smallest power of two with <= this many files per bucket,
 # so a later checkpoint rewrites only buckets whose files changed
+# adds_for_paths materializes .files (memoized, O(small) memory) at or
+# below this manifest size instead of collecting the manifest plane —
+# same cutoff as table.PRUNE_DRIVER_MAX_FILES (a Spark job per request
+# costs ~0.4 s; a 10k-AddFile list costs ~10 MB once)
+ADDS_SMALL_MANIFEST_MAX = 10_000
+
 CHECKPOINT_POLICY_KEY = "delta.checkpointPolicy"
 SIDECAR_DIR = "_sidecars"
 LAST_CHECKPOINT = "_last_checkpoint"
@@ -2298,18 +2304,26 @@ class TableLog:
     def adds_for_paths(self, snapshot: Snapshot,
                        paths: list[str]) -> list[AddFile]:
         """The AddFile actions for ``paths`` (path-sorted) WITHOUT
-        materializing ``.files``: a lazy snapshot NEVER materializes here
-        (r12 — serving must not pin an O(files) AddFile dict for the
-        session). A selective prune fetches only the kept rows'
-        ``action_json`` via a broadcast semi-join against the manifest
-        plane — O(kept), not O(files), on a 5M-file table; an
-        unselective prune (the response is O(files) anyway) streams the
-        whole manifest once and filters driver-side — no broadcast of
-        millions of path strings, cost proportional to the response.
-        Already-materialized snapshots filter in memory (free)."""
+        materializing ``.files`` on a LARGE lazy snapshot (r12 — serving
+        must not pin an O(files) AddFile dict for the session). A
+        selective prune fetches only the kept rows' ``action_json`` via
+        a broadcast semi-join against the manifest plane — O(kept), not
+        O(files), on a 5M-file table; an unselective prune (the response
+        is O(files) anyway) streams the whole manifest once and filters
+        driver-side — no broadcast of millions of path strings, cost
+        proportional to the response.
+
+        Small manifests (<= ADDS_SMALL_MANIFEST_MAX, same cutoff as the
+        prune hybrid's PRUNE_DRIVER_MAX_FILES) materialize instead:
+        their AddFile list is O(small) memory, memoized on the Snapshot,
+        while re-collecting the manifest plane costs a full Spark job
+        (~0.4 s) per request — the lazy dance only pays above the
+        threshold. Already-materialized snapshots filter in memory
+        (free)."""
         kept = set(paths)
         hint = snapshot.num_files_hint or 0
-        if snapshot.files_materialized:
+        if (snapshot.files_materialized
+                or hint <= ADDS_SMALL_MANIFEST_MAX):
             return [a for a in snapshot.files if a.path in kept]
         if not paths:
             return []

@@ -82,6 +82,7 @@ class TestLazyServingPlane:
         # driver-loop threshold) — at/below the threshold the driver
         # loop materializes by design, which is O(response) there
         monkeypatch.setattr(Tmod, "PRUNE_DRIVER_MAX_FILES", -1)
+        monkeypatch.setattr(L, "ADDS_SMALL_MANIFEST_MAX", -1)
 
     def test_to_df_paths_stay_lazy(self, spark, env, monkeypatch):
         self._forbid(monkeypatch)
