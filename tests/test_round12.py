@@ -537,3 +537,117 @@ class TestRemoteFeatureMatrix:
         ch = load_table_changes_as_spark(url, spark=spark,
                                          starting_version=0)
         assert ch.count() >= 160
+
+
+class TestForkedMaterialize:
+    """_read_checkpoint_adds fans the parse out over forked row-group
+    workers above the threshold; the result must be exactly the serial
+    path's dict for both classic (multi-part) and v2 (sidecar)
+    checkpoints."""
+
+    @pytest.fixture(params=["classic", "v2"])
+    def cp_table(self, spark, tmp_path, request):
+        d = str(tmp_path / request.param)
+        log = TableLog(spark, d)
+        cfg = {"delta.checkpointInterval": "100"}
+        if request.param == "v2":
+            cfg["delta.checkpointPolicy"] = "v2"
+        df = spark.range(0, 3000).selectExpr(
+            "id", "cast(id % 9 as double) as v",
+            "cast(id % 5 as string) as cat")
+        log.create(df.repartition(6), partition_by=["cat"],
+                   configuration=cfg)
+        log.append(df.selectExpr("id + 10000 as id", "v", "cat"))
+        log.write_checkpoint()
+        return d
+
+    def test_fork_equals_serial(self, spark, cp_table, monkeypatch):
+        import delta_sharing_spark.plans.log as L
+
+        log = TableLog(spark, cp_table)
+        version = log.latest_version()
+        serial = log._read_checkpoint_adds(version)
+        assert len(serial) > 0
+
+        if not L._fork_pool_available():
+            pytest.skip("no fork start method on this platform")
+        monkeypatch.setattr(L, "CHECKPOINT_PARALLEL_MIN_FILES", 1)
+        forked = TableLog(spark, cp_table)._read_checkpoint_adds(version)
+        assert forked.keys() == serial.keys()
+        for p in serial:
+            assert forked[p] == serial[p]
+
+    def test_materialize_stays_off_serving_plane(self, spark, cp_table,
+                                                 monkeypatch):
+        # the fork threshold patch must not leak the parse onto the
+        # serving plane: with the production large-table shape forced
+        # (small-manifest hybrids off), serving stays lazy regardless
+        import delta_sharing_spark.plans.log as L
+        import delta_sharing_spark.table as Tmod
+
+        monkeypatch.setattr(L, "CHECKPOINT_PARALLEL_MIN_FILES", 1)
+        monkeypatch.setattr(L, "ADDS_SMALL_MANIFEST_MAX", -1)
+        monkeypatch.setattr(Tmod, "PRUNE_DRIVER_MAX_FILES", -1)
+        t = SharedTable(spark, cp_table)
+        snap = t.log.snapshot()
+        assert t.to_df().count() == 6000
+        assert not snap.files_materialized
+
+
+class TestFilesDfCacheInvalidation:
+    def test_files_df_survives_checkpoint_reinstall(self, spark, tmp_path):
+        """A checkpoint (re)install swaps the part files on disk; cached
+        files_df plans pinned to the old listing must be dropped, not
+        re-evaluated into FILE_NOT_EXIST (surfaced at 1M files by the
+        r12 non-destructive install)."""
+        import delta_sharing_spark.plans.log as L
+
+        d = str(tmp_path / "t")
+        log = TableLog(spark, d)
+        df = spark.range(0, 2000).selectExpr(
+            "id", "cast(id % 3 as string) as cat")
+        log.create(df.repartition(4), partition_by=["cat"],
+                   configuration={"delta.checkpointInterval": "100"})
+        log.write_checkpoint()
+        snap = log.snapshot()
+        n0 = log.files_df(snap).count()
+        # reinstall the checkpoint at the same version (maintenance
+        # rewrite) — multi-part path forced so the dir really swaps
+        old_parts = L.CHECKPOINT_PART_ROWS
+        try:
+            L.CHECKPOINT_PART_ROWS = 1
+            log.write_checkpoint()
+        finally:
+            L.CHECKPOINT_PART_ROWS = old_parts
+        assert log.files_df(log.snapshot()).count() == n0
+        # and the old cached plan is gone (fresh listing, no stale pin)
+        assert log.files_df(snap).count() == n0
+
+    def test_cross_instance_reinstall(self, spark, tmp_path):
+        """The reader and the rewriter are DIFFERENT TableLog
+        instances (server process vs maintenance job — the exact shape
+        that failed in the 1M scale bench): the reader's cached plan
+        must notice the on-disk swap via the checkpoint's identity, not
+        via any in-process signal."""
+        import delta_sharing_spark.plans.log as L
+
+        d = str(tmp_path / "t")
+        writer = TableLog(spark, d)
+        df = spark.range(0, 2000).selectExpr(
+            "id", "cast(id % 3 as string) as cat")
+        writer.create(df.repartition(4), partition_by=["cat"],
+                      configuration={"delta.checkpointInterval": "100"})
+        writer.write_checkpoint()
+
+        reader = TableLog(spark, d)
+        rsnap = reader.snapshot()
+        n0 = reader.files_df(rsnap).count()
+        old_parts = L.CHECKPOINT_PART_ROWS
+        try:
+            L.CHECKPOINT_PART_ROWS = 1  # force the multi-part dir swap
+            writer.write_checkpoint()
+        finally:
+            L.CHECKPOINT_PART_ROWS = old_parts
+        # reader's cache entry is now stale on disk; must rebuild, and
+        # the rebuilt plan must evaluate (not FILE_NOT_EXIST)
+        assert reader.files_df(rsnap).count() == n0
