@@ -39,8 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round's new queries; the full local sweep
 # (tools/check_correctness.py) remains the complete gate over all entries.
 _DRIVER_PRIORITY = [
-    # round-12 addition: first driver row
+    # round-12 additions: first driver rows
     "q_decontaminate_ratio",
+    "q_dedup_keep_best",
     # round-11 addition, re-fronted once for a second green row
     "eng_prune_typed_nested",
     # round-12 engine-plane reworks: re-front the queries whose serving

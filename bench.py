@@ -96,7 +96,11 @@ HEADLINE = [
     # stats prune (dotted stats_parsed paths) through the same lazy plane
     "eng_prune_typed_nested",
     # round-12 addition (after the comparable prefix): graded n-gram
-    # decontamination (collision-ratio rule, broadcast bench shingles)
+    # decontamination (collision-ratio rule, broadcast bench shingles).
+    # q_dedup_keep_best is oracle-gated but NOT benched: its exact
+    # all-pair Jaccard truth set is ~200 s at sf0.1, like
+    # q_dedup_clusters before it (the capped/LSH variants are the
+    # benched scale path for pair generation)
     "q_decontaminate_ratio",
 ]
 

@@ -300,6 +300,61 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM toks a JOIN toks b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, a.n_sh, b.n_sh
+      HAVING CAST(COUNT(*) AS DOUBLE) / (a.n_sh + b.n_sh - COUNT(*)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comps AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+      FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT c.doc_id, c.component,
+           CAST(CASE WHEN ROW_NUMBER() OVER (
+                  PARTITION BY c.component
+                  ORDER BY d.n_chars DESC, c.doc_id) = 1
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM comps c JOIN documents d ON c.doc_id = d.doc_id
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked survivorship: near-dup clusters (Jaccard >= 0.5 ->
+    connected components) keep their LONGEST member (n_chars, doc_id
+    tiebreak) instead of the min-id one — the decision real pipelines
+    want when duplicate copies differ in completeness. One window over
+    the component key on top of the clustering plan."""
+    from delta_sharing_spark.operators.dedup import (
+        dedup_clusters, dedup_keep_best)
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3,
+                                threshold=0.5)
+    comps = dedup_clusters(docs.select("doc_id"), pairs)
+    return dedup_keep_best(
+        comps, docs.select("doc_id", F.col("n_chars").alias("score")))
+
+
+@workload(
     "q_pipeline_corpus_prep",
     oracle=f"""
     WITH RECURSIVE quality AS (

@@ -1664,6 +1664,43 @@ class TestDecontaminateRatio:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestDedupKeepBest:
+    def test_best_member_kept_per_cluster(self, spark):
+        from delta_sharing_spark.operators.dedup import dedup_keep_best
+
+        members = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1),   # one 3-doc cluster
+             (7, 7)],                  # singleton
+            "doc_id long, component long")
+        scores = spark.createDataFrame(
+            [(1, 10.0), (2, 30.0), (3, 30.0), (7, 5.0)],
+            "doc_id long, score double")
+        rows = {r.doc_id: r for r in
+                dedup_keep_best(members, scores).collect()}
+        # highest score wins; score tie (2 vs 3) broken by lowest id
+        assert rows[2].keep == 1
+        assert rows[1].keep == 0 and rows[3].keep == 0
+        assert rows[7].keep == 1  # singletons keep themselves
+        assert sum(r.keep for r in rows.values()) == 2
+
+    def test_one_keeper_per_component(self, spark):
+        from delta_sharing_spark.io import read_table
+        from delta_sharing_spark.operators.dedup import (
+            dedup_clusters, dedup_keep_best, ngram_jaccard_pairs)
+        from pyspark.sql import functions as F
+
+        docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+        pairs = ngram_jaccard_pairs(docs, "doc_id", "text",
+                                    shingle_k=3, threshold=0.5)
+        comps = dedup_clusters(docs.select("doc_id"), pairs)
+        out = dedup_keep_best(
+            comps, docs.select("doc_id",
+                               F.col("n_chars").alias("score")))
+        per = out.groupBy("component").agg(
+            F.sum("keep").alias("kept")).collect()
+        assert per and all(r.kept == 1 for r in per)
+
+
 class TestNewOperatorPlanShapes:
     """Plan-quality gates for the continuation operators: the properties
     that matter at 100 TB, asserted on the optimized plan itself."""
