@@ -2270,7 +2270,11 @@ class TableLog:
         to the old part listing fails FILE_NOT_EXIST (surfaced at 1M
         files once the r12 non-destructive install really swapped the
         dir). One os.stat per hit is the price of cross-instance
-        correctness."""
+        correctness. Boundary: a swap in the MIDDLE of an in-flight
+        scan can still fail that scan (filesystem TOCTOU, same as any
+        engine whose input is replaced mid-read; Delta sidesteps it by
+        never rewriting a version's checkpoint) — the guarantee here is
+        that evaluations STARTING after an install are never stale."""
         cached = self._files_df_cache.get(snapshot.version)
         if cached is not None:
             df0, fp0, ident0 = cached

@@ -651,3 +651,38 @@ class TestFilesDfCacheInvalidation:
         # reader's cache entry is now stale on disk; must rebuild, and
         # the rebuilt plan must evaluate (not FILE_NOT_EXIST)
         assert reader.files_df(rsnap).count() == n0
+
+
+class TestServeDuringReinstall:
+    def test_serves_after_each_reinstall_cycle(self, spark, tmp_path):
+        """Repeated same-version checkpoint reinstalls (alternating
+        single-file and multi-part layouts, so file->dir and dir->file
+        swaps both happen) with a serve after every install: each serve
+        must see a valid checkpoint and the right count. A swap in the
+        MIDDLE of an in-flight scan can still raise (inherent
+        filesystem-TOCTOU — same as any engine scanning a file another
+        process replaces; Delta avoids it by never rewriting a
+        version's checkpoint); the guarantee under test is that serves
+        STARTING after an install are never stale and never pinned to
+        deleted parts."""
+        import delta_sharing_spark.plans.log as L
+
+        d = str(tmp_path / "t")
+        writer = TableLog(spark, d)
+        df = spark.range(0, 2000).selectExpr(
+            "id", "cast(id % 3 as string) as cat")
+        writer.create(df.repartition(4), partition_by=["cat"],
+                      configuration={"delta.checkpointInterval": "100"})
+        writer.write_checkpoint()
+        reader = TableLog(spark, d)
+        rsnap = reader.snapshot()
+        expect = reader.files_df(rsnap).count()
+
+        old = L.CHECKPOINT_PART_ROWS
+        try:
+            for i in range(6):
+                L.CHECKPOINT_PART_ROWS = 1 if i % 2 == 0 else old
+                writer.write_checkpoint()
+                assert reader.files_df(rsnap).count() == expect
+        finally:
+            L.CHECKPOINT_PART_ROWS = old
