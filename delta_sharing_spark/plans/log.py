@@ -131,10 +131,6 @@ CHECKPOINT_PART_ROWS = 100_000
 # parquet row-group bound for checkpoint/sidecar writers: a scan's real
 # parallelism is one task per row group (see write_checkpoint_files)
 CHECKPOINT_ROW_GROUP_ROWS = 32_768
-# V2 checkpoints (delta.checkpointPolicy=v2): file actions live in
-# content-addressed sidecar parquets bucketed by a stable path hash —
-# bucket count = smallest power of two with <= this many files per bucket,
-# so a later checkpoint rewrites only buckets whose files changed
 # adds_for_paths materializes .files (memoized, O(small) memory) at or
 # below this manifest size instead of collecting the manifest plane —
 # same cutoff as table.PRUNE_DRIVER_MAX_FILES (a Spark job per request
@@ -144,6 +140,10 @@ ADDS_SMALL_MANIFEST_MAX = 10_000
 CHECKPOINT_POLICY_KEY = "delta.checkpointPolicy"
 SIDECAR_DIR = "_sidecars"
 LAST_CHECKPOINT = "_last_checkpoint"
+# V2 checkpoints (delta.checkpointPolicy=v2): file actions live in
+# content-addressed sidecar parquets bucketed by a stable path hash —
+# bucket count = smallest power of two with <= this many files per bucket,
+# so a later checkpoint rewrites only buckets whose files changed
 SIDECAR_TARGET_ROWS = 100_000
 
 # Write a parquet checkpoint of the active snapshot every N commits (Delta's
@@ -461,8 +461,10 @@ def _parsed_struct_udfs(spec):
         rebuild.__annotations__ = {"js": pd.Series, "return": pd.DataFrame}
         return F.pandas_udf(rebuild, ret)
 
-    return (make(spec, val_struct), make(spec, val_struct),
-            make([(n, "i") for n, _ in spec], nc_struct))
+    # minValues and maxValues share one UDF object (same spec, same
+    # cast rules — the input column differs, not the function)
+    vals = make(spec, val_struct)
+    return (vals, vals, make([(n, "i") for n, _ in spec], nc_struct))
 
 
 def stat_min_max_cols(df: DataFrame, key: str) -> "tuple[Column, Column]":
@@ -603,7 +605,22 @@ def _install_checkpoint(tmp: str, final: str) -> bool:
     Returns True iff ``final`` holds a complete checkpoint afterwards —
     ours, or a concurrent writer's (checkpoint content is deterministic
     per version, so the winner's checkpoint is ours too). Callers must
-    only advance ``_last_checkpoint`` when this returns True."""
+    only advance ``_last_checkpoint`` when this returns True.
+
+    File-over-file installs use ``os.replace`` — truly atomic, no
+    instant without a checkpoint at ``final``. The rename-aside dance
+    is only for layouts involving a directory (rename cannot atomically
+    replace a non-empty dir); there a concurrent reader hitting the
+    gap between the two renames falls back to the log listing, exactly
+    like reading before the first checkpoint ever existed."""
+    if os.path.isfile(tmp) and (not os.path.exists(final)
+                                or os.path.isfile(final)):
+        try:
+            os.replace(tmp, final)
+            return True
+        except OSError:
+            _rm_any(tmp)
+            return os.path.exists(final)
     old = None
     try:
         if os.path.exists(final):
@@ -612,11 +629,17 @@ def _install_checkpoint(tmp: str, final: str) -> bool:
         os.rename(tmp, final)
     except OSError:
         _rm_any(tmp)
-        if old is not None and not os.path.exists(final):
-            try:
-                os.rename(old, final)  # restore the prior checkpoint
-            except OSError:
-                pass  # prior checkpoint still survives under old's name
+        if old is not None:
+            if not os.path.exists(final):
+                try:
+                    os.rename(old, final)  # restore the prior checkpoint
+                except OSError:
+                    pass  # prior checkpoint survives under old's name
+            else:
+                # lost a concurrent install race: final holds the
+                # winner's (equivalent) checkpoint — the aside copy is
+                # redundant; delete it or it leaks a full checkpoint
+                _rm_any(old)
         return os.path.exists(final)
     if old is not None:
         _rm_any(old)
@@ -1497,7 +1520,10 @@ class TableLog:
         if write_checkpoint_files(table, final):
             self._write_last_checkpoint(snap.version, final,
                                         len(snap.files), "classic")
-        return final
+            return final
+        raise OSError(
+            f"checkpoint install failed and no complete checkpoint "
+            f"exists at {final}")
 
     def _add_manifest_entry(self, add: AddFile):
         """One checkpoint/sidecar row for an add — see
@@ -1625,7 +1651,10 @@ class TableLog:
         if _install_checkpoint(tmp, final):
             n, _sz = self.file_counts(snap)
             self._write_last_checkpoint(snap.version, final, n, "classic")
-        return final
+            return final
+        raise OSError(
+            f"checkpoint install failed and no complete checkpoint "
+            f"exists at {final}")
 
     def _write_checkpoint_classic_parallel(self, snap: "Snapshot") -> str:
         """Classic checkpoint for LARGE manifests: add rows are built and
@@ -1670,10 +1699,13 @@ class TableLog:
         # onto a verified-complete install
         if _install_checkpoint(tmp, final):
             self._write_last_checkpoint(snap.version, final, n, "classic")
-        return final
+            return final
+        raise OSError(
+            f"checkpoint install failed and no complete checkpoint "
+            f"exists at {final}")
 
     def _write_checkpoint_v2_spark(self, snap: "Snapshot", nbuckets: int,
-                                   spec, spec_tag: str) -> "list | None":
+                                   spec, spec_tag: str) -> list:
         """V2 sidecars as a SPARK JOB: the manifest DataFrame groups by
         the same md5 path bucket as the driver path (verified expression
         parity), and each group's executor task computes the bucket's
@@ -1778,8 +1810,7 @@ class TableLog:
             # materialization)
             rows = self._write_checkpoint_v2_spark(snap, nbuckets, spec,
                                                    spec_tag)
-            if rows is not None:
-                results = [(r["rel"], r["size"], r["sha"]) for r in rows]
+            results = [(r["rel"], r["size"], r["sha"]) for r in rows]
         if results is None:
             buckets: list[list[AddFile]] = [[] for _ in range(nbuckets)]
             for add in snap.files:
@@ -1824,7 +1855,10 @@ class TableLog:
         final = os.path.join(self.log_path, _fmt_checkpoint(snap.version))
         if write_checkpoint_files(table, final):
             self._write_last_checkpoint(snap.version, final, n, "v2")
-        return final
+            return final
+        raise OSError(
+            f"checkpoint install failed and no complete checkpoint "
+            f"exists at {final}")
 
     @staticmethod
     def _sidecar_bytes_sha256(fp: str) -> str:
@@ -2287,6 +2321,21 @@ class TableLog:
             except OSError:
                 pass  # checkpoint replaced/removed — rebuild below
         cp_version = self._latest_checkpoint(at_or_before=snapshot.version)
+        # capture the checkpoint identity BEFORE building the plan: a
+        # reinstall landing between plan build and a post-build stat
+        # would cache the stale plan under the NEW identity — which then
+        # validates forever (a permanent wedge of the exact failure this
+        # check exists to prevent). A pre-build identity made stale by a
+        # concurrent reinstall simply fails the next hit's re-stat and
+        # rebuilds.
+        fp = ident = None
+        if cp_version is not None:
+            fp = os.path.join(self.log_path, _fmt_checkpoint(cp_version))
+            try:
+                st = os.stat(fp)
+                ident = (st.st_ino, st.st_mtime_ns)
+            except OSError:
+                fp = None  # raced away before the build — don't cache
         if cp_version is not None and cp_version == snapshot.version \
                 and not snapshot.tail_changed:
             df = self._checkpoint_manifest_df(cp_version)
@@ -2338,18 +2387,12 @@ class TableLog:
             df = self.meta_spark.createDataFrame(
                 self._manifest_rows(snapshot.files, spec),
                 self._manifest_schema(spec))
-        fp = ident = None
-        if cp_version is not None:
-            fp = os.path.join(self.log_path, _fmt_checkpoint(cp_version))
-            try:
-                st = os.stat(fp)
-                ident = (st.st_ino, st.st_mtime_ns)
-            except OSError:
-                # the checkpoint raced away between build and stat: the
-                # df DOES depend on it, so don't cache a plan we can't
-                # validate — the next call rebuilds against whatever is
-                # on disk then
-                return df
+        if cp_version is not None and fp is None:
+            # the checkpoint couldn't be fingerprinted before the build:
+            # the df DOES depend on it, so don't cache a plan we can't
+            # validate — the next call rebuilds against whatever is on
+            # disk then
+            return df
         self._files_df_cache[snapshot.version] = (df, fp, ident)
         while len(self._files_df_cache) > 8:
             self._files_df_cache.pop(next(iter(self._files_df_cache)))

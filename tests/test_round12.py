@@ -248,9 +248,11 @@ class TestNonDestructiveCheckpointInstall:
 
     def test_last_checkpoint_not_advanced_on_failed_install(
             self, spark, tmp_path, monkeypatch):
-        """write_checkpoint over a FRESH version with rename blocked: the
-        _last_checkpoint pointer must not advance onto a checkpoint that
-        was never installed."""
+        """write_checkpoint over a FRESH version with the install
+        renames blocked (both os.rename and the file-layout os.replace
+        fast path): the write must fail LOUDLY (r12: no silent
+        return-of-a-missing-path) and the _last_checkpoint pointer must
+        not advance onto a checkpoint that was never installed."""
         import delta_sharing_spark.plans.log as L
 
         d = str(tmp_path / "t")
@@ -263,6 +265,7 @@ class TestNonDestructiveCheckpointInstall:
         log.append(df.selectExpr("id + 1000 as id"))
         v = log.latest_version()
         real_rename = os.rename
+        real_replace = os.replace
         blocked = _fmt_checkpoint(v)
 
         def flaky(src, dst):
@@ -270,13 +273,47 @@ class TestNonDestructiveCheckpointInstall:
                 raise OSError("injected")
             return real_rename(src, dst)
 
+        def flaky_replace(src, dst):
+            if os.path.basename(dst) == blocked:
+                raise OSError("injected")
+            return real_replace(src, dst)
+
         monkeypatch.setattr(L.os, "rename", flaky)
-        log.write_checkpoint(version=v)
+        monkeypatch.setattr(L.os, "replace", flaky_replace)
+        with pytest.raises(OSError, match="checkpoint install failed"):
+            log.write_checkpoint(version=v)
         after = json.load(open(os.path.join(log.log_path,
                                             "_last_checkpoint")))
         assert after == before  # pointer still at the old checkpoint
         assert not os.path.exists(
             os.path.join(log.log_path, blocked))
+
+    def test_lost_race_aside_copy_cleaned(self, tmp_path, monkeypatch):
+        """Losing a concurrent install race (rename(tmp, final) fails
+        because the winner already installed) must not leak the
+        renamed-aside prior checkpoint — at a 10M-file manifest that is
+        a full multi-GB copy orphaned per lost race."""
+        import delta_sharing_spark.plans.log as L
+
+        final = str(tmp_path / "00000000000000000005.checkpoint.parquet")
+        os.makedirs(final)
+        open(os.path.join(final, "part-0.parquet"), "w").write("x")
+        tmp = final + ".abc.tmp"
+        os.makedirs(tmp)
+        open(os.path.join(tmp, "part-0.parquet"), "w").write("y")
+        real_rename = os.rename
+
+        def flaky(src, dst):
+            if src == tmp:
+                # concurrent winner lands at final, then our rename fails
+                os.makedirs(dst, exist_ok=True)
+                raise OSError("lost race")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(L.os, "rename", flaky)
+        assert L._install_checkpoint(tmp, final) is True
+        leftovers = [p for p in os.listdir(tmp_path) if ".old." in p]
+        assert not leftovers, leftovers
 
     def test_file_layout_over_dir_layout_swap(self, tmp_path):
         """A single-FILE checkpoint installing over a pre-existing
