@@ -33,13 +33,18 @@ def _spread(df: DataFrame) -> DataFrame:
 
 def _word_shingles(text_col: str, k: int) -> F.Column:
     """Distinct word k-gram shingles of a whitespace-tokenized text column."""
+    # split() is bound ONCE as a lambda variable: lambda bodies are
+    # interpreted with no subexpression elimination, so an inline
+    # slice(split(text), i, k) re-splits the document per position —
+    # O(len²) per doc (same fix as operators/scoring._bigrams)
     return F.array_distinct(
         F.expr(
             f"""
-            transform(
-              sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)),
-              i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k}))
-            )
+            element_at(transform(array(split({text_col}, ' ')), __w ->
+              transform(
+                sequence(1, greatest(size(__w) - {k - 1}, 1)),
+                i -> concat_ws(' ', slice(__w, i, {k}))
+              )), 1)
             """
         )
     )

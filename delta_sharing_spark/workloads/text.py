@@ -863,17 +863,16 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str, *,
     step = size - overlap
     return df.select(
         F.col(id_col),
+        # split() bound once as a lambda variable (operators/scoring._bigrams):
+        # inline slice(split(text), …) re-splits the document per window
         F.expr(f"""
-        explode(transform(
-          sequence(0, greatest(size(split({text_col}, ' '))
-                               - {overlap} - 1, 0),
-                   {step}),
-          s -> struct(
-            CAST(s DIV {step} AS LONG) AS chunk_id,
-            array_join(slice(split({text_col}, ' '), s + 1, {size}), ' ')
-              AS chunk_text,
-            size(slice(split({text_col}, ' '), s + 1, {size}))
-              AS n_tokens)))
+        explode(element_at(transform(array(split({text_col}, ' ')), __w ->
+          transform(
+            sequence(0, greatest(size(__w) - {overlap} - 1, 0), {step}),
+            s -> struct(
+              CAST(s DIV {step} AS LONG) AS chunk_id,
+              array_join(slice(__w, s + 1, {size}), ' ') AS chunk_text,
+              size(slice(__w, s + 1, {size})) AS n_tokens))), 1))
         """).alias("c"),
     ).select(id_col, "c.chunk_id", "c.chunk_text",
              F.col("c.n_tokens").cast("long").alias("n_tokens"))

@@ -1,0 +1,44 @@
+"""Dump .explain('formatted') for headline queries into plans/r12/.
+
+Usage: python tools/capture_plans.py <suffix: before|after> [query ...]
+Defaults to every bench.HEADLINE query at $SPARK_GRAFT_SF_DIR.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:] or bench.HEADLINE
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", "r12")
+    os.makedirs(out_dir, exist_ok=True)
+
+    from delta_sharing_spark import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="dss_plans")
+    qs = entry_mod.queries()
+    for name in names:
+        try:
+            df = qs[name](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+        except Exception as exc:  # noqa: BLE001
+            plan = f"EXPLAIN FAILED: {exc!r}\n"
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"[plans] {name} -> {path}", file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()
