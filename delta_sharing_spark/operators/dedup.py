@@ -894,26 +894,39 @@ def _dup_gram_islands(df: DataFrame, id_col: str, text_col: str,
         .select(id_col, "__pos",
                 F.expr(f"substring(__t, __pos + 1, {k})").alias("__gram"))
     )
+    from pyspark.sql import Window
+
     if min_docs == 2:
-        # "≥2 distinct docs" ≡ min(id) != max(id): a plain min/max
-        # aggregate partial-aggregates map-side with NO distinct
-        # expansion — one narrow shuffle instead of two
-        dup_grams = (
-            grams.groupBy("__gram")
-            .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        # "≥2 distinct docs" ≡ min(id) != max(id) over the gram's rows,
+        # computed as whole-partition WINDOW aggregates after ONE shuffle
+        # on the gram key. The previous shape (aggregate to dup grams +
+        # join grams back) evaluated the gram explode TWICE — the two
+        # subtrees' pushed filters differ just enough that ReusedExchange
+        # never fires — and paid a second pass over the corpus text
+        # (measured 2.5 s -> 1.35 s at sf0.1, identical rows). Skew note:
+        # a boilerplate gram lands its rows in one window partition, but
+        # the join shape co-located the same rows on one task too (AQE
+        # skew-split does not apply to a broadcast probe side), and the
+        # window buffers/spills linearly — no quadratic emission either
+        # way; the output itself is O(positions of duplicated grams).
+        wg = Window.partitionBy("__gram")
+        hits = (
+            grams
+            .withColumn("__lo", F.min(id_col).over(wg))
+            .withColumn("__hi", F.max(id_col).over(wg))
             .filter(F.col("__lo") != F.col("__hi"))
-            .select("__gram")
+            .select(id_col, "__pos")
         )
     else:
+        # window functions cannot express an exact countDistinct: keep
+        # the aggregate + join shape for the general min_docs case
         dup_grams = (
             grams.groupBy("__gram")
             .agg(F.countDistinct(id_col).alias("__df"))
             .filter(F.col("__df") >= min_docs)
             .select("__gram")
         )
-    hits = grams.join(dup_grams, "__gram").select(id_col, "__pos")
-
-    from pyspark.sql import Window
+        hits = grams.join(dup_grams, "__gram").select(id_col, "__pos")
 
     w = Window.partitionBy(id_col).orderBy("__pos")
     prev_end = F.max(F.col("__pos") + k).over(
@@ -1168,12 +1181,17 @@ def duplicate_spans_exact(df: DataFrame, id_col: str, text_col: str,
         prints = prints.join(keep, "fp")
 
     if method == "grams":
-        dup_fps = (prints.groupBy("fp")
-                   .agg(F.min(id_col).alias("__lo"),
-                        F.max(id_col).alias("__hi"))
-                   .filter(F.col("__lo") != F.col("__hi"))
-                   .select("fp"))
-        involved = prints.join(dup_fps, "fp").select(id_col).distinct()
+        # whole-partition window aggregates after one shuffle on fp: the
+        # aggregate + self-join shape re-ran the winnow mapInPandas pass
+        # per branch (same double-evaluation as _dup_gram_islands)
+        from pyspark.sql import Window
+
+        wf = Window.partitionBy("fp")
+        involved = (prints
+                    .withColumn("__lo", F.min(id_col).over(wf))
+                    .withColumn("__hi", F.max(id_col).over(wf))
+                    .filter(F.col("__lo") != F.col("__hi"))
+                    .select(id_col).distinct())
         return duplicate_spans(docs.join(involved, id_col), id_col,
                                text_col, k=min_len, min_docs=2, stride=1)
     if method != "sam":
