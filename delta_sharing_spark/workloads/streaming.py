@@ -43,7 +43,7 @@ def _drain(spark: SparkSession, path: str, options: dict[str, str]) -> tuple[Dat
         reader.load()
         .writeStream.format("memory")
         .queryName(name)
-        .trigger(processingTime="0 milliseconds")
+        .trigger(processingTime="250 milliseconds")
         .start()
     )
     q.processAllAvailable()
@@ -233,7 +233,7 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (stream_dedup(stream, ["event_id", "event_type"])
          .writeStream.format("memory").queryName(name)
          .outputMode("append")
-         .trigger(processingTime="0 milliseconds").start())
+         .trigger(processingTime="250 milliseconds").start())
     q.processAllAvailable()
     q.stop()
     return spark.table(name).agg(
@@ -285,7 +285,7 @@ def stream_sessionize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
                              gap="30 minutes", watermark="0 seconds")
     q = (sess.writeStream.format("memory").queryName(name)
          .outputMode("append")
-         .trigger(processingTime="0 milliseconds").start())
+         .trigger(processingTime="250 milliseconds").start())
     q.processAllAvailable()
     q.stop()
     return (
