@@ -418,7 +418,15 @@ def simhash_near_pairs(fingerprints: DataFrame, id_col: str,
             ])
         ).alias("bk"),
     ).select(id_col, *[f"fp_{c}" for c in range(n_chunks)],
-             "bk.band_idx", "bk.h")
+             "bk.band_idx", "bk.h") \
+        .localCheckpoint(eager=True)
+    # materialized ONCE (same rationale as minhash_lsh_candidates above):
+    # the self-join consumes these rows twice — one side streamed, one side
+    # broadcast — and exchange reuse cannot fire across a shuffle/broadcast
+    # pair, so without this the whole fingerprint pipeline (token explode +
+    # md5 + the 64-sum aggregate) runs once PER SIDE (plan-verified: two
+    # Generate+HashAggregate chains). The bucket rows are the O(docs x
+    # bands) persistable index, exactly what minhash checkpoints.
     if max_bucket is not None:
         keep = (buckets.groupBy("band_idx", "h")
                 .agg(F.count("*").alias("bdf"))

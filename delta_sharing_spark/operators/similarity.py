@@ -344,7 +344,13 @@ def near_dup_pairs_blocked(df: DataFrame, id_col: str = "vec_id",
             yield pd.DataFrame(out, columns=["bid", "dim", "ids", "mat"])
 
     blocks = rows.mapInPandas(
-        pack, schema="bid long, dim int, ids binary, mat binary")
+        pack, schema="bid long, dim int, ids binary, mat binary") \
+        .localCheckpoint(eager=True)
+    # materialized ONCE (minhash_lsh_candidates rationale): the replicating
+    # self-join consumes the packed blocks on BOTH sides, and exchange
+    # reuse cannot fire across the broadcast/stream pair, so without this
+    # the whole collect_list + pack pipeline runs once per side. The packed
+    # blocks are exactly the bytes the join replicates anyway.
     pairs = (
         blocks.alias("a")
         .join(blocks.alias("b"), F.col("a.bid") <= F.col("b.bid"))
