@@ -113,19 +113,20 @@ def audio_features(df: DataFrame, media_col: str, id_col: str) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
-            for _i, r in pdf.iterrows():
+            # zip over raw numpy object arrays — iterrows() materializes a
+            # Series per row (multimodal.decode_media idiom)
+            for rid, raw in zip(pdf[id_col].values, pdf[media_col].values):
                 try:
-                    raw = r[media_col]
                     if raw is None:
                         raise ValueError("null media value")
                     rate, ch, samples = decode_audio(bytes(raw))
                     a = np.asarray(samples, dtype=np.int64)
                     prod = a[:-1] * a[1:] if len(a) > 1 else np.array([])
-                    rows.append((int(r[id_col]), rate, ch, len(a),
+                    rows.append((int(rid), rate, ch, len(a),
                                  int(np.abs(a).sum()), int((a * a).sum()),
                                  int((prod < 0).sum()), None))
                 except (ValueError, struct.error) as e:
-                    rows.append((int(r[id_col]), None, None, None,
+                    rows.append((int(rid), None, None, None,
                                  None, None, None, str(e)))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               _AUDIO_SCHEMA.fields])
@@ -168,10 +169,11 @@ def audio_windows(df: DataFrame, media_col: str, id_col: str,
         cols = [f.name for f in _WINDOW_SCHEMA.fields]
         for pdf in batches:
             rows = []
-            for _i, r in pdf.iterrows():
-                rid = int(r[id_col])
+            # zip over raw numpy object arrays — iterrows() materializes a
+            # Series per row (multimodal.decode_media idiom)
+            for rid, raw in zip(pdf[id_col].values, pdf[media_col].values):
+                rid = int(rid)
                 try:
-                    raw = r[media_col]
                     if raw is None:
                         raise ValueError("null media value")
                     _rate, _ch, samples = decode_audio(bytes(raw))
@@ -342,9 +344,10 @@ def audio_energy_fingerprint(df: DataFrame, media_col: str, id_col: str,
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
-            for _i, r in pdf.iterrows():
+            # zip over raw numpy object arrays — iterrows() materializes a
+            # Series per row (multimodal.decode_media idiom)
+            for rid, raw in zip(pdf[id_col].values, pdf[media_col].values):
                 try:
-                    raw = r[media_col]
                     if raw is None:
                         raise ValueError("null media value")
                     _rate, _ch, samples = decode_audio(bytes(raw))
@@ -358,9 +361,9 @@ def audio_energy_fingerprint(df: DataFrame, media_col: str, id_col: str,
                     for i in range(bits):
                         if en[i + 1] > en[i]:
                             fp |= 1 << i
-                    rows.append((int(r[id_col]), fp, None))
+                    rows.append((int(rid), fp, None))
                 except (ValueError, struct.error) as e:
-                    rows.append((int(r[id_col]), None, str(e)))
+                    rows.append((int(rid), None, str(e)))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               _FP_SCHEMA.fields])
 

@@ -216,11 +216,12 @@ def video_frame_features(df: DataFrame, media_col: str,
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
-            for _i, r in pdf.iterrows():
-                doc = int(r[id_col])
+            # zip over raw numpy object arrays — iterrows() materializes a
+            # Series per row (multimodal.decode_media idiom)
+            for rid, raw in zip(pdf[id_col].values, pdf[media_col].values):
+                doc = int(rid)
                 mark = len(rows)
                 try:
-                    raw = r[media_col]
                     if raw is None:
                         raise VideoError("null media value")
                     w, h, frames = decode_avi_mjpeg(bytes(raw))
