@@ -44,25 +44,42 @@ class FlacError(ValueError):
     pass
 
 
+def _make_crc_table(poly: int, width: int) -> "list[int]":
+    """256-entry CRC table for an MSB-first CRC of the given width —
+    byte-at-a-time evaluation of the same polynomial division the bitwise
+    loop performs (identical values, ~8x fewer Python operations; the
+    frame CRC is ~12% of decode time on the audio corpus)."""
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top \
+                else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc_table(0x07, 8)
+_CRC16_TABLE = _make_crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame headers."""
     crc = 0
+    table = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
-                else (crc << 1) & 0xFF
+        crc = table[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frames."""
     crc = 0
+    table = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFFFF) ^ table[(crc >> 8) ^ b]
     return crc
 
 
@@ -114,15 +131,23 @@ class _BitReader:
         self.bit = 0            # bit offset within current byte (MSB first)
 
     def read(self, nbits: int) -> int:
-        v = 0
-        for _ in range(nbits):
-            if self.pos >= len(self.data):
-                raise FlacError("bitstream exhausted")
-            v = (v << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
+        # byte-chunk extraction (one int.from_bytes + shift) instead of a
+        # per-bit loop: the bit reader was the decoder's dominant cost
+        # (~60% of decode on the audio corpus). Identical values and the
+        # same exhaustion condition — a read is legal iff its LAST bit
+        # exists, exactly when the per-bit loop would have succeeded.
+        if nbits <= 0:
+            return 0
+        data = self.data
+        start = (self.pos << 3) + self.bit
+        end = start + nbits
+        if end > (len(data) << 3):
+            raise FlacError("bitstream exhausted")
+        last = (end + 7) >> 3
+        chunk = int.from_bytes(data[self.pos:last], "big")
+        v = (chunk >> ((last << 3) - end)) & ((1 << nbits) - 1)
+        self.pos = end >> 3
+        self.bit = end & 7
         return v
 
     def read_signed(self, nbits: int) -> int:
@@ -130,10 +155,30 @@ class _BitReader:
         return v - (1 << nbits) if v >= (1 << (nbits - 1)) else v
 
     def read_unary(self) -> int:
+        # byte-scanning unary: skip whole zero bytes, then locate the
+        # terminating 1-bit via bit_length — same values, same
+        # "bitstream exhausted" behavior as reading bit by bit.
+        data = self.data
+        n = len(data)
+        pos, bit = self.pos, self.bit
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            if pos >= n:
+                raise FlacError("bitstream exhausted")
+            cur = data[pos] & (0xFF >> bit)
+            if cur:
+                i1 = 8 - cur.bit_length()
+                q += i1 - bit
+                if i1 == 7:
+                    pos += 1
+                    bit = 0
+                else:
+                    bit = i1 + 1
+                self.pos, self.bit = pos, bit
+                return q
+            q += 8 - bit
+            pos += 1
+            bit = 0
 
     def align(self) -> None:
         if self.bit:
@@ -398,10 +443,10 @@ def decode_flac(content: bytes) -> "tuple[int, int, list[int]]":
 
     if decoded != n_total:
         raise FlacError("decoded sample count disagrees with STREAMINFO")
-    interleaved: "list[int]" = []
-    for i in range(n_total):
-        for c in range(channels):
-            interleaved.append(chans[c][i])
+    if channels == 1:
+        interleaved: "list[int]" = chans[0]
+    else:
+        interleaved = [s for tup in zip(*chans) for s in tup]
     if md5 != b"\x00" * 16:
         pcm = struct.pack(f"<{len(interleaved)}h", *interleaved)
         if hashlib.md5(pcm).digest() != md5:
@@ -426,11 +471,31 @@ def _decode_subframe(br: _BitReader, bs: int, bps: int) -> "list[int]":
         order = stype & 0x07
         warm = [br.read_signed(eff) for _ in range(order)]
         res = _decode_residuals(br, bs, order)
-        coeffs = _FIXED_COEFFS[order]
+        # per-order unrolled recurrences (identical integer math to the
+        # generic coefficient fold, without a genexpr-sum per sample)
         out = list(warm)
-        for i in range(order, bs):
-            pred = sum(c * out[i - j - 1] for j, c in enumerate(coeffs))
-            out.append(pred + res[i - order])
+        if order == 0:
+            out = list(res)
+        elif order == 1:
+            a = out[-1]
+            for r in res:
+                a += r
+                out.append(a)
+        elif order == 2:
+            b, a = out[-2], out[-1]
+            for r in res:
+                a, b = 2 * a - b + r, a
+                out.append(a)
+        elif order == 3:
+            c, b, a = out[-3], out[-2], out[-1]
+            for r in res:
+                a, b, c = 3 * a - 3 * b + c + r, a, b
+                out.append(a)
+        else:                            # order 4
+            d, c, b, a = out[-4], out[-3], out[-2], out[-1]
+            for r in res:
+                a, b, c, d = 4 * a - 6 * b + 4 * c - d + r, a, b, c
+                out.append(a)
     elif stype >= 0b100000:
         raise FlacError("LPC subframes outside the supported subset")
     else:
@@ -461,10 +526,17 @@ def _decode_residuals(br: _BitReader, bs: int, order: int) -> "list[int]":
             res.extend(br.read_signed(raw) if raw else 0
                        for _ in range(n))
         else:
-            for _ in range(n):
-                q = br.read_unary()
-                u = (q << k) | (br.read(k) if k else 0)
-                res.append(_unfold(u))
+            read_unary = br.read_unary
+            read = br.read
+            append = res.append
+            if k:
+                for _ in range(n):
+                    u = (read_unary() << k) | read(k)
+                    append((u >> 1) if (u & 1) == 0 else -((u + 1) >> 1))
+            else:
+                for _ in range(n):
+                    u = read_unary()
+                    append((u >> 1) if (u & 1) == 0 else -((u + 1) >> 1))
     return res
 
 

@@ -145,3 +145,160 @@ class TestTokenizationLambdaBinding:
         assert out[0] == ["a b c", "b c d"]
         assert out[1] == ["a b"]   # shorter than k -> whole text once
         assert out[2] == [""]
+
+
+class TestFlacDecoderInternals:
+    """Pin the rewritten FLAC decode internals (byte-chunk bit reader,
+    table-driven CRCs, unrolled FIXED predictors) against straightforward
+    per-bit / per-coefficient references — the rewrite must be value-
+    identical bit for bit, including the exhaustion error."""
+
+    def test_bitreader_equivalence_randomized(self):
+        import random
+
+        from delta_sharing_spark.operators.flac import FlacError, _BitReader
+
+        class Ref:
+            """The pre-rewrite per-bit reader semantics."""
+
+            def __init__(self, data):
+                self.data, self.pos, self.bit = data, 0, 0
+
+            def read(self, nbits):
+                v = 0
+                for _ in range(nbits):
+                    if self.pos >= len(self.data):
+                        raise FlacError("bitstream exhausted")
+                    v = (v << 1) | ((self.data[self.pos]
+                                     >> (7 - self.bit)) & 1)
+                    self.bit += 1
+                    if self.bit == 8:
+                        self.bit = 0
+                        self.pos += 1
+                return v
+
+            def read_unary(self):
+                q = 0
+                while self.read(1) == 0:
+                    q += 1
+                return q
+
+            def align(self):
+                if self.bit:
+                    self.bit = 0
+                    self.pos += 1
+
+        def run(reader, op, n):
+            try:
+                if op == 0:
+                    return ("v", reader.read(n))
+                if op == 1:
+                    return ("v", reader.read_unary())
+                return ("v", reader.align())
+            except FlacError:
+                return ("raise", None)
+
+        rng = random.Random(7)
+        for trial in range(300):
+            data = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(1, 40)))
+            new, ref = _BitReader(data), Ref(data)
+            for _ in range(rng.randrange(1, 30)):
+                op = rng.randrange(3)
+                n = rng.randrange(0, 37)
+                want = run(ref, op, n)
+                got = run(new, op, n)
+                assert got == want, (data.hex(), op, n)
+                if got[0] == "raise":
+                    # decode aborts on FlacError; post-raise reader state
+                    # is unobservable and intentionally unspecified
+                    break
+                assert (new.pos, new.bit) == (ref.pos, ref.bit)
+
+    def test_bitreader_exhaustion_parity(self):
+        import pytest as _pytest
+
+        from delta_sharing_spark.operators.flac import FlacError, _BitReader
+
+        # a read is legal iff its last bit exists
+        br = _BitReader(b"\xab")
+        assert br.read(8) == 0xAB
+        assert br.read(0) == 0
+        with _pytest.raises(FlacError, match="exhausted"):
+            br.read(1)
+        br = _BitReader(b"\xab")
+        with _pytest.raises(FlacError, match="exhausted"):
+            br.read(9)
+        # unary running off the end of all-zero bytes raises too
+        br = _BitReader(b"\x00\x00")
+        with _pytest.raises(FlacError, match="exhausted"):
+            br.read_unary()
+
+    def test_crc_tables_match_bitwise_definition(self):
+        import random
+
+        from delta_sharing_spark.operators.flac import _crc8, _crc16
+
+        def crc8_ref(data):
+            crc = 0
+            for b in data:
+                crc ^= b
+                for _ in range(8):
+                    crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                        else (crc << 1) & 0xFF
+            return crc
+
+        def crc16_ref(data):
+            crc = 0
+            for b in data:
+                crc ^= b << 8
+                for _ in range(8):
+                    crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                        else (crc << 1) & 0xFFFF
+            return crc
+
+        rng = random.Random(21)
+        for _ in range(50):
+            data = bytes(rng.randrange(256)
+                         for _ in range(rng.randrange(0, 200)))
+            assert _crc8(data) == crc8_ref(data)
+            assert _crc16(data) == crc16_ref(data)
+
+    def test_fixed_predictor_orders_0_to_4(self):
+        """Hand-built FIXED subframes for EVERY order (the encoder only
+        emits 0-2, so 3-4 have no round-trip coverage) decode to the
+        generic coefficient-fold reference."""
+        import random
+
+        from delta_sharing_spark.operators.flac import (
+            _FIXED_COEFFS, _BitReader, _BitWriter, _decode_subframe, _fold)
+
+        rng = random.Random(5)
+        bs = 32
+        for order in range(5):
+            warm = [rng.randint(-3000, 3000) for _ in range(order)]
+            res = [rng.randint(-40, 40) for _ in range(bs - order)]
+            k = 5
+            bw = _BitWriter()
+            bw.write(0, 1)                      # subframe pad bit
+            bw.write(0b001000 | order, 6)       # FIXED, this order
+            bw.write(0, 1)                      # no wasted bits
+            for v in warm:
+                bw.write(v & 0xFFFF, 16)
+            bw.write(0, 2)                      # residual method 0
+            bw.write(0, 4)                      # partition order 0
+            bw.write(k, 4)                      # rice parameter
+            for r in res:
+                u = _fold(r)
+                bw.write_unary(u >> k)
+                bw.write(u & ((1 << k) - 1), k)
+            bw.align()
+            got = _decode_subframe(_BitReader(bytes(bw.out)), bs, 16)
+            # reference: the generic per-sample coefficient fold
+            want = list(warm)
+            coeffs = _FIXED_COEFFS[order]
+            for i in range(order, bs):
+                pred = sum(c * want[i - j - 1]
+                           for j, c in enumerate(coeffs))
+                want.append(pred + res[i - order])
+            assert got == want, f"order {order}"
