@@ -862,6 +862,101 @@ def dedup_segments(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+# Skew guard for the one-shuffle duplicated-key window shape (guide §2.5):
+# a boilerplate key (one gram/fingerprint in a large fraction of the
+# corpus) lands ALL its rows in a single window partition, which no AQE
+# mechanism can split (skew-join splitting only applies to shuffled joins,
+# never to windows). Keys whose estimated row volume exceeds a task's
+# practical buffer capacity — detected on a deterministic
+# 1-in-_HOT_SAMPLE_MOD document sample — are instead routed through a
+# skew-free two-phase aggregate (map-side partials collapse per-partition,
+# so no reduce task ever sees the full key) + a broadcast-digest attach;
+# everything else keeps the single-shuffle window. BOTH routes are exact,
+# so the hot classification only affects performance, never results — a
+# missed hot key just keeps the old window cost, a false positive pays the
+# (cheap) digest route. Detection itself costs one sampled job (~1/64 of a
+# corpus pass), so it only engages above _HOT_GUARD_MIN_INPUT_BYTES of
+# scan input: below that no key can exceed a task's capacity at all
+# (locally the guard is free; at cluster scale it is always on).
+_HOT_SAMPLE_MOD = 64        # deterministic 1-in-64 doc sample (xxhash64)
+_HOT_MIN_TOTAL_ROWS = 4_000_000   # ~200 MB window buffer: one task's limit
+_HOT_MAX_KEYS = 256         # digest bound: any subset of hot keys is exact
+_HOT_GUARD_MIN_INPUT_BYTES = 1 << 30
+
+
+def _input_bytes(df: DataFrame) -> int:
+    """Total size of the scan files feeding ``df`` (0 when unknown, e.g.
+    in-memory test frames) — listing only, no Spark job."""
+    import os as _os
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — unknown source: guard stays off
+        return 0
+    total = 0
+    for f in files:
+        try:
+            total += _os.path.getsize(f.removeprefix("file:"))
+        except OSError:
+            pass
+    return total
+
+
+def _dup_key_rows(rows: DataFrame, sample_rows: "DataFrame | None",
+                  key_col: str, id_col: str,
+                  keep_cols: list[str]) -> DataFrame:
+    """Rows of ``rows`` whose ``key_col`` group spans >= 2 distinct
+    ``id_col`` values, projected to ``keep_cols`` — the shared skew-hybrid
+    core of :func:`_dup_gram_islands` (min_docs=2) and
+    :func:`duplicate_spans_exact` (involved set). ``sample_rows`` must be
+    the same (id, key) expression over a deterministic document sample
+    (or None when the input is too small for any key to be hot); it is
+    aggregated and collected once (an eager, sample-sized job) to detect
+    boilerplate keys before the window shape commits to them."""
+    from pyspark.sql import Window
+
+    hot: list = []
+    if sample_rows is not None:
+        hot = [r[0] for r in (
+            sample_rows.groupBy(key_col)
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") >= _HOT_MIN_TOTAL_ROWS // _HOT_SAMPLE_MOD)
+            .orderBy(F.desc("__n"), key_col)
+            .limit(_HOT_MAX_KEYS)
+            .collect())]
+    wg = Window.partitionBy(key_col)
+    base = rows
+    hot_df = None
+    if hot:
+        spark = rows.sparkSession
+        hot_df = spark.createDataFrame(
+            [(h,) for h in hot], rows.select(key_col).schema)
+        base = rows.join(F.broadcast(hot_df), key_col, "left_anti")
+    cold_hits = (
+        base
+        .withColumn("__lo", F.min(id_col).over(wg))
+        .withColumn("__hi", F.max(id_col).over(wg))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select(*keep_cols)
+    )
+    if hot_df is None:
+        return cold_hits
+    # hot route: rows of hot keys re-derive from source (the subtree runs
+    # twice for this subset), but every shuffle is skew-free — the groupBy
+    # collapses map-side to one row per (key, map partition) and the
+    # attach is a broadcast hash join, so no task ever holds a full hot key
+    hot_rows = rows.join(F.broadcast(hot_df), key_col)
+    hot_digest = (
+        hot_rows.groupBy(key_col)
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select(key_col)
+    )
+    hot_hits = (hot_rows.join(F.broadcast(hot_digest), key_col)
+                .select(*keep_cols))
+    return cold_hits.unionByName(hot_hits)
+
+
 def _dup_gram_islands(df: DataFrame, id_col: str, text_col: str,
                       k: int = 20, min_docs: int = 2,
                       stride: int = 1) -> DataFrame:
@@ -890,18 +985,24 @@ def _dup_gram_islands(df: DataFrame, id_col: str, text_col: str,
     # the array-of-strings allocation dominates, the substring does not)
     # (stride=1 fidelity without the per-position shuffle: see
     # duplicate_spans_exact below)
-    grams = (
-        _spread(df.filter(F.length(text_col) >= k))
-        .select(
-            F.col(id_col),
-            F.col(text_col).alias("__t"),
-            F.explode(
-                F.sequence(F.lit(0), F.length(text_col) - k, F.lit(stride))
-            ).alias("__pos"),
+    docs = df.filter(F.length(text_col) >= k)
+
+    def gram_rows(src: DataFrame) -> DataFrame:
+        return (
+            _spread(src)
+            .select(
+                F.col(id_col),
+                F.col(text_col).alias("__t"),
+                F.explode(
+                    F.sequence(F.lit(0), F.length(text_col) - k,
+                               F.lit(stride))
+                ).alias("__pos"),
+            )
+            .select(id_col, "__pos",
+                    F.expr(f"substring(__t, __pos + 1, {k})").alias("__gram"))
         )
-        .select(id_col, "__pos",
-                F.expr(f"substring(__t, __pos + 1, {k})").alias("__gram"))
-    )
+
+    grams = gram_rows(docs)
     from pyspark.sql import Window
 
     if min_docs == 2:
@@ -911,20 +1012,18 @@ def _dup_gram_islands(df: DataFrame, id_col: str, text_col: str,
         # join grams back) evaluated the gram explode TWICE — the two
         # subtrees' pushed filters differ just enough that ReusedExchange
         # never fires — and paid a second pass over the corpus text
-        # (measured 2.5 s -> 1.35 s at sf0.1, identical rows). Skew note:
-        # a boilerplate gram lands its rows in one window partition, but
-        # the join shape co-located the same rows on one task too (AQE
-        # skew-split does not apply to a broadcast probe side), and the
-        # window buffers/spills linearly — no quadratic emission either
-        # way; the output itself is O(positions of duplicated grams).
-        wg = Window.partitionBy("__gram")
-        hits = (
-            grams
-            .withColumn("__lo", F.min(id_col).over(wg))
-            .withColumn("__hi", F.max(id_col).over(wg))
-            .filter(F.col("__lo") != F.col("__hi"))
-            .select(id_col, "__pos")
-        )
+        # (measured 2.5 s -> 1.35 s at sf0.1, identical rows). Boilerplate
+        # grams detected on a deterministic doc sample bypass the window
+        # through a skew-free aggregate + broadcast digest (_dup_key_rows),
+        # so a gram in half the corpus never pins one window task; the
+        # sampled detection only engages above the input-size guard.
+        sample = None
+        if _input_bytes(df) >= _HOT_GUARD_MIN_INPUT_BYTES:
+            sample = gram_rows(docs.filter(
+                F.pmod(F.xxhash64(F.col(id_col)),
+                       F.lit(_HOT_SAMPLE_MOD)) == 0))
+        hits = _dup_key_rows(grams, sample, "__gram", id_col,
+                             [id_col, "__pos"])
     else:
         # window functions cannot express an exact countDistinct: keep
         # the aggregate + join shape for the general min_docs case
@@ -1179,8 +1278,11 @@ def duplicate_spans_exact(df: DataFrame, id_col: str, text_col: str,
                     fps.append(v)
             yield pd.DataFrame({id_col: ids, "fp": fps})
 
-    prints = _spread(docs).mapInPandas(
-        winnow, schema=f"{id_col} long, fp long")
+    def winnow_rows(src: DataFrame) -> DataFrame:
+        return _spread(src).mapInPandas(
+            winnow, schema=f"{id_col} long, fp long")
+
+    prints = winnow_rows(docs)
     if max_doc_freq is not None:
         keep = (prints.groupBy("fp")
                 .agg(F.count("*").alias("fdf"))
@@ -1191,15 +1293,18 @@ def duplicate_spans_exact(df: DataFrame, id_col: str, text_col: str,
     if method == "grams":
         # whole-partition window aggregates after one shuffle on fp: the
         # aggregate + self-join shape re-ran the winnow mapInPandas pass
-        # per branch (same double-evaluation as _dup_gram_islands)
-        from pyspark.sql import Window
-
-        wf = Window.partitionBy("fp")
-        involved = (prints
-                    .withColumn("__lo", F.min(id_col).over(wf))
-                    .withColumn("__hi", F.max(id_col).over(wf))
-                    .filter(F.col("__lo") != F.col("__hi"))
-                    .select(id_col).distinct())
+        # per branch (same double-evaluation as _dup_gram_islands).
+        # Boilerplate fingerprints detected on a deterministic doc sample
+        # bypass the window through the skew-free aggregate + broadcast
+        # digest route (_dup_key_rows) — same hybrid as the gram islands,
+        # behind the same input-size guard.
+        sample = None
+        if _input_bytes(df) >= _HOT_GUARD_MIN_INPUT_BYTES:
+            sample = winnow_rows(docs.filter(
+                F.pmod(F.xxhash64(F.col(id_col)),
+                       F.lit(_HOT_SAMPLE_MOD)) == 0))
+        involved = _dup_key_rows(prints, sample, "fp", id_col,
+                                 [id_col]).distinct()
         return duplicate_spans(docs.join(involved, id_col), id_col,
                                text_col, k=min_len, min_docs=2, stride=1)
     if method != "sam":

@@ -12,10 +12,10 @@ vocabulary-sized data — which is exactly what makes this trainable over a
   ``groupBy(word).count()`` shuffle -> the word-frequency table
   (millions of rows at web scale, not billions);
 - each of the k merge iterations runs on that table alone: adjacent-pair
-  explode (vocab-sized), one aggregation, a 1-row deterministic argmax
-  (count DESC, pair ASC), then a literal string-replace applying the
-  merge. The table is localCheckpoint'd per iteration so lineage stays
-  flat across k rounds.
+  counts, a deterministic argmax (count DESC, pair ASC), then a literal
+  string-replace applying the merge. Because the table is vocabulary-
+  sized, the loop runs driver-side over the collected digest (see
+  ``bpe_train``) — k merge rounds cost zero Spark jobs.
 
 Words are held as SPACE-SEPARATED symbol strings (``"h e l l o"``);
 applying a merge is ``replace(' '||w||' ', ' l r ', ' lr ')`` — the
@@ -70,33 +70,43 @@ def _adjacent_pairs(freqs: DataFrame) -> DataFrame:
 def bpe_train(df: DataFrame, text_col: str,
               num_merges: int = 6) -> DataFrame:
     """Learn the first ``num_merges`` BPE merges; returns a DataFrame
-    ``(rank, left, right, merged, pair_n)`` in merge order. Each
-    iteration's argmax is a deterministic 1-row collect (ties broken by
-    pair text) — the same iterative-fit shape as ``kmeans_fit``; the
-    word table is re-materialized per round so the plan never stacks
-    k string-replaces of lineage."""
+    ``(rank, left, right, merged, pair_n)`` in merge order.
+
+    The corpus-scale aggregation (the word-frequency table) runs in
+    Spark; the merge loop runs on the collected digest driver-side. The
+    digest is VOCABULARY-sized (distinct words — millions of rows at web
+    scale, not billions; the same order of bytes a broadcast join would
+    ship), so the collect is bounded regardless of corpus size, and the
+    k merge iterations cost zero Spark jobs instead of 2k blocking jobs
+    (per-round argmax collect + localCheckpoint re-materialization) the
+    distributed loop paid. Each round replays the exact distributed
+    semantics: weighted adjacent-pair counts, argmax by (count DESC,
+    pair ASC — code-point order, matching Spark's binary string sort),
+    and the non-overlapping left-to-right ``replace`` merge (Python
+    ``str.replace`` and Spark's ``replace`` share that scan; ``a a a``
+    under merge (a,a) becomes ``aa a`` in both)."""
     spark: SparkSession = df.sparkSession
-    freqs = word_symbol_freqs(df, text_col).localCheckpoint(eager=True)
+    rows = word_symbol_freqs(df, text_col).collect()
+    words: list[list[str]] = [r["sym"].split(" ") for r in rows]
+    ns: list[int] = [r["n"] for r in rows]
     merges: list[tuple] = []
     for rank in range(num_merges):
-        best = (
-            _adjacent_pairs(freqs)
-            .orderBy(F.desc("pair_n"), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not best:
+        counts: dict[tuple[str, str], int] = {}
+        for parts, n in zip(words, ns):
+            for pair in zip(parts, parts[1:]):
+                counts[pair] = counts.get(pair, 0) + n
+        if not counts:
             break  # vocabulary fully merged
-        left, right, pair_n = best[0]["l"], best[0]["r"], best[0]["pair_n"]
+        (left, right), pair_n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
         merges.append((rank, left, right, left + right, int(pair_n)))
-        freqs = freqs.select(
-            F.trim(F.replace(
-                F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
-                F.lit(f" {left} {right} "),
-                F.lit(f" {left}{right} "),
-            )).alias("sym"),
-            "n",
-        ).localCheckpoint(eager=True)
+        pat = f" {left} {right} "
+        rep = f" {left}{right} "
+        words = [
+            (f" {' '.join(parts)} ".replace(pat, rep)).strip(" ").split(" ")
+            if left in parts else parts
+            for parts in words
+        ]
     return spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, merged STRING,"
         " pair_n BIGINT")

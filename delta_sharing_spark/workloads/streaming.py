@@ -28,6 +28,53 @@ from delta_sharing_spark.workloads import workload
 from delta_sharing_spark.workloads.engine import _events_cdf, _lineitem_shared
 
 
+def _stateful_shuffle_partitions(spark: SparkSession, path: str) -> int:
+    """Shuffle/state partition count for STATEFUL drains, sized to the
+    stream's input volume (~32 MB per partition, guide §2.2) and capped
+    by the session's parallelism.
+
+    Why this cannot be left to AQE or a constant: adaptive execution is
+    disabled for streaming plans, and a stateful operator pins its state
+    partition count at the first micro-batch — after which EVERY batch
+    pays a per-partition state-store open/flush/commit regardless of how
+    little state each holds. Measured at sf0.1 (1.9 MB fixture): the
+    session-window drain's task-summed state commit time was 30-80 s per
+    batch at 32 partitions vs 2-5 s at the sized count; interleaved
+    same-session A/B on the whole drain: 0.57-0.63x. At cluster scale
+    the cap (defaultParallelism) keeps full width, so this is strictly
+    the guide's "fewer, larger partitions" rule applied where AQE cannot
+    reach. Partitioning does not affect drained values (oracle-gated)."""
+    import os as _os
+
+    total = 0
+    data_dir = TableLog(None, path).data_path
+    for root, _dirs, files in _os.walk(data_dir):
+        for fn in files:
+            try:
+                total += _os.path.getsize(_os.path.join(root, fn))
+            except OSError:
+                pass
+    cores = spark.sparkContext.defaultParallelism
+    return max(2, min(cores, -(-total // (32 << 20))))
+
+
+class _shuffle_partitions_for_start:
+    """Scoped shuffle-partition override for a streaming query start: the
+    stateful operator captures the value at its first micro-batch, so the
+    override must span start()..processAllAvailable(); restoring after the
+    drain keeps the session's batch queries on the session default."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self._spark, self._n = spark, n
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set("spark.sql.shuffle.partitions", str(self._n))
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+
+
 def _drain(spark: SparkSession, path: str, options: dict[str, str]) -> tuple[DataFrame, int]:
     """Run a deltashare stream to completion; return (result_df, n_batches)."""
     spark.dataSource.register(SharedTableDataSource)
@@ -43,6 +90,12 @@ def _drain(spark: SparkSession, path: str, options: dict[str, str]) -> tuple[Dat
         reader.load()
         .writeStream.format("memory")
         .queryName(name)
+        # 250 ms floor RE-MEASURED r13 (interleaved, same session): a 0 ms
+        # trigger hot-polls the Python DSv2 planner between batches and
+        # measured 7-15x SLOWER on all three benched drains (71.6 vs
+        # 10.4 s sessionize; 18.7 vs 4.8 s remote appends; 37.2 vs 4.4 s
+        # remote cdf), and under the poll flood one run died with "Python
+        # worker failed to connect back". The floor stands — closed.
         .trigger(processingTime="250 milliseconds")
         .start()
     )
@@ -230,12 +283,14 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (spark.readStream.format("deltashare").option("path", path)
               .option("startingVersion", "0")
               .option("maxFilesPerTrigger", "4").load())
-    q = (stream_dedup(stream, ["event_id", "event_type"])
-         .writeStream.format("memory").queryName(name)
-         .outputMode("append")
-         .trigger(processingTime="250 milliseconds").start())
-    q.processAllAvailable()
-    q.stop()
+    with _shuffle_partitions_for_start(
+            spark, _stateful_shuffle_partitions(spark, path)):
+        q = (stream_dedup(stream, ["event_id", "event_type"])
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .trigger(processingTime="250 milliseconds").start())
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).agg(
         F.count("*").alias("n_rows"),
         F.sum("event_id").cast("long").alias("sum_id"),
@@ -283,11 +338,13 @@ def stream_sessionize_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
               .option("startingVersion", "0").load())
     sess = stream_sessionize(stream, "user_id", "ts",
                              gap="30 minutes", watermark="0 seconds")
-    q = (sess.writeStream.format("memory").queryName(name)
-         .outputMode("append")
-         .trigger(processingTime="250 milliseconds").start())
-    q.processAllAvailable()
-    q.stop()
+    with _shuffle_partitions_for_start(
+            spark, _stateful_shuffle_partitions(spark, path)):
+        q = (sess.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .trigger(processingTime="250 milliseconds").start())
+        q.processAllAvailable()
+        q.stop()
     return (
         spark.table(name)
         .filter(F.col("first_event") <= F.lit(cutoff))

@@ -233,32 +233,74 @@ def winnow_minima(t: str) -> list[int]:
 
 
 def _winnow_fingerprint_batches(batches):
-    """numpy winnowing over Arrow batches: per document, codepoint array ->
-    vectorized shingle hashes (sliding_window_view @ powers mod M) ->
-    window minima -> md5 digest of the sorted distinct minima.
+    """numpy winnowing over Arrow batches, vectorized ACROSS the batch:
+    all documents' codepoints concatenate into one array (each doc
+    followed by K zero codepoints — exactly the per-doc zero padding of
+    ``winnow_minima``, so per-position hashes are identical by
+    construction), then ONE sliding_window_view matmul mod M computes
+    every document's shingle hashes and ONE global sliding-window min
+    yields all window minima; only the final sorted-distinct digest + md5
+    stays per-document. r13: the previous per-document loop paid ~20
+    small-array numpy calls per ~300-char doc — batch-level vectorization
+    measured 3.2x on the map function (0.82 -> 0.26 s for 5000
+    corpus-like docs, warm) with bit-identical outputs
+    (tests/test_opt_r13.py::TestWinnowBatchVectorization pins equality
+    against ``winnow_minima`` incl. short/empty docs).
 
     Measured at sf0.1 (5000 docs, avg 297 chars): the pure-expression
     variants are interpreted-lambda-bound — md5-per-shingle 2.06 s, of
     which only ~0.4 s is md5 (substr+lambda floor is 1.64 s), and adding
     window minima as expressions costs 3.2 s. This Arrow path computes the
-    strictly stronger winnowing fingerprint in ~0.3 s. Scale shape: one
-    MapInPandas over the scan — map-only, no shuffle, parallelism =
-    partition count."""
+    strictly stronger winnowing fingerprint in ~0.3 s (pre-r13 loop).
+    Scale shape: one MapInPandas over the scan — map-only, no shuffle,
+    parallelism = partition count."""
     import hashlib
 
+    import numpy as np
     import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
 
+    K, W, M = WINNOW_K, WINNOW_W, WINNOW_M
+    pows = np.array(_WINNOW_POW, dtype=np.int64)
     for pdf in batches:
         ids, md5s, fps = [], [], []
-        for id_, t in zip(pdf["doc_id"].values, pdf["t"].values):
+        vals = pdf["t"].values
+        texts = [t for t in vals if t is not None]
+        if texts:
+            # doc0 + K zeros + doc1 + K zeros + ... ("\0" == codepoint 0)
+            big = ("\0" * K).join(texts) + "\0" * K
+            cp = np.frombuffer(big.encode("utf-32-le"),
+                               dtype=np.uint32).astype(np.int64)
+            # cp*pow < 2^52 and the K-term sum < 2^56: exact in int64, and
+            # (sum of products) % M == (sum of products % M) % M — the
+            # per-term mod of the reference is algebraically redundant.
+            # Chunked matmul bounds the strided-view buffer to ~32 MB
+            # regardless of Arrow batch size.
+            sw = sliding_window_view(cp, K)
+            h_all = np.empty(len(sw), dtype=np.int64)
+            step = 1 << 18
+            for a in range(0, len(sw), step):
+                h_all[a:a + step] = (sw[a:a + step] @ pows) % M
+            if len(h_all) >= W:
+                mins_all = sliding_window_view(h_all, W).min(axis=1)
+            else:  # single short doc in the batch
+                mins_all = h_all
+        start = 0  # char offset of the current doc inside `big`
+        for id_, t in zip(pdf["doc_id"].values, vals):
             ids.append(id_)
             if t is None:
                 md5s.append(None)
                 fps.append(None)
                 continue
             md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
-            digest = ",".join(str(v) for v in winnow_minima(t))
+            n = max(len(t) - (K - 1), 1)
+            if n >= W:
+                minima = mins_all[start:start + n - W + 1]
+            else:
+                minima = h_all[start:start + n].min(keepdims=True)
+            digest = ",".join(str(v) for v in sorted(set(minima.tolist())))
             fps.append(hashlib.md5(digest.encode()).hexdigest())
+            start += len(t) + K
         yield pd.DataFrame(
             {"doc_id": ids, "content_md5": md5s, "winnow_fp": fps})
 

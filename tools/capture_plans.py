@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for headline queries into plans/r12/.
+"""Dump .explain('formatted') for headline queries into plans/$SPARK_GRAFT_PLANS_ROUND (default r13)/.
 
 Usage: python tools/capture_plans.py <suffix: before|after> [query ...]
 Defaults to every bench.HEADLINE query at $SPARK_GRAFT_SF_DIR.
@@ -19,7 +19,7 @@ def main() -> None:
     names = sys.argv[2:] or bench.HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
 
     from delta_sharing_spark import get_spark
