@@ -154,40 +154,136 @@ def kmeans_assign(vectors: DataFrame, cents: DataFrame,
     )
 
 
+def _lloyd_partials_fn(cells: list, cents: list, dim: int):
+    """mapInArrow factory: one corpus pass computing, per task, the exact
+    integer update partials of a Lloyd iteration against the broadcast
+    centroid digest. Emits (cell, dim, s_fx, n) — k*dim rows per task.
+
+    Bit-exactness contract (what makes the fused iteration value-identical
+    to the kmeans_assign + ivf_centroids plan it replaces):
+    - distances accumulate dim-by-dim with vectorized float64 ops in the
+      SAME order as the left-to-right SQL fold (acc + (x-y)*(x-y) per
+      dimension) — IEEE doubles are deterministic, so ties fall exactly
+      where the fold put them;
+    - assignment = argmin over cells sorted ascending — numpy's
+      first-minimum matches the (dist, cell) row_number tie-break;
+    - update sums are FLOOR(x*1e12) integers accumulated in Python ints —
+      exact and order-independent, like the DECIMAL(38,0) SUM.
+    """
+    import numpy as np
+
+    C = np.array(cents, dtype=np.float64)          # (k, dim), cell-sorted
+
+    def fn(batches):
+        import pyarrow as pa
+
+        S = {}                                     # cell -> int sums [dim]
+        N = {}                                     # cell -> row count
+        for batch in batches:
+            col = batch.column(0)
+            if col.null_count:
+                raise ValueError(
+                    "kmeans_fit: null embedding rows are not supported "
+                    "(the dense-vector contract)")
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            X = flat.astype(np.float64).reshape(-1, dim)
+            acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+            for j in range(dim):
+                d = X[:, j:j + 1] - C[None, :, j]
+                acc += d * d
+            amin = acc.argmin(axis=1)
+            X_int = np.floor(X * 1e12).astype(np.int64)
+            for ci in range(C.shape[0]):
+                mask = amin == ci
+                cnt = int(mask.sum())
+                if not cnt:
+                    continue
+                cell = cells[ci]
+                part = X_int[mask].sum(axis=0)     # batch-bounded: exact
+                if cell in S:
+                    prev = S[cell]
+                    S[cell] = [p + int(v) for p, v in zip(prev, part)]
+                    N[cell] += cnt
+                else:
+                    S[cell] = [int(v) for v in part]
+                    N[cell] = cnt
+        out_cell, out_dim, out_s, out_n = [], [], [], []
+        for cell, sums in S.items():
+            for j, s in enumerate(sums):
+                out_cell.append(cell)
+                out_dim.append(j)
+                out_s.append(s)
+                out_n.append(N[cell])
+        import decimal
+
+        yield pa.record_batch(
+            [pa.array(out_cell, pa.int32()),
+             pa.array(out_dim, pa.int32()),
+             pa.array([decimal.Decimal(s) for s in out_s],
+                      pa.decimal128(38, 0)),
+             pa.array(out_n, pa.int64())],
+            names=["cell", "dim", "s_fx", "n"])
+
+    return fn
+
+
 def kmeans_fit(candidates: DataFrame, k: int = 8, iters: int = 2,
                id_col: str = "vec_id", vec_col: str = "embedding",
                dim: int = 64) -> DataFrame:
-    """Lloyd's k-means as pure DataFrame ops — the learned-centroid coarse
-    quantizer for IVF. Deterministic end to end: init = the k vectors with
-    the smallest ids (cast to double), assignment = per-row double fold with
-    id-ordered tie-break, update = the exact fixed-point per-(cell, dim)
-    sums of :func:`ivf_centroids`. Per iteration: one broadcast of k
-    centroids + one shuffle for the sums — no driver-side vectors, no
-    collect of row data. Returns (cell, centroid, n); cells that lose all
-    members drop out (standard Lloyd behavior, replayed identically by the
-    SQL oracle)."""
-    # bounded window: it runs over the k-row TakeOrdered result (k ≤ a few
-    # hundred centroids), never the candidate corpus — not a global sort.
-    # The partition key is a constant-per-row expression that survives
-    # constant folding (lit(0) gets folded away, reintroducing WindowExec's
-    # "No Partition Defined" warning), so the bench tail stays clean and a
-    # REAL unpartitioned-window regression elsewhere stays visible.
-    init_w = Window.partitionBy(
-        F.pmod(F.col(id_col), F.lit(1))).orderBy(id_col)
-    cents = (
+    """Lloyd's k-means — the learned-centroid coarse quantizer for IVF.
+    Deterministic end to end: init = the k vectors with the smallest ids
+    (cast to double), assignment = per-row squared-L2 with (dist, cell)
+    tie-break, update = the exact fixed-point per-(cell, dim) integer
+    sums of :func:`ivf_centroids`. Returns (cell, centroid, n); cells
+    that lose all members drop out (standard Lloyd behavior, replayed
+    identically by the SQL oracle).
+
+    r13 fused iteration: the centroid set is a k-row DIGEST, so each
+    Lloyd round runs as ONE corpus pass — a mapInArrow computing
+    vectorized assignments + per-task integer update partials against
+    the broadcast digest (`_lloyd_partials_fn`) — followed by a tiny
+    (k*dim rows/task) aggregation collected to the driver, which rebuilds
+    the centroids exactly as the SQL plan did (CAST(decimal AS
+    DOUBLE)/1e12/n). The previous all-DataFrame iteration planned a
+    crossJoin(k) + row_number window (an Exchange + sort of k*N rows) +
+    posexplode + two more Exchanges PER ROUND; the fused round shuffles
+    k*dim*tasks digest rows instead of ever shuffling the corpus, and
+    values are bit-identical (argmin/tie-break/update order replicated —
+    see `_lloyd_partials_fn`'s contract and
+    tests/test_opt_r13.py::TestFusedLloyd)."""
+    spark = candidates.sparkSession
+    seed_rows = sorted(
         candidates.orderBy(id_col).limit(k)
-        .withColumn("cell", F.row_number().over(init_w) - 1)
-        .select(
-            "cell",
-            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
-            .alias("centroid"),
-            F.lit(1).cast("long").alias("n"),
-        )
-    )
+        .select(id_col, vec_col).collect(),
+        key=lambda r: r[0])
+    cells = list(range(len(seed_rows)))
+    cents = [[float(x) for x in r[1]] for r in seed_rows]
+    ns = [1] * len(seed_rows)
+    if not cents:
+        iters = 0  # empty input: no cells, nothing to iterate
     for _ in range(iters):
-        assigned = kmeans_assign(candidates, cents, id_col, vec_col)
-        cents = ivf_centroids(assigned, "cell", id_col, vec_col, dim)
-    return cents
+        parts = candidates.select(vec_col).mapInArrow(
+            _lloyd_partials_fn(cells, cents, dim),
+            schema="cell int, dim int, s_fx decimal(38,0), n bigint")
+        rows = (parts.groupBy("cell", "dim")
+                .agg(F.expr("SUM(s_fx)").alias("s_fx"),
+                     F.sum("n").alias("n"))
+                .collect())
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = \
+                (int(r["s_fx"]), int(r["n"]))
+        cells, cents, ns = [], [], []
+        for cell in sorted(by_cell):
+            dims = by_cell[cell]
+            # CAST(s_fx AS DOUBLE) / 1e12 / n, in the plan's exact op order
+            cents.append([float(dims[j][0]) / 1e12 / dims[j][1]
+                          for j in range(dim)])
+            cells.append(cell)
+            ns.append(dims[0][1])
+    return spark.createDataFrame(
+        [(c, v, n) for c, v, n in zip(cells, cents, ns)],
+        "cell int, centroid array<double>, n long")
 
 
 def ivf_topk(queries: DataFrame, candidates: DataFrame, cell_col: str,
@@ -474,44 +570,130 @@ def _pq_assign(subs: DataFrame, books: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _pq_partials_fn(books: dict, m: int, sub_len: int):
+    """mapInArrow factory for the fused PQ Lloyd round: one corpus pass
+    emits, per task, the exact integer update partials for ALL m
+    subspaces — (sub, cell, i, s_fx, n) rows. Same bit-exactness
+    contract as `_lloyd_partials_fn` (dim-ordered float64 accumulation ==
+    the `_pq_assign` fold; argmin over cell-ascending == the (dist, cell)
+    tie-break; FLOOR(x*1e12) Python-int sums == the DECIMAL(38,0) SUM)."""
+    import numpy as np
+
+    Cs = {s: np.array(cents, dtype=np.float64)
+          for s, (_cells, cents) in books.items()}
+
+    def fn(batches):
+        import decimal
+
+        import pyarrow as pa
+
+        S: dict = {}
+        N: dict = {}
+        for batch in batches:
+            col = batch.column(0)
+            if col.null_count:
+                raise ValueError(
+                    "pq_fit: null embedding rows are not supported "
+                    "(the dense-vector contract)")
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            X = flat.astype(np.float64).reshape(-1, m * sub_len)
+            for s in range(m):
+                Xs = X[:, s * sub_len:(s + 1) * sub_len]
+                C = Cs[s]
+                acc = np.zeros((Xs.shape[0], C.shape[0]), dtype=np.float64)
+                for j in range(sub_len):
+                    d = Xs[:, j:j + 1] - C[None, :, j]
+                    acc += d * d
+                amin = acc.argmin(axis=1)
+                Xs_int = np.floor(Xs * 1e12).astype(np.int64)
+                cells_s = books[s][0]
+                for ci in range(C.shape[0]):
+                    mask = amin == ci
+                    cnt = int(mask.sum())
+                    if not cnt:
+                        continue
+                    key = (s, cells_s[ci])
+                    part = Xs_int[mask].sum(axis=0)
+                    if key in S:
+                        S[key] = [p + int(v) for p, v in zip(S[key], part)]
+                        N[key] += cnt
+                    else:
+                        S[key] = [int(v) for v in part]
+                        N[key] = cnt
+        out = {"sub": [], "cell": [], "i": [], "s_fx": [], "n": []}
+        for (s, cell), sums in S.items():
+            for i, v in enumerate(sums):
+                out["sub"].append(s)
+                out["cell"].append(cell)
+                out["i"].append(i)
+                out["s_fx"].append(decimal.Decimal(v))
+                out["n"].append(N[(s, cell)])
+        yield pa.record_batch(
+            [pa.array(out["sub"], pa.int32()),
+             pa.array(out["cell"], pa.int32()),
+             pa.array(out["i"], pa.int32()),
+             pa.array(out["s_fx"], pa.decimal128(38, 0)),
+             pa.array(out["n"], pa.int64())],
+            names=["sub", "cell", "i", "s_fx", "n"])
+
+    return fn
+
+
 def pq_fit(candidates: DataFrame, id_col: str = "vec_id",
            vec_col: str = "embedding", m: int = 4, k: int = 8,
            iters: int = 1, dim: int = 64) -> DataFrame:
     """Per-subspace codebooks (sub, cell, centroid, n) via Lloyd
     iterations — the same deterministic, SQL-replayable recipe as
-    :func:`kmeans_fit`, run for all m subspaces IN ONE PLAN (the subspace
-    id rides as a key through assignment and update, so fitting m
-    codebooks costs the same number of shuffles as fitting one)."""
+    :func:`kmeans_fit`, for all m subspaces in one pass.
+
+    r13 fused iteration (same rationale as ``kmeans_fit``): the m*k
+    codebook is a digest, so each round is ONE corpus pass (mapInArrow
+    partials for all subspaces at once) + a tiny aggregation collected
+    and rebuilt driver-side — replacing the per-round broadcast join +
+    (id, sub) row_number window + re-join + posexplode + two-Exchange
+    aggregate. Values bit-identical (`_pq_partials_fn` contract;
+    tests/test_opt_r13.py::TestFusedLloyd)."""
+    spark = candidates.sparkSession
     sub_len = dim // m
-    subs = _subvectors(candidates, id_col, vec_col, m, dim)
-    init_w = Window.partitionBy("sub").orderBy(id_col)
-    seed_ids = candidates.orderBy(id_col).limit(k).select(id_col)
-    books = (
-        subs.join(F.broadcast(seed_ids), id_col)
-        .withColumn("cell", F.row_number().over(init_w) - 1)
-        .select("sub", "cell", F.col("sv").alias("centroid"),
-                F.lit(1).cast("long").alias("n"))
-    )
+    seed_rows = sorted(
+        candidates.orderBy(id_col).limit(k)
+        .select(id_col, vec_col).collect(),
+        key=lambda r: r[0])
+    books = {
+        s: (list(range(len(seed_rows))),
+            [[float(x) for x in r[1][s * sub_len:(s + 1) * sub_len]]
+             for r in seed_rows])
+        for s in range(m)
+    }
+    ns = {s: [1] * len(seed_rows) for s in range(m)}
+    if not seed_rows:
+        iters = 0
     for _ in range(iters):
-        assigned = _pq_assign(subs, books, id_col)
-        ex = subs.join(assigned, [id_col, "sub"]) \
-            .select("sub", F.col("code").alias("cell"),
-                    F.posexplode("sv").alias("i", "x"))
-        sums = ex.groupBy("sub", "cell", "i").agg(
-            F.expr("SUM(CAST(FLOOR(x * 1e12) AS DECIMAL(38,0)))")
-            .alias("s_fx"),
-            F.count("*").alias("n"),
-        )
-        books = (
-            sums.select("sub", "cell", "i",
-                        F.expr("CAST(s_fx AS DOUBLE) / 1e12 / n")
-                        .alias("v"), "n")
-            .groupBy("sub", "cell")
-            .agg(F.expr("transform(array_sort(collect_list(struct(i, v))),"
-                        " s -> s.v)").alias("centroid"),
-                 F.max("n").alias("n"))
-        )
-    return books
+        parts = candidates.select(vec_col).mapInArrow(
+            _pq_partials_fn(books, m, sub_len),
+            schema="sub int, cell int, i int, s_fx decimal(38,0), n bigint")
+        rows = (parts.groupBy("sub", "cell", "i")
+                .agg(F.expr("SUM(s_fx)").alias("s_fx"),
+                     F.sum("n").alias("n"))
+                .collect())
+        agg: dict = {}
+        for r in rows:
+            agg.setdefault((int(r["sub"]), int(r["cell"])), {})[
+                int(r["i"])] = (int(r["s_fx"]), int(r["n"]))
+        books = {s: ([], []) for s in range(m)}
+        ns = {s: [] for s in range(m)}
+        for (s, cell) in sorted(agg):
+            dims = agg[(s, cell)]
+            books[s][0].append(cell)
+            # CAST(s_fx AS DOUBLE) / 1e12 / n — the plan's exact op order
+            books[s][1].append([float(dims[i][0]) / 1e12 / dims[i][1]
+                                for i in range(sub_len)])
+            ns[s].append(dims[0][1])
+    return spark.createDataFrame(
+        [(s, cell, cent, n)
+         for s in sorted(books)
+         for cell, cent, n in zip(books[s][0], books[s][1], ns[s])],
+        "sub int, cell int, centroid array<double>, n long")
 
 
 def pq_encode(vectors: DataFrame, books: DataFrame,

@@ -209,6 +209,101 @@ class TestBpeDriverFit:
         assert bpe_train(df1, "text", num_merges=3).count() == 0
 
 
+class TestFusedLloyd:
+    """The fused (mapInArrow partials + driver rebuild) kmeans_fit /
+    pq_fit must be bit-identical to the all-DataFrame Lloyd loops they
+    replaced — including assignment tie-breaks and dropped empty cells."""
+
+    def _vectors(self, spark, dim=8, n=40):
+        rows = []
+        for i in range(n):
+            # includes exact ties: vectors 2i and 2i+1 coincide for i<5
+            base = [(((i // 2 if i < 10 else i) * 7 + j * 3) % 13) / 4.0
+                    for j in range(dim)]
+            rows.append((i, base))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"), dim
+
+    def _old_kmeans(self, candidates, k, iters, dim):
+        from delta_sharing_spark.operators.similarity import (
+            ivf_centroids,
+            kmeans_assign,
+        )
+
+        init_w = Window.partitionBy(
+            F.pmod(F.col("vec_id"), F.lit(1))).orderBy("vec_id")
+        cents = (
+            candidates.orderBy("vec_id").limit(k)
+            .withColumn("cell", F.row_number().over(init_w) - 1)
+            .select("cell",
+                    F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                    .alias("centroid"),
+                    F.lit(1).cast("long").alias("n")))
+        for _ in range(iters):
+            assigned = kmeans_assign(candidates, cents, "vec_id",
+                                     "embedding")
+            cents = ivf_centroids(assigned, "cell", "vec_id", "embedding",
+                                  dim)
+        return cents
+
+    def test_kmeans_fit_matches_dataframe_loop(self, spark):
+        from delta_sharing_spark.operators.similarity import kmeans_fit
+
+        df, dim = self._vectors(spark)
+        for iters in (1, 3):
+            old = {r["cell"]: (r["centroid"], r["n"]) for r in
+                   self._old_kmeans(df, 4, iters, dim).collect()}
+            new = {r["cell"]: (r["centroid"], r["n"]) for r in
+                   kmeans_fit(df, k=4, iters=iters, dim=dim).collect()}
+            assert new == old
+
+    def test_pq_fit_matches_dataframe_loop(self, spark):
+        from delta_sharing_spark.operators.similarity import (
+            _pq_assign,
+            _subvectors,
+            pq_fit,
+        )
+
+        df, dim = self._vectors(spark)
+        m, k = 2, 4
+        sub_len = dim // m
+        subs = _subvectors(df, "vec_id", "embedding", m, dim)
+        init_w = Window.partitionBy("sub").orderBy("vec_id")
+        seed_ids = df.orderBy("vec_id").limit(k).select("vec_id")
+        books = (subs.join(F.broadcast(seed_ids), "vec_id")
+                 .withColumn("cell", F.row_number().over(init_w) - 1)
+                 .select("sub", "cell", F.col("sv").alias("centroid"),
+                         F.lit(1).cast("long").alias("n")))
+        for _ in range(2):
+            assigned = _pq_assign(subs, books, "vec_id")
+            ex = subs.join(assigned, ["vec_id", "sub"]) \
+                .select("sub", F.col("code").alias("cell"),
+                        F.posexplode("sv").alias("i", "x"))
+            sums = ex.groupBy("sub", "cell", "i").agg(
+                F.expr("SUM(CAST(FLOOR(x * 1e12) AS DECIMAL(38,0)))")
+                .alias("s_fx"),
+                F.count("*").alias("n"))
+            books = (
+                sums.select("sub", "cell", "i",
+                            F.expr("CAST(s_fx AS DOUBLE) / 1e12 / n")
+                            .alias("v"), "n")
+                .groupBy("sub", "cell")
+                .agg(F.expr("transform(array_sort(collect_list("
+                            "struct(i, v))), s -> s.v)").alias("centroid"),
+                     F.max("n").alias("n")))
+        old = {(r["sub"], r["cell"]): (r["centroid"], r["n"])
+               for r in books.collect()}
+        new = {(r["sub"], r["cell"]): (r["centroid"], r["n"])
+               for r in pq_fit(df, m=m, k=k, iters=2, dim=dim).collect()}
+        assert new == old
+
+    def test_kmeans_fit_empty_input(self, spark):
+        from delta_sharing_spark.operators.similarity import kmeans_fit
+
+        df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        assert kmeans_fit(df, k=4, iters=2, dim=8).count() == 0
+
+
 class TestWinnowBatchVectorization:
     def test_matches_per_doc_reference(self):
         """Batch-concatenated winnowing must be bit-identical to the
