@@ -37,13 +37,17 @@ def _stateful_shuffle_partitions(spark: SparkSession, path: str) -> int:
     disabled for streaming plans, and a stateful operator pins its state
     partition count at the first micro-batch — after which EVERY batch
     pays a per-partition state-store open/flush/commit regardless of how
-    little state each holds. Measured at sf0.1 (1.9 MB fixture): the
-    session-window drain's task-summed state commit time was 30-80 s per
-    batch at 32 partitions vs 2-5 s at the sized count; interleaved
-    same-session A/B on the whole drain: 0.57-0.63x. At cluster scale
-    the cap (defaultParallelism) keeps full width, so this is strictly
-    the guide's "fewer, larger partitions" rule applied where AQE cannot
-    reach. Partitioning does not affect drained values (oracle-gated)."""
+    little state each holds. Measured (same-session alternation):
+    - sf0.1 (1.9 MB fixture): 32 partitions cost 30-80 s of task-summed
+      state commit per batch vs 2-5 s at 8; whole-drain A/B 0.57-0.63x;
+    - sf1 (19 MB fixture, ~1M events): {2, 8, 32} partitions drained in
+      {23.9, 11.7, 16.1} s — too FEW partitions serializes the state
+      work, too many pays per-partition commit overhead.
+    The floor of 8 is where commit overhead amortizes at both measured
+    scales; the count then grows with input volume and caps at the
+    session's parallelism (at cluster scale: full width, exactly
+    today's behavior). Partitioning does not affect drained values
+    (oracle-gated)."""
     import os as _os
 
     total = 0
@@ -55,7 +59,7 @@ def _stateful_shuffle_partitions(spark: SparkSession, path: str) -> int:
             except OSError:
                 pass
     cores = spark.sparkContext.defaultParallelism
-    return max(2, min(cores, -(-total // (32 << 20))))
+    return min(cores, max(8, -(-total // (32 << 20))))
 
 
 class _shuffle_partitions_for_start:
